@@ -1,13 +1,505 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * One `queries` entry per operator from SURVEY.md §2 (reference parity,
+  * q01–q16) plus the LLM-data-pipeline extensions (q17–q30). Each query has
+  * an exact DuckDB oracle in `oracleSql` unless noted; both sides alias
+  * every computed column identically, round floating aggregates, and end in
+  * a total ORDER BY so the hash compare is deterministic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's gold-layer aggregate shape (gold.py:71-81)
+    * over sf0.001 lineitem. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    goldAgg(Tables(spark, "/root/testdata/sf0.001"))
+
+  private def netPrice: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  // No rounding: quantities are whole numbers (sum is exact in double, so
+  // avg is order-independent) and max/min/count are exact — both engines
+  // produce bit-identical values.
+  private def goldAgg(t: Tables): DataFrame =
+    t.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+      avg("l_quantity").as("avg_qty"),
+      max("l_extendedprice").as("max_price"),
+      min("l_extendedprice").as("min_price"),
+      count(lit(1)).as("record_count"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------- reference parity (§2)
+    // P1/P2/P4/P5: the silver CTAS shape — project, rename, cast, predicate,
+    // null-drop (silver.py:26-40)
+    "q01_silver_transform" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_quantity").isNotNull &&
+          col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          netPrice.as("net_price"), // per-row double math: bit-identical cross-engine
+          col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // A1: the gold aggregate — AVG/MAX/MIN/COUNT GROUP BY 2 cols (gold.py:71-81)
+    "q02_gold_agg" -> ((s, dir) => goldAgg(Tables(s, dir))),
+    // A3: partition enumeration — DISTINCT 2 cols (silver.py:9-12)
+    "q03_distinct_partitions" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .select(col("l_returnflag"), col("l_shipdate").cast("date").as("ship_date"))
+        .distinct()
+        .orderBy("l_returnflag", "ship_date")
+    }),
+    // P4: pruned point lookup — 2 equality predicates (README.md:212-217)
+    "q04_point_lookup" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .filter(col("l_returnflag") === "R" &&
+          col("l_shipdate").cast("date") === lit("1997-03-15").cast("date"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // J1: anti-join — the incremental-diff core (silver.py:69)
+    "q05_anti_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+    // A2: scalar COUNT(*) validation (silver.py:42-44)
+    "q06_scalar_count" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .filter(col("l_quantity").isNotNull)
+        .agg(count(lit(1)).as("n"))
+    }),
+    // S11: keyed PK-replace upsert semantics — window dedupe keeping the
+    // newest row per (layer, city, date) (metadata.py:8, silver.py:57-60)
+    "q07_upsert_dedupe" -> ((s, dir) => {
+      val w = Window.partitionBy("city", "date")
+        .orderBy(col("processed_mark").desc, col("o_orderkey"))
+      Tables(s, dir).orders
+        .select(lit("gold").as("layer"),
+          col("o_orderpriority").as("city"),
+          col("o_orderdate").cast("date").as("date"),
+          col("o_totalprice").as("processed_mark"),
+          col("o_orderkey"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("layer", "city", "date", "processed_mark", "o_orderkey")
+        .orderBy("city", "date")
+    }),
+    // C2/J1: incremental partition diff — available minus processed
+    "q08_incremental_diff" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val avail = t.orders
+        .select(col("o_orderpriority").as("priority"), month(col("o_orderdate")).as("m"))
+        .distinct()
+      val done = t.orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderpriority").as("priority"), month(col("o_orderdate")).as("m"))
+        .distinct()
+      avail.join(done, Seq("priority", "m"), "left_anti").orderBy("priority", "m")
+    }),
+    // P3: STRPTIME-equivalent timestamp format/parse round trip (silver.py:31)
+    "q09_timestamp_parse" -> ((s, dir) => {
+      Tables(s, dir).events
+        .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd'T'HH:mm").as("ts_str"))
+        .withColumn("parsed", to_timestamp(col("ts_str"), "yyyy-MM-dd'T'HH:mm"))
+        .orderBy("event_id")
+    }),
+    // S4: JSON flattening (bronze.py:15)
+    "q10_json_flatten" -> ((s, dir) => {
+      Tables(s, dir).events
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    }),
+    // ------------------------------------- relational completeness
+    "q11_semi_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.join(t.lineitem.filter(col("l_quantity") >= 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+    // broadcast hash join + group-agg: revenue per brand
+    "q12_broadcast_join_agg" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum(netPrice), 2).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+    // multi-way join (TPC-H Q5 shape): revenue per nation in one region
+    "q13_multi_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(round(sum(netPrice), 2).as("revenue"))
+        .orderBy("n_name")
+    }),
+    // window top-k per group
+    "q14_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir).orders
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rank")
+    }),
+    // running-sum window
+    "q15_running_sum" -> ((s, dir) => {
+      // order on exact nanos (ts_ns) so the fold order matches the ns-precision oracle
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // round: DuckDB evaluates running windows via segment trees, so the
+      // fold association differs; inputs are 2-decimal so round(4) is exact
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_id"),
+          round(sum("value").over(w), 4).as("running_value"))
+        .orderBy("user_id", "event_id")
+    }),
+    // gap-based sessionization + per-session rollup
+    "q16_sessionize" -> ((s, dir) => {
+      Sessionize.sessionStats(Tables(s, dir).events, "user_id", "ts", "value",
+        gapMinutes = 30, tieBreak = Seq("event_id"))
+        .orderBy("user_id", "session_id")
+    }),
+    // ------------------------------------- LLM-pipeline: text analysis
+    "q17_token_stats" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .groupBy("lang")
+        .agg(sum("n_tok").as("total_tokens"),
+          avg("n_tok").as("avg_tokens"), // integer sum: exact, order-independent
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+    "q18_text_quality" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.punctCount(col("text")).as("n_punct"),
+          TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "q19_lang_guess" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), TextAnalysis.langGuess(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+    "q20_fingerprint" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    // ------------------------------------- LLM-pipeline: dedup
+    "q21_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(Tables(s, dir).documents, "doc_id", "text").orderBy("text_hash")
+    }),
+    "q22_dedup_fingerprint" -> ((s, dir) => {
+      Dedup.fingerprintGroups(Tables(s, dir).documents, "doc_id", "text").orderBy("fp")
+    }),
+    "q23_blocked_jaccard" -> ((s, dir) => {
+      Dedup.blockedJaccardPairs(Tables(s, dir).documents,
+        "doc_id", "text", "lang", "n_chars", bucketWidth = 64, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    // MinHash+LSH candidate pairs — no SQL-expressible oracle (signature
+    // hashing); correctness covered by DedupSpec with planted near-dups
+    "q24_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashCandidatePairs(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("id_a", "id_b")
+    }),
+    // SimHash signatures — no SQL oracle (64-bit bit votes); DedupSpec
+    "q25_simhash" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+    // ------------------------------------- LLM-pipeline: embeddings
+    "q26_embedding_norms" -> ((s, dir) => {
+      Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          VectorFunctions.l2Norm(col("embedding")).as("norm"),
+          size(col("embedding")).as("dim"))
+        .orderBy("vec_id")
+    }),
+    "q27_cosine_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 10)
+        .orderBy("query_id", "rank")
+    }),
+    "q28_embedding_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
+        threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+    // LSH-bucketed ANN — no SQL oracle (hyperplane hashing); SimilaritySpec
+    // checks recall against q27's exact result
+    "q29_ann_lsh" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.lshTopK(t.embeddings, "vec_id", "embedding", q, 10, planes = 6)
+        .orderBy("query_id", "rank")
+    }),
+    // ------------------------------------- events + multimodal
+    "q30_event_window_agg" -> ((s, dir) => {
+      Tables(s, dir).events
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        // avg = rounded-sum / count: dividing identical doubles is
+        // bit-identical cross-engine, unlike rounding a raw avg (boundary-prone)
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("value_sum"),
+          (round(sum("value"), 4) / count(lit(1))).as("value_avg"))
+        .orderBy("hour", "event_type")
+    }),
+    // binary-column plumbing with stubbed decode (mapPartitions batch shape);
+    // oracle reproduces the deterministic stub arithmetic in SQL
+    "q31_multimodal_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(Tables(s, dir).documents, "doc_id", "text"))
+        .select("doc_id", "n_bytes", "width", "height")
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_silver_transform" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+        |l_extendedprice * (1 - l_discount) AS net_price, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity IS NOT NULL AND l_shipdate >= TIMESTAMP '1998-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_gold_agg" ->
+      """SELECT l_returnflag, l_linestatus, avg(l_quantity) AS avg_qty,
+        |max(l_extendedprice) AS max_price,
+        |min(l_extendedprice) AS min_price, count(*) AS record_count
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_distinct_partitions" ->
+      """SELECT DISTINCT l_returnflag, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem ORDER BY l_returnflag, ship_date""".stripMargin,
+    "q04_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND CAST(l_shipdate AS DATE) = DATE '1997-03-15'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_scalar_count" ->
+      "SELECT count(*) AS n FROM lineitem WHERE l_quantity IS NOT NULL",
+    "q07_upsert_dedupe" ->
+      """SELECT layer, city, date, processed_mark, o_orderkey FROM (
+        |  SELECT 'gold' AS layer, o_orderpriority AS city,
+        |         CAST(o_orderdate AS DATE) AS date, o_totalprice AS processed_mark,
+        |         o_orderkey,
+        |         row_number() OVER (PARTITION BY o_orderpriority, CAST(o_orderdate AS DATE)
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY city, date""".stripMargin,
+    "q08_incremental_diff" ->
+      """WITH avail AS (SELECT DISTINCT o_orderpriority AS priority,
+        |    CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m FROM orders),
+        |done AS (SELECT DISTINCT o_orderpriority AS priority,
+        |    CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m FROM orders
+        |    WHERE o_orderstatus = 'F')
+        |SELECT a.priority, a.m FROM avail a
+        |WHERE NOT EXISTS (SELECT 1 FROM done d WHERE d.priority = a.priority AND d.m = a.m)
+        |ORDER BY priority, m""".stripMargin,
+    "q09_timestamp_parse" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M') AS ts_str,
+        |strptime(strftime(ts, '%Y-%m-%dT%H:%M'), '%Y-%m-%dT%H:%M') AS parsed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q10_json_flatten" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q11_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q12_broadcast_join_agg" ->
+      """SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q13_multi_join" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q14_window_topk" ->
+      """SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_orderpriority
+        |                         ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |      FROM orders)
+        |WHERE rank <= 5 ORDER BY o_orderpriority, rank""".stripMargin,
+    "q15_running_sum" ->
+      """SELECT user_id, event_id,
+        |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |  AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q16_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR CAST(floor(epoch(ts)) AS BIGINT)
+        |            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |       CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |       CAST(max(ts) AS TIMESTAMP) AS session_end,
+        |       count(*) AS n_events, round(sum(value), 4) AS value_sum
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q17_token_stats" ->
+      """WITH tok AS (SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tok
+        |  FROM documents)
+        |SELECT lang, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |       avg(n_tok) AS avg_tokens, count(*) AS n_docs
+        |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+    "q18_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS INTEGER)
+        |      AS n_punct,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','on'))) AS INTEGER)
+        |      AS n_stop,
+        |    CAST(length(text) AS INTEGER) AS n_chars_raw
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_punct, n_stop,
+        |  least(greatest(
+        |    least(CAST(n_tokens AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+        |    + least((CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+        |    + (CAST(1.0 AS DOUBLE) - least((CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars_raw AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS quality
+        |FROM base ORDER BY doc_id""".stripMargin,
+    "q19_lang_guess" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' is ') THEN 1 ELSE 0 END) AS en,
+        |    (CASE WHEN contains(' ' || lower(text) || ' ', ' der ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' und ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' die ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' nicht ') THEN 1 ELSE 0 END) AS de,
+        |    (CASE WHEN contains(' ' || lower(text) || ' ', ' el ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' que ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' los ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' una ') THEN 1 ELSE 0 END) AS es,
+        |    (CASE WHEN contains(' ' || lower(text) || ' ', ' le ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' et ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' les ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' une ') THEN 1 ELSE 0 END) AS fr,
+        |    (CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0
+        |          THEN 10 ELSE 0 END) AS zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN zh >= greatest(en, de, es, fr) THEN 'zh'
+        |       WHEN en >= greatest(de, es, fr) THEN 'en'
+        |       WHEN de >= greatest(es, fr) THEN 'de'
+        |       WHEN es >= fr THEN 'es'
+        |       ELSE 'fr' END AS lang_guess
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q20_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')), ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    "q22_dedup_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')), ' '))), ' ')) AS fp,
+        |  count(*) AS dup_count, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q23_blocked_jaccard" ->
+      """WITH b AS (SELECT doc_id, text, lang,
+        |    CAST(floor(n_chars / 64.0) AS BIGINT) AS blk_len FROM documents)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |       jaccard(a.text, c.text) AS jac
+        |FROM b a JOIN b c ON a.lang = c.lang AND a.blk_len = c.blk_len
+        |                  AND a.doc_id < c.doc_id
+        |WHERE jaccard(a.text, c.text) >= CAST(0.8 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q26_embedding_norms" ->
+      """SELECT vec_id,
+        |  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                          CAST(embedding AS DOUBLE[]))) AS norm,
+        |  CAST(len(embedding) AS INTEGER) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q27_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_inner_product(e.v, q.qv)
+        |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))
+        |      AS score
+        |  FROM e CROSS JOIN q),
+        |ranked AS (SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q28_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
+        |    AS score
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
+        |    >= CAST(0.35 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q30_event_window_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |count(*) AS n_events, round(sum(value), 4) AS value_sum,
+        |round(sum(value), 4) / count(*) AS value_avg
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q31_multimodal_features" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |CAST(strlen(text) % 64 + 1 AS INTEGER) AS width,
+        |CAST(ascii(substring(text, 1, 1)) % 64 + 1 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,63 @@
+package graft.meta
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Schemas
+import graft.sources.ParquetLake
+
+/** Processed-partition ledger: a tiny Parquet-backed table with logical
+  * primary key (layer, city, date) and replace-on-conflict upsert.
+  *
+  * The reference gets PK semantics for free from DuckDB
+  * (`INSERT OR REPLACE`, reference metadata.py:3-9, silver.py:57-60); on
+  * plain Parquet we compose it from built-ins: union → row_number window
+  * keeping the newest `processed_at` per key → atomic swap of the table
+  * directory. The ledger is partition-granularity metadata, so it stays
+  * small (one row per (layer,city,date)) no matter how large the data lake
+  * grows — driver-side collection of it is safe even at 100 TB data scale.
+  */
+object MetadataLedger {
+
+  /** Create-if-missing (reference metadata.py:1-10 DDL). */
+  def ensure(spark: SparkSession, path: String): Unit =
+    if (!ParquetLake.exists(spark, path))
+      ParquetLake.atomicReplace(
+        spark,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.metadata),
+        path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    ParquetLake.readOrEmpty(spark, path, Schemas.metadata)
+
+  /** PK-replace upsert: `entries` must have columns (layer, city, date);
+    * `processed_at` is stamped here (reference silver.py:59 CURRENT_TIMESTAMP). */
+  def upsert(spark: SparkSession, path: String, entries: DataFrame): Unit = {
+    val stamped = entries
+      .select(col("layer"), col("city"), col("date"))
+      .withColumn("processed_at", current_timestamp())
+    // tiebreak on a marker so the incoming row wins an equal-timestamp race
+    val w = Window.partitionBy("layer", "city", "date")
+      .orderBy(col("processed_at").desc, col("_incoming").desc)
+    val merged = read(spark, path).withColumn("_incoming", lit(0))
+      .unionByName(stamped.withColumn("_incoming", lit(1)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_incoming")
+    // the union reads the current ledger, so materialize before the swap
+    val snapshot = merged.localCheckpoint(true)
+    ParquetLake.atomicReplace(spark, snapshot, path)
+  }
+
+  /** Partitions already processed for a layer, as a (city, date) DataFrame
+    * (reference silver.py:15-20). */
+  def processed(spark: SparkSession, path: String, layer: String): DataFrame =
+    read(spark, path).filter(col("layer") === layer).select("city", "date")
+
+  /** The incremental core: partitions present in the source layer but not
+    * yet in the ledger — a true distributed anti-join standing in for the
+    * reference's driver-side set difference (silver.py:69, gold.py:118). */
+  def pendingPartitions(available: DataFrame, processed: DataFrame): DataFrame =
+    available.join(broadcast(processed), Seq("city", "date"), "left_anti")
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata beside them; decode / feature-extraction
+  * runs batched per partition.
+  *
+  * The decode itself is STUBBED (no image/audio codecs in this container):
+  * [[StubCodec]] derives deterministic fake dimensions from the payload
+  * bytes. Everything around it — the schema contract, the
+  * `mapPartitions` batch shape (one codec instance per partition, streamed
+  * iterator, no per-row setup), and the partitioned write — is the real
+  * production plumbing: swap `StubCodec` for a JNI/javacv codec and nothing
+  * else changes. In PySpark the same seam is `mapInPandas` with an
+  * arrow-batched UDF; `mapPartitions` over a typed Dataset is the Scala
+  * equivalent.
+  */
+object Multimodal {
+
+  /** A media row in flight: id + opaque payload + declared modality. */
+  final case class MediaRecord(doc_id: Long, modality: String, payload: Array[Byte])
+
+  /** Extracted features: deterministic metadata per payload. */
+  final case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Long,
+                                 width: Int, height: Int, checksum: Long)
+
+  /** Decoder seam — one instance per partition, reused across the batch. */
+  trait Codec extends Serializable {
+    def decode(payload: Array[Byte], modality: String): (Int, Int)
+  }
+
+  /** Deterministic fake decode: "dimensions" derived from payload length and
+    * first bytes. Replace with a real codec (??? in production) — the
+    * surrounding plumbing is codec-agnostic. */
+  object StubCodec extends Codec {
+    def decode(payload: Array[Byte], modality: String): (Int, Int) = {
+      val w = (payload.length % 64) + 1
+      val h = (if (payload.isEmpty) 0 else (payload(0) & 0xff) % 64) + 1
+      (w, h)
+    }
+  }
+
+  /** Wrap a text table as media records (payload = utf-8 bytes), standing in
+    * for real image/audio blobs in the test corpus. */
+  def asMedia(documents: DataFrame, idCol: String, textCol: String): DataFrame =
+    documents.select(
+      col(idCol).cast("long").as("doc_id"),
+      lit("image").as("modality"),
+      encode(col(textCol), "UTF-8").as("payload"))
+
+  /** Batched feature extraction: one codec per partition, iterator-streamed
+    * (never materializes a partition in memory). */
+  def extractFeatures(media: DataFrame, codec: Codec = StubCodec): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("modality"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        val c = codec // per-partition instance
+        it.map { r =>
+          val (w, h) = c.decode(r.payload, r.modality)
+          val checksum = r.payload.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+          MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong, w, h, checksum)
+        }
+      }
+  }
+}

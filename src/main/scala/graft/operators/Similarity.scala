@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - brute force: broadcast the (small) query set against the corpus, score
+  *    every pair, per-query top-k via a window. Exact; the oracle baseline.
+  *    At 100 TB the corpus side stays partition-parallel and the only
+  *    shuffle is the final per-query top-k (rows ≤ corpus, cut to k early
+  *    by scoring in the map stage).
+  *  - random-hyperplane LSH: per-row signed projection onto h deterministic
+  *    pseudo-random hyperplanes → bucket id; queries probe only their own
+  *    bucket. Bucketing is a single shuffle on the bucket key; recall is
+  *    traded via `planes`. Hyperplane weights derive from xxhash64(plane,
+  *    dim) so both engines (and reruns) see identical planes — no RNG state.
+  */
+object Similarity {
+
+  /** Exact per-query top-k by cosine. `queries` must carry (query_id,
+    * query_vec). Scores are rounded to 6dp before ranking so rank order is
+    * reproducible across engines; ties break on corpus id. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        cosine(col(vecCol), col("query_vec")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Deterministic hyperplane weight for (plane, dim): xxhash64 folded into
+    * [-1, 1). Same formula is reproducible anywhere — no fitted model. */
+  private def planeWeight(plane: Int, dim: Column): Column =
+    pmod(xxhash64(lit(plane) * 100000 + dim), lit(2000001L)).cast("double") / 1000000.0 - 1.0
+
+  /** Signed-projection LSH bucket id over `planes` hyperplanes. */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeWeight(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: candidates are corpus rows sharing the query's LSH bucket;
+    * exact cosine re-rank within the bucket. Returns the same schema as
+    * [[bruteForceTopK]] (a query whose bucket has < k members returns fewer
+    * rows — the recall/latency tradeoff made explicit). */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, k: Int, planes: Int = 8): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col("query_id"), col("query_vec"),
+      lshBucket(col("query_vec"), planes).as("bucket"))
+    val scored = bucketed.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("c_vec"), col("query_vec")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Embedding near-duplicate pairs: cosine above `threshold`, blocked by
+    * LSH bucket so the pair space stays sub-quadratic. Exact variant
+    * (`blocked=false`) compares all pairs — the oracle shape. */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, blocked: Boolean = false,
+                         planes: Int = 8): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val withKey = if (blocked) base.withColumn("bucket", lshBucket(col("vec"), planes))
+                  else base.withColumn("bucket", lit(0L))
+    val l = withKey.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = withKey.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+}

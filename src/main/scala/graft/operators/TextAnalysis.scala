@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  *
+  * Everything is per-row column arithmetic (no UDFs, no shuffles) so the
+  * operators run inside whole-stage codegen and scale linearly — at 100 TB
+  * these are pure map stages that pipeline with the parquet scan.
+  * Expressions are kept to the dialect-portable subset so each operator has
+  * an exact DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** A BPE-ish subword count: splits on word boundaries and digit runs,
+    * approximating tokenizer granularity without a vocab file. */
+  def subwordCount(text: Column): Column =
+    size(split(trim(text), "[\\s\\.,;:!?()\\[\\]{}\"']+|(?=[0-9])"))
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.!?,;:]", ""))
+
+  /** Stopword hits (whitespace-token matches against a small english list). */
+  def stopwordCount(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    size(filter(words, w => stopwords.map(s => w === lit(s)).reduce(_ || _)))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length documents and a
+    * sane stopword ratio, penalizes punctuation soup. All arithmetic stays
+    * in DOUBLE with a fixed operation order, so any engine following the
+    * same formula produces bit-identical results (IEEE ops are exactly
+    * specified) — no rounding tolerance needed in differential tests. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
+    least(greatest(
+      lenScore * lit(0.5) + least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3) +
+        (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2),
+      lit(0.0)), lit(1.0))
+  }
+
+  /** Marker-token language guess over {en,de,es,fr,zh}: counts hits of a
+    * tiny per-language marker list plus a CJK-codepoint check; argmax with
+    * fixed priority tiebreak. (An n-gram model needs training data; this is
+    * the deterministic heuristic variant, and the differential gate is that
+    * engine and oracle agree on every prediction.) */
+  def langGuess(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    def hits(markers: Seq[String]): Column =
+      markers.map(m => when(padded.contains(s" $m "), 1).otherwise(0))
+        .reduce(_ + _)
+    val en = hits(Seq("the", "and", "of", "is"))
+    val de = hits(Seq("der", "und", "die", "nicht"))
+    val es = hits(Seq("el", "que", "los", "una"))
+    val fr = hits(Seq("le", "et", "les", "une"))
+    val zh = when(length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0, 10).otherwise(0)
+    when(zh >= greatest(en, de, es, fr), lit("zh"))
+      .when(en >= greatest(de, es, fr), lit("en"))
+      .when(de >= greatest(es, fr), lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Normalization used by [[fingerprint]]: lowercase, strip non-alnum,
+    * collapse whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Key-collision fingerprint (the classic OpenRefine shape): sorted
+    * distinct normalized words, md5-hashed. Two documents that differ only
+    * in word order / punctuation / case collide — a cheap canonical-dup key. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(normalized(text), " "))), " "))
+}

@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared machinery for incremental layer processing (the reference's
+  * enumerate → diff → process loop, silver.py:65-74 / gold.py:104-125).
+  *
+  * Deliberate departure from the reference, noted in BASELINE.md: instead of
+  * one engine invocation per pending partition (pathological in Spark — a
+  * full job per (city,date)), all pending partitions are processed in ONE
+  * batched job. Semantics are identical (same rows, same per-partition
+  * files via partitionBy) and it is the shape that survives 1000× more
+  * partitions.
+  */
+object Layers {
+
+  /** Partition enumeration: DISTINCT on the two Hive partition columns.
+    * Catalyst prunes the scan to metadata-only columns, so this reads no
+    * data pages — the Spark analog of the reference's
+    * `SELECT DISTINCT city, date FROM read_parquet(...)` (silver.py:9-12). */
+  def availablePartitions(df: DataFrame): DataFrame =
+    df.select("city", "date").distinct()
+
+  /** Scope `df` to the pending partitions.
+    *
+    * Two regimes, picked by pending-set size:
+    *  - small (≤ `literalThreshold`): collect to the driver and emit a
+    *    literal predicate — Catalyst folds it into static partition pruning,
+    *    so only the pending directories are listed/read at all;
+    *  - large: broadcast semi-join on (city, date) — no driver materialization,
+    *    and dynamic partition pruning still scopes the scan at runtime.
+    */
+  def scopeToPending(df: DataFrame, pending: DataFrame,
+                     literalThreshold: Int = 256): DataFrame = {
+    val head = pending.limit(literalThreshold + 1).collect()
+    if (head.length <= literalThreshold) {
+      if (head.isEmpty) df.limit(0)
+      else {
+        val pred: Column = head.map { r =>
+          col("city") === lit(r.getAs[String]("city")) &&
+            col("date") === lit(r.getAs[java.sql.Date]("date"))
+        }.reduce(_ || _)
+        df.filter(pred)
+      }
+    } else df.join(broadcast(pending.select("city", "date")), Seq("city", "date"), "left_semi")
+  }
+
+  /** Empty-partition guard (reference silver.py:42-47 / gold.py:46-51
+    * ValueError on COUNT(*)==0): every pending partition must have produced
+    * at least one row. Runs as one aggregate job over the cached batch. */
+  def requireAllNonEmpty(processedRows: DataFrame, pending: DataFrame): Unit = {
+    val produced = processedRows.groupBy("city", "date").count()
+    val missing = pending.join(produced, Seq("city", "date"), "left_anti").collect()
+    if (missing.nonEmpty) {
+      val desc = missing.map(r => s"${r.get(0)}/${r.get(1)}").mkString(", ")
+      throw new IllegalStateException(s"empty partitions after transform: $desc")
+    }
+  }
+}
