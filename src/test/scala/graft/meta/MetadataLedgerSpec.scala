@@ -1,0 +1,69 @@
+package graft.meta
+
+import java.sql.Date
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class MetadataLedgerSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def entries(rows: (String, String, String)*) =
+    rows.map { case (l, c, d) => (l, c, Date.valueOf(d)) }
+      .toDF("layer", "city", "date")
+
+  test("ensure is idempotent and creates an empty ledger") {
+    val p = tmpDir("ml") + "/meta"
+    MetadataLedger.ensure(spark, p)
+    MetadataLedger.ensure(spark, p)
+    val df = MetadataLedger.read(spark, p)
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.toSeq == Seq("layer", "city", "date", "processed_at"))
+  }
+
+  test("upsert keeps exactly one row per (layer, city, date), newest wins") {
+    val p = tmpDir("ml") + "/meta"
+    MetadataLedger.ensure(spark, p)
+    MetadataLedger.upsert(spark, p, entries(("silver", "Delhi", "2026-02-13")))
+    val t1 = MetadataLedger.read(spark, p)
+      .filter($"city" === "Delhi").head.getAs[java.sql.Timestamp]("processed_at")
+    Thread.sleep(5)
+    MetadataLedger.upsert(spark, p, entries(
+      ("silver", "Delhi", "2026-02-13"), // replaces
+      ("silver", "London", "2026-02-13"))) // new
+    val df = MetadataLedger.read(spark, p)
+    assert(df.count() == 2)
+    val t2 = df.filter($"city" === "Delhi").head.getAs[java.sql.Timestamp]("processed_at")
+    assert(!t2.before(t1), "replacement must carry the newer processed_at")
+  }
+
+  test("pendingPartitions = available minus processed (anti-join)") {
+    val avail = Seq(("Delhi", Date.valueOf("2026-02-13")), ("London", Date.valueOf("2026-02-13")),
+      ("Delhi", Date.valueOf("2026-02-14"))).toDF("city", "date")
+    val done = Seq(("Delhi", Date.valueOf("2026-02-13"))).toDF("city", "date")
+    val pending = MetadataLedger.pendingPartitions(avail, done)
+      .orderBy("city", "date").collect()
+    assert(pending.map(r => (r.getString(0), r.getDate(1).toString)).toSeq ==
+      Seq(("Delhi", "2026-02-14"), ("London", "2026-02-13")))
+  }
+
+  test("property: upsert result always equals brute-force set-of-keys, one row each") {
+    val rnd = new scala.util.Random(42)
+    def randomBatch(): Seq[(String, String, String)] =
+      Seq.fill(1 + rnd.nextInt(6))((
+        if (rnd.nextBoolean()) "silver" else "gold",
+        ("A" + ('A' + rnd.nextInt(3)).toChar),
+        f"2026-02-0${1 + rnd.nextInt(3)}"))
+    (1 to 5).foreach { _ =>
+      val p = tmpDir("mlp") + "/meta"
+      MetadataLedger.ensure(spark, p)
+      val batches = Seq.fill(2)(randomBatch())
+      batches.foreach(b => MetadataLedger.upsert(spark, p, entries(b: _*)))
+      val expectKeys = batches.flatten.toSet
+      val got = MetadataLedger.read(spark, p).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDate(2).toString)).toSet
+      assert(got == expectKeys)
+      assert(MetadataLedger.read(spark, p).count() == expectKeys.size)
+    }
+  }
+}

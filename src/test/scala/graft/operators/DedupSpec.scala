@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class DedupSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+  private val nearDup = base.replace("lazy", "sleepy") // one word changed
+  private val unrelated = "completely different content about spark query engines and columnar formats " * 4
+
+  private def docs = Seq(
+    (0L, base), (1L, base), // exact dups
+    (2L, nearDup), // near dup of 0/1
+    (3L, unrelated)
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds exact duplicates deterministically (min id kept)") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 3)
+    val dupGroup = g.find(_.getAs[Long]("dup_count") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("fingerprintGroups collapses word order / punctuation / case variants") {
+    val variants = Seq(
+      (0L, "The quick brown Fox!"),
+      (1L, "fox quick brown the"),
+      (2L, "THE, QUICK... brown fox"),
+      (3L, "something else entirely")
+    ).toDF("doc_id", "text")
+    val g = Dedup.fingerprintGroups(variants, "doc_id", "text").collect()
+    assert(g.length == 2)
+    assert(g.find(_.getAs[Long]("dup_count") == 3).get.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash candidate pairs surface exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((0L, 1L)), "exact dups must collide in every band")
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+    assert(pairSet.contains((0L, 2L)) || pairSet.contains((1L, 2L)),
+      "one-word-changed near dup should collide in at least one band")
+    assert(!pairSet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not be a candidate")
+  }
+
+  test("minhash signature estimate approximates true shingle jaccard") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text").collect()
+    val est = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 2L)
+      .map(_.getDouble(2))
+    // true 3-shingle jaccard of base vs nearDup is ~0.85; 32 hashes -> coarse
+    est.foreach(e => assert(e > 0.5 && e <= 1.0))
+  }
+
+  test("simhash: near dups within small hamming distance, unrelated docs far") {
+    val sigs = docs.select($"doc_id", Dedup.simhash64($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(0L) == sigs(1L), "identical text -> identical simhash")
+    assert(ham(sigs(0L), sigs(2L)) <= 12, s"near dup too far: ${ham(sigs(0L), sigs(2L))}")
+    assert(ham(sigs(0L), sigs(3L)) > 12, s"unrelated too close: ${ham(sigs(0L), sigs(3L))}")
+  }
+
+  test("charJaccard matches hand-computed character-set jaccard") {
+    val df = Seq(("abcab", "abd")).toDF("a", "b")
+    // char sets {a,b,c} vs {a,b,d}: |inter|=2, |union|=4
+    val j = df.select(Dedup.charJaccard($"a", $"b")).head.getDouble(0)
+    assert(j == 0.5)
+  }
+
+  test("blockedJaccardPairs only pairs within (lang, length-bucket) blocks") {
+    val df = Seq(
+      (0L, "aabb", "en", 4L), (1L, "abab", "en", 4L), // same block, jac 1.0
+      (2L, "abab", "de", 4L), // different lang -> never paired
+      (3L, "a" * 200, "en", 200L) // different length bucket
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val pairs = Dedup.blockedJaccardPairs(df, "doc_id", "text", "lang", "n_chars",
+      bucketWidth = 64, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert((pairs.head.getLong(0), pairs.head.getLong(1)) == (0L, 1L))
+    assert(pairs.head.getAs[Double]("jac") == 1.0)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class MultimodalSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("asMedia wraps text as binary payloads with modality metadata") {
+    val docs = Seq((7L, "hello")).toDF("doc_id", "text")
+    val m = Multimodal.asMedia(docs, "doc_id", "text").head
+    assert(m.getAs[String]("modality") == "image")
+    assert(new String(m.getAs[Array[Byte]]("payload"), "UTF-8") == "hello")
+  }
+
+  test("extractFeatures runs the stub codec batched per partition, deterministically") {
+    val docs = Seq((1L, "abc"), (2L, "a" * 100)).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes == 3L)
+    assert(feats(1L).width == 3 % 64 + 1)
+    assert(feats(1L).height == ('a'.toInt & 0xff) % 64 + 1)
+    assert(feats(2L).n_bytes == 100L)
+    assert(feats(2L).width == 100 % 64 + 1)
+    // rerun gives identical checksums (determinism of the whole path)
+    val again = Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text"))
+      .collect().map(f => f.doc_id -> f.checksum).toMap
+    assert(again == feats.map { case (k, v) => k -> v.checksum })
+  }
+
+  test("custom codec plugs into the same plumbing") {
+    val fixed = new Multimodal.Codec {
+      def decode(payload: Array[Byte], modality: String): (Int, Int) = (640, 480)
+    }
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val f = Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text"), fixed).head()
+    assert(f.width == 640 && f.height == 480)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class SessionizeSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events = Seq(
+    // user 1: two sessions split by a 2h gap
+    (1L, 10L, ts("2024-01-01 09:00:00"), 1.0),
+    (1L, 11L, ts("2024-01-01 09:10:00"), 2.0),
+    (1L, 12L, ts("2024-01-01 09:39:59"), 3.0), // 29m59s gap: same session
+    (1L, 13L, ts("2024-01-01 11:40:00"), 4.0), // 2h gap: new session
+    // user 2: single event
+    (2L, 20L, ts("2024-01-01 00:00:00"), 5.0)
+  ).toDF("user_id", "event_id", "ts", "value")
+
+  test("assignSessions splits at gaps strictly greater than the threshold") {
+    val out = Sessionize.assignSessions(events, "user_id", "ts", 30, Seq("event_id"))
+      .orderBy("user_id", "event_id")
+      .select("user_id", "event_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 1L), (1L, 13L, 2L),
+      (2L, 20L, 1L)))
+  }
+
+  test("sessionStats aggregates bounds, counts and sums per session") {
+    val out = Sessionize.sessionStats(events, "user_id", "ts", "value", 30, Seq("event_id"))
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    val s1 = out(0)
+    assert(s1.getAs[Long]("n_events") == 3L)
+    assert(s1.getAs[Double]("value_sum") == 6.0)
+    assert(s1.getAs[Timestamp]("session_start") == ts("2024-01-01 09:00:00"))
+    assert(s1.getAs[Timestamp]("session_end") == ts("2024-01-01 09:39:59"))
+    assert(out(1).getAs[Long]("n_events") == 1L)
+    assert(out(2).getAs[Long]("n_events") == 1L)
+  }
+
+  test("a gap of exactly the threshold does NOT split (strict inequality)") {
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 09:00:00"), 1.0),
+      (1L, 2L, ts("2024-01-01 09:30:00"), 1.0)).toDF("user_id", "event_id", "ts", "value")
+    val n = Sessionize.sessionStats(df, "user_id", "ts", "value", 30, Seq("event_id")).count()
+    assert(n == 1)
+  }
+}

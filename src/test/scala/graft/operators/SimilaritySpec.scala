@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("cosine/dot/norm column functions on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (Array(1.0f, 2.0f, 2.0f), Array(1.0f, 2.0f, 2.0f))).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot($"a", $"b").as("dot"),
+      VectorFunctions.l2Norm($"a").as("na"),
+      VectorFunctions.cosine($"a", $"b").as("cos")).collect()
+    assert(rows(0).getDouble(0) == 0.0 && rows(0).getDouble(2) == 0.0)
+    assert(rows(1).getDouble(1) == 3.0 && math.abs(rows(1).getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("brute force top-k returns self as rank 1 and respects k") {
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val q = t.embeddings.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val topk = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 5)
+    val rows = topk.collect()
+    assert(rows.length == 15)
+    val rank1 = rows.filter(_.getAs[Int]("rank") == 1)
+    rank1.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id"),
+        "unit-norm self-similarity must rank first")
+    }
+  }
+
+  test("LSH top-k: self lands in its own bucket; results subset of brute-force ordering") {
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val q = t.embeddings.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val ann = Similarity.lshTopK(t.embeddings, "vec_id", "embedding", q, 10, planes = 4)
+      .collect()
+    // every query finds at least itself (identical vector -> identical bucket)
+    val byQuery = ann.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 5)
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.exists(r => r.getAs[Long]("neighbor_id") == qid))
+      // scores are descending by rank
+      val sorted = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH recall against brute force is reasonable at few planes") {
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val q = t.embeddings.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.lshTopK(t.embeddings, "vec_id", "embedding", q, 10, planes = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall collapsed: $recall") // 2 planes = 4 buckets
+  }
+
+  test("cosineNearDupPairs finds planted duplicate vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.04f, 0.0f, 0.0f)), // near dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .collect()
+    assert(pairs.length == 1)
+    assert((pairs.head.getLong(0), pairs.head.getLong(1)) == (0L, 1L))
+    assert(pairs.head.getAs[Double]("score") > 0.99)
+  }
+}
