@@ -277,6 +277,74 @@ object SparkEntry {
         Multimodal.asMedia(Tables(s, dir).documents, "doc_id", "text"))
         .select("doc_id", "n_bytes", "width", "height")
         .orderBy("doc_id")
+    }),
+    // ------------------------------------- relational breadth
+    // rollup with grouping indicator (subtotal + grand-total rows)
+    "q32_rollup" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("int").as("gid"),
+          sum("l_quantity").as("sum_qty"), // whole numbers: exact
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
+          col("gid"))
+    }),
+    // EXCEPT / INTERSECT set operations, tagged and unioned
+    "q33_setops" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val c = t.customer.select(col("c_custkey").as("k"))
+      val o = t.orders.select(col("o_custkey").as("k"))
+      c.except(o).withColumn("tag", lit("customer_only"))
+        .unionByName(c.intersect(o).withColumn("tag", lit("both")))
+        .select("tag", "k")
+        .orderBy("tag", "k")
+    }),
+    // SQL surface: correlated EXISTS + correlated scalar subquery
+    "q34_correlated_subquery" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.createOrReplaceTempView("customer")
+      t.orders.createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_acctbal,
+          |  (SELECT round(sum(o_totalprice), 2) FROM orders
+          |   WHERE o_custkey = c_custkey) AS order_total
+          |FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+    // global ORDER BY + LIMIT (plans as TakeOrderedAndProject, no full sort)
+    "q35_topn" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    }),
+    // pivot via conditional aggregation (dialect-portable pivot form)
+    "q36_conditional_pivot" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(0.0)).as("qty_f"),
+          sum(when(col("l_linestatus") === "O", col("l_quantity")).otherwise(0.0)).as("qty_o"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+    // scalar-function breadth: string + date kernel over orders
+    "q37_scalar_funcs" -> ((s, dir) => {
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 6)).as("prio_u"),
+          length(col("o_orderpriority")).as("prio_len"),
+          translate(col("o_orderpriority"), "-", "_").as("prio_t"),
+          lpad(col("o_orderkey").cast("string"), 12, "0").as("key_pad"),
+          reverse(col("o_orderstatus")).as("status_r"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -500,6 +568,50 @@ object SparkEntry {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |CAST(strlen(text) % 64 + 1 AS INTEGER) AS width,
         |CAST(ascii(substring(text, 1, 1)) % 64 + 1 AS INTEGER) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, gid""".stripMargin,
+    "q33_setops" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+        |o AS (SELECT o_custkey AS k FROM orders),
+        |e AS (SELECT k FROM c EXCEPT SELECT k FROM o),
+        |i AS (SELECT k FROM c INTERSECT SELECT k FROM o)
+        |SELECT 'customer_only' AS tag, k FROM e
+        |UNION ALL
+        |SELECT 'both' AS tag, k FROM i
+        |ORDER BY tag, k""".stripMargin,
+    "q34_correlated_subquery" ->
+      """SELECT c_custkey, c_acctbal,
+        |  (SELECT round(sum(o_totalprice), 2) FROM orders
+        |   WHERE o_custkey = c_custkey) AS order_total
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q35_topn" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q36_conditional_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE CAST(0.0 AS DOUBLE) END) AS qty_f,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE CAST(0.0 AS DOUBLE) END) AS qty_o,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q37_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(substring(o_orderpriority, 1, 6)) AS prio_u,
+        |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+        |  translate(o_orderpriority, '-', '_') AS prio_t,
+        |  lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_pad,
+        |  reverse(o_orderstatus) AS status_r,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
