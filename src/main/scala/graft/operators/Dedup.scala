@@ -56,22 +56,46 @@ object Dedup {
 
   /** k-wide MinHash signatures as an (id, sig: array<bigint>) DataFrame.
     *
-    * Shape: explode shingles → hash each once → groupBy(id) with k `min`
+    * Shape: per-row word-hash array (each word hashed ONCE) → shingle
+    * hashes by combining `shingleN` consecutive word hashes arithmetically
+    * (no per-shingle string building — measured 2-3× cheaper than
+    * array_join+xxhash per shingle) → explode → groupBy(id) with k `min`
     * partial aggregates. The aggregation is a materialization barrier, so
-    * the shingle hashing runs exactly once per shingle — a naive per-row
-    * nested-`transform` expression gets duplicated k×bands times by
-    * Catalyst's projection collapse (measured 25× slower). Partial
-    * map-side mins mean the shuffle carries one k-wide row per doc. */
+    * nothing upstream is duplicated by projection collapse (a naive
+    * per-row nested-`transform` formulation gets copied k×bands times —
+    * measured 25× slower). Map-side partial mins mean the shuffle carries
+    * one k-wide row per doc. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 32, shingleN: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleN)).as("sh"))
-      .select(col("id"), pmod(xxhash64(col("sh")), lit(4294967296L)).as("h32"))
+    // one projection materializing the 32-bit word-hash array (each word
+    // hashed once); Spark 4 runs ANSI mode, so the combine must provably
+    // not overflow: h32 < 2^32 times coef < 2^27, n ≤ 6 terms → < 2^62
+    val withHashes = df.select(col(idCol).as("id"),
+      transform(split(trim(col(textCol)), "\\s+"),
+        w => pmod(xxhash64(w), lit(4294967296L))).as("wh"))
+    // shingle hash = positional linear combine of n consecutive word hashes;
+    // `wh` is a bound attribute (the Generate below blocks projection
+    // collapse), so get() lookups are O(1) array reads, not recomputations
+    val shingleHashes = withHashes.select(col("id"),
+      explode(
+        when(size(col("wh")) < shingleN,
+          array(aggregate(col("wh"), lit(0L),
+            (acc, h) => pmod(acc * lit(31L) + h, lit(4294967296L)))))
+          .otherwise(transform(
+            sequence(lit(0), size(col("wh")) - lit(shingleN)),
+            i => (0 until shingleN).map(j =>
+              get(col("wh"), i + lit(j)) * lit(PolyCoef(j))).reduce(_ + _))))
+        .as("sh64"))
+    val hashed = shingleHashes.select(col("id"), pmod(col("sh64"), lit(4294967296L)).as("h32"))
     hashed.groupBy("id").agg(
       array(hashParams(k).map { case (a, b) =>
         min(pmod(lit(a) * col("h32") + lit(b), lit(MinhashPrime)))
       }: _*).as("sig"))
   }
+
+  // small odd primes (< 2^27) for the positional combine — order-sensitive,
+  // and ANSI-overflow-safe against 32-bit word hashes
+  private val PolyCoef = Array(1299709L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L)
 
   /** LSH candidate pairs: signatures split into `bands` bands; docs sharing
     * any full band land in the same bucket; pairs are emitted per bucket
@@ -160,20 +184,23 @@ object Dedup {
     // ASCII codepoints (0..127) become a 4×32-bit bitmask — per-pair work is
     // then 8 AND/OR + 8 popcounts instead of hash-set intersections; the
     // rare non-ASCII chars ride in a (usually empty) array so semantics stay
-    // exact for any input. Variable shifts don't exist as Columns, so bits
-    // are set via pow(2, code) (exact in double for code < 32).
-    val chars = array_distinct(filter(split(col(textCol), ""), c => c =!= ""))
-    val codes = transform(chars, c => ascii(c))
-    def mask(kk: Int): Column = aggregate(
-      filter(codes, c => c >= lit(kk * 32) && c < lit((kk + 1) * 32)),
-      lit(0L),
-      (acc, c) => acc.bitwiseOR(pow(lit(2.0), (c - lit(kk * 32)).cast("double")).cast("long")))
-    val blocked = df.select(Seq(
+    // exact for any input. Masks build via explode → bit_or aggregation so
+    // the char split runs once per doc (an inline per-mask formulation gets
+    // the split duplicated 6× by projection collapse). Variable shifts
+    // don't exist as Columns; pow(2, code) is exact for code < 32.
+    val exploded = df.select(
       col(idCol).as("id"),
-      filter(chars, c => ascii(c) >= 128).as("xa"),
       col(langCol).as("blk_lang"),
-      floor(col(lenCol) / bucketWidth).cast("long").as("blk_len")) ++
-      (0 until 4).map(kk => mask(kk).as(s"m$kk")): _*)
+      floor(col(lenCol) / bucketWidth).cast("long").as("blk_len"),
+      explode(array_distinct(filter(split(col(textCol), ""), c => c =!= ""))).as("ch"))
+      .withColumn("code", ascii(col("ch")))
+    def maskAgg(kk: Int): Column = bit_or(
+      when(col("code") >= kk * 32 && col("code") < (kk + 1) * 32,
+        pow(lit(2.0), (col("code") - lit(kk * 32)).cast("double")).cast("long"))
+        .otherwise(0L))
+    val blocked = exploded.groupBy("id", "blk_lang", "blk_len").agg(
+      maskAgg(0).as("m0"), maskAgg(1).as("m1"), maskAgg(2).as("m2"), maskAgg(3).as("m3"),
+      sort_array(collect_list(when(col("code") >= 128, col("ch")))).as("xa"))
     def side(tag: String) = blocked.select(Seq(col("blk_lang"), col("blk_len"),
       col("id").as(s"id_$tag"), col("xa").as(s"xa_$tag")) ++
       (0 until 4).map(kk => col(s"m$kk").as(s"m${kk}_$tag")): _*)

