@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Profile, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -330,6 +330,45 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }),
+    // as-of join (composed union + last-value window; DuckDB ASOF oracle):
+    // for each event, the user's most recent purchase at or before it
+    "q38_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      // dedupe right side per (key, ts): as-of tie behavior is undefined
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_ns")
+        .agg(max("value").as("p_value"))
+        .withColumn("p_ts_ns", col("ts_ns"))
+      val left = ev.select("event_id", "user_id", "ts_ns")
+      AsOf.joinLastBefore(left, purchases, "user_id", "ts_ns", Seq("p_ts_ns", "p_value"))
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(expr("asof_p_ts_ns DIV 1000")).as("prev_purchase_ts"),
+          col("asof_p_value").as("p_value"))
+        .orderBy("event_id")
+    }),
+    // TF-IDF-style top terms per language (rational scoring — no
+    // transcendentals, so scores are bit-identical cross-engine)
+    "q39_tfidf_top_terms" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val toks = docs.select(col("lang"), col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      val tf = toks.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("lang").orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
+        .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+        .orderBy("lang", "rank")
+    }),
+    // per-column table profile (count/nulls/distinct/min/max/sum/mean)
+    "q40_profile" -> ((s, dir) => {
+      Profile.numericProfile(Tables(s, dir).lineitem,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name")
+    }),
     // scalar-function breadth: string + date kernel over orders
     "q37_scalar_funcs" -> ((s, dir) => {
       Tables(s, dir).orders
@@ -612,6 +651,56 @@ object SparkEntry {
         |  CAST(month(o_orderdate) AS INTEGER) AS m,
         |  CAST(day(o_orderdate) AS INTEGER) AS d,
         |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q38_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, max(value) AS p_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id,
+        |       CAST(p.ts AS TIMESTAMP) AS prev_purchase_ts, p.p_value
+        |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q39_tfidf_top_terms" ->
+      """WITH toks AS (SELECT lang, doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY lang, term),
+        |dfreq AS (SELECT term, count(*) AS df
+        |          FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT lang, term, tf, df,
+        |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (SELECT lang, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT lang, CAST(rank AS INTEGER) AS rank, term, tf, df, score
+        |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "q40_profile" ->
+      """WITH s AS (
+        |  SELECT 'l_quantity' AS col_name, count(*) AS n,
+        |    count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_null,
+        |    count(DISTINCT l_quantity) AS n_distinct,
+        |    CAST(min(l_quantity) AS DOUBLE) AS min_v, CAST(max(l_quantity) AS DOUBLE) AS max_v,
+        |    round(sum(l_quantity), 2) AS sum_v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*),
+        |    count(CASE WHEN l_extendedprice IS NULL THEN 1 END),
+        |    count(DISTINCT l_extendedprice),
+        |    CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+        |    round(sum(l_extendedprice), 2) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(*),
+        |    count(CASE WHEN l_discount IS NULL THEN 1 END),
+        |    count(DISTINCT l_discount),
+        |    CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+        |    round(sum(l_discount), 2) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', count(*),
+        |    count(CASE WHEN l_tax IS NULL THEN 1 END),
+        |    count(DISTINCT l_tax),
+        |    CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE),
+        |    round(sum(l_tax), 2) FROM lineitem)
+        |SELECT col_name, n, n_null, n_distinct, min_v, max_v, sum_v,
+        |       sum_v / n AS mean_v
+        |FROM s ORDER BY col_name""".stripMargin
   )
 }

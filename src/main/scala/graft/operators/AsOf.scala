@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the most recent right row whose
+  * order key is ≤ the left row's (per join key) — the time-series "latest
+  * state at event time" join.
+  *
+  * Spark has no native as-of operator. Rather than a range join (which
+  * explodes into an O(n·m) theta-join or needs a custom SparkPlan), this
+  * composes built-ins: tag both sides, union, and take a running
+  * `last(payload, ignoreNulls)` over (key, ord, side). One shuffle + sort,
+  * linear in total rows — the shape that survives arbitrarily large sides.
+  * Right rows sort before left rows at equal `ord`, giving the standard
+  * inclusive (≥) as-of semantics (DuckDB `ASOF JOIN`'s default).
+  *
+  * Determinism contract: callers must ensure at most one right row per
+  * (key, ord) — pre-aggregate otherwise — since "which same-timestamp row
+  * wins" is undefined in every as-of implementation.
+  */
+object AsOf {
+
+  /** Left as-of join. `payload` columns from `right` are attached to every
+    * `left` row as `asof_<name>` (null when no right row precedes). */
+  def joinLastBefore(left: DataFrame, right: DataFrame, keyCol: String,
+                     ordCol: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("_side", lit(1))
+    val r0 = right.select((Seq(keyCol, ordCol) ++ payload).map(col): _*)
+    val r = payload.foldLeft(r0)((d, p) => d.withColumnRenamed(p, s"asof_in_$p"))
+      .withColumn("_side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol).orderBy(col(ordCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withAsOf = payload.foldLeft(u)((d, p) =>
+      d.withColumn(s"asof_$p", last(col(s"asof_in_$p"), ignoreNulls = true).over(w)))
+    withAsOf.filter(col("_side") === 1)
+      .select((leftCols ++ payload.map(p => s"asof_$p")).map(col): _*)
+  }
+}
