@@ -6,6 +6,12 @@ import org.apache.spark.sql.functions._
 /** Readers for the driver test tables (TESTDATA.md): one parquet per table
   * under a scale-factor directory. */
 final case class Tables(spark: SparkSession, dir: String) {
+  // Engine-canonical runtime confs (idempotent): AQE coalesces post-shuffle
+  // partitions — at bench scale that trims empty-task overhead, at cluster
+  // scale it right-sizes shuffles and splits skewed joins.
+  spark.conf.set("spark.sql.adaptive.enabled", "true")
+  spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
