@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{AsOf, Dedup, Multimodal, Profile, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, IvfIndex, Multimodal, Profile, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -369,6 +369,36 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_name")
     }),
+    // IVF ANN — data-adaptive cells vs q29's data-oblivious hyperplanes; no
+    // SQL oracle (k-means); IvfIndexSpec proves nProbe=nCells == brute force
+    "q41_ann_ivf" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      IvfIndex.topK(t.embeddings, "vec_id", "embedding", q, k = 10,
+        nCells = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+    // bigram counts via array zip (mirrored list_zip oracle)
+    "q42_bigram_counts" -> ((s, dir) => {
+      val arr = Tables(s, dir).documents
+        .select(split(trim(col("text")), "\\s+").as("a1"))
+        .withColumn("a2", slice(col("a1"), lit(2), greatest(size(col("a1")) - 1, lit(0))))
+      arr.select(explode(arrays_zip(col("a1"), col("a2"))).as("p"))
+        .filter(col("p.a2").isNotNull)
+        .groupBy(col("p.a1").as("term"), col("p.a2").as("next"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"), col("next"))
+        .limit(20)
+    }),
+    // exact interpolated percentiles (R-7 in both engines)
+    "q43_quantiles" -> ((s, dir) => {
+      Tables(s, dir).lineitem.agg(
+        expr("round(percentile(l_extendedprice, 0.25), 4)").as("p25"),
+        expr("round(percentile(l_extendedprice, 0.5), 4)").as("p50"),
+        expr("round(percentile(l_extendedprice, 0.75), 4)").as("p75"),
+        expr("round(percentile(l_quantity, 0.5), 4)").as("qty_median"))
+    }),
     // scalar-function breadth: string + date kernel over orders
     "q37_scalar_funcs" -> ((s, dir) => {
       Tables(s, dir).orders
@@ -701,6 +731,18 @@ object SparkEntry {
         |    round(sum(l_tax), 2) FROM lineitem)
         |SELECT col_name, n, n_null, n_distinct, min_v, max_v, sum_v,
         |       sum_v / n AS mean_v
-        |FROM s ORDER BY col_name""".stripMargin
+        |FROM s ORDER BY col_name""".stripMargin,
+    "q42_bigram_counts" ->
+      """WITH arr AS (SELECT regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+        |pairs AS (SELECT unnest(list_zip(a, a[2:])) AS p FROM arr),
+        |big AS (SELECT p[1] AS term, p[2] AS next FROM pairs WHERE p[2] IS NOT NULL)
+        |SELECT term, next, count(*) AS n FROM big GROUP BY term, next
+        |ORDER BY n DESC, term, next LIMIT 20""".stripMargin,
+    "q43_quantiles" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |round(quantile_cont(l_quantity, 0.5), 4) AS qty_median
+        |FROM lineitem""".stripMargin
   )
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+import graft.sources.Tables
+
+class IvfIndexSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val t = Tables(spark, "/root/testdata/sf0.001")
+
+  test("centroids: requested cell count, right dimensionality, deterministic") {
+    val c1 = IvfIndex.centroids(t.embeddings, "vec_id", "embedding", nCells = 8)
+      .orderBy("cell_id").collect()
+    assert(c1.length == 8)
+    assert(c1.head.getSeq[Double](1).length == 64)
+    val c2 = IvfIndex.centroids(t.embeddings, "vec_id", "embedding", nCells = 8)
+      .orderBy("cell_id").collect()
+    assert(c1.map(_.getSeq[Double](1).toList).toList ==
+      c2.map(_.getSeq[Double](1).toList).toList, "index build must be deterministic")
+  }
+
+  test("topK: self is rank 1; probing all cells equals brute force") {
+    val q = t.embeddings.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val full = IvfIndex.topK(t.embeddings, "vec_id", "embedding", q, k = 10,
+      nCells = 8, nProbe = 8) // probe everything -> exact
+    val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 10)
+    val a = full.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = exact.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b, "nProbe = nCells must reproduce the exact result")
+  }
+
+  test("topK recall at partial probing is reasonable") {
+    val q = t.embeddings.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val ann = IvfIndex.topK(t.embeddings, "vec_id", "embedding", q, k = 10,
+      nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall collapsed: $recall")
+    // every query at least finds its own vector
+    (0L until 8L).foreach(qid => assert(ann.contains((qid, qid))))
+  }
+}
