@@ -65,4 +65,30 @@ object Multimodal {
         }
       }
   }
+
+  /** One sampled frame of a media payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, offset: Long, frame: Array[Byte])
+
+  /** Frame sampling: split each payload into `n` evenly-spaced fixed-size
+    * windows (the video→keyframes shape; a real codec would decode at
+    * timestamps — the byte-window stub keeps the fan-out, schema and
+    * determinism identical). Output is one row per frame, so downstream
+    * per-frame featurization parallelizes beyond the per-document
+    * granularity — the reason to explode before, not after, heavy decode.
+    * Skew note: payload sizes vary wildly in real corpora; repartition by
+    * (doc_id, frame_idx) after sampling if frame work is heavy. */
+  def sampleFrames(media: DataFrame, n: Int, frameBytes: Int = 32): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("modality"), col("payload")).as[MediaRecord]
+      .flatMap { r =>
+        val len = r.payload.length
+        (0 until n).flatMap { i =>
+          val off = if (n == 1) 0L else (i.toLong * math.max(len - frameBytes, 0)) / math.max(n - 1, 1)
+          if (len == 0) None
+          else Some(Frame(r.doc_id, i, off,
+            r.payload.slice(off.toInt, math.min(off.toInt + frameBytes, len))))
+        }
+      }
+  }
 }

@@ -29,6 +29,21 @@ class MultimodalSpec extends SparkFunSuite {
     assert(again == feats.map { case (k, v) => k -> v.checksum })
   }
 
+  test("sampleFrames: n evenly spaced windows per doc, deterministic offsets") {
+    val docs = Seq((1L, "0123456789" * 10)).toDF("doc_id", "text") // 100 bytes
+    val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs, "doc_id", "text"),
+      n = 3, frameBytes = 10).collect().sortBy(_.frame_idx)
+    assert(frames.length == 3)
+    assert(frames.map(_.offset).toSeq == Seq(0L, 45L, 90L))
+    assert(frames.forall(_.frame.length == 10))
+    assert(new String(frames.head.frame, "UTF-8") == "0123456789")
+  }
+
+  test("sampleFrames on empty payload yields no frames") {
+    val docs = Seq((1L, "")).toDF("doc_id", "text")
+    assert(Multimodal.sampleFrames(Multimodal.asMedia(docs, "doc_id", "text"), 3).count() == 0)
+  }
+
   test("custom codec plugs into the same plumbing") {
     val fixed = new Multimodal.Codec {
       def decode(payload: Array[Byte], modality: String): (Int, Int) = (640, 480)
