@@ -52,6 +52,75 @@ object ParquetLake {
       .mode("append")
       .parquet(root)
 
+  /** Compact a partitioned table's small files toward `targetBytes`-sized
+    * files. Returns (filesBefore, filesAfter).
+    *
+    * The reference's bronze layout lands ONE ROW per file per run
+    * (bronze.py:15-17) — at scale that's the classic small-file pathology
+    * (every scan pays per-file open/footer cost; listings dominate).
+    *
+    * Shape, chosen for correctness at scale:
+    *  - per-Hive-partition output file counts are derived from row counts ×
+    *    the table's measured bytes/row (a bare repartition on the partition
+    *    columns would force exactly one file — and one task — per
+    *    partition, however large);
+    *  - rows are salted `pmod(hash(data cols), nFiles)` so each partition
+    *    splits into its own right-sized file set;
+    *  - output is staged to a sibling directory and swapped in per
+    *    partition: never overwriting the path being lazily read (Spark
+    *    forbids it, and bypassing that check would drop data), and a crash
+    *    mid-swap leaves every partition either old or fully new. */
+  def compactPartitions(spark: SparkSession, root: String,
+                        partitionCols: Seq[String],
+                        targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val hfs = fs(spark, root)
+    def scan(): (Long, Long) = {
+      val it = hfs.listFiles(new Path(root), true)
+      var n = 0L; var b = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) { n += 1; b += f.getLen }
+      }
+      (n, b)
+    }
+    val (before, totalBytes) = scan()
+    if (before == 0) return (0L, 0L)
+    val df = spark.read.parquet(root)
+    val dataCols = df.columns.filterNot(partitionCols.contains).toSeq
+    val totalRows = df.count()
+    if (totalRows == 0) return (before, before)
+    val bytesPerRow = math.max(1.0, totalBytes.toDouble / totalRows)
+    val stats = df.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("_rows"))
+      .withColumn("_nfiles",
+        greatest(lit(1L), ceil(col("_rows") * bytesPerRow / targetBytes)))
+      .drop("_rows")
+    val salted = df.join(broadcast(stats), partitionCols)
+      .withColumn("_salt", pmod(xxhash64(dataCols.map(col): _*), col("_nfiles")))
+    val nTasks = math.max(1, math.min(Int.MaxValue.toLong, totalBytes / math.max(targetBytes, 1L) + 1).toInt)
+    val staging = new Path(root + ".compacting-" + System.nanoTime())
+    salted.repartition(nTasks, (partitionCols :+ "_salt").map(col): _*)
+      .drop("_salt", "_nfiles")
+      .write.partitionBy(partitionCols: _*).parquet(staging.toString)
+    // swap each rewritten partition directory into the live table
+    def leafDirs(p: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(p)
+      else hfs.listStatus(p).filter(_.isDirectory)
+        .flatMap(s => leafDirs(s.getPath, depth - 1)).toSeq
+    val stagingRoot = hfs.getFileStatus(staging).getPath
+    leafDirs(stagingRoot, partitionCols.length).foreach { newDir =>
+      val rel = newDir.toString.stripPrefix(stagingRoot.toString).stripPrefix("/")
+      val target = new Path(root, rel)
+      if (hfs.exists(target)) hfs.delete(target, true)
+      hfs.mkdirs(target.getParent)
+      if (!hfs.rename(newDir, target))
+        throw new IllegalStateException(s"cannot publish compacted partition $rel")
+    }
+    hfs.delete(staging, true)
+    (before, scan()._1)
+  }
+
   /** Full-table atomic replace via write-temp-then-swap. Used for the small
     * metadata ledger where a plain read-modify-write could expose a
     * half-written table to concurrent readers (SURVEY §7.4 item 2).
