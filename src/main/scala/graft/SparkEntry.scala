@@ -730,7 +730,7 @@ object SparkEntry {
         |    CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE),
         |    round(sum(l_tax), 2) FROM lineitem)
         |SELECT col_name, n, n_null, n_distinct, min_v, max_v, sum_v,
-        |       sum_v / n AS mean_v
+        |       CASE WHEN n > n_null THEN sum_v / (n - n_null) END AS mean_v
         |FROM s ORDER BY col_name""".stripMargin,
     "q42_bigram_counts" ->
       """WITH arr AS (SELECT regexp_split_to_array(trim(text), '\s+') AS a FROM documents),

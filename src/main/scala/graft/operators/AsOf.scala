@@ -23,20 +23,26 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** Left as-of join. `payload` columns from `right` are attached to every
-    * `left` row as `asof_<name>` (null when no right row precedes). */
+    * `left` row as `asof_<name>` (null when no right row precedes).
+    *
+    * The payload travels as ONE struct through a single
+    * `last(ignoreNulls)` — per-column lasts would mix values from
+    * different right rows whenever the most recent row has a null in one
+    * payload column (an as-of row that never existed). */
   def joinLastBefore(left: DataFrame, right: DataFrame, keyCol: String,
                      ordCol: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left.withColumn("_side", lit(1))
-    val r0 = right.select((Seq(keyCol, ordCol) ++ payload).map(col): _*)
-    val r = payload.foldLeft(r0)((d, p) => d.withColumnRenamed(p, s"asof_in_$p"))
+    val r = right.select(Seq(col(keyCol), col(ordCol)) :+
+        struct(payload.map(col): _*).as("_asof_payload"): _*)
       .withColumn("_side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCol).orderBy(col(ordCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val withAsOf = payload.foldLeft(u)((d, p) =>
-      d.withColumn(s"asof_$p", last(col(s"asof_in_$p"), ignoreNulls = true).over(w)))
+    val withAsOf = u.withColumn("_asof",
+      last(col("_asof_payload"), ignoreNulls = true).over(w))
     withAsOf.filter(col("_side") === 1)
-      .select((leftCols ++ payload.map(p => s"asof_$p")).map(col): _*)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"_asof.$p").as(s"asof_$p")): _*)
   }
 }

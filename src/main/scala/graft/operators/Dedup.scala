@@ -111,6 +111,8 @@ object Dedup {
     * is adversarial. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0,
+      s"k ($k) must divide evenly into bands ($bands) — trailing hashes would be silently unused")
     val rows = k / bands
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
     val bandStructs = (0 until bands).map { b =>

@@ -34,15 +34,19 @@ object IvfIndex {
       .withColumn("_h", xxhash64(col("cid")))
       .orderBy("_h").limit(nCells)
       .select((row_number().over(Window.orderBy("_h")) - 1).as("cell_id"), col("centroid"))
+      .localCheckpoint(true)
     val vecs = corpus.select(col(idCol).as("vid"), asDouble.as("v"))
     (1 to iters).foreach { _ =>
       val assigned = assignCells(vecs, cents, "v", "vid")
+      // checkpoint truncates the lineage: without it each iteration (and
+      // each downstream consumer) re-executes every previous Lloyd pass
       cents = assigned
         .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell_id", "pos").agg(avg("x").as("m"))
         .groupBy("cell_id")
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
+        .localCheckpoint(true)
     }
     cents
   }

@@ -32,13 +32,16 @@ object Multimodal {
   }
 
   /** Deterministic fake decode: "dimensions" derived from payload length and
-    * first bytes. Replace with a real codec (??? in production) — the
-    * surrounding plumbing is codec-agnostic. */
+    * the first character. Replace with a real codec (??? in production) —
+    * the surrounding plumbing is codec-agnostic. Height uses the first
+    * Unicode CODEPOINT (not the first UTF-8 byte) so it matches SQL
+    * `ascii()` semantics on multibyte text. */
   object StubCodec extends Codec {
     def decode(payload: Array[Byte], modality: String): (Int, Int) = {
       val w = (payload.length % 64) + 1
-      val h = (if (payload.isEmpty) 0 else (payload(0) & 0xff) % 64) + 1
-      (w, h)
+      val cp = if (payload.isEmpty) 0
+               else new String(payload, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
+      (w, (cp % 64) + 1)
     }
   }
 

@@ -23,7 +23,9 @@ object Profile {
         max(col(c)).cast("double").as("max_v"),
         round(sum(col(c)), sumScale).as("sum_v"))
         .withColumn("col_name", lit(c))
-        .withColumn("mean_v", col("sum_v") / col("n"))
+        // mean over the observed (non-null) values; all-null column -> null
+        .withColumn("mean_v",
+          when(col("n") > col("n_null"), col("sum_v") / (col("n") - col("n_null"))))
         .select("col_name", "n", "n_null", "n_distinct", "min_v", "max_v", "sum_v", "mean_v")
     }.reduce(_ unionByName _)
 }

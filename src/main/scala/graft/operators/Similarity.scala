@@ -23,8 +23,9 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   /** Exact per-query top-k by cosine. `queries` must carry (query_id,
-    * query_vec). Scores are rounded to 6dp before ranking so rank order is
-    * reproducible across engines; ties break on corpus id. */
+    * query_vec). Rank order is reproducible across engines because the
+    * score doubles are bit-identical (VecDot folds left-to-right like the
+    * oracle's list_inner_product); ties break on corpus id. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, k: Int): DataFrame = {
     // norms are precomputed per side (below the join), so each pair costs

@@ -13,20 +13,18 @@ import org.apache.spark.sql.functions._
   * merge cases adaptively; explicit salting is the portable fallback and
   * works for aggregations feeding joins too.
   *
-  * The per-row salt derives from xxhash64 over the row's other columns
-  * (deterministic, no RNG state), falling back to the key itself for
-  * single-column frames.
+  * The per-row salt comes from monotonically_increasing_id, NOT from row
+  * content: content-derived salts collapse when hot-key rows are identical
+  * duplicates (the common celebrity-key case), putting every copy back on
+  * one task. The join RESULT is salt-independent, so nondeterministic salt
+  * values are safe.
   */
 object SkewJoin {
 
   def saltedInnerJoin(big: DataFrame, small: DataFrame, key: String,
                       salt: Int = 8): DataFrame = {
-    val saltSource = big.columns.filter(_ != key) match {
-      case Array() => Array(key)
-      case other => other
-    }
     val bigSalted = big.withColumn("_salt",
-      pmod(xxhash64(saltSource.map(col): _*), lit(salt.toLong)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val smallReplicated = small
       .withColumn("_salt", explode(array((0 until salt).map(lit): _*)))
     val out = bigSalted.join(smallReplicated, Seq(key, "_salt"), "inner").drop("_salt")

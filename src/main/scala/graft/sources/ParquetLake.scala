@@ -112,10 +112,19 @@ object ParquetLake {
     leafDirs(stagingRoot, partitionCols.length).foreach { newDir =>
       val rel = newDir.toString.stripPrefix(stagingRoot.toString).stripPrefix("/")
       val target = new Path(root, rel)
-      if (hfs.exists(target)) hfs.delete(target, true)
+      // rename-aside → rename-in → delete old: a crash between steps leaves
+      // the partition recoverable (old data survives in .old- until the new
+      // dir is live), unlike delete-then-rename which has a loss window
+      val aside = new Path(target.toString + ".old-" + System.nanoTime())
+      val hadOld = hfs.exists(target)
+      if (hadOld && !hfs.rename(target, aside))
+        throw new IllegalStateException(s"cannot move aside partition $rel")
       hfs.mkdirs(target.getParent)
-      if (!hfs.rename(newDir, target))
+      if (!hfs.rename(newDir, target)) {
+        if (hadOld) hfs.rename(aside, target) // roll back
         throw new IllegalStateException(s"cannot publish compacted partition $rel")
+      }
+      if (hadOld) hfs.delete(aside, true)
     }
     hfs.delete(staging, true)
     (before, scan()._1)

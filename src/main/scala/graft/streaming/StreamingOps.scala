@@ -44,6 +44,11 @@ object StreamingOps {
   def sessionizeStream(events: Dataset[SessionEvent], gapMs: Long,
                        timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
                       (implicit spark: SparkSession): Dataset[ClosedSession] = {
+    // EventTimeTimeout would need watermark-driven setTimeoutTimestamp
+    // wiring this fold doesn't do — rejecting beats silently never closing
+    // sessions (unbounded state on churning users)
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "sessionizeStream supports ProcessingTimeTimeout or NoTimeout")
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](

@@ -22,9 +22,19 @@ class VecDotSpec extends SparkFunSuite {
     assert(df.select(VecDot.dot($"a", $"b")).head.isNullAt(0))
   }
 
-  test("mismatched lengths: folds over the common prefix") {
+  test("mismatched lengths throw (DuckDB list_inner_product parity — don't mask corrupt embeddings)") {
     val df = Seq((Array(1.0f, 2.0f, 9.0f), Array(10.0f, 10.0f))).toDF("a", "b")
-    assert(df.select(VecDot.dot($"a", $"b")).head.getDouble(0) == 30.0)
+    val e = intercept[Exception] { df.select(VecDot.dot($"a", $"b")).collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("array sizes differ"))))
+  }
+
+  test("non-array input fails analysis, not execution") {
+    val df = Seq((1.0, Array(1.0f))).toDF("a", "b")
+    val e = intercept[Exception] { df.select(VecDot.dot($"a", $"b")).collect() }
+    assert(e.getMessage.contains("VecDot") || e.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
   test("interpreted eval matches codegen result") {
