@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{AsOf, Dedup, IvfIndex, Multimodal, Profile, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, DupClusters, IvfIndex, Multimodal, Profile, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -399,6 +399,25 @@ object SparkEntry {
         expr("round(percentile(l_extendedprice, 0.75), 4)").as("p75"),
         expr("round(percentile(l_quantity, 0.5), 4)").as("qty_median"))
     }),
+    // deterministic hash train/val split — stable in the key, so the exact
+    // assignment reproduces in any engine (oracle shares the md5 logic)
+    "q44_hash_split" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("lang"), Sampling.splitTag(col("doc_id"), 0.9).as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang")
+    }),
+    // near-dup clusters: minhash pairs -> connected components -> kept docs
+    // (iterative label propagation: no SQL oracle; DupClustersSpec gates it)
+    "q45_dup_clusters" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+        .select("id_a", "id_b")
+      DupClusters.resolve(docs, "doc_id", pairs)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
     // scalar-function breadth: string + date kernel over orders
     "q37_scalar_funcs" -> ((s, dir) => {
       Tables(s, dir).orders
@@ -743,6 +762,11 @@ object SparkEntry {
         |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
         |round(quantile_cont(l_quantity, 0.5), 4) AS qty_median
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "q44_hash_split" ->
+      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |            THEN 'train' ELSE 'val' END AS split,
+        |       lang, count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
   )
 }

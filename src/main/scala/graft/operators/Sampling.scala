@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Splits must be stable across runs, engines and cluster layouts — `rand()`
+  * is none of those. The split key is the first 8 hex chars of md5(key),
+  * compared lexicographically against a threshold derived from the
+  * fraction: pure string ops available in every SQL dialect, so the exact
+  * same assignment is reproducible in DuckDB (q44's oracle), Spark, or a
+  * shell pipeline. Adding documents never reshuffles existing assignments
+  * (unlike modulo-on-row-number schemes).
+  */
+object Sampling {
+
+  /** Hex threshold covering `frac` of the uniform md5 space. */
+  private[operators] def hexThreshold(frac: Double): String = {
+    require(frac >= 0.0 && frac <= 1.0, s"fraction out of range: $frac")
+    val cut = math.min((frac * 4294967296.0).toLong, 4294967295L)
+    f"$cut%08x"
+  }
+
+  /** 'train' / 'val' tag per row, stable in the key. */
+  def splitTag(key: Column, trainFrac: Double): Column =
+    when(substring(md5(key.cast("string")), 1, 8) < lit(hexThreshold(trainFrac)), "train")
+      .otherwise("val")
+
+  /** Deterministic subsample: keep ~`frac` of rows, stable in the key. */
+  def sampleByHash(df: DataFrame, keyCol: String, frac: Double): DataFrame =
+    df.filter(substring(md5(col(keyCol).cast("string")), 1, 8) < lit(hexThreshold(frac)))
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class SamplingSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("hexThreshold endpoints and midpoint") {
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+    assert(Sampling.hexThreshold(1.0) == "ffffffff")
+    assert(Sampling.hexThreshold(0.5) == "80000000")
+  }
+
+  test("splitTag is stable and roughly proportional") {
+    val df = (1L to 2000L).toDF("id")
+    val tags = df.select(col("id"), Sampling.splitTag(col("id"), 0.9).as("split"))
+    val counts = tags.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 1700 && counts("train") < 1900, s"split skewed: $counts")
+    // stability: same assignment on recompute
+    val again = df.select(col("id"), Sampling.splitTag(col("id"), 0.9).as("split"))
+    assert(tags.except(again).isEmpty && again.except(tags).isEmpty)
+  }
+
+  test("growing the corpus never reassigns existing keys") {
+    val small = (1L to 500L).toDF("id")
+      .select(col("id"), Sampling.splitTag(col("id"), 0.8).as("split"))
+    val grown = (1L to 1000L).toDF("id")
+      .select(col("id"), Sampling.splitTag(col("id"), 0.8).as("split"))
+      .filter(col("id") <= 500)
+    assert(small.except(grown).isEmpty && grown.except(small).isEmpty)
+  }
+
+  test("sampleByHash keeps a stable subset of about the right size") {
+    val df = (1L to 2000L).toDF("id")
+    val n = Sampling.sampleByHash(df, "id", 0.25).count()
+    assert(n > 400 && n < 600, s"sample size off: $n")
+  }
+}
