@@ -764,7 +764,7 @@ object SparkEntry {
         |round(quantile_cont(l_quantity, 0.5), 4) AS qty_median
         |FROM lineitem""".stripMargin,
     "q44_hash_split" ->
-      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) < 'e6666666'
         |            THEN 'train' ELSE 'val' END AS split,
         |       lang, count(*) AS n_docs
         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin

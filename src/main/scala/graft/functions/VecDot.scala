@@ -50,6 +50,9 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     var s = 0.0
     var i = 0
     while (i < n) {
+      // null element -> null result (DuckDB list_inner_product semantics);
+      // ArrayData.getDouble on a null slot would silently read 0.0
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -66,7 +69,8 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       // mismatched lengths throw (matching DuckDB list_inner_product) —
-      // silently scoring a truncated embedding would mask data corruption
+      // silently scoring a truncated embedding would mask data corruption;
+      // null elements null the result (getDouble on a null slot reads 0.0)
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -75,6 +79,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
          |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += (double) $a.$getA($i) * (double) $b.$getB($i);
          |}
          |${ev.value} = $s;

@@ -28,8 +28,18 @@ object MetadataLedger {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.metadata),
         path)
 
-  def read(spark: SparkSession, path: String): DataFrame =
+  /** Read the ledger. Missing-path is retried briefly before being treated
+    * as empty: atomicReplace has a sub-ms window between its two renames
+    * where the path doesn't exist, and mistaking that for an empty ledger
+    * would make a concurrent writer wipe state. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    var attempt = 0
+    while (attempt < 5 && !ParquetLake.exists(spark, path)) {
+      Thread.sleep(20L << attempt)
+      attempt += 1
+    }
     ParquetLake.readOrEmpty(spark, path, Schemas.metadata)
+  }
 
   /** PK-replace upsert: `entries` must have columns (layer, city, date);
     * `processed_at` is stamped here (reference silver.py:59 CURRENT_TIMESTAMP). */

@@ -33,7 +33,11 @@ object AsOf {
                      ordCol: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left.withColumn("_side", lit(1))
-    val r = right.select(Seq(col(keyCol), col(ordCol)) :+
+    // a right row with an unknown (null) order key can never be "the most
+    // recent at or before" anything — and Spark's nulls-first ascending sort
+    // would otherwise make it match EVERY left row
+    val r = right.filter(col(ordCol).isNotNull)
+      .select(Seq(col(keyCol), col(ordCol)) :+
         struct(payload.map(col): _*).as("_asof_payload"): _*)
       .withColumn("_side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)

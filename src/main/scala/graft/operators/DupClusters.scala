@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object DupClusters {
 
-  /** Connected components over an (id_a, id_b) pair list. Returns
-    * (id, cluster_id) where cluster_id = min id in the component. Only ids
-    * appearing in pairs are returned (singletons are implicitly their own
-    * cluster). */
+  /** Connected components over an (id_a, id_b) pair list — ids keep their
+    * natural type (anything with a total order; min/least drive the
+    * labels). Returns (id, cluster_id) where cluster_id = min id in the
+    * component. Only ids appearing in pairs are returned (singletons are
+    * implicitly their own cluster). Throws if the fixpoint isn't reached
+    * within `maxIters` — returning unconverged labels would let duplicates
+    * silently survive. */
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
@@ -33,24 +36,35 @@ object DupClusters {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("nl").as("min_nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+      // one checkpoint per round holds (prev, next) side by side so the
+      // convergence probe reads it instead of re-running the join; dropped
+      // generations are reclaimed by the ContextCleaner once dereferenced
+      val step = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).limit(1).isEmpty
-      labels = next
+      converged = step.filter(col("label") =!= col("prev")).limit(1).isEmpty
+      labels = step.drop("prev")
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"components did not converge in $maxIters iterations — raise maxIters " +
+          "(graph diameter exceeds it)")
     labels.withColumnRenamed("label", "cluster_id")
   }
 
-  /** Deduplicate `df`: keep the minimum-id row of every duplicate cluster
-    * plus all rows never named in `pairs`. */
+  /** Deduplicate `df`: keep ONE surviving row per duplicate cluster (the
+    * minimum id actually present in `df` — a cluster whose global min was
+    * deleted upstream still keeps a representative) plus all rows never
+    * named in `pairs`. */
   def resolve(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comp = components(pairs)
-    df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
-      .drop("cluster_id")
+    val comp = components(pairs).withColumnRenamed("id", idCol)
+    val keep = comp.join(df.select(idCol), Seq(idCol)) // ids that still exist
+      .groupBy("cluster_id").agg(min(idCol).as("_keep_id"))
+    df.join(comp, Seq(idCol), "left")
+      .join(keep, Seq("cluster_id"), "left")
+      .filter(col("cluster_id").isNull || col(idCol) === col("_keep_id"))
+      .drop("cluster_id", "_keep_id")
   }
 }

@@ -22,12 +22,23 @@ object Sampling {
     f"$cut%08x"
   }
 
+  /** frac-of-hash predicate with DOMAIN SEPARATION: the hash covers
+    * `key:domain`, so different operations over the same key column are
+    * independent. Without it, subsample-then-split compose pathologically
+    * (a 10% sample is a strict subset of the 80% train region → empty val
+    * set). frac endpoints short-circuit so 1.0 is exactly the identity. */
+  private def hashBelow(key: Column, frac: Double, domain: String): Column =
+    if (frac >= 1.0) lit(true)
+    else if (frac <= 0.0) lit(false)
+    else substring(md5(concat(key.cast("string"), lit(":" + domain))), 1, 8) <
+      lit(hexThreshold(frac))
+
   /** 'train' / 'val' tag per row, stable in the key. */
-  def splitTag(key: Column, trainFrac: Double): Column =
-    when(substring(md5(key.cast("string")), 1, 8) < lit(hexThreshold(trainFrac)), "train")
-      .otherwise("val")
+  def splitTag(key: Column, trainFrac: Double, domain: String = "split"): Column =
+    when(hashBelow(key, trainFrac, domain), "train").otherwise("val")
 
   /** Deterministic subsample: keep ~`frac` of rows, stable in the key. */
-  def sampleByHash(df: DataFrame, keyCol: String, frac: Double): DataFrame =
-    df.filter(substring(md5(col(keyCol).cast("string")), 1, 8) < lit(hexThreshold(frac)))
+  def sampleByHash(df: DataFrame, keyCol: String, frac: Double,
+                   domain: String = "sample"): DataFrame =
+    df.filter(hashBelow(col(keyCol), frac, domain))
 }

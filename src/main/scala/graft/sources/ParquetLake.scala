@@ -109,24 +109,29 @@ object ParquetLake {
       else hfs.listStatus(p).filter(_.isDirectory)
         .flatMap(s => leafDirs(s.getPath, depth - 1)).toSeq
     val stagingRoot = hfs.getFileStatus(staging).getPath
+    val asideRoot = new Path(staging, ".aside")
     leafDirs(stagingRoot, partitionCols.length).foreach { newDir =>
       val rel = newDir.toString.stripPrefix(stagingRoot.toString).stripPrefix("/")
       val target = new Path(root, rel)
       // rename-aside → rename-in → delete old: a crash between steps leaves
-      // the partition recoverable (old data survives in .old- until the new
-      // dir is live), unlike delete-then-rename which has a loss window
-      val aside = new Path(target.toString + ".old-" + System.nanoTime())
+      // the partition recoverable, unlike delete-then-rename. The aside dir
+      // lives OUTSIDE the table root (under staging): an aside left inside
+      // the root would be discovered as a bogus Hive partition and double
+      // every read of that partition.
+      val aside = new Path(asideRoot, rel)
       val hadOld = hfs.exists(target)
-      if (hadOld && !hfs.rename(target, aside))
-        throw new IllegalStateException(s"cannot move aside partition $rel")
+      if (hadOld) {
+        hfs.mkdirs(aside.getParent)
+        if (!hfs.rename(target, aside))
+          throw new IllegalStateException(s"cannot move aside partition $rel")
+      }
       hfs.mkdirs(target.getParent)
       if (!hfs.rename(newDir, target)) {
         if (hadOld) hfs.rename(aside, target) // roll back
         throw new IllegalStateException(s"cannot publish compacted partition $rel")
       }
-      if (hadOld) hfs.delete(aside, true)
     }
-    hfs.delete(staging, true)
+    hfs.delete(staging, true) // removes the .aside copies too
     (before, scan()._1)
   }
 
@@ -136,8 +141,12 @@ object ParquetLake {
     *
     * The new content is materialized under `<root>.staging-<nanos>`, the old
     * root is renamed aside, the staging dir renamed in, and the old data
-    * deleted. Rename is atomic per filesystem (HDFS/posix); on object stores
-    * a table format would be the real answer — out of scope here.
+    * deleted. Renames are atomic per filesystem (HDFS/posix), so readers
+    * never see HALF-written data — but there is a sub-millisecond window
+    * between the two renames where the path does not exist at all; callers
+    * that treat missing-as-empty must retry (MetadataLedger.read does).
+    * On object stores a table format would be the real answer — out of
+    * scope here.
     */
   def atomicReplace(spark: SparkSession, df: DataFrame, root: String): Unit = {
     val hfs = fs(spark, root)

@@ -31,6 +31,12 @@ class VecDotSpec extends SparkFunSuite {
       causes(e).exists(c => Option(c.getMessage).exists(_.contains("array sizes differ"))))
   }
 
+  test("null ELEMENT yields null result (DuckDB parity), not a silent 0 contribution") {
+    val df = Seq((Array[java.lang.Float](1.0f, null), Array[java.lang.Float](2.0f, 3.0f)))
+      .toDF("a", "b")
+    assert(df.select(VecDot.dot($"a", $"b")).head.isNullAt(0))
+  }
+
   test("non-array input fails analysis, not execution") {
     val df = Seq((1.0, Array(1.0f))).toDF("a", "b")
     val e = intercept[Exception] { df.select(VecDot.dot($"a", $"b")).collect() }

@@ -25,6 +25,22 @@ class AsOfSpec extends SparkFunSuite {
     ).map { case (id, v) => (id, v.map(Double.box).map(_.doubleValue)) })
   }
 
+  test("right rows with null order key never match") {
+    val left = Seq((1L, 5L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, Option.empty[Long], 99.0)).toDF("k", "t", "v")
+    val out = AsOf.joinLastBefore(left, right, "k", "t", Seq("v")).head
+    assert(out.isNullAt(out.fieldIndex("asof_v")),
+      "unknown-time right row must not be attached as 'most recent'")
+  }
+
+  test("payload columns always come from ONE right row (no cross-row chimera)") {
+    val left = Seq((1L, 3L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 1L, Some(1.0), Some(10.0)), (1L, 2L, None, Some(20.0)))
+      .toDF("k", "t", "a", "b")
+    val r = AsOf.joinLastBefore(left, right, "k", "t", Seq("a", "b")).head
+    assert(r.isNullAt(r.fieldIndex("asof_a")) && r.getAs[Double]("asof_b") == 20.0)
+  }
+
   test("left columns pass through untouched") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
     val right = Seq((1L, 9L, 5.0)).toDF("k", "t", "v")

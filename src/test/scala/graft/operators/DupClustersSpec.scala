@@ -30,6 +30,28 @@ class DupClustersSpec extends SparkFunSuite {
     assert(kept.toSeq == Seq(1L, 5L, 9L))
   }
 
+  test("resolve keeps a survivor when the cluster's min id is absent from df") {
+    val docs = Seq((2L, "a"), (3L, "a")).toDF("doc_id", "text") // doc 1 deleted upstream
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = DupClusters.resolve(docs, "doc_id", pairs).collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(2L), "min PRESENT id survives; cluster must not vanish")
+  }
+
+  test("components works on string ids (no silent numeric cast)") {
+    val pairs = Seq(("doc-001", "doc-002"), ("doc-002", "doc-003")).toDF("id_a", "id_b")
+    val comp = DupClusters.components(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp == Map("doc-001" -> "doc-001", "doc-002" -> "doc-001", "doc-003" -> "doc-001"))
+  }
+
+  test("unconverged propagation throws instead of returning wrong labels") {
+    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      DupClusters.components(pairs, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("end-to-end: minhash pairs -> clusters -> deduplicated corpus") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
     val docs = Seq(

@@ -38,4 +38,21 @@ class SamplingSpec extends SparkFunSuite {
     val n = Sampling.sampleByHash(df, "id", 0.25).count()
     assert(n > 400 && n < 600, s"sample size off: $n")
   }
+
+  test("subsample then split are decorrelated (domain separation)") {
+    val df = (1L to 4000L).toDF("id")
+    val sampled = Sampling.sampleByHash(df, "id", 0.25)
+    val splits = sampled.select(Sampling.splitTag(col("id"), 0.8).as("split"))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.contains("val") && splits("val") > 100,
+      s"val set collapsed — hashes correlated: $splits")
+  }
+
+  test("frac=1.0 is exactly the identity; frac=0.0 keeps nothing") {
+    val df = (1L to 500L).toDF("id")
+    assert(Sampling.sampleByHash(df, "id", 1.0).count() == 500)
+    assert(Sampling.sampleByHash(df, "id", 0.0).count() == 0)
+    assert(df.select(Sampling.splitTag(col("id"), 1.0).as("s"))
+      .filter(col("s") === "val").count() == 0)
+  }
 }
