@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.ParquetLake
+
+/** Keyed merge (CDC-style upsert) into a partitioned parquet table, without
+  * a table format: `updates` rows replace existing rows with the same key;
+  * new keys append.
+  *
+  * Scale shape: only the Hive partitions that contain updated keys are
+  * read+rewritten (dynamic partition overwrite); untouched partitions are
+  * never opened. The merge itself is the ledger's PK-replace pattern
+  * (union → row_number keeping the preferred row per key) applied to data
+  * tables, generalizing MetadataLedger.upsert.
+  *
+  * Constraints, stated plainly: each key must live in exactly one partition
+  * (keys moving between partitions need a delete leg — out of scope), and
+  * writers must not race (plain parquet has no transaction log).
+  */
+object MergeByKey {
+
+  /** Merge `updates` into the table at `root`.
+    * @param keyCols       logical primary key
+    * @param partitionCols Hive partition columns (must be derivable from
+    *                      every updates row)
+    * @param versionCol    ordering column — the row with the greatest value
+    *                      per key wins; updates win ties
+    * @return number of partitions rewritten */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+            keyCols: Seq[String], partitionCols: Seq[String],
+            versionCol: String): Long = {
+    val touched = updates.select(partitionCols.map(col): _*).distinct()
+    val touchedCount = touched.count()
+    if (touchedCount == 0) return 0L
+    val existing =
+      if (!ParquetLake.exists(spark, root))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          updates.schema)
+      else graft.pipeline.Layers.scopeToPending(
+        spark.read.parquet(root), touched, literalThreshold = 256)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_src").desc)
+    val merged = existing.withColumn("_src", lit(0))
+      .unionByName(updates.withColumn("_src", lit(1)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src")
+      .localCheckpoint(true) // materialize before overwriting what we read
+    ParquetLake.overwritePartitions(merged, root, partitionCols)
+    touchedCount
+  }
+}

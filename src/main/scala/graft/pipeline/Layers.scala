@@ -33,17 +33,17 @@ object Layers {
     */
   def scopeToPending(df: DataFrame, pending: DataFrame,
                      literalThreshold: Int = 256): DataFrame = {
+    val cols = pending.columns.toSeq // the partition columns to scope on
     val head = pending.limit(literalThreshold + 1).collect()
     if (head.length <= literalThreshold) {
       if (head.isEmpty) df.limit(0)
       else {
         val pred: Column = head.map { r =>
-          col("city") === lit(r.getAs[String]("city")) &&
-            col("date") === lit(r.getAs[java.sql.Date]("date"))
+          cols.map(c => col(c) === lit(r.getAs[Any](c))).reduce(_ && _)
         }.reduce(_ || _)
         df.filter(pred)
       }
-    } else df.join(broadcast(pending.select("city", "date")), Seq("city", "date"), "left_semi")
+    } else df.join(broadcast(pending), cols, "left_semi")
   }
 
   /** Empty-partition guard (reference silver.py:42-47 / gold.py:46-51

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class ZOrderSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("interleave: known Morton codes") {
+    // a=0b11, b=0b01 -> z = a1 b1 a0 b0 = 1 0 1 1 = 11
+    val df = Seq((3L, 1L)).toDF("a", "b")
+    assert(df.select(ZOrder.interleave(col("a"), col("b"), 2)).head.getLong(0) == 11L)
+  }
+
+  /** Mean per-file min-max span of `c` across the files of `path`. */
+  private def meanSpan(path: String, c: String): Double = {
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head
+      r.getDouble(1) - r.getDouble(0)
+    }
+    spans.sum / spans.length
+  }
+
+  test("z-ordered files cover narrow ranges in BOTH dimensions vs single-column sort") {
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.01")
+    val li = t.lineitem.select("l_partkey", "l_suppkey", "l_quantity")
+    val zpath = tmpDir("zord") + "/z"
+    val spath = tmpDir("zord") + "/s"
+    ZOrder.writeZOrdered(li, zpath, "l_partkey", "l_suppkey", files = 8)
+    // baseline: sort on l_partkey only
+    li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(spath)
+    val zA = meanSpan(zpath, "l_partkey"); val zB = meanSpan(zpath, "l_suppkey")
+    val sA = meanSpan(spath, "l_partkey"); val sB = meanSpan(spath, "l_suppkey")
+    // single-column sort is better on its own column but useless on the
+    // second; z-order must be selective on BOTH
+    assert(zB < sB * 0.6, s"z-order not selective on dim B: z=$zB vs sorted=$sB")
+    assert(zA < sA * 8, s"z-order collapsed on dim A: z=$zA vs sorted=$sA")
+    val fullA = 2000.0 // l_partkey range at sf0.01
+    assert(zA < fullA * 0.7, s"z-order file span on A not narrower than table span: $zA")
+  }
+}
