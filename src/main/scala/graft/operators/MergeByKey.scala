@@ -32,19 +32,22 @@ object MergeByKey {
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             keyCols: Seq[String], partitionCols: Seq[String],
             versionCol: String): Long = {
-    val touched = updates.select(partitionCols.map(col): _*).distinct()
+    require(!updates.columns.contains("_src") && !updates.columns.contains("_rn"),
+      "updates must not contain reserved columns _src/_rn")
+    // one materialization of the (possibly expensive) updates lineage; the
+    // touched-set, union and write below all reuse it
+    val u = updates.localCheckpoint(true)
+    val touched = u.select(partitionCols.map(col): _*).distinct()
     val touchedCount = touched.count()
     if (touchedCount == 0) return 0L
     val existing =
-      if (!ParquetLake.exists(spark, root))
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          updates.schema)
-      else graft.pipeline.Layers.scopeToPending(
+      if (!ParquetLake.exists(spark, root)) u.limit(0)
+      else graft.sources.PartitionScope.scopeTo(
         spark.read.parquet(root), touched, literalThreshold = 256)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc, col("_src").desc)
     val merged = existing.withColumn("_src", lit(0))
-      .unionByName(updates.withColumn("_src", lit(1)))
+      .unionByName(u.withColumn("_src", lit(1)))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_src")

@@ -22,29 +22,12 @@ object Layers {
   def availablePartitions(df: DataFrame): DataFrame =
     df.select("city", "date").distinct()
 
-  /** Scope `df` to the pending partitions.
-    *
-    * Two regimes, picked by pending-set size:
-    *  - small (≤ `literalThreshold`): collect to the driver and emit a
-    *    literal predicate — Catalyst folds it into static partition pruning,
-    *    so only the pending directories are listed/read at all;
-    *  - large: broadcast semi-join on (city, date) — no driver materialization,
-    *    and dynamic partition pruning still scopes the scan at runtime.
-    */
+  /** Scope `df` to the pending partitions — delegates to the generic,
+    * null-safe [[graft.sources.PartitionScope]] (the partition columns are
+    * whatever columns `pending` carries). */
   def scopeToPending(df: DataFrame, pending: DataFrame,
-                     literalThreshold: Int = 256): DataFrame = {
-    val cols = pending.columns.toSeq // the partition columns to scope on
-    val head = pending.limit(literalThreshold + 1).collect()
-    if (head.length <= literalThreshold) {
-      if (head.isEmpty) df.limit(0)
-      else {
-        val pred: Column = head.map { r =>
-          cols.map(c => col(c) === lit(r.getAs[Any](c))).reduce(_ && _)
-        }.reduce(_ || _)
-        df.filter(pred)
-      }
-    } else df.join(broadcast(pending), cols, "left_semi")
-  }
+                     literalThreshold: Int = 256): DataFrame =
+    graft.sources.PartitionScope.scopeTo(df, pending, literalThreshold)
 
   /** Empty-partition guard (reference silver.py:42-47 / gold.py:46-51
     * ValueError on COUNT(*)==0): every pending partition must have produced

@@ -48,6 +48,28 @@ class MergeByKeySpec extends SparkFunSuite {
     assert(payload == "a-v5", "late-arriving stale update must lose to the newer version")
   }
 
+  test("merge into a null partition does not erase its existing rows") {
+    val root = tmpDir("merge") + "/t"
+    Seq((5L, Option.empty[String], 1L, "n1"), (6L, Option.empty[String], 1L, "n2"),
+      (7L, Some("p1"), 1L, "x"))
+      .toDF("id", "part", "version", "payload")
+      .write.partitionBy("part").parquet(root)
+    MergeByKey.merge(spark, root,
+      Seq((9L, Option.empty[String], 2L, "n-new")).toDF("id", "part", "version", "payload"),
+      Seq("id"), Seq("part"), "version")
+    val ids = spark.read.parquet(root).collect().map(_.getAs[Long]("id")).sorted
+    assert(ids.toSeq == Seq(5L, 6L, 7L, 9L),
+      "existing null-partition rows must survive a merge into that partition")
+  }
+
+  test("reserved column names are rejected") {
+    val root = tmpDir("merge") + "/t"
+    val bad = Seq((1L, "p1", 1L, 0)).toDF("id", "part", "version", "_src")
+    intercept[IllegalArgumentException] {
+      MergeByKey.merge(spark, root, bad, Seq("id"), Seq("part"), "version")
+    }
+  }
+
   test("merge into a missing table creates it") {
     val root = tmpDir("merge") + "/fresh"
     val n = MergeByKey.merge(spark, root,
