@@ -69,10 +69,13 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")
     }),
-    // J1: anti-join — the incremental-diff core (silver.py:69)
+    // J1: anti-join — the incremental-diff core (silver.py:69). Filtered to
+    // 'F'-status orders so the result is non-empty at every SF (an all-empty
+    // differential would be vacuous).
     "q05_anti_join" -> ((s, dir) => {
       val t = Tables(s, dir)
-      t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      t.customer.join(t.orders.filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
     }),
@@ -100,13 +103,18 @@ object SparkEntry {
     // C2/J1: incremental partition diff — available minus processed
     "q08_incremental_diff" -> ((s, dir) => {
       val t = Tables(s, dir)
+      // date-granularity partitions (like the reference's city/date): 'P'
+      // is the rarest status, so plenty of (priority, date) partitions lack
+      // it and the diff is non-empty at every SF
       val avail = t.orders
-        .select(col("o_orderpriority").as("priority"), month(col("o_orderdate")).as("m"))
+        .select(col("o_orderpriority").as("priority"),
+          col("o_orderdate").cast("date").as("d"))
         .distinct()
-      val done = t.orders.filter(col("o_orderstatus") === "F")
-        .select(col("o_orderpriority").as("priority"), month(col("o_orderdate")).as("m"))
+      val done = t.orders.filter(col("o_orderstatus") === "P")
+        .select(col("o_orderpriority").as("priority"),
+          col("o_orderdate").cast("date").as("d"))
         .distinct()
-      avail.join(done, Seq("priority", "m"), "left_anti").orderBy("priority", "m")
+      avail.join(done, Seq("priority", "d"), "left_anti").orderBy("priority", "d")
     }),
     // P3: STRPTIME-equivalent timestamp format/parse round trip (silver.py:31)
     "q09_timestamp_parse" -> ((s, dir) => {
@@ -459,7 +467,8 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q05_anti_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
     "q06_scalar_count" ->
       "SELECT count(*) AS n FROM lineitem WHERE l_quantity IS NOT NULL",
@@ -473,13 +482,13 @@ object SparkEntry {
         |  FROM orders) WHERE rn = 1 ORDER BY city, date""".stripMargin,
     "q08_incremental_diff" ->
       """WITH avail AS (SELECT DISTINCT o_orderpriority AS priority,
-        |    CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m FROM orders),
+        |    CAST(o_orderdate AS DATE) AS d FROM orders),
         |done AS (SELECT DISTINCT o_orderpriority AS priority,
-        |    CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m FROM orders
-        |    WHERE o_orderstatus = 'F')
-        |SELECT a.priority, a.m FROM avail a
-        |WHERE NOT EXISTS (SELECT 1 FROM done d WHERE d.priority = a.priority AND d.m = a.m)
-        |ORDER BY priority, m""".stripMargin,
+        |    CAST(o_orderdate AS DATE) AS d FROM orders
+        |    WHERE o_orderstatus = 'P')
+        |SELECT a.priority, a.d FROM avail a
+        |WHERE NOT EXISTS (SELECT 1 FROM done x WHERE x.priority = a.priority AND x.d = a.d)
+        |ORDER BY priority, d""".stripMargin,
     "q09_timestamp_parse" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M') AS ts_str,
         |strptime(strftime(ts, '%Y-%m-%dT%H:%M'), '%Y-%m-%dT%H:%M') AS parsed
