@@ -426,6 +426,37 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
+    // CUBE: all grouping-set combinations
+    "q46_cube" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("int").as("gid"),
+          sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
+          col("gid"))
+    }),
+    // window-function kernel: rank/dense_rank/ntile/lag/lead in one pass
+    "q47_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          rank().over(w).cast("int").as("rnk"),
+          dense_rank().over(w).cast("int").as("drnk"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"))
+        .orderBy("o_orderkey")
+    }),
+    // ordered string aggregation (sorted distinct concat — deterministic in
+    // both engines, unlike raw collect_list order)
+    "q48_string_agg" -> ((s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
     // scalar-function breadth: string + date kernel over orders
     "q37_scalar_funcs" -> ((s, dir) => {
       Tables(s, dir).orders
@@ -776,6 +807,27 @@ object SparkEntry {
       """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) < 'e6666666'
         |            THEN 'train' ELSE 'val' END AS split,
         |       lang, count(*) AS n_docs
-        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "q46_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, gid""".stripMargin,
+    "q47_window_funcs" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q48_string_agg" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
