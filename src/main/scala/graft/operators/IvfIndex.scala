@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VecDot
 import graft.functions.VectorFunctions.{dot, l2Norm}
 
 /** IVF (inverted-file) approximate nearest neighbor: partition the corpus
@@ -13,11 +14,12 @@ import graft.functions.VectorFunctions.{dot, l2Norm}
   * Everything is DataFrame-native and deterministic:
   *  - init: the k vectors with smallest xxhash64(id) (a seeded, order-free
   *    pseudo-random sample — no RNG state, same result on any cluster);
-  *  - Lloyd iterations: assign = broadcast-centroids argmin (one codegen
-  *    dot per (vector, centroid)); update = posexplode to (cell, dim) →
-  *    mean → rebuild arrays via sorted collect_list. Each iteration is two
-  *    shuffles of O(rows × dims) — linear, no driver-side data;
-  *  - search: probe assignment broadcasts centroids to the query side only.
+  *  - Lloyd iterations: assign = shuffle-free narrow argmin over the
+  *    broadcast centroid array (all nCells distances in one projection);
+  *    update = posexplode to (cell, dim) → mean → rebuild arrays via sorted
+  *    collect_list — the only shuffles, and they carry O(rows × dims);
+  *  - search: probe selection is the same narrow pattern (array_sort of the
+  *    per-cell distances, take nProbe) — no window exchange on either side.
   *
   * Compared to [[Similarity.lshTopK]]: IVF adapts to the data distribution
   * (cells follow density) where hyperplane LSH is data-oblivious; the cost
@@ -37,7 +39,7 @@ object IvfIndex {
       .localCheckpoint(true)
     val vecs = corpus.select(col(idCol).as("vid"), asDouble.as("v"))
     (1 to iters).foreach { _ =>
-      val assigned = assignCells(vecs, cents, "v", "vid")
+      val assigned = assignCells(vecs, cents, "v")
       // checkpoint truncates the lineage: without it each iteration (and
       // each downstream consumer) re-executes every previous Lloyd pass
       cents = assigned
@@ -51,19 +53,33 @@ object IvfIndex {
     cents
   }
 
-  /** Attach `cell_id` = argmin centroid distance (ties break on cell_id);
-    * `uniqueCol` identifies rows so the per-row argmin window is exact.
-    * Centroids are broadcast — one narrow pass over the data. */
-  private def assignCells(df: DataFrame, cents: DataFrame, vecCol: String,
-                          uniqueCol: String): DataFrame = {
-    val w = Window.partitionBy(col(uniqueCol)).orderBy(col("_dist"), col("cell_id"))
-    df.crossJoin(broadcast(cents))
-      .withColumn("_dist",
-        graft.functions.VectorFunctions.l2Distance(col(vecCol), col("centroid")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_dist", "_rn", "centroid")
-  }
+  /** All centroids packed into a single-row array column — broadcast-sized
+    * (nCells × dims doubles), so cell assignment can happen narrowly per row
+    * instead of shuffling a rows×nCells cross product through a window.
+    * Centroid norms ride along so per-cell distance is one dot product. */
+  private def cellsAsArray(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(col("cell_id"), col("centroid"),
+      VecDot.dot(col("centroid"), col("centroid")).as("cn2"))).as("_cells"))
+
+  /** Per-cell (squared-distance, cell_id) structs for one vector, via
+    * ‖v‖²+‖c‖²−2·v·c with ‖v‖² precomputed per row (`vn2`) — inside the
+    * lambda only VecDot's primitive loop runs per cell, no intermediate
+    * array. Squared distance is monotonic in true distance, so the
+    * lexicographic struct order still reproduces the argmin with ties
+    * broken on cell_id, matching a `ORDER BY dist, cell_id` window. */
+  private def distPairs(vec: Column, vn2: Column): Column =
+    transform(col("_cells"), c => struct(
+      (vn2 + c.getField("cn2") - lit(2.0) * VecDot.dot(vec, c.getField("centroid"))).as("d"),
+      c.getField("cell_id").as("id")))
+
+  /** Attach `cell_id` = argmin centroid distance (ties break on cell_id).
+    * Shuffle-free: one broadcast of the packed centroid array, one narrow
+    * projection computing all nCells distances per row. */
+  private def assignCells(df: DataFrame, cents: DataFrame, vecCol: String): DataFrame =
+    df.crossJoin(broadcast(cellsAsArray(cents)))
+      .withColumn("_vn2", VecDot.dot(col(vecCol), col(vecCol)))
+      .withColumn("cell_id", array_min(distPairs(col(vecCol), col("_vn2"))).getField("id"))
+      .drop("_cells", "_vn2")
 
   /** ANN top-k: probe the `nProbe` nearest cells per query, exact cosine
     * re-rank within them. Output schema matches the other top-k operators. */
@@ -73,16 +89,15 @@ object IvfIndex {
     val cents = centroids(corpus, idCol, vecCol, nCells, iters)
     val indexed = assignCells(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-        l2Norm(col(vecCol)).as("c_norm")), cents, "c_vec", "neighbor_id")
-    val probeW = Window.partitionBy("query_id").orderBy(col("_dist"), col("cell_id"))
+        l2Norm(col(vecCol)).as("c_norm")), cents, "c_vec")
     val probes = queries
       .select(col("query_id"), col("query_vec"), l2Norm(col("query_vec")).as("q_norm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("_dist",
-        graft.functions.VectorFunctions.l2Distance(col("query_vec"), col("centroid")))
-      .withColumn("_rn", row_number().over(probeW))
-      .filter(col("_rn") <= nProbe)
-      .select("query_id", "query_vec", "q_norm", "cell_id")
+      .crossJoin(broadcast(cellsAsArray(cents)))
+      .withColumn("_vn2", VecDot.dot(col("query_vec"), col("query_vec")))
+      .withColumn("_probe",
+        explode(slice(array_sort(distPairs(col("query_vec"), col("_vn2"))), 1, nProbe)))
+      .select(col("query_id"), col("query_vec"), col("q_norm"),
+        col("_probe.id").as("cell_id"))
     val scored = indexed.join(probes, Seq("cell_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("c_vec"), col("query_vec")) / (col("c_norm") * col("q_norm"))).as("score"))
