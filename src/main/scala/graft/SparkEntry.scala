@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{AsOf, Dedup, DupClusters, IvfIndex, Multimodal, Profile, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, DupClusters, IvfIndex, Multimodal, Profile, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -457,6 +457,39 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }),
+    // approximate aggregates, gated by exactness bounds: the oracle emits the
+    // exact values plus literal TRUE flags, so the hash-compare proves the
+    // HLL++/GK sketches landed within tolerance of exact (both sketches are
+    // deterministic for fixed data — no flakiness)
+    "q49_approx_agg" -> ((s, dir) => {
+      val exactUsers = count_distinct(col("user_id"))
+      val approxUsers = approx_count_distinct(col("user_id"), rsd = 0.01)
+      val exactMedian = expr("percentile(value, 0.5)")
+      val approxMedian = percentile_approx(col("value"), lit(0.5), lit(10000))
+      Tables(s, dir).events.agg(
+        exactUsers.as("exact_users"),
+        (abs(approxUsers - exactUsers) <= exactUsers * 0.05).as("approx_users_ok"),
+        round(exactMedian, 4).as("median_val"),
+        (abs(approxMedian - exactMedian) <= abs(exactMedian) * 0.01).as("approx_median_ok"))
+    }),
+    // range join: events joined to per-event preceding-1h intervals of the
+    // same user via graft's binned point-in-interval join (shuffled equi-join
+    // on (user, time-bin), never a nested-loop cartesian)
+    "q50_range_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val hourUs = 3600L * 1000000L
+      val pts = ev.select(col("event_id").as("b_id"), col("user_id"),
+        unix_micros(col("ts")).as("b_us"))
+      val ivs = ev.select(col("event_id").as("a_id"), col("user_id"),
+        (unix_micros(col("ts")) - hourUs).as("start_us"),
+        (unix_micros(col("ts")) - 1).as("end_us")) // end = a.ts − 1µs ⇒ strictly-before
+      val counts = RangeJoin.pointInInterval(pts, "b_us", ivs, "start_us", "end_us",
+        binWidth = hourUs, equiKeys = Seq("user_id"))
+        .groupBy("a_id").agg(count(lit(1)).as("n_prior"))
+      ev.join(counts, col("event_id") === col("a_id"), "left")
+        .select(col("event_id"), coalesce(col("n_prior"), lit(0L)).as("n_prior"))
+        .orderBy("event_id")
+    }),
     // scalar-function breadth: string + date kernel over orders
     "q37_scalar_funcs" -> ((s, dir) => {
       Tables(s, dir).orders
@@ -828,6 +861,17 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
         |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q49_approx_agg" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_users_ok,
+        |  round(quantile_cont(value, 0.5), 4) AS median_val,
+        |  TRUE AS approx_median_ok
+        |FROM events""".stripMargin,
+    "q50_range_join" ->
+      """SELECT a.event_id, count(b.event_id) AS n_prior
+        |FROM events a LEFT JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin
   )
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Binned range join: point-in-interval inner join without a cartesian pass.
+  *
+  * Spark has no native interval-join operator; the naive formulation
+  * (`a.join(b, pred)` with only range predicates) plans as
+  * BroadcastNestedLoopJoin — O(|A|·|B|) and a driver OOM once neither side
+  * broadcasts. The standard scale shape is bin bucketing:
+  *
+  *  - every interval `[start, end]` is exploded to the bins it covers
+  *    (`start DIV w .. end DIV w`);
+  *  - every point lands in exactly ONE bin (`p DIV w`);
+  *  - the join runs as a plain shuffled equi-join on (equiKeys…, bin), with
+  *    the exact range predicate re-checked after the match.
+  *
+  * Because the point maps to a single bin and an interval covers each of its
+  * bins once, a qualifying (point, interval) pair meets exactly once — no
+  * dedup stage. Correctness needs only a MONOTONE binning applied identically
+  * to both sides (then bin(p) always lies in [bin(start), bin(end)]): the
+  * floor-division here is monotone even where FP rounding nudges a quotient
+  * across an integer, and handles negative coordinates.
+  *
+  * Scale notes: shuffle volume is |points| + Σ bins-per-interval rows; pick
+  * `binWidth` ≥ the typical interval length so most intervals hit 1-2 bins.
+  * Skewed bins (hot time ranges) fall out of the equi-join shape, so AQE's
+  * skew-join split — or [[SkewJoin]] salting — applies unchanged.
+  */
+object RangeJoin {
+
+  /** Inner join of `points` to every interval in `intervals` whose
+    * `[startCol, endCol]` (inclusive both ends) contains `pointCol`, with
+    * optional extra equality keys. All three coordinate columns must be
+    * integral (e.g. `unix_micros` for timestamps). Column names must be
+    * disjoint across the two sides apart from `equiKeys` — alias before
+    * calling for self-joins. Intervals with `start > end` match nothing
+    * (dropped up front — Spark's `sequence` would otherwise step backwards
+    * and fabricate bins).
+    */
+  def pointInInterval(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, startCol: String, endCol: String,
+                      binWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bin(c: org.apache.spark.sql.Column) =
+      c.divide(binWidth).cast("long") - when(c % binWidth < 0, 1).otherwise(0)
+    val binned = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("_bin", explode(sequence(bin(col(startCol)), bin(col(endCol)))))
+    val pts = points.withColumn("_bin", bin(col(pointCol)))
+    pts.join(binned, equiKeys :+ "_bin")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_bin")
+  }
+}
