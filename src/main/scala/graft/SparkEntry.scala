@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{AsOf, Dedup, DupClusters, IvfIndex, Multimodal, Profile, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, DupClusters, IvfIndex, Multimodal, Profile, RangeJoin, Resample, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -490,6 +490,27 @@ object SparkEntry {
         .select(col("event_id"), coalesce(col("n_prior"), lit(0L)).as("n_prior"))
         .orderBy("event_id")
     }),
+    // time-series gap repair: complete per-user daily grid, forward-filled.
+    // The daily metric is an exact DECIMAL sum cast to double: parallel
+    // double sums differ in last bits across engines, and round() on a
+    // half-boundary double (e.g. x.xxxx5) rounds differently in Java
+    // (shortest-repr HALF_UP) vs DuckDB (scaled-double) — the exact sum
+    // sidesteps both
+    "q51_resample_ffill" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+      Resample.forwardFill(daily, Seq("user_id"), "day", Seq("v"),
+        expr("INTERVAL 1 DAY"))
+        .orderBy("user_id", "day")
+    }),
+    // stratified cap: exactly the n hash-smallest docs per language — the
+    // salted two-level rank must reproduce the oracle's single window
+    "q52_stratified_cap" -> ((s, dir) => {
+      Sampling.stratifiedCap(Tables(s, dir).documents.select("doc_id", "lang"),
+        Seq("lang"), "doc_id", n = 50)
+        .orderBy("lang", "doc_id")
+    }),
     // scalar-function breadth: string + date kernel over orders
     "q37_scalar_funcs" -> ((s, dir) => {
       Tables(s, dir).orders
@@ -872,6 +893,27 @@ object SparkEntry {
       """SELECT a.event_id, count(b.event_id) AS n_prior
         |FROM events a LEFT JOIN events b
         |  ON a.user_id = b.user_id AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
-        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+    "q51_resample_ffill" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |         FROM span)
+        |SELECT g.user_id, g.day,
+        |  last_value(d.v IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |FROM grid g LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
+    "q52_stratified_cap" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 8), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin
   )
 }

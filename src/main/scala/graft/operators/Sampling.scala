@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / splitting for training-data pipelines.
@@ -41,4 +42,35 @@ object Sampling {
   def sampleByHash(df: DataFrame, keyCol: String, frac: Double,
                    domain: String = "sample"): DataFrame =
     df.filter(hashBelow(col(keyCol), frac, domain))
+
+  /** At most `n` rows per stratum, the EXACT n smallest by hash-of-key order
+    * (≡ a uniform deterministic pick; ties impossible for distinct keys, and
+    * broken on the key anyway). Downsampling over-represented classes — cap
+    * `lang='en'` at N docs — is the canonical use.
+    *
+    * Scale shape: a bare `row_number` per stratum sorts a hot stratum's
+    * entire row set in one task. Instead rank within `salt` hash-derived
+    * sub-partitions first (parallel, each task sees ~1/salt of the stratum):
+    * any row in the true top-n of its stratum is in the top-n of its
+    * sub-partition, so filtering sub-rank ≤ n keeps ≤ salt·n survivors per
+    * stratum, and the exact rank re-runs on that bounded set. Identical
+    * output to the single-window formulation (q52's oracle), never a
+    * whole-stratum sort.
+    */
+  def stratifiedCap(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                    n: Int, salt: Int = 32, domain: String = "cap"): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    require(salt > 0, s"salt must be positive, got $salt")
+    val strata = strataCols.map(col)
+    val hash = substring(md5(concat(col(keyCol).cast("string"), lit(":" + domain))), 1, 8)
+    val subKey = pmod(conv(col("_h"), 16, 10).cast("long"), lit(salt))
+    val subW = Window.partitionBy(strata :+ subKey: _*).orderBy(col("_h"), col(keyCol))
+    val finW = Window.partitionBy(strata: _*).orderBy(col("_h"), col(keyCol))
+    df.withColumn("_h", hash)
+      .withColumn("_sr", row_number().over(subW))
+      .filter(col("_sr") <= n)
+      .withColumn("_r", row_number().over(finW))
+      .filter(col("_r") <= n)
+      .drop("_h", "_sr", "_r")
+  }
 }

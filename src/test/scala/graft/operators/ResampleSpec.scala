@@ -1,0 +1,49 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class ResampleSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+
+  test("introduced gap slots carry the previous value; observed slots keep their own") {
+    val df = Seq(
+      (1L, ts(1), 10.0), (1L, ts(2), 20.0), (1L, ts(5), 50.0), // gap: 3,4
+      (2L, ts(3), 30.0) // single-slot key: no gaps
+    ).toDF("k", "day", "v")
+    val out = Resample.forwardFill(df, Seq("k"), "day", Seq("v"), expr("INTERVAL 1 DAY"))
+      .orderBy("k", "day")
+      .as[(Long, Timestamp, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, ts(1), 10.0), (1L, ts(2), 20.0),
+      (1L, ts(3), 20.0), (1L, ts(4), 20.0), // filled from day 2
+      (1L, ts(5), 50.0),
+      (2L, ts(3), 30.0)))
+  }
+
+  test("grids are per-key: one key's span does not bleed into another's") {
+    val df = Seq((1L, ts(1), 1.0), (1L, ts(10), 2.0), (2L, ts(5), 3.0))
+      .toDF("k", "day", "v")
+    val out = Resample.forwardFill(df, Seq("k"), "day", Seq("v"), expr("INTERVAL 1 DAY"))
+    assert(out.filter($"k" === 1L).count() == 10)
+    assert(out.filter($"k" === 2L).count() == 1)
+  }
+
+  test("multiple value columns fill independently (null observation stays gap-filled)") {
+    val df = Seq(
+      (1L, ts(1), Some(1.0), Some(9.0)),
+      (1L, ts(3), None, Some(7.0)) // a observed-null at day 3 → carries day 1's value
+    ).toDF("k", "day", "a", "b")
+    val out = Resample.forwardFill(df, Seq("k"), "day", Seq("a", "b"), expr("INTERVAL 1 DAY"))
+      .orderBy("day").as[(Long, Timestamp, Option[Double], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, ts(1), Some(1.0), Some(9.0)),
+      (1L, ts(2), Some(1.0), Some(9.0)),
+      (1L, ts(3), Some(1.0), Some(7.0))))
+  }
+}

@@ -48,6 +48,29 @@ class SamplingSpec extends SparkFunSuite {
       s"val set collapsed — hashes correlated: $splits")
   }
 
+  test("stratifiedCap equals the single-window formulation for every salt") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 900L).map(i => (i, s"c${i % 3}")).toDF("id", "cls")
+    val naiveW = Window.partitionBy("cls").orderBy(
+      substring(md5(concat(col("id").cast("string"), lit(":cap"))), 1, 8), col("id"))
+    val naive = df.withColumn("_r", row_number().over(naiveW))
+      .filter(col("_r") <= 40).drop("_r")
+    for (salt <- Seq(1, 7, 32)) {
+      val capped = Sampling.stratifiedCap(df, Seq("cls"), "id", n = 40, salt = salt)
+      assert(capped.except(naive).isEmpty && naive.except(capped).isEmpty,
+        s"salted two-level rank diverged from single window at salt=$salt")
+    }
+  }
+
+  test("stratifiedCap leaves under-cap strata whole and keeps schema") {
+    val df = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small")).toDF("id", "cls")
+    val capped = Sampling.stratifiedCap(df, Seq("cls"), "id", n = 20)
+    assert(capped.columns.toSeq == Seq("id", "cls"))
+    val counts = capped.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("big") == 20 && counts("small") == 10, s"wrong cap: $counts")
+  }
+
   test("frac=1.0 is exactly the identity; frac=0.0 keeps nothing") {
     val df = (1L to 500L).toDF("id")
     assert(Sampling.sampleByHash(df, "id", 1.0).count() == 500)
