@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.operators.MergeByKey
+
 /** Structured-Streaming transforms for the events stream.
   *
   * The reference is batch-only (its "incremental" is a partition-diff loop),
@@ -80,4 +82,27 @@ object StreamingOps {
         closed.result().iterator
       }
   }
+
+  // --------------------------------------------------- lake upsert sink
+
+  /** Streaming CDC upsert into a partitioned Parquet table: every
+    * micro-batch runs [[graft.operators.MergeByKey.merge]] against `root`
+    * (greatest `versionCol` per key wins, touched partitions only).
+    *
+    * End-to-end effectively-once without a transactional table format:
+    * foreachBatch may REPLAY a batch after a failure, and the merge is
+    * idempotent — re-merging rows whose versions already won (or lost)
+    * changes nothing. The checkpoint dir carries source offsets, so a
+    * restarted query resumes instead of reprocessing the stream. */
+  def upsertSink(stream: DataFrame, root: String, keyCols: Seq[String],
+                 partitionCols: Seq[String], versionCol: String,
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        MergeByKey.merge(batch.sparkSession, root, batch.toDF(),
+          keyCols, partitionCols, versionCol)
+        (): Unit
+      }
+      .start()
 }
