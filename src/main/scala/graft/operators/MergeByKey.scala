@@ -52,7 +52,11 @@ object MergeByKey {
       .filter(col("_rn") === 1)
       .drop("_rn", "_src")
       .localCheckpoint(true) // materialize before overwriting what we read
-    ParquetLake.overwritePartitions(merged, root, partitionCols)
+    // staged swap, not dynamic overwrite: merge is read-modify-write, and a
+    // crash inside dynamic-overwrite's delete-then-publish commit would
+    // destroy the partition's prior rows — a replayed merge would then read
+    // the half-destroyed state and persist the loss
+    ParquetLake.overwritePartitionsStaged(spark, merged, root, partitionCols)
     touchedCount
   }
 }

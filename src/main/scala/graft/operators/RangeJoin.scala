@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
 
 /** Binned range join: point-in-interval inner join without a cartesian pass.
@@ -18,10 +19,10 @@ import org.apache.spark.sql.functions._
   *
   * Because the point maps to a single bin and an interval covers each of its
   * bins once, a qualifying (point, interval) pair meets exactly once — no
-  * dedup stage. Correctness needs only a MONOTONE binning applied identically
-  * to both sides (then bin(p) always lies in [bin(start), bin(end)]): the
-  * floor-division here is monotone even where FP rounding nudges a quotient
-  * across an integer, and handles negative coordinates.
+  * dedup stage. The binning is exact floor division in long arithmetic
+  * (subtract `pmod`, then integral-divide the exact multiple) — no doubles,
+  * so coordinates beyond 2^53 (e.g. nanosecond epochs) bin correctly, and
+  * negative coordinates floor rather than truncate.
   *
   * Scale notes: shuffle volume is |points| + Σ bins-per-interval rows; pick
   * `binWidth` ≥ the typical interval length so most intervals hit 1-2 bins.
@@ -43,8 +44,13 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String, endCol: String,
                       binWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    def bin(c: org.apache.spark.sql.Column) =
-      c.divide(binWidth).cast("long") - when(c % binWidth < 0, 1).otherwise(0)
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "inputs must not contain the reserved column _bin")
+    // exact floor(c / binWidth) in long arithmetic: c - pmod(c, w) is the
+    // floor multiple, and integral division of an exact multiple is exact
+    def bin(c: Column): Column = GraftColumnBridge.column(IntegralDivide(
+      GraftColumnBridge.expression(c - pmod(c, lit(binWidth))),
+      GraftColumnBridge.expression(lit(binWidth))))
     val binned = intervals
       .filter(col(startCol) <= col(endCol))
       .withColumn("_bin", explode(sequence(bin(col(startCol)), bin(col(endCol)))))

@@ -32,6 +32,8 @@ object Resample {
                   valCols: Seq[String], step: Column): DataFrame = {
     require(keys.nonEmpty, "forwardFill needs at least one partition key")
     require(valCols.nonEmpty, "forwardFill needs at least one value column")
+    require(!df.columns.contains("_lo") && !df.columns.contains("_hi"),
+      "input must not contain the reserved columns _lo/_hi")
     val k = keys.map(col)
     val grid = df.groupBy(k: _*)
       .agg(min(col(tsCol)).as("_lo"), max(col(tsCol)).as("_hi"))

@@ -23,6 +23,13 @@ object Sampling {
     f"$cut%08x"
   }
 
+  /** First 8 hex chars of md5(`key:domain`) — THE determinism contract:
+    * mirrored verbatim by the q44/q52 DuckDB oracles, so every hash-ordered
+    * or hash-thresholded operation must build its key through this one
+    * helper (a second copy could silently diverge from the oracles). */
+  private def hashHex(key: Column, domain: String): Column =
+    substring(md5(concat(key.cast("string"), lit(":" + domain))), 1, 8)
+
   /** frac-of-hash predicate with DOMAIN SEPARATION: the hash covers
     * `key:domain`, so different operations over the same key column are
     * independent. Without it, subsample-then-split compose pathologically
@@ -31,8 +38,7 @@ object Sampling {
   private def hashBelow(key: Column, frac: Double, domain: String): Column =
     if (frac >= 1.0) lit(true)
     else if (frac <= 0.0) lit(false)
-    else substring(md5(concat(key.cast("string"), lit(":" + domain))), 1, 8) <
-      lit(hexThreshold(frac))
+    else hashHex(key, domain) < lit(hexThreshold(frac))
 
   /** 'train' / 'val' tag per row, stable in the key. */
   def splitTag(key: Column, trainFrac: Double, domain: String = "split"): Column =
@@ -61,8 +67,10 @@ object Sampling {
                     n: Int, salt: Int = 32, domain: String = "cap"): DataFrame = {
     require(n > 0, s"cap must be positive, got $n")
     require(salt > 0, s"salt must be positive, got $salt")
+    require(!Seq("_h", "_sr", "_r").exists(df.columns.contains),
+      "input must not contain the reserved columns _h/_sr/_r")
     val strata = strataCols.map(col)
-    val hash = substring(md5(concat(col(keyCol).cast("string"), lit(":" + domain))), 1, 8)
+    val hash = hashHex(col(keyCol), domain)
     val subKey = pmod(conv(col("_h"), 16, 10).cast("long"), lit(salt))
     val subW = Window.partitionBy(strata :+ subKey: _*).orderBy(col("_h"), col(keyCol))
     val finW = Window.partitionBy(strata: _*).orderBy(col("_h"), col(keyCol))

@@ -44,6 +44,58 @@ object ParquetLake {
       .mode("overwrite")
       .parquet(root)
 
+  /** Crash-safe partition overwrite: stage the whole write to a sibling
+    * directory, then swap each written partition into the live table via
+    * rename-aside → rename-in → delete (the [[compactPartitions]] publish
+    * protocol). Dynamic-overwrite's job commit deletes a partition's old
+    * files before publishing the new ones, so a crash mid-commit loses the
+    * partition's prior rows — fatal for read-modify-write callers like
+    * [[graft.operators.MergeByKey]], whose replay would then read the
+    * half-destroyed state. Here every partition is either fully old or
+    * fully new after a crash (worst case: moved aside under the staging
+    * dir, recoverable by hand). Costs two renames per touched partition
+    * over the plain dynamic overwrite. */
+  def overwritePartitionsStaged(spark: SparkSession, df: DataFrame, root: String,
+                                partitionCols: Seq[String]): Unit = {
+    val hfs = fs(spark, root)
+    val staging = new Path(root + ".staging-" + System.nanoTime())
+    df.write.partitionBy(partitionCols: _*).parquet(staging.toString)
+    publishStaged(hfs, staging, root, partitionCols.length)
+  }
+
+  /** Swap every depth-level partition dir under `staging` into `root` with
+    * rename-aside → rename-in → delete old, then drop the staging dir (and
+    * the asides with it). A crash between steps leaves the partition
+    * recoverable, unlike delete-then-rename. The aside dir lives OUTSIDE
+    * the table root: an aside left inside the root would be discovered as
+    * a bogus Hive partition and double every read of that partition. */
+  private def publishStaged(hfs: org.apache.hadoop.fs.FileSystem, staging: Path,
+                            root: String, depth: Int): Unit = {
+    def leafDirs(p: Path, d: Int): Seq[Path] =
+      if (d == 0) Seq(p)
+      else hfs.listStatus(p).filter(_.isDirectory)
+        .flatMap(s => leafDirs(s.getPath, d - 1)).toSeq
+    val stagingRoot = hfs.getFileStatus(staging).getPath
+    val asideRoot = new Path(staging, ".aside")
+    leafDirs(stagingRoot, depth).foreach { newDir =>
+      val rel = newDir.toString.stripPrefix(stagingRoot.toString).stripPrefix("/")
+      val target = new Path(root, rel)
+      val aside = new Path(asideRoot, rel)
+      val hadOld = hfs.exists(target)
+      if (hadOld) {
+        hfs.mkdirs(aside.getParent)
+        if (!hfs.rename(target, aside))
+          throw new IllegalStateException(s"cannot move aside partition $rel")
+      }
+      hfs.mkdirs(target.getParent)
+      if (!hfs.rename(newDir, target)) {
+        if (hadOld) hfs.rename(aside, target) // roll back
+        throw new IllegalStateException(s"cannot publish partition $rel")
+      }
+    }
+    hfs.delete(staging, true) // removes the .aside copies too
+  }
+
   /** Append new files into the partition layout (bronze raw-landing
     * semantics, reference bronze.py:12-17). */
   def appendPartitions(df: DataFrame, root: String, partitionCols: Seq[String]): Unit =
@@ -103,35 +155,7 @@ object ParquetLake {
     salted.repartition(nTasks, (partitionCols :+ "_salt").map(col): _*)
       .drop("_salt", "_nfiles")
       .write.partitionBy(partitionCols: _*).parquet(staging.toString)
-    // swap each rewritten partition directory into the live table
-    def leafDirs(p: Path, depth: Int): Seq[Path] =
-      if (depth == 0) Seq(p)
-      else hfs.listStatus(p).filter(_.isDirectory)
-        .flatMap(s => leafDirs(s.getPath, depth - 1)).toSeq
-    val stagingRoot = hfs.getFileStatus(staging).getPath
-    val asideRoot = new Path(staging, ".aside")
-    leafDirs(stagingRoot, partitionCols.length).foreach { newDir =>
-      val rel = newDir.toString.stripPrefix(stagingRoot.toString).stripPrefix("/")
-      val target = new Path(root, rel)
-      // rename-aside → rename-in → delete old: a crash between steps leaves
-      // the partition recoverable, unlike delete-then-rename. The aside dir
-      // lives OUTSIDE the table root (under staging): an aside left inside
-      // the root would be discovered as a bogus Hive partition and double
-      // every read of that partition.
-      val aside = new Path(asideRoot, rel)
-      val hadOld = hfs.exists(target)
-      if (hadOld) {
-        hfs.mkdirs(aside.getParent)
-        if (!hfs.rename(target, aside))
-          throw new IllegalStateException(s"cannot move aside partition $rel")
-      }
-      hfs.mkdirs(target.getParent)
-      if (!hfs.rename(newDir, target)) {
-        if (hadOld) hfs.rename(aside, target) // roll back
-        throw new IllegalStateException(s"cannot publish compacted partition $rel")
-      }
-    }
-    hfs.delete(staging, true) // removes the .aside copies too
+    publishStaged(hfs, staging, root, partitionCols.length)
     (before, scan()._1)
   }
 
