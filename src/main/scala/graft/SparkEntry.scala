@@ -511,6 +511,22 @@ object SparkEntry {
         Seq("lang"), "doc_id", n = 50)
         .orderBy("lang", "doc_id")
     }),
+    // end-to-end dedup resolution, oracle-gated: corpus = documents plus two
+    // id-shifted copies; candidate pairs link only copy2↔copy1↔original
+    // (never copy2↔original), so recovering EXACTLY the original table
+    // requires transitive closure AND min-id survivor choice — either
+    // failing changes the output
+    "q53_dedup_resolve" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select("doc_id", "lang")
+      def shifted(k: Long) =
+        docs.select((col("doc_id") + k * 1000000L).as("doc_id"), col("lang"))
+      val corpus = docs.unionByName(shifted(1)).unionByName(shifted(2))
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000L).as("id_b"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("id_a"),
+          (col("doc_id") + 2000000L).as("id_b")))
+      DupClusters.resolve(corpus, "doc_id", pairs).orderBy("doc_id")
+    }),
     // scalar-function breadth: string + date kernel over orders
     "q37_scalar_funcs" -> ((s, dir) => {
       Tables(s, dir).orders
@@ -914,6 +930,10 @@ object SparkEntry {
         |    PARTITION BY lang
         |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 8), doc_id) AS rn
         |  FROM documents) t
-        |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin
+        |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin,
+    // chain dedup over the tripled corpus collapses every cluster back to
+    // its original min-id row — the survivor set IS the documents table
+    "q53_dedup_resolve" ->
+      "SELECT doc_id, lang FROM documents ORDER BY doc_id"
   )
 }
