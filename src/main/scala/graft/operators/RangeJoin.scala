@@ -59,4 +59,33 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_bin")
   }
+
+  /** Inner join of `left` intervals `[lStart, lEnd]` to every `right`
+    * interval `[rStart, rEnd]` they overlap (both inclusive; touching
+    * endpoints overlap), with optional extra equality keys — same binning
+    * machinery as [[pointInInterval]], same column-name rules.
+    *
+    * Two overlapping intervals can share MANY bins; to keep each pair
+    * exactly once without a dedup shuffle, a pair is accepted only in its
+    * CANONICAL bin — the bin of `greatest(lStart, rStart)`, a value both
+    * sides cover, computable per matched row. Emitted exactly once because
+    * that bin is unique per pair. */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      binWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!left.columns.contains("_bin") && !right.columns.contains("_bin"),
+      "inputs must not contain the reserved column _bin")
+    def bin(c: Column): Column = GraftColumnBridge.column(IntegralDivide(
+      GraftColumnBridge.expression(c - pmod(c, lit(binWidth))),
+      GraftColumnBridge.expression(lit(binWidth))))
+    def explodeBins(df: DataFrame, s: String, e: String) = df
+      .filter(col(s) <= col(e))
+      .withColumn("_bin", explode(sequence(bin(col(s)), bin(col(e)))))
+    explodeBins(left, lStart, lEnd)
+      .join(explodeBins(right, rStart, rEnd), equiKeys :+ "_bin")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        bin(greatest(col(lStart), col(rStart))) === col("_bin"))
+      .drop("_bin")
+  }
 }

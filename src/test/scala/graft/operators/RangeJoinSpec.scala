@@ -62,6 +62,71 @@ class RangeJoinSpec extends SparkFunSuite {
       withKey = true))
   }
 
+  test("randomized differential: binned join equals naive for arbitrary geometry") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val binWidth = Seq(1L, 3L, 10L, 1000L)(round % 4)
+      val points = (1L to 60L).map(i => (i, rnd.between(-100L, 100L)))
+      val ivs = (1L to 40L).map { i =>
+        val s = rnd.between(-100L, 100L); (100L + i, s, s + rnd.between(0L, 50L))
+      }
+      val got = RangeJoin.pointInInterval(
+        points.toDF("pid", "p"), "p",
+        ivs.toDF("iid", "s", "e"), "s", "e", binWidth)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs (round $round)")
+      assert(got.toSet == naive(points, ivs), s"mismatch at binWidth=$binWidth")
+    }
+  }
+
+  test("coordinates beyond 2^53 bin exactly (nanosecond-epoch regime)") {
+    val base = 1L << 60
+    // p = base+1 sits inside [base-9, base+1]; double division would collapse
+    // base+1 and base-9 onto the same quotient and can mis-bin the point
+    val points = Seq((1L, base + 1L), (2L, base - 10L), (3L, -base - 1L))
+    val ivs = Seq((10L, base - 9L, base + 1L), (11L, -base - 5L, -base + 5L))
+    val got = RangeJoin.pointInInterval(
+      points.toDF("pid", "p"), "p",
+      ivs.toDF("iid", "s", "e"), "s", "e", binWidth = 10)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == naive(points, ivs))
+  }
+
+  private def naiveOverlap(ls: Seq[(Long, Long, Long)], rs: Seq[(Long, Long, Long)]):
+      Set[(Long, Long)] =
+    (for {
+      (lid, a, b) <- ls; (rid, c, d) <- rs
+      if a <= d && c <= b
+    } yield (lid, rid)).toSet
+
+  test("interval overlap: exactly-once pairs incl. many-shared-bin and touching endpoints") {
+    val ls = Seq((1L, 0L, 100L), (2L, 15L, 15L), (3L, 200L, 210L))
+    val rs = Seq((10L, 50L, 120L), (11L, 15L, 15L), (12L, 210L, 300L), (13L, 101L, 150L))
+    val got = RangeJoin.intervalOverlap(
+      ls.toDF("lid", "ls", "le"), "ls", "le",
+      rs.toDF("rid", "rs", "re"), "rs", "re", binWidth = 10)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "a pair was emitted more than once")
+    assert(got.toSet == naiveOverlap(ls, rs))
+  }
+
+  test("randomized differential: interval overlap equals naive") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 5) {
+      val binWidth = Seq(1L, 5L, 64L)(round % 3)
+      def mk(n: Int, idBase: Long) = (1 to n).map { i =>
+        val s = rnd.between(-80L, 80L); (idBase + i, s, s + rnd.between(0L, 40L))
+      }
+      val ls = mk(30, 0L); val rs = mk(30, 1000L)
+      val got = RangeJoin.intervalOverlap(
+        ls.toDF("lid", "ls", "le"), "ls", "le",
+        rs.toDF("rid", "rs", "re"), "rs", "re", binWidth)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicates (round $round)")
+      assert(got.toSet == naiveOverlap(ls, rs), s"mismatch at binWidth=$binWidth")
+    }
+  }
+
   test("plans as a shuffled equi-join, not a nested-loop join") {
     val points = Seq((1L, 5L)).toDF("pid", "p")
     val ivs = Seq((10L, 0L, 9L)).toDF("iid", "s", "e")
