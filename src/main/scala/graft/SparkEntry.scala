@@ -527,6 +527,20 @@ object SparkEntry {
           (col("doc_id") + 2000000L).as("id_b")))
       DupClusters.resolve(corpus, "doc_id", pairs).orderBy("doc_id")
     }),
+    // interval-overlap join: each event's [ts, ts+30min] window vs every
+    // same-user window it overlaps (symmetric |Δts| ≤ 30min, self included)
+    "q54_overlap_join" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      val halfHourUs = 1800L * 1000000L
+      def side(tag: String) = ev.select(col("event_id").as(s"${tag}_id"),
+        col("user_id"), unix_micros(col("ts")).as(s"${tag}_s"),
+        (unix_micros(col("ts")) + halfHourUs).as(s"${tag}_e"))
+      RangeJoin.intervalOverlap(side("a"), "a_s", "a_e", side("b"), "b_s", "b_e",
+        binWidth = halfHourUs, equiKeys = Seq("user_id"))
+        .groupBy(col("a_id").as("event_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .orderBy("event_id")
+    }),
     // scalar-function breadth: string + date kernel over orders
     "q37_scalar_funcs" -> ((s, dir) => {
       Tables(s, dir).orders
@@ -934,6 +948,12 @@ object SparkEntry {
     // chain dedup over the tripled corpus collapses every cluster back to
     // its original min-id row — the survivor set IS the documents table
     "q53_dedup_resolve" ->
-      "SELECT doc_id, lang FROM documents ORDER BY doc_id"
+      "SELECT doc_id, lang FROM documents ORDER BY doc_id",
+    "q54_overlap_join" ->
+      """SELECT a.event_id, count(*) AS n_overlap
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND a.ts <= b.ts + INTERVAL 30 MINUTE AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin
   )
 }
