@@ -541,6 +541,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlap"))
         .orderBy("event_id")
     }),
+    // RANGE-frame window: value-based (not row-count) moving aggregates —
+    // each row sees the trailing hour of its user's events. The moving sum
+    // accumulates exact decimals (a double running sum is order-dependent:
+    // DuckDB's segment trees fold in a different order)
+    "q55_range_frame" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-hourUs, 0)
+      Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value").cast("decimal(18,6)").as("v"))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_trailing_hour"),
+          sum(col("v")).over(w).cast("double").as("sum_trailing_hour"))
+        .orderBy("event_id")
+    }),
     // scalar-function breadth: string + date kernel over orders
     "q37_scalar_funcs" -> ((s, dir) => {
       Tables(s, dir).orders
@@ -954,6 +970,14 @@ object SparkEntry {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
         |  AND a.ts <= b.ts + INTERVAL 30 MINUTE AND b.ts <= a.ts + INTERVAL 30 MINUTE
-        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+    "q55_range_frame" ->
+      """SELECT event_id,
+        |  count(*) OVER w AS n_trailing_hour,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_trailing_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
   )
 }
