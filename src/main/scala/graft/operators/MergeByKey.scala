@@ -11,8 +11,11 @@ import graft.sources.ParquetLake
   * new keys append.
   *
   * Scale shape: only the Hive partitions that contain updated keys are
-  * read+rewritten (dynamic partition overwrite); untouched partitions are
-  * never opened. The merge itself is the ledger's PK-replace pattern
+  * read+rewritten, published through [[ParquetLake.overwritePartitionsStaged]]
+  * (crash-safe per-partition rename swap — NOT dynamic partition overwrite,
+  * whose delete-then-publish commit can destroy a partition's prior rows
+  * mid-crash); untouched partitions are never opened. The merge itself is
+  * the ledger's PK-replace pattern
   * (union → row_number keeping the preferred row per key) applied to data
   * tables, generalizing MetadataLedger.upsert.
   *
@@ -42,6 +45,7 @@ object MergeByKey {
     if (touchedCount == 0) return 0L
     val existing =
       if (!ParquetLake.exists(spark, root)) u.limit(0)
+      else if (partitionCols.isEmpty) spark.read.parquet(root) // whole table IS the scope
       else graft.sources.PartitionScope.scopeTo(
         spark.read.parquet(root), touched, literalThreshold = 256)
     val w = Window.partitionBy(keyCols.map(col): _*)

@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   * Because the point maps to a single bin and an interval covers each of its
   * bins once, a qualifying (point, interval) pair meets exactly once — no
   * dedup stage. The binning is exact floor division in long arithmetic
-  * (subtract `pmod`, then integral-divide the exact multiple) — no doubles,
-  * so coordinates beyond 2^53 (e.g. nanosecond epochs) bin correctly, and
-  * negative coordinates floor rather than truncate.
+  * (integral divide, minus one when the remainder is negative) — no
+  * doubles and no intermediate that can overflow, so the full long domain
+  * (nanosecond epochs beyond 2^53 included) bins correctly, and negative
+  * coordinates floor rather than truncate.
   *
   * Scale notes: shuffle volume is |points| + Σ bins-per-interval rows; pick
   * `binWidth` ≥ the typical interval length so most intervals hit 1-2 bins.
@@ -43,19 +44,9 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, startCol: String, endCol: String,
                       binWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
-    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
-      "inputs must not contain the reserved column _bin")
-    // exact floor(c / binWidth) in long arithmetic: c - pmod(c, w) is the
-    // floor multiple, and integral division of an exact multiple is exact
-    def bin(c: Column): Column = GraftColumnBridge.column(IntegralDivide(
-      GraftColumnBridge.expression(c - pmod(c, lit(binWidth))),
-      GraftColumnBridge.expression(lit(binWidth))))
-    val binned = intervals
-      .filter(col(startCol) <= col(endCol))
-      .withColumn("_bin", explode(sequence(bin(col(startCol)), bin(col(endCol)))))
-    val pts = points.withColumn("_bin", bin(col(pointCol)))
-    pts.join(binned, equiKeys :+ "_bin")
+    checkInputs(binWidth, points, intervals)
+    val pts = points.withColumn("_bin", bin(col(pointCol), binWidth))
+    pts.join(explodeBins(intervals, startCol, endCol, binWidth), equiKeys :+ "_bin")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_bin")
   }
@@ -73,19 +64,37 @@ object RangeJoin {
   def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
                       right: DataFrame, rStart: String, rEnd: String,
                       binWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
-    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    require(!left.columns.contains("_bin") && !right.columns.contains("_bin"),
-      "inputs must not contain the reserved column _bin")
-    def bin(c: Column): Column = GraftColumnBridge.column(IntegralDivide(
-      GraftColumnBridge.expression(c - pmod(c, lit(binWidth))),
-      GraftColumnBridge.expression(lit(binWidth))))
-    def explodeBins(df: DataFrame, s: String, e: String) = df
-      .filter(col(s) <= col(e))
-      .withColumn("_bin", explode(sequence(bin(col(s)), bin(col(e)))))
-    explodeBins(left, lStart, lEnd)
-      .join(explodeBins(right, rStart, rEnd), equiKeys :+ "_bin")
+    checkInputs(binWidth, left, right)
+    explodeBins(left, lStart, lEnd, binWidth)
+      .join(explodeBins(right, rStart, rEnd, binWidth), equiKeys :+ "_bin")
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
-        bin(greatest(col(lStart), col(rStart))) === col("_bin"))
+        bin(greatest(col(lStart), col(rStart)), binWidth) === col("_bin"))
       .drop("_bin")
+  }
+
+  /** Exact floor(c / binWidth) over the FULL long domain: integral divide
+    * truncates toward zero, so subtract one when the remainder is negative.
+    * (The remainder-based form never builds `c - pmod(c, w)`, whose
+    * subtraction overflows for c within binWidth of Long.MinValue.) This is
+    * THE binning contract both joins share — exactness and monotonicity are
+    * what make bin(p) ∈ [bin(start), bin(end)] for any covered point. */
+  private def bin(c: Column, binWidth: Long): Column = {
+    val q = GraftColumnBridge.column(IntegralDivide(
+      GraftColumnBridge.expression(c),
+      GraftColumnBridge.expression(lit(binWidth))))
+    q - when(c % binWidth < 0, 1L).otherwise(0L)
+  }
+
+  /** Intervals exploded to one row per covered bin; `start > end` rows are
+    * dropped (Spark's `sequence` would otherwise step backwards and
+    * fabricate bins). */
+  private def explodeBins(df: DataFrame, s: String, e: String, binWidth: Long) = df
+    .filter(col(s) <= col(e))
+    .withColumn("_bin", explode(sequence(bin(col(s), binWidth), bin(col(e), binWidth))))
+
+  private def checkInputs(binWidth: Long, a: DataFrame, b: DataFrame): Unit = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!a.columns.contains("_bin") && !b.columns.contains("_bin"),
+      "inputs must not contain the reserved column _bin")
   }
 }

@@ -56,12 +56,18 @@ object ParquetLake {
     * dir, recoverable by hand). Costs two renames per touched partition
     * over the plain dynamic overwrite. */
   def overwritePartitionsStaged(spark: SparkSession, df: DataFrame, root: String,
-                                partitionCols: Seq[String]): Unit = {
-    val hfs = fs(spark, root)
-    val staging = new Path(root + ".staging-" + System.nanoTime())
-    df.write.partitionBy(partitionCols: _*).parquet(staging.toString)
-    publishStaged(hfs, staging, root, partitionCols.length)
-  }
+                                partitionCols: Seq[String]): Unit =
+    if (partitionCols.isEmpty) {
+      // no partitions → "overwrite the touched partitions" degenerates to a
+      // whole-table replace; atomicReplace is the crash-safe form of that
+      // (publishStaged's per-partition swap needs ≥1 partition level)
+      atomicReplace(spark, df, root)
+    } else {
+      val hfs = fs(spark, root)
+      val staging = new Path(root + ".staging-" + System.nanoTime())
+      df.write.partitionBy(partitionCols: _*).parquet(staging.toString)
+      publishStaged(hfs, staging, root, partitionCols.length)
+    }
 
   /** Swap every depth-level partition dir under `staging` into `root` with
     * rename-aside → rename-in → delete old, then drop the staging dir (and

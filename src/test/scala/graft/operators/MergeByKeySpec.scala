@@ -15,6 +15,19 @@ class MergeByKeySpec extends SparkFunSuite {
     ).toDF("id", "part", "version", "payload")
       .write.partitionBy("part").parquet(root)
 
+  test("merge works on an unpartitioned table (whole-table atomic replace)") {
+    val root = tmpDir("merge_flat") + "/t"
+    Seq((1L, 1L, "a-v1"), (2L, 1L, "b-v1")).toDF("id", "version", "payload")
+      .write.parquet(root)
+    val updates = Seq((1L, 2L, "a-v2"), (3L, 1L, "c-v1")).toDF("id", "version", "payload")
+    MergeByKey.merge(spark, root, updates, Seq("id"), Nil, "version")
+    val got = spark.read.parquet(root).orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSeq
+    assert(got == Seq((1L, "a-v2"), (2L, "b-v1"), (3L, "c-v1")))
+    assert(!new File(root).getParentFile.listFiles()
+      .exists(_.getName.contains(".staging-")), "orphan staging dir left behind")
+  }
+
   test("merge replaces matched keys, appends new keys, rewrites only touched partitions") {
     val root = tmpDir("merge") + "/t"
     table(root)

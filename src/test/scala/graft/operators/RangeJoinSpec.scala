@@ -127,6 +127,17 @@ class RangeJoinSpec extends SparkFunSuite {
     }
   }
 
+  test("coordinates at the Long.MinValue edge bin without overflow") {
+    val lo = Long.MinValue
+    val points = Seq((1L, lo), (2L, lo + 3L))
+    val ivs = Seq((10L, lo, lo + 5L))
+    val got = RangeJoin.pointInInterval(
+      points.toDF("pid", "p"), "p",
+      ivs.toDF("iid", "s", "e"), "s", "e", binWidth = 10)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == naive(points, ivs))
+  }
+
   test("plans as a shuffled equi-join, not a nested-loop join") {
     val points = Seq((1L, 5L)).toDF("pid", "p")
     val ivs = Seq((10L, 0L, 9L)).toDF("iid", "s", "e")
