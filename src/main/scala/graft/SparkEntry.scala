@@ -226,16 +226,57 @@ object SparkEntry {
         "doc_id", "text", "lang", "n_chars", bucketWidth = 64, threshold = 0.8)
         .orderBy("id_a", "id_b")
     }),
-    // MinHash+LSH candidate pairs — no SQL-expressible oracle (signature
-    // hashing); correctness covered by DedupSpec with planted near-dups
+    // MinHash+LSH candidate pairs, oracle-gated by construction (the q53
+    // technique): corpus = documents plus an id-shifted EXACT copy of every
+    // document. Identical text ⇒ identical signature ⇒ every band collides,
+    // so the pair (d, d+1e6) MUST surface with est_jaccard exactly 1.0
+    // (32/32 agreeing hashes). Output = those planted pairs, plus
+    // well-formedness flags aggregated over the FULL pair set — a missed
+    // copy, an unordered pair, a duplicate emission or an out-of-range
+    // estimate each break the hash compare. (Natural near-dup pairs among
+    // the sf documents also surface; the offset filter is immune to them,
+    // so the gate holds at any SF.)
     "q24_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashCandidatePairs(Tables(s, dir).documents, "doc_id", "text")
-        .orderBy("id_a", "id_b")
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      // persist: the pair set feeds both the planted-pair rows and the
+      // sanity aggregate — one materialization instead of two sig pipelines
+      val pairs = Dedup.minhashCandidatePairs(corpus, "doc_id", "text").persist()
+      val sanity = pairs.agg(
+        bool_and(col("id_a") < col("id_b")).as("ordered_ok"),
+        bool_and(col("est_jaccard") >= 0.0 && col("est_jaccard") <= 1.0).as("est_in_range"),
+        (count(lit(1)) === count_distinct(col("id_a"), col("id_b"))).as("no_dup_pairs"))
+      pairs
+        .filter(col("id_b") === col("id_a") + 1000000L && col("est_jaccard") === 1.0)
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))
+        .crossJoin(broadcast(sanity))
+        .orderBy("id_a")
     }),
-    // SimHash signatures — no SQL oracle (64-bit bit votes); DedupSpec
+    // SimHash, oracle-gated through its exact algebraic invariants (the
+    // 64-bit xxhash votes have no SQL analog, but the signature is a
+    // bag-of-words SIGN of per-bit vote sums, so: word order can't change
+    // it, and tripling the text triples every vote sum without changing any
+    // sign). A broken bit loop, an order-dependent combine or a wrong
+    // threshold each flip at least one flag.
     "q25_simhash" -> ((s, dir) => {
-      Tables(s, dir).documents
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      val t = col("text")
+      val variants = Tables(s, dir).documents.select(col("doc_id"),
+        explode(array(
+          struct(lit(0).as("v"), t.as("t")),
+          struct(lit(1).as("v"), concat_ws(" ", t, t, t).as("t")),
+          struct(lit(2).as("v"), array_join(reverse(split(trim(t), "\\s+")), " ").as("t"))
+        )).as("x"))
+        .select(col("doc_id"), col("x.v").as("v"), col("x.t").as("t"))
+      val sigs = Dedup.simhashBulk(variants, Seq("doc_id", "v"), "t")
+      sigs.groupBy("doc_id").agg(
+        max(when(col("v") === 0, col("simhash"))).as("s1"),
+        max(when(col("v") === 1, col("simhash"))).as("s3"),
+        max(when(col("v") === 2, col("simhash"))).as("sr"))
+        .select(col("doc_id"),
+          (col("s1") === col("s3")).as("triple_invariant"),
+          (col("s1") === col("sr")).as("order_invariant"),
+          Dedup.hamming64(col("s1"), col("s3")).as("ham_triple"))
         .orderBy("doc_id")
     }),
     // ------------------------------------- LLM-pipeline: embeddings
@@ -253,18 +294,41 @@ object SparkEntry {
       Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 10)
         .orderBy("query_id", "rank")
     }),
+    // Embedding near-dup pairs through the LSH-BLOCKED path (the 100 TB
+    // shape: pairs only ever meet inside a bucket, never an all-pairs
+    // shuffle), gated by a construction where blocking is provably
+    // lossless: a planted exact copy of every vector shares its source's
+    // bucket by construction (identical vector ⇒ identical projections),
+    // and the 0.999 threshold excludes every natural pair (measured max
+    // natural cosine in the corpus is ≈0.6 at every SF). Blocked output ==
+    // exact output == the planted pairs, with scores in closed form.
     "q28_embedding_neardup" -> ((s, dir) => {
-      Similarity.cosineNearDupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
-        threshold = 0.35)
+      val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(
+        emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.999, blocked = true)
         .orderBy("id_a", "id_b")
     }),
-    // LSH-bucketed ANN — no SQL oracle (hyperplane hashing); SimilaritySpec
-    // checks recall against q27's exact result
+    // LSH-bucketed ANN, oracle-gated by construction: 10 exact copies of
+    // every query vector are planted into the corpus. Identical vectors
+    // share the query's bucket by construction, and all score exactly the
+    // query's self-cosine — far above any natural neighbor (max natural
+    // cosine ≈0.6) — so the top-10 per query is {self, 9 lowest-id copies}
+    // in closed form, ties broken by neighbor_id exactly as the operator
+    // documents. A wrong bucket assignment, probe, or tie-break each
+    // change the row set.
     "q29_ann_lsh" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val q = t.embeddings.filter(col("vec_id") < 8)
+      val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.lshTopK(t.embeddings, "vec_id", "embedding", q, 10, planes = 6)
+      val copies = q
+        .withColumn("j", explode(sequence(lit(1L), lit(10L))))
+        .select((col("query_id") + col("j") * 100000L).as("vec_id"),
+          col("query_vec").as("embedding"))
+      val corpus = emb.unionByName(copies)
+      Similarity.lshTopK(corpus, "vec_id", "embedding", q, 10, planes = 6)
         .orderBy("query_id", "rank")
     }),
     // ------------------------------------- events + multimodal
@@ -377,14 +441,20 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_name")
     }),
-    // IVF ANN — data-adaptive cells vs q29's data-oblivious hyperplanes; no
-    // SQL oracle (k-means); IvfIndexSpec proves nProbe=nCells == brute force
+    // IVF ANN — data-adaptive cells vs q29's data-oblivious hyperplanes —
+    // oracle-gated by full-probe equivalence: with nProbe = nCells every
+    // cell is probed, so the whole index path (deterministic k-means build,
+    // packed-centroid assignment, probe selection, exact re-rank) must
+    // reproduce the brute-force top-k bit-for-bit; a vector routed to the
+    // wrong cell, a mis-ranked probe or a broken re-rank each surface as a
+    // missing or reordered row. The nProbe < nCells speed path is gated by
+    // IvfIndexSpec's recall differential.
     "q41_ann_ivf" -> ((s, dir) => {
       val t = Tables(s, dir)
       val q = t.embeddings.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       IvfIndex.topK(t.embeddings, "vec_id", "embedding", q, k = 10,
-        nCells = 16, nProbe = 4)
+        nCells = 16, nProbe = 16)
         .orderBy("query_id", "rank")
     }),
     // bigram counts via array zip (mirrored list_zip oracle)
@@ -399,13 +469,18 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term"), col("next"))
         .limit(20)
     }),
-    // exact interpolated percentiles (R-7 in both engines)
+    // exact interpolated percentiles (R-7 in both engines); the three price
+    // quantiles share ONE percentile buffer (array form) — separate agg
+    // calls each collect the 600k values into their own buffer, measured 2×
     "q43_quantiles" -> ((s, dir) => {
       Tables(s, dir).lineitem.agg(
-        expr("round(percentile(l_extendedprice, 0.25), 4)").as("p25"),
-        expr("round(percentile(l_extendedprice, 0.5), 4)").as("p50"),
-        expr("round(percentile(l_extendedprice, 0.75), 4)").as("p75"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("pp"),
         expr("round(percentile(l_quantity, 0.5), 4)").as("qty_median"))
+        .select(
+          round(element_at(col("pp"), 1), 4).as("p25"),
+          round(element_at(col("pp"), 2), 4).as("p50"),
+          round(element_at(col("pp"), 3), 4).as("p75"),
+          col("qty_median"))
     }),
     // deterministic hash train/val split — stable in the key, so the exact
     // assignment reproduces in any engine (oracle shares the md5 logic)
@@ -416,14 +491,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("split", "lang")
     }),
-    // near-dup clusters: minhash pairs -> connected components -> kept docs
-    // (iterative label propagation: no SQL oracle; DupClustersSpec gates it)
+    // End-to-end near-dup clustering (minhash pairs → connected components
+    // → resolve), oracle-gated by construction: every document row gets a
+    // synthetic text of 12 md5(doc_id:i) words — unique per document, zero
+    // shingle overlap across documents (natural texts can't be used here:
+    // the sf corpus contains near-dup pairs at shingle-Jaccard 0.99, which
+    // collide on all 32 minhashes with high probability) — and is tripled
+    // under id shifts. Each triple is fully linked at est_jaccard exactly
+    // 1.0; the est = 1.0 filter plus disjoint shingle sets make the cluster
+    // set exactly the triples, so resolve must collapse the corpus back to
+    // precisely the original (doc_id, lang) table.
     "q45_dup_clusters" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      val base = Tables(s, dir).documents.select(col("doc_id"), col("lang"),
+        concat_ws(" ", (0 until 12).map(i =>
+          md5(concat(col("doc_id").cast("string"), lit(s":w$i")))): _*).as("text"))
+      def shifted(k: Long) = base.select(
+        (col("doc_id") + k * 1000000L).as("doc_id"), col("lang"), col("text"))
+      val corpus = base.unionByName(shifted(1)).unionByName(shifted(2))
+      val pairs = Dedup.minhashCandidatePairs(corpus, "doc_id", "text")
+        .filter(col("est_jaccard") === 1.0)
         .select("id_a", "id_b")
-      DupClusters.resolve(docs, "doc_id", pairs)
-        .select("doc_id", "lang", "n_chars")
+      DupClusters.resolve(corpus, "doc_id", pairs)
+        .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
     // CUBE: all grouping-set combinations
@@ -465,7 +554,7 @@ object SparkEntry {
       val exactUsers = count_distinct(col("user_id"))
       val approxUsers = approx_count_distinct(col("user_id"), rsd = 0.01)
       val exactMedian = expr("percentile(value, 0.5)")
-      val approxMedian = percentile_approx(col("value"), lit(0.5), lit(10000))
+      val approxMedian = percentile_approx(col("value"), lit(0.5), lit(2000))
       Tables(s, dir).events.agg(
         exactUsers.as("exact_users"),
         (abs(approxUsers - exactUsers) <= exactUsers * 0.05).as("approx_users_ok"),
@@ -572,6 +661,32 @@ object SparkEntry {
           datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
             .cast("long").as("days_since"))
         .orderBy("o_orderkey")
+    }),
+    // salted skew join: the salt/replicate/join/unsalt round trip must be
+    // result-identical to the plain inner join the oracle states
+    "q56_skew_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.operators.SkewJoin.saltedInnerJoin(
+        t.orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        t.customer.select(col("c_custkey").as("o_custkey"), col("c_name")),
+        "o_custkey", salt = 8)
+        .orderBy("o_orderkey")
+    }),
+    // deep-chain connected components: 50 id-shifted copies per document,
+    // linked ONLY consecutively — recovering the clusters needs a 49-hop
+    // transitive closure, which the pointer-jumping CC must collapse (the
+    // spec additionally asserts it converges in O(log chain) rounds, not 49)
+    "q57_chain_components" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .filter(col("doc_id") < 100).select("doc_id", "lang")
+      def shifted(k: Int) = docs.select(
+        (col("doc_id") + k * 1000000L).as("doc_id"), col("lang"))
+      val corpus = (1 until 50).foldLeft(docs)((acc, k) => acc.unionByName(shifted(k)))
+      val pairs = (0 until 49).map { k =>
+        docs.select((col("doc_id") + k * 1000000L).as("id_a"),
+          (col("doc_id") + (k + 1) * 1000000L).as("id_b"))
+      }.reduce(_ unionByName _)
+      DupClusters.resolve(corpus, "doc_id", pairs).orderBy("doc_id")
     })
   )
 
@@ -776,17 +891,40 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // blocked near-dup on the copy-planted corpus: the only pairs at or
+    // above 0.999 are each vector and its planted identical copy, whose
+    // score is the self-cosine in closed form (same expression tree as the
+    // Spark side ⇒ bit-identical doubles)
+    "q24_minhash_pairs" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |  CAST(1.0 AS DOUBLE) AS est_jaccard,
+        |  TRUE AS ordered_ok, TRUE AS est_in_range, TRUE AS no_dup_pairs
+        |FROM documents ORDER BY id_a""".stripMargin,
+    "q25_simhash" ->
+      """SELECT doc_id, TRUE AS triple_invariant, TRUE AS order_invariant,
+        |  CAST(0 AS INTEGER) AS ham_triple
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q28_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_inner_product(a.v, b.v)
-        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
+        |SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+        |  list_inner_product(v, v)
+        |    / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(v, v)))
         |    AS score
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_inner_product(a.v, b.v)
-        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
-        |    >= CAST(0.35 AS DOUBLE)
-        |ORDER BY id_a, id_b""".stripMargin,
+        |FROM e ORDER BY id_a""".stripMargin,
+    "q29_ann_lsh" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT vec_id AS query_id,
+        |        list_inner_product(v, v)
+        |          / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(v, v)))
+        |          AS score
+        |      FROM q),
+        |r AS (SELECT query_id, score, unnest(generate_series(1, 10)) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank,
+        |  CASE WHEN rank = 1 THEN query_id
+        |       ELSE query_id + (rank - 1) * 100000 END AS neighbor_id,
+        |  score
+        |FROM r ORDER BY query_id, rank""".stripMargin,
     "q30_event_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |count(*) AS n_events, round(sum(value), 4) AS value_sum,
@@ -891,6 +1029,26 @@ object SparkEntry {
         |SELECT col_name, n, n_null, n_distinct, min_v, max_v, sum_v,
         |       CASE WHEN n > n_null THEN sum_v / (n - n_null) END AS mean_v
         |FROM s ORDER BY col_name""".stripMargin,
+    // full-probe IVF == exact brute force (same SQL as q27's oracle)
+    "q41_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_inner_product(e.v, q.qv)
+        |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))
+        |      AS score
+        |  FROM e CROSS JOIN q),
+        |ranked AS (SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // tripled synthetic-text corpus collapses back to exactly the original
+    // table (same construction argument as q53, but the pairs come from the
+    // real minhash pipeline instead of being synthesized)
+    "q45_dup_clusters" ->
+      "SELECT doc_id, lang FROM documents ORDER BY doc_id",
     "q42_bigram_counts" ->
       """WITH arr AS (SELECT regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
         |pairs AS (SELECT unnest(list_zip(a, a[2:])) AS p FROM arr),
@@ -978,6 +1136,13 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q56_skew_join" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice, c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // 49-hop chains collapse to their minimum (original) ids
+    "q57_chain_components" ->
+      "SELECT doc_id, lang FROM documents WHERE doc_id < 100 ORDER BY doc_id"
   )
 }

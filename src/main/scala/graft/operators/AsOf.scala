@@ -31,6 +31,10 @@ object AsOf {
     * payload column (an as-of row that never existed). */
   def joinLastBefore(left: DataFrame, right: DataFrame, keyCol: String,
                      ordCol: String, payload: Seq[String]): DataFrame = {
+    val reserved = Set("_side", "_asof", "_asof_payload")
+    require(!left.columns.exists(reserved) && !right.columns.exists(reserved),
+      s"inputs must not contain the reserved columns ${reserved.mkString("/")} — " +
+        "a caller-supplied one would silently be read as the as-of state")
     val leftCols = left.columns.toSeq
     val l = left.withColumn("_side", lit(1))
     // a right row with an unknown (null) order key can never be "the most

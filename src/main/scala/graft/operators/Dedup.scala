@@ -67,6 +67,10 @@ object Dedup {
     * one k-wide row per doc. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 32, shingleN: Int = 3): DataFrame = {
+    require(shingleN >= 1 && shingleN <= PolyCoef.length,
+      s"shingleN ($shingleN) must be in [1, ${PolyCoef.length}]: larger values " +
+        "overrun the positional-coefficient table and void the documented " +
+        "ANSI no-overflow bound (< 2^62)")
     // one projection materializing the 32-bit word-hash array (each word
     // hashed once); Spark 4 runs ANSI mode, so the combine must provably
     // not overflow: h32 < 2^32 times coef < 2^27, n ≤ 6 terms → < 2^62
@@ -105,23 +109,34 @@ object Dedup {
     * self-join: a self-join would evaluate the whole signature pipeline
     * twice (no exchange reuse across a BroadcastExchange — measured 2×),
     * while this shape computes signatures once and shuffles them once.
-    * Bucket skew caveat: a degenerate bucket (thousands of mutual
-    * near-dups) concentrates its O(m²) pairs in one task — the same
-    * blowup a self-join would hit; cap bucket size upstream if the corpus
-    * is adversarial. */
+    *
+    * Bucket-skew guard: a degenerate bucket (thousands of mutual near-dups
+    * — boilerplate-heavy corpora produce them) would otherwise concentrate
+    * O(m²) pairs AND an O(m)-element array in ONE task. Members are
+    * therefore ranked inside their bucket (a window on the same
+    * (band, bucket) partitioning — no extra exchange, the sort is
+    * streaming+spillable) and buckets are truncated to the `maxBucket`
+    * lowest-id members before the collect_list, bounding per-task work at
+    * maxBucket² pair emissions and per-row state at maxBucket structs.
+    * Truncation is deterministic (lowest ids survive) and only LOSES
+    * candidate pairs between two beyond-cap members of one band — members
+    * of a capped bucket are by definition mutual near-dups, so the
+    * surviving cap-sized clique still links the cluster for downstream
+    * connected components. Audit oversized buckets with
+    * [[minhashBucketProfile]] before lowering the cap. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                            k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+                            k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                            maxBucket: Int = 256): DataFrame = {
     require(k % bands == 0,
       s"k ($k) must divide evenly into bands ($bands) — trailing hashes would be silently unused")
-    val rows = k / bands
-    val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"), xxhash64(array_join(transform(
-        slice(col("sig"), b * rows + 1, rows), x => x.cast("string")), ",")).as("bucket"))
-    }
-    val banded = sigs.select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val buckets = banded.groupBy("band", "bucket")
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2 to emit any pair")
+    val banded = bandedSignatures(df, idCol, textCol, k, bands, shingleN)
+    val wb = Window.partitionBy("band", "bucket").orderBy("id")
+    val buckets = banded
+      .withColumn("_r", row_number().over(wb))
+      .filter(col("_r") <= maxBucket)
+      .drop("_r")
+      .groupBy("band", "bucket")
       .agg(collect_list(struct(col("id"), col("sig"))).as("ms"))
       .filter(size(col("ms")) > 1)
     buckets
@@ -138,13 +153,68 @@ object Dedup {
       .distinct()
   }
 
+  /** (id, sig, band, bucket) — one row per document per band. */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                               k: Int, bands: Int, shingleN: Int): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(array_join(transform(
+        slice(col("sig"), b * rows + 1, rows), x => x.cast("string")), ",")).as("bucket"))
+    }
+    sigs.select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Skew audit for [[minhashCandidatePairs]]: the (band, bucket) groups
+    * whose member count exceeds `minSize`, largest first. Run it when a
+    * corpus may be boilerplate-heavy to see what a given `maxBucket` cap
+    * will truncate (each listed bucket drops its pairs beyond the cap's
+    * lowest-id clique). */
+  def minhashBucketProfile(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                           minSize: Int = 2): DataFrame =
+    bandedSignatures(df, idCol, textCol, k, bands, shingleN)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= minSize)
+      .orderBy(col("n_members").desc, col("band"), col("bucket"))
+
   // -------------------------------------------------------------- simhash
+
+  /** Bulk 64-bit SimHash: one `simhash` per input row, computed through the
+    * explode → groupBy shape — each word is hashed ONCE, the 64 bit-vote
+    * sums are partial aggregates (map-side combined; the shuffle carries 64
+    * longs per key), and the sign/packing step is a tiny post-agg
+    * projection. This is the 100 TB path: the scalar [[simhash64]] Column
+    * re-evaluates its word-hash array inside each of the 64 per-bit
+    * aggregate lambdas (projection collapse duplicates it 64×, measured
+    * ~60× slower at corpus scale) and exists for small-data composition
+    * only. Semantics are identical: same tokens, same votes, same packing.
+    *
+    * `keys` must uniquely identify rows (extra columns ride along). */
+  def simhashBulk(df: DataFrame, keys: Seq[String], textCol: String): DataFrame = {
+    require(keys.nonEmpty, "simhashBulk needs at least one key column")
+    val words = df.select(keys.map(col) :+
+      explode(split(trim(col(textCol)), "\\s+")).as("_w"): _*)
+      .select(keys.map(col) :+ xxhash64(col("_w")).as("_h"): _*)
+    val sums = (0 until 64).map { i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"_b$i")
+    }
+    words.groupBy(keys.map(col): _*)
+      .agg(sums.head, sums.tail: _*)
+      .select(keys.map(col) :+
+        (0 until 64).map(i => when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"): _*)
+  }
 
   /** 64-bit SimHash over word hashes, computed per-row with higher-order
     * functions: each word votes ±1 on each bit of its xxhash64; the sign of
     * the per-bit sum becomes the signature bit. The 64 bit positions are
     * unrolled at plan-build time so every shift amount is a literal
-    * (codegen-friendly; no variable-shift expression exists in the API). */
+    * (codegen-friendly; no variable-shift expression exists in the API).
+    * For corpus-scale signatures use [[simhashBulk]] — this Column form
+    * re-evaluates the word-hash array per bit. */
   def simhash64(text: Column): Column = {
     val hashes = transform(split(trim(text), "\\s+"), w => xxhash64(w))
     val bits = (0 until 64).map { i =>

@@ -8,12 +8,20 @@ import org.apache.spark.sql.functions._
   * canonical representative per component — the step between "found pairs"
   * and "deduplicated corpus".
   *
-  * Components via iterative min-label propagation: every node starts
-  * labeled with itself; each round it adopts the minimum label among
-  * itself and its neighbors. Converges in graph-diameter rounds (dup
-  * clusters are shallow in practice); each round is one join + aggregate,
-  * checkpointed so lineage stays flat. No driver-side graph state — at
-  * 100 TB the edge list never leaves the cluster.
+  * Components via min-label propagation with pointer jumping: every node
+  * starts labeled with itself; each round it (1) adopts the minimum label
+  * among itself and its neighbors, then (2) jumps to its label's label
+  * (path halving). Propagation alone needs graph-diameter rounds; the jump
+  * step composes label chains, so a diameter-d chain converges in O(log d)
+  * rounds — each round two joins + an aggregate, checkpointed so lineage
+  * stays flat. No driver-side graph state — at 100 TB the edge list never
+  * leaves the cluster.
+  *
+  * Materialization is `localCheckpoint`: executor-stored, lineage
+  * truncated. Acceptable here because components is a pure derivation —
+  * an executor loss mid-run kills the job but no state, and a rerun
+  * rebuilds everything from the (still intact) inputs. Read-modify-write
+  * callers need durable staging instead (see MergeByKey).
   */
 object DupClusters {
 
@@ -24,7 +32,13 @@ object DupClusters {
     * implicitly their own cluster). Throws if the fixpoint isn't reached
     * within `maxIters` — returning unconverged labels would let duplicates
     * silently survive. */
-  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    componentsWithRounds(pairs, maxIters)._1
+
+  /** [[components]] plus the number of rounds it took — the convergence
+    * contract (O(log diameter), thanks to pointer jumping) is asserted by
+    * DupClustersSpec against deep chains. */
+  def componentsWithRounds(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
@@ -36,13 +50,30 @@ object DupClusters {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("nl").as("min_nbr"))
-      // one checkpoint per round holds (prev, next) side by side so the
-      // convergence probe reads it instead of re-running the join; dropped
-      // generations are reclaimed by the ContextCleaner once dereferenced
-      val step = labels.join(nbrMin, Seq("id"), "left")
+      // checkpoint before the self-join below: a self-join re-executes its
+      // subplan (no exchange reuse), which would double every round's
+      // join+agg; against the checkpoint it's two cached-block scans.
+      // LAZY (eager=false): an eager checkpoint is its own job, and at
+      // per-round granularity job-launch overhead dominates — the first
+      // stage that reads `prop` materializes it, the sibling stage reuses.
+      val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      // pointer jump: label ← label(label). Labels only ever decrease and
+      // stay within the component (label(x) ≤ x by induction), so the jump
+      // preserves the fixpoint while halving chain depth each round —
+      // this is what turns diameter-d convergence into O(log d).
+      // one checkpoint per round holds (prev, next) side by side; lazy —
+      // the convergence probe below is the action that materializes it, and
+      // the next round's joins then read the cached blocks. Dropped
+      // generations are reclaimed by the ContextCleaner once dereferenced.
+      val step = prop
+        .join(prop.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), col("prev"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint(false)
       converged = step.filter(col("label") =!= col("prev")).limit(1).isEmpty
       labels = step.drop("prev")
       i += 1
@@ -51,7 +82,7 @@ object DupClusters {
       throw new IllegalStateException(
         s"components did not converge in $maxIters iterations — raise maxIters " +
           "(graph diameter exceeds it)")
-    labels.withColumnRenamed("label", "cluster_id")
+    (labels.withColumnRenamed("label", "cluster_id"), i)
   }
 
   /** Deduplicate `df`: keep ONE surviving row per duplicate cluster (the

@@ -31,11 +31,18 @@ object IvfIndex {
   def centroids(corpus: DataFrame, idCol: String, vecCol: String,
                 nCells: Int, iters: Int = 2): DataFrame = {
     val asDouble = transform(col(vecCol), x => x.cast("double"))
+    // the numbering window runs over ≤ nCells rows (post-limit), so the
+    // single partition is intentional; the constant partitionBy key only
+    // suppresses Spark's "no partition defined for window" warning, which
+    // would otherwise bury real single-partition regressions in the logs.
+    // localCheckpoint durability note: index build is a pure derivation —
+    // an executor loss fails the job, a rerun rebuilds from intact inputs.
     var cents = corpus
       .select(col(idCol).as("cid"), asDouble.as("centroid"))
       .withColumn("_h", xxhash64(col("cid")))
       .orderBy("_h").limit(nCells)
-      .select((row_number().over(Window.orderBy("_h")) - 1).as("cell_id"), col("centroid"))
+      .select((row_number().over(Window.partitionBy(lit(0)).orderBy("_h")) - 1).as("cell_id"),
+        col("centroid"))
       .localCheckpoint(true)
     val vecs = corpus.select(col(idCol).as("vid"), asDouble.as("v"))
     (1 to iters).foreach { _ =>

@@ -38,29 +38,45 @@ object MergeByKey {
     require(!updates.columns.contains("_src") && !updates.columns.contains("_rn"),
       "updates must not contain reserved columns _src/_rn")
     // one materialization of the (possibly expensive) updates lineage; the
-    // touched-set, union and write below all reuse it
-    val u = updates.localCheckpoint(true)
-    val touched = u.select(partitionCols.map(col): _*).distinct()
-    val touchedCount = touched.count()
-    if (touchedCount == 0) return 0L
-    val existing =
-      if (!ParquetLake.exists(spark, root)) u.limit(0)
-      else if (partitionCols.isEmpty) spark.read.parquet(root) // whole table IS the scope
-      else graft.sources.PartitionScope.scopeTo(
-        spark.read.parquet(root), touched, literalThreshold = 256)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("_src").desc)
-    val merged = existing.withColumn("_src", lit(0))
-      .unionByName(u.withColumn("_src", lit(1)))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_src")
-      .localCheckpoint(true) // materialize before overwriting what we read
-    // staged swap, not dynamic overwrite: merge is read-modify-write, and a
-    // crash inside dynamic-overwrite's delete-then-publish commit would
-    // destroy the partition's prior rows — a replayed merge would then read
-    // the half-destroyed state and persist the loss
-    ParquetLake.overwritePartitionsStaged(spark, merged, root, partitionCols)
-    touchedCount
+    // touched-set, union and write below all reuse it. Staged to DURABLE
+    // parquet, not localCheckpoint: merge is read-modify-write, and a local
+    // checkpoint lives in executor storage with lineage truncated — on a
+    // real cluster one lost executor mid-merge would kill the job with no
+    // way to recompute. A file-backed stage survives executor loss (tasks
+    // re-read the file) and costs one extra write of just the updates.
+    val updStaging = new org.apache.hadoop.fs.Path(root + ".updates-" + System.nanoTime())
+    val hfs = updStaging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    updates.write.parquet(updStaging.toString)
+    try {
+      // explicit schema: an all-empty updates write may produce zero part
+      // files, which schema inference would reject
+      val u = spark.read.schema(updates.schema).parquet(updStaging.toString)
+      val touched = u.select(partitionCols.map(col): _*).distinct()
+      val touchedCount = touched.count()
+      if (touchedCount == 0) return 0L
+      val existing =
+        if (!ParquetLake.exists(spark, root)) u.limit(0)
+        else if (partitionCols.isEmpty) spark.read.parquet(root) // whole table IS the scope
+        else graft.sources.PartitionScope.scopeTo(
+          spark.read.parquet(root), touched, literalThreshold = 256)
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(versionCol).desc, col("_src").desc)
+      val merged = existing.withColumn("_src", lit(0))
+        .unionByName(u.withColumn("_src", lit(1)))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_src")
+      // staged swap, not dynamic overwrite: a crash inside
+      // dynamic-overwrite's delete-then-publish commit would destroy the
+      // partition's prior rows — a replayed merge would then read the
+      // half-destroyed state and persist the loss. The staged write also
+      // fully materializes `merged` (from the intact table + the staged
+      // updates file) BEFORE any live file moves, so no separate
+      // checkpoint of the merge result is needed.
+      ParquetLake.overwritePartitionsStaged(spark, merged, root, partitionCols)
+      touchedCount
+    } finally {
+      hfs.delete(updStaging, true)
+    }
   }
 }

@@ -44,4 +44,83 @@ object Resample {
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** Skew-proof [[forwardFill]] for fixed-duration steps: identical output,
+    * but the grid is generated and filled per (key, chunk) — one degenerate
+    * key with a decade-long span at fine granularity spreads over
+    * span/chunkSeconds tasks instead of exploding one giant slot array and
+    * sorting the whole key in one window task.
+    *
+    * Three phases:
+    *  1. chunked grid: per key, explode the CHUNK index range (coarse),
+    *     then the slot offsets inside each chunk — every generated array is
+    *     ≤ chunkSeconds/stepSeconds elements, and slot values are exact
+    *     integer arithmetic from the key's min slot (`lo + n·step`);
+    *  2. within-chunk forward fill — window partitioned by (key, chunk);
+    *  3. cross-chunk carry on per-chunk SUMMARY rows (latest non-null value
+    *     per chunk, then a running `last ignoreNulls` over the chunk
+    *     sequence per key) joined back to patch each chunk's leading nulls.
+    *
+    * `stepSeconds` replaces [[forwardFill]]'s interval column: chunking
+    * needs slot arithmetic, which calendar intervals (months) don't admit.
+    */
+  def forwardFillBucketed(df: DataFrame, keys: Seq[String], tsCol: String,
+                          valCols: Seq[String], stepSeconds: Long,
+                          chunkSeconds: Long = 32L * 86400L): DataFrame = {
+    require(keys.nonEmpty, "forwardFillBucketed needs at least one partition key")
+    require(valCols.nonEmpty, "forwardFillBucketed needs at least one value column")
+    require(stepSeconds > 0 && chunkSeconds >= stepSeconds,
+      s"need stepSeconds > 0 and chunkSeconds >= stepSeconds ($stepSeconds/$chunkSeconds)")
+    val reserved = Seq("_lo_s", "_hi_s", "_ck", "_n", "_ts_s", "_carry")
+    require(!df.columns.exists(c => reserved.contains(c) || c.startsWith("_last__")),
+      s"input must not contain reserved columns ${reserved.mkString("/")}/_last__*")
+    val k = keys.map(col)
+    val chunkOf = (s: Column) => floor(s / chunkSeconds).cast("long")
+    // 1. per-key span in whole seconds → chunk range → in-chunk slot range.
+    //    Slot n lives at lo + n·step; chunk ck covers slots with
+    //    ck·chunk ≤ lo + n·step < (ck+1)·chunk, clamped to [0, nMax].
+    val span = df.groupBy(k: _*)
+      .agg(min(unix_timestamp(col(tsCol))).as("_lo_s"),
+        max(unix_timestamp(col(tsCol))).as("_hi_s"))
+    val chunked = span.select(k ++ Seq(col("_lo_s"), col("_hi_s"),
+      explode(sequence(chunkOf(col("_lo_s")), chunkOf(col("_hi_s")))).as("_ck")): _*)
+    val n0 = greatest(lit(0L),
+      ceil((col("_ck") * chunkSeconds - col("_lo_s")).cast("double") / stepSeconds).cast("long"))
+    val nMax = floor((col("_hi_s") - col("_lo_s")) / stepSeconds).cast("long")
+    val n1 = least(nMax,
+      floor(((col("_ck") + 1) * chunkSeconds - 1 - col("_lo_s")) / stepSeconds).cast("long"))
+    val grid = chunked
+      .filter(n1 >= n0) // a chunk may hold no slot when step > chunk overlap
+      .select(k ++ Seq(col("_ck"),
+        explode(transform(sequence(n0, n1),
+          n => col("_lo_s") + n * stepSeconds)).as("_ts_s")): _*)
+      .select(k ++ Seq(col("_ck"), timestamp_seconds(col("_ts_s")).as(tsCol)): _*)
+    // 2. join observations, fill within (key, chunk)
+    val wc = Window.partitionBy(k :+ col("_ck"): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = valCols.foldLeft(grid.join(df, keys :+ tsCol, "left")) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(wc))
+    }
+    // 3. carry: per (key, chunk) the latest filled value is simply the last
+    //    slot's (step 2 already propagated within the chunk); a running
+    //    last-ignoreNulls over PRIOR chunks gives each chunk its carry-in
+    val wk = Window.partitionBy(k: _*).orderBy(col("_ck"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // max(struct(ts, v)) = the chunk's LAST slot (ts is unique per slot);
+    // after step 2 its value is null iff the whole chunk is null — exactly
+    // the carry semantics (all-null chunks cascade the earlier carry)
+    val lastAggs = valCols.map(c =>
+      max(struct(col(tsCol).as("t"), col(c).as("v"))).getField("v").as(s"_last__$c"))
+    val summaries = local
+      .groupBy(k :+ col("_ck"): _*)
+      .agg(lastAggs.head, lastAggs.tail: _*)
+    val carries = valCols.foldLeft(summaries) { (d, c) =>
+      d.withColumn(s"_last__$c", last(col(s"_last__$c"), ignoreNulls = true).over(wk))
+    }
+    val patched = valCols.foldLeft(
+      local.join(carries, keys :+ "_ck", "left")) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"_last__$c")))
+    }
+    patched.drop("_ck" +: valCols.map(c => s"_last__$c"): _*)
+  }
 }

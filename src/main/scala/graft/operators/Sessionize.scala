@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * (user_id, ordered by ts) so Spark plans a single shuffle + sort and the
   * second window reuses it — check `.explain`: one Exchange, one Sort.
   * Skewed users (one user = one partition's worth of events) are the scale
-  * risk; AQE skew handling doesn't split windows, so for 100 TB the salted
-  * variant would pre-split by (user_id, day) — the gap rule only needs
-  * in-day locality once sessions are capped at day boundaries.
+  * risk; AQE skew handling doesn't split windows, so for 100 TB use
+  * [[assignSessionsBucketed]], which pre-splits every user by a coarse
+  * time bucket and stitches sessions across bucket boundaries — same
+  * result, per-task work bounded by one (user, bucket).
   */
 object Sessionize {
 
@@ -35,6 +36,68 @@ object Sessionize {
       .withColumn("session_id", sum(col("_new_session"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("_prev_ts", "_new_session")
+  }
+
+  /** Skew-proof [[assignSessions]]: identical output, but no single task
+    * ever holds more than one (user, coarse time bucket) of events.
+    *
+    * Two phases:
+    *  1. local sessionization per (user, bucket) — the window partitions on
+    *     BOTH columns, so a degenerate user (months of firehose events)
+    *     spreads over bucketCount tasks instead of stalling one;
+    *  2. boundary stitching on the per-bucket SUMMARY rows (one row per
+    *     (user, bucket) — orders of magnitude smaller): a bucket's first
+    *     session merges with the previous bucket's last session iff the
+    *     boundary gap is within `gapMinutes` (there are no intervening
+    *     events by construction), and a running offset re-bases each
+    *     bucket's local session numbers onto the global sequence:
+    *     global = Σ_{b'<b} sessions(b') − Σ_{b'≤b} merged(b') + local.
+    *
+    * The stitch windows partition by user alone but run over per-bucket
+    * summaries, so the degenerate task is `buckets per user` rows — pick
+    * `bucketHours` so that stays small (default: one summary row per
+    * user-day). */
+  def assignSessionsBucketed(events: DataFrame, userCol: String, tsCol: String,
+                             gapMinutes: Int = 30, tieBreak: Seq[String] = Nil,
+                             bucketHours: Int = 24): DataFrame = {
+    val reserved = Seq("_bk", "_prev_ts", "_new_local", "_ls", "_first_s", "_last_s",
+      "_n_sessions", "_prev_last_s", "_merge", "_base")
+    require(!events.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    val gapSec = gapMinutes * 60L
+    val bucketSec = bucketHours * 3600L
+    val wLocal = Window.partitionBy(col(userCol), col("_bk"))
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val flagged = events
+      .withColumn("_bk", floor(unix_timestamp(col(tsCol)) / bucketSec))
+      .withColumn("_prev_ts", lag(col(tsCol), 1).over(wLocal))
+      .withColumn("_new_local",
+        when(col("_prev_ts").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("_prev_ts")) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("_ls", sum(col("_new_local"))
+        .over(wLocal.rowsBetween(Window.unboundedPreceding, 0)))
+    val wU = Window.partitionBy(col(userCol)).orderBy(col("_bk"))
+    val stitched = flagged
+      .groupBy(col(userCol), col("_bk"))
+      .agg(min(unix_timestamp(col(tsCol))).as("_first_s"),
+        max(unix_timestamp(col(tsCol))).as("_last_s"),
+        max(col("_ls")).as("_n_sessions"))
+      .withColumn("_prev_last_s", lag(col("_last_s"), 1).over(wU))
+      // merge iff the boundary gap fits: the previous SUMMARY row is the
+      // previous bucket WITH events, so this is exactly the inter-event gap
+      .withColumn("_merge",
+        when(col("_prev_last_s").isNotNull &&
+          col("_first_s") - col("_prev_last_s") <= gapSec, 1L).otherwise(0L))
+      .withColumn("_base",
+        coalesce(sum(col("_n_sessions"))
+          .over(wU.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          - sum(col("_merge")).over(wU.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col(userCol), col("_bk"), col("_base"))
+    flagged
+      .join(stitched, Seq(userCol, "_bk"))
+      .withColumn("session_id", col("_base") + col("_ls"))
+      .drop("_bk", "_prev_ts", "_new_local", "_ls", "_base")
   }
 
   /** Per-session rollup: bounds, event count, value sum. */

@@ -81,10 +81,14 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine above `threshold`, blocked by
-    * LSH bucket so the pair space stays sub-quadratic. Exact variant
-    * (`blocked=false`) compares all pairs — the oracle shape. */
+    * LSH bucket so the pair space stays sub-quadratic — the default and
+    * the only shape that survives a large corpus. The exact variant
+    * (`blocked=false`) compares ALL pairs through a single constant join
+    * key (one shuffle partition, O(n²) pair space): it exists as the
+    * small-data differential baseline for specs, never for production
+    * paths. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, blocked: Boolean = false,
+                         threshold: Double, blocked: Boolean = true,
                          planes: Int = 8): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       l2Norm(col(vecCol)).as("norm"))

@@ -23,6 +23,9 @@ object SkewJoin {
 
   def saltedInnerJoin(big: DataFrame, small: DataFrame, key: String,
                       salt: Int = 8): DataFrame = {
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs must not contain the reserved column _salt — it would be " +
+        "silently overwritten and dropped from the join output")
     val bigSalted = big.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val smallReplicated = small

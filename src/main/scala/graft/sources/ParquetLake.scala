@@ -148,6 +148,16 @@ object ParquetLake {
     val dataCols = df.columns.filterNot(partitionCols.contains).toSeq
     val totalRows = df.count()
     if (totalRows == 0) return (before, before)
+    if (partitionCols.isEmpty) {
+      // unpartitioned table: per-partition staging/swap degenerates to a
+      // whole-table replace (publishStaged's relative-path walk needs ≥1
+      // partition level, and the data-column salt is pointless with one
+      // file group) — right-size with a plain repartition + atomic swap
+      val nFiles = math.max(1L, totalBytes / math.max(targetBytes, 1L) + 1L)
+        .min(Int.MaxValue.toLong).toInt
+      atomicReplace(spark, df.repartition(nFiles), root)
+      return (before, scan()._1)
+    }
     val bytesPerRow = math.max(1.0, totalBytes.toDouble / totalRows)
     val stats = df.groupBy(partitionCols.map(col): _*)
       .agg(count(lit(1)).as("_rows"))
