@@ -672,6 +672,64 @@ object SparkEntry {
         "o_custkey", salt = 8)
         .orderBy("o_orderkey")
     }),
+    // the skew-proof bucketed sessionizer (local sessions per (user, 6h
+    // bucket) + boundary stitching) must reproduce the single-window
+    // operator's oracle exactly — q16's SQL verbatim
+    "q58_sessionize_bucketed" -> ((s, dir) => {
+      Sessionize.sessionStatsBucketed(Tables(s, dir).events, "user_id", "ts", "value",
+        gapMinutes = 30, tieBreak = Seq("event_id"), bucketHours = 6)
+        .orderBy("user_id", "session_id")
+    }),
+    // the chunked forward fill (per-chunk windows + cross-chunk carry) must
+    // reproduce the interval operator's oracle exactly — q51's SQL verbatim
+    "q59_resample_bucketed" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+      Resample.forwardFillBucketed(daily, Seq("user_id"), "day", Seq("v"),
+        stepSeconds = 86400L, chunkSeconds = 8L * 86400L)
+        .orderBy("user_id", "day")
+    }),
+    // PII redaction over a planted corpus: the word-salad text carries no
+    // digits or '@', so appending one email + IPv4 + phone per row makes the
+    // expected output derivable exactly — the oracle states the typed tags
+    "q60_redact_pii" -> ((s, dir) => {
+      val planted = concat(
+        col("text"), lit(" mail user"), col("doc_id"),
+        lit("@ex-ample.org ip 10."), col("doc_id") % 256,
+        lit(".0.1 tel +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), graft.operators.Scrub.redactPii(planted).as("redacted"))
+        .orderBy("doc_id")
+    }),
+    // intra-document repetition: duplicate-token ratio, pure per-row math
+    "q61_dup_token_ratio" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        graft.operators.Scrub.duplicateTokenRatio(col("text")).as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+    // benchmark contamination: src0 is the "eval suite", every other doc is
+    // checked for distinct 3-gram collisions against it
+    "q62_contamination" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      graft.operators.Scrub.contamination(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+    // document-frequency boilerplate scrub: drop tokens present in >78% of
+    // documents, preserve original token order, keep fully-scrubbed docs
+    "q63_df_scrub" -> ((s, dir) => {
+      graft.operators.Scrub.docFrequencyScrub(
+        Tables(s, dir).documents, "doc_id", "text", maxDocPct = 78)
+        .orderBy("doc_id")
+    }),
     // deep-chain connected components: 50 id-shifted copies per document,
     // linked ONLY consecutively — recovering the clusters needs a 49-hop
     // transitive closure, which the pointer-jumping CC must collapse (the
@@ -1143,6 +1201,95 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     // 49-hop chains collapse to their minimum (original) ids
     "q57_chain_components" ->
-      "SELECT doc_id, lang FROM documents WHERE doc_id < 100 ORDER BY doc_id"
+      "SELECT doc_id, lang FROM documents WHERE doc_id < 100 ORDER BY doc_id",
+    // bucketed sessionizer: q16's oracle verbatim — the pre-split must be
+    // invisible in the result
+    "q58_sessionize_bucketed" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR CAST(floor(epoch(ts)) AS BIGINT)
+        |            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |       CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |       CAST(max(ts) AS TIMESTAMP) AS session_end,
+        |       count(*) AS n_events, round(sum(value), 4) AS value_sum
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // chunked forward fill: q51's oracle verbatim
+    "q59_resample_bucketed" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |         FROM span)
+        |SELECT g.user_id, g.day,
+        |  last_value(d.v IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |FROM grid g LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
+    // the planted PII is the ONLY redactable content, so the expected
+    // output is the text plus literal tags — the oracle never runs a regex
+    "q60_redact_pii" ->
+      """SELECT doc_id, text || ' mail <EMAIL> ip <IP> tel <PHONE>' AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q61_dup_token_ratio" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |    AS n_distinct_tokens,
+        |  CAST(1 AS DOUBLE)
+        |    - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS dup_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q62_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(t) - 2, 0)),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS grams
+        |  FROM toks),
+        |bench AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src0'),
+        |docs AS (SELECT doc_id, grams FROM g WHERE source <> 'src0'),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM docs) e
+        |  JOIN bench USING (gram) GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.grams) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n, 0) > 0 AS contaminated
+        |FROM docs d LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q63_df_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tot AS (SELECT count(*) AS total FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+        |  FROM t),
+        |e2 AS (SELECT doc_id, pos, toks[pos] AS tok FROM e),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS ndocs FROM e2 GROUP BY 1),
+        |scrub AS (SELECT tok FROM df, tot WHERE ndocs * 100 > 78 * total),
+        |kept AS (SELECT e2.doc_id, e2.pos, e2.tok FROM e2 ANTI JOIN scrub USING (tok)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.scrubbed, '') AS scrubbed,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -104,7 +104,21 @@ object Sessionize {
   def sessionStats(events: DataFrame, userCol: String, tsCol: String,
                    valueCol: String, gapMinutes: Int = 30,
                    tieBreak: Seq[String] = Nil): DataFrame =
-    assignSessions(events, userCol, tsCol, gapMinutes, tieBreak)
+    rollup(assignSessions(events, userCol, tsCol, gapMinutes, tieBreak),
+      userCol, tsCol, valueCol)
+
+  /** [[sessionStats]] over the skew-proof bucketed assigner — identical
+    * output, bounded per-task state. */
+  def sessionStatsBucketed(events: DataFrame, userCol: String, tsCol: String,
+                           valueCol: String, gapMinutes: Int = 30,
+                           tieBreak: Seq[String] = Nil,
+                           bucketHours: Int = 24): DataFrame =
+    rollup(assignSessionsBucketed(events, userCol, tsCol, gapMinutes, tieBreak,
+      bucketHours), userCol, tsCol, valueCol)
+
+  private def rollup(assigned: DataFrame, userCol: String, tsCol: String,
+                     valueCol: String): DataFrame =
+    assigned
       .groupBy(col(userCol), col("session_id"))
       .agg(
         min(col(tsCol)).as("session_start"),

@@ -41,6 +41,20 @@ class AsOfSpec extends SparkFunSuite {
     assert(r.isNullAt(r.fieldIndex("asof_a")) && r.getAs[Double]("asof_b") == 20.0)
   }
 
+  test("reserved working columns are rejected, not silently consumed") {
+    val left = Seq((1L, 3L, 0)).toDF("k", "t", "_asof_payload")
+    val right = Seq((1L, 1L, 5.0)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinLastBefore(left, right, "k", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("reserved"))
+    val left2 = Seq((1L, 3L)).toDF("k", "t")
+    val right2 = Seq((1L, 1L, 5.0, 0)).toDF("k", "t", "v", "_side")
+    intercept[IllegalArgumentException] {
+      AsOf.joinLastBefore(left2, right2, "k", "t", Seq("v"))
+    }
+  }
+
   test("left columns pass through untouched") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
     val right = Seq((1L, 9L, 5.0)).toDF("k", "t", "v")

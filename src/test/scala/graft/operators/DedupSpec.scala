@@ -65,6 +65,44 @@ class DedupSpec extends SparkFunSuite {
     assert(ham(sigs(0L), sigs(3L)) > 12, s"unrelated too close: ${ham(sigs(0L), sigs(3L))}")
   }
 
+  test("adversarial corpus: bucket cap bounds degenerate-bucket pair blowup") {
+    // 1000 mutual exact dups — uncapped this is one bucket per band holding
+    // every doc: O(m²) pairs and an m-element array in ONE task
+    val many = (0L until 1000L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidatePairs(many, "doc_id", "text", maxBucket = 64)
+      .collect()
+    // identical text ⇒ identical buckets in all bands; the cap keeps the 64
+    // lowest ids, so the output is exactly the C(64,2) clique among them —
+    // still plenty to link the cluster for connected components
+    assert(capped.length == 64 * 63 / 2)
+    assert(capped.forall(r => r.getLong(0) < 64 && r.getLong(1) < 64))
+    assert(capped.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("bucket profile surfaces the degenerate bucket a cap would truncate") {
+    val many = (0L until 100L).map(i => (i, base)).toDF("doc_id", "text")
+    val prof = Dedup.minhashBucketProfile(many, "doc_id", "text", minSize = 65).collect()
+    assert(prof.nonEmpty && prof.forall(_.getAs[Long]("n_members") == 100L),
+      "every band's bucket holds all 100 mutual dups")
+  }
+
+  test("out-of-range shingleN is rejected, not silently wrong") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashSignatures(docs, "doc_id", "text", shingleN = 7)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatePairs(docs, "doc_id", "text", shingleN = 0)
+    }
+  }
+
+  test("simhashBulk matches the scalar simhash64 Column bit-for-bit") {
+    val bulk = Dedup.simhashBulk(docs, Seq("doc_id"), "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scalar = docs.select($"doc_id", Dedup.simhash64($"text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bulk == scalar)
+  }
+
   test("charJaccard matches hand-computed character-set jaccard") {
     val df = Seq(("abcab", "abd")).toDF("a", "b")
     // char sets {a,b,c} vs {a,b,d}: |inter|=2, |union|=4

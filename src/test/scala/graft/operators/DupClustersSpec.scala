@@ -44,6 +44,16 @@ class DupClustersSpec extends SparkFunSuite {
     assert(comp == Map("doc-001" -> "doc-001", "doc-002" -> "doc-001", "doc-003" -> "doc-001"))
   }
 
+  test("deep chain converges in O(log diameter) rounds via pointer jumping") {
+    // a 50-node chain linked only consecutively: plain propagation needs 49
+    // rounds; propagation + pointer jumping must collapse it logarithmically
+    val pairs = (1L to 49L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (comp, rounds) = DupClusters.componentsWithRounds(pairs)
+    val labels = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 50 && labels.values.forall(_ == 1L))
+    assert(rounds <= 10, s"expected O(log 50) rounds, got $rounds")
+  }
+
   test("unconverged propagation throws instead of returning wrong labels") {
     val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {

@@ -34,6 +34,39 @@ class ResampleSpec extends SparkFunSuite {
     assert(out.filter($"k" === 2L).count() == 1)
   }
 
+  test("bucketed forward fill matches the interval operator across chunk boundaries") {
+    // day-1 observation, then nothing until day 40: with 8-day chunks the
+    // carry must cascade through several all-null chunks
+    val df = Seq(
+      (1L, ts(1), 10.0), (1L, Timestamp.valueOf("2024-02-09 00:00:00"), 40.0),
+      (2L, ts(3), 30.0), (2L, ts(20), 35.0)
+    ).toDF("k", "day", "v")
+    val plain = Resample.forwardFill(df, Seq("k"), "day", Seq("v"),
+      expr("INTERVAL 1 DAY"))
+      .orderBy("k", "day").as[(Long, Timestamp, Double)].collect().toSeq
+    val bucketed = Resample.forwardFillBucketed(df, Seq("k"), "day", Seq("v"),
+      stepSeconds = 86400L, chunkSeconds = 8L * 86400L)
+      .orderBy("k", "day").as[(Long, Timestamp, Double)].collect().toSeq
+    assert(bucketed == plain)
+  }
+
+  test("bucketed fill: multi-column + observed nulls behave identically") {
+    val df = Seq(
+      (1L, ts(1), Some(1.0), Some(9.0)),
+      (1L, ts(3), None: Option[Double], Some(7.0)),
+      (1L, ts(9), Some(2.0), None: Option[Double])
+    ).toDF("k", "day", "a", "b")
+    val plain = Resample.forwardFill(df, Seq("k"), "day", Seq("a", "b"),
+      expr("INTERVAL 1 DAY"))
+      .orderBy("day").as[(Long, Timestamp, Option[Double], Option[Double])]
+      .collect().toSeq
+    val bucketed = Resample.forwardFillBucketed(df, Seq("k"), "day", Seq("a", "b"),
+      stepSeconds = 86400L, chunkSeconds = 3L * 86400L)
+      .orderBy("day").as[(Long, Timestamp, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(bucketed == plain)
+  }
+
   test("multiple value columns fill independently (null observation stays gap-filled)") {
     val df = Seq(
       (1L, ts(1), Some(1.0), Some(9.0)),

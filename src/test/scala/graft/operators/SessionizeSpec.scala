@@ -50,4 +50,46 @@ class SessionizeSpec extends SparkFunSuite {
     val n = Sessionize.sessionStats(df, "user_id", "ts", "value", 30, Seq("event_id")).count()
     assert(n == 1)
   }
+
+  test("bucketed sessionization is event-for-event identical to the plain operator") {
+    val rnd = new scala.util.Random(7)
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    val random = (1 to 3000).map { i =>
+      (rnd.nextInt(5).toLong, i.toLong,
+        new Timestamp(t0 + rnd.nextInt(5 * 86400) * 1000L), rnd.nextDouble())
+    }
+    val boundary = Seq(
+      // exact-gap pair straddling the 6h bucket boundary at midnight:
+      // 30m00s -> same session (strict inequality must survive the stitch)
+      (9L, 9001L, ts("2024-01-01 23:45:00"), 1.0),
+      (9L, 9002L, ts("2024-01-02 00:15:00"), 1.0),
+      (9L, 9003L, ts("2024-01-02 00:45:01"), 1.0), // 30m01s -> new session
+      // bucket with a single event between two others
+      (9L, 9004L, ts("2024-01-02 07:00:00"), 1.0))
+    val df = (random ++ boundary).toDF("user_id", "event_id", "ts", "value")
+    val plain = Sessionize.assignSessions(df, "user_id", "ts", 30, Seq("event_id"))
+      .select($"event_id", $"session_id")
+    val bucketed = Sessionize.assignSessionsBucketed(df, "user_id", "ts", 30,
+      Seq("event_id"), bucketHours = 6)
+      .select($"event_id", $"session_id".as("session_id_b"))
+    val diff = plain.join(bucketed, "event_id")
+      .filter($"session_id" =!= $"session_id_b")
+    assert(diff.isEmpty, s"diverging events: ${diff.collect().mkString(",")}")
+  }
+
+  test("one degenerate user spreads over bucket tasks and still matches") {
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    // one user, 20k events over 10 days — plain sessionization puts all of
+    // them through one window task; bucketed splits into 240 hour-buckets
+    val df = (1 to 20000).map { i =>
+      (1L, i.toLong, new Timestamp(t0 + i * 43210L), 1.0)
+    }.toDF("user_id", "event_id", "ts", "value")
+    val plain = Sessionize.assignSessions(df, "user_id", "ts", 30, Seq("event_id"))
+      .select($"event_id", $"session_id")
+    val bucketed = Sessionize.assignSessionsBucketed(df, "user_id", "ts", 30,
+      Seq("event_id"), bucketHours = 1)
+      .select($"event_id", $"session_id".as("session_id_b"))
+    assert(plain.join(bucketed, "event_id")
+      .filter($"session_id" =!= $"session_id_b").isEmpty)
+  }
 }

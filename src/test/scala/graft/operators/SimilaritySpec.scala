@@ -62,16 +62,58 @@ class SimilaritySpec extends SparkFunSuite {
     assert(recall >= 0.2, s"recall collapsed: $recall") // 2 planes = 4 buckets
   }
 
-  test("cosineNearDupPairs finds planted duplicate vectors") {
+  test("cosineNearDupPairs exact baseline finds planted duplicate vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
       (1L, Array(0.999f, 0.04f, 0.0f, 0.0f)), // near dup of 0
       (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
     ).toDF("vec_id", "embedding")
-    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.95)
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.95,
+      blocked = false)
       .collect()
     assert(pairs.length == 1)
     assert((pairs.head.getLong(0), pairs.head.getLong(1)) == (0L, 1L))
     assert(pairs.head.getAs[Double]("score") > 0.99)
+  }
+
+  test("blocked path finds every identical copy and never invents a pair") {
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val emb = t.embeddings.select($"vec_id", $"embedding")
+    val n = emb.count()
+    val corpus = emb.unionByName(
+      emb.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    val blocked = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.999, blocked = true).collect()
+    assert(blocked.length == n,
+      "identical copies share their source's bucket by construction — all must pair")
+    assert(blocked.forall(r => r.getLong(1) == r.getLong(0) + 1000000L))
+  }
+
+  test("blocked candidates are a subset of the exact pair set") {
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val emb = t.embeddings.select($"vec_id", $"embedding")
+    def pairSet(blocked: Boolean) =
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.3, blocked = blocked)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(blocked = false)
+    val blk = pairSet(blocked = true)
+    assert(blk.subsetOf(exact), s"blocked invented pairs: ${blk diff exact}")
+  }
+
+  test("blocked plan joins on the LSH bucket, never a constant key") {
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // the analyzed plan keeps the bucket projection visible (the physical
+    // plan folds literals into LocalTableScan for in-memory relations)
+    def plan(blocked: Boolean) =
+      Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9, blocked = blocked)
+        .queryExecution.analyzed.toString
+    // the exact variant's all-pairs-through-one-partition shape is the
+    // `0 AS bucket` constant key; the blocked plan must not contain it
+    assert(plan(blocked = false).contains("0 AS bucket"),
+      "exact baseline is expected to carry the constant bucket")
+    assert(!plan(blocked = true).contains("0 AS bucket"),
+      "blocked path must derive the join key from the vector, not a constant")
   }
 }

@@ -25,4 +25,16 @@ class SkewJoinSpec extends SparkFunSuite {
     val out = SkewJoin.saltedInnerJoin(big, small, "k", salt = 4)
     assert(out.count() == 50)
   }
+
+  test("a pre-existing _salt column is rejected, not silently clobbered") {
+    val big = Seq((1L, 7)).toDF("k", "_salt")
+    val small = Seq((1L, "x")).toDF("k", "tag")
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.saltedInnerJoin(big, small, "k")
+    }
+    assert(e.getMessage.contains("_salt"))
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedInnerJoin(small, big, "k")
+    }
+  }
 }

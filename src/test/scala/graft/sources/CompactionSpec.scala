@@ -40,4 +40,14 @@ class CompactionSpec extends SparkFunSuite {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     assert(ParquetLake.compactPartitions(spark, root, Seq("city", "date")) == ((0L, 0L)))
   }
+
+  test("unpartitioned table compacts via atomic whole-table replace") {
+    import spark.implicits._
+    val root = tmpDir("compact4") + "/data"
+    (1 to 60).toDF("n").repartition(30).write.mode("append").parquet(root)
+    val (before, after) = ParquetLake.compactPartitions(spark, root, Seq.empty)
+    assert(before == 30 && after < before,
+      s"unpartitioned compaction must shrink the file count ($before -> $after)")
+    assert(spark.read.parquet(root).as[Int].collect().sorted.toSeq == (1 to 60))
+  }
 }
