@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators for LLM training-data pipelines: PII redaction,
+  * intra-document repetition scoring, benchmark-contamination detection and
+  * document-frequency boilerplate scrubbing.
+  *
+  * Scale shape: [[redactPii]] and [[duplicateTokenRatio]] are pure per-row
+  * column arithmetic — zero shuffles, whole-stage codegen, they pipeline with
+  * the parquet scan. [[contamination]] shuffles nothing on the (huge)
+  * document side beyond one aggregation keyed by `idCol`; the benchmark
+  * n-gram set is distinct-aggregated and broadcast. [[docFrequencyScrub]]
+  * keeps all heavy stages keyed by document id; the token→document-frequency
+  * table it joins against is vocabulary-sized (tiny relative to the corpus)
+  * and broadcasts.
+  *
+  * Regex patterns stay inside the RE2-compatible subset (no lookaround, no
+  * backreferences) so the same pattern strings run identically on engines
+  * with RE2-style matchers.
+  */
+object Scrub {
+
+  /** Email pattern: local part, @, dotted domain with a 2+-letter TLD. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** IPv4 pattern: four 1-3 digit octets (syntactic — no range check). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** International-ish phone pattern: +CC-NNN-NNNN with 1-3 digit country
+    * code. Deliberately narrow — a broad phone regex eats numeric data; a
+    * production pipeline tunes this per-corpus. */
+  val PhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+
+  /** Redacts emails, IPv4 addresses and phone numbers with typed tags.
+    * Application order matters and is fixed: emails first (their local parts
+    * can contain digits a later pass would half-eat), then IPs (dotted digit
+    * runs), then phones. Pure per-row regex work — no shuffle, codegen'd. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Fraction of whitespace tokens that are repeats of an earlier token:
+    * `1 - distinct/total`, in DOUBLE with a fixed op order (bit-identical on
+    * any IEEE engine — no rounding). High values flag looping/boilerplate
+    * generations worth dropping before training. */
+  def duplicateTokenRatio(text: Column): Column = {
+    val toks = split(text, " ")
+    lit(1.0) - size(array_distinct(toks)).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Word n-grams as space-joined strings; documents shorter than `n`
+    * tokens yield an empty array (guarded — Spark's `sequence(1, 0)` counts
+    * DOWN, it is not empty). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n ($n) must be >= 1")
+    val toks = split(text, " ")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** Benchmark-contamination report: for every document, how many of its
+    * distinct word `n`-grams also occur in `benchmark` (the eval corpus),
+    * plus a `contaminated` flag. The classic pre-training hygiene check —
+    * train/test overlap detection by n-gram collision.
+    *
+    * Plan shape for 100 TB: the benchmark side is distinct-aggregated to a
+    * bare n-gram set and broadcast (eval suites are small — MMLU-sized, not
+    * corpus-sized); the document side computes per-row distinct grams with
+    * array functions (no shuffle), explodes, hash-joins against the
+    * broadcast set map-side, and aggregates hit counts keyed by `idCol` —
+    * the only shuffle, and it carries only (id, 1) hit tuples. Documents
+    * with zero hits are restored by a left join against the (id, n_grams)
+    * base, which reuses the same hash partitioning. For a benchmark too big
+    * to broadcast, pre-filter with a bloom filter and let the residual
+    * shuffle join handle survivors — the shape here stays valid.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    require(!docs.columns.contains("_grams") && !docs.columns.contains("_hits"),
+      "input must not contain the reserved columns _grams/_hits")
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(col(textCol), n)).as("_g"))
+      .distinct()
+    val base = docs.select(
+      col(idCol),
+      array_distinct(wordNgrams(col(textCol), n)).as("_grams"))
+    val hits = base
+      .select(col(idCol), explode(col("_grams")).as("_g"))
+      .join(broadcast(benchGrams), "_g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+    base.select(col(idCol), size(col("_grams")).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Document-frequency boilerplate scrub: drops every token that occurs in
+    * more than `maxDocPct` percent of documents (headers, footers, license
+    * blurbs, navigation chrome — the corpus-wide noise that exact-dup
+    * removal misses). Returns `(idCol, scrubbed, n_kept)` with the
+    * surviving tokens in their original order; fully-scrubbed documents
+    * yield an empty string, not a dropped row.
+    *
+    * The threshold compares `ndocs * 100 <= maxDocPct * total` in integer
+    * arithmetic — exact on any engine, no float boundary.
+    *
+    * Plan shape for 100 TB: per-row distinct tokens (array op, no shuffle)
+    * explode into (token, id) pairs whose aggregation produces a
+    * VOCABULARY-sized DF table — the one cheap global exchange. The scrub
+    * set joins back via broadcast (a vocabulary subset), so the token-level
+    * filter is map-side; the only corpus-scale shuffle is the final
+    * re-assembly keyed by `idCol`. Token order survives via posexplode +
+    * sort_array over (pos, token) structs. */
+  def docFrequencyScrub(docs: DataFrame, idCol: String, textCol: String,
+                        maxDocPct: Int): DataFrame = {
+    require(maxDocPct >= 0 && maxDocPct <= 100,
+      s"maxDocPct ($maxDocPct) must be in [0, 100]")
+    require(!docs.columns.exists(Set("_pos", "_tok", "_ndocs", "_total")),
+      "input must not contain the reserved columns _pos/_tok/_ndocs/_total")
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("_toks"))
+    val total = docs.agg(count(lit(1)).as("_total"))
+    // vocabulary-sized: distinct tokens per doc -> docs-per-token
+    val scrubSet = toks
+      .select(col(idCol), explode(array_distinct(col("_toks"))).as("_tok"))
+      .groupBy("_tok").agg(count(lit(1)).as("_ndocs"))
+      .crossJoin(broadcast(total))
+      .filter(col("_ndocs") * 100 > lit(maxDocPct) * col("_total"))
+      .select("_tok")
+    val kept = toks
+      .select(col(idCol), posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+      .join(broadcast(scrubSet), Seq("_tok"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("_pos"), col("_tok")))),
+            s => s("_tok")),
+          " ").as("scrubbed"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+}

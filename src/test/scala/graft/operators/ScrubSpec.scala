@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkFunSuite
+
+class ScrubSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("redactPii replaces emails, IPs and phones with typed tags") {
+    val df = Seq(
+      "mail bob.smith+x@ex-ample.org now",
+      "from 10.0.255.1 port 80",
+      "call +1-555-0142 today",
+      "all three a@b.io 192.168.0.1 +44-201-9999",
+      "clean text stays clean"
+    ).toDF("t").select(Scrub.redactPii($"t").as("r"))
+    val r = df.as[String].collect()
+    assert(r(0) == "mail <EMAIL> now")
+    assert(r(1) == "from <IP> port 80")
+    assert(r(2) == "call <PHONE> today")
+    assert(r(3) == "all three <EMAIL> <IP> <PHONE>")
+    assert(r(4) == "clean text stays clean")
+  }
+
+  test("redaction order: an email's digit-bearing local part never half-redacts") {
+    val r = Seq("x 12.34.56.78@host.com y").toDF("t")
+      .select(Scrub.redactPii($"t")).as[String].head()
+    assert(r == "x <EMAIL> y")
+  }
+
+  test("duplicateTokenRatio: 0 for all-distinct, exact fraction for repeats") {
+    val out = Seq("a b c d", "a a a a", "a b a b")
+      .toDF("t").select(Scrub.duplicateTokenRatio($"t")).as[Double].collect()
+    assert(out(0) == 0.0)
+    assert(out(1) == 0.75)
+    assert(out(2) == 0.5)
+  }
+
+  test("wordNgrams emits sliding grams and an empty array for short docs") {
+    val g3 = Seq("a b c d").toDF("t")
+      .select(Scrub.wordNgrams($"t", 3)).as[Seq[String]].head()
+    assert(g3 == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Scrub.wordNgrams($"t", 3)).as[Seq[String]].head()
+    assert(short == Seq.empty)
+  }
+
+  test("contamination counts distinct-gram hits and flags zero-hit docs false") {
+    val bench = Seq((100L, "w x y z")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b w x y c"),   // grams {a b w, b w x, w x y, x y c}: 1 hit
+      (2L, "p q r s"),       // no overlap
+      (3L, "w x y z w x y")  // {w x y, x y z, y z w, z w x, x y w}... distinct hits: "w x y","x y z"
+    ).toDF("doc_id", "text")
+    val out = Scrub.contamination(docs, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_hits") == 1L && out(0).getAs[Boolean]("contaminated"))
+    assert(out(1).getAs[Long]("n_hits") == 0L && !out(1).getAs[Boolean]("contaminated"))
+    assert(out(2).getAs[Long]("n_hits") == 2L)
+    assert(out(0).getAs[Long]("n_grams") == 4L)
+  }
+
+  test("docFrequencyScrub drops high-DF tokens, keeps order, keeps empty docs") {
+    // "x" in 3/3 docs (100%), "y" in 2/3 (67%), others in 1/3
+    val docs = Seq(
+      (1L, "x y a x"),
+      (2L, "y x b"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val out = Scrub.docFrequencyScrub(docs, "doc_id", "text", maxDocPct = 70)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("scrubbed") == "y a" && out(0).getAs[Long]("n_kept") == 2L)
+    assert(out(1).getAs[String]("scrubbed") == "y b")
+    assert(out(2).getAs[String]("scrubbed") == "" && out(2).getAs[Long]("n_kept") == 0L)
+  }
+
+  test("docFrequencyScrub threshold boundary is integer-exact") {
+    // token in exactly 1 of 2 docs = 50%: kept at pct=50, dropped at pct=49
+    val docs = Seq((1L, "u v"), (2L, "v w")).toDF("doc_id", "text")
+    val at50 = Scrub.docFrequencyScrub(docs, "doc_id", "text", 50)
+      .orderBy("doc_id").collect()
+    assert(at50(0).getAs[String]("scrubbed") == "u" && at50(1).getAs[String]("scrubbed") == "w")
+    val at100 = Scrub.docFrequencyScrub(docs, "doc_id", "text", 100)
+      .orderBy("doc_id").collect()
+    assert(at100(0).getAs[String]("scrubbed") == "u v")
+  }
+
+  test("reserved working columns are rejected") {
+    val docs = Seq((1L, "a", 0)).toDF("doc_id", "text", "_grams")
+    intercept[IllegalArgumentException] {
+      Scrub.contamination(docs, docs, "doc_id", "text")
+    }
+    val docs2 = Seq((1L, "a", 0)).toDF("doc_id", "text", "_tok")
+    intercept[IllegalArgumentException] {
+      Scrub.docFrequencyScrub(docs2, "doc_id", "text", 50)
+    }
+  }
+}
