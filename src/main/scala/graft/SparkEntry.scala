@@ -730,6 +730,21 @@ object SparkEntry {
         Tables(s, dir).documents, "doc_id", "text", maxDocPct = 78)
         .orderBy("doc_id")
     }),
+    // per-label embedding centroids, one row per (label, dimension):
+    // exact decimal sums make the parallel aggregation order invisible
+    "q64_label_centroids" -> ((s, dir) => {
+      Similarity.centroids(Tables(s, dir).embeddings, "label", "embedding")
+        .select(col("label"), col("pos").cast("long").as("pos"), col("c"), col("n_vecs"))
+        .orderBy("label", "pos")
+    }),
+    // two-table fuzzy join: link every document against the src1 snapshot
+    // by blocked char-set Jaccard — the entity-matching shape
+    "q65_fuzzy_join" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Dedup.fuzzyJoinJaccard(d, d.filter(col("source") === "src1"),
+        "doc_id", "text", "lang", "n_chars", bucketWidth = 64, threshold = 0.9)
+        .orderBy("id_l", "id_r")
+    }),
     // deep-chain connected components: 50 id-shifted copies per document,
     // linked ONLY consecutively — recovering the clusters needs a 49-hop
     // transitive closure, which the pointer-jumping CC must collapse (the
@@ -737,13 +752,15 @@ object SparkEntry {
     "q57_chain_components" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
         .filter(col("doc_id") < 100).select("doc_id", "lang")
-      def shifted(k: Int) = docs.select(
-        (col("doc_id") + k * 1000000L).as("doc_id"), col("lang"))
-      val corpus = (1 until 50).foldLeft(docs)((acc, k) => acc.unionByName(shifted(k)))
-      val pairs = (0 until 49).map { k =>
-        docs.select((col("doc_id") + k * 1000000L).as("id_a"),
-          (col("doc_id") + (k + 1) * 1000000L).as("id_b"))
-      }.reduce(_ unionByName _)
+      // one scan + explode, not a 50-way union (which would rescan the
+      // parquet once per copy)
+      val corpus = docs
+        .select(col("doc_id"), col("lang"), explode(sequence(lit(0L), lit(49L))).as("_k"))
+        .select((col("doc_id") + col("_k") * 1000000L).as("doc_id"), col("lang"))
+      val pairs = docs
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(48L))).as("_k"))
+        .select((col("doc_id") + col("_k") * 1000000L).as("id_a"),
+          (col("doc_id") + (col("_k") + 1L) * 1000000L).as("id_b"))
       DupClusters.resolve(corpus, "doc_id", pairs).orderBy("doc_id")
     })
   )
@@ -1290,6 +1307,29 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(a.scrubbed, '') AS scrubbed,
         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
         |FROM documents d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // same integer-quantized mean: floor(v*1e10 + 0.5) is pure IEEE double
+    // arithmetic (bit-identical on any engine, unlike double->DECIMAL
+    // conversion), summed exactly, divided identically
+    "q64_label_centroids" ->
+      """WITH t AS (SELECT label, embedding AS emb FROM embeddings),
+        |e AS (SELECT label, unnest(generate_series(1, len(emb))) AS p, emb FROM t),
+        |e2 AS (SELECT label, CAST(p - 1 AS BIGINT) AS pos,
+        |         CAST(floor(CAST(emb[p] AS DOUBLE) * CAST(1e10 AS DOUBLE)
+        |           + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q FROM e)
+        |SELECT label, pos,
+        |  CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / CAST(1e10 AS DOUBLE) AS c,
+        |  CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM e2 GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    "q65_fuzzy_join" ->
+      """WITH b AS (SELECT doc_id, text, lang, source,
+        |    CAST(floor(n_chars / 64.0) AS BIGINT) AS blk_len FROM documents)
+        |SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+        |       jaccard(l.text, r.text) AS jac
+        |FROM b l JOIN (SELECT * FROM b WHERE source = 'src1') r
+        |  ON l.lang = r.lang AND l.blk_len = r.blk_len
+        |WHERE jaccard(l.text, r.text) >= CAST(0.9 AS DOUBLE)
+        |ORDER BY id_l, id_r""".stripMargin
   )
 }

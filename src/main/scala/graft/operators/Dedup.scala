@@ -252,14 +252,42 @@ object Dedup {
     * union runs. */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           langCol: String, lenCol: String,
-                          bucketWidth: Int = 64, threshold: Double = 0.8): DataFrame = {
-    // ASCII codepoints (0..127) become a 4×32-bit bitmask — per-pair work is
-    // then 8 AND/OR + 8 popcounts instead of hash-set intersections; the
-    // rare non-ASCII chars ride in a (usually empty) array so semantics stay
-    // exact for any input. Masks build via explode → bit_or aggregation so
-    // the char split runs once per doc (an inline per-mask formulation gets
-    // the split duplicated 6× by projection collapse). Variable shifts
-    // don't exist as Columns; pow(2, code) is exact for code < 32.
+                          bucketWidth: Int = 64, threshold: Double = 0.8): DataFrame =
+    charMasks(df, idCol, textCol, langCol, lenCol, bucketWidth, "a")
+      .join(charMasks(df, idCol, textCol, langCol, lenCol, bucketWidth, "b"),
+        Seq("blk_lang", "blk_len"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), maskJaccard.as("jac"))
+      .filter(col("jac") >= threshold)
+
+  /** Two-table fuzzy string join: rows from `left` and `right` whose
+    * character-set Jaccard meets `threshold`, candidate space blocked by
+    * (lang, length-bucket) exactly like [[blockedJaccardPairs]]. The
+    * entity-matching shape — link records across datasets by approximate
+    * string equality. Both inputs use the same column names (rename before
+    * calling); output is (id_l, id_r, jac), all blocked matches including
+    * equal ids. Per-doc bitmask below the join, 8 popcounts per pair. */
+  def fuzzyJoinJaccard(left: DataFrame, right: DataFrame, idCol: String,
+                       textCol: String, langCol: String, lenCol: String,
+                       bucketWidth: Int = 64, threshold: Double = 0.8): DataFrame =
+    charMasks(left, idCol, textCol, langCol, lenCol, bucketWidth, "l")
+      .join(charMasks(right, idCol, textCol, langCol, lenCol, bucketWidth, "r"),
+        Seq("blk_lang", "blk_len"))
+      .select(col("id_l"), col("id_r"), maskJaccardLR.as("jac"))
+      .filter(col("jac") >= threshold)
+
+  /** Per-document character bitmask, keyed for a blocked join.
+    *
+    * ASCII codepoints (0..127) become a 4×32-bit bitmask — per-pair work is
+    * then 8 AND/OR + 8 popcounts instead of hash-set intersections; the
+    * rare non-ASCII chars ride in a (usually empty) array so semantics stay
+    * exact for any input. Masks build via explode → bit_or aggregation so
+    * the char split runs once per doc (an inline per-mask formulation gets
+    * the split duplicated 6× by projection collapse). Variable shifts
+    * don't exist as Columns; pow(2, code) is exact for code < 32. */
+  private def charMasks(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String, lenCol: String, bucketWidth: Int,
+                        tag: String): DataFrame = {
     val exploded = df.select(
       col(idCol).as("id"),
       col(langCol).as("blk_lang"),
@@ -270,22 +298,24 @@ object Dedup {
       when(col("code") >= kk * 32 && col("code") < (kk + 1) * 32,
         pow(lit(2.0), (col("code") - lit(kk * 32)).cast("double")).cast("long"))
         .otherwise(0L))
-    val blocked = exploded.groupBy("id", "blk_lang", "blk_len").agg(
-      maskAgg(0).as("m0"), maskAgg(1).as("m1"), maskAgg(2).as("m2"), maskAgg(3).as("m3"),
-      sort_array(collect_list(when(col("code") >= 128, col("ch")))).as("xa"))
-    def side(tag: String) = blocked.select(Seq(col("blk_lang"), col("blk_len"),
-      col("id").as(s"id_$tag"), col("xa").as(s"xa_$tag")) ++
-      (0 until 4).map(kk => col(s"m$kk").as(s"m${kk}_$tag")): _*)
-    val inter = (0 until 4).map(kk =>
-      bit_count(col(s"m${kk}_a").bitwiseAND(col(s"m${kk}_b")))).reduce(_ + _) +
-      size(array_intersect(col("xa_a"), col("xa_b")))
-    val union = (0 until 4).map(kk =>
-      bit_count(col(s"m${kk}_a").bitwiseOR(col(s"m${kk}_b")))).reduce(_ + _) +
-      size(array_union(col("xa_a"), col("xa_b")))
-    side("a").join(side("b"), Seq("blk_lang", "blk_len"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (inter.cast("double") / union.cast("double")).as("jac"))
-      .filter(col("jac") >= threshold)
+    exploded.groupBy("id", "blk_lang", "blk_len")
+      .agg(
+        maskAgg(0).as("m0"), maskAgg(1).as("m1"), maskAgg(2).as("m2"), maskAgg(3).as("m3"),
+        sort_array(collect_list(when(col("code") >= 128, col("ch")))).as("xa"))
+      .select(Seq(col("blk_lang"), col("blk_len"),
+        col("id").as(s"id_$tag"), col("xa").as(s"xa_$tag")) ++
+        (0 until 4).map(kk => col(s"m$kk").as(s"m${kk}_$tag")): _*)
   }
+
+  private def maskJaccardFor(a: String, b: String): Column = {
+    val inter = (0 until 4).map(kk =>
+      bit_count(col(s"m${kk}_$a").bitwiseAND(col(s"m${kk}_$b")))).reduce(_ + _) +
+      size(array_intersect(col(s"xa_$a"), col(s"xa_$b")))
+    val union = (0 until 4).map(kk =>
+      bit_count(col(s"m${kk}_$a").bitwiseOR(col(s"m${kk}_$b")))).reduce(_ + _) +
+      size(array_union(col(s"xa_$a"), col(s"xa_$b")))
+    inter.cast("double") / union.cast("double")
+  }
+  private def maskJaccard: Column = maskJaccardFor("a", "b")
+  private def maskJaccardLR: Column = maskJaccardFor("l", "r")
 }

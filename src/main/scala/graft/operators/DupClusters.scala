@@ -39,8 +39,13 @@ object DupClusters {
     * contract (O(log diameter), thanks to pointer jumping) is asserted by
     * DupClustersSpec against deep chains. */
   def componentsWithRounds(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize via a per-row explode, not union(edges, edges.swap): the
+    // union shape executes the (possibly expensive — MinHash, cosine scan)
+    // pair-producing subplan TWICE, the explode runs it once
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct().localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

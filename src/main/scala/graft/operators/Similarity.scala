@@ -104,4 +104,39 @@ object Similarity {
         (dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b"))).as("score"))
       .filter(col("score") >= threshold)
   }
+
+  /** Per-group element-wise embedding centroids, emitted as one row per
+    * (group, dimension) — `(keyCol, pos, c, n_vecs)` with 0-based `pos`.
+    * The class-prototype computation behind label smoothing, IVF seeding
+    * and embedding-space drift monitoring.
+    *
+    * Exactness across engines: a naive double mean is order-dependent
+    * (parallel partial sums), and double→DECIMAL conversion is NOT
+    * portable (engines disagree on scaled-double vs exact-BigDecimal
+    * rounding — measured mismatches at scale 20). Instead each element is
+    * quantized to an integer at 1/`quantScale` — `floor(v * scale + 0.5)`,
+    * pure IEEE double ops that every engine computes bit-identically — and
+    * the integers are summed exactly (decimal accumulator). The SUM must
+    * also stay below 2^53 so its own cast back to double is exact on every
+    * engine (int128→double rounding is engine-specific above that —
+    * measured 1-ulp drift): with |v| ≤ vMax the default 1e10 scale is
+    * exact for groups up to 2^53/(vMax·1e10) rows (~1.7M rows at vMax
+    * ≈ 0.5); larger corpora lower `quantScale`. 1e-10 sits well below
+    * float32 input ulp (~7e-9 at |v| ≈ 0.1), so the quantized mean is
+    * numerically the mean. The final divisions are per-row double ops on
+    * bit-identical values.
+    *
+    * Scale shape: posexplode fans each vector into (key, pos, v) rows —
+    * a map stage; the one shuffle is the (key, pos)-keyed partial-sum
+    * aggregate, whose result cardinality is groups × dims, independent of
+    * corpus size. */
+  def centroids(df: DataFrame, keyCol: String, vecCol: String,
+                quantScale: Double = 1.0e10): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("pos", "_v")))
+      .groupBy(col(keyCol), col("pos"))
+      .agg(
+        (sum(floor(col("_v").cast("double") * lit(quantScale) + lit(0.5))
+            .cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double") / lit(quantScale)).as("c"),
+        count(lit(1)).as("n_vecs"))
 }

@@ -103,6 +103,25 @@ class DedupSpec extends SparkFunSuite {
     assert(bulk == scalar)
   }
 
+  test("fuzzyJoinJaccard links near-identical rows across two tables, blocked") {
+    val left = Seq(
+      (1L, "the quick brown fox", "en", 19L),
+      (2L, "zzzz totally different", "en", 22L),
+      (3L, "der schnelle fuchs", "de", 18L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val right = Seq(
+      (10L, "the quick brown fox!", "en", 20L), // same chars + '!'
+      (30L, "der schnelle fuchs", "de", 18L)    // exact copy, other table
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val out = Dedup.fuzzyJoinJaccard(left, right, "doc_id", "text", "lang",
+      "n_chars", bucketWidth = 64, threshold = 0.8)
+      .orderBy("id_l", "id_r").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L), (3L, 30L)))
+    assert(out(1).getAs[Double]("jac") == 1.0)
+    // cross-language / cross-bucket candidates never form
+    assert(out.forall(r => r.getLong(0) != 2L))
+  }
+
   test("charJaccard matches hand-computed character-set jaccard") {
     val df = Seq(("abcab", "abd")).toDF("a", "b")
     // char sets {a,b,c} vs {a,b,d}: |inter|=2, |union|=4

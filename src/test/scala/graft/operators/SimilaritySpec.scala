@@ -101,6 +101,16 @@ class SimilaritySpec extends SparkFunSuite {
     assert(blk.subsetOf(exact), s"blocked invented pairs: ${blk diff exact}")
   }
 
+  test("centroids: element-wise means per group, decimal-exact") {
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)), (1, Array(5.0f, 5.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity.centroids(df, "label", "embedding")
+      .orderBy("label", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(out == Seq((0, 0, 2.0, 2L), (0, 1, 4.0, 2L), (1, 0, 5.0, 1L), (1, 1, 5.0, 1L)))
+  }
+
   test("blocked plan joins on the LSH bucket, never a constant key") {
     val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
