@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{AsOf, Dedup, DupClusters, IvfIndex, Multimodal, Profile, RangeJoin, Resample, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, DupClusters, IvfIndex, Multimodal, Pack, Profile, RangeJoin, Resample, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -762,6 +762,39 @@ object SparkEntry {
         .select((col("doc_id") + col("_k") * 1000000L).as("id_a"),
           (col("doc_id") + (col("_k") + 1L) * 1000000L).as("id_b"))
       DupClusters.resolve(corpus, "doc_id", pairs).orderBy("doc_id")
+    }),
+    // greedy context-window packing per (source, lang) shard — the oracle
+    // replays the same sequential fill with a recursive CTE (one row per
+    // shard advances per recursion step, so depth = max shard size)
+    "q66_greedy_pack" -> ((s, dir) => {
+      Pack.greedyPack(Tables(s, dir).documents, "doc_id", "n_chars",
+          Seq("source", "lang"), capacity = 2048L)
+        .orderBy("doc_id")
+    }),
+    // data-mixing rates per source: upsample src0, drop src2, default 25%
+    "q67_mixture_sample" -> ((s, dir) => {
+      Sampling.mixtureByHash(Tables(s, dir).documents, "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), defaultFrac = 0.25)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")
+    }),
+    // token-budget mixing: ~20k chars per source, hash-ordered pick; the
+    // bucketed two-level prefix sum must equal the oracle's single window
+    "q68_token_budget" -> ((s, dir) => {
+      Sampling.tokenBudgetCap(Tables(s, dir).documents, Seq("source"),
+          "doc_id", "n_chars", budget = 20000L, buckets = 16)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")
+    }),
+    // int8 embedding quantization: the quantized integers are bit-exactly
+    // reproducible cross-engine (fixed-order per-row double arithmetic), so
+    // the oracle states the whole integer payload, not a tolerance
+    "q69_quantize_int8" -> ((s, dir) => {
+      Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          VectorFunctions.quantizeInt8(col("embedding")).as("s"))
+        .select(col("vec_id"), col("s.scale").as("scale"),
+          aggregate(col("s.q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("s.q")).as("q_min"), array_max(col("s.q")).as("q_max"))
+        .orderBy("vec_id")
     })
   )
 
@@ -1330,6 +1363,68 @@ object SparkEntry {
         |FROM b l JOIN (SELECT * FROM b WHERE source = 'src1') r
         |  ON l.lang = r.lang AND l.blk_len = r.blk_len
         |WHERE jaccard(l.text, r.text) >= CAST(0.9 AS DOUBLE)
-        |ORDER BY id_l, id_r""".stripMargin
+        |ORDER BY id_l, id_r""".stripMargin,
+    // the recursive CTE replays the greedy fill one document per shard per
+    // step: pure integer arithmetic, so it is THE packing semantics, not an
+    // approximation of it
+    "q66_greedy_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), rec AS (
+        |  SELECT source, lang, rn, doc_id, n_chars,
+        |         CAST(0 AS BIGINT) AS pack_id, n_chars AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.lang, d.rn, d.doc_id, d.n_chars,
+        |         CASE WHEN r.fill + d.n_chars > 2048 THEN r.pack_id + 1
+        |              ELSE r.pack_id END,
+        |         CASE WHEN r.fill + d.n_chars > 2048 THEN d.n_chars
+        |              ELSE r.fill + d.n_chars END
+        |  FROM rec r JOIN d ON d.source = r.source AND d.lang = r.lang
+        |                   AND d.rn = r.rn + 1
+        |)
+        |SELECT doc_id, pack_id, fill - n_chars AS pack_offset, fill AS pack_fill
+        |FROM rec ORDER BY doc_id""".stripMargin,
+    "q67_mixture_sample" ->
+      s"""SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars,
+         |    substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) AS h
+         |  FROM documents)
+         |WHERE CASE source
+         |  WHEN 'src0' THEN TRUE
+         |  WHEN 'src1' THEN h < '${Sampling.hexThreshold(0.5)}'
+         |  WHEN 'src2' THEN FALSE
+         |  ELSE h < '${Sampling.hexThreshold(0.25)}' END
+         |ORDER BY doc_id""".stripMargin,
+    "q68_token_budget" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 8),
+        |               doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM documents)
+        |WHERE prior < 20000 ORDER BY doc_id""".stripMargin,
+    // fixed-order per-row double arithmetic: the quantized integers match
+    // Spark bit-exactly, so sum/min/max are stated outright
+    "q69_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma,
+        |    embedding AS emb
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, ma / CAST(127.0 AS DOUBLE) AS scale,
+        |    list_transform(emb, x -> CASE WHEN ma = 0 THEN 0
+        |      ELSE CAST(floor(CAST(x AS DOUBLE) * CAST(127.0 AS DOUBLE) / ma
+        |                      + CAST(0.5 AS DOUBLE)) AS INTEGER) END) AS qs
+        |  FROM m)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qs) AS INTEGER) AS q_min,
+        |  CAST(list_max(qs) AS INTEGER) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin
   )
 }

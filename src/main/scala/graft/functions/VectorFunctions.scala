@@ -32,4 +32,35 @@ object VectorFunctions {
       }),
       lit(0.0),
       (acc, v) => acc + v))
+
+  /** Symmetric per-vector int8 quantization — 4× storage cut for ANN
+    * shortlists and embedding lakes. Returns `struct(scale double,
+    * q array<int>)` with `qᵢ = floor(vᵢ·127/maxAbs + 0.5)` (round half
+    * up, |qᵢ| ≤ 127 — the fp error of the two roundings cannot reach the
+    * +0.5 needed for 128) and `scale = maxAbs/127`, so `qᵢ·scale`
+    * reconstructs within `scale/2` per element. All-zero vectors quantize
+    * to zeros with scale 0 — exact reconstruction; empty vectors yield an
+    * empty `q` with null scale (no data to scale).
+    *
+    * Every step is per-row IEEE double arithmetic in a fixed order, so a
+    * DuckDB oracle reproduces the quantized integers BIT-EXACTLY (q69).
+    * `maxAbs` is let-bound through a one-element `transform` — referencing
+    * it directly inside the per-element lambda would recompute the O(d)
+    * max per element, O(d²) per row (the Scrub.wordNgrams lesson). */
+  def quantizeInt8(v: Column): Column = {
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    get(
+      transform(array(maxAbs), ma =>
+        struct(
+          (ma / lit(127.0)).as("scale"),
+          transform(v, x =>
+            when(ma === lit(0.0), lit(0))
+              .otherwise(floor(x.cast("double") * lit(127.0) / ma + lit(0.5))
+                .cast("int"))).as("q"))),
+      lit(0))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `qᵢ·scale` as double. */
+  def dequantInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Hex threshold covering `frac` of the uniform md5 space. */
-  private[operators] def hexThreshold(frac: Double): String = {
+  private[graft] def hexThreshold(frac: Double): String = {
     require(frac >= 0.0 && frac <= 1.0, s"fraction out of range: $frac")
     val cut = math.min((frac * 4294967296.0).toLong, 4294967295L)
     f"$cut%08x"
@@ -80,5 +80,80 @@ object Sampling {
       .withColumn("_r", row_number().over(finW))
       .filter(col("_r") <= n)
       .drop("_h", "_sr", "_r")
+  }
+
+  /** Mixture sampling: per-group keep rates — the "data mixing" knob that
+    * re-weights sources (upsample curated text, downsample crawl) in one
+    * deterministic pass. A row is kept iff its hash falls below its
+    * group's threshold; groups absent from `rates` use `defaultFrac`.
+    * Stable in the key (same guarantees as [[sampleByHash]]); purely a
+    * per-row predicate, so it fuses into the scan — zero shuffle. */
+  def mixtureByHash(df: DataFrame, keyCol: String, groupCol: String,
+                    rates: Map[String, Double], defaultFrac: Double = 0.0,
+                    domain: String = "mix"): DataFrame = {
+    (rates.values ++ Seq(defaultFrac)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction out of range: $f"))
+    val pred = rates.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (g, f)) =>
+        val cond = hashBelow(col(keyCol), f, domain)
+        Some(acc.fold(when(col(groupCol) === g, cond))(_.when(col(groupCol) === g, cond)))
+    }.fold(hashBelow(col(keyCol), defaultFrac, domain))(
+      _.otherwise(hashBelow(col(keyCol), defaultFrac, domain)))
+    df.filter(pred)
+  }
+
+  /** Token-budget cap: per stratum, keep documents in hash order until the
+    * cumulative token count reaches `budget` — mixing to a TOKEN target
+    * rather than a row target (what a training-mix spec actually states).
+    * A document is kept iff the tokens of strictly-preceding documents
+    * (hash order, ties on key) are still under budget, so the first
+    * boundary-crossing document is included and every stratum lands within
+    * one document of its budget.
+    *
+    * Scale shape: the naive formulation is one running-sum window per
+    * stratum — a hot stratum's entire row set sorts in ONE task. Instead
+    * the hash's leading 16 bits range-bucket each stratum into `buckets`
+    * ORDER-PRESERVING slices (bucket id is monotone in the hash, so
+    * bucket-major order IS hash order): per-bucket token sums aggregate in
+    * parallel into a strata×buckets table, a window over that tiny table
+    * turns them into per-bucket starting offsets, and the broadcast
+    * offsets join back so each bucket computes its running sum
+    * independently — per-task work is a 1/`buckets` slice of a stratum.
+    * Identical output to the single-window formulation (SamplingSpec
+    * asserts equality; q68's oracle is the single-window SQL). */
+  def tokenBudgetCap(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                     tokCol: String, budget: Long, buckets: Int = 256,
+                     domain: String = "budget"): DataFrame = {
+    require(budget >= 0, s"budget ($budget) must be >= 0")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets ($buckets) must be in [1, 65536]")
+    require(!Seq("_h", "_b", "_off", "_prior").exists(df.columns.contains),
+      "input must not contain the reserved columns _h/_b/_off/_prior")
+    val strata = strataCols.map(col)
+    val withH = df
+      .withColumn("_h", hashHex(col(keyCol), domain))
+      .withColumn("_b",
+        // Column./ is double division; the product (< 2^32) and the
+        // power-of-two divisor keep the double path exact, so floor is the
+        // true integer quotient
+        floor(conv(substring(col("_h"), 1, 4), 16, 10).cast("long") * buckets
+          / lit(65536.0)).cast("long"))
+    val offsets = withH
+      .groupBy(strata :+ col("_b"): _*).agg(sum(col(tokCol)).as("_bs"))
+      .withColumn("_off", coalesce(
+        sum("_bs").over(Window.partitionBy(strata: _*).orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_bs")
+    val inBucket = Window.partitionBy(strata :+ col("_b"): _*)
+      .orderBy(col("_h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withH
+      .join(broadcast(offsets), strataCols :+ "_b")
+      .withColumn("_prior",
+        col("_off") + coalesce(sum(col(tokCol)).over(inBucket), lit(0L)))
+      .filter(col("_prior") < budget)
+      // the name-based join moved its keys to the front — restore the
+      // caller's column order so output schema == input schema
+      .select(df.columns.map(col): _*)
   }
 }

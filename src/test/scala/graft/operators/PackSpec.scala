@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class PackSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def packed(rows: Seq[(Long, String, Long)], capacity: Long) =
+    Pack.greedyPack(rows.toDF("doc_id", "shard", "tok"),
+        "doc_id", "tok", Seq("shard"), capacity)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("greedy fill with reset, in id order") {
+    // capacity 10: [4,5] fills 9, 3 overflows -> new pack, [3,7] fills 10, 2 -> new
+    val out = packed(Seq(
+      (1L, "s", 4L), (2L, "s", 5L), (3L, "s", 3L), (4L, "s", 7L), (5L, "s", 2L)), 10)
+    assert(out == Seq(
+      (1L, 0L, 0L, 4L), (2L, 0L, 4L, 9L),
+      (3L, 1L, 0L, 3L), (4L, 1L, 3L, 10L),
+      (5L, 2L, 0L, 2L)))
+  }
+
+  test("oversized document gets its own pack; zero-length joins current") {
+    val out = packed(Seq(
+      (1L, "s", 25L), (2L, "s", 0L), (3L, "s", 5L)), 10)
+    // doc 1 alone (fill 25 > cap), doc 2 overflows (25+0 > 10) -> pack 1 fill 0,
+    // doc 3 joins pack 1
+    assert(out == Seq((1L, 0L, 0L, 25L), (2L, 1L, 0L, 0L), (3L, 1L, 0L, 5L)))
+  }
+
+  test("shards pack independently") {
+    val out = Pack.greedyPack(
+      Seq((1L, "a", 6L), (2L, "b", 6L), (3L, "a", 6L), (4L, "b", 3L))
+        .toDF("doc_id", "shard", "tok"), "doc_id", "tok", Seq("shard"), 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    // a: 6 | 6 ; b: 6+3
+    assert(out == Seq((1L, 0L, 6L), (2L, 0L, 6L), (3L, 1L, 6L), (4L, 0L, 9L)))
+  }
+
+  test("pack_fill never exceeds capacity except for oversized singletons") {
+    val rows = (1L to 200L).map(i => (i, s"s${i % 3}", (i * 37) % 23))
+    val df = rows.toDF("doc_id", "shard", "tok")
+    val out = Pack.greedyPack(df, "doc_id", "tok", Seq("shard"), 40)
+      .join(df, "doc_id")
+    assert(out.filter(col("pack_fill") > 40 && col("tok") <= 40).isEmpty)
+    // offsets are consistent: offset + tok == fill
+    assert(out.filter(col("pack_offset") + col("tok") =!= col("pack_fill")).isEmpty)
+    // every row accounted for exactly once
+    assert(out.count() == 200)
+  }
+
+  test("negative token counts are rejected") {
+    val ex = intercept[Exception] {
+      packed(Seq((1L, "s", -1L)), 10)
+    }
+    assert(ex.getMessage.contains("negative token count")
+      || ex.getCause != null)
+  }
+}

@@ -78,4 +78,51 @@ class SamplingSpec extends SparkFunSuite {
     assert(df.select(Sampling.splitTag(col("id"), 1.0).as("s"))
       .filter(col("s") === "val").count() == 0)
   }
+
+  test("mixtureByHash applies per-group rates, defaultFrac elsewhere") {
+    val df = (1L to 6000L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val out = Sampling.mixtureByHash(df, "id", "grp",
+      Map("g0" -> 1.0, "g1" -> 0.5), defaultFrac = 0.0)
+    val counts = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("g0") == 2000, s"rate-1.0 group not whole: $counts")
+    assert(!counts.contains("g2"), s"default-0.0 group leaked rows: $counts")
+    assert(math.abs(counts("g1") - 1000L) < 150, s"0.5 rate off: $counts")
+    // per-row predicate only: the kept g1 rows are a subset of sampleByHash
+    // at the same frac/domain (same hash contract)
+    val direct = Sampling.sampleByHash(df.filter(col("grp") === "g1"), "id", 0.5, "mix")
+    assert(out.filter(col("grp") === "g1").except(direct).isEmpty)
+    assert(direct.except(out.filter(col("grp") === "g1")).isEmpty)
+  }
+
+  test("tokenBudgetCap equals the single-window formulation for any buckets") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 2000L).map(i => (i, s"s${i % 4}", (i * 13) % 97 + 1))
+      .toDF("id", "src", "tok")
+    val w = Window.partitionBy("src").orderBy(
+        substring(md5(concat(col("id").cast("string"), lit(":budget"))), 1, 8),
+        col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = df
+      .withColumn("_p", coalesce(sum("tok").over(w), lit(0L)))
+      .filter(col("_p") < 3000).drop("_p")
+    for (b <- Seq(1, 13, 256)) {
+      val capped = Sampling.tokenBudgetCap(df, Seq("src"), "id", "tok",
+        budget = 3000, buckets = b)
+      assert(capped.except(naive).isEmpty && naive.except(capped).isEmpty,
+        s"bucketed prefix sum diverged from single window at buckets=$b")
+    }
+  }
+
+  test("tokenBudgetCap lands within one document of the budget") {
+    val df = (1L to 1000L).map(i => (i, "s", 50L)).toDF("id", "src", "tok")
+    val kept = Sampling.tokenBudgetCap(df, Seq("src"), "id", "tok", budget = 1000)
+    // 50-token docs against a 1000 budget: exactly 20 docs
+    assert(kept.count() == 20)
+    // budget 1001: the 21st doc starts at 1000 < 1001 -> included
+    assert(Sampling.tokenBudgetCap(df, Seq("src"), "id", "tok", 1001).count() == 21)
+    // budget 0 keeps nothing; budget >= total keeps everything
+    assert(Sampling.tokenBudgetCap(df, Seq("src"), "id", "tok", 0).count() == 0)
+    assert(Sampling.tokenBudgetCap(df, Seq("src"), "id", "tok", 500000).count() == 1000)
+  }
 }
