@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{AsOf, Dedup, DupClusters, IvfIndex, Multimodal, Pack, Profile, RangeJoin, Resample, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, DupClusters, IvfIndex, Multimodal, Pack, Profile, Quantiles, RangeJoin, Resample, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -472,15 +472,20 @@ object SparkEntry {
     // exact interpolated percentiles (R-7 in both engines); the three price
     // quantiles share ONE percentile buffer (array form) — separate agg
     // calls each collect the 600k values into their own buffer, measured 2×
+    // exact quantiles via Quantiles.exact (distributed sort + order
+    // statistics), NOT the percentile() aggregate — whose state buffers
+    // every value and merges on one reducer (OOM at 100 TB). Results are
+    // bit-compatible with the built-in (QuantilesSpec).
     "q43_quantiles" -> ((s, dir) => {
-      Tables(s, dir).lineitem.agg(
-        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("pp"),
-        expr("round(percentile(l_quantity, 0.5), 4)").as("qty_median"))
-        .select(
-          round(element_at(col("pp"), 1), 4).as("p25"),
-          round(element_at(col("pp"), 2), 4).as("p50"),
-          round(element_at(col("pp"), 3), 4).as("p75"),
-          col("qty_median"))
+      val li = Tables(s, dir).lineitem
+      val ep = Quantiles.exact(li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val qm = Quantiles.exact(li, "l_quantity", Seq(0.5)).head.getDouble(1)
+      li.limit(1).select(
+        round(lit(ep(0.25)), 4).as("p25"),
+        round(lit(ep(0.5)), 4).as("p50"),
+        round(lit(ep(0.75)), 4).as("p75"),
+        round(lit(qm), 4).as("qty_median"))
     }),
     // deterministic hash train/val split — stable in the key, so the exact
     // assignment reproduces in any engine (oracle shares the md5 logic)
@@ -551,15 +556,20 @@ object SparkEntry {
     // HLL++/GK sketches landed within tolerance of exact (both sketches are
     // deterministic for fixed data — no flakiness)
     "q49_approx_agg" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+      // exact median via the distributed-sort path (see q43) — the
+      // percentile() aggregate's single-reducer merge does not scale
+      val med = Quantiles.exact(ev, "value", Seq(0.5)).head.getDouble(1)
       val exactUsers = count_distinct(col("user_id"))
       val approxUsers = approx_count_distinct(col("user_id"), rsd = 0.01)
-      val exactMedian = expr("percentile(value, 0.5)")
       val approxMedian = percentile_approx(col("value"), lit(0.5), lit(2000))
-      Tables(s, dir).events.agg(
+      ev.agg(
         exactUsers.as("exact_users"),
         (abs(approxUsers - exactUsers) <= exactUsers * 0.05).as("approx_users_ok"),
-        round(exactMedian, 4).as("median_val"),
-        (abs(approxMedian - exactMedian) <= abs(exactMedian) * 0.01).as("approx_median_ok"))
+        approxMedian.as("_am"))
+        .select(col("exact_users"), col("approx_users_ok"),
+          round(lit(med), 4).as("median_val"),
+          (abs(col("_am") - med) <= math.abs(med) * 0.01).as("approx_median_ok"))
     }),
     // range join: events joined to per-event preceding-1h intervals of the
     // same user via graft's binned point-in-interval join (shuffled equi-join
