@@ -1,11 +1,17 @@
 package graft.functions
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** SQL-surface registration for graft's custom Catalyst expressions, so
-  * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column API.
+import graft.operators.{Dedup, Scrub, TextAnalysis}
+
+/** SQL-surface registration for graft's column functions, so
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column
+  * API. Most entries are Column COMPOSITIONS (pure Catalyst expression
+  * trees — codegen'd, no UDF), bridged into the function registry by
+  * building the composed expression from the call's argument expressions;
+  * `vec_dot` is the one native expression.
   *
   * Two entry points for the two deployment shapes:
   *  - [[register]]: imperative, on a live session (tests, notebooks);
@@ -15,23 +21,46 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  private val vecDotBuilder: Seq[Expression] => Expression = { exprs =>
-    require(exprs.length == 2, s"vec_dot expects 2 arguments, got ${exprs.length}")
-    VecDot(exprs.head, exprs(1))
-  }
+  private def columnFn(name: String, arity: Int)(
+      f: Seq[Column] => Column): (String, Seq[Expression] => Expression) =
+    name -> { exprs =>
+      require(exprs.length == arity,
+        s"$name expects $arity argument(s), got ${exprs.length}")
+      GraftColumnBridge.expression(f(exprs.map(GraftColumnBridge.column)))
+    }
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    columnFn("vec_dot", 2)(cs => VecDot.dot(cs(0), cs(1))),
+    columnFn("vec_cosine", 2)(cs => VectorFunctions.cosine(cs(0), cs(1))),
+    columnFn("vec_l2_norm", 1)(cs => VectorFunctions.l2Norm(cs(0))),
+    columnFn("vec_l2_dist", 2)(cs => VectorFunctions.l2Distance(cs(0), cs(1))),
+    columnFn("quantize_int8", 1)(cs => VectorFunctions.quantizeInt8(cs(0))),
+    columnFn("dequant_int8", 2)(cs => VectorFunctions.dequantInt8(cs(0), cs(1))),
+    columnFn("token_count", 1)(cs => TextAnalysis.tokenCount(cs(0))),
+    columnFn("subword_count", 1)(cs => TextAnalysis.subwordCount(cs(0))),
+    columnFn("quality_score", 1)(cs => TextAnalysis.qualityScore(cs(0))),
+    columnFn("lang_guess", 1)(cs => TextAnalysis.langGuess(cs(0))),
+    columnFn("doc_fingerprint", 1)(cs => TextAnalysis.fingerprint(cs(0))),
+    columnFn("char_jaccard", 2)(cs => Dedup.charJaccard(cs(0), cs(1))),
+    columnFn("simhash64", 1)(cs => Dedup.simhash64(cs(0))),
+    columnFn("redact_pii", 1)(cs => Scrub.redactPii(cs(0))),
+    columnFn("dup_token_ratio", 1)(cs => Scrub.duplicateTokenRatio(cs(0))))
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", vecDotBuilder, "scala_udf")
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 
-  private[functions] val vecDotInfo =
-    (FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      vecDotBuilder)
+  private[functions] def infos
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    builders.map { case (name, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo(getClass.getName, name), builder)
+    }
 }
 
 /** Session-build-time installer (`spark.sql.extensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit =
-    e.injectFunction(GraftFunctions.vecDotInfo)
+    GraftFunctions.infos.foreach(e.injectFunction)
 }

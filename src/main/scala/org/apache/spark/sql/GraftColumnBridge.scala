@@ -8,5 +8,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * `new Column(expr)` constructor in favor of ColumnNode). */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode→Expression conversion. `ExpressionUtils.expression`
+    * defers unconverted nodes behind a `ColumnNodeExpression` wrapper,
+    * which the Dataset API unwraps during its own analysis — but an
+    * expression returned from a FunctionRegistry builder is already "past"
+    * that point, so the wrapper survives to codegen and dies there. The
+    * converter object resolves the whole node tree up front (function
+    * column nodes become proper `UnresolvedFunction` expressions the
+    * analyzer then binds). */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

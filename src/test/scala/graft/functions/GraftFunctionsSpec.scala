@@ -24,4 +24,33 @@ class GraftFunctionsSpec extends SparkFunSuite {
   test("GraftExtensions installs without error (spark-submit seam)") {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
+
+  test("composed column functions are callable from SQL and match the Column API") {
+    GraftFunctions.register(spark)
+    Seq(("the quick the fox", Array(3.0f, 4.0f)))
+      .toDF("t", "v").createOrReplaceTempView("g")
+    val r = spark.sql(
+      """SELECT n, c, tc, j, s.q AS q, dr FROM (
+        |  SELECT vec_l2_norm(v) AS n, vec_cosine(v, v) AS c,
+        |         token_count(t) AS tc, char_jaccard(t, t) AS j,
+        |         quantize_int8(v) AS s, dup_token_ratio(t) AS dr
+        |  FROM g)""".stripMargin).head
+    assert(r.getAs[Double]("n") == 5.0)
+    assert(r.getAs[Double]("c") == 1.0)
+    assert(r.getAs[Int]("tc") == 4)
+    assert(r.getAs[Double]("j") == 1.0)
+    assert(r.getAs[scala.collection.Seq[Int]]("q").toSeq == Seq(95, 127))
+    assert(r.getAs[Double]("dr") == 0.25) // "the" repeats once in 4 tokens
+  }
+
+  test("every registered name resolves (registry round-trip)") {
+    GraftFunctions.register(spark)
+    for (name <- Seq("vec_dot", "vec_cosine", "vec_l2_norm", "vec_l2_dist",
+        "quantize_int8", "dequant_int8", "token_count", "subword_count",
+        "quality_score", "lang_guess", "doc_fingerprint", "char_jaccard",
+        "simhash64", "redact_pii", "dup_token_ratio"))
+      assert(spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"$name not registered")
+  }
 }

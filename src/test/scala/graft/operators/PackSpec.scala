@@ -52,6 +52,25 @@ class PackSpec extends SparkFunSuite {
     assert(out.count() == 200)
   }
 
+  test("randomized differential vs an in-memory greedy reference") {
+    val rng = new scala.util.Random(20260812)
+    val rows = (1L to 3000L).map(i =>
+      (i, s"sh${rng.nextInt(7)}", rng.nextInt(120).toLong))
+    val cap = 100L
+    // driver-side reference: plain sequential greedy fill per shard
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      var pack = -1L; var fill = 0L
+      rs.sortBy(_._1).map { case (id, _, tok) =>
+        if (pack < 0 || fill + tok > cap) { pack += 1; fill = tok } else fill += tok
+        (id, pack, fill - tok, fill)
+      }
+    }.toSet
+    val got = Pack.greedyPack(rows.toDF("doc_id", "shard", "tok"),
+        "doc_id", "tok", Seq("shard"), cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
   test("negative token counts are rejected") {
     val ex = intercept[Exception] {
       packed(Seq((1L, "s", -1L)), 10)
