@@ -794,6 +794,30 @@ object SparkEntry {
           "doc_id", "n_chars", budget = 20000L, buckets = 16)
         .select("doc_id", "source", "n_chars").orderBy("doc_id")
     }),
+    // quantized-index ANN (int8 IVF with exact re-rank): q29's planted-copy
+    // construction — copies carry the query vector verbatim, so they share
+    // its cell, survive the quantized shortlist (approx score ≈ 1 vs ≈ 0.6
+    // natural ceiling), and the EXACT re-rank pins their reported scores to
+    // the same closed-form expression the oracle states
+    "q71_ann_ivf_int8" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val copies = q
+        .withColumn("j", explode(sequence(lit(1L), lit(10L))))
+        .select((col("query_id") + col("j") * 100000L).as("vec_id"),
+          col("query_vec").as("embedding"))
+      IvfIndex.topKQuantized(emb.unionByName(copies), "vec_id", "embedding",
+          q, 10, nCells = 16, nProbe = 6, iters = 2, shortlistFactor = 4)
+        .orderBy("query_id", "rank")
+    }),
+    // materialized packed corpus: one row per context window, texts joined
+    // in id order — the actual training-row output of the packing step
+    "q70_pack_corpus" -> ((s, dir) => {
+      Pack.packCorpus(Tables(s, dir).documents, "doc_id", "text", "n_chars",
+          Seq("source", "lang"), capacity = 2048L, sep = "\n")
+        .orderBy("source", "lang", "pack_id")
+    }),
     // int8 embedding quantization: the quantized integers are bit-exactly
     // reproducible cross-engine (fixed-order per-row double arithmetic), so
     // the oracle states the whole integer payload, not a tolerance
@@ -1397,6 +1421,42 @@ object SparkEntry {
         |)
         |SELECT doc_id, pack_id, fill - n_chars AS pack_offset, fill AS pack_fill
         |FROM rec ORDER BY doc_id""".stripMargin,
+    "q71_ann_ivf_int8" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT vec_id AS query_id,
+        |        list_inner_product(v, v)
+        |          / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(v, v)))
+        |          AS score
+        |      FROM q),
+        |r AS (SELECT query_id, score, unnest(generate_series(1, 10)) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank,
+        |  CASE WHEN rank = 1 THEN query_id
+        |       ELSE query_id + (rank - 1) * 100000 END AS neighbor_id,
+        |  score
+        |FROM r ORDER BY query_id, rank""".stripMargin,
+    "q70_pack_corpus" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, lang, doc_id, n_chars, text,
+        |         row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), rec AS (
+        |  SELECT source, lang, rn, doc_id, n_chars, text,
+        |         CAST(0 AS BIGINT) AS pack_id, n_chars AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.lang, d.rn, d.doc_id, d.n_chars, d.text,
+        |         CASE WHEN r.fill + d.n_chars > 2048 THEN r.pack_id + 1
+        |              ELSE r.pack_id END,
+        |         CASE WHEN r.fill + d.n_chars > 2048 THEN d.n_chars
+        |              ELSE r.fill + d.n_chars END
+        |  FROM rec r JOIN d ON d.source = r.source AND d.lang = r.lang
+        |                   AND d.rn = r.rn + 1
+        |)
+        |SELECT source, lang, pack_id,
+        |  string_agg(text, chr(10) ORDER BY doc_id) AS text,
+        |  count(*) AS n_docs, max(fill) AS pack_fill
+        |FROM rec GROUP BY 1, 2, 3 ORDER BY source, lang, pack_id""".stripMargin,
     "q67_mixture_sample" ->
       s"""SELECT doc_id, source, n_chars FROM (
          |  SELECT doc_id, source, n_chars,

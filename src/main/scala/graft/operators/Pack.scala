@@ -62,4 +62,64 @@ object Pack {
       }
       .toDF(idCol, "pack_id", "pack_offset", "pack_fill")
   }
+
+  /** Materialized packed corpus: ONE ROW PER PACK — `(shardCols…,
+    * pack_id, text, n_docs, pack_fill)` with member texts joined by `sep`
+    * in ascending id order. The same single streaming pass as
+    * [[greedyPack]] (no join-back, no second aggregation): packs are
+    * emitted as the shard's row stream crosses each boundary, so task
+    * state is one in-flight pack (O(capacity) characters), never a shard.
+    * Shard columns round-trip through the group key (JSON), so null shard
+    * values survive. */
+  def packCorpus(df: DataFrame, idCol: String, textCol: String,
+                 tokCol: String, shardCols: Seq[String], capacity: Long,
+                 sep: String = "\n"): DataFrame = {
+    require(capacity >= 1, s"capacity ($capacity) must be >= 1")
+    require(shardCols.nonEmpty, "at least one shard column is required")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shardSchema = df.select(shardCols.map(col): _*).schema
+    val keyed = df
+      .select(
+        to_json(struct(shardCols.map(col): _*)).as("_shard"),
+        col(idCol).cast("long").as("_id"),
+        col(tokCol).cast("long").as("_tok"),
+        col(textCol).cast("string").as("_text"))
+      .as[(String, Long, Long, String)]
+    keyed
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("_id")) { (shard, rows) =>
+        new Iterator[(String, Long, String, Long, Long)] {
+          private val buf = rows.buffered
+          private var pack = -1L
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, Long, String, Long, Long) = {
+            pack += 1
+            val sb = new StringBuilder
+            var fill = 0L
+            var n = 0L
+            var open = true
+            while (open && buf.hasNext) {
+              val (_, id, tok, text) = buf.head
+              if (tok < 0)
+                throw new IllegalArgumentException(
+                  s"negative token count $tok for id $id")
+              if (n > 0L && fill + tok > capacity) open = false
+              else {
+                buf.next()
+                if (n > 0L) sb.append(sep)
+                sb.append(if (text == null) "" else text)
+                fill += tok
+                n += 1
+              }
+            }
+            (shard, pack, sb.toString, n, fill)
+          }
+        }
+      }
+      .toDF("_shard", "pack_id", "text", "n_docs", "pack_fill")
+      .withColumn("_s", from_json(col("_shard"), shardSchema))
+      .select(shardCols.map(c => col(s"_s.$c")) ++
+        Seq(col("pack_id"), col("text"), col("n_docs"), col("pack_fill")): _*)
+  }
 }

@@ -32,6 +32,34 @@ class IvfIndexSpec extends SparkFunSuite {
     assert(a == b, "nProbe = nCells must reproduce the exact result")
   }
 
+  test("topKQuantized: full probe + whole-corpus shortlist equals brute force") {
+    val corpus = t.embeddings.filter($"vec_id" < 40)
+    val q = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    // probing every cell with a shortlist covering the whole corpus leaves
+    // only the exact re-rank — results must match brute force EXACTLY
+    // (ranks and scores), proving quantization never touches final scores
+    val got = IvfIndex.topKQuantized(corpus, "vec_id", "embedding", q, k = 5,
+      nCells = 4, nProbe = 4, shortlistFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == exact)
+  }
+
+  test("topKQuantized recall at partial probing is reasonable") {
+    val q = t.embeddings.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val ann = IvfIndex.topKQuantized(t.embeddings, "vec_id", "embedding", q,
+      k = 10, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall collapsed: $recall")
+    (0L until 8L).foreach(qid => assert(ann.contains((qid, qid))))
+  }
+
   test("topK recall at partial probing is reasonable") {
     val q = t.embeddings.filter($"vec_id" < 8)
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))

@@ -71,6 +71,41 @@ class PackSpec extends SparkFunSuite {
     assert(got == expected)
   }
 
+  test("packCorpus emits one row per pack, consistent with greedyPack") {
+    val rng = new scala.util.Random(99)
+    val rows = (1L to 800L).map(i =>
+      (i, s"sh${rng.nextInt(5)}", rng.nextInt(60).toLong + 1, s"d$i"))
+    val df = rows.toDF("doc_id", "shard", "tok", "text")
+    val asg = Pack.greedyPack(df, "doc_id", "tok", Seq("shard"), 150)
+      .join(df, "doc_id")
+    val expected = asg.collect()
+      .map(r => (r.getAs[String]("shard"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[Long]("tok")))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((shard, pack), ms) =>
+        val sorted = ms.sortBy(_._3)
+        (shard, pack, sorted.map(_._4).mkString("|"), sorted.length.toLong,
+          sorted.map(_._5).sum)
+      }.toSet
+    val got = Pack.packCorpus(df, "doc_id", "text", "tok", Seq("shard"), 150, "|")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
+  test("packCorpus round-trips null shard values and respects id order") {
+    val df = Seq(
+      (2L, Option.empty[String], 5L, "b"),
+      (1L, Option.empty[String], 5L, "a"),
+      (3L, Some("x"), 5L, "c")
+    ).toDF("doc_id", "shard", "tok", "text")
+    val out = Pack.packCorpus(df, "doc_id", "text", "tok", Seq("shard"), 100, " ")
+      .orderBy("pack_id", "shard").collect()
+      .map(r => (Option(r.getString(0)), r.getString(2), r.getLong(3))).toSeq
+    assert(out.toSet == Set((None, "a b", 2L), (Some("x"), "c", 1L)))
+  }
+
   test("negative token counts are rejected") {
     val ex = intercept[Exception] {
       packed(Seq((1L, "s", -1L)), 10)
