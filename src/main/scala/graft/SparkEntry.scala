@@ -234,15 +234,23 @@ object SparkEntry {
     // well-formedness flags aggregated over the FULL pair set — a missed
     // copy, an unordered pair, a duplicate emission or an out-of-range
     // estimate each break the hash compare. (Natural near-dup pairs among
-    // the sf documents also surface; the offset filter is immune to them,
-    // so the gate holds at any SF.)
+    // the sf documents also surface; the offset filter is immune to them.
+    // Construction bounds: valid while max(doc_id) < 1e6 — no natural id
+    // collides with a shifted one — and while no exact-duplicate text
+    // group exceeds maxBucket/2 docs, past which the bucket cap reroutes
+    // beyond-cap copies through the bucket minimum instead of their own
+    // planted pair. Both hold with wide margin at every driver SF.)
     "q24_minhash_pairs" -> ((s, dir) => {
       val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
       val corpus = docs.unionByName(
         docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      // persist: the pair set feeds both the planted-pair rows and the
-      // sanity aggregate — one materialization instead of two sig pipelines
-      val pairs = Dedup.minhashCandidatePairs(corpus, "doc_id", "text").persist()
+      // lazy localCheckpoint: the pair set feeds both the planted-pair rows
+      // and the sanity aggregate — one materialization instead of two sig
+      // pipelines, and (unlike persist, which the CacheManager pins until
+      // an unpersist that lazy query construction can never issue) the
+      // cached blocks are reclaimed once the plan is dereferenced
+      val pairs = Dedup.minhashCandidatePairs(corpus, "doc_id", "text")
+        .localCheckpoint(false)
       val sanity = pairs.agg(
         bool_and(col("id_a") < col("id_b")).as("ordered_ok"),
         bool_and(col("est_jaccard") >= 0.0 && col("est_jaccard") <= 1.0).as("est_in_range"),

@@ -115,14 +115,15 @@ object Dedup {
     * O(m²) pairs AND an O(m)-element array in ONE task. Members are
     * therefore ranked inside their bucket (a window on the same
     * (band, bucket) partitioning — no extra exchange, the sort is
-    * streaming+spillable) and buckets are truncated to the `maxBucket`
-    * lowest-id members before the collect_list, bounding per-task work at
-    * maxBucket² pair emissions and per-row state at maxBucket structs.
-    * Truncation is deterministic (lowest ids survive) and only LOSES
-    * candidate pairs between two beyond-cap members of one band — members
-    * of a capped bucket are by definition mutual near-dups, so the
-    * surviving cap-sized clique still links the cluster for downstream
-    * connected components. Audit oversized buckets with
+    * streaming+spillable): the `maxBucket` lowest-id members form the full
+    * pairwise clique (bounding per-task work at maxBucket² pair emissions
+    * and per-row state at maxBucket structs), and every beyond-cap member
+    * emits exactly ONE linking pair to the bucket's minimum-id member — so
+    * no member is ever silently orphaned (a dropped member would surface
+    * as a false unique downstream), total pairs stay O(maxBucket² + m),
+    * and cluster connectivity is preserved for connected components. What
+    * IS dropped: pairwise candidates AMONG beyond-cap members (their
+    * connectivity rides through the minimum). Audit oversized buckets with
     * [[minhashBucketProfile]] before lowering the cap. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 32, bands: Int = 8, shingleN: Int = 3,
@@ -132,25 +133,39 @@ object Dedup {
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2 to emit any pair")
     val banded = bandedSignatures(df, idCol, textCol, k, bands, shingleN)
     val wb = Window.partitionBy("band", "bucket").orderBy("id")
-    val buckets = banded
+    // running first_value = the rank-1 (minimum-id) member's id/sig — same
+    // partitioning+ordering as the rank window, so all three share one Sort
+    val wbRun = Window.partitionBy("band", "bucket").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val estJac = (a: Column, b: Column) =>
+      size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+        .cast("double") / lit(k.toDouble)
+    val ranked = banded
       .withColumn("_r", row_number().over(wb))
+      .withColumn("_min_id", first("id").over(wbRun))
+      .withColumn("_min_sig", first("sig").over(wbRun))
+    val buckets = ranked
       .filter(col("_r") <= maxBucket)
-      .drop("_r")
       .groupBy("band", "bucket")
       .agg(collect_list(struct(col("id"), col("sig"))).as("ms"))
       .filter(size(col("ms")) > 1)
-    buckets
+    val cliquePairs = buckets
       .select(explode(flatten(transform(col("ms"), a =>
         filter(
           transform(col("ms"), b => struct(
             a.getField("id").as("id_a"),
             b.getField("id").as("id_b"),
-            (size(filter(zip_with(a.getField("sig"), b.getField("sig"),
-              (x, y) => x === y), v => v)).cast("double") / lit(k.toDouble)).as("est_jaccard"))),
+            estJac(a.getField("sig"), b.getField("sig")).as("est_jaccard"))),
           s => s.getField("id_a") < s.getField("id_b"))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.est_jaccard").as("est_jaccard"))
-      .distinct()
+    // beyond-cap members: one linking pair each to the bucket minimum
+    // (_min_id < id always holds at _r > maxBucket >= 2)
+    val overflowPairs = ranked
+      .filter(col("_r") > maxBucket)
+      .select(col("_min_id").as("id_a"), col("id").as("id_b"),
+        estJac(col("_min_sig"), col("sig")).as("est_jaccard"))
+    cliquePairs.unionByName(overflowPairs).distinct()
   }
 
   /** (id, sig, band, bucket) — one row per document per band. */

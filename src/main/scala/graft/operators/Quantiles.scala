@@ -45,7 +45,15 @@ object Quantiles {
       (p, h, math.floor(h).toLong, math.ceil(h).toLong)
     }
     val need = targets.flatMap(t => Seq(t._3, t._4)).distinct
+    // the lazy localCheckpoint pins ONE physical range partitioning: the
+    // offsets subplan and the row_number subplan below both read the same
+    // materialized RDD, so the per-partition offsets always index the
+    // partitioning they were counted against. Without it, correctness
+    // would hinge on exchange reuse deduping two independently-sampled
+    // range sorts. (Durability: pure derivation — executor loss fails the
+    // job, a rerun rebuilds from intact inputs.)
     val sorted = vals.orderBy("v").withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
     // range partitions are in key order: broadcast per-partition row counts
     // become global starting offsets, and a within-partition row_number
     // completes the global index — no single-partition window anywhere.

@@ -71,7 +71,8 @@ object Resample {
     require(valCols.nonEmpty, "forwardFillBucketed needs at least one value column")
     require(stepSeconds > 0 && chunkSeconds >= stepSeconds,
       s"need stepSeconds > 0 and chunkSeconds >= stepSeconds ($stepSeconds/$chunkSeconds)")
-    val reserved = Seq("_lo_s", "_hi_s", "_ck", "_n", "_ts_s", "_carry")
+    val reserved = Seq("_lo_s", "_hi_s", "_lo_us", "_hi_us", "_ck", "_n",
+      "_ts_s", "_carry", "_frac")
     require(!df.columns.exists(c => reserved.contains(c) || c.startsWith("_last__")),
       s"input must not contain reserved columns ${reserved.mkString("/")}/_last__*")
     val k = keys.map(col)
@@ -79,10 +80,24 @@ object Resample {
     // 1. per-key span in whole seconds → chunk range → in-chunk slot range.
     //    Slot n lives at lo + n·step; chunk ck covers slots with
     //    ck·chunk ≤ lo + n·step < (ck+1)·chunk, clamped to [0, nMax].
+    //    Sub-second stamps: forwardFill's contract has every stamp at
+    //    lo + n·step with whole-second steps, so all of a key's stamps
+    //    share lo's µs remainder. Carry that remainder (`_frac`) alongside
+    //    and do the span/chunk/slot arithmetic in whole seconds (small
+    //    integers — exact in doubles; raw micros would not be), restoring
+    //    it when the grid timestamps materialize — a truncating
+    //    unix_timestamp here would silently miss every sub-second stamp on
+    //    the join-back.
     val span = df.groupBy(k: _*)
-      .agg(min(unix_timestamp(col(tsCol))).as("_lo_s"),
-        max(unix_timestamp(col(tsCol))).as("_hi_s"))
-    val chunked = span.select(k ++ Seq(col("_lo_s"), col("_hi_s"),
+      .agg(min(unix_micros(col(tsCol))).as("_lo_us"),
+        max(unix_micros(col(tsCol))).as("_hi_us"))
+      .select(k ++ Seq(
+        pmod(col("_lo_us"), lit(1000000L)).as("_frac"),
+        ((col("_lo_us") - pmod(col("_lo_us"), lit(1000000L))) / 1000000L)
+          .cast("long").as("_lo_s"),
+        floor((col("_hi_us") - pmod(col("_lo_us"), lit(1000000L))) / 1000000L)
+          .cast("long").as("_hi_s")): _*)
+    val chunked = span.select(k ++ Seq(col("_frac"), col("_lo_s"), col("_hi_s"),
       explode(sequence(chunkOf(col("_lo_s")), chunkOf(col("_hi_s")))).as("_ck")): _*)
     val n0 = greatest(lit(0L),
       ceil((col("_ck") * chunkSeconds - col("_lo_s")).cast("double") / stepSeconds).cast("long"))
@@ -91,10 +106,11 @@ object Resample {
       floor(((col("_ck") + 1) * chunkSeconds - 1 - col("_lo_s")) / stepSeconds).cast("long"))
     val grid = chunked
       .filter(n1 >= n0) // a chunk may hold no slot when step > chunk overlap
-      .select(k ++ Seq(col("_ck"),
+      .select(k ++ Seq(col("_ck"), col("_frac"),
         explode(transform(sequence(n0, n1),
           n => col("_lo_s") + n * stepSeconds)).as("_ts_s")): _*)
-      .select(k ++ Seq(col("_ck"), timestamp_seconds(col("_ts_s")).as(tsCol)): _*)
+      .select(k ++ Seq(col("_ck"),
+        timestamp_micros(col("_ts_s") * 1000000L + col("_frac")).as(tsCol)): _*)
     // 2. join observations, fill within (key, chunk)
     val wc = Window.partitionBy(k :+ col("_ck"): _*).orderBy(col(tsCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

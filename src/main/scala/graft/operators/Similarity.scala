@@ -82,11 +82,16 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine above `threshold`, blocked by
     * LSH bucket so the pair space stays sub-quadratic — the default and
-    * the only shape that survives a large corpus. The exact variant
-    * (`blocked=false`) compares ALL pairs through a single constant join
-    * key (one shuffle partition, O(n²) pair space): it exists as the
-    * small-data differential baseline for specs, never for production
-    * paths. */
+    * the only shape that survives a large corpus. NOTE the default is the
+    * APPROXIMATE path: blocking is a candidate filter, so a genuine
+    * near-dup pair whose `planes`-bit LSH signatures differ is not
+    * compared and not returned (reported scores are still exact cosines).
+    * The exact variant (`blocked=false`) compares ALL pairs through a
+    * single constant join key (one shuffle partition, O(n²) pair space):
+    * it exists as the small-data differential baseline for specs, never
+    * for production paths — callers needing exact recall at scale should
+    * raise `threshold`-adjacent recall via more planes, or verify through
+    * [[bruteForceTopK]] on a bounded query set. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, blocked: Boolean = true,
                          planes: Int = 8): DataFrame = {

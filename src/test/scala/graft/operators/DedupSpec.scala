@@ -71,12 +71,20 @@ class DedupSpec extends SparkFunSuite {
     val many = (0L until 1000L).map(i => (i, base)).toDF("doc_id", "text")
     val capped = Dedup.minhashCandidatePairs(many, "doc_id", "text", maxBucket = 64)
       .collect()
-    // identical text ⇒ identical buckets in all bands; the cap keeps the 64
-    // lowest ids, so the output is exactly the C(64,2) clique among them —
-    // still plenty to link the cluster for connected components
-    assert(capped.length == 64 * 63 / 2)
-    assert(capped.forall(r => r.getLong(0) < 64 && r.getLong(1) < 64))
+    // identical text ⇒ identical buckets in all bands; the 64 lowest ids
+    // form the full C(64,2) clique, and every beyond-cap member keeps ONE
+    // linking pair to the bucket minimum (doc 0) — total 2016 + 936 pairs
+    assert(capped.length == 64 * 63 / 2 + (1000 - 64))
     assert(capped.forall(_.getDouble(2) == 1.0))
+    // NO member is orphaned: all 1000 docs appear in some pair, and the
+    // cluster stays fully connected for downstream components
+    val seen = capped.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(seen == (0L until 1000L).toSet, "cap orphaned bucket members")
+    val pairs = capped.map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.toDF("id_a", "id_b")
+    val clusters = DupClusters.components(pairs)
+      .select("cluster_id").distinct().collect()
+    assert(clusters.length == 1, "capped candidate graph fell apart")
   }
 
   test("bucket profile surfaces the degenerate bucket a cap would truncate") {

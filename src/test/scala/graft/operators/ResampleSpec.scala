@@ -67,6 +67,28 @@ class ResampleSpec extends SparkFunSuite {
     assert(bucketed == plain)
   }
 
+  test("bucketed fill: sub-second slot alignment matches the interval operator") {
+    // stamps at .5s offsets on a 1s step — a whole-second truncation in the
+    // bucketed grid would miss every observation on the join-back
+    def t(us: Long) = new Timestamp(us / 1000) // ms precision carries the .5s
+    val base = 1700000000L * 1000000L + 500000L // ...T...:00.5
+    val df = Seq(
+      (1L, t(base), Some(1.0)),
+      (1L, t(base + 2L * 1000000L), None: Option[Double]),
+      (1L, t(base + 7L * 1000000L), Some(3.0))
+    ).toDF("k", "ts", "v")
+    val plain = Resample.forwardFill(df, Seq("k"), "ts", Seq("v"),
+      expr("INTERVAL 1 SECOND"))
+      .orderBy("ts").as[(Long, Timestamp, Option[Double])].collect().toSeq
+    val bucketed = Resample.forwardFillBucketed(df, Seq("k"), "ts", Seq("v"),
+      stepSeconds = 1L, chunkSeconds = 3L)
+      .orderBy("ts").as[(Long, Timestamp, Option[Double])].collect().toSeq
+    assert(bucketed == plain)
+    // the observed values actually joined (no silent all-null grid)
+    assert(plain.length == 8)
+    assert(plain.head._3.contains(1.0) && plain.last._3.contains(3.0))
+  }
+
   test("multiple value columns fill independently (null observation stays gap-filled)") {
     val df = Seq(
       (1L, ts(1), Some(1.0), Some(9.0)),
