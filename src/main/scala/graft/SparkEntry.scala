@@ -802,6 +802,27 @@ object SparkEntry {
           "doc_id", "n_chars", budget = 20000L, buckets = 16)
         .select("doc_id", "source", "n_chars").orderBy("doc_id")
     }),
+    // leakage-safe split: near-duplicate CLUSTERS are the split unit, so a
+    // train document's near-dup can never leak into val. Construction: a
+    // tripled corpus (q53's technique) whose clusters are known in closed
+    // form (d, d+1e6, d+2e6 → cluster d), so the oracle derives cluster_id
+    // arithmetically and applies the same md5 split threshold
+    "q72_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.filter(col("doc_id") < 200).select("doc_id")
+      val corpus = docs
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("_k"))
+        .select((col("doc_id") + col("_k") * 1000000L).as("doc_id"))
+      val pairs = docs
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(1L))).as("_k"))
+        .select((col("doc_id") + col("_k") * 1000000L).as("id_a"),
+          (col("doc_id") + (col("_k") + 1L) * 1000000L).as("id_b"))
+      val comp = DupClusters.components(pairs).withColumnRenamed("id", "doc_id")
+      corpus.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("split", Sampling.splitTag(col("cluster_id"), 0.8, "leak"))
+        .orderBy("doc_id")
+    }),
     // quantized-index ANN (int8 IVF with exact re-rank): q29's planted-copy
     // construction — copies carry the query vector verbatim, so they share
     // its cell, survive the quantized shortlist (approx score ≈ 1 vs ≈ 0.6
@@ -1429,6 +1450,17 @@ object SparkEntry {
         |)
         |SELECT doc_id, pack_id, fill - n_chars AS pack_offset, fill AS pack_fill
         |FROM rec ORDER BY doc_id""".stripMargin,
+    "q72_leakage_safe_split" ->
+      s"""WITH c AS (
+         |  SELECT doc_id + t.k * 1000000 AS doc_id, doc_id AS cluster_id
+         |  FROM documents CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 2)) AS k) t
+         |  WHERE doc_id < 200)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR) || ':leak'), 1, 8)
+         |         < '${Sampling.hexThreshold(0.8)}'
+         |       THEN 'train' ELSE 'val' END AS split
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q71_ann_ivf_int8" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id < 8),
