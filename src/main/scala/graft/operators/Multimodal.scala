@@ -29,6 +29,16 @@ object Multimodal {
   /** Decoder seam — one instance per partition, reused across the batch. */
   trait Codec extends Serializable {
     def decode(payload: Array[Byte], modality: String): (Int, Int)
+
+    /** Resample a payload to a `targetW`×`targetH` representation. The stub
+      * is nearest-neighbor byte sampling; a real codec decodes, resizes,
+      * re-encodes (??? in production). Must be deterministic. */
+    def resize(payload: Array[Byte], modality: String,
+               targetW: Int, targetH: Int): Array[Byte] = {
+      val n = targetW * targetH
+      if (payload.isEmpty || n == 0) Array.emptyByteArray
+      else Array.tabulate(n)(i => payload(((i.toLong * payload.length) / n).toInt))
+    }
   }
 
   /** Deterministic fake decode: "dimensions" derived from payload length and
@@ -66,6 +76,28 @@ object Multimodal {
           val checksum = r.payload.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
           MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong, w, h, checksum)
         }
+      }
+  }
+
+  /** A resized media row. */
+  final case class ResizedMedia(doc_id: Long, modality: String,
+                                width: Int, height: Int, payload: Array[Byte])
+
+  /** Batched resize: the standard pre-training normalization pass (fixed
+    * input resolution for the vision encoder). Same mapPartitions batch
+    * seam as [[extractFeatures]] — one codec instance per partition,
+    * iterator-streamed, payload-in payload-out so the output column stays
+    * an opaque `binary` for the sink. */
+  def resizeAll(media: DataFrame, targetW: Int, targetH: Int,
+                codec: Codec = StubCodec): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0, s"target dims must be positive ($targetW x $targetH)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("modality"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        val c = codec
+        it.map(r => ResizedMedia(r.doc_id, r.modality, targetW, targetH,
+          c.resize(r.payload, r.modality, targetW, targetH)))
       }
   }
 

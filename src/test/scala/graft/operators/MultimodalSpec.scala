@@ -52,4 +52,18 @@ class MultimodalSpec extends SparkFunSuite {
     val f = Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text"), fixed).head()
     assert(f.width == 640 && f.height == 480)
   }
+
+  test("resizeAll: fixed output size, deterministic nearest-neighbor stub") {
+    val docs = Seq((1L, "abcdefgh"), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.resizeAll(Multimodal.asMedia(docs, "doc_id", "text"), 2, 2)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).payload.length == 4 && out(1L).width == 2 && out(1L).height == 2)
+    // evenly spaced byte picks from "abcdefgh" (len 8, n 4): offsets 0,2,4,6
+    assert(new String(out(1L).payload) == "aceg")
+    assert(out(2L).payload.isEmpty)
+    // upsampling repeats source bytes, never goes out of bounds
+    val up = Multimodal.resizeAll(Multimodal.asMedia(
+      Seq((3L, "xy")).toDF("doc_id", "text"), "doc_id", "text"), 3, 2).head()
+    assert(up.payload.length == 6 && up.payload.forall(b => b == 'x' || b == 'y'))
+  }
 }
