@@ -802,6 +802,18 @@ object SparkEntry {
           "doc_id", "n_chars", budget = 20000L, buckets = 16)
         .select("doc_id", "source", "n_chars").orderBy("doc_id")
     }),
+    // exact word-bigram Jaccard pairs (MinHash's exact counterpart) over
+    // the copy-planted corpus: planted pairs score exactly 1.0, and any
+    // natural pair at/above threshold is computed identically by both
+    // engines (string-set arithmetic — no sketching, no rounding)
+    "q73_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text", "lang", "n_chars")
+      val corpus = d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"), col("lang"), col("n_chars")))
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "lang", "n_chars",
+          n = 2, bucketWidth = 64, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
     // leakage-safe split: near-duplicate CLUSTERS are the split unit, so a
     // train document's near-dup can never leak into val. Construction: a
     // tripled corpus (q53's technique) whose clusters are known in closed
@@ -1450,6 +1462,26 @@ object SparkEntry {
         |)
         |SELECT doc_id, pack_id, fill - n_chars AS pack_offset, fill AS pack_fill
         |FROM rec ORDER BY doc_id""".stripMargin,
+    "q73_ngram_jaccard" ->
+      """WITH c AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, n_chars FROM documents),
+        |t AS (SELECT doc_id, lang,
+        |        CAST(floor(n_chars / 64.0) AS BIGINT) AS blk,
+        |        string_split(text, ' ') AS toks FROM c),
+        |g AS (SELECT doc_id, lang, blk,
+        |        list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i + 1])) AS gr
+        |      FROM t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+        |          / CAST(len(list_distinct(a.gr || b.gr)) AS DOUBLE) AS jac
+        |      FROM g a JOIN g b ON a.lang = b.lang AND a.blk = b.blk
+        |        AND a.doc_id < b.doc_id
+        |      WHERE len(list_distinct(a.gr || b.gr)) > 0)
+        |SELECT id_a, id_b, jac FROM p WHERE jac >= CAST(0.5 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
     "q72_leakage_safe_split" ->
       s"""WITH c AS (
          |  SELECT doc_id + t.k * 1000000 AS doc_id, doc_id AS cluster_id

@@ -275,6 +275,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), maskJaccard.as("jac"))
       .filter(col("jac") >= threshold)
 
+  /** Exact word-n-gram Jaccard near-dup pairs — MinHash's exact
+    * counterpart: the same (lang, length-bucket) blocking as
+    * [[blockedJaccardPairs]], but per-pair similarity is the TRUE Jaccard
+    * of the distinct word-n-gram sets (strings, not sketches — zero
+    * estimation error, at O(grams) per pair instead of 8 popcounts).
+    * Use when block sizes are moderate and false positives/negatives from
+    * sketching are unacceptable; at boilerplate scale prefer MinHash to
+    * cut candidate pairs first. Pairs where both documents have fewer
+    * than `n` tokens (empty gram sets — Jaccard undefined) are not
+    * emitted. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String, lenCol: String, n: Int = 2,
+                        bucketWidth: Int = 64, threshold: Double = 0.8): DataFrame = {
+    def side(tag: String) = df.select(
+      col(langCol).as("blk_lang"),
+      floor(col(lenCol) / bucketWidth).cast("long").as("blk_len"),
+      col(idCol).as(s"id_$tag"),
+      array_sort(array_distinct(Scrub.wordNgrams(col(textCol), n))).as(s"g_$tag"))
+    val inter = size(array_intersect(col("g_a"), col("g_b")))
+    val union = size(array_union(col("g_a"), col("g_b")))
+    side("a").join(side("b"), Seq("blk_lang", "blk_len"))
+      .filter(col("id_a") < col("id_b") && union > 0)
+      .select(col("id_a"), col("id_b"),
+        (inter.cast("double") / union.cast("double")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** Two-table fuzzy string join: rows from `left` and `right` whose
     * character-set Jaccard meets `threshold`, candidate space blocked by
     * (lang, length-bucket) exactly like [[blockedJaccardPairs]]. The

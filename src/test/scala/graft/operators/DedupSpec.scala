@@ -130,6 +130,27 @@ class DedupSpec extends SparkFunSuite {
     assert(out.forall(r => r.getLong(0) != 2L))
   }
 
+  test("ngramJaccardPairs: exact bigram jaccard, blocked, short docs excluded") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps", "en", 25L),
+      (2L, "the quick brown fox leaps", "en", 25L), // 3 of 4 bigrams shared? no: 2/3... compute below
+      (3L, "one", "en", 3L),   // < 2 tokens -> empty gram set
+      (4L, "one", "en", 3L),
+      (5L, "der schnelle fuchs springt", "de", 26L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", "n_chars",
+      n = 2, bucketWidth = 64, threshold = 0.0)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 1,2 bigrams: {the quick, quick brown, brown fox, fox jumps} vs
+    // {..., fox leaps}: inter 3, union 5 -> 0.6. Pairs with doc 3/4 have
+    // union > 0 only against non-empty sets (jac 0); the 3-4 pair (both
+    // empty) must NOT appear; doc 5 is in another lang block.
+    assert(out.contains((1L, 2L, 0.6)))
+    assert(!out.exists(p => p._1 == 3L && p._2 == 4L), "undefined pair emitted")
+    assert(out.forall(p => p._1 != 5L && p._2 != 5L))
+  }
+
   test("charJaccard matches hand-computed character-set jaccard") {
     val df = Seq(("abcab", "abd")).toDF("a", "b")
     // char sets {a,b,c} vs {a,b,d}: |inter|=2, |union|=4
