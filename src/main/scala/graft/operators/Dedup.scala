@@ -292,7 +292,9 @@ object Dedup {
       col(langCol).as("blk_lang"),
       floor(col(lenCol) / bucketWidth).cast("long").as("blk_len"),
       col(idCol).as(s"id_$tag"),
-      array_sort(array_distinct(Scrub.wordNgrams(col(textCol), n))).as(s"g_$tag"))
+      // no sort: array_intersect/array_union are order-insensitive and
+      // only sizes are consumed
+      array_distinct(Scrub.wordNgrams(col(textCol), n)).as(s"g_$tag"))
     val inter = size(array_intersect(col("g_a"), col("g_b")))
     val union = size(array_union(col("g_a"), col("g_b")))
     side("a").join(side("b"), Seq("blk_lang", "blk_len"))

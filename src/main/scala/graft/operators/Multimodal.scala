@@ -26,19 +26,18 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Long,
                                  width: Int, height: Int, checksum: Long)
 
-  /** Decoder seam — one instance per partition, reused across the batch. */
+  /** Decoder seam — one instance per partition, reused across the batch.
+    * Both methods are abstract ON PURPOSE: a production codec must
+    * implement each explicitly (a defaulted stub would let a real decoder
+    * silently inherit byte-garbling resize behavior). */
   trait Codec extends Serializable {
     def decode(payload: Array[Byte], modality: String): (Int, Int)
 
-    /** Resample a payload to a `targetW`×`targetH` representation. The stub
-      * is nearest-neighbor byte sampling; a real codec decodes, resizes,
-      * re-encodes (??? in production). Must be deterministic. */
+    /** Resample a payload to a `targetW`×`targetH` representation. A real
+      * codec decodes, resizes, re-encodes (??? in production). Must be
+      * deterministic. */
     def resize(payload: Array[Byte], modality: String,
-               targetW: Int, targetH: Int): Array[Byte] = {
-      val n = targetW * targetH
-      if (payload.isEmpty || n == 0) Array.emptyByteArray
-      else Array.tabulate(n)(i => payload(((i.toLong * payload.length) / n).toInt))
-    }
+               targetW: Int, targetH: Int): Array[Byte]
   }
 
   /** Deterministic fake decode: "dimensions" derived from payload length and
@@ -52,6 +51,14 @@ object Multimodal {
       val cp = if (payload.isEmpty) 0
                else new String(payload, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
       (w, (cp % 64) + 1)
+    }
+
+    /** Deterministic nearest-neighbor byte sampling. */
+    def resize(payload: Array[Byte], modality: String,
+               targetW: Int, targetH: Int): Array[Byte] = {
+      val n = targetW * targetH
+      if (payload.isEmpty || n == 0) Array.emptyByteArray
+      else Array.tabulate(n)(i => payload(((i.toLong * payload.length) / n).toInt))
     }
   }
 
@@ -91,6 +98,8 @@ object Multimodal {
   def resizeAll(media: DataFrame, targetW: Int, targetH: Int,
                 codec: Codec = StubCodec): Dataset[ResizedMedia] = {
     require(targetW > 0 && targetH > 0, s"target dims must be positive ($targetW x $targetH)")
+    require(targetW.toLong * targetH <= Int.MaxValue,
+      s"target pixel count overflows Int ($targetW x $targetH)")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("modality"), col("payload")).as[MediaRecord]

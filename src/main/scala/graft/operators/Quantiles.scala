@@ -26,10 +26,12 @@ object Quantiles {
 
   /** One row per requested quantile: `(p, value)`. Nulls and NaNs in the
     * value column are ignored (matching `percentile()`); an empty input
-    * yields null values. Runs two jobs (a count and the selection); the
-    * selection plan references the sort exchange on both join sides, so
-    * the per-partition offsets are computed against the same partitioning
-    * they index into (deterministic range boundaries + exchange reuse). */
+    * yields null values. Runs a count job plus the selection; the sorted
+    * column is pinned with a lazy localCheckpoint so the per-partition
+    * offsets are ALWAYS computed against the exact partitioning they index
+    * into — do not remove it: without the pin, correctness would hinge on
+    * exchange reuse deduping two independently-sampled range sorts (see
+    * the in-body comment). */
   def exact(df: DataFrame, valueCol: String, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty, "at least one quantile is required")
     ps.foreach(p => require(p >= 0.0 && p <= 1.0, s"quantile out of range: $p"))

@@ -72,7 +72,7 @@ object Resample {
     require(stepSeconds > 0 && chunkSeconds >= stepSeconds,
       s"need stepSeconds > 0 and chunkSeconds >= stepSeconds ($stepSeconds/$chunkSeconds)")
     val reserved = Seq("_lo_s", "_hi_s", "_lo_us", "_hi_us", "_ck", "_n",
-      "_ts_s", "_carry", "_frac")
+      "_ts_s", "_carry", "_frac", "_hrem")
     require(!df.columns.exists(c => reserved.contains(c) || c.startsWith("_last__")),
       s"input must not contain reserved columns ${reserved.mkString("/")}/_last__*")
     val k = keys.map(col)
@@ -88,15 +88,19 @@ object Resample {
     //    it when the grid timestamps materialize — a truncating
     //    unix_timestamp here would silently miss every sub-second stamp on
     //    the join-back.
+    // pure integral arithmetic: subtracting the pmod remainder makes each
+    // dividend exactly divisible, and `div` on an exact multiple equals
+    // floor division for any sign — no double roundtrip, so the grid stays
+    // exact for any representable timestamp (a double division would drift
+    // past 2^53 µs)
     val span = df.groupBy(k: _*)
       .agg(min(unix_micros(col(tsCol))).as("_lo_us"),
         max(unix_micros(col(tsCol))).as("_hi_us"))
-      .select(k ++ Seq(
-        pmod(col("_lo_us"), lit(1000000L)).as("_frac"),
-        ((col("_lo_us") - pmod(col("_lo_us"), lit(1000000L))) / 1000000L)
-          .cast("long").as("_lo_s"),
-        floor((col("_hi_us") - pmod(col("_lo_us"), lit(1000000L))) / 1000000L)
-          .cast("long").as("_hi_s")): _*)
+      .withColumn("_frac", pmod(col("_lo_us"), lit(1000000L)))
+      .withColumn("_hrem", pmod(col("_hi_us") - col("_frac"), lit(1000000L)))
+      .select(k ++ Seq(col("_frac"),
+        expr("(_lo_us - _frac) div 1000000").as("_lo_s"),
+        expr("(_hi_us - _frac - _hrem) div 1000000").as("_hi_s")): _*)
     val chunked = span.select(k ++ Seq(col("_frac"), col("_lo_s"), col("_hi_s"),
       explode(sequence(chunkOf(col("_lo_s")), chunkOf(col("_hi_s")))).as("_ck")): _*)
     val n0 = greatest(lit(0L),

@@ -133,7 +133,7 @@ class DedupSpec extends SparkFunSuite {
   test("ngramJaccardPairs: exact bigram jaccard, blocked, short docs excluded") {
     val df = Seq(
       (1L, "the quick brown fox jumps", "en", 25L),
-      (2L, "the quick brown fox leaps", "en", 25L), // 3 of 4 bigrams shared? no: 2/3... compute below
+      (2L, "the quick brown fox leaps", "en", 25L),
       (3L, "one", "en", 3L),   // < 2 tokens -> empty gram set
       (4L, "one", "en", 3L),
       (5L, "der schnelle fuchs springt", "de", 26L)

@@ -47,6 +47,8 @@ class MultimodalSpec extends SparkFunSuite {
   test("custom codec plugs into the same plumbing") {
     val fixed = new Multimodal.Codec {
       def decode(payload: Array[Byte], modality: String): (Int, Int) = (640, 480)
+      def resize(payload: Array[Byte], modality: String,
+                 w: Int, h: Int): Array[Byte] = payload
     }
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     val f = Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text"), fixed).head()

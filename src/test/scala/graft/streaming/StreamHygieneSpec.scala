@@ -22,15 +22,19 @@ class StreamHygieneSpec extends SparkFunSuite {
       (3L, "src0", "a perfectly ordinary sentence about spark"),
       (4L, "src2", "ping 10.0.0.1 then call 555-867-5309"),
       (5L, "src1", "short"))
-    def pipeline(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("clean", Scrub.redactPii(col("text")))
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-      .withColumn("rep", Scrub.duplicateTokenRatio(col("text")))
-      // deterministic per-row mixture predicate — same hash contract as batch
-      .filter(substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 8)
-        < lit("ffffffff") || col("source") === "src0")
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val enriched = df
+        .withColumn("clean", Scrub.redactPii(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("rep", Scrub.duplicateTokenRatio(col("text")))
+      // the REAL hash-sampling operator (one hash contract — Sampling's own
+      // doc forbids inline copies), at a fraction that actually drops rows
+      graft.operators.Sampling.sampleByHash(enriched, "doc_id", 0.5)
+    }
     val batch = pipeline(rows.toDF("doc_id", "source", "text"))
       .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && batch.size < rows.size,
+      s"fraction must drop some rows and keep some for the parity check (${batch.size})")
 
     val input = MemoryStream[(Long, String, String)]
     val q = pipeline(input.toDS().toDF("doc_id", "source", "text"))
@@ -42,9 +46,13 @@ class StreamHygieneSpec extends SparkFunSuite {
       q.processAllAvailable()
       val stream = spark.table("hyg_out").collect().map(_.toSeq).toSet
       assert(stream == batch, "streaming run diverged from batch run")
-      // and the redaction actually fired
-      assert(spark.table("hyg_out").filter(col("doc_id") === 1)
-        .head.getAs[String]("clean").contains("<EMAIL>"))
+      // and the redaction column actually carries redactions (PII rows are
+      // planted in the fixture; whether each survives sampling is part of
+      // what parity pins)
+      assert(batch.exists(_.exists {
+        case s: String => s.contains("<EMAIL>") || s.contains("<IP>") || s.contains("<PHONE>")
+        case _ => false
+      }) || batch.forall(r => r(0).asInstanceOf[Long] != 1L && r(0).asInstanceOf[Long] != 4L))
     } finally q.stop()
   }
 }
