@@ -802,6 +802,14 @@ object SparkEntry {
           "doc_id", "n_chars", budget = 20000L, buckets = 16)
         .select("doc_id", "source", "n_chars").orderBy("doc_id")
     }),
+    // winnowing (rolling-hash) fingerprints: exact integer polynomial
+    // hashes, so the oracle recomputes the identical fingerprint sets
+    "q74_winnowing_fp" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowingFingerprints(col("text"), k = 5, w = 8)).as("fp"))
+        .orderBy("doc_id", "fp")
+    }),
     // exact word-bigram Jaccard pairs (MinHash's exact counterpart) over
     // the copy-planted corpus: planted pairs score exactly 1.0, and any
     // natural pair at/above threshold is computed identically by both
@@ -1462,6 +1470,27 @@ object SparkEntry {
         |)
         |SELECT doc_id, pack_id, fill - n_chars AS pack_offset, fill AS pack_fill
         |FROM rec ORDER BY doc_id""".stripMargin,
+    "q74_winnowing_fp" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, list_transform(generate_series(1, len(t)),
+        |        i -> CAST(unicode(t[i]) AS BIGINT)) AS cs FROM n),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(cs) < 5 THEN CAST([] AS BIGINT[])
+        |    ELSE list_transform(generate_series(1, len(cs) - 4),
+        |      i -> (cs[i]*4362470401 + cs[i+1]*16974593 + cs[i+2]*66049
+        |            + cs[i+3]*257 + cs[i+4]) % 1000000007)
+        |    END AS gh FROM c),
+        |w AS (SELECT doc_id,
+        |    CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
+        |    WHEN len(gh) <= 8 THEN [list_min(gh)]
+        |    ELSE list_transform(generate_series(1, len(gh) - 7),
+        |      i -> list_min(gh[i:i+7]))
+        |    END AS wins FROM g)
+        |SELECT doc_id, unnest(list_sort(list_distinct(wins))) AS fp
+        |FROM w ORDER BY doc_id, fp""".stripMargin,
     "q73_ngram_jaccard" ->
       """WITH c AS (
         |  SELECT doc_id, text, lang, n_chars FROM documents

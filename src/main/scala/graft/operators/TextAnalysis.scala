@@ -83,4 +83,50 @@ object TextAnalysis {
     * in word order / punctuation / case collide — a cheap canonical-dup key. */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(split(normalized(text), " "))), " "))
+
+  /** Let-bind an array expression through a one-element `transform` so the
+    * lambda body references a BOUND VALUE — referencing the expression
+    * directly inside a per-element lambda re-evaluates it per element
+    * (the Scrub.wordNgrams lesson). */
+  private def letBind(a: Column)(f: Column => Column): Column =
+    get(transform(array(a), f), lit(0))
+
+  /** Winnowing fingerprints (the MOSS scheme) — ROLLING-HASH document
+    * fingerprinting: polynomial hashes of the normalized text's char
+    * `k`-grams (base 257, mod 1e9+7 — exact `long` arithmetic, every term
+    * bounded far under 2^62, bit-identical on any engine), winnowed to the
+    * minimum hash of each sliding window of `w` consecutive grams.
+    * Returns the sorted distinct fingerprint set (`array<bigint>`), a
+    * position-robust content signature with the classic guarantee: any
+    * shared substring of length ≥ k + w − 1 contributes at least one
+    * SHARED fingerprint, so partial overlap (quotes, boilerplate,
+    * plagiarized spans) is detectable from set intersection — what the
+    * whole-document [[fingerprint]] key cannot do. Expected density is
+    * ~2/(w+1) fingerprints per character. Both intermediate arrays are
+    * let-bound; per-doc work is O(len·(k + w)). */
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(w >= 1, s"w ($w) must be >= 1")
+    val B = 257L
+    val M = 1000000007L
+    val powB = Array.iterate(1L, k)(_ * B) // B^0 .. B^(k-1), exact
+    val codes = transform(filter(split(normalized(text), ""), c => c =!= ""),
+      c => ascii(c).cast("long"))
+    letBind(codes) { cs =>
+      val gramHashes = when(size(cs) < k, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(1), size(cs) - lit(k - 1)),
+          i => pmod(
+            (0 until k).map(j =>
+              element_at(cs, i + lit(j)) * lit(powB(k - 1 - j))).reduce(_ + _),
+            lit(M))))
+      letBind(gramHashes) { g =>
+        val winnowed = when(size(g) === 0, array().cast("array<bigint>"))
+          .when(size(g) <= lit(w), array(array_min(g)))
+          // ^ fewer grams than one window: the single global min
+          .otherwise(transform(sequence(lit(1), size(g) - lit(w - 1)),
+            i => array_min(slice(g, i, lit(w)))))
+        array_sort(array_distinct(winnowed))
+      }
+    }
+  }
 }

@@ -63,4 +63,50 @@ class TextAnalysisSpec extends SparkFunSuite {
     val sub = df.select(TextAnalysis.subwordCount($"text")).head.getInt(0)
     assert(sub >= words)
   }
+
+  // driver-side reference of the winnowing scheme, for differentials
+  private def winnowRef(text: String, k: Int, w: Int): Seq[Long] = {
+    val B = 257L; val M = 1000000007L
+    val norm = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+      .replaceAll(" +", " ").trim
+    val cs = norm.map(_.toLong)
+    val grams = (0 to cs.length - k).map { i =>
+      (0 until k).map(j => cs(i + j) * math.pow(B, k - 1 - j).toLong).sum % M
+    }
+    val wins =
+      if (grams.isEmpty) Seq.empty[Long]
+      else if (grams.length <= w) Seq(grams.min)
+      else (0 to grams.length - w).map(i => grams.slice(i, i + w).min)
+    wins.distinct.sorted
+  }
+
+  test("winnowingFingerprints matches the driver-side reference") {
+    val texts = Seq(
+      "The Quick, Brown Fox! jumps over 42 lazy dogs",
+      "tiny",
+      "",
+      "spark spark spark spark spark spark spark")
+    for (t <- texts; (k, w) <- Seq((5, 4), (3, 2))) {
+      val got = one(t)
+        .select(TextAnalysis.winnowingFingerprints($"text", k, w).as("fp"))
+        .head.getSeq[Long](0).toSeq
+      assert(got == winnowRef(t, k, w), s"mismatch for '$t' k=$k w=$w")
+    }
+  }
+
+  test("winnowing guarantee: shared substring >= k+w-1 chars -> shared fingerprint") {
+    val span = "this exact boilerplate sentence is shared verbatim"
+    val a = s"document alpha begins here $span and then ends differently"
+    val b = s"unrelated beta text $span with other surroundings entirely"
+    val fa = one(a).select(TextAnalysis.winnowingFingerprints($"text").as("f"))
+      .head.getSeq[Long](0).toSet
+    val fb = one(b).select(TextAnalysis.winnowingFingerprints($"text").as("f"))
+      .head.getSeq[Long](0).toSet
+    assert((fa intersect fb).nonEmpty, "shared span produced no shared fingerprint")
+    // and genuinely disjoint texts share (essentially) nothing
+    val fc = one("zzz qqq www vvv kkk jjj hhh")
+      .select(TextAnalysis.winnowingFingerprints($"text").as("f"))
+      .head.getSeq[Long](0).toSet
+    assert((fa intersect fc).isEmpty)
+  }
 }
