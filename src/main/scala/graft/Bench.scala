@@ -24,7 +24,10 @@ object Bench {
     // Two timed runs per query, report the min: the second run measures the
     // engine with codegen caches warm, which is the steady-state a
     // long-lived cluster sees.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: query names to bench (default all) — iteration aid
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => args.isEmpty || args.contains(name) }
+    val results = wanted.map { case (name, fn) =>
       var ok = true
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -44,7 +44,8 @@ object GraftFunctions {
     columnFn("char_jaccard", 2)(cs => Dedup.charJaccard(cs(0), cs(1))),
     columnFn("simhash64", 1)(cs => Dedup.simhash64(cs(0))),
     columnFn("redact_pii", 1)(cs => Scrub.redactPii(cs(0))),
-    columnFn("dup_token_ratio", 1)(cs => Scrub.duplicateTokenRatio(cs(0))))
+    columnFn("dup_token_ratio", 1)(cs => Scrub.duplicateTokenRatio(cs(0))),
+    columnFn("winnow_fp", 1)(cs => TextAnalysis.winnowingFingerprints(cs(0))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

@@ -48,7 +48,7 @@ class GraftFunctionsSpec extends SparkFunSuite {
     for (name <- Seq("vec_dot", "vec_cosine", "vec_l2_norm", "vec_l2_dist",
         "quantize_int8", "dequant_int8", "token_count", "subword_count",
         "quality_score", "lang_guess", "doc_fingerprint", "char_jaccard",
-        "simhash64", "redact_pii", "dup_token_ratio"))
+        "simhash64", "redact_pii", "dup_token_ratio", "winnow_fp"))
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"$name not registered")

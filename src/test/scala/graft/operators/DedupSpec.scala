@@ -139,16 +139,56 @@ class DedupSpec extends SparkFunSuite {
       (5L, "der schnelle fuchs springt", "de", 26L)
     ).toDF("doc_id", "text", "lang", "n_chars")
     val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", "n_chars",
-      n = 2, bucketWidth = 64, threshold = 0.0)
+      n = 2, bucketWidth = 64, threshold = 0.5)
       .orderBy("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     // docs 1,2 bigrams: {the quick, quick brown, brown fox, fox jumps} vs
-    // {..., fox leaps}: inter 3, union 5 -> 0.6. Pairs with doc 3/4 have
-    // union > 0 only against non-empty sets (jac 0); the 3-4 pair (both
-    // empty) must NOT appear; doc 5 is in another lang block.
-    assert(out.contains((1L, 2L, 0.6)))
-    assert(!out.exists(p => p._1 == 3L && p._2 == 4L), "undefined pair emitted")
-    assert(out.forall(p => p._1 != 5L && p._2 != 5L))
+    // {..., fox leaps}: inter 3, union 5 -> 0.6 >= 0.5. Docs 3/4 have empty
+    // gram sets (Jaccard undefined) and must never pair; doc 5 is in
+    // another lang block.
+    assert(out.toSeq == Seq((1L, 2L, 0.6)))
+    // threshold 0 would disable prefix filtering entirely -> rejected
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", "n_chars",
+        n = 2, bucketWidth = 64, threshold = 0.0)
+    }
+  }
+
+  test("ngramJaccardPairs: prefix-filtered result == naive block-quadratic") {
+    // Differential for the AllPairs prefix filter: on a randomized corpus
+    // with planted near-dups, the candidate-pruned operator must emit
+    // EXACTLY the pairs the plain quadratic does — prefix filtering is an
+    // over-approximation of candidates, never a loss.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc() = Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 60L).map(i => (i, doc()))
+    // plant mutated copies: drop the last word -> high but non-1.0 jaccard
+    val planted = base.take(20).map { case (i, t) =>
+      (i + 1000L, t.split(" ").dropRight(1).mkString(" ")) }
+    val corpus = (base ++ planted)
+      .map { case (i, t) => (i, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val fast = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "lang",
+      "n_chars", n = 2, bucketWidth = 32, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive quadratic with identical blocking/semantics, built inline
+    def side(tag: String) = corpus.select(
+      col("lang").as("blk_lang"),
+      floor(col("n_chars") / 32).cast("long").as("blk_len"),
+      col("doc_id").as(s"id_$tag"),
+      array_distinct(Scrub.wordNgrams(col("text"), 2)).as(s"g_$tag"))
+    val naive = side("a").join(side("b"), Seq("blk_lang", "blk_len"))
+      .filter(col("id_a") < col("id_b") &&
+        size(array_union(col("g_a"), col("g_b"))) > 0)
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))).cast("double")).as("jac"))
+      .filter(col("jac") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty, "vacuous differential: no qualifying pairs")
+    assert(fast == naive)
   }
 
   test("charJaccard matches hand-computed character-set jaccard") {
