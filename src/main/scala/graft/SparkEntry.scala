@@ -314,8 +314,8 @@ object SparkEntry {
       val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
       val corpus = emb.unionByName(
         emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-      Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
-        threshold = 0.999, blocked = true)
+      Similarity.cosineNearDupPairsBlocked(corpus, "vec_id", "embedding",
+        threshold = 0.999)
         .orderBy("id_a", "id_b")
     }),
     // LSH-bucketed ANN, oracle-gated by construction: 10 exact copies of

@@ -205,13 +205,21 @@ object Dedup {
     * aggregate lambdas (projection collapse duplicates it 64×, measured
     * ~60× slower at corpus scale) and exists for small-data composition
     * only. Semantics are identical: same tokens, same votes, same packing.
+    * Null text included: `explode_outer` keeps the row with a null word
+    * hash whose universally-null votes sum to a non-positive bit vote on
+    * every bit — signature 0, exactly what the scalar form produces for a
+    * null token array (a plain `explode` would silently drop the row,
+    * shrinking the corpus on the scale path only).
     *
     * `keys` must uniquely identify rows (extra columns ride along). */
   def simhashBulk(df: DataFrame, keys: Seq[String], textCol: String): DataFrame = {
     require(keys.nonEmpty, "simhashBulk needs at least one key column")
+    // xxhash64(null) would return the seed (a REAL hash vote); keep the
+    // null-text marker null so its votes stay null -> -1 per bit
     val words = df.select(keys.map(col) :+
-      explode(split(trim(col(textCol)), "\\s+")).as("_w"): _*)
-      .select(keys.map(col) :+ xxhash64(col("_w")).as("_h"): _*)
+      explode_outer(split(trim(col(textCol)), "\\s+")).as("_w"): _*)
+      .select(keys.map(col) :+
+        when(col("_w").isNotNull, xxhash64(col("_w"))).as("_h"): _*)
     val sums = (0 until 64).map { i =>
       sum(when(shiftright(col("_h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
         .as(s"_b$i")

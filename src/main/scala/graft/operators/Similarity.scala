@@ -80,25 +80,37 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
-  /** Embedding near-duplicate pairs: cosine above `threshold`, blocked by
-    * LSH bucket so the pair space stays sub-quadratic — the default and
-    * the only shape that survives a large corpus. NOTE the default is the
-    * APPROXIMATE path: blocking is a candidate filter, so a genuine
-    * near-dup pair whose `planes`-bit LSH signatures differ is not
-    * compared and not returned (reported scores are still exact cosines).
-    * The exact variant (`blocked=false`) compares ALL pairs through a
-    * single constant join key (one shuffle partition, O(n²) pair space):
-    * it exists as the small-data differential baseline for specs, never
-    * for production paths — callers needing exact recall at scale should
-    * raise `threshold`-adjacent recall via more planes, or verify through
-    * [[bruteForceTopK]] on a bounded query set. */
-  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, blocked: Boolean = true,
-                         planes: Int = 8): DataFrame = {
-    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      l2Norm(col(vecCol)).as("norm"))
-    val withKey = if (blocked) base.withColumn("bucket", lshBucket(col("vec"), planes))
-                  else base.withColumn("bucket", lit(0L))
+  /** Embedding near-duplicate pairs, blocked by LSH bucket so the pair
+    * space stays sub-quadratic — the only shape that survives a large
+    * corpus. This is the APPROXIMATE path: blocking is a candidate filter,
+    * so a genuine near-dup pair whose `planes`-bit LSH signatures differ
+    * is not compared and not returned (reported scores are still exact
+    * cosines). Callers needing more recall add planes-adjacent recall via
+    * fewer `planes`, or verify through [[bruteForceTopK]] on a bounded
+    * query set.
+    *
+    * The exact/approximate choice is deliberately NOT a boolean parameter:
+    * an earlier `blocked: Boolean = true` default silently flipped call
+    * sites between exact and approximate recall across versions. Use
+    * [[cosineNearDupPairsExact]] explicitly for the small-data baseline. */
+  def cosineNearDupPairsBlocked(corpus: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, planes: Int = 8): DataFrame =
+    nearDupPairs(corpus, idCol, vecCol, threshold,
+      vec => lshBucket(vec, planes))
+
+  /** Exact all-pairs embedding near-duplicates: every pair compared
+    * through a single constant join key — ONE shuffle partition, O(n²)
+    * pair space. Exists as the small-data differential baseline for specs
+    * and bounded corpora ONLY; it cannot survive a large corpus. Use
+    * [[cosineNearDupPairsBlocked]] for production paths. */
+  def cosineNearDupPairsExact(corpus: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double): DataFrame =
+    nearDupPairs(corpus, idCol, vecCol, threshold, _ => lit(0L))
+
+  private def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, bucketOf: Column => Column): DataFrame = {
+    val withKey = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      l2Norm(col(vecCol)).as("norm"), bucketOf(col(vecCol)).as("bucket"))
     val l = withKey.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"),
       col("norm").as("norm_a"))
     val r = withKey.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"),

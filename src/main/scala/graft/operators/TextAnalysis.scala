@@ -105,7 +105,15 @@ object TextAnalysis {
     * ~2/(w+1) fingerprints per character. Both intermediate arrays are
     * let-bound; per-doc work is O(len·(k + w)). */
   def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
-    require(k >= 1, s"k ($k) must be >= 1")
+    // Exactness bound (mirrors the shingleN guard in Dedup.minhashSignatures):
+    // powB holds 257^0..257^(k-1) as exact Longs and the un-modded term sum
+    // is at most 122 * (257^k - 1)/256 ('z' = 122 is the largest code
+    // normalized() can emit). At k = 8 that is ~9.07e18 < 2^63-1 (exact);
+    // at k = 9 both 257^8 (~1.90e19) and the sum wrap Long — silently
+    // wrong coefficients off ANSI, a runtime overflow error under ANSI.
+    require(k >= 1 && k <= 8,
+      s"k ($k) must be in [1, 8]: 257^8 exceeds Long, so k >= 9 voids the " +
+        "exact-arithmetic guarantee (wrapped coefficients -> wrong fingerprints)")
     require(w >= 1, s"w ($w) must be >= 1")
     val B = 257L
     val M = 1000000007L

@@ -68,8 +68,7 @@ class SimilaritySpec extends SparkFunSuite {
       (1L, Array(0.999f, 0.04f, 0.0f, 0.0f)), // near dup of 0
       (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))
     ).toDF("vec_id", "embedding")
-    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.95,
-      blocked = false)
+    val pairs = Similarity.cosineNearDupPairsExact(vecs, "vec_id", "embedding", 0.95)
       .collect()
     assert(pairs.length == 1)
     assert((pairs.head.getLong(0), pairs.head.getLong(1)) == (0L, 1L))
@@ -82,8 +81,8 @@ class SimilaritySpec extends SparkFunSuite {
     val n = emb.count()
     val corpus = emb.unionByName(
       emb.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
-    val blocked = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
-      threshold = 0.999, blocked = true).collect()
+    val blocked = Similarity.cosineNearDupPairsBlocked(corpus, "vec_id", "embedding",
+      threshold = 0.999).collect()
     assert(blocked.length == n,
       "identical copies share their source's bucket by construction — all must pair")
     assert(blocked.forall(r => r.getLong(1) == r.getLong(0) + 1000000L))
@@ -92,12 +91,10 @@ class SimilaritySpec extends SparkFunSuite {
   test("blocked candidates are a subset of the exact pair set") {
     val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
     val emb = t.embeddings.select($"vec_id", $"embedding")
-    def pairSet(blocked: Boolean) =
-      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
-        threshold = 0.3, blocked = blocked)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairSet(blocked = false)
-    val blk = pairSet(blocked = true)
+    val exact = Similarity.cosineNearDupPairsExact(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blk = Similarity.cosineNearDupPairsBlocked(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blk.subsetOf(exact), s"blocked invented pairs: ${blk diff exact}")
   }
 
@@ -116,14 +113,15 @@ class SimilaritySpec extends SparkFunSuite {
       .toDF("vec_id", "embedding")
     // the analyzed plan keeps the bucket projection visible (the physical
     // plan folds literals into LocalTableScan for in-memory relations)
-    def plan(blocked: Boolean) =
-      Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9, blocked = blocked)
-        .queryExecution.analyzed.toString
+    val exactPlan = Similarity.cosineNearDupPairsExact(vecs, "vec_id", "embedding", 0.9)
+      .queryExecution.analyzed.toString
+    val blockedPlan = Similarity.cosineNearDupPairsBlocked(vecs, "vec_id", "embedding", 0.9)
+      .queryExecution.analyzed.toString
     // the exact variant's all-pairs-through-one-partition shape is the
     // `0 AS bucket` constant key; the blocked plan must not contain it
-    assert(plan(blocked = false).contains("0 AS bucket"),
+    assert(exactPlan.contains("0 AS bucket"),
       "exact baseline is expected to carry the constant bucket")
-    assert(!plan(blocked = true).contains("0 AS bucket"),
+    assert(!blockedPlan.contains("0 AS bucket"),
       "blocked path must derive the join key from the vector, not a constant")
   }
 }
