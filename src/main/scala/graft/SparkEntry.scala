@@ -355,7 +355,7 @@ object SparkEntry {
     "q31_multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(
         Multimodal.asMedia(Tables(s, dir).documents, "doc_id", "text"))
-        .select("doc_id", "n_bytes", "width", "height")
+        .select("doc_id", "n_bytes", "width", "height", "channels")
         .orderBy("doc_id")
     }),
     // ------------------------------------- relational breadth
@@ -1124,7 +1124,8 @@ object SparkEntry {
     "q31_multimodal_features" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |CAST(strlen(text) % 64 + 1 AS INTEGER) AS width,
-        |CAST(ascii(substring(text, 1, 1)) % 64 + 1 AS INTEGER) AS height
+        |CAST(ascii(substring(text, 1, 1)) % 64 + 1 AS INTEGER) AS height,
+        |CAST(strlen(text) % 3 + 1 AS INTEGER) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q32_rollup" ->
       """SELECT l_returnflag, l_linestatus,

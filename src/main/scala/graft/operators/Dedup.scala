@@ -299,11 +299,18 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold ($threshold) must be in (0, 1] — prefix filtering is " +
         "vacuous at 0 and the block-quadratic pair space comes back")
-    // Per-doc distinct gram set, computed ONCE below every exchange. Docs
-    // with an empty gram set (< n tokens, or null text) can never reach a
-    // positive threshold — Jaccard is 0 against non-empty sets, undefined
-    // against empty ones — so they are dropped here, which also keeps the
-    // final division's denominator strictly positive under ANSI mode.
+    // Per-doc distinct gram set, computed ONCE below the only data-sized
+    // exchange. Docs with an empty gram set (< n tokens, or null text) can
+    // never reach a positive threshold — Jaccard is 0 against non-empty
+    // sets, undefined against empty ones — so they are dropped here, which
+    // also keeps the final division's denominator strictly positive under
+    // ANSI mode. The repartition on _id is load-bearing twice over: (1) it
+    // pre-satisfies the prefix-rank window's required distribution, so the
+    // EXPLODED gram stream (strictly larger: per-gram row overhead) never
+    // shuffles at all; (2) it is the one exchange subtree all three
+    // consumers (tokenization, prefix ranking, exact verification) hang
+    // off, so ReuseExchange materializes the n-gram projection once
+    // instead of recomputing it per consumer.
     val docs = df.select(
         col(langCol).as("blk_lang"),
         floor(col(lenCol) / bucketWidth).cast("long").as("blk_len"),
@@ -311,6 +318,7 @@ object Dedup {
         array_distinct(Scrub.wordNgrams(col(textCol), n)).as("_g"))
       .withColumn("_n", size(col("_g")).cast("long"))
       .filter(col("_n") > 0)
+      .repartition(col("_id"))
 
     // Prefix filter (Bayardo/Ma/Srikant's AllPairs): under ANY global total
     // order over grams, a pair with jac ≥ t must share at least one gram
@@ -323,8 +331,17 @@ object Dedup {
     // not a hash: over-approximation only, a qualifying pair cannot be lost.
     val tok = docs.select(col("blk_lang"), col("blk_len"), col("_id"),
       col("_n"), explode(col("_g")).as("_gram"))
+    // Document frequency meets the gram stream via BROADCAST, not a
+    // data-sized shuffle: the table is vocabulary-sized, and broadcasting
+    // only the df > 1 grams keeps it small even on open-vocabulary corpora
+    // (hapax grams — the heavy tail of any real n-gram vocabulary — are
+    // dropped from the broadcast and coalesce back to df = 1 after the
+    // left join, which is exactly the value the inner join would have
+    // carried, so the prefix ORDER is bit-identical).
     val dfreq = tok.groupBy("_gram").agg(count(lit(1)).as("_df"))
-    val pref = tok.join(dfreq, "_gram")
+      .filter(col("_df") > 1)
+    val pref = tok.join(broadcast(dfreq), Seq("_gram"), "left")
+      .withColumn("_df", coalesce(col("_df"), lit(1L)))
       .withColumn("_r", row_number().over(
         Window.partitionBy("_id").orderBy(col("_df"), col("_gram"))))
       .filter(col("_r") <= col("_n") - ceil(lit(threshold) * col("_n")) + lit(1))

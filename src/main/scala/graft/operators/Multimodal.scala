@@ -7,50 +7,120 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata beside them; decode / feature-extraction
   * runs batched per partition.
   *
-  * The decode itself is STUBBED (no image/audio codecs in this container):
-  * [[StubCodec]] derives deterministic fake dimensions from the payload
-  * bytes. Everything around it — the schema contract, the
-  * `mapPartitions` batch shape (one codec instance per partition, streamed
-  * iterator, no per-row setup), and the partitioned write — is the real
-  * production plumbing: swap `StubCodec` for a JNI/javacv codec and nothing
-  * else changes. In PySpark the same seam is `mapInPandas` with an
-  * arrow-batched UDF; `mapPartitions` over a typed Dataset is the Scala
-  * equivalent.
+  * Two codecs ship behind the [[Codec]] seam:
+  *  - [[ImageIOCodec]] — a REAL image codec on the JDK's `javax.imageio`
+  *    (PNG/JPEG/GIF/BMP decode, `Graphics2D` resize + PNG re-encode; zero
+  *    external dependencies), the production default for image modality;
+  *  - [[StubCodec]] — deterministic fake dimensions derived from the
+  *    payload bytes, kept for differential specs and for the oracle-gated
+  *    q31 battery query whose corpus is text-as-binary (not decodable
+  *    images).
+  * Everything around the codec — the schema contract, the `mapPartitions`
+  * batch shape (one codec instance per partition, streamed iterator, no
+  * per-row setup), and the partitioned write — is codec-agnostic: swap in a
+  * JNI/javacv video codec and nothing else changes. In PySpark the same
+  * seam is `mapInPandas` with an arrow-batched UDF; `mapPartitions` over a
+  * typed Dataset is the Scala equivalent.
   */
 object Multimodal {
 
   /** A media row in flight: id + opaque payload + declared modality. */
   final case class MediaRecord(doc_id: Long, modality: String, payload: Array[Byte])
 
-  /** Extracted features: deterministic metadata per payload. */
+  /** Extracted features: per-payload metadata (dimensions + channel count
+    * from the codec; byte length + checksum from the raw payload). */
   final case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Long,
-                                 width: Int, height: Int, checksum: Long)
+                                 width: Int, height: Int, channels: Int, checksum: Long)
 
   /** Decoder seam — one instance per partition, reused across the batch.
     * Both methods are abstract ON PURPOSE: a production codec must
     * implement each explicitly (a defaulted stub would let a real decoder
     * silently inherit byte-garbling resize behavior). */
   trait Codec extends Serializable {
-    def decode(payload: Array[Byte], modality: String): (Int, Int)
+    /** (width, height, channels) of the decoded payload. Must throw on an
+      * undecodable payload rather than return garbage — corrupt rows in a
+      * real corpus should be quarantined by the caller, not silently
+      * featurized. */
+    def decode(payload: Array[Byte], modality: String): (Int, Int, Int)
 
-    /** Resample a payload to a `targetW`×`targetH` representation. A real
-      * codec decodes, resizes, re-encodes (??? in production). Must be
-      * deterministic. */
+    /** Resample a payload to a `targetW`×`targetH` representation
+      * (decode → resize → re-encode). Must be deterministic. */
     def resize(payload: Array[Byte], modality: String,
                targetW: Int, targetH: Int): Array[Byte]
   }
 
+  /** Real image codec on the JDK's `javax.imageio.ImageIO` — no external
+    * dependencies. `decode` reads any ImageIO-supported container
+    * (PNG/JPEG/GIF/BMP/WBMP) and reports true pixel dimensions plus the
+    * raster band count (1 = grayscale, 3 = RGB, 4 = RGBA). `resize`
+    * decodes, rescales with NEAREST-NEIGHBOR interpolation (deterministic
+    * across JVMs — bilinear kernels are implementation-defined), and
+    * re-encodes as PNG (lossless, so a resize round-trip decodes to
+    * exactly the target dimensions and preserves band count).
+    *
+    * Undecodable payloads throw `IllegalArgumentException` with the byte
+    * length in the message; callers running over crawled corpora should
+    * pre-filter or quarantine via a try-wrapped variant of the codec
+    * rather than let one corrupt blob fail a 100 TB stage. */
+  object ImageIOCodec extends Codec {
+    // ImageIO's default read path spools through a temp-FILE cache — a
+    // disk write per decode, catastrophic per-row in an executor. A
+    // MemoryCacheImageInputStream keeps the whole decode in memory.
+    private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val img = javax.imageio.ImageIO.read(in)
+        require(img != null, s"undecodable image payload (${payload.length} bytes)")
+        img
+      } finally {
+        // ImageIO.read(ImageInputStream) closes the stream itself after a
+        // successful read but NOT on the null/exception paths — close
+        // unconditionally and tolerate the already-closed case
+        try in.close() catch { case _: java.io.IOException => () }
+      }
+    }
+
+    def decode(payload: Array[Byte], modality: String): (Int, Int, Int) = {
+      val img = readImage(payload)
+      (img.getWidth, img.getHeight, img.getRaster.getNumBands)
+    }
+
+    def resize(payload: Array[Byte], modality: String,
+               targetW: Int, targetH: Int): Array[Byte] = {
+      val src = readImage(payload)
+      // preserve the alpha/grayscale character of the source; PNG encodes
+      // all three types losslessly
+      val outType =
+        if (src.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+        else if (src.getRaster.getNumBands == 1) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_INT_RGB
+      val dst = new java.awt.image.BufferedImage(targetW, targetH, outType)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(src, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ok = javax.imageio.ImageIO.write(dst, "png", bos)
+      require(ok, "JDK PNG writer unavailable") // always present on a JRE
+      bos.toByteArray
+    }
+  }
+
   /** Deterministic fake decode: "dimensions" derived from payload length and
-    * the first character. Replace with a real codec (??? in production) —
-    * the surrounding plumbing is codec-agnostic. Height uses the first
-    * Unicode CODEPOINT (not the first UTF-8 byte) so it matches SQL
-    * `ascii()` semantics on multibyte text. */
+    * the first character, "channels" from length mod 3 — all reproducible
+    * in the oracle's SQL, which is the point (the battery corpus is
+    * text-as-binary, not decodable images). Height uses the first Unicode
+    * CODEPOINT (not the first UTF-8 byte) so it matches SQL `ascii()`
+    * semantics on multibyte text. */
   object StubCodec extends Codec {
-    def decode(payload: Array[Byte], modality: String): (Int, Int) = {
+    def decode(payload: Array[Byte], modality: String): (Int, Int, Int) = {
       val w = (payload.length % 64) + 1
       val cp = if (payload.isEmpty) 0
                else new String(payload, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
-      (w, (cp % 64) + 1)
+      (w, (cp % 64) + 1, (payload.length % 3) + 1)
     }
 
     /** Deterministic nearest-neighbor byte sampling. */
@@ -79,9 +149,9 @@ object Multimodal {
       .mapPartitions { it =>
         val c = codec // per-partition instance
         it.map { r =>
-          val (w, h) = c.decode(r.payload, r.modality)
+          val (w, h, ch) = c.decode(r.payload, r.modality)
           val checksum = r.payload.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
-          MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong, w, h, checksum)
+          MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong, w, h, ch, checksum)
         }
       }
   }

@@ -191,6 +191,41 @@ class DedupSpec extends SparkFunSuite {
     assert(fast == naive)
   }
 
+  test("ngramJaccardPairs plan: dfreq arrives broadcast, gram stream never shuffles") {
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Seq(
+      (1L, "the quick brown fox jumps", "en", 25L),
+      (2L, "the quick brown fox leaps", "en", 25L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", "n_chars",
+        n = 2, bucketWidth = 64, threshold = 0.5).queryExecution.executedPlan
+      // document frequency meets the gram stream via broadcast, not a
+      // data-sized shuffle of the exploded grams
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"dfreq join is not broadcast:\n$plan")
+      // the prefix-rank window must ride the compact pre-explode repartition:
+      // walking down from the window, a Generate (the explode) must appear
+      // before any shuffle — i.e. the EXPLODED stream itself never exchanges
+      def shuffledBeforeGenerate(p: SparkPlan): Boolean = p match {
+        case _: GenerateExec => false
+        case _: BroadcastExchangeExec => false // vocabulary side, not the stream
+        case _: ShuffleExchangeExec => true
+        case other => other.children.exists(shuffledBeforeGenerate)
+      }
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"prefix rank window missing:\n$plan")
+      windows.foreach { w =>
+        assert(!shuffledBeforeGenerate(w.child),
+          s"exploded gram stream shuffled before prefix ranking:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
   test("charJaccard matches hand-computed character-set jaccard") {
     val df = Seq(("abcab", "abd")).toDF("a", "b")
     // char sets {a,b,c} vs {a,b,d}: |inter|=2, |union|=4
