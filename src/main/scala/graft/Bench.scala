@@ -21,15 +21,17 @@ object Bench {
     // Catalyst elides the final global sort every battery query ends in, so
     // ordered queries would under-measure; the noop sink consumes fully
     // ordered rows and writes nothing.
-    // Two timed runs per query, report the min: the second run measures the
-    // engine with codegen caches warm, which is the steady-state a
-    // long-lived cluster sees.
+    // Three timed runs per query, report the min: later runs measure the
+    // engine with codegen caches warm — the steady state a long-lived
+    // cluster sees — and the min of three is robust against the one-off
+    // scheduling/GC stalls that made single-run deltas majority-noise
+    // across driver rounds.
     // optional args: query names to bench (default all) — iteration aid
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
     val results = wanted.map { case (name, fn) =>
       var ok = true
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => ok = false }
@@ -37,14 +39,17 @@ object Bench {
       }
       (name, times.min, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the one-line JSON short (a full-battery
+    // line with 9-decimal doubles has been truncated by log capture before)
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed queries are named explicitly so a fast failure can never
     // masquerade as a fast success
     val failed = results.filterNot(_._3).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -810,6 +810,24 @@ object SparkEntry {
           explode(TextAnalysis.winnowingFingerprints(col("text"), k = 5, w = 8)).as("fp"))
         .orderBy("doc_id", "fp")
     }),
+    // multiprobe ANN on the same planted-copy construction as q29: home +
+    // Hamming-1 probes only ADD candidates, and every addition scores
+    // below the planted copies' self-cosine, so the closed-form top-10 is
+    // unchanged — which is the point (extra probes must not corrupt the
+    // ranked result, only improve recall)
+    "q75_ann_multiprobe" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val copies = q
+        .withColumn("j", explode(sequence(lit(1L), lit(10L))))
+        .select((col("query_id") + col("j") * 100000L).as("vec_id"),
+          col("query_vec").as("embedding"))
+      val corpus = emb.unionByName(copies)
+      Similarity.lshTopKMultiprobe(corpus, "vec_id", "embedding", q, 10, planes = 6)
+        .orderBy("query_id", "rank")
+    }),
     // exact word-bigram Jaccard pairs (MinHash's exact counterpart) over
     // the copy-planted corpus: planted pairs score exactly 1.0, and any
     // natural pair at/above threshold is computed identically by both
@@ -1103,6 +1121,23 @@ object SparkEntry {
         |    AS score
         |FROM e ORDER BY id_a""".stripMargin,
     "q29_ann_lsh" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT vec_id AS query_id,
+        |        list_inner_product(v, v)
+        |          / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(v, v)))
+        |          AS score
+        |      FROM q),
+        |r AS (SELECT query_id, score, unnest(generate_series(1, 10)) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank,
+        |  CASE WHEN rank = 1 THEN query_id
+        |       ELSE query_id + (rank - 1) * 100000 END AS neighbor_id,
+        |  score
+        |FROM r ORDER BY query_id, rank""".stripMargin,
+    // identical closed form to q29: multiprobe only widens the candidate
+    // set with strictly lower-scoring natural rows, so the planted top-10
+    // per query is unchanged
+    "q75_ann_multiprobe" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id < 8),
         |s AS (SELECT vec_id AS query_id,

@@ -120,11 +120,21 @@ object Dedup {
     * and per-row state at maxBucket structs), and every beyond-cap member
     * emits exactly ONE linking pair to the bucket's minimum-id member — so
     * no member is ever silently orphaned (a dropped member would surface
-    * as a false unique downstream), total pairs stay O(maxBucket² + m),
-    * and cluster connectivity is preserved for connected components. What
-    * IS dropped: pairwise candidates AMONG beyond-cap members (their
-    * connectivity rides through the minimum). Audit oversized buckets with
-    * [[minhashBucketProfile]] before lowering the cap. */
+    * as a false unique downstream), total pairs stay O(maxBucket² + m).
+    * What IS dropped: pairwise candidates AMONG beyond-cap members (their
+    * connectivity rides through the minimum).
+    *
+    * Connectivity guarantee, stated precisely: cluster connectivity is
+    * preserved for connected components over the UNFILTERED pair set. A
+    * downstream `est_jaccard >= t` filter keeps a beyond-cap member
+    * connected only if its single linking pair to the bucket minimum
+    * itself scores >= t — true in the degenerate case the cap exists for
+    * (boilerplate buckets of mutual near-dups, where every member is
+    * near-identical to the minimum), but a beyond-cap member whose only
+    * above-threshold neighbor is some OTHER capped-clique member can be
+    * severed. If you filter candidates before clustering, either keep the
+    * cap comfortably above your expected true-duplicate group size, or
+    * audit oversized buckets with [[minhashBucketProfile]] first. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                             maxBucket: Int = 256): DataFrame = {
@@ -292,25 +302,32 @@ object Dedup {
     * (AllPairs), then only survivors pay the O(grams) exact intersect.
     * Use when false positives/negatives from sketching are unacceptable.
     * Documents with fewer than `n` tokens (empty gram set — Jaccard
-    * undefined) never pair. */
+    * undefined) never pair.
+    *
+    * `maxBroadcastGrams` caps the document-frequency table (df > 1 grams
+    * only) that may be broadcast to the gram stream: at or below the cap
+    * (counted, not guessed) it ships as a broadcast join; above it the
+    * plan falls back to a shuffle join rather than risk driver memory or
+    * Spark's 8 GB broadcast limit on an open-vocabulary corpus. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         langCol: String, lenCol: String, n: Int = 2,
-                        bucketWidth: Int = 64, threshold: Double = 0.8): DataFrame = {
+                        bucketWidth: Int = 64, threshold: Double = 0.8,
+                        maxBroadcastGrams: Long = 50000000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold ($threshold) must be in (0, 1] — prefix filtering is " +
         "vacuous at 0 and the block-quadratic pair space comes back")
-    // Per-doc distinct gram set, computed ONCE below the only data-sized
-    // exchange. Docs with an empty gram set (< n tokens, or null text) can
-    // never reach a positive threshold — Jaccard is 0 against non-empty
-    // sets, undefined against empty ones — so they are dropped here, which
-    // also keeps the final division's denominator strictly positive under
-    // ANSI mode. The repartition on _id is load-bearing twice over: (1) it
-    // pre-satisfies the prefix-rank window's required distribution, so the
-    // EXPLODED gram stream (strictly larger: per-gram row overhead) never
-    // shuffles at all; (2) it is the one exchange subtree all three
-    // consumers (tokenization, prefix ranking, exact verification) hang
-    // off, so ReuseExchange materializes the n-gram projection once
-    // instead of recomputing it per consumer.
+    // Per-doc distinct gram set. Docs with an empty gram set (< n tokens,
+    // or null text) can never reach a positive threshold — Jaccard is 0
+    // against non-empty sets, undefined against empty ones — so they are
+    // dropped here, which also keeps the final division's denominator
+    // strictly positive under ANSI mode. The lazy localCheckpoint is
+    // load-bearing: this subtree feeds FOUR consumers (the gram stream for
+    // document frequency, the prefix ranking, and both verification join
+    // sides), two of them across a self-join that Catalyst evaluates as
+    // independent subplans — without a materialization barrier the n-gram
+    // projection (the expensive part) re-runs once per consumer. One
+    // compact (block keys, id, gram array) row per doc in executor
+    // storage, spillable, reclaimed by the ContextCleaner on dereference.
     val docs = df.select(
         col(langCol).as("blk_lang"),
         floor(col(lenCol) / bucketWidth).cast("long").as("blk_len"),
@@ -318,7 +335,7 @@ object Dedup {
         array_distinct(Scrub.wordNgrams(col(textCol), n)).as("_g"))
       .withColumn("_n", size(col("_g")).cast("long"))
       .filter(col("_n") > 0)
-      .repartition(col("_id"))
+      .localCheckpoint(false)
 
     // Prefix filter (Bayardo/Ma/Srikant's AllPairs): under ANY global total
     // order over grams, a pair with jac ≥ t must share at least one gram
@@ -326,27 +343,43 @@ object Dedup {
     // ≤ ⌈t·|x|⌉ − 1 < t·|x| ≤ t·|A∪B|). Ordering by (document frequency
     // asc, gram) puts the RAREST grams in the prefix, so unrelated docs
     // almost never collide — candidates stay ~linear where the plain
-    // block-quadratic was O(m²) per block (measured 46 s → ~3 s at sf0.1,
-    // 1.58M pairs → ~10k candidates). Candidates join on the gram STRING,
-    // not a hash: over-approximation only, a qualifying pair cannot be lost.
+    // block-quadratic was O(m²) per block. Candidates join on the gram
+    // STRING, not a hash: over-approximation only, a qualifying pair
+    // cannot be lost.
     val tok = docs.select(col("blk_lang"), col("blk_len"), col("_id"),
       col("_n"), explode(col("_g")).as("_gram"))
-    // Document frequency meets the gram stream via BROADCAST, not a
-    // data-sized shuffle: the table is vocabulary-sized, and broadcasting
-    // only the df > 1 grams keeps it small even on open-vocabulary corpora
-    // (hapax grams — the heavy tail of any real n-gram vocabulary — are
-    // dropped from the broadcast and coalesce back to df = 1 after the
-    // left join, which is exactly the value the inner join would have
-    // carried, so the prefix ORDER is bit-identical).
+    // Document frequency: only df > 1 grams are kept — hapax grams (the
+    // heavy tail of any real n-gram vocabulary) coalesce back to df = 1
+    // after the left join, which is exactly the value the inner join would
+    // have carried, so the prefix ORDER is bit-identical. The checkpoint
+    // makes the aggregate's true size knowable: it is counted once, and
+    // the join side is broadcast only below `maxBroadcastGrams` (an
+    // explicit hint would bypass autoBroadcastJoinThreshold and ride a
+    // corpus-sized vocabulary into the driver / Spark's 8 GB broadcast
+    // hard cap); above the cap it degrades to a shuffle join instead of
+    // failing the job.
     val dfreq = tok.groupBy("_gram").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > 1)
-    val pref = tok.join(broadcast(dfreq), Seq("_gram"), "left")
+      .localCheckpoint(false)
+    val dfreqSide = if (dfreq.count() <= maxBroadcastGrams) broadcast(dfreq) else dfreq
+    // The rank runs over ALL of a doc's grams (prefix positions are defined
+    // against the full (df, gram)-sorted list), but only df > 1 rows
+    // survive into the index: a hapax gram occurs in exactly one document,
+    // so it cannot witness a candidate pair — dropping df = 1 rows AFTER
+    // ranking shrinks the self-join input to the shared-vocabulary slice
+    // without losing any qualifying pair (the witnessing shared gram has
+    // df ≥ 2 and sits inside both prefixes by the AllPairs bound).
+    // Checkpointing the slim index keeps the self-join below from
+    // evaluating the rank pipeline twice.
+    val pref = tok.join(dfreqSide, Seq("_gram"), "left")
       .withColumn("_df", coalesce(col("_df"), lit(1L)))
       .withColumn("_r", row_number().over(
         Window.partitionBy("_id").orderBy(col("_df"), col("_gram"))))
-      .filter(col("_r") <= col("_n") - ceil(lit(threshold) * col("_n")) + lit(1))
+      .filter(col("_r") <= col("_n") - ceil(lit(threshold) * col("_n")) + lit(1) &&
+        col("_df") > 1)
       .select(col("blk_lang"), col("blk_len"), col("_gram"),
         col("_id"), col("_n"))
+      .localCheckpoint(false)
 
     // Same block + shared prefix gram + the size bound (jac ≥ t implies
     // min ≥ t·max since jac ≤ min/max) → distinct candidate pairs.

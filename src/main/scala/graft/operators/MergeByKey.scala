@@ -44,10 +44,15 @@ object MergeByKey {
     // real cluster one lost executor mid-merge would kill the job with no
     // way to recompute. A file-backed stage survives executor loss (tasks
     // re-read the file) and costs one extra write of just the updates.
-    val updStaging = new org.apache.hadoop.fs.Path(root + ".updates-" + System.nanoTime())
+    // UUID, not nanoTime: concurrent drivers merging the same root must not
+    // collide on a staging path (nanoTime is per-JVM and coarse on some
+    // platforms). The write runs INSIDE the try so a failed staging write
+    // cleans up its own partial directory instead of leaking it.
+    val updStaging = new org.apache.hadoop.fs.Path(
+      root + ".updates-" + java.util.UUID.randomUUID().toString)
     val hfs = updStaging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    updates.write.parquet(updStaging.toString)
     try {
+      updates.write.parquet(updStaging.toString)
       // explicit schema: an all-empty updates write may produce zero part
       // files, which schema inference would reject
       val u = spark.read.schema(updates.schema).parquet(updStaging.toString)

@@ -52,16 +52,23 @@ object Multimodal {
   /** Real image codec on the JDK's `javax.imageio.ImageIO` — no external
     * dependencies. `decode` reads any ImageIO-supported container
     * (PNG/JPEG/GIF/BMP/WBMP) and reports true pixel dimensions plus the
-    * raster band count (1 = grayscale, 3 = RGB, 4 = RGBA). `resize`
-    * decodes, rescales with NEAREST-NEIGHBOR interpolation (deterministic
-    * across JVMs — bilinear kernels are implementation-defined), and
-    * re-encodes as PNG (lossless, so a resize round-trip decodes to
-    * exactly the target dimensions and preserves band count).
+    * raster band count (1 = grayscale, 2 = gray+alpha, 3 = RGB, 4 = RGBA).
+    * `resize` decodes, rescales with NEAREST-NEIGHBOR interpolation
+    * (pixel-deterministic WITHIN a JVM; the re-encoded PNG byte stream is
+    * not guaranteed bit-identical across JDK vendors/versions, whose
+    * encoder heuristics differ — compare decoded pixels, not payload
+    * bytes, across heterogeneous clusters), and re-encodes as PNG
+    * (lossless, so a resize round-trip decodes to exactly the target
+    * dimensions). Band count survives the round-trip for the common
+    * 1/3/4-band types; a 2-band gray+alpha source widens to 4-band RGBA
+    * (`BufferedImage` has no gray+alpha render target — alpha wins over
+    * grayness so no channel data is lost).
     *
     * Undecodable payloads throw `IllegalArgumentException` with the byte
-    * length in the message; callers running over crawled corpora should
-    * pre-filter or quarantine via a try-wrapped variant of the codec
-    * rather than let one corrupt blob fail a 100 TB stage. */
+    * length in the message — the strict contract for curated corpora.
+    * Crawled corpora WILL contain corrupt blobs; run those through
+    * [[tryExtractFeatures]], which quarantines per-row decode failures
+    * into an error column instead of failing a 100 TB stage. */
   object ImageIOCodec extends Codec {
     // ImageIO's default read path spools through a temp-FILE cache — a
     // disk write per decode, catastrophic per-row in an executor. A
@@ -152,6 +159,43 @@ object Multimodal {
           val (w, h, ch) = c.decode(r.payload, r.modality)
           val checksum = r.payload.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
           MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong, w, h, ch, checksum)
+        }
+      }
+  }
+
+  /** [[MediaFeatures]] with a quarantine lane: decode results are null and
+    * `decode_error` carries the failure when the codec throws. */
+  final case class MediaFeaturesOrError(doc_id: Long, modality: String, n_bytes: Long,
+                                        width: Option[Int], height: Option[Int],
+                                        channels: Option[Int], checksum: Long,
+                                        decode_error: Option[String])
+
+  /** [[extractFeatures]] for crawled corpora: a payload the codec cannot
+    * decode becomes a quarantine row (null dimensions + the error message)
+    * instead of a task failure — one corrupt blob in a 100 TB corpus must
+    * cost one row, not the stage. Split the result on
+    * `decode_error.isNull` to route good rows onward and quarantined rows
+    * to a dead-letter sink; `n_bytes`/`checksum` still identify the bad
+    * payload without re-reading it. Only non-fatal decode errors are
+    * caught — OOM and friends still fail the task, as they must. */
+  def tryExtractFeatures(media: DataFrame, codec: Codec = StubCodec): Dataset[MediaFeaturesOrError] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("modality"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        val c = codec // per-partition instance
+        it.map { r =>
+          val checksum = r.payload.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+          try {
+            val (w, h, ch) = c.decode(r.payload, r.modality)
+            MediaFeaturesOrError(r.doc_id, r.modality, r.payload.length.toLong,
+              Some(w), Some(h), Some(ch), checksum, None)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              MediaFeaturesOrError(r.doc_id, r.modality, r.payload.length.toLong,
+                None, None, None, checksum,
+                Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          }
         }
       }
   }

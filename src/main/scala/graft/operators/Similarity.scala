@@ -80,6 +80,43 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Multiprobe [[lshTopK]]: each query probes its own bucket PLUS every
+    * bucket at Hamming distance 1 (one hyperplane sign flipped) —
+    * `planes + 1` probes total. Signed-projection LSH loses a true
+    * neighbor exactly when some projection straddles zero between the
+    * query and the neighbor, which flips one bucket bit; probing the
+    * Hamming-1 shell recovers precisely those single-flip misses, the
+    * dominant failure mode at moderate `planes`. Candidates are a strict
+    * superset of single-probe, so recall can only improve, at ~(planes+1)×
+    * the candidate cost — the classic multiprobe trade (Lv et al., VLDB
+    * '07) without building extra tables.
+    *
+    * Scale shape: the probe fan-out rides the SMALL (broadcast query)
+    * side — the corpus is still bucketed exactly once and never
+    * duplicated; each (query, corpus row) pair meets at most once because
+    * a corpus row has one bucket and a query's probe set is distinct. */
+  def lshTopKMultiprobe(corpus: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, k: Int, planes: Int = 8): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      l2Norm(col(vecCol)).as("c_norm"), lshBucket(col(vecCol), planes).as("bucket"))
+    // probe masks: 0 (home bucket) and each single-bit flip
+    val masks = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
+    val q = queries.select(col("query_id"), col("query_vec"),
+        l2Norm(col("query_vec")).as("q_norm"),
+        lshBucket(col("query_vec"), planes).as("_home"))
+      .select(col("query_id"), col("query_vec"), col("q_norm"), col("_home"),
+        explode(masks).as("_m"))
+      .withColumn("bucket", col("_home").bitwiseXOR(col("_m")))
+      .drop("_home", "_m")
+    val scored = bucketed.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("c_vec"), col("query_vec")) / (col("c_norm") * col("q_norm"))).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** Embedding near-duplicate pairs, blocked by LSH bucket so the pair
     * space stays sub-quadratic — the only shape that survives a large
     * corpus. This is the APPROXIMATE path: blocking is a candidate filter,

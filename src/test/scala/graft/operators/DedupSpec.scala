@@ -14,12 +14,14 @@ class DedupSpec extends SparkFunSuite {
   private def docs = Seq(
     (0L, base), (1L, base), // exact dups
     (2L, nearDup), // near dup of 0/1
-    (3L, unrelated)
+    (3L, unrelated),
+    (4L, null.asInstanceOf[String]), // null text — the round-4 simhashBulk
+    (5L, "")                         // null-vote fix regressed exactly here
   ).toDF("doc_id", "text")
 
   test("exactGroups finds exact duplicates deterministically (min id kept)") {
     val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
-    assert(g.length == 3)
+    assert(g.length == 5) // base, nearDup, unrelated, null, ""
     val dupGroup = g.find(_.getAs[Long]("dup_count") == 2).get
     assert(dupGroup.getAs[Long]("keep_id") == 0L)
   }
@@ -87,6 +89,22 @@ class DedupSpec extends SparkFunSuite {
     assert(clusters.length == 1, "capped candidate graph fell apart")
   }
 
+  test("capped bucket + downstream est_jaccard filter: boilerplate dups all survive clustering") {
+    // the documented guarantee: in the degenerate bucket the cap exists
+    // for (mutual near-dups of the minimum), every beyond-cap linking pair
+    // scores the same as the clique pairs, so a downstream threshold
+    // filter — exactly what dup-cluster pipelines apply (q45) — severs
+    // nothing: all planted dups stay one connected component
+    val many = (0L until 300L).map(i => (i, base)).toDF("doc_id", "text")
+    val filtered = Dedup.minhashCandidatePairs(many, "doc_id", "text", maxBucket = 32)
+      .filter(col("est_jaccard") >= 0.9)
+    val clusters = DupClusters.components(
+      filtered.select("id_a", "id_b"))
+    assert(clusters.select("cluster_id").distinct().count() == 1,
+      "threshold filter severed beyond-cap members of a boilerplate bucket")
+    assert(clusters.count() == 300, "a planted dup was lost under the filter")
+  }
+
   test("bucket profile surfaces the degenerate bucket a cap would truncate") {
     val many = (0L until 100L).map(i => (i, base)).toDF("doc_id", "text")
     val prof = Dedup.minhashBucketProfile(many, "doc_id", "text", minSize = 65).collect()
@@ -108,6 +126,9 @@ class DedupSpec extends SparkFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val scalar = docs.select($"doc_id", Dedup.simhash64($"text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the null-text row MUST survive the bulk (explode_outer) path — a
+    // plain explode would drop it here and shrink the corpus (round-4 bug)
+    assert(bulk.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
     assert(bulk == scalar)
   }
 
@@ -191,9 +212,8 @@ class DedupSpec extends SparkFunSuite {
     assert(fast == naive)
   }
 
-  test("ngramJaccardPairs plan: dfreq arrives broadcast, gram stream never shuffles") {
-    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+  test("ngramJaccardPairs plan: gram pipeline materializes once, shared by self-join and verification") {
+    import org.apache.spark.sql.execution.{GenerateExec, RDDScanExec}
     import org.apache.spark.sql.execution.window.WindowExec
     val df = Seq(
       (1L, "the quick brown fox jumps", "en", 25L),
@@ -204,26 +224,39 @@ class DedupSpec extends SparkFunSuite {
     try {
       val plan = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", "n_chars",
         n = 2, bucketWidth = 64, threshold = 0.5).queryExecution.executedPlan
-      // document frequency meets the gram stream via broadcast, not a
-      // data-sized shuffle of the exploded grams
-      assert(plan.toString.contains("BroadcastHashJoin"),
-        s"dfreq join is not broadcast:\n$plan")
-      // the prefix-rank window must ride the compact pre-explode repartition:
-      // walking down from the window, a Generate (the explode) must appear
-      // before any shuffle — i.e. the EXPLODED stream itself never exchanges
-      def shuffledBeforeGenerate(p: SparkPlan): Boolean = p match {
-        case _: GenerateExec => false
-        case _: BroadcastExchangeExec => false // vocabulary side, not the stream
-        case _: ShuffleExchangeExec => true
-        case other => other.children.exists(shuffledBeforeGenerate)
-      }
-      val windows = plan.collect { case w: WindowExec => w }
-      assert(windows.nonEmpty, s"prefix rank window missing:\n$plan")
-      windows.foreach { w =>
-        assert(!shuffledBeforeGenerate(w.child),
-          s"exploded gram stream shuffled before prefix ranking:\n$plan")
-      }
+      // the n-gram projection, explode, dfreq join and prefix-rank window
+      // all live BELOW the two checkpoint barriers — the visible plan must
+      // not re-evaluate any of them (a self-join would otherwise run the
+      // whole rank pipeline twice, and each verification join would re-run
+      // tokenization: the round-5 regression)
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        s"prefix-rank window re-evaluated above the checkpoint:\n$plan")
+      assert(plan.collect { case g: GenerateExec => g }.isEmpty,
+        s"gram explode re-evaluated above the checkpoint:\n$plan")
+      // up to four checkpoint scans (pref twice for the self-join, docs
+      // twice for verification — ReuseExchange may collapse the two docs
+      // broadcasts into one) but only TWO distinct materialized RDDs —
+      // every join side reads the same computed-once blocks
+      val scans = plan.collect { case r: RDDScanExec => r }
+      assert(scans.size >= 3, s"expected >= 3 checkpoint scans:\n$plan")
+      assert(scans.map(_.rdd.id).distinct.size == 2,
+        s"self-join/verification sides do not share materialized RDDs:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
+  test("ngramJaccardPairs: shuffle-join fallback above the broadcast cap is result-identical") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps", "en", 25L),
+      (2L, "the quick brown fox leaps", "en", 25L),
+      (5L, "der schnelle fuchs springt", "de", 26L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    def run(cap: Long) = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang",
+      "n_chars", n = 2, bucketWidth = 64, threshold = 0.5,
+      maxBroadcastGrams = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cap 0 forces the shuffle-join path a corpus-sized vocabulary takes
+    assert(run(0L) == run(50000000L))
+    assert(run(0L) == Set((1L, 2L, 0.6)))
   }
 
   test("charJaccard matches hand-computed character-set jaccard") {

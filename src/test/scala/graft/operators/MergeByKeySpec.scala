@@ -75,6 +75,24 @@ class MergeByKeySpec extends SparkFunSuite {
       "existing null-partition rows must survive a merge into that partition")
   }
 
+  test("a failing updates-write leaves no staging directory behind") {
+    val root = tmpDir("merge_crash") + "/t"
+    table(root)
+    // evaluation of this updates lineage throws when the staging write
+    // runs it — the merge fails before touching any live file
+    val poison = Seq((1L, "p1", 2L, "a-v2")).toDF("id", "part", "version", "payload")
+      .withColumn("payload", raise_error(lit("boom")).cast("string"))
+    intercept[Exception] {
+      MergeByKey.merge(spark, root, poison, Seq("id"), Seq("part"), "version")
+    }
+    val leaked = new File(root).getParentFile.listFiles()
+      .filter(_.getName.contains(".updates-"))
+    assert(leaked.isEmpty,
+      s"failed staging write leaked: ${leaked.map(_.getName).mkString(", ")}")
+    // the table itself is untouched
+    assert(spark.read.parquet(root).count() == 4)
+  }
+
   test("reserved column names are rejected") {
     val root = tmpDir("merge") + "/t"
     val bad = Seq((1L, "p1", 1L, 0)).toDF("id", "part", "version", "_src")

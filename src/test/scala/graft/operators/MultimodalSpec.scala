@@ -158,6 +158,34 @@ class MultimodalSpec extends SparkFunSuite {
     }
   }
 
+  test("tryExtractFeatures quarantines corrupt blobs and featurizes the rest") {
+    val good = encodeBytes(makeImage(5, 3, BufferedImage.TYPE_INT_RGB), "png")
+    val garbage = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val media = Seq(
+      (1L, "image", good),
+      (2L, "image", garbage),
+      (3L, "image", Array.emptyByteArray)
+    ).toDF("doc_id", "modality", "payload")
+    val out = Multimodal.tryExtractFeatures(media, Multimodal.ImageIOCodec)
+      .collect().map(f => f.doc_id -> f).toMap
+    // every input row survives — the quarantine path must never shrink the corpus
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L).width.contains(5) && out(1L).height.contains(3) &&
+      out(1L).channels.contains(3) && out(1L).decode_error.isEmpty)
+    Seq(2L, 3L).foreach { id =>
+      assert(out(id).width.isEmpty && out(id).height.isEmpty && out(id).channels.isEmpty)
+      assert(out(id).decode_error.exists(_.contains("IllegalArgumentException")),
+        s"doc $id: ${out(id).decode_error}")
+    }
+    // checksum/n_bytes still identify the quarantined payload
+    assert(out(2L).n_bytes == 64L)
+    assert(out(2L).checksum == garbage.foldLeft(0L)((a, b) => a * 31 + (b & 0xff)))
+    // the strict path still fails fast on the same corpus (contract unchanged)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(media, Multimodal.ImageIOCodec).collect()
+    }
+  }
+
   test("stub and ImageIO codecs are interchangeable behind the same seam") {
     // the differential the judge asked for: same plumbing, different codec,
     // schema and row set identical — only the feature values differ

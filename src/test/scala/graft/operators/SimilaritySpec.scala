@@ -62,6 +62,34 @@ class SimilaritySpec extends SparkFunSuite {
     assert(recall >= 0.2, s"recall collapsed: $recall") // 2 planes = 4 buckets
   }
 
+  test("multiprobe LSH: candidate superset of single-probe, recall never lower, gains on real data") {
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val q = t.embeddings.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairSet(Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 10))
+    // UNRANKED candidate sets: compare at k = corpus size so the window
+    // never cuts — multiprobe candidates must contain every single-probe one
+    val singleAll = pairSet(Similarity.lshTopK(
+      t.embeddings, "vec_id", "embedding", q, 100000, planes = 4))
+    val multiAll = pairSet(Similarity.lshTopKMultiprobe(
+      t.embeddings, "vec_id", "embedding", q, 100000, planes = 4))
+    assert(singleAll.subsetOf(multiAll), "multiprobe lost a single-probe candidate")
+    assert(multiAll.size > singleAll.size,
+      "Hamming-1 probes surfaced no extra candidates on the sf0.001 corpus (vacuous test)")
+    // top-k recall vs brute force can only improve
+    val singleRecall = (exact intersect pairSet(Similarity.lshTopK(
+      t.embeddings, "vec_id", "embedding", q, 10, planes = 4))).size
+    val multiRecall = (exact intersect pairSet(Similarity.lshTopKMultiprobe(
+      t.embeddings, "vec_id", "embedding", q, 10, planes = 4))).size
+    assert(multiRecall >= singleRecall, s"multiprobe recall $multiRecall < single $singleRecall")
+    // every query still finds itself at rank 1 (home bucket is probed)
+    val m = Similarity.lshTopKMultiprobe(t.embeddings, "vec_id", "embedding", q, 10, planes = 4)
+      .filter($"rank" === 1).collect()
+    m.foreach(r => assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id")))
+  }
+
   test("cosineNearDupPairs exact baseline finds planted duplicate vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
