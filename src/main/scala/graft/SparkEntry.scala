@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{AsOf, Dedup, DupClusters, IvfIndex, Multimodal, Pack, Profile, Quantiles, RangeJoin, Resample, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Chunk, Dedup, DupClusters, IvfIndex, Multimodal, Pack, Profile, Quantiles, RangeJoin, Resample, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -828,6 +828,27 @@ object SparkEntry {
       Similarity.lshTopKMultiprobe(corpus, "vec_id", "embedding", q, 10, planes = 6)
         .orderBy("query_id", "rank")
     }),
+    // SemDeDup on the copy-planted corpus: identical vectors share a
+    // Voronoi cell by construction and score self-cosine >= 0.999, every
+    // natural within-cell pair stays far below, so each {vec, copy} group
+    // collapses to the original id — closed form. A wrong cell assignment,
+    // a severed component, or a leaked singleton each change the row set.
+    "q77_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(
+        emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      IvfIndex.semanticDedup(corpus, "vec_id", "embedding",
+          threshold = 0.999, nCells = 8)
+        .orderBy("id")
+    }),
+    // overlapping token-window chunking (the RAG / context-window prep
+    // step): pure token-position arithmetic, so the oracle rebuilds the
+    // identical chunk set with generate_series + list_slice
+    "q76_chunk_windows" -> ((s, dir) => {
+      Chunk.tokenWindows(Tables(s, dir).documents, "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 16)
+        .orderBy("doc_id", "chunk_id")
+    }),
     // exact word-bigram Jaccard pairs (MinHash's exact counterpart) over
     // the copy-planted corpus: planted pairs score exactly 1.0, and any
     // natural pair at/above threshold is computed identically by both
@@ -1151,6 +1172,32 @@ object SparkEntry {
         |       ELSE query_id + (rank - 1) * 100000 END AS neighbor_id,
         |  score
         |FROM r ORDER BY query_id, rank""".stripMargin,
+    // planted-copy closed form: every row's keep_id is the original vec_id
+    "q77_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000 FROM embeddings)
+        |SELECT vec_id AS id,
+        |  CASE WHEN vec_id >= 1000000 THEN vec_id - 1000000
+        |       ELSE vec_id END AS keep_id
+        |FROM c ORDER BY id""".stripMargin,
+    // chunkTokens = 64, overlap = 16 -> stride 48; list_slice is 1-based
+    // inclusive, matching Spark's slice(start, length) truncation
+    "q76_chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |    CASE WHEN n <= 64 THEN 1
+        |         ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks
+        |  FROM n),
+        |u AS (SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id, chunk_id * 48 + 1 AS chunk_start,
+        |  CAST(least(64, n - (chunk_id * 48 + 1) + 1) AS INTEGER) AS n_tokens,
+        |  array_to_string(list_slice(toks, chunk_id * 48 + 1,
+        |    least(chunk_id * 48 + 64, n)), ' ') AS chunk_text
+        |FROM u ORDER BY doc_id, chunk_id""".stripMargin,
     "q30_event_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |count(*) AS n_events, round(sum(value), 4) AS value_sum,

@@ -88,6 +88,46 @@ object IvfIndex {
       .withColumn("cell_id", array_min(distPairs(col(vecCol), col("_vn2"))).getField("id"))
       .drop("_cells", "_vn2")
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023): k-means
+    * the embedding space into `nCells` Voronoi cells, compare pairs only
+    * WITHIN a cell, connect pairs whose exact cosine meets `threshold`,
+    * and map every document to the minimum id of its semantic-duplicate
+    * component. Returns (id, keep_id) for EVERY corpus row — `keep_id ==
+    * id` marks the retained representative (or a semantically unique row),
+    * so `filter(col("id") === col("keep_id"))` is the dedup and the rest
+    * is the drop list.
+    *
+    * Scale shape: cell assignment is the shuffle-free broadcast-centroid
+    * argmin ([[assignCells]]); the assigned table is materialized ONCE
+    * (lazy localCheckpoint) so the within-cell self-join reads cached
+    * blocks instead of re-running assignment per side (the q73 lesson);
+    * components run driver-state-free through [[DupClusters.components]].
+    * The within-cell pair space is O((n/nCells)²·nCells) — SemDeDup's
+    * inherent trade: size `nCells` with the corpus (the paper uses
+    * ~√n-scale cluster counts) so cells stay bounded, and remember the
+    * approximation this buys: a true near-dup pair split across two cells
+    * is not compared, exactly like the paper. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nCells: Int = 16, iters: Int = 2): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    val cents = centroids(corpus, idCol, vecCol, nCells, iters)
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        l2Norm(col(vecCol)).as("norm")), cents, "vec")
+      .localCheckpoint(false)
+    val pairs = assigned.select(col("cell_id"), col("id").as("id_a"),
+        col("vec").as("vec_a"), col("norm").as("norm_a"))
+      .join(assigned.select(col("cell_id"), col("id").as("id_b"),
+        col("vec").as("vec_b"), col("norm").as("norm_b")), Seq("cell_id"))
+      .filter(col("id_a") < col("id_b") &&
+        (dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b"))) >= threshold)
+      .select("id_a", "id_b")
+    corpus.select(col(idCol).as("id"))
+      .join(DupClusters.components(pairs), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("keep_id"))
+  }
+
   /** ANN top-k: probe the `nProbe` nearest cells per query, exact cosine
     * re-rank within them. Output schema matches the other top-k operators. */
   def topK(corpus: DataFrame, idCol: String, vecCol: String,

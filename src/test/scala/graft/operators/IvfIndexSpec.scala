@@ -32,6 +32,35 @@ class IvfIndexSpec extends SparkFunSuite {
     assert(a == b, "nProbe = nCells must reproduce the exact result")
   }
 
+  test("semanticDedup: planted copies and near-dups collapse to one representative, rest untouched") {
+    val emb = t.embeddings.select($"vec_id", $"embedding")
+    // plant an exact copy of every vector and a jittered near-dup of
+    // vectors 0-4 (cosine >> 0.99: one coordinate nudged by 1%)
+    val copies = emb.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val nears = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 2000000L).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, (x * lit(1.01f)).cast("float")).otherwise(x)).as("embedding"))
+    val corpus = emb.unionByName(copies).unionByName(nears)
+    val out = IvfIndex.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.999, nCells = 8)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("keep_id")).toMap
+    val n = emb.count()
+    // every row is present exactly once
+    assert(out.size == n + n + 5)
+    // originals keep themselves; copies resolve to their original
+    (0L until n).foreach { i =>
+      assert(out(i) == i, s"original $i lost representative status")
+      assert(out(i + 1000000L) == i, s"copy of $i not collapsed")
+    }
+    // jittered near-dups also resolve to the original (same cell, cos > 0.999)
+    (0L until 5L).foreach { i =>
+      assert(out(i + 2000000L) == i, s"near-dup of $i not collapsed")
+    }
+    // the dedup view: one representative per semantic group
+    assert(out.count { case (id, keep) => id == keep } == n)
+  }
+
   test("topKQuantized: full probe + whole-corpus shortlist equals brute force") {
     val corpus = t.embeddings.filter($"vec_id" < 40)
     val q = corpus.filter($"vec_id" < 5)
