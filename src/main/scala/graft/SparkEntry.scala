@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
-import graft.operators.{AsOf, Chunk, Dedup, DupClusters, IvfIndex, Multimodal, Pack, Profile, Quantiles, RangeJoin, Resample, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.functions.{TopK, VectorFunctions}
+import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, IvfIndex, Multimodal, Pack, Profile, Quantiles, RangeJoin, Resample, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -849,6 +849,50 @@ object SparkEntry {
           chunkTokens = 64, overlapTokens = 16)
         .orderBy("doc_id", "chunk_id")
     }),
+    // grouped top-k via the bounded-heap Catalyst aggregate: O(k) state per
+    // group at every stage (map-side partial heaps, pairwise merge), vs the
+    // window formulation's whole-group shuffle-and-sort — the oracle IS the
+    // window formulation, so the heap must reproduce it row-for-row
+    "q78_group_topk" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .groupBy("lang")
+        .agg(TopK.topK(5, col("n_chars"), col("doc_id"),
+          struct(col("doc_id"), col("n_chars"))).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rnk"),
+          col("col.payload.doc_id").as("doc_id"),
+          col("col.payload.n_chars").as("n_chars"))
+        .orderBy("lang", "rnk")
+    }),
+    // weight-proportional (PPS systematic) sample: int64 cumulative-weight
+    // selection over md5-hash order — zero floats, so the oracle recomputes
+    // the exact same selection with window sums and integer division
+    "q79_pps_sample" -> ((s, dir) => {
+      Sampling.ppsSample(Tables(s, dir).documents, Seq("lang"), "doc_id",
+          "n_chars", k = 40, buckets = 16)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+    // bloom-prefiltered anti-join (exclude-list scrub): the sketch only
+    // PRUNES — definite-absent rows skip the shuffle, possible-members
+    // verify through the exact anti-join — so false positives cannot change
+    // the answer and the oracle is the plain NOT EXISTS
+    "q80_bloom_anti" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val late = t.lineitem
+        .filter(col("l_shipdate") > lit("1997-06-01")).select("l_orderkey")
+      BloomJoin.antiJoin(t.orders.select("o_orderkey", "o_totalprice"), late,
+          "o_orderkey", "l_orderkey", expectedItems = 500000L)
+        .orderBy("o_orderkey")
+    }),
+    // exact repeated-passage spans (the Lee et al. exact-substring-dedup
+    // shape): window keys are plain md5 strings over lowercased tokens, so
+    // the oracle recomputes the identical corpus-global marking and
+    // gaps-and-islands merge — no sketching anywhere
+    "q81_repeated_passages" -> ((s, dir) => {
+      Dedup.repeatedPassages(Tables(s, dir).documents, "doc_id", "text",
+          n = 8, minCount = 2L)
+        .orderBy("doc_id", "span_start")
+    }),
     // exact word-bigram Jaccard pairs (MinHash's exact counterpart) over
     // the copy-planted corpus: planted pairs score exactly 1.0, and any
     // natural pair at/above threshold is computed identically by both
@@ -1198,6 +1242,51 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, chunk_id * 48 + 1,
         |    least(chunk_id * 48 + 64, n)), ' ') AS chunk_text
         |FROM u ORDER BY doc_id, chunk_id""".stripMargin,
+    // the window formulation the heap aggregate must reproduce
+    "q78_group_topk" ->
+      """SELECT lang, CAST(rn AS INTEGER) AS rnk, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5 ORDER BY lang, rnk""".stripMargin,
+    // identical int64 selection rule over the identical md5-hash order;
+    // // is DuckDB's integer floor division (Spark side uses `div`)
+    "q79_pps_sample" ->
+      """WITH w AS (SELECT doc_id, lang, n_chars,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':pps'), 1, 8) AS h
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |c AS (SELECT doc_id, lang, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n_chars) OVER (PARTITION BY lang) AS tot FROM w)
+        |SELECT doc_id, lang, n_chars FROM c
+        |WHERE (cum * 40) // tot > ((cum - n_chars) * 40) // tot
+        |ORDER BY doc_id""".stripMargin,
+    // identical window hashing (md5 over lowercased whitespace tokens),
+    // identical >= minCount marking, identical island merge
+    "q81_repeated_passages" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 8 + 1)) AS p
+        |  FROM toks WHERE len(t) >= 8),
+        |h AS (SELECT doc_id, p, md5(array_to_string(list_slice(t, p, p + 7), ' ')) AS wh
+        |  FROM pos),
+        |rep AS (SELECT wh FROM h GROUP BY wh HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, p FROM h WHERE wh IN (SELECT wh FROM rep)),
+        |i AS (SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+        |         THEN 0 ELSE 1 END AS brk FROM m),
+        |g AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM i)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 7 AS span_end,
+        |  count(*) AS n_windows
+        |FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    // the bloom prefilter is invisible to the result: plain anti-join
+    "q80_bloom_anti" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > DATE '1997-06-01')
+        |ORDER BY o_orderkey""".stripMargin,
     "q30_event_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |count(*) AS n_events, round(sum(value), 4) AS value_sum,

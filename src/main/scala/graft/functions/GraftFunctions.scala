@@ -45,7 +45,18 @@ object GraftFunctions {
     columnFn("simhash64", 1)(cs => Dedup.simhash64(cs(0))),
     columnFn("redact_pii", 1)(cs => Scrub.redactPii(cs(0))),
     columnFn("dup_token_ratio", 1)(cs => Scrub.duplicateTokenRatio(cs(0))),
-    columnFn("winnow_fp", 1)(cs => TextAnalysis.winnowingFingerprints(cs(0))))
+    columnFn("winnow_fp", 1)(cs => TextAnalysis.winnowingFingerprints(cs(0))),
+    // aggregate: k must be a foldable literal (it sizes the aggregation
+    // buffer, which exists before any row is seen)
+    "top_k" -> { exprs =>
+      require(exprs.length == 4, s"top_k expects 4 arguments (ord, tie, payload, k), got ${exprs.length}")
+      require(exprs(3).foldable, "top_k: k must be a literal")
+      val k = exprs(3).eval().asInstanceOf[Number].intValue()
+      TopKRows(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), org.apache.spark.sql.types.LongType),
+        exprs(2), k).toAggregateExpression()
+    })
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

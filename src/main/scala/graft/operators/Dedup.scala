@@ -405,6 +405,66 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Exact repeated-passage detection — the "exact substring dedup" of
+    * Lee et al., *Deduplicating Training Data Makes Language Models
+    * Better* (ACL 2022), re-expressed for Spark: instead of a suffix array
+    * (single-machine, pointer-chasing), every position's n-token window
+    * hashes to a 128-bit key; a window whose hash occurs `minCount`+ times
+    * ANYWHERE in the corpus (another document or the same one — so
+    * within-doc boilerplate repetition counts) is a repeated window, and a
+    * document's overlapping/adjacent repeated windows merge into maximal
+    * spans (gaps-and-islands: consecutive marked positions ≤ n apart chain
+    * into one passage). Output: one row per `(id, span)` —
+    * `(idCol, span_start, span_end, n_windows)`, token positions 1-based
+    * inclusive; every span is a passage of ≥ n tokens that the corpus
+    * contains at least `minCount` times. Callers slice the spans out of
+    * the text (or drop the document) downstream.
+    *
+    * Tokenization is lowercased whitespace splitting — the md5 window keys
+    * are plain string hashes, so the q81 oracle recomputes the identical
+    * marking in DuckDB (no sketching, no collisions changing semantics:
+    * a 128-bit collision over ≤ 2^50 windows is ~2^-28).
+    *
+    * Scale shape: the window stream is one slim (hash, id, pos) row per
+    * token position — corpus-token-sized but column-pruned; it is
+    * materialized ONCE behind a lazy localCheckpoint (the q73 lesson: the
+    * stream feeds both the frequency count and the mark join, and without
+    * a barrier the tokenize+md5 map — the dominant cost — runs twice). The
+    * frequency aggregate and the mark join both key on the hash, so AQE
+    * reuses one exchange layout; the island merge shuffles only MARKED
+    * positions by document. No driver-side state at any step. */
+  def repeatedPassages(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"window size n ($n) must be >= 1")
+    require(minCount >= 2, s"minCount ($minCount) must be >= 2 — every " +
+      "window occurs once trivially")
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")
+    val base = df.select(col(idCol).as("_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= n)
+    val wins = base
+      .select(col("_id"), posexplode(
+        transform(sequence(lit(1), size(col("_t")) - lit(n - 1)),
+          i => md5(concat_ws(" ", slice(col("_t"), i, lit(n)))))))
+      .select(col("_id"), (col("pos") + 1).cast("long").as("_p"),
+        col("col").as("_wh"))
+      .localCheckpoint(false)
+    val repeated = wins.groupBy("_wh").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount).select("_wh")
+    val marked = wins.join(repeated, "_wh").select("_id", "_p")
+    val byDoc = Window.partitionBy("_id").orderBy("_p")
+    marked
+      // first position of a doc: lag is null -> NULL <= n is null -> new island
+      .withColumn("_brk", when(col("_p") - lag("_p", 1).over(byDoc) <= n, 0)
+        .otherwise(1))
+      .withColumn("_grp", sum("_brk").over(byDoc))
+      .groupBy(col("_id"), col("_grp"))
+      .agg(min("_p").as("span_start"),
+        (max(col("_p")) + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("_id").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   /** Two-table fuzzy string join: rows from `left` and `right` whose
     * character-set Jaccard meets `threshold`, candidate space blocked by
     * (lang, length-bucket) exactly like [[blockedJaccardPairs]]. The

@@ -102,6 +102,66 @@ object Sampling {
     df.filter(pred)
   }
 
+  /** Probability-proportional-to-size (PPS) systematic sample: per stratum,
+    * k selection points spaced `total_weight / k` apart sweep the
+    * hash-ordered cumulative-weight line; a row is kept iff its weight
+    * interval `(cum - w, cum]` contains a selection point. Inclusion
+    * probability is ∝ weight (exact for weights below the step), the
+    * canonical "sample documents proportional to token count" primitive.
+    *
+    * Why systematic-PPS and not exponential-key (A-ES) reservoir: A-ES
+    * ranks by `-ln(u)/w` — a transcendental on doubles, which `ln` library
+    * differences can flip at rank boundaries across engines. This repo's
+    * determinism contract (see the object scaladoc) requires the exact
+    * assignment to reproduce in ANY engine, so the selection rule here is
+    * pure int64 arithmetic over md5-hash order: row selected iff
+    * `(cum·k) div total > ((cum-w)·k) div total`. Bit-identical
+    * everywhere ints are ints. Yields ≤ k rows (= k unless one row's
+    * weight spans multiple selection points); rows with null or
+    * non-positive weight are excluded. Requires `total_weight · k < 2^63`
+    * per stratum (at 10^14 total tokens and k = 10^4 that is still 10^18
+    * — at the edge; shard the stratum before sampling beyond it).
+    *
+    * Scale shape: identical to [[tokenBudgetCap]] — the hash's leading 16
+    * bits range-bucket each stratum into order-preserving slices, bucket
+    * sums aggregate in parallel, a window over the tiny strata×buckets
+    * table yields per-bucket starting offsets and stratum totals, and the
+    * broadcast join lets each bucket compute its running sums
+    * independently. Never a whole-stratum sort. */
+  def ppsSample(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                weightCol: String, k: Int, buckets: Int = 256,
+                domain: String = "pps"): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets ($buckets) must be in [1, 65536]")
+    require(!Seq("_h", "_b", "_off", "_tot", "_cum").exists(df.columns.contains),
+      "input must not contain the reserved columns _h/_b/_off/_tot/_cum")
+    val strata = strataCols.map(col)
+    val w = col(weightCol).cast("long")
+    val withH = df
+      .filter(w.isNotNull && w > 0)
+      .withColumn("_h", hashHex(col(keyCol), domain))
+      .withColumn("_b",
+        floor(conv(substring(col("_h"), 1, 4), 16, 10).cast("long") * buckets
+          / lit(65536.0)).cast("long"))
+    val offsets = withH
+      .groupBy(strata :+ col("_b"): _*).agg(sum(w).as("_bs"))
+      .withColumn("_off", coalesce(
+        sum("_bs").over(Window.partitionBy(strata: _*).orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_tot", sum("_bs").over(Window.partitionBy(strata: _*)))
+      .drop("_bs")
+    val inBucket = Window.partitionBy(strata :+ col("_b"): _*)
+      .orderBy(col("_h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withH
+      .join(broadcast(offsets), strataCols :+ "_b")
+      .withColumn("_cum", col("_off") + sum(w).over(inBucket))
+      // int64 floor-division selection rule — the determinism contract
+      .filter(expr(s"(_cum * $k) div _tot") > expr(s"((_cum - ${weightCol}) * $k) div _tot"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Token-budget cap: per stratum, keep documents in hash order until the
     * cumulative token count reaches `budget` — mixing to a TOKEN target
     * rather than a row target (what a training-mix spec actually states).

@@ -278,4 +278,63 @@ class DedupSpec extends SparkFunSuite {
     assert((pairs.head.getLong(0), pairs.head.getLong(1)) == (0L, 1L))
     assert(pairs.head.getAs[Double]("jac") == 1.0)
   }
+
+  // --- repeatedPassages: tokens w1..wN are globally unique outside the
+  // planted passages, so expected spans are known in closed form
+  private def tok(range: Range, tag: String = "u") = range.map(i => s"$tag$i")
+
+  test("repeatedPassages finds a cross-document passage with exact boundaries") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens
+    val a = (tok(1 to 10).mkString(" ")) + " " + shared + " " + tok(11 to 20).mkString(" ")
+    val b = (tok(21 to 24).mkString(" ")) + " " + shared + " " + tok(25 to 30).mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.repeatedPassages(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 1: shared tokens occupy positions 11..16 -> windows 11..14 merge
+    // to one span [11, 16]; doc 2: positions 5..10 -> span [5, 10]
+    assert(got == Set((1L, 11L, 16L, 4L), (2L, 5L, 10L, 4L)))
+  }
+
+  test("repeatedPassages counts within-document repetition (boilerplate)") {
+    val text = (tok(1 to 5).mkString(" ")) + " x y z " +
+      (tok(6 to 10).mkString(" ")) + " x y z " + tok(11 to 15).mkString(" ")
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val got = Dedup.repeatedPassages(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // "x y z" at positions 6..8 and 14..16: two disjoint spans
+    assert(got == Set((6L, 8L), (14L, 16L)))
+  }
+
+  test("repeatedPassages merges overlapping and adjacent repeated windows") {
+    // the full 8-token passage repeats -> all 6 of its 3-windows merge
+    val p = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val df = Seq(
+      (1L, tok(1 to 4).mkString(" ") + " " + p),
+      (2L, p + " " + tok(5 to 8).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.repeatedPassages(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 5L, 12L, 6L), (2L, 1L, 8L, 6L)))
+  }
+
+  test("repeatedPassages: unique corpus yields nothing; minCount raises the bar") {
+    val df = Seq((1L, tok(1 to 30).mkString(" ")),
+      (2L, tok(31 to 60).mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.repeatedPassages(df, "doc_id", "text", n = 4).isEmpty)
+    // passage present twice but minCount=3 demands a third occurrence
+    val twice = Seq((1L, "a b c d " + tok(1 to 6).mkString(" ")),
+      (2L, "a b c d " + tok(7 to 12).mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.repeatedPassages(twice, "doc_id", "text", n = 4, minCount = 3).isEmpty)
+    val thrice = twice.unionByName(Seq((3L, "a b c d")).toDF("doc_id", "text"))
+    assert(Dedup.repeatedPassages(thrice, "doc_id", "text", n = 4, minCount = 3)
+      .count() == 3)
+  }
+
+  test("repeatedPassages tokenizes case-insensitively; short docs drop out") {
+    val df = Seq((1L, "Foo BAR baz qux one two"),
+      (2L, "foo bar BAZ qux three four"),
+      (3L, "fo")).toDF("doc_id", "text") // doc 3: < n tokens, never windows
+    val got = Dedup.repeatedPassages(df, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 4L), (2L, 1L, 4L)))
+  }
 }

@@ -125,4 +125,50 @@ class SamplingSpec extends SparkFunSuite {
     assert(Sampling.tokenBudgetCap(df, Seq("src"), "id", "tok", 0).count() == 0)
     assert(Sampling.tokenBudgetCap(df, Seq("src"), "id", "tok", 500000).count() == 1000)
   }
+
+  test("ppsSample equals the single-window formulation for any buckets") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 2000L).map(i => (i, s"s${i % 3}", (i * 31) % 211 + 1))
+      .toDF("id", "src", "w")
+    val win = Window.partitionBy("src").orderBy(
+        substring(md5(concat(col("id").cast("string"), lit(":pps"))), 1, 8),
+        col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = 25
+    val naive = df
+      .withColumn("_cum", sum(col("w").cast("long")).over(win))
+      .withColumn("_tot", sum(col("w").cast("long"))
+        .over(Window.partitionBy("src")))
+      .filter(expr(s"(_cum * $k) div _tot") > expr(s"((_cum - w) * $k) div _tot"))
+      .drop("_cum", "_tot")
+    for (b <- Seq(1, 13, 256)) {
+      val got = Sampling.ppsSample(df, Seq("src"), "id", "w", k, buckets = b)
+      assert(got.except(naive).isEmpty && naive.except(got).isEmpty,
+        s"bucketed PPS diverged from single window at buckets=$b")
+    }
+  }
+
+  test("ppsSample yields exactly k per stratum for sub-step weights and is ∝ weight") {
+    // 4000 rows of weight 1 and 40 of weight 100: a weight-100 row's interval
+    // covers 100/8000 of the line vs 1/8000 — with k=40 selection points every
+    // 200 units, heavy rows are ~20x likelier in than light ones
+    val df = ((1L to 4000L).map(i => (i, "s", 1L)) ++
+      (4001L to 4040L).map(i => (i, "s", 100L))).toDF("id", "src", "w")
+    val got = Sampling.ppsSample(df, Seq("src"), "id", "w", 40)
+    assert(got.count() == 40, "all weights < step => exactly k rows")
+    val heavy = got.filter(col("id") > 4000).count()
+    assert(heavy >= 10, s"heavy rows under-represented: $heavy of 40")
+    // stability: recompute reproduces the identical selection
+    val again = Sampling.ppsSample(df, Seq("src"), "id", "w", 40)
+    assert(got.except(again).isEmpty && again.except(got).isEmpty)
+  }
+
+  test("ppsSample drops null and non-positive weights; k beyond total keeps per-point uniques") {
+    val df = Seq((1L, "s", Some(5L)), (2L, "s", None), (3L, "s", Some(0L)),
+      (4L, "s", Some(-2L)), (5L, "s", Some(7L))).toDF("id", "src", "w")
+    val got = Sampling.ppsSample(df, Seq("src"), "id", "w", 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(Set(1L, 5L)), s"selected an excluded row: $got")
+    assert(got.nonEmpty)
+  }
 }
