@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TopK, VectorFunctions}
-import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, IvfIndex, Multimodal, Pack, Profile, Quantiles, RangeJoin, Resample, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.functions.{Sketches, TopK, VectorFunctions}
+import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, IncrementalDedup, IvfIndex, Multimodal, Pack, Profile, Quantiles, RangeJoin, Resample, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -961,6 +961,136 @@ object SparkEntry {
           aggregate(col("s.q"), lit(0L), (a, x) => a + x).as("q_sum"),
           array_min(col("s.q")).as("q_min"), array_max(col("s.q")).as("q_max"))
         .orderBy("vec_id")
+    }),
+    // mergeable HLL distinct sketch: the gate asserts the ESTIMATE lands
+    // within 5% of the exact distinct count (p=13 → ~1.2% se, so 5% is
+    // >3σ; the oracle states TRUE, q49's convention). The exact count is
+    // computed by both engines; the sketch's value at 100 TB is that the
+    // 8 KB binary summary is mergeable across partitions/days without
+    // rescanning (SketchesSpec asserts merged ≡ direct byte-identically)
+    "q82_distinct_sketch" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("lang"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("lang")
+        .agg(countDistinct(col("fp")).as("n_exact"),
+          Sketches.hllEstimate(Sketches.hllSketch(col("fp"), 13)).as("_est"))
+        .select(col("lang"), col("n_exact"),
+          (abs(col("_est") - col("n_exact")).cast("double") <=
+            col("n_exact").cast("double") * 0.05).as("within_tol"))
+        .orderBy("lang")
+    }),
+    // exact heavy hitters in two bounded-state passes: a Misra–Gries sweep
+    // (O(capacity) aggregation state — never a vocabulary-sized shuffle)
+    // nominates candidates, a second pass exact-counts ONLY candidates.
+    // Exact whenever the k-th item's count > N/(capacity+1) — the MG
+    // retention guarantee; the oracle is the full exact formulation
+    "q83_freq_tokens" -> ((s, dir) => {
+      val toks = Tables(s, dir).documents
+        .select(col("lang"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val cand = toks.groupBy("lang")
+        .agg(Sketches.freqItems(col("tok"), 512).as("fi"))
+        .select(col("lang"), explode(col("fi.item")).as("tok"))
+      val exact = toks.join(broadcast(cand), Seq("lang", "tok"), "left_semi")
+        .groupBy("lang", "tok").count()
+      // the window input is candidates only — bounded by langs × capacity
+      val w = Window.partitionBy("lang").orderBy(col("count").desc, col("tok"))
+      exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .select(col("lang"), col("rnk"), col("tok"), col("count").as("cnt"))
+        .orderBy("lang", "rnk")
+    }),
+    // slice-level overlap matrix ("which sources are near-copies?"):
+    // distinct (source, bigram) once, gram-keyed self-join whose per-gram
+    // pair fan-out is bounded by the SLICE count — exact set arithmetic,
+    // so the oracle replays it verbatim
+    "q89_source_overlap" -> ((s, dir) => {
+      TextAnalysis.sourceOverlapMatrix(Tables(s, dir).documents,
+          "source", "text", n = 2)
+        .orderBy("src_a", "src_b")
+    }),
+    // length-bucket padding report: one map-side-combinable aggregation;
+    // waste_frac is an exact-operand double division both engines compute
+    // identically
+    "q90_length_buckets" -> ((s, dir) => {
+      Pack.paddingReport(
+          Tables(s, dir).documents
+            .select(TextAnalysis.tokenCount(col("text")).as("n_tok")),
+          "n_tok", bucketWidth = 16)
+        .orderBy("bucket")
+    }),
+    // Gopher/C4-style HARD quality gates: named per-rule booleans (a
+    // filtering report needs the reason, not a blended score). Every flag
+    // is integer-derived double arithmetic with a fixed op order over one
+    // shared tokenization, so the oracle replays it bit-identically. The
+    // stopword list is localized to this corpus's vocabulary (the default
+    // English set has one member here — an all-false gate tests nothing)
+    "q87_quality_gates" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          graft.operators.Scrub.gopherGates(col("text"), minWords = 30,
+            stopwords = Seq("the", "a", "data", "value")).as("g"))
+        .select(col("doc_id"), col("g.words_ok").as("words_ok"),
+          col("g.mean_word_len_ok").as("mean_word_len_ok"),
+          col("g.symbol_ok").as("symbol_ok"), col("g.alpha_ok").as("alpha_ok"),
+          col("g.stopwords_ok").as("stopwords_ok"), col("g.pass").as("pass"))
+        .orderBy("doc_id")
+    }),
+    // epoch-weighted mixture materialization (the UPSAMPLING knob):
+    // floor(weight) full copies + a hash-selected fractional epoch, all
+    // md5-threshold arithmetic the oracle restates with the shared
+    // hexThreshold constant ('80000000' = 0.5)
+    "q88_epoch_mixture" -> ((s, dir) => {
+      Sampling.epochMixture(Tables(s, dir).documents.select("doc_id", "source"),
+          "doc_id", "source",
+          epochs = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0),
+          defaultEpochs = 1.0)
+        .orderBy("doc_id", "epoch")
+    }),
+    // incremental ledger dedup: an incoming batch is admitted against the
+    // corpus FINGERPRINT LEDGER (batch-sized work, never corpus-sized; the
+    // ledger side rides BloomJoin so novel rows skip the shuffle). Planted
+    // batch: exact corpus copies (rejected), one mutated leg (admitted),
+    // and a second copy of the mutated leg (intra-batch dup — min id wins).
+    // Everything is md5-fingerprint arithmetic, so the oracle replays it
+    "q84_incremental_dedup" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val ledger = d.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+      val dup = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val nov = d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graft v2")).as("text"))
+      val novDup = d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" graft v2")).as("text"))
+      val batch = dup.unionByName(nov).unionByName(novDup)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      IncrementalDedup.dedupBatch(batch, ledger, "doc_id", "fp",
+          expectedLedgerItems = 100000L)
+        .select("doc_id", "fp").orderBy("doc_id")
+    }),
+    // per-group EXACT quantiles via one distributed range sort + joined
+    // order statistics — never the built-in percentile()'s whole-group
+    // aggregation buffer (one hot group = one OOM reducer at scale). The
+    // interpolation is the same R-7 two-weight form as quantile_cont, so a
+    // 4-decimal round makes the values hash-comparable (q43's convention)
+    "q85_grouped_quantiles" -> ((s, dir) => {
+      Quantiles.exactGrouped(Tables(s, dir).events, Seq("event_type"), "value",
+          Seq(0.25, 0.5, 0.75, 0.95))
+        .select(col("event_type"), col("p"), round(col("value"), 4).as("value"))
+        .orderBy("event_type", "p")
+    }),
+    // robust (median/MAD) outlier stats: two exactGrouped passes, medians
+    // rounded to 6 decimals BEFORE the deviation/threshold arithmetic so
+    // the knife-edge outlier comparison consumes identical doubles in both
+    // engines (raw interpolated medians can differ by ulps)
+    "q86_robust_outliers" -> ((s, dir) => {
+      Quantiles.robustOutlierStats(Tables(s, dir).events, Seq("event_type"),
+          "value", k = 3.0)
+        .select(col("event_type"), round(col("median"), 4).as("median"),
+          round(col("mad"), 4).as("mad"), col("n_outliers"))
+        .orderBy("event_type")
     })
   )
 
@@ -1768,6 +1898,154 @@ object SparkEntry {
         |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
         |  CAST(list_min(qs) AS INTEGER) AS q_min,
         |  CAST(list_max(qs) AS INTEGER) AS q_max
-        |FROM q ORDER BY vec_id""".stripMargin
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // identical distinct-bigram sets, identical integer set arithmetic
+    "q89_source_overlap" ->
+      """WITH arr AS (SELECT source,
+        |    regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+        |p AS (SELECT source, unnest(list_zip(a, a[2:])) AS z FROM arr),
+        |big AS (SELECT DISTINCT source, z[1] || ' ' || z[2] AS gram
+        |  FROM p WHERE z[2] IS NOT NULL),
+        |tot AS (SELECT source, count(*) AS n FROM big GROUP BY 1),
+        |sh AS (SELECT x.source AS src_a, y.source AS src_b,
+        |    count(*) AS shared_ngrams
+        |  FROM big x JOIN big y ON x.gram = y.gram AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared_ngrams,
+        |  CAST(shared_ngrams AS DOUBLE)
+        |    / CAST(ta.n + tb.n - shared_ngrams AS DOUBLE) AS jaccard
+        |FROM sh JOIN tot ta ON ta.source = sh.src_a
+        |  JOIN tot tb ON tb.source = sh.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+    // identical bucketing (integer floor division) and integer-derived
+    // waste arithmetic
+    "q90_length_buckets" ->
+      """WITH t AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |    AS BIGINT) AS n_tok FROM documents),
+        |b AS (SELECT n_tok // 16 AS bucket, count(*) AS n_docs,
+        |    max(n_tok) AS max_tok, CAST(sum(n_tok) AS BIGINT) AS sum_tok
+        |  FROM t WHERE n_tok IS NOT NULL AND n_tok > 0 GROUP BY 1)
+        |SELECT bucket, n_docs, max_tok, sum_tok,
+        |  max_tok * n_docs AS padded_tok,
+        |  CAST(max_tok * n_docs - sum_tok AS DOUBLE)
+        |    / CAST(max_tok * n_docs AS DOUBLE) AS waste_frac
+        |FROM b ORDER BY bucket""".stripMargin,
+    // identical tokenization (regexp split of trimmed text), identical
+    // integer-derived ratios, identical gate thresholds
+    "q87_quality_gates" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |m AS (SELECT doc_id, len(tk) AS n,
+        |  CAST(list_sum(list_transform(tk, w -> length(w))) AS DOUBLE)
+        |    / greatest(CAST(len(tk) AS DOUBLE), CAST(1.0 AS DOUBLE)) AS mean_len,
+        |  CAST(len(list_filter(tk, w -> contains(w, '#') OR contains(w, '...'))) AS DOUBLE)
+        |    / greatest(CAST(len(tk) AS DOUBLE), CAST(1.0 AS DOUBLE)) AS sym,
+        |  CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+        |    / greatest(CAST(len(tk) AS DOUBLE), CAST(1.0 AS DOUBLE)) AS alpha,
+        |  len(list_filter(list_distinct(list_transform(tk, w -> lower(w))),
+        |    w -> list_contains(['the','a','data','value'], w))) AS stops
+        |  FROM t),
+        |f AS (SELECT doc_id,
+        |  n >= 30 AND n <= 100000 AS words_ok,
+        |  mean_len >= CAST(3.0 AS DOUBLE) AND mean_len <= CAST(10.0 AS DOUBLE) AS mean_word_len_ok,
+        |  sym <= CAST(0.1 AS DOUBLE) AS symbol_ok,
+        |  alpha >= CAST(0.8 AS DOUBLE) AS alpha_ok,
+        |  stops >= 2 AS stopwords_ok
+        |  FROM m)
+        |SELECT doc_id, words_ok, mean_word_len_ok, symbol_ok, alpha_ok,
+        |  stopwords_ok,
+        |  words_ok AND mean_word_len_ok AND symbol_ok AND alpha_ok
+        |    AND stopwords_ok AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // generate_series(0, -1) is empty in DuckDB (matching the Spark-side
+    // empty-array guard); '80000000' is hexThreshold(0.5) verbatim
+    "q88_epoch_mixture" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+        |                WHEN 'src2' THEN 0 ELSE 1 END AS whole,
+        |    CASE source WHEN 'src0' THEN TRUE WHEN 'src1' THEN TRUE
+        |                ELSE FALSE END AS has_frac
+        |  FROM documents),
+        |base AS (SELECT doc_id, source,
+        |    unnest(generate_series(0, whole - 1)) AS epoch
+        |  FROM w WHERE whole >= 1),
+        |extra AS (SELECT doc_id, source, whole AS epoch FROM w
+        |  WHERE has_frac
+        |    AND substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 8) < '80000000')
+        |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM extra)
+        |ORDER BY doc_id, epoch""".stripMargin,
+    // the bloom prefilter is invisible to the result (q80's argument):
+    // plain NOT IN over the same md5 fingerprints, min-id per batch fp
+    "q84_incremental_dedup" ->
+      """WITH led AS (SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))), ' ')) AS fp
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graft v2' FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' graft v2' FROM documents WHERE doc_id % 5 = 1),
+        |b AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))), ' ')) AS fp
+        |  FROM raw),
+        |k AS (SELECT doc_id, fp,
+        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM b)
+        |SELECT doc_id, fp FROM k
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM led)
+        |ORDER BY doc_id""".stripMargin,
+    // exact distinct both sides; the tolerance assertion is stated TRUE
+    // (q49's convention — the Spark side computes it for real)
+    "q82_distinct_sketch" ->
+      """SELECT lang, count(DISTINCT md5(array_to_string(list_sort(list_distinct(
+        |    string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))), ' '))) AS n_exact,
+        |  TRUE AS within_tol
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the exact formulation the two-pass MG pipeline must reproduce
+    "q83_freq_tokens" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS cnt FROM toks WHERE tok <> ''
+        |  GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, cnt,
+        |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rnk
+        |  FROM c)
+        |SELECT lang, CAST(rnk AS INTEGER) AS rnk, tok, cnt FROM r
+        |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+    // quantile_cont is the same R-7 interpolation as the two-weight form;
+    // 4-decimal round absorbs cross-engine ulps (q43's convention)
+    "q85_grouped_quantiles" ->
+      """SELECT event_type, CAST(0.25 AS DOUBLE) AS p,
+        |  round(quantile_cont(value, 0.25), 4) AS value FROM events GROUP BY 1
+        |UNION ALL SELECT event_type, CAST(0.5 AS DOUBLE),
+        |  round(quantile_cont(value, 0.5), 4) FROM events GROUP BY 1
+        |UNION ALL SELECT event_type, CAST(0.75 AS DOUBLE),
+        |  round(quantile_cont(value, 0.75), 4) FROM events GROUP BY 1
+        |UNION ALL SELECT event_type, CAST(0.95 AS DOUBLE),
+        |  round(quantile_cont(value, 0.95), 4) FROM events GROUP BY 1
+        |ORDER BY event_type, p""".stripMargin,
+    // the 6-decimal median/MAD rounds happen BEFORE the deviation and
+    // threshold arithmetic in both engines, so the outlier set is identical
+    "q86_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS m
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, abs(e.value - med.m) AS adev, med.m
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS md
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, round(any_value(d.m), 4) AS median,
+        |  round(any_value(mad.md), 4) AS mad,
+        |  CAST(count(*) FILTER (d.adev > mad.md * 3.0) AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
   )
 }

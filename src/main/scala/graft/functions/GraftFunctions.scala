@@ -56,6 +56,29 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), org.apache.spark.sql.types.LongType),
         exprs(2), k).toAggregateExpression()
+    },
+    // sketch aggregates: precision/capacity are literals for the same
+    // reason as top_k's k (they size the aggregation buffer)
+    "hll_sketch" -> { exprs =>
+      require(exprs.length == 2, s"hll_sketch expects 2 arguments (value, p), got ${exprs.length}")
+      require(exprs(1).foldable, "hll_sketch: p must be a literal")
+      val p = exprs(1).eval().asInstanceOf[Number].intValue()
+      GraftColumnBridge.expression(
+        Sketches.hllSketch(GraftColumnBridge.column(exprs(0)), p))
+    },
+    "hll_merge" -> { exprs =>
+      require(exprs.length == 2, s"hll_merge expects 2 arguments (sketch, p), got ${exprs.length}")
+      require(exprs(1).foldable, "hll_merge: p must be a literal")
+      val p = exprs(1).eval().asInstanceOf[Number].intValue()
+      Sketches.HllMergeAgg(exprs(0), p).toAggregateExpression()
+    },
+    columnFn("hll_estimate", 1)(cs => Sketches.hllEstimate(cs(0))),
+    "freq_items" -> { exprs =>
+      require(exprs.length == 2, s"freq_items expects 2 arguments (item, capacity), got ${exprs.length}")
+      require(exprs(1).foldable, "freq_items: capacity must be a literal")
+      val cap = exprs(1).eval().asInstanceOf[Number].intValue()
+      GraftColumnBridge.expression(
+        Sketches.freqItems(GraftColumnBridge.column(exprs(0)), cap))
     })
 
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,342 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable sketches — the 100 TB way to keep corpus statistics.
+  *
+  * The point of a sketch over the exact aggregate is not the single query
+  * (Spark's `count_distinct` works); it's INCREMENTALITY: a fixed-size
+  * binary summary per partition/day/source can be materialized once,
+  * merged later in any grouping, and never requires rescanning the data
+  * it summarizes. At 100 TB, "distinct documents last quarter" becomes a
+  * merge of 90 daily 8 KB sketches instead of a 25 TB scan.
+  *
+  *  - [[Sketches.hllSketch]]: HyperLogLog distinct-count registers
+  *    (Flajolet et al. 2007) as a `binary` column — `max` per register is
+  *    associative/commutative/idempotent, so merge order never matters and
+  *    re-merging the same sketch is harmless.
+  *  - [[Sketches.hllMerge]]: aggregate union of sketch columns.
+  *  - [[Sketches.hllEstimate]]: scalar register→count estimator.
+  *  - [[Sketches.freqItems]]: Misra–Gries frequent items with the
+  *    Agarwal et al. 2012 mergeable-summaries merge — O(capacity) state at
+  *    every stage, vs a vocabulary-sized `groupBy(item)` shuffle.
+  */
+object Sketches {
+
+  /** HLL sketch aggregate over PRE-HASHED 64-bit values: `binary(2^p)`
+    * registers. Callers use [[hllSketch]], which hashes with Spark's
+    * codegen'd `xxhash64` so this aggregate's hot loop is just an index
+    * and a compare. Null hashes are ignored (SQL convention). */
+  case class HllSketchAgg(
+      child: Expression,
+      p: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+    require(p >= 4 && p <= 16, s"hllSketch precision p must be in [4, 16], got $p")
+    private val m = 1 << p
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"hllSketch expects a pre-hashed bigint (use Sketches.hllSketch), got ${child.dataType}")
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        val idx = (h >>> (64 - p)).toInt
+        val w = h << p
+        // rank of the first 1-bit in the suffix; suffix all-zero counts as
+        // if a 1 sat just past it (max rank 64 - p + 1 <= 61, fits a byte)
+        val rho = (if (w == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1
+        if (rho > buf(idx)) buf(idx) = rho.toByte
+      }
+      buf
+    }
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Byte]): Any = buf.clone()
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0))
+    override def prettyName: String = "hll_sketch"
+  }
+
+  /** Union of HLL sketches (per-register max). All inputs must share one
+    * precision (= length); nulls are ignored; an all-null group yields an
+    * empty (all-zero) sketch of the declared precision. */
+  case class HllMergeAgg(
+      child: Expression,
+      p: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+    require(p >= 4 && p <= 16, s"hllMerge precision p must be in [4, 16], got $p")
+    private val m = 1 << p
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"hllMerge expects a binary sketch column, got ${child.dataType}")
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val sk = v.asInstanceOf[Array[Byte]]
+        require(sk.length == m,
+          s"hllMerge(p=$p) expects ${m}-byte sketches, got ${sk.length} bytes")
+        var i = 0
+        while (i < m) { if (sk(i) > buf(i)) buf(i) = sk(i); i += 1 }
+      }
+      buf
+    }
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Byte]): Any = buf.clone()
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): HllMergeAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0))
+    override def prettyName: String = "hll_merge"
+  }
+
+  /** Register→estimate: the standard HLL estimator with the small-range
+    * linear-counting correction (no large-range correction — 64-bit hashes
+    * make collisions in the hash space irrelevant). CodegenFallback is
+    * fine here: this runs on AGGREGATED rows (one per group), never the
+    * data stream. Precision is recovered from the sketch length. */
+  case class HllEstimateExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"hllEstimate expects a binary sketch, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val regs = input.asInstanceOf[Array[Byte]]
+      val m = regs.length
+      require(m >= 16 && (m & (m - 1)) == 0, s"not an HLL sketch: length $m")
+      val alpha = m match {
+        case 16 => 0.673
+        case 32 => 0.697
+        case 64 => 0.709
+        case _  => 0.7213 / (1.0 + 1.079 / m)
+      }
+      var sum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        sum += java.lang.Math.pow(2.0, -regs(i).toDouble)
+        if (regs(i) == 0) zeros += 1
+        i += 1
+      }
+      val raw = alpha * m * m / sum
+      val est =
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+        else raw
+      math.rint(est).toLong
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "hll_estimate"
+  }
+
+  /** HLL distinct sketch of `c` at precision `p` (2^p one-byte registers;
+    * standard error ≈ 1.04/sqrt(2^p) — p=12 → 4 KB and ~1.6%). Hashing is
+    * Spark's codegen'd `xxhash64` over the raw column value; the null
+    * guard matters because `xxhash64(null)` returns the SEED, which would
+    * silently count null as one more distinct value. */
+  def hllSketch(c: Column, p: Int = 12): Column =
+    GraftColumnBridge.column(HllSketchAgg(
+      GraftColumnBridge.expression(when(c.isNotNull, xxhash64(c))), p).toAggregateExpression())
+
+  /** Aggregate union of already-built sketches (all at precision `p`). */
+  def hllMerge(sketch: Column, p: Int = 12): Column =
+    GraftColumnBridge.column(HllMergeAgg(
+      GraftColumnBridge.expression(sketch), p).toAggregateExpression())
+
+  /** Scalar distinct-count estimate from a sketch column. */
+  def hllEstimate(sketch: Column): Column =
+    GraftColumnBridge.column(HllEstimateExpr(GraftColumnBridge.expression(sketch)))
+
+  // ------------------------------------------------------------------
+  // Misra–Gries frequent items
+  // ------------------------------------------------------------------
+
+  /** Misra–Gries heavy-hitters summary over string items with `capacity`
+    * counters. Guarantee: every item with true count > N/(capacity+1) is
+    * retained, and each retained count undershoots its true count by at
+    * most N/(capacity+1) (N = stream length). Partial summaries merge with
+    * the Agarwal et al. 2012 rule — add counts, then subtract the
+    * (capacity+1)-th largest and drop non-positives — which preserves the
+    * same error bound, so map-side partials ship `capacity` entries per
+    * task instead of a vocabulary-sized shuffle.
+    *
+    * The decrement-all step is O(live counters) but amortized O(1) per
+    * stream element (every decrement cancels an earlier increment).
+    * Output: `array<struct<item:string, cnt:bigint>>`, count-descending
+    * (item ascending on ties). Null items are ignored. */
+  case class FreqItemsAgg(
+      child: Expression,
+      capacity: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]] {
+
+    require(capacity >= 1, s"freqItems capacity must be >= 1, got $capacity")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"freqItems expects a string item column, got ${child.dataType}")
+
+    override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
+      mutable.HashMap.empty
+
+    override def update(buf: mutable.HashMap[UTF8String, Long],
+                        input: InternalRow): mutable.HashMap[UTF8String, Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        // eval may return a view into a reused buffer — copy before keying
+        val item = v.asInstanceOf[UTF8String].clone()
+        buf.get(item) match {
+          case Some(n) => buf.update(item, n + 1)
+          case None if buf.size < capacity => buf.update(item, 1L)
+          case None => // full and absent: decrement every counter by 1
+            val dead = mutable.ArrayBuffer.empty[UTF8String]
+            buf.foreach { case (k, n) =>
+              if (n == 1L) dead += k else buf.update(k, n - 1)
+            }
+            dead.foreach(buf.remove)
+        }
+      }
+      buf
+    }
+
+    override def merge(a: mutable.HashMap[UTF8String, Long],
+                       b: mutable.HashMap[UTF8String, Long]): mutable.HashMap[UTF8String, Long] = {
+      b.foreach { case (k, n) => a.update(k, a.getOrElse(k, 0L) + n) }
+      if (a.size > capacity) {
+        // subtract the (capacity+1)-th largest count from everything and
+        // drop non-positives — at most `capacity` counters survive
+        val cut = a.values.toArray.sortBy(-_).apply(capacity)
+        val dead = mutable.ArrayBuffer.empty[UTF8String]
+        a.foreach { case (k, n) =>
+          if (n - cut <= 0L) dead += k else a.update(k, n - cut)
+        }
+        dead.foreach(a.remove)
+      }
+      a
+    }
+
+    override def eval(buf: mutable.HashMap[UTF8String, Long]): Any = {
+      val sorted = buf.toArray.sortBy { case (k, n) => (-n, k) }
+      new GenericArrayData(sorted.map { case (k, n) =>
+        InternalRow(k, n)
+      }.asInstanceOf[Array[Any]])
+    }
+
+    override def serialize(buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(buf.size)
+      buf.foreach { case (k, n) =>
+        val bytes = k.getBytes
+        out.writeInt(bytes.length)
+        out.write(bytes)
+        out.writeLong(n)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) {
+        val len = in.readInt()
+        val kb = new Array[Byte](len)
+        in.readFully(kb)
+        buf.update(UTF8String.fromBytes(kb), in.readLong())
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): FreqItemsAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0))
+    override def prettyName: String = "freq_items"
+  }
+
+  /** Misra–Gries frequent-items aggregate: `array<struct<item, cnt>>` of at
+    * most `capacity` candidates, count-descending. Counts UNDERSHOOT by up
+    * to N/(capacity+1); for exact heavy hitters, second-pass count just the
+    * returned candidates (see SparkEntry q83). */
+  def freqItems(c: Column, capacity: Int): Column =
+    GraftColumnBridge.column(FreqItemsAgg(
+      GraftColumnBridge.expression(c.cast("string")), capacity).toAggregateExpression())
+}

@@ -67,6 +67,8 @@ object BloomJoin {
                fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
     require(fpp > 0.0 && fpp < 1.0, s"fpp out of range: $fpp")
+    require(!left.columns.contains("_bloom_rk"),
+      "left must not contain reserved column _bloom_rk")
     val spark = left.sparkSession
     // stat.bloomFilter NPEs on a zero-row input, and an empty exclude list
     // excludes nothing anyway (the emptiness probe is a limit-1 scan)
@@ -85,10 +87,14 @@ object BloomJoin {
         f(col(leftKey).cast(LongType))
     }
 
-    // null keys never match an equi-join key -> they are kept, like left_anti
+    // null keys never match an equi-join key -> they are kept, like left_anti.
+    // The right key is re-aliased so a SAME-NAMED key on both sides (the
+    // common fingerprint-vs-fingerprint case) does not trip Spark's
+    // ambiguous-reference check in the join condition.
     val definiteAbsent = left.filter(col(leftKey).isNull || !mightContain)
     val residue = left.filter(col(leftKey).isNotNull && mightContain)
-      .join(right.select(col(rightKey)), col(leftKey) === col(rightKey), "left_anti")
+      .join(right.select(col(rightKey).as("_bloom_rk")),
+        col(leftKey) === col("_bloom_rk"), "left_anti")
     definiteAbsent.unionByName(residue)
   }
 }

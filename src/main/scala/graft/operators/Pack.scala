@@ -122,4 +122,31 @@ object Pack {
       .select(shardCols.map(c => col(s"_s.$c")) ++
         Seq(col("pack_id"), col("text"), col("n_docs"), col("pack_fill")): _*)
   }
+
+  /** Padding-waste report for LENGTH-BUCKETED batching — the alternative
+    * to packing where sequences are batched with same-length neighbors and
+    * padded to the bucket's longest member. Per bucket of width
+    * `bucketWidth` (bucket k covers token counts `[k·w, (k+1)·w)`):
+    * document count, the observed max length, the token sum, the padded
+    * token total (`max_tok · n_docs` — what the accelerator actually
+    * processes), and `waste_frac` (fraction of processed tokens that are
+    * pad). Drives the bucket-width choice: too wide wastes compute, too
+    * narrow starves batches.
+    *
+    * One aggregation, map-side combinable, output rows = buckets — the
+    * plan cannot be simpler. Arithmetic is integer-derived with a fixed
+    * op order (`waste_frac` is an exact-operand double division), so the
+    * report reproduces bit-identically in any engine. Null and
+    * non-positive token counts are excluded. */
+  def paddingReport(df: DataFrame, tokCol: String, bucketWidth: Int): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth ($bucketWidth) must be >= 1")
+    df.filter(col(tokCol).isNotNull && col(tokCol) > 0)
+      .groupBy(floor(col(tokCol).cast("double") / bucketWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), max(col(tokCol).cast("long")).as("max_tok"),
+        sum(col(tokCol).cast("long")).as("sum_tok"))
+      .withColumn("padded_tok", col("max_tok") * col("n_docs"))
+      .withColumn("waste_frac",
+        (col("padded_tok") - col("sum_tok")).cast("double") /
+          col("padded_tok").cast("double"))
+  }
 }

@@ -86,4 +86,111 @@ object Quantiles {
     }
     rows.toDF("p", "value")
   }
+
+  /** Per-group exact quantiles, fully distributed — no driver collect at
+    * all (unlike [[exact]], whose 2·|ps|-row collect is already bounded;
+    * here even that would be |groups|-sized, so the order statistics are
+    * fetched with joins instead).
+    *
+    * Shape: one range sort on `(groupCols…, value)` — each group occupies
+    * a contiguous run of partitions with values in order — pinned by a lazy
+    * localCheckpoint exactly as in [[exact]]. Per-(partition, group) counts
+    * give within-group starting offsets (ranges are contiguous, so this
+    * table holds ≈ |groups| + partitions rows, NOT groups × partitions);
+    * a within-(partition, group) `row_number` completes each row's global
+    * rank inside its group. Target ranks (2 per requested quantile per
+    * group) broadcast against the sorted data to pluck the order
+    * statistics; interpolation then runs group-side on a
+    * |groups|·|ps|-sized table.
+    *
+    * The broadcast tables scale with |groups|, so this is the shape for
+    * FEW LARGE groups (the regime where the built-in per-group
+    * `percentile()` buffers a whole giant group on one reducer). For
+    * millions of tiny groups the built-in's per-group state is small and
+    * preferable.
+    *
+    * Interpolation is the same two-weight R-7 form as [[exact]] (evaluated
+    * in Catalyst double arithmetic — identical IEEE ops). Null/NaN values
+    * are ignored; a group whose values are all null/NaN emits no rows.
+    * Output: `(groupCols…, p, value)`. */
+  def exactGrouped(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   ps: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty, "exactGrouped requires at least one group column (use exact)")
+    require(ps.nonEmpty, "at least one quantile is required")
+    ps.foreach(p => require(p >= 0.0 && p <= 1.0, s"quantile out of range: $p"))
+    val reserved = Seq("_v", "_pid", "_off", "_n", "_h", "_lo", "_hi", "_i", "p", "value")
+    reserved.foreach(r => require(!groupCols.contains(r), s"group column name '$r' is reserved"))
+    val spark = df.sparkSession
+    val gs = groupCols.map(col)
+    val vals = df.select(gs :+ col(valueCol).cast("double").as("_v"): _*)
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+    // one range sort pinned to one physical partitioning (see exact())
+    val sorted = vals.orderBy(gs :+ col("_v"): _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
+    // within-group starting offset of each (partition, group) run + group size
+    val wg = Window.partitionBy(gs: _*).orderBy(col("_pid"))
+    val offsets = sorted.groupBy(col("_pid") +: gs: _*).count()
+      .withColumn("_off", coalesce(
+        sum("count").over(wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum("count").over(Window.partitionBy(gs: _*)))
+      .drop("count")
+    // target ranks: h = (n-1)p per group, the two bracketing order statistics
+    val targets = offsets.select(gs :+ col("_n"): _*).distinct()
+      .select(gs :+ explode(array(ps.map(lit): _*)).as("p") :+ col("_n"): _*)
+      .withColumn("_h", (col("_n") - 1).cast("double") * col("p"))
+      .withColumn("_lo", floor(col("_h")).cast("long"))
+      .withColumn("_hi", ceil(col("_h")).cast("long"))
+      .drop("_n")
+    val need = targets.select(gs :+ col("_lo").as("_i"): _*)
+      .unionByName(targets.select(gs :+ col("_hi").as("_i"): _*)).distinct()
+    // global-in-group rank of every row, then keep only the needed ranks;
+    // both joins keep the data in place (broadcast sides are |groups|-scaled)
+    val inPart = Window.partitionBy(col("_pid") +: gs: _*).orderBy(col("_v"))
+    val picked = sorted
+      .join(broadcast(offsets.drop("_n")), "_pid" +: groupCols)
+      .withColumn("_i", col("_off") + row_number().over(inPart) - 1)
+      .join(broadcast(need), groupCols :+ "_i")
+      .select(gs :+ col("_i") :+ col("_v"): _*)
+    // interpolate group-side: two small joins fetch vLo/vHi per target
+    val vlo = picked.withColumnRenamed("_i", "_lo").withColumnRenamed("_v", "_vlo")
+    val vhi = picked.withColumnRenamed("_i", "_hi").withColumnRenamed("_v", "_vhi")
+    targets
+      .join(broadcast(vlo), groupCols :+ "_lo")
+      .join(broadcast(vhi), groupCols :+ "_hi")
+      // the identical two-weight form as exact() — bit-compatible with the
+      // built-in percentile() (the algebraically-equal alternative differs by ulps)
+      .withColumn("value", when(col("_lo") === col("_hi"), col("_vlo"))
+        .otherwise((col("_hi").cast("double") - col("_h")) * col("_vlo") +
+                   (col("_h") - col("_lo").cast("double")) * col("_vhi")))
+      .select(gs :+ col("p") :+ col("value"): _*)
+  }
+
+  /** Robust per-group outlier statistics: median, MAD (median absolute
+    * deviation), and the count of rows beyond `k`·MAD from the median —
+    * the standard heavy-tail-safe alternative to mean±kσ (one wild value
+    * moves a mean arbitrarily; it moves a median by at most one rank).
+    *
+    * Built from two [[exactGrouped]] passes (median, then median of
+    * |value − median|) — both scale-safe range sorts, never a per-group
+    * value buffer. The medians are rounded to 6 decimals BEFORE the
+    * deviation/threshold arithmetic so the flagged set is reproducible
+    * across engines (raw interpolated medians can differ by ulps between
+    * implementations, and an outlier test is a knife-edge consumer).
+    * Output: `(groupCols…, median, mad, n_outliers)`. */
+  def robustOutlierStats(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                         k: Double = 3.0): DataFrame = {
+    require(k > 0.0, s"k must be positive, got $k")
+    val gs = groupCols.map(col)
+    val med = exactGrouped(df, groupCols, valueCol, Seq(0.5))
+      .select(gs :+ round(col("value"), 6).as("median"): _*)
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("_adev", abs(col(valueCol).cast("double") - col("median")))
+    val mad = exactGrouped(dev, groupCols, "_adev", Seq(0.5))
+      .select(gs :+ round(col("value"), 6).as("mad"): _*)
+    dev.join(broadcast(mad), groupCols)
+      .groupBy(gs: _*)
+      .agg(first(col("median")).as("median"), first(col("mad")).as("mad"),
+        sum(when(col("_adev") > col("mad") * k, 1L).otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -102,6 +102,56 @@ object Sampling {
     df.filter(pred)
   }
 
+  /** Epoch-weighted mixture materialization — the UPSAMPLING side of the
+    * data-mixing knob ([[mixtureByHash]] only downsamples). Each group's
+    * weight `e` emits `floor(e)` full copies of every row plus a
+    * hash-selected `e - floor(e)` fraction for one extra epoch — the
+    * "N epochs of curated text vs 0.3 epochs of crawl" recipe stated by
+    * public training-mix reports (e.g. the Llama/Gopher data tables).
+    *
+    * Output adds an `epoch` column (0-based copy index) so downstream
+    * packing/shuffling can interleave epochs instead of concatenating
+    * them. Deterministic: the fractional pick rides [[hashBelow]] under
+    * its own domain, so it is stable in the key and independent of any
+    * other hash decision; a row's epoch set never changes as neighbors
+    * are added. Groups absent from `epochs` use `defaultEpochs`.
+    *
+    * Scale shape: pure per-row `explode(sequence(...))` — zero shuffle,
+    * output size = Σ group_rows·⌈weight⌉ (the CALLER's mixture budget),
+    * task memory O(1). Weights are capped at 64 epochs: a larger weight
+    * is a config error amplifying one source 64×, not a sampling need. */
+  def epochMixture(df: DataFrame, keyCol: String, groupCol: String,
+                   epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+                   domain: String = "epoch"): DataFrame = {
+    (epochs.values ++ Seq(defaultEpochs)).foreach(e =>
+      require(e >= 0.0 && e <= 64.0, s"epoch weight out of range [0, 64]: $e"))
+    require(!df.columns.contains("epoch"), "input must not contain reserved column epoch")
+    def pick[T](f: Double => T): Column = {
+      val dflt = f(defaultEpochs)
+      epochs.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+        case (acc, (g, e)) =>
+          val v = f(e)
+          Some(acc.fold(when(col(groupCol) === g, v))(_.when(col(groupCol) === g, v)))
+      }.fold(lit(dflt): Column)(_.otherwise(dflt))
+    }
+    // full copies: epoch ids [0, floor(e)); Spark's sequence(0, -1) counts
+    // DOWN (the Pack lesson), so the zero-copy case needs the empty guard
+    val whole = pick(e => math.floor(e).toLong)
+    val fullCopies = when(whole >= 1L,
+      sequence(lit(0L), whole - 1L)).otherwise(array().cast("array<bigint>"))
+    // fractional epoch: per-group hash predicate (when-chain, like pick —
+    // but over hashBelow conditions rather than literal values)
+    val dfltFrac = hashBelow(col(keyCol), defaultEpochs - math.floor(defaultEpochs), domain)
+    val fracKept = epochs.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (g, e)) =>
+        val cond = hashBelow(col(keyCol), e - math.floor(e), domain)
+        Some(acc.fold(when(col(groupCol) === g, cond))(_.when(col(groupCol) === g, cond)))
+    }.fold(dfltFrac)(_.otherwise(dfltFrac))
+    val epochIds = when(fracKept, concat(fullCopies, array(whole)))
+      .otherwise(fullCopies)
+    df.withColumn("epoch", explode(epochIds))
+  }
+
   /** Probability-proportional-to-size (PPS) systematic sample: per stratum,
     * k selection points spaced `total_weight / k` apart sweep the
     * hash-ordered cumulative-weight line; a row is kept iff its weight

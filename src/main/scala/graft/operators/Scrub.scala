@@ -54,6 +54,67 @@ object Scrub {
       size(toks).cast("double")
   }
 
+  /** Gopher-style stopwords: presence of ≥ `GopherMinStopwords` distinct
+    * members is the "is this prose at all" gate (Rae et al. 2021 §A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Rule-based document quality gates (the Gopher/C4 heuristic family,
+    * Rae et al. 2021 §A1.1 / Raffel et al. 2020 §2.2) as one per-row
+    * struct of named booleans plus the conjunction:
+    *
+    *  - `words_ok`:         token count in `[minWords, maxWords]`
+    *  - `mean_word_len_ok`: mean token length in [3, 10] chars
+    *  - `symbol_ok`:        ≤ 10% of tokens contain `#` or `...`
+    *  - `alpha_ok`:         ≥ 80% of tokens contain an alphabetic char
+    *  - `stopwords_ok`:     ≥ 2 distinct [[GopherStopwords]] present
+    *  - `pass`:             all of the above
+    *
+    * Unlike [[TextAnalysis.qualityScore]] (a blended score you threshold),
+    * these are the published HARD gates — each failure names its reason,
+    * which is what a filtering report at corpus scale needs. Pure per-row
+    * array arithmetic over ONE let-bound tokenization (the
+    * [[wordNgrams]] lesson): zero shuffle, fuses into the scan. All
+    * ratios are exact integer-derived doubles with a fixed op order, so
+    * every flag reproduces bit-identically in any engine (q87's oracle
+    * replays the same arithmetic in DuckDB).
+    *
+    * `stopwords` defaults to the published English set; production
+    * pipelines localize it per corpus/language (the gate is "contains ≥ 2
+    * distinct members", whatever the members are). */
+  def gopherGates(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+                  stopwords: Seq[String] = GopherStopwords): Column = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    require(stopwords.size >= 2, "stopword gate needs at least 2 candidate words")
+    get(
+      transform(array(split(trim(text), "\\s+")), tk => {
+        val nTok = size(tk)
+        val n = greatest(nTok.cast("double"), lit(1.0))
+        val meanLen = aggregate(tk, lit(0L), (a, w) => a + length(w))
+          .cast("double") / n
+        val symbolic = size(filter(tk, w =>
+          w.contains("#") || w.contains("..."))).cast("double") / n
+        val alpha = size(filter(tk, w => w.rlike("[a-zA-Z]"))).cast("double") / n
+        val stops = size(filter(
+          array_distinct(transform(tk, w => lower(w))),
+          w => w.isin(stopwords: _*)))
+        val wordsOk = nTok >= minWords && nTok <= maxWords
+        val meanOk = meanLen >= 3.0 && meanLen <= 10.0
+        val symOk = symbolic <= 0.1
+        val alphaOk = alpha >= 0.8
+        val stopOk = stops >= 2
+        struct(
+          wordsOk.as("words_ok"),
+          meanOk.as("mean_word_len_ok"),
+          symOk.as("symbol_ok"),
+          alphaOk.as("alpha_ok"),
+          stopOk.as("stopwords_ok"),
+          (wordsOk && meanOk && symOk && alphaOk && stopOk).as("pass"))
+      }),
+      lit(0))
+  }
+
   /** Word n-grams as space-joined strings; documents shorter than `n`
     * tokens yield an empty array (guarded — Spark's `sequence(1, 0)` counts
     * DOWN, it is not empty).

@@ -137,4 +137,42 @@ object TextAnalysis {
       }
     }
   }
+
+  /** Pairwise n-gram overlap between corpus SLICES (sources, domains,
+    * snapshots): for every unordered slice pair that shares at least one
+    * distinct word n-gram, the shared-gram count and the Jaccard
+    * similarity of the two slices' distinct-gram sets. The corpus-curation
+    * question this answers — "which sources are near-copies of each
+    * other?" — is the slice-level complement of document-level dedup.
+    *
+    * Scale shape: ONE aggregation to the distinct `(slice, gram)` level
+    * (map-side combine; output is vocabulary-sized, tiny next to the
+    * corpus), pinned by a lazy localCheckpoint so the self-join computes
+    * it once (the q73 lesson). The gram-keyed self-join emits at most
+    * C(k, 2) pairs per gram where k = slices containing that gram —
+    * bounded by the SLICE count (dozens), never by corpus size. Slice
+    * totals are a second tiny aggregate, broadcast back. */
+  def sourceOverlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
+                          n: Int = 2): DataFrame = {
+    require(n >= 1, s"n ($n) must be >= 1")
+    val grams = docs
+      .select(col(groupCol).as("g"),
+        explode(Scrub.wordNgrams(
+          regexp_replace(trim(col(textCol)), "\\s+", " "), n)).as("gram"))
+      .distinct()
+      .localCheckpoint(false)
+    val totals = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val shared = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+    shared
+      .join(broadcast(totals.select(col("g").as("src_a"), col("n").as("_na"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("g").as("src_b"), col("n").as("_nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_ngrams"),
+        (col("shared_ngrams").cast("double") /
+          (col("_na") + col("_nb") - col("shared_ngrams")).cast("double"))
+          .as("jaccard"))
+  }
 }

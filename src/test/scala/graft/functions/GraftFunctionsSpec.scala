@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions.{col, explode}
 
 import graft.SparkFunSuite
 
@@ -48,9 +49,24 @@ class GraftFunctionsSpec extends SparkFunSuite {
     for (name <- Seq("vec_dot", "vec_cosine", "vec_l2_norm", "vec_l2_dist",
         "quantize_int8", "dequant_int8", "token_count", "subword_count",
         "quality_score", "lang_guess", "doc_fingerprint", "char_jaccard",
-        "simhash64", "redact_pii", "dup_token_ratio", "winnow_fp"))
+        "simhash64", "redact_pii", "dup_token_ratio", "winnow_fp",
+        "top_k", "hll_sketch", "hll_merge", "hll_estimate", "freq_items"))
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"$name not registered")
+  }
+
+  test("sketch aggregates are callable from SQL and match the Column API") {
+    GraftFunctions.register(spark)
+    (1 to 300).map(i => s"u${i % 37}").toDF("v").createOrReplaceTempView("sk")
+    val est = spark.sql(
+      "SELECT hll_estimate(hll_sketch(v, 12)) AS e FROM sk").head.getLong(0)
+    // linear-counting regime: near-exact (a single register collision
+    // among 37 items in 4096 buckets shifts the estimate by ~1)
+    assert(math.abs(est - 37L) <= 2L)
+    val fi = spark.sql(
+      "SELECT freq_items(v, 64) AS fi FROM sk").select(explode(col("fi")))
+      .select("col.item", "col.cnt").collect()
+    assert(fi.length == 37 && fi.map(_.getLong(1)).sum == 300L)
   }
 }

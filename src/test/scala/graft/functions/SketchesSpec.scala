@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkFunSuite
+
+class SketchesSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("hllSketch estimate tracks exact distinct within 3 standard errors") {
+    // p=12 -> se ~ 1.6%; check across regimes: linear-counting (small n)
+    // and the raw estimator (n >> m is not reachable cheaply; n ~ m/2 is)
+    for (n <- Seq(100, 1000, 3000)) {
+      val df = (1 to n).map(i => s"item-$i").toDF("v")
+      val est = df.agg(Sketches.hllEstimate(Sketches.hllSketch(col("v"), 12)))
+        .head.getLong(0)
+      assert(math.abs(est - n).toDouble / n <= 3 * 1.04 / math.sqrt(4096),
+        s"n=$n est=$est")
+    }
+  }
+
+  test("merged per-source sketches are byte-identical to the direct sketch") {
+    // max is associative/commutative/idempotent: merging partial sketches
+    // MUST reproduce the whole-corpus sketch exactly, not approximately
+    val df = (1 to 2000).map(i => (s"src${i % 7}", s"doc-${i % 900}")).toDF("src", "v")
+    val direct = df.agg(Sketches.hllSketch(col("v"), 10)).head.getAs[Array[Byte]](0)
+    val merged = df.groupBy("src").agg(Sketches.hllSketch(col("v"), 10).as("sk"))
+      .agg(Sketches.hllMerge(col("sk"), 10)).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(direct, merged))
+    // idempotence: re-merging the merged sketch with itself changes nothing
+    val twice = Seq(direct, direct).toDF("sk")
+      .agg(Sketches.hllMerge(col("sk"), 10)).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(direct, twice))
+  }
+
+  test("hll ignores nulls and duplicate values do not move the estimate") {
+    val dup = (Seq.fill(500)("same") ++ Seq.fill(3)(null.asInstanceOf[String])).toDF("v")
+    val est = dup.agg(Sketches.hllEstimate(Sketches.hllSketch(col("v"), 12)))
+      .head.getLong(0)
+    assert(est == 1L)
+  }
+
+  test("hllMerge rejects mixed precisions") {
+    val a = Seq("x").toDF("v").agg(Sketches.hllSketch(col("v"), 10)).head.getAs[Array[Byte]](0)
+    val e = intercept[Exception] {
+      Seq(a).toDF("sk").agg(Sketches.hllMerge(col("sk"), 12)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("freqItems retains every item above the MG frequency guarantee") {
+    // stream of 10_000: 'hot' 30%, 'warm' 10%, tail of singletons.
+    // capacity 49 -> guarantee threshold N/50 = 2%: hot and warm MUST
+    // survive with counts undershooting by at most 200
+    val items = Seq.fill(3000)("hot") ++ Seq.fill(1000)("warm") ++
+      (1 to 6000).map(i => s"tail-$i")
+    val rng = new scala.util.Random(11)
+    val df = rng.shuffle(items).toDF("v").repartition(8)
+    val got = df.agg(Sketches.freqItems(col("v"), 49).as("fi"))
+      .select(explode(col("fi"))).select("col.item", "col.cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = items.size
+    assert(got.contains("hot") && got("hot") >= 3000 - n / 50 && got("hot") <= 3000)
+    assert(got.contains("warm") && got("warm") >= 1000 - n / 50 && got("warm") <= 1000)
+    assert(got.size <= 49)
+  }
+
+  test("freqItems is exact when capacity exceeds the distinct-item count") {
+    val items = Seq.fill(7)("a") ++ Seq.fill(5)("b") ++ Seq.fill(5)("az") ++ Seq("c")
+    val df = items.toDF("v").repartition(4)
+    val got = df.agg(Sketches.freqItems(col("v"), 100).as("fi"))
+      .select(explode(col("fi"))).select("col.item", "col.cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // exact counts, count-desc then item-asc (ties: "az" < "b" lexically)
+    assert(got == Seq(("a", 7L), ("az", 5L), ("b", 5L), ("c", 1L)))
+  }
+
+  test("freqItems grouped + null items ignored") {
+    val df = Seq(("g1", "x"), ("g1", "x"), ("g1", null), ("g2", "y"))
+      .toDF("g", "v")
+    val got = df.groupBy("g").agg(Sketches.freqItems(col("v"), 4).as("fi"))
+      .select(col("g"), explode(col("fi")))
+      .select("g", "col.item", "col.cnt")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("g1", "x", 2L), ("g2", "y", 1L)))
+  }
+}

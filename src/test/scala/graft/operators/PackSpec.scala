@@ -113,4 +113,22 @@ class PackSpec extends SparkFunSuite {
     assert(ex.getMessage.contains("negative token count")
       || ex.getCause != null)
   }
+
+  test("paddingReport: closed-form buckets, exact waste arithmetic") {
+    import org.apache.spark.sql.functions.col
+    // width 10: bucket 0 = {3, 7}, bucket 1 = {10, 15, 19}, bucket 3 = {30}
+    // nulls and zeros excluded
+    val df = Seq(Some(3L), Some(7L), Some(10L), Some(15L), Some(19L),
+      Some(30L), None, Some(0L)).toDF("n_tok")
+    val got = Pack.paddingReport(df, "n_tok", 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 7L, 10L, 14L, 4.0 / 14.0),   // pad 3->7: waste 4 of 14
+      (1L, 3L, 19L, 44L, 57L, 13.0 / 57.0), // pad to 19: 57 processed, 13 pad
+      (3L, 1L, 30L, 30L, 30L, 0.0)))        // singleton: zero waste
+    val empty = Pack.paddingReport(Seq.empty[Option[Long]].toDF("n_tok"), "n_tok", 10)
+    assert(empty.count() == 0)
+  }
 }

@@ -43,4 +43,53 @@ class QuantilesSpec extends SparkFunSuite {
       .head.getDouble(1)
     assert(got == 25.0)
   }
+
+  test("exactGrouped matches the built-in per-group percentile bit-for-bit") {
+    val rng = new scala.util.Random(7)
+    // skewed group sizes: one giant group (the regime the operator exists
+    // for), several small ones, one singleton
+    val rows = Seq.tabulate(8000)(i => ("big", rng.nextDouble() * 100)) ++
+      Seq.tabulate(40)(i => ("mid", rng.nextDouble() * 5 - 10)) ++
+      Seq(("one", 3.14))
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.95, 1.0)
+    val got = Quantiles.exactGrouped(df, Seq("g"), "v", ps)
+      .orderBy("g", "p").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val arr = ps.mkString("array(", ", ", ")")
+    val want = df.groupBy("g").agg(expr(s"percentile(v, $arr)").as("q"))
+      .select(col("g"), posexplode(col("q")))
+      .orderBy("g", "pos").collect()
+      .map(r => (r.getString(0), ps(r.getInt(1)), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  test("exactGrouped: groups straddling partitions, nulls/NaN dropped, all-null group absent") {
+    val rows = Seq.fill(3000)(("a", Some(1.0))) ++ Seq.fill(3000)(("b", Some(2.0))) ++
+      Seq(("a", None), ("c", None), ("b", Some(Double.NaN)))
+    val df = rows.toDF("g", "v")
+    val got = Quantiles.exactGrouped(df, Seq("g"), "v", Seq(0.5))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 1.0), ("b", 2.0))) // no "c" row
+  }
+
+  test("exactGrouped rejects reserved group-column names; empty input yields empty output") {
+    intercept[IllegalArgumentException] {
+      Quantiles.exactGrouped(Seq((1, 1.0)).toDF("_pid", "v"), Seq("_pid"), "v", Seq(0.5))
+    }
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Quantiles.exactGrouped(empty, Seq("g"), "v", Seq(0.5)).count() == 0)
+  }
+
+  test("robustOutlierStats flags exactly the planted wild values") {
+    // tight cluster around 0 with two wild points; median≈0, MAD small
+    val base = Seq.tabulate(101)(i => ("g1", (i - 50) / 100.0)) // -0.5 .. 0.5
+    val wild = Seq(("g1", 500.0), ("g1", -900.0))
+    val clean = Seq.tabulate(51)(i => ("g2", i / 10.0)) // no outliers at k=3? MAD=1.3, med 2.5 -> max dev 2.5 < 3.9
+    val df = (base ++ wild ++ clean).toDF("g", "v")
+    val got = Quantiles.robustOutlierStats(df, Seq("g"), "v", k = 3.0)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(got == Seq(("g1", 2L), ("g2", 0L)))
+  }
 }

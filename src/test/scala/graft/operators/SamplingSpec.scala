@@ -171,4 +171,44 @@ class SamplingSpec extends SparkFunSuite {
     assert(got.subsetOf(Set(1L, 5L)), s"selected an excluded row: $got")
     assert(got.nonEmpty)
   }
+
+  test("epochMixture: integer weights copy exactly, zero drops, default applies") {
+    val df = (1L to 50L).map(i => (i, if (i <= 20) "triple" else if (i <= 40) "drop" else "other"))
+      .toDF("id", "src")
+    val got = Sampling.epochMixture(df, "id", "src",
+      Map("triple" -> 3.0, "drop" -> 0.0), defaultEpochs = 1.0)
+    val bySrc = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("triple", 0L) == 60L) // 20 rows x 3 epochs
+    assert(!bySrc.contains("drop"))
+    assert(bySrc.getOrElse("other", 0L) == 10L)  // default 1.0 -> one epoch
+    // epoch ids are contiguous from 0
+    val eps = got.filter(col("src") === "triple").filter(col("id") === 1L)
+      .select("epoch").collect().map(_.getLong(0)).sorted.toSeq
+    assert(eps == Seq(0L, 1L, 2L))
+  }
+
+  test("epochMixture: fractional weight gives floor or ceil copies per key, deterministically") {
+    val df = (1L to 400L).map(i => (i, "s")).toDF("id", "src")
+    val got = Sampling.epochMixture(df, "id", "src", Map("s" -> 2.5))
+    val perKey = got.groupBy("id").count().collect().map(_.getLong(1))
+    assert(perKey.forall(c => c == 2L || c == 3L))
+    val three = perKey.count(_ == 3L)
+    assert(three > 0 && three < perKey.length, s"degenerate fractional pick: $three/400")
+    // ~50% +- wide tolerance (binomial, n=400)
+    assert(three > 120 && three < 280, s"fractional pick far from 0.5: $three/400")
+    // stable: recompute reproduces the identical multiset
+    val again = Sampling.epochMixture(df, "id", "src", Map("s" -> 2.5))
+    assert(got.except(again).isEmpty && again.except(got).isEmpty)
+  }
+
+  test("epochMixture rejects reserved column and out-of-range weights") {
+    val df = Seq((1L, "s", 0L)).toDF("id", "src", "epoch")
+    intercept[IllegalArgumentException] {
+      Sampling.epochMixture(df, "id", "src", Map("s" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochMixture(df.drop("epoch"), "id", "src", Map("s" -> 65.0))
+    }
+  }
 }

@@ -94,4 +94,39 @@ class ScrubSpec extends SparkFunSuite {
       Scrub.docFrequencyScrub(docs2, "doc_id", "text", 50)
     }
   }
+
+  test("gopherGates: each gate fails for exactly its planted defect") {
+    import org.apache.spark.sql.functions.col
+    val prose = "the quick brown fox jumps over and over with great energy " +
+      "to be sure that every reader will have seen plenty of ordinary words here"
+    val fixtures = Seq(
+      (1L, prose),                                        // everything ok
+      (2L, "too short to pass the word gate"),            // words_ok fails
+      (3L, prose + " " + Seq.fill(4)("### ### ###").mkString(" ")), // symbol_ok fails
+      (4L, prose + " " + (1 to 20).map(_.toString).mkString(" ")),  // alpha_ok fails
+      (5L, Seq.fill(25)("lorem ipsum dolor amet").mkString(" ")),   // stopwords_ok fails
+      (6L, Seq.fill(30)("a b").mkString(" "))             // mean_word_len_ok fails (mean 1)
+    ).toDF("id", "text")
+    val g = fixtures
+      .select(col("id"), Scrub.gopherGates(col("text"), minWords = 20).as("g"))
+      .orderBy("id").collect()
+    def gate(i: Int, name: String): Boolean =
+      g(i).getStruct(1).getAs[Boolean](name)
+    assert(gate(0, "pass"), "clean prose must pass every gate")
+    assert(!gate(1, "words_ok") && gate(1, "stopwords_ok"))
+    assert(!gate(2, "symbol_ok") && gate(2, "words_ok"))
+    assert(!gate(3, "alpha_ok") && gate(3, "words_ok"))
+    assert(!gate(4, "stopwords_ok") && gate(4, "alpha_ok"))
+    assert(!gate(5, "mean_word_len_ok") && gate(5, "words_ok"))
+    for (i <- 1 to 5) assert(!g(i).getStruct(1).getAs[Boolean]("pass"))
+  }
+
+  test("gopherGates: empty and whitespace-only text fail closed, never throw") {
+    import org.apache.spark.sql.functions.col
+    val g = Seq((1L, ""), (2L, "   "), (3L, "\t\n"))
+      .toDF("id", "text")
+      .select(Scrub.gopherGates(col("text")).as("g"))
+      .collect()
+    g.foreach(r => assert(!r.getStruct(0).getAs[Boolean]("pass")))
+  }
 }

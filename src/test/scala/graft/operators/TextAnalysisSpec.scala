@@ -109,4 +109,24 @@ class TextAnalysisSpec extends SparkFunSuite {
       .head.getSeq[Long](0).toSet
     assert((fa intersect fc).isEmpty)
   }
+
+  test("sourceOverlapMatrix: closed-form bigram overlap, no self/duplicate pairs") {
+    // srcA: bigrams {a b, b c}      srcB: {b c, c d}     srcC: {x y}
+    // A∩B = {b c} -> shared 1, jaccard 1/3; C shares nothing -> absent
+    val docs = Seq(
+      ("srcA", "a b c"), ("srcB", "b c d"), ("srcC", "x y"),
+      ("srcA", "a b"), // duplicate bigram within the slice: distinct'd away
+      ("srcB", "")     // empty text contributes nothing
+    ).toDF("source", "text")
+    val got = TextAnalysis.sourceOverlapMatrix(docs, "source", "text", n = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("srcA", "srcB", 1L, 1.0 / 3.0)))
+  }
+
+  test("sourceOverlapMatrix: identical slices have jaccard exactly 1.0") {
+    val docs = Seq(("s1", "p q r s"), ("s2", "p q r s")).toDF("source", "text")
+    val got = TextAnalysis.sourceOverlapMatrix(docs, "source", "text", n = 2)
+      .head
+    assert(got.getLong(2) == 3L && got.getDouble(3) == 1.0)
+  }
 }

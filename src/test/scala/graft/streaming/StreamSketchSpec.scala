@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+import graft.functions.Sketches
+
+/** Sketch aggregates are ordinary Catalyst `TypedImperativeAggregate`s, so
+  * they run unmodified inside a Structured Streaming grouped aggregation —
+  * the state store holds the fixed-size sketch buffer per group, never the
+  * values. That is the streaming distinct-count story at scale: per-window
+  * HLL state is 2^p bytes regardless of stream volume, where an exact
+  * `approx_count_distinct`-free distinct would buffer the keys.
+  *
+  * The spec pins stream ≡ batch: the complete-mode aggregate over a
+  * replayed stream must equal the batch aggregate of identical data —
+  * byte-identical sketches, identical estimates, identical frequent-item
+  * summaries (HLL merge is order-free; MG is exact below capacity). */
+class StreamSketchSpec extends SparkFunSuite {
+
+  test("windowless grouped sketch over a stream == batch (estimate + freq items)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1 to 600).map(i => (s"src${i % 3}", s"doc-${i % 97}"))
+
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("source")
+      .agg(
+        Sketches.hllEstimate(Sketches.hllSketch(col("fp"), 12)).as("n_distinct_est"),
+        Sketches.freqItems(col("fp"), 128).as("fi"))
+      .select(col("source"), col("n_distinct_est"),
+        // MG below capacity is exact: project a stable, comparable view
+        expr("aggregate(fi, 0L, (a, x) -> a + x.cnt)").as("fi_total"),
+        size(col("fi")).as("fi_size"))
+
+    val batch = agg(rows.toDF("source", "fp"))
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(String, String)]
+    val q = agg(input.toDS().toDF("source", "fp"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sketch_out").start()
+    try {
+      input.addData(rows.take(250): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(250): _*)
+      q.processAllAvailable()
+      val stream = spark.table("sketch_out").collect().map(_.toSeq).toSet
+      assert(stream == batch, "streaming sketch aggregate diverged from batch")
+    } finally q.stop()
+  }
+}
