@@ -1000,6 +1000,25 @@ object SparkEntry {
         .select(col("lang"), col("rnk"), col("tok"), col("count").as("cnt"))
         .orderBy("lang", "rnk")
     }),
+    // N-way split tag: one md5 hash against cumulative thresholds — same
+    // determinism contract as q44, with the upgrade property that the
+    // train region is identical to a 2-way split's at the same fraction
+    "q91_multiway_split" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .withColumn("split", Sampling.splitTagN(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), domain = "split3"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang")
+    }),
+    // per-dimension z-score standardization with EXACT cross-engine
+    // statistics: integer-quantized Σq and Σq² (the centroids scheme
+    // extended to second moments), fixed-order double derivation, IEEE
+    // sqrt — so raw unrounded z values hash-match
+    "q92_standardize_dims" -> ((s, dir) => {
+      Similarity.standardizeDims(Tables(s, dir).embeddings,
+          "vec_id", "embedding")
+        .orderBy("vec_id", "pos")
+    }),
     // slice-level overlap matrix ("which sources are near-copies?"):
     // distinct (source, bigram) once, gram-keyed self-join whose per-gram
     // pair fan-out is bounded by the SLICE count — exact set arithmetic,
@@ -1899,6 +1918,39 @@ object SparkEntry {
         |  CAST(list_min(qs) AS INTEGER) AS q_min,
         |  CAST(list_max(qs) AS INTEGER) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
+    // cumulative thresholds: hexThreshold(0.8)='cccccccc',
+    // hexThreshold(0.9)='e6666666'; last label is the else-branch
+    "q91_multiway_split" ->
+      """SELECT split, lang, count(*) AS n_docs FROM (
+        |  SELECT lang, CASE
+        |    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split3'), 1, 8)
+        |      < 'cccccccc' THEN 'train'
+        |    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split3'), 1, 8)
+        |      < 'e6666666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    // identical quantized sums (HUGEINT exact, < 2^53 so the double cast
+    // is exact), identical fixed-order mean/std/z derivation; 1e5 literals
+    // are DOUBLE in both engines
+    "q92_standardize_dims" ->
+      """WITH e AS (SELECT vec_id,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+        |    unnest(range(len(embedding))) AS pos
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, CAST(pos AS INTEGER) AS pos, v,
+        |    CAST(floor(v * 1e5 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qv FROM e),
+        |s AS (SELECT pos, CAST(sum(qv) AS DOUBLE) AS s1,
+        |    CAST(sum(qv * qv) AS DOUBLE) AS s2, CAST(count(*) AS DOUBLE) AS n
+        |  FROM q GROUP BY pos),
+        |m AS (SELECT pos, s1 / n / 1e5 AS mean,
+        |    sqrt(greatest(s2 / n / (1e5 * 1e5)
+        |      - (s1 / n / 1e5) * (s1 / n / 1e5), CAST(0.0 AS DOUBLE))) AS std
+        |  FROM s)
+        |SELECT q.vec_id, q.pos, q.v AS v,
+        |  CASE WHEN m.std = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE (q.v - m.mean) / m.std END AS z
+        |FROM q JOIN m USING (pos) ORDER BY vec_id, pos""".stripMargin,
     // identical distinct-bigram sets, identical integer set arithmetic
     "q89_source_overlap" ->
       """WITH arr AS (SELECT source,

@@ -44,6 +44,32 @@ object Sampling {
   def splitTag(key: Column, trainFrac: Double, domain: String = "split"): Column =
     when(hashBelow(key, trainFrac, domain), "train").otherwise("val")
 
+  /** N-way split tag, stable in the key: `splits` maps label → fraction
+    * (must sum to 1 within 1e-9). One hash, compared against the
+    * cumulative thresholds in the given label order — so
+    * `("train" → .8, "val" → .1, "test" → .1)` carves the SAME hash line
+    * as [[splitTag]] would at 0.8, making a 2-way split upgradeable to
+    * 3-way without reassigning existing train rows (same domain ⇒ same
+    * hash ⇒ the first 80% of the line is still train). Per-row predicate,
+    * zero shuffle. */
+  def splitTagN(key: Column, splits: Seq[(String, Double)],
+                domain: String = "split"): Column = {
+    require(splits.size >= 2, "splitTagN needs at least 2 labels")
+    splits.foreach { case (l, f) =>
+      require(f > 0.0 && f <= 1.0, s"fraction for '$l' out of range: $f") }
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val h = hashHex(key, domain)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // last label is the otherwise-branch: no threshold compare can lose a
+    // row to accumulated floating error in the final cumulative sum
+    splits.init.zip(cum.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((label, _), c)) =>
+        val cond = h < lit(hexThreshold(c))
+        Some(acc.fold(when(cond, label))(_.when(cond, label)))
+    }.get.otherwise(splits.last._1)
+  }
+
   /** Deterministic subsample: keep ~`frac` of rows, stable in the key. */
   def sampleByHash(df: DataFrame, keyCol: String, frac: Double,
                    domain: String = "sample"): DataFrame =

@@ -193,4 +193,47 @@ object Similarity {
             .cast("decimal(38,0)")).cast("double") /
           count(lit(1)).cast("double") / lit(quantScale)).as("c"),
         count(lit(1)).as("n_vecs"))
+
+  /** Per-DIMENSION standardization (z-score) of an embedding column — the
+    * preprocessing step before distance-based ANN/clustering when feature
+    * scales differ. Output is exploded `(idCol, pos, v, z)` (reassemble
+    * with a sorted `collect_list` keyed by id if arrays are needed).
+    *
+    * Exactness across engines uses [[centroids]]' quantization scheme
+    * extended to SECOND moments: elements quantize to integers at
+    * 1/`quantScale`, and both Σq and Σq² are summed exactly (decimal
+    * accumulator), so mean and variance derive from bit-identical doubles
+    * with one fixed operation order; `sqrt` is IEEE-exact everywhere, and
+    * the final `(v − mean)/std` is per-row double math. The q² term makes
+    * the 2^53 exact-cast bound bind sooner than in centroids:
+    * `rows · (vMax·quantScale)² < 2^53` — the default 1e5 covers ~2.7M
+    * rows at |v| ≤ 0.6 (this corpus); larger corpora lower `quantScale`
+    * (the statistics are then coarser, never wrong). Zero-variance
+    * dimensions (and tiny negative variances from double rounding, both
+    * clamped via `greatest(·, 0)`) emit z = 0 rather than NaN.
+    *
+    * Scale shape: identical to [[centroids]] — posexplode map stage, one
+    * (pos)-keyed aggregation of dims-sized output, broadcast back. */
+  def standardizeDims(df: DataFrame, idCol: String, vecCol: String,
+                      quantScale: Double = 1.0e5): DataFrame = {
+    require(quantScale > 0, s"quantScale must be positive: $quantScale")
+    val s = lit(quantScale)
+    val e = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "_vf")))
+      .withColumn("_v", col("_vf").cast("double"))
+      .withColumn("_q", floor(col("_v") * s + lit(0.5)).cast("decimal(38,0)"))
+    val stats = e.groupBy("pos")
+      .agg(sum(col("_q")).cast("double").as("_s1"),
+        sum(col("_q") * col("_q")).cast("double").as("_s2"),
+        count(lit(1)).cast("double").as("_n"))
+      // fixed op order — the oracle restates these expressions verbatim
+      .withColumn("_mean", col("_s1") / col("_n") / s)
+      .withColumn("_std", sqrt(greatest(
+        col("_s2") / col("_n") / (s * s) - col("_mean") * col("_mean"),
+        lit(0.0))))
+      .select("pos", "_mean", "_std")
+    e.join(broadcast(stats), Seq("pos"))
+      .select(col(idCol), col("pos"), col("_v").as("v"),
+        when(col("_std") === 0.0, 0.0)
+          .otherwise((col("_v") - col("_mean")) / col("_std")).as("z"))
+  }
 }

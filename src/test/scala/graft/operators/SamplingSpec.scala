@@ -202,6 +202,36 @@ class SamplingSpec extends SparkFunSuite {
     assert(got.except(again).isEmpty && again.except(got).isEmpty)
   }
 
+  test("splitTagN: partitions every row, respects fractions, upgrades a 2-way split") {
+    val df = (1L to 5000L).toDF("id")
+    val tagged = df.withColumn("s", Sampling.splitTagN(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val counts = tagged.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000L)
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 4000L) < 200, s"train: ${counts("train")}")
+    assert(math.abs(counts("val") - 500L) < 120, s"val: ${counts("val")}")
+    // same hash line as the 2-way split: train sets are IDENTICAL, so a
+    // 2-way corpus upgrades to 3-way without reassigning any train row
+    val twoWay = df.withColumn("s", Sampling.splitTag(col("id"), 0.8))
+      .filter(col("s") === "train").select("id")
+    val threeWayTrain = tagged.filter(col("s") === "train").select("id")
+    assert(twoWay.except(threeWayTrain).isEmpty && threeWayTrain.except(twoWay).isEmpty)
+  }
+
+  test("splitTagN rejects bad fraction sets") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitTagN(col("id"), Seq("a" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitTagN(col("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitTagN(col("id"), Seq("a" -> 1.2, "b" -> -0.2))
+    }
+  }
+
   test("epochMixture rejects reserved column and out-of-range weights") {
     val df = Seq((1L, "s", 0L)).toDF("id", "src", "epoch")
     intercept[IllegalArgumentException] {

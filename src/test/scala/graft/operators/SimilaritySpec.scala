@@ -152,4 +152,38 @@ class SimilaritySpec extends SparkFunSuite {
     assert(!blockedPlan.contains("0 AS bucket"),
       "blocked path must derive the join key from the vector, not a constant")
   }
+
+  test("standardizeDims: closed-form z-scores; zero-variance dim emits 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 7.0f)),
+      (2L, Array(3.0f, 4.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.standardizeDims(df, "vec_id", "embedding")
+      .orderBy("vec_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    // dims 0/1: mean 2 resp. 3, population std 1 -> z = ±1; dim 2 constant -> 0
+    assert(got.toSeq == Seq(
+      (1L, 0, -1.0), (1L, 1, -1.0), (1L, 2, 0.0),
+      (2L, 0, 1.0), (2L, 1, 1.0), (2L, 2, 0.0)))
+  }
+
+  test("standardizeDims matches naive population z-score within quantization error") {
+    val rng = new scala.util.Random(5)
+    val df = (1L to 200L).map(i =>
+      (i, Array.fill(8)((rng.nextFloat() - 0.5f) * 0.8f))).toDF("vec_id", "embedding")
+    val got = Similarity.standardizeDims(df, "vec_id", "embedding")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(3))).toMap
+    // naive reference on the driver
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    for (d <- 0 until 8) {
+      val vs = rows.map(_._2(d).toDouble)
+      val mean = vs.sum / vs.length
+      val std = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / vs.length)
+      rows.foreach { case (id, vec) =>
+        val want = (vec(d) - mean) / std
+        assert(math.abs(got((id, d)) - want) < 1e-3,
+          s"id=$id d=$d got=${got((id, d))} want=$want")
+      }
+    }
+  }
 }
