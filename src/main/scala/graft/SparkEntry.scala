@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, IncrementalDedup, IvfIndex, Multimodal, Pack, Profile, Quantiles, RangeJoin, Resample, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, IncrementalDedup, IvfIndex, Multimodal, Pack, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1000,6 +1000,43 @@ object SparkEntry {
         .select(col("lang"), col("rnk"), col("tok"), col("count").as("cnt"))
         .orderBy("lang", "rnk")
     }),
+    // partial-overlap candidate pairs (the MOSS step over q74's
+    // fingerprints): exact integer rolling-hash arithmetic end-to-end, so
+    // the oracle replays fingerprints, bucket cap, and pair counts. This
+    // corpus's 31-token vocabulary makes char-5-gram fingerprints collide
+    // pervasively (every doc pair shares some), so the query runs the
+    // tight-cap/high-threshold configuration — the regime the cap exists
+    // for — rather than the defaults meant for natural text
+    "q95_winnow_overlap" -> ((s, dir) => {
+      TextAnalysis.winnowOverlapPairs(Tables(s, dir).documents,
+          "doc_id", "text", k = 5, w = 8, minShared = 8L, maxBucket = 16)
+        .orderBy("id_a", "id_b")
+    }),
+    // BM25 top-k retrieval (Lucene positive-idf variant), self-retrieval
+    // construction: the first five documents are the queries. Integer
+    // tf/df/dl, exact-sum avgdl, fixed-order score fold (never a parallel
+    // double sum); the oracle replays the identical fold via
+    // list_reduce(list(... ORDER BY term))
+    "q93_bm25_topk" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val q = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      Retrieval.bm25TopK(d, "doc_id", "text", q, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    // per-group winsorization: clip to rounded exact p05/p95 quantiles —
+    // the clip SET (not just values) reproduces cross-engine because the
+    // bounds round to 6dp before comparison (q86's argument)
+    "q94_winsorized_stats" -> ((s, dir) => {
+      Quantiles.winsorize(Tables(s, dir).events, Seq("event_type"), "value",
+          pLo = 0.05, pHi = 0.95)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("winsorized") =!= col("value"), 1L).otherwise(0L))
+            .as("n_clipped"),
+          round(sum(col("winsorized")), 4).as("wsum"))
+        .orderBy("event_type")
+    }),
     // N-way split tag: one md5 hash against cumulative thresholds — same
     // determinism contract as q44, with the upgrade property that the
     // train region is identical to a 2-way split's at the same fraction
@@ -1918,6 +1955,89 @@ object SparkEntry {
         |  CAST(list_min(qs) AS INTEGER) AS q_min,
         |  CAST(list_max(qs) AS INTEGER) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
+    // q74's winnowing chain verbatim, then the identical capped-bucket
+    // self-join (rank by doc_id within fingerprint, cap 256)
+    "q95_winnow_overlap" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, list_transform(generate_series(1, len(t)),
+        |        i -> CAST(unicode(t[i]) AS BIGINT)) AS cs FROM n),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(cs) < 5 THEN CAST([] AS BIGINT[])
+        |    ELSE list_transform(generate_series(1, len(cs) - 4),
+        |      i -> (cs[i]*4362470401 + cs[i+1]*16974593 + cs[i+2]*66049
+        |            + cs[i+3]*257 + cs[i+4]) % 1000000007)
+        |    END AS gh FROM c),
+        |w AS (SELECT doc_id,
+        |    CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
+        |    WHEN len(gh) <= 8 THEN [list_min(gh)]
+        |    ELSE list_transform(generate_series(1, len(gh) - 7),
+        |      i -> list_min(gh[i:i+7]))
+        |    END AS wins FROM g),
+        |f AS (SELECT doc_id, unnest(list_sort(list_distinct(wins))) AS fp FROM w),
+        |capped AS (SELECT doc_id, fp FROM (
+        |  SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS r FROM f)
+        |  WHERE r <= 16)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+        |FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // identical tokenization, integer tf/df/dl, the same ln argument
+    // space (JVM and DuckDB ln agree bitwise over it), the same
+    // fixed-order fold — BM25 constants are written as the same double
+    // EXPRESSIONS Spark evaluates (1.2+1.0, not a 2.2 literal, whose
+    // nearest-double rounding could differ from the computed sum)
+    "q93_bm25_topk" ->
+      """WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' ') AS tk FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS term FROM norm),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, term
+        |  FROM tok WHERE doc_id < 5 AND term <> ''),
+        |idf AS (SELECT term,
+        |    ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) / (CAST(df AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE))) AS idf
+        |  FROM dfr, st WHERE term IN (SELECT term FROM qt)),
+        |c AS (SELECT qt.query_id, tf.doc_id, tf.term,
+        |    idf.idf * (CAST(tf.tf AS DOUBLE)
+        |      * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |    / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |      * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |        * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS x
+        |  FROM tf JOIN qt USING (term) JOIN idf USING (term)
+        |    JOIN dl USING (doc_id), st),
+        |sc AS (SELECT query_id, doc_id,
+        |    list_reduce(list(x ORDER BY term), (a, b) -> a + b) AS score
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id,
+        |  round(score, 4) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    // identical rounded bounds (q86's argument) make the clipped SET
+    // cross-engine stable; the one parallel double sum rounds to 4dp
+    "q94_winsorized_stats" ->
+      """WITH b AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 6) AS blo,
+        |    round(quantile_cont(value, 0.95), 6) AS bhi
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT e.event_type, value,
+        |    least(greatest(value, blo), bhi) AS wv
+        |  FROM events e JOIN b USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(count(*) FILTER (wv <> value) AS BIGINT) AS n_clipped,
+        |  round(sum(wv), 4) AS wsum
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // cumulative thresholds: hexThreshold(0.8)='cccccccc',
     // hexThreshold(0.9)='e6666666'; last label is the else-branch
     "q91_multiway_split" ->

@@ -166,6 +166,33 @@ object Quantiles {
       .select(gs :+ col("p") :+ col("value"): _*)
   }
 
+  /** Per-group winsorization: clip `valueCol` to its group's
+    * `[pLo, pHi]` exact quantiles — the standard heavy-tail taming step
+    * before scale-sensitive statistics. Returns the input plus `outCol`.
+    *
+    * Built on [[exactGrouped]] (one range sort; never a per-group value
+    * buffer); the two bounds pivot to one row per group and broadcast.
+    * Bounds are rounded to 6 decimals BEFORE clipping (the
+    * [[robustOutlierStats]] argument: interpolated quantiles can differ
+    * by ulps across engines, and a clip threshold is a knife-edge
+    * consumer — rounding makes the clipped SET, not just the values,
+    * reproducible). */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                pLo: Double = 0.05, pHi: Double = 0.95,
+                outCol: String = "winsorized"): DataFrame = {
+    require(pLo < pHi, s"need pLo < pHi, got [$pLo, $pHi]")
+    require(!df.columns.contains(outCol), s"input already contains column '$outCol'")
+    val gs = groupCols.map(col)
+    val bounds = exactGrouped(df, groupCols, valueCol, Seq(pLo, pHi))
+      .groupBy(gs: _*)
+      .agg(round(max(when(col("p") === pLo, col("value"))), 6).as("_blo"),
+        round(max(when(col("p") === pHi, col("value"))), 6).as("_bhi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(outCol,
+        least(greatest(col(valueCol).cast("double"), col("_blo")), col("_bhi")))
+      .drop("_blo", "_bhi")
+  }
+
   /** Robust per-group outlier statistics: median, MAD (median absolute
     * deviation), and the count of rows beyond `k`·MAD from the median —
     * the standard heavy-tail-safe alternative to mean±kσ (one wild value

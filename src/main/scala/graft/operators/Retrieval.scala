@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopK
+
+/** Full-text retrieval over the corpus: BM25 (the Lucene-style positive
+  * idf variant) scored entirely with DataFrame aggregates — no inverted
+  * index structure to build or store; the "index" IS the term-frequency
+  * table, and Catalyst's broadcast machinery plays the posting-list role.
+  *
+  * Scale shape: the corpus side is touched exactly twice — one tokenize +
+  * `(doc, term)` aggregation (map-side combinable, checkpoint-pinned so
+  * its three consumers compute it once), and one broadcast-join pass that
+  * keeps ONLY rows whose term appears in some query (the query vocabulary
+  * is broadcast; a non-matching corpus row never reaches an exchange).
+  * Document length and document frequency aggregate from the tf table,
+  * not the raw tokens. Per-query top-k uses the bounded-heap [[TopK]]
+  * aggregate — O(k) state even when a query matches the whole corpus.
+  *
+  * Cross-engine determinism: tf/df/dl/N are exact integers; avgdl is an
+  * exact integer sum divided once (not a parallel double average); idf is
+  * `ln(1 + (N − df + 0.5)/(df + 0.5))` whose argument space is a finite
+  * set of rationals (ln agreed bitwise between the JVM and DuckDB over
+  * this space — verified empirically, and the 4-decimal output round
+  * absorbs a stray ulp anyway); per-(query, doc) contributions fold in
+  * SORTED TERM ORDER via `aggregate(sort_array(collect_list(...)))`, so
+  * the score is a fixed-order left fold, never an order-dependent
+  * parallel double sum. The oracle replays the identical fold with
+  * DuckDB's `list_reduce(list(... ORDER BY term))`.
+  */
+object Retrieval {
+
+  /** Top-`k` corpus documents per query by BM25. Output:
+    * `(qIdCol, rank, idCol, score)` — `rank` from 1, ties broken by doc
+    * id, `score` rounded to 4 decimals (ranking uses the unrounded
+    * value). Documents/queries with no tokens match nothing. N and avgdl
+    * are computed over documents with ≥ 1 token. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(k1 > 0 && b >= 0 && b <= 1, s"BM25 params out of range: k1=$k1 b=$b")
+    val toks = docs.select(col(idCol),
+        explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    // (doc, term, tf) — THE reused table; pin it (the q73 lesson: three
+    // consumers below would otherwise re-tokenize the corpus three times)
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    // exact integer sum / one division — deterministic at any parallelism
+    // (a parallel double `avg` would be order-dependent)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_sum"))
+      .select(col("n_docs"),
+        (col("dl_sum").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qTerms = queries.select(col(qIdCol),
+        explode(array_distinct(split(TextAnalysis.normalized(col(qTextCol)), " ")))
+          .as("term"))
+      .filter(col("term") =!= "")
+    // idf only for terms some query uses: a query-vocabulary-sized table
+    val idf = dfreq.join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))).as("idf"),
+        col("avgdl"))
+    // one corpus pass: only rows whose term is in the query vocabulary
+    // survive the broadcast joins; everything else dies map-side
+    val contrib = tf
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .join(dl, Seq(idCol))
+      .select(col(qIdCol), col(idCol), col("term"),
+        (col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+          .as("x"))
+    // fixed-order left fold over (term asc) — never a parallel double sum
+    val scores = contrib.groupBy(col(qIdCol), col(idCol))
+      .agg(collect_list(struct(col("term"), col("x"))).as("cl"))
+      .select(col(qIdCol), col(idCol),
+        aggregate(sort_array(col("cl")), lit(0.0), (a, s) => a + s.getField("x"))
+          .as("score"))
+    scores.groupBy(col(qIdCol))
+      .agg(TopK.topK(k, col("score"), col(idCol),
+        struct(col(idCol).as("doc"), col("score"))).as("top"))
+      .select(col(qIdCol), posexplode(col("top")))
+      .select(col(qIdCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.payload.doc").as(idCol),
+        round(col("col.payload.score"), 4).as("score"))
+  }
+}

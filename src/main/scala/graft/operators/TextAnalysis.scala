@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: token counting,
@@ -136,6 +137,44 @@ object TextAnalysis {
         array_sort(array_distinct(winnowed))
       }
     }
+  }
+
+  /** PARTIAL-overlap candidate pairs from shared winnowing fingerprints —
+    * the MOSS detection step on top of [[winnowingFingerprints]]: any two
+    * documents sharing a substring of length ≥ k + w − 1 chars share at
+    * least one fingerprint, so pairs with `shared_fps ≥ minShared` are
+    * plagiarism/quotation/boilerplate candidates that whole-document
+    * keys (fingerprint, SimHash) and even n-gram Jaccard miss when the
+    * overlap is a small fraction of each document.
+    *
+    * Scale shape: the same bucket-capped fingerprint join as MinHash LSH
+    * (`Dedup.minhashCandidatePairs`): per fingerprint only the
+    * `maxBucket` lowest-id members join pairwise, so one boilerplate
+    * fingerprint shared by a million documents emits O(maxBucket²)
+    * pairs, not 10¹². Beyond-cap members still surface through their
+    * OTHER (rarer) shared fingerprints; a document overlapping only via
+    * ultra-common fingerprints can be missed — the LSH cap trade,
+    * deliberately identical. `shared_fps` counts capped-bucket
+    * collisions, a lower bound on the true shared-fingerprint count. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 8, minShared: Long = 2L,
+                         maxBucket: Int = 256): DataFrame = {
+    require(minShared >= 1, s"minShared ($minShared) must be >= 1")
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2 to emit any pair")
+    val fps = docs.select(col(idCol),
+      explode(winnowingFingerprints(col(textCol), k, w)).as("fp"))
+    val capped = fps
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col(idCol))))
+      .filter(col("_r") <= maxBucket)
+      .select(col(idCol), col("fp"))
+      .localCheckpoint(false) // both self-join sides read one computation
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
   }
 
   /** Pairwise n-gram overlap between corpus SLICES (sources, domains,

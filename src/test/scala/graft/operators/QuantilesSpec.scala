@@ -81,6 +81,20 @@ class QuantilesSpec extends SparkFunSuite {
     assert(Quantiles.exactGrouped(empty, Seq("g"), "v", Seq(0.5)).count() == 0)
   }
 
+  test("winsorize clips exactly to the rounded group quantiles") {
+    // g: 1..100 -> p05 = 1 + 99*0.05 = 5.95, p95 = 1 + 99*0.95 = 95.05
+    val df = (1 to 100).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val got = Quantiles.winsorize(df, Seq("g"), "v", 0.05, 0.95)
+      .select("v", "winsorized").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got(1.0) == 5.95 && got(5.0) == 5.95)
+    assert(got(50.0) == 50.0)
+    assert(got(96.0) == 95.05 && got(100.0) == 95.05)
+    intercept[IllegalArgumentException] {
+      Quantiles.winsorize(df.withColumn("winsorized", col("v")), Seq("g"), "v")
+    }
+  }
+
   test("robustOutlierStats flags exactly the planted wild values") {
     // tight cluster around 0 with two wild points; median≈0, MAD small
     val base = Seq.tabulate(101)(i => ("g1", (i - 50) / 100.0)) // -0.5 .. 0.5

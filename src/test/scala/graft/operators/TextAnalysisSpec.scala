@@ -110,6 +110,31 @@ class TextAnalysisSpec extends SparkFunSuite {
     assert((fa intersect fc).isEmpty)
   }
 
+  test("winnowOverlapPairs: shared-substring pair found, unrelated pair absent") {
+    // doc 2 quotes a >= k+w-1 char span of doc 1 inside unrelated text;
+    // doc 3 shares nothing -> exactly one candidate pair
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"$quote and then some more original prose follows here"),
+      (2L, s"completely different opening before $quote different close"),
+      (3L, "unrelated material about distributed query engines entirely")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text", minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("winnowOverlapPairs: bucket cap bounds pair fan-out per fingerprint") {
+    // 50 identical docs: uncapped would emit C(50,2)=1225 pairs per fp;
+    // cap 4 keeps ranks 1..4 per fp -> only ids 1..4 pair up
+    val docs = (1L to 50L).map(i => (i, "the same exact boilerplate sentence repeated verbatim"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text",
+        minShared = 1L, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
   test("sourceOverlapMatrix: closed-form bigram overlap, no self/duplicate pairs") {
     // srcA: bigrams {a b, b c}      srcB: {b c, c d}     srcC: {x y}
     // A∩B = {b c} -> shared 1, jaccard 1/3; C shares nothing -> absent
