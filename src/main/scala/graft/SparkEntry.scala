@@ -1000,6 +1000,20 @@ object SparkEntry {
         .select(col("lang"), col("rnk"), col("tok"), col("count").as("cnt"))
         .orderBy("lang", "rnk")
     }),
+    // ordered funnel (view -> click -> purchase): longest completed
+    // prefix as a subsequence of each user's time-ordered events — pure
+    // string/LIKE arithmetic over the q16 total order, replayed verbatim
+    // day-one slice: over the full month every user completes the funnel
+    // (degenerate gate); the first day spreads users across all 4 stages
+    "q96_funnel" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+        .filter(col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"))
+      Sessionize.funnelStages(e, "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          tieBreak = Seq("event_id"))
+        .groupBy("stage_reached").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage_reached")
+    }),
     // partial-overlap candidate pairs (the MOSS step over q74's
     // fingerprints): exact integer rolling-hash arithmetic end-to-end, so
     // the oracle replays fingerprints, bucket cap, and pair counts. This
@@ -1955,6 +1969,20 @@ object SparkEntry {
         |  CAST(list_min(qs) AS INTEGER) AS q_min,
         |  CAST(list_max(qs) AS INTEGER) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
+    // identical ordered concatenation (double delimiters so adjacent
+    // events expose a boundary to the next pattern), identical LIKEs
+    "q96_funnel" ->
+      """WITH seqs AS (SELECT user_id,
+        |    '|' || string_agg(event_type, '||' ORDER BY ts, event_id) || '|' AS seq
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+        |  GROUP BY user_id),
+        |st AS (SELECT user_id, CAST(CASE
+        |    WHEN seq LIKE '%|view|%|click|%|purchase|%' THEN 3
+        |    WHEN seq LIKE '%|view|%|click|%' THEN 2
+        |    WHEN seq LIKE '%|view|%' THEN 1 ELSE 0 END AS INTEGER)
+        |    AS stage_reached FROM seqs)
+        |SELECT stage_reached, count(*) AS n_users FROM st
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q74's winnowing chain verbatim, then the identical capped-bucket
     // self-join (rank by doc_id within fingerprint, cap 256)
     "q95_winnow_overlap" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -125,4 +125,45 @@ object Sessionize {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum(col(valueCol)), 4).as("value_sum"))
+
+  /** Ordered-funnel completion per user: `stage_reached` is the longest
+    * PREFIX of `stages` that occurs as a subsequence of the user's
+    * time-ordered event types (0 = not even the first stage; a later
+    * stage never counts without every earlier one — the product-analytics
+    * funnel definition).
+    *
+    * Mechanism: one grouped collect of the ordered type sequence, joined
+    * into a `|event||event|`-delimited string; each funnel prefix is one
+    * LIKE pattern (`%|view|%|click|%` — double delimiters so adjacent
+    * events still expose a `|` boundary to the next pattern), and
+    * subsequence containment is monotone in the prefix so a CASE from
+    * longest to shortest yields the stage. Strings and LIKE are
+    * engine-portable; ordering follows the q16 (ts, tieBreak…) total
+    * order. Per-user state is the event-type sequence — same bound as
+    * sessionization's windows (for a degenerate hot user, pre-filter to
+    * the stage vocabulary first: only events whose type appears in
+    * `stages` can change the outcome).
+    *
+    * Stage names must not contain `|` or LIKE wildcards. Output:
+    * `(userCol, stage_reached)`. */
+  def funnelStages(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, stages: Seq[String],
+                   tieBreak: Seq[String] = Nil): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage is required")
+    stages.foreach(s => require(!s.exists("|%_".contains(_)),
+      s"stage name '$s' must not contain '|' or LIKE wildcards"))
+    val orderCols = (col(tsCol) +: tieBreak.map(col)) :+ col(typeCol)
+    val ordered = sort_array(collect_list(struct(orderCols: _*)))
+    val seq = concat(lit("|"),
+      array_join(transform(ordered, _.getField(typeCol)), "||"), lit("|"))
+    def pattern(i: Int): String = "%|" + stages.take(i).mkString("|%|") + "|%"
+    val stage = (stages.length to 1 by -1).foldLeft(Option.empty[Column]) {
+      case (acc, i) =>
+        val cond = col("_seq").like(pattern(i))
+        Some(acc.fold(when(cond, i))(_.when(cond, i)))
+    }.get.otherwise(0)
+    events.groupBy(col(userCol))
+      .agg(seq.as("_seq"))
+      .select(col(userCol), stage.cast("int").as("stage_reached"))
+  }
 }

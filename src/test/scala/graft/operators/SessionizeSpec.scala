@@ -92,4 +92,29 @@ class SessionizeSpec extends SparkFunSuite {
     assert(plain.join(bucketed, "event_id")
       .filter($"session_id" =!= $"session_id_b").isEmpty)
   }
+
+  test("funnelStages: longest completed prefix, order-sensitive, per user") {
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      // u1: full funnel in order
+      (1L, ts(0), 10L, "view"), (1L, ts(1), 11L, "click"), (1L, ts(2), 12L, "purchase"),
+      // u2: purchase BEFORE click -> view->click completes (stage 2) but
+      // the out-of-order purchase cannot complete stage 3
+      (2L, ts(0), 20L, "view"), (2L, ts(1), 21L, "purchase"), (2L, ts(2), 22L, "click"),
+      // u3: noise between stages still completes the prefix
+      (3L, ts(0), 30L, "view"), (3L, ts(1), 31L, "error"), (3L, ts(2), 32L, "click"),
+      // u4: never views -> 0
+      (4L, ts(0), 40L, "click"), (4L, ts(1), 41L, "purchase"),
+      // u5: same-timestamp tie broken by event_id: view(50) before click(51)
+      (5L, ts(0), 50L, "view"), (5L, ts(0), 51L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.funnelStages(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), tieBreak = Seq("event_id"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 3), (2L, 2), (3L, 2), (4L, 0), (5L, 2)))
+    intercept[IllegalArgumentException] {
+      Sessionize.funnelStages(events, "user_id", "ts", "event_type", Seq("a|b"))
+    }
+  }
 }

@@ -50,4 +50,41 @@ class StreamSketchSpec extends SparkFunSuite {
       assert(stream == batch, "streaming sketch aggregate diverged from batch")
     } finally q.stop()
   }
+
+  test("watermarked event-time window distinct estimate == batch window aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two 10-minute windows of events; per-window distinct users via HLL.
+    // State per window is one 1 KiB sketch regardless of event volume —
+    // the streaming distinct-count shape that never buffers keys.
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = (0 until 400).map(i => (at(i % 18), s"user-${i % 37}"))
+
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(Sketches.hllEstimate(Sketches.hllSketch(col("user"), 10)).as("n_users_est"))
+      .select(col("window.start").as("ws"), col("n_users_est"))
+
+    val batch = rows.toDF("ts", "user")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(Sketches.hllEstimate(Sketches.hllSketch(col("user"), 10)).as("n_users_est"))
+      .select(col("window.start").as("ws"), col("n_users_est"))
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = agg(input.toDS().toDF("ts", "user"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wm_sketch_out").start()
+    try {
+      input.addData(rows.take(150): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(150): _*)
+      q.processAllAvailable()
+      val stream = spark.table("wm_sketch_out").collect().map(_.toSeq).toSet
+      assert(stream == batch, "watermarked windowed sketch diverged from batch")
+      assert(stream.size == 2) // minutes 0-17 span two 10-minute windows
+    } finally q.stop()
+  }
 }
