@@ -73,6 +73,15 @@ class QuantilesSpec extends SparkFunSuite {
     assert(got == Seq(("a", 1.0), ("b", 2.0))) // no "c" row
   }
 
+  test("exactGrouped is invariant to input partitioning (1 vs 64 partitions)") {
+    val rng = new scala.util.Random(23)
+    val df = Seq.tabulate(4000)(i => (s"g${i % 5}", rng.nextDouble() * 100)).toDF("g", "v")
+    val ps = Seq(0.1, 0.5, 0.9)
+    def run(parts: Int) = Quantiles.exactGrouped(df.repartition(parts), Seq("g"), "v", ps)
+      .orderBy("g", "p").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(run(1) == run(64))
+  }
+
   test("exactGrouped rejects reserved group-column names; empty input yields empty output") {
     intercept[IllegalArgumentException] {
       Quantiles.exactGrouped(Seq((1, 1.0)).toDF("_pid", "v"), Seq("_pid"), "v", Seq(0.5))

@@ -36,6 +36,47 @@ class RetrievalSpec extends SparkFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("bm25TopK matches a driver-side reference bit-for-bit on a random corpus") {
+    val rng = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docsSeq = (1L to 60L).map { i =>
+      i -> Seq.fill(3 + rng.nextInt(15))(vocab(rng.nextInt(vocab.size)))
+    }
+    val queriesSeq = (101L to 105L).map { i =>
+      i -> Seq.fill(2 + rng.nextInt(3))(vocab(rng.nextInt(vocab.size))).distinct
+    }
+    val docsDf = docsSeq.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+    val qDf = queriesSeq.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(docsDf, "doc_id", "text", qDf, "qid", "qtext", k = 8)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+
+    // reference: same formulas, same fold order, same ln — identical doubles
+    val tf = docsSeq.map { case (id, ts) => id -> ts.groupBy(identity).map { case (t, o) => t -> o.size } }.toMap
+    val dl = docsSeq.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val n = docsSeq.size.toLong
+    val avgdl = dl.values.sum.toDouble / n.toDouble
+    val df = docsSeq.flatMap(_._2.distinct).groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    def idf(t: String) = math.log(1.0 + (n.toDouble - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5))
+    for ((qid, qts) <- queriesSeq) {
+      val scores = docsSeq.flatMap { case (id, _) =>
+        val matched = qts.filter(t => tf(id).contains(t)).sorted
+        if (matched.isEmpty) None
+        else Some(id -> matched.foldLeft(0.0) { (acc, t) =>
+          acc + idf(t) * (tf(id)(t).toDouble * (1.2 + 1.0)) /
+            (tf(id)(t).toDouble + 1.2 * (0.25 + 0.75 * dl(id).toDouble / avgdl))
+        })
+      }
+      val want = scores.sortBy { case (id, s) => (-s, id) }.take(8)
+      want.zipWithIndex.foreach { case ((id, s), i) =>
+        val (gotId, gotScore) = got((qid, i + 1))
+        assert(gotId == id, s"q$qid rank ${i + 1}: got doc $gotId want $id")
+        assert(gotScore == BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          || math.abs(gotScore - s) < 5e-5, s"q$qid rank ${i + 1}: got $gotScore want $s")
+      }
+    }
+  }
+
   test("bm25TopK: deterministic across recomputation; empty query matches nothing") {
     val queries = Seq((1L, "spark data"), (2L, "")).toDF("qid", "qtext")
     val a = Retrieval.bm25TopK(corpus, "doc_id", "text", queries, "qid", "qtext", k = 5)
