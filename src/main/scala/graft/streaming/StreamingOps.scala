@@ -83,6 +83,44 @@ object StreamingOps {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, ts_ms: Long, event_type: String)
+  final case class FunnelProgress(user_id: Long, stage_reached: Int)
+
+  /** Streaming funnel progress: per user, the longest completed prefix of
+    * `stages` seen so far in event-time order — the incremental version of
+    * [[graft.operators.Sessionize.funnelStages]]. State per user is ONE
+    * INT (the current stage index): an event advances it iff it matches
+    * the next stage; anything else leaves it unchanged. Progress is
+    * monotone, so replayed micro-batches can only re-emit the same or a
+    * lower-than-current update — with Update output mode the latest row
+    * per user wins. Emits a row whenever a user's stage advances.
+    *
+    * Within a micro-batch events sort by (ts_ms, event_type) before the
+    * fold (Spark does not order rows inside a group); ACROSS micro-batches
+    * ordering follows arrival, the usual streaming caveat — a late event
+    * that would have advanced the funnel earlier still advances it on
+    * arrival (stage progress is order-insensitive to when the match
+    * arrives, only to its position RELATIVE to other stage matches already
+    * folded). */
+  def funnelStream(events: Dataset[FunnelEvent], stages: Seq[String])
+                  (implicit spark: SparkSession): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty, "at least one funnel stage is required")
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Int, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (user, it, state: GroupState[Int]) =>
+        val before = state.getOption.getOrElse(0)
+        var p = before
+        it.toSeq.sortBy(e => (e.ts_ms, e.event_type)).foreach { e =>
+          if (p < stages.length && e.event_type == stages(p)) p += 1
+        }
+        if (p != before) {
+          state.update(p)
+          Iterator(FunnelProgress(user, p))
+        } else Iterator.empty
+      }
+  }
+
   // --------------------------------------------------- lake upsert sink
 
   /** Streaming CDC upsert into a partitioned Parquet table: every
