@@ -1000,6 +1000,16 @@ object SparkEntry {
         .select(col("lang"), col("rnk"), col("tok"), col("count").as("cnt"))
         .orderBy("lang", "rnk")
     }),
+    // perceptual average-hash over the media lane (stub codec for the
+    // text-as-binary corpus — ASCII, so SQL byte access reproduces the
+    // sampled grid exactly); emitted as a 64-char bit string to sidestep
+    // cross-engine signed-int64 gymnastics on bit 63
+    "q97_phash" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables(s, dir).documents, "doc_id", "text")
+      Multimodal.perceptualHash(media).toDF()
+        .select(col("doc_id"), lpad(bin(col("phash")), 64, "0").as("phash_bits"))
+        .orderBy("doc_id")
+    }),
     // ordered funnel (view -> click -> purchase): longest completed
     // prefix as a subsequence of each user's time-ordered events — pure
     // string/LIKE arithmetic over the q16 total order, replayed verbatim
@@ -1969,6 +1979,17 @@ object SparkEntry {
         |  CAST(list_min(qs) AS INTEGER) AS q_min,
         |  CAST(list_max(qs) AS INTEGER) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
+    // identical byte sampling (ASCII text: char index == byte index),
+    // identical integer floor mean, identical MSB-first bit layout
+    "q97_phash" ->
+      """WITH t AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+        |p AS (SELECT doc_id, list_transform(generate_series(0, 63),
+        |    i -> ascii(substr(text, CAST((i * len) // 64 AS INTEGER) + 1, 1))) AS px
+        |  FROM t),
+        |m AS (SELECT doc_id, px, list_sum(px) // 64 AS mean FROM p)
+        |SELECT doc_id, array_to_string(list_transform(generate_series(63, 0, -1),
+        |    j -> CASE WHEN px[j + 1] > mean THEN '1' ELSE '0' END), '') AS phash_bits
+        |FROM m ORDER BY doc_id""".stripMargin,
     // identical ordered concatenation (double delimiters so adjacent
     // events expose a boundary to the next pattern), identical LIKEs
     "q96_funnel" ->

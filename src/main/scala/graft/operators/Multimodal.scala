@@ -47,6 +47,11 @@ object Multimodal {
       * (decode → resize → re-encode). Must be deterministic. */
     def resize(payload: Array[Byte], modality: String,
                targetW: Int, targetH: Int): Array[Byte]
+
+    /** Row-major `w`×`h` grayscale grid (0–255) of the decoded payload —
+      * the raw material for perceptual hashing. Must be deterministic and
+      * throw on undecodable payloads (same contract as [[decode]]). */
+    def grayPixels(payload: Array[Byte], modality: String, w: Int, h: Int): Array[Int]
   }
 
   /** Real image codec on the JDK's `javax.imageio.ImageIO` — no external
@@ -114,6 +119,19 @@ object Multimodal {
       require(ok, "JDK PNG writer unavailable") // always present on a JRE
       bos.toByteArray
     }
+
+    def grayPixels(payload: Array[Byte], modality: String, w: Int, h: Int): Array[Int] = {
+      val src = readImage(payload)
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      dst.getRaster.getSamples(0, 0, w, h, 0, null.asInstanceOf[Array[Int]])
+    }
   }
 
   /** Deterministic fake decode: "dimensions" derived from payload length and
@@ -136,6 +154,16 @@ object Multimodal {
       val n = targetW * targetH
       if (payload.isEmpty || n == 0) Array.emptyByteArray
       else Array.tabulate(n)(i => payload(((i.toLong * payload.length) / n).toInt))
+    }
+
+    /** Deterministic fake grayscale: the same byte sampling as [[resize]],
+      * widened to 0–255 ints — similar payloads (shared prefixes/bodies)
+      * yield similar grids, so the phash pipeline behaves realistically
+      * even on the text-as-binary test corpus. */
+    def grayPixels(payload: Array[Byte], modality: String, w: Int, h: Int): Array[Int] = {
+      val n = w * h
+      if (payload.isEmpty || n == 0) Array.fill(n)(0)
+      else Array.tabulate(n)(i => payload(((i.toLong * payload.length) / n).toInt) & 0xff)
     }
   }
 
@@ -248,5 +276,65 @@ object Multimodal {
             r.payload.slice(off.toInt, math.min(off.toInt + frameBytes, len))))
         }
       }
+  }
+
+  final case class MediaHash(doc_id: Long, phash: Long)
+
+  /** Perceptual average-hash (aHash) per media row: decode to an 8×8
+    * grayscale grid via the codec, threshold each pixel against the grid
+    * mean → 64 bits. Robust to re-encoding, resizing and mild edits —
+    * the image counterpart of SimHash for text, and the first stage of
+    * image dedup over a crawled corpus. Same batched mapPartitions seam
+    * as [[extractFeatures]] (one codec per partition, iterator-streamed);
+    * undecodable payloads throw under the strict codec — route crawled
+    * corpora through a quarantine pass first. */
+  def perceptualHash(media: DataFrame, codec: Codec = StubCodec): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("modality"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        val c = codec
+        it.map { r =>
+          val px = c.grayPixels(r.payload, r.modality, 8, 8)
+          // integer mean (floor) — deterministic, no double accumulation
+          val mean = px.map(_.toLong).sum / 64L
+          var bits = 0L
+          var i = 0
+          while (i < 64) { if (px(i) > mean) bits |= (1L << i); i += 1 }
+          MediaHash(r.doc_id, bits)
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs by phash Hamming distance, banded like
+    * SimHash/MinHash: the 64-bit hash splits into `bands` equal chunks and
+    * only rows sharing a chunk value meet (pigeonhole: any pair within
+    * `bands − 1` bits shares at least one clean band — full recall for
+    * `maxDist < bands`). One chunk-keyed shuffle; per-chunk fan-out is
+    * bounded by how many images share 16 identical bits, the usual
+    * blocking trade. Output: `(id_a, id_b, dist)`, `id_a < id_b`. */
+  def phashNearDupPairs(hashes: Dataset[MediaHash], maxDist: Int = 3,
+                        bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands ($bands) must divide 64")
+    require(maxDist >= 0 && maxDist < bands,
+      s"full recall needs maxDist ($maxDist) < bands ($bands) — raise bands or lower maxDist")
+    val width = 64 / bands
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val banded = hashes.toDF()
+      .select(col("doc_id"), col("phash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("phash"), b * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.band"), col("bk.chunk"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
   }
 }

@@ -53,6 +53,8 @@ class MultimodalSpec extends SparkFunSuite {
       def decode(payload: Array[Byte], modality: String): (Int, Int, Int) = (640, 480, 3)
       def resize(payload: Array[Byte], modality: String,
                  w: Int, h: Int): Array[Byte] = payload
+      def grayPixels(payload: Array[Byte], modality: String,
+                     w: Int, h: Int): Array[Int] = Array.fill(w * h)(128)
     }
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     val f = Multimodal.extractFeatures(Multimodal.asMedia(docs, "doc_id", "text"), fixed).head()
@@ -196,5 +198,52 @@ class MultimodalSpec extends SparkFunSuite {
     assert(real.width == 8 && real.height == 6)
     assert(stub.width == (png.length % 64) + 1)
     assert(real.n_bytes == stub.n_bytes && real.checksum == stub.checksum)
+  }
+
+  test("perceptualHash: re-encode/resize invariance, edit proximity, distinct images far") {
+    // same scene at two sizes and two formats; a lightly-edited copy; an
+    // unrelated scene (inverted gradient direction)
+    val base = makeImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    val big = makeImage(128, 128, BufferedImage.TYPE_INT_RGB) // same formula -> same scene scaled?
+    val edited = makeImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 6; y <- 0 until 6) edited.setRGB(x, y, 0xffffffff) // small white patch
+    val other = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val v = 255 - ((x + y) * 2) % 256
+        img.setRGB(x, y, 0xff000000 | (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val media = Seq(
+      (1L, "image", encodeBytes(base, "png")),
+      (2L, "image", encodeBytes(base, "jpg")),   // re-encode of the same pixels
+      (3L, "image", encodeBytes(edited, "png")), // small edit
+      (4L, "image", encodeBytes(other, "png"))   // different scene
+    ).toDF("doc_id", "modality", "payload")
+    val h = Multimodal.perceptualHash(media, Multimodal.ImageIOCodec)
+      .collect().map(m => m.doc_id -> m.phash).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(h(1L), h(2L)) <= 3, s"png-vs-jpg drifted ${dist(h(1L), h(2L))} bits")
+    assert(dist(h(1L), h(3L)) <= 8, s"small edit moved ${dist(h(1L), h(3L))} bits")
+    assert(dist(h(1L), h(4L)) > 16, s"unrelated scenes only ${dist(h(1L), h(4L))} bits apart")
+  }
+
+  test("phashNearDupPairs: banded join finds exactly the close pairs") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaHash]
+    // hand-built hashes: 2 is 1 bit from 1; 3 is 2 bits from 1; 4 is far
+    val hashes = Seq(
+      Multimodal.MediaHash(1L, 0x0f0f0f0f0f0f0f0fL),
+      Multimodal.MediaHash(2L, 0x0f0f0f0f0f0f0f0eL),
+      Multimodal.MediaHash(3L, 0x0f0f0f0f0f0f0f0cL),
+      Multimodal.MediaHash(4L, 0xf0f0f0f0f0f0f0f0L)
+    ).toDS()
+    val pairs = Multimodal.phashNearDupPairs(hashes, maxDist = 3, bands = 4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 1)))
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDupPairs(hashes, maxDist = 4, bands = 4)
+    }
   }
 }
