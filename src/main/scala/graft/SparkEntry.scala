@@ -1000,6 +1000,31 @@ object SparkEntry {
         .select(col("lang"), col("rnk"), col("tok"), col("count").as("cnt"))
         .orderBy("lang", "rnk")
     }),
+    // count-min point-frequency sketch, gated q82-style: exact per-token
+    // counts computed by BOTH engines; the CM estimates are asserted to
+    // sit in [exact, exact + 1% of stream] (never-undershoot is CM's
+    // unconditional guarantee; the overshoot bound holds at e/width per
+    // row with prob 1 - e^-depth) and the oracle states TRUE. The sketch
+    // is built per SOURCE and merged — the incremental deployment shape
+    "q98_countmin" -> ((s, dir) => {
+      val toks = Tables(s, dir).documents
+        .select(col("source"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val sk = toks.groupBy("source")
+        .agg(Sketches.countMin(col("tok"), depth = 5, width = 4096).as("sk"))
+        .agg(Sketches.countMinMerge(col("sk"), depth = 5, width = 4096).as("sk"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      val total = toks.count()
+      exact.crossJoin(broadcast(sk))
+        .select(col("tok"), col("n_exact"),
+          Sketches.countMinQuery(col("sk"), col("tok"), depth = 5).as("_est"))
+        .select(col("tok"), col("n_exact"),
+          (col("_est") >= col("n_exact") &&
+            col("_est") <= col("n_exact") + lit(math.max(2L, total / 100)))
+            .as("cm_ok"))
+        .orderBy("tok")
+    }),
     // perceptual average-hash over the media lane (stub codec for the
     // text-as-binary corpus — ASCII, so SQL byte access reproduces the
     // sampled grid exactly); emitted as a 64-char bit string to sidestep
@@ -1979,6 +2004,15 @@ object SparkEntry {
         |  CAST(list_min(qs) AS INTEGER) AS q_min,
         |  CAST(list_max(qs) AS INTEGER) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
+    // exact token counts both sides; the sketch assertion states TRUE
+    // (q49/q82's convention — the Spark side computes it for real)
+    "q98_countmin" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS n_exact, TRUE AS cm_ok
+        |FROM toks WHERE tok <> '' GROUP BY tok ORDER BY tok""".stripMargin,
     // identical byte sampling (ASCII text: char index == byte index),
     // identical integer floor mean, identical MSB-first bit layout
     "q97_phash" ->

@@ -73,6 +73,28 @@ object GraftFunctions {
       Sketches.HllMergeAgg(exprs(0), p).toAggregateExpression()
     },
     columnFn("hll_estimate", 1)(cs => Sketches.hllEstimate(cs(0))),
+    "cm_sketch" -> { exprs =>
+      require(exprs.length == 3, s"cm_sketch expects 3 arguments (value, depth, width), got ${exprs.length}")
+      require(exprs(1).foldable && exprs(2).foldable, "cm_sketch: depth/width must be literals")
+      GraftColumnBridge.expression(Sketches.countMin(
+        GraftColumnBridge.column(exprs(0)),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
+    },
+    "cm_merge" -> { exprs =>
+      require(exprs.length == 3, s"cm_merge expects 3 arguments (sketch, depth, width), got ${exprs.length}")
+      require(exprs(1).foldable && exprs(2).foldable, "cm_merge: depth/width must be literals")
+      Sketches.CountMinMergeAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+    },
+    "cm_query" -> { exprs =>
+      require(exprs.length == 3, s"cm_query expects 3 arguments (sketch, probe, depth), got ${exprs.length}")
+      require(exprs(2).foldable, "cm_query: depth must be a literal")
+      GraftColumnBridge.expression(Sketches.countMinQuery(
+        GraftColumnBridge.column(exprs(0)), GraftColumnBridge.column(exprs(1)),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
+    },
     "freq_items" -> { exprs =>
       require(exprs.length == 2, s"freq_items expects 2 arguments (item, capacity), got ${exprs.length}")
       require(exprs(1).foldable, "freq_items: capacity must be a literal")

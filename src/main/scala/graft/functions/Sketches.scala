@@ -339,4 +339,214 @@ object Sketches {
   def freqItems(c: Column, capacity: Int): Column =
     GraftColumnBridge.column(FreqItemsAgg(
       GraftColumnBridge.expression(c.cast("string")), capacity).toAggregateExpression())
+
+  // ------------------------------------------------------------------
+  // Count-min sketch
+  // ------------------------------------------------------------------
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over pre-hashed
+    * 64-bit values: `depth` rows of `width` long counters; each update
+    * increments one counter per row (the row's index derives from the
+    * value hash re-mixed with the row index), a point query takes the
+    * MINIMUM across rows. Estimates NEVER undershoot the true count and
+    * overshoot by at most `e·N/width` with probability `1 − e^−depth` —
+    * the complement of [[FreqItemsAgg]] (MG undershoots, answers "what is
+    * frequent"; CM overshoots, answers "how often is THIS item").
+    * Counter-wise ADDITION makes partial sketches mergeable in any order,
+    * so per-partition/day sketches materialize once and merge later —
+    * the [[HllSketchAgg]] deployment shape with counts instead of
+    * distincts. Serialized size: depth·width longs (the default 5×2048 is
+    * 80 KB). Row remixing is SplitMix64's finalizer — fixed constants, so
+    * a sketch built anywhere probes identically everywhere. */
+  case class CountMinAgg(
+      child: Expression,
+      depth: Int,
+      width: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    require(width >= 8, s"width must be >= 8, got $width")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"countMin expects a pre-hashed bigint (use Sketches.countMin), got ${child.dataType}")
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = v.asInstanceOf[Long]
+        var d = 0
+        while (d < depth) {
+          buf(d * width + CountMin.cell(h, d, width)) += 1L
+          d += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Long]): Any = CountMin.toBytes(buf)
+    override def serialize(buf: Array[Long]): Array[Byte] = CountMin.toBytes(buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] = CountMin.fromBytes(bytes)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0))
+    override def prettyName: String = "count_min"
+  }
+
+  /** Point query against a count-min sketch column: min across rows.
+    * CodegenFallback on aggregated rows only — never the data stream. */
+  case class CountMinQueryExpr(sketch: Expression, probe: Expression, depth: Int)
+    extends Expression with CodegenFallback {
+
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    override def children: Seq[Expression] = Seq(sketch, probe)
+    override def nullable: Boolean = true
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (sketch.dataType == BinaryType && probe.dataType == LongType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"cmQuery expects (binary, bigint), got (${sketch.dataType}, ${probe.dataType})")
+
+    override def eval(input: InternalRow): Any = {
+      val sk = sketch.eval(input)
+      val pv = probe.eval(input)
+      if (sk == null || pv == null) null
+      else {
+        val buf = CountMin.fromBytes(sk.asInstanceOf[Array[Byte]])
+        require(buf.length % depth == 0,
+          s"sketch length ${buf.length} not divisible by depth $depth")
+        val width = buf.length / depth
+        val h = pv.asInstanceOf[Long]
+        var best = Long.MaxValue
+        var d = 0
+        while (d < depth) {
+          val c = buf(d * width + CountMin.cell(h, d, width))
+          if (c < best) best = c
+          d += 1
+        }
+        best
+      }
+    }
+
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+      copy(sketch = newChildren(0), probe = newChildren(1))
+    override def prettyName: String = "cm_query"
+  }
+
+  private[functions] object CountMin {
+    /** Row-d cell index for hash h: SplitMix64 finalizer over h ⊕ row salt
+      * — fixed constants, engine/JVM independent. */
+    def cell(h: Long, d: Int, width: Int): Int = {
+      var z = h ^ (0x9e3779b97f4a7c15L * (d + 1))
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (((z % width) + width) % width).toInt
+    }
+    def toBytes(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+    def fromBytes(bytes: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Array.fill(bytes.length / 8)(bb.getLong())
+    }
+  }
+
+  /** Count-min aggregate of `c` (hashed with codegen'd `xxhash64`; null
+    * guarded for the same reason as [[hllSketch]]). */
+  def countMin(c: Column, depth: Int = 5, width: Int = 2048): Column =
+    GraftColumnBridge.column(CountMinAgg(
+      GraftColumnBridge.expression(when(c.isNotNull, xxhash64(c))),
+      depth, width).toAggregateExpression())
+
+  /** Merge of count-min sketch columns (counter-wise addition). All inputs
+    * must share one (depth, width) geometry. */
+  def countMinMerge(sketch: Column, depth: Int = 5, width: Int = 2048): Column = {
+    val m = CountMinMergeAgg(GraftColumnBridge.expression(sketch), depth, width)
+    GraftColumnBridge.column(m.toAggregateExpression())
+  }
+
+  /** Estimated count of `probe` in a sketch column (never undershoots). */
+  def countMinQuery(sketch: Column, probe: Column, depth: Int = 5): Column =
+    GraftColumnBridge.column(CountMinQueryExpr(
+      GraftColumnBridge.expression(sketch),
+      GraftColumnBridge.expression(xxhash64(probe)), depth))
+
+  /** Union of count-min sketches by addition; geometry checked per row. */
+  case class CountMinMergeAgg(
+      child: Expression,
+      depth: Int,
+      width: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    require(width >= 8, s"width must be >= 8, got $width")
+    private val n = depth * width
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"countMinMerge expects a binary sketch column, got ${child.dataType}")
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](n)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val sk = CountMin.fromBytes(v.asInstanceOf[Array[Byte]])
+        require(sk.length == n,
+          s"countMinMerge(depth=$depth, width=$width) expects $n counters, got ${sk.length}")
+        var i = 0
+        while (i < n) { buf(i) += sk(i); i += 1 }
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < n) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Long]): Any = CountMin.toBytes(buf)
+    override def serialize(buf: Array[Long]): Array[Byte] = CountMin.toBytes(buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] = CountMin.fromBytes(bytes)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): CountMinMergeAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): CountMinMergeAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0))
+    override def prettyName: String = "count_min_merge"
+  }
 }

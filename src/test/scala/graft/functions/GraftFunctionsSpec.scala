@@ -50,7 +50,8 @@ class GraftFunctionsSpec extends SparkFunSuite {
         "quantize_int8", "dequant_int8", "token_count", "subword_count",
         "quality_score", "lang_guess", "doc_fingerprint", "char_jaccard",
         "simhash64", "redact_pii", "dup_token_ratio", "winnow_fp",
-        "top_k", "hll_sketch", "hll_merge", "hll_estimate", "freq_items"))
+        "top_k", "hll_sketch", "hll_merge", "hll_estimate", "freq_items",
+        "cm_sketch", "cm_merge", "cm_query"))
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"$name not registered")

@@ -74,6 +74,40 @@ class SketchesSpec extends SparkFunSuite {
     assert(got == Seq(("a", 7L), ("az", 5L), ("b", 5L), ("c", 1L)))
   }
 
+  test("countMin: never undershoots, exact when width dwarfs cardinality, merge == direct") {
+    // 37 distinct keys into 5x2048 counters: collisions possible but the
+    // min-across-depth estimate equals the true count with overwhelming
+    // probability; the never-undershoot guarantee is unconditional
+    val rows = (1 to 600).map(i => (s"src${i % 3}", s"k${i % 37}"))
+    val df = rows.toDF("src", "v").repartition(8)
+    val sk = df.agg(Sketches.countMin(col("v")).as("sk"))
+    val trueCounts = rows.groupBy(_._2).map { case (k, o) => k -> o.size.toLong }
+    val probes = Seq("k0", "k5", "k36", "absent-key")
+    val got = sk.select(probes.map(p =>
+      Sketches.countMinQuery(col("sk"), lit(p)).as(p)): _*).head
+    probes.zipWithIndex.foreach { case (p, i) =>
+      val est = got.getLong(i)
+      val truth = trueCounts.getOrElse(p, 0L)
+      assert(est >= truth, s"$p: CM undershot ($est < $truth)")
+      assert(est <= truth + 2, s"$p: CM overshot far ($est vs $truth)")
+    }
+    // merged per-source sketches are byte-identical to the direct sketch
+    // (counter addition is associative/commutative)
+    val direct = sk.head.getAs[Array[Byte]](0)
+    val merged = df.groupBy("src").agg(Sketches.countMin(col("v")).as("sk"))
+      .agg(Sketches.countMinMerge(col("sk"))).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(direct, merged))
+  }
+
+  test("countMin rejects mismatched geometry on merge") {
+    val a = Seq("x").toDF("v")
+      .agg(Sketches.countMin(col("v"), depth = 3, width = 64)).head.getAs[Array[Byte]](0)
+    val e = intercept[Exception] {
+      Seq(a).toDF("sk").agg(Sketches.countMinMerge(col("sk"), depth = 5, width = 2048)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("freqItems grouped + null items ignored") {
     val df = Seq(("g1", "x"), ("g1", "x"), ("g1", null), ("g2", "y"))
       .toDF("g", "v")
