@@ -104,6 +104,24 @@ class QuantilesSpec extends SparkFunSuite {
     }
   }
 
+  test("winsorize == built-in percentile clip on random grouped data") {
+    val rng = new scala.util.Random(31)
+    val df = Seq.tabulate(3000)(i => (s"g${i % 4}", rng.nextDouble() * 1000 - 500))
+      .toDF("g", "v")
+    val got = Quantiles.winsorize(df, Seq("g"), "v", 0.1, 0.9)
+      .select("g", "v", "winsorized").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val bounds = df.groupBy("g")
+      .agg(expr("round(percentile(v, 0.1), 6)").as("lo"),
+        expr("round(percentile(v, 0.9), 6)").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    df.collect().foreach { r =>
+      val (g, v) = (r.getString(0), r.getDouble(1))
+      val (lo, hi) = bounds(g)
+      assert(got((g, v)) == math.min(math.max(v, lo), hi), s"($g, $v)")
+    }
+  }
+
   test("robustOutlierStats flags exactly the planted wild values") {
     // tight cluster around 0 with two wild points; median≈0, MAD small
     val base = Seq.tabulate(101)(i => ("g1", (i - 50) / 100.0)) // -0.5 .. 0.5
