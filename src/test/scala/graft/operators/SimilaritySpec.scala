@@ -167,6 +167,16 @@ class SimilaritySpec extends SparkFunSuite {
       (2L, 0, 1.0), (2L, 1, 1.0), (2L, 2, 0.0)))
   }
 
+  test("standardizeDims plan: stats come back via broadcast, never a sort-merge join") {
+    val df = (1L to 50L).map(i => (i, Array.fill(4)(i.toFloat / 100))).toDF("vec_id", "embedding")
+    val plan = Similarity.standardizeDims(df, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "dims-sized stats must broadcast back to the exploded stream")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge join here would shuffle the data stream for a dims-sized table")
+  }
+
   test("standardizeDims matches naive population z-score within quantization error") {
     val rng = new scala.util.Random(5)
     val df = (1L to 200L).map(i =>
