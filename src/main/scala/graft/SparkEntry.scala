@@ -996,7 +996,17 @@ object SparkEntry {
         .groupBy("lang", "tok").count()
       // the window input is candidates only — bounded by langs × capacity
       val w = Window.partitionBy("lang").orderBy(col("count").desc, col("tok"))
+      // tripwire: the two-pass plan is exact only while every per-lang
+      // 10th count exceeds N/(capacity+1) — the MG retention bound. A
+      // heavier-tailed corpus must fail LOUDLY here, not silently diverge
+      // from the exact oracle. (langs × 10 rows; per-lang N is one agg.)
+      val totals = toks.groupBy("lang").agg(count(lit(1)).as("_n"))
       exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .join(broadcast(totals), "lang")
+        .filter(assert_true(
+          col("rnk") =!= 10 || col("count") * lit(513L) > col("_n"),
+          lit("q83: MG capacity-512 retention bound violated — " +
+            "candidate pass may drop a true top-10 token")).isNull)
         .select(col("lang"), col("rnk"), col("tok"), col("count").as("cnt"))
         .orderBy("lang", "rnk")
     }),

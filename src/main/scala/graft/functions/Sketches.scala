@@ -489,11 +489,16 @@ object Sketches {
     GraftColumnBridge.column(m.toAggregateExpression())
   }
 
-  /** Estimated count of `probe` in a sketch column (never undershoots). */
+  /** Estimated count of `probe` in a sketch column (never undershoots).
+    * The probe is null-guarded like the build side ([[countMin]]): bare
+    * `xxhash64(null)` returns the SEED, so an unguarded null probe would
+    * report the count of whatever collides with hash(seed) instead of
+    * null. */
   def countMinQuery(sketch: Column, probe: Column, depth: Int = 5): Column =
     GraftColumnBridge.column(CountMinQueryExpr(
       GraftColumnBridge.expression(sketch),
-      GraftColumnBridge.expression(xxhash64(probe)), depth))
+      GraftColumnBridge.expression(when(probe.isNotNull, xxhash64(probe))),
+      depth))
 
   /** Union of count-min sketches by addition; geometry checked per row. */
   case class CountMinMergeAgg(

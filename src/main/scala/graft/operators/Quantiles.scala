@@ -176,7 +176,13 @@ object Quantiles {
     * [[robustOutlierStats]] argument: interpolated quantiles can differ
     * by ulps across engines, and a clip threshold is a knife-edge
     * consumer — rounding makes the clipped SET, not just the values,
-    * reproducible). */
+    * reproducible).
+    *
+    * Every input row is preserved (LEFT join on the bounds): a group
+    * whose values are all null/NaN gets no bounds row from
+    * [[exactGrouped]], so its rows — and rows whose own value is null —
+    * carry a null `outCol` instead of being dropped or clamped to a
+    * bound. */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 pLo: Double = 0.05, pHi: Double = 0.95,
                 outCol: String = "winsorized"): DataFrame = {
@@ -187,9 +193,13 @@ object Quantiles {
       .groupBy(gs: _*)
       .agg(round(max(when(col("p") === pLo, col("value"))), 6).as("_blo"),
         round(max(when(col("p") === pHi, col("value"))), 6).as("_bhi"))
-    df.join(broadcast(bounds), groupCols)
+    // least/greatest IGNORE null arguments, so the clip must be gated:
+    // otherwise a null value collapses to _blo and a boundless group's
+    // rows collapse to the raw value rather than reporting null
+    df.join(broadcast(bounds), groupCols, "left")
       .withColumn(outCol,
-        least(greatest(col(valueCol).cast("double"), col("_blo")), col("_bhi")))
+        when(col(valueCol).isNotNull && col("_blo").isNotNull,
+          least(greatest(col(valueCol).cast("double"), col("_blo")), col("_bhi"))))
       .drop("_blo", "_bhi")
   }
 

@@ -54,10 +54,14 @@ object Scrub {
       size(toks).cast("double")
   }
 
-  /** Gopher-style stopwords: presence of ≥ `GopherMinStopwords` distinct
+  /** Gopher-style stopwords: presence of ≥ [[GopherMinStopwords]] distinct
     * members is the "is this prose at all" gate (Rae et al. 2021 §A1.1). */
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Distinct-stopword threshold for [[gopherGates]]' `stopwords_ok`
+    * (Rae et al. 2021 §A1.1 publishes 2). */
+  val GopherMinStopwords: Int = 2
 
   /** Rule-based document quality gates (the Gopher/C4 heuristic family,
     * Rae et al. 2021 §A1.1 / Raffel et al. 2020 §2.2) as one per-row
@@ -67,7 +71,7 @@ object Scrub {
     *  - `mean_word_len_ok`: mean token length in [3, 10] chars
     *  - `symbol_ok`:        ≤ 10% of tokens contain `#` or `...`
     *  - `alpha_ok`:         ≥ 80% of tokens contain an alphabetic char
-    *  - `stopwords_ok`:     ≥ 2 distinct [[GopherStopwords]] present
+    *  - `stopwords_ok`:     ≥ [[GopherMinStopwords]] distinct [[GopherStopwords]] present
     *  - `pass`:             all of the above
     *
     * Unlike [[TextAnalysis.qualityScore]] (a blended score you threshold),
@@ -86,7 +90,8 @@ object Scrub {
                   stopwords: Seq[String] = GopherStopwords): Column = {
     require(minWords >= 1 && maxWords >= minWords,
       s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
-    require(stopwords.size >= 2, "stopword gate needs at least 2 candidate words")
+    require(stopwords.size >= GopherMinStopwords,
+      s"stopword gate needs at least $GopherMinStopwords candidate words")
     get(
       transform(array(split(trim(text), "\\s+")), tk => {
         val nTok = size(tk)
@@ -103,7 +108,7 @@ object Scrub {
         val meanOk = meanLen >= 3.0 && meanLen <= 10.0
         val symOk = symbolic <= 0.1
         val alphaOk = alpha >= 0.8
-        val stopOk = stops >= 2
+        val stopOk = stops >= GopherMinStopwords
         struct(
           wordsOk.as("words_ok"),
           meanOk.as("mean_word_len_ok"),

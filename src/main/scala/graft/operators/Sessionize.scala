@@ -139,10 +139,17 @@ object Sessionize {
     * subsequence containment is monotone in the prefix so a CASE from
     * longest to shortest yields the stage. Strings and LIKE are
     * engine-portable; ordering follows the q16 (ts, tieBreak…) total
-    * order. Per-user state is the event-type sequence — same bound as
-    * sessionization's windows (for a degenerate hot user, pre-filter to
-    * the stage vocabulary first: only events whose type appears in
-    * `stages` can change the outcome).
+    * order.
+    *
+    * Only events whose type is in `stages` are collected (collect_list
+    * skips the null the `when` yields for everything else): non-stage
+    * types can neither create nor break a prefix match, so dropping them
+    * is semantics-preserving — and it closes the injection where a DATA
+    * value containing '|' (e.g. `x|view|y`) would fabricate a `|view|`
+    * boundary in the joined string and falsely complete a stage. It also
+    * bounds per-user state by the user's STAGE events, not their full
+    * event history (the hot-user guard, now structural). A user with no
+    * stage events still gets a row (empty sequence ⇒ stage 0).
     *
     * Stage names must not contain `|` or LIKE wildcards. Output:
     * `(userCol, stage_reached)`. */
@@ -153,7 +160,9 @@ object Sessionize {
     stages.foreach(s => require(!s.exists("|%_".contains(_)),
       s"stage name '$s' must not contain '|' or LIKE wildcards"))
     val orderCols = (col(tsCol) +: tieBreak.map(col)) :+ col(typeCol)
-    val ordered = sort_array(collect_list(struct(orderCols: _*)))
+    val stageEvent = when(col(typeCol).isin(stages: _*),
+      struct(orderCols: _*))
+    val ordered = sort_array(collect_list(stageEvent))
     val seq = concat(lit("|"),
       array_join(transform(ordered, _.getField(typeCol)), "||"), lit("|"))
     def pattern(i: Int): String = "%|" + stages.take(i).mkString("|%|") + "|%"

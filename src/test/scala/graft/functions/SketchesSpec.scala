@@ -99,6 +99,19 @@ class SketchesSpec extends SparkFunSuite {
     assert(java.util.Arrays.equals(direct, merged))
   }
 
+  test("countMinQuery: null probe yields null, not the hash(seed) bucket") {
+    // build a sketch whose rows include nulls; the build side skips them,
+    // so a null probe must propagate null rather than return the count of
+    // whatever key collides with xxhash64's bare-null output (the seed)
+    val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("v")
+    val sk = df.agg(Sketches.countMin(col("v")).as("sk"))
+    val row = sk.select(
+      Sketches.countMinQuery(col("sk"), lit(null).cast("string")).as("n"),
+      Sketches.countMinQuery(col("sk"), lit("a")).as("a")).head
+    assert(row.isNullAt(0), "null probe must yield null")
+    assert(row.getLong(1) == 2L)
+  }
+
   test("countMin rejects mismatched geometry on merge") {
     val a = Seq("x").toDF("v")
       .agg(Sketches.countMin(col("v"), depth = 3, width = 64)).head.getAs[Array[Byte]](0)

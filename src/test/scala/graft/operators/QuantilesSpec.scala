@@ -122,6 +122,24 @@ class QuantilesSpec extends SparkFunSuite {
     }
   }
 
+  test("winsorize preserves rows of all-null groups and null values (null out)") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", None),
+      ("allnull", None), ("allnull", None)
+    ).toDF("g", "v")
+    val got = Quantiles.winsorize(df, Seq("g"), "v", 0.05, 0.95)
+    // every input row survives — the boundless group is NOT dropped
+    assert(got.count() == 6)
+    val rows = got.collect().map(r =>
+      (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+    // null values and boundless-group rows carry a null winsorized, never
+    // a value clamped to a bound or passed through unclipped
+    rows.foreach { case (g, v, w) =>
+      if (v.isEmpty || g == "allnull") assert(w.isEmpty, s"($g, $v) -> $w")
+      else assert(w.nonEmpty)
+    }
+  }
+
   test("robustOutlierStats flags exactly the planted wild values") {
     // tight cluster around 0 with two wild points; median≈0, MAD small
     val base = Seq.tabulate(101)(i => ("g1", (i - 50) / 100.0)) // -0.5 .. 0.5

@@ -117,4 +117,21 @@ class SessionizeSpec extends SparkFunSuite {
       Sessionize.funnelStages(events, "user_id", "ts", "event_type", Seq("a|b"))
     }
   }
+
+  test("funnelStages: '|' in event-type DATA cannot fabricate a stage boundary") {
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      // u1: a malicious type embedding '|view|' — must NOT count as view
+      (1L, ts(0), 10L, "x|view|y"),
+      // u2: injection between real stages must not inject a click
+      (2L, ts(0), 20L, "view"), (2L, ts(1), 21L, "a|click|b"),
+      // u3: control — a real view still reaches stage 1
+      (3L, ts(0), 30L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.funnelStages(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), tieBreak = Seq("event_id"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 0), (2L, 1), (3L, 1)))
+  }
 }
