@@ -8,14 +8,27 @@ import org.apache.spark.sql.functions._
   * canonical representative per component — the step between "found pairs"
   * and "deduplicated corpus".
   *
-  * Components via min-label propagation with pointer jumping: every node
-  * starts labeled with itself; each round it (1) adopts the minimum label
-  * among itself and its neighbors, then (2) jumps to its label's label
-  * (path halving). Propagation alone needs graph-diameter rounds; the jump
-  * step composes label chains, so a diameter-d chain converges in O(log d)
-  * rounds — each round two joins + an aggregate, checkpointed so lineage
-  * stays flat. No driver-side graph state — at 100 TB the edge list never
-  * leaves the cluster.
+  * Components via alternating large-star / small-star edge rewriting
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC 2014 — the published O(log² n)-round, in-practice O(log n)
+  * algorithm; it replaced this operator's earlier min-label propagation,
+  * whose round count rides on component structure rather than a proven
+  * bound):
+  *
+  *  - large-star: every node u links each strictly-LARGER neighbor to the
+  *    minimum of its closed neighborhood — long chains halve;
+  *  - small-star: every node links itself and its smaller neighbors to
+  *    that minimum — local stars collapse onto their centers.
+  *
+  * Both steps preserve connectivity (paper, Lemma 1/2), edges only ever
+  * point toward smaller ids, and the joint fixpoint is a star forest
+  * whose centers are the component minima — exactly the (id, min-id)
+  * labels this operator promises. Each step is a groupBy-min plus a join
+  * against that per-node min (never a collect_list of a neighborhood: a
+  * celebrity node's star is rewritten by JOIN fan-out across tasks, not
+  * buffered in one). No driver-side graph state — at 100 TB the edge
+  * list never leaves the cluster; driver work is the per-round fixpoint
+  * probe (empty-check + count over checkpointed blocks).
   *
   * Materialization is `localCheckpoint`: executor-stored, lineage
   * truncated. Acceptable here because components is a pure derivation —
@@ -35,59 +48,101 @@ object DupClusters {
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame =
     componentsWithRounds(pairs, maxIters)._1
 
-  /** [[components]] plus the number of rounds it took — the convergence
-    * contract (O(log diameter), thanks to pointer jumping) is asserted by
-    * DupClustersSpec against deep chains. */
+  /** One large-star step over canonically-oriented (u > v) edges: for
+    * every node u with closed-neighborhood min m, emit (v, m) for each
+    * neighbor v > u. Output stays canonically oriented (m ≤ u < v) and
+    * self-loop-free by construction. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    // symmetrize via one explode (not union(edges, edges.swap), which
+    // would execute the upstream subplan twice — the q73/PLANS lesson)
+    val sym = edges.select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(col("v").as("a"), col("u").as("b")))).as("_e"))
+      .select(col("_e.a").as("u"), col("_e.b").as("v"))
+    val mins = sym.groupBy("u").agg(min("v").as("_mv"))
+      .select(col("u"), least(col("u"), col("_mv")).as("_m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("_m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star step. Input is canonically oriented (u > v), so every
+    * neighbor grouped under u is smaller and the closed-neighborhood min
+    * is just min(Γ(u)): emit (v, m) for each neighbor plus (u, m) itself,
+    * dropping the center's own self-loop. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("u").agg(min("v").as("_m"))
+    edges.join(mins, "u")
+      .select(explode(array(
+        struct(col("v").as("a"), col("_m").as("b")),
+        struct(col("u").as("a"), col("_m").as("b")))).as("_e"))
+      .select(col("_e.a").as("u"), col("_e.b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** True iff a canonically-oriented (u > v) edge set is a star forest:
+    * every member has exactly ONE outgoing edge and no center is also a
+    * member. That is the joint large-star/small-star fixpoint, and its
+    * labels are final: both steps preserve connectivity (so each star's
+    * node set IS one original component) and orientation makes the center
+    * the star's minimum — i.e. the component min. Checking the output
+    * directly avoids the set-equality alternative, which costs an extra
+    * confirmation round re-running both steps on the converged set. */
+  private def isStarForest(edges: DataFrame): Boolean =
+    edges.groupBy("u").agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
+      .select(col("u").as("_bad"))
+      .unionByName(
+        edges.join(edges.select(col("u").as("v")), Seq("v"), "left_semi")
+          .select(col("u").as("_bad")))
+      .limit(1).isEmpty // both violation streams in ONE probe job
+
+  /** [[components]] plus the number of star rounds executed (each
+    * large-star or small-star step counts as one round) — the convergence
+    * contract is asserted by DupClustersSpec against a 10k-node path
+    * graph (rounds ≤ 2·log₂ n). */
   def componentsWithRounds(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
-    // symmetrize via a per-row explode, not union(edges, edges.swap): the
-    // union shape executes the (possibly expensive — MinHash, cosine scan)
-    // pair-producing subplan TWICE, the explode runs it once
-    val sym = pairs.select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("_e"))
-      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+    // ONE eager materialization of the (possibly expensive — MinHash,
+    // cosine scan) pair-producing subplan; nodes and the working edge set
+    // both derive lazily from these cached blocks. Self-loops stay in
+    // `canon` (they carry singleton ids for the label join) but leave the
+    // star rewriting.
+    val canon = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
       .distinct().localCheckpoint(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-    var converged = false
+    val nodes = canon
+      .select(explode(array(col("u"), col("v"))).as("id")).distinct()
+    var edges = canon.filter(col("u") =!= col("v"))
+    var rounds = 0
+    // planted-pair graphs are often ALREADY star forests — converge in 0
+    // rounds for the cost of one probe over the cached canonical edges
+    var converged = isStarForest(edges)
     var i = 0
     while (!converged && i < maxIters) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min("nl").as("min_nbr"))
-      // checkpoint before the self-join below: a self-join re-executes its
-      // subplan (no exchange reuse), which would double every round's
-      // join+agg; against the checkpoint it's two cached-block scans.
-      // LAZY (eager=false): an eager checkpoint is its own job, and at
-      // per-round granularity job-launch overhead dominates — the first
-      // stage that reads `prop` materializes it, the sibling stage reuses.
-      val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
-        .localCheckpoint(false)
-      // pointer jump: label ← label(label). Labels only ever decrease and
-      // stay within the component (label(x) ≤ x by induction), so the jump
-      // preserves the fixpoint while halving chain depth each round —
-      // this is what turns diameter-d convergence into O(log d).
-      // one checkpoint per round holds (prev, next) side by side; lazy —
-      // the convergence probe below is the action that materializes it, and
-      // the next round's joins then read the cached blocks. Dropped
-      // generations are reclaimed by the ContextCleaner once dereferenced.
-      val step = prop
-        .join(prop.select(col("id").as("label"), col("label").as("ll")),
-          Seq("label"), "left")
-        .select(col("id"), col("prev"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint(false)
-      converged = step.filter(col("label") =!= col("prev")).limit(1).isEmpty
-      labels = step.drop("prev")
+      // LAZY checkpoints: the fixpoint probes below are the actions that
+      // materialize each step; subsequent reads hit the cached blocks.
+      // Dropped generations are reclaimed by the ContextCleaner.
+      val ls = largeStar(edges).localCheckpoint(false)
+      val ss = smallStar(ls).localCheckpoint(false)
+      rounds += 2
+      converged = isStarForest(ss)
+      edges = ss
       i += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"components did not converge in $maxIters iterations — raise maxIters " +
-          "(graph diameter exceeds it)")
-    (labels.withColumnRenamed("label", "cluster_id"), i)
+        s"components did not converge in $maxIters iterations — raise maxIters")
+    // at the fixpoint every edge is (member, component-min): members label
+    // from their star edge, centers label themselves, self-pair singletons
+    // arrive via the node left-join
+    val stars = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("cluster_id")))
+      .distinct()
+    val labels = nodes.join(stars, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    (labels, rounds)
   }
 
   /** Deduplicate `df`: keep ONE surviving row per duplicate cluster (the

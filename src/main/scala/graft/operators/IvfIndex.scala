@@ -27,7 +27,22 @@ import graft.functions.VectorFunctions.{dot, l2Norm}
   */
 object IvfIndex {
 
-  /** Deterministic k-means centroids as (cell_id, centroid: array<double>). */
+  /** Deterministic k-means centroids as (cell_id, centroid: array<double>).
+    *
+    * Cell count is PRESERVED across Lloyd iterations: a plain mean-update
+    * silently omits any cell that attracted zero vectors (the groupBy has
+    * no row for it), so on clustered data `nCells` shrinks invisibly and
+    * probes select from fewer cells than requested — an ANN recall
+    * degradation with no error anywhere. Every empty cell is therefore
+    * re-seeded with the point FARTHEST from its assigned centroid (the
+    * standard k-means repair; it splits the widest cell). Selection is
+    * deterministic: ties order by (distance desc, xxhash64(id), id), and
+    * missing cell ids are refilled in ascending order. The driver-side
+    * work is bounded by nCells rows (the missing-id anti-join and the
+    * farthest-point `limit(nMissing)` — never corpus-sized). If the
+    * corpus has fewer distinct points than cells (e.g. all-identical
+    * vectors), the re-seed duplicates a point and the duplicate cell
+    * simply stays empty — count is still preserved. */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String,
                 nCells: Int, iters: Int = 2): DataFrame = {
     val asDouble = transform(col(vecCol), x => x.cast("double"))
@@ -45,17 +60,35 @@ object IvfIndex {
         col("centroid"))
       .localCheckpoint(true)
     val vecs = corpus.select(col(idCol).as("vid"), asDouble.as("v"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
     (1 to iters).foreach { _ =>
-      val assigned = assignCells(vecs, cents, "v")
+      val assigned = assignCellsDist(vecs, cents, "v")
       // checkpoint truncates the lineage: without it each iteration (and
       // each downstream consumer) re-executes every previous Lloyd pass
-      cents = assigned
+      val updated = assigned
         .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell_id", "pos").agg(avg("x").as("m"))
         .groupBy("cell_id")
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
         .localCheckpoint(true)
+      // re-seed empty cells (see scaladoc); both collects are ≤ nCells rows
+      val missing = cents.select("cell_id")
+        .join(updated.select("cell_id"), Seq("cell_id"), "left_anti")
+        .orderBy("cell_id").collect().map(_.getInt(0))
+      cents =
+        if (missing.isEmpty) updated
+        else {
+          val far = assigned
+            .select(col("v"), col("_d2"), xxhash64(col("vid")).as("_h"), col("vid"))
+            .orderBy(col("_d2").desc, col("_h"), col("vid"))
+            .limit(missing.length).collect()
+          val reseeded = missing.toSeq.zip(far.toSeq)
+            .map { case (cid, r) => (cid, r.getSeq[Double](0)) }
+            .toDF("cell_id", "centroid")
+          updated.unionByName(reseeded).localCheckpoint(true)
+        }
     }
     cents
   }
@@ -79,14 +112,21 @@ object IvfIndex {
       (vn2 + c.getField("cn2") - lit(2.0) * VecDot.dot(vec, c.getField("centroid"))).as("d"),
       c.getField("cell_id").as("id")))
 
+  /** [[assignCells]] plus `_d2` = squared distance to the winning centroid
+    * (already computed inside the argmin — keeping it is free). */
+  private def assignCellsDist(df: DataFrame, cents: DataFrame, vecCol: String): DataFrame =
+    df.crossJoin(broadcast(cellsAsArray(cents)))
+      .withColumn("_vn2", VecDot.dot(col(vecCol), col(vecCol)))
+      .withColumn("_best", array_min(distPairs(col(vecCol), col("_vn2"))))
+      .withColumn("cell_id", col("_best").getField("id"))
+      .withColumn("_d2", col("_best").getField("d"))
+      .drop("_cells", "_vn2", "_best")
+
   /** Attach `cell_id` = argmin centroid distance (ties break on cell_id).
     * Shuffle-free: one broadcast of the packed centroid array, one narrow
     * projection computing all nCells distances per row. */
   private def assignCells(df: DataFrame, cents: DataFrame, vecCol: String): DataFrame =
-    df.crossJoin(broadcast(cellsAsArray(cents)))
-      .withColumn("_vn2", VecDot.dot(col(vecCol), col(vecCol)))
-      .withColumn("cell_id", array_min(distPairs(col(vecCol), col("_vn2"))).getField("id"))
-      .drop("_cells", "_vn2")
+    assignCellsDist(df, cents, vecCol).drop("_d2")
 
   /** SemDeDup-style semantic deduplication (Abbas et al., 2023): k-means
     * the embedding space into `nCells` Voronoi cells, compare pairs only

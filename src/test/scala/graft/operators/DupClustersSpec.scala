@@ -44,20 +44,33 @@ class DupClustersSpec extends SparkFunSuite {
     assert(comp == Map("doc-001" -> "doc-001", "doc-002" -> "doc-001", "doc-003" -> "doc-001"))
   }
 
-  test("deep chain converges in O(log diameter) rounds via pointer jumping") {
-    // a 50-node chain linked only consecutively: plain propagation needs 49
-    // rounds; propagation + pointer jumping must collapse it logarithmically
-    val pairs = (1L to 49L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+  test("10k-node path graph converges in <= 2*log2(n) star rounds") {
+    // the adversarial shape for any label-propagation scheme: one
+    // component of diameter n-1. Large-star/small-star (Kiveris et al.
+    // 2014) must collapse it logarithmically — 2*log2(10000) ≈ 26.6
+    val n = 10000L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      .repartition(8)
     val (comp, rounds) = DupClusters.componentsWithRounds(pairs)
-    val labels = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.size == 50 && labels.values.forall(_ == 1L))
-    assert(rounds <= 10, s"expected O(log 50) rounds, got $rounds")
+    val labels = comp.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == n && labels.forall(_._2 == 1L))
+    val bound = 2 * math.ceil(math.log(n.toDouble) / math.log(2)).toInt
+    assert(rounds <= bound, s"expected <= $bound star rounds for a $n-path, got $rounds")
   }
 
-  test("unconverged propagation throws instead of returning wrong labels") {
-    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+  test("self-pair singletons keep their label row") {
+    val pairs = Seq((1L, 2L), (7L, 7L)).toDF("id_a", "id_b")
+    val comp = DupClusters.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
+  test("unconverged star rewriting throws instead of returning wrong labels") {
+    // one large+small round shrinks a path's diameter by a constant
+    // factor, so a 200-node path cannot reach the star forest in one
+    val pairs = (1L to 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      DupClusters.components(pairs, maxIters = 2).collect()
+      DupClusters.components(pairs, maxIters = 1).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }

@@ -21,6 +21,34 @@ class IvfIndexSpec extends SparkFunSuite {
       c2.map(_.getSeq[Double](1).toList).toList, "index build must be deterministic")
   }
 
+  test("centroids: empty cells are re-seeded, cell count never shrinks") {
+    // degenerate corpus: two tight clusters far apart — after one Lloyd
+    // mean-update, most of the 8 seeded centroids attract zero vectors
+    // (everything collapses onto the two cluster means), which without
+    // re-seeding silently shrinks the index below the requested nCells
+    val rng = new scala.util.Random(7)
+    val corpus = Seq.tabulate(200) { i =>
+      val base = if (i % 2 == 0) 0.0 else 100.0
+      (i.toLong, Seq.fill(8)(base + rng.nextGaussian() * 0.01))
+    }.toDF("id", "vec")
+    val cents = IvfIndex.centroids(corpus, "id", "vec", nCells = 8, iters = 3)
+      .orderBy("cell_id").collect()
+    assert(cents.length == 8, s"expected 8 cells, got ${cents.length}")
+    assert(cents.map(_.getInt(0)).toSeq == (0 until 8), "cell ids must stay dense")
+    // determinism must survive the re-seed path too
+    val again = IvfIndex.centroids(corpus, "id", "vec", nCells = 8, iters = 3)
+      .orderBy("cell_id").collect()
+    assert(cents.map(_.getSeq[Double](1).toList).toList ==
+      again.map(_.getSeq[Double](1).toList).toList)
+    // the search path stays correct over the degenerate index: full probe
+    // of the re-seeded cells reproduces brute force
+    val q = corpus.limit(3).select($"id".as("query_id"), $"vec".as("query_vec"))
+    val full = IvfIndex.topK(corpus, "id", "vec", q, k = 5, nCells = 8, nProbe = 8, iters = 3)
+    val exact = Similarity.bruteForceTopK(corpus, "id", "vec", q, 5)
+    assert(full.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ==
+      exact.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+  }
+
   test("topK: self is rank 1; probing all cells equals brute force") {
     val q = t.embeddings.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
