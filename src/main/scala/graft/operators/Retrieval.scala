@@ -15,9 +15,12 @@ import graft.functions.TopK
   * its three consumers compute it once), and one broadcast-join pass that
   * keeps ONLY rows whose term appears in some query (the query vocabulary
   * is broadcast; a non-matching corpus row never reaches an exchange).
-  * Document length and document frequency aggregate from the tf table,
-  * not the raw tokens. Per-query top-k uses the bounded-heap [[TopK]]
-  * aggregate — O(k) state even when a query matches the whole corpus.
+  * Document frequency and the single-row global stats aggregate from the
+  * tf table, not the raw tokens; document LENGTH aggregates from tf
+  * semi-joined to the query-matched doc ids, so the dl exchange scales
+  * with the match set, not the corpus. Per-query top-k uses the
+  * bounded-heap [[TopK]] aggregate — O(k) state even when a query
+  * matches the whole corpus.
   *
   * Cross-engine determinism: tf/df/dl/N are exact integers; avgdl is an
   * exact integer sum divided once (not a parallel double average); idf is
@@ -50,10 +53,11 @@ object Retrieval {
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
-    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
-    // exact integer sum / one division — deterministic at any parallelism
-    // (a parallel double `avg` would be order-dependent)
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_sum"))
+    // global stats in ONE pass over tf — no per-doc table is retained for
+    // them, so the doc-length aggregate below can be query-reduced. Exact
+    // integer sum / one division — deterministic at any parallelism (a
+    // parallel double `avg` would be order-dependent).
+    val stats = tf.agg(countDistinct(col(idCol)).as("n_docs"), sum("tf").as("dl_sum"))
       .select(col("n_docs"),
         (col("dl_sum").cast("double") / col("n_docs").cast("double")).as("avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -61,8 +65,21 @@ object Retrieval {
         explode(array_distinct(split(TextAnalysis.normalized(col(qTextCol)), " ")))
           .as("term"))
       .filter(col("term") =!= "")
+    val qVocab = qTerms.select("term").distinct()
+    // document length ONLY for documents the query vocabulary can reach:
+    // semi-join tf to the matched doc ids first, so the dl aggregate (and
+    // the contrib join below) carries matched docs, not the whole corpus —
+    // with a selective vocabulary this is the difference between a
+    // query-sized and a corpus-sized exchange. All three doc-keyed steps
+    // (distinct, semi-join + aggregate, contrib join) share one
+    // partitioning, and dl still sums a matched doc's FULL term list (the
+    // semi-join filters docs, never a doc's terms).
+    val matchedIds = tf.join(broadcast(qVocab), Seq("term"))
+      .select(col(idCol)).distinct()
+    val dl = tf.join(matchedIds, Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(sum("tf").as("dl"))
     // idf only for terms some query uses: a query-vocabulary-sized table
-    val idf = dfreq.join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+    val idf = dfreq.join(broadcast(qVocab), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("term"),
         log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /

@@ -36,6 +36,19 @@ class RetrievalSpec extends SparkFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("bm25TopK plan: dl aggregates the query-reduced stream, not the full tf table") {
+    val queries = Seq((100L, "pond ducks")).toDF("qid", "qtext")
+    val plan = Retrieval.bm25TopK(corpus, "doc_id", "text", queries, "qid", "qtext", k = 3)
+      .queryExecution.executedPlan.toString
+    // the doc-length derivation must semi-join tf to the matched doc ids
+    // BEFORE aggregating — the only LeftSemi in this operator
+    val lines = plan.split("\n")
+    val semiIdx = lines.indexWhere(_.contains("LeftSemi"))
+    assert(semiIdx >= 0, "dl must be reduced via a semi-join on matched doc ids")
+    assert(lines.take(semiIdx).exists(l => l.contains("HashAggregate") && l.contains("sum")),
+      "the dl sum must sit above (consume) the semi-joined stream")
+  }
+
   test("bm25TopK matches a driver-side reference bit-for-bit on a random corpus") {
     val rng = new scala.util.Random(17)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
