@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession, SparkSessi
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.operators.{Dedup, Scrub, TextAnalysis}
+import graft.operators.{Chunk, Dedup, Scrub, Sessionize, TextAnalysis}
 
 /** SQL-surface registration for graft's column functions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column
@@ -101,6 +101,28 @@ object GraftFunctions {
       val cap = exprs(1).eval().asInstanceOf[Number].intValue()
       GraftColumnBridge.expression(
         Sketches.freqItems(GraftColumnBridge.column(exprs(0)), cap))
+    },
+    // stages is a literal string array — it compiles into the LIKE
+    // pattern cascade, which must exist before any row is seen
+    "funnel_stage" -> { exprs =>
+      require(exprs.length == 2, s"funnel_stage expects 2 arguments (types, stages), got ${exprs.length}")
+      require(exprs(1).foldable, "funnel_stage: stages must be a literal array")
+      val stages = exprs(1).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      GraftColumnBridge.expression(Sessionize.funnelStageOf(
+        GraftColumnBridge.column(exprs(0)), stages))
+    },
+    "token_windows" -> { exprs =>
+      require(exprs.length == 3, s"token_windows expects 3 arguments (text, chunk, overlap), got ${exprs.length}")
+      require(exprs(1).foldable && exprs(2).foldable,
+        "token_windows: chunk/overlap must be literals")
+      GraftColumnBridge.expression(Chunk.tokenWindowsCol(
+        GraftColumnBridge.column(exprs(0)),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
     })
 
   def register(spark: SparkSession): Unit =

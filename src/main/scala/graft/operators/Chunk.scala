@@ -39,7 +39,17 @@ object Chunk {
     * the tokenizer, not the chunker).
     */
   def tokenWindows(df: DataFrame, idCol: String, textCol: String,
-                   chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+                   chunkTokens: Int, overlapTokens: Int = 0): DataFrame =
+    df.select(col(idCol),
+        explode(tokenWindowsCol(col(textCol), chunkTokens, overlapTokens)).as("_c"))
+      .select(col(idCol), col("_c.chunk_id"), col("_c.chunk_start"),
+        col("_c.n_tokens"), col("_c.chunk_text"))
+
+  /** Column core of [[tokenWindows]]: the chunk-struct ARRAY for one text
+    * value — SQL-registered as `token_windows(text, chunk, overlap)` so a
+    * query can explode (or inspect) chunks inline. */
+  def tokenWindowsCol(text: Column, chunkTokens: Int,
+                      overlapTokens: Int = 0): Column = {
     require(chunkTokens >= 1, s"chunkTokens ($chunkTokens) must be >= 1")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlapTokens ($overlapTokens) must be in [0, chunkTokens) — a " +
@@ -47,11 +57,11 @@ object Chunk {
     val stride = chunkTokens - overlapTokens
     // tokenize once per document; the trailing-empty filter makes blank
     // text an EMPTY array (split("", "\\s+") is [""], size 1 — wrong)
-    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
     // let-bind through a one-element transform (the Scrub.wordNgrams
     // lesson): referencing `toks` directly inside the per-chunk lambda
     // would re-tokenize the document once per chunk
-    val chunks = get(transform(array(toks), tk => {
+    get(transform(array(toks), tk => {
       val n = size(tk)
       val nChunks = when(n <= chunkTokens, lit(1L))
         .otherwise(ceil((n - lit(chunkTokens)).cast("double") / lit(stride.toDouble))
@@ -64,8 +74,5 @@ object Chunk {
             size(piece).as("n_tokens"), array_join(piece, " ").as("chunk_text"))
         }))
     }), lit(0))
-    df.select(col(idCol), explode(chunks).as("_c"))
-      .select(col(idCol), col("_c.chunk_id"), col("_c.chunk_start"),
-        col("_c.n_tokens"), col("_c.chunk_text"))
   }
 }

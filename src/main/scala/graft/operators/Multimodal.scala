@@ -337,4 +337,28 @@ object Multimodal {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** Band-bucket occupancy audit for [[phashNearDupPairs]] — the image
+    * mirror of `Dedup.minhashBucketProfile`: run it BEFORE the pair join
+    * on a new corpus to find boilerplate buckets (solid-color frames,
+    * letterboxed stills, shared watermarks collapse to identical hash
+    * chunks the same way boilerplate text collapses MinHash bands). A
+    * bucket of size s fans out to s·(s−1)/2 comparisons, so the largest
+    * `n_members` here bound the join's hot keys. Output:
+    * `(band, chunk, n_members)`, largest first. */
+  def phashBucketProfile(hashes: Dataset[MediaHash], bands: Int = 4,
+                         minSize: Int = 2): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands ($bands) must divide 64")
+    val width = 64 / bands
+    hashes.toDF()
+      .select(col("doc_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("phash"), b * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= minSize)
+      .orderBy(col("n_members").desc, col("band"), col("chunk"))
+  }
 }

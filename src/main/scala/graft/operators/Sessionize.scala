@@ -156,23 +156,38 @@ object Sessionize {
   def funnelStages(events: DataFrame, userCol: String, tsCol: String,
                    typeCol: String, stages: Seq[String],
                    tieBreak: Seq[String] = Nil): DataFrame = {
-    require(stages.nonEmpty, "at least one funnel stage is required")
-    stages.foreach(s => require(!s.exists("|%_".contains(_)),
-      s"stage name '$s' must not contain '|' or LIKE wildcards"))
     val orderCols = (col(tsCol) +: tieBreak.map(col)) :+ col(typeCol)
     val stageEvent = when(col(typeCol).isin(stages: _*),
       struct(orderCols: _*))
     val ordered = sort_array(collect_list(stageEvent))
-    val seq = concat(lit("|"),
-      array_join(transform(ordered, _.getField(typeCol)), "||"), lit("|"))
-    def pattern(i: Int): String = "%|" + stages.take(i).mkString("|%|") + "|%"
-    val stage = (stages.length to 1 by -1).foldLeft(Option.empty[Column]) {
-      case (acc, i) =>
-        val cond = col("_seq").like(pattern(i))
-        Some(acc.fold(when(cond, i))(_.when(cond, i)))
-    }.get.otherwise(0)
     events.groupBy(col(userCol))
-      .agg(seq.as("_seq"))
-      .select(col(userCol), stage.cast("int").as("stage_reached"))
+      .agg(transform(ordered, _.getField(typeCol)).as("_types"))
+      .select(col(userCol),
+        funnelStageOf(col("_types"), stages).as("stage_reached"))
+  }
+
+  /** Column core of [[funnelStages]]: the longest completed prefix of
+    * `stages` occurring as a subsequence of an ALREADY-ORDERED event-type
+    * array — SQL-registered as `funnel_stage(types, stages)` so a query
+    * that has collected its own ordered sequence (e.g. from a window or a
+    * sessionized struct sort) can score it without the groupBy. Same
+    * delimiter/LIKE mechanism and the same injection guard: types outside
+    * the stage vocabulary are filtered before the join, so a '|' in a
+    * DATA value can never fabricate a stage boundary. */
+  def funnelStageOf(orderedTypes: Column, stages: Seq[String]): Column = {
+    require(stages.nonEmpty, "at least one funnel stage is required")
+    stages.foreach(s => require(!s.exists("|%_".contains(_)),
+      s"stage name '$s' must not contain '|' or LIKE wildcards"))
+    def pattern(i: Int): String = "%|" + stages.take(i).mkString("|%|") + "|%"
+    val joined = concat(lit("|"),
+      array_join(filter(orderedTypes, t => t.isin(stages: _*)), "||"), lit("|"))
+    // let-bind the joined sequence (the Scrub.wordNgrams lesson): each of
+    // the |stages| LIKE probes reads the bound value instead of re-joining
+    get(transform(array(joined), s =>
+      (stages.length to 1 by -1).foldLeft(Option.empty[Column]) {
+        case (acc, i) =>
+          val cond = s.like(pattern(i))
+          Some(acc.fold(when(cond, i))(_.when(cond, i)))
+      }.get.otherwise(0).cast("int")), lit(0))
   }
 }

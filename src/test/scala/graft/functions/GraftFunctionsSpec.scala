@@ -51,7 +51,7 @@ class GraftFunctionsSpec extends SparkFunSuite {
         "quality_score", "lang_guess", "doc_fingerprint", "char_jaccard",
         "simhash64", "redact_pii", "dup_token_ratio", "winnow_fp",
         "top_k", "hll_sketch", "hll_merge", "hll_estimate", "freq_items",
-        "cm_sketch", "cm_merge", "cm_query"))
+        "cm_sketch", "cm_merge", "cm_query", "funnel_stage", "token_windows"))
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"$name not registered")
@@ -69,5 +69,22 @@ class GraftFunctionsSpec extends SparkFunSuite {
       "SELECT freq_items(v, 64) AS fi FROM sk").select(explode(col("fi")))
       .select("col.item", "col.cnt").collect()
     assert(fi.length == 37 && fi.map(_.getLong(1)).sum == 300L)
+  }
+
+  test("funnel_stage and token_windows are callable from SQL and match the operators") {
+    GraftFunctions.register(spark)
+    // ordered type sequences, including a '|' injection attempt
+    val st = spark.sql(
+      """SELECT funnel_stage(array('view', 'x|click|y', 'click'),
+        |                    array('view', 'click', 'purchase')) AS s""".stripMargin)
+      .head.getInt(0)
+    assert(st == 2, "view then click completes stage 2; the injected type is inert")
+    assert(spark.sql(
+      "SELECT funnel_stage(array('x|view|y'), array('view')) AS s").head.getInt(0) == 0)
+    val chunks = spark.sql(
+      "SELECT token_windows('a b c d e', 2, 1) AS w").select(explode(col("w")))
+      .select("col.chunk_text").collect().map(_.getString(0)).toSeq
+    // no trailing "e"-only window: it is wholly contained in "d e"
+    assert(chunks == Seq("a b", "b c", "c d", "d e"))
   }
 }

@@ -246,4 +246,21 @@ class MultimodalSpec extends SparkFunSuite {
       Multimodal.phashNearDupPairs(hashes, maxDist = 4, bands = 4)
     }
   }
+
+  test("phashBucketProfile surfaces the boilerplate bucket, largest first") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaHash]
+    // three hashes share low-order 16 bits (band 0 chunk 0x0f0f: a
+    // "solid-color frame" boilerplate bucket); the fourth shares nothing
+    val hashes = Seq(
+      Multimodal.MediaHash(1L, 0x0f0f0f0f0f0f0f0fL),
+      Multimodal.MediaHash(2L, 0x1111111111110f0fL),
+      Multimodal.MediaHash(3L, 0x2222222222220f0fL),
+      Multimodal.MediaHash(4L, 0xf0f0f0f0f0f0f0f0L)
+    ).toDS()
+    val prof = Multimodal.phashBucketProfile(hashes, bands = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(prof.head == (0, 0x0f0fL, 3L), s"expected the size-3 bucket first: $prof")
+    // only buckets with >= minSize members appear
+    assert(prof.forall(_._3 >= 2))
+  }
 }
