@@ -167,6 +167,21 @@ class SimilaritySpec extends SparkFunSuite {
       (2L, 0, 1.0), (2L, 1, 1.0), (2L, 2, 0.0)))
   }
 
+  test("bruteForceTopK plan: queries broadcast, corpus side never shuffles before scoring") {
+    // q27's documented oracle-baseline shape (pinned after a one-round
+    // bench wobble that turned out to be noise): query side broadcast into
+    // a nested-loop cross join, map-side scoring, ONE exchange for the
+    // per-query top-k window — never a shuffled join of the corpus
+    val corpus = (1L to 100L).map(i => (i, Array.fill(4)(i.toFloat))).toDF("vec_id", "embedding")
+    val q = corpus.limit(3).select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val plan = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the query side must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the corpus must not shuffle into the scoring join")
+  }
+
   test("standardizeDims plan: stats come back via broadcast, never a sort-merge join") {
     val df = (1L to 50L).map(i => (i, Array.fill(4)(i.toFloat / 100))).toDF("vec_id", "embedding")
     val plan = Similarity.standardizeDims(df, "vec_id", "embedding")
