@@ -75,6 +75,31 @@ class DupClustersSpec extends SparkFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("random graphs: labels match a reference union-find exactly") {
+    // 300 nodes, random edges at three densities straddling the
+    // percolation threshold (many tiny components / a few mid-size / one
+    // giant + isolates) — the shapes that stress different round counts
+    val rng = new scala.util.Random(83)
+    for (nEdges <- Seq(60, 300, 1200)) {
+      val edges = Seq.fill(nEdges)((rng.nextInt(300).toLong, rng.nextInt(300).toLong))
+      val pairs = edges.toDF("id_a", "id_b")
+      // reference: path-compressed union-find, min id as representative
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = DupClusters.components(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"nEdges=$nEdges")
+    }
+  }
+
   test("end-to-end: minhash pairs -> clusters -> deduplicated corpus") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
     val docs = Seq(
