@@ -193,12 +193,16 @@ object Quantiles {
       .groupBy(gs: _*)
       .agg(round(max(when(col("p") === pLo, col("value"))), 6).as("_blo"),
         round(max(when(col("p") === pHi, col("value"))), 6).as("_bhi"))
-    // least/greatest IGNORE null arguments, so the clip must be gated:
-    // otherwise a null value collapses to _blo and a boundless group's
-    // rows collapse to the raw value rather than reporting null
+    // least/greatest IGNORE null arguments and order NaN above every
+    // double, so the clip must be gated: an unguarded null value would
+    // collapse to _blo, a NaN would silently clamp to _bhi, and a
+    // boundless group's rows would pass through unclipped instead of
+    // reporting null. NaN follows the null convention — the bounds
+    // computation (exactGrouped) already excludes it
     df.join(broadcast(bounds), groupCols, "left")
       .withColumn(outCol,
-        when(col(valueCol).isNotNull && col("_blo").isNotNull,
+        when(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")) &&
+            col("_blo").isNotNull,
           least(greatest(col(valueCol).cast("double"), col("_blo")), col("_bhi"))))
       .drop("_blo", "_bhi")
   }

@@ -122,20 +122,24 @@ class QuantilesSpec extends SparkFunSuite {
     }
   }
 
-  test("winsorize preserves rows of all-null groups and null values (null out)") {
+  test("winsorize preserves rows of all-null groups; null/NaN values yield null out") {
     val df = Seq(
       ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", None),
+      ("a", Some(Double.NaN)),
       ("allnull", None), ("allnull", None)
     ).toDF("g", "v")
     val got = Quantiles.winsorize(df, Seq("g"), "v", 0.05, 0.95)
     // every input row survives — the boundless group is NOT dropped
-    assert(got.count() == 6)
+    assert(got.count() == 7)
     val rows = got.collect().map(r =>
-      (r.getString(0), Option(r.get(1)), Option(r.get(2))))
-    // null values and boundless-group rows carry a null winsorized, never
-    // a value clamped to a bound or passed through unclipped
+      (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]), Option(r.get(2))))
+    // null and NaN values and boundless-group rows carry a null
+    // winsorized — never a value clamped to a bound (NaN orders above
+    // every double, so an unguarded clip would clamp it to the UPPER
+    // bound) or passed through unclipped
     rows.foreach { case (g, v, w) =>
-      if (v.isEmpty || g == "allnull") assert(w.isEmpty, s"($g, $v) -> $w")
+      if (v.isEmpty || v.exists(_.isNaN) || g == "allnull")
+        assert(w.isEmpty, s"($g, $v) -> $w")
       else assert(w.nonEmpty)
     }
   }
