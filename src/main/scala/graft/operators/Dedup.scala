@@ -297,12 +297,24 @@ object Dedup {
     * counterpart: the same (lang, length-bucket) blocking as
     * [[blockedJaccardPairs]], but per-pair similarity is the TRUE Jaccard
     * of the distinct word-n-gram sets (strings, not sketches — zero
-    * estimation error). The pair space inside a block is NOT quadratic:
-    * candidates come from a frequency-ordered prefix-filter index
-    * (AllPairs), then only survivors pay the O(grams) exact intersect.
+    * estimation error). Candidates come from a frequency-ordered
+    * prefix-filter index (AllPairs), then only survivors pay the
+    * O(grams) exact intersect — near-linear candidates on an
+    * open-vocabulary corpus, where rare grams exist to anchor prefixes.
     * Use when false positives/negatives from sketching are unacceptable.
     * Documents with fewer than `n` tokens (empty gram set — Jaccard
     * undefined) never pair.
+    *
+    * SCALING LIMIT (measured, PLANS.md round-7 sweep): the blocking keys
+    * do not grow with the corpus, so on a corpus where every gram is
+    * common — a small closed vocabulary, heavy boilerplate — the prefix
+    * filter loses its anchor and the verified set approaches the
+    * block-quadratic bound (10× docs ≈ 99× within-block pairs on the
+    * 31-token fixture; wall-clock grew 55×, the filter still halving the
+    * quadratic term). Exact threshold enumeration cannot beat its own
+    * output size; when blocks outgrow ~10³ documents, the scale path is
+    * [[minhashCandidatePairs]] (buckets scale WITH the corpus) or
+    * [[graft.operators.IvfIndex.semanticDedup]] (√n-sized cells).
     *
     * `maxBroadcastGrams` caps the document-frequency table (df > 1 grams
     * only) that may be broadcast to the gram stream: at or below the cap
