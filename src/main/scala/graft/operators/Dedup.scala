@@ -276,7 +276,12 @@ object Dedup {
 
   /** Blocked pairwise near-dup scan: pairs are only formed inside a
     * (lang, length-bucket) block, keeping the candidate count ~linear in
-    * practice instead of O(n²).
+    * practice instead of O(n²). The blocking keys do NOT scale with the
+    * corpus, so the within-block pair space is still quadratic in block
+    * occupancy (measured: 10× docs ≈ 37× wall-clock on the fixture —
+    * PLANS.md round-7 sweep); when blocks outgrow ~10³ documents, switch
+    * to [[minhashCandidatePairs]], whose buckets scale with the corpus
+    * (2.7× for the same 10×).
     *
     * The distinct-character set is computed ONCE per document, below the
     * join exchange — never per pair. (The naive per-pair `charJaccard`
