@@ -395,20 +395,39 @@ object Dedup {
       .filter(col("_r") <= col("_n") - ceil(lit(threshold) * col("_n")) + lit(1) &&
         col("_df") > 1)
       .select(col("blk_lang"), col("blk_len"), col("_gram"),
-        col("_id"), col("_n"))
+        col("_id"), col("_n"), col("_r"))
       .localCheckpoint(false)
 
     // Same block + shared prefix gram + the size bound (jac ≥ t implies
-    // min ≥ t·max since jac ≤ min/max) → distinct candidate pairs.
+    // min ≥ t·max since jac ≤ min/max) → candidate pairs, deduped by the
+    // groupBy below.
+    //
+    // Positional filter (PPJoin, Xiao et al. 2008 §3.2), applied at the
+    // pair's FIRST shared prefix gram: ranks are monotone in the global
+    // (df, gram) order, so min(_ra)/min(_rb) over a pair's shared
+    // occurrences are that first gram's positions in BOTH docs, and every
+    // common gram sits at-or-after it in both lists — hence
+    // |A∩B| ≤ 1 + min(n_a − ra, n_b − rb). jac ≥ t needs
+    // |A∩B| ≥ t·(n_a+n_b)/(1+t); candidates whose bound can't reach it
+    // never pay the exact intersect. The comparison is the UN-ceiled real
+    // bound minus an epsilon: strictly weaker than the integer ceil (so a
+    // qualifying pair can never be dropped by a floating-point wobble),
+    // and the lost pruning is at most the one knife-edge candidate.
+    val alpha = lit(threshold / (1.0 + threshold)) *
+      (col("n_a") + col("n_b")).cast("double") - lit(1e-9)
     val cand = pref.select(col("blk_lang"), col("blk_len"), col("_gram"),
-        col("_id").as("id_a"), col("_n").as("n_a"))
+        col("_id").as("id_a"), col("_n").as("n_a"), col("_r").as("_ra"))
       .join(pref.select(col("blk_lang"), col("blk_len"), col("_gram"),
-        col("_id").as("id_b"), col("_n").as("n_b")),
+        col("_id").as("id_b"), col("_n").as("n_b"), col("_r").as("_rb")),
         Seq("blk_lang", "blk_len", "_gram"))
       .filter(col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")).cast("double") >=
           lit(threshold) * greatest(col("n_a"), col("n_b")).cast("double"))
-      .select("id_a", "id_b", "n_a", "n_b").distinct()
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(min(col("_ra")).as("_ra"), min(col("_rb")).as("_rb"))
+      .filter(lit(1.0) +
+        least(col("n_a") - col("_ra"), col("n_b") - col("_rb")).cast("double") >= alpha)
+      .select("id_a", "id_b", "n_a", "n_b")
 
     // Exact verification, once per surviving candidate: ONE array_intersect
     // on the true gram strings; |A∪B| = |A|+|B|−|A∩B| for distinct sets, so
