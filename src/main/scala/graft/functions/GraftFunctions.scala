@@ -95,6 +95,20 @@ object GraftFunctions {
         GraftColumnBridge.column(exprs(0)), GraftColumnBridge.column(exprs(1)),
         exprs(2).eval().asInstanceOf[Number].intValue()))
     },
+    "qs_sketch" -> { exprs =>
+      require(exprs.length == 2, s"qs_sketch expects 2 arguments (value, k), got ${exprs.length}")
+      require(exprs(1).foldable, "qs_sketch: k must be a literal")
+      GraftColumnBridge.expression(Sketches.quantileSketch(
+        GraftColumnBridge.column(exprs(0)),
+        exprs(1).eval().asInstanceOf[Number].intValue()))
+    },
+    "qs_merge" -> { exprs =>
+      require(exprs.length == 2, s"qs_merge expects 2 arguments (sketch, k), got ${exprs.length}")
+      require(exprs(1).foldable, "qs_merge: k must be a literal")
+      Sketches.QuantileSketchMergeAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+    },
+    columnFn("qs_query", 2)(cs => Sketches.quantileSketchQuery(cs(0), cs(1))),
     "freq_items" -> { exprs =>
       require(exprs.length == 2, s"freq_items expects 2 arguments (item, capacity), got ${exprs.length}")
       require(exprs(1).foldable, "freq_items: capacity must be a literal")

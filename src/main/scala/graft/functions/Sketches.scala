@@ -33,6 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - [[Sketches.freqItems]]: Misra–Gries frequent items with the
   *    Agarwal et al. 2012 mergeable-summaries merge — O(capacity) state at
   *    every stage, vs a vocabulary-sized `groupBy(item)` shuffle.
+  *  - [[Sketches.quantileSketch]] / [[Sketches.quantileSketchMerge]] /
+  *    [[Sketches.quantileSketchQuery]]: MRL/KLL-style mergeable quantile
+  *    summary — the one-pass, few-KB alternative to
+  *    [[graft.operators.Quantiles]]' exact distributed range sort.
+  *
+  * Distinct (HLL), frequency (count-min), heavy hitters (Misra–Gries),
+  * quantiles (MRL) — the four corpus statistics a 100 TB pipeline keeps
+  * incrementally.
   */
 object Sketches {
 
@@ -554,4 +562,321 @@ object Sketches {
       copy(child = newChildren(0))
     override def prettyName: String = "count_min_merge"
   }
+
+  // ------------------------------------------------------------------
+  // Quantile sketch (MRL-style compactor hierarchy)
+  // ------------------------------------------------------------------
+
+  /** Mergeable quantile summary: a hierarchy of weight-2^i compactors
+    * (Manku-Rajagopalan-Lindsay 1998 collapse; the equal-capacity special
+    * case of KLL, Karnin et al. 2016). Level i holds values of weight 2^i;
+    * when a level reaches `k` values it sorts, keeps every other survivor
+    * (start offset alternating per compaction — the DETERMINISTIC stand-in
+    * for KLL's random coin, chosen so reruns reproduce bit-identical
+    * sketches) and promotes them one level up at double weight. Total
+    * weight is conserved exactly (`n` is the exact non-null/non-NaN count;
+    * an odd buffer leaves its maximum behind), min/max ride exactly
+    * alongside, so `p=0`/`p=1` are exact.
+    *
+    * Error: one compaction at level i shifts any rank by at most 2^i/2,
+    * and level i compacts at most n/(k·2^i) times, so worst-case rank
+    * error ≤ H·n/(2k) with H = number of compacting levels
+    * ≈ log₂(n/k) — the deterministic MRL bound (alternation makes typical
+    * error far smaller; the spec pins both). The trade against
+    * [[Quantiles.exact]] is the sketch trade everywhere in this file: a
+    * few-KB summary per partition/day/source, mergeable later in any
+    * grouping, vs an exact distributed range sort that must re-scan. At
+    * 100 TB, "p99 latency last quarter" is a merge of 90 daily sketches.
+    *
+    * Unlike [[HllSketchAgg]]/[[CountMinAgg]] (idempotent max / commutative
+    * addition), compaction makes the BYTES merge-order-dependent; the rank
+    * guarantee holds under every order (the error accounting above is
+    * per-compaction, order-free), so specs assert the bound, not byte
+    * identity. State: ≤ k values per level ⇒ ≤ k·H doubles live. */
+  private[functions] final class QuantileState(val k: Int) {
+    var n: Long = 0L
+    var lo: Double = Double.PositiveInfinity
+    var hi: Double = Double.NegativeInfinity
+    /** levels(i): values of weight 2^i, unsorted between compactions. */
+    val levels = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Double])
+    /** per-level alternating survivor offset (toggles each compaction). */
+    val parity = mutable.ArrayBuffer(false)
+
+    def insert(v: Double): Unit = {
+      n += 1
+      if (v < lo) lo = v
+      if (v > hi) hi = v
+      levels(0) += v
+      if (levels(0).length >= k) compactFrom(0)
+    }
+
+    /** Compact every level from `i0` up that is at/over capacity. */
+    def compactFrom(i0: Int): Unit = {
+      var i = i0
+      while (i < levels.length && levels(i).length >= k) {
+        val buf = levels(i)
+        val sorted = buf.sortInPlace() // ascending
+        val m = sorted.length
+        val pairs = m / 2
+        val off = if (parity(i)) 1 else 0
+        parity(i) = !parity(i)
+        if (i + 1 >= levels.length) {
+          levels += mutable.ArrayBuffer.empty[Double]
+          parity += false
+        }
+        val up = levels(i + 1)
+        var j = 0
+        while (j < pairs) { up += sorted(off + 2 * j); j += 1 }
+        // odd count: the maximum keeps its weight at this level, so total
+        // weight stays exactly n
+        val leftover = if (m % 2 == 1) Some(sorted(m - 1)) else None
+        buf.clear()
+        leftover.foreach(buf += _)
+        i += 1
+      }
+    }
+
+    def mergeIn(o: QuantileState): Unit = {
+      require(o.k == k, s"quantile sketch k mismatch: $k vs ${o.k}")
+      n += o.n
+      if (o.lo < lo) lo = o.lo
+      if (o.hi > hi) hi = o.hi
+      var i = 0
+      while (i < o.levels.length) {
+        if (i >= levels.length) {
+          levels += mutable.ArrayBuffer.empty[Double]
+          parity += o.parity(i)
+        }
+        levels(i) ++= o.levels(i)
+        i += 1
+      }
+      // a merge can overfill a HIGHER level while lower ones stay small,
+      // so sweep every level ([[compactFrom]] alone stops at the first
+      // under-capacity level — correct for the one-at-a-time insert path)
+      i = 0
+      while (i < levels.length) {
+        if (levels(i).length >= k) compactFrom(i)
+        i += 1
+      }
+    }
+
+    /** Lower quantile at rank ceil(p·n): smallest stored value whose
+      * cumulative weight reaches the target. Exact at p=0/p=1. */
+    def query(p: Double): Double = {
+      if (p <= 0.0) return lo
+      if (p >= 1.0) return hi
+      val all = mutable.ArrayBuffer.empty[(Double, Long)]
+      var i = 0
+      while (i < levels.length) {
+        val w = 1L << i
+        levels(i).foreach(v => all += ((v, w)))
+        i += 1
+      }
+      val sorted = all.sortBy(_._1)
+      val target = math.max(1L, math.ceil(p * n).toLong)
+      var cum = 0L
+      var j = 0
+      while (j < sorted.length) {
+        cum += sorted(j)._2
+        if (cum >= target) return sorted(j)._1
+        j += 1
+      }
+      hi
+    }
+
+    def toBytes: Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(k)
+      out.writeLong(n)
+      out.writeDouble(lo)
+      out.writeDouble(hi)
+      out.writeInt(levels.length)
+      var i = 0
+      while (i < levels.length) {
+        out.writeBoolean(parity(i))
+        out.writeInt(levels(i).length)
+        levels(i).foreach(out.writeDouble)
+        i += 1
+      }
+      out.flush()
+      bos.toByteArray
+    }
+  }
+
+  private[functions] object QuantileState {
+    def fromBytes(bytes: Array[Byte]): QuantileState = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val st = new QuantileState(in.readInt())
+      st.n = in.readLong()
+      st.lo = in.readDouble()
+      st.hi = in.readDouble()
+      val nl = in.readInt()
+      var i = 0
+      while (i < nl) {
+        if (i >= st.levels.length) {
+          st.levels += mutable.ArrayBuffer.empty[Double]
+          st.parity += false
+        }
+        st.parity(i) = in.readBoolean()
+        val sz = in.readInt()
+        var j = 0
+        while (j < sz) { st.levels(i) += in.readDouble(); j += 1 }
+        i += 1
+      }
+      st
+    }
+    def checkK(k: Int): Unit =
+      require(k >= 8 && k <= 65536 && k % 2 == 0,
+        s"quantile sketch k must be even and in [8, 65536], got $k")
+  }
+
+  /** Quantile-sketch aggregate of a numeric column: `binary` summary,
+    * query with [[quantileSketchQuery]], merge with
+    * [[quantileSketchMerge]]. Nulls and NaN are ignored (the
+    * [[graft.operators.Quantiles]] convention — its exact aggregates
+    * exclude them too, so sketch and exact answer the same question). */
+  case class QuantileSketchAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[QuantileState] {
+
+    QuantileState.checkK(k)
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"quantileSketch expects a double column (use Sketches.quantileSketch), got ${child.dataType}")
+
+    override def createAggregationBuffer(): QuantileState = new QuantileState(k)
+
+    override def update(buf: QuantileState, input: InternalRow): QuantileState = {
+      val v = child.eval(input)
+      if (v != null) {
+        val d = v.asInstanceOf[Double]
+        if (!java.lang.Double.isNaN(d)) buf.insert(d)
+      }
+      buf
+    }
+
+    override def merge(a: QuantileState, b: QuantileState): QuantileState = {
+      a.mergeIn(b); a
+    }
+
+    override def eval(buf: QuantileState): Any = buf.toBytes
+    override def serialize(buf: QuantileState): Array[Byte] = buf.toBytes
+    override def deserialize(bytes: Array[Byte]): QuantileState =
+      QuantileState.fromBytes(bytes)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0))
+    override def prettyName: String = "quantile_sketch"
+  }
+
+  /** Union of quantile-sketch columns (level-wise concatenation +
+    * re-compaction; same `k` required per row). */
+  case class QuantileSketchMergeAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[QuantileState] {
+
+    QuantileState.checkK(k)
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"quantileSketchMerge expects a binary sketch column, got ${child.dataType}")
+
+    override def createAggregationBuffer(): QuantileState = new QuantileState(k)
+
+    override def update(buf: QuantileState, input: InternalRow): QuantileState = {
+      val v = child.eval(input)
+      if (v != null) buf.mergeIn(QuantileState.fromBytes(v.asInstanceOf[Array[Byte]]))
+      buf
+    }
+
+    override def merge(a: QuantileState, b: QuantileState): QuantileState = {
+      a.mergeIn(b); a
+    }
+
+    override def eval(buf: QuantileState): Any = buf.toBytes
+    override def serialize(buf: QuantileState): Array[Byte] = buf.toBytes
+    override def deserialize(bytes: Array[Byte]): QuantileState =
+      QuantileState.fromBytes(bytes)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchMergeAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchMergeAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0))
+    override def prettyName: String = "quantile_sketch_merge"
+  }
+
+  /** p-quantile estimate from a sketch column. CodegenFallback on
+    * aggregated rows only (one row per group), like [[CountMinQueryExpr]]
+    * — never the data stream. Null sketch, null p, or an empty sketch
+    * (all-null/NaN group) yield null. */
+  case class QuantileSketchQueryExpr(sketch: Expression, p: Expression)
+    extends Expression with CodegenFallback {
+
+    override def children: Seq[Expression] = Seq(sketch, p)
+    override def nullable: Boolean = true
+    override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (sketch.dataType == BinaryType && p.dataType == DoubleType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"qsQuery expects (binary, double), got (${sketch.dataType}, ${p.dataType})")
+
+    override def eval(input: InternalRow): Any = {
+      val sk = sketch.eval(input)
+      val pv = p.eval(input)
+      if (sk == null || pv == null) null
+      else {
+        val st = QuantileState.fromBytes(sk.asInstanceOf[Array[Byte]])
+        if (st.n == 0L) null else st.query(pv.asInstanceOf[Double])
+      }
+    }
+
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+      copy(sketch = newChildren(0), p = newChildren(1))
+    override def prettyName: String = "qs_query"
+  }
+
+  /** Quantile-sketch aggregate of `c` (cast to double; null/NaN ignored).
+    * Worst-case rank error ≤ log₂(n/k)·n/(2k) — k=512 keeps it under ~2%
+    * out to n ≈ 10⁹; the summary is ≤ k·log₂(n/k) doubles (~90 KB). */
+  def quantileSketch(c: Column, k: Int = 512): Column =
+    GraftColumnBridge.column(QuantileSketchAgg(
+      GraftColumnBridge.expression(c.cast("double")), k).toAggregateExpression())
+
+  /** Merge of quantile-sketch columns (all built with the same `k`). */
+  def quantileSketchMerge(sketch: Column, k: Int = 512): Column =
+    GraftColumnBridge.column(QuantileSketchMergeAgg(
+      GraftColumnBridge.expression(sketch), k).toAggregateExpression())
+
+  /** Scalar p-quantile estimate from a sketch column (p in [0,1];
+    * p=0/p=1 are exact min/max). */
+  def quantileSketchQuery(sketch: Column, p: Column): Column =
+    GraftColumnBridge.column(QuantileSketchQueryExpr(
+      GraftColumnBridge.expression(sketch),
+      GraftColumnBridge.expression(p.cast("double"))))
 }

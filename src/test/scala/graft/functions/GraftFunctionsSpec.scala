@@ -51,7 +51,8 @@ class GraftFunctionsSpec extends SparkFunSuite {
         "quality_score", "lang_guess", "doc_fingerprint", "char_jaccard",
         "simhash64", "redact_pii", "dup_token_ratio", "winnow_fp",
         "top_k", "hll_sketch", "hll_merge", "hll_estimate", "freq_items",
-        "cm_sketch", "cm_merge", "cm_query", "funnel_stage", "token_windows"))
+        "cm_sketch", "cm_merge", "cm_query", "qs_sketch", "qs_merge",
+        "qs_query", "funnel_stage", "token_windows"))
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"$name not registered")
@@ -69,6 +70,19 @@ class GraftFunctionsSpec extends SparkFunSuite {
       "SELECT freq_items(v, 64) AS fi FROM sk").select(explode(col("fi")))
       .select("col.item", "col.cnt").collect()
     assert(fi.length == 37 && fi.map(_.getLong(1)).sum == 300L)
+    // quantile sketch: n=100 < k=128 so no compaction fires and the
+    // answer is exact — rank ceil(0.5·100) = 50 over values 1..100
+    spark.range(1, 101)
+      .selectExpr("CAST(id AS DOUBLE) AS x", "CAST(id % 4 AS INT) AS g")
+      .createOrReplaceTempView("qs")
+    val med = spark.sql(
+      "SELECT qs_query(qs_sketch(x, 128), 0.5D) AS m FROM qs").head.getDouble(0)
+    assert(med == 50.0)
+    val mergedMed = spark.sql(
+      """SELECT qs_query(qs_merge(sk, 128), 0.5D) AS m FROM
+        |  (SELECT qs_sketch(x, 128) AS sk FROM qs GROUP BY g)""".stripMargin)
+      .head.getDouble(0)
+    assert(mergedMed == 50.0)
   }
 
   test("funnel_stage and token_windows are callable from SQL and match the operators") {

@@ -131,4 +131,104 @@ class SketchesSpec extends SparkFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == Seq(("g1", "x", 2L), ("g2", "y", 1L)))
   }
+
+  // values 1..n as doubles make rank arithmetic transparent: the sketch
+  // only stores values it saw, so the estimate IS a rank, and the
+  // ε-approximate-quantile check is |est − ceil(p·n)| ≤ ε·n
+  private def rankErrBound(n: Int, k: Int, extraLevels: Int = 0): Double = {
+    val h = math.ceil(math.log(n.toDouble / k) / math.log(2)) + extraLevels
+    h * n / (2.0 * k)
+  }
+
+  test("quantileSketch: rank error within the deterministic MRL bound, random and sorted streams") {
+    val n = 50000
+    val k = 256
+    val bound = rankErrBound(n, k)
+    val ps = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val rng = new scala.util.Random(7)
+    val streams = Seq(
+      // shuffled: the benign case
+      "shuffled" -> rng.shuffle((1 to n).toVector),
+      // sorted runs: the adversarial case for deterministic alternation
+      // (every compaction sees an already-sorted buffer, so selection
+      // bias accumulates in one direction if alternation is broken)
+      "ascending" -> (1 to n).toVector,
+      "descending" -> (n to 1 by -1).toVector)
+    for ((label, data) <- streams) {
+      val df = data.map(_.toDouble).toDF("v") // local chunks keep run order
+      val sk = df.agg(Sketches.quantileSketch(col("v"), k).as("sk"))
+      val row = sk.select(ps.map(p =>
+        Sketches.quantileSketchQuery(col("sk"), lit(p)).as(s"p$p")): _*).head
+      ps.zipWithIndex.foreach { case (p, i) =>
+        val est = row.getDouble(i)
+        val target = math.ceil(p * n)
+        assert(math.abs(est - target) <= bound,
+          s"$label p=$p est=$est target=$target bound=$bound")
+      }
+    }
+  }
+
+  test("quantileSketch is exact below capacity and at the extremes") {
+    // n < k: no compaction ever fires, the sketch IS the data
+    val df = Seq(5.0, 1.0, 9.0, 3.0, 7.0).toDF("v")
+    val sk = df.agg(Sketches.quantileSketch(col("v"), 8).as("sk"))
+    val got = sk.select(
+      Sketches.quantileSketchQuery(col("sk"), lit(0.0)).as("lo"),
+      Sketches.quantileSketchQuery(col("sk"), lit(0.5)).as("med"),
+      Sketches.quantileSketchQuery(col("sk"), lit(1.0)).as("hi")).head
+    // lower-quantile convention: rank ceil(0.5·5) = 3 -> third smallest
+    assert(got.getDouble(0) == 1.0 && got.getDouble(1) == 5.0 &&
+      got.getDouble(2) == 9.0)
+  }
+
+  test("quantileSketch ignores null/NaN; an all-null group queries as null") {
+    val df = Seq(Some(1.0), None, Some(Double.NaN), Some(3.0)).toDF("v")
+    val r = df.agg(Sketches.quantileSketch(col("v"), 8).as("sk"))
+      .select(Sketches.quantileSketchQuery(col("sk"), lit(1.0))).head
+    assert(r.getDouble(0) == 3.0, "max must come from real values only")
+    val empty = Seq(Option.empty[Double]).toDF("v")
+      .agg(Sketches.quantileSketch(col("v"), 8).as("sk"))
+      .select(Sketches.quantileSketchQuery(col("sk"), lit(0.5))).head
+    assert(empty.isNullAt(0), "empty sketch must query as null")
+  }
+
+  test("per-source quantile sketches merge within the error bound") {
+    val n = 20000
+    val k = 256
+    // merging partials can add a compaction round beyond the insert-only
+    // accounting; one extra level of slack covers it
+    val bound = rankErrBound(n, k, extraLevels = 2)
+    val rng = new scala.util.Random(13)
+    val rows = rng.shuffle((1 to n).toVector).map(i => (s"src${i % 7}", i.toDouble))
+    val merged = rows.toDF("src", "v").repartition(8)
+      .groupBy("src").agg(Sketches.quantileSketch(col("v"), k).as("sk"))
+      .agg(Sketches.quantileSketchMerge(col("sk"), k).as("sk"))
+    val ps = Seq(0.1, 0.5, 0.9)
+    val row = merged.select(ps.map(p =>
+      Sketches.quantileSketchQuery(col("sk"), lit(p)).as(s"p$p")): _*).head
+    ps.zipWithIndex.foreach { case (p, i) =>
+      val est = row.getDouble(i)
+      val target = math.ceil(p * n)
+      assert(math.abs(est - target) <= bound,
+        s"merged p=$p est=$est target=$target bound=$bound")
+    }
+  }
+
+  test("quantile sketch bytes are deterministic for a fixed partition layout") {
+    // the alternating-parity compaction replaces KLL's random coin: the
+    // same single-partition stream must produce bit-identical bytes
+    val data = (1 to 5000).map(i => ((i * 2654435761L) % 9973).toDouble)
+    def build(): Array[Byte] = data.toDF("v").coalesce(1)
+      .agg(Sketches.quantileSketch(col("v"), 64)).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(build(), build()))
+  }
+
+  test("quantileSketchMerge rejects mismatched k") {
+    val a = Seq(1.0).toDF("v")
+      .agg(Sketches.quantileSketch(col("v"), 8)).head.getAs[Array[Byte]](0)
+    val e = intercept[Exception] {
+      Seq(a).toDF("sk").agg(Sketches.quantileSketchMerge(col("sk"), 16)).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
