@@ -51,6 +51,48 @@ class StreamSketchSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
+  test("grouped quantile sketch over a stream: exact below capacity, bounded above") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // three cold sources of 200 values (< k=256: no compaction, answers
+    // exact) plus one hot source of 2000 (> k: the MRL rank bound holds);
+    // per-group streaming state is the fixed-size sketch either way —
+    // the streaming percentile shape that never buffers the values
+    val cold = for (s <- 0 to 2; v <- 1 to 200) yield (s"src$s", v.toDouble)
+    val hot = (1 to 2000).map(v => ("hot", v.toDouble))
+    val rows = new scala.util.Random(5).shuffle(cold ++ hot)
+    val k = 256
+
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("source")
+      .agg(Sketches.quantileSketch(col("v"), k).as("sk"))
+      .select(col("source"),
+        Sketches.quantileSketchQuery(col("sk"), lit(0.5)).as("p50"))
+
+    def check(got: Map[String, Double]): Unit = {
+      // cold: rank ceil(0.5·200) = 100 exactly
+      for (s <- 0 to 2) assert(got(s"src$s") == 100.0, s"src$s: ${got(s"src$s")}")
+      // hot: H = ceil(log2(2000/256)) = 3 -> bound 3·2000/(2·256) ≈ 12
+      assert(math.abs(got("hot") - 1000.0) <= 12.0, s"hot: ${got("hot")}")
+    }
+
+    check(agg(rows.toDF("source", "v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+
+    val input = MemoryStream[(String, Double)]
+    val q = agg(input.toDS().toDF("source", "v"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("qs_out").start()
+    try {
+      input.addData(rows.take(1100): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(1100): _*)
+      q.processAllAvailable()
+      check(spark.table("qs_out")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+    } finally q.stop()
+  }
+
   test("watermarked event-time window distinct estimate == batch window aggregate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
