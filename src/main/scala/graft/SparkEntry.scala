@@ -1206,6 +1206,43 @@ object SparkEntry {
         .select(col("event_type"), round(col("median"), 4).as("median"),
           round(col("mad"), 4).as("mad"), col("n_outliers"))
         .orderBy("event_type")
+    }),
+    // mergeable quantile sketch gated q82/q98-style: exact per-lang
+    // token-count quantiles are computed by BOTH engines; the sketch
+    // estimates — built per SOURCE and merged per lang, the incremental
+    // deployment shape — are asserted inside the exact-value envelope at
+    // p ± 2% and the oracle states TRUE. The ±2% rank tolerance covers
+    // the deterministic MRL bound H/(2k) for k=512 out to n ≈ 5·10⁸ per
+    // group; below capacity (this fixture) the estimate is exact, and a
+    // data value at rank within ±εn always lies inside [v(p−ε), v(p+ε)]
+    "q99_quantile_sketch" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .select(col("lang"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("double").as("n_tok"))
+      val k = 512
+      val sk = docs.groupBy("lang", "source")
+        .agg(Sketches.quantileSketch(col("n_tok"), k).as("sk"))
+        .groupBy("lang")
+        .agg(Sketches.quantileSketchMerge(col("sk"), k).as("sk"))
+        .select(col("lang"),
+          Sketches.quantileSketchQuery(col("sk"), lit(0.5)).as("_e50"),
+          Sketches.quantileSketchQuery(col("sk"), lit(0.9)).as("_e90"))
+      val env = Quantiles.exactGrouped(docs, Seq("lang"), "n_tok",
+          Seq(0.48, 0.5, 0.52, 0.88, 0.9, 0.92))
+        .groupBy("lang").agg(
+          max(when(col("p") === 0.48, col("value"))).as("_lo50"),
+          max(when(col("p") === 0.5, col("value"))).as("_v50"),
+          max(when(col("p") === 0.52, col("value"))).as("_hi50"),
+          max(when(col("p") === 0.88, col("value"))).as("_lo90"),
+          max(when(col("p") === 0.9, col("value"))).as("_v90"),
+          max(when(col("p") === 0.92, col("value"))).as("_hi90"))
+      sk.join(env, "lang")
+        .select(col("lang"),
+          round(col("_v50"), 4).as("p50_exact"),
+          round(col("_v90"), 4).as("p90_exact"),
+          (col("_e50") >= col("_lo50") && col("_e50") <= col("_hi50")).as("p50_in_tol"),
+          (col("_e90") >= col("_lo90") && col("_e90") <= col("_hi90")).as("p90_in_tol"))
+        .orderBy("lang")
     })
   )
 
@@ -2311,6 +2348,18 @@ object SparkEntry {
         |  round(any_value(mad.md), 4) AS mad,
         |  CAST(count(*) FILTER (d.adev > mad.md * 3.0) AS BIGINT) AS n_outliers
         |FROM d JOIN mad USING (event_type)
-        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    // identical tokenization (q90's regexp split of trimmed text) and the
+    // q85-verified quantile_cont ≡ exactGrouped interpolation; the sketch
+    // tolerance flags are asserted Spark-side, the oracle states TRUE
+    "q99_quantile_sketch" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |      AS n_tok FROM documents)
+        |SELECT lang,
+        |  round(quantile_cont(n_tok, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(n_tok, 0.9), 4) AS p90_exact,
+        |  TRUE AS p50_in_tol, TRUE AS p90_in_tol
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
