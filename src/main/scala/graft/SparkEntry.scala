@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, IncrementalDedup, IvfIndex, Multimodal, Pack, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, LanguageModel, Multimodal, Pack, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1243,6 +1243,29 @@ object SparkEntry {
           (col("_e50") >= col("_lo50") && col("_e50") <= col("_hi50")).as("p50_in_tol"),
           (col("_e90") >= col("_lo90") && col("_e90") <= col("_hi90")).as("p90_in_tol"))
         .orderBy("lang")
+    }),
+    // CCNet-style LM quality scoring: add-one bigram trained on one
+    // trusted source, every document scored by avg negative log
+    // likelihood. Counts and V are exact integers; each nll is ln of one
+    // integer-ratio double; the per-doc sum folds in position order and
+    // rounds to 4dp — the q93 determinism recipe
+    "q100_lm_perplexity" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val model = LanguageModel.trainBigram(
+        d.filter(col("source") === "src0"), "text")
+      LanguageModel.perplexityScore(d, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+    // DSIR importance resampling: hashed-bigram likelihood ratios
+    // (target = en docs) + deterministic Gumbel top-k. Bucket counts are
+    // exact integers via the base-257 polynomial hash both engines
+    // replay; log-ratio and Gumbel keys are fixed-order folds over exact
+    // integer-ratio ln args, so the SELECTED SET reproduces exactly
+    "q101_dsir_resample" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Importance.dsirResample(d, d.filter(col("lang") === "en"),
+          "doc_id", "text", k = 100, buckets = 1024)
+        .orderBy("rank")
     })
   )
 
@@ -2360,6 +2383,90 @@ object SparkEntry {
         |  round(quantile_cont(n_tok, 0.5), 4) AS p50_exact,
         |  round(quantile_cont(n_tok, 0.9), 4) AS p90_exact,
         |  TRUE AS p50_in_tol, TRUE AS p90_in_tol
-        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    // identical tokenization (the q93 normalize chain), identical integer
+    // bigram counts with a '<s>' BOS context, identical
+    // ln((c+1)/(cc+V+1)) per position, identical position-ordered fold
+    // (list_reduce with a prepended 0.0 seed == Spark's aggregate seed)
+    "q100_lm_perplexity" ->
+      """WITH tks AS (SELECT doc_id, source,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |bg AS (SELECT doc_id, source, i,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS prev, tk[i] AS cur
+        |  FROM (SELECT doc_id, source, tk,
+        |        unnest(generate_series(1, len(tk))) AS i
+        |        FROM tks WHERE len(tk) >= 1)),
+        |cnt AS (SELECT prev, cur, count(*) AS c FROM bg
+        |  WHERE source = 'src0' GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(c) AS cc FROM cnt GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT cur) AS v FROM cnt),
+        |sc AS (SELECT bg.doc_id, i,
+        |    -ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
+        |        CAST(coalesce(cc, 0) + v + 1 AS DOUBLE)) AS nll
+        |  FROM bg LEFT JOIN cnt USING (prev, cur)
+        |    LEFT JOIN ctx USING (prev), vv),
+        |f AS (SELECT doc_id, count(*) AS n_tokens,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(nll ORDER BY i)),
+        |      (a, b) -> a + b) AS s
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(s / CAST(n_tokens AS DOUBLE), 4) AS avg_nll
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // identical hashed-bigram buckets (base-257/mod-1e9+7 string hash, the
+    // q74 recipe as a seeded left fold), identical integer bucket counts,
+    // identical fixed-order log-ratio fold, identical deterministic Gumbel
+    // key from the id hash — rank replayed by window over the same key
+    "q101_dsir_resample" ->
+      """WITH tks AS (SELECT doc_id, lang,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |pr AS (SELECT doc_id, lang, i, tk[i] || ' ' || tk[i+1] AS g
+        |  FROM (SELECT doc_id, lang, tk,
+        |        unnest(generate_series(1, len(tk) - 1)) AS i
+        |        FROM tks WHERE len(tk) >= 2)),
+        |ft AS (SELECT doc_id, lang, i,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, len(g)),
+        |        j -> CAST(unicode(g[j]) AS BIGINT))),
+        |      (a, b) -> (a * 257 + b) % 1000000007) % 1024 AS bucket
+        |  FROM pr),
+        |ct AS (SELECT bucket, count(*) AS ct FROM ft
+        |  WHERE lang = 'en' GROUP BY 1),
+        |cr AS (SELECT bucket, count(*) AS cr FROM ft GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(ct) FROM ct) AS nt,
+        |    (SELECT sum(cr) FROM cr) AS nr),
+        |lam AS (SELECT ft.doc_id, i,
+        |    ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) /
+        |       CAST(nt + 1024 AS DOUBLE)) -
+        |    ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) /
+        |       CAST(nr + 1024 AS DOUBLE)) AS lam
+        |  FROM ft LEFT JOIN ct USING (bucket)
+        |    LEFT JOIN cr USING (bucket), tot),
+        |w0 AS (SELECT doc_id, count(*) AS n_feats,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lam ORDER BY i)),
+        |      (a, b) -> a + b) AS logw
+        |  FROM lam GROUP BY 1),
+        |w AS (SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+        |    coalesce(logw, CAST(0 AS DOUBLE)) AS logw
+        |  FROM documents d LEFT JOIN w0 USING (doc_id)),
+        |gk AS (SELECT doc_id, n_feats, logw, logw - ln(-ln(
+        |    (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1,
+        |          len(CAST(doc_id AS VARCHAR) || ':dsir')),
+        |        j -> CAST(unicode((CAST(doc_id AS VARCHAR) || ':dsir')[j])
+        |          AS BIGINT))),
+        |      (a, b) -> (a * 257 + b) % 1000000007) AS DOUBLE) + 0.5)
+        |    / 1000000007.0)) AS k
+        |  FROM w),
+        |r AS (SELECT doc_id, n_feats, logw,
+        |    row_number() OVER (ORDER BY k DESC, doc_id) AS rank FROM gk)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_feats,
+        |  round(logw, 6) AS logw
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
   )
 }

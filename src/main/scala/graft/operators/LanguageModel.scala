@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity scoring — the CCNet quality signal
+  * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+  * from Web Crawl Data", LREC 2020): train a small LM on a trusted slice,
+  * score every candidate document by its per-token negative log
+  * likelihood, and filter/bucket the corpus on that score. CCNet uses a
+  * KenLM 5-gram; here the model is an add-one-smoothed BIGRAM over the
+  * shared [[TextAnalysis.normalized]] token stream — the same
+  * train-on-clean / score-everything shape, with integer counts and a
+  * fixed-order fold so the score is bit-reproducible across engines.
+  *
+  * Model: `p(cur | prev) = (c(prev,cur) + 1) / (c(prev) + V + 1)` where
+  * `V` is the training vocabulary size (distinct continuation tokens) and
+  * the `+ 1` in the denominator reserves mass for a single implicit
+  * `<unk>` outcome; a token never seen in training contributes
+  * `c = 0` (and an unseen context `c(prev) = 0`), so out-of-vocabulary
+  * text scores low without any special casing. Each document is scored as
+  * `avg_nll = (1/m) * sum_i -ln p(w_i | w_{i-1})` with `w_0` the
+  * beginning-of-sentence marker [[LanguageModel.Bos]]; perplexity is
+  * `exp(avg_nll)` — monotone, so filtering on `avg_nll` is filtering on
+  * perplexity.
+  *
+  * Scale shape (100 TB corpus, model trained on a curated slice):
+  *  - [[trainBigram]] is one map-side-combinable aggregation whose output
+  *    is bounded by the number of distinct bigram TYPES in the training
+  *    slice — vocabulary-squared at worst, never corpus-sized.
+  *  - [[perplexityScore]] touches the scored corpus once: the bigram
+  *    stream joins the model and its context totals map-side (broadcast
+  *    below `maxBroadcastRows` model rows — counted, not guessed — with a
+  *    shuffle-join fallback above, the gated-broadcast convention of
+  *    `Dedup.ngramJaccardPairs`), and the only corpus-sized exchange is
+  *    the per-document regroup for the ordered fold, whose partial
+  *    `collect_list` completes map-side because a document's bigrams
+  *    never leave the task that exploded them.
+  *
+  * Cross-engine determinism: counts and `V` are exact integers; each
+  * per-position `-ln((c+1)/(c_ctx+V+1))` is `ln` of one exact
+  * integer-ratio double; the per-document sum folds in POSITION order
+  * (never an order-dependent parallel double sum); the 4-decimal output
+  * round absorbs a stray `ln` ulp. The DuckDB oracle replays the fold
+  * with `list_reduce(list_prepend(0.0, list(nll ORDER BY pos)))`.
+  */
+object LanguageModel {
+
+  /** Beginning-of-sentence context. Contains characters
+    * [[TextAnalysis.normalized]] can never emit, so it cannot collide
+    * with a real token. */
+  val Bos = "<s>"
+
+  private def tokens(text: Column): Column =
+    filter(split(TextAnalysis.normalized(text), " "), c => c =!= "")
+
+  /** `(id, pos, prev, cur)` bigram stream with [[Bos]] at position 1;
+    * documents with no tokens emit nothing. The token array is projected
+    * to an attribute before the lambda references it (the
+    * `Scrub.wordNgrams` let-binding lesson). */
+  private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= 1)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("_tk"))),
+        i => struct(i.cast("int").as("pos"),
+          when(i === 1, lit(Bos)).otherwise(element_at(col("_tk"), i - 1)).as("prev"),
+          element_at(col("_tk"), i).as("cur")))).as("_p"))
+      .select(col(idCol), col("_p.pos").as("pos"),
+        col("_p.prev").as("prev"), col("_p.cur").as("cur"))
+
+  /** Add-one bigram counts `(prev, cur, c)` over the training slice.
+    * `c(Bos, w)` counts documents starting with `w`, so sentence-initial
+    * probability falls out of the same table. One aggregation, output
+    * bounded by distinct bigram types. */
+  def trainBigram(train: DataFrame, textCol: String): DataFrame =
+    bigrams(train.select(lit(0L).as("_lm_id"), col(textCol)), "_lm_id", textCol)
+      .groupBy("prev", "cur").agg(count(lit(1)).as("c"))
+
+  /** Per-document LM score `(idCol, n_tokens, avg_nll)` of `docs` under a
+    * [[trainBigram]] model — `avg_nll` rounded to 4 decimals, lower =
+    * more like the training slice. Documents with no tokens are dropped
+    * (a 0-token perplexity is undefined). Context totals and `V` derive
+    * from the model itself, so a materialized count table is the whole
+    * model artifact. */
+  def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
+                      model: DataFrame,
+                      maxBroadcastRows: Long = 50000000L): DataFrame = {
+    // Pin the model: it feeds four consumers (count gate, pair join,
+    // context totals, vocabulary size) — without a barrier the training
+    // aggregation re-runs per consumer.
+    val m = model.localCheckpoint(false)
+    val small = m.count() <= maxBroadcastRows // counted once, not guessed
+    val mSide = if (small) broadcast(m) else m
+    val ctx = m.groupBy("prev").agg(sum("c").as("cc"))
+    val ctxSide = if (small) broadcast(ctx) else ctx
+    val stats = m.agg(countDistinct(col("cur")).as("v"))
+
+    val nll = bigrams(docs, idCol, textCol)
+      .join(mSide, Seq("prev", "cur"), "left")
+      .join(ctxSide, Seq("prev"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("pos"),
+        (-log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("cc"), lit(0L)) + col("v") + lit(1L)).cast("double")))
+          .as("nll"))
+    // Fixed-order left fold over (pos asc) — never a parallel double sum.
+    nll.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        collect_list(struct(col("pos"), col("nll"))).as("cl"))
+      .select(col(idCol), col("n_tokens"),
+        round(aggregate(sort_array(col("cl")), lit(0.0),
+            (a, s) => a + s.getField("nll")) /
+          col("n_tokens").cast("double"), 4).as("avg_nll"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class LanguageModelSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Naive reference: identical normalization, add-one bigram model,
+    * position-ordered left-fold score. */
+  private def naive(train: Seq[String],
+                    score: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ")
+        .trim.split(" ").filter(_.nonEmpty).toSeq
+    def pairs(t: Seq[String]): Seq[(String, String)] =
+      (LanguageModel.Bos +: t).zip(t)
+    val cnt = train.map(toks).filter(_.nonEmpty).flatMap(pairs)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ctx = cnt.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val v = cnt.keys.map(_._2).toSet.size.toLong
+    score.flatMap { case (id, text) =>
+      val t = toks(text)
+      if (t.isEmpty) None
+      else {
+        val nll = pairs(t).foldLeft(0.0) { case (a, (p, c)) =>
+          a + -math.log((cnt.getOrElse((p, c), 0L) + 1L).toDouble /
+            (ctx.getOrElse(p, 0L) + v + 1L).toDouble)
+        }
+        Some(id -> (t.size.toLong, round4(nll / t.size)))
+      }
+    }.toMap
+  }
+
+  test("trainBigram counts BOS-prefixed bigrams") {
+    val train = Seq("a b a b", "a c").toDF("text")
+    val got = LanguageModel.trainBigram(train, "text")
+      .collect().map { case Row(p: String, c: String, n: Long) => ((p, c), n) }
+      .toMap
+    assert(got(("<s>", "a")) === 2L) // both docs start with 'a'
+    assert(got(("a", "b")) === 2L)
+    assert(got(("b", "a")) === 1L)
+    assert(got(("a", "c")) === 1L)
+    assert(got.values.sum === 6L) // 4 + 2 tokens = 6 bigram events
+  }
+
+  test("perplexityScore matches a hand-computed tiny model") {
+    // Model from "a b" once: c(<s>,a)=1, c(a,b)=1; V=2 (a, b).
+    // Scoring "a b": p(a|<s>) = (1+1)/(1+3) = 0.5, p(b|a) = 0.5
+    //   -> avg_nll = ln 2.
+    // Scoring "b b": p(b|<s>) = (0+1)/(1+3) = 0.25, p(b|b) = (0+1)/(0+3)
+    //   -> avg_nll = (ln 4 + ln 3) / 2.
+    val model = LanguageModel.trainBigram(Seq("a b").toDF("text"), "text")
+    val got = LanguageModel.perplexityScore(
+        Seq((1L, "a b"), (2L, "b b")).toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect().map { case Row(id: Long, n: Long, s: Double) => id -> (n, s) }
+      .toMap
+    assert(got(1L) === ((2L, round4(math.log(2.0)))))
+    assert(got(2L) === ((2L, round4((math.log(4.0) + math.log(3.0)) / 2.0))))
+  }
+
+  test("token-less documents are dropped; training-like text scores lower") {
+    val train = Seq("the quick brown fox jumps", "the quick brown dog runs")
+      .toDF("text")
+    val model = LanguageModel.trainBigram(train, "text")
+    val docs = Seq((1L, "the quick brown fox runs"), (2L, "zzz yyy xxx www"),
+      (3L, "..."), (4L, "")).toDF("doc_id", "text")
+    val got = LanguageModel.perplexityScore(docs, "doc_id", "text", model)
+      .collect().map { case Row(id: Long, _, s: Double) => id -> s }.toMap
+    assert(got.keySet === Set(1L, 2L)) // 3 and 4 have no tokens
+    assert(got(1L) < got(2L)) // in-distribution text is likelier
+  }
+
+  test("randomized differential against the naive reference") {
+    val rng = new scala.util.Random(20260813)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def doc(): String =
+      Seq.fill(1 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")
+    val train = Seq.fill(30)(doc())
+    val score = (1L to 60L).map(i => i -> doc())
+    val model = LanguageModel.trainBigram(train.toDF("text"), "text")
+    val got = LanguageModel.perplexityScore(
+        score.toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map { case Row(id: Long, n: Long, s: Double) => id -> (n, s) }
+      .toMap
+    assert(got === naive(train, score))
+  }
+
+  test("shuffle-join fallback above the broadcast cap is value-identical") {
+    val train = Seq("a b c a b", "c a b c").toDF("text")
+    val docs = Seq((1L, "a b c"), (2L, "c c c")).toDF("doc_id", "text")
+    val model = LanguageModel.trainBigram(train, "text")
+    val bc = LanguageModel.perplexityScore(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect().toSeq
+    val sj = LanguageModel.perplexityScore(docs, "doc_id", "text", model,
+        maxBroadcastRows = 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(bc === sj)
+  }
+}
