@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, LanguageModel, Multimodal, Pack, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1266,6 +1266,22 @@ object SparkEntry {
       Importance.dsirResample(d, d.filter(col("lang") === "en"),
           "doc_id", "text", k = 100, buckets = 1024)
         .orderBy("rank")
+    }),
+    // PMI collocation mining: exact integer unigram/bigram counts, fixed
+    // three-ln fold rounded to 4dp, rank tie-broken by the shared
+    // polynomial hash — the q100/q101 determinism recipe
+    "q102_pmi_collocations" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Phrases.pmiCollocations(d, "text", k = 50, minCount = 5L)
+        .orderBy("rank")
+    }),
+    // n-gram novelty vs the src0 slice: distinct trigrams per doc, absent
+    // grams counted via a polyHash join both engines replay exactly
+    "q103_ngram_novelty" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Novelty.ngramNovelty(d, d.filter(col("source") === "src0"),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
     })
   )
 
@@ -2467,6 +2483,67 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY k DESC, doc_id) AS rank FROM gk)
         |SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_feats,
         |  round(logw, 6) AS logw
-        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // identical integer unigram/bigram counts, identical left-associated
+    // ln(p_ab) - ln(p_a) - ln(p_b) rounded to 4dp, identical rank order
+    // (rounded pmi DESC, base-257 polynomial hash of the pair text ASC)
+    "q102_pmi_collocations" ->
+      """WITH tks AS (SELECT list_filter(string_split(trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS cu
+        |  FROM (SELECT unnest(tk) AS w FROM tks) GROUP BY 1),
+        |bi AS (SELECT tk[i] AS a, tk[i+1] AS b, count(*) AS cb
+        |  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        |        FROM tks WHERE len(tk) >= 2) GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT sum(cu) FROM uni) AS n1,
+        |    (SELECT sum(cb) FROM bi) AS n2),
+        |p AS (SELECT a || ' ' || b AS gram, cb,
+        |    round(ln(CAST(cb AS DOUBLE) / CAST(n2 AS DOUBLE)) -
+        |          ln(CAST(ua.cu AS DOUBLE) / CAST(n1 AS DOUBLE)) -
+        |          ln(CAST(ub.cu AS DOUBLE) / CAST(n1 AS DOUBLE)), 4) AS pmi
+        |  FROM bi JOIN uni ua ON ua.w = bi.a JOIN uni ub ON ub.w = bi.b, tot
+        |  WHERE cb >= 5),
+        |h AS (SELECT gram, cb, pmi,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, len(gram)),
+        |        j -> CAST(unicode(gram[j]) AS BIGINT))),
+        |      (x, y) -> (x * 257 + y) % 1000000007) AS th
+        |  FROM p),
+        |r AS (SELECT gram, cb, pmi,
+        |    row_number() OVER (ORDER BY pmi DESC, th, gram) AS rank FROM h)
+        |SELECT CAST(rank AS INTEGER) AS rank, gram, cb AS pair_count, pmi
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // identical distinct-trigram sets per document, identical polynomial
+    // gram hashes on both join sides (a hash collision is a SHARED false
+    // "seen", not a divergence), identical integer counts and 4dp ratio
+    "q103_ngram_novelty" ->
+      """WITH tks AS (SELECT doc_id, source,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |dg AS (SELECT doc_id, source, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+        |  FROM tks WHERE len(tk) >= 3),
+        |dh AS (SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, len(g)),
+        |        j -> CAST(unicode(g[j]) AS BIGINT))),
+        |      (x, y) -> (x * 257 + y) % 1000000007) AS h
+        |  FROM dg),
+        |rd AS (SELECT DISTINCT h, 1 AS seen FROM dh WHERE source = 'src0'),
+        |agg AS (SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM dh LEFT JOIN rd USING (h) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(n_grams, CAST(0 AS BIGINT)) AS n_grams,
+        |  coalesce(n_novel, CAST(0 AS BIGINT)) AS n_novel,
+        |  round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 4)
+        |    AS novelty
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

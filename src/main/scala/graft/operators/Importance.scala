@@ -51,14 +51,7 @@ object Importance {
 
   private val HashMod = 1000000007L
 
-  /** Exact-integer polynomial rolling hash of a whole string (base 257
-    * mod 1e9+7, the winnowing recipe as a left fold — every intermediate
-    * is < 258 * 1e9+7, exact in Long on any engine). */
-  private def polyHash(s: Column): Column = {
-    val codes = transform(filter(split(s, ""), c => c =!= ""),
-      c => ascii(c).cast("long"))
-    aggregate(codes, lit(0L), (h, c) => pmod(h * lit(257L) + c, lit(HashMod)))
-  }
+  private def polyHash(s: Column): Column = TextAnalysis.polyHash(s)
 
   /** `(id, pos, bucket)` hashed-bigram feature stream. One occurrence per
     * adjacent token pair — DSIR weights use occurrence COUNTS, so no

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopK
+
+/** Collocation mining by pointwise mutual information — PMI (Church &
+  * Hanks, "Word Association Norms, Mutual Information, and Lexicography",
+  * Computational Linguistics 1990): rank adjacent word pairs by how much
+  * more often they co-occur than independence predicts,
+  * `pmi(a,b) = ln p(a,b) − ln p(a) − ln p(b)`, with unigram probabilities
+  * from token occurrences and bigram probabilities from adjacent-pair
+  * occurrences. The classic phrase-mining signal for a training corpus:
+  * top-PMI pairs above a count floor are the multi-word expressions
+  * ("new york", "machine learning") a tokenizer or n-gram feature
+  * pipeline should treat as units.
+  *
+  * The count floor (`minCount`) is PMI's standard low-frequency guard —
+  * a pair seen twice where each word is seen twice scores a huge PMI that
+  * is pure noise; the floor is applied to the PAIR count before any join,
+  * so rare pairs never reach the scoring joins at all.
+  *
+  * Scale shape (corpus is the 100 TB side):
+  *  - Two corpus passes, each ONE map-side-combinable aggregation whose
+  *    output is type-bounded, never corpus-sized: unigram counts (vocab
+  *    rows) and adjacent-pair counts (vocab² worst case, Zipf-tiny in
+  *    practice). The unigram table is localCheckpointed once (it feeds
+  *    both totals and two scoring joins) and broadcast when a COUNTED
+  *    size clears `maxBroadcastRows` (the gated-broadcast convention of
+  *    `Dedup.ngramJaccardPairs`), with a shuffle-join fallback above.
+  *  - Selection is the O(k)-state [[TopK]] aggregate — map-side partial
+  *    heaps over the already-type-bounded scored pairs, never a global
+  *    sort.
+  *
+  * Cross-engine determinism: all counts are exact integers; the score is
+  * a FIXED left-associated fold of three `ln`s of exact integer-ratio
+  * doubles, rounded to 4 decimals; ranking orders by the ROUNDED score
+  * with ties broken by the exact-integer [[TextAnalysis.polyHash]] of the
+  * pair text — replayable in any engine. Two distinct pairs hashing to
+  * the same (rounded score, hash) key would tie unstably, but that is a
+  * ~1e-9 event per tied pair under the 1e9+7 modulus, and the oracle
+  * orders by the same key.
+  */
+object Phrases {
+
+  /** Top-`k` adjacent-pair collocations of `docs` by PMI as
+    * `(rank, gram, pair_count, pmi)` — `gram` is the space-joined pair,
+    * `pmi` rounded to 4 decimals, `rank` 1-based by
+    * `(pmi DESC, polyHash(gram) ASC)`. Pairs with fewer than `minCount`
+    * occurrences are excluded before scoring. */
+  def pmiCollocations(docs: DataFrame, textCol: String, k: Int,
+                      minCount: Long = 5L,
+                      maxBroadcastRows: Long = 50000000L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(minCount >= 1L, s"minCount ($minCount) must be >= 1")
+    val toks = docs
+      .select(filter(split(TextAnalysis.normalized(col(textCol)), " "),
+        c => c =!= "").as("_tk"))
+
+    // Unigram counts: vocab-bounded output, pinned once — it feeds the n1
+    // total and BOTH scoring joins below.
+    val uni = toks.select(explode(col("_tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(false)
+    val small = uni.count() <= maxBroadcastRows // counted once, not guessed
+    def gated(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
+    // Adjacent-pair counts: type-bounded output, pinned once — it feeds
+    // the n2 total (which must include sub-floor pairs) and the floored
+    // scoring stream.
+    val bi = toks.filter(size(col("_tk")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("_tk")) - 1),
+        i => struct(element_at(col("_tk"), i).as("a"),
+          element_at(col("_tk"), i + 1).as("b")))).as("_p"))
+      .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+      .agg(count(lit(1)).as("cb"))
+      .localCheckpoint(false)
+
+    val totals = uni.agg(sum("cu").as("n1"))
+      .crossJoin(bi.agg(sum("cb").as("n2")))
+
+    // Fixed fold: ln p(a,b) − ln p(a) − ln p(b), each ln arg one exact
+    // integer-ratio double; left-associated exactly as the oracle writes it.
+    val scored = bi.filter(col("cb") >= lit(minCount))
+      .join(gated(uni.select(col("w").as("a"), col("cu").as("ca"))), Seq("a"))
+      .join(gated(uni.select(col("w").as("b"), col("cu").as("cbw"))), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(concat(col("a"), lit(" "), col("b")).as("gram"), col("cb"),
+        round(log(col("cb").cast("double") / col("n2").cast("double")) -
+          log(col("ca").cast("double") / col("n1").cast("double")) -
+          log(col("cbw").cast("double") / col("n1").cast("double")), 4)
+          .as("pmi"))
+
+    scored.agg(TopK.topK(k, col("pmi"),
+        TextAnalysis.polyHash(col("gram")),
+        struct(col("gram"), col("cb"), col("pmi"))).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.payload.gram").as("gram"),
+        col("col.payload.cb").as("pair_count"),
+        col("col.payload.pmi").as("pmi"))
+  }
+}

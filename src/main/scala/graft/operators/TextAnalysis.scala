@@ -92,6 +92,20 @@ object TextAnalysis {
   private def letBind(a: Column)(f: Column => Column): Column =
     get(transform(array(a), f), lit(0))
 
+  /** Exact-integer polynomial hash of a WHOLE string: base 257 mod 1e9+7
+    * as a seeded left fold, so every intermediate is `< 258 * (1e9+7)` —
+    * exact in a `Long` on any engine, and replayable in SQL as a
+    * `list_reduce` over character codes. The whole-string counterpart of
+    * the char-k-gram rolling hash in [[winnowingFingerprints]]; used as a
+    * cross-engine join/tie-break key for gram tables
+    * ([[graft.operators.Phrases]], [[graft.operators.Novelty]]) and for
+    * [[graft.operators.Importance]]'s deterministic Gumbel draws. */
+  def polyHash(s: Column): Column = {
+    val codes = transform(filter(split(s, ""), c => c =!= ""),
+      c => ascii(c).cast("long"))
+    aggregate(codes, lit(0L), (h, c) => pmod(h * lit(257L) + c, lit(1000000007L)))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme) — ROLLING-HASH document
     * fingerprinting: polynomial hashes of the normalized text's char
     * `k`-grams (base 257, mod 1e9+7 — exact `long` arithmetic, every term
