@@ -80,4 +80,15 @@ class NoveltySpec extends SparkFunSuite {
     val ref = Seq("m n o", "p q r s")
     assert(run(docs, ref, 3) === run(docs, ref, 3, maxBroadcastRows = 0L))
   }
+
+  test("plan: the reference dictionary broadcasts below the cap") {
+    // The corpus gram stream must join the dictionary map-side — a
+    // sort-merge here would shuffle the whole corpus's grams by hash.
+    val docs = (1L to 20L).map(i => (i, "e f g h i")).toDF("doc_id", "text")
+    val ref = Seq(Tuple1("e f g")).toDF("text")
+      .withColumn("doc_id", org.apache.spark.sql.functions.lit(0L))
+    val plan = Novelty.ngramNovelty(docs, ref, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dict join must broadcast")
+  }
 }

@@ -87,4 +87,15 @@ class PhrasesSpec extends SparkFunSuite {
       k = 10, minCount = 2L, maxBroadcastRows = 0L).collect().toSeq
     assert(big === small)
   }
+
+  test("plan: unigram table broadcasts into the scoring joins below the cap") {
+    // The pair stream must never sort-merge against the vocab table when
+    // the counted gate clears — both scoring joins ride the broadcast.
+    val docs = Seq.fill(20)("k l m n o k l").toDF("text")
+    val plan = Phrases.pmiCollocations(docs, "text", k = 5, minCount = 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "uni joins must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the scored pair stream must not sort-merge against the vocab table")
+  }
 }
