@@ -46,6 +46,7 @@ object GraftFunctions {
     columnFn("redact_pii", 1)(cs => Scrub.redactPii(cs(0))),
     columnFn("dup_token_ratio", 1)(cs => Scrub.duplicateTokenRatio(cs(0))),
     columnFn("winnow_fp", 1)(cs => TextAnalysis.winnowingFingerprints(cs(0))),
+    columnFn("poly_hash", 1)(cs => TextAnalysis.polyHash(cs(0))),
     // aggregate: k must be a foldable literal (it sizes the aggregation
     // buffer, which exists before any row is seen)
     "top_k" -> { exprs =>

@@ -49,7 +49,7 @@ class GraftFunctionsSpec extends SparkFunSuite {
     for (name <- Seq("vec_dot", "vec_cosine", "vec_l2_norm", "vec_l2_dist",
         "quantize_int8", "dequant_int8", "token_count", "subword_count",
         "quality_score", "lang_guess", "doc_fingerprint", "char_jaccard",
-        "simhash64", "redact_pii", "dup_token_ratio", "winnow_fp",
+        "simhash64", "redact_pii", "dup_token_ratio", "winnow_fp", "poly_hash",
         "top_k", "hll_sketch", "hll_merge", "hll_estimate", "freq_items",
         "cm_sketch", "cm_merge", "cm_query", "qs_sketch", "qs_merge",
         "qs_query", "funnel_stage", "token_windows"))
@@ -83,6 +83,13 @@ class GraftFunctionsSpec extends SparkFunSuite {
         |  (SELECT qs_sketch(x, 128) AS sk FROM qs GROUP BY g)""".stripMargin)
       .head.getDouble(0)
     assert(mergedMed == 50.0)
+  }
+
+  test("poly_hash is callable from SQL and matches the left-fold definition") {
+    GraftFunctions.register(spark)
+    // "ab" -> (0*257 + 97)*257 + 98 = 25027 (mod 1e9+7 inert this small)
+    assert(spark.sql("SELECT poly_hash('ab') AS h").head.getLong(0) == 25027L)
+    assert(spark.sql("SELECT poly_hash('') AS h").head.getLong(0) == 0L)
   }
 
   test("funnel_stage and token_windows are callable from SQL and match the operators") {
