@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1282,6 +1282,14 @@ object SparkEntry {
       Novelty.ngramNovelty(d, d.filter(col("source") === "src0"),
           "doc_id", "text", n = 3)
         .orderBy("doc_id")
+    }),
+    // TF-IDF keyword extraction: exact integer tf/df/N, one multiply by
+    // ln of an exact integer ratio rounded to 4dp, per-doc rank
+    // tie-broken by the shared polynomial hash — the q102 rank recipe
+    "q104_tfidf_keywords" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Keywords.tfidfKeywords(d, "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")
     })
   )
 
@@ -2544,6 +2552,34 @@ object SparkEntry {
         |  coalesce(n_novel, CAST(0 AS BIGINT)) AS n_novel,
         |  round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 4)
         |    AS novelty
-        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // identical integer tf/df/N, identical tf * ln(N/df) rounded to 4dp,
+    // identical per-document rank key (rounded score DESC, polynomial
+    // hash of the term ASC)
+    "q104_tfidf_keywords" ->
+      """WITH tks AS (SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |tfq AS (SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS t FROM tks) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tfq),
+        |sc AS (SELECT doc_id, term, tf,
+        |    round(CAST(tf AS DOUBLE) *
+        |      ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+        |  FROM tfq JOIN dfq USING (term), nd),
+        |h AS (SELECT doc_id, term, tf, tfidf,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, len(term)),
+        |        j -> CAST(unicode(term[j]) AS BIGINT))),
+        |      (x, y) -> (x * 257 + y) % 1000000007) AS th
+        |  FROM sc),
+        |r AS (SELECT doc_id, term, tf, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, th, term) AS rank FROM h)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, tfidf
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
   )
 }
