@@ -11,7 +11,8 @@ class ImportanceSpec extends SparkFunSuite {
   private def polyHash(s: String): Long =
     s.foldLeft(0L)((h, c) => (h * 257L + c.toLong) % Mod)
   private def toks(s: String): Seq[String] =
-    s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ")
+    if (s == null) Nil
+    else s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ")
       .trim.split(" ").filter(_.nonEmpty).toSeq
 
   /** Naive reference for the whole DSIR weight pipeline. */
@@ -45,7 +46,8 @@ class ImportanceSpec extends SparkFunSuite {
     3L -> "ducks swim on the quiet pond",
     4L -> "geese fly over the quiet pond",
     5L -> "x", // single token: no bigram features
-    6L -> "") // no tokens at all
+    6L -> "", // no tokens at all
+    7L -> (null: String)) // null text: feature-less, stays in the pool
   private val target = Seq(
     "spark shuffles data between stages",
     "spark moves data across the network")
@@ -65,6 +67,7 @@ class ImportanceSpec extends SparkFunSuite {
     }
     assert(got(5L) === ((0L, 0.0)))
     assert(got(6L) === ((0L, 0.0)))
+    assert(got(7L) === ((0L, 0.0))) // null text: feature-less, kept
     // Target-like docs outweigh off-distribution docs.
     assert(got(1L)._2 > got(3L)._2)
     assert(got(2L)._2 > got(4L)._2)

@@ -59,7 +59,8 @@ class KeywordsSpec extends SparkFunSuite {
   }
 
   test("documents with no tokens are absent; k bounds each document") {
-    val docs = Seq(1L -> "one two three four", 2L -> "???", 3L -> "")
+    val docs = Seq(1L -> "one two three four", 2L -> "???", 3L -> "",
+      4L -> (null: String))
     val got = run(docs, 3)
     assert(got.map(_._1).distinct === Seq(1L))
     assert(got.size === 3)

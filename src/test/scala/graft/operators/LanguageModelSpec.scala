@@ -70,10 +70,10 @@ class LanguageModelSpec extends SparkFunSuite {
       .toDF("text")
     val model = LanguageModel.trainBigram(train, "text")
     val docs = Seq((1L, "the quick brown fox runs"), (2L, "zzz yyy xxx www"),
-      (3L, "..."), (4L, "")).toDF("doc_id", "text")
+      (3L, "..."), (4L, ""), (5L, null: String)).toDF("doc_id", "text")
     val got = LanguageModel.perplexityScore(docs, "doc_id", "text", model)
       .collect().map { case Row(id: Long, _, s: Double) => id -> s }.toMap
-    assert(got.keySet === Set(1L, 2L)) // 3 and 4 have no tokens
+    assert(got.keySet === Set(1L, 2L)) // 3, 4, 5 have no tokens
     assert(got(1L) < got(2L)) // in-distribution text is likelier
   }
 

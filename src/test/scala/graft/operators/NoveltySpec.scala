@@ -75,6 +75,13 @@ class NoveltySpec extends SparkFunSuite {
     assert(run(docs, ref, 2) === naive(docs, ref, 2))
   }
 
+  test("null / empty / punctuation-only documents report zero grams, null novelty") {
+    val docs = Seq(1L -> (null: String), 2L -> "", 3L -> "?!.", 4L -> "a b c")
+    val got = run(docs, Seq("a b c"), 3)
+    for (id <- Seq(1L, 2L, 3L)) assert(got(id) === ((0L, 0L, None)))
+    assert(got(4L) === ((1L, 0L, Some(0.0))))
+  }
+
   test("shuffle-join fallback above the broadcast cap is value-identical") {
     val docs = Seq(1L -> "m n o p", 2L -> "o p q r")
     val ref = Seq("m n o", "p q r s")

@@ -72,7 +72,9 @@ class PhrasesSpec extends SparkFunSuite {
     val docs = Seq.fill(60)(
       Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
         .mkString(" "))
-    val got = Phrases.pmiCollocations(docs.toDF("text"), "text",
+    // null / empty / punctuation-only rows must be count-inert
+    val withJunk = docs ++ Seq(null, "", "?!.")
+    val got = Phrases.pmiCollocations(withJunk.toDF("text"), "text",
         k = 8, minCount = 3L)
       .collect().map { case Row(r: Int, g: String, c: Long, p: Double) =>
         (r, g, c, p) }.toSeq
