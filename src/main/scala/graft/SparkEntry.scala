@@ -1290,6 +1290,14 @@ object SparkEntry {
       val d = Tables(s, dir).documents
       Keywords.tfidfKeywords(d, "doc_id", "text", k = 5)
         .orderBy("doc_id", "rank")
+    }),
+    // content-defined (LBFS/Rabin) chunking: boundaries from the exact
+    // 5-gram winnowing hash arithmetic, min-length fold, md5 chunk keys —
+    // per-row map work both engines replay byte-for-byte
+    "q105_content_chunks" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Chunk.contentChunks(d, "doc_id", "text", divisor = 64, minLen = 32)
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
@@ -2580,6 +2588,43 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY doc_id
         |      ORDER BY tfidf DESC, th, term) AS rank FROM h)
         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, tfidf
-        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // identical normalization, identical exact 5-gram polynomial hashes
+    // (the q74 arithmetic), identical min-length boundary fold (list
+    // accumulator seeded with [0]), identical slicing and md5 keys
+    "q105_content_chunks" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents),
+        |nn AS (SELECT doc_id, t FROM n WHERE t IS NOT NULL AND len(t) >= 1),
+        |c AS (SELECT doc_id, t, list_transform(generate_series(1, len(t)),
+        |        i -> CAST(unicode(t[i]) AS BIGINT)) AS cs FROM nn),
+        |g AS (SELECT doc_id, t,
+        |    CASE WHEN len(cs) < 5 THEN CAST([] AS BIGINT[])
+        |    ELSE list_transform(generate_series(1, len(cs) - 4),
+        |      i -> (cs[i]*4362470401 + cs[i+1]*16974593 + cs[i+2]*66049
+        |            + cs[i+3]*257 + cs[i+4]) % 1000000007)
+        |    END AS gh FROM c),
+        |cand AS (SELECT doc_id, t, list_transform(
+        |    list_filter(generate_series(1, len(gh)), j -> gh[j] % 64 = 0),
+        |    j -> j + 4) AS cand FROM g),
+        |bd0 AS (SELECT doc_id, t, list_reduce(
+        |    list_prepend([CAST(0 AS BIGINT)],
+        |      list_transform(cand, p -> [CAST(p AS BIGINT)])),
+        |    (a, b) -> CASE WHEN b[1] - a[-1] >= 32 THEN list_concat(a, b)
+        |              ELSE a END) AS k FROM cand),
+        |bd AS (SELECT doc_id, t,
+        |    CASE WHEN k[-1] = len(t) THEN k
+        |    ELSE list_concat(k, [CAST(len(t) AS BIGINT)]) END AS bd FROM bd0),
+        |ch AS (SELECT doc_id, t, bd,
+        |    unnest(generate_series(1, len(bd) - 1)) AS j FROM bd)
+        |SELECT doc_id, CAST(j - 1 AS INTEGER) AS chunk_id,
+        |  CAST(bd[j] + 1 AS INTEGER) AS start,
+        |  CAST(bd[j+1] - bd[j] AS INTEGER) AS length,
+        |  t[CAST(bd[j]+1 AS INTEGER):CAST(bd[j+1] AS INTEGER)] AS chunk_text,
+        |  md5(t[CAST(bd[j]+1 AS INTEGER):CAST(bd[j+1] AS INTEGER)])
+        |    AS chunk_key
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

@@ -75,4 +75,82 @@ object Chunk {
         }))
     }), lit(0))
   }
+
+  private def letBind(a: Column)(f: Column => Column): Column =
+    get(transform(array(a), f), lit(0))
+
+  /** Content-defined chunk BOUNDARIES of an ALREADY-NORMALIZED text (the
+    * [[TextAnalysis.normalized]] form — callers pass the bound attribute):
+    * the sorted char positions `[0, …, len]` where a chunk ends, chosen
+    * Rabin-style (Muthitacharoen et al., "A Low-bandwidth Network File
+    * System", SOSP 2001; the LBFS chunking scheme): a boundary falls after
+    * any 5-char window whose exact polynomial hash (the
+    * [[TextAnalysis.winnowingFingerprints]] gram arithmetic) is divisible
+    * by `divisor`, except boundaries closer than `minLen` chars to the
+    * previous kept boundary, which are skipped (the LBFS minimum-size
+    * guard, applied as a position-ordered fold). Expected chunk length is
+    * ~`divisor` chars; the final chunk may be shorter than `minLen` (the
+    * document just ends). Boundaries depend only on LOCAL content, so an
+    * edit re-synchronizes after at most one chunk — the property that
+    * makes chunk keys a dedup signal robust to insertions, which
+    * fixed-offset windows ([[tokenWindows]]) structurally cannot be. */
+  def contentBoundaries(normText: Column, divisor: Int, minLen: Int): Column = {
+    // 257^4 .. 257^0 — exact in Long (the k<=8 winnowing bound applies)
+    val pow = Array(4362470401L, 16974593L, 66049L, 257L, 1L)
+    val M = 1000000007L
+    letBind(transform(filter(split(normText, ""), c => c =!= ""),
+        c => ascii(c).cast("long"))) { cs =>
+      val n = size(cs)
+      val gh = when(n < 5, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(1), n - 4), i =>
+          pmod(pow.zipWithIndex.map { case (p, j) =>
+            element_at(cs, i + lit(j)) * lit(p) }.reduce(_ + _), lit(M))))
+      letBind(gh) { g =>
+        val cand = when(size(g) === 0, array().cast("array<int>"))
+          .otherwise(transform(
+            filter(sequence(lit(1), size(g)),
+              j => pmod(element_at(g, j), lit(divisor.toLong)) === 0),
+            j => j + lit(4)))
+        val kept = aggregate(cand, array(lit(0)), (acc, p) =>
+          when(p - element_at(acc, -1) >= lit(minLen),
+            concat(acc, array(p))).otherwise(acc))
+        letBind(kept) { k =>
+          when(element_at(k, -1) === n, k)
+            .otherwise(concat(k, array(n)))
+        }
+      }
+    }
+  }
+
+  /** Content-defined chunks (LBFS/Rabin scheme — see
+    * [[contentBoundaries]]): one row per chunk as `(id, chunk_id, start,
+    * length, chunk_text, chunk_key)` with `start` 1-based in the
+    * NORMALIZED text, `chunk_key = md5(chunk_text)` the dedup key, and
+    * chunks concatenating back to the normalized document exactly.
+    * Documents with null/empty normalized text produce zero chunks.
+    *
+    * Pure per-row map work like [[tokenWindows]] — boundary hashing,
+    * the minimum-length fold and the substring slicing all happen inside
+    * the document's own task row; zero shuffle, pipelines with the scan.
+    * Chunk keys then feed exact dedup (`Dedup.exactGroups` on
+    * `chunk_key`) for storage-style dedup of partially-edited documents. */
+  def contentChunks(df: DataFrame, idCol: String, textCol: String,
+                    divisor: Int = 64, minLen: Int = 32): DataFrame = {
+    require(divisor >= 2, s"divisor ($divisor) must be >= 2")
+    require(minLen >= 1, s"minLen ($minLen) must be >= 1")
+    df.select(col(idCol), TextAnalysis.normalized(col(textCol)).as("_t"))
+      .filter(col("_t").isNotNull && length(col("_t")) >= 1)
+      .select(col(idCol), col("_t"),
+        contentBoundaries(col("_t"), divisor, minLen).as("_bd"))
+      .select(col(idCol), col("_t"),
+        posexplode(transform(sequence(lit(1), size(col("_bd")) - 1), j =>
+          struct((element_at(col("_bd"), j) + 1).as("start"),
+            (element_at(col("_bd"), j + 1) - element_at(col("_bd"), j))
+              .as("len")))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_id"),
+        col("col.start").cast("int").as("start"),
+        col("col.len").cast("int").as("length"),
+        col("_t").substr(col("col.start"), col("col.len")).as("chunk_text"))
+      .withColumn("chunk_key", md5(col("chunk_text")))
+  }
 }
