@@ -130,6 +130,15 @@ object GraftFunctions {
       GraftColumnBridge.expression(Sessionize.funnelStageOf(
         GraftColumnBridge.column(exprs(0)), stages))
     },
+    "content_chunks" -> { exprs =>
+      require(exprs.length == 3, s"content_chunks expects 3 arguments (text, divisor, min_len), got ${exprs.length}")
+      require(exprs(1).foldable && exprs(2).foldable,
+        "content_chunks: divisor/min_len must be literals")
+      GraftColumnBridge.expression(Chunk.contentChunksCol(
+        GraftColumnBridge.column(exprs(0)),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()))
+    },
     "token_windows" -> { exprs =>
       require(exprs.length == 3, s"token_windows expects 3 arguments (text, chunk, overlap), got ${exprs.length}")
       require(exprs(1).foldable && exprs(2).foldable,

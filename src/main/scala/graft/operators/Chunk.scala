@@ -122,6 +122,29 @@ object Chunk {
     }
   }
 
+  /** Column core of [[contentChunks]] for one RAW text value — normalizes,
+    * finds boundaries, and slices inside one expression; SQL-registered as
+    * `content_chunks(text, divisor, min_len)` returning
+    * `array<struct<start, length, chunk_text>>` so a query can explode
+    * (or count) chunks inline. Null/empty text yields an empty array. */
+  def contentChunksCol(text: Column, divisor: Int, minLen: Int): Column = {
+    require(divisor >= 2, s"divisor ($divisor) must be >= 2")
+    require(minLen >= 1, s"minLen ($minLen) must be >= 1")
+    val empty = array()
+      .cast("array<struct<start:int,length:int,chunk_text:string>>")
+    letBind(TextAnalysis.normalized(text)) { t =>
+      letBind(contentBoundaries(t, divisor, minLen)) { bd =>
+        when(t.isNull || length(t) === 0, empty)
+          .otherwise(transform(sequence(lit(1), size(bd) - 1), j => {
+            val start = element_at(bd, j) + 1
+            val len = element_at(bd, j + 1) - element_at(bd, j)
+            struct(start.cast("int").as("start"), len.cast("int").as("length"),
+              t.substr(start, len).as("chunk_text"))
+          }))
+      }
+    }
+  }
+
   /** Content-defined chunks (LBFS/Rabin scheme — see
     * [[contentBoundaries]]): one row per chunk as `(id, chunk_id, start,
     * length, chunk_text, chunk_key)` with `start` 1-based in the

@@ -52,7 +52,7 @@ class GraftFunctionsSpec extends SparkFunSuite {
         "simhash64", "redact_pii", "dup_token_ratio", "winnow_fp", "poly_hash",
         "top_k", "hll_sketch", "hll_merge", "hll_estimate", "freq_items",
         "cm_sketch", "cm_merge", "cm_query", "qs_sketch", "qs_merge",
-        "qs_query", "funnel_stage", "token_windows"))
+        "qs_query", "funnel_stage", "token_windows", "content_chunks"))
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"$name not registered")
@@ -83,6 +83,18 @@ class GraftFunctionsSpec extends SparkFunSuite {
         |  (SELECT qs_sketch(x, 128) AS sk FROM qs GROUP BY g)""".stripMargin)
       .head.getDouble(0)
     assert(mergedMed == 50.0)
+  }
+
+  test("content_chunks is callable from SQL and reconstructs the text") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT content_chunks('alpha beta gamma delta', 4, 3) AS c")
+      .select(explode(col("c"))).select("col.start", "col.length", "col.chunk_text")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    assert(got.map(_._3).mkString === "alpha beta gamma delta")
+    assert(got.head._1 === 1)
+    assert(spark.sql("SELECT content_chunks(NULL, 64, 32) AS c")
+      .head.getSeq[Any](0).isEmpty)
   }
 
   test("poly_hash is callable from SQL and matches the left-fold definition") {
