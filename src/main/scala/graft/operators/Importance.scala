@@ -38,7 +38,10 @@ import graft.functions.TopK
   *    The only corpus-sized exchange is the per-document regroup for the
   *    ordered log-ratio fold (partials complete map-side — a document's
   *    features never leave their task); the final weight join re-reads
-  *    only the column-pruned id list.
+  *    only the column-pruned id list. Per-document aggregation state is
+  *    O(doc tokens) — the same order as the document row itself, so no
+  *    new skew hazard beyond the scan's; cap pathological documents
+  *    upstream (the `LanguageModel.perplexityScore` guidance).
   *  - Gumbel top-k is the O(k)-state [[TopK]] aggregate: map-side partial
   *    heaps, one k-row final merge — never a global sort.
   *

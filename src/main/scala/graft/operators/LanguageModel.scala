@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   *    the per-document regroup for the ordered fold, whose partial
   *    `collect_list` completes map-side because a document's bigrams
   *    never leave the task that exploded them.
+  *  - Skew bound: the per-document aggregation state is O(doc tokens) —
+  *    the SAME order as the document's own row (a constant factor over
+  *    the string the scan already holds), so a pathological document is
+  *    a row-size problem before it is an aggregation problem. Cap
+  *    outliers upstream (`Scrub.gopherGates` length gates, or score
+  *    [[Chunk.contentChunks]] chunks instead of whole books).
   *
   * Cross-engine determinism: counts and `V` are exact integers; each
   * per-position `-ln((c+1)/(c_ctx+V+1))` is `ln` of one exact
