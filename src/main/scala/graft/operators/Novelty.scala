@@ -34,13 +34,15 @@ import org.apache.spark.sql.functions._
   */
 object Novelty {
 
-  /** `(idCol, n_grams, n_novel, novelty)` for every row of `docs`:
-    * `n_grams` distinct word `n`-grams, `n_novel` of them absent from
-    * `reference`, `novelty = n_novel / n_grams` rounded to 4 decimals —
-    * NULL (with zero counts) for documents shorter than `n` tokens. */
-  def ngramNovelty(docs: DataFrame, reference: DataFrame, idCol: String,
-                   textCol: String, n: Int = 3,
-                   maxBroadcastRows: Long = 50000000L): DataFrame = {
+  /** Aggregated core of [[ngramNovelty]]: `(idCol, n_grams, n_novel,
+    * novelty)` for documents with AT LEAST ONE `n`-gram — the
+    * streaming-safe surface (one stream-static dictionary join + one
+    * streaming aggregation; no post-aggregate join, which Structured
+    * Streaming forbids). Batch callers wanting a row for every input
+    * document use [[ngramNovelty]]. */
+  def ngramNoveltyScored(docs: DataFrame, reference: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         maxBroadcastRows: Long = 50000000L): DataFrame = {
     require(n >= 1, s"n ($n) must be >= 1")
     def gramHashes(df: DataFrame) = df
       .select(col(idCol), explode(array_distinct(
@@ -53,17 +55,28 @@ object Novelty {
     val small = dict.count() <= maxBroadcastRows // counted once, not guessed
     val dictSide = if (small) broadcast(dict) else dict
 
-    val perDoc = gramHashes(docs)
+    gramHashes(docs)
       .join(dictSide, Seq("_h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
-
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+      .select(col(idCol), col("n_grams"), col("n_novel"),
         round(col("n_novel").cast("double") /
           col("n_grams").cast("double"), 4).as("novelty"))
   }
+
+  /** `(idCol, n_grams, n_novel, novelty)` for every row of `docs`:
+    * `n_grams` distinct word `n`-grams, `n_novel` of them absent from
+    * `reference`, `novelty = n_novel / n_grams` rounded to 4 decimals —
+    * NULL (with zero counts) for documents shorter than `n` tokens. */
+  def ngramNovelty(docs: DataFrame, reference: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3,
+                   maxBroadcastRows: Long = 50000000L): DataFrame =
+    docs.select(col(idCol))
+      .join(ngramNoveltyScored(docs, reference, idCol, textCol, n,
+        maxBroadcastRows), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        col("novelty"))
 }
