@@ -1298,6 +1298,14 @@ object SparkEntry {
       val d = Tables(s, dir).documents
       Chunk.contentChunks(d, "doc_id", "text", divisor = 64, minLen = 32)
         .orderBy("doc_id", "chunk_id")
+    }),
+    // corpus-health dashboard per source: exact token/vocab/hapax counts,
+    // Zipf slope over the top-100 ranks via fixed-order fold of four
+    // sums — ln args are exact integers, tie-break is the shared hash
+    "q106_corpus_health" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Profile.corpusHealth(d, "source", "text", topN = 100)
+        .orderBy("source")
     })
   )
 
@@ -2625,6 +2633,52 @@ object SparkEntry {
         |  t[CAST(bd[j]+1 AS INTEGER):CAST(bd[j+1] AS INTEGER)] AS chunk_text,
         |  md5(t[CAST(bd[j]+1 AS INTEGER):CAST(bd[j+1] AS INTEGER)])
         |    AS chunk_key
-        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    // identical integer counts, identical (count DESC, polyhash ASC) rank
+    // order, identical ascending-index folds of the four slope sums —
+    // ties at the rank boundary have equal counts, so the slope is
+    // tie-invariant by construction
+    "q106_corpus_health" ->
+      """WITH tks AS (SELECT source,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |cnt AS (SELECT source, w, count(*) AS c
+        |  FROM (SELECT source, unnest(tk) AS w FROM tks) GROUP BY 1, 2),
+        |base AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS vocab,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        |  FROM cnt GROUP BY 1),
+        |rk AS (SELECT source, c, row_number() OVER (PARTITION BY source
+        |    ORDER BY c DESC, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, len(w)),
+        |        j -> CAST(unicode(w[j]) AS BIGINT))),
+        |      (x, y) -> (x * 257 + y) % 1000000007), w) AS r FROM cnt),
+        |top AS (SELECT source, list(CAST(c AS DOUBLE) ORDER BY r) AS cs
+        |  FROM rk WHERE r <= 100 GROUP BY 1),
+        |sl AS (SELECT source, len(cs) AS n,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(cs)),
+        |        i -> ln(CAST(i AS DOUBLE)))), (a, b) -> a + b) AS sx,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(cs)),
+        |        i -> ln(cs[i]))), (a, b) -> a + b) AS sy,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(cs)),
+        |        i -> ln(CAST(i AS DOUBLE)) * ln(cs[i]))), (a, b) -> a + b)
+        |      AS sxy,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(cs)),
+        |        i -> ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE)))),
+        |      (a, b) -> a + b) AS sxx
+        |  FROM top)
+        |SELECT b.source, n_tokens, vocab,
+        |  round(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS ttr,
+        |  round(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 4)
+        |    AS hapax_frac,
+        |  CASE WHEN n >= 2 THEN round((n * sxy - sx * sy) /
+        |    (n * sxx - sx * sx), 4) END AS zipf_slope
+        |FROM base b JOIN sl USING (source) ORDER BY source""".stripMargin
   )
 }

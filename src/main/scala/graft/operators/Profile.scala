@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.functions.TopK
 
 /** Table profiling: per-column statistics for data-quality triage over a
   * (possibly huge) table — ALL columns in one aggregate over ONE scan
@@ -43,5 +45,70 @@ object Profile {
       // mean over the observed (non-null) values; all-null column -> null
       .withColumn("mean_v",
         when(col("n") > col("n_null"), col("sum_v") / (col("n") - col("n_null"))))
+  }
+
+  /** Corpus-health profile per `groupCol` slice — the lexical-statistics
+    * dashboard of a text corpus (Baayen, "Word Frequency Distributions",
+    * 2001): token count, exact vocabulary size, type-token ratio, hapax
+    * fraction (the share of vocabulary seen exactly once — the classic
+    * "still growing / full of noise" indicator), and the Zipf rank-
+    * frequency slope — the least-squares slope of `ln(count)` against
+    * `ln(rank)` over the top-`topN` ranks (natural text ≈ −1; machine-
+    * generated or boilerplate-heavy slices drift away from it).
+    *
+    * Scale shape: ONE corpus pass builds the `(slice, token, count)`
+    * table — a map-side-combinable aggregation, vocab-bounded output —
+    * localCheckpointed once for its two consumers (the scalar stats and
+    * the top-`topN` rank selection). Rank selection is the O(k)-state
+    * [[TopK]] aggregate, never a per-slice sort; the slope's four sums
+    * fold over the BOUNDED ranked array in rank order (fixed-order —
+    * deterministic), all inside one expression.
+    *
+    * Cross-engine determinism: counts are exact integers; each fold term
+    * is `ln` of an exact small integer (rank) or exact integer count;
+    * rank ties at the `topN` boundary are broken by the exact
+    * [[TextAnalysis.polyHash]] — and tied tokens have EQUAL counts, so
+    * the slope is tie-invariant anyway; 4-decimal rounds absorb ulps.
+    * Slices with fewer than 2 vocabulary entries get a null slope. */
+  def corpusHealth(docs: DataFrame, groupCol: String, textCol: String,
+                   topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"topN ($topN) must be >= 2")
+    val counts = docs
+      .select(col(groupCol), explode(filter(
+        split(TextAnalysis.normalized(col(textCol)), " "),
+        c => c =!= "")).as("w"))
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+
+    val base = counts.groupBy(col(groupCol)).agg(
+      sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+
+    val slope = counts.groupBy(col(groupCol))
+      .agg(TopK.topK(topN, col("c"), TextAnalysis.polyHash(col("w")),
+        col("c")).as("t"))
+      .select(col(groupCol),
+        transform(col("t"), e => e.getField("payload").cast("double"))
+          .as("_cs"))
+      .select(col(groupCol), col("_cs"), size(col("_cs")).as("_n"))
+      .select(col(groupCol), when(col("_n") >= 2, {
+        def fold(f: Column => Column): Column =
+          aggregate(sequence(lit(1), col("_n")), lit(0.0), (a, i) => a + f(i))
+        val sx = fold(i => log(i.cast("double")))
+        val sy = fold(i => log(element_at(col("_cs"), i)))
+        val sxy = fold(i => log(i.cast("double")) *
+          log(element_at(col("_cs"), i)))
+        val sxx = fold(i => log(i.cast("double")) * log(i.cast("double")))
+        val n = col("_n").cast("double")
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+      }).as("zipf_slope"))
+
+    base.join(slope, Seq(groupCol))
+      .select(col(groupCol), col("n_tokens"), col("vocab"),
+        round(col("vocab").cast("double") /
+          col("n_tokens").cast("double"), 4).as("ttr"),
+        round(col("hapax").cast("double") /
+          col("vocab").cast("double"), 4).as("hapax_frac"),
+        col("zipf_slope"))
   }
 }
