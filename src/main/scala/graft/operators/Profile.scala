@@ -58,11 +58,12 @@ object Profile {
     *
     * Scale shape: ONE corpus pass builds the `(slice, token, count)`
     * table — a map-side-combinable aggregation, vocab-bounded output —
-    * localCheckpointed once for its two consumers (the scalar stats and
-    * the top-`topN` rank selection). Rank selection is the O(k)-state
-    * [[TopK]] aggregate, never a per-slice sort; the slope's four sums
-    * fold over the BOUNDED ranked array in rank order (fixed-order —
-    * deterministic), all inside one expression.
+    * and ONE second aggregation carries the scalar stats and the
+    * O(`topN`)-state [[TopK]] rank heap together (never a per-slice
+    * sort, never a scalar/slope join); the slope's four sums fold over
+    * the BOUNDED ranked array in rank order (fixed-order —
+    * deterministic), all inside one expression. A NULL `groupCol` value
+    * is reported as its own slice.
     *
     * Cross-engine determinism: counts are exact integers; each fold term
     * is `ln` of an exact small integer (rank) or exact integer count;
@@ -78,37 +79,35 @@ object Profile {
         split(TextAnalysis.normalized(col(textCol)), " "),
         c => c =!= "")).as("w"))
       .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
 
-    val base = counts.groupBy(col(groupCol)).agg(
-      sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
-      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
-
-    val slope = counts.groupBy(col(groupCol))
-      .agg(TopK.topK(topN, col("c"), TextAnalysis.polyHash(col("w")),
-        col("c")).as("t"))
-      .select(col(groupCol),
+    // ONE aggregation carries the scalar stats AND the O(topN) rank heap —
+    // no scalar/slope join afterwards (a join would also silently drop a
+    // NULL group key; aggregation keeps it as its own slice).
+    counts.groupBy(col(groupCol)).agg(
+        sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),
+        TopK.topK(topN, col("c"), TextAnalysis.polyHash(col("w")),
+          col("c")).as("t"))
+      .select(col(groupCol), col("n_tokens"), col("vocab"), col("hapax"),
         transform(col("t"), e => e.getField("payload").cast("double"))
           .as("_cs"))
-      .select(col(groupCol), col("_cs"), size(col("_cs")).as("_n"))
-      .select(col(groupCol), when(col("_n") >= 2, {
-        def fold(f: Column => Column): Column =
-          aggregate(sequence(lit(1), col("_n")), lit(0.0), (a, i) => a + f(i))
-        val sx = fold(i => log(i.cast("double")))
-        val sy = fold(i => log(element_at(col("_cs"), i)))
-        val sxy = fold(i => log(i.cast("double")) *
-          log(element_at(col("_cs"), i)))
-        val sxx = fold(i => log(i.cast("double")) * log(i.cast("double")))
-        val n = col("_n").cast("double")
-        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
-      }).as("zipf_slope"))
-
-    base.join(slope, Seq(groupCol))
+      .select(col(groupCol), col("n_tokens"), col("vocab"), col("hapax"),
+        col("_cs"), size(col("_cs")).as("_n"))
       .select(col(groupCol), col("n_tokens"), col("vocab"),
         round(col("vocab").cast("double") /
           col("n_tokens").cast("double"), 4).as("ttr"),
         round(col("hapax").cast("double") /
           col("vocab").cast("double"), 4).as("hapax_frac"),
-        col("zipf_slope"))
+        when(col("_n") >= 2, {
+          def fold(f: Column => Column): Column =
+            aggregate(sequence(lit(1), col("_n")), lit(0.0), (a, i) => a + f(i))
+          val sx = fold(i => log(i.cast("double")))
+          val sy = fold(i => log(element_at(col("_cs"), i)))
+          val sxy = fold(i => log(i.cast("double")) *
+            log(element_at(col("_cs"), i)))
+          val sxx = fold(i => log(i.cast("double")) * log(i.cast("double")))
+          val n = col("_n").cast("double")
+          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+        }).as("zipf_slope"))
   }
 }

@@ -65,6 +65,15 @@ class CorpusHealthSpec extends SparkFunSuite {
     assert(got("b")._5.isDefined)
   }
 
+  test("a null group key is reported as its own slice, not dropped") {
+    val docs = Seq(("a", "p q r"), (null: String, "s t u v"))
+      .toDF("src", "text")
+    val got = Profile.corpusHealth(docs, "src", "text", 100).collect()
+    assert(got.length === 2)
+    val nullRow = got.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) === 4L && nullRow.getLong(2) === 4L)
+  }
+
   test("randomized differential against the naive reference") {
     val rnd = new Random(29)
     // Zipf-ish draws so ranks have real structure
