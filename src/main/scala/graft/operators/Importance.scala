@@ -83,7 +83,9 @@ object Importance {
   /** Log importance weight `(idCol, n_feats, logw)` for every `raw`
     * document — `logw` UNROUNDED (callers rank on it; round for
     * display), higher = more target-like. `n_feats = 0` rows carry
-    * `logw = 0`. */
+    * `logw = 0`. `idCol` is expected to be a non-null key: a NULL id
+    * cannot match the weight re-add join, so such a row is reported as
+    * feature-less (`logw = 0`). */
   def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
                      textCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, s"buckets ($buckets) must be >= 2")

@@ -68,7 +68,9 @@ object Novelty {
   /** `(idCol, n_grams, n_novel, novelty)` for every row of `docs`:
     * `n_grams` distinct word `n`-grams, `n_novel` of them absent from
     * `reference`, `novelty = n_novel / n_grams` rounded to 4 decimals —
-    * NULL (with zero counts) for documents shorter than `n` tokens. */
+    * NULL (with zero counts) for documents shorter than `n` tokens.
+    * `idCol` is expected to be a non-null key: a NULL id cannot match the
+    * re-add join, so such a row is reported as gram-less. */
   def ngramNovelty(docs: DataFrame, reference: DataFrame, idCol: String,
                    textCol: String, n: Int = 3,
                    maxBroadcastRows: Long = 50000000L): DataFrame =
