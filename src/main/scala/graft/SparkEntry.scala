@@ -1306,6 +1306,14 @@ object SparkEntry {
       val d = Tables(s, dir).documents
       Profile.corpusHealth(d, "source", "text", topN = 100)
         .orderBy("source")
+    }),
+    // deterministic k-per-group sample: bottom-k of the md5 hash order via
+    // the O(k) TopK heap — the oracle replays the identical order as a
+    // plain ORDER BY md5(key || ':samplek')
+    "q107_sample_k" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Sampling.sampleKPerGroup(d, Seq("source"), "doc_id", k = 3)
+        .orderBy("source", "rank")
     })
   )
 
@@ -2679,6 +2687,15 @@ object SparkEntry {
         |    AS hapax_frac,
         |  CASE WHEN n >= 2 THEN round((n * sxy - sx * sy) /
         |    (n * sxx - sx * sx), 4) END AS zipf_slope
-        |FROM base b JOIN sl USING (source) ORDER BY source""".stripMargin
+        |FROM base b JOIN sl USING (source) ORDER BY source""".stripMargin,
+    // identical md5(key:domain) hash order — rank by the hex string is
+    // rank by the (52-bit, 52-bit) integer pair the TopK heap uses
+    "q107_sample_k" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':samplek')) AS rank
+        |  FROM documents)
+        |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin
   )
 }

@@ -292,4 +292,41 @@ object Sampling {
       // caller's column order so output schema == input schema
       .select(df.columns.map(col): _*)
   }
+
+  /** Deterministic `k`-row uniform sample per group — the "show me k
+    * example rows per slice" inspection primitive, as ONE bounded-state
+    * aggregation: keep the `k` smallest `md5(key:domain)` values per
+    * group (bottom-k of a uniform hash order IS a uniform sample, and the
+    * SAME k rows on every run/engine/layout — `hashHex`'s contract
+    * extended to ordering). State is the O(k) [[graft.functions.TopK]]
+    * heap with map-side partials: never a per-group sort, never a
+    * corpus-wide window — at 100 TB the exchange carries at most
+    * `k × partitions` candidate rows per group. Groups with fewer than
+    * `k` rows return all their rows.
+    *
+    * Determinism detail: TopK orders by an exact (double, long) pair, so
+    * the 128-bit hex order is split into its first 52 bits (negated —
+    * smallest hash ranks first) and next 52 bits (ascending tie) — both
+    * exact integers in their carriers; a tie would need a 104-bit md5
+    * prefix collision. The cross-engine oracle replays the identical
+    * order as a plain `ORDER BY md5(key || ':' || domain)`.
+    *
+    * Output: the group columns + `(rank, keyCol)`, `rank` 1-based in
+    * hash order. Pass `groupCols = Nil` for one global sample. */
+  def sampleKPerGroup(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                      k: Int, domain: String = "samplek"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(!df.columns.contains("_t"),
+      "input must not contain the reserved column _t")
+    val hex = md5(concat(col(keyCol).cast("string"), lit(":" + domain)))
+    val h1 = conv(substring(hex, 1, 13), 16, 10).cast("long")
+    val h2 = conv(substring(hex, 14, 13), 16, 10).cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopK.topK(k, -h1.cast("double"), h2,
+        col(keyCol)).as("_t"))
+      .select(groupCols.map(col) :+ posexplode(col("_t")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.payload").as(keyCol)): _*)
+  }
 }

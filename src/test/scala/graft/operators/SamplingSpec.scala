@@ -241,4 +241,40 @@ class SamplingSpec extends SparkFunSuite {
       Sampling.epochMixture(df.drop("epoch"), "id", "src", Map("s" -> 65.0))
     }
   }
+
+  test("sampleKPerGroup equals the md5-ordered window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
+    val got = Sampling.sampleKPerGroup(df, Seq("grp"), "id", 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val want = df.withColumn("_hex",
+        md5(concat(col("id").cast("string"), lit(":samplek"))))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("grp").orderBy("_hex")))
+      .filter(col("_r") <= 5)
+      .collect().map(r => (r.getString(1), r.getInt(3), r.getLong(0))).toSet
+    assert(got === want)
+  }
+
+  test("sampleKPerGroup is layout-invariant and bounded by group size") {
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val a = Sampling.sampleKPerGroup(df.repartition(1), Seq("grp"), "id", 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Sampling.sampleKPerGroup(df.repartition(17), Seq("grp"), "id", 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a === b, "partition layout must not change the sample")
+    // a 2-row group returns both its rows
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "grp")
+    assert(Sampling.sampleKPerGroup(tiny, Seq("grp"), "id", 10).count() === 2L)
+  }
+
+  test("sampleKPerGroup with no group columns draws one global sample") {
+    val df = (1L to 100L).map(i => (i, "z")).toDF("id", "grp")
+    val got = Sampling.sampleKPerGroup(df, Nil, "id", 7).collect()
+    assert(got.length === 7)
+    assert(got.map(_.getInt(0)).toSeq === (1 to 7))
+    intercept[IllegalArgumentException] {
+      Sampling.sampleKPerGroup(df.withColumn("_t", lit(1)), Nil, "id", 1)
+    }
+  }
 }
