@@ -312,7 +312,9 @@ object Sampling {
     * order as a plain `ORDER BY md5(key || ':' || domain)`.
     *
     * Output: the group columns + `(rank, keyCol)`, `rank` 1-based in
-    * hash order. Pass `groupCols = Nil` for one global sample. */
+    * hash order. Pass `groupCols = Nil` for one global sample. Rows with
+    * a NULL key hash to NULL and are excluded from the sample (the TopK
+    * null-ord convention) — `keyCol` is expected to be a non-null key. */
   def sampleKPerGroup(df: DataFrame, groupCols: Seq[String], keyCol: String,
                       k: Int, domain: String = "samplek"): DataFrame = {
     require(k > 0, s"k must be positive: $k")
