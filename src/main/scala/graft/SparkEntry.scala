@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Sessionize, SetSketch, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1314,6 +1314,16 @@ object SparkEntry {
       val d = Tables(s, dir).documents
       Sampling.sampleKPerGroup(d, Seq("source"), "doc_id", k = 3)
         .orderBy("source", "rank")
+    }),
+    // KMV set-operation sketches: per-source bottom-64 content-fingerprint
+    // hashes, pairwise distinct/jaccard/intersection ESTIMATES replayed
+    // exactly by the oracle (pure functions of the data — no tolerance)
+    "q108_kmv_overlap" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.withColumn("fp", md5(col("text")))
+      SetSketch.kmvOverlapMatrix(
+          SetSketch.kmvPerGroup(d, Seq("source"), "fp", k = 64),
+          "source", k = 64)
+        .orderBy("ga", "gb")
     })
   )
 
@@ -2696,6 +2706,54 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':samplek')) AS rank
         |  FROM documents)
         |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id
-        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+    // identical bottom-64 md5 hex sketches (lexicographic hex == numeric
+    // hash order), identical exact-below-capacity / (k-1)/u_k estimators
+    // (u_k = first 13 hex chars as an exact 52-bit integer over 2^52),
+    // identical merge-dedup-slice union sketch and membership ratio
+    "q108_kmv_overlap" ->
+      """WITH keys AS (SELECT DISTINCT source,
+        |    md5(md5(text) || ':kmv') AS hex FROM documents),
+        |rk AS (SELECT source, hex, row_number() OVER (PARTITION BY source
+        |    ORDER BY hex) AS r FROM keys),
+        |sk AS (SELECT source, list(hex ORDER BY hex) AS kmv FROM rk
+        |  WHERE r <= 64 GROUP BY 1),
+        |p AS (SELECT a.source AS ga, b.source AS gb, a.kmv AS ka, b.kmv AS kb
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |m AS (SELECT ga, gb, ka, kb,
+        |    list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, 64)
+        |      AS mk
+        |  FROM p),
+        |est AS (SELECT ga, gb, ka, kb, mk,
+        |    CASE WHEN len(ka) < 64 THEN CAST(len(ka) AS DOUBLE)
+        |    ELSE 63.0 / (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 13),
+        |        j -> CAST(strpos('0123456789abcdef', ka[64][j]) - 1
+        |          AS BIGINT))),
+        |      (x, y) -> x * 16 + y) AS DOUBLE) / 4503599627370496.0) END
+        |      AS da,
+        |    CASE WHEN len(kb) < 64 THEN CAST(len(kb) AS DOUBLE)
+        |    ELSE 63.0 / (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 13),
+        |        j -> CAST(strpos('0123456789abcdef', kb[64][j]) - 1
+        |          AS BIGINT))),
+        |      (x, y) -> x * 16 + y) AS DOUBLE) / 4503599627370496.0) END
+        |      AS db,
+        |    CASE WHEN len(mk) < 64 THEN CAST(len(mk) AS DOUBLE)
+        |    ELSE 63.0 / (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, 13),
+        |        j -> CAST(strpos('0123456789abcdef', mk[64][j]) - 1
+        |          AS BIGINT))),
+        |      (x, y) -> x * 16 + y) AS DOUBLE) / 4503599627370496.0) END
+        |      AS dm,
+        |    CASE WHEN len(mk) > 0 THEN
+        |      CAST(len(list_filter(mk, e -> list_contains(ka, e)
+        |        AND list_contains(kb, e))) AS DOUBLE) /
+        |      CAST(len(mk) AS DOUBLE) END AS rho
+        |  FROM m)
+        |SELECT ga, gb,
+        |  round(da, 4) AS est_distinct_a, round(db, 4) AS est_distinct_b,
+        |  round(rho, 4) AS est_jaccard, round(rho * dm, 4) AS est_intersect
+        |FROM est ORDER BY ga, gb""".stripMargin
   )
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopK
+
+/** KMV ("k minimum values") distinct sketches with SET-OPERATION
+  * estimates — Beyer et al., "On Synopses for Distinct-Value Estimation
+  * Under Multiset Operations", SIGMOD 2007 (the construction behind
+  * Apache DataSketches' theta sketch). A slice's sketch is the `k`
+  * smallest `md5(key:domain)` values of its key set; from two sketches
+  * alone — no join, no rescan — the union, intersection and Jaccard of
+  * two 100 TB corpora are estimable: the k smallest hashes of A ∪ B are
+  * computable from the two sketches (merge, dedup, keep k), and the
+  * fraction of them present in BOTH input sketches estimates the Jaccard
+  * (every union-sketch element is a uniform sample of A ∪ B).
+  *
+  * This closes the set-algebra gap in the sketch family: HLL (q82)
+  * estimates distinct counts and unions but CANNOT intersect;
+  * [[TextAnalysis.sourceOverlapMatrix]] intersects EXACTLY but joins the
+  * corpora. KMV intersects from per-slice summaries a few KB wide.
+  *
+  * Estimators (`u_k` = the k-th smallest hash as a fraction of the hash
+  * space): distinct `D ≈ (k−1)/u_k` when the sketch is full, EXACT
+  * (= sketch size) below capacity; `jaccard ≈ |union-k ∩ A ∩ B| / |union-k|`;
+  * `intersection ≈ jaccard · D(union-k)`. Relative error ~1/√k.
+  *
+  * Determinism: everything is a pure function of the data — the hashes
+  * are md5 (the `Sampling.sampleKPerGroup` ordering contract: bottom-k by
+  * hex string, carried in TopK as two exact 52-bit integers), `u_k` is an
+  * exact power-of-two division of a 52-bit integer, and the estimate
+  * arithmetic is a fixed expression over exact doubles — so a DuckDB
+  * oracle replays the ESTIMATES exactly, no tolerance band needed.
+  * Sketch elements are the hex strings themselves (lexicographic hex
+  * order == numeric hash order), making the sketches engine-portable.
+  *
+  * Scale shape: one sketch per slice is ONE bounded-state aggregation
+  * (the O(k) [[TopK]] heap, map-side partials); the pairwise-overlap
+  * matrix then works on |slices|² sketch ROWS — a few KB each — never
+  * touching the corpus again. NULL keys hash to NULL and are excluded
+  * (the TopK null-ord convention). */
+object SetSketch {
+
+  private val TwoPow52 = 4503599627370496.0 // 2^52, exact in a double
+
+  private def hex(key: Column, domain: String): Column =
+    md5(concat(key.cast("string"), lit(":" + domain)))
+
+  private def h1(hexCol: Column): Column =
+    conv(substring(hexCol, 1, 13), 16, 10).cast("long")
+  private def h2(hexCol: Column): Column =
+    conv(substring(hexCol, 14, 13), 16, 10).cast("long")
+
+  /** Per-group KMV sketch: the group columns + `kmv`, the ascending array
+    * of the `k` smallest DISTINCT `md5(key:domain)` hex strings. The key
+    * set is deduped BEFORE sketching (KMV summarizes the value DOMAIN, so
+    * duplicates must not occupy sketch slots). */
+  def kmvPerGroup(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                  k: Int, domain: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k ($k) must be >= 2")
+    val hx = hex(col(keyCol), domain)
+    df.select((groupCols.map(col) :+ hx.as("_hex")): _*)
+      .distinct() // (group, hash) — dedup before the heap, never after
+      .groupBy(groupCols.map(col): _*)
+      .agg(TopK.topK(k, -h1(col("_hex")).cast("double"), h2(col("_hex")),
+        col("_hex")).as("_t"))
+      .select(groupCols.map(col) :+
+        transform(col("_t"), e => e.getField("payload")).as("kmv"): _*)
+  }
+
+  /** Distinct-count estimate of a [[kmvPerGroup]] sketch column: exact
+    * size below capacity `k`, else `(k−1)/u_k` — deterministic (u_k is an
+    * exact 52-bit integer over 2^52). */
+  def kmvDistinct(kmv: Column, k: Int): Column =
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (h1(element_at(kmv, k)).cast("double") / lit(TwoPow52)))
+
+  /** Pairwise overlap estimates from per-group sketches: for every
+    * unordered pair of groups `(a, b)` with `a < b` by the group key,
+    * `(ga, gb, est_distinct_a, est_distinct_b, est_jaccard,
+    * est_intersect)` — all rounded to 4 decimals, all computed from the
+    * two sketch rows alone. `groupCol` must be a single column here (the
+    * pair matrix needs a scalar key to order the pairs). */
+  def kmvOverlapMatrix(sketches: DataFrame, groupCol: String,
+                       k: Int): DataFrame = {
+    val a = sketches.select(col(groupCol).as("ga"), col("kmv").as("ka"))
+    val b = sketches.select(col(groupCol).as("gb"), col("kmv").as("kb"))
+    a.join(b, col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), col("ka"), col("kb"),
+        slice(array_sort(array_distinct(concat(col("ka"), col("kb")))),
+          1, k).as("mk"))
+      .select(col("ga"), col("gb"),
+        round(kmvDistinct(col("ka"), k), 4).as("est_distinct_a"),
+        round(kmvDistinct(col("kb"), k), 4).as("est_distinct_b"),
+        col("mk"),
+        when(size(col("mk")) > 0, // both slices empty -> no estimate
+          size(filter(col("mk"), e =>
+            array_contains(col("ka"), e) && array_contains(col("kb"), e)))
+            .cast("double") / size(col("mk")).cast("double")).as("_rho"))
+      .select(col("ga"), col("gb"),
+        col("est_distinct_a"), col("est_distinct_b"),
+        round(col("_rho"), 4).as("est_jaccard"),
+        round(col("_rho") * kmvDistinct(col("mk"), k), 4)
+          .as("est_intersect"))
+  }
+}
