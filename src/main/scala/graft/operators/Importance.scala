@@ -89,8 +89,16 @@ object Importance {
   def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
                      textCol: String, buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, s"buckets ($buckets) must be >= 2")
-    val ct = bucketCounts(target, idCol, textCol, buckets)
-      .withColumnRenamed("n", "ct")
+    // A feature-less target would null the nt total, null every lam, and
+    // the final coalesce would rewrite ALL weights to 0 — a full-looking
+    // "importance sample" that is actually uniform noise. Fail loudly.
+    val ctGate = Gates.countedBroadcast(
+      bucketCounts(target, idCol, textCol, buckets)
+        .withColumnRenamed("n", "ct"), maxRows = buckets.toLong)
+    require(ctGate.rows > 0,
+      "dsirLogWeights: the target corpus has no bigram features (empty, " +
+        "or no document with >= 2 tokens) — weights would be noise")
+    val ct = ctGate.pinned
     // Pin the raw feature stream: it feeds BOTH the raw bucket counts and
     // the scoring stream below, and without a barrier the tokenize +
     // per-char hash fold (the expensive part) runs twice over the corpus.

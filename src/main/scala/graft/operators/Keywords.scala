@@ -50,9 +50,9 @@ object Keywords {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
 
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val small = df.count() <= maxBroadcastRows // counted once, not guessed
-    val dfSide = if (small) broadcast(df) else df
+    val dfGate = Gates.countedBroadcast(
+      tf.groupBy("term").agg(count(lit(1)).as("df")), maxBroadcastRows)
+    val dfSide = dfGate.side
     val nDocs = tf.select(col(idCol)).distinct().count()
 
     val scored = tf.join(dfSide, Seq("term"))

@@ -93,12 +93,16 @@ object LanguageModel {
                       maxBroadcastRows: Long = 50000000L): DataFrame = {
     // Pin the model: it feeds four consumers (count gate, pair join,
     // context totals, vocabulary size) — without a barrier the training
-    // aggregation re-runs per consumer.
-    val m = model.localCheckpoint(false)
-    val small = m.count() <= maxBroadcastRows // counted once, not guessed
-    val mSide = if (small) broadcast(m) else m
-    val ctx = m.groupBy("prev").agg(sum("c").as("cc"))
-    val ctxSide = if (small) broadcast(ctx) else ctx
+    // aggregation re-runs per consumer. An EMPTY model would score every
+    // document -ln(1) = 0 ("perfect") with no signal anything was wrong,
+    // so it fails loudly instead.
+    val gate = Gates.countedBroadcast(model, maxBroadcastRows)
+    require(gate.rows > 0,
+      "perplexityScore: the bigram model is empty (was the training " +
+        "slice empty or token-less?) — every score would be a vacuous 0")
+    val m = gate.pinned
+    val mSide = gate.side
+    val ctxSide = gate.of(m.groupBy("prev").agg(sum("c").as("cc")))
     val stats = m.agg(countDistinct(col("cur")).as("v"))
 
     val nll = bigrams(docs, idCol, textCol)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads ride as opaque `binary`
@@ -313,20 +313,29 @@ object Multimodal {
     * `maxDist < bands`). One chunk-keyed shuffle; per-chunk fan-out is
     * bounded by how many images share 16 identical bits, the usual
     * blocking trade. Output: `(id_a, id_b, dist)`, `id_a < id_b`. */
+  /** The per-band `(band, chunk)` struct array of a 64-bit hash. The
+    * mask must special-case `width = 64` (bands = 1): `(1L << 64) - 1`
+    * silently wraps to 0 on the JVM (shift distance is mod 64), which
+    * would collapse EVERY hash into chunk 0. */
+  private def bandedChunks(phash: Column, bands: Int): Column = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(phash, b * width)
+          .bitwiseAND(lit(mask)).as("chunk"))): _*)
+  }
+
   def phashNearDupPairs(hashes: Dataset[MediaHash], maxDist: Int = 3,
                         bands: Int = 4): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"bands ($bands) must divide 64")
     require(maxDist >= 0 && maxDist < bands,
       s"full recall needs maxDist ($maxDist) < bands ($bands) — raise bands or lower maxDist")
-    val width = 64 / bands
     val spark = hashes.sparkSession
     import spark.implicits._
     val banded = hashes.toDF()
       .select(col("doc_id"), col("phash"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("phash"), b * width)
-              .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bk"))
+        explode(bandedChunks(col("phash"), bands)).as("bk"))
       .select(col("doc_id"), col("phash"), col("bk.band"), col("bk.chunk"))
     banded.as("a")
       .join(banded.as("b"),
@@ -349,13 +358,9 @@ object Multimodal {
   def phashBucketProfile(hashes: Dataset[MediaHash], bands: Int = 4,
                          minSize: Int = 2): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"bands ($bands) must divide 64")
-    val width = 64 / bands
     hashes.toDF()
       .select(col("doc_id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("phash"), b * width)
-              .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bk"))
+        explode(bandedChunks(col("phash"), bands)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.chunk").as("chunk"))
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") >= minSize)

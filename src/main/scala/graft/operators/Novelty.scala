@@ -49,11 +49,9 @@ object Novelty {
         Scrub.wordNgrams(TextAnalysis.normalized(col(textCol)), n))).as("_g"))
       .select(col(idCol), TextAnalysis.polyHash(col("_g")).as("_h"))
 
-    val dict = gramHashes(reference).select("_h").distinct()
-      .withColumn("_seen", lit(1))
-      .localCheckpoint(false)
-    val small = dict.count() <= maxBroadcastRows // counted once, not guessed
-    val dictSide = if (small) broadcast(dict) else dict
+    val dictSide = Gates.countedBroadcast(
+      gramHashes(reference).select("_h").distinct()
+        .withColumn("_seen", lit(1)), maxBroadcastRows).side
 
     gramHashes(docs)
       .join(dictSide, Seq("_h"), "left")

@@ -60,11 +60,10 @@ object Phrases {
 
     // Unigram counts: vocab-bounded output, pinned once — it feeds the n1
     // total and BOTH scoring joins below.
-    val uni = toks.select(explode(col("_tk")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cu"))
-      .localCheckpoint(false)
-    val small = uni.count() <= maxBroadcastRows // counted once, not guessed
-    def gated(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val uniGate = Gates.countedBroadcast(
+      toks.select(explode(col("_tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu")), maxBroadcastRows)
+    val uni = uniGate.pinned
 
     // Adjacent-pair counts: type-bounded output, pinned once — it feeds
     // the n2 total (which must include sub-floor pairs) and the floored
@@ -83,8 +82,8 @@ object Phrases {
     // Fixed fold: ln p(a,b) − ln p(a) − ln p(b), each ln arg one exact
     // integer-ratio double; left-associated exactly as the oracle writes it.
     val scored = bi.filter(col("cb") >= lit(minCount))
-      .join(gated(uni.select(col("w").as("a"), col("cu").as("ca"))), Seq("a"))
-      .join(gated(uni.select(col("w").as("b"), col("cu").as("cbw"))), Seq("b"))
+      .join(uniGate.of(uni.select(col("w").as("a"), col("cu").as("ca"))), Seq("a"))
+      .join(uniGate.of(uni.select(col("w").as("b"), col("cu").as("cbw"))), Seq("b"))
       .crossJoin(broadcast(totals))
       .select(concat(col("a"), lit(" "), col("b")).as("gram"), col("cb"),
         round(log(col("cb").cast("double") / col("n2").cast("double")) -

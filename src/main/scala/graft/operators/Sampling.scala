@@ -293,6 +293,15 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** A 13-hex-char window of an md5 hex string as an exact 52-bit long —
+    * the ordering carrier for bottom-k-by-hash operations (TopK needs a
+    * (double, long) key and 52 bits are exact in a double; chars 1-13 and
+    * 14-26 give two independent carriers, tied only on a 104-bit md5
+    * prefix collision). Shared with [[SetSketch]] so the exactness
+    * argument lives in one place. */
+  private[operators] def hex52(hexCol: Column, offset: Int): Column =
+    conv(substring(hexCol, offset, 13), 16, 10).cast("long")
+
   /** Deterministic `k`-row uniform sample per group — the "show me k
     * example rows per slice" inspection primitive, as ONE bounded-state
     * aggregation: keep the `k` smallest `md5(key:domain)` values per
@@ -321,8 +330,8 @@ object Sampling {
     require(!df.columns.contains("_t"),
       "input must not contain the reserved column _t")
     val hex = md5(concat(col(keyCol).cast("string"), lit(":" + domain)))
-    val h1 = conv(substring(hex, 1, 13), 16, 10).cast("long")
-    val h2 = conv(substring(hex, 14, 13), 16, 10).cast("long")
+    val h1 = hex52(hex, 1)
+    val h2 = hex52(hex, 14)
     df.groupBy(groupCols.map(col): _*)
       .agg(graft.functions.TopK.topK(k, -h1.cast("double"), h2,
         col(keyCol)).as("_t"))

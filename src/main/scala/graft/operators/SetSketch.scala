@@ -47,10 +47,8 @@ object SetSketch {
   private def hex(key: Column, domain: String): Column =
     md5(concat(key.cast("string"), lit(":" + domain)))
 
-  private def h1(hexCol: Column): Column =
-    conv(substring(hexCol, 1, 13), 16, 10).cast("long")
-  private def h2(hexCol: Column): Column =
-    conv(substring(hexCol, 14, 13), 16, 10).cast("long")
+  private def h1(hexCol: Column): Column = Sampling.hex52(hexCol, 1)
+  private def h2(hexCol: Column): Column = Sampling.hex52(hexCol, 14)
 
   /** Per-group KMV sketch: the group columns + `kmv`, the ascending array
     * of the `k` smallest DISTINCT `md5(key:domain)` hex strings. The key

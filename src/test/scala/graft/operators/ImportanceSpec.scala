@@ -73,6 +73,15 @@ class ImportanceSpec extends SparkFunSuite {
     assert(got(2L)._2 > got(4L)._2)
   }
 
+  test("a feature-less target fails loudly instead of weighting by noise") {
+    intercept[IllegalArgumentException] {
+      Importance.dsirLogWeights(raw.toDF("doc_id", "text"),
+        Seq("x", "").toDF("text") // no document with >= 2 tokens
+          .withColumn("doc_id", org.apache.spark.sql.functions.lit(0L)),
+        "doc_id", "text", buckets = 64)
+    }
+  }
+
   test("dsirResample replays the naive Gumbel top-k selection exactly") {
     val k = 3
     val buckets = 64

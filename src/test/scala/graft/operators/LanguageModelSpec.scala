@@ -77,6 +77,15 @@ class LanguageModelSpec extends SparkFunSuite {
     assert(got(1L) < got(2L)) // in-distribution text is likelier
   }
 
+  test("an empty model fails loudly instead of scoring everything 0") {
+    val empty = LanguageModel.trainBigram(
+      Seq("...", "").toDF("text"), "text") // token-less training slice
+    intercept[IllegalArgumentException] {
+      LanguageModel.perplexityScore(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", empty)
+    }
+  }
+
   test("randomized differential against the naive reference") {
     val rng = new scala.util.Random(20260813)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")

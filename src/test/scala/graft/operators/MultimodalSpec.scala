@@ -263,4 +263,18 @@ class MultimodalSpec extends SparkFunSuite {
     // only buckets with >= minSize members appear
     assert(prof.forall(_._3 >= 2))
   }
+
+  test("bands = 1 keeps the full 64-bit hash as the chunk (mask must not wrap)") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaHash]
+    // (1L << 64) wraps to 1L on the JVM; a wrapped mask would collapse
+    // every hash into chunk 0 and this profile would be one giant bucket
+    val hashes = Seq(
+      Multimodal.MediaHash(1L, 0x0123456789abcdefL),
+      Multimodal.MediaHash(2L, 0x0123456789abcdefL),
+      Multimodal.MediaHash(3L, -1L)
+    ).toDS()
+    val prof = Multimodal.phashBucketProfile(hashes, bands = 1, minSize = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(prof === Seq((0x0123456789abcdefL, 2L), (-1L, 1L)))
+  }
 }

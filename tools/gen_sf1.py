@@ -112,7 +112,11 @@ def main():
     lang_p = [0.41, 0.15, 0.15, 0.15, 0.14]
     tok_counts = rng.integers(10, 101, size=nd)
     texts = [" ".join(rng.choice(vocab, size=c)) for c in tok_counts]
-    # plant exact duplicates at the measured ~0.16% rate
+    # plant exact duplicates at the measured ~0.16% rate. The source draw
+    # can hit the target itself or another overwritten target, losing the
+    # plant — expected loss is n_dup * (n_dup / nd) ~ 0.13 plants at
+    # sf1.0, accepted to keep the seed-42 corpus (and every recorded
+    # sweep number derived from it) byte-stable.
     n_dup = int(round(nd * 8 / 5000))
     dup_targets = rng.choice(nd, size=n_dup, replace=False)
     for i in dup_targets:
