@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession, SparkSessi
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.operators.{Chunk, Dedup, Scrub, Sessionize, TextAnalysis}
+import graft.operators.{Chunk, Dedup, Scrub, Sessionize, SetSketch, TextAnalysis}
 
 /** SQL-surface registration for graft's column functions, so
   * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column
@@ -129,6 +129,13 @@ object GraftFunctions {
         .map(_.toString).toSeq
       GraftColumnBridge.expression(Sessionize.funnelStageOf(
         GraftColumnBridge.column(exprs(0)), stages))
+    },
+    "kmv_distinct" -> { exprs =>
+      require(exprs.length == 2, s"kmv_distinct expects 2 arguments (kmv, k), got ${exprs.length}")
+      require(exprs(1).foldable, "kmv_distinct: k must be a literal")
+      GraftColumnBridge.expression(SetSketch.kmvDistinct(
+        GraftColumnBridge.column(exprs(0)),
+        exprs(1).eval().asInstanceOf[Number].intValue()))
     },
     "content_chunks" -> { exprs =>
       require(exprs.length == 3, s"content_chunks expects 3 arguments (text, divisor, min_len), got ${exprs.length}")

@@ -52,7 +52,8 @@ class GraftFunctionsSpec extends SparkFunSuite {
         "simhash64", "redact_pii", "dup_token_ratio", "winnow_fp", "poly_hash",
         "top_k", "hll_sketch", "hll_merge", "hll_estimate", "freq_items",
         "cm_sketch", "cm_merge", "cm_query", "qs_sketch", "qs_merge",
-        "qs_query", "funnel_stage", "token_windows", "content_chunks"))
+        "qs_query", "funnel_stage", "token_windows", "content_chunks",
+        "kmv_distinct"))
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"$name not registered")
@@ -83,6 +84,14 @@ class GraftFunctionsSpec extends SparkFunSuite {
         |  (SELECT qs_sketch(x, 128) AS sk FROM qs GROUP BY g)""".stripMargin)
       .head.getDouble(0)
     assert(mergedMed == 50.0)
+  }
+
+  test("kmv_distinct is callable from SQL: exact below capacity") {
+    GraftFunctions.register(spark)
+    // 3-element sketch below k=8 -> exact 3.0
+    assert(spark.sql(
+      "SELECT kmv_distinct(array('aa', 'bb', 'cc'), 8) AS d")
+      .head.getDouble(0) === 3.0)
   }
 
   test("content_chunks is callable from SQL and reconstructs the text") {
