@@ -134,6 +134,20 @@ object GraftFunctions {
       GraftColumnBridge.expression(Sessionize.funnelStageOf(
         GraftColumnBridge.column(exprs(0)), stages))
     },
+    "kmv_sketch" -> { exprs =>
+      require(exprs.length == 2, s"kmv_sketch expects 2 arguments (key, k), got ${exprs.length}")
+      require(exprs(1).foldable, "kmv_sketch: k must be a literal")
+      GraftColumnBridge.expression(SetSketch.kmvSketch(
+        GraftColumnBridge.column(exprs(0)),
+        exprs(1).eval().asInstanceOf[Number].intValue()))
+    },
+    "kmv_merge" -> { exprs =>
+      require(exprs.length == 2, s"kmv_merge expects 2 arguments (kmv, k), got ${exprs.length}")
+      require(exprs(1).foldable, "kmv_merge: k must be a literal")
+      GraftColumnBridge.expression(SetSketch.kmvMerge(
+        GraftColumnBridge.column(exprs(0)),
+        exprs(1).eval().asInstanceOf[Number].intValue()))
+    },
     "kmv_distinct" -> { exprs =>
       require(exprs.length == 2, s"kmv_distinct expects 2 arguments (kmv, k), got ${exprs.length}")
       require(exprs(1).foldable, "kmv_distinct: k must be a literal")

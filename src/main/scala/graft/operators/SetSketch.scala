@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TopK
-
 /** KMV ("k minimum values") distinct sketches with SET-OPERATION
   * estimates — Beyer et al., "On Synopses for Distinct-Value Estimation
   * Under Multiset Operations", SIGMOD 2007 (the construction behind
@@ -27,19 +25,20 @@ import graft.functions.TopK
   * `intersection ≈ jaccard · D(union-k)`. Relative error ~1/√k.
   *
   * Determinism: everything is a pure function of the data — the hashes
-  * are md5 (the `Sampling.sampleKPerGroup` ordering contract: bottom-k by
-  * hex string, carried in TopK as two exact 52-bit integers), `u_k` is an
-  * exact power-of-two division of a 52-bit integer, and the estimate
-  * arithmetic is a fixed expression over exact doubles — so a DuckDB
-  * oracle replays the ESTIMATES exactly, no tolerance band needed.
-  * Sketch elements are the hex strings themselves (lexicographic hex
-  * order == numeric hash order), making the sketches engine-portable.
+  * are md5 (the `Sampling.sampleKPerGroup` ordering contract: bottom-k
+  * by hex string), `u_k` is an exact power-of-two division of a 52-bit
+  * integer, and the estimate arithmetic is a fixed expression over exact
+  * doubles — so a DuckDB oracle replays the ESTIMATES exactly, no
+  * tolerance band needed. Sketch elements are the hex strings themselves
+  * (lexicographic hex order == numeric hash order), making the sketches
+  * engine-portable.
   *
   * Scale shape: one sketch per slice is ONE bounded-state aggregation
-  * (the O(k) [[TopK]] heap, map-side partials); the pairwise-overlap
-  * matrix then works on |slices|² sketch ROWS — a few KB each — never
-  * touching the corpus again. NULL keys hash to NULL and are excluded
-  * (the TopK null-ord convention). */
+  * (the [[graft.functions.BottomKDistinctAgg]] ordered set, capped at k,
+  * map-side partials — dedup happens inside the buffer, so there is no
+  * pre-dedup shuffle); the pairwise-overlap matrix then works on
+  * |slices|² sketch ROWS — a few KB each — never touching the corpus
+  * again. NULL keys hash to NULL and are excluded. */
 object SetSketch {
 
   private val TwoPow52 = 4503599627370496.0 // 2^52, exact in a double
@@ -50,25 +49,39 @@ object SetSketch {
   private def h1(hexCol: Column): Column = Sampling.hex52(hexCol, 1)
   private def h2(hexCol: Column): Column = Sampling.hex52(hexCol, 14)
 
+  /** The KMV sketch of a key column as an aggregate Column: the ascending
+    * array of the `k` smallest DISTINCT `md5(key:domain)` hex strings.
+    * Deduplication happens INSIDE the bounded aggregation buffer
+    * ([[graft.functions.BottomKDistinctAgg]]), so a grouped sketch build
+    * is one aggregation with map-side partials — no pre-dedup shuffle.
+    * SQL: `kmv_sketch(key, k)`. */
+  def kmvSketch(key: Column, k: Int, domain: String = "kmv"): Column = {
+    require(k >= 2, s"k ($k) must be >= 2")
+    org.apache.spark.sql.GraftColumnBridge.column(graft.functions.BottomKDistinctAgg(
+      org.apache.spark.sql.GraftColumnBridge.expression(hex(key, domain)), k)
+      .toAggregateExpression())
+  }
+
+  /** Union of KMV sketches as an aggregate Column: per-slice sketches
+    * roll up to the sketch of the union without touching the data again
+    * (merge, dedup, keep k — Beyer et al. §4). SQL: `kmv_merge(kmv, k)`. */
+  def kmvMerge(sketch: Column, k: Int): Column = {
+    require(k >= 2, s"k ($k) must be >= 2")
+    org.apache.spark.sql.GraftColumnBridge.column(graft.functions.BottomKDistinctAgg(
+      org.apache.spark.sql.GraftColumnBridge.expression(sketch), k, mergeArrays = true)
+      .toAggregateExpression())
+  }
+
   /** Per-group KMV sketch: the group columns + `kmv`, the ascending array
-    * of the `k` smallest DISTINCT `md5(key:domain)` hex strings. The key
-    * set is deduped BEFORE sketching (KMV summarizes the value DOMAIN, so
-    * duplicates must not occupy sketch slots). */
+    * of the `k` smallest DISTINCT `md5(key:domain)` hex strings
+    * ([[kmvSketch]] applied per group — one aggregation, bounded
+    * buffers, duplicates never occupy sketch slots). */
   def kmvPerGroup(df: DataFrame, groupCols: Seq[String], keyCol: String,
                   k: Int, domain: String = "kmv"): DataFrame = {
-    require(k >= 2, s"k ($k) must be >= 2")
-    require(!Seq("_hex", "_t").exists(df.columns.contains),
-      "input must not contain the reserved columns _hex/_t")
     require(!groupCols.contains("kmv") && keyCol != "kmv",
       "group/key columns must not use the reserved output name kmv")
-    val hx = hex(col(keyCol), domain)
-    df.select((groupCols.map(col) :+ hx.as("_hex")): _*)
-      .distinct() // (group, hash) — dedup before the heap, never after
-      .groupBy(groupCols.map(col): _*)
-      .agg(TopK.topK(k, -h1(col("_hex")).cast("double"), h2(col("_hex")),
-        col("_hex")).as("_t"))
-      .select(groupCols.map(col) :+
-        transform(col("_t"), e => e.getField("payload")).as("kmv"): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(kmvSketch(col(keyCol), k, domain).as("kmv"))
   }
 
   /** Distinct-count estimate of a [[kmvPerGroup]] sketch column: exact

@@ -67,4 +67,21 @@ class IncrementalDedupSpec extends SparkFunSuite {
       .orderBy("id").collect().map(_.getLong(0)).toSeq
     assert(got == (2001L to 2100L))
   }
+
+  test("dedupBatch plan: window winner + bloom-routed union + exact LeftAnti residue") {
+    // pin the q84 shape: one batch-sized window for the intra-batch winner,
+    // then the bloom split — a definite-absent lane unioned with an exact
+    // anti-join residue lane. Inspected after execution (AQE-final).
+    val ledger = (1 to 500).map(i => s"fp$i").toDF("fp")
+    val batch = (450 to 550).map(i => (i.toLong, s"fp$i")).toDF("id", "fp")
+    val df = IncrementalDedup.dedupBatch(batch, ledger, "id", "fp", 500L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"),
+      s"intra-batch winner must be the row_number window:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"the maybe-present residue must verify through an exact anti-join:\n$plan")
+    assert(plan.contains("Union"),
+      s"definite-absent rows must bypass the join via the union lane:\n$plan")
+  }
 }

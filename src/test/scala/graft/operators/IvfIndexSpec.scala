@@ -130,4 +130,40 @@ class IvfIndexSpec extends SparkFunSuite {
     // every query at least finds its own vector
     (0L until 8L).foreach(qid => assert(ann.contains((qid, qid))))
   }
+
+  // Plan pins (the q27 lesson): structural drift in the probe chain should
+  // fail a test, not surface as bench archaeology two rounds later. The
+  // plans are inspected AFTER execution so AQE's final join choices are
+  // what gets asserted.
+
+  test("topK plan: centroid array broadcasts; nothing sort-merges at probe scale") {
+    val q = t.embeddings.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val df = IvfIndex.topK(t.embeddings, "vec_id", "embedding", q, k = 5,
+      nCells = 4, nProbe = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the packed centroid array must broadcast into assignment/probing:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge join in the probe chain means the corpus shuffled for a " +
+        s"probe/centroid-sized table:\n$plan")
+  }
+
+  test("topKQuantized plan: centroid + shortlist re-rank joins broadcast") {
+    val q = t.embeddings.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val df = IvfIndex.topKQuantized(t.embeddings, "vec_id", "embedding", q,
+      k = 5, nCells = 4, nProbe = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the packed centroid array must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-query shortlist (shortlistFactor*k rows) must broadcast into " +
+        s"the exact re-rank joins, never shuffle the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge join in the quantized chain means a corpus-sized " +
+        s"exchange for a shortlist-sized table:\n$plan")
+  }
 }

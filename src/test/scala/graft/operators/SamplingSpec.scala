@@ -277,4 +277,18 @@ class SamplingSpec extends SparkFunSuite {
       Sampling.sampleKPerGroup(df.withColumn("_t", lit(1)), Nil, "id", 1)
     }
   }
+
+  test("sampleKPerGroup: a NULL group key is its own slice (the q106 convention)") {
+    // groupBy keeps NULL as a real group — rows with an unknown slice get
+    // sampled under it, never silently dropped or merged into a named slice
+    val df = ((1L to 60L).map(i => (i, if (i % 3 == 0) null else s"g${i % 2}")))
+      .toDF("id", "grp")
+    val got = Sampling.sampleKPerGroup(df, Seq("grp"), "id", 4)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2)))
+    val nullSlice = got.filter(_._1.isEmpty).map(_._2).toSet
+    assert(nullSlice.size === 4, s"NULL slice must yield k rows, got $nullSlice")
+    assert(nullSlice.subsetOf((3L to 60L by 3L).toSet),
+      "NULL-slice sample must come from the NULL-key rows only")
+    assert(got.count(_._1.contains("g0")) === 4 && got.count(_._1.contains("g1")) === 4)
+  }
 }

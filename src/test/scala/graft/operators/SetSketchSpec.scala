@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 import graft.SparkFunSuite
 
@@ -57,5 +57,40 @@ class SetSketchSpec extends SparkFunSuite {
     val s2 = SetSketch.kmvPerGroup(df, Seq("g"), "id", 64)
       .select(col("kmv")).head().getSeq[String](0)
     assert(s1 === s2)
+  }
+
+  test("sketch equals the naive bottom-k of sorted distinct hashes; nulls excluded") {
+    val rows = (1L to 500L).map(i => ("a", i % 120)).toDF("g", "id")
+      .unionByName(Seq(("a", null.asInstanceOf[java.lang.Long])).toDF("g", "id"))
+    val got = SetSketch.kmvPerGroup(rows, Seq("g"), "id", 16)
+      .head().getSeq[String](1)
+    val want = rows.filter(col("id").isNotNull)
+      .select(org.apache.spark.sql.functions.md5(
+        concat(col("id").cast("string"), lit(":kmv"))).as("h"))
+      .distinct().orderBy("h").limit(16)
+      .collect().map(_.getString(0)).toSeq
+    assert(got === want, "sketch must be the 16 smallest distinct hashes, ascending")
+  }
+
+  test("kmv_sketch / kmv_merge SQL surface matches the operators") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = (1L to 4000L).map(i => (s"s${i % 3}", i % 900))
+    rows.toDF("src", "id").createOrReplaceTempView("kmv_in")
+    val sql = spark.sql(
+      "SELECT src, kmv_sketch(id, 32) AS kmv FROM kmv_in GROUP BY src")
+    val api = SetSketch.kmvPerGroup(rows.toDF("src", "id"), Seq("src"), "id", 32)
+    assert(sql.orderBy("src").collect().map(_.getSeq[String](1)).toSeq ===
+      api.orderBy("src").collect().map(_.getSeq[String](1)).toSeq)
+    // rolling per-slice sketches up through kmv_merge == sketching the
+    // union directly (Beyer et al. §4 — the incremental deployment shape)
+    val merged = spark.sql(
+      """SELECT kmv_merge(kmv, 32) AS kmv FROM
+        |  (SELECT src, kmv_sketch(id, 32) AS kmv FROM kmv_in GROUP BY src)""".stripMargin)
+      .head().getSeq[String](0)
+    val direct = SetSketch.kmvPerGroup(
+        rows.toDF("src", "id").withColumn("g", lit(1)), Seq("g"), "id", 32)
+      .head().getSeq[String](1)
+    assert(merged === direct,
+      "merging per-slice sketches must reproduce the union sketch exactly")
   }
 }
