@@ -40,15 +40,17 @@ object Keywords {
     * `(tfidf DESC, polyHash(term) ASC)`. `N` is the number of documents
     * with at least one token (the population `df` is counted over). */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int, maxBroadcastRows: Long = 50000000L): DataFrame = {
+                    k: Int, maxBroadcastRows: Long = 50000000L): DataFrame =
+    tfidfKeywordsFromTf(TextAnalysis.tfTable(docs, idCol, textCol),
+      idCol, k, maxBroadcastRows)
+
+  /** [[tfidfKeywords]] over a prebuilt [[TextAnalysis.tfTable]] — the
+    * shared-intermediate form for pipelines that run several term-keyed
+    * operators over one snapshot (value-identical; KeywordsSpec pins it). */
+  def tfidfKeywordsFromTf(tfTable: DataFrame, idCol: String,
+                          k: Int, maxBroadcastRows: Long = 50000000L): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    // One corpus pass; pinned once for its three consumers.
-    val tf = docs
-      .select(col(idCol), explode(filter(
-        split(TextAnalysis.normalized(col(textCol)), " "),
-        c => c =!= "")).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    val tf = tfTable.select(col(idCol), col("term"), col("tf"))
 
     val dfGate = Gates.countedBroadcast(
       tf.groupBy("term").agg(count(lit(1)).as("df")), maxBroadcastRows)

@@ -79,7 +79,28 @@ object Profile {
         split(TextAnalysis.normalized(col(textCol)), " "),
         c => c =!= "")).as("w"))
       .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("c"))
+    healthFromCounts(counts, groupCol, topN)
+  }
 
+  /** [[corpusHealth]] over a prebuilt [[TextAnalysis.tfTable]] that
+    * carried `groupCol` (build it with `carryCols = Seq(groupCol)`) —
+    * the shared-intermediate form. Slice-level token counts are the sum
+    * of per-document tf, so the result is value-identical to the
+    * one-shot form (ProfileSpec pins it). The standalone path aggregates
+    * straight to (slice, token) — one fewer grouping — so share the tf
+    * table when other term-keyed operators run on the same snapshot, and
+    * keep the one-shot form when health is all you need. */
+  def corpusHealthFromTf(tfTable: DataFrame, groupCol: String,
+                         topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"topN ($topN) must be >= 2")
+    val counts = tfTable
+      .groupBy(col(groupCol), col("term").as("w"))
+      .agg(sum("tf").as("c"))
+    healthFromCounts(counts, groupCol, topN)
+  }
+
+  private def healthFromCounts(counts: DataFrame, groupCol: String,
+                               topN: Int): DataFrame = {
     // ONE aggregation carries the scalar stats AND the O(topN) rank heap —
     // no scalar/slope join afterwards (a join would also silently drop a
     // NULL group key; aggregation keeps it as its own slice).

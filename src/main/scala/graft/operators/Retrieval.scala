@@ -42,17 +42,22 @@ object Retrieval {
     * are computed over documents with ≥ 1 token. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
-               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFromTf(TextAnalysis.tfTable(docs, idCol, textCol),
+      idCol, queries, qIdCol, qTextCol, k, k1, b)
+
+  /** [[bm25TopK]] over a prebuilt [[TextAnalysis.tfTable]] — the
+    * shared-intermediate form (value-identical; RetrievalSpec pins it).
+    * The tf table plays the posting-list role: it is the ONLY corpus-
+    * derived input, so a pipeline sharing it never re-tokenizes. */
+  def bm25TopKFromTf(tfTable: DataFrame, idCol: String,
+                     queries: DataFrame, qIdCol: String, qTextCol: String,
+                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"BM25 params out of range: k1=$k1 b=$b")
-    val toks = docs.select(col(idCol),
-        explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("term"))
-      .filter(col("term") =!= "")
-    // (doc, term, tf) — THE reused table; pin it (the q73 lesson: three
+    // (doc, term, tf) — THE reused table (the q73 lesson: the three
     // consumers below would otherwise re-tokenize the corpus three times)
-    val tf = toks.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    val tf = tfTable.select(col(idCol), col("term"), col("tf"))
     // global stats in ONE pass over tf — no per-doc table is retained for
     // them, so the doc-length aggregate below can be query-reduced. Exact
     // integer sum / one division — deterministic at any parallelism (a

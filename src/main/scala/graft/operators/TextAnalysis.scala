@@ -79,6 +79,36 @@ object TextAnalysis {
   def normalized(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** THE shared term-frequency intermediate: `(idCol, carryCols…, term,
+    * tf)` from one tokenize + aggregation pass over the corpus, pinned
+    * with a lazy localCheckpoint so the first consumer materializes it
+    * and every later consumer reads cached blocks.
+    *
+    * A crawl-scoring pipeline typically runs several term-keyed operators
+    * over the same snapshot — [[Keywords.tfidfKeywordsFromTf]],
+    * [[Retrieval.bm25TopKFromTf]], [[Profile.corpusHealthFromTf]] — and
+    * each used to re-tokenize the corpus from scratch; at 100 TB the
+    * tokenize+explode pass IS the dominant cost, so it should run once
+    * per snapshot, not once per operator (the checkpoint-once pattern
+    * each operator already used internally, lifted across operators).
+    *
+    * `carryCols` rides per-document attributes (slice keys like lang /
+    * source) through the aggregation for consumers that group by them;
+    * they must be functionally dependent on `idCol` (per-document
+    * values), otherwise a document's terms split across carry values.
+    * Tokenization is [[normalized]] + whitespace split — identical to
+    * what the consumers built internally, so the `FromTf` variants are
+    * value-identical to their one-shot forms (spec-pinned). */
+  def tfTable(docs: DataFrame, idCol: String, textCol: String,
+              carryCols: Seq[String] = Nil): DataFrame = {
+    val keys = (idCol +: carryCols).map(col)
+    docs.select(keys :+ explode(filter(
+        split(normalized(col(textCol)), " "), c => c =!= "")).as("term"): _*)
+      .groupBy(keys :+ col("term"): _*)
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+  }
+
   /** Key-collision fingerprint (the classic OpenRefine shape): sorted
     * distinct normalized words, md5-hashed. Two documents that differ only
     * in word order / punctuation / case collide — a cheap canonical-dup key. */

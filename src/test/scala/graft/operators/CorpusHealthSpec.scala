@@ -103,4 +103,21 @@ class CorpusHealthSpec extends SparkFunSuite {
     assert(got("z")._5.get < -0.7, s"zipf slope ${got("z")._5}")
     assert(got("u")._5.get > -0.3, s"uniform slope ${got("u")._5}")
   }
+
+  test("corpusHealthFromTf over a carry-column tfTable is value-identical") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("red", "blue", "green", "teal", "cyan", "pink")
+    val docs = (1L to 60L).map { i =>
+      (i, if (i % 2 == 0) "en" else "de",
+        Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val shared = TextAnalysis.tfTable(docs, "doc_id", "text",
+      carryCols = Seq("lang"))
+    val a = Profile.corpusHealth(docs, "lang", "text", topN = 4)
+      .orderBy("lang").collect().toSeq
+    val b = Profile.corpusHealthFromTf(shared, "lang", topN = 4)
+      .orderBy("lang").collect().toSeq
+    assert(a === b)
+  }
 }

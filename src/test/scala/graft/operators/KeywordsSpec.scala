@@ -87,4 +87,18 @@ class KeywordsSpec extends SparkFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "df join must broadcast")
   }
+
+  test("tfidfKeywordsFromTf over a shared tfTable is value-identical") {
+    val rnd = new Random(31)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu")
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val shared = TextAnalysis.tfTable(docs, "doc_id", "text")
+    val a = Keywords.tfidfKeywords(docs, "doc_id", "text", 3)
+      .orderBy("doc_id", "rank").collect().toSeq
+    val b = Keywords.tfidfKeywordsFromTf(shared, "doc_id", 3)
+      .orderBy("doc_id", "rank").collect().toSeq
+    assert(a === b)
+  }
 }

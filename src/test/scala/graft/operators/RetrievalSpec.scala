@@ -97,4 +97,14 @@ class RetrievalSpec extends SparkFunSuite {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
     assert(a.filter(col("qid") === 2L).count() == 0)
   }
+
+  test("bm25TopKFromTf over a shared tfTable is value-identical") {
+    val queries = Seq((100L, "pond ducks"), (200L, "spark optimizer")).toDF("qid", "qtext")
+    val shared = TextAnalysis.tfTable(corpus, "doc_id", "text")
+    val a = Retrieval.bm25TopK(corpus, "doc_id", "text", queries, "qid", "qtext", k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    val b = Retrieval.bm25TopKFromTf(shared, "doc_id", queries, "qid", "qtext", k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(a === b)
+  }
 }
