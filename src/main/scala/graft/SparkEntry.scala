@@ -25,6 +25,14 @@ object SparkEntry {
 
   private def netPrice: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** Deterministic ~1.6% document pick (md5 hex prefix < "04" = 4/256),
+    * replayed verbatim by the oracle as
+    * `md5(CAST(doc_id AS VARCHAR) || ':osample') < '04'` — the subset
+    * harness for scoring queries whose DuckDB oracle is
+    * interpreter-bound at large scale (q100s/q101s/q103s/q105s). */
+  private def oracleSample(id: Column): Column =
+    md5(concat(id.cast("string"), lit(":osample"))) < "04"
+
   // No rounding: quantities are whole numbers (sum is exact in double, so
   // avg is order-independent) and max/min/count are exact — both engines
   // produce bit-identical values.
@@ -1309,6 +1317,42 @@ object SparkEntry {
     "q105_content_chunks" -> ((s, dir) => {
       val d = Tables(s, dir).documents
       Chunk.contentChunks(d, "doc_id", "text", divisor = 64, minLen = 32)
+        .orderBy("doc_id", "chunk_id")
+    }),
+    // ---- deterministic-subset variants of the interpreter-bound scoring
+    // queries (q100/q101/q103/q105): corpus-level MODELS are still built
+    // over the FULL corpus; only the scored-document set is restricted to
+    // the ~1.6% md5-picked sample both engines select identically. This
+    // is the oracle harness that makes these queries verifiable at
+    // sf1.0 (the DuckDB side is interpreter-bound on per-token/per-char
+    // list lambdas, so it scores 1/64th of the documents), and the
+    // "score a slice against corpus statistics" shape is a real pipeline
+    // operation in its own right.
+    "q100s_lm_sampled" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val model = LanguageModel.trainBigram(
+        d.filter(col("source") === "src0"), "text")
+      LanguageModel.perplexityScore(d.filter(oracleSample(col("doc_id"))),
+          "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+    "q101s_dsir_sampled" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Importance.dsirResampleAmong(d, d.filter(col("lang") === "en"),
+          oracleSample(col("doc_id")), "doc_id", "text", k = 100,
+          buckets = 1024)
+        .orderBy("rank")
+    }),
+    "q103s_novelty_sampled" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Novelty.ngramNovelty(d.filter(oracleSample(col("doc_id"))),
+          d.filter(col("source") === "src0"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+    "q105s_chunks_sampled" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      Chunk.contentChunks(d.filter(oracleSample(col("doc_id"))),
+          "doc_id", "text", divisor = 64, minLen = 32)
         .orderBy("doc_id", "chunk_id")
     }),
     // corpus-health dashboard per source: exact token/vocab/hapax counts,
@@ -2635,6 +2679,171 @@ object SparkEntry {
         |    trim(regexp_replace(regexp_replace(lower(text),
         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
         |  FROM documents),
+        |nn AS (SELECT doc_id, t FROM n WHERE t IS NOT NULL AND len(t) >= 1),
+        |c AS (SELECT doc_id, t, list_transform(generate_series(1, len(t)),
+        |        i -> CAST(unicode(t[i]) AS BIGINT)) AS cs FROM nn),
+        |g AS (SELECT doc_id, t,
+        |    CASE WHEN len(cs) < 5 THEN CAST([] AS BIGINT[])
+        |    ELSE list_transform(generate_series(1, len(cs) - 4),
+        |      i -> (cs[i]*4362470401 + cs[i+1]*16974593 + cs[i+2]*66049
+        |            + cs[i+3]*257 + cs[i+4]) % 1000000007)
+        |    END AS gh FROM c),
+        |cand AS (SELECT doc_id, t, list_transform(
+        |    list_filter(generate_series(1, len(gh)), j -> gh[j] % 64 = 0),
+        |    j -> j + 4) AS cand FROM g),
+        |bd0 AS (SELECT doc_id, t, list_reduce(
+        |    list_prepend([CAST(0 AS BIGINT)],
+        |      list_transform(cand, p -> [CAST(p AS BIGINT)])),
+        |    (a, b) -> CASE WHEN b[1] - a[-1] >= 32 THEN list_concat(a, b)
+        |              ELSE a END) AS k FROM cand),
+        |bd AS (SELECT doc_id, t,
+        |    CASE WHEN k[-1] = len(t) THEN k
+        |    ELSE list_concat(k, [CAST(len(t) AS BIGINT)]) END AS bd FROM bd0),
+        |ch AS (SELECT doc_id, t, bd,
+        |    unnest(generate_series(1, len(bd) - 1)) AS j FROM bd)
+        |SELECT doc_id, CAST(j - 1 AS INTEGER) AS chunk_id,
+        |  CAST(bd[j] + 1 AS INTEGER) AS start,
+        |  CAST(bd[j+1] - bd[j] AS INTEGER) AS length,
+        |  t[CAST(bd[j]+1 AS INTEGER):CAST(bd[j+1] AS INTEGER)] AS chunk_text,
+        |  md5(t[CAST(bd[j]+1 AS INTEGER):CAST(bd[j+1] AS INTEGER)])
+        |    AS chunk_key
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    // q100 with the scored set restricted to the shared md5 sample; the
+    // bigram model still trains on the FULL src0 slice. tks keeps only
+    // rows either engine needs (model slice or sampled), cutting the
+    // oracle's per-position lambda work ~64x.
+    "q100s_lm_sampled" ->
+      """WITH tks AS (SELECT doc_id, source,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents
+        |  WHERE source = 'src0'
+        |     OR md5(CAST(doc_id AS VARCHAR) || ':osample') < '04'),
+        |bg AS (SELECT doc_id, source, i,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS prev, tk[i] AS cur
+        |  FROM (SELECT doc_id, source, tk,
+        |        unnest(generate_series(1, len(tk))) AS i
+        |        FROM tks WHERE len(tk) >= 1)),
+        |cnt AS (SELECT prev, cur, count(*) AS c FROM bg
+        |  WHERE source = 'src0' GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(c) AS cc FROM cnt GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT cur) AS v FROM cnt),
+        |sc AS (SELECT bg.doc_id, i,
+        |    -ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
+        |        CAST(coalesce(cc, 0) + v + 1 AS DOUBLE)) AS nll
+        |  FROM bg LEFT JOIN cnt USING (prev, cur)
+        |    LEFT JOIN ctx USING (prev), vv
+        |  WHERE md5(CAST(bg.doc_id AS VARCHAR) || ':osample') < '04'),
+        |f AS (SELECT doc_id, count(*) AS n_tokens,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(nll ORDER BY i)),
+        |      (a, b) -> a + b) AS s
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(s / CAST(n_tokens AS DOUBLE), 4) AS avg_nll
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // q101 with the Gumbel top-k drawn only among the sampled candidates;
+    // target and proposal bucket counts still come from the FULL corpus.
+    // Distinct gram strings are hashed ONCE (gh) and joined back — the
+    // per-char fold is a pure function of the gram, so this is the same
+    // arithmetic with set-bounded instead of occurrence-bounded cost.
+    "q101s_dsir_sampled" ->
+      """WITH tks AS (SELECT doc_id, lang,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |pr AS (SELECT doc_id, lang, i, tk[i] || ' ' || tk[i+1] AS g
+        |  FROM (SELECT doc_id, lang, tk,
+        |        unnest(generate_series(1, len(tk) - 1)) AS i
+        |        FROM tks WHERE len(tk) >= 2)),
+        |gh AS (SELECT g,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, len(g)),
+        |        j -> CAST(unicode(g[j]) AS BIGINT))),
+        |      (a, b) -> (a * 257 + b) % 1000000007) % 1024 AS bucket
+        |  FROM (SELECT DISTINCT g FROM pr)),
+        |ft AS (SELECT doc_id, lang, i, bucket FROM pr JOIN gh USING (g)),
+        |ct AS (SELECT bucket, count(*) AS ct FROM ft
+        |  WHERE lang = 'en' GROUP BY 1),
+        |cr AS (SELECT bucket, count(*) AS cr FROM ft GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(ct) FROM ct) AS nt,
+        |    (SELECT sum(cr) FROM cr) AS nr),
+        |lam AS (SELECT ft.doc_id, i,
+        |    ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) /
+        |       CAST(nt + 1024 AS DOUBLE)) -
+        |    ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) /
+        |       CAST(nr + 1024 AS DOUBLE)) AS lam
+        |  FROM ft LEFT JOIN ct USING (bucket)
+        |    LEFT JOIN cr USING (bucket), tot
+        |  WHERE md5(CAST(ft.doc_id AS VARCHAR) || ':osample') < '04'),
+        |w0 AS (SELECT doc_id, count(*) AS n_feats,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lam ORDER BY i)),
+        |      (a, b) -> a + b) AS logw
+        |  FROM lam GROUP BY 1),
+        |w AS (SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+        |    coalesce(logw, CAST(0 AS DOUBLE)) AS logw
+        |  FROM (SELECT doc_id FROM documents
+        |        WHERE md5(CAST(doc_id AS VARCHAR) || ':osample') < '04') d
+        |    LEFT JOIN w0 USING (doc_id)),
+        |gk AS (SELECT doc_id, n_feats, logw, logw - ln(-ln(
+        |    (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1,
+        |          len(CAST(doc_id AS VARCHAR) || ':dsir')),
+        |        j -> CAST(unicode((CAST(doc_id AS VARCHAR) || ':dsir')[j])
+        |          AS BIGINT))),
+        |      (a, b) -> (a * 257 + b) % 1000000007) AS DOUBLE) + 0.5)
+        |    / 1000000007.0)) AS k
+        |  FROM w),
+        |r AS (SELECT doc_id, n_feats, logw,
+        |    row_number() OVER (ORDER BY k DESC, doc_id) AS rank FROM gk)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_feats,
+        |  round(logw, 6) AS logw
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // q103 scored only for the sampled documents against the FULL src0
+    // reference; distinct grams hashed once (gh) as in q101s.
+    "q103s_novelty_sampled" ->
+      """WITH tks AS (SELECT doc_id, source,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents
+        |  WHERE source = 'src0'
+        |     OR md5(CAST(doc_id AS VARCHAR) || ':osample') < '04'),
+        |dg AS (SELECT doc_id, source, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+        |  FROM tks WHERE len(tk) >= 3),
+        |gh AS (SELECT g,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, len(g)),
+        |        j -> CAST(unicode(g[j]) AS BIGINT))),
+        |      (x, y) -> (x * 257 + y) % 1000000007) AS h
+        |  FROM (SELECT DISTINCT g FROM dg)),
+        |dh AS (SELECT doc_id, source, h FROM dg JOIN gh USING (g)),
+        |rd AS (SELECT DISTINCT h, 1 AS seen FROM dh WHERE source = 'src0'),
+        |agg AS (SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM dh LEFT JOIN rd USING (h)
+        |  WHERE md5(CAST(doc_id AS VARCHAR) || ':osample') < '04'
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(n_grams, CAST(0 AS BIGINT)) AS n_grams,
+        |  coalesce(n_novel, CAST(0 AS BIGINT)) AS n_novel,
+        |  round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 4)
+        |    AS novelty
+        |FROM (SELECT doc_id FROM documents
+        |      WHERE md5(CAST(doc_id AS VARCHAR) || ':osample') < '04') d
+        |  LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q105 restricted to the sampled documents — chunking has no corpus
+    // model, so the filter composes directly.
+    "q105s_chunks_sampled" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents
+        |  WHERE md5(CAST(doc_id AS VARCHAR) || ':osample') < '04'),
         |nn AS (SELECT doc_id, t FROM n WHERE t IS NOT NULL AND len(t) >= 1),
         |c AS (SELECT doc_id, t, list_transform(generate_series(1, len(t)),
         |        i -> CAST(unicode(t[i]) AS BIGINT)) AS cs FROM nn),

@@ -87,7 +87,19 @@ object Importance {
     * cannot match the weight re-add join, so such a row is reported as
     * feature-less (`logw = 0`). */
   def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
-                     textCol: String, buckets: Int = 1024): DataFrame = {
+                     textCol: String, buckets: Int = 1024): DataFrame =
+    dsirLogWeightsAmong(raw, target, lit(true), idCol, textCol, buckets)
+
+  /** [[dsirLogWeights]] restricted to a candidate pool: the importance
+    * MODELS (target and proposal bucket counts) are built over the FULL
+    * `raw` corpus, but only rows satisfying `candidate` are scored — the
+    * "score one slice against corpus-level statistics" shape (and the
+    * deterministic-subset oracle harness at scale). `candidate` must be
+    * a deterministic predicate over `idCol` alone (it is applied to the
+    * internal feature stream, which carries only the id). */
+  def dsirLogWeightsAmong(raw: DataFrame, target: DataFrame,
+                          candidate: Column, idCol: String, textCol: String,
+                          buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, s"buckets ($buckets) must be >= 2")
     // A feature-less target would null the nt total, null every lam, and
     // the final coalesce would rewrite ALL weights to 0 — a full-looking
@@ -110,7 +122,9 @@ object Importance {
       .crossJoin(cr.agg(sum("cr").as("nr")))
     // Per-occurrence log-ratio, folded in position order: ln args are
     // exact integer-ratio doubles, so the fold is bit-reproducible.
-    val lam = fr
+    // Scoring runs only over the candidate pool; the bucket counts above
+    // deliberately came from the FULL stream.
+    val lam = fr.filter(candidate)
       .join(broadcast(ct), Seq("bucket"), "left")
       .join(broadcast(cr), Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
@@ -125,7 +139,7 @@ object Importance {
       .select(col(idCol), col("n_feats"),
         aggregate(sort_array(col("cl")), lit(0.0),
           (a, s) => a + s.getField("lam")).as("logw"))
-    raw.select(col(idCol)).join(summed, Seq(idCol), "left")
+    raw.select(col(idCol)).filter(candidate).join(summed, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("logw"), lit(0.0)).as("logw"))
   }
@@ -136,9 +150,18 @@ object Importance {
     * salts the noise hash so independent draws don't correlate. */
   def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
                    textCol: String, k: Int, buckets: Int = 1024,
-                   domain: String = "dsir"): DataFrame = {
+                   domain: String = "dsir"): DataFrame =
+    dsirResampleAmong(raw, target, lit(true), idCol, textCol, k, buckets, domain)
+
+  /** [[dsirResample]] over a candidate pool (see
+    * [[dsirLogWeightsAmong]]): models from the full corpus, Gumbel
+    * top-`k` drawn only among rows satisfying `candidate`. */
+  def dsirResampleAmong(raw: DataFrame, target: DataFrame, candidate: Column,
+                        idCol: String, textCol: String, k: Int,
+                        buckets: Int = 1024,
+                        domain: String = "dsir"): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val w = dsirLogWeights(raw, target, idCol, textCol, buckets)
+    val w = dsirLogWeightsAmong(raw, target, candidate, idCol, textCol, buckets)
     // u in (0, 1) from the exact id hash; g = -ln(-ln(u)) is standard
     // Gumbel. u is never 0 or 1 (the +0.5 offset), so g is finite.
     val u = (polyHash(concat(col(idCol).cast("string"), lit(":" + domain)))

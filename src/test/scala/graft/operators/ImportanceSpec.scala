@@ -140,4 +140,23 @@ class ImportanceSpec extends SparkFunSuite {
       .collect().map { case Row(_, id: Long, _, _) => id }.toSeq
     assert(sel.forall(_ <= 20L), s"selected $sel")
   }
+
+  test("dsirLogWeightsAmong == full weights filtered to the candidate pool") {
+    // the candidate restriction must change WHICH rows are scored, never
+    // a candidate's weight: bucket models still come from the full corpus
+    import org.apache.spark.sql.functions.{col, lit, md5, concat}
+    val raw = (1L to 120L).map(i =>
+      (i, s"alpha beta w$i gamma w${i % 9} delta")).toDF("doc_id", "text")
+    val tgt = raw.filter(col("doc_id") % 4 === 0)
+    val cand = md5(concat(col("doc_id").cast("string"), lit(":x"))) < "80"
+    val among = Importance.dsirLogWeightsAmong(raw, tgt, cand,
+        "doc_id", "text", buckets = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Importance.dsirLogWeights(raw, tgt, "doc_id", "text", buckets = 128)
+      .filter(cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(among.nonEmpty && among.size < 120, "pool must be a strict subset")
+    assert(among === full,
+      "candidate weights must be identical to the full-scoring weights")
+  }
 }
