@@ -24,7 +24,13 @@ the driver's generator (measured sf0.01 -> sf0.1, seed-42 style):
 Schemas are cast to the sf0.1 parquet schemas bit-for-bit (including the
 TIMESTAMP(NANOS) events column). Deterministic: numpy PCG64 seed 42.
 
-Usage: python3 tools/gen_sf1.py [outdir]   (default testdata/sf1.0)
+Usage: python3 tools/gen_sf1.py [outdir] [mult]
+
+`mult` (integer, default 1) scales every row count by an extra factor on
+top of the 10x decade — `gen_sf1.py testdata/sf3 3` writes a 30x-sf0.1
+directory (the third-decade ratio check for the steep-linear query
+family). Same recipes, same seed; the corpus is a fresh draw at the
+larger size, not a replication of sf1.0.
 """
 import json
 import os
@@ -39,7 +45,8 @@ SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else \
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  "testdata", "sf1.0")
-K = 10  # replication factor
+MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+K = 10 * MULT  # replication factor over sf0.1
 rng = np.random.default_rng(42)
 
 
@@ -49,8 +56,13 @@ def read(t):
 
 def write(t, table, schema):
     os.makedirs(OUT, exist_ok=True)
+    # 5000-row groups (the sf0.1 shipped group SIZE): Spark splits scans
+    # at row-group granularity, so a single-group multi-decade file would
+    # run every map stage on ONE core of local[32] — measured 3.5x
+    # distortion on the per-char text queries at sf3. A real corpus
+    # arrives in thousands of splits; this layout models that.
     pq.write_table(table.cast(schema), f"{OUT}/{t}.parquet",
-                   compression="snappy")
+                   compression="snappy", row_group_size=5000)
     print(f"{t}: {table.num_rows} rows")
 
 
