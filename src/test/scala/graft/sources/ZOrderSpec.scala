@@ -27,7 +27,12 @@ class ZOrderSpec extends SparkFunSuite {
 
   test("z-ordered files cover narrow ranges in BOTH dimensions vs single-column sort") {
     val t = graft.sources.Tables(spark, "/root/testdata/sf0.01")
-    val li = t.lineitem.select("l_partkey", "l_suppkey", "l_quantity")
+    // coalesce(1): repartitionByRange samples per input partition, and
+    // under a loaded parallel suite run a task retry can re-draw the
+    // sample and shift file boundaries — one observed flake. A single
+    // deterministic input partition pins the sample, the boundaries,
+    // and therefore the span assertions below.
+    val li = t.lineitem.select("l_partkey", "l_suppkey", "l_quantity").coalesce(1)
     val zpath = tmpDir("zord") + "/z"
     val spath = tmpDir("zord") + "/s"
     ZOrder.writeZOrdered(li, zpath, "l_partkey", "l_suppkey", files = 8)

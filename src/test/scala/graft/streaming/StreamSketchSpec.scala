@@ -129,4 +129,34 @@ class StreamSketchSpec extends SparkFunSuite {
       assert(stream.size == 2) // minutes 0-17 span two 10-minute windows
     } finally q.stop()
   }
+
+  test("grouped KMV sketch over a stream == batch (sketch + distinct estimate)") {
+    // the KMV buffer is a <= k ordered set — fixed-size streaming state
+    // like the other sketches, and a pure function of the key SET, so
+    // replay order / micro-batch boundaries cannot change it
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.SetSketch
+    val rows = (1 to 900).map(i => (s"src${i % 3}", (i % 211).toLong))
+
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("source")
+      .agg(SetSketch.kmvSketch(col("id"), 64).as("kmv"))
+      .select(col("source"), col("kmv"),
+        SetSketch.kmvDistinct(col("kmv"), 64).as("est"))
+
+    val batch = agg(rows.toDF("source", "id")).collect().map(_.toSeq).toSet
+    val input = MemoryStream[(String, Long)]
+    val q = agg(input.toDS().toDF("source", "id"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kmv_out").start()
+    try {
+      input.addData(rows.take(400): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(400): _*)
+      q.processAllAvailable()
+      val stream = spark.table("kmv_out").collect().map(_.toSeq).toSet
+      assert(stream == batch, "streaming KMV sketch diverged from batch")
+    } finally q.stop()
+  }
 }
