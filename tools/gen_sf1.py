@@ -95,10 +95,16 @@ def main():
                            "l_suppkey": 1000})
 
     # events: fresh synthesis at 10x (replication would give every event a
-    # same-timestamp twin in another user — a fake tie structure)
+    # same-timestamp twin in another user — a fake tie structure).
+    # KNOWN LIMIT for MULT > 1: n_users and the embedding count stay at
+    # their sf1.0 values (only `documents` drives the sf3 steep-linear
+    # sweep, and changing either draw would shift the downstream rng
+    # state and break byte-reproducibility of the recorded seed-42
+    # corpora). Scale them explicitly before using events/embeddings at
+    # mult > 1.
     src = read("events")
-    n = src.num_rows * K          # 1,000,000
-    n_users = 15000               # 1.5% of events, users scale with SF
+    n = src.num_rows * K          # 1,000,000 at mult=1
+    n_users = 15000               # 1.5% of events at mult=1
     t0 = pd.Timestamp("2024-01-01").value
     t1 = pd.Timestamp("2024-01-31").value
     ts = np.sort(rng.integers(t0, t1, size=n))
