@@ -115,4 +115,45 @@ object Retrieval {
         col("col.payload.doc").as(idCol),
         round(col("col.payload.score"), 4).as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of
+    * several per-query rankings — the standard hybrid-retrieval combiner
+    * (lexical BM25 + embedding cosine is the canonical pair). Each input
+    * carries `(qCol, rankCol, idCol)` with rank from 1; a document's fused
+    * score is `Σ_lists 1 / (k0 + rank)`, summed as a FIXED-ORDER left fold
+    * over the list index (never a parallel double sum — the q93
+    * determinism recipe), so the doubles are bit-identical across engines
+    * and reruns. Output: `(qCol, rank, idCol, rrf_score, n_lists)` — rank
+    * from 1 per query by unrounded score desc then id asc, score rounded
+    * to 6 decimals, `n_lists` = how many input rankings contained the doc.
+    *
+    * Scale shape: the inputs are already per-query top-k tables (query-
+    * sized, never corpus-sized), so the union + one grouped fold + the
+    * O(k)-state [[TopK]] heap touch `Σ lists·k` rows per query total —
+    * fusion cost is independent of corpus size by construction. */
+  def rrfFuse(rankings: Seq[DataFrame], qCol: String, idCol: String,
+              rankCol: String, k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0, s"k must be positive: $k")
+    require(k0 >= 0, s"k0 must be non-negative: $k0")
+    val tagged = rankings.zipWithIndex.map { case (df, li) =>
+      df.select(col(qCol), col(idCol), lit(li).as("rrf_li"),
+        (lit(1.0) / (lit(k0.toDouble) + col(rankCol).cast("double")))
+          .as("rrf_c"))
+    }.reduce(_ unionByName _)
+    val fused = tagged.groupBy(col(qCol), col(idCol))
+      .agg(collect_list(struct(col("rrf_li"), col("rrf_c"))).as("cl"))
+      .select(col(qCol), col(idCol),
+        aggregate(sort_array(col("cl")), lit(0.0),
+          (a, s) => a + s.getField("rrf_c")).as("rrf"),
+        size(col("cl")).as("n_lists"))
+    fused.groupBy(col(qCol))
+      .agg(TopK.topK(k, col("rrf"), col(idCol),
+        struct(col(idCol).as("id"), col("rrf"), col("n_lists"))).as("top"))
+      .select(col(qCol), posexplode(col("top")))
+      .select(col(qCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.payload.id").as(idCol),
+        round(col("col.payload.rrf"), 6).as("rrf_score"),
+        col("col.payload.n_lists").as("n_lists"))
+  }
 }
