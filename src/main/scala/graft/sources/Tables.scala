@@ -23,15 +23,29 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright. Read nanos as raw longs (legacy conf) and surface
-    * both `ts` (µs-truncated TimestampType — floor division, matching
-    * DuckDB's ns→µs CAST semantics) and `ts_ns` (exact nanos for
-    * total-ordering needs). */
+  /** events.parquet's `ts` physical type has differed across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+    * outright) and TIMESTAMP(µs). Read schema-adaptively and surface the
+    * same two columns either way:
+    *   - `ts`    — µs-precision TimestampType (session TZ is UTC
+    *               engine-wide, so instants match DuckDB's naive read)
+    *   - `ts_ns` — epoch nanos as long, the engine's total-ordering key
+    *               (exact: floor-division for ns data, ×1000 for µs data)
+    */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // legacy nanos-as-long: rebuild a µs timestamp, keep exact nanos
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // µs parquet read as NTZ: reinterpret in the UTC session TZ
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 }
