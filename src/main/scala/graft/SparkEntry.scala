@@ -1091,6 +1091,26 @@ object SparkEntry {
       Retrieval.bm25TopK(d, "doc_id", "text", q, "query_id", "qtext", k = 10)
         .orderBy("query_id", "rank")
     }),
+    // Hybrid retrieval: RRF-fuse the lexical (BM25, q93's construction) and
+    // semantic (brute-force cosine, q27's construction) per-query top-10
+    // rankings for queries 0..4. Both fused inputs are query-sized tables, so
+    // the fusion stage's cost is corpus-independent; the fused score is a
+    // fixed-order fold over the list index (oracle replays it via
+    // list_reduce(list(... ORDER BY li))).
+    "q109_rrf_fusion" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val d = t.documents
+      val q = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val lexical = Retrieval.bm25TopK(d, "doc_id", "text", q, "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val qv = t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val semantic = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", qv, 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lexical, semantic), "query_id", "doc_id", "rank", k = 10)
+        .orderBy("query_id", "rank")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -2291,6 +2311,71 @@ object SparkEntry {
         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id,
         |  round(score, 4) AS score
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q93's BM25 chain + q27's cosine chain (queries 0..4), fused by RRF:
+    // contribution 1/(60 + rank) per list, summed in list-index order via
+    // list_reduce — the same fixed-order left fold as the Spark side (two
+    // exact-rational terms; IEEE addition order-identical)
+    "q109_rrf_fusion" ->
+      """WITH norm AS (SELECT doc_id, string_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' ') AS tk FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS term FROM norm),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, term
+        |  FROM tok WHERE doc_id < 5 AND term <> ''),
+        |idf AS (SELECT term,
+        |    ln(CAST(1.0 AS DOUBLE) + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) / (CAST(df AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE))) AS idf
+        |  FROM dfr, st WHERE term IN (SELECT term FROM qt)),
+        |c AS (SELECT qt.query_id, tf.doc_id, tf.term,
+        |    idf.idf * (CAST(tf.tf AS DOUBLE)
+        |      * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |    / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |      * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+        |        * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS x
+        |  FROM tf JOIN qt USING (term) JOIN idf USING (term)
+        |    JOIN dl USING (doc_id), st),
+        |sc AS (SELECT query_id, doc_id,
+        |    list_reduce(list(x ORDER BY term), (a, b) -> a + b) AS score
+        |  FROM c GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, rnk FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)
+        |  WHERE rnk <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qe AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |cs AS (SELECT qe.query_id, e.vec_id AS doc_id,
+        |    list_inner_product(e.v, qe.qv)
+        |      / (sqrt(list_inner_product(e.v, e.v))
+        |         * sqrt(list_inner_product(qe.qv, qe.qv))) AS score
+        |  FROM e CROSS JOIN qe),
+        |sem AS (SELECT query_id, doc_id, rnk FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM cs)
+        |  WHERE rnk <= 10),
+        |u AS (
+        |  SELECT query_id, doc_id, 0 AS li,
+        |    CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rnk AS DOUBLE)) AS cb
+        |  FROM lex
+        |  UNION ALL
+        |  SELECT query_id, doc_id, 1 AS li,
+        |    CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rnk AS DOUBLE)) AS cb
+        |  FROM sem),
+        |f AS (SELECT query_id, doc_id,
+        |    list_reduce(list(cb ORDER BY li), (a, b) -> a + b) AS rrf,
+        |    CAST(count(*) AS INTEGER) AS n_lists
+        |  FROM u GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, rrf, n_lists, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id,
+        |  round(rrf, 6) AS rrf_score, n_lists
+        |FROM rk WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->

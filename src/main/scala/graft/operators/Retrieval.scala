@@ -130,18 +130,44 @@ object Retrieval {
     * Scale shape: the inputs are already per-query top-k tables (query-
     * sized, never corpus-sized), so the union + one grouped fold + the
     * O(k)-state [[TopK]] heap touch `Σ lists·k` rows per query total —
-    * fusion cost is independent of corpus size by construction. */
+    * fusion cost is independent of corpus size by construction.
+    *
+    * Input contract (validated): `idCol` must be an integral type — the
+    * [[TopK]] tie-break key is a long, and a string id has no
+    * order-preserving long encoding (same constraint as [[bm25TopK]]'s
+    * output side). A null or non-positive rank THROWS at execution time
+    * rather than silently dropping the document. A document listed more
+    * than once within one input ranking (overlapping shards, caller
+    * retries) counts once, at its best (lowest) rank. */
   def rrfFuse(rankings: Seq[DataFrame], qCol: String, idCol: String,
               rankCol: String, k: Int, k0: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     require(k > 0, s"k must be positive: $k")
     require(k0 >= 0, s"k0 must be non-negative: $k0")
+    rankings.zipWithIndex.foreach { case (df, li) =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"rrfFuse: id column '$idCol' of ranking $li must be integral " +
+          s"(TopK tie key is long), got $dt")
+    }
+    // rank sanity is a row-level property — enforce it in-plan (the value
+    // branch is USED, so Catalyst cannot prune the check away)
     val tagged = rankings.zipWithIndex.map { case (df, li) =>
       df.select(col(qCol), col(idCol), lit(li).as("rrf_li"),
-        (lit(1.0) / (lit(k0.toDouble) + col(rankCol).cast("double")))
-          .as("rrf_c"))
+        when(col(rankCol).cast("double") >= 1.0, col(rankCol).cast("double"))
+          .otherwise(raise_error(concat(
+            lit(s"rrfFuse: null or non-positive rank in ranking $li for id "),
+            col(idCol).cast("string")))).as("rrf_r"))
     }.reduce(_ unionByName _)
-    val fused = tagged.groupBy(col(qCol), col(idCol))
+    // within one list a doc counts once at its best rank; exact integer
+    // min, so dedup happens BEFORE any double is formed
+    val perList = tagged
+      .groupBy(col(qCol), col(idCol), col("rrf_li"))
+      .agg(min(col("rrf_r")).as("rrf_r"))
+      .select(col(qCol), col(idCol), col("rrf_li"),
+        (lit(1.0) / (lit(k0.toDouble) + col("rrf_r"))).as("rrf_c"))
+    val fused = perList.groupBy(col(qCol), col(idCol))
       .agg(collect_list(struct(col("rrf_li"), col("rrf_c"))).as("cl"))
       .select(col(qCol), col(idCol),
         aggregate(sort_array(col("cl")), lit(0.0),

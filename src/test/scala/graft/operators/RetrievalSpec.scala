@@ -107,4 +107,73 @@ class RetrievalSpec extends SparkFunSuite {
       .orderBy("qid", "rank").collect().toSeq
     assert(a === b)
   }
+
+  // --- rrfFuse -------------------------------------------------------------
+
+  private def ranking(rows: (Long, Long, Int)*) =
+    rows.toSeq.toDF("qid", "doc_id", "rank")
+
+  test("rrfFuse: hand-computed scores, tie-break by id, n_lists accounting") {
+    val lex = ranking((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+    val sem = ranking((1L, 20L, 1), (1L, 10L, 2), (1L, 40L, 3))
+    val got = Retrieval.rrfFuse(Seq(lex, sem), "qid", "doc_id", "rank", k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    def rrf(rs: Double*) = {
+      val raw = rs.foldLeft(0.0)((a, r) => a + 1.0 / (60.0 + r))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // docs 10 and 20 have the exact same contributions (1/61 + 1/62, IEEE
+    // addition is commutative) — the tie MUST break id asc. 30/40 appear in
+    // one list each at the same rank — same tie rule.
+    assert(got.toSeq == Seq(
+      (1, 10L, rrf(1, 2), 2), (2, 20L, rrf(2, 1), 2),
+      (3, 30L, rrf(3), 1), (4, 40L, rrf(3), 1)))
+  }
+
+  test("rrfFuse: permuting the input list order does not change the fusion") {
+    val a = ranking((1L, 10L, 1), (1L, 20L, 2), (2L, 30L, 1))
+    val b = ranking((1L, 20L, 1), (1L, 40L, 2), (2L, 30L, 2))
+    val c = ranking((1L, 10L, 2), (2L, 50L, 1))
+    def run(ls: Seq[org.apache.spark.sql.DataFrame]) =
+      Retrieval.rrfFuse(ls, "qid", "doc_id", "rank", k = 10)
+        .orderBy("qid", "rank").collect().toSeq
+    assert(run(Seq(a, b, c)) == run(Seq(c, a, b)))
+    assert(run(Seq(a, b, c)) == run(Seq(b, c, a)))
+  }
+
+  test("rrfFuse: a doc repeated within one list counts once, at its best rank") {
+    val dup = ranking((1L, 10L, 3), (1L, 10L, 1), (1L, 20L, 2))
+    val got = Retrieval.rrfFuse(Seq(dup), "qid", "doc_id", "rank", k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getInt(4)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((10L, r6(1.0 / 61.0), 1), (20L, r6(1.0 / 62.0), 1)))
+  }
+
+  test("rrfFuse: null or non-positive rank fails fast instead of dropping the doc") {
+    val bad = Seq((1L, 10L, Some(1)), (1L, 20L, None))
+      .toDF("qid", "doc_id", "rank")
+    val e = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(bad), "qid", "doc_id", "rank", k = 10).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("non-positive rank"))))
+    val zero = ranking((1L, 10L, 0))
+    val e2 = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(zero), "qid", "doc_id", "rank", k = 10).collect()
+    }
+    assert(chain(e2).exists(c =>
+      Option(c.getMessage).exists(_.contains("non-positive rank"))))
+  }
+
+  test("rrfFuse: non-integral id column is rejected up front") {
+    val strIds = Seq((1L, "a", 1)).toDF("qid", "doc_id", "rank")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(strIds), "qid", "doc_id", "rank", k = 10)
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
 }
