@@ -26,6 +26,22 @@ object Bench {
     // cluster sees — and the min of three is robust against the one-off
     // scheduling/GC stalls that made single-run deltas majority-noise
     // across driver rounds.
+    // Host-load evidence (round 9: two of the last three driver benches were
+    // contention-contaminated and only a judge re-bench could tell). Stamp
+    // 1-minute loadavg before/after the battery plus this JVM's cpu-vs-wall
+    // ratio: loadavg >> cpus or ratio << 1 on a compute-bound battery says
+    // "read these numbers as an upper bound", right in the artifact.
+    def loadavg: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def processCpuSec: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    val loadBefore = loadavg
+    val cpuBefore = processCpuSec
+    val wallStart = System.nanoTime()
     // optional args: query names to bench (default all) — iteration aid
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
@@ -69,7 +85,15 @@ object Bench {
     val compact = results.map { case (k, v, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","queries":$compact}""")
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
+    val cpuSec = processCpuSec - cpuBefore
+    // ratio is per-core occupancy of THIS jvm: ≈0 means the battery waited
+    // on something else (co-tenant), ≈1+ means it actually computed
+    val ratio = if (cpuSec >= 0 && wallSec > 0) cpuSec / wallSec else -1.0
+    val load = s"""{"loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg)},""" +
+      s""""cpus":$cpus,"wall_sec":${fmt(wallSec)},"jvm_cpu_sec":${fmt(cpuSec)},""" +
+      s""""jvm_cpu_per_sec":${fmt(ratio)}}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","load":$load,"queries":$compact}""")
     spark.stop()
   }
 }

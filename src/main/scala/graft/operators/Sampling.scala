@@ -220,6 +220,10 @@ object Sampling {
       .withColumn("_b",
         floor(conv(substring(col("_h"), 1, 4), 16, 10).cast("long") * buckets
           / lit(65536.0)).cast("long"))
+    // NOTE on the WindowExec "No Partition Defined" warning this emits when
+    // strataCols is empty: that global window runs over the strata×buckets
+    // OFFSETS table (≤ `buckets` rows per stratum, post-aggregation), never
+    // the data — benign at any corpus scale.
     val offsets = withH
       .groupBy(strata :+ col("_b"): _*).agg(sum(w).as("_bs"))
       .withColumn("_off", coalesce(
@@ -274,6 +278,8 @@ object Sampling {
         // true integer quotient
         floor(conv(substring(col("_h"), 1, 4), 16, 10).cast("long") * buckets
           / lit(65536.0)).cast("long"))
+    // same benign-global-window shape as ppsSample: the window input is the
+    // ≤ `buckets`-row offsets aggregate, not the corpus
     val offsets = withH
       .groupBy(strata :+ col("_b"): _*).agg(sum(col(tokCol)).as("_bs"))
       .withColumn("_off", coalesce(
