@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Sessionize, SetSketch, Similarity, TextAnalysis}
+import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Sessionize, SetSketch, Similarity, Snapshot, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1110,6 +1110,21 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
       Retrieval.rrfFuse(Seq(lexical, semantic), "query_id", "doc_id", "rank", k = 10)
         .orderBy("query_id", "rank")
+    }),
+    // Corpus snapshot diff: synthesize a "next crawl" from documents —
+    // drop ids ≡0 mod 97 (removed), uppercase text for ids ≡0 mod 89
+    // (changed), append +1e6-keyed copies of ids ≡0 mod 101 (added) — and
+    // classify every id by content fingerprint. One co-partitioned
+    // full-outer join; both engines derive identical md5 fingerprints.
+    "q110_snapshot_diff" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val next = d.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 89 === 0, upper(col("text"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Snapshot.diff(d, next, "doc_id", "text")
+        .orderBy("doc_id")
     }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
@@ -2376,6 +2391,25 @@ object SparkEntry {
         |SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id,
         |  round(rrf, 6) AS rrf_score, n_lists
         |FROM rk WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q110_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |    md5(coalesce(CAST(text AS VARCHAR), '')) AS old_fp FROM documents),
+        |base AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 89 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |added AS (SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 101 = 0),
+        |n AS (SELECT doc_id, md5(coalesce(CAST(text AS VARCHAR), '')) AS new_fp
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM added)),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_fp, new_fp
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN old_fp IS NULL THEN 'added'
+        |       WHEN new_fp IS NULL THEN 'removed'
+        |       WHEN old_fp = new_fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_fp, new_fp
+        |FROM j ORDER BY doc_id""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->
