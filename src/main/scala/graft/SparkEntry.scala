@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Sessionize, SetSketch, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Scrub, Sessionize, SetSketch, Similarity, Snapshot, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1124,6 +1124,35 @@ object SparkEntry {
         .unionByName(d.filter(col("doc_id") % 101 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       Snapshot.diff(d, next, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // ANN recall evaluation: recall@10 of the full-probe IVF index against
+    // the exact brute-force ground truth. Full probing makes the expected
+    // recall exactly 1.0 for every query — so the oracle is closed-form,
+    // and any IVF mis-route/mis-rank surfaces as n_hit < n_true (hash
+    // mismatch), the same equivalence contract as q41 expressed through
+    // the evaluator the partial-probe configs are graded with.
+    "q111_ann_recall" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 10)
+      val approx = IvfIndex.topK(t.embeddings, "vec_id", "embedding", q, k = 10,
+        nCells = 16, nProbe = 16)
+      Similarity.recallAtK(approx, exact).orderBy("query_id")
+    }),
+    // Line-level boilerplate scrub (CCNet's line dedup, slice-scoped):
+    // synthesize multi-line pages — a promo header on every doc (100% of
+    // each source, dropped at the 60% threshold) and a subscribe footer on
+    // even ids (~50%, kept or dropped per source by the same exact integer
+    // rule both engines replay) around the original body line.
+    "q112_line_scrub" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          concat(lit("promo: visit our site\n"), col("text"),
+            when(col("doc_id") % 2 === 0, lit("\nsubscribe footer"))
+              .otherwise(lit(""))).as("text"))
+      Scrub.boilerplateLineScrub(d, "doc_id", "text", Seq("source"), maxDocPct = 60)
         .orderBy("doc_id")
     }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
@@ -2410,6 +2439,47 @@ object SparkEntry {
         |       ELSE 'changed' END AS status,
         |  old_fp, new_fp
         |FROM j ORDER BY doc_id""".stripMargin,
+    // full-probe IVF ≡ brute force, so recall@10 is exactly 1.0 per query;
+    // n_true replays the exact top-10 count from q27's chain
+    "q111_ann_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_inner_product(e.v, q.qv)
+        |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))
+        |      AS score
+        |  FROM e CROSS JOIN q),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+        |  FROM scored),
+        |t AS (SELECT query_id, count(*) AS n_true FROM ranked
+        |  WHERE rnk <= 10 GROUP BY 1)
+        |SELECT query_id, n_true AS n_hit, n_true,
+        |  CAST(1.0 AS DOUBLE) AS recall
+        |FROM t ORDER BY query_id""".stripMargin,
+    "q112_line_scrub" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    'promo: visit our site' || chr(10) || text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe footer'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |lines AS (SELECT source, doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM d),
+        |gt AS (SELECT source, count(*) AS gdocs FROM d GROUP BY 1),
+        |ld AS (SELECT source, line, count(*) AS ndocs
+        |  FROM (SELECT DISTINCT source, doc_id, line FROM lines) GROUP BY 1, 2),
+        |scrub AS (SELECT source, line FROM ld JOIN gt USING (source)
+        |  WHERE ndocs * 100 > 60 * gdocs),
+        |kept AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS scrubbed,
+        |    count(*) AS n_kept
+        |  FROM lines ANTI JOIN scrub USING (source, line) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(scrubbed, '') AS scrubbed,
+        |  coalesce(n_kept, 0) AS n_kept,
+        |  coalesce(len(string_split(d.text, chr(10))), 0) - coalesce(n_kept, 0)
+        |    AS n_dropped
+        |FROM d LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->

@@ -231,4 +231,61 @@ object Scrub {
         coalesce(col("scrubbed"), lit("")).as("scrubbed"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** Line-level boilerplate removal, scoped per group (CCNet's line-dedup
+    * step, Wenzek et al. 2020, applied by document-frequency like
+    * [[docFrequencyScrub]]): inside each `groupCols` slice (a domain, a
+    * crawl source), drop every LINE that appears in more than `maxDocPct`
+    * percent of the slice's documents — cookie banners, nav chrome,
+    * subscribe footers: the per-site noise token-level scrubbing can't see
+    * because it lives in multiword lines. Returns `(idCol, scrubbed,
+    * n_kept, n_dropped)` with surviving lines rejoined by `\n` in their
+    * original order; a fully-scrubbed (or null-text) document yields an
+    * empty string, not a dropped row. Threshold compares
+    * `ndocs * 100 > maxDocPct * sliceDocs` in exact integer arithmetic.
+    *
+    * Plan shape for 100 TB: line explode is narrow; the distinct + count
+    * aggregation is (slice, line)-keyed — the one corpus-scale exchange,
+    * map-side combinable. The boilerplate set is structurally small: a
+    * slice with d docs and L avg lines/doc has at most `L·100/maxDocPct`
+    * qualifying lines REGARDLESS of d (each needs > maxDocPct% of docs),
+    * so it broadcasts; the line filter is then map-side and the final
+    * reassembly is the `idCol`-keyed aggregation every per-doc rebuild
+    * pays. */
+  def boilerplateLineScrub(docs: DataFrame, idCol: String, textCol: String,
+                           groupCols: Seq[String], maxDocPct: Int): DataFrame = {
+    require(maxDocPct >= 0 && maxDocPct <= 100,
+      s"maxDocPct ($maxDocPct) must be in [0, 100]")
+    require(groupCols.nonEmpty, "at least one group column is required")
+    require(!docs.columns.exists(Set("_pos", "_line", "_ndocs", "_gdocs", "_ntot")),
+      "input must not contain the reserved columns _pos/_line/_ndocs/_gdocs/_ntot")
+    val grp = groupCols.map(col)
+    val lines = docs.select(
+      grp :+ col(idCol) :+ posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")): _*)
+    val sliceTotals = docs.groupBy(grp: _*).agg(count(lit(1)).as("_gdocs"))
+    val scrubSet = lines
+      .select(grp :+ col(idCol) :+ col("_line"): _*).distinct()
+      .groupBy(grp :+ col("_line"): _*).agg(count(lit(1)).as("_ndocs"))
+      .join(broadcast(sliceTotals), groupCols)
+      .filter(col("_ndocs") * 100 > lit(maxDocPct) * col("_gdocs"))
+      .select(grp :+ col("_line"): _*)
+    val kept = lines
+      .join(broadcast(scrubSet), groupCols :+ "_line", "left_anti")
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("_pos"), col("_line")))),
+            s => s("_line")),
+          "\n").as("scrubbed"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol),
+        coalesce(size(split(col(textCol), "\n")), lit(0)).cast("long").as("_ntot"))
+      .join(kept, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("_ntot") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

@@ -236,4 +236,30 @@ object Similarity {
         when(col("_std") === 0.0, 0.0)
           .otherwise((col("_v") - col("_mean")) / col("_std")).as("z"))
   }
+
+  /** Recall evaluation for ANN results: per-query `|approx ∩ exact| /
+    * |exact|` — the standard quality gate before an approximate index
+    * replaces the exact path in a retrieval pipeline. Both inputs carry
+    * `(qCol, idCol)` per retrieved row (extra columns ignored); `exact` is
+    * the ground-truth top-k (e.g. [[bruteForceTopK]] on a held-out query
+    * sample), so every query in `exact` gets a row — recall 0.0 if the
+    * approximate side missed it entirely. Output: `(qCol, n_hit, n_true,
+    * recall)` with recall rounded to 6 decimals.
+    *
+    * Scale shape: both sides are per-query top-k tables (queries × k rows,
+    * corpus-independent); the semi-join and both aggregates are query-
+    * sized, so evaluating recall costs nothing at any corpus scale. */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+                qCol: String = "query_id",
+                idCol: String = "neighbor_id"): DataFrame = {
+    val hits = approx.select(col(qCol), col(idCol))
+      .join(exact.select(col(qCol), col(idCol)), Seq(qCol, idCol), "left_semi")
+      .groupBy(qCol).agg(count(lit(1)).as("n_hit"))
+    val truth = exact.groupBy(qCol).agg(count(lit(1)).as("n_true"))
+    truth.join(hits, Seq(qCol), "left")
+      .select(col(qCol), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_true"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_true").cast("double"), 6).as("recall"))
+  }
 }

@@ -93,6 +93,66 @@ class ScrubSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] {
       Scrub.docFrequencyScrub(docs2, "doc_id", "text", 50)
     }
+    val docs3 = Seq((1L, "a", "s", 0)).toDF("doc_id", "text", "src", "_line")
+    intercept[IllegalArgumentException] {
+      Scrub.boilerplateLineScrub(docs3, "doc_id", "text", Seq("src"), 50)
+    }
+  }
+
+  test("boilerplateLineScrub drops per-slice boilerplate lines, keeps order and rare lines") {
+    // src A: header in 3/3 docs (100%), footer in 2/3 (67%), bodies unique.
+    // src B: the SAME header text appears in only 1/2 docs (50%) -> kept
+    // there: the scrub is slice-scoped, never global.
+    val docs = Seq(
+      (1L, "A", "promo header\nbody one\nfooter"),
+      (2L, "A", "promo header\nbody two\nfooter"),
+      (3L, "A", "promo header\nbody three"),
+      (4L, "B", "promo header\nbody four"),
+      (5L, "B", "body five")
+    ).toDF("doc_id", "src", "text")
+    val out = Scrub.boilerplateLineScrub(docs, "doc_id", "text", Seq("src"), maxDocPct = 70)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("scrubbed") == "body one\nfooter"
+      && out(0).getAs[Long]("n_kept") == 2L && out(0).getAs[Long]("n_dropped") == 1L)
+    assert(out(1).getAs[String]("scrubbed") == "body two\nfooter")
+    assert(out(2).getAs[String]("scrubbed") == "body three")
+    assert(out(3).getAs[String]("scrubbed") == "promo header\nbody four",
+      "slice B's 50% header must survive a 70% threshold")
+    assert(out(4).getAs[String]("scrubbed") == "body five")
+  }
+
+  test("boilerplateLineScrub: fully-scrubbed and null-text docs yield empty rows, counts exact") {
+    val docs = Seq(
+      (1L, "A", "only line"),
+      (2L, "A", "only line"),
+      (3L, "A", null: String)
+    ).toDF("doc_id", "src", "text")
+    val out = Scrub.boilerplateLineScrub(docs, "doc_id", "text", Seq("src"), maxDocPct = 50)
+      .orderBy("doc_id").collect()
+    // "only line" is in 2/3 docs (67% > 50) -> dropped everywhere
+    assert(out(0).getAs[String]("scrubbed") == ""
+      && out(0).getAs[Long]("n_kept") == 0L && out(0).getAs[Long]("n_dropped") == 1L)
+    assert(out(2).getAs[String]("scrubbed") == ""
+      && out(2).getAs[Long]("n_kept") == 0L && out(2).getAs[Long]("n_dropped") == 0L)
+  }
+
+  test("boilerplateLineScrub threshold boundary is integer-exact") {
+    // line in exactly 1 of 2 docs = 50%: kept at pct=50, dropped at pct=49
+    val docs = Seq((1L, "A", "u\nshared"), (2L, "A", "shared\nw"))
+      .toDF("doc_id", "src", "text")
+    val at50 = Scrub.boilerplateLineScrub(docs, "doc_id", "text", Seq("src"), 50)
+      .orderBy("doc_id").collect()
+    assert(at50(0).getAs[String]("scrubbed") == "u"
+      && at50(1).getAs[String]("scrubbed") == "w",
+      "a 50% line must survive pct=50; the 100% line must not")
+    val at100 = Scrub.boilerplateLineScrub(docs, "doc_id", "text", Seq("src"), 100)
+      .orderBy("doc_id").collect()
+    assert(at100(0).getAs[String]("scrubbed") == "u\nshared")
+    val at49 = Scrub.boilerplateLineScrub(docs, "doc_id", "text", Seq("src"), 49)
+      .orderBy("doc_id").collect()
+    assert(at49(0).getAs[String]("scrubbed") == ""
+      && at49(1).getAs[String]("scrubbed") == "",
+      "at pct=49 the 50% lines drop too")
   }
 
   test("gopherGates: each gate fails for exactly its planted defect") {

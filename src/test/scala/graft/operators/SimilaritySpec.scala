@@ -211,4 +211,30 @@ class SimilaritySpec extends SparkFunSuite {
       }
     }
   }
+
+  test("recallAtK: hand-built hits/misses, missing query scores 0, self-recall is 1") {
+    val exact = Seq((1L, 10L), (1L, 20L), (1L, 30L), (1L, 40L),
+      (2L, 10L), (2L, 50L), (3L, 60L)).toDF("query_id", "neighbor_id")
+    // q1: 2/4 hit (one wrong, one extra-only); q2: 2/2; q3: absent -> 0
+    val approx = Seq((1L, 10L), (1L, 30L), (1L, 99L), (2L, 10L), (2L, 50L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(approx, exact)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 4L, 0.5), (2L, 2L, 2L, 1.0), (3L, 0L, 1L, 0.0)))
+    val self = Similarity.recallAtK(exact, exact).collect()
+    assert(self.forall(_.getDouble(3) == 1.0))
+  }
+
+  test("recallAtK: full-probe IVF vs brute force on the fixture is exactly 1.0") {
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val q = t.embeddings.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 5)
+    val approx = IvfIndex.topK(t.embeddings, "vec_id", "embedding", q, k = 5,
+      nCells = 8, nProbe = 8)
+    val got = Similarity.recallAtK(approx, exact).collect()
+    assert(got.length == 4 && got.forall(r =>
+      r.getLong(1) == 5L && r.getLong(2) == 5L && r.getDouble(3) == 1.0))
+  }
 }
