@@ -1155,6 +1155,14 @@ object SparkEntry {
       Scrub.boilerplateLineScrub(d, "doc_id", "text", Seq("source"), maxDocPct = 60)
         .orderBy("doc_id")
     }),
+    // Deterministic training-shard shuffle: every doc gets (shard, pos)
+    // from equal-width md5 ranges + in-shard hash order — the oracle
+    // replays the threshold CASE chain and the same (hash, id) window.
+    "q113_shuffle_order" -> ((s, dir) => {
+      Sampling.shuffleOrder(Tables(s, dir).documents.select("doc_id"),
+          "doc_id", nShards = 8, domain = "train")
+        .orderBy("doc_id")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -2480,6 +2488,23 @@ object SparkEntry {
         |  coalesce(len(string_split(d.text, chr(10))), 0) - coalesce(n_kept, 0)
         |    AS n_dropped
         |FROM d LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // equal-width hexThreshold(i/8) boundaries, i.e. 0x20000000 steps
+    "q113_shuffle_order" ->
+      """WITH w AS (SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':train'), 1, 8) AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, h,
+        |    (CASE WHEN h >= '20000000' THEN 1 ELSE 0 END
+        |   + CASE WHEN h >= '40000000' THEN 1 ELSE 0 END
+        |   + CASE WHEN h >= '60000000' THEN 1 ELSE 0 END
+        |   + CASE WHEN h >= '80000000' THEN 1 ELSE 0 END
+        |   + CASE WHEN h >= 'a0000000' THEN 1 ELSE 0 END
+        |   + CASE WHEN h >= 'c0000000' THEN 1 ELSE 0 END
+        |   + CASE WHEN h >= 'e0000000' THEN 1 ELSE 0 END) AS shard FROM w)
+        |SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->

@@ -346,4 +346,37 @@ object Sampling {
         (col("pos") + 1).cast("int").as("rank"),
         col("col.payload").as(keyCol)): _*)
   }
+
+  /** Deterministic global shuffle into training shards: the LAST step of a
+    * curation pipeline, fixing the order examples are consumed in. Every
+    * row gets `(shard, pos)` — `shard` from equal-width ranges of the
+    * md5 hash space (the [[splitTagN]] cumulative-threshold scheme, so the
+    * oracle replays it as literal string compares) and `pos` = the row's
+    * rank within its shard by `(hash, key)`. The full order is a pure
+    * function of the key set: reruns, layout changes, and engines all
+    * agree, and appending new documents never reorders existing shards'
+    * relative order (hash order is stable under insertion, unlike
+    * row_number-over-everything schemes).
+    *
+    * Scale shape: one exchange keyed by shard; each shard materializes its
+    * order with one in-partition sort (spillable — a shard does NOT need
+    * to fit in memory, but size `nShards` so a shard is a sane output
+    * unit, e.g. corpus / desired shard file size). The threshold CASE
+    * chain is O(nShards) per row map-side — keep nShards ≤ 4096. */
+  def shuffleOrder(df: DataFrame, keyCol: String, nShards: Int,
+                   domain: String = "shuffle"): DataFrame = {
+    require(nShards >= 1 && nShards <= 4096,
+      s"nShards ($nShards) must be in [1, 4096]")
+    require(!df.columns.exists(Set("_h", "shard", "pos")),
+      "input must not contain the reserved columns _h/shard/pos")
+    val thresholds = (1 until nShards).map(i => hexThreshold(i.toDouble / nShards))
+    val shard = thresholds.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(col("_h") >= lit(t), 1).otherwise(0)
+    }
+    val w = Window.partitionBy("shard").orderBy(col("_h"), col(keyCol))
+    df.withColumn("_h", hashHex(col(keyCol), domain))
+      .withColumn("shard", shard)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_h")
+  }
 }

@@ -291,4 +291,51 @@ class SamplingSpec extends SparkFunSuite {
       "NULL-slice sample must come from the NULL-key rows only")
     assert(got.count(_._1.contains("g0")) === 4 && got.count(_._1.contains("g1")) === 4)
   }
+
+  test("shuffleOrder: dense per-shard positions, every row assigned, runs and layouts agree") {
+    val df = (1L to 200L).toDF("id")
+    val a = Sampling.shuffleOrder(df, "id", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.length == 200 && a.map(_._1).toSet == (1L to 200L).toSet)
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $shard positions must be dense from 0")
+    }
+    val b = Sampling.shuffleOrder(df.repartition(7), "id", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq,
+      "assignment must be layout-invariant")
+  }
+
+  test("shuffleOrder: appending keys preserves existing relative order within a shard") {
+    val small = (1L to 100L).toDF("id")
+    val big = (1L to 150L).toDF("id")
+    def orderOf(df: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleOrder(df, "id", nShards = 4)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(0)))
+        .groupBy(_._1).map { case (s, rows) =>
+          s -> rows.sortBy(_._2).map(_._3).toSeq
+        }
+    val before = orderOf(small)
+    val after = orderOf(big)
+    before.foreach { case (shard, ids) =>
+      val surviving = after(shard).filter(ids.contains)
+      assert(surviving == ids,
+        s"shard $shard: old keys must keep their relative order after append")
+    }
+  }
+
+  test("shuffleOrder: nShards=1 is the global md5 order; reserved columns rejected") {
+    val df = (1L to 50L).toDF("id")
+    val got = Sampling.shuffleOrder(df, "id", nShards = 1, domain = "g")
+      .orderBy("pos").collect().map(_.getLong(0)).toSeq
+    val want = (1L to 50L)
+      .sortBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:g".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8))
+      .toSeq
+    assert(got == want)
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleOrder(df.withColumn("shard", lit(1)), "id", 2)
+    }
+  }
 }
