@@ -136,6 +136,23 @@ class ScrubSpec extends SparkFunSuite {
       && out(2).getAs[Long]("n_kept") == 0L && out(2).getAs[Long]("n_dropped") == 0L)
   }
 
+  test("boilerplateLineScrub plan: the scrub set broadcasts into the anti-join") {
+    // the 100 TB contract: the boilerplate set is structurally bounded
+    // (≤ L·100/pct lines per slice regardless of doc count), so the line
+    // filter must be a broadcast anti-join — a shuffled anti-join here
+    // would exchange the exploded corpus against a tiny table. Inspected
+    // after execution (AQE-final), the IvfIndexSpec convention.
+    val docs = (1L to 300L).map(i => (i, s"s${i % 3}", s"header\nbody $i"))
+      .toDF("doc_id", "src", "text")
+    val df = Scrub.boilerplateLineScrub(docs, "doc_id", "text", Seq("src"), 60)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val antiLines = plan.split("\n").filter(_.contains("LeftAnti"))
+    assert(antiLines.nonEmpty, s"line filter must be an anti-join:\n$plan")
+    assert(antiLines.forall(_.contains("Broadcast")),
+      s"the bounded scrub set must broadcast, never shuffle the line stream:\n$plan")
+  }
+
   test("boilerplateLineScrub threshold boundary is integer-exact") {
     // line in exactly 1 of 2 docs = 50%: kept at pct=50, dropped at pct=49
     val docs = Seq((1L, "A", "u\nshared"), (2L, "A", "shared\nw"))
