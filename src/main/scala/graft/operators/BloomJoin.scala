@@ -70,10 +70,20 @@ object BloomJoin {
     require(!left.columns.contains("_bloom_rk"),
       "left must not contain reserved column _bloom_rk")
     val spark = left.sparkSession
+    // The right side is consumed three times (emptiness probe, bloom build,
+    // exact residue join) — when the exclude list is DERIVED (q84's
+    // distinct-fingerprint ledger, not a plain table read), re-deriving it
+    // per consumer tripled its cost. Materialize the slim key column once
+    // (lazy local checkpoint: the probe's pass populates it, the bloom
+    // build and residue join read cached blocks). The checkpoint carries
+    // ONLY the key column — at exclude-list scale that is the same slim
+    // table the exact join must shuffle anyway.
+    val rightKeyed = right.select(col(rightKey).as("_bloom_rk"))
+      .localCheckpoint(false)
     // stat.bloomFilter NPEs on a zero-row input, and an empty exclude list
-    // excludes nothing anyway (the emptiness probe is a limit-1 scan)
-    if (right.isEmpty) return left
-    val bytes = sketchBytes(right, rightKey, expectedItems, fpp)
+    // excludes nothing anyway
+    if (rightKeyed.isEmpty) return left
+    val bytes = sketchBytes(rightKeyed, "_bloom_rk", expectedItems, fpp)
     val probe: Broadcast[Probe] = spark.sparkContext.broadcast(new Probe(bytes))
 
     val keyType = left.schema(leftKey).dataType
@@ -93,8 +103,7 @@ object BloomJoin {
     // ambiguous-reference check in the join condition.
     val definiteAbsent = left.filter(col(leftKey).isNull || !mightContain)
     val residue = left.filter(col(leftKey).isNotNull && mightContain)
-      .join(right.select(col(rightKey).as("_bloom_rk")),
-        col(leftKey) === col("_bloom_rk"), "left_anti")
+      .join(rightKeyed, col(leftKey) === col("_bloom_rk"), "left_anti")
     definiteAbsent.unionByName(residue)
   }
 }
