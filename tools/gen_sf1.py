@@ -22,7 +22,8 @@ the driver's generator (measured sf0.01 -> sf0.1, seed-42 style):
   - region/nation: fixed dimensions, copied as-is.
 
 Schemas are cast to the sf0.1 parquet schemas bit-for-bit (including the
-TIMESTAMP(NANOS) events column). Deterministic: numpy PCG64 seed 42.
+events timestamp column — timestamp[us] since the 2026-08-13 driver
+regeneration; ns draws truncate to µs). Deterministic: numpy PCG64 seed 42.
 
 Usage: python3 tools/gen_sf1.py [outdir] [mult]
 
@@ -107,7 +108,10 @@ def main():
     n_users = 15000               # 1.5% of events at mult=1
     t0 = pd.Timestamp("2024-01-01").value
     t1 = pd.Timestamp("2024-01-31").value
-    ts = np.sort(rng.integers(t0, t1, size=n))
+    # draw at ns (keeps the recorded seed-42 rng sequence), truncate to µs:
+    # the regenerated driver fixtures store timestamp[us], and casting a
+    # non-zero ns remainder to the target schema raises ArrowInvalid
+    ts = np.sort(rng.integers(t0, t1, size=n)) // 1000 * 1000
     events = pd.DataFrame({
         "event_id": np.arange(n, dtype=np.int64),
         "ts": pd.to_datetime(ts),
