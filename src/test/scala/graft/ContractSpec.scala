@@ -79,6 +79,14 @@ class ContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query is oracle-gated (no dark operators)") {
+    // the repo's own bar: an operator without a DuckDB oracle row does not
+    // exist by this process's standard (round 9's rrfFuse lesson) — keep
+    // the battery total-coverage invariant enforced, not aspirational
+    val dark = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(dark.isEmpty, s"queries without oracles: $dark")
+  }
+
   test("entry returns rows on sf0.001 (driver smoke check)") {
     val df = SparkEntry.entry(SparkTestBase.spark)
     assert(df.count() > 0)

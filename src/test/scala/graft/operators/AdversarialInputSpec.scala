@@ -84,4 +84,37 @@ class AdversarialInputSpec extends SparkFunSuite {
     assert(Importance.dsirResample(df, df.limit(40), "doc_id", "text",
       k = 20).count() === 20L)
   }
+
+  test("line scrub and snapshot diff are byte-safe on adversarial unicode") {
+    // line scrub operates on RAW line identity (no normalization seam —
+    // CCNet dedups the bytes as crawled), so the invariants are count
+    // conservation and ordered-subsequence, not normalized reconstruction
+    val multi = docs.map { case (id, t) =>
+      (id, s"src${id % 3}", (t.split(" ").take(5) :+ "🦑 footer").mkString("\n"))
+    }
+    val mdf = multi.toDF("doc_id", "src", "text")
+    val out = Scrub.boilerplateLineScrub(mdf, "doc_id", "text", Seq("src"), 50)
+      .collect()
+    assert(out.length === docs.size)
+    val orig = multi.map { case (id, _, t) => id -> t.split("\n", -1).toSeq }.toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val kept =
+        if (r.getString(1).isEmpty) Seq.empty[String]
+        else r.getString(1).split("\n", -1).toSeq
+      assert(r.getLong(2) + r.getLong(3) === orig(id).size.toLong,
+        s"doc $id: kept+dropped must equal total lines")
+      assert(kept.size.toLong === r.getLong(2), s"doc $id: n_kept mismatch")
+      // kept lines are an ordered subsequence of the original lines
+      val it = orig(id).iterator
+      assert(kept.forall(k => it.contains(k)),
+        s"doc $id: kept lines must appear in original order")
+      // the universal footer is boilerplate in every slice
+      assert(!kept.contains("🦑 footer"))
+    }
+    // snapshot diff of any corpus against itself is all-unchanged — md5
+    // fingerprints the raw bytes, junk included
+    assert(Snapshot.diff(mdf, mdf, "doc_id", "text")
+      .filter(col("status") =!= lit("unchanged")).count() === 0L)
+  }
 }
