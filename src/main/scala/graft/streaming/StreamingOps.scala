@@ -143,4 +143,66 @@ object StreamingOps {
         (): Unit
       }
       .start()
+
+  /** One dedup-ingest micro-batch (the [[dedupIngestSink]] core, exposed so
+    * replay semantics are directly testable): admit `batch` rows that are
+    * first-in-batch for their fingerprint AND absent from the ledger at
+    * `ledgerRoot`, write them to `outRoot/ingest_batch=<id>` (full-dir
+    * overwrite), and merge their fingerprints into the ledger. Returns the
+    * admitted count.
+    *
+    * Replay safety is the subtle part: a naive "dedup vs the whole ledger"
+    * would, on a post-crash replay of an already-merged batch, admit ZERO
+    * rows and overwrite the batch's output directory with nothing — data
+    * loss. The ledger therefore records WHICH batch admitted each
+    * fingerprint, and dedup runs against the ledger MINUS this batch's own
+    * rows: a replay re-derives the identical admitted set (dedupBatch is
+    * deterministic), overwrites the directory with identical content, and
+    * the ledger merge is a no-op. The ledger is Hive-partitioned on the
+    * fingerprint's first hex char (16 slices) so merges rewrite only
+    * touched slices. */
+  def dedupIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+                       fpCol: String, outRoot: String, ledgerRoot: String,
+                       expectedLedgerItems: Long = 1000000L): Long = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val sp = batch.sparkSession
+    val ledgerSchema = StructType(Seq(
+      StructField("fp", StringType), StructField("admit_batch", LongType),
+      StructField("fp_shard", StringType)))
+    val ledger = graft.sources.ParquetLake.readOrEmpty(sp, ledgerRoot, ledgerSchema)
+    val prior = ledger.filter(col("admit_batch") =!= lit(batchId))
+      .select(col("fp").as(fpCol))
+    val admitted = graft.operators.IncrementalDedup
+      .dedupBatch(batch, prior, idCol, fpCol, expectedLedgerItems)
+      .localCheckpoint(false)
+    admitted.write.mode("overwrite").parquet(s"$outRoot/ingest_batch=$batchId")
+    graft.operators.MergeByKey.merge(sp, ledgerRoot,
+      admitted.select(col(fpCol).as("fp"), lit(batchId).as("admit_batch"),
+        substring(col(fpCol), 1, 1).as("fp_shard")),
+      keyCols = Seq("fp"), partitionCols = Seq("fp_shard"),
+      versionCol = "admit_batch")
+    admitted.count()
+  }
+
+  /** Streaming dedup ingest: every micro-batch runs [[dedupIngestBatch]] —
+    * the continuous-crawl shape (novel documents land in per-batch output
+    * directories, `outRoot` reads back as one Hive-partitioned table with
+    * an `ingest_batch` column; the fingerprint ledger grows with DISTINCT
+    * content only). Effectively-once end to end: the checkpoint resumes
+    * offsets, and a replayed batch rewrites its own directory
+    * byte-identically (see [[dedupIngestBatch]]). */
+  def dedupIngestSink(stream: DataFrame, idCol: String, fpCol: String,
+                      outRoot: String, ledgerRoot: String,
+                      checkpointDir: String,
+                      expectedLedgerItems: Long = 1000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        dedupIngestBatch(batch.toDF(), id, idCol, fpCol, outRoot, ledgerRoot,
+          expectedLedgerItems)
+        (): Unit
+      }
+      .start()
 }
