@@ -1163,6 +1163,16 @@ object SparkEntry {
           "doc_id", nShards = 8, domain = "train")
         .orderBy("doc_id")
     }),
+    // Temperature-balanced mixing (mT5/XLM-R α-sampling, α=0.5): keep
+    // rates derived in-plan from observed lang sizes — sqrt weights, a
+    // lang-ordered Σw fold, floor(rate·2³²) hex thresholds — all IEEE-exact
+    // steps the oracle replays literally. budget=450 exercises BOTH
+    // branches at sf0.01 (smallest langs saturate to keep-all, 'en' thins).
+    "q114_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMixture(Tables(s, dir).documents.select("doc_id", "lang"),
+          "doc_id", "lang", budget = 450L, alpha = 0.5)
+        .orderBy("doc_id")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -2505,6 +2515,25 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
         |    AS BIGINT) AS pos
         |FROM s ORDER BY doc_id""".stripMargin,
+    // rate replay: sqrt weights (IEEE-exact), lang-ordered list_reduce fold
+    // for Σw (≡ Spark's sort_array+aggregate), identical op order in the
+    // rate, floor(rate·2³²) → lowercase zero-padded hex threshold
+    "q114_temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS w FROM n),
+        |t AS (SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS tot
+        |  FROM w),
+        |r AS (SELECT lang,
+        |    CAST(450 AS DOUBLE) * w / (tot * CAST(n AS DOUBLE)) AS rate
+        |  FROM w, t),
+        |thr AS (SELECT lang, CASE WHEN rate >= 1.0 THEN NULL
+        |    ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))),
+        |              8, '0') END AS thr
+        |  FROM r)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+        |WHERE thr IS NULL
+        |   OR substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 8) < thr
+        |ORDER BY doc_id""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->

@@ -299,6 +299,65 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Temperature-balanced mixture sampling (the multilingual α-sampling of
+    * public multilingual pretraining recipes, e.g. mT5 / XLM-R: sample
+    * group g with probability ∝ n_g^α, α < 1 flattening the distribution
+    * toward low-resource groups). Given a row budget, each group's keep
+    * rate is `budget · w_g / (Σw · n_g)` with `w_g = n_g^α`, capped at 1 —
+    * so the EXPECTED output is `budget` rows distributed ∝ n_g^α (exactly
+    * proportional when no group saturates; a saturated group contributes
+    * all its rows — upsampling beyond 1 epoch is [[epochMixture]]'s job).
+    *
+    * Unlike [[mixtureByHash]] (rates stated by the caller), the rates here
+    * are DERIVED from the observed group sizes — the knob is one scalar α.
+    *
+    * Determinism contract: the keep decision is `md5-hash < per-group
+    * threshold` with the threshold an 8-hex-char string derived in-plan
+    * from the rate. Cross-engine bit-identity of the rate needs every step
+    * to be IEEE-exact-or-identically-rounded: `sqrt` is correctly rounded
+    * by IEEE 754 (so α = 0.5, the published default, is exact); integer
+    * counts cast exactly; Σw folds in GROUP-NAME order (both engines replay
+    * the identical (0+w₁)+w₂+… sequence); the rate and `floor(rate·2³²)`
+    * are fixed-order double ops. Arbitrary α routes through `pow`, whose
+    * last-ulp rounding is NOT pinned across libm implementations — callers
+    * needing cross-engine exactness stay on α ∈ {0.5, 1.0}.
+    *
+    * Scale shape: one vocabulary-sized aggregation (distinct groups), a
+    * one-row fixed-order fold over it, and a broadcast join of the
+    * group→threshold table back to the corpus — the keep test itself is a
+    * per-row map predicate that fuses into the scan. Zero corpus-scale
+    * shuffles. */
+  def temperatureMixture(df: DataFrame, keyCol: String, groupCol: String,
+                         budget: Long, alpha: Double = 0.5,
+                         domain: String = "temp"): DataFrame = {
+    require(budget > 0, s"budget ($budget) must be positive")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    require(!Seq("_n", "_w", "_tot", "_rate", "_thr").exists(df.columns.contains),
+      "input must not contain the reserved columns _n/_w/_tot/_rate/_thr")
+    val nD = col("_n").cast("double")
+    val weights = df.groupBy(groupCol).agg(count(lit(1)).as("_n"))
+      .withColumn("_w",
+        if (alpha == 0.5) sqrt(nD)
+        else if (alpha == 1.0) nD
+        else pow(nD, lit(alpha)))
+    // fixed-order Σw: fold the (tiny) group table in group-name order so
+    // both engines produce the identical double
+    val tot = weights.agg(
+      aggregate(sort_array(collect_list(struct(col(groupCol), col("_w")))),
+        lit(0.0), (acc, s) => acc + s("_w")).as("_tot"))
+    val thresholds = weights.crossJoin(broadcast(tot))
+      .withColumn("_rate", lit(budget.toDouble) * col("_w") / (col("_tot") * nD))
+      // a saturated group keeps everything: NULL threshold short-circuits
+      // the hash compare (no "ffffffff"-boundary row loss)
+      .select(col(groupCol),
+        when(col("_rate") >= 1.0, lit(null).cast("string"))
+          .otherwise(format_string("%08x",
+            floor(col("_rate") * lit(4294967296.0)).cast("long"))).as("_thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col("_thr").isNull || hashHex(col(keyCol), domain) < col("_thr"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** A 13-hex-char window of an md5 hex string as an exact 52-bit long —
     * the ordering carrier for bottom-k-by-hash operations (TopK needs a
     * (double, long) key and 52 bits are exact in a double; chars 1-13 and

@@ -292,6 +292,63 @@ class SamplingSpec extends SparkFunSuite {
     assert(got.count(_._1.contains("g0")) === 4 && got.count(_._1.contains("g1")) === 4)
   }
 
+  test("temperatureMixture matches the hand-computed threshold reference") {
+    // replicate the contract end-to-end in plain Scala: sqrt weights, a
+    // group-name-ordered fold, per-group rate, floor(rate*2^32) hex
+    // threshold, md5 compare — exactly what the q114 DuckDB oracle replays
+    val df = ((1L to 60L).map(i => (i, "g0")) ++ (61L to 360L).map(i => (i, "g1")))
+      .toDF("id", "grp")
+    val n = Map("g0" -> 60L, "g1" -> 300L)
+    val w = n.map { case (g, c) => g -> math.sqrt(c.toDouble) }
+    val tot = Seq("g0", "g1").foldLeft(0.0)((a, g) => a + w(g))
+    def thr(g: String): String =
+      f"${(100.0 * w(g) / (tot * n(g).toDouble) * 4294967296.0).toLong}%08x"
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (1L to 360L).filter { i =>
+      val g = if (i <= 60) "g0" else "g1"
+      md5hex(s"$i:temp").take(8) < thr(g)
+    }.toSet
+    val got = Sampling.temperatureMixture(df, "id", "grp", budget = 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    // α=0.5 flattens: the small group's keep RATE must exceed the large one's
+    val keptSmall = got.count(_ <= 60).toDouble / 60
+    val keptLarge = got.count(_ > 60).toDouble / 300
+    assert(keptSmall > keptLarge,
+      s"temperature sampling must favor the small group: $keptSmall vs $keptLarge")
+    // expected total is the budget (binomial around 100)
+    assert(got.size > 60 && got.size < 140, s"total far from budget: ${got.size}")
+  }
+
+  test("temperatureMixture: saturated groups keep every row; layout-invariant") {
+    // tiny group saturates (rate >= 1) while the big one is thinned
+    val df = ((1L to 5L).map(i => (i, "rare")) ++ (6L to 2005L).map(i => (i, "big")))
+      .toDF("id", "grp")
+    val got = Sampling.temperatureMixture(df, "id", "grp", budget = 300L)
+    val byGrp = got.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("rare") == 5L, s"saturated group must keep all rows: $byGrp")
+    assert(byGrp("big") < 2000L, s"big group must be thinned: $byGrp")
+    val again = Sampling.temperatureMixture(df.repartition(13), "id", "grp", 300L)
+    assert(got.except(again).isEmpty && again.except(got).isEmpty,
+      "assignment must be stable across layouts")
+    assert(got.columns.toSeq == Seq("id", "grp"), "schema must be preserved")
+  }
+
+  test("temperatureMixture rejects bad arguments and reserved columns") {
+    val df = Seq((1L, "g")).toDF("id", "grp")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "id", "grp", budget = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "id", "grp", budget = 10L, alpha = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df.withColumn("_rate", lit(1)), "id", "grp", 10L)
+    }
+  }
+
   test("shuffleOrder: dense per-shard positions, every row assigned, runs and layouts agree") {
     val df = (1L to 200L).toDF("id")
     val a = Sampling.shuffleOrder(df, "id", nShards = 4)
