@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, BloomJoin, Chunk, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Scrub, Sessionize, SetSketch, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{AsOf, BloomJoin, Chunk, Classifier, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Scrub, Sessionize, SetSketch, Similarity, Snapshot, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1171,6 +1171,19 @@ object SparkEntry {
     "q114_temperature_mix" -> ((s, dir) => {
       Sampling.temperatureMixture(Tables(s, dir).documents.select("doc_id", "lang"),
           "doc_id", "lang", budget = 450L, alpha = 0.5)
+        .orderBy("doc_id")
+    }),
+    // Hashed NB quality classifier (fastText/CCNet shape): train log-odds
+    // on the doc_id%3==0 seed (label: lang='en'), score the whole corpus.
+    // Counts are integers, llr rounds to 6dp (absorbs last-ulp ln), the
+    // score folds llr in bucket-id order from 0.0 and rounds to 4dp —
+    // every step replayed literally by the oracle.
+    "q115_nb_classifier" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val seed = d.filter(col("doc_id") % 3 === 0)
+        .select((col("lang") === "en").as("y"), col("text"))
+      Classifier.nbScore(d, "doc_id", "text",
+          Classifier.nbTrain(seed, "text", "y"))
         .orderBy("doc_id")
     }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
@@ -2534,6 +2547,32 @@ object SparkEntry {
         |WHERE thr IS NULL
         |   OR substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 8) < thr
         |ORDER BY doc_id""".stripMargin,
+    // NB replay: q93's tokenizer normalization, 4-hex md5 buckets,
+    // integer counts, 6dp-rounded ln ratios, bucket-ordered list_reduce
+    // fold from an exact first element (0.0+x1 ≡ x1), 4dp-rounded score
+    "q115_nb_classifier" ->
+      """WITH tk AS (SELECT doc_id, lang, unnest(string_split(trim(
+        |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' ')) AS t FROM documents),
+        |feat AS (SELECT doc_id, lang, substr(md5(t || ':nbf'), 1, 4) AS feature
+        |  FROM tk WHERE t <> ''),
+        |cnt AS (SELECT feature,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cn
+        |  FROM feat WHERE doc_id % 3 = 0 GROUP BY 1),
+        |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cnt),
+        |model AS (SELECT feature,
+        |    round(ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + 65536 AS DOUBLE))
+        |        - ln(CAST(cn + 1 AS DOUBLE) / CAST(tn + 65536 AS DOUBLE)),
+        |      6) AS llr
+        |  FROM cnt, tot),
+        |sc AS (SELECT doc_id,
+        |    round(list_reduce(list(llr ORDER BY feature), (a, b) -> a + b),
+        |      4) AS score
+        |  FROM feat JOIN model USING (feature) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(score, CAST(0.0 AS DOUBLE)) AS score,
+        |  coalesce(score, CAST(0.0 AS DOUBLE)) > 0.0 AS predicted
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->

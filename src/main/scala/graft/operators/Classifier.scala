@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed linear text classification — the quality-filter family of public
+  * curation pipelines (fastText-style linear model over hashed bag-of-words
+  * features, Joulin et al. 2016; applied as the wiki-vs-crawl quality filter
+  * by CCNet, Wenzek et al. 2020, and the GPT-3 data work, Brown et al. 2020
+  * App. A). Training fits multinomial Naive-Bayes log-odds per feature
+  * bucket; scoring sums `tf · llr` over a document's bucketed tokens.
+  *
+  * The feature space is the hashing trick: token → first 4 hex chars of
+  * `md5(token:domain)` — 65536 buckets ([[NbBuckets]]), so the model is a
+  * BOUNDED table regardless of corpus vocabulary, every engine derives the
+  * identical bucket for a token, and the bucket id's fixed-width hex form
+  * doubles as the deterministic fold order for scoring.
+  *
+  * Determinism contract (cross-engine bit-identity of every score):
+  * training counts are exact integers; each log-likelihood-ratio is
+  * `ln((c⁺+1)/(T⁺+B)) − ln((c⁻+1)/(T⁻+B))` over exactly-representable
+  * rational arguments, ROUNDED TO 6 DECIMALS (the q94 argument: rounding
+  * absorbs any last-ulp `ln` divergence between libm implementations); a
+  * document's score folds `tf·llr` in bucket-id order from an exact 0.0
+  * init — the oracle replays the identical sequence via
+  * `list_reduce(list(llr ORDER BY feature))` — and rounds to 4 decimals.
+  *
+  * Scale shape for 100 TB: the model is ≤ [[NbBuckets]] rows — it
+  * BROADCASTS, so scoring is tokenize (map) → hash-join against the
+  * broadcast model (map) → one corpus-scale aggregation keyed by the doc
+  * id. Training touches only the labeled seed set (quality seeds are
+  * curated corpora, orders of magnitude smaller than the scored corpus)
+  * with one bucket-keyed aggregation into the bounded model table. Unseen
+  * buckets contribute 0 at scoring time — the hashed-linear-model
+  * convention (absent weight = 0); fold a class prior in as a caller-side
+  * constant offset if needed.
+  */
+object Classifier {
+
+  /** Feature-space size: 4 hex chars = 16 bits. Fixed, because the bucket
+    * id IS the hash prefix — a different size would need a different
+    * prefix length, and 65536 weights is the published fastText default
+    * order of magnitude for small models. */
+  val NbBuckets: Int = 65536
+
+  /** Token → feature bucket: first 4 hex chars of md5(token:domain).
+    * Domain separation keeps classifier buckets independent of every other
+    * md5-derived decision in the pipeline (the [[Sampling]] contract). */
+  private def bucket(term: Column, domain: String): Column =
+    substring(md5(concat(term, lit(":" + domain))), 1, 4)
+
+  private def tokens(text: Column): Column =
+    split(TextAnalysis.normalized(text), " ")
+
+  /** Fits per-bucket NB log-odds from a labeled seed set: `labelCol`
+    * (boolean; true = positive/quality class) over `textCol`. Returns the
+    * model as a `(feature STRING, llr DOUBLE)` table — ≤ [[NbBuckets]]
+    * rows, covering buckets that occur in the seed set.
+    *
+    * Both classes must contribute at least one token; a one-class seed set
+    * yields llr values from zero counts on the missing side (finite —
+    * Laplace-smoothed — but meaningless for ranking).
+    *
+    * Plan shape: tokenize (map) → ONE bucket-keyed aggregation (bounded at
+    * [[NbBuckets]] groups, map-side combinable) → a one-row totals
+    * cross-join. Seed-set-scale work only. */
+  def nbTrain(labeled: DataFrame, textCol: String, labelCol: String,
+              domain: String = "nbf"): DataFrame = {
+    val toks = labeled.select(col(labelCol).cast("boolean").as("_y"),
+        explode(tokens(col(textCol))).as("_t"))
+      .filter(col("_t") =!= "")
+    val counts = toks
+      .groupBy(bucket(col("_t"), domain).as("feature"))
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("_cp"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("_cn"))
+    val totals = counts.agg(sum("_cp").as("_tp"), sum("_cn").as("_tn"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("feature"),
+        round(
+          log((col("_cp") + 1L).cast("double") /
+              (col("_tp") + lit(NbBuckets.toLong)).cast("double")) -
+          log((col("_cn") + 1L).cast("double") /
+              (col("_tn") + lit(NbBuckets.toLong)).cast("double")),
+          6).as("llr"))
+  }
+
+  /** Scores every document against a [[nbTrain]] model: `(idCol,
+    * score DOUBLE, predicted BOOLEAN)`, `score` the bucket-id-ordered fold
+    * of `llr` over the document's bucketed tokens (each token occurrence
+    * contributes its bucket's weight once — tf weighting by construction),
+    * rounded to 4 decimals; `predicted = score > 0`. Documents with no
+    * in-model tokens score exactly 0.0 and predict false.
+    *
+    * `model` must have (feature, llr) columns; pass a different `domain`
+    * only if training used it too — bucket derivation must match.
+    *
+    * Plan shape: tokenize + bucket (map) → broadcast hash join against the
+    * bounded model (map; out-of-model tokens die here) → ONE doc-keyed
+    * aggregation carrying the per-doc fold — the only corpus-scale
+    * exchange — then a left join against the id spine to restore
+    * zero-score documents. */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+              model: DataFrame, domain: String = "nbf"): DataFrame = {
+    require(model.columns.contains("feature") && model.columns.contains("llr"),
+      s"model must have (feature, llr) columns, got ${model.columns.mkString(",")}")
+    require(!docs.columns.exists(Set("_t", "_x", "feature", "llr")),
+      "input must not contain the reserved columns _t/_x/feature/llr")
+    val contrib = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .filter(col("_t") =!= "")
+      .select(col(idCol), bucket(col("_t"), domain).as("feature"))
+      .join(broadcast(model), Seq("feature"))
+      .groupBy(idCol)
+      .agg(round(
+        aggregate(
+          sort_array(collect_list(struct(col("feature"), col("llr").as("_x")))),
+          lit(0.0), (a, s) => a + s("_x")),
+        4).as("score"))
+    docs.select(col(idCol))
+      .join(contrib, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("score"), lit(0.0)).as("score"),
+        (coalesce(col("score"), lit(0.0)) > 0.0).as("predicted"))
+  }
+}
