@@ -1186,6 +1186,20 @@ object SparkEntry {
           Classifier.nbTrain(seed, "text", "y"))
         .orderBy("doc_id")
     }),
+    // Directed containment (excerpt⊂parent): synthesize 20-token-prefix
+    // excerpts, detect them inside their parents at containment ≥ 0.9 —
+    // the subset relation symmetric Jaccard misses (|B| >> |A| pairs).
+    // Rare-gram candidate anchoring (df ≤ 64) + one exact array_intersect;
+    // integer sizes and an integer/integer division replay bit-identically.
+    "q116_containment" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("text")))
+      Dedup.containmentPairs(corpus, "doc_id", "text", n = 3,
+          threshold = 0.9, maxBucket = 64)
+        .orderBy("id_a", "id_b")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -2573,6 +2587,42 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(score, CAST(0.0 AS DOUBLE)) AS score,
         |  coalesce(score, CAST(0.0 AS DOUBLE)) > 0.0 AS predicted
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // replay: identical 3-gram sets, the (df, gram)-ranked containment
+    // prefix (rarest ⌊(1−t)n⌋+1 grams), df ≤ 64 index, the |B| ≥ ⌈t·|A|⌉
+    // size bound, exact list_intersect sizes, integer/integer division.
+    // 0.9 is CAST to DOUBLE so ceil sees the same product both engines.
+    "q116_containment" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string((string_split(text, ' '))[1:20], ' ')
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM c),
+        |g AS (SELECT doc_id, list_distinct(
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gr
+        |  FROM t),
+        |gg AS (SELECT doc_id, gr FROM g WHERE len(gr) > 0),
+        |tok AS (SELECT doc_id, len(gr) AS n, unnest(gr) AS gram FROM gg),
+        |dfreq AS (SELECT gram, count(*) AS df FROM tok GROUP BY 1),
+        |rk AS (SELECT doc_id, n, gram, df,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY df, gram) AS r
+        |  FROM tok JOIN dfreq USING (gram)),
+        |el AS (SELECT * FROM rk WHERE df > 1 AND df <= 64),
+        |pre AS (SELECT gram, doc_id AS id_a, n AS n_a FROM el
+        |  WHERE r <= n - ceil(CAST(0.9 AS DOUBLE) * n) + 1),
+        |cand AS (SELECT DISTINCT id_a, id_b FROM pre JOIN
+        |    (SELECT gram, doc_id AS id_b, n AS n_b FROM el) idx USING (gram)
+        |  WHERE id_a <> id_b AND n_b >= ceil(CAST(0.9 AS DOUBLE) * n_a)),
+        |v AS (SELECT id_a, id_b,
+        |    CAST(len(list_intersect(ga.gr, gb.gr)) AS BIGINT) AS n_shared,
+        |    CAST(len(list_intersect(ga.gr, gb.gr)) AS DOUBLE)
+        |      / CAST(len(ga.gr) AS DOUBLE) AS containment
+        |  FROM cand JOIN gg ga ON ga.doc_id = cand.id_a
+        |    JOIN gg gb ON gb.doc_id = cand.id_b)
+        |SELECT id_a, id_b, n_shared, containment FROM v
+        |WHERE containment >= CAST(0.9 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->

@@ -441,6 +441,85 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Asymmetric containment pairs — the subset-relation detector the
+    * symmetric Jaccard family structurally misses: an excerpt inside a
+    * roundup, a quoted abstract, a README embedded in a monorepo dump
+    * scores `C(A→B) = |A∩B| / |A| ≈ 1` while its Jaccard `|A∩B| / |A∪B|`
+    * is tiny because |B| >> |A|. The standard dedup decision for such
+    * pairs is "drop A, keep B" — which requires the DIRECTED relation
+    * this operator emits: `(id_a, id_b, n_shared, containment)` where
+    * `containment` is of A's distinct word-`n`-gram set in B's, one row
+    * per direction that clears `threshold` (both directions qualify only
+    * for near-identical sets).
+    *
+    * Candidate generation is the containment PREFIX FILTER (the AllPairs
+    * bound restated for overlap, Bayardo et al. 2007): if `C(A→B) ≥ t`
+    * then A has at most ⌊(1−t)·|A|⌋ unshared grams, so among A's first
+    * ⌊(1−t)·|A|⌋+1 grams under the global (document-frequency asc, gram)
+    * order — its RAREST grams — at least one is shared with B, by
+    * pigeonhole. The probe side therefore explodes only that prefix
+    * (a handful of grams per document at high t) against an index of all
+    * gram instances with df ≤ `maxBucket`; candidate volume is
+    * `Σ_docs prefixLen · df ≤ docs · prefixLen · maxBucket` — LINEAR in
+    * the corpus with the cap a constant, vs the Σ df² of a plain shared-
+    * gram self-join. RECALL CONTRACT: lossless except when EVERY gram in
+    * a qualifying A's rarest-prefix occurs in more than `maxBucket`
+    * documents — all-boilerplate text, the regime where a pair-level
+    * verdict stops being useful ([[Scrub.docFrequencyScrub]] owns it).
+    * Survivors pay ONE exact `array_intersect` on the true gram sets —
+    * integer sizes, one integer-over-integer division: zero estimation
+    * error and bit-identical cross-engine (the q116 oracle replays grams,
+    * ranks, cap and division literally; `threshold` enters `ceil` as a
+    * DOUBLE in both engines — a bare SQL decimal literal would ceil
+    * differently at exact multiples).
+    *
+    * Scale shape for 100 TB: per-doc gram sets are map-side array ops
+    * behind a lazy localCheckpoint (feeds the gram stream AND both verify
+    * sides — the q73 lesson); document frequency is one vocabulary-keyed
+    * aggregation; the ranked gram stream is checkpointed once and sliced
+    * into probe prefix + index (else the rank pipeline runs twice); the
+    * verify joins key on the doc id. The `|B| ≥ ⌈t·|A|⌉` size bound
+    * (|A∩B| ≤ |B|) prunes candidates before any array touches. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9,
+                       maxBucket: Int = 64): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold ($threshold) must be in (0, 1]")
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2 — no " +
+      "pair can form inside a 1-doc bucket")
+    val docs = df.select(col(idCol).as("_id"),
+        array_distinct(Scrub.wordNgrams(col(textCol), n)).as("_g"))
+      .withColumn("_n", size(col("_g")).cast("long"))
+      .filter(col("_n") > 0)
+      .localCheckpoint(false)
+    val tok = docs.select(col("_id"), col("_n"), explode(col("_g")).as("_gram"))
+    val dfreq = tok.groupBy("_gram").agg(count(lit(1)).as("_df"))
+    // rank EVERY gram of a doc by (df, gram) — prefix positions are defined
+    // against the full ordered list (a df-1 gram occupies its slot even
+    // though it can never witness); filter eligibility AFTER ranking
+    val ranked = tok.join(dfreq, Seq("_gram"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("_id").orderBy(col("_df"), col("_gram"))))
+      .filter(col("_df") > 1 && col("_df") <= maxBucket)
+      .localCheckpoint(false)
+    val prefix = ranked
+      .filter(col("_r") <= col("_n") - ceil(lit(threshold) * col("_n")) + lit(1))
+      .select(col("_gram"), col("_id").as("id_a"), col("_n").as("n_a"))
+    val index = ranked.select(col("_gram"), col("_id").as("id_b"), col("_n").as("n_b"))
+    val cand = prefix.join(index, Seq("_gram"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("n_b") >= ceil(lit(threshold) * col("n_a")))
+      .select("id_a", "id_b").distinct()
+    val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("long")
+    cand
+      .join(docs.select(col("_id").as("id_a"), col("_g").as("g_a"),
+        col("_n").as("_na")), "id_a")
+      .join(docs.select(col("_id").as("id_b"), col("_g").as("g_b")), "id_b")
+      .select(col("id_a"), col("id_b"), inter.as("n_shared"),
+        (inter.cast("double") / col("_na").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Exact repeated-passage detection — the "exact substring dedup" of
     * Lee et al., *Deduplicating Training Data Makes Language Models
     * Better* (ACL 2022), re-expressed for Spark: instead of a suffix array

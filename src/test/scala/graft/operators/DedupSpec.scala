@@ -337,4 +337,64 @@ class DedupSpec extends SparkFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 1L, 4L), (2L, 1L, 4L)))
   }
+
+  test("containmentPairs: an excerpt is contained in its parent, not vice versa") {
+    // doc 2 = a strict prefix of doc 1; doc 3 unrelated. Distinct 2-gram
+    // sets: A(doc2) = {a b, b c, c d} all inside doc 1's set of 6.
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d"),
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 2,
+        threshold = 0.9, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((2L, 1L, 3L, 1.0)),
+      s"want only the directed excerpt→parent row, got ${got.toSeq}")
+  }
+
+  test("containmentPairs: near-identical sets qualify in both directions") {
+    val df = Seq(
+      (1L, "p q r s t"),
+      (2L, "p q r s t")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 2,
+        threshold = 0.9, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(got == Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
+
+  test("containmentPairs: partial overlap below threshold is dropped; above kept with exact value") {
+    // A = {a b, b c, c x} vs B = {a b, b c, c d, d e}: shared 2, C(A→B)=2/3
+    val df = Seq(
+      (1L, "a b c x"),
+      (2L, "a b c d e")).toDF("doc_id", "text")
+    def run(t: Double) = Dedup.containmentPairs(df, "doc_id", "text", n = 2,
+        threshold = t, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(run(0.9).isEmpty, "2/3 containment must not clear 0.9")
+    val lo = run(0.6)
+    assert(lo.contains((1L, 2L, 2L, 2.0 / 3.0)), s"missing exact 2/3 row: $lo")
+    assert(!lo.exists(r => r._1 == 2L), "B (4 grams, 2 shared) must not clear 0.6")
+  }
+
+  test("containmentPairs: the maxBucket cap prices recall exactly as documented") {
+    // 20 docs all share the gram-set {c1 c2, c2 c3}; every gram has df=20.
+    // cap 16 < 20: no anchor gram, zero candidates — the documented miss.
+    // cap 32 ≥ 20: every directed pair of identical sets qualifies.
+    val df = (1L to 20L).map(i => (i, "c1 c2 c3")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(df, "doc_id", "text", n = 2,
+      threshold = 0.9, maxBucket = 16).count() == 0L)
+    assert(Dedup.containmentPairs(df, "doc_id", "text", n = 2,
+      threshold = 0.9, maxBucket = 32).count() == 20L * 19L)
+  }
+
+  test("containmentPairs: sub-n-token docs never pair; bad args rejected") {
+    val df = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(df, "doc_id", "text", n = 2).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(df, "doc_id", "text", maxBucket = 1)
+    }
+  }
 }
