@@ -1200,6 +1200,18 @@ object SparkEntry {
           threshold = 0.9, maxBucket = 64)
         .orderBy("id_a", "id_b")
     }),
+    // JL sign random projection 64→8 (Achlioptas): the sign matrix derives
+    // from md5(j:k:jl) so both engines rebuild it exactly; per-element
+    // ascending-j fold from 0.0, one /sqrt(8) — per-row IEEE arithmetic,
+    // no rounding anywhere
+    "q117_random_projection" -> ((s, dir) => {
+      Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          posexplode(VectorFunctions.randomProjectSigns(col("embedding"), 64, 8)))
+        .select(col("vec_id"), col("pos").cast("int").as("dim"),
+          col("col").as("value"))
+        .orderBy("vec_id", "dim")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -2623,6 +2635,20 @@ object SparkEntry {
         |    JOIN gg gb ON gb.doc_id = cand.id_b)
         |SELECT id_a, id_b, n_shared, containment FROM v
         |WHERE containment >= CAST(0.9 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin,
+    // sign replay: same md5 first-hex-digit rule, ascending-j list fold
+    // (0.0+x1 ≡ x1), literal / sqrt(CAST(8 AS DOUBLE))
+    "q117_random_projection" ->
+      """WITH k AS (SELECT unnest(generate_series(0, 7)) AS dim),
+        |p AS (SELECT vec_id, dim,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      j -> CAST(embedding[j] AS DOUBLE) *
+        |        (CASE WHEN substr(md5(CAST(j - 1 AS VARCHAR) || ':'
+        |            || CAST(dim AS VARCHAR) || ':jl'), 1, 1) < '8'
+        |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+        |      (a, b) -> a + b) / sqrt(CAST(8 AS DOUBLE)) AS value
+        |  FROM embeddings, k)
+        |SELECT vec_id, CAST(dim AS INTEGER) AS dim, value FROM p
+        |ORDER BY vec_id, dim""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->

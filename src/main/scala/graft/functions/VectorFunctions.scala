@@ -63,4 +63,50 @@ object VectorFunctions {
   /** Inverse of [[quantizeInt8]]: `qᵢ·scale` as double. */
   def dequantInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
+
+  /** Johnson–Lindenstrauss sign random projection (the database-friendly
+    * JL of Achlioptas 2003: entries ±1 preserve pairwise inner products in
+    * expectation with variance ~‖a‖²‖b‖²/outDims):
+    * `out_k = (Σ_j v_j · s_{j,k}) / √outDims`, the standard cheap
+    * dimensionality cut before ANN indexing / near-dup banding when the
+    * embedding width is the cost driver.
+    *
+    * The sign matrix is DERIVED, not sampled: `s_{j,k} = +1 iff the first
+    * hex digit of md5("j:k:domain") < '8'` — data-independent, no RNG
+    * state, no weight table to ship, and any engine rederives it exactly
+    * (the q117 oracle recomputes the same md5 bit). The matrix is
+    * evaluated at PLAN BUILD TIME into literal ±1 arrays, so per-row work
+    * is `inDims·outDims` fused mul-adds — zero hashing in the hot path,
+    * zero shuffle, pipelines with the scan.
+    *
+    * Determinism: per-row fixed-order IEEE arithmetic — each output
+    * element folds `v_j·s_{j,k}` in ascending `j` from an exact 0.0 init,
+    * then one correctly-rounded √outDims division. Bit-identical
+    * cross-engine; no rounding needed.
+    *
+    * Vectors must carry exactly `inDims` elements: a shorter vector
+    * null-pads through `zip_with` and yields null output elements (they
+    * poison downstream dots loudly rather than silently truncating). */
+  def randomProjectSigns(v: Column, inDims: Int, outDims: Int,
+                         domain: String = "jl"): Column = {
+    require(inDims >= 1 && inDims <= 65536,
+      s"inDims ($inDims) must be in [1, 65536]")
+    require(outDims >= 1 && outDims <= 4096,
+      s"outDims ($outDims) must be in [1, 4096]")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // divide (not multiply-by-reciprocal): a reciprocal rounds twice and
+    // the oracle's literal `/ sqrt(k)` would diverge in the last ulp
+    val root = sqrt(lit(outDims.toDouble))
+    val cols = (0 until outDims).map { k =>
+      val signs = array((0 until inDims).map { j =>
+        lit(if (md5hex(s"$j:$k:$domain").head < '8') 1.0 else -1.0)
+      }: _*)
+      aggregate(
+        zip_with(v, signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, t) => acc + t) / root
+    }
+    array(cols: _*)
+  }
 }
