@@ -1212,6 +1212,33 @@ object SparkEntry {
           col("col").as("value"))
         .orderBy("vec_id", "dim")
     }),
+    // End-to-end curation pipeline in ONE composed plan: content-
+    // fingerprint dedup (keep lowest id) → token-count gate →
+    // temperature-balanced lang mixing → deterministic shard shuffle.
+    // Every stage is an already-gated operator under fresh hash domains;
+    // the oracle replays the full chain as CTEs. The value under test is
+    // COMPOSITION: rates derive from the filtered corpus, shard order
+    // from the mixed survivors — any stage drift breaks the hash.
+    "q118_curation_pipeline" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val deduped = d
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+      // temperatureMixture consumes its input twice (group counts + the
+      // keep filter): checkpoint the dedup window's output once so the
+      // fingerprint/window stage doesn't re-run per consumer (the
+      // BloomJoin lesson — slim (doc_id, lang) rows only)
+      val gated = deduped
+        .filter(TextAnalysis.tokenCount(col("text")) >= 30)
+        .select("doc_id", "lang")
+        .localCheckpoint(false)
+      val mixed = Sampling.temperatureMixture(gated, "doc_id", "lang",
+        budget = 300L, alpha = 0.5, domain = "temp118")
+      Sampling.shuffleOrder(mixed, "doc_id", nShards = 4, domain = "shard118")
+        .orderBy("doc_id")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -2649,6 +2676,45 @@ object SparkEntry {
         |  FROM embeddings, k)
         |SELECT vec_id, CAST(dim AS INTEGER) AS dim, value FROM p
         |ORDER BY vec_id, dim""".stripMargin,
+    // full-chain replay: q22's fingerprint, regex token count, q114's
+    // temperature thresholds over the FILTERED counts, q113's shard CASE
+    // chain — each under this query's own hash domains
+    "q118_curation_pipeline" ->
+      """WITH fp AS (SELECT doc_id, lang, text,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(
+        |      trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |           ' +', ' ', 'g')), ' '))), ' ')) AS fp
+        |  FROM documents),
+        |dd AS (SELECT doc_id, lang, text FROM (SELECT doc_id, lang, text,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp)
+        |  WHERE rn = 1),
+        |gated AS (SELECT doc_id, lang FROM dd
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 30),
+        |n AS (SELECT lang, count(*) AS n FROM gated GROUP BY 1),
+        |w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS w FROM n),
+        |t AS (SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS tot
+        |  FROM w),
+        |r AS (SELECT lang,
+        |    CAST(300 AS DOUBLE) * w / (tot * CAST(n AS DOUBLE)) AS rate
+        |  FROM w, t),
+        |thr AS (SELECT lang, CASE WHEN rate >= 1.0 THEN NULL
+        |    ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))),
+        |              8, '0') END AS thr
+        |  FROM r),
+        |mixed AS (SELECT g.doc_id, g.lang FROM gated g JOIN thr USING (lang)
+        |  WHERE thr IS NULL
+        |     OR substr(md5(CAST(doc_id AS VARCHAR) || ':temp118'), 1, 8) < thr),
+        |h AS (SELECT doc_id, lang,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':shard118'), 1, 8) AS h
+        |  FROM mixed),
+        |sh AS (SELECT doc_id, lang, h,
+        |    (CASE WHEN h >= '40000000' THEN 1 ELSE 0 END
+        |   + CASE WHEN h >= '80000000' THEN 1 ELSE 0 END
+        |   + CASE WHEN h >= 'c0000000' THEN 1 ELSE 0 END) AS shard FROM h)
+        |SELECT doc_id, lang, CAST(shard AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM sh ORDER BY doc_id""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->
