@@ -1239,6 +1239,22 @@ object SparkEntry {
       Sampling.shuffleOrder(mixed, "doc_id", nShards = 4, domain = "shard118")
         .orderBy("doc_id")
     }),
+    // Video-style near-dup by frame voting: synthesize same-length
+    // tail-edited copies (last byte → 'Z'), sample 8 aligned byte-window
+    // frames, aHash each (stub codec — ASCII corpus, so the oracle
+    // replays the sampled grid byte-for-byte, the q97 argument), pair via
+    // the banded chunk join per frame slot, keep pairs with ≥ 6 matching
+    // frames. Tail copies keep frames 0..6 byte-identical; the vote count
+    // is exact (full per-frame recall at dist < bands).
+    "q119_video_neardup" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val tail = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 1)"), lit("Z")).as("text"))
+      val media = Multimodal.asMedia(d.unionByName(tail), "doc_id", "text")
+      Multimodal.videoNearDupPairs(media, nFrames = 8, frameBytes = 32,
+          maxDist = 3, bands = 4, minMatching = 6)
+        .orderBy("id_a", "id_b")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -2715,6 +2731,45 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
         |    AS BIGINT) AS pos
         |FROM sh ORDER BY doc_id""".stripMargin,
+    // frame replay: identical byte-window offsets (i·max(len−32,0)/7),
+    // q97's grid rule per frame, banding as 16-char substrings of the
+    // MSB-first bit string (band b = chars 49−16b..), Hamming = mismatch
+    // count, then the exact frame vote
+    "q119_video_neardup" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, strlen(text) - 1) || 'Z'
+        |  FROM documents),
+        |t AS (SELECT doc_id, text, strlen(text) AS len FROM c WHERE strlen(text) > 0),
+        |f AS (SELECT doc_id, i AS frame_idx,
+        |    substr(text, CAST((i * greatest(len - 32, 0)) // 7 AS INTEGER) + 1, 32) AS fr
+        |  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) gi),
+        |p AS (SELECT doc_id, frame_idx, list_transform(generate_series(0, 63),
+        |    j -> ascii(substr(fr, CAST((j * strlen(fr)) // 64 AS INTEGER) + 1, 1))) AS px
+        |  FROM f),
+        |m AS (SELECT doc_id, frame_idx, px, list_sum(px) // 64 AS mean FROM p),
+        |bt AS (SELECT doc_id, frame_idx, array_to_string(list_transform(
+        |    generate_series(63, 0, -1),
+        |    j -> CASE WHEN px[j + 1] > mean THEN '1' ELSE '0' END), '') AS bits
+        |  FROM m),
+        |bd AS (SELECT doc_id, frame_idx, bits, bp, chunk FROM (
+        |  SELECT doc_id, frame_idx, bits,
+        |      49 - 16 * band AS bp, substr(bits, 49 - 16 * band, 16) AS chunk,
+        |      row_number() OVER (PARTITION BY frame_idx, band,
+        |        substr(bits, 49 - 16 * band, 16) ORDER BY doc_id) AS r
+        |    FROM bt CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) gb)
+        |  WHERE r <= 256),
+        |fp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.frame_idx,
+        |    len(list_filter(generate_series(1, 64),
+        |      i -> substr(a.bits, CAST(i AS INTEGER), 1)
+        |        <> substr(b.bits, CAST(i AS INTEGER), 1))) AS dist
+        |  FROM bd a JOIN bd b ON a.frame_idx = b.frame_idx AND a.bp = b.bp
+        |    AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+        |q AS (SELECT id_a, id_b, count(*) AS n_matching FROM fp
+        |  WHERE dist <= 3 GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_matching AS BIGINT) AS n_matching FROM q
+        |WHERE n_matching >= 6 ORDER BY id_a, id_b""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->

@@ -347,6 +347,95 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
   }
 
+  /** One frame's perceptual hash. */
+  final case class FrameHash(doc_id: Long, frame_idx: Int, phash: Long)
+
+  /** Per-frame aHash: [[sampleFrames]]' evenly-spaced windows, each hashed
+    * by the [[perceptualHash]] grid rule. The codec's `modality` is passed
+    * as "image" — a real video codec would decode keyframes at timestamps;
+    * the byte-window stub keeps schema, fan-out and determinism identical
+    * (the brief's stub-the-codec contract). */
+  def frameHashes(media: DataFrame, n: Int, frameBytes: Int = 32,
+                  codec: Codec = StubCodec): Dataset[FrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    sampleFrames(media, n, frameBytes).mapPartitions { it =>
+      val c = codec
+      it.map { f =>
+        val px = c.grayPixels(f.frame, "image", 8, 8)
+        val mean = px.map(_.toLong).sum / 64L
+        var bits = 0L
+        var i = 0
+        while (i < 64) { if (px(i) > mean) bits |= (1L << i); i += 1 }
+        FrameHash(f.doc_id, f.frame_idx, bits)
+      }
+    }
+  }
+
+  /** Video-style near-duplicate detection by FRAME VOTING: two media rows
+    * pair iff at least `minMatching` of their `nFrames` temporally-aligned
+    * sampled frames hash within `maxDist` Hamming bits — re-encoded or
+    * tail-edited copies keep most aligned frames near-identical, while a
+    * single shared still (an intro card, a watermark frame) cannot clear
+    * the vote. Output `(id_a, id_b, n_matching)`, `id_a < id_b`,
+    * `n_matching` the EXACT count of matching frame positions.
+    *
+    * Recall: per frame the banded chunk join has full recall for
+    * `dist < bands` (pigeonhole, [[phashNearDupPairs]]); a qualifying pair
+    * has ≥ `minMatching` such frames, every one of which is found — so the
+    * vote count is exact and no qualifying pair is missed.
+    *
+    * Scale shape for 100 TB: frame hashing is one map pass (frames ×
+    * 64-byte grids, iterator-streamed); the hashes are materialized ONCE
+    * behind a lazy localCheckpoint (the banded self-join reads both
+    * sides). The join keys on `(frame_idx, band, chunk)` with members
+    * RANK-CAPPED at `maxBucket` per bucket (the
+    * [[graft.operators.Dedup.minhashCandidatePairs]] contract): an
+    * over-cap bucket is boilerplate structure — solid frames, letterboxed
+    * stills — whose pair fan-out would be quadratic; audit candidates
+    * with [[phashBucketProfile]] per frame slot before trusting a new
+    * corpus. Capping weakens the vote count for pairs whose matching
+    * frames ALL sit beyond the cap in EVERY band — the degenerate regime
+    * by construction. The vote is one pair-keyed count; no stage touches
+    * payload bytes after the hash pass. */
+  def videoNearDupPairs(media: DataFrame, nFrames: Int = 8,
+                        frameBytes: Int = 32, maxDist: Int = 3,
+                        bands: Int = 4, minMatching: Int = 6,
+                        maxBucket: Int = 256,
+                        codec: Codec = StubCodec): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands ($bands) must divide 64")
+    require(maxDist >= 0 && maxDist < bands,
+      s"full recall needs maxDist ($maxDist) < bands ($bands)")
+    require(minMatching >= 1 && minMatching <= nFrames,
+      s"minMatching ($minMatching) must be in [1, nFrames=$nFrames]")
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2 to emit any pair")
+    val fh = frameHashes(media, nFrames, frameBytes, codec).toDF()
+      .localCheckpoint(false)
+    val banded = fh.select(col("doc_id"), col("frame_idx"), col("phash"),
+        explode(bandedChunks(col("phash"), bands)).as("bk"))
+      .select(col("doc_id"), col("frame_idx"), col("phash"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("frame_idx", "band", "chunk").orderBy("doc_id")))
+      .filter(col("_r") <= maxBucket)
+      .drop("_r")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.frame_idx").as("frame_idx"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("int").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_matching"))
+      .filter(col("n_matching") >= minMatching)
+  }
+
   /** Band-bucket occupancy audit for [[phashNearDupPairs]] — the image
     * mirror of `Dedup.minhashBucketProfile`: run it BEFORE the pair join
     * on a new corpus to find boilerplate buckets (solid-color frames,

@@ -277,4 +277,48 @@ class MultimodalSpec extends SparkFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(prof === Seq((0x0123456789abcdefL, 2L), (-1L, 1L)))
   }
+
+  test("frameHashes: aligned windows hash equal for equal payloads, per-frame") {
+    val docs = Seq((1L, "x" * 300), (2L, "x" * 300)).toDF("doc_id", "text")
+    val fh = Multimodal.frameHashes(Multimodal.asMedia(docs, "doc_id", "text"), n = 8)
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f.phash).toMap
+    assert(fh.size == 16, "8 frames per doc expected")
+    (0 until 8).foreach { i =>
+      assert(fh((1L, i)) == fh((2L, i)), s"frame $i must hash identically")
+    }
+  }
+
+  test("videoNearDupPairs: tail edit keeps 7/8 frames, vote passes; unrelated fails") {
+    // same length, last byte differs -> frames 0..6 byte-identical. The
+    // "unrelated" doc must differ STRUCTURALLY (uniform bytes, no spaces):
+    // aHash thresholds against the grid mean, so any text with the same
+    // letter/space rhythm — even reversed — hashes near-identically; a
+    // spaceless payload yields the all-zero hash and shares no chunk.
+    val base = ('a' to 'z').mkString(" ") * 6
+    val docs = Seq(
+      (1L, base),
+      (2L, base.dropRight(1) + "Z"),
+      (3L, "z" * base.length)).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val got = Multimodal.videoNearDupPairs(media, nFrames = 8, minMatching = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L,
+      s"want only (1,2): ${got.toSeq}")
+    assert(got.head._3 >= 7L, s"tail edit must keep >= 7 aligned frames: ${got.toSeq}")
+  }
+
+  test("videoNearDupPairs: identical payloads match on every frame; bad args rejected") {
+    val docs = Seq((1L, "q w e r t y" * 20), (2L, "q w e r t y" * 20))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val got = Multimodal.videoNearDupPairs(media, nFrames = 8, minMatching = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 8L)), s"exact dup must match 8/8: $got")
+    intercept[IllegalArgumentException] {
+      Multimodal.videoNearDupPairs(media, maxDist = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.videoNearDupPairs(media, nFrames = 4, minMatching = 5)
+    }
+  }
 }
