@@ -2618,7 +2618,9 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // NB replay: q93's tokenizer normalization, 4-hex md5 buckets,
     // integer counts, 6dp-rounded ln ratios, bucket-ordered list_reduce
-    // fold from an exact first element (0.0+x1 ≡ x1), 4dp-rounded score
+    // fold from an exact first element (0.0+x1 ≡ x1), 4dp-rounded score.
+    // Rounding is the explicit floor(x·10ⁿ+0.5)/10ⁿ — engine round()
+    // diverges at representable-tie boundaries (seen live at sf1.0)
     "q115_nb_classifier" ->
       """WITH tk AS (SELECT doc_id, lang, unnest(string_split(trim(
         |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
@@ -2631,13 +2633,15 @@ object SparkEntry {
         |  FROM feat WHERE doc_id % 3 = 0 GROUP BY 1),
         |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cnt),
         |model AS (SELECT feature,
-        |    round(ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + 65536 AS DOUBLE))
-        |        - ln(CAST(cn + 1 AS DOUBLE) / CAST(tn + 65536 AS DOUBLE)),
-        |      6) AS llr
+        |    floor((ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + 65536 AS DOUBLE))
+        |         - ln(CAST(cn + 1 AS DOUBLE) / CAST(tn + 65536 AS DOUBLE)))
+        |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      / CAST(1000000 AS DOUBLE) AS llr
         |  FROM cnt, tot),
         |sc AS (SELECT doc_id,
-        |    round(list_reduce(list(llr ORDER BY feature), (a, b) -> a + b),
-        |      4) AS score
+        |    floor(list_reduce(list(llr ORDER BY feature), (a, b) -> a + b)
+        |        * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      / CAST(10000 AS DOUBLE) AS score
         |  FROM feat JOIN model USING (feature) GROUP BY 1)
         |SELECT d.doc_id, coalesce(score, CAST(0.0 AS DOUBLE)) AS score,
         |  coalesce(score, CAST(0.0 AS DOUBLE)) > 0.0 AS predicted

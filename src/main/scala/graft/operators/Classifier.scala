@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   * Determinism contract (cross-engine bit-identity of every score):
   * training counts are exact integers; each log-likelihood-ratio is
   * `ln((c⁺+1)/(T⁺+B)) − ln((c⁻+1)/(T⁻+B))` over exactly-representable
-  * rational arguments, ROUNDED TO 6 DECIMALS (the q94 argument: rounding
-  * absorbs any last-ulp `ln` divergence between libm implementations); a
-  * document's score folds `tf·llr` in bucket-id order from an exact 0.0
-  * init — the oracle replays the identical sequence via
+  * rational arguments, rounded to 6 decimals (absorbs any last-ulp `ln`
+  * divergence between libm implementations); a document's score folds
+  * `tf·llr` in bucket-id order from an exact 0.0 init — the oracle
+  * replays the identical sequence via
   * `list_reduce(list(llr ORDER BY feature))` — and rounds to 4 decimals.
+  * BOTH roundings are the explicit `floor(x·10ⁿ + 0.5)/10ⁿ` — pure IEEE
+  * multiply/add/floor/divide every engine computes identically — NOT the
+  * engine's `round()`: library round disagrees across engines exactly at
+  * representable-tie boundaries (Spark's shortest-decimal BigDecimal
+  * HALF_UP vs DuckDB's binary scaling saw −2.78325 as −2.7833 vs −2.7832
+  * on the sf1.0 sweep — a real divergence, not a hypothetical).
   *
   * Scale shape for 100 TB: the model is ≤ [[NbBuckets]] rows — it
   * BROADCASTS, so scoring is tokenize (map) → hash-join against the
@@ -52,6 +58,13 @@ object Classifier {
   private def tokens(text: Column): Column =
     split(TextAnalysis.normalized(text), " ")
 
+  /** `floor(x·10ⁿ + 0.5)/10ⁿ` — rounding as explicit IEEE ops (see the
+    * object scaladoc for why the engine `round()` cannot be used). */
+  private def roundFloor(x: Column, digits: Int): Column = {
+    val p = lit(math.pow(10.0, digits))
+    floor(x * p + lit(0.5)) / p
+  }
+
   /** Fits per-bucket NB log-odds from a labeled seed set: `labelCol`
     * (boolean; true = positive/quality class) over `textCol`. Returns the
     * model as a `(feature STRING, llr DOUBLE)` table — ≤ [[NbBuckets]]
@@ -76,7 +89,7 @@ object Classifier {
     val totals = counts.agg(sum("_cp").as("_tp"), sum("_cn").as("_tn"))
     counts.crossJoin(broadcast(totals))
       .select(col("feature"),
-        round(
+        roundFloor(
           log((col("_cp") + 1L).cast("double") /
               (col("_tp") + lit(NbBuckets.toLong)).cast("double")) -
           log((col("_cn") + 1L).cast("double") /
@@ -111,7 +124,7 @@ object Classifier {
       .select(col(idCol), bucket(col("_t"), domain).as("feature"))
       .join(broadcast(model), Seq("feature"))
       .groupBy(idCol)
-      .agg(round(
+      .agg(roundFloor(
         aggregate(
           sort_array(collect_list(struct(col("feature"), col("llr").as("_x")))),
           lit(0.0), (a, s) => a + s("_x")),

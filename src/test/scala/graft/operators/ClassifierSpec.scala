@@ -21,10 +21,11 @@ class ClassifierSpec extends SparkFunSuite {
     val cn = Map("good" -> 0L, "clean" -> 0L, "text" -> 2L, "spam" -> 2L, "junk" -> 1L)
     val (tp, tn) = (5L, 5L)
     val b = Classifier.NbBuckets.toLong
-    def llr(t: String): Double = BigDecimal(
+    // the operator's explicit floor-rounding, replicated literally
+    def rf(x: Double, p: Double): Double = math.floor(x * p + 0.5) / p
+    def llr(t: String): Double = rf(
       math.log((cp(t) + 1).toDouble / (tp + b).toDouble) -
-        math.log((cn(t) + 1).toDouble / (tn + b).toDouble))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        math.log((cn(t) + 1).toDouble / (tn + b).toDouble), 1e6)
     val got = model.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     cp.keys.foreach { t =>
       val f = md5hex(s"$t:nbf").take(4)
@@ -36,11 +37,10 @@ class ClassifierSpec extends SparkFunSuite {
     val docs = Seq((1L, "good good text"), (2L, "spam junk"), (3L, "")).toDF("id", "text")
     val scored = Classifier.nbScore(docs, "id", "text", model)
       .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
-    val wantScore1 = BigDecimal(
+    val wantScore1 = rf(
       Seq(("good", llr("good")), ("good", llr("good")), ("text", llr("text")))
         .map { case (t, l) => (md5hex(s"$t:nbf").take(4), l) }
-        .sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        .sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _), 1e4)
     assert(scored(1L) == ((wantScore1, true)), s"doc 1: ${scored(1L)} vs $wantScore1")
     assert(scored(2L)._1 < 0 && !scored(2L)._2, s"all-negative doc must score < 0: ${scored(2L)}")
     assert(scored(3L) == ((0.0, false)), "empty doc must score exactly 0.0/false")
