@@ -1255,6 +1255,21 @@ object SparkEntry {
           maxDist = 3, bands = 4, minMatching = 6)
         .orderBy("id_a", "id_b")
     }),
+    // Per-slice Jensen–Shannon divergence vs the corpus distribution —
+    // the distribution-shift diagnostic behind mixing decisions. Integer
+    // counts, exact divisions, token-ordered fold, floor-rounded 6dp
+    // half-sum; ln ulp drift accumulates ~1e-12, far under the grain.
+    "q120_slice_divergence" -> ((s, dir) => {
+      Profile.sliceDivergence(Tables(s, dir).documents, "source", "text")
+        .orderBy("source")
+    }),
+    // Per-document OOV rate vs the corpus top-20 vocabulary (count desc,
+    // token asc — a total order): tokenizer-coverage / gibberish triage.
+    // Exact integer counts and division; empty docs report 0/0/0.0.
+    "q121_oov_rate" -> ((s, dir) => {
+      Profile.oovRate(Tables(s, dir).documents, "doc_id", "text", k = 20)
+        .orderBy("doc_id")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -2774,6 +2789,60 @@ object SparkEntry {
         |  WHERE dist <= 3 GROUP BY 1, 2)
         |SELECT id_a, id_b, CAST(n_matching AS BIGINT) AS n_matching FROM q
         |WHERE n_matching >= 6 ORDER BY id_a, id_b""".stripMargin,
+    // JSD replay: identical p/q divisions and operand order, token-ordered
+    // list_reduce fold, explicit floor-rounding of the half-sum
+    "q120_slice_divergence" ->
+      """WITH tk AS (SELECT source, unnest(string_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' ')) AS t FROM documents),
+        |sc AS (SELECT source, t, count(*) AS c FROM tk WHERE t <> ''
+        |  GROUP BY 1, 2),
+        |cc AS (SELECT t, sum(c) AS cc FROM sc GROUP BY 1),
+        |st AS (SELECT source, sum(c) AS st FROM sc GROUP BY 1),
+        |ctot AS (SELECT sum(cc) AS ct FROM cc),
+        |grid AS (SELECT st.source, cc.t, coalesce(sc.c, 0) AS c,
+        |    st.st, cc.cc, ctot.ct
+        |  FROM st CROSS JOIN cc
+        |  LEFT JOIN sc ON sc.source = st.source AND sc.t = cc.t
+        |  CROSS JOIN ctot),
+        |term AS (SELECT source, t,
+        |    (CASE WHEN c > 0 THEN
+        |      (CAST(c AS DOUBLE) / CAST(st AS DOUBLE))
+        |        * ln(CAST(2.0 AS DOUBLE) * (CAST(c AS DOUBLE) / CAST(st AS DOUBLE))
+        |          / ((CAST(c AS DOUBLE) / CAST(st AS DOUBLE))
+        |             + (CAST(cc AS DOUBLE) / CAST(ct AS DOUBLE))))
+        |     ELSE CAST(0.0 AS DOUBLE) END)
+        |    + (CAST(cc AS DOUBLE) / CAST(ct AS DOUBLE))
+        |      * ln(CAST(2.0 AS DOUBLE) * (CAST(cc AS DOUBLE) / CAST(ct AS DOUBLE))
+        |        / ((CAST(c AS DOUBLE) / CAST(st AS DOUBLE))
+        |           + (CAST(cc AS DOUBLE) / CAST(ct AS DOUBLE)))) AS x
+        |  FROM grid)
+        |SELECT source,
+        |  floor((list_reduce(list(x ORDER BY t), (a, b) -> a + b)
+        |      / CAST(2.0 AS DOUBLE))
+        |    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |    / CAST(1000000 AS DOUBLE) AS jsd
+        |FROM term GROUP BY source ORDER BY source""".stripMargin,
+    // top-k vocab by (count desc, token asc) — a total order; exact
+    // integer OOV counts and division
+    "q121_oov_rate" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' ')) AS t FROM documents),
+        |tt AS (SELECT doc_id, t FROM tk WHERE t <> ''),
+        |vc AS (SELECT t, count(*) AS c FROM tt GROUP BY 1),
+        |vr AS (SELECT t, row_number() OVER (ORDER BY c DESC, t) AS r FROM vc),
+        |topv AS (SELECT t FROM vr WHERE r <= 20),
+        |pd AS (SELECT doc_id, count(*) AS n_tokens,
+        |    sum(CASE WHEN t IN (SELECT t FROM topv) THEN 0 ELSE 1 END) AS n_oov
+        |  FROM tt GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+        |  CASE WHEN coalesce(n_tokens, 0) > 0
+        |    THEN CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS oov_rate
+        |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->

@@ -58,12 +58,11 @@ object Classifier {
   private def tokens(text: Column): Column =
     split(TextAnalysis.normalized(text), " ")
 
-  /** `floor(x·10ⁿ + 0.5)/10ⁿ` — rounding as explicit IEEE ops (see the
-    * object scaladoc for why the engine `round()` cannot be used). */
-  private def roundFloor(x: Column, digits: Int): Column = {
-    val p = lit(math.pow(10.0, digits))
-    floor(x * p + lit(0.5)) / p
-  }
+  /** Rounding as explicit IEEE ops — see [[graft.functions.ExactRound]]
+    * (the divergence that motivated it was found in THIS operator's
+    * sf1.0 sweep). */
+  private def roundFloor(x: Column, digits: Int): Column =
+    graft.functions.ExactRound.roundFloor(x, digits)
 
   /** Fits per-bucket NB log-odds from a labeled seed set: `labelCol`
     * (boolean; true = positive/quality class) over `textCol`. Returns the

@@ -131,4 +131,98 @@ object Profile {
           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
         }).as("zipf_slope"))
   }
+
+  /** Jensen–Shannon divergence of each slice's unigram distribution
+    * against the WHOLE-corpus distribution — the distribution-shift
+    * diagnostic behind data-mixing decisions (which sources drifted,
+    * which new crawl slice is unlike the curated mix). Output
+    * `(groupCol, jsd)`; JSD ∈ [0, ln 2], 0 = identical distribution.
+    *
+    * Determinism: counts are exact integers; p and q are single divisions
+    * of exact integers; each term is fixed-order IEEE arithmetic; the
+    * per-slice sum folds in TOKEN order; the half-sum rounds via
+    * [[graft.functions.ExactRound]] at 6dp — `ln` last-ulp differences
+    * accumulate ≤ vocab·ulp ≈ 1e-12, far under the rounding grain, so
+    * the oracle's `list_reduce(list(term ORDER BY token))` reproduces the
+    * value bit-exactly.
+    *
+    * Scale shape for 100 TB: ONE corpus-scale tokenize+count keyed by
+    * (slice, token), lazily checkpointed — every later stage (corpus
+    * counts, slice totals, the slices×vocab grid, the fold) works on
+    * VOCABULARY-sized tables. Per-slice fold state is one vocab-sized
+    * array; for open vocabularies beyond ~10⁶ terms, hash-bucket tokens
+    * first (the [[Classifier]] trick) — JSD over the bucketed
+    * distribution bounds the state at the bucket count. */
+  def sliceDivergence(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    require(!docs.columns.exists(Set("_t", "_c", "_cc", "_st", "_ct", "_x")),
+      "input must not contain the reserved columns _t/_c/_cc/_st/_ct/_x")
+    val sliceCounts = docs
+      .select(col(groupCol),
+        explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("_t"))
+      .filter(col("_t") =!= "")
+      .groupBy(groupCol, "_t").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(false)
+    val corpusCounts = sliceCounts.groupBy("_t").agg(sum("_c").as("_cc"))
+    val sliceTotals = sliceCounts.groupBy(groupCol).agg(sum("_c").as("_st"))
+    val corpusTotal = corpusCounts.agg(sum("_cc").as("_ct"))
+    val grid = sliceTotals.crossJoin(corpusCounts)
+      .join(sliceCounts, Seq(groupCol, "_t"), "left")
+      .crossJoin(broadcast(corpusTotal))
+    val p = coalesce(col("_c"), lit(0L)).cast("double") / col("_st").cast("double")
+    val q = col("_cc").cast("double") / col("_ct").cast("double")
+    // KL terms toward the mixture's halves; p = 0 contributes only the
+    // q side (0·ln0 := 0, the JSD convention)
+    val term = when(coalesce(col("_c"), lit(0L)) > 0L,
+        p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0)) +
+      q * log(lit(2.0) * q / (p + q))
+    grid.select(col(groupCol), col("_t"), term.as("_x"))
+      .groupBy(groupCol)
+      .agg(graft.functions.ExactRound.roundFloor(
+        aggregate(
+          sort_array(collect_list(struct(col("_t"), col("_x")))),
+          lit(0.0), (a, s) => a + s("_x")) / lit(2.0),
+        6).as("jsd"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus top-`k`
+    * vocabulary (count desc, token asc — a total order, so the vocab set
+    * is deterministic): `(idCol, n_tokens, n_oov, oov_rate)`. The classic
+    * tokenizer-coverage / gibberish diagnostic: a doc whose tokens are
+    * mostly outside the head vocabulary is noise, another script, or
+    * encoding damage. Empty documents report 0/0/0.0, not null.
+    *
+    * Scale shape: vocabulary counts are one vocab-keyed aggregation; the
+    * rank window runs over the VOCAB table (single-partition but
+    * vocab-sized — benign, the Sampling.scala note); the top-k set
+    * broadcasts into a map-side membership test; the per-doc counts are
+    * the one corpus-scale aggregation. `oov_rate` is an exact
+    * integer/integer division. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(!docs.columns.exists(Set("_t", "_c", "_r", "_inv")),
+      "input must not contain the reserved columns _t/_c/_r/_inv")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+        explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("_t"))
+      .filter(col("_t") =!= "")
+    val topVocab = toks.groupBy("_t").agg(count(lit(1)).as("_c"))
+      .withColumn("_r", row_number().over(
+        Window.orderBy(col("_c").desc, col("_t"))))
+      .filter(col("_r") <= k)
+      .select("_t")
+    val perDoc = toks
+      .join(broadcast(topVocab.withColumn("_inv", lit(1))), Seq("_t"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0L,
+          coalesce(col("n_oov"), lit(0L)).cast("double") /
+            coalesce(col("n_tokens"), lit(0L)).cast("double"))
+          .otherwise(lit(0.0)).as("oov_rate"))
+  }
 }

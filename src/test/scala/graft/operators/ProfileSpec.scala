@@ -40,4 +40,74 @@ class ProfileSpec extends SparkFunSuite {
     assert(a.getAs[Long]("n_null") == 2)
     assert(a.isNullAt(a.fieldIndex("mean_v")))
   }
+
+  test("sliceDivergence: identical slices score 0, disjoint slices score ln 2") {
+    // two slices with IDENTICAL token distributions -> each slice's
+    // distribution equals the corpus distribution -> JSD exactly 0
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("src", "text")
+    val jsdSame = Profile.sliceDivergence(same, "src", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(jsdSame.values.forall(_ == 0.0), s"identical slices must be 0: $jsdSame")
+    // a slice disjoint from the rest of an equal-size corpus: p=0 or
+    // q=2p halves; JSD(P, M) with M the 50/50 mixture = ln 2 - ... the
+    // hand value: each slice has jsd = sum_p p*ln(2p/(p+q)) terms; with
+    // q = p/2 on its own tokens and p = 0 elsewhere. Just assert the
+    // symmetric bound: both slices equal, strictly positive, <= ln 2
+    val disj = Seq(("a", "x y z"), ("b", "u v w")).toDF("src", "text")
+    val jsdDisj = Profile.sliceDivergence(disj, "src", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(jsdDisj("a") == jsdDisj("b"), s"symmetric construction: $jsdDisj")
+    assert(jsdDisj("a") > 0.19 && jsdDisj("a") <= math.log(2.0) + 1e-9,
+      s"disjoint-slice JSD out of range: $jsdDisj")
+    // a drifted slice scores strictly between the two extremes
+    val mix = Seq(("a", "x y z"), ("b", "x y u")).toDF("src", "text")
+    val jsdMix = Profile.sliceDivergence(mix, "src", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(jsdMix("b") > 0.0 && jsdMix("b") < jsdDisj("b"),
+      s"partial drift must land between identical and disjoint: $jsdMix vs $jsdDisj")
+  }
+
+  test("sliceDivergence matches a hand-computed two-slice value") {
+    // corpus: slice a = {x:2, y:1}, slice b = {x:1}; corpus = {x:3, y:1}
+    val df = Seq(("a", "x x y"), ("b", "x")).toDF("src", "text")
+    def term(c: Long, st: Long, cc: Long, ct: Long): Double = {
+      val p = c.toDouble / st.toDouble
+      val q = cc.toDouble / ct.toDouble
+      (if (c > 0) p * math.log(2.0 * p / (p + q)) else 0.0) +
+        q * math.log(2.0 * q / (p + q))
+    }
+    def rf6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // fold in token order (x, y) from 0.0, halve, floor-round at 6dp
+    val wantA = rf6((0.0 + term(2, 3, 3, 4) + term(1, 3, 1, 4)) / 2.0)
+    val wantB = rf6((0.0 + term(1, 1, 3, 4) + term(0, 1, 1, 4)) / 2.0)
+    val got = Profile.sliceDivergence(df, "src", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") == wantA, s"slice a: got ${got("a")}, want $wantA")
+    assert(got("b") == wantB, s"slice b: got ${got("b")}, want $wantB")
+  }
+
+  test("oovRate: exact counts against the deterministic top-k vocab") {
+    // counts: x:4, y:3, z:2, w:1 -> top-2 vocab = {x, y}
+    val df = Seq(
+      (1L, "x x y z"), (2L, "x y z w"), (3L, "x y"), (4L, "")).toDF("id", "text")
+    val got = Profile.oovRate(df, "id", "text", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 1L, 0.25)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((4L, 2L, 0.5)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, 0.0)), s"doc 3: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0.0)), "empty doc must report 0/0/0.0")
+  }
+
+  test("oovRate: count ties break by token asc; k beyond vocab means zero OOV") {
+    // z and a tie at 2 -> rank orders (count desc, token asc): a before z
+    val df = Seq((1L, "a a z z b")).toDF("id", "text")
+    val withK2 = Profile.oovRate(df, "id", "text", k = 2).head
+    // top-2 = {a, z}? counts: a:2, z:2, b:1 -> ties a<z, both in top-2
+    assert(withK2.getLong(2) == 1L, s"only b is OOV: $withK2")
+    val withK1 = Profile.oovRate(df, "id", "text", k = 1).head
+    // top-1 = {a} (tie broken toward 'a') -> z:2 + b:1 OOV
+    assert(withK1.getLong(2) == 3L, s"tie must break to 'a': $withK1")
+    assert(Profile.oovRate(df, "id", "text", k = 100).head.getLong(2) == 0L)
+  }
 }
