@@ -1270,6 +1270,28 @@ object SparkEntry {
       Profile.oovRate(Tables(s, dir).documents, "doc_id", "text", k = 20)
         .orderBy("doc_id")
     }),
+    // CCNet's head/middle/tail step (Wenzek et al. 2020 §3.3): per-lang
+    // perplexity TERTILES of the q100 LM score. The cut is RANK-based —
+    // (3·(rank−1)) div n over the (avg_nll, doc_id) total order — exact
+    // integer arithmetic, no quantile interpolation to disagree on.
+    // Scale note: one per-lang rank window (CCNet's own shape); at 100 TB
+    // apply the Sampling.scala two-level bucketed-rank trick per lang.
+    "q122_ccnet_tertiles" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val model = LanguageModel.trainBigram(
+        d.filter(col("source") === "src0"), "text")
+      val scored = LanguageModel.perplexityScore(d, "doc_id", "text", model)
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      val t = expr("(3 * (CAST(_r AS BIGINT) - 1)) DIV _n")
+      scored
+        .withColumn("_r", row_number().over(
+          Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy("lang")))
+        .select(col("doc_id"), col("lang"), col("avg_nll"),
+          when(t === 0, "head").when(t === 1, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -2843,6 +2865,43 @@ object SparkEntry {
         |    THEN CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
         |    ELSE CAST(0.0 AS DOUBLE) END AS oov_rate
         |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q100's NLL chain verbatim, then the identical rank-based tertile
+    // over (avg_nll, doc_id) — integer DIV, no interpolation
+    "q122_ccnet_tertiles" ->
+      """WITH tks AS (SELECT doc_id, source,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |bg AS (SELECT doc_id, source, i,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS prev, tk[i] AS cur
+        |  FROM (SELECT doc_id, source, tk,
+        |        unnest(generate_series(1, len(tk))) AS i
+        |        FROM tks WHERE len(tk) >= 1)),
+        |cnt AS (SELECT prev, cur, count(*) AS c FROM bg
+        |  WHERE source = 'src0' GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(c) AS cc FROM cnt GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT cur) AS v FROM cnt),
+        |sc AS (SELECT bg.doc_id, i,
+        |    -ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
+        |        CAST(coalesce(cc, 0) + v + 1 AS DOUBLE)) AS nll
+        |  FROM bg LEFT JOIN cnt USING (prev, cur)
+        |    LEFT JOIN ctx USING (prev), vv),
+        |f AS (SELECT doc_id, count(*) AS n_tokens,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(nll ORDER BY i)),
+        |      (a, b) -> a + b) AS s
+        |  FROM sc GROUP BY 1),
+        |scored AS (SELECT f.doc_id, d.lang,
+        |    round(s / CAST(n_tokens AS DOUBLE), 4) AS avg_nll
+        |  FROM f JOIN documents d USING (doc_id)),
+        |r AS (SELECT doc_id, lang, avg_nll,
+        |    row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM scored)
+        |SELECT doc_id, lang, avg_nll,
+        |  CASE ((3 * (r - 1)) // n) WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->
