@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.util.Random
 
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 import graft.SparkFunSuite
 
@@ -116,5 +116,56 @@ class AdversarialInputSpec extends SparkFunSuite {
     // fingerprints the raw bytes, junk included
     assert(Snapshot.diff(mdf, mdf, "doc_id", "text")
       .filter(col("status") =!= lit("unchanged")).count() === 0L)
+  }
+
+  test("NB classifier scores only normalized tokens; junk-only docs score 0") {
+    val labeled = df.withColumn("y", col("doc_id") % 2 === 0)
+    val model = Classifier.nbTrain(labeled, "text", "y")
+    val scored = Classifier.nbScore(df, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored.size === docs.size, "every doc must get a score row")
+    for ((id, t) <- docs if norm(t).split(" ").forall(_.isEmpty))
+      assert(scored(id) === 0.0, s"junk-only doc $id must score exactly 0")
+    // a pure-junk doc added after training scores 0 — chosen from the
+    // junk entries with NO ascii residue under normalization ("éclair"
+    // leaves "clair", "ñandú" leaves "and" — those are real tokens and
+    // legitimately score; emoji/CJK/Arabic strip to nothing)
+    val junkOnly = Seq((9999L, "🦑 漢字テスト مرحبا")).toDF("doc_id", "text")
+    assert(Classifier.nbScore(junkOnly, "doc_id", "text", model)
+      .head.getDouble(1) === 0.0)
+  }
+
+  test("JSD and OOV diagnostics are total and bounded on adversarial input") {
+    val sliced = df.withColumn("src", concat(lit("s"), col("doc_id") % 3))
+    val jsd = Profile.sliceDivergence(sliced, "src", "text").collect()
+    assert(jsd.length === 3)
+    jsd.foreach(r => assert(r.getDouble(1) >= 0.0 &&
+      r.getDouble(1) <= math.log(2.0) + 1e-9, s"JSD out of bounds: $r"))
+    val oov = Profile.oovRate(df, "doc_id", "text", k = 5).collect()
+    assert(oov.length === docs.size, "every doc must get an OOV row")
+    oov.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"n_oov > n_tokens: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"rate out of [0,1]: $r")
+    }
+    // OOV token counts agree with the shared normalization
+    val byId = oov.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, t) <- docs)
+      assert(byId(id) === norm(t).split(" ").count(_.nonEmpty).toLong, s"doc $id")
+  }
+
+  test("containment pairs: raw-byte grams never crash; self-corpus finds full containment") {
+    // containmentPairs tokenizes RAW text (split on ' ') — unicode tokens
+    // are legitimate gram content; two copies of any doc with >= n tokens
+    // must contain each other exactly
+    val dup = df.unionByName(df.select((col("doc_id") + 10000L).as("doc_id"),
+      col("text")))
+    val pairs = Dedup.containmentPairs(dup, "doc_id", "text", n = 2,
+        threshold = 0.99, maxBucket = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val expected = docs.count(_._2.split(" ").length >= 2)
+    assert(pairs.forall(_._3 >= 0.99))
+    val mirrored = pairs.count { case (a, b, _) => math.abs(a - b) == 10000L }
+    assert(mirrored >= expected * 2 - 2,
+      s"planted copies must contain each other: $mirrored of ${expected * 2}")
   }
 }
