@@ -121,6 +121,61 @@ object StreamingOps {
       }
   }
 
+  final case class QuotaEvent(key: String, ts_ms: Long, id: Long)
+  final case class Admitted(key: String, window_start: Long, id: Long, seq: Long)
+
+  /** Per-key windowed quota admission: at most `maxPerWindow` events pass
+    * per (key, tumbling event-time window) — ingest rate limiting for a
+    * crawl/feed pipeline (cap any one domain/source per hour; the
+    * stream-side counterpart of [[graft.operators.Sampling.stratifiedCap]]).
+    * Emits admitted rows with their admission sequence number (1-based)
+    * within the window; over-quota rows are dropped.
+    *
+    * State per key is the map of OPEN windows → admitted count, pruned to
+    * windows newer than `horizonWindows` behind the latest seen — bounded
+    * at `horizonWindows` entries per key, the unbounded-stream contract.
+    * An event older than the pruned horizon is dropped (its window's
+    * count is gone — admitting would risk exceeding the quota on replay;
+    * the conservative choice for a CAP).
+    *
+    * Within a micro-batch, events sort by (ts_ms, id) before admission so
+    * a batch's admission set is deterministic; across batches admission
+    * follows arrival, the usual streaming caveat — the GUARANTEE is the
+    * cap, the heuristic is which rows get it. */
+  def quotaAdmitStream(events: Dataset[QuotaEvent], windowMs: Long,
+                       maxPerWindow: Int, horizonWindows: Int = 48)
+                      (implicit spark: SparkSession): Dataset[Admitted] = {
+    require(windowMs > 0, s"windowMs ($windowMs) must be positive")
+    require(maxPerWindow >= 1, s"maxPerWindow ($maxPerWindow) must be >= 1")
+    require(horizonWindows >= 1, s"horizonWindows ($horizonWindows) must be >= 1")
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Map[Long, Long], Admitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state: GroupState[Map[Long, Long]]) =>
+          var counts = state.getOption.getOrElse(Map.empty[Long, Long])
+          val out = Seq.newBuilder[Admitted]
+          val sorted = it.toSeq.sortBy(e => (e.ts_ms, e.id))
+          if (sorted.nonEmpty) {
+            val horizon = sorted.map(_.ts_ms).max / windowMs * windowMs -
+              horizonWindows.toLong * windowMs
+            sorted.foreach { e =>
+              val w = e.ts_ms / windowMs * windowMs
+              if (w >= horizon) {
+                val c = counts.getOrElse(w, 0L)
+                if (c < maxPerWindow) {
+                  counts = counts.updated(w, c + 1)
+                  out += Admitted(key, w, e.id, c + 1)
+                }
+              }
+            }
+            counts = counts.filter { case (w, _) => w >= horizon }
+            state.update(counts)
+          }
+          out.result().iterator
+      }
+  }
+
   // --------------------------------------------------- lake upsert sink
 
   /** Streaming CDC upsert into a partitioned Parquet table: every
