@@ -1292,6 +1292,25 @@ object SparkEntry {
             .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
     }),
+    // Language-ID confusion matrix: labeled lang × q19's marker-based
+    // guess — the eval diagnostic for any language classifier. Exact
+    // integer cell counts.
+    "q123_lang_confusion" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("lang"), TextAnalysis.langGuess(col("text")).as("lang_guess"))
+        .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_guess")
+    }),
+    // Contrastive pair generation (SimCSE/DPR recipe): anchor/positive =
+    // a doc's first two 32-token windows, negative = the next doc's
+    // anchor on the per-bucket md5 ring — in-batch negatives made
+    // deterministic; the oracle replays slices, hash order and the
+    // cyclic lead/wrap exactly.
+    "q124_contrastive_pairs" -> ((s, dir) => {
+      Chunk.contrastivePairs(Tables(s, dir).documents, "doc_id", "text",
+          chunkTokens = 32, bucketHexChars = 1)
+        .orderBy("doc_id")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -2902,6 +2921,58 @@ object SparkEntry {
         |  CASE ((3 * (r - 1)) // n) WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
         |    ELSE 'tail' END AS bucket
         |FROM r ORDER BY doc_id""".stripMargin,
+    // q19's marker scoring + CASE verbatim, then the confusion GROUP BY
+    "q123_lang_confusion" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' is ') THEN 1 ELSE 0 END) AS en,
+        |    (CASE WHEN contains(' ' || lower(text) || ' ', ' der ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' und ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' die ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' nicht ') THEN 1 ELSE 0 END) AS de,
+        |    (CASE WHEN contains(' ' || lower(text) || ' ', ' el ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' que ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' los ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' una ') THEN 1 ELSE 0 END) AS es,
+        |    (CASE WHEN contains(' ' || lower(text) || ' ', ' le ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' et ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' les ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(' ' || lower(text) || ' ', ' une ') THEN 1 ELSE 0 END) AS fr,
+        |    (CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0
+        |          THEN 10 ELSE 0 END) AS zh
+        |  FROM documents),
+        |g AS (SELECT lang,
+        |    CASE WHEN zh >= greatest(en, de, es, fr) THEN 'zh'
+        |         WHEN en >= greatest(de, es, fr) THEN 'en'
+        |         WHEN de >= greatest(es, fr) THEN 'de'
+        |         WHEN es >= fr THEN 'es'
+        |         ELSE 'fr' END AS lang_guess
+        |  FROM scored)
+        |SELECT lang, lang_guess, count(*) AS n FROM g
+        |GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin,
+    // first-two-window slices, md5 ring order, per-bucket cyclic lead
+    "q124_contrastive_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 32),
+        |b AS (SELECT doc_id,
+        |    array_to_string(toks[1:32], ' ') AS anchor,
+        |    array_to_string(list_slice(toks, 33, least(64, n)), ' ') AS positive,
+        |    md5(CAST(doc_id AS VARCHAR) || ':neg') AS h
+        |  FROM e),
+        |r AS (SELECT doc_id, anchor, positive, h, substr(h, 1, 1) AS bk FROM b)
+        |SELECT doc_id, anchor, positive,
+        |  coalesce(lead(doc_id) OVER w, first_value(doc_id) OVER w2) AS neg_doc_id,
+        |  coalesce(lead(anchor) OVER w, first_value(anchor) OVER w2) AS negative
+        |FROM r
+        |WINDOW w AS (PARTITION BY bk ORDER BY h, doc_id),
+        |  w2 AS (PARTITION BY bk ORDER BY h, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY doc_id""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->

@@ -176,4 +176,55 @@ object Chunk {
         col("_t").substr(col("col.start"), col("col.len")).as("chunk_text"))
       .withColumn("chunk_key", md5(col("chunk_text")))
   }
+
+  /** Contrastive training-pair generation for embedding models (the
+    * SimCSE/DPR-style recipe): per document with ≥ 2 token windows,
+    * `anchor` = window 0, `positive` = window 1 (adjacent text spans of
+    * the SAME document — the standard weak-supervision positive), and
+    * `negative` = the anchor of ANOTHER document chosen by a
+    * deterministic hash ring — the in-batch-negatives idiom made
+    * reproducible: documents sort by `md5(id:domain)` inside
+    * `buckets` hash buckets and each takes the NEXT document's anchor
+    * (cyclic within the bucket). Output
+    * `(idCol, anchor, positive, neg_doc_id, negative)`.
+    *
+    * A singleton bucket wraps to itself (`neg_doc_id == idCol` — filter
+    * or re-bucket if self-negatives matter; at corpus scale buckets hold
+    * thousands of documents and the case vanishes).
+    *
+    * Scale shape: the window/lead runs PER BUCKET — `16^bucketHexChars`
+    * buckets bound the partition count and each task sorts its bucket's
+    * rows only (the Sampling.scala two-level argument); everything
+    * upstream is the map-side chunker. Hash order is stable under append
+    * within a bucket's survivors, and every engine replays the identical
+    * ring (bucket = the hash's leading hex chars, so bucket membership
+    * needs no extra derivation). */
+  def contrastivePairs(df: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int = 32, bucketHexChars: Int = 1,
+                       domain: String = "neg"): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens ($chunkTokens) must be >= 1")
+    require(bucketHexChars >= 1 && bucketHexChars <= 4,
+      s"bucketHexChars ($bucketHexChars) must be in [1, 4]")
+    require(!df.columns.exists(Set("_h", "_b", "anchor", "positive", "negative")),
+      "input must not contain the reserved columns _h/_b/anchor/positive/negative")
+    import org.apache.spark.sql.expressions.Window
+    val chunks = tokenWindows(df, idCol, textCol, chunkTokens, overlapTokens = 0)
+      .filter(col("chunk_id") <= 1)
+    val base = chunks.filter(col("chunk_id") === 0)
+      .select(col(idCol), col("chunk_text").as("anchor"))
+      .join(chunks.filter(col("chunk_id") === 1)
+        .select(col(idCol), col("chunk_text").as("positive")), Seq(idCol))
+      .withColumn("_h", md5(concat(col(idCol).cast("string"), lit(":" + domain))))
+      .withColumn("_b", substring(col("_h"), 1, bucketHexChars))
+    val ring = Window.partitionBy("_b").orderBy(col("_h"), col(idCol))
+    val whole = Window.partitionBy("_b").orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base
+      .withColumn("neg_doc_id",
+        coalesce(lead(col(idCol), 1).over(ring), first(col(idCol)).over(whole)))
+      .withColumn("negative",
+        coalesce(lead(col("anchor"), 1).over(ring), first(col("anchor")).over(whole)))
+      .select(col(idCol), col("anchor"), col("positive"),
+        col("neg_doc_id"), col("negative"))
+  }
 }

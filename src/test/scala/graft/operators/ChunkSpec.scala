@@ -73,4 +73,43 @@ class ChunkSpec extends SparkFunSuite {
     assert(out.map(_._4).mkString(" ") == text)
     assert(out.map(_._3).sum == 257)
   }
+
+  test("contrastivePairs: anchors/positives are the first two windows; ring matches md5 order") {
+    import org.apache.spark.sql.functions.col
+    // chunkTokens=2: docs need >= 3 tokens (a second window) to be eligible
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4"), (2L, "b1 b2 b3"), (3L, "c1 c2 c3 c4 c5"),
+      (4L, "d1 d2"),                        // one window only: excluded
+      (5L, "e1 e2 e3")).toDF("doc_id", "text")
+    val got = Chunk.contrastivePairs(docs, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 5L), s"doc 4 must be excluded: ${got.toSeq}")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == "a1 a2" && byId(1L)._3 == "a3 a4")
+    assert(byId(2L)._2 == "b1 b2" && byId(2L)._3 == "b3")
+    // replicate the ring: md5(id:neg), bucket = first hex char, next-cyclic
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ring = Seq(1L, 2L, 3L, 5L).map(i => (i, md5hex(s"$i:neg")))
+      .groupBy(_._2.take(1))
+    ring.values.foreach { members =>
+      val order = members.sortBy(m => (m._2, m._1)).map(_._1)
+      order.zipWithIndex.foreach { case (id, i) =>
+        val wantNeg = order((i + 1) % order.size)
+        assert(byId(id)._4 == wantNeg,
+          s"doc $id negative: got ${byId(id)._4}, want $wantNeg (ring $order)")
+        assert(byId(id)._5 == byId.get(wantNeg).map(_._2).getOrElse(byId(id)._5))
+      }
+    }
+    // a single eligible doc wraps to itself
+    val solo = Chunk.contrastivePairs(
+      Seq((9L, "x1 x2 x3")).toDF("doc_id", "text"), "doc_id", "text", 2).head
+    assert(solo.getLong(3) == 9L, "singleton bucket must wrap to itself")
+    intercept[IllegalArgumentException] {
+      Chunk.contrastivePairs(docs, "doc_id", "text", chunkTokens = 0)
+    }
+    assert(Chunk.contrastivePairs(docs.filter(col("doc_id") < 0L),
+      "doc_id", "text", 2).count() == 0L, "empty input yields empty output")
+  }
 }
