@@ -1311,6 +1311,26 @@ object SparkEntry {
           chunkTokens = 32, bucketHexChars = 1)
         .orderBy("doc_id")
     }),
+    // Quality-aware cluster resolve: corpus = truncated originals ∪ +1e6
+    // FULL-text copies ∪ +2e6 empty copies, chained into one cluster per
+    // doc. resolveBest by text length keeps the +1e6 member — NOT the
+    // min id, so the construction distinguishes the quality rule from
+    // resolve's min-id rule, and the oracle is closed-form.
+    "q125_cluster_best" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "lang", "text")
+      def shifted(k: Long, t: Column) = d.select(
+        (col("doc_id") + k * 1000000L).as("doc_id"), col("lang"), t.as("text"))
+      val corpus = shifted(0, concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+        .unionByName(shifted(1, col("text")))
+        .unionByName(shifted(2, lit("")))
+        .withColumn("score", length(col("text")).cast("long"))
+      val pairs = d.select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1000000L).as("id_b"))
+        .unionByName(d.select((col("doc_id") + 1000000L).as("id_a"),
+          (col("doc_id") + 2000000L).as("id_b")))
+      DupClusters.resolveBest(corpus, "doc_id", pairs, "score")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -2973,6 +2993,10 @@ object SparkEntry {
         |  w2 AS (PARTITION BY bk ORDER BY h, doc_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY doc_id""".stripMargin,
+    // closed-form: the full-text +1e6 member wins every cluster (longest
+    // text, strictly > its truncated and empty siblings)
+    "q125_cluster_best" ->
+      "SELECT doc_id + 1000000 AS doc_id, lang FROM documents ORDER BY doc_id",
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->

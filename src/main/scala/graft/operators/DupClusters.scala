@@ -158,4 +158,35 @@ object DupClusters {
       .filter(col("cluster_id").isNull || col(idCol) === col("_keep_id"))
       .drop("cluster_id", "_keep_id")
   }
+
+  /** [[resolve]] with a QUALITY rule: per near-dup cluster keep the row
+    * with the highest `scoreCol` (ties on the lower id — a total order,
+    * so the survivor set is deterministic). The real-world dedup
+    * decision: among near-identical pages keep the best-scored copy, not
+    * the lowest-keyed one. Rows outside every cluster pass through.
+    *
+    * `scoreCol` must be cross-engine-exact arithmetic if the survivor
+    * SET is oracle-compared (every score in this repo's battery is).
+    *
+    * Scale shape: [[components]]' pointer-jumping rounds (edge-sized
+    * exchanges, O(log n) rounds), then ONE cluster-keyed max-struct
+    * aggregation — the argmax rides a (score, −id) struct max, never a
+    * per-cluster sort — and one id-keyed join back. */
+  def resolveBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                  scoreCol: String): DataFrame = {
+    require(df.columns.contains(scoreCol), s"missing score column $scoreCol")
+    val comp = components(pairs).withColumnRenamed("id", idCol)
+    // argmax by struct-max over (score, -id): max prefers higher score,
+    // then (via the negated id) the LOWER id on ties
+    val keep = comp
+      .join(df.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .groupBy("cluster_id")
+      .agg(max(struct(col(scoreCol).as("_s"), (-col(idCol)).as("_nid")))
+        .as("_best"))
+      .select(col("cluster_id"), (-col("_best._nid")).as("_keep_id"))
+    df.join(comp, Seq(idCol), "left")
+      .join(keep, Seq("cluster_id"), "left")
+      .filter(col("cluster_id").isNull || col(idCol) === col("_keep_id"))
+      .drop("cluster_id", "_keep_id")
+  }
 }

@@ -114,4 +114,27 @@ class DupClustersSpec extends SparkFunSuite {
     assert(kept.contains(10L))
     assert(!kept.contains(11L), "exact dup must be dropped")
   }
+
+  test("resolveBest keeps the highest-scored member; ties break to the lower id") {
+    val docs = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 20.0),   // cluster {1,2,3}: best = 2
+      (5L, 7.0), (6L, 7.0),                 // cluster {5,6}: tie -> 5
+      (9L, 1.0)).toDF("doc_id", "score")    // untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = DupClusters.resolveBest(docs, "doc_id", pairs, "score")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 5L, 9L), s"got $kept")
+    // the min-id rule would have kept 1 — the rules genuinely differ
+    val minId = DupClusters.resolve(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(minId == Seq(1L, 5L, 9L))
+    // absent best-id cluster members: only present rows compete
+    val partial = DupClusters.resolveBest(
+      docs.filter($"doc_id" =!= 2L), "doc_id", pairs, "score")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(partial == Seq(3L, 5L, 9L), s"highest PRESENT score survives: $partial")
+    intercept[IllegalArgumentException] {
+      DupClusters.resolveBest(docs, "doc_id", pairs, "nope")
+    }
+  }
 }
