@@ -203,4 +203,26 @@ object ParquetLake {
     }
     if (hfs.exists(trash)) hfs.delete(trash, true)
   }
+
+  /** Range-sorted layout writer: `nFiles` files with DISJOINT, ordered
+    * `orderCol` ranges (repartitionByRange boundaries + an in-partition
+    * sort). The data-layout half of scan pruning: parquet stores per-file
+    * and per-row-group min/max for the sort column, so a range predicate
+    * skips whole files/row groups at read time — the poor engineer's
+    * Z-order for a single dominant filter column (time, id range). The
+    * partition count is the file count; pick `nFiles` ≈ table bytes /
+    * desired file size.
+    *
+    * Boundaries come from Spark's range-exchange SAMPLING, so exact file
+    * boundaries can vary between runs — the CONTRACT (disjointness +
+    * internal order + row preservation) is what holds, and what the spec
+    * pins. NULL order keys sort first into the lowest file (Spark
+    * NULLS FIRST default). */
+  def writeRangeSorted(df: DataFrame, root: String, orderCol: String,
+                       nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles ($nFiles) must be >= 1")
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite").parquet(root)
+  }
 }
