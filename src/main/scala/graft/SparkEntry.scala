@@ -1331,6 +1331,15 @@ object SparkEntry {
       DupClusters.resolveBest(corpus, "doc_id", pairs, "score")
         .select("doc_id", "lang").orderBy("doc_id")
     }),
+    // Audio-modality features over the stub PCM decode (byte − 128):
+    // 4 aligned frames per payload, per-frame RMS (exact integer
+    // sum-of-squares → one division + one correctly-rounded sqrt — no
+    // rounding) and zero-crossing counts.
+    "q126_audio_features" -> ((s, dir) => {
+      val media = Multimodal.asMedia(Tables(s, dir).documents, "doc_id", "text")
+      Multimodal.audioFrameFeatures(media, nFrames = 4, frameBytes = 64)
+        .toDF().orderBy("doc_id", "frame_idx")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -2997,6 +3006,30 @@ object SparkEntry {
     // text, strictly > its truncated and empty siblings)
     "q125_cluster_best" ->
       "SELECT doc_id + 1000000 AS doc_id, lang FROM documents ORDER BY doc_id",
+    // q119's frame offsets (n=4 → divisor 3), ascii − 128 samples,
+    // integer sum-of-squares, sqrt(ss/n), sign-flip count
+    "q126_audio_features" ->
+      """WITH t AS (SELECT doc_id, text, strlen(text) AS len FROM documents
+        |  WHERE strlen(text) > 0),
+        |f AS (SELECT doc_id, i AS frame_idx,
+        |    substr(text, CAST((i * greatest(len - 64, 0)) // 3 AS INTEGER) + 1, 64) AS fr
+        |  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) gi),
+        |s AS (SELECT doc_id, frame_idx, strlen(fr) AS n,
+        |    list_transform(generate_series(1, strlen(fr)),
+        |      j -> ascii(substr(fr, CAST(j AS INTEGER), 1)) - 128) AS xs
+        |  FROM f),
+        |m AS (SELECT doc_id, frame_idx, CAST(n AS INTEGER) AS n_samples,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(xs, x -> CAST(x * x AS BIGINT))), (a, b) -> a + b) AS ss,
+        |    CAST(len(list_filter(generate_series(2, n),
+        |      i -> (xs[CAST(i - 1 AS INTEGER)] < 0 AND xs[CAST(i AS INTEGER)] >= 0)
+        |        OR (xs[CAST(i - 1 AS INTEGER)] >= 0 AND xs[CAST(i AS INTEGER)] < 0)))
+        |      AS BIGINT) AS zero_crossings
+        |  FROM s)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, n_samples,
+        |  sqrt(CAST(ss AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms,
+        |  zero_crossings
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->

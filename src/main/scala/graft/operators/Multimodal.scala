@@ -278,6 +278,44 @@ object Multimodal {
       }
   }
 
+  /** One audio frame's features. */
+  final case class AudioFrameFeatures(doc_id: Long, frame_idx: Int,
+                                      n_samples: Int, rms: Double,
+                                      zero_crossings: Long)
+
+  /** Audio feature extraction over binary payloads: [[sampleFrames]]'
+    * evenly-spaced windows, each decoded by the STUB PCM rule — one
+    * unsigned 8-bit sample per byte, centered at 128 (a real pipeline
+    * swaps in an audio codec at the same seam; the brief's
+    * stub-the-decode contract) — then per-frame RMS energy and
+    * zero-crossing count, the classic silence/voicing/noise triage
+    * features.
+    *
+    * Determinism: sum-of-squares is exact integer arithmetic; RMS is one
+    * exact division + one correctly-rounded sqrt — bit-identical
+    * cross-engine with NO rounding (the q117 argument); crossings are
+    * integers. Pure map work over the frame stream — zero shuffle. */
+  def audioFrameFeatures(media: DataFrame, nFrames: Int,
+                         frameBytes: Int = 64): Dataset[AudioFrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    sampleFrames(media, nFrames, frameBytes).map { f =>
+      val xs = f.frame.map(b => (b & 0xff) - 128)
+      val n = xs.length
+      var sumSq = 0L
+      var zc = 0L
+      var i = 0
+      while (i < n) {
+        sumSq += xs(i).toLong * xs(i)
+        if (i > 0 && ((xs(i - 1) < 0 && xs(i) >= 0) ||
+          (xs(i - 1) >= 0 && xs(i) < 0))) zc += 1
+        i += 1
+      }
+      AudioFrameFeatures(f.doc_id, f.frame_idx, n,
+        math.sqrt(sumSq.toDouble / n), zc)
+    }
+  }
+
   final case class MediaHash(doc_id: Long, phash: Long)
 
   /** Perceptual average-hash (aHash) per media row: decode to an 8×8

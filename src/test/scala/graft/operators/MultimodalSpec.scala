@@ -307,6 +307,36 @@ class MultimodalSpec extends SparkFunSuite {
     assert(got.head._3 >= 7L, s"tail edit must keep >= 7 aligned frames: ${got.toSeq}")
   }
 
+  test("audioFrameFeatures: hand-computed RMS and crossings on a known payload") {
+    // bytes [64, 0xC0, 64, 0xC0] decode (unsigned − 128) to samples
+    // [−64, +64, −64, +64]: alternating signs, constant magnitude
+    val text = new String(Array[Byte](64, -64, 64, -64), "ISO-8859-1")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val media = docs.select(col("doc_id"), lit("audio").as("modality"),
+      encode(col("text"), "ISO-8859-1").as("payload"))
+    val got = Multimodal.audioFrameFeatures(media, nFrames = 1, frameBytes = 8)
+      .head()
+    // bytes: 64 -> -64; -64 (=192 unsigned) -> +64; alternating signs
+    assert(got.n_samples == 4)
+    assert(got.zero_crossings == 3L, s"alternating signs cross 3 times: $got")
+    assert(got.rms == math.sqrt((4L * 64 * 64).toDouble / 4), s"rms: $got")
+  }
+
+  test("audioFrameFeatures: frames align with sampleFrames; silence has zero crossings") {
+    // constant byte 128 -> sample 0: zero RMS, and 0 >= 0 means no sign flip
+    val docs = Seq((1L, new String(Array.fill[Byte](100)(-128), "ISO-8859-1")))
+      .toDF("doc_id", "text")
+    val media = docs.select(col("doc_id"), lit("audio").as("modality"),
+      encode(col("text"), "ISO-8859-1").as("payload"))
+    val rows = Multimodal.audioFrameFeatures(media, nFrames = 4, frameBytes = 16)
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.rms == 0.0 && r.zero_crossings == 0L, s"silence: $r")
+      assert(r.n_samples == 16)
+    }
+  }
+
   test("videoNearDupPairs: identical payloads match on every frame; bad args rejected") {
     val docs = Seq((1L, "q w e r t y" * 20), (2L, "q w e r t y" * 20))
       .toDF("doc_id", "text")
