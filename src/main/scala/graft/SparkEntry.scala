@@ -1340,6 +1340,22 @@ object SparkEntry {
       Multimodal.audioFrameFeatures(media, nFrames = 4, frameBytes = 64)
         .toDF().orderBy("doc_id", "frame_idx")
     }),
+    // Training-record export assembly: the final "one query from lake to
+    // trainer" — docs ⋈ embeddings, quality score, stable split tag,
+    // embedding L2 norm — every component an already-gated replay (q18
+    // quality, q44 split, q26 norm), composed into the export row shape.
+    "q127_training_records" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.embeddings.select(col("vec_id").as("doc_id"),
+        col("embedding"))
+      t.documents.join(e, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          Sampling.splitTag(col("doc_id"), 0.9, domain = "export").as("split"),
+          VectorFunctions.l2Norm(col("embedding")).as("vec_l2"),
+          size(col("embedding")).as("vec_dims"))
+        .orderBy("doc_id")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -3030,6 +3046,32 @@ object SparkEntry {
         |  sqrt(CAST(ss AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms,
         |  zero_crossings
         |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
+    // q18's quality arithmetic + q44's split threshold + q26's norm,
+    // joined into the export row
+    "q127_training_records" ->
+      s"""WITH base AS (
+         |  SELECT d.doc_id, d.lang, d.n_chars, d.text, e.embedding,
+         |    CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS INTEGER) AS n_tokens,
+         |    CAST(length(d.text) - length(regexp_replace(d.text, '[.!?,;:]', '', 'g')) AS INTEGER)
+         |      AS n_punct,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'),
+         |      w -> w IN ('the','a','an','and','or','of','to','in','is','on'))) AS INTEGER)
+         |      AS n_stop,
+         |    CAST(length(d.text) AS INTEGER) AS n_chars_raw
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id)
+         |SELECT doc_id, lang, n_chars,
+         |  least(greatest(
+         |    least(CAST(n_tokens AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+         |    + least((CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - least((CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars_raw AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+         |    CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS quality,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':export'), 1, 8)
+         |         < '${Sampling.hexThreshold(0.9)}'
+         |       THEN 'train' ELSE 'val' END AS split,
+         |  sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+         |                          CAST(embedding AS DOUBLE[]))) AS vec_l2,
+         |  CAST(len(embedding) AS INTEGER) AS vec_dims
+         |FROM base ORDER BY doc_id""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->
