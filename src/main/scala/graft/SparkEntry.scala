@@ -1356,6 +1356,28 @@ object SparkEntry {
           size(col("embedding")).as("vec_dims"))
         .orderBy("doc_id")
     }),
+    // Gopher repetition battery (the filter half gopherGates doesn't
+    // cover): dup-line fraction/char-fraction + top-{2,3,4} and
+    // dup-{5..10} n-gram char fractions, per-row fold arithmetic with
+    // zero shuffle. The fixture is single-line, so the query plants the
+    // line structure deterministically (two duplicate 40-char excerpt
+    // lines per doc, a %3-gated trailer) — the oracle replants and
+    // replays every integer mass relationally (group-by vs run-fold:
+    // same counts, same single-division doubles, same pass flags).
+    "q128_repetition_signals" -> ((s, dir) => {
+      val planted = Tables(s, dir).documents
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n"), substring(col("text"), 1, 40),
+            lit("\n"), substring(col("text"), 1, 40),
+            when(col("doc_id") % 3 === 0, lit("\nthe end"))
+              .otherwise(lit(""))).as("text"))
+      val sig = Scrub.RepetitionThresholds.map(_._1)
+      planted
+        .select(col("doc_id"), Scrub.repetitionSignals(col("text")).as("r"))
+        .select(col("doc_id") +: col("r.n_lines").as("n_lines") +:
+          sig.map(n => col(s"r.$n").as(n)) :+ col("r.pass").as("pass"): _*)
+        .orderBy("doc_id")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -1647,6 +1669,68 @@ object SparkEntry {
         .orderBy("ga", "gb")
     })
   )
+
+  /** q128's oracle, generated per gram size n: the engine's per-row
+    * run-folds recomputed relationally — unnest grams, group-by counts,
+    * the same BIGINT `c·len` masses, the same single DOUBLE divisions,
+    * the same [[Scrub.RepetitionThresholds]] literals for `pass`. */
+  private def repetitionOracle: String = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = 5 to 10
+    val gramCtes = (topNs ++ dupNs).map { n =>
+      s"""g$n AS (SELECT doc_id, g, count(*) AS c, length(g) AS le FROM
+         |  (SELECT doc_id, unnest(list_transform(
+         |     generate_series(1, greatest(len(tk) - ${n - 1}, 0)),
+         |     i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' '))) AS g
+         |   FROM t) GROUP BY doc_id, g)""".stripMargin
+    }
+    val topCtes = topNs.map { n =>
+      s"""top$n AS (SELECT doc_id, CAST(c * le AS BIGINT) AS m FROM
+         |  (SELECT doc_id, c, le, row_number() OVER (PARTITION BY doc_id
+         |     ORDER BY c DESC, le DESC, g ASC) AS rn FROM g$n) WHERE rn = 1)""".stripMargin
+    }
+    val dupCtes = dupNs.map { n =>
+      s"""d$n AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN c >= 2 THEN c * le ELSE 0 END) AS BIGINT) AS m
+         |  FROM g$n GROUP BY doc_id)""".stripMargin
+    }
+    val fracExprs =
+      Seq("CAST(lm.dups AS DOUBLE) / CAST(lm.n_lines AS DOUBLE) AS dup_line_frac",
+        "CAST(lm.dupmass AS DOUBLE) / CAST(greatest(lm.mass, 1) AS DOUBLE) AS dup_line_char_frac") ++
+        topNs.map(n =>
+          s"CAST(coalesce(top$n.m, 0) AS DOUBLE) / CAST(t.chars AS DOUBLE) AS top${n}_char_frac") ++
+        dupNs.map(n =>
+          s"least(CAST(1.0 AS DOUBLE), CAST(coalesce(d$n.m, 0) AS DOUBLE) / CAST(t.chars AS DOUBLE)) AS dup${n}_char_frac")
+    val joins =
+      topNs.map(n => s"LEFT JOIN top$n ON t.doc_id = top$n.doc_id") ++
+        dupNs.map(n => s"LEFT JOIN d$n ON t.doc_id = d$n.doc_id")
+    val pass = Scrub.RepetitionThresholds
+      .map { case (name, th) => s"$name <= CAST($th AS DOUBLE)" }
+      .mkString("(", " AND ", ") AS pass")
+    val sigNames = Scrub.RepetitionThresholds.map(_._1).mkString(", ")
+    s"""WITH base AS (SELECT doc_id,
+       |    text || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
+       |      || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'the end' ELSE '' END AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk,
+       |    string_split(text, chr(10)) AS ln,
+       |    greatest(length(text), 1) AS chars FROM base),
+       |lc AS (SELECT doc_id, l, count(*) AS c, length(l) AS le
+       |  FROM (SELECT doc_id, unnest(ln) AS l FROM t) GROUP BY doc_id, l),
+       |lm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+       |    CAST(sum(c) - count(*) AS BIGINT) AS dups,
+       |    CAST(sum(c * le) AS BIGINT) AS mass,
+       |    CAST(sum(CASE WHEN c >= 2 THEN c * le ELSE 0 END) AS BIGINT) AS dupmass
+       |  FROM lc GROUP BY doc_id),
+       |${(gramCtes ++ topCtes ++ dupCtes).mkString(",\n")},
+       |sel AS (SELECT t.doc_id, lm.n_lines,
+       |  ${fracExprs.mkString(",\n  ")}
+       |  FROM t JOIN lm ON t.doc_id = lm.doc_id
+       |  ${joins.mkString("\n  ")})
+       |SELECT doc_id, n_lines, $sigNames,
+       |  $pass
+       |FROM sel ORDER BY doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_silver_transform" ->
@@ -3072,6 +3156,10 @@ object SparkEntry {
          |                          CAST(embedding AS DOUBLE[]))) AS vec_l2,
          |  CAST(len(embedding) AS INTEGER) AS vec_dims
          |FROM base ORDER BY doc_id""".stripMargin,
+    // q128: the repetition masses recomputed RELATIONALLY (unnest +
+    // group-by where the engine runs per-row folds) — identical integer
+    // c·len masses, single-division doubles, shared threshold literals
+    "q128_repetition_signals" -> repetitionOracle,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->

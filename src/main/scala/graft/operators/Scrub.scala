@@ -120,6 +120,144 @@ object Scrub {
       lit(0))
   }
 
+  /** Gopher repetition thresholds (Rae et al. 2021 §A1.1 Table A1): a
+    * document is dropped when any signal exceeds its published ceiling.
+    * Keyed by output column name; the `pass` flag in [[repetitionSignals]]
+    * is the conjunction of `signal <= ceiling` over this map. */
+  val RepetitionThresholds: Seq[(String, Double)] = Seq(
+    "dup_line_frac" -> 0.30,
+    "dup_line_char_frac" -> 0.20,
+    "top2_char_frac" -> 0.20,
+    "top3_char_frac" -> 0.18,
+    "top4_char_frac" -> 0.16,
+    "dup5_char_frac" -> 0.15,
+    "dup6_char_frac" -> 0.14,
+    "dup7_char_frac" -> 0.13,
+    "dup8_char_frac" -> 0.12,
+    "dup9_char_frac" -> 0.11,
+    "dup10_char_frac" -> 0.10)
+
+  /** Mass of characters inside duplicated runs of a sorted string array:
+    * Σ over distinct values occurring c ≥ 2 times of `c · length(value)`.
+    * One ascending sort + one linear fold — counts come from run lengths,
+    * so no per-row map/groupBy structure is ever built. */
+  private def dupRunMass(arr: Column): Column = {
+    val closed = (a: Column) => a.getField("mass") +
+      when(a.getField("run") >= 2,
+        a.getField("run") * length(a.getField("prev")).cast("long"))
+        .otherwise(lit(0L))
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("mass")),
+      (a, g) => when(g === a.getField("prev"),
+          struct(a.getField("prev").as("prev"),
+            (a.getField("run") + lit(1L)).as("run"),
+            a.getField("mass").as("mass")))
+        .otherwise(struct(g.as("prev"), lit(1L).as("run"),
+          closed(a).as("mass"))),
+      a => closed(a))
+  }
+
+  /** Character mass `c · length(g)` of the most frequent value in a string
+    * array. Ties resolve by (count desc, length desc, value asc) — the asc
+    * leg is free: the fold walks the sorted array and only a STRICT
+    * improvement replaces the incumbent, so the lexicographically first
+    * maximal run wins. (Full ties have equal `c·len`, so the fraction is
+    * tie-rule-independent — the rule exists so both engines agree on which
+    * gram "won", keeping the arithmetic auditable.) */
+  private def topRunMass(arr: Column): Column = {
+    def better(a: Column): Column =
+      (a.getField("run") > a.getField("bc")) ||
+        (a.getField("run") === a.getField("bc") &&
+          length(a.getField("prev")).cast("long") > a.getField("bl"))
+    def closeBc(a: Column) =
+      when(better(a), a.getField("run")).otherwise(a.getField("bc"))
+    def closeBl(a: Column) =
+      when(better(a), length(a.getField("prev")).cast("long"))
+        .otherwise(a.getField("bl"))
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("bc"), lit(0L).as("bl")),
+      (a, g) => when(g === a.getField("prev"),
+          struct(a.getField("prev").as("prev"),
+            (a.getField("run") + lit(1L)).as("run"),
+            a.getField("bc").as("bc"), a.getField("bl").as("bl")))
+        .otherwise(struct(g.as("prev"), lit(1L).as("run"),
+          closeBc(a).as("bc"), closeBl(a).as("bl"))),
+      a => closeBc(a) * closeBl(a))
+  }
+
+  /** Word n-grams over an ALREADY-BOUND token array (the [[wordNgrams]]
+    * let-binding contract — callers pass a lambda-bound `tk`, never a raw
+    * `split`, or every gram re-tokenizes the document). */
+  private def gramsOf(tk: Column, n: Int): Column =
+    when(size(tk) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(tk) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + lit(j))): _*)))
+
+  /** Gopher repetition signals (Rae et al. 2021 §A1.1 Table A1) as one
+    * per-row struct — the REPETITION half of the published filter battery
+    * ([[gopherGates]] is the composition/length half):
+    *
+    *  - `n_lines`:             line count (split on `\n`)
+    *  - `dup_line_frac`:       fraction of lines that repeat an earlier
+    *                           line (`1 − distinct/total` over occurrences)
+    *  - `dup_line_char_frac`:  fraction of line characters inside lines
+    *                           whose content occurs ≥ 2 times (ALL
+    *                           occurrences count, per the paper), over the
+    *                           summed line char mass (separators excluded)
+    *  - `top{2,3,4}_char_frac`: char mass `c·len` of the most frequent
+    *                           word n-gram over `length(text)`
+    *  - `dup{5..10}_char_frac`: Σ `c·len` over word n-grams with c ≥ 2,
+    *                           over `length(text)`, clamped to 1.0
+    *                           (overlapping occurrences can exceed the
+    *                           document length; the clamp is the standard
+    *                           implementation convention)
+    *  - `pass`:                every signal ≤ its [[RepetitionThresholds]]
+    *                           ceiling
+    *
+    * Every fraction is BIGINT-derived with a single DOUBLE division, so the
+    * values (and therefore the threshold comparisons) reproduce
+    * bit-identically on any IEEE engine — q128's oracle replays the same
+    * counts relationally (group-by instead of run-folds; identical masses).
+    *
+    * Plan shape for 100 TB: pure per-row array arithmetic over one bound
+    * tokenization — zero shuffle, fuses into the parquet scan. Per-doc cost
+    * is nine `array_sort`+fold passes (3 top-n + 6 dup-n) over ≤ |tokens|
+    * grams: O(L log L) per document, embarrassingly parallel. Tokenization
+    * splits on `\s+` so line breaks never glue tokens together. */
+  def repetitionSignals(text: Column): Column = {
+    val chars = greatest(length(text).cast("long"), lit(1L))
+    get(transform(array(split(trim(text), "\\s+")), tk =>
+      get(transform(array(split(text, "\n")), ln => {
+        val nLines = size(ln).cast("long")
+        val dupLines = (size(ln) - size(array_distinct(ln))).cast("long")
+        val lineMass = aggregate(ln, lit(0L), (a, l) => a + length(l).cast("long"))
+        val dupLineFrac = dupLines.cast("double") / nLines.cast("double")
+        val dupLineCharFrac = dupRunMass(ln).cast("double") /
+          greatest(lineMass, lit(1L)).cast("double")
+        def topFrac(n: Int): Column =
+          topRunMass(gramsOf(tk, n)).cast("double") / chars.cast("double")
+        def dupFrac(n: Int): Column =
+          least(lit(1.0),
+            dupRunMass(gramsOf(tk, n)).cast("double") / chars.cast("double"))
+        val signals: Seq[(String, Column)] =
+          Seq("dup_line_frac" -> dupLineFrac,
+              "dup_line_char_frac" -> dupLineCharFrac) ++
+            Seq(2, 3, 4).map(n => s"top${n}_char_frac" -> topFrac(n)) ++
+            (5 to 10).map(n => s"dup${n}_char_frac" -> dupFrac(n))
+        val limits = RepetitionThresholds.toMap
+        val pass = signals
+          .map { case (name, c) => c <= lit(limits(name)) }
+          .reduce(_ && _)
+        struct(
+          (nLines.as("n_lines") +:
+            signals.map { case (name, c) => c.as(name) }) :+
+            pass.as("pass"): _*)
+      }), lit(0))), lit(0))
+  }
+
   /** Word n-grams as space-joined strings; documents shorter than `n`
     * tokens yield an empty array (guarded — Spark's `sequence(1, 0)` counts
     * DOWN, it is not empty).

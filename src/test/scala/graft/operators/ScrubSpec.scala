@@ -206,4 +206,111 @@ class ScrubSpec extends SparkFunSuite {
       .collect()
     g.foreach(r => assert(!r.getStruct(0).getAs[Boolean]("pass")))
   }
+
+  // ---- repetitionSignals (Gopher repetition battery) ----
+
+  /** Plain-Scala reference implementation with the SAME op order (BIGINT
+    * masses, one double division), so equality below is exact. */
+  private def naiveRepetition(text: String): (Long, Seq[Double], Boolean) = {
+    val chars = math.max(text.length, 1).toLong
+    val tk = text.trim.split("\\s+", -1).toSeq
+    val ln = text.split("\n", -1).toSeq
+    def counts(xs: Seq[String]): Map[String, Long] =
+      xs.groupBy(identity).map { case (g, o) => (g, o.size.toLong) }
+    def grams(n: Int): Seq[String] =
+      if (tk.size < n) Seq.empty else tk.sliding(n).map(_.mkString(" ")).toSeq
+    def topMass(gs: Seq[String]): Long = {
+      val c = counts(gs)
+      if (c.isEmpty) 0L
+      else {
+        val (g, n) = c.toSeq.minBy { case (g, n) => (-n, -g.length.toLong, g) }
+        n * g.length
+      }
+    }
+    def dupMass(c: Map[String, Long]): Long =
+      c.collect { case (g, n) if n >= 2 => n * g.length }.sum
+    val lnCounts = counts(ln)
+    val nLines = ln.size.toLong
+    val lineMass = ln.map(_.length.toLong).sum
+    val sig: Seq[Double] =
+      Seq((nLines - ln.distinct.size).toDouble / nLines.toDouble,
+        dupMass(lnCounts).toDouble / math.max(lineMass, 1L).toDouble) ++
+        Seq(2, 3, 4).map(n => topMass(grams(n)).toDouble / chars.toDouble) ++
+        (5 to 10).map(n =>
+          math.min(1.0, dupMass(counts(grams(n))).toDouble / chars.toDouble))
+    val pass = sig.zip(Scrub.RepetitionThresholds.map(_._2))
+      .forall { case (v, th) => v <= th }
+    (nLines, sig, pass)
+  }
+
+  private val sigNames = Scrub.RepetitionThresholds.map(_._1)
+
+  private def runSignals(texts: Seq[String]): Array[(Long, Seq[Double], Boolean)] = {
+    import org.apache.spark.sql.functions.col
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), Scrub.repetitionSignals(col("text")).as("r"))
+      .orderBy("id").collect()
+      .map { r =>
+        val s = r.getStruct(1)
+        (s.getAs[Long]("n_lines"),
+          sigNames.map(n => s.getAs[Double](n)),
+          s.getAs[Boolean]("pass"))
+      }
+  }
+
+  test("repetitionSignals: hand-computed masses on a duplicated-line doc") {
+    // tokens [a a a b x x], lines [a a a b | x | x], chars = 11
+    val Array((nLines, sig, pass)) = runSignals(Seq("a a a b\nx\nx"))
+    assert(nLines == 3L)
+    assert(sig(0) == 1.0 / 3.0)           // dup_line_frac: 1 repeat of 3
+    assert(sig(1) == 2.0 / 9.0)           // "x" twice, 2 chars of 9 line chars
+    assert(sig(2) == 6.0 / 11.0)          // top 2-gram "a a": 2·3 chars
+    assert(sig(3) == 5.0 / 11.0)          // all 3-grams unique: 1·5
+    assert(sig(4) == 7.0 / 11.0)          // "a a a b": 1·7
+    assert(sig.drop(5).forall(_ == 0.0))  // no duplicated 5..10-grams
+    assert(!pass)
+  }
+
+  test("repetitionSignals: clean long doc passes, looping doc fails") {
+    val clean = (0 until 40).map(i => f"t$i%02d").mkString(" ")
+    val loop = Seq.fill(30)("spam").mkString(" ")
+    val Array((_, cleanSig, cleanPass), (_, _, loopPass)) =
+      runSignals(Seq(clean, loop))
+    assert(cleanPass, s"clean doc should pass, signals=$cleanSig")
+    assert(cleanSig.drop(5).forall(_ == 0.0))
+    assert(!loopPass)
+  }
+
+  test("repetitionSignals: overlapping dup-gram mass clamps to 1.0") {
+    // 8×"w": four identical 5-grams, mass 4·9=36 > 15 chars
+    val Array((_, sig, _)) = runSignals(Seq(Seq.fill(8)("w").mkString(" ")))
+    assert(sig(5) == 1.0)
+  }
+
+  test("repetitionSignals: empty text yields zeros and passes") {
+    val Array((nLines, sig, pass)) = runSignals(Seq(""))
+    assert(nLines == 1L)
+    assert(sig.forall(_ == 0.0))
+    assert(pass)
+  }
+
+  test("repetitionSignals: exact differential vs naive reference on fixture docs") {
+    import org.apache.spark.sql.functions._
+    val planted = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+      .select(col("doc_id"),
+        concat(col("text"), lit("\n"), substring(col("text"), 1, 40),
+          lit("\n"), substring(col("text"), 1, 40),
+          when(col("doc_id") % 3 === 0, lit("\nthe end"))
+            .otherwise(lit(""))).as("text"))
+    val texts = planted.orderBy("doc_id").collect().map(_.getString(1))
+    val got = runSignals(texts.toSeq)
+    texts.zip(got).foreach { case (t, (nLines, sig, pass)) =>
+      val (eN, eSig, ePass) = naiveRepetition(t)
+      assert(nLines == eN, s"n_lines for ${t.take(40)}")
+      assert(sig == eSig, s"signals for ${t.take(40)}")
+      assert(pass == ePass)
+    }
+  }
 }
