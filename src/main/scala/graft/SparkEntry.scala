@@ -1378,6 +1378,32 @@ object SparkEntry {
           sig.map(n => col(s"r.$n").as(n)) :+ col("r.pass").as("pass"): _*)
         .orderBy("doc_id")
     }),
+    // Token-balanced curriculum bins: corpus ordered by (quality, doc_id),
+    // cut into 4 stages of ~equal TOKEN mass via pure int64 floor-division
+    // (bin = min(k-1, prior·k div total)). The engine runs the score-axis
+    // bucketed running sum; the oracle is the single-window formulation —
+    // identical integers, so identical cuts. Scores are q18's exact
+    // quality doubles (bit-identical cross-engine).
+    "q129_curriculum_bins" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("score"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      Sampling.curriculumBins(d, "doc_id", "score", "n_tok",
+          k = 4, gridLo = 0.0, gridHi = 1.0, buckets = 64)
+        .orderBy("doc_id")
+    }),
+    // Low-discrepancy proportional interleave: every training-order prefix
+    // carries each source's corpus share to within one document. progress
+    // = (2·rank − 1)/(2·n_group) — integer-derived, one double division —
+    // over the shared md5 hash-order contract; the oracle replays the
+    // identical windows.
+    "q130_interleave_order" -> ((s, dir) => {
+      Sampling.interleaveOrder(
+          Tables(s, dir).documents.select("doc_id", "source"),
+          "doc_id", "source")
+        .orderBy("doc_id")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -3160,6 +3186,42 @@ object SparkEntry {
     // group-by where the engine runs per-row folds) — identical integer
     // c·len masses, single-division doubles, shared threshold literals
     "q128_repetition_signals" -> repetitionOracle,
+    // q129: q18's quality chain (exact doubles), then the SINGLE-WINDOW
+    // running token sum the engine's score-bucketed two-phase scheme
+    // reproduces; bin cut is pure int64 floor division
+    "q129_curriculum_bins" ->
+      """WITH base AS (SELECT doc_id,
+        |    least(greatest(
+        |      least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+        |      + least((CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','on'))) AS DOUBLE)
+        |          / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+        |      + (CAST(1.0 AS DOUBLE) - least((CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        |          / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS score,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, score, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY score, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior,
+        |    CAST(greatest(sum(n_tok) OVER (), 1) AS BIGINT) AS tot
+        |  FROM base)
+        |SELECT doc_id, score, n_tok,
+        |  CAST(least(3, (prior * 4) // tot) AS INTEGER) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q130: the hashHex rank + group size windows replayed verbatim;
+    // progress is one double division of integer operands
+    "q130_interleave_order" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || ':interleave'), 1, 8) AS hh
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS BIGINT) AS pos_in_group,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT doc_id, source, pos_in_group,
+        |  CAST(pos_in_group * 2 - 1 AS DOUBLE) / CAST(n * 2 AS DOUBLE) AS progress
+        |FROM r ORDER BY doc_id""".stripMargin,
     // identical rounded bounds (q86's argument) make the clipped SET
     // cross-engine stable; the one parallel double sum rounds to 4dp
     "q94_winsorized_stats" ->

@@ -438,4 +438,94 @@ object Sampling {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .drop("_h")
   }
+
+  /** Token-balanced curriculum bins: order the corpus by `(scoreCol,
+    * keyCol)` — score = difficulty (perplexity, quality, length…) — and cut
+    * it into `k` stages of ~equal TOKEN mass (a curriculum schedule states
+    * "first third of training tokens", not "first third of documents").
+    * Row → bin: `bin = min(k−1, (prior·k) div total)` where `prior` is the
+    * token sum of strictly-preceding rows in score order — pure int64
+    * floor-division (the [[ppsSample]] determinism contract), so every
+    * engine cuts at the same document. Every bin lands within one document
+    * of `total/k` tokens. Requires `total·k < 2^63` (at 10^14 corpus
+    * tokens and k = 100 that is 10^16 — fine).
+    *
+    * Scale shape: the running sum is the [[tokenBudgetCap]] two-phase
+    * scheme, except buckets come from the SCORE AXIS (hash buckets would
+    * scramble the order being accumulated): `[gridLo, gridHi)` splits into
+    * `buckets` equal score ranges — the affine floor map is monotone in
+    * score, so bucket-major order IS score order and per-bucket sums +
+    * broadcast offsets reproduce the global running sum with per-task work
+    * bounded by one bucket's slice. Grid skew (many docs in one score
+    * range) only fattens that bucket's slice — results are identical for
+    * ANY grid; pick one from a score profile when the distribution is
+    * lumpy. Scores must be finite; rows with null score are rejected up
+    * front (a silent null would sort into one engine's null-first and
+    * another's null-last region). */
+  def curriculumBins(df: DataFrame, keyCol: String, scoreCol: String,
+                     tokCol: String, k: Int, gridLo: Double, gridHi: Double,
+                     buckets: Int = 256): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k ($k) must be in [1, 4096]")
+    require(gridHi > gridLo, s"need gridLo < gridHi, got [$gridLo, $gridHi]")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets ($buckets) must be in [1, 65536]")
+    require(!Seq("_b", "_off", "_tot", "_prior", "bin").exists(df.columns.contains),
+      "input must not contain the reserved columns _b/_off/_tot/_prior/bin")
+    val s = col(scoreCol).cast("double")
+    val withB = df
+      .withColumn("_b", least(lit(buckets - 1L), greatest(lit(0L),
+        floor((s - gridLo) * buckets / lit(gridHi - gridLo)).cast("long"))))
+    val offsets = withB
+      .groupBy(col("_b")).agg(sum(col(tokCol)).as("_bs"))
+      // ≤ `buckets` rows — the ppsSample benign-global-window shape
+      .withColumn("_off", coalesce(
+        sum("_bs").over(Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_tot", greatest(sum("_bs").over(), lit(1L)))
+      .drop("_bs")
+    val inBucket = Window.partitionBy(col("_b"))
+      .orderBy(s, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB
+      .join(broadcast(offsets), Seq("_b"))
+      .withColumn("_prior",
+        col("_off") + coalesce(sum(col(tokCol)).over(inBucket), lit(0L)))
+      .withColumn("bin",
+        least(lit(k - 1L), expr(s"(_prior * $k) div _tot")).cast("int"))
+      .select(df.columns.map(col) :+ col("bin"): _*)
+  }
+
+  /** Low-discrepancy proportional interleave: a deterministic global
+    * training order in which EVERY contiguous prefix carries each group's
+    * corpus proportion to within `1/2 + (G/2)·(n_g/N)` documents (G =
+    * group count) — the "fixed mixing schedule" ordering
+    * ([[shuffleOrder]] gives proportionality only in expectation, with
+    * √-scale sampling noise; this gives an O(1) bound by construction).
+    * Each row gets
+    *  - `pos_in_group`: 1-based rank within its group by `(md5 hash, key)`
+    *    — stable under appends, layout-invariant;
+    *  - `progress`: `(2·pos_in_group − 1) / (2·n_group)` — the group's
+    *    stratified low-discrepancy position in (0, 1), integer-derived
+    *    with ONE double division (bit-identical cross-engine).
+    * The global order is `(progress, groupCol, keyCol)` — materialize it
+    * with [[graft.sources.ParquetLake.writeRangeSorted]] on `progress`
+    * (range partition + in-file sort: no single global sort task).
+    *
+    * Scale shape: one exchange keyed by group for the in-group rank (the
+    * [[shuffleOrder]] argument: spillable sort, a group need not fit in
+    * memory), plus a group-count-sized aggregate broadcast back. */
+  def interleaveOrder(df: DataFrame, keyCol: String, groupCol: String,
+                      domain: String = "interleave"): DataFrame = {
+    require(!df.columns.exists(Set("_h", "_n", "pos_in_group", "progress")),
+      "input must not contain the reserved columns _h/_n/pos_in_group/progress")
+    val wg = Window.partitionBy(col(groupCol)).orderBy(col("_h"), col(keyCol))
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    df.withColumn("_h", hashHex(col(keyCol), domain))
+      .join(broadcast(sizes), Seq(groupCol))
+      .withColumn("pos_in_group", row_number().over(wg).cast("long"))
+      .withColumn("progress",
+        (col("pos_in_group") * 2L - 1L).cast("double") /
+          (col("_n") * 2L).cast("double"))
+      .select(df.columns.map(col) ++ Seq(col("pos_in_group"), col("progress")): _*)
+  }
 }

@@ -395,4 +395,143 @@ class SamplingSpec extends SparkFunSuite {
       Sampling.shuffleOrder(df.withColumn("shard", lit(1)), "id", 2)
     }
   }
+
+  // ---- curriculumBins ----
+
+  private def binFixture = Seq(
+    // (id, score, tokens) — total 100 tokens, k=4 => 25-token stages
+    (1L, 0.10, 10L), (2L, 0.20, 10L), (3L, 0.30, 10L), (4L, 0.40, 10L),
+    (5L, 0.50, 10L), (6L, 0.60, 10L), (7L, 0.70, 10L), (8L, 0.80, 10L),
+    (9L, 0.85, 10L), (10L, 0.90, 10L)
+  ).toDF("id", "score", "tok")
+
+  test("curriculumBins: hand-computed cuts on an even-mass corpus") {
+    val got = Sampling.curriculumBins(binFixture, "id", "score", "tok",
+        k = 4, gridLo = 0.0, gridHi = 1.0, buckets = 8)
+      .orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("bin")).toMap
+    // prior 0,10,...,90; bin = min(3, prior*4 div 100)
+    val want = (1L to 10L).map(i =>
+      i -> math.min(3L, (i - 1) * 10 * 4 / 100).toInt).toMap
+    assert(got == want)
+  }
+
+  test("curriculumBins: grid choice never changes the cut (order-preserving buckets)") {
+    val base = Sampling.curriculumBins(binFixture, "id", "score", "tok",
+        k = 3, gridLo = 0.0, gridHi = 1.0, buckets = 256)
+      .orderBy("id").collect().map(_.getAs[Int]("bin")).toSeq
+    for ((lo, hi, b) <- Seq((0.0, 2.0, 4), (-5.0, 5.0, 1), (0.05, 0.86, 17))) {
+      val alt = Sampling.curriculumBins(binFixture, "id", "score", "tok",
+          k = 3, gridLo = lo, gridHi = hi, buckets = b)
+        .orderBy("id").collect().map(_.getAs[Int]("bin")).toSeq
+      assert(alt == base, s"grid [$lo,$hi)x$b changed the bins")
+    }
+  }
+
+  test("curriculumBins: each bin's token mass is within one document of total/k") {
+    val docs = (1L to 200L).map { i =>
+      (i, (i % 37).toDouble / 37.0, 1L + (i * 7) % 50)
+    }.toDF("id", "score", "tok")
+    val k = 5
+    val out = Sampling.curriculumBins(docs, "id", "score", "tok",
+      k = k, gridLo = 0.0, gridHi = 1.0)
+    val masses = out.groupBy("bin").agg(sum("tok").as("m"))
+      .collect().map(r => r.getAs[Int]("bin") -> r.getAs[Long]("m")).toMap
+    val total = masses.values.sum
+    val maxDoc = 50L
+    assert(masses.keySet == (0 until k).toSet)
+    masses.values.foreach { m =>
+      assert(math.abs(m - total.toDouble / k) <= maxDoc,
+        s"bin mass $m vs target ${total / k}")
+    }
+  }
+
+  test("curriculumBins: differential vs the single-window reference; ties on key") {
+    val docs = (1L to 120L).map { i =>
+      (i, ((i * 13) % 7).toDouble, 1L + i % 9)  // heavy score ties
+    }.toDF("id", "score", "tok")
+    val k = 4
+    val got = Sampling.curriculumBins(docs, "id", "score", "tok",
+        k = k, gridLo = 0.0, gridHi = 7.0, buckets = 16)
+      .orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("bin")).toMap
+    val rows = docs.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, s, _) => (s, id) }
+    val total = math.max(rows.map(_._3).sum, 1L)
+    var prior = 0L
+    val want = rows.map { case (id, _, t) =>
+      val bin = math.min(k - 1L, prior * k / total).toInt
+      prior += t
+      id -> bin
+    }.toMap
+    assert(got == want)
+  }
+
+  test("curriculumBins rejects bad arguments and reserved columns") {
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumBins(binFixture, "id", "score", "tok", k = 0, 0.0, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumBins(binFixture, "id", "score", "tok", k = 2, 1.0, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumBins(binFixture.withColumn("bin", lit(1)),
+        "id", "score", "tok", k = 2, 0.0, 1.0)
+    }
+  }
+
+  // ---- interleaveOrder ----
+
+  test("interleaveOrder: progress replays the (2r-1)/2n formula over md5 rank") {
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c")
+    ).toDF("id", "src")
+    val got = Sampling.interleaveOrder(df, "id", "src", domain = "ti")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("pos_in_group"),
+        r.getAs[Double]("progress")))
+      .sortBy(_._1)
+    def h(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:ti".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val byGroup = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .groupBy(_._2)
+    val want = byGroup.toSeq.flatMap { case (_, rows) =>
+      val n = rows.size.toLong
+      rows.sortBy(r => (h(r._1), r._1)).zipWithIndex.map { case ((id, _), i) =>
+        (id, i + 1L, (2L * (i + 1) - 1).toDouble / (2L * n).toDouble)
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+
+  // Discrepancy bound: per group the count at progress p is
+  // floor(n_g·p + 1/2) (±1/2), and the prefix length itself deviates by at
+  // most G/2 from N·p — so |count − proportional| ≤ 1/2 + (G/2)·(n_g/N)
+  // < 2 for G = 3 groups.
+  test("interleaveOrder: every prefix of the progress order is proportional within 2 docs") {
+    val df = ((1L to 60L).map((_, "big")) ++ (61L to 80L).map((_, "mid")) ++
+      (81L to 85L).map((_, "small"))).toDF("id", "src")
+    val ordered = Sampling.interleaveOrder(df, "id", "src")
+      .orderBy(col("progress"), col("src"), col("id"))
+      .collect().map(r => r.getString(1))
+    val sizes = Map("big" -> 60.0, "mid" -> 20.0, "small" -> 5.0)
+    val totalN = 85.0
+    val running = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    ordered.zipWithIndex.foreach { case (src, i) =>
+      running(src) += 1
+      sizes.foreach { case (g, n) =>
+        val expected = (i + 1) * n / totalN
+        assert(math.abs(running(g) - expected) <= 2.0,
+          s"prefix ${i + 1}: group $g has ${running(g)}, expected ~$expected")
+      }
+    }
+  }
+
+  test("interleaveOrder rejects reserved columns") {
+    intercept[IllegalArgumentException] {
+      Sampling.interleaveOrder(
+        Seq((1L, "a")).toDF("id", "src").withColumn("progress", lit(0.0)),
+        "id", "src")
+    }
+  }
 }
