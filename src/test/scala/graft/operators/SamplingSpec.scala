@@ -467,6 +467,23 @@ class SamplingSpec extends SparkFunSuite {
     assert(got == want)
   }
 
+  test("curriculumBins plan: the buckets-sized offsets table broadcasts back") {
+    // the 100 TB contract: the only corpus-scale movements are the offsets
+    // aggregation and the per-bucket window exchange (both keyed by _b);
+    // the offsets table itself (≤ `buckets` rows) must come back as a
+    // broadcast join, never a shuffled join of the corpus
+    val docs = (1L to 400L).map(i => (i, (i % 11).toDouble, 1L + i % 5))
+      .toDF("id", "score", "tok")
+    val df = Sampling.curriculumBins(docs, "id", "score", "tok",
+      k = 4, gridLo = 0.0, gridHi = 11.0, buckets = 32)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no corpus-vs-offsets shuffle join allowed:\n$plan")
+  }
+
   test("curriculumBins rejects bad arguments and reserved columns") {
     intercept[IllegalArgumentException] {
       Sampling.curriculumBins(binFixture, "id", "score", "tok", k = 0, 0.0, 1.0)

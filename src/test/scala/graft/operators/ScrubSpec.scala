@@ -295,6 +295,19 @@ class ScrubSpec extends SparkFunSuite {
     assert(pass)
   }
 
+  test("repetitionSignals plan: pure per-row map — zero exchanges") {
+    // the 100 TB contract: nine sort+fold passes per ROW, never a shuffle —
+    // the operator must fuse into the scan like gopherGates does
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 50L).map(i => (i, s"doc $i body\nline\nline"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Scrub.repetitionSignals(col("text")).as("r"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetitionSignals must be map-only:\n$plan")
+  }
+
   test("repetitionSignals: exact differential vs naive reference on fixture docs") {
     import org.apache.spark.sql.functions._
     val planted = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
