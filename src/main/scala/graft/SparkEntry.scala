@@ -1404,6 +1404,30 @@ object SparkEntry {
           "doc_id", "source")
         .orderBy("doc_id")
     }),
+    // Markup stripping (extraction hygiene): fixture text wrapped in the
+    // shared MarkupPrefix/Suffix plant (style+script payload blocks, tags,
+    // the &amp;lt; order trap, named entities), then the fixed-order
+    // RE2-subset regex chain — the oracle replays the chain verbatim from
+    // the same shared constants.
+    "q131_strip_markup" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          Scrub.stripMarkup(concat(lit(MarkupPrefix), col("text"),
+            lit(MarkupSuffix))).as("clean"))
+        .orderBy("doc_id")
+    }),
+    // Per-source percentile-rank calibration: RANK ties share position,
+    // pct = (rank-1)/max(n-1,1) — one double division of integers. The
+    // engine's score-bucketed two-phase rank ≡ the oracle's whole-group
+    // window.
+    "q132_percentile_calibrate" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("score"))
+      Quantiles.percentileRank(d, Seq("source"), "score",
+          gridLo = 0.0, gridHi = 1.0, buckets = 64)
+        .orderBy("doc_id")
+    }),
     // per-group winsorization: clip to rounded exact p05/p95 quantiles —
     // the clip SET (not just values) reproduces cross-engine because the
     // bounds round to 6dp before comparison (q86's argument)
@@ -1695,6 +1719,41 @@ object SparkEntry {
         .orderBy("ga", "gb")
     })
   )
+
+  /** q131's planted markup wrapper — ONE definition feeds both the Spark
+    * plant and the oracle SQL, so the two sides can never drift. The
+    * suffix deliberately carries the `&amp;lt;` order trap (must decode to
+    * the literal string `&lt;`, never `<`), a multi-line script payload
+    * (exercises `(?s)`), and every named entity in the decode set. */
+  private val MarkupPrefix =
+    "<html><head><style>p{color:red}</style></head><body class=\"x\"><p>"
+  private val MarkupSuffix =
+    "</p><br><script type=\"text/js\">var a=1;\nalert(a)</script>" +
+      "<!-- note --> &amp;lt; &quot;q&quot; &#39;s&#39;&nbsp;end</body></html>"
+
+  /** Single-quote SQL literal of `s` (embedded quotes doubled). */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** q131's oracle: the [[graft.operators.Scrub.stripMarkup]] regex chain
+    * replayed step-for-step (same patterns, same order, 'g' for Spark's
+    * replace-all semantics) over the same shared plant constants. */
+  private def stripMarkupOracle: String = {
+    val steps = Seq(
+      "(?s)<script[^>]*>.*?</script>" -> " ",
+      "(?s)<style[^>]*>.*?</style>" -> " ",
+      "(?s)<!--.*?-->" -> " ",
+      "<[^>]*>" -> " ",
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&", "\\s+" -> " ")
+    val chain = steps.foldLeft("text") { case (acc, (p, r)) =>
+      s"regexp_replace($acc, ${sqlLit(p)}, ${sqlLit(r)}, 'g')"
+    }
+    s"""WITH base AS (SELECT doc_id,
+       |    ${sqlLit(MarkupPrefix)} || text || ${sqlLit(MarkupSuffix)} AS text
+       |  FROM documents)
+       |SELECT doc_id, trim($chain) AS clean
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
 
   /** q128's oracle, generated per gram size n: the engine's per-row
     * run-folds recomputed relationally — unnest grams, group-by counts,
@@ -3209,6 +3268,29 @@ object SparkEntry {
         |SELECT doc_id, score, n_tok,
         |  CAST(least(3, (prior * 4) // tot) AS INTEGER) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q131: the stripMarkup regex chain, generated from the same shared
+    // constants the Spark plant uses
+    "q131_strip_markup" -> stripMarkupOracle,
+    // q132: whole-group RANK + count windows — the engine's score-bucketed
+    // two-phase rank must reproduce them exactly
+    "q132_percentile_calibrate" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    least(greatest(
+        |      least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+        |      + least((CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','on'))) AS DOUBLE)
+        |          / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+        |      + (CAST(1.0 AS DOUBLE) - least((CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        |          / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS score
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, score,
+        |    CAST(rank() OVER (PARTITION BY source ORDER BY score) AS BIGINT) AS "rank",
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM s)
+        |SELECT doc_id, source, score, "rank",
+        |  CAST("rank" - 1 AS DOUBLE) / CAST(greatest(n - 1, 1) AS DOUBLE) AS pct
+        |FROM r ORDER BY doc_id""".stripMargin,
     // q130: the hashHex rank + group size windows replayed verbatim;
     // progress is one double division of integer operands
     "q130_interleave_order" ->

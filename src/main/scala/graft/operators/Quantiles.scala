@@ -234,4 +234,55 @@ object Quantiles {
       .agg(first(col("median")).as("median"), first(col("mad")).as("mad"),
         sum(when(col("_adev") > col("mad") * k, 1L).otherwise(0L)).as("n_outliers"))
   }
+
+  /** Per-group percentile-rank calibration: each row's score mapped to its
+    * within-group rank position `pct = (rank − 1) / max(n − 1, 1)` ∈
+    * [0, 1] — the score-normalization step for mixing quality signals
+    * from heterogeneous sources (a fastText score and a perplexity aren't
+    * comparable; their within-source percentiles are). `rank` is SQL RANK
+    * (ties share the min rank — equal scores always calibrate equally,
+    * with no arbitrary tie order), and `pct` is one double division of
+    * integer operands, so both reproduce bit-identically cross-engine.
+    * Rows with null/NaN score are excluded (matching [[exactGrouped]]);
+    * a singleton group calibrates to 0.0.
+    *
+    * Scale shape: the [[Sampling.curriculumBins]] score-axis scheme — the
+    * affine `[gridLo, gridHi)`→`buckets` floor map is monotone in score
+    * and equal scores can never straddle a bucket edge, so per-(group,
+    * bucket) RANK plus broadcast bucket-count offsets reproduces the
+    * whole-group rank with per-task work bounded by one bucket's slice
+    * (never a whole-group sort; results identical for ANY grid). The
+    * offsets windows run over the ≤ groups×buckets aggregate — the
+    * ppsSample benign-global-window shape when `groupCols` is empty. */
+  def percentileRank(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+                     gridLo: Double, gridHi: Double,
+                     buckets: Int = 256): DataFrame = {
+    require(gridHi > gridLo, s"need gridLo < gridHi, got [$gridLo, $gridHi]")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets ($buckets) must be in [1, 65536]")
+    require(!Seq("_v", "_b", "_off", "_tot", "rank", "pct")
+      .exists(df.columns.contains),
+      "input must not contain the reserved columns _v/_b/_off/_tot/rank/pct")
+    val gs = groupCols.map(col)
+    val withB = df
+      .withColumn("_v", col(scoreCol).cast("double"))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+      .withColumn("_b", least(lit(buckets - 1L), greatest(lit(0L),
+        floor((col("_v") - gridLo) * buckets / lit(gridHi - gridLo))
+          .cast("long"))))
+    val offsets = withB
+      .groupBy(gs :+ col("_b"): _*).agg(count(lit(1)).as("_bs"))
+      .withColumn("_off", coalesce(
+        sum("_bs").over(Window.partitionBy(gs: _*).orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_tot", sum("_bs").over(Window.partitionBy(gs: _*)))
+      .drop("_bs")
+    val inBucket = Window.partitionBy(gs :+ col("_b"): _*).orderBy(col("_v"))
+    withB
+      .join(broadcast(offsets), groupCols :+ "_b")
+      .withColumn("rank", col("_off") + rank().over(inBucket).cast("long"))
+      .withColumn("pct", (col("rank") - 1L).cast("double") /
+        greatest(col("_tot") - 1L, lit(1L)).cast("double"))
+      .select(df.columns.map(col) ++ Seq(col("rank"), col("pct")): _*)
+  }
 }

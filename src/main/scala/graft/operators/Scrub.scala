@@ -44,6 +44,38 @@ object Scrub {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Markup stripping for web-crawl text (the extraction-hygiene step a
+    * CCNet/RefinedWeb-style pipeline runs before any quality analysis):
+    * drops `<script>`/`<style>`/comment blocks WITH their payload, strips
+    * remaining tags, decodes the common named entities, and collapses
+    * whitespace. One pass, fixed order, all within the RE2-compatible
+    * regex subset (inline `(?s)` + non-greedy `.*?`) so the exact chain
+    * replays in any RE2 engine (q131's oracle).
+    *
+    * Order is load-bearing and deliberate:
+    *  1. payload blocks first (a later tag strip would keep script BODIES);
+    *  2. tag strip;
+    *  3. entity decode AFTER tag strip — a decoded `&lt;b&gt;` yields
+    *     literal `<b>` TEXT and must never be re-parsed as a tag (the
+    *     classic double-decode injection); `&amp;` decodes last so
+    *     `&amp;lt;` becomes the literal string `&lt;`, not `<`;
+    *  4. whitespace collapse + trim.
+    * Single-pass by design — NOT idempotent on adversarial input (that is
+    * the point: one decode, ever). Numeric entities beyond `&#39;` are
+    * left as-is (documented subset; a full decoder needs a codepoint map,
+    * not a regex). Pure per-row regex work — zero shuffle, codegen'd. */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val amp = regexp_replace(named, "&amp;", "&")
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
   /** Fraction of whitespace tokens that are repeats of an earlier token:
     * `1 - distinct/total`, in DOUBLE with a fixed op order (bit-identical on
     * any IEEE engine — no rounding). High values flag looping/boilerplate

@@ -155,4 +155,75 @@ class QuantilesSpec extends SparkFunSuite {
       .map(r => (r.getString(0), r.getLong(3))).toSeq
     assert(got == Seq(("g1", 2L), ("g2", 0L)))
   }
+
+  // ---- percentileRank ----
+
+  test("percentileRank: hand-computed ranks, RANK tie semantics, singleton group") {
+    val df = Seq(
+      ("a", 1L, 0.1), ("a", 2L, 0.5), ("a", 3L, 0.5), ("a", 4L, 0.9),
+      ("b", 5L, 7.0)
+    ).toDF("g", "id", "score")
+    val got = Quantiles.percentileRank(df, Seq("g"), "score", 0.0, 1.0, buckets = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"), r.getAs[Double]("pct")))
+    // group a: ranks 1, 2, 2, 4 over n=4 → pct (r-1)/3; singleton b → 0.0
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0.0), (2L, 2L, 1.0 / 3.0), (3L, 2L, 1.0 / 3.0),
+      (4L, 4L, 1.0), (5L, 1L, 0.0)))
+  }
+
+  test("percentileRank equals the whole-group window reference for any grid") {
+    val df = (1L to 150L).map { i =>
+      (s"g${i % 4}", i, ((i * 29) % 13).toDouble)  // heavy ties
+    }.toDF("g", "id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("score")
+    val want = df
+      .withColumn("rank", rank().over(w).cast("long"))
+      .withColumn("pct", (col("rank") - 1L).cast("double") /
+        greatest(count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g")) - 1L, lit(1L)).cast("double"))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"), r.getAs[Double]("pct")))
+    for ((lo, hi, b) <- Seq((0.0, 13.0, 8), (-2.0, 20.0, 256), (3.0, 4.0, 1))) {
+      val got = Quantiles.percentileRank(df, Seq("g"), "score", lo, hi, b)
+        .orderBy("id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"), r.getAs[Double]("pct")))
+      assert(got.toSeq == want.toSeq, s"grid [$lo,$hi)x$b diverged")
+    }
+  }
+
+  test("percentileRank: null/NaN scores drop; empty groupCols calibrates globally") {
+    val df = Seq(
+      (1L, Some(2.0)), (2L, None), (3L, Some(1.0)), (4L, Some(Double.NaN)),
+      (5L, Some(3.0))
+    ).map { case (id, s) => (id, s.getOrElse(Double.NaN)) }
+      .toDF("id", "score")
+      .withColumn("score", when(col("id") === 2L, lit(null)).otherwise(col("score")))
+    val got = Quantiles.percentileRank(df, Nil, "score", 0.0, 4.0)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("pct")))
+    assert(got.toSeq == Seq((1L, 0.5), (3L, 0.0), (5L, 1.0)))
+  }
+
+  test("percentileRank plan: bucket-count offsets broadcast back") {
+    val df = (1L to 300L).map(i => ("g", i, (i % 17).toDouble))
+      .toDF("g", "id", "score")
+    val out = Quantiles.percentileRank(df, Seq("g"), "score", 0.0, 17.0, 16)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no corpus-vs-offsets shuffle join allowed:\n$plan")
+  }
+
+  test("percentileRank rejects reserved columns and bad grids") {
+    val df = Seq(("g", 1L, 0.5)).toDF("g", "id", "score")
+    intercept[IllegalArgumentException] {
+      Quantiles.percentileRank(df.withColumn("pct", lit(0.0)), Seq("g"), "score", 0.0, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.percentileRank(df, Seq("g"), "score", 1.0, 1.0)
+    }
+  }
 }

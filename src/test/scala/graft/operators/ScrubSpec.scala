@@ -207,6 +207,36 @@ class ScrubSpec extends SparkFunSuite {
     g.foreach(r => assert(!r.getStruct(0).getAs[Boolean]("pass")))
   }
 
+  // ---- stripMarkup ----
+
+  test("stripMarkup: tags strip, script/style/comment payloads drop entirely") {
+    import org.apache.spark.sql.functions.col
+    val html = "<html><head><style>p{color:red}</style></head>" +
+      "<body class=\"x\"><p>hello <b>world</b></p>" +
+      "<script type=\"text/js\">var a=1;\nalert(a)</script><!-- note -->bye</body></html>"
+    val r = Seq(html).toDF("t").select(Scrub.stripMarkup(col("t"))).as[String].head()
+    assert(r == "hello world bye")
+  }
+
+  test("stripMarkup: entities decode once, after tag strip — no double decode") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      "a &amp;lt; b" -> "a &lt; b",          // &amp; decodes LAST: literal &lt; text
+      "x &lt;b&gt; y" -> "x <b> y",          // decoded brackets stay literal text
+      "&quot;q&quot; &#39;s&#39;&nbsp;end" -> "\"q\" 's' end",
+      "5 &gt; 3 &amp; 2 &lt; 4" -> "5 > 3 & 2 < 4")
+    val got = cases.map(_._1).toDF("t")
+      .select(Scrub.stripMarkup(col("t"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("stripMarkup: whitespace collapses and trims; markup-free text is stable") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq("  a\n\nb\t c  ", "plain text stays", "<p></p>")
+      .toDF("t").select(Scrub.stripMarkup(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("a b c", "plain text stays", ""))
+  }
+
   // ---- repetitionSignals (Gopher repetition battery) ----
 
   /** Plain-Scala reference implementation with the SAME op order (BIGINT
