@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, BloomJoin, Chunk, Classifier, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Scrub, Sessionize, SetSketch, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{AsOf, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Scrub, Sessionize, SetSketch, Similarity, Snapshot, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1416,6 +1416,14 @@ object SparkEntry {
             lit(MarkupSuffix))).as("clean"))
         .orderBy("doc_id")
     }),
+    // BPE merge training (Sennrich'16): ONE corpus-scale word-frequency
+    // aggregation, then 8 vocabulary-sized merge iterations — pair argmax
+    // by (weight DESC, left, right), greedy left-to-right merge fold. The
+    // oracle unrolls the identical 8 iterations as CTE chains.
+    "q133_bpe_merges" -> ((s, dir) => {
+      Bpe.train(Tables(s, dir).documents, "text", merges = 8)
+        .orderBy("step")
+    }),
     // Per-source percentile-rank calibration: RANK ties share position,
     // pct = (rank-1)/max(n-1,1) — one double division of integers. The
     // engine's score-bucketed two-phase rank ≡ the oracle's whole-group
@@ -1753,6 +1761,59 @@ object SparkEntry {
        |  FROM documents)
        |SELECT doc_id, trim($chain) AS clean
        |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  /** q133's oracle: [[graft.operators.Bpe]] replayed as `merges` unrolled
+    * CTE iterations — per-iteration adjacent-pair counts (integer sums),
+    * the (weight DESC, left, right) argmax, and the greedy left-to-right
+    * merge fold as a struct-element `list_reduce` whose first element IS
+    * the initial accumulator (equivalent to the engine's
+    * `(out=[], pend='')` zero plus one step). */
+  private def bpeOracle(merges: Int): String = {
+    // DuckDB 1.0's list_reduce drops LIST-typed struct fields from the
+    // accumulator (verified live: the out-list stayed empty every step),
+    // so the greedy merge fold encodes its (out, pend) state in ONE flat
+    // VARCHAR: `out-symbols-joined-by-chr(31)` || chr(30) || pend, with
+    // each element mapped to chr(30)||symbol (empty out + that pend) so
+    // the reduce's first-element-is-the-accumulator convention equals the
+    // engine's (out=[], pend='') zero plus one step. Data symbols are
+    // regex-split word tokens — they cannot contain the control chars.
+    val out = "string_split(a, chr(30))[1]"
+    val pend = "string_split(a, chr(30))[2]"
+    val joined = s"CASE WHEN $pend = '' THEN $out WHEN $out = '' THEN $pend " +
+      s"ELSE $out || chr(31) || $pend END"
+    val iters = (1 to merges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (SELECT l, r, CAST(sum(weight) AS BIGINT) AS w FROM (
+         |  SELECT weight, syms[j] AS l, syms[j + 1] AS r FROM (
+         |    SELECT weight, syms,
+         |      unnest(generate_series(1, greatest(len(syms) - 1, 0))) AS j
+         |    FROM $prev)) GROUP BY l, r),
+         |m$i AS (SELECT l, r, w FROM p$i ORDER BY w DESC, l ASC, r ASC LIMIT 1),
+         |w$i AS (SELECT string_split(
+         |    CASE WHEN string_split(f, chr(30))[2] = '' THEN string_split(f, chr(30))[1]
+         |         WHEN string_split(f, chr(30))[1] = '' THEN string_split(f, chr(30))[2]
+         |         ELSE string_split(f, chr(30))[1] || chr(31) || string_split(f, chr(30))[2] END,
+         |    chr(31)) AS syms, weight FROM (
+         |    SELECT weight, list_reduce(
+         |      list_transform(syms, c -> chr(30) || c),
+         |      (a, x) -> CASE WHEN $pend = m$i.l AND substr(x, 2) = m$i.r
+         |        THEN CASE WHEN $out = '' THEN '' ELSE $out || chr(31) END ||
+         |             m$i.l || m$i.r || chr(30)
+         |        ELSE $joined || chr(30) || substr(x, 2) END) AS f
+         |    FROM $prev, m$i))""".stripMargin
+    }
+    val rows = (1 to merges).map(i =>
+      s"""SELECT $i AS step, l AS "left", r AS "right", l || r AS merged, w AS weight FROM m$i""")
+    s"""WITH words AS (SELECT word, CAST(count(*) AS BIGINT) AS weight FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |    FROM documents) WHERE word <> '' GROUP BY word),
+       |w0 AS (SELECT list_transform(generate_series(1, length(word)),
+       |    i -> substr(word, i, 1)) AS syms, weight FROM words),
+       |${iters.mkString(",\n")}
+       |SELECT CAST(step AS INTEGER) AS step, "left", "right", merged, weight
+       |FROM (${rows.mkString("\nUNION ALL\n")})
+       |ORDER BY step""".stripMargin
   }
 
   /** q128's oracle, generated per gram size n: the engine's per-row
@@ -3271,6 +3332,9 @@ object SparkEntry {
     // q131: the stripMarkup regex chain, generated from the same shared
     // constants the Spark plant uses
     "q131_strip_markup" -> stripMarkupOracle,
+    // q133: eight unrolled BPE iterations — identical pair sums, argmax
+    // order, and merge fold
+    "q133_bpe_merges" -> bpeOracle(8),
     // q132: whole-group RANK + count windows — the engine's score-bucketed
     // two-phase rank must reproduce them exactly
     "q132_percentile_calibrate" ->
