@@ -1424,6 +1424,14 @@ object SparkEntry {
       Bpe.train(Tables(s, dir).documents, "text", merges = 8)
         .orderBy("step")
     }),
+    // nearest-centroid (Rocchio) classification of every embedding against
+    // per-label mean vectors: exact quantized centroids, bit-identical
+    // cosines, margin = best − runner-up (the uncertainty signal)
+    "q134_centroid_classify" -> ((s, dir) => {
+      graft.operators.Classifier.centroidClassify(
+        Tables(s, dir).embeddings, "vec_id", "embedding", "label")
+        .orderBy("vec_id")
+    }),
     // Per-source percentile-rank calibration: RANK ties share position,
     // pct = (rank-1)/max(n-1,1) — one double division of integers. The
     // engine's score-bucketed two-phase rank ≡ the oracle's whole-group
@@ -3335,6 +3343,38 @@ object SparkEntry {
     // q133: eight unrolled BPE iterations — identical pair sums, argmax
     // order, and merge fold
     "q133_bpe_merges" -> bpeOracle(8),
+    // q134: full Rocchio replay — q64's quantized centroid means, cosine as
+    // list_inner_product with the same sqrt(vn2)*sqrt(cn2) denominator, and
+    // the argmax as a (score DESC, label ASC) window; margin is a
+    // subtraction of two bit-identical doubles
+    "q134_centroid_classify" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |    embedding AS emb FROM embeddings),
+        |ex AS (SELECT label AS lbl, unnest(generate_series(1, len(emb))) AS p,
+        |    emb FROM e),
+        |qq AS (SELECT lbl, CAST(p - 1 AS BIGINT) AS pos,
+        |    CAST(floor(CAST(emb[p] AS DOUBLE) * CAST(1e10 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q FROM ex),
+        |cent AS (SELECT lbl, pos, CAST(sum(q) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / CAST(1e10 AS DOUBLE) AS c
+        |  FROM qq GROUP BY 1, 2),
+        |carr AS (SELECT lbl, list(c ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+        |cn AS (SELECT CAST(lbl AS BIGINT) AS lbl, cvec,
+        |    list_inner_product(cvec, cvec) AS cn2 FROM carr),
+        |scored AS (SELECT e.vec_id, e.label, cn.lbl,
+        |    CASE WHEN list_inner_product(e.v, e.v) * cn.cn2 = 0
+        |         THEN CAST(0.0 AS DOUBLE)
+        |         ELSE list_inner_product(e.v, cn.cvec)
+        |           / (sqrt(list_inner_product(e.v, e.v)) * sqrt(cn.cn2)) END AS s
+        |  FROM e CROSS JOIN cn),
+        |ranked AS (SELECT vec_id, label, lbl, s,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, lbl ASC) AS rn
+        |  FROM scored)
+        |SELECT r1.vec_id, r1.label, r1.lbl AS predicted, r1.s AS score,
+        |  r2.lbl AS runner_up, r1.s - r2.s AS margin
+        |FROM (SELECT * FROM ranked WHERE rn = 1) r1
+        |LEFT JOIN (SELECT * FROM ranked WHERE rn = 2) r2 USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
     // q132: whole-group RANK + count windows — the engine's score-bucketed
     // two-phase rank must reproduce them exactly
     "q132_percentile_calibrate" ->

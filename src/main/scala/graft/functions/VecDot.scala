@@ -39,6 +39,20 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def elementsNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  /** Null can arise from a null array (BinaryExpression contract) OR from a
+    * null element — so nullability must include `containsNull`. Without
+    * this, non-nullable array inputs (e.g. arrays built by `transform` /
+    * `collect_list`) make `ev.isNull` the literal `false` and the generated
+    * `false = true` assignment breaks compilation, silently dropping the
+    * whole projection out of codegen (found live: centroid classification
+    * ran interpreted). */
+  override def nullable: Boolean =
+    !childrenResolved || left.nullable || right.nullable || elementsNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -70,7 +84,14 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val s = ctx.freshName("s")
       // mismatched lengths throw (matching DuckDB list_inner_product) —
       // silently scoring a truncated embedding would mask data corruption;
-      // null elements null the result (getDouble on a null slot reads 0.0)
+      // null elements null the result (getDouble on a null slot reads 0.0).
+      // The element null check is emitted only when the array types can
+      // hold nulls: when they can't, `ev.isNull` may be the `false`
+      // literal (unassignable), and the branch-free loop is faster anyway.
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -79,7 +100,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
          |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullCheck
          |  $s += (double) $a.$getA($i) * (double) $b.$getB($i);
          |}
          |${ev.value} = $s;

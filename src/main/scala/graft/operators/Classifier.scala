@@ -134,4 +134,66 @@ object Classifier {
         coalesce(col("score"), lit(0.0)).as("score"),
         (coalesce(col("score"), lit(0.0)) > 0.0).as("predicted"))
   }
+
+  /** Nearest-centroid (Rocchio) classification over an embedding column —
+    * the IR-textbook centroid classifier (Manning, Raghavan & Schütze,
+    * "Introduction to Information Retrieval" §14.2) applied the way
+    * embedding-based curation pipelines label crawl slices: train one
+    * mean vector per label, assign every vector to its highest-cosine
+    * centroid. Returns one row per input vector:
+    * `(idCol, label, predicted BIGINT, score, runner_up BIGINT, margin)`
+    * where `score` is cosine to the winning centroid, `runner_up` the
+    * second-best label and `margin = score − runner_up_score` (the
+    * active-learning uncertainty signal; NULL when only one label
+    * exists). Ties break to the smaller label, both places.
+    *
+    * Determinism contract: centroids are [[Similarity.centroids]]'
+    * integer-quantized exact means (parallel aggregation order
+    * invisible); every cosine is `dot / (sqrt(vn2) · sqrt(cn2))` with
+    * dot/norms computed by [[graft.functions.VecDot]]'s fixed
+    * ascending-index loop — the same pure-IEEE expression tree the
+    * oracle restates via `list_inner_product`, so scores and margins
+    * are bit-identical with no rounding anywhere. A zero-norm vector
+    * (or centroid) scores exactly 0.0 against everything rather than
+    * NaN.
+    *
+    * Scale shape for 100 TB: the model is labels × dims doubles — it
+    * always broadcasts (one packed single-row array, same idiom as
+    * IvfIndex cell assignment), so classification is ONE narrow map
+    * stage over the corpus: no shuffle, no per-row join, fuses with the
+    * scan. Training aggregates (label, pos)-keyed partial sums whose
+    * result cardinality is labels × dims, independent of corpus size. */
+  def centroidClassify(embeddings: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String,
+                       quantScale: Double = 1.0e10): DataFrame = {
+    require(!embeddings.columns.exists(Set("_cents", "_vn2", "_scored", "_srt", "_best", "_snd")),
+      "input must not contain the reserved columns _cents/_vn2/_scored/_srt/_best/_snd")
+    import graft.functions.VecDot
+    val cents = Similarity.centroids(embeddings, labelCol, vecCol, quantScale)
+    val carr = cents.groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cvec"))
+      .select(col(labelCol).cast("long").as("_cl"), col("cvec"),
+        VecDot.dot(col("cvec"), col("cvec")).as("_cn2"))
+    val packed = carr.agg(collect_list(struct(col("_cl"), col("cvec"), col("_cn2"))).as("_cents"))
+    val scored = embeddings
+      .crossJoin(broadcast(packed))
+      .withColumn("_vn2", VecDot.dot(col(vecCol), col(vecCol)))
+      // per-label (score, -label) structs: ascending struct sort puts the
+      // winner LAST (max score, then max -label = min label) — the same
+      // total order as `ORDER BY score DESC, label ASC`
+      .withColumn("_scored", transform(col("_cents"), c => struct(
+        when(col("_vn2") * c.getField("_cn2") === 0.0, lit(0.0))
+          .otherwise(VecDot.dot(col(vecCol), c.getField("cvec")) /
+            (sqrt(col("_vn2")) * sqrt(c.getField("_cn2")))).as("s"),
+        (-c.getField("_cl")).as("negl"))))
+      .withColumn("_srt", array_sort(col("_scored")))
+      .withColumn("_best", element_at(col("_srt"), -1))
+      .withColumn("_snd", when(size(col("_srt")) >= 2, element_at(col("_srt"), -2)))
+    scored.select(col(idCol), col(labelCol).as("label"),
+      (-col("_best").getField("negl")).as("predicted"),
+      col("_best").getField("s").as("score"),
+      (-col("_snd").getField("negl")).as("runner_up"),
+      (col("_best").getField("s") - col("_snd").getField("s")).as("margin"))
+  }
 }

@@ -100,4 +100,89 @@ class ClassifierSpec extends SparkFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"the bounded model table must broadcast into scoring:\n$plan")
   }
+
+  // ---- nearest-centroid (Rocchio) classification ----
+
+  private def centroidFixture = Seq(
+    (0L, Array(1.0f, 0.0f), 0),
+    (1L, Array(1.0f, 0.2f), 0),
+    (2L, Array(0.0f, 1.0f), 1),
+    (3L, Array(0.2f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+
+  test("centroidClassify matches a hand-replayed Rocchio reference") {
+    // replicate the exact arithmetic: quantized mean centroids, VecDot
+    // folds, dot / (sqrt(vn2) * sqrt(cn2))
+    def quantMean(vs: Seq[Float]): Double =
+      vs.map(v => math.floor(v.toDouble * 1.0e10 + 0.5)).sum / vs.size / 1.0e10
+    val c0 = Array(quantMean(Seq(1.0f, 1.0f)), quantMean(Seq(0.0f, 0.2f)))
+    val c1 = Array(quantMean(Seq(0.0f, 0.2f)), quantMean(Seq(1.0f, 1.0f)))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def cos(v: Array[Float], c: Array[Double]): Double = {
+      val vd = v.map(_.toDouble)
+      dot(vd, c) / (math.sqrt(dot(vd, vd)) * math.sqrt(dot(c, c)))
+    }
+    val got = Classifier.centroidClassify(centroidFixture, "vec_id", "embedding", "label")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    Seq((0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.2f)),
+        (2L, Array(0.0f, 1.0f)), (3L, Array(0.2f, 1.0f))).zip(got).foreach {
+      case ((id, v), (gid, lbl, pred, score, runner, margin)) =>
+        val s0 = cos(v, c0); val s1 = cos(v, c1)
+        val (wantPred, wantBest, wantRun, wantSnd) =
+          if (s1 > s0) (1L, s1, 0L, s0) else (0L, s0, 1L, s1)
+        assert(gid == id && lbl == (if (id < 2) 0 else 1))
+        assert(pred == wantPred, s"vec $id predicted $pred, want $wantPred")
+        assert(score == wantBest, s"vec $id score $score, want $wantBest (bit-exact)")
+        assert(runner == wantRun && margin == wantBest - wantSnd)
+        assert(margin > 0.0, "distinct centroids must yield a positive margin")
+    }
+  }
+
+  test("centroidClassify breaks cosine ties to the smaller label") {
+    // (1,1) is equidistant from the axis centroids (1,0) and (0,1): the
+    // two cosines are the same expression tree => bitwise equal => label 0.
+    // Its own label's centroid cancels to the zero vector (score 0), so it
+    // can't win by self-membership.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 1),
+      (2L, Array(1.0f, 1.0f), 7), (3L, Array(-1.0f, -1.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val r = Classifier.centroidClassify(df, "vec_id", "embedding", "label")
+      .filter($"vec_id" === 2L).collect().head
+    assert(r.getLong(2) == 0L, s"tie must resolve to the smaller label: $r")
+    assert(r.getDouble(5) == 0.0, "a perfect tie has zero margin")
+  }
+
+  test("centroidClassify: zero vectors score 0.0, single label yields null margin") {
+    val zero = Seq((0L, Array(0.0f, 0.0f), 3), (1L, Array(1.0f, 0.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Classifier.centroidClassify(zero, "vec_id", "embedding", "label")
+      .orderBy("vec_id").collect()
+    assert(rows(0).getDouble(3) == 0.0, "zero-norm vector must score exactly 0.0")
+    rows.foreach { r =>
+      assert(r.getLong(2) == 3L)
+      assert(r.isNullAt(4) && r.isNullAt(5),
+        s"single-label corpus has no runner-up/margin: $r")
+    }
+  }
+
+  test("centroidClassify is layout-invariant") {
+    val base = Classifier.centroidClassify(centroidFixture, "vec_id", "embedding", "label")
+      .orderBy("vec_id").collect().toSeq
+    val shuffled = Classifier.centroidClassify(
+      centroidFixture.repartition(7), "vec_id", "embedding", "label")
+      .orderBy("vec_id").collect().toSeq
+    assert(base == shuffled, "partition layout must not change any score bit")
+  }
+
+  test("centroidClassify plan: the packed centroid model broadcasts; corpus never shuffles") {
+    val plan = Classifier.centroidClassify(centroidFixture, "vec_id", "embedding", "label")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the labels-by-dims model must broadcast into classification:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"classification must be a narrow map stage over the corpus:\n$plan")
+  }
 }
