@@ -1432,6 +1432,16 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // Stupid-Backoff trigram scoring (Brants'07): the web-scale quality LM.
+    // All counts derive from ONE BOS-padded trigram table; the backoff CASE
+    // chain and position-ordered fold replay identically in the oracle
+    "q135_stupid_backoff" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val model = LanguageModel.trainTrigram(
+        d.filter(col("source") === "src0"), "text")
+      LanguageModel.stupidBackoffScore(d, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
     // Per-source percentile-rank calibration: RANK ties share position,
     // pct = (rank-1)/max(n-1,1) — one double division of integers. The
     // engine's score-bucketed two-phase rank ≡ the oracle's whole-group
@@ -3343,6 +3353,52 @@ object SparkEntry {
     // q133: eight unrolled BPE iterations — identical pair sums, argmax
     // order, and merge fold
     "q133_bpe_merges" -> bpeOracle(8),
+    // q135: Stupid Backoff replayed — the identical BOS-padded trigram
+    // stream, counts aggregated from the one src0 trigram table, the same
+    // left-associated backoff CASE (0.4 as an explicit DOUBLE), the same
+    // position-ordered fold and 4dp round
+    "q135_stupid_backoff" ->
+      """WITH tks AS (SELECT doc_id, source,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |tg AS (SELECT doc_id, source, i,
+        |    CASE WHEN i <= 2 THEN '<s>' ELSE tk[i-2] END AS p2,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS p1, tk[i] AS cur
+        |  FROM (SELECT doc_id, source, tk,
+        |        unnest(generate_series(1, len(tk))) AS i
+        |        FROM tks WHERE len(tk) >= 1)),
+        |tri AS (SELECT p2, p1, cur, count(*) AS c FROM tg
+        |  WHERE source = 'src0' GROUP BY 1, 2, 3),
+        |bctx AS (SELECT p2, p1, sum(c) AS cb FROM tri GROUP BY 1, 2),
+        |bi AS (SELECT p1, cur, sum(c) AS c2 FROM tri GROUP BY 1, 2),
+        |uctx AS (SELECT p1, sum(c) AS c1ctx FROM tri GROUP BY 1),
+        |uni AS (SELECT cur, sum(c) AS c1 FROM tri GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n FROM tri),
+        |sc AS (SELECT tg.doc_id, i,
+        |    -ln(CASE
+        |      WHEN coalesce(c, 0) > 0
+        |        THEN CAST(c AS DOUBLE) / CAST(cb AS DOUBLE)
+        |      WHEN coalesce(c2, 0) > 0
+        |        THEN CAST(0.4 AS DOUBLE) * (CAST(c2 AS DOUBLE) / CAST(c1ctx AS DOUBLE))
+        |      WHEN coalesce(c1, 0) > 0
+        |        THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+        |          * (CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+        |          / CAST(n AS DOUBLE) END) AS nll
+        |  FROM tg LEFT JOIN tri USING (p2, p1, cur)
+        |    LEFT JOIN bctx USING (p2, p1)
+        |    LEFT JOIN bi USING (p1, cur)
+        |    LEFT JOIN uctx USING (p1)
+        |    LEFT JOIN uni USING (cur), tot),
+        |f AS (SELECT doc_id, count(*) AS n_tokens,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(nll ORDER BY i)),
+        |      (a, b) -> a + b) AS s
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(s / CAST(n_tokens AS DOUBLE), 4) AS avg_nll
+        |FROM f ORDER BY doc_id""".stripMargin,
     // q134: full Rocchio replay — q64's quantized centroid means, cosine as
     // list_inner_product with the same sqrt(vn2)*sqrt(cn2) denominator, and
     // the argmax as a (score DESC, label ASC) window; margin is a

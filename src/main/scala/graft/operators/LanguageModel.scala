@@ -122,4 +122,101 @@ object LanguageModel {
             (a, s) => a + s.getField("nll")) /
           col("n_tokens").cast("double"), 4).as("avg_nll"))
   }
+
+  /** `(id, pos, p2, p1, cur)` trigram stream with a double-[[Bos]] pad —
+    * `w₋₁ = w₀ = <s>`, so every token position has a full two-token
+    * context and a one-token document still scores. */
+  private def trigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= 1)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("_tk"))),
+        i => struct(i.cast("int").as("pos"),
+          when(i <= 2, lit(Bos)).otherwise(element_at(col("_tk"), i - 2)).as("p2"),
+          when(i === 1, lit(Bos)).otherwise(element_at(col("_tk"), i - 1)).as("p1"),
+          element_at(col("_tk"), i).as("cur")))).as("_t"))
+      .select(col(idCol), col("_t.pos").as("pos"), col("_t.p2").as("p2"),
+        col("_t.p1").as("p1"), col("_t.cur").as("cur"))
+
+  /** Trigram counts `(p2, p1, cur, c)` over the BOS-padded training
+    * stream. The single artifact of the Stupid-Backoff model: every
+    * lower-order table ([[stupidBackoffScore]]'s bigram/unigram/total
+    * counts) derives from it by vocabulary-sized aggregation, so
+    * numerators can never exceed their denominators by construction.
+    * One map-side-combinable aggregation, output bounded by distinct
+    * trigram TYPES in the training slice. */
+  def trainTrigram(train: DataFrame, textCol: String): DataFrame =
+    trigrams(train.select(lit(0L).as("_lm_id"), col(textCol)), "_lm_id", textCol)
+      .groupBy("p2", "p1", "cur").agg(count(lit(1)).as("c"))
+
+  /** Stupid-Backoff scoring (Brants et al., "Large Language Models in
+    * Machine Translation", EMNLP 2007 §4): the web-scale LM that skips
+    * normalized smoothing entirely —
+    *
+    * `S(w | a b) = c(abw)/c(ab)` if seen, else `α·S(w | b)`;
+    * `S(w | b) = c(bw)/c(b)` if seen, else `α·S(w)`;
+    * `S(w) = c(w)/N`, with the one deviation that an out-of-vocabulary
+    * word scores `α/N` (a vanishing pseudo-mass keeps `ln` finite; the
+    * paper leaves unseen unigrams unscored because MT never proposes
+    * them — a curation scorer must score everything).
+    *
+    * α is the paper's 0.4. Returns `(idCol, n_tokens, avg_nll)` where
+    * `avg_nll = (1/m)·Σ −ln S` over BOS-padded positions, rounded to 4
+    * decimals — lower = more like the training slice. Scores are NOT
+    * probabilities (that is the point of Stupid Backoff) but rank
+    * monotonically, which is all a quality filter consumes.
+    *
+    * Determinism: all counts are exact integers from ONE padded stream;
+    * each branch of the backoff CASE is division/multiplication of
+    * exactly-representable args in a fixed left-associated order; the
+    * per-doc sum folds in position order; the 4dp round absorbs `ln`
+    * ulps. The oracle replays the identical CASE chain and fold.
+    *
+    * Scale shape: identical to [[perplexityScore]] — the model and its
+    * three derived tables broadcast behind the counted gate (shuffle
+    * fallback above `maxBroadcastRows`), and the only corpus-scale
+    * exchange is the per-document regroup for the ordered fold. */
+  def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+                         model: DataFrame,
+                         maxBroadcastRows: Long = 50000000L): DataFrame = {
+    val gate = Gates.countedBroadcast(model, maxBroadcastRows)
+    require(gate.rows > 0,
+      "stupidBackoffScore: the trigram model is empty (was the training " +
+        "slice empty or token-less?)")
+    val m = gate.pinned
+    val a = lit(0.4)
+    val triSide = gate.side
+    val biCtxSide = gate.of(m.groupBy("p2", "p1").agg(sum("c").as("cb"))
+      .withColumnRenamed("p2", "_b2").withColumnRenamed("p1", "_b1"))
+    val biSide = gate.of(m.groupBy("p1", "cur").agg(sum("c").as("c2")))
+    val uniCtxSide = gate.of(m.groupBy("p1").agg(sum("c").as("c1ctx"))
+      .withColumnRenamed("p1", "_u1"))
+    // cur is never Bos (it is always a real token), so grouping the model
+    // by cur yields true unigram counts
+    val uniSide = gate.of(m.groupBy("cur").agg(sum("c").as("c1")))
+    val totals = m.agg(sum("c").as("n"))
+
+    val scored = trigrams(docs, idCol, textCol)
+      .join(triSide, Seq("p2", "p1", "cur"), "left")
+      .join(biCtxSide, col("p2") === col("_b2") && col("p1") === col("_b1"), "left")
+      .join(biSide, Seq("p1", "cur"), "left")
+      .join(uniCtxSide, col("p1") === col("_u1"), "left")
+      .join(uniSide, Seq("cur"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("pos"),
+        (-log(
+          when(coalesce(col("c"), lit(0L)) > 0L,
+            col("c").cast("double") / col("cb").cast("double"))
+          .when(coalesce(col("c2"), lit(0L)) > 0L,
+            a * (col("c2").cast("double") / col("c1ctx").cast("double")))
+          .when(coalesce(col("c1"), lit(0L)) > 0L,
+            a * a * (col("c1").cast("double") / col("n").cast("double")))
+          .otherwise(a * a * a / col("n").cast("double")))).as("nll"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        collect_list(struct(col("pos"), col("nll"))).as("cl"))
+      .select(col(idCol), col("n_tokens"),
+        round(aggregate(sort_array(col("cl")), lit(0.0),
+            (acc, s) => acc + s.getField("nll")) /
+          col("n_tokens").cast("double"), 4).as("avg_nll"))
+  }
 }

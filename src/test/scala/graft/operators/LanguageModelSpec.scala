@@ -113,4 +113,104 @@ class LanguageModelSpec extends SparkFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(bc === sj)
   }
+
+  // ---- Stupid Backoff ----
+
+  /** Naive Stupid-Backoff reference replicating the operator's exact
+    * arithmetic: one BOS-padded trigram count table, derived lower
+    * orders, the left-associated 0.4 backoff chain. */
+  private def naiveSbo(train: Seq[String],
+                       score: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ")
+        .trim.split(" ").filter(_.nonEmpty).toSeq
+    val B = LanguageModel.Bos
+    def tris(t: Seq[String]): Seq[(String, String, String)] =
+      t.indices.map { i =>
+        (if (i < 2) B else t(i - 2), if (i < 1) B else t(i - 1), t(i))
+      }
+    val tri = train.map(toks).filter(_.nonEmpty).flatMap(tris)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bctx = tri.groupBy { case ((a, b, _), _) => (a, b) }
+      .map { case (k, m) => k -> m.values.sum }
+    val bi = tri.groupBy { case ((_, b, w), _) => (b, w) }
+      .map { case (k, m) => k -> m.values.sum }
+    val uctx = tri.groupBy { case ((_, b, _), _) => b }
+      .map { case (k, m) => k -> m.values.sum }
+    val uni = tri.groupBy { case ((_, _, w), _) => w }
+      .map { case (k, m) => k -> m.values.sum }
+    val n = tri.values.sum
+    score.flatMap { case (id, text) =>
+      val t = toks(text)
+      if (t.isEmpty) None
+      else {
+        val nll = tris(t).foldLeft(0.0) { case (acc, (a, b, w)) =>
+          val s =
+            if (tri.getOrElse((a, b, w), 0L) > 0L)
+              tri((a, b, w)).toDouble / bctx((a, b)).toDouble
+            else if (bi.getOrElse((b, w), 0L) > 0L)
+              0.4 * (bi((b, w)).toDouble / uctx(b).toDouble)
+            else if (uni.getOrElse(w, 0L) > 0L)
+              0.4 * 0.4 * (uni(w).toDouble / n.toDouble)
+            else 0.4 * 0.4 * 0.4 / n.toDouble
+          acc + -math.log(s)
+        }
+        Some(id -> (t.size.toLong, round4(nll / t.size)))
+      }
+    }.toMap
+  }
+
+  test("stupidBackoff: every backoff branch matches the hand computation") {
+    // train: "a b c" twice and "a b d" once — so (a,b,c) is a seen
+    // trigram, (b,d) a seen bigram under unseen trigram contexts, 'd' a
+    // seen unigram, and 'zzz' is OOV
+    val train = Seq("a b c", "a b c", "a b d")
+    val score = Seq(
+      (1L, "a b c"),   // pure trigram path (incl. BOS-padded positions)
+      (2L, "c b d"),   // forces bigram/unigram backoff
+      (3L, "zzz"),     // OOV-only
+      (4L, "a b zzz")) // mixed: seen prefix, OOV tail
+    val model = LanguageModel.trainTrigram(train.toDF("text"), "text")
+    val got = LanguageModel.stupidBackoffScore(
+        score.toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map { case Row(id: Long, n: Long, s: Double) => id -> (n, s) }
+      .toMap
+    val want = naiveSbo(train, score)
+    assert(got === want)
+    // trigram-perfect text must outscore (lower nll) backed-off text
+    assert(got(1L)._2 < got(2L)._2 && got(2L)._2 < got(3L)._2)
+  }
+
+  test("stupidBackoff randomized differential against the naive reference") {
+    val rng = new scala.util.Random(20260814)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "oov1")
+    def doc(): String =
+      Seq.fill(1 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")
+    val train = Seq.fill(25)(doc())
+    val score = (1L to 50L).map(i => i -> doc())
+    val model = LanguageModel.trainTrigram(train.toDF("text"), "text")
+    val got = LanguageModel.stupidBackoffScore(
+        score.toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map { case Row(id: Long, n: Long, s: Double) => id -> (n, s) }
+      .toMap
+    assert(got === naiveSbo(train, score))
+  }
+
+  test("stupidBackoff: empty model fails loudly; fallback ≡ broadcast") {
+    val empty = LanguageModel.trainTrigram(Seq("").toDF("text"), "text")
+    intercept[IllegalArgumentException] {
+      LanguageModel.stupidBackoffScore(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", empty)
+    }
+    val train = Seq("a b c a b", "c a b c").toDF("text")
+    val docs = Seq((1L, "a b c"), (2L, "c c q")).toDF("doc_id", "text")
+    val model = LanguageModel.trainTrigram(train, "text")
+    val bc = LanguageModel.stupidBackoffScore(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect().toSeq
+    val sj = LanguageModel.stupidBackoffScore(docs, "doc_id", "text", model,
+        maxBroadcastRows = 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(bc === sj)
+  }
 }
