@@ -1432,6 +1432,14 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // k-center greedy coreset (Gonzalez'85 farthest-point sampling): 8
+    // selection steps, each one narrow broadcast-distance pass + a single
+    // max(struct) argmax; d2 bit-exact, ties to the smaller id
+    "q136_kcenter_coreset" -> ((s, dir) => {
+      graft.operators.Coreset.kCenterGreedy(
+        Tables(s, dir).embeddings, "vec_id", "embedding", k = 8)
+        .orderBy("step")
+    }),
     // Stupid-Backoff trigram scoring (Brants'07): the web-scale quality LM.
     // All counts derive from ONE BOS-padded trigram table; the backoff CASE
     // chain and position-ordered fold replay identically in the oracle
@@ -1787,6 +1795,41 @@ object SparkEntry {
     * merge fold as a struct-element `list_reduce` whose first element IS
     * the initial accumulator (equivalent to the engine's
     * `(out=[], pend='')` zero plus one step). */
+  /** q136's oracle: [[graft.operators.Coreset.kCenterGreedy]] unrolled as
+    * `k − 1` chained CTE picks. Each `m_t` narrows the previous candidate
+    * set by the last pick and folds its distance in with `least`; each
+    * `p_t` is the `(mind2 DESC, id ASC)` argmax — exactly the engine's
+    * `max(struct(mind2, −id))`. Distances are the identical
+    * `vn2 + sn2 − 2·dot` expression over `list_inner_product`, so every
+    * d2 is bit-exact. */
+  private def kcenterOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |en AS (SELECT id, v, list_inner_product(v, v) AS vn2 FROM e),
+        |p0 AS (SELECT id, v, vn2 FROM en ORDER BY id LIMIT 1),
+        |m1 AS (SELECT en.id, en.v, en.vn2,
+        |    en.vn2 + p.vn2 - CAST(2.0 AS DOUBLE) * list_inner_product(en.v, p.v) AS mind2
+        |  FROM en, p0 p WHERE en.id <> p.id),
+        |p1 AS (SELECT id, v, vn2, mind2 FROM m1 ORDER BY mind2 DESC, id LIMIT 1)""".stripMargin)
+    for (t <- 2 until k) {
+      sb.append(s""",
+        |m$t AS (SELECT m.id, m.v, m.vn2,
+        |    least(m.mind2,
+        |      m.vn2 + p.vn2 - CAST(2.0 AS DOUBLE) * list_inner_product(m.v, p.v)) AS mind2
+        |  FROM m${t - 1} m, p${t - 1} p WHERE m.id <> p.id),
+        |p$t AS (SELECT id, v, vn2, mind2 FROM m$t ORDER BY mind2 DESC, id LIMIT 1)""".stripMargin)
+    }
+    sb.append("""
+        |SELECT CAST(0 AS INTEGER) AS step, id AS vec_id, CAST(NULL AS DOUBLE) AS d2 FROM p0""".stripMargin)
+    for (t <- 1 until k)
+      sb.append(s"""
+        |UNION ALL SELECT CAST($t AS INTEGER), id, mind2 FROM p$t""".stripMargin)
+    sb.append("\nORDER BY step")
+    sb.toString
+  }
+
   private def bpeOracle(merges: Int): String = {
     // DuckDB 1.0's list_reduce drops LIST-typed struct fields from the
     // accumulator (verified live: the out-list stayed empty every step),
@@ -3353,6 +3396,9 @@ object SparkEntry {
     // q133: eight unrolled BPE iterations — identical pair sums, argmax
     // order, and merge fold
     "q133_bpe_merges" -> bpeOracle(8),
+    // q136: eight unrolled farthest-point picks — identical distance
+    // expression, least-fold, and (mind2 DESC, id ASC) argmax
+    "q136_kcenter_coreset" -> kcenterOracle(8),
     // q135: Stupid Backoff replayed — the identical BOS-padded trigram
     // stream, counts aggregated from the one src0 trigram table, the same
     // left-associated backoff CASE (0.4 as an explicit DOUBLE), the same
