@@ -1432,6 +1432,30 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // embedding-space decontamination (the GPT-3/Llama eval-overlap check
+    // moved to vector space): label-9 vectors play the benchmark, the rest
+    // the training corpus; five planted copies of train vectors must flag
+    // contaminated (score == the self-cosine expression), naturals must not
+    "q138_embed_decontam" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val train = emb.filter(col("label") =!= 9)
+      val evalQ = emb.filter(col("label") === 9)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .unionByName(train.filter(col("vec_id") < 5)
+          .select((col("vec_id") + 2000000L).as("query_id"),
+            col("embedding").as("query_vec")))
+      Similarity.bruteForceTopK(train, "vec_id", "embedding", evalQ, k = 1)
+        .select(col("query_id"), col("neighbor_id"), col("score"),
+          (col("score") >= 0.999).as("contaminated"))
+        .orderBy("query_id")
+    }),
+    // distinct-n diversity per source (Li'16): exact distinct/total gram
+    // counts for n=1..3 in one shared-token-array pass
+    "q137_distinct_n" -> ((s, dir) => {
+      graft.operators.Profile.distinctNgramDiversity(
+        Tables(s, dir).documents, "source", "text", maxN = 3)
+        .orderBy("source", "n")
+    }),
     // k-center greedy coreset (Gonzalez'85 farthest-point sampling): 8
     // selection steps, each one narrow broadcast-distance pass + a single
     // max(struct) argmax; d2 bit-exact, ties to the smaller id
@@ -1795,6 +1819,35 @@ object SparkEntry {
     * merge fold as a struct-element `list_reduce` whose first element IS
     * the initial accumulator (equivalent to the engine's
     * `(out=[], pend='')` zero plus one step). */
+  /** q137's oracle: per-n gram streams over the identical single-space
+    * tokenization, exact distinct/total counts, one integer/integer
+    * double division; the (source × n) spine restores empty cells. */
+  private def diversityOracle(maxN: Int): String = {
+    val branches = (1 to maxN).map { n =>
+      s"""SELECT source, $n AS n,
+         |    unnest(list_transform(
+         |      generate_series(1, greatest(len(tk) - ${n - 1}, 0)),
+         |      i -> array_to_string(list_slice(tk, i, i + ${n - 1}), ' '))) AS g
+         |  FROM t""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+       |gall AS (
+       |  $branches),
+       |agg AS (SELECT source, n, count(DISTINCT g) AS d, count(*) AS tt
+       |  FROM gall GROUP BY 1, 2),
+       |spine AS (SELECT DISTINCT source FROM documents),
+       |ns AS (SELECT unnest(generate_series(1, $maxN)) AS n)
+       |SELECT spine.source AS source, CAST(ns.n AS INTEGER) AS n,
+       |  CAST(coalesce(d, 0) AS BIGINT) AS distinct_ngrams,
+       |  CAST(coalesce(tt, 0) AS BIGINT) AS total_ngrams,
+       |  CASE WHEN coalesce(tt, 0) > 0
+       |       THEN CAST(d AS DOUBLE) / CAST(tt AS DOUBLE)
+       |       ELSE CAST(0.0 AS DOUBLE) END AS distinct_ratio
+       |FROM spine CROSS JOIN ns
+       |LEFT JOIN agg ON agg.source = spine.source AND agg.n = ns.n
+       |ORDER BY source, n""".stripMargin
+  }
+
   /** q136's oracle: [[graft.operators.Coreset.kCenterGreedy]] unrolled as
     * `k − 1` chained CTE picks. Each `m_t` narrows the previous candidate
     * set by the last pick and folds its distance in with `least`; each
@@ -3396,6 +3449,28 @@ object SparkEntry {
     // q133: eight unrolled BPE iterations — identical pair sums, argmax
     // order, and merge fold
     "q133_bpe_merges" -> bpeOracle(8),
+    "q137_distinct_n" -> diversityOracle(3),
+    // q138: q27's cosine replay over the split sets + the planted copies;
+    // the >= 0.999 flag is a comparison of bit-identical doubles
+    "q138_embed_decontam" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |tr AS (SELECT vec_id, v FROM e WHERE label <> 9),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE label = 9
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, v FROM tr WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, tr.vec_id AS neighbor_id,
+        |    list_inner_product(tr.v, q.qv)
+        |      / (sqrt(list_inner_product(tr.v, tr.v))
+        |         * sqrt(list_inner_product(q.qv, q.qv))) AS score
+        |  FROM tr CROSS JOIN q),
+        |ranked AS (SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, score,
+        |  score >= CAST(0.999 AS DOUBLE) AS contaminated
+        |FROM ranked WHERE rn = 1 ORDER BY query_id""".stripMargin,
     // q136: eight unrolled farthest-point picks — identical distance
     // expression, least-fold, and (mind2 DESC, id ASC) argmax
     "q136_kcenter_coreset" -> kcenterOracle(8),

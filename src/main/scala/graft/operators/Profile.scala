@@ -225,4 +225,55 @@ object Profile {
             coalesce(col("n_tokens"), lit(0L)).cast("double"))
           .otherwise(lit(0.0)).as("oov_rate"))
   }
+
+  /** Distinct-n corpus diversity per group — the distinct-1/2/…
+    * generation-diversity metric of Li et al., "A Diversity-Promoting
+    * Objective Function for Neural Conversation Models" (NAACL 2016),
+    * applied corpus-side: a slice whose ratios collapse is template/
+    * boilerplate-heavy (the corpus-level complement of the per-document
+    * [[Scrub.repetitionSignals]]). Returns one row per (group, n):
+    * `(groupCol, n, distinct_ngrams, total_ngrams, distinct_ratio)` for
+    * n = 1..`maxN`, with grams from [[Scrub.wordNgrams]]' single-space
+    * tokenization. Groups whose documents are all shorter than n tokens
+    * emit `(0, 0, 0.0)` rather than vanishing.
+    *
+    * Counts are exact integers; the ratio is one integer/integer double
+    * division — bit-exact cross-engine.
+    *
+    * Scale shape: one explode pass per corpus (all n sizes in one plan —
+    * the token array is built once per row and shared), then ONE
+    * (group, n, gram)-keyed partial-dedup aggregation followed by a
+    * (group, n)-keyed count — both map-side combinable; the intermediate
+    * is bounded by distinct gram TYPES per group, not corpus tokens. At
+    * the 100 TB tail where even gram types strain the shuffle, the KMV
+    * estimate over the same grams ([[SetSketch.kmvPerGroup]]) is the
+    * drop-in approximation; this operator stays the exact/auditable
+    * path. */
+  def distinctNgramDiversity(docs: DataFrame, groupCol: String,
+                             textCol: String, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, s"maxN ($maxN) must be >= 1")
+    require(!docs.columns.exists(Set("_n", "_g", "n")),
+      "input must not contain the reserved columns _n/_g/n")
+    val grams = docs.select(col(groupCol),
+        explode(array((1 to maxN).map(n =>
+          struct(lit(n).as("_n"),
+            Scrub.wordNgrams(col(textCol), n).as("_g"))): _*)).as("_e"))
+      .select(col(groupCol), col("_e._n").as("n"), explode(col("_e._g")).as("_g"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(countDistinct(col("_g")).as("distinct_ngrams"),
+        count(lit(1)).as("total_ngrams"))
+    // restore (group, n) cells with no grams at all (every doc shorter
+    // than n): the group spine × n sizes, left-joined
+    docs.select(col(groupCol)).distinct()
+      .crossJoin(broadcast(
+        docs.sparkSession.range(1, maxN + 1).select(col("id").cast("int").as("n"))))
+      .join(grams, Seq(groupCol, "n"), "left")
+      .select(col(groupCol), col("n"),
+        coalesce(col("distinct_ngrams"), lit(0L)).as("distinct_ngrams"),
+        coalesce(col("total_ngrams"), lit(0L)).as("total_ngrams"),
+        when(coalesce(col("total_ngrams"), lit(0L)) > 0L,
+          coalesce(col("distinct_ngrams"), lit(0L)).cast("double") /
+            coalesce(col("total_ngrams"), lit(0L)).cast("double"))
+          .otherwise(lit(0.0)).as("distinct_ratio"))
+  }
 }

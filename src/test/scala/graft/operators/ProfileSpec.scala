@@ -110,4 +110,28 @@ class ProfileSpec extends SparkFunSuite {
     assert(withK1.getLong(2) == 3L, s"tie must break to 'a': $withK1")
     assert(Profile.oovRate(df, "id", "text", k = 100).head.getLong(2) == 0L)
   }
+
+  test("distinctNgramDiversity: hand-computed cells, short-doc zeros, layout invariance") {
+    // src A: "a b a b" + "a b" -> unigrams 6 total/2 distinct; bigrams
+    // {a b, b a, a b} + {a b} = 4 total/2 distinct; trigrams {a b a, b a b}
+    // = 2 total/2 distinct. src B: one 1-token doc -> no bigrams/trigrams.
+    val df = Seq(("A", "a b a b"), ("A", "a b"), ("B", "q"))
+      .toDF("source", "text")
+    val got = Profile.distinctNgramDiversity(df, "source", "text", maxN = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(("A", 1)) == ((2L, 6L, 2.0 / 6.0)))
+    assert(got(("A", 2)) == ((2L, 4L, 2.0 / 4.0)))
+    assert(got(("A", 3)) == ((2L, 2L, 1.0)))
+    assert(got(("B", 1)) == ((1L, 1L, 1.0)))
+    assert(got(("B", 2)) == ((0L, 0L, 0.0)), "gram-less cell must survive as zeros")
+    assert(got(("B", 3)) == ((0L, 0L, 0.0)))
+    assert(got.size == 6, "exactly (groups x maxN) cells")
+    val shuffled = Profile.distinctNgramDiversity(
+        df.repartition(5), "source", "text", maxN = 3)
+      .orderBy("source", "n").collect().toSeq
+    val base = Profile.distinctNgramDiversity(df, "source", "text", maxN = 3)
+      .orderBy("source", "n").collect().toSeq
+    assert(base == shuffled)
+  }
 }
