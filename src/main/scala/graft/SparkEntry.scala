@@ -1432,6 +1432,15 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // UniMax budget allocation (Chung'23): per-language char quotas under a
+    // 600k budget and a 2-epoch cap — the capped-prefix closed form over
+    // one vocabulary-sized window; integer arithmetic until the two final
+    // divisions
+    "q139_unimax_quotas" -> ((s, dir) => {
+      Sampling.unimaxQuotas(Tables(s, dir).documents, "lang", "n_chars",
+          budget = 600000L, epochCap = 2.0)
+        .orderBy("lang")
+    }),
     // embedding-space decontamination (the GPT-3/Llama eval-overlap check
     // moved to vector space): label-9 vectors play the benchmark, the rest
     // the training corpus; five planted copies of train vectors must flag
@@ -3450,6 +3459,39 @@ object SparkEntry {
     // order, and merge fold
     "q133_bpe_merges" -> bpeOracle(8),
     "q137_distinct_n" -> diversityOracle(3),
+    // q139: the UniMax capped-prefix closed form replayed — identical
+    // ascending (size, lang) order, integer caps/cumulative sums/prefix
+    // condition, the same two final double divisions
+    "q139_unimax_quotas" ->
+      """WITH sizes AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS size
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, size,
+        |    CAST(floor(CAST(size AS DOUBLE) * CAST(2.0 AS DOUBLE)) AS BIGINT) AS cap,
+        |    CAST(row_number() OVER ord AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM sizes WINDOW ord AS (ORDER BY size, lang)),
+        |c AS (SELECT *,
+        |    CAST(coalesce(sum(cap) OVER (ORDER BY size, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+        |  FROM w),
+        |d AS (SELECT *,
+        |    CASE WHEN cap * (n - i + 1) <= 600000 - cum_prev THEN 1 ELSE 0 END AS cond
+        |  FROM c),
+        |e AS (SELECT *,
+        |    min(cond) OVER (ORDER BY size, lang ROWS UNBOUNDED PRECEDING) AS capped_i
+        |  FROM d),
+        |f AS (SELECT *,
+        |    CAST(sum(capped_i) OVER () AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN capped_i = 1 THEN cap ELSE 0 END) OVER () AS BIGINT) AS cumcap
+        |  FROM e),
+        |g AS (SELECT lang, size, cap, capped_i = 1 AS capped,
+        |    CASE WHEN capped_i = 1 THEN CAST(cap AS DOUBLE)
+        |         ELSE CAST(600000 - cumcap AS DOUBLE) / CAST(n - p AS DOUBLE)
+        |    END AS quota
+        |  FROM f)
+        |SELECT lang, size, cap, capped, quota,
+        |  quota / CAST(size AS DOUBLE) AS epochs
+        |FROM g ORDER BY lang""".stripMargin,
     // q138: q27's cosine replay over the split sets + the planted copies;
     // the >= 0.999 flag is a comparison of bit-identical doubles
     "q138_embed_decontam" ->

@@ -528,4 +528,64 @@ object Sampling {
           (col("_n") * 2L).cast("double"))
       .select(df.columns.map(col) ++ Seq(col("pos_in_group"), col("progress")): _*)
   }
+
+  /** UniMax budget allocation (Chung et al., ICLR'23): per-group token
+    * quotas under a total `budget` and a per-group `epochCap` (no group may
+    * be repeated more than `epochCap` epochs). The paper's greedy — visit
+    * groups ascending by size, give each `min(cap_i, remaining/left)` — has
+    * a closed form because once a group declines its cap every later
+    * (larger) group does too: the capped set is a PREFIX of the ascending
+    * size order, and all uncapped groups share the constant
+    * `(budget − Σ capped caps) / #uncapped`. That prefix is found with one
+    * cumulative window over the group table, no iteration.
+    *
+    * Exactness: sizes are exact long sums; `cap = floor(size · epochCap)`
+    * is a long; every cumulative sum and the prefix condition
+    * `cap·(groups left) ≤ budget − Σ previous caps` stay in integer
+    * arithmetic, so the only doubles are the two final divisions (share and
+    * epochs) — single correctly-rounded ops that replay bit-identically in
+    * the q139 oracle.
+    *
+    * Scale shape: ONE corpus aggregation (map-side partial sums keyed by
+    * `groupCol`), then windows over the GROUP table only — vocabulary-sized
+    * (#groups rows), so the unpartitioned `WindowExec` warning it emits is
+    * the same benign ≤-groups-row pattern as [[ppsSample]]'s offset table,
+    * not a corpus-scale sort.
+    *
+    * Output per group: `(groupCol, size, cap, capped, quota, epochs)`,
+    * `epochs = quota/size`. */
+  def unimaxQuotas(df: DataFrame, groupCol: String, weightCol: String,
+                   budget: Long, epochCap: Double): DataFrame = {
+    require(budget > 0, s"budget ($budget) must be positive")
+    require(epochCap > 0.0, s"epochCap ($epochCap) must be positive")
+    val sizes = df.groupBy(groupCol)
+      .agg(sum(col(weightCol)).cast("long").as("size"))
+      .withColumn("cap",
+        floor(col("size").cast("double") * lit(epochCap)).cast("long"))
+    val ord = Window.orderBy(col("size"), col(groupCol))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing).orderBy(col("size"), col(groupCol))
+    val w = sizes
+      .withColumn("_i", row_number().over(ord).cast("long"))
+      .withColumn("_n", count(lit(1)).over(all))
+      .withColumn("_cum_prev", coalesce(
+        sum(col("cap")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      // cond assumes every earlier group took its full cap; the prefix-AND
+      // below makes that assumption self-consistent (see scaladoc)
+      .withColumn("_cond",
+        when(col("cap") * (col("_n") - col("_i") + 1L) <=
+          lit(budget) - col("_cum_prev"), 1L).otherwise(0L))
+      .withColumn("_capped",
+        min(col("_cond")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_p", sum(col("_capped")).over(all))
+      .withColumn("_cumcap", sum(when(col("_capped") === 1L, col("cap"))
+        .otherwise(0L)).over(all))
+    w.select(col(groupCol), col("size"), col("cap"),
+        (col("_capped") === 1L).as("capped"),
+        when(col("_capped") === 1L, col("cap").cast("double"))
+          .otherwise((lit(budget) - col("_cumcap")).cast("double") /
+            (col("_n") - col("_p")).cast("double")).as("quota"))
+      .withColumn("epochs", col("quota") / col("size").cast("double"))
+  }
 }

@@ -551,4 +551,70 @@ class SamplingSpec extends SparkFunSuite {
         "id", "src")
     }
   }
+
+  // ---- unimaxQuotas ----
+
+  /** one weighted row per (group, weight) — quotas depend only on sizes */
+  private def sized(sizes: (String, Long)*) =
+    sizes.toSeq.toDF("g", "w")
+
+  test("unimaxQuotas: hand-computed mixed capped/uncapped allocation") {
+    // sizes asc: a=100, b=200, c=1000; cap=2.0 epochs; budget=1000.
+    // greedy: a: min(200, 1000/3=333.33) = 200 capped
+    //         b: min(400, 800/2=400)     = 400 capped (<= holds at equality)
+    //         c: min(2000, 400/1=400)    = 400 uncapped
+    val out = Sampling.unimaxQuotas(
+        sized("a" -> 100L, "b" -> 200L, "c" -> 1000L), "g", "w",
+        budget = 1000L, epochCap = 2.0)
+      .orderBy("g")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("a", 100L, 200L, true, 200.0, 2.0),
+      ("b", 200L, 400L, true, 400.0, 2.0),
+      ("c", 1000L, 2000L, false, 400.0, 0.4)))
+  }
+
+  test("unimaxQuotas: budget above total caps leaves every group capped") {
+    val out = Sampling.unimaxQuotas(
+        sized("a" -> 10L, "b" -> 20L), "g", "w",
+        budget = 1000L, epochCap = 2.0)
+      .collect().map(r => (r.getString(0), r.getBoolean(3), r.getDouble(4)))
+    assert(out.toSet == Set(("a", true, 20.0), ("b", true, 40.0)))
+  }
+
+  test("unimaxQuotas: tight budget gives every group the equal share") {
+    val out = Sampling.unimaxQuotas(
+        sized("a" -> 1000L, "b" -> 2000L, "c" -> 3000L, "d" -> 4000L),
+        "g", "w", budget = 100L, epochCap = 1.0)
+      .collect().map(r => (r.getString(0), r.getBoolean(3), r.getDouble(4)))
+    assert(out.toSet == Set(("a", false, 25.0), ("b", false, 25.0),
+      ("c", false, 25.0), ("d", false, 25.0)))
+  }
+
+  test("unimaxQuotas: equal sizes tie-break on group name; quotas sum to budget") {
+    // two equal small groups: caps 60 each, then two big uncapped sharing
+    val out = Sampling.unimaxQuotas(
+        sized("b2" -> 30L, "a1" -> 30L, "z" -> 500L, "y" -> 500L),
+        "g", "w", budget = 300L, epochCap = 2.0)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getBoolean(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(("a1", true, 60.0), ("b2", true, 60.0),
+      ("y", false, 90.0), ("z", false, 90.0)))
+    assert(out.map(_._3).sum == 300.0)
+  }
+
+  test("unimaxQuotas aggregates multi-row groups and rejects bad arguments") {
+    val df = Seq(("a", 5L), ("a", 5L), ("b", 30L)).toDF("g", "w")
+    val out = Sampling.unimaxQuotas(df, "g", "w", 1000L, 2.0)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 10L), ("b", 30L)))
+    intercept[IllegalArgumentException] {
+      Sampling.unimaxQuotas(df, "g", "w", 0L, 2.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.unimaxQuotas(df, "g", "w", 100L, 0.0)
+    }
+  }
 }
