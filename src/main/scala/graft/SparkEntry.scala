@@ -1432,6 +1432,13 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // Zipf rank-frequency slope per source: ln/ln least squares over the
+    // top-25 tokens — four rank-ordered folds, 6dp ExactRound on the two
+    // fit values (the q120 ln-ulp argument)
+    "q140_zipf_slope" -> ((s, dir) => {
+      Profile.zipfSlope(Tables(s, dir).documents, "source", "text", topK = 25)
+        .orderBy("source")
+    }),
     // UniMax budget allocation (Chung'23): per-language char quotas under a
     // 600k budget and a 2-epoch cap — the capped-prefix closed form over
     // one vocabulary-sized window; integer arithmetic until the two final
@@ -3459,6 +3466,41 @@ object SparkEntry {
     // order, and merge fold
     "q133_bpe_merges" -> bpeOracle(8),
     "q137_distinct_n" -> diversityOracle(3),
+    // q140: the identical rank order, four list_reduce folds in rank
+    // order, and the same slope/intercept expressions with the 6dp floor
+    // round
+    "q140_zipf_slope" ->
+      """WITH tk AS (SELECT source, unnest(string_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' ')) AS t FROM documents),
+        |vc AS (SELECT source, t, count(*) AS c FROM tk WHERE t <> ''
+        |  GROUP BY 1, 2),
+        |vr AS (SELECT source, t, c, row_number() OVER (PARTITION BY source
+        |    ORDER BY c DESC, t) AS r FROM vc),
+        |pts AS (SELECT source, r, ln(CAST(r AS DOUBLE)) AS x,
+        |    ln(CAST(c AS DOUBLE)) AS y
+        |  FROM vr WHERE r <= 25),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+        |    list_reduce(list(x ORDER BY r), (a, b) -> a + b) AS sx,
+        |    list_reduce(list(y ORDER BY r), (a, b) -> a + b) AS sy,
+        |    list_reduce(list(x * y ORDER BY r), (a, b) -> a + b) AS sxy,
+        |    list_reduce(list(x * x ORDER BY r), (a, b) -> a + b) AS sxx
+        |  FROM pts GROUP BY source),
+        |fit AS (SELECT source, n_ranks,
+        |    (CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx) AS slope_raw,
+        |    sx, sy, sxx,
+        |    CAST(n_ranks AS DOUBLE) * sxx - sx * sx AS den
+        |  FROM s)
+        |SELECT source, n_ranks,
+        |  CASE WHEN den <> CAST(0.0 AS DOUBLE) THEN
+        |    floor(slope_raw * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      / CAST(1000000 AS DOUBLE) END AS slope,
+        |  CASE WHEN den <> CAST(0.0 AS DOUBLE) THEN
+        |    floor(((sy - slope_raw * sx) / CAST(n_ranks AS DOUBLE))
+        |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      / CAST(1000000 AS DOUBLE) END AS intercept
+        |FROM fit ORDER BY source""".stripMargin,
     // q139: the UniMax capped-prefix closed form replayed — identical
     // ascending (size, lang) order, integer caps/cumulative sums/prefix
     // condition, the same two final double divisions

@@ -276,4 +276,63 @@ object Profile {
             coalesce(col("total_ngrams"), lit(0L)).cast("double"))
           .otherwise(lit(0.0)).as("distinct_ratio"))
   }
+
+  /** Zipf rank-frequency slope per group: least-squares fit of
+    * `ln(count)` on `ln(rank)` over the top-`topK` tokens of each slice
+    * (rank by count desc, token asc — a total order). Natural text sits
+    * near slope −1 (Zipf's law); a much flatter slope flags synthetic /
+    * template corpora, a much steeper one a collapsed vocabulary — the
+    * corpus-level complement of [[distinctNgramDiversity]].
+    *
+    * Returns `(groupCol, n_ranks, slope, intercept)`; both fit values
+    * round via [[graft.functions.ExactRound]] at 6dp (the `ln` last-ulp
+    * argument of [[sliceDivergence]]: ≤ topK terms of magnitude ≤ ~15, so
+    * accumulated ulps sit far under the grain). Groups with fewer than 2
+    * ranked tokens have a zero denominator and report null slope/
+    * intercept. Sums fold in RANK order (fixed-order IEEE), so the
+    * oracle's `list_reduce(list(… ORDER BY rank))` replays bit-exactly.
+    *
+    * Scale shape: ONE corpus-scale (group, token) count (map-side
+    * combinable); the rank window runs per group over the VOCAB-sized
+    * count table; everything after the `rank <= topK` cut is
+    * groups×topK rows. */
+  def zipfSlope(docs: DataFrame, groupCol: String, textCol: String,
+                topK: Int = 100): DataFrame = {
+    require(topK >= 2, s"topK ($topK) must be >= 2")
+    require(!docs.columns.exists(Set("_t", "_c", "_r", "_x", "_y")),
+      "input must not contain the reserved columns _t/_c/_r/_x/_y")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs
+      .select(col(groupCol),
+        explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("_t"))
+      .filter(col("_t") =!= "")
+      .groupBy(groupCol, "_t").agg(count(lit(1)).as("_c"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("_c").desc, col("_t"))))
+      .filter(col("_r") <= topK)
+      .select(col(groupCol), col("_r").cast("long").as("_r"),
+        log(col("_r").cast("double")).as("_x"),
+        log(col("_c").cast("double")).as("_y"))
+    // four independent fixed-order folds over the same rank-sorted list;
+    // each is a sequential IEEE sum the oracle replays term-for-term
+    val pts = ranked.groupBy(groupCol)
+      .agg(count(lit(1)).cast("long").as("n_ranks"),
+        sort_array(collect_list(struct(col("_r"), col("_x"), col("_y"))))
+          .as("_pts"))
+    def fold(f: Column => Column): Column =
+      aggregate(col("_pts"), lit(0.0), (a, s) => a + f(s))
+    val nD = col("n_ranks").cast("double")
+    val sx = fold(_("_x"))
+    val sy = fold(_("_y"))
+    val sxy = fold(s => s("_x") * s("_y"))
+    val sxx = fold(s => s("_x") * s("_x"))
+    val slopeRaw = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    pts.select(col(groupCol), col("n_ranks"),
+        when(nD * sxx - sx * sx =!= lit(0.0),
+          graft.functions.ExactRound.roundFloor(slopeRaw, 6))
+          .as("slope"),
+        when(nD * sxx - sx * sx =!= lit(0.0),
+          graft.functions.ExactRound.roundFloor(
+            (sy - slopeRaw * sx) / nD, 6)).as("intercept"))
+  }
 }

@@ -134,4 +134,50 @@ class ProfileSpec extends SparkFunSuite {
       .orderBy("source", "n").collect().toSeq
     assert(base == shuffled)
   }
+
+  test("zipfSlope: a perfect 1/rank corpus fits slope -1 exactly") {
+    // counts 24/r for ranks 1..4: y = ln24 - 1*x exactly, so the LS fit
+    // is (slope, intercept) = (-1, ln 24) up to fp, inside the 6dp grain
+    val text = (Seq.fill(24)("a") ++ Seq.fill(12)("b") ++
+      Seq.fill(8)("c") ++ Seq.fill(6)("d")).mkString(" ")
+    val out = Profile.zipfSlope(
+        Seq(("s1", text)).toDF("source", "text"), "source", "text")
+      .collect().head
+    assert(out.getLong(1) == 4L)
+    assert(out.getDouble(2) == -1.0)
+    assert(out.getDouble(3) == math.floor(math.log(24.0) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("zipfSlope: hand-computed two-point fit, count ties rank by token asc") {
+    // counts: a=3, b=3, c=1 -> ranks a=1, b=2, c=3 (tie a<b)
+    val text = "a a a b b b c"
+    val out = Profile.zipfSlope(
+        Seq(("s", text)).toDF("source", "text"), "source", "text", topK = 2)
+      .collect().head
+    // topK=2 keeps ranks 1,2: points (0, ln3), (ln2, ln3) -> slope 0
+    assert(out.getLong(1) == 2L)
+    assert(out.getDouble(2) == 0.0)
+    assert(out.getDouble(3) == math.floor(math.log(3.0) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("zipfSlope: a single-token vocabulary reports null fit, not a NaN") {
+    val out = Profile.zipfSlope(
+        Seq(("s", "only only only")).toDF("source", "text"),
+        "source", "text")
+      .collect().head
+    assert(out.getLong(1) == 1L)
+    assert(out.isNullAt(2) && out.isNullAt(3))
+  }
+
+  test("zipfSlope rejects bad arguments and reserved columns") {
+    val df = Seq(("s", "a b")).toDF("source", "text")
+    intercept[IllegalArgumentException] {
+      Profile.zipfSlope(df, "source", "text", topK = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.zipfSlope(
+        df.withColumn("_r", org.apache.spark.sql.functions.lit(1)),
+        "source", "text")
+    }
+  }
 }
