@@ -1432,6 +1432,14 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // per-shard export manifest: exact row/weight/id-range stats plus the
+    // order-independent two-word md5 checksum — the integrity record a
+    // training run checks before reading a published export
+    "q141_shard_manifest" -> ((s, dir) => {
+      Snapshot.manifest(Tables(s, dir).documents, "source", "doc_id",
+          "text", "n_chars")
+        .orderBy("source")
+    }),
     // Zipf rank-frequency slope per source: ln/ln least squares over the
     // top-25 tokens — four rank-ordered folds, 6dp ExactRound on the two
     // fit values (the q120 ln-ulp argument)
@@ -3466,6 +3474,22 @@ object SparkEntry {
     // order, and merge fold
     "q133_bpe_merges" -> bpeOracle(8),
     "q137_distinct_n" -> diversityOracle(3),
+    // q141: identical id:text md5 fingerprints; the hex words parse via
+    // CAST('0x'... and sum as exact integers — order never enters
+    "q141_shard_manifest" ->
+      """WITH fp AS (SELECT source, doc_id, n_chars,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')) AS h
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_weight,
+        |  min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id,
+        |  CAST(sum(CAST(('0x' || substring(h, 1, 8)) AS BIGINT)) AS BIGINT)
+        |    AS checksum_lo,
+        |  CAST(sum(CAST(('0x' || substring(h, 9, 8)) AS BIGINT)) AS BIGINT)
+        |    AS checksum_hi
+        |FROM fp GROUP BY source ORDER BY source""".stripMargin,
     // q140: the identical rank order, four list_reduce folds in rank
     // order, and the same slope/intercept expressions with the 6dp floor
     // round

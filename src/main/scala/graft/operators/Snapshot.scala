@@ -40,4 +40,36 @@ object Snapshot {
           .otherwise(lit("changed")).as("status"),
         col("old_fp"), col("new_fp"))
   }
+
+  /** Per-shard export manifest: the integrity record a training run
+    * checks before (and after) reading a published corpus export. One row
+    * per distinct value of `shardCol`:
+    * `(shardCol, n_rows, n_weight, min_id, max_id, checksum_lo,
+    * checksum_hi)` where `n_weight` is the exact sum of `weightCol`
+    * (token counts) and the checksum pair is an ORDER-INDEPENDENT content
+    * fingerprint: md5 of `id:text` (the [[diff]] null-as-empty
+    * convention) split into its first and second 8-hex words, each summed
+    * as an exact integer. Any lost, duplicated, or byte-changed row moves
+    * at least one sum (a coincidental cancellation needs a second row
+    * whose md5 words offset the first exactly — a 2⁻⁶⁴ event); row order
+    * never does, so re-exports from any cluster layout compare equal.
+    *
+    * Why summed words and not `md5(string_agg(...))`: the aggregated-
+    * string checksum needs every row of a shard collected and sorted in
+    * one place — shard-sized state. The word sums are commutative
+    * single-long state with map-side partials, and each word stays
+    * < 2³², so the long totals are exact up to 2³¹ rows per shard. */
+  def manifest(df: DataFrame, shardCol: String, idCol: String,
+               textCol: String, weightCol: String): DataFrame = {
+    val fp = md5(concat(col(idCol).cast("string"), lit(":"),
+      coalesce(col(textCol).cast("string"), lit(""))))
+    def word(off: Int) = conv(substring(fp, off, 8), 16, 10).cast("long")
+    df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(weightCol)).cast("long").as("n_weight"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"),
+        sum(word(1)).as("checksum_lo"),
+        sum(word(9)).as("checksum_hi"))
+  }
 }

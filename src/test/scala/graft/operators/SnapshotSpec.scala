@@ -51,4 +51,48 @@ class SnapshotSpec extends SparkFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(disj == Map("removed" -> 2L, "added" -> 1L))
   }
+
+  private def md5Word(s: String, off: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(off, off + 8), 16)
+  }
+
+  test("manifest: exact stats and the hand-computed md5 word sums") {
+    val df = Seq((1L, "alpha", "s1", 5L), (2L, "beta", "s1", 4L),
+        (7L, "gamma", "s2", 5L))
+      .toDF("id", "text", "shard", "w")
+    val out = Snapshot.manifest(df, "shard", "id", "text", "w")
+      .orderBy("shard").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      ("s1", 2L, 9L, 1L, 2L,
+        md5Word("1:alpha", 0) + md5Word("2:beta", 0),
+        md5Word("1:alpha", 8) + md5Word("2:beta", 8)),
+      ("s2", 1L, 5L, 7L, 7L, md5Word("7:gamma", 0), md5Word("7:gamma", 8))))
+  }
+
+  test("manifest: checksum is row-order independent but catches any row change") {
+    val a = Seq((1L, "x", "s", 1L), (2L, "y", "s", 1L), (3L, "z", "s", 1L))
+      .toDF("id", "text", "shard", "w")
+    val b = Seq((3L, "z", "s", 1L), (1L, "x", "s", 1L), (2L, "y", "s", 1L))
+      .toDF("id", "text", "shard", "w").repartition(7)
+    val ca = Snapshot.manifest(a, "shard", "id", "text", "w").collect().head
+    val cb = Snapshot.manifest(b, "shard", "id", "text", "w").collect().head
+    assert(ca == cb)
+    // one byte changed -> at least one checksum word moves
+    val c = Seq((1L, "x", "s", 1L), (2L, "Y", "s", 1L), (3L, "z", "s", 1L))
+      .toDF("id", "text", "shard", "w")
+    val cc = Snapshot.manifest(c, "shard", "id", "text", "w").collect().head
+    assert(cc.getLong(5) != ca.getLong(5) || cc.getLong(6) != ca.getLong(6))
+  }
+
+  test("manifest: null text fingerprints as empty (the diff convention)") {
+    val df = Seq((1L, null.asInstanceOf[String], "s", 0L))
+      .toDF("id", "text", "shard", "w")
+    val out = Snapshot.manifest(df, "shard", "id", "text", "w")
+      .collect().head
+    assert(out.getLong(5) == md5Word("1:", 0))
+  }
 }
