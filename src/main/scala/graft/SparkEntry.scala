@@ -1432,6 +1432,15 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // distributed Lloyd k-means (2 iterations, k=4): quantized integer
+    // dimension sums make every centroid an exact-integer division;
+    // assignment is a broadcast argmin with (d2, cluster) tie-break. The
+    // oracle unrolls both iterations as CTE chains.
+    "q142_kmeans_lloyd" -> ((s, dir) => {
+      graft.operators.KMeans.lloyd(
+        Tables(s, dir).embeddings, "vec_id", "embedding", k = 4, iters = 2)
+        .orderBy("cluster", "dim")
+    }),
     // per-shard export manifest: exact row/weight/id-range stats plus the
     // order-independent two-word md5 checksum — the integrity record a
     // training run checks before reading a published export
@@ -3474,6 +3483,52 @@ object SparkEntry {
     // order, and merge fold
     "q133_bpe_merges" -> bpeOracle(8),
     "q137_distinct_n" -> diversityOracle(3),
+    // q142: both Lloyd iterations unrolled — identical quantization,
+    // distance expression (qq − 2·dot + cc, the list_inner_product ≡
+    // VecDot precedent of q27), (d2, cluster) argmin, and exact-integer
+    // centroid divisions
+    "q142_kmeans_lloyd" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * CAST(1000.0 AS DOUBLE)
+        |        + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |eq AS (SELECT vec_id, q,
+        |    list_transform(q, v -> CAST(v AS DOUBLE)) AS qd,
+        |    list_inner_product(list_transform(q, v -> CAST(v AS DOUBLE)),
+        |      list_transform(q, v -> CAST(v AS DOUBLE))) AS qq
+        |  FROM e),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+        |      AS INTEGER) AS cl, qd AS c
+        |  FROM eq ORDER BY vec_id LIMIT 4),
+        |a1 AS (SELECT vec_id, cl, q FROM (
+        |    SELECT eq.vec_id, c0.cl, eq.q,
+        |      row_number() OVER (PARTITION BY eq.vec_id ORDER BY
+        |        eq.qq - CAST(2.0 AS DOUBLE) * list_inner_product(eq.qd, c0.c)
+        |          + list_inner_product(c0.c, c0.c), c0.cl) AS rn
+        |    FROM eq CROSS JOIN c0) WHERE rn = 1),
+        |s1 AS (SELECT cl, dim, CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT cl, unnest(q) AS v,
+        |      generate_subscripts(q, 1) - 1 AS dim FROM a1)
+        |  GROUP BY cl, dim),
+        |c1 AS (SELECT cl,
+        |    list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY dim) AS c
+        |  FROM s1 GROUP BY cl),
+        |a2 AS (SELECT vec_id, cl, q FROM (
+        |    SELECT eq.vec_id, c1.cl, eq.q,
+        |      row_number() OVER (PARTITION BY eq.vec_id ORDER BY
+        |        eq.qq - CAST(2.0 AS DOUBLE) * list_inner_product(eq.qd, c1.c)
+        |          + list_inner_product(c1.c, c1.c), c1.cl) AS rn
+        |    FROM eq CROSS JOIN c1) WHERE rn = 1),
+        |s2 AS (SELECT cl, dim, CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT cl, unnest(q) AS v,
+        |      generate_subscripts(q, 1) - 1 AS dim FROM a2)
+        |  GROUP BY cl, dim)
+        |SELECT cl AS cluster, n, CAST(dim AS INTEGER) AS dim,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS c
+        |FROM s2 ORDER BY cluster, dim""".stripMargin,
     // q141: identical id:text md5 fingerprints; the hex words parse via
     // CAST('0x'... and sum as exact integers — order never enters
     "q141_shard_manifest" ->
