@@ -1432,6 +1432,21 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // PassJoin edit-distance near-dup over 40-char prefix keys of one
+    // source slice, with three planted single-substitution variants so
+    // every scale has guaranteed pairs; candidates come from the linear
+    // segment-filter join, never an all-pairs stage
+    "q143_edit_distance_pairs" -> ((s, dir) => {
+      val base = Tables(s, dir).documents
+        .filter(col("source") === "src0")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("key"))
+      val planted = base.orderBy("doc_id").limit(3)
+        .select((col("doc_id") + 9000000L).as("doc_id"),
+          concat(lit("X"), substring(col("key"), 2, 39)).as("key"))
+      Dedup.editDistancePairs(base.unionByName(planted), "doc_id", "key",
+          maxDist = 2)
+        .orderBy("id_a", "id_b")
+    }),
     // distributed Lloyd k-means (2 iterations, k=4): quantized integer
     // dimension sums make every centroid an exact-integer division;
     // assignment is a broadcast argmin with (d2, cluster) tie-break. The
@@ -3483,6 +3498,25 @@ object SparkEntry {
     // order, and merge fold
     "q133_bpe_merges" -> bpeOracle(8),
     "q137_distinct_n" -> diversityOracle(3),
+    // q143: the oracle is the NAIVE quadratic ground truth (PassJoin is
+    // exact, so the filtered join must reproduce it row-for-row) over the
+    // same planted corpus; length-difference prefilter keeps DuckDB's
+    // levenshtein work bounded
+    "q143_edit_distance_pairs" ->
+      """WITH base AS (SELECT doc_id, substring(text, 1, 40) AS key
+        |  FROM documents WHERE source = 'src0'),
+        |low AS (SELECT doc_id, key FROM base ORDER BY doc_id LIMIT 3),
+        |planted AS (SELECT doc_id + 9000000 AS doc_id,
+        |    'X' || substring(key, 2, 39) AS key FROM low),
+        |allr AS (SELECT doc_id, key FROM base
+        |  UNION ALL SELECT doc_id, key FROM planted),
+        |f AS (SELECT doc_id, key FROM allr WHERE length(key) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |  AND abs(length(a.key) - length(b.key)) <= 2
+        |WHERE levenshtein(a.key, b.key) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // q142: both Lloyd iterations unrolled — identical quantization,
     // distance expression (qq − 2·dot + cc, the list_inner_product ≡
     // VecDot precedent of q27), (d2, cluster) argmin, and exact-integer

@@ -520,6 +520,90 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Edit-distance self-join: every pair of strings within Levenshtein
+    * distance `maxDist`, found WITHOUT the all-pairs quadratic — the
+    * segment-filter candidate generation of PassJoin (Li, Deng, Feng,
+    * Wang, "PASS-JOIN: a partition-based method for similarity joins",
+    * PVLDB 2011). Pigeonhole: split the shorter string s into
+    * `maxDist + 1` disjoint segments; any t with `ed(s,t) ≤ maxDist`
+    * leaves at least one segment un-edited, so t CONTAINS that segment
+    * verbatim, shifted by at most `maxDist` positions. Candidates are an
+    * equi-join on `(|s|, segment index, segment content)` between each
+    * string's segments (index side) and each string's shifted substrings
+    * at the segment geometries of lengths `|t|−maxDist … |t|` (probe
+    * side); survivors verify with one exact `levenshtein`.
+    *
+    * Output: `(id_a, id_b, dist)` with `id_a < id_b`, one row per pair
+    * with `dist ≤ maxDist`. Strings shorter than `maxDist + 1` chars are
+    * excluded BY CONTRACT (a segment must be ≥ 1 char; near-dup keys that
+    * short carry no signal — pad or bucket them upstream). Pair roles
+    * are deterministic: shorter string indexes, longer probes; equal
+    * lengths tie on id, so no pair is generated twice from swapped roles.
+    *
+    * Scale shape for 100 TB: index is `maxDist+1` rows per string, probe
+    * `≤ (maxDist+1)²(2·maxDist+1)` rows per string — both LINEAR in the
+    * corpus; the single shuffle is the selective equi-join on segment
+    * content (shared-segment groups play the role of LSH buckets — skew
+    * only where many strings share an identical segment at the same
+    * geometry, i.e. real near-dup mass). No all-pairs stage anywhere: the
+    * verify set is the candidate set, already near-linear, unlike the
+    * quadratic-by-contract [[ngramJaccardPairs]] family. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 4,
+      s"maxDist ($maxDist) must be in [1, 4] — probe fan-out grows cubically")
+    val m = maxDist + 1
+    val docs = df.select(col(idCol).cast("long").as("_id"),
+        col(textCol).as("_t"), length(col(textCol)).as("_len"))
+      .filter(col("_len") >= m)
+      .localCheckpoint(false)
+    // segment i of a length-L string starts at floor(i·L/m), ends at
+    // floor((i+1)·L/m) — exact in doubles for any realistic length
+    def segStart(L: Column, i: Int): Column =
+      floor(lit(i.toDouble) * L.cast("double") / lit(m.toDouble)).cast("int")
+    def segLen(L: Column, i: Int): Column =
+      segStart(L, i + 1) - segStart(L, i)
+    val index = docs.select(col("_id").as("_ia"), col("_t").as("_ta"),
+        col("_len").as("_la"),
+        explode(array((0 until m).map { i =>
+          struct(lit(i).as("i"),
+            col("_t").substr(segStart(col("_len"), i) + 1,
+              segLen(col("_len"), i)).as("seg"))
+        }: _*)).as("_s"))
+      .select(col("_ia"), col("_la"), col("_s.i").as("_i"),
+        col("_s.seg").as("_seg"))
+    val probe = docs.select(col("_id").as("_ib"), col("_t").as("_tb"),
+        col("_len").as("_lb"),
+        explode(sequence(greatest(col("_len") - maxDist, lit(m)),
+          col("_len"))).as("_L"))
+      .select(col("_ib"), col("_lb"), col("_L"),
+        explode(array((for { i <- 0 until m; d <- -maxDist to maxDist }
+          yield {
+            val st = segStart(col("_L"), i) + d
+            val ln = segLen(col("_L"), i)
+            struct(lit(i).as("i"), st.as("st"), ln.as("ln"))
+          }): _*)).as("_s"),
+        col("_tb"))
+      .filter(col("_s.st") >= 0 &&
+        col("_s.st") + col("_s.ln") <= col("_lb"))
+      .select(col("_ib"), col("_lb"), col("_L"), col("_s.i").as("_i"),
+        col("_tb").substr(col("_s.st") + 1, col("_s.ln")).as("_sub"))
+    val cand = index.join(probe,
+        index("_la") === probe("_L") && index("_i") === probe("_i") &&
+          index("_seg") === probe("_sub"))
+      .filter(col("_la") < col("_lb") ||
+        (col("_la") === col("_lb") && col("_ia") < col("_ib")))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("_id").as("id_a"), col("_t").as("_xa")), "id_a")
+      .join(docs.select(col("_id").as("id_b"), col("_t").as("_xb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_xa"), col("_xb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Exact repeated-passage detection — the "exact substring dedup" of
     * Lee et al., *Deduplicating Training Data Makes Language Models
     * Better* (ACL 2022), re-expressed for Spark: instead of a suffix array

@@ -397,4 +397,63 @@ class DedupSpec extends SparkFunSuite {
       Dedup.containmentPairs(df, "doc_id", "text", maxBucket = 1)
     }
   }
+
+  // ---- editDistancePairs ----
+
+  test("editDistancePairs: substitutions, edge insertions and exact dups all surface") {
+    val df = Seq(
+      1L -> "abcdef",    // base
+      2L -> "abcxef",    // 1 substitution
+      3L -> "abcdefgh",  // 2 appended chars
+      4L -> "XYabcdef",  // 2 prepended chars (max segment shift)
+      5L -> "abcdef",    // exact duplicate of 1
+      6L -> "zzzzzz"     // unrelated
+    ).toDF("id", "text")
+    val out = Dedup.editDistancePairs(df, "id", "text", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out.contains((1L, 2L, 1)))
+    assert(out.contains((1L, 3L, 2)))
+    assert(out.contains((1L, 4L, 2)))
+    assert(out.contains((1L, 5L, 0)))
+    assert(!out.exists(p => p._1 == 6L || p._2 == 6L))
+    // each pair exactly once
+    val pairs = Dedup.editDistancePairs(df, "id", "text", maxDist = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.toSet.size)
+  }
+
+  test("editDistancePairs: differential vs the naive quadratic on a random corpus") {
+    val rnd = new scala.util.Random(42)
+    val strs = (1L to 80L).map { i =>
+      val len = 3 + rnd.nextInt(6)
+      (i, (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = strs.toDF("id", "text")
+    val fast = Dedup.editDistancePairs(df, "id", "text", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = df.select(col("id").as("id_a"), col("text").as("ta"))
+    val b = df.select(col("id").as("id_b"), col("text").as("tb"))
+    val naive = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("ta"), col("tb")) <= 2)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(naive.nonEmpty, "differential fixture produced no pairs")
+    assert(fast == naive)
+  }
+
+  test("editDistancePairs: strings shorter than maxDist+1 are excluded by contract") {
+    val df = Seq(1L -> "ab", 2L -> "ab", 3L -> "abcd", 4L -> "abcd")
+      .toDF("id", "text")
+    val out = Dedup.editDistancePairs(df, "id", "text", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((3L, 4L)))
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(df, "id", "text", maxDist = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(df, "id", "text", maxDist = 5)
+    }
+  }
 }
