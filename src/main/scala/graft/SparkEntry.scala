@@ -1432,6 +1432,14 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // Heaps'-law vocabulary growth per source: cumulative token and
+    // distinct-vocab counts at doubling doc-count prefixes — all exact
+    // integers off one per-group rank window
+    "q144_heaps_law" -> ((s, dir) => {
+      Profile.heapsLaw(Tables(s, dir).documents, "source", "doc_id", "text",
+          checkpoints = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L))
+        .orderBy("source", "checkpoint")
+    }),
     // PassJoin edit-distance near-dup over 40-char prefix keys of one
     // source slice, with three planted single-substitution variants so
     // every scale has guaranteed pairs; candidates come from the linear
@@ -3498,6 +3506,38 @@ object SparkEntry {
     // order, and merge fold
     "q133_bpe_merges" -> bpeOracle(8),
     "q137_distinct_n" -> diversityOracle(3),
+    // q144: identical per-source doc rank, token-first-occurrence min,
+    // and prefix counts — exact integers end to end
+    "q144_heaps_law" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    list_filter(string_split(trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), ' '), t -> t <> '') AS tk,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS r
+        |  FROM documents),
+        |gn AS (SELECT source, max(r) AS gn FROM d GROUP BY source),
+        |cp AS (SELECT gn.source, CAST(c.checkpoint AS BIGINT) AS checkpoint
+        |  FROM gn CROSS JOIN (VALUES (1),(2),(4),(8),(16),(32),(64),(128),
+        |    (256)) AS c(checkpoint)
+        |  WHERE c.checkpoint <= gn.gn),
+        |tc AS (SELECT d.source, cp.checkpoint,
+        |    CAST(sum(len(d.tk)) AS BIGINT) AS n_tokens
+        |  FROM d JOIN cp ON d.source = cp.source AND d.r <= cp.checkpoint
+        |  GROUP BY 1, 2),
+        |fr AS (SELECT source, tkn, min(r) AS fr
+        |  FROM (SELECT source, r, unnest(tk) AS tkn FROM d) GROUP BY 1, 2),
+        |vc AS (SELECT fr.source, cp.checkpoint,
+        |    CAST(count(*) AS BIGINT) AS vocab
+        |  FROM fr JOIN cp ON fr.source = cp.source AND fr.fr <= cp.checkpoint
+        |  GROUP BY 1, 2)
+        |SELECT cp.source, cp.checkpoint,
+        |  CAST(coalesce(tc.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(vc.vocab, 0) AS BIGINT) AS vocab
+        |FROM cp
+        |LEFT JOIN tc ON tc.source = cp.source AND tc.checkpoint = cp.checkpoint
+        |LEFT JOIN vc ON vc.source = cp.source AND vc.checkpoint = cp.checkpoint
+        |ORDER BY cp.source, cp.checkpoint""".stripMargin,
     // q143: the oracle is the NAIVE quadratic ground truth (PassJoin is
     // exact, so the filtered join must reproduce it row-for-row) over the
     // same planted corpus; length-difference prefilter keeps DuckDB's

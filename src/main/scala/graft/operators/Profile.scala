@@ -277,6 +277,66 @@ object Profile {
           .otherwise(lit(0.0)).as("distinct_ratio"))
   }
 
+  /** Heaps'-law vocabulary-growth curve per group: for each checkpoint
+    * `n` (a doc-count prefix in ascending `idCol` order), the cumulative
+    * token count and distinct-vocabulary size of the group's first `n`
+    * documents — the measured `V(T)` curve whose log-log slope is Heaps'
+    * β. Diagnostic use: a slice whose vocabulary saturates early is
+    * template mass; one growing linearly is noise/IDs — the prefix-wise
+    * complement of [[zipfSlope]]'s static fit. Checkpoints beyond a
+    * group's document count are dropped (the prefix would repeat the
+    * whole-group totals).
+    *
+    * All outputs are exact integers — no rounding anywhere.
+    *
+    * Scale shape: ONE per-group rank window over the document stream
+    * (inherent — "first n documents" is a per-group total order, like any
+    * sessionize), then a vocabulary-keyed min-rank aggregation; both
+    * checkpoint joins broadcast the groups×checkpoints spine, and the
+    * prefix filters feed map-side combinable aggregations. Output is
+    * groups × checkpoints rows. */
+  def heapsLaw(docs: DataFrame, groupCol: String, idCol: String,
+               textCol: String, checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "at least one checkpoint is required")
+    require(checkpoints.forall(_ >= 1), s"checkpoints must be >= 1: $checkpoints")
+    require(checkpoints.distinct.size == checkpoints.size,
+      s"duplicate checkpoints: $checkpoints")
+    require(!docs.columns.exists(Set("_tk", "_rank", "_ntok", "_t", "_fr",
+      "_gn", "checkpoint")),
+      "input must not contain the reserved columns _tk/_rank/_ntok/_t/_fr/_gn/checkpoint")
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val ranked = docs
+      .select(col(groupCol), col(idCol),
+        filter(split(TextAnalysis.normalized(col(textCol)), " "),
+          t => t =!= "").as("_tk"))
+      .withColumn("_rank", row_number().over(wr).cast("long"))
+      .withColumn("_ntok", size(col("_tk")).cast("long"))
+      .localCheckpoint(false)
+    val spine = ranked.groupBy(groupCol).agg(max("_rank").as("_gn"))
+      .select(col(groupCol), col("_gn"),
+        explode(array(checkpoints.sorted.map(c => lit(c)): _*))
+          .as("checkpoint"))
+      .filter(col("checkpoint") <= col("_gn"))
+      .select(col(groupCol), col("checkpoint"))
+    val tokCum = ranked.select(col(groupCol), col("_rank"), col("_ntok"))
+      .join(broadcast(spine), Seq(groupCol))
+      .filter(col("_rank") <= col("checkpoint"))
+      .groupBy(groupCol, "checkpoint").agg(sum("_ntok").as("n_tokens"))
+    val firstRank = ranked
+      .select(col(groupCol), col("_rank"), explode(col("_tk")).as("_t"))
+      .groupBy(groupCol, "_t").agg(min("_rank").as("_fr"))
+    val vocab = firstRank.join(broadcast(spine), Seq(groupCol))
+      .filter(col("_fr") <= col("checkpoint"))
+      .groupBy(groupCol, "checkpoint").agg(count(lit(1)).as("vocab"))
+    spine
+      .join(tokCum, Seq(groupCol, "checkpoint"), "left")
+      .join(vocab, Seq(groupCol, "checkpoint"), "left")
+      .select(col(groupCol), col("checkpoint"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
+  }
+
   /** Zipf rank-frequency slope per group: least-squares fit of
     * `ln(count)` on `ln(rank)` over the top-`topK` tokens of each slice
     * (rank by count desc, token asc — a total order). Natural text sits

@@ -135,6 +135,45 @@ class ProfileSpec extends SparkFunSuite {
     assert(base == shuffled)
   }
 
+  test("heapsLaw: hand-computed growth curve; oversized checkpoints drop") {
+    val df = Seq((1L, "g", "a b a"), (2L, "g", "b c"), (3L, "g", "d"))
+      .toDF("doc_id", "source", "text")
+    val out = Profile.heapsLaw(df, "source", "doc_id", "text",
+        checkpoints = Seq(1L, 2L, 4L))
+      .orderBy("checkpoint").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("g", 1L, 3L, 2L), ("g", 2L, 5L, 3L)))
+  }
+
+  test("heapsLaw: an empty document occupies a rank but adds nothing") {
+    val df = Seq((1L, "g", ""), (2L, "g", "a"))
+      .toDF("doc_id", "source", "text")
+    val out = Profile.heapsLaw(df, "source", "doc_id", "text",
+        checkpoints = Seq(1L, 2L))
+      .orderBy("checkpoint").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 1L, 1L)))
+  }
+
+  test("heapsLaw: groups stay independent; bad checkpoints reject") {
+    val df = Seq((1L, "g1", "a"), (2L, "g2", "x y"), (3L, "g2", "x"))
+      .toDF("doc_id", "source", "text")
+    val out = Profile.heapsLaw(df, "source", "doc_id", "text", Seq(1L, 2L))
+      .orderBy("source", "checkpoint").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("g1", 1L, 1L, 1L),
+      ("g2", 1L, 2L, 2L), ("g2", 2L, 3L, 2L)))
+    intercept[IllegalArgumentException] {
+      Profile.heapsLaw(df, "source", "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.heapsLaw(df, "source", "doc_id", "text", Seq(0L))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.heapsLaw(df, "source", "doc_id", "text", Seq(1L, 1L))
+    }
+  }
+
   test("zipfSlope: a perfect 1/rank corpus fits slope -1 exactly") {
     // counts 24/r for ranks 1..4: y = ln24 - 1*x exactly, so the LS fit
     // is (slope, intercept) = (-1, ln 24) up to fp, inside the 6dp grain
