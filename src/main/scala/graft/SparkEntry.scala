@@ -1432,6 +1432,11 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // Gini concentration of char mass across sources: the governance
+    // one-number — sorted exact integer form, one final double division
+    "q145_gini_concentration" -> ((s, dir) => {
+      Profile.giniConcentration(Tables(s, dir).documents, "source", "n_chars")
+    }),
     // Heaps'-law vocabulary growth per source: cumulative token and
     // distinct-vocab counts at doubling doc-count prefixes — all exact
     // integers off one per-group rank window
@@ -3506,6 +3511,21 @@ object SparkEntry {
     // order, and merge fold
     "q133_bpe_merges" -> bpeOracle(8),
     "q137_distinct_n" -> diversityOracle(3),
+    // q145: identical (weight, name) sort, integer Σ(2i−n−1)x, single
+    // double division
+    "q145_gini_concentration" ->
+      """WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS x
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, source)
+        |    AS BIGINT) AS i FROM s),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS tot FROM r)
+        |SELECT a.n AS n_groups, a.tot AS total_weight,
+        |  CASE WHEN a.tot > 0 THEN
+        |    CAST(sum((2 * i - a.n - 1) * x) AS DOUBLE)
+        |      / CAST(a.n * a.tot AS DOUBLE)
+        |  ELSE CAST(0.0 AS DOUBLE) END AS gini
+        |FROM r CROSS JOIN a GROUP BY a.n, a.tot""".stripMargin,
     // q144: identical per-source doc rank, token-first-occurrence min,
     // and prefix counts — exact integers end to end
     "q144_heaps_law" ->

@@ -277,6 +277,40 @@ object Profile {
           .otherwise(lit(0.0)).as("distinct_ratio"))
   }
 
+  /** Gini coefficient of weight concentration across groups — the
+    * one-number governance answer to "how much of the corpus sits in how
+    * few sources/domains/languages". Computed from the sorted exact form
+    * `G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx)` with groups ascending by
+    * (weight, name): every term is INTEGER arithmetic; the only double is
+    * the final division — bit-exact cross-engine, no rounding. G = 0 is
+    * perfectly even mass, → 1 is full concentration in one group. A
+    * zero-total corpus reports 0.0.
+    *
+    * Scale shape: one corpus aggregation to group sizes, then windows
+    * over the GROUP table only (the [[unimaxQuotas]] vocabulary-sized
+    * pattern). Output is a single row `(n_groups, total_weight, gini)`. */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        weightCol: String): DataFrame = {
+    require(!df.columns.exists(Set("_x", "_i", "_n", "_tot", "_num")),
+      "input must not contain the reserved columns _x/_i/_n/_tot/_num")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("_x"), col(groupCol))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing).orderBy(col("_x"), col(groupCol))
+    df.groupBy(groupCol).agg(sum(col(weightCol)).cast("long").as("_x"))
+      .withColumn("_i", row_number().over(ord).cast("long"))
+      .withColumn("_n", count(lit(1)).over(all))
+      .withColumn("_tot", sum(col("_x")).over(all))
+      .withColumn("_num",
+        (lit(2L) * col("_i") - col("_n") - lit(1L)) * col("_x"))
+      .agg(max(col("_n")).as("n_groups"),
+        max(col("_tot")).as("total_weight"),
+        when(max(col("_tot")) > 0L,
+          sum(col("_num")).cast("double") /
+            (max(col("_n")) * max(col("_tot"))).cast("double"))
+          .otherwise(lit(0.0)).as("gini"))
+  }
+
   /** Heaps'-law vocabulary-growth curve per group: for each checkpoint
     * `n` (a doc-count prefix in ascending `idCol` order), the cumulative
     * token count and distinct-vocabulary size of the group's first `n`

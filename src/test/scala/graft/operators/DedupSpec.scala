@@ -443,6 +443,15 @@ class DedupSpec extends SparkFunSuite {
     assert(fast == naive)
   }
 
+  test("editDistancePairs plan: candidates come from an equi-join, never a cartesian") {
+    val df = Seq(1L -> "abcdef", 2L -> "abcxef").toDF("id", "text")
+    val plan = Dedup.editDistancePairs(df, "id", "text", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"segment filter must drive an equi-join:\n$plan")
+  }
+
   test("editDistancePairs: strings shorter than maxDist+1 are excluded by contract") {
     val df = Seq(1L -> "ab", 2L -> "ab", 3L -> "abcd", 4L -> "abcd")
       .toDF("id", "text")

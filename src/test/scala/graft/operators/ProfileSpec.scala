@@ -135,6 +135,20 @@ class ProfileSpec extends SparkFunSuite {
     assert(base == shuffled)
   }
 
+  test("giniConcentration: hand-computed value, even mass, full concentration, zero total") {
+    def g(ws: (String, Long)*): (Long, Long, Double) = {
+      val r = Profile.giniConcentration(ws.toSeq.toDF("g", "w"), "g", "w")
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    // weights 1,2,3,4: sum((2i-n-1)x) = -3-2+3+12 = 10; 10/(4*10) = 0.25
+    assert(g("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L) == ((4L, 10L, 0.25)))
+    assert(g("a" -> 5L, "b" -> 5L, "c" -> 5L)._3 == 0.0)
+    // all mass in one of n groups -> (n-1)/n
+    assert(g("a" -> 0L, "b" -> 0L, "c" -> 0L, "d" -> 12L)._3 == 0.75)
+    assert(g("a" -> 0L, "b" -> 0L) == ((2L, 0L, 0.0)))
+  }
+
   test("heapsLaw: hand-computed growth curve; oversized checkpoints drop") {
     val df = Seq((1L, "g", "a b a"), (2L, "g", "b c"), (3L, "g", "d"))
       .toDF("doc_id", "source", "text")
