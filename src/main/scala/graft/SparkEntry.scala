@@ -1432,6 +1432,30 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // Rank-biased overlap (Webber'10) between the exact cosine top-10 and
+    // the same ranking over 1/16-quantized vectors — the graded "how much
+    // rank damage does quantization do" eval; powers planted as shared
+    // literals, no rounding anywhere
+    "q146_rank_overlap" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val qv = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val fine = Similarity.bruteForceTopK(
+          t.embeddings, "vec_id", "embedding", qv, 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      def quant(c: Column): Column = transform(c, x =>
+        floor(x.cast("double") * lit(16.0) + lit(0.5)) / lit(16.0))
+      val coarse = Similarity.bruteForceTopK(
+          t.embeddings.select(col("vec_id"),
+            quant(col("embedding")).as("embedding")),
+          "vec_id", "embedding",
+          qv.select(col("query_id"), quant(col("query_vec")).as("query_vec")),
+          10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      Retrieval.rboAtK(fine, coarse, "query_id", "neighbor_id", "rank",
+          k = 10, p = 0.9)
+        .orderBy("query_id")
+    }),
     // Gini concentration of char mass across sources: the governance
     // one-number — sorted exact integer form, one final double division
     "q145_gini_concentration" -> ((s, dir) => {
@@ -1883,6 +1907,54 @@ object SparkEntry {
   /** q137's oracle: per-n gram streams over the identical single-space
     * tokenization, exact distinct/total counts, one integer/integer
     * double division; the (source × n) spine restores empty cells. */
+  /** q146 oracle: generated from the SAME power/scale doubles the Spark
+    * plan plants (Retrieval.rboLiterals), so every term replays
+    * bit-identically with no rounding. */
+  private def rboOracle(k: Int, p: Double): String = {
+    val (pows, scale) = graft.operators.Retrieval.rboLiterals(k, p)
+    val powCase = pows.zipWithIndex
+      .map { case (pw, i) => s"WHEN ${i + 1} THEN CAST('$pw' AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |sa AS (SELECT q.query_id, e.vec_id AS id,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      list_inner_product(e.v, q.qv)
+       |        / (sqrt(list_inner_product(e.v, e.v))
+       |           * sqrt(list_inner_product(q.qv, q.qv))) DESC,
+       |      e.vec_id) AS ra
+       |  FROM e CROSS JOIN q),
+       |eb AS (SELECT vec_id, list_transform(v, x ->
+       |    floor(x * CAST(16.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |      / CAST(16.0 AS DOUBLE)) AS v FROM e),
+       |qb AS (SELECT vec_id AS query_id, v AS qv FROM eb WHERE vec_id < 8),
+       |sb AS (SELECT qb.query_id, eb.vec_id AS id,
+       |    row_number() OVER (PARTITION BY qb.query_id ORDER BY
+       |      list_inner_product(eb.v, qb.qv)
+       |        / (sqrt(list_inner_product(eb.v, eb.v))
+       |           * sqrt(list_inner_product(qb.qv, qb.qv))) DESC,
+       |      eb.vec_id) AS rb
+       |  FROM eb CROSS JOIN qb),
+       |m AS (SELECT a.query_id, greatest(a.ra, b.rb) AS m
+       |  FROM (SELECT * FROM sa WHERE ra <= $k) a
+       |  JOIN (SELECT * FROM sb WHERE rb <= $k) b
+       |    ON a.query_id = b.query_id AND a.id = b.id),
+       |sp AS (SELECT q.query_id, g.d FROM q
+       |  CROSS JOIN generate_series(1, $k) AS g(d)),
+       |xd AS (SELECT sp.query_id, sp.d,
+       |    CAST(coalesce(sum(CASE WHEN m.m <= sp.d THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS x
+       |  FROM sp LEFT JOIN m ON m.query_id = sp.query_id
+       |  GROUP BY sp.query_id, sp.d),
+       |t AS (SELECT query_id, d,
+       |    (CASE d $powCase END * CAST(x AS DOUBLE)) / CAST(d AS DOUBLE) AS t
+       |  FROM xd)
+       |SELECT query_id,
+       |  list_reduce(list(t ORDER BY d), (a, b) -> a + b)
+       |    * CAST('$scale' AS DOUBLE) AS rbo
+       |FROM t GROUP BY query_id ORDER BY query_id""".stripMargin
+  }
+
   private def diversityOracle(maxN: Int): String = {
     val branches = (1 to maxN).map { n =>
       s"""SELECT source, $n AS n,
@@ -3511,6 +3583,9 @@ object SparkEntry {
     // order, and merge fold
     "q133_bpe_merges" -> bpeOracle(8),
     "q137_distinct_n" -> diversityOracle(3),
+    // q146: both cosine chains + the RBO fold with the plan's own power
+    // literals (see rboOracle)
+    "q146_rank_overlap" -> rboOracle(10, 0.9),
     // q145: identical (weight, name) sort, integer Σ(2i−n−1)x, single
     // double division
     "q145_gini_concentration" ->

@@ -182,4 +182,61 @@ object Retrieval {
         round(col("col.payload.rrf"), 6).as("rrf_score"),
         col("col.payload.n_lists").as("n_lists"))
   }
+
+  /** Rank-biased overlap at depth `k` between two per-query rankings
+    * (Webber, Moffat, Zobel, "A similarity measure for indefinite
+    * rankings", TOIS 2010 — the truncated prefix sum of eq. 4):
+    * `RBO@k = (1−p)/p · Σ_{d=1..k} p^d · |A_:d ∩ B_:d| / d`. The graded
+    * companion of [[Similarity.recallAtK]]: recall ignores order inside
+    * the cut, RBO weights agreement toward the top with persistence `p`.
+    *
+    * Determinism: overlap sizes are exact integers (`X_d` counts docs
+    * whose max(rank_A, rank_B) ≤ d); the powers `p, p², …` are computed
+    * ONCE by repeated multiplication at plan-build time and planted as
+    * shared literals into both the Spark plan and the q146 oracle text,
+    * so every term — `(p^d · X_d) / d`, folded in depth order — is
+    * bit-identical cross-engine with NO rounding anywhere.
+    *
+    * Scale shape: inputs are per-query top-k tables; the join, the
+    * k-depth spine and the fold all touch O(k²) rows per query —
+    * corpus-independent, like [[rrfFuse]].
+    *
+    * Output: `(qCol, rbo)`, one row per query appearing in EITHER
+    * ranking (zero overlap → 0.0, never a dropped query). Rows with
+    * rank outside 1..k are ignored. */
+  def rboAtK(a: DataFrame, b: DataFrame, qCol: String, idCol: String,
+             rankCol: String, k: Int, p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(p > 0.0 && p < 1.0, s"p ($p) must be in (0, 1)")
+    val pows = (1 to k).scanLeft(1.0)((acc, _) => acc * p).tail
+    def side(df: DataFrame, rname: String) = df
+      .select(col(qCol).as("_q"), col(idCol).as("_id"),
+        col(rankCol).cast("long").as(rname))
+      .filter(col(rname) >= 1L && col(rname) <= k)
+    val m = side(a, "_ra").join(side(b, "_rb"), Seq("_q", "_id"))
+      .select(col("_q"), greatest(col("_ra"), col("_rb")).as("_m"))
+    val queries = a.select(col(qCol).as("_q"))
+      .unionByName(b.select(col(qCol).as("_q"))).distinct()
+    val spine = queries.select(col("_q"),
+      explode(array((1 to k).map(d => lit(d.toLong)): _*)).as("_d"))
+    val powArr = array(pows.map(lit): _*)
+    val xd = spine.join(m, Seq("_q"), "left")
+      .groupBy("_q", "_d")
+      .agg(sum(when(col("_m") <= col("_d"), 1L).otherwise(0L)).as("_x"))
+    xd.withColumn("_t",
+        element_at(powArr, col("_d").cast("int")) * col("_x").cast("double")
+          / col("_d").cast("double"))
+      .groupBy("_q")
+      .agg((aggregate(
+          sort_array(collect_list(struct(col("_d"), col("_t")))),
+          lit(0.0), (acc, s) => acc + s("_t")) *
+        lit((1.0 - p) / p)).as("rbo"))
+      .select(col("_q").as(qCol), col("rbo"))
+  }
+
+  /** The shared power/scale literals of [[rboAtK]], exposed so the q146
+    * oracle text is generated from the SAME doubles the plan plants
+    * (the q131 shared-constants convention). */
+  private[graft] def rboLiterals(k: Int, p: Double): (Seq[Double], Double) =
+    ((1 to k).scanLeft(1.0)((acc, _) => acc * p).tail, (1.0 - p) / p)
 }

@@ -176,4 +176,53 @@ class RetrievalSpec extends SparkFunSuite {
     }
     assert(e.getMessage.contains("must be integral"))
   }
+
+  // ---- rboAtK ----
+
+  test("rboAtK: identical rankings score the exact truncated-sum maximum") {
+    val a = ranking((1 to 10).map(r => (1L, 100L + r, r)): _*)
+    val out = Retrieval.rboAtK(a, a, "qid", "doc_id", "rank", k = 10, p = 0.9)
+      .collect().head.getDouble(1)
+    // replay the operator's own arithmetic: X_d = d at every depth
+    val (pows, scale) = Retrieval.rboLiterals(10, 0.9)
+    val expected = pows.zipWithIndex
+      .map { case (pw, i) => pw * (i + 1).toDouble / (i + 1).toDouble }
+      .foldLeft(0.0)(_ + _) * scale
+    assert(out == expected)
+    assert(math.abs(out - (1.0 - math.pow(0.9, 10))) < 1e-12)
+  }
+
+  test("rboAtK: hand-computed swap at k=2, p=0.5") {
+    // A: (d1,r1),(d2,r2); B swapped -> X_1 = 0, X_2 = 2
+    // terms: 0.5*0/1 = 0, 0.25*2/2 = 0.25; scale (1-p)/p = 1 -> 0.25
+    val a = ranking((1L, 1L, 1), (1L, 2L, 2))
+    val b = ranking((1L, 2L, 1), (1L, 1L, 2))
+    val out = Retrieval.rboAtK(a, b, "qid", "doc_id", "rank", k = 2, p = 0.5)
+      .collect().head.getDouble(1)
+    assert(out == 0.25)
+  }
+
+  test("rboAtK: disjoint rankings and one-sided queries emit 0.0, never drop") {
+    val a = ranking((1L, 1L, 1), (2L, 5L, 1))
+    val b = ranking((1L, 9L, 1), (3L, 7L, 1))
+    val out = Retrieval.rboAtK(a, b, "qid", "doc_id", "rank", k = 3, p = 0.9)
+      .orderBy("qid").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 0.0), (2L, 0.0), (3L, 0.0)))
+  }
+
+  test("rboAtK: ranks outside 1..k are ignored; bad arguments reject") {
+    val a = ranking((1L, 1L, 1), (1L, 2L, 11), (1L, 3L, 0))
+    val b = ranking((1L, 1L, 1), (1L, 2L, 2))
+    val withJunk = Retrieval.rboAtK(a, b, "qid", "doc_id", "rank", k = 10)
+      .collect().head.getDouble(1)
+    val clean = Retrieval.rboAtK(ranking((1L, 1L, 1)), b,
+      "qid", "doc_id", "rank", k = 10).collect().head.getDouble(1)
+    assert(withJunk == clean)
+    intercept[IllegalArgumentException] {
+      Retrieval.rboAtK(a, b, "qid", "doc_id", "rank", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rboAtK(a, b, "qid", "doc_id", "rank", k = 5, p = 1.0)
+    }
+  }
 }
