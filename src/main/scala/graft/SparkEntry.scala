@@ -1432,6 +1432,15 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // per-lang two-sample KS drift of the quality-score distribution vs
+    // the rest of the corpus — exact sup over observed values, integer
+    // CDF counts, single divisions
+    "q147_ks_drift" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("score"))
+      Quantiles.ksStatistic(d, "lang", "score").orderBy("lang")
+    }),
     // Rank-biased overlap (Webber'10) between the exact cosine top-10 and
     // the same ranking over 1/16-quantized vectors — the graded "how much
     // rank damage does quantization do" eval; powers planted as shared
@@ -3586,6 +3595,42 @@ object SparkEntry {
     // q146: both cosine chains + the RBO fold with the plan's own power
     // literals (see rboOracle)
     "q146_rank_overlap" -> rboOracle(10, 0.9),
+    // q147: the q132 score chain + identical per-group/all cumulative
+    // windows; ks is a max over exact-division differences
+    "q147_ks_drift" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    least(greatest(
+        |      least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+        |      + least((CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','on'))) AS DOUBLE)
+        |          / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+        |      + (CAST(1.0 AS DOUBLE) - least((CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        |          / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS score
+        |  FROM documents),
+        |cnt AS (SELECT lang AS g, score AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM s GROUP BY 1, 2),
+        |grp AS (SELECT g, CAST(sum(c) AS BIGINT) AS n1 FROM cnt GROUP BY g),
+        |vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY v),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM vals),
+        |grid AS (SELECT grp.g, grp.n1, vals.v, vals.ct,
+        |    coalesce(cnt.c, 0) AS c, tot.nn
+        |  FROM grp CROSS JOIN vals
+        |  LEFT JOIN cnt ON cnt.g = grp.g AND cnt.v = vals.v
+        |  CROSS JOIN tot),
+        |cum AS (SELECT g, n1, nn,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS a,
+        |    CAST(sum(ct) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS call
+        |  FROM grid),
+        |d AS (SELECT g, n1, nn,
+        |    abs(CAST(a AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(call - a AS DOUBLE) / CAST(nn - n1 AS DOUBLE)) AS dd
+        |  FROM cum)
+        |SELECT g AS lang, max(n1) AS n_group, max(nn - n1) AS n_rest,
+        |  CASE WHEN max(nn - n1) > 0 THEN max(dd) END AS ks
+        |FROM d GROUP BY g ORDER BY lang""".stripMargin,
     // q145: identical (weight, name) sort, integer Σ(2i−n−1)x, single
     // double division
     "q145_gini_concentration" ->

@@ -285,4 +285,60 @@ object Quantiles {
         greatest(col("_tot") - 1L, lit(1L)).cast("double"))
       .select(df.columns.map(col) ++ Seq(col("rank"), col("pct")): _*)
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic of every group against the
+    * REST of the corpus: `ks = sup_v |F_g(v) − F_rest(v)|` — the standard
+    * distribution-drift alarm for per-slice score distributions (is this
+    * source's quality/perplexity profile shaped like everyone else's?).
+    * The sup of a difference of step functions is attained at observed
+    * values, so evaluating at every distinct value is EXACT, not a grid
+    * approximation.
+    *
+    * Determinism: all CDF numerators/denominators are exact integers;
+    * each F value is one double division; `abs`/`max` are comparisons.
+    * No rounding — bit-exact cross-engine.
+    *
+    * Scale shape: one (group, value)-keyed count, then windows over the
+    * groups × distinct-values grid. The grid is the cost driver — bound
+    * it by bucketing `valueCol` upstream when values are continuous and
+    * unbounded (scores rounded to fixed decimals keep V small); the
+    * cumulative windows partition by group, so no global sort. NULL
+    * values are excluded. A group that IS the whole corpus (n_rest = 0)
+    * reports a null ks.
+    *
+    * Output: `(groupCol, n_group, n_rest, ks)`. */
+  def ksStatistic(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    require(!df.columns.exists(Set("_g", "_v", "_c", "_ct", "_a", "_call",
+      "_n1", "_nn", "_d")),
+      "input must not contain the reserved columns _g/_v/_c/_ct/_a/_call/_n1/_nn/_d")
+    val vals = df.select(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .filter(col("_v").isNotNull)
+    val cnt = vals.groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(false)
+    val groups = cnt.groupBy("_g").agg(sum("_c").as("_n1"))
+    val values = cnt.groupBy("_v").agg(sum("_c").as("_ct"))
+    val total = values.agg(sum("_ct").as("_nn"))
+    val wg = Window.partitionBy("_g").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grid = broadcast(groups).crossJoin(values)
+      .join(cnt, Seq("_g", "_v"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("_a", sum(coalesce(col("_c"), lit(0L))).over(wg))
+      .withColumn("_call", sum(col("_ct")).over(wg))
+    grid
+      // the whole-corpus group (n_rest = 0) must not reach the division:
+      // ANSI mode treats even a double /0 as an error, and its ks is
+      // defined null anyway
+      .withColumn("_d", when(col("_nn") - col("_n1") > 0L, abs(
+        col("_a").cast("double") / col("_n1").cast("double") -
+          (col("_call") - col("_a")).cast("double") /
+            (col("_nn") - col("_n1")).cast("double"))))
+      .groupBy("_g")
+      .agg(max(col("_n1")).as("n_group"),
+        max(col("_nn") - col("_n1")).as("n_rest"),
+        max(col("_d")).as("ks"))
+      .select(col("_g").as(groupCol), col("n_group"), col("n_rest"),
+        col("ks"))
+  }
 }

@@ -226,4 +226,36 @@ class QuantilesSpec extends SparkFunSuite {
       Quantiles.percentileRank(df, Seq("g"), "score", 1.0, 1.0)
     }
   }
+
+  // ---- ksStatistic ----
+
+  private def ksOf(rows: (String, java.lang.Double)*) = {
+    Quantiles.ksStatistic(rows.toSeq.toDF("g", "v"), "g", "v")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+  }
+
+  test("ksStatistic: disjoint supports hit 1.0, identical distributions hit 0.0") {
+    val out = ksOf("a" -> 1.0, "a" -> 2.0, "b" -> 3.0, "b" -> 4.0)
+    assert(out.toSeq == Seq(("a", 2L, 2L, 1.0), ("b", 2L, 2L, 1.0)))
+    val same = ksOf("a" -> 1.0, "a" -> 3.0, "b" -> 1.0, "b" -> 3.0)
+    assert(same.map(_._4).toSeq == Seq(0.0, 0.0))
+  }
+
+  test("ksStatistic: hand-computed one-third on a shifted overlap") {
+    // A = {1,2,3}, rest = {2,3,4}: max |F_A - F_rest| = 1/3 at every step
+    val out = ksOf("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 2.0, "b" -> 3.0, "b" -> 4.0)
+    // the fp sup lands at v=3: |1.0 − fl(2/3)| is the largest of the
+    // three ~1/3 step differences (each an exact IEEE expression)
+    assert(out.head == (("a", 3L, 3L, 1.0 - 2.0 / 3.0)))
+  }
+
+  test("ksStatistic: a group that is the whole corpus reports null; nulls excluded") {
+    val out = ksOf("a" -> 1.0, "a" -> 2.0)
+    assert(out.toSeq == Seq(("a", 2L, 0L, null)))
+    val withNull = ksOf("a" -> 1.0, "a" -> null, "b" -> 1.0)
+    assert(withNull.map(t => (t._1, t._2)).toSeq == Seq(("a", 1L), ("b", 1L)))
+  }
 }
