@@ -1432,6 +1432,13 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // vocabulary-tail profile per source: hapax/dis counts, Good–Turing
+    // unseen mass, Simpson repetition concentration — exact integers,
+    // single divisions
+    "q148_vocab_tail" -> ((s, dir) => {
+      Profile.vocabTail(Tables(s, dir).documents, "source", "text")
+        .orderBy("source")
+    }),
     // per-lang two-sample KS drift of the quality-score distribution vs
     // the rest of the corpus — exact sup over observed values, integer
     // CDF counts, single divisions
@@ -3595,6 +3602,28 @@ object SparkEntry {
     // q146: both cosine chains + the RBO fold with the plan's own power
     // literals (see rboOracle)
     "q146_rank_overlap" -> rboOracle(10, 0.9),
+    // q148: identical token counts; each metric is one exact-integer
+    // double division
+    "q148_vocab_tail" ->
+      """WITH tk AS (SELECT source, unnest(string_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' ')) AS t FROM documents),
+        |vc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk WHERE t <> '' GROUP BY 1, 2),
+        |a AS (SELECT source,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep2
+        |  FROM vc GROUP BY source)
+        |SELECT source, n_tokens, vocab, hapax, dis,
+        |  CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_frac,
+        |  CAST(hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS gt_unseen,
+        |  CASE WHEN n_tokens >= 2 THEN
+        |    CAST(rep2 AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+        |  END AS simpson
+        |FROM a ORDER BY source""".stripMargin,
     // q147: the q132 score chain + identical per-group/all cumulative
     // windows; ks is a max over exact-division differences
     "q147_ks_drift" ->

@@ -277,6 +277,50 @@ object Profile {
           .otherwise(lit(0.0)).as("distinct_ratio"))
   }
 
+  /** Vocabulary-tail profile per group: the classic "how much haven't we
+    * seen" diagnostics off one token-count table —
+    *   - `hapax` / `dis`: tokens occurring exactly once / twice;
+    *   - `hapax_frac = hapax/vocab`: a high value means the slice is
+    *     still discovering its vocabulary (or is full of noise/IDs);
+    *   - `gt_unseen = hapax/n_tokens`: the Good–Turing estimate (Good,
+    *     Biometrika 1953) of the probability mass of UNSEEN types — the
+    *     principled "is this corpus big enough" number;
+    *   - `simpson = Σc(c−1)/(N(N−1))`: the probability two random tokens
+    *     are the same type (Simpson, Nature 1948) — repetition
+    *     concentration, the inverse lens of [[distinctNgramDiversity]].
+    * All numerators/denominators are exact integers; each output is one
+    * double division (groups with N < 2 report null simpson; empty
+    * groups cannot occur — a group exists only via its tokens).
+    *
+    * Scale shape: ONE corpus tokenize+count keyed by (group, token),
+    * then a vocabulary-sized aggregation. No window, no sort. */
+  def vocabTail(docs: DataFrame, groupCol: String,
+                textCol: String): DataFrame = {
+    require(!docs.columns.exists(Set("_t", "_c")),
+      "input must not contain the reserved columns _t/_c")
+    val counts = docs
+      .select(col(groupCol),
+        explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("_t"))
+      .filter(col("_t") =!= "")
+      .groupBy(groupCol, "_t").agg(count(lit(1)).as("_c"))
+    counts.groupBy(groupCol)
+      .agg(sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("_c") === 2L, 1L).otherwise(0L)).as("dis"),
+        sum(col("_c") * (col("_c") - 1L)).as("_rep2"))
+      .select(col(groupCol), col("n_tokens"), col("vocab"), col("hapax"),
+        col("dis"),
+        (col("hapax").cast("double") / col("vocab").cast("double"))
+          .as("hapax_frac"),
+        (col("hapax").cast("double") / col("n_tokens").cast("double"))
+          .as("gt_unseen"),
+        when(col("n_tokens") >= 2L,
+          col("_rep2").cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1L)).cast("double"))
+          .as("simpson"))
+  }
+
   /** Gini coefficient of weight concentration across groups — the
     * one-number governance answer to "how much of the corpus sits in how
     * few sources/domains/languages". Computed from the sorted exact form

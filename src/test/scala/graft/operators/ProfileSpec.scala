@@ -135,6 +135,29 @@ class ProfileSpec extends SparkFunSuite {
     assert(base == shuffled)
   }
 
+  test("vocabTail: hand-computed counts and divisions on a tiny corpus") {
+    // tokens: a a a b b c  ->  N=6, V=3, hapax=1 (c), dis=1 (b),
+    // rep2 = 3*2 + 2*1 + 0 = 8; simpson = 8/30
+    val df = Seq(("g", "a a a b b c")).toDF("source", "text")
+    val r = Profile.vocabTail(df, "source", "text").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((6L, 3L, 1L, 1L)))
+    assert(r.getDouble(5) == 1.0 / 3.0)
+    assert(r.getDouble(6) == 1.0 / 6.0)
+    assert(r.getDouble(7) == 8.0 / 30.0)
+  }
+
+  test("vocabTail: an all-hapax group and a single-token group") {
+    val df = Seq(("u", "x y z"), ("s", "w")).toDF("source", "text")
+    val out = Profile.vocabTail(df, "source", "text").orderBy("source")
+      .collect()
+    val s = out(0); val u = out(1)
+    // single token: N=1 -> simpson null
+    assert(s.getLong(1) == 1L && s.getDouble(6) == 1.0 && s.isNullAt(7))
+    assert(u.getLong(3) == 3L && u.getDouble(5) == 1.0 &&
+      u.getDouble(7) == 0.0)
+  }
+
   test("giniConcentration: hand-computed value, even mass, full concentration, zero total") {
     def g(ws: (String, Long)*): (Long, Long, Double) = {
       val r = Profile.giniConcentration(ws.toSeq.toDF("g", "w"), "g", "w")
