@@ -1432,6 +1432,18 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // weighted rendezvous sharding: route docs to 4 heterogeneous nodes
+    // (weights 1:1:2:4) with minimal-movement guarantees; per-node doc
+    // and char totals
+    "q149_rendezvous_shards" -> ((s, dir) => {
+      Sampling.rendezvousAssign(
+          Tables(s, dir).documents.select(col("doc_id"), col("n_chars")),
+          "doc_id",
+          Seq("a" -> 1.0, "b" -> 1.0, "c" -> 2.0, "d" -> 4.0))
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .orderBy("node")
+    }),
     // vocabulary-tail profile per source: hapax/dis counts, Good–Turing
     // unseen mass, Simpson repetition concentration — exact integers,
     // single divisions
@@ -3602,6 +3614,25 @@ object SparkEntry {
     // q146: both cosine chains + the RBO fold with the plan's own power
     // literals (see rboOracle)
     "q146_rank_overlap" -> rboOracle(10, 0.9),
+    // q149: identical per-node u derivation and −w/ln(u) scores; the
+    // (score DESC, node) pick replays the strict-improvement fold
+    "q149_rendezvous_shards" ->
+      """WITH n(node, w) AS (VALUES
+        |  ('a', CAST(1.0 AS DOUBLE)), ('b', CAST(1.0 AS DOUBLE)),
+        |  ('c', CAST(2.0 AS DOUBLE)), ('d', CAST(4.0 AS DOUBLE))),
+        |sc AS (SELECT d.doc_id, d.n_chars, n.node,
+        |    -n.w / ln((CAST(('0x' || substring(md5(
+        |      CAST(d.doc_id AS VARCHAR) || ':' || n.node || ':hrw'),
+        |      1, 13)) AS BIGINT) + 1)
+        |      / CAST(4503599627370497.0 AS DOUBLE)) AS score
+        |  FROM documents d CROSS JOIN n),
+        |pick AS (SELECT doc_id, n_chars, node,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, node) AS rn
+        |  FROM sc)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM pick WHERE rn = 1 GROUP BY node ORDER BY node""".stripMargin,
     // q148: identical token counts; each metric is one exact-integer
     // double division
     "q148_vocab_tail" ->

@@ -529,6 +529,53 @@ object Sampling {
       .select(df.columns.map(col) ++ Seq(col("pos_in_group"), col("progress")): _*)
   }
 
+  /** Weighted rendezvous (highest-random-weight) assignment: route every
+    * row to one of `nodes` with probability proportional to the node's
+    * weight, such that adding/removing/reweighting a node only moves the
+    * MINIMAL set of keys (Thaler & Ravishankar, IEEE ToN 1998; the
+    * weighted score of Rendezvous/HRW as used by Ceph CRUSH et al.) —
+    * the right primitive for sharding a 100 TB corpus across
+    * heterogeneous writers, where mod-N hashing would reshuffle
+    * everything on any topology change.
+    *
+    * Score: `u = (hex52(md5(key:node:domain)) + 1) / (2⁵² + 1)` ∈ (0,1),
+    * `score = −w / ln(u)`; the row goes to the max score, ties (a 2⁻⁵²
+    * event) to the FIRST node in name order — the fold visits nodes
+    * name-ascending and replaces only on strict improvement, and the
+    * oracle's `ORDER BY score DESC, node` replays the same rule. E[share]
+    * ∝ w exactly (the u are independent uniforms per node). `ln` is the
+    * one transcendental: both engines evaluate it on the identical
+    * double, so a flipped assignment needs the two top scores within an
+    * ulp of each other — (q120's argument) vanishing, and confined to
+    * single boundary keys if it ever occurs.
+    *
+    * Map-only: per-row hash + a `nodes`-length fold, zero shuffle.
+    * Output: the input columns + `node`. */
+  def rendezvousAssign(df: DataFrame, keyCol: String,
+                       nodes: Seq[(String, Double)],
+                       domain: String = "hrw"): DataFrame = {
+    require(nodes.nonEmpty, "at least one node is required")
+    require(nodes.forall(_._2 > 0.0), s"node weights must be positive: $nodes")
+    require(nodes.map(_._1).distinct.size == nodes.size,
+      s"duplicate node names: $nodes")
+    require(!df.columns.contains("node"),
+      "input must not contain the reserved column node")
+    def score(node: String, w: Double): Column = {
+      val h = hex52(md5(concat(col(keyCol).cast("string"),
+        lit(":" + node + ":" + domain))), 1)
+      val u = (h + lit(1L)).cast("double") / lit(4503599627370497.0) // 2^52+1
+      -lit(w) / log(u)
+    }
+    val ordered = nodes.sortBy(_._1)
+    val best = ordered.tail.foldLeft(
+      struct(score(ordered.head._1, ordered.head._2).as("s"),
+        lit(ordered.head._1).as("n"))) { case (acc, (name, w)) =>
+      val s = score(name, w)
+      when(s > acc("s"), struct(s.as("s"), lit(name).as("n"))).otherwise(acc)
+    }
+    df.withColumn("node", best("n"))
+  }
+
   /** UniMax budget allocation (Chung et al., ICLR'23): per-group token
     * quotas under a total `budget` and a per-group `epochCap` (no group may
     * be repeated more than `epochCap` epochs). The paper's greedy — visit

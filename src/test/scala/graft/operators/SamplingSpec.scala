@@ -552,6 +552,56 @@ class SamplingSpec extends SparkFunSuite {
     }
   }
 
+  // ---- rendezvousAssign ----
+
+  test("rendezvousAssign: shares track weights; assignment is layout-invariant") {
+    val df = (1L to 4000L).toDF("id")
+    val counts = Sampling.rendezvousAssign(df, "id",
+        Seq("a" -> 1.0, "b" -> 3.0))
+      .groupBy("node").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") > 800 && counts("a") < 1200, s"shares off: $counts")
+    assert(counts("a") + counts("b") == 4000L)
+    val base = Sampling.rendezvousAssign(df, "id", Seq("a" -> 1.0, "b" -> 3.0))
+    val shuffled = Sampling.rendezvousAssign(df.repartition(13), "id",
+      Seq("a" -> 1.0, "b" -> 3.0))
+    assert(base.except(shuffled).isEmpty && shuffled.except(base).isEmpty)
+  }
+
+  test("rendezvousAssign: adding a node only moves keys TO the new node") {
+    val df = (1L to 2000L).toDF("id")
+    val before = Sampling.rendezvousAssign(df, "id",
+        Seq("a" -> 1.0, "b" -> 2.0))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = Sampling.rendezvousAssign(df, "id",
+        Seq("a" -> 1.0, "b" -> 2.0, "c" -> 1.0))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = before.keys.filter(k => before(k) != after(k))
+    assert(moved.nonEmpty, "new node captured nothing — weights broken")
+    assert(moved.forall(k => after(k) == "c"),
+      "a key moved between SURVIVING nodes — not minimal movement")
+  }
+
+  test("rendezvousAssign is map-only and validates its arguments") {
+    val df = (1L to 10L).toDF("id")
+    val plan = Sampling.rendezvousAssign(df, "id", Seq("a" -> 1.0, "b" -> 1.0))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"HRW must be map-only:\n$plan")
+    intercept[IllegalArgumentException] {
+      Sampling.rendezvousAssign(df, "id", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rendezvousAssign(df, "id", Seq("a" -> 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rendezvousAssign(df, "id", Seq("a" -> 1.0, "a" -> 2.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rendezvousAssign(df.withColumn("node", lit("x")), "id",
+        Seq("a" -> 1.0))
+    }
+  }
+
   // ---- unimaxQuotas ----
 
   /** one weighted row per (group, weight) — quotas depend only on sizes */
