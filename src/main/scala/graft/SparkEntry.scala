@@ -1432,6 +1432,15 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // char-mass-weighted median quality score per source: half the CHAR
+    // mass sits at or below this score — exact integer rule, no
+    // interpolation
+    "q150_weighted_median" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("source"),
+        TextAnalysis.qualityScore(col("text")).as("score"), col("n_chars"))
+      Quantiles.weightedMedian(d, Seq("source"), "score", "n_chars")
+        .orderBy("source")
+    }),
     // weighted rendezvous sharding: route docs to 4 heterogeneous nodes
     // (weights 1:1:2:4) with minimal-movement guarantees; per-node doc
     // and char totals
@@ -3614,6 +3623,28 @@ object SparkEntry {
     // q146: both cosine chains + the RBO fold with the plan's own power
     // literals (see rboOracle)
     "q146_rank_overlap" -> rboOracle(10, 0.9),
+    // q150: the q132 score chain; the 2·cumw ≥ W rule is integer-only
+    "q150_weighted_median" ->
+      """WITH s AS (SELECT source, n_chars,
+        |    least(greatest(
+        |      least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+        |      + least((CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','on'))) AS DOUBLE)
+        |          / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+        |      + (CAST(1.0 AS DOUBLE) - least((CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        |          / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS score
+        |  FROM documents),
+        |g AS (SELECT source, score, CAST(sum(n_chars) AS BIGINT) AS w
+        |  FROM s GROUP BY 1, 2),
+        |c AS (SELECT source, score, w,
+        |    CAST(sum(w) OVER (PARTITION BY source ORDER BY score
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+        |    CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS tw
+        |  FROM g)
+        |SELECT source, max(tw) AS total_weight,
+        |  min(score) AS weighted_median
+        |FROM c WHERE cw * 2 >= tw GROUP BY source ORDER BY source""".stripMargin,
     // q149: identical per-node u derivation and −w/ln(u) scores; the
     // (score DESC, node) pick replays the strict-improvement fold
     "q149_rendezvous_shards" ->

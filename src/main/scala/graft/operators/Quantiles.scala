@@ -286,6 +286,46 @@ object Quantiles {
       .select(df.columns.map(col) ++ Seq(col("rank"), col("pct")): _*)
   }
 
+  /** Exact weighted median per group: the smallest value whose cumulative
+    * weight reaches half the group's total — "half the TOKEN mass sits at
+    * or below this score", the right center for curation decisions where
+    * documents are not equal (a 10-token doc should not count like a
+    * 10k-token one). The selection rule `2·cumw ≥ W` is pure integer
+    * arithmetic — no interpolation, no doubles, bit-exact cross-engine;
+    * ties in the value column merge their weight before the rule applies.
+    * Zero- and negative-weight rows are rejected at runtime (a negative
+    * weight makes the cumulative non-monotone and the rule meaningless).
+    *
+    * Output: `(groupCols…, total_weight, weighted_median)`.
+    *
+    * Scale shape: one (group, value)-keyed weight aggregation, then a
+    * per-group cumulative window over DISTINCT values (value-cardinality
+    * sized, not row sized) and a min-filter — never a whole-group sort of
+    * raw rows. */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     weightCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column is required")
+    require(!df.columns.exists(Set("_w", "_cw", "_tw")),
+      "input must not contain the reserved columns _w/_cw/_tw")
+    val gcols = groupCols.map(col)
+    val checkedW = when(col(weightCol) > 0L, col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(lit("weightedMedian: non-positive weight "),
+        col(weightCol).cast("string"))))
+    val agg = df.select(gcols :+ col(valueCol) :+ checkedW.as("_w"): _*)
+      .groupBy(gcols :+ col(valueCol): _*)
+      .agg(sum(col("_w")).as("_w"))
+    val wcum = Window.partitionBy(gcols: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wall = Window.partitionBy(gcols: _*)
+    agg
+      .withColumn("_cw", sum(col("_w")).over(wcum))
+      .withColumn("_tw", sum(col("_w")).over(wall))
+      .filter(col("_cw") * 2L >= col("_tw"))
+      .groupBy(gcols: _*)
+      .agg(max(col("_tw")).as("total_weight"),
+        min(col(valueCol)).as("weighted_median"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic of every group against the
     * REST of the corpus: `ks = sup_v |F_g(v) − F_rest(v)|` — the standard
     * distribution-drift alarm for per-slice score distributions (is this

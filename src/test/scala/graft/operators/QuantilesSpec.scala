@@ -227,6 +227,37 @@ class QuantilesSpec extends SparkFunSuite {
     }
   }
 
+  // ---- weightedMedian ----
+
+  test("weightedMedian: the 2·cumw >= W rule on hand-built masses") {
+    // g1: (v=1,w=1),(v=2,w=1),(v=3,w=6): cum 1,2,8; W=8 -> first 2cw>=8
+    // is v=3. g2 even split: (1,2),(2,2): cum 2,4; W=4 -> 2*2>=4 at v=1.
+    val df = Seq(("g1", 1.0, 1L), ("g1", 2.0, 1L), ("g1", 3.0, 6L),
+        ("g2", 1.0, 2L), ("g2", 2.0, 2L))
+      .toDF("g", "v", "w")
+    val out = Quantiles.weightedMedian(df, Seq("g"), "v", "w")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("g1", 8L, 3.0), ("g2", 4L, 1.0)))
+  }
+
+  test("weightedMedian: duplicate values merge weight before the rule; rejects bad weights") {
+    // v=2 appears twice with w 1+3=4 of W=6 -> cum at 1 is 2, at 2 is 6:
+    // first 2cw>=6 is v=2
+    val df = Seq(("g", 1.0, 2L), ("g", 2.0, 1L), ("g", 2.0, 3L))
+      .toDF("g", "v", "w")
+    val out = Quantiles.weightedMedian(df, Seq("g"), "v", "w")
+      .collect().head
+    assert((out.getLong(1), out.getDouble(2)) == ((6L, 2.0)))
+    val bad = Seq(("g", 1.0, 0L)).toDF("g", "v", "w")
+    intercept[Exception] {
+      Quantiles.weightedMedian(bad, Seq("g"), "v", "w").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.weightedMedian(df, Seq.empty, "v", "w")
+    }
+  }
+
   // ---- ksStatistic ----
 
   private def ksOf(rows: (String, java.lang.Double)*) = {
