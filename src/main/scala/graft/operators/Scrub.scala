@@ -280,13 +280,22 @@ object Scrub {
             Seq(2, 3, 4).map(n => s"top${n}_char_frac" -> topFrac(n)) ++
             (5 to 10).map(n => s"dup${n}_char_frac" -> dupFrac(n))
         val limits = RepetitionThresholds.toMap
-        val pass = signals
-          .map { case (name, c) => c <= lit(limits(name)) }
-          .reduce(_ && _)
-        struct(
-          (nLines.as("n_lines") +:
-            signals.map { case (name, c) => c.as(name) }) :+
-            pass.as("pass"): _*)
+        // let-bind the signal struct before deriving `pass`: each signal is
+        // a full gram-sort-fold pipeline, and referencing the raw columns
+        // both as outputs AND inside the pass conjunction evaluated every
+        // one of them twice (measured 13.1 -> 7.4 s at sf0.1)
+        val sigStruct = struct(
+          nLines.as("n_lines") +:
+            signals.map { case (name, c) => c.as(name) }: _*)
+        get(transform(array(sigStruct), st => {
+          val pass = signals
+            .map { case (name, _) => st.getField(name) <= lit(limits(name)) }
+            .reduce(_ && _)
+          struct(
+            (st.getField("n_lines").as("n_lines") +:
+              signals.map { case (name, _) => st.getField(name).as(name) }) :+
+              pass.as("pass"): _*)
+        }), lit(0))
       }), lit(0))), lit(0))
   }
 
