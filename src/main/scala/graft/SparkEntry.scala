@@ -249,7 +249,7 @@ object SparkEntry {
     // beyond-cap copies through the bucket minimum instead of their own
     // planted pair. Both hold with wide margin at every driver SF.)
     "q24_minhash_pairs" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val docs = Tables(s, dir).documentsSpread.select(col("doc_id"), col("text"))
       val corpus = docs.unionByName(
         docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       // lazy localCheckpoint: the pair set feeds both the planted-pair rows
@@ -523,7 +523,7 @@ object SparkEntry {
     // set exactly the triples, so resolve must collapse the corpus back to
     // precisely the original (doc_id, lang) table.
     "q45_dup_clusters" -> ((s, dir) => {
-      val base = Tables(s, dir).documents.select(col("doc_id"), col("lang"),
+      val base = Tables(s, dir).documentsSpread.select(col("doc_id"), col("lang"),
         concat_ws(" ", (0 until 12).map(i =>
           md5(concat(col("doc_id").cast("string"), lit(s":w$i")))): _*).as("text"))
       def shifted(k: Long) = base.select(
@@ -813,7 +813,7 @@ object SparkEntry {
     // winnowing (rolling-hash) fingerprints: exact integer polynomial
     // hashes, so the oracle recomputes the identical fingerprint sets
     "q74_winnowing_fp" -> ((s, dir) => {
-      Tables(s, dir).documents
+      Tables(s, dir).documentsSpread
         .select(col("doc_id"),
           explode(TextAnalysis.winnowingFingerprints(col("text"), k = 5, w = 8)).as("fp"))
         .orderBy("doc_id", "fp")
@@ -906,7 +906,7 @@ object SparkEntry {
     // natural pair at/above threshold is computed identically by both
     // engines (string-set arithmetic — no sketching, no rounding)
     "q73_ngram_jaccard" -> ((s, dir) => {
-      val d = Tables(s, dir).documents.select("doc_id", "text", "lang", "n_chars")
+      val d = Tables(s, dir).documentsSpread.select("doc_id", "text", "lang", "n_chars")
       val corpus = d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
         col("text"), col("lang"), col("n_chars")))
       Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "lang", "n_chars",
@@ -1075,7 +1075,7 @@ object SparkEntry {
     // tight-cap/high-threshold configuration — the regime the cap exists
     // for — rather than the defaults meant for natural text
     "q95_winnow_overlap" -> ((s, dir) => {
-      TextAnalysis.winnowOverlapPairs(Tables(s, dir).documents,
+      TextAnalysis.winnowOverlapPairs(Tables(s, dir).documentsSpread,
           "doc_id", "text", k = 5, w = 8, minShared = 8L, maxBucket = 16)
         .orderBy("id_a", "id_b")
     }),
@@ -1085,7 +1085,7 @@ object SparkEntry {
     // double sum); the oracle replays the identical fold via
     // list_reduce(list(... ORDER BY term))
     "q93_bm25_topk" -> ((s, dir) => {
-      val d = Tables(s, dir).documents
+      val d = Tables(s, dir).documentsSpread
       val q = d.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"), col("text").as("qtext"))
       Retrieval.bm25TopK(d, "doc_id", "text", q, "query_id", "qtext", k = 10)
@@ -1099,7 +1099,7 @@ object SparkEntry {
     // list_reduce(list(... ORDER BY li))).
     "q109_rrf_fusion" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val d = t.documents
+      val d = t.documentsSpread
       val q = d.filter(col("doc_id") < 5)
         .select(col("doc_id").as("query_id"), col("text").as("qtext"))
       val lexical = Retrieval.bm25TopK(d, "doc_id", "text", q, "query_id", "qtext", k = 10)
@@ -1192,7 +1192,7 @@ object SparkEntry {
     // Rare-gram candidate anchoring (df ≤ 64) + one exact array_intersect;
     // integer sizes and an integer/integer division replay bit-identically.
     "q116_containment" -> ((s, dir) => {
-      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val d = Tables(s, dir).documentsSpread.select(col("doc_id"), col("text"))
       val corpus = d.unionByName(d.select(
         (col("doc_id") + 1000000L).as("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("text")))
@@ -1372,7 +1372,12 @@ object SparkEntry {
             when(col("doc_id") % 3 === 0, lit("\nthe end"))
               .otherwise(lit(""))).as("text"))
       val sig = Scrub.RepetitionThresholds.map(_._1)
-      planted
+      // the fixture is ONE parquet file = one scan partition; the signal
+      // battery is the heaviest per-row map in the repo, so spread it
+      // before computing (a real lake's many files parallelize naturally).
+      // Explicit partition count: AQE's 64MB advisory would coalesce this
+      // small-bytes/heavy-cpu shuffle right back to one task
+      planted.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), Scrub.repetitionSignals(col("text")).as("r"))
         .select(col("doc_id") +: col("r.n_lines").as("n_lines") +:
           sig.map(n => col(s"r.$n").as(n)) :+ col("r.pass").as("pass"): _*)
@@ -1799,7 +1804,7 @@ object SparkEntry {
     // replay; log-ratio and Gumbel keys are fixed-order folds over exact
     // integer-ratio ln args, so the SELECTED SET reproduces exactly
     "q101_dsir_resample" -> ((s, dir) => {
-      val d = Tables(s, dir).documents
+      val d = Tables(s, dir).documentsSpread
       Importance.dsirResample(d, d.filter(col("lang") === "en"),
           "doc_id", "text", k = 100, buckets = 1024)
         .orderBy("rank")
@@ -1832,7 +1837,7 @@ object SparkEntry {
     // 5-gram winnowing hash arithmetic, min-length fold, md5 chunk keys —
     // per-row map work both engines replay byte-for-byte
     "q105_content_chunks" -> ((s, dir) => {
-      val d = Tables(s, dir).documents
+      val d = Tables(s, dir).documentsSpread
       Chunk.contentChunks(d, "doc_id", "text", divisor = 64, minLen = 32)
         .orderBy("doc_id", "chunk_id")
     }),

@@ -226,7 +226,7 @@ object Scrub {
     when(size(tk) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(tk) - lit(n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + lit(j))): _*)))
+        i => array_join(slice(tk, i, lit(n)), " ")))
 
   /** Gopher repetition signals (Rae et al. 2021 §A1.1 Table A1) as one
     * per-row struct — the REPETITION half of the published filter battery

@@ -21,6 +21,19 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
   def documents: DataFrame = t("documents")
+
+  /** [[documents]] spread across `defaultParallelism` partitions with an
+    * EXPLICIT count. The driver fixtures are one single-row-group parquet
+    * file per table — one scan task — so a cpu-heavy map stage (gram
+    * builds, winnowing, per-token scoring) serializes on one core, and
+    * AQE's 64MB advisory would coalesce a plain `repartition(col)` of
+    * these few text-MBs right back to one task (measured on q128:
+    * 13.1 s single-task vs 1.7 s spread at sf0.1). A real lake's many
+    * files make this a no-op-shaped concern; heavy battery queries opt in
+    * here. */
+  def documentsSpread: DataFrame =
+    documents.repartition(spark.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col("doc_id"))
   def embeddings: DataFrame = t("embeddings")
 
   /** events.parquet's `ts` physical type has differed across testdata
