@@ -1437,6 +1437,22 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // per-source PII incidence with Wilson 95% bounds: plant emails on
+    // ids ≡0 (mod 7), IPs on ≡0 (mod 11), phones on ≡0 (mod 13); the
+    // SAME redaction regexes detect, so the rate measures what redaction
+    // would touch
+    "q151_pii_incidence" -> ((s, dir) => {
+      val planted = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" contact bob@ex-ample.org"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" host 10.1.2.3"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" call +1-555-0100"))
+            .otherwise(lit(""))).as("text"))
+      Scrub.piiIncidence(planted, Seq("source"), "text")
+        .orderBy("source")
+    }),
     // char-mass-weighted median quality score per source: half the CHAR
     // mass sits at or below this score — exact integer rule, no
     // interpolation
@@ -1949,6 +1965,57 @@ object SparkEntry {
   /** q137's oracle: per-n gram streams over the identical single-space
     * tokenization, exact distinct/total counts, one integer/integer
     * double division; the (source × n) spine restores empty cells. */
+  /** q151 oracle: same planted corpus, the SAME three redaction regexes
+    * as detectors, and Wilson expressions carrying the plan's own z/z²
+    * doubles — fixed-order IEEE ops + correctly-rounded sqrt, no
+    * rounding. */
+  private def piiOracle(z: Double): String = {
+    val (zl, z2l) = graft.operators.Scrub.wilsonLiterals(z)
+    val email = graft.operators.Scrub.EmailRe
+    val ip = graft.operators.Scrub.Ipv4Re
+    val phone = graft.operators.Scrub.PhoneRe
+    s"""WITH planted AS (SELECT doc_id, source,
+       |    text
+       |      || CASE WHEN doc_id % 7 = 0 THEN ' contact bob@ex-ample.org' ELSE '' END
+       |      || CASE WHEN doc_id % 11 = 0 THEN ' host 10.1.2.3' ELSE '' END
+       |      || CASE WHEN doc_id % 13 = 0 THEN ' call +1-555-0100' ELSE '' END
+       |      AS text
+       |  FROM documents),
+       |f AS (SELECT source,
+       |    CASE WHEN regexp_matches(text, '$email') THEN 1 ELSE 0 END AS e,
+       |    CASE WHEN regexp_matches(text, '$ip') THEN 1 ELSE 0 END AS i,
+       |    CASE WHEN regexp_matches(text, '$phone') THEN 1 ELSE 0 END AS p
+       |  FROM planted),
+       |a AS (SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(e) AS BIGINT) AS n_email,
+       |    CAST(sum(i) AS BIGINT) AS n_ip,
+       |    CAST(sum(p) AS BIGINT) AS n_phone,
+       |    CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_flagged
+       |  FROM f GROUP BY source),
+       |w AS (SELECT *,
+       |    CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE) AS rate,
+       |    CAST(1.0 AS DOUBLE)
+       |      + CAST('$z2l' AS DOUBLE) / CAST(n_docs AS DOUBLE) AS denom
+       |  FROM a),
+       |c AS (SELECT *,
+       |    (rate + CAST('$z2l' AS DOUBLE)
+       |        / (CAST(2.0 AS DOUBLE) * CAST(n_docs AS DOUBLE))) / denom
+       |      AS center,
+       |    (CAST('$zl' AS DOUBLE) / denom)
+       |      * sqrt(rate * (CAST(1.0 AS DOUBLE) - rate)
+       |          / CAST(n_docs AS DOUBLE)
+       |        + CAST('$z2l' AS DOUBLE)
+       |          / (CAST(4.0 AS DOUBLE) * CAST(n_docs AS DOUBLE)
+       |             * CAST(n_docs AS DOUBLE))) AS half
+       |  FROM w)
+       |SELECT source, n_docs, n_email, n_ip, n_phone, n_flagged, rate,
+       |  greatest(CAST(0.0 AS DOUBLE), center - half) AS wilson_lo,
+       |  least(CAST(1.0 AS DOUBLE), center + half) AS wilson_hi
+       |FROM c ORDER BY source""".stripMargin
+  }
+
   /** q146 oracle: generated from the SAME power/scale doubles the Spark
     * plan plants (Retrieval.rboLiterals), so every term replays
     * bit-identically with no rounding. */
@@ -3628,6 +3695,9 @@ object SparkEntry {
     // q146: both cosine chains + the RBO fold with the plan's own power
     // literals (see rboOracle)
     "q146_rank_overlap" -> rboOracle(10, 0.9),
+    // q151: generated from the plan's own z/z² doubles + the shared
+    // redaction regexes (see piiOracle)
+    "q151_pii_incidence" -> piiOracle(1.96),
     // q150: the q132 score chain; the 2·cumw ≥ W rule is integer-only
     "q150_weighted_median" ->
       """WITH s AS (SELECT source, n_chars,

@@ -44,6 +44,58 @@ object Scrub {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Per-slice PII incidence with Wilson 95% score bounds — the
+    * governance dashboard number behind [[redactPii]]: not just "how many
+    * documents carry PII" but a defensible interval (Wilson, JASA 1927 —
+    * the standard small-k binomial interval; a plain ±1.96√(pq/n) is
+    * garbage at the low rates PII audits live at). Detection is the SAME
+    * three patterns redaction uses, so the rate measures exactly what
+    * redaction would touch.
+    *
+    * Determinism: counts are exact integers; the Wilson expressions are a
+    * fixed-order chain of IEEE ops whose `z`/`z²` literals are planted
+    * into both the plan and the q151 oracle; `sqrt` is correctly rounded
+    * in both engines — no rounding anywhere.
+    *
+    * Scale shape: per-row regex flags (codegen'd, map-side) into one
+    * group-keyed aggregation — the cheapest shape there is.
+    *
+    * Output per group: `(groupCols…, n_docs, n_email, n_ip, n_phone,
+    * n_flagged, rate, wilson_lo, wilson_hi)`. */
+  def piiIncidence(df: DataFrame, groupCols: Seq[String], textCol: String,
+                   z: Double = 1.96): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column is required")
+    require(z > 0.0, s"z ($z) must be positive")
+    val gcols = groupCols.map(col)
+    def flag(re: String): Column =
+      when(col(textCol).rlike(re), 1L).otherwise(0L)
+    val agg = df
+      .select(gcols :+ flag(EmailRe).as("_e") :+ flag(Ipv4Re).as("_i") :+
+        flag(PhoneRe).as("_p"): _*)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_e")).as("n_email"),
+        sum(col("_i")).as("n_ip"),
+        sum(col("_p")).as("n_phone"),
+        sum(when(col("_e") + col("_i") + col("_p") > 0L, 1L).otherwise(0L))
+          .as("n_flagged"))
+    val z2 = z * z
+    val nD = col("n_docs").cast("double")
+    val p = col("n_flagged").cast("double") / nD
+    val denom = lit(1.0) + lit(z2) / nD
+    val center = (p + lit(z2) / (lit(2.0) * nD)) / denom
+    val half = (lit(z) / denom) *
+      sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (lit(4.0) * nD * nD))
+    agg.select(gcols ++ Seq(col("n_docs"), col("n_email"), col("n_ip"),
+      col("n_phone"), col("n_flagged"), p.as("rate"),
+      greatest(lit(0.0), center - half).as("wilson_lo"),
+      least(lit(1.0), center + half).as("wilson_hi")): _*)
+  }
+
+  /** The Wilson literals of [[piiIncidence]], exposed so the q151 oracle
+    * text carries the SAME doubles the plan plants. */
+  private[graft] def wilsonLiterals(z: Double): (Double, Double) = (z, z * z)
+
   /** Markup stripping for web-crawl text (the extraction-hygiene step a
     * CCNet/RefinedWeb-style pipeline runs before any quality analysis):
     * drops `<script>`/`<style>`/comment blocks WITH their payload, strips

@@ -356,4 +356,42 @@ class ScrubSpec extends SparkFunSuite {
       assert(pass == ePass)
     }
   }
+
+  // ---- piiIncidence ----
+
+  test("piiIncidence: hand-planted counts and the replayed Wilson interval") {
+    val df = Seq(
+      ("g", "clean text one"),
+      ("g", "write to a.b@corp.io today"),
+      ("g", "mail x@y.org from 10.0.0.1"), // email AND ip: one flagged doc
+      ("g", "clean text two"),
+      ("g", "clean text three")
+    ).toDF("src", "text")
+    val r = Scrub.piiIncidence(df, Seq("src"), "text").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((5L, 2L, 1L, 0L, 2L)))
+    val (z, z2) = (1.96, 1.96 * 1.96)
+    val n = 5.0; val p = 2.0 / 5.0
+    val denom = 1.0 + z2 / n
+    val center = (p + z2 / (2.0 * n)) / denom
+    val half = (z / denom) * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    assert(r.getDouble(6) == p)
+    assert(r.getDouble(7) == math.max(0.0, center - half))
+    assert(r.getDouble(8) == math.min(1.0, center + half))
+  }
+
+  test("piiIncidence: zero and saturated rates clamp to [0, 1]; bad args reject") {
+    val clean = Seq(("g", "nothing here")).toDF("src", "text")
+    val c = Scrub.piiIncidence(clean, Seq("src"), "text").collect().head
+    assert(c.getDouble(6) == 0.0 && c.getDouble(7) == 0.0 && c.getDouble(8) > 0.0)
+    val dirty = Seq(("g", "a@b.co"), ("g", "c@d.co")).toDF("src", "text")
+    val d = Scrub.piiIncidence(dirty, Seq("src"), "text").collect().head
+    assert(d.getDouble(6) == 1.0 && d.getDouble(8) == 1.0 && d.getDouble(7) < 1.0)
+    intercept[IllegalArgumentException] {
+      Scrub.piiIncidence(clean, Seq.empty, "text")
+    }
+    intercept[IllegalArgumentException] {
+      Scrub.piiIncidence(clean, Seq("src"), "text", z = 0.0)
+    }
+  }
 }
