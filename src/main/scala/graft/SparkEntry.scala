@@ -1437,6 +1437,20 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // CUSUM changepoint per event type: clicks double after Jan 20 (a
+    // planted rate step), so the click stream must localize its burst day
+    // in the tail while flat types score near zero — exact integer
+    // T·cum − t·total statistic, one normalized division
+    "q152_cusum_burst" -> ((s, dir) => {
+      val e = Tables(s, dir).events
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val boosted = e
+        .filter(col("event_type") === "click" && dayofmonth(col("ts")) > 20)
+        .select((col("event_id") + 10000000L).as("event_id"),
+          col("event_type"), col("ts"))
+      Resample.cusumBurst(e.unionByName(boosted), Seq("event_type"), "ts")
+        .orderBy("event_type")
+    }),
     // per-source PII incidence with Wilson 95% bounds: plant emails on
     // ids ≡0 (mod 7), IPs on ≡0 (mod 11), phones on ≡0 (mod 13); the
     // SAME redaction regexes detect, so the rate measures what redaction
@@ -3695,6 +3709,31 @@ object SparkEntry {
     // q146: both cosine chains + the RBO fold with the plan's own power
     // literals (see rboOracle)
     "q146_rank_overlap" -> rboOracle(10, 0.9),
+    // q152: identical plant, day windows, integer statistic and
+    // (|D| desc, t asc) argmax
+    "q152_cusum_burst" ->
+      """WITH e AS (SELECT event_id, event_type, ts FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, event_type, ts FROM events
+        |  WHERE event_type = 'click' AND day(ts) > 20),
+        |daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS t,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS tt,
+        |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+        |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM daily),
+        |d AS (SELECT *, tt * cum - t * tot AS dd FROM w),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(dd) DESC, t) AS rn FROM d)
+        |SELECT event_type, tt AS n_days, tot AS total, day AS burst_day,
+        |  t AS t_star, dd AS d_star,
+        |  CAST(abs(dd) AS DOUBLE) / CAST(tt * tot AS DOUBLE) AS score
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // q151: generated from the plan's own z/z² doubles + the shared
     // redaction regexes (see piiOracle)
     "q151_pii_incidence" -> piiOracle(1.96),

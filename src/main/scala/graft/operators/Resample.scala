@@ -143,4 +143,55 @@ object Resample {
     }
     patched.drop("_ck" +: valCols.map(c => s"_last__$c"): _*)
   }
+
+  /** CUSUM changepoint detection over per-key daily event counts (Page,
+    * Biometrika 1954, in the exact integer form): with daily counts
+    * `x_1..x_T`, the centered cumulative sum `S_t = Σ_{s≤t}(x_s − x̄)`
+    * peaks at the most likely single changepoint. To keep it EXACT, the
+    * statistic is scaled by `T`: `D_t = T·cum_t − t·total` (= `T·S_t`,
+    * all longs — no mean double anywhere); the burst day is
+    * `argmax |D_t|` (ties to the earliest day) and `score =
+    * |D_t*| / (T·total)` ∈ [0, 1) is the one normalized double — a flat
+    * series scores ~0, a clean step change approaches the step fraction.
+    * The operational "did this event stream shift, and when" alarm for
+    * ingest monitoring.
+    *
+    * Output per key: `(keyCols…, n_days, total, burst_day, t_star,
+    * d_star, score)`, `d_star` signed (`> 0`: the early days run HOT —
+    * rate fell after the burst day; `< 0`: rate rose).
+    *
+    * Scale shape: one (key, day)-keyed count (map-side combinable), then
+    * windows over the per-key DAY series (calendar-sized, not
+    * event-sized) and one max(struct) argmax. */
+  def cusumBurst(df: DataFrame, keyCols: Seq[String],
+                 tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column is required")
+    require(!df.columns.exists(Set("_day", "_x", "_t", "_tt", "_tot",
+      "_cum", "_dd", "_m")),
+      "input must not contain the reserved columns _day/_x/_t/_tt/_tot/_cum/_dd/_m")
+    val kcols = keyCols.map(col)
+    val daily = df
+      .groupBy(kcols :+ date_trunc("day", col(tsCol)).as("_day"): _*)
+      .agg(count(lit(1)).as("_x"))
+    val ord = Window.partitionBy(kcols: _*).orderBy(col("_day"))
+    val all = Window.partitionBy(kcols: _*)
+    val scored = daily
+      .withColumn("_t", row_number().over(ord).cast("long"))
+      .withColumn("_tt", count(lit(1)).over(all))
+      .withColumn("_tot", sum(col("_x")).over(all))
+      .withColumn("_cum", sum(col("_x"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_dd", col("_tt") * col("_cum") - col("_t") * col("_tot"))
+    scored
+      .groupBy(kcols: _*)
+      .agg(max(col("_tt")).as("n_days"), max(col("_tot")).as("total"),
+        max(struct(abs(col("_dd")).as("_m"), (-col("_t")).as("_nt"),
+          col("_day").as("_day"), col("_t").as("_t"), col("_dd").as("_dd")))
+          .as("_b"))
+      .select(kcols ++ Seq(col("n_days"), col("total"),
+        col("_b._day").as("burst_day"), col("_b._t").as("t_star"),
+        col("_b._dd").as("d_star"),
+        (col("_b._m").cast("double") /
+          (col("n_days") * col("total")).cast("double")).as("score")): _*)
+  }
 }

@@ -101,4 +101,39 @@ class ResampleSpec extends SparkFunSuite {
       (1L, ts(2), Some(1.0), Some(9.0)),
       (1L, ts(3), Some(1.0), Some(7.0))))
   }
+
+  // ---- cusumBurst ----
+
+  private def eventRows(key: String, dayCounts: Seq[(Int, Int)]) =
+    dayCounts.flatMap { case (d, n) => Seq.fill(n)((key, ts(d))) }
+
+  test("cusumBurst: hand-computed step series localizes the change") {
+    // counts [1,1,3,3] on days 1..4: D_t = 4*cum - 8t = -4,-8,-4,0
+    // -> burst at t=2 (day 2), d_star = -8, score = 8/(4*8) = 0.25
+    val df = eventRows("k", Seq(1 -> 1, 2 -> 1, 3 -> 3, 4 -> 3))
+      .toDF("k", "ev_ts")
+    val r = Resample.cusumBurst(df, Seq("k"), "ev_ts").collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((4L, 8L)))
+    assert(r.getTimestamp(3) == ts(2) && r.getLong(4) == 2L)
+    assert(r.getLong(5) == -8L && r.getDouble(6) == 0.25)
+  }
+
+  test("cusumBurst: a flat series scores zero at the earliest tie day; keys independent") {
+    val df = (eventRows("flat", Seq(1 -> 2, 2 -> 2, 3 -> 2)) ++
+      eventRows("hot", Seq(1 -> 1, 2 -> 5)))
+      .toDF("k", "ev_ts")
+    val out = Resample.cusumBurst(df, Seq("k"), "ev_ts")
+      .orderBy("k").collect()
+    val flat = out(0); val hot = out(1)
+    assert(flat.getString(0) == "flat" && flat.getDouble(6) == 0.0 &&
+      flat.getLong(4) == 1L)
+    // hot: D_1 = 2*1 - 6 = -4 -> score 4/12
+    assert(hot.getLong(5) == -4L && hot.getDouble(6) == 4.0 / 12.0)
+    intercept[IllegalArgumentException] {
+      Resample.cusumBurst(df, Seq.empty, "ev_ts")
+    }
+    intercept[IllegalArgumentException] {
+      Resample.cusumBurst(df.withColumn("_dd", lit(1)), Seq("k"), "ev_ts")
+    }
+  }
 }
