@@ -1437,6 +1437,15 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // per-lang 1-Wasserstein drift of the quality-score distribution vs
+    // the rest — the integral companion of q147's KS, value-ordered fold,
+    // no transcendentals
+    "q153_w1_drift" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("score"))
+      Quantiles.wasserstein1(d, "lang", "score").orderBy("lang")
+    }),
     // CUSUM changepoint per event type: clicks double after Jan 20 (a
     // planted rate step), so the click stream must localize its burst day
     // in the tail while flat types score near zero — exact integer
@@ -3709,6 +3718,48 @@ object SparkEntry {
     // q146: both cosine chains + the RBO fold with the plan's own power
     // literals (see rboOracle)
     "q146_rank_overlap" -> rboOracle(10, 0.9),
+    // q153: the q147 grid + lead gaps; the fold replays in value order
+    // (list_reduce's first-element init ≡ Spark's 0.0+t₁ exactly)
+    "q153_w1_drift" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    least(greatest(
+        |      least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+        |      + least((CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          w -> w IN ('the','a','an','and','or','of','to','in','is','on'))) AS DOUBLE)
+        |          / greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+        |      + (CAST(1.0 AS DOUBLE) - least((CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+        |          / greatest(CAST(length(text) AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS score
+        |  FROM documents),
+        |cnt AS (SELECT lang AS g, score AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM s GROUP BY 1, 2),
+        |grp AS (SELECT g, CAST(sum(c) AS BIGINT) AS n1 FROM cnt GROUP BY g),
+        |vals AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY v),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM vals),
+        |grid AS (SELECT grp.g, grp.n1, vals.v, vals.ct,
+        |    coalesce(cnt.c, 0) AS c, tot.nn
+        |  FROM grp CROSS JOIN vals
+        |  LEFT JOIN cnt ON cnt.g = grp.g AND cnt.v = vals.v
+        |  CROSS JOIN tot),
+        |cum AS (SELECT g, n1, nn, v,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS a,
+        |    CAST(sum(ct) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS call,
+        |    lead(v, 1) OVER (PARTITION BY g ORDER BY v) - v AS gap
+        |  FROM grid),
+        |t AS (SELECT g, n1, nn, v,
+        |    CASE WHEN gap IS NOT NULL AND nn - n1 > 0 THEN
+        |      abs(CAST(a AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |        - CAST(call - a AS DOUBLE) / CAST(nn - n1 AS DOUBLE)) * gap
+        |    END AS term
+        |  FROM cum)
+        |SELECT g AS lang, max(n1) AS n_group, max(nn - n1) AS n_rest,
+        |  CASE WHEN max(nn - n1) > 0 THEN
+        |    list_reduce(list(coalesce(term, CAST(0.0 AS DOUBLE))
+        |      ORDER BY v), (x, y) -> x + y)
+        |  END AS w1
+        |FROM t GROUP BY g ORDER BY lang""".stripMargin,
     // q152: identical plant, day windows, integer statistic and
     // (|D| desc, t asc) argmax
     "q152_cusum_burst" ->

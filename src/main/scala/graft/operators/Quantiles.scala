@@ -286,6 +286,63 @@ object Quantiles {
       .select(df.columns.map(col) ++ Seq(col("rank"), col("pct")): _*)
   }
 
+  /** 1-Wasserstein (earth-mover) distance of every group's value
+    * distribution against the REST of the corpus — the integral companion
+    * of [[ksStatistic]]: KS reports the worst single gap, W₁ reports the
+    * total transport `∫|F_g − F_rest| dv`, in VALUE units, which is what
+    * "how far did the quality distribution move" actually means for
+    * threshold decisions. Between step ECDFs the integral is the exact
+    * finite sum `Σ |F_g(vᵢ) − F_rest(vᵢ)|·(vᵢ₊₁ − vᵢ)` over sorted
+    * observed values.
+    *
+    * Determinism: CDF values are single divisions of exact integers; each
+    * term is fixed-order IEEE arithmetic; the per-group sum folds in
+    * VALUE order (`list_reduce(list(term ORDER BY v))` in the oracle) —
+    * bit-exact cross-engine, no transcendentals, no rounding.
+    *
+    * Scale shape: identical to [[ksStatistic]] — one (group, value)
+    * count, windows over the groups × distinct-values grid; the fold
+    * state is one value-cardinality array per group (bucket `valueCol`
+    * upstream when it is continuous and unbounded). `n_rest = 0` → null. */
+  def wasserstein1(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    require(!df.columns.exists(Set("_g", "_v", "_c", "_ct", "_a", "_call",
+      "_n1", "_nn", "_gap", "_term")),
+      "input must not contain the reserved columns _g/_v/_c/_ct/_a/_call/_n1/_nn/_gap/_term")
+    val vals = df.select(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .filter(col("_v").isNotNull)
+    val cnt = vals.groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(false)
+    val groups = cnt.groupBy("_g").agg(sum("_c").as("_n1"))
+    val values = cnt.groupBy("_v").agg(sum("_c").as("_ct"))
+    val total = values.agg(sum("_ct").as("_nn"))
+    val wg = Window.partitionBy("_g").orderBy("_v")
+    val grid = broadcast(groups).crossJoin(values)
+      .join(cnt, Seq("_g", "_v"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("_a", sum(coalesce(col("_c"), lit(0L)))
+        .over(wg.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_call", sum(col("_ct"))
+        .over(wg.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_gap", lead(col("_v"), 1).over(wg) - col("_v"))
+    val term = when(col("_gap").isNotNull && col("_nn") - col("_n1") > 0L,
+      abs(col("_a").cast("double") / col("_n1").cast("double") -
+        (col("_call") - col("_a")).cast("double") /
+          (col("_nn") - col("_n1")).cast("double")) * col("_gap"))
+    grid
+      .withColumn("_term", term)
+      .groupBy("_g")
+      .agg(max(col("_n1")).as("n_group"),
+        max(col("_nn") - col("_n1")).as("n_rest"),
+        when(max(col("_nn") - col("_n1")) > 0L,
+          aggregate(
+            sort_array(collect_list(struct(col("_v"), col("_term")))),
+            lit(0.0), (acc, s) => acc + coalesce(s("_term"), lit(0.0))))
+          .as("w1"))
+      .select(col("_g").as(groupCol), col("n_group"), col("n_rest"),
+        col("w1"))
+  }
+
   /** Exact weighted median per group: the smallest value whose cumulative
     * weight reaches half the group's total — "half the TOKEN mass sits at
     * or below this score", the right center for curation decisions where

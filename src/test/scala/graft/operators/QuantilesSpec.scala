@@ -227,6 +227,29 @@ class QuantilesSpec extends SparkFunSuite {
     }
   }
 
+  // ---- wasserstein1 ----
+
+  private def w1Of(rows: (String, java.lang.Double)*) =
+    Quantiles.wasserstein1(rows.toSeq.toDF("g", "v"), "g", "v")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+
+  test("wasserstein1: a pure shift moves exactly the shift distance") {
+    // A = {0, 1}, rest = {2, 3}: |F_A - F_r| = 1 on [1,2), 0.5 on [0,1)
+    // and [2,3) -> W1 = 0.5 + 1 + 0.5 = 2.0 (the mean shift)
+    val out = w1Of("a" -> 0.0, "a" -> 1.0, "b" -> 2.0, "b" -> 3.0)
+    assert(out.head == (("a", 2L, 2L, 2.0)))
+    assert(out(1) == (("b", 2L, 2L, 2.0)))
+  }
+
+  test("wasserstein1: identical distributions are zero; whole-corpus group is null") {
+    val same = w1Of("a" -> 1.0, "a" -> 5.0, "b" -> 1.0, "b" -> 5.0)
+    assert(same.map(_._4).toSeq == Seq(0.0, 0.0))
+    val solo = w1Of("a" -> 1.0, "a" -> 2.0)
+    assert(solo.toSeq == Seq(("a", 2L, 0L, null)))
+  }
+
   // ---- weightedMedian ----
 
   test("weightedMedian: the 2·cumw >= W rule on hand-built masses") {
