@@ -1437,6 +1437,21 @@ object SparkEntry {
         Tables(s, dir).embeddings, "vec_id", "embedding", "label")
         .orderBy("vec_id")
     }),
+    // per-source encoding-damage audit: plant mojibake on ids ≡0 (mod 5),
+    // U+FFFD on ≡0 (mod 9), a C0 control byte on ≡0 (mod 15 — overlaps
+    // both plants); the three shared regex constants detect
+    "q154_encoding_damage" -> ((s, dir) => {
+      val planted = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" cafÃ© menu"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit(" bad�byte"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 15 === 0, lit(" ctl\u0007end"))
+            .otherwise(lit(""))).as("text"))
+      Scrub.encodingDamage(planted, Seq("source"), "text")
+        .orderBy("source")
+    }),
     // per-lang 1-Wasserstein drift of the quality-score distribution vs
     // the rest — the integral companion of q147's KS, value-ordered fold,
     // no transcendentals
@@ -3718,6 +3733,35 @@ object SparkEntry {
     // q146: both cosine chains + the RBO fold with the plan's own power
     // literals (see rboOracle)
     "q146_rank_overlap" -> rboOracle(10, 0.9),
+    // q154: identical plants (chr(7) for the control byte) and the three
+    // shared regex constants interpolated verbatim
+    "q154_encoding_damage" -> {
+      val moji = graft.operators.Scrub.MojibakeRe
+      val repl = graft.operators.Scrub.ReplacementRe
+      val ctrl = graft.operators.Scrub.ControlRe
+      s"""WITH planted AS (SELECT doc_id, source,
+         |    text
+         |      || CASE WHEN doc_id % 5 = 0 THEN ' cafÃ© menu' ELSE '' END
+         |      || CASE WHEN doc_id % 9 = 0 THEN ' bad${repl}byte' ELSE '' END
+         |      || CASE WHEN doc_id % 15 = 0 THEN ' ctl' || chr(7) || 'end'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |f AS (SELECT source,
+         |    CASE WHEN regexp_matches(text, '$repl') THEN 1 ELSE 0 END AS r,
+         |    CASE WHEN regexp_matches(text, '$moji') THEN 1 ELSE 0 END AS m,
+         |    CASE WHEN regexp_matches(text, '$ctrl') THEN 1 ELSE 0 END AS c
+         |  FROM planted)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(r) AS BIGINT) AS n_replacement,
+         |  CAST(sum(m) AS BIGINT) AS n_mojibake,
+         |  CAST(sum(c) AS BIGINT) AS n_control,
+         |  CAST(sum(CASE WHEN r + m + c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_damaged,
+         |  CAST(sum(CASE WHEN r + m + c > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS damage_rate
+         |FROM f GROUP BY source ORDER BY source""".stripMargin
+    },
     // q153: the q147 grid + lead gaps; the fold replays in value order
     // (list_reduce's first-element init ≡ Spark's 0.0+t₁ exactly)
     "q153_w1_drift" ->

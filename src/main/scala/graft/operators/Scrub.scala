@@ -44,6 +44,46 @@ object Scrub {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** The classic UTF-8-decoded-as-Latin-1 damage shapes: 'Ã' + continuation
+    * (mangled two-byte letters like é→Ã©) and 'â€' + anything (mangled
+    * smart punctuation). Deliberately the two highest-precision patterns —
+    * a broad mojibake net flags real Portuguese/French text. */
+  val MojibakeRe = "Ã.|â€."
+  /** U+FFFD — a decoder already gave up on these bytes. */
+  val ReplacementRe = "�"
+  /** C0 control characters except tab/newline/CR. */
+  val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+  /** Per-slice encoding-damage audit (the ftfy-class hygiene check run
+    * BEFORE any text analysis — mojibake inflates OOV rates, poisons
+    * n-gram stats and survives most quality filters because the words
+    * around it are fine): per group, how many documents carry replacement
+    * characters (U+FFFD), Latin-1-mangled UTF-8 sequences, or stray C0
+    * control bytes. Exact integer counts; `damage_rate` is the one
+    * division. Detection is three shared regex constants so the q154
+    * oracle replays the identical patterns.
+    *
+    * Scale shape: per-row regex flags (map-side) into one group-keyed
+    * aggregation — [[piiIncidence]]'s shape. */
+  def encodingDamage(df: DataFrame, groupCols: Seq[String],
+                     textCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column is required")
+    val gcols = groupCols.map(col)
+    def flag(re: String): Column =
+      when(col(textCol).rlike(re), 1L).otherwise(0L)
+    df.select(gcols :+ flag(ReplacementRe).as("_r") :+
+        flag(MojibakeRe).as("_m") :+ flag(ControlRe).as("_c"): _*)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_r")).as("n_replacement"),
+        sum(col("_m")).as("n_mojibake"),
+        sum(col("_c")).as("n_control"),
+        sum(when(col("_r") + col("_m") + col("_c") > 0L, 1L).otherwise(0L))
+          .as("n_damaged"))
+      .withColumn("damage_rate",
+        col("n_damaged").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** Per-slice PII incidence with Wilson 95% score bounds — the
     * governance dashboard number behind [[redactPii]]: not just "how many
     * documents carry PII" but a defensible interval (Wilson, JASA 1927 —

@@ -357,6 +357,34 @@ class ScrubSpec extends SparkFunSuite {
     }
   }
 
+  // ---- encodingDamage ----
+
+  test("encodingDamage: each damage class detects; clean text stays clean") {
+    val df = Seq(
+      ("g", "perfectly clean text"),
+      ("g", "mangled cafÃ© word"),          // mojibake A3-hat
+      ("g", "smart â€™ quote damage"),               // mojibake a-hat
+      ("g", "decoder gave � up"),               // replacement char
+      ("g", "stray \u0007 bell"),                    // C0 control
+      ("g", "tabs\tand\nnewlines are fine")
+    ).toDF("src", "text")
+    val r = Scrub.encodingDamage(df, Seq("src"), "text").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((6L, 1L, 2L, 1L, 4L)))
+    assert(r.getDouble(6) == 4.0 / 6.0)
+    intercept[IllegalArgumentException] {
+      Scrub.encodingDamage(df, Seq.empty, "text")
+    }
+  }
+
+  test("encodingDamage: real accented text does not false-positive") {
+    // proper UTF-8 é/ü/ñ and real right-quote ’ must NOT flag — the
+    // patterns target the MANGLED forms only
+    val df = Seq(("g", "café über mañana it’s fine")).toDF("src", "text")
+    val r = Scrub.encodingDamage(df, Seq("src"), "text").collect().head
+    assert(r.getLong(5) == 0L && r.getDouble(6) == 0.0)
+  }
+
   // ---- piiIncidence ----
 
   test("piiIncidence: hand-planted counts and the replayed Wilson interval") {
