@@ -196,4 +196,51 @@ object Classifier {
       (-col("_snd").getField("negl")).as("runner_up"),
       (col("_best").getField("s") - col("_snd").getField("s")).as("margin"))
   }
+
+  /** Exact ROC-AUC per group via the Mann–Whitney rank-sum identity
+    * (Mann & Whitney 1947; Hanley & McNeil, Radiology 1982 for the AUC
+    * equivalence): `AUC = (ΣR₊ − n₊(n₊+1)/2) / (n₊·n₋)` with MIDRANKS on
+    * ties — the standard "does this score separate the classes"
+    * evaluation for any quality/classifier score, without thresholds or
+    * curve sweeps.
+    *
+    * Exactness: doubled midranks are integers (`2·mid = 2·rmin + c − 1`),
+    * so the whole statistic stays in integer arithmetic —
+    * `AUC = (2ΣR₊ − n₊(n₊+1)) / (2·n₊·n₋)` is ONE division of exact
+    * longs. Groups lacking either class report null.
+    *
+    * Scale shape: one (group, score)-keyed count carrying the positive
+    * count, then a cumulative window over the per-group DISTINCT-score
+    * table (value-cardinality sized) and one aggregation. Never a
+    * corpus-wide sort of raw rows. */
+  def rankAuc(df: DataFrame, groupCols: Seq[String], labelCol: String,
+              scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column is required")
+    require(!df.columns.exists(Set("_c", "_p", "_rmin", "_2r")),
+      "input must not contain the reserved columns _c/_p/_rmin/_2r")
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val cnt = df
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(gcols :+ col(scoreCol): _*)
+      .agg(count(lit(1)).as("_c"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("_p"))
+    val ord = Window.partitionBy(gcols: _*).orderBy(col(scoreCol))
+    val ranked = cnt
+      .withColumn("_rmin", coalesce(
+        sum(col("_c")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)) + 1L)
+      .withColumn("_2r",
+        col("_p") * (lit(2L) * col("_rmin") + col("_c") - 1L))
+    ranked
+      .groupBy(gcols: _*)
+      .agg(sum(col("_p")).as("n_pos"),
+        sum(col("_c") - col("_p")).as("n_neg"),
+        sum(col("_2r")).as("_2sum"))
+      .select(gcols ++ Seq(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          (col("_2sum") - col("n_pos") * (col("n_pos") + 1L)).cast("double")
+            / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc")): _*)
+  }
 }
