@@ -70,13 +70,19 @@ object IvfIndex {
     (1 to iters).foreach { _ =>
       val assigned = assignCellsDist(vecs, cents, "v")
       // checkpoint truncates the lineage: without it each iteration (and
-      // each downstream consumer) re-executes every previous Lloyd pass
+      // each downstream consumer) re-executes every previous Lloyd pass.
+      // The mean is ONE elementwise-sum aggregate (VecSumAgg) — the
+      // posexplode→avg→collect_list rebuild this replaces shuffled
+      // rows×dims exploded rows AND re-ran the interpreted argmin
+      // projection once per dimension (transform/array_min are
+      // CodegenFallback and collapse past the explode): measured ~2 s of
+      // q71's per-pass cost on 2k×64-dim vectors, ~64× redundant work.
       val updated = assigned
-        .select(col("cell_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell_id", "pos").agg(avg("x").as("m"))
         .groupBy("cell_id")
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
+        .agg(graft.functions.VecSum.vecSum(col("v")).as("_s"),
+          count(lit(1)).as("_n"))
+        .select(col("cell_id"),
+          transform(col("_s"), x => x / col("_n")).as("centroid"))
         .localCheckpoint(true)
       // The empty-cell check derives from the update aggregate itself:
       // the checkpointed result holds ≤ nCells rows, so collecting its
