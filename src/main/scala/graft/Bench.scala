@@ -39,21 +39,38 @@ object Bench {
         case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
         case _ => -1.0
       }
+    // Wait-for-quiet (round 11): three of four driver benches were
+    // co-tenant-contaminated — the stamp made that READABLE, this makes
+    // the artifact CLEAN when possible. Bounded: poll the 1-minute
+    // loadavg until it drops under cpus/4, give up after 5 minutes and
+    // proceed with an explicit "contended": true so a dirty run can
+    // never masquerade as a clean one.
+    val quietThreshold = cpus.toDouble / 4.0
+    val waitDeadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+    var waitedSec = 0.0
+    while (loadavg >= quietThreshold && System.nanoTime() < waitDeadline) {
+      Thread.sleep(5000)
+      waitedSec += 5.0
+    }
+    val contended = loadavg >= quietThreshold
     val loadBefore = loadavg
     val cpuBefore = processCpuSec
     val wallStart = System.nanoTime()
+    val epoch0 = System.currentTimeMillis() / 1000
     // optional args: query names to bench (default all) — iteration aid
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
     val results = wanted.map { case (name, fn) =>
       var ok = true
+      val startOffset = (System.nanoTime() - wallStart) / 1e9
+      val loadAtStart = loadavg
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => ok = false }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, times.min, ok)
+      (name, times.min, ok, startOffset, loadAtStart)
     }
     // Output protocol (round 8): the driver captures only the LAST ~3 KB of
     // the run's stdout, and a single full-battery JSON line (~3.8 KB at 108
@@ -71,7 +88,21 @@ object Bench {
     val failed = results.filterNot(_._3).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val entries = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    // per-query start offset (sec into the battery) + 1-min loadavg at
+    // start: partial contamination is localizable to the queries whose
+    // loadavg spiked, instead of condemning the whole artifact
+    val loadEntries = results.map { case (k, _, _, off, la) =>
+      "\"" + k.takeWhile(_ != '_') + "\":[" + fmt(off) + "," + fmt(la) + "]"
+    }
+    val loadParts = loadEntries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
+      if (acc.last.map(_.length + 1).sum + e.length > 2000) acc :+ Vector(e)
+      else acc.init :+ (acc.last :+ e)
+    }
+    loadParts.zipWithIndex.foreach { case (chunk, i) =>
+      val m = chunk.mkString("{", ",", "}")
+      println(s"""{"metric":"bench_query_load","part":${i + 1},"of":${loadParts.size},"epoch0":$epoch0,"start_loadavg":$m}""")
+    }
+    val entries = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
     // greedy chunking keeps every part line < ~2.2 KB regardless of how
     // many queries future rounds add
     val parts = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
@@ -82,7 +113,7 @@ object Bench {
       val m = chunk.mkString("{", ",", "}")
       println(s"""{"metric":"bench_part","part":${i + 1},"of":${parts.size},"queries":$m}""")
     }
-    val compact = results.map { case (k, v, _) =>
+    val compact = results.map { case (k, v, _, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val wallSec = (System.nanoTime() - wallStart) / 1e9
@@ -92,7 +123,8 @@ object Bench {
     val ratio = if (cpuSec >= 0 && wallSec > 0) cpuSec / wallSec else -1.0
     val load = s"""{"loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg)},""" +
       s""""cpus":$cpus,"wall_sec":${fmt(wallSec)},"jvm_cpu_sec":${fmt(cpuSec)},""" +
-      s""""jvm_cpu_per_sec":${fmt(ratio)}}"""
+      s""""jvm_cpu_per_sec":${fmt(ratio)},"contended":$contended,""" +
+      s""""waited_for_quiet_sec":${fmt(waitedSec)}}"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","load":$load,"queries":$compact}""")
     spark.stop()
   }
