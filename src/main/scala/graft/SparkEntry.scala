@@ -3804,16 +3804,24 @@ object SparkEntry {
         |      ORDER BY v), (x, y) -> x + y)
         |  END AS w1
         |FROM t GROUP BY g ORDER BY lang""".stripMargin,
-    // q152: identical plant, day windows, integer statistic and
-    // (|D| desc, t asc) argmax
+    // q152: identical plant, day windows zero-densified over each key's
+    // calendar span, integer statistic and (|D| desc, t asc) argmax
     "q152_cusum_burst" ->
       """WITH e AS (SELECT event_id, event_type, ts FROM events
         |  UNION ALL
         |  SELECT event_id + 10000000, event_type, ts FROM events
         |  WHERE event_type = 'click' AND day(ts) > 20),
-        |daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |observed AS (SELECT event_type, date_trunc('day', ts) AS day,
         |    CAST(count(*) AS BIGINT) AS x
         |  FROM e GROUP BY 1, 2),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |  FROM (SELECT event_type, min(day) AS lo, max(day) AS hi
+        |        FROM observed GROUP BY 1)),
+        |daily AS (SELECT g.event_type, g.day,
+        |    coalesce(o.x, CAST(0 AS BIGINT)) AS x
+        |  FROM grid g LEFT JOIN observed o
+        |    ON g.event_type = o.event_type AND g.day = o.day),
         |w AS (SELECT event_type, day, x,
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
         |      AS BIGINT) AS t,
@@ -3886,13 +3894,14 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS vocab,
         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
-        |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep2
+        |    sum(CAST(c AS HUGEINT) * (c - 1)) AS rep2
         |  FROM vc GROUP BY source)
         |SELECT source, n_tokens, vocab, hapax, dis,
         |  CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_frac,
         |  CAST(hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS gt_unseen,
         |  CASE WHEN n_tokens >= 2 THEN
-        |    CAST(rep2 AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+        |    CAST(rep2 AS DOUBLE)
+        |      / CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS DOUBLE)
         |  END AS simpson
         |FROM a ORDER BY source""".stripMargin,
     // q147: the q132 score chain + identical per-group/all cumulative
@@ -3942,8 +3951,8 @@ object SparkEntry {
         |    CAST(sum(x) AS BIGINT) AS tot FROM r)
         |SELECT a.n AS n_groups, a.tot AS total_weight,
         |  CASE WHEN a.tot > 0 THEN
-        |    CAST(sum((2 * i - a.n - 1) * x) AS DOUBLE)
-        |      / CAST(a.n * a.tot AS DOUBLE)
+        |    CAST(sum(CAST(2 * i - a.n - 1 AS HUGEINT) * x) AS DOUBLE)
+        |      / CAST(CAST(a.n AS HUGEINT) * a.tot AS DOUBLE)
         |  ELSE CAST(0.0 AS DOUBLE) END AS gini
         |FROM r CROSS JOIN a GROUP BY a.n, a.tot""".stripMargin,
     // q144: identical per-source doc rank, token-first-occurrence min,
@@ -4043,11 +4052,13 @@ object SparkEntry {
         |SELECT cl AS cluster, n, CAST(dim AS INTEGER) AS dim,
         |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS c
         |FROM s2 ORDER BY cluster, dim""".stripMargin,
-    // q141: identical id:text md5 fingerprints; the hex words parse via
-    // CAST('0x'... and sum as exact integers — order never enters
+    // q141: identical id:text md5 fingerprints (both sides null-coalesced,
+    // mirroring the operator); the hex words parse via CAST('0x'... and
+    // sum as exact integers — order never enters
     "q141_shard_manifest" ->
       """WITH fp AS (SELECT source, doc_id, n_chars,
-        |    md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')) AS h
+        |    md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':' ||
+        |        coalesce(text, '')) AS h
         |  FROM documents)
         |SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_rows,
@@ -4110,7 +4121,8 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
         |  FROM w),
         |d AS (SELECT *,
-        |    CASE WHEN cap * (n - i + 1) <= 600000 - cum_prev THEN 1 ELSE 0 END AS cond
+        |    CASE WHEN CAST(cap AS HUGEINT) * (n - i + 1) <= 600000 - cum_prev
+        |      THEN 1 ELSE 0 END AS cond
         |  FROM c),
         |e AS (SELECT *,
         |    min(cond) OVER (ORDER BY size, lang ROWS UNBOUNDED PRECEDING) AS capped_i

@@ -308,7 +308,11 @@ object Profile {
         count(lit(1)).as("vocab"),
         sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("hapax"),
         sum(when(col("_c") === 2L, 1L).otherwise(0L)).as("dis"),
-        sum(col("_c") * (col("_c") - 1L)).as("_rep2"))
+        // decimal(38,0) products: a single token type's count can reach
+        // ~1e14 at 100 TB, so c·(c−1) (and n_tokens·(n_tokens−1) below)
+        // would wrap Long silently in non-ANSI mode
+        sum(col("_c").cast("decimal(19,0)") *
+          (col("_c") - 1L).cast("decimal(19,0)")).as("_rep2"))
       .select(col(groupCol), col("n_tokens"), col("vocab"), col("hapax"),
         col("dis"),
         (col("hapax").cast("double") / col("vocab").cast("double"))
@@ -317,7 +321,8 @@ object Profile {
           .as("gt_unseen"),
         when(col("n_tokens") >= 2L,
           col("_rep2").cast("double") /
-            (col("n_tokens") * (col("n_tokens") - 1L)).cast("double"))
+            (col("n_tokens").cast("decimal(19,0)") *
+              (col("n_tokens") - 1L).cast("decimal(19,0)")).cast("double"))
           .as("simpson"))
   }
 
@@ -345,13 +350,19 @@ object Profile {
       .withColumn("_i", row_number().over(ord).cast("long"))
       .withColumn("_n", count(lit(1)).over(all))
       .withColumn("_tot", sum(col("_x")).over(all))
+      // products in decimal(38,0): (2i−n−1)·x and n·Σx silently wrap Long
+      // at the 100 TB operating point (~1e14 char mass × ≥1e5 groups >
+      // 2⁶³) — decimal(19,0) operands make every long×long product exact
+      // (≤ ~8.5e37 < 10³⁸), matching the oracle's HUGEINT path
       .withColumn("_num",
-        (lit(2L) * col("_i") - col("_n") - lit(1L)) * col("_x"))
+        (lit(2L) * col("_i") - col("_n") - lit(1L)).cast("decimal(19,0)") *
+          col("_x").cast("decimal(19,0)"))
       .agg(max(col("_n")).as("n_groups"),
         max(col("_tot")).as("total_weight"),
         when(max(col("_tot")) > 0L,
           sum(col("_num")).cast("double") /
-            (max(col("_n")) * max(col("_tot"))).cast("double"))
+            (max(col("_n")).cast("decimal(19,0)") *
+              max(col("_tot")).cast("decimal(19,0)")).cast("double"))
           .otherwise(lit(0.0)).as("gini"))
   }
 

@@ -365,8 +365,17 @@ object Quantiles {
     require(!df.columns.exists(Set("_w", "_cw", "_tw")),
       "input must not contain the reserved columns _w/_cw/_tw")
     val gcols = groupCols.map(col)
-    val checkedW = when(col(weightCol) > 0L, col(weightCol).cast("long"))
-      .otherwise(raise_error(concat(lit("weightedMedian: non-positive weight "),
+    // positivity AND integrality are checked on the POST-cast value: a
+    // fractional weight like 0.5 passes `> 0` but truncates to 0L under
+    // cast('long'), silently yielding total_weight 0 and a bogus minimum-
+    // value "median" — so any weight the cast would change is rejected too
+    val checkedW = when(
+      col(weightCol).cast("long") > 0L &&
+        col(weightCol).cast("long").cast(df.schema(weightCol).dataType)
+          === col(weightCol),
+      col(weightCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("weightedMedian: weight must be a positive integer, got "),
         col(weightCol).cast("string"))))
     val agg = df.select(gcols :+ col(valueCol) :+ checkedW.as("_w"): _*)
       .groupBy(gcols :+ col(valueCol): _*)

@@ -160,19 +160,36 @@ object Resample {
     * d_star, score)`, `d_star` signed (`> 0`: the early days run HOT —
     * rate fell after the burst day; `< 0`: rate rose).
     *
-    * Scale shape: one (key, day)-keyed count (map-side combinable), then
-    * windows over the per-key DAY series (calendar-sized, not
-    * event-sized) and one max(struct) argmax. */
+    * The day series is DENSIFIED over each key's [min day, max day] span
+    * with zero-count fills before the cumulative windows: a stream that
+    * halts entirely still accumulates flat days after the drop, so a
+    * rate-fall-to-zero IS detected, and `t` indexes CALENDAR days — the
+    * changepoint localizes correctly on sparse streams too. (Days outside
+    * the observed span are unknowable from the data and stay out.)
+    *
+    * Scale shape: one (key, day)-keyed count (map-side combinable), a
+    * calendar-sized per-key grid join, then windows over the per-key DAY
+    * series (calendar-sized, not event-sized) and one max(struct) argmax. */
   def cusumBurst(df: DataFrame, keyCols: Seq[String],
                  tsCol: String): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column is required")
     require(!df.columns.exists(Set("_day", "_x", "_t", "_tt", "_tot",
-      "_cum", "_dd", "_m")),
-      "input must not contain the reserved columns _day/_x/_t/_tt/_tot/_cum/_dd/_m")
+      "_cum", "_dd", "_m", "_lo", "_hi")),
+      "input must not contain the reserved columns _day/_x/_t/_tt/_tot/_cum/_dd/_m/_lo/_hi")
     val kcols = keyCols.map(col)
-    val daily = df
+    val observed = df
       .groupBy(kcols :+ date_trunc("day", col(tsCol)).as("_day"): _*)
       .agg(count(lit(1)).as("_x"))
+    // zero-fill the key's calendar span: the grid is days-sized per key
+    // (bounded by the time range, never by event volume)
+    val grid = observed
+      .groupBy(kcols: _*)
+      .agg(min(col("_day")).as("_lo"), max(col("_day")).as("_hi"))
+      .select(kcols :+
+        explode(sequence(col("_lo"), col("_hi"), expr("interval 1 day")))
+          .as("_day"): _*)
+    val daily = grid.join(observed, keyCols :+ "_day", "left")
+      .withColumn("_x", coalesce(col("_x"), lit(0L)))
     val ord = Window.partitionBy(kcols: _*).orderBy(col("_day"))
     val all = Window.partitionBy(kcols: _*)
     val scored = daily

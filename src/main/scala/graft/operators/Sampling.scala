@@ -620,9 +620,14 @@ object Sampling {
         lit(0L)))
       // cond assumes every earlier group took its full cap; the prefix-AND
       // below makes that assumption self-consistent (see scaladoc)
+      // cap·(remaining groups) in decimal(38,0): a ~1e14-token cap times
+      // ~1e5 groups wraps Long silently in non-ANSI mode; the budget side
+      // widens to decimal for a same-type exact comparison
       .withColumn("_cond",
-        when(col("cap") * (col("_n") - col("_i") + 1L) <=
-          lit(budget) - col("_cum_prev"), 1L).otherwise(0L))
+        when(col("cap").cast("decimal(19,0)") *
+          (col("_n") - col("_i") + 1L).cast("decimal(19,0)") <=
+          (lit(budget) - col("_cum_prev")).cast("decimal(38,0)"), 1L)
+          .otherwise(0L))
       .withColumn("_capped",
         min(col("_cond")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("_p", sum(col("_capped")).over(all))

@@ -44,11 +44,15 @@ object Scrub {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
-  /** The classic UTF-8-decoded-as-Latin-1 damage shapes: 'Ã' + continuation
-    * (mangled two-byte letters like é→Ã©) and 'â€' + anything (mangled
+  /** The classic UTF-8-decoded-as-Latin-1 damage shapes: 'Ã' + the Latin-1
+    * range UTF-8 continuation bytes actually map to (U+0080–U+00BF — so
+    * é→Ã© flags while legitimate uppercase Portuguese like SÃO/JOÃO, where
+    * Ã precedes a plain ASCII letter, passes) and 'â€' + anything (mangled
     * smart punctuation). Deliberately the two highest-precision patterns —
-    * a broad mojibake net flags real Portuguese/French text. */
-  val MojibakeRe = "Ã.|â€."
+    * a broad mojibake net flags real Portuguese/French text. The `\x{..}`
+    * class bounds parse identically in Java regex and RE2, so the q154
+    * oracle replays the constant verbatim. */
+  val MojibakeRe = "Ã[\\x{80}-\\x{BF}]|â€."
   /** U+FFFD — a decoder already gave up on these bytes. */
   val ReplacementRe = "�"
   /** C0 control characters except tab/newline/CR. */

@@ -61,7 +61,11 @@ object Snapshot {
     * < 2³², so the long totals are exact up to 2³¹ rows per shard. */
   def manifest(df: DataFrame, shardCol: String, idCol: String,
                textCol: String, weightCol: String): DataFrame = {
-    val fp = md5(concat(col(idCol).cast("string"), lit(":"),
+    // the id side is coalesced too: concat propagates null, and sum()
+    // skips nulls — a null-id row would increment n_rows while never
+    // moving either checksum, silently violating the "any lost row moves
+    // at least one sum" integrity claim
+    val fp = md5(concat(coalesce(col(idCol).cast("string"), lit("")), lit(":"),
       coalesce(col(textCol).cast("string"), lit(""))))
     def word(off: Int) = conv(substring(fp, off, 8), 16, 10).cast("long")
     df.groupBy(col(shardCol))

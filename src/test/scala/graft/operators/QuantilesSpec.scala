@@ -281,6 +281,20 @@ class QuantilesSpec extends SparkFunSuite {
     }
   }
 
+  test("weightedMedian: fractional weights are rejected, not truncated to 0") {
+    // 0.5 passes a naive `> 0` check but cast('long') truncates it to 0 —
+    // the whole group would get total_weight 0 and the minimum value as a
+    // bogus median; integral doubles are fine
+    val frac = Seq(("g", 1.0, 0.5), ("g", 2.0, 0.5)).toDF("g", "v", "w")
+    intercept[Exception] {
+      Quantiles.weightedMedian(frac, Seq("g"), "v", "w").collect()
+    }
+    val intish = Seq(("g", 1.0, 2.0), ("g", 2.0, 2.0)).toDF("g", "v", "w")
+    val out = Quantiles.weightedMedian(intish, Seq("g"), "v", "w")
+      .collect().head
+    assert((out.getLong(1), out.getDouble(2)) == ((4L, 1.0)))
+  }
+
   // ---- ksStatistic ----
 
   private def ksOf(rows: (String, java.lang.Double)*) = {

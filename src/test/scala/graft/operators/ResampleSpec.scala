@@ -136,4 +136,17 @@ class ResampleSpec extends SparkFunSuite {
       Resample.cusumBurst(df.withColumn("_dd", lit(1)), Seq("k"), "ev_ts")
     }
   }
+
+  test("cusumBurst: a halted stream is detected via zero-densified days") {
+    // events on days 1,2 then silence until a single day-6 event: the
+    // calendar series is [3,3,0,0,0,1] (zero days FILLED, not skipped).
+    // T=6, total=7; D_t = 6*cum - 7t: 11,22,15,8,1,0 -> burst at t=2
+    // (day 2, the last hot day), score = 22/42
+    val df = eventRows("halt", Seq(1 -> 3, 2 -> 3, 6 -> 1)).toDF("k", "ev_ts")
+    val r = Resample.cusumBurst(df, Seq("k"), "ev_ts").collect().head
+    assert(r.getLong(1) == 6L, "n_days must count calendar days, not observed days")
+    assert(r.getLong(2) == 7L)
+    assert(r.getTimestamp(3) == ts(2) && r.getLong(4) == 2L)
+    assert(r.getLong(5) == 22L && r.getDouble(6) == 22.0 / 42.0)
+  }
 }

@@ -385,6 +385,16 @@ class ScrubSpec extends SparkFunSuite {
     assert(r.getLong(5) == 0L && r.getDouble(6) == 0.0)
   }
 
+  test("encodingDamage: uppercase Portuguese Ã before ASCII is not mojibake") {
+    // SÃO/JOÃO/NÃO have Ã followed by a plain letter — outside the
+    // U+0080–U+00BF continuation range real UTF-8 damage maps to, so
+    // they must pass while the mangled Ã© form still flags
+    val df = Seq(("g", "SÃO PAULO and JOÃO said NÃO"),
+      ("g", "mangled cafÃ© again")).toDF("src", "text")
+    val r = Scrub.encodingDamage(df, Seq("src"), "text").collect().head
+    assert(r.getLong(3) == 1L, "only the mangled doc may flag as mojibake")
+  }
+
   // ---- piiIncidence ----
 
   test("piiIncidence: hand-planted counts and the replayed Wilson interval") {

@@ -95,4 +95,17 @@ class SnapshotSpec extends SparkFunSuite {
       .collect().head
     assert(out.getLong(5) == md5Word("1:", 0))
   }
+
+  test("manifest: a null-id row still moves the checksum") {
+    // concat propagates null and sum() skips nulls — an un-coalesced id
+    // side would count the row in n_rows while contributing NOTHING to
+    // either checksum, so losing it would go undetected
+    val df = Seq((Some(1L), "a", "s", 1L), (None, "b", "s", 1L))
+      .toDF("id", "text", "shard", "w")
+    val out = Snapshot.manifest(df, "shard", "id", "text", "w")
+      .collect().head
+    assert(out.getLong(1) == 2L)
+    assert(out.getLong(5) == md5Word("1:a", 0) + md5Word(":b", 0))
+    assert(out.getLong(6) == md5Word("1:a", 8) + md5Word(":b", 8))
+  }
 }
