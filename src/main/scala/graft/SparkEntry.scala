@@ -1429,6 +1429,15 @@ object SparkEntry {
       Bpe.train(Tables(s, dir).documents, "text", merges = 8)
         .orderBy("step")
     }),
+    // batched BPE trainer: provably-sequential batching (rank-prefix +
+    // symbol-disjointness + strict triple-count cap), so the SAME unrolled
+    // sequential oracle gates it — the whole point is rule-for-rule
+    // equality in ~batch× fewer driver rounds
+    "q155_bpe_batched" -> ((s, dir) => {
+      Bpe.trainBatched(Tables(s, dir).documents, "text", merges = 8,
+          maxBatch = 8)
+        .orderBy("step")
+    }),
     // nearest-centroid (Rocchio) classification of every embedding against
     // per-label mean vectors: exact quantized centroids, bit-identical
     // cosines, margin = best − runner-up (the uncertainty signal)
@@ -3729,6 +3738,9 @@ object SparkEntry {
     // q133: eight unrolled BPE iterations — identical pair sums, argmax
     // order, and merge fold
     "q133_bpe_merges" -> bpeOracle(8),
+    // q155: batched ≡ sequential by construction, so the oracle IS the
+    // sequential 8-iteration unroll
+    "q155_bpe_batched" -> bpeOracle(8),
     "q137_distinct_n" -> diversityOracle(3),
     // q146: both cosine chains + the RBO fold with the plan's own power
     // literals (see rboOracle)

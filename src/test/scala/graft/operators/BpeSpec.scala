@@ -77,5 +77,87 @@ class BpeSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] {
       Bpe.trainMerges(refWords, "word", "weight", merges = 0)
     }
+    intercept[IllegalArgumentException] {
+      Bpe.trainMergesBatched(refWords, "word", "weight", merges = 4,
+        maxBatch = 0)
+    }
+  }
+
+  // ---- batched trainer ≡ sequential ----
+
+  private def rulesOf(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+
+  test("trainMergesBatched ≡ trainMerges on the reference corpus, any maxBatch") {
+    val seq6 = rulesOf(Bpe.trainMerges(refWords, "word", "weight", 6))
+    for (mb <- Seq(1, 2, 4, 32)) {
+      val got = rulesOf(Bpe.trainMergesBatched(refWords, "word", "weight", 6, mb))
+      assert(got == seq6, s"maxBatch=$mb diverged")
+    }
+  }
+
+  test("batched: the aaa adversarial corpus — a new pair outranks the disjoint candidate") {
+    // pairs at round 1: (a,a)=100 [two positions × w50], (c,d)=40.
+    // Naive disjoint batching would take (c,d) in the same round, but
+    // sequential merges (a,a) -> "aaa" becomes [aa, a] -> new pair
+    // (aa,a)=50 which BEATS (c,d)=40. The triple cap (w3(a,a,a)=50 ≥ 40)
+    // must stop the batch after (a,a).
+    val words = Seq(("aaa", 50L), ("cd", 40L)).toDF("word", "weight")
+    val seq = rulesOf(Bpe.trainMerges(words, "word", "weight", 3))
+    assert(seq == Seq((1, "a", "a", "aa", 100L), (2, "aa", "a", "aaa", 50L),
+      (3, "c", "d", "cd", 40L)))
+    for (mb <- Seq(2, 8)) {
+      assert(rulesOf(Bpe.trainMergesBatched(words, "word", "weight", 3, mb))
+        == seq, s"maxBatch=$mb diverged on the adversarial corpus")
+    }
+  }
+
+  test("batched ≡ sequential across multiple rounds with cap-bound ties") {
+    // (a,b)=16 leads; the triple (a,a,b) w3=10 caps the round at exactly
+    // the next candidate's weight (strict > must reject equality: the new
+    // pair (a,ab)=10 would win the tie on order) — round 2 then picks
+    // the NEW pair, which only sequential-equivalent batching gets right
+    val words = Seq(("aab", 10L), ("ab", 6L), ("ef", 10L))
+      .toDF("word", "weight")
+    val seq = rulesOf(Bpe.trainMerges(words, "word", "weight", 4))
+    for (mb <- Seq(2, 4, 16)) {
+      assert(rulesOf(Bpe.trainMergesBatched(words, "word", "weight", 4, mb))
+        == seq, s"maxBatch=$mb diverged on the cap-tie corpus")
+    }
+  }
+
+  test("batched ≡ sequential on a deterministic pseudo-random corpus") {
+    // 60 synthetic words over a 6-letter alphabet with md5-derived
+    // lengths/weights — no RNG state, reproducible anywhere
+    def h(i: Int, salt: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$i".getBytes("UTF-8"))
+      ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+    }
+    val alpha = "abcdef"
+    val words = (0 until 60).map { i =>
+      val len = 2 + h(i, "len") % 7
+      val w = (1 + h(i, "w") % 50).toLong
+      val s = (0 until len).map(j => alpha(h(i * 31 + j, "c") % alpha.length))
+        .mkString
+      (s, w)
+    }.toDF("word", "weight")
+    val seq = rulesOf(Bpe.trainMerges(words, "word", "weight", 24))
+    for (mb <- Seq(4, 32)) {
+      val got = rulesOf(Bpe.trainMergesBatched(words, "word", "weight", 24, mb))
+      assert(got == seq, s"maxBatch=$mb diverged on the random corpus")
+    }
+  }
+
+  test("batched: four disjoint triple-free pairs learn in one round") {
+    // no triples exist (all words are 2 symbols), so the cap never binds
+    // and all four disjoint pairs are provably safe in a single batch
+    val words = Seq(("ab", 80L), ("cd", 70L), ("ef", 60L), ("gh", 50L))
+      .toDF("word", "weight")
+    val seq = rulesOf(Bpe.trainMerges(words, "word", "weight", 4))
+    val got = rulesOf(Bpe.trainMergesBatched(words, "word", "weight", 4, 32))
+    assert(got == seq && got.map(_._4) == Seq("ab", "cd", "ef", "gh"))
   }
 }
