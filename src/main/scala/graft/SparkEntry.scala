@@ -1141,6 +1141,30 @@ object SparkEntry {
         nCells = 16, nProbe = 16)
       Similarity.recallAtK(approx, exact).orderBy("query_id")
     }),
+    // IVF recall in the PRODUCTION probe regime (nProbe=2 of 16 cells —
+    // q111 only gates full probing, where recall is trivially 1): the
+    // planted copies carry the query vector verbatim, so they share its
+    // argmin cell, and the home cell is by definition among the nProbe
+    // nearest — the exact top-10 (query + 9 copies at self-cosine 1.0,
+    // above the natural ~0.6 ceiling) survives 8× cell pruning with
+    // closed-form recall exactly 1.0. A mis-routed copy, a probe list
+    // that skips the home cell, or a shortlist that drops planted rows
+    // each pull n_hit below 10 (hash mismatch).
+    "q156_ann_ivf_partial_recall" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val copies = q
+        .withColumn("j", explode(sequence(lit(1L), lit(10L))))
+        .select((col("query_id") + col("j") * 100000L).as("vec_id"),
+          col("query_vec").as("embedding"))
+      val corpus = emb.unionByName(copies)
+      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      val approx = IvfIndex.topK(corpus, "vec_id", "embedding", q, k = 10,
+        nCells = 16, nProbe = 2)
+      Similarity.recallAtK(approx, exact).orderBy("query_id")
+    }),
     // Line-level boilerplate scrub (CCNet's line dedup, slice-scoped):
     // synthesize multi-line pages — a promo header on every doc (100% of
     // each source, dropped at the 60% threshold) and a subscribe footer on
@@ -3275,6 +3299,15 @@ object SparkEntry {
         |FROM j ORDER BY doc_id""".stripMargin,
     // full-probe IVF ≡ brute force, so recall@10 is exactly 1.0 per query;
     // n_true replays the exact top-10 count from q27's chain
+    // q156: the planted top-10 is the query + 9 copies at score 1.0 in
+    // the always-probed home cell, so recall@10 is exactly 1.0 per query
+    // even at nProbe=2 of 16 — the closed form needs no brute-force replay
+    "q156_ann_ivf_partial_recall" ->
+      """SELECT vec_id AS query_id,
+        |  CAST(10 AS BIGINT) AS n_hit,
+        |  CAST(10 AS BIGINT) AS n_true,
+        |  CAST(1.0 AS DOUBLE) AS recall
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
     "q111_ann_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
