@@ -316,6 +316,167 @@ object Multimodal {
     }
   }
 
+  /** Audio decode seam — the [[Codec]] counterpart for sampled sound.
+    * Implementations must throw on undecodable payloads (the strict
+    * curated-corpus contract); crawled corpora route through
+    * [[tryAudioFrameFeaturesPcm]]'s quarantine lane. */
+  trait AudioCodec extends Serializable {
+    /** (sampleRate, channels, interleaved PCM samples). */
+    def decodePcm(payload: Array[Byte]): (Int, Int, Array[Short])
+  }
+
+  /** Minimal REAL RIFF/WAVE PCM16 parser — dependency-free (no JavaSound),
+    * deterministic, and strict: anything that is not a well-formed RIFF
+    * container holding a PCM (format 1) 16-bit `fmt ` chunk and an intact
+    * `data` chunk throws `IllegalArgumentException` with the payload
+    * length — the [[ImageIOCodec]] contract applied to audio. Chunk
+    * walking honors the RIFF word-alignment rule (odd-sized chunks pad one
+    * byte) and tolerates extra chunks (LIST/fact/cue) in any order, so
+    * real exporter output parses, not just textbook 44-byte files.
+    * Samples decode little-endian, channels stay interleaved (frame
+    * features fold across channels — energy and crossings of the mixed
+    * stream, the triage-level semantics). */
+  object WavCodec extends AudioCodec {
+    def decodePcm(payload: Array[Byte]): (Int, Int, Array[Short]) = {
+      def fail(msg: String): Nothing = throw new IllegalArgumentException(
+        s"undecodable WAV payload (${payload.length} bytes): $msg")
+      if (payload.length < 12) fail("shorter than a RIFF header")
+      def tag(off: Int) = new String(payload, off, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (tag(0) != "RIFF") fail("missing RIFF magic")
+      if (tag(8) != "WAVE") fail("missing WAVE form type")
+      var pos = 12
+      var haveFmt = false
+      var audioFormat = 0; var channels = 0; var sampleRate = 0; var bits = 0
+      var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= payload.length && !(haveFmt && dataOff >= 0)) {
+        val id = tag(pos)
+        val size = bb.getInt(pos + 4)
+        if (size < 0 || pos + 8 + size > payload.length)
+          fail(s"chunk '$id' overruns the payload")
+        if (id == "fmt ") {
+          if (size < 16) fail(s"fmt chunk too small ($size bytes)")
+          audioFormat = bb.getShort(pos + 8) & 0xffff
+          channels = bb.getShort(pos + 10) & 0xffff
+          sampleRate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22) & 0xffff
+          haveFmt = true
+        } else if (id == "data") {
+          dataOff = pos + 8; dataLen = size
+        }
+        pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      if (!haveFmt) fail("no fmt chunk")
+      if (dataOff < 0) fail("no data chunk")
+      if (audioFormat != 1) fail(s"not PCM (format $audioFormat)")
+      if (bits != 16) fail(s"not 16-bit ($bits)")
+      if (channels < 1) fail("zero channels")
+      if (sampleRate < 1) fail(s"bad sample rate $sampleRate")
+      if (dataLen % 2 != 0) fail(s"odd data length $dataLen for 16-bit PCM")
+      val n = dataLen / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) { out(i) = bb.getShort(dataOff + 2 * i); i += 1 }
+      (sampleRate, channels, out)
+    }
+  }
+
+  /** [[audioFrameFeatures]] over REAL decoded PCM: decode each payload
+    * once through the [[AudioCodec]], slice `nFrames` evenly-spaced
+    * windows of `frameSamples` interleaved samples, and emit the same
+    * RMS-energy / zero-crossing features — now in true 16-bit sample
+    * space instead of the stub's byte space. Offsets use the
+    * [[sampleFrames]] spacing rule (frame i starts at
+    * `i·(len−frame)/(n−1)`, clamped ≥ 0), so frame selection semantics
+    * match the stub path exactly. Empty data chunks yield no frames for
+    * that row. Strict decode contract; use
+    * [[tryAudioFrameFeaturesPcm]] for crawled corpora. */
+  def audioFrameFeaturesPcm(media: DataFrame, codec: AudioCodec,
+                            nFrames: Int,
+                            frameSamples: Int = 1024): Dataset[AudioFrameFeatures] = {
+    require(nFrames >= 1 && nFrames <= 1024, s"nFrames ($nFrames) must be in [1, 1024]")
+    require(frameSamples >= 2, s"frameSamples ($frameSamples) must be >= 2")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("modality"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        val c = codec // per-partition instance
+        it.flatMap { r =>
+          val (_, _, samples) = c.decodePcm(r.payload)
+          frameFeaturesOf(r.doc_id, samples, nFrames, frameSamples)
+        }
+      }
+  }
+
+  /** [[AudioFrameFeatures]] with a quarantine lane: one error row (null
+    * features) per undecodable payload instead of a failed 100 TB stage —
+    * the [[tryExtractFeatures]] contract for audio. */
+  final case class AudioFramesOrError(doc_id: Long, frame_idx: Option[Int],
+                                      n_samples: Option[Int], rms: Option[Double],
+                                      zero_crossings: Option[Long],
+                                      decode_error: Option[String])
+
+  /** Quarantining [[audioFrameFeaturesPcm]]: decode failures become one
+    * `decode_error` row per payload; good payloads emit their frame rows
+    * with a null error. Split on `decode_error.isNull`. Only non-fatal
+    * errors are caught. */
+  def tryAudioFrameFeaturesPcm(media: DataFrame, codec: AudioCodec,
+                               nFrames: Int,
+                               frameSamples: Int = 1024): Dataset[AudioFramesOrError] = {
+    require(nFrames >= 1 && nFrames <= 1024, s"nFrames ($nFrames) must be in [1, 1024]")
+    require(frameSamples >= 2, s"frameSamples ($frameSamples) must be >= 2")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("modality"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        val c = codec
+        it.flatMap { r =>
+          try {
+            val (_, _, samples) = c.decodePcm(r.payload)
+            frameFeaturesOf(r.doc_id, samples, nFrames, frameSamples).map(f =>
+              AudioFramesOrError(f.doc_id, Some(f.frame_idx), Some(f.n_samples),
+                Some(f.rms), Some(f.zero_crossings), None))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              Seq(AudioFramesOrError(r.doc_id, None, None, None, None,
+                Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")))
+          }
+        }
+      }
+  }
+
+  /** Shared frame slicing + RMS/zero-crossing math over decoded samples:
+    * exact integer sum-of-squares, one exact division, one
+    * correctly-rounded sqrt (the [[audioFrameFeatures]] determinism
+    * argument, sample-typed). */
+  private def frameFeaturesOf(docId: Long, samples: Array[Short],
+                              nFrames: Int,
+                              frameSamples: Int): Seq[AudioFrameFeatures] = {
+    val len = samples.length
+    if (len == 0) Seq.empty
+    else (0 until nFrames).map { i =>
+      val off = if (nFrames == 1) 0L
+        else (i.toLong * math.max(len - frameSamples, 0)) / math.max(nFrames - 1, 1)
+      val end = math.min(off.toInt + frameSamples, len)
+      var sumSq = 0L
+      var zc = 0L
+      var j = off.toInt
+      while (j < end) {
+        val x = samples(j).toLong
+        sumSq += x * x
+        if (j > off.toInt) {
+          val p = samples(j - 1)
+          if ((p < 0 && x >= 0) || (p >= 0 && x < 0)) zc += 1
+        }
+        j += 1
+      }
+      val n = end - off.toInt
+      AudioFrameFeatures(docId, i, n, math.sqrt(sumSq.toDouble / n), zc)
+    }
+  }
+
   final case class MediaHash(doc_id: Long, phash: Long)
 
   /** Perceptual average-hash (aHash) per media row: decode to an 8×8

@@ -351,4 +351,97 @@ class MultimodalSpec extends SparkFunSuite {
       Multimodal.videoNearDupPairs(media, nFrames = 4, minMatching = 5)
     }
   }
+
+  // ---- WavCodec (real PCM16 decode) ----
+
+  /** Synthesize a RIFF/WAVE file: optional odd-sized LIST chunk before
+    * fmt (exercises the word-alignment walk), then fmt(16) + data. */
+  private def wavBytes(samples: Seq[Short], sampleRate: Int = 8000,
+                       channels: Int = 1, fmtCode: Int = 1, bits: Int = 16,
+                       extraChunk: Boolean = false): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val listPayload = Array[Byte]('I', 'N', 'F', 'O', 7) // odd size: 5
+    val listLen = if (extraChunk) 8 + listPayload.length + 1 else 0 // +1 pad
+    val riffLen = 4 + listLen + (8 + 16) + (8 + dataLen)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    if (extraChunk) {
+      bb.put("LIST".getBytes("US-ASCII")).putInt(listPayload.length)
+        .put(listPayload).put(0.toByte) // word-align pad
+    }
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(fmtCode.toShort).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * bits / 8)
+      .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => bb.putShort(s))
+    bb.array()
+  }
+
+  test("WavCodec decodes synthesized PCM16: rate, channels, exact samples") {
+    val s = Seq[Short](1000, -1000, 32767, -32768, 0)
+    val (rate, ch, got) = Multimodal.WavCodec.decodePcm(
+      wavBytes(s, sampleRate = 44100, channels = 2))
+    assert(rate == 44100 && ch == 2)
+    assert(got.toSeq == s)
+    // extra odd-sized LIST chunk before fmt: the aligned walk still finds
+    // fmt and data
+    val (r2, _, got2) = Multimodal.WavCodec.decodePcm(
+      wavBytes(s, extraChunk = true))
+    assert(r2 == 8000 && got2.toSeq == s)
+  }
+
+  test("WavCodec rejects malformed payloads with the strict contract") {
+    val good = wavBytes(Seq[Short](1, 2, 3))
+    def bad(f: Array[Byte] => Array[Byte]): Unit =
+      intercept[IllegalArgumentException] {
+        Multimodal.WavCodec.decodePcm(f(good.clone()))
+      }
+    bad(_.take(10))                                    // truncated header
+    bad { b => b(0) = 'X'; b }                         // no RIFF magic
+    bad { b => b(8) = 'X'; b }                         // no WAVE form
+    bad(_.dropRight(2))                                // data chunk overrun
+    bad(_ => wavBytes(Seq[Short](1), fmtCode = 3))     // float, not PCM
+    bad(_ => wavBytes(Seq[Short](1), bits = 8))        // not 16-bit
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decodePcm("not audio at all".getBytes("UTF-8"))
+    }
+  }
+
+  test("audioFrameFeaturesPcm: hand-computed RMS/crossings over real WAV bytes") {
+    // samples [300, -300, 300, -300]: rms = sqrt(4·300²/4) = 300.0,
+    // alternating signs cross 3 times
+    val media = Seq((7L, "audio", wavBytes(Seq[Short](300, -300, 300, -300))))
+      .toDF("doc_id", "modality", "payload")
+    val got = Multimodal.audioFrameFeaturesPcm(media, Multimodal.WavCodec,
+      nFrames = 1, frameSamples = 8).head()
+    assert(got.doc_id == 7L && got.n_samples == 4)
+    assert(got.rms == 300.0, s"rms: $got")
+    assert(got.zero_crossings == 3L, s"crossings: $got")
+    // multi-frame spacing follows the sampleFrames rule on SAMPLES
+    val long = wavBytes((0 until 100).map(i => if (i < 50) 0 else 1000).map(_.toShort))
+    val m2 = Seq((8L, "audio", long)).toDF("doc_id", "modality", "payload")
+    val rows = Multimodal.audioFrameFeaturesPcm(m2, Multimodal.WavCodec,
+      nFrames = 4, frameSamples = 16).collect().sortBy(_.frame_idx)
+    assert(rows.length == 4 && rows.forall(_.n_samples == 16))
+    assert(rows.head.rms == 0.0, "first frame sits in the silent half")
+    assert(rows.last.rms == 1000.0, "last frame sits in the constant-1000 half")
+  }
+
+  test("tryAudioFrameFeaturesPcm quarantines corrupt blobs, features the rest") {
+    val media = Seq(
+      (1L, "audio", wavBytes(Seq[Short](500, 500))),
+      (2L, "audio", "corrupt garbage".getBytes("UTF-8"))
+    ).toDF("doc_id", "modality", "payload")
+    val rows = Multimodal.tryAudioFrameFeaturesPcm(media, Multimodal.WavCodec,
+      nFrames = 1, frameSamples = 4).collect()
+    val good = rows.filter(_.decode_error.isEmpty)
+    val quarantined = rows.filter(_.decode_error.nonEmpty)
+    assert(good.length == 1 && good.head.doc_id == 1L &&
+      good.head.rms.contains(500.0) && good.head.zero_crossings.contains(0L))
+    assert(quarantined.length == 1 && quarantined.head.doc_id == 2L &&
+      quarantined.head.decode_error.get.contains("undecodable WAV"))
+  }
 }
