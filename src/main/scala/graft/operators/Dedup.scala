@@ -547,15 +547,41 @@ object Dedup {
     * only where many strings share an identical segment at the same
     * geometry, i.e. real near-dup mass). No all-pairs stage anywhere: the
     * verify set is the candidate set, already near-linear, unlike the
-    * quadratic-by-contract [[ngramJaccardPairs]] family. */
+    * quadratic-by-contract [[ngramJaccardPairs]] family.
+    *
+    * `salt` (default 1 = off) parallelizes HOT segment buckets: a corpus
+    * where thousands of near-identical keys share one `(L, i, seg)` bucket
+    * puts that bucket's `depth_index × depth_probe` candidate emission in
+    * ONE join task — AQE's skew split never fires because it triggers on
+    * shuffle-partition INPUT bytes (a few MB here) while the cost is the
+    * OUTPUT row count. With `salt = s`, probe keys are hash-sharded into
+    * `s` lanes and the (cheap, `maxDist+1` rows/key) index side is
+    * replicated into every lane — identical join result, hot-bucket
+    * emission spread over `s` tasks. Candidate VOLUME is unchanged: salt
+    * buys wall-clock via parallelism, not fewer candidates; the volume
+    * knob is the distinct-key collapse above. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-                        maxDist: Int = 2): DataFrame = {
+                        maxDist: Int = 2, salt: Int = 1): DataFrame = {
     require(maxDist >= 1 && maxDist <= 4,
       s"maxDist ($maxDist) must be in [1, 4] — probe fan-out grows cubically")
+    require(salt >= 1 && salt <= 1024,
+      s"salt ($salt) must be in [1, 1024] — the index side is replicated salt times")
     val m = maxDist + 1
     val docs = df.select(col(idCol).cast("long").as("_id"),
         col(textCol).as("_t"), length(col(textCol)).as("_len"))
       .filter(col("_len") >= m)
+      .localCheckpoint(false)
+    // DISTINCT keys drive the segment join (round-11 skew stress: a
+    // Zipf-heavy corpus with an 889-deep identical key put that bucket's
+    // depth² through every segment bucket — 110M candidate rows at 20k
+    // strings; collapsing to distinct keys removes the duplicate-mass
+    // quadratic from the JOIN entirely). Duplicate ids re-expand after
+    // verification: within-key pairs at dist 0, cross-key pairs from the
+    // verified key pairs × member lists. The OUTPUT is still pair-count
+    // sized — that part is the contract; callers who don't need dist-0
+    // pairs enumerated should collapse exact dups upstream ([[exact]])
+    // and join-dedup on the representative instead.
+    val keys = docs.select(col("_t"), col("_len")).distinct()
       .localCheckpoint(false)
     // segment i of a length-L string starts at floor(i·L/m), ends at
     // floor((i+1)·L/m) — exact in doubles for any realistic length
@@ -563,45 +589,71 @@ object Dedup {
       floor(lit(i.toDouble) * L.cast("double") / lit(m.toDouble)).cast("int")
     def segLen(L: Column, i: Int): Column =
       segStart(L, i + 1) - segStart(L, i)
-    val index = docs.select(col("_id").as("_ia"), col("_t").as("_ta"),
+    val index = keys.select(col("_t").as("_ta"),
         col("_len").as("_la"),
         explode(array((0 until m).map { i =>
           struct(lit(i).as("i"),
             col("_t").substr(segStart(col("_len"), i) + 1,
               segLen(col("_len"), i)).as("seg"))
         }: _*)).as("_s"))
-      .select(col("_ia"), col("_la"), col("_s.i").as("_i"),
+      .select(col("_ta"), col("_la"), col("_s.i").as("_i"),
         col("_s.seg").as("_seg"))
-    val probe = docs.select(col("_id").as("_ib"), col("_t").as("_tb"),
+    val probe = keys.select(col("_t").as("_tb"),
         col("_len").as("_lb"),
         explode(sequence(greatest(col("_len") - maxDist, lit(m)),
           col("_len"))).as("_L"))
-      .select(col("_ib"), col("_lb"), col("_L"),
+      .select(col("_tb"), col("_lb"), col("_L"),
         explode(array((for { i <- 0 until m; d <- -maxDist to maxDist }
           yield {
             val st = segStart(col("_L"), i) + d
             val ln = segLen(col("_L"), i)
             struct(lit(i).as("i"), st.as("st"), ln.as("ln"))
-          }): _*)).as("_s"),
-        col("_tb"))
+          }): _*)).as("_s"))
       .filter(col("_s.st") >= 0 &&
         col("_s.st") + col("_s.ln") <= col("_lb"))
-      .select(col("_ib"), col("_lb"), col("_L"), col("_s.i").as("_i"),
+      .select(col("_tb"), col("_lb"), col("_L"), col("_s.i").as("_i"),
         col("_tb").substr(col("_s.st") + 1, col("_s.ln")).as("_sub"))
-    val cand = index.join(probe,
-        index("_la") === probe("_L") && index("_i") === probe("_i") &&
-          index("_seg") === probe("_sub"))
+    // role split on (length, key): shorter indexes, longer probes; equal
+    // lengths tie on the key string — each unordered key pair generated
+    // exactly once, id-free
+    // salt > 1 also PINS the join's partition count: the join input is a
+    // few MB of keys (AQE's coalesce advisory would fold it to ~1
+    // partition) while its OUTPUT under adversarial near-dup mass is
+    // 10⁸+ candidate rows — cost AQE cannot see. An explicit-count
+    // repartition on the exact join keys satisfies the join's
+    // distribution requirement as-is (no further exchange for AQE to
+    // coalesce), so hot-bucket emission actually runs wide.
+    val (indexS, probeS) =
+      if (salt == 1) (index, probe)
+      else {
+        val n = df.sparkSession.sparkContext.defaultParallelism * 2
+        (index.withColumn("_sl", explode(array((0 until salt).map(lit): _*)))
+          .repartition(n, col("_la"), col("_i"), col("_seg"), col("_sl")),
+          probe.withColumn("_sl",
+            pmod(xxhash64(col("_tb")), lit(salt.toLong)).cast("int"))
+            .repartition(n, col("_L"), col("_i"), col("_sub"), col("_sl")))
+      }
+    val saltCond =
+      if (salt == 1) lit(true) else indexS("_sl") === probeS("_sl")
+    val keyPairs = indexS.join(probeS,
+        indexS("_la") === probeS("_L") && indexS("_i") === probeS("_i") &&
+          indexS("_seg") === probeS("_sub") && saltCond)
       .filter(col("_la") < col("_lb") ||
-        (col("_la") === col("_lb") && col("_ia") < col("_ib")))
-      .select(least(col("_ia"), col("_ib")).as("id_a"),
-        greatest(col("_ia"), col("_ib")).as("id_b"))
-      .distinct()
-    cand
-      .join(docs.select(col("_id").as("id_a"), col("_t").as("_xa")), "id_a")
-      .join(docs.select(col("_id").as("id_b"), col("_t").as("_xb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("_xa"), col("_xb")).as("dist"))
+        (col("_la") === col("_lb") && col("_ta") < col("_tb")))
+      .select(col("_ta"), col("_tb")).distinct()
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
       .filter(col("dist") <= maxDist)
+    val members = docs.select(col("_t"), col("_id"))
+    val cross = keyPairs
+      .join(members.select(col("_t").as("_ta"), col("_id").as("_ia")), "_ta")
+      .join(members.select(col("_t").as("_tb"), col("_id").as("_ib")), "_tb")
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("dist"))
+    val within = members.select(col("_t"), col("_id").as("id_a"))
+      .join(members.select(col("_t"), col("_id").as("id_b")), "_t")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("dist"))
+    cross.unionByName(within)
   }
 
   /** Exact repeated-passage detection — the "exact substring dedup" of

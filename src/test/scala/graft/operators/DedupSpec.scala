@@ -441,6 +441,10 @@ class DedupSpec extends SparkFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(naive.nonEmpty, "differential fixture produced no pairs")
     assert(fast == naive)
+    // salting changes the join's physical sharding, never its result
+    val salted = Dedup.editDistancePairs(df, "id", "text", maxDist = 2, salt = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(salted == naive)
   }
 
   test("editDistancePairs plan: candidates come from an equi-join, never a cartesian") {
