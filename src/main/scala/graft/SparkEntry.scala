@@ -1165,6 +1165,29 @@ object SparkEntry {
         nCells = 16, nProbe = 2)
       Similarity.recallAtK(approx, exact).orderBy("query_id")
     }),
+    // Hard-negative mining (DPR-style): per query, the top-5 most-similar
+    // vectors with a DIFFERENT label — exercised on the real embeddings
+    // table against a full DuckDB brute-force replay (bit-identical score
+    // doubles, same tie-break).
+    "q157_hard_negatives" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("query_label"))
+      Similarity.hardNegatives(t.embeddings, "vec_id", "embedding", "label", q, 5)
+        .orderBy("query_id", "rank")
+    }),
+    // Tokenizer fertility per (lang, source): train 8 BPE merges on the
+    // corpus, encode the vocabulary under them, report tokens/word and
+    // chars/token per slice — the multilingual tokenizer-equity metric.
+    "q158_bpe_fertility" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val rules = Bpe.train(t.documents, "text", merges = 8)
+        .orderBy("step").collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+      Bpe.fertility(t.documentsSpread, "text", Seq("lang", "source"), rules)
+        .orderBy("lang", "source")
+    }),
     // Line-level boilerplate scrub (CCNet's line dedup, slice-scoped):
     // synthesize multi-line pages — a promo header on every doc (100% of
     // each source, dropped at the 60% threshold) and a subscribe footer on
@@ -2196,7 +2219,14 @@ object SparkEntry {
     sb.toString
   }
 
-  private def bpeOracle(merges: Int): String = {
+  /** The BPE training CTE chain shared by q133/q155/q158's oracles:
+    * `words` (corpus word frequencies), `w0` (char symbols), then per
+    * merge i the CTEs `p$i` (pair counts), `m$i` (the argmax rule) and
+    * `w$i` (the corpus after applying rule i). With `carryWord` the
+    * original word rides through every `w$i`, so the FINAL `w$merges` maps
+    * each distinct word to its encoded symbol list — the oracle-side
+    * equivalent of [[graft.operators.Bpe.encode]] under the learned rules. */
+  private def bpeOracleCtes(merges: Int, carryWord: Boolean): String = {
     // DuckDB 1.0's list_reduce drops LIST-typed struct fields from the
     // accumulator (verified live: the out-list stayed empty every step),
     // so the greedy merge fold encodes its (out, pend) state in ONE flat
@@ -2205,6 +2235,7 @@ object SparkEntry {
     // the reduce's first-element-is-the-accumulator convention equals the
     // engine's (out=[], pend='') zero plus one step. Data symbols are
     // regex-split word tokens — they cannot contain the control chars.
+    val cw = if (carryWord) "word, " else ""
     val out = "string_split(a, chr(30))[1]"
     val pend = "string_split(a, chr(30))[2]"
     val joined = s"CASE WHEN $pend = '' THEN $out WHEN $out = '' THEN $pend " +
@@ -2217,12 +2248,12 @@ object SparkEntry {
          |      unnest(generate_series(1, greatest(len(syms) - 1, 0))) AS j
          |    FROM $prev)) GROUP BY l, r),
          |m$i AS (SELECT l, r, w FROM p$i ORDER BY w DESC, l ASC, r ASC LIMIT 1),
-         |w$i AS (SELECT string_split(
+         |w$i AS (SELECT ${cw}string_split(
          |    CASE WHEN string_split(f, chr(30))[2] = '' THEN string_split(f, chr(30))[1]
          |         WHEN string_split(f, chr(30))[1] = '' THEN string_split(f, chr(30))[2]
          |         ELSE string_split(f, chr(30))[1] || chr(31) || string_split(f, chr(30))[2] END,
          |    chr(31)) AS syms, weight FROM (
-         |    SELECT weight, list_reduce(
+         |    SELECT ${cw}weight, list_reduce(
          |      list_transform(syms, c -> chr(30) || c),
          |      (a, x) -> CASE WHEN $pend = m$i.l AND substr(x, 2) = m$i.r
          |        THEN CASE WHEN $out = '' THEN '' ELSE $out || chr(31) END ||
@@ -2230,18 +2261,45 @@ object SparkEntry {
          |        ELSE $joined || chr(30) || substr(x, 2) END) AS f
          |    FROM $prev, m$i))""".stripMargin
     }
-    val rows = (1 to merges).map(i =>
-      s"""SELECT $i AS step, l AS "left", r AS "right", l || r AS merged, w AS weight FROM m$i""")
-    s"""WITH words AS (SELECT word, CAST(count(*) AS BIGINT) AS weight FROM (
+    s"""words AS (SELECT word, CAST(count(*) AS BIGINT) AS weight FROM (
        |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
        |    FROM documents) WHERE word <> '' GROUP BY word),
-       |w0 AS (SELECT list_transform(generate_series(1, length(word)),
+       |w0 AS (SELECT ${cw}list_transform(generate_series(1, length(word)),
        |    i -> substr(word, i, 1)) AS syms, weight FROM words),
-       |${iters.mkString(",\n")}
+       |${iters.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeOracle(merges: Int): String = {
+    val rows = (1 to merges).map(i =>
+      s"""SELECT $i AS step, l AS "left", r AS "right", l || r AS merged, w AS weight FROM m$i""")
+    s"""WITH ${bpeOracleCtes(merges, carryWord = false)}
        |SELECT CAST(step AS INTEGER) AS step, "left", "right", merged, weight
        |FROM (${rows.mkString("\nUNION ALL\n")})
        |ORDER BY step""".stripMargin
   }
+
+  /** q158's oracle: train the same `merges` rules, then read the encoded
+    * corpus straight off the final `w$merges` (each distinct word with its
+    * symbol list), join occurrence counts per (lang, source) and fold the
+    * exact integer masses; each ratio is the same single double division
+    * as the Spark side. */
+  private def bpeFertilityOracle(merges: Int): String =
+    s"""WITH ${bpeOracleCtes(merges, carryWord = true)},
+       |tok AS (SELECT word, CAST(len(syms) AS INTEGER) AS n_tok,
+       |    CAST(length(word) AS BIGINT) AS n_chr FROM w$merges),
+       |occ AS (SELECT lang, source, word, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT lang, source,
+       |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |    FROM documents) WHERE word <> '' GROUP BY lang, source, word)
+       |SELECT occ.lang, occ.source,
+       |  CAST(sum(c) AS BIGINT) AS n_words,
+       |  CAST(sum(c * n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(c * n_chr) AS BIGINT) AS n_chars,
+       |  CAST(sum(c * n_tok) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS tokens_per_word,
+       |  CAST(sum(c * n_chr) AS DOUBLE) / CAST(sum(c * n_tok) AS DOUBLE) AS chars_per_token
+       |FROM occ JOIN tok USING (word)
+       |GROUP BY occ.lang, occ.source
+       |ORDER BY occ.lang, occ.source""".stripMargin
 
   /** q128's oracle, generated per gram size n: the engine's per-row
     * run-folds recomputed relationally — unnest grams, group-by counts,
@@ -3308,6 +3366,23 @@ object SparkEntry {
         |  CAST(10 AS BIGINT) AS n_true,
         |  CAST(1.0 AS DOUBLE) AS recall
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    // q157: the full brute-force different-label replay — same expression
+    // tree as the Spark side (sequential list_inner_product folds, score =
+    // dot/(na*nb)) ⇒ bit-identical doubles; ties on neighbor_id
+    "q157_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+        |    list_inner_product(e.v, q.qv)
+        |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))
+        |      AS score
+        |  FROM e CROSS JOIN q WHERE e.label <> q.qlabel),
+        |ranked AS (SELECT query_id, neighbor_id, neighbor_label, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, neighbor_label, score
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q111_ann_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
@@ -3774,6 +3849,7 @@ object SparkEntry {
     // q155: batched ≡ sequential by construction, so the oracle IS the
     // sequential 8-iteration unroll
     "q155_bpe_batched" -> bpeOracle(8),
+    "q158_bpe_fertility" -> bpeFertilityOracle(8),
     "q137_distinct_n" -> diversityOracle(3),
     // q146: both cosine chains + the RBO fold with the plan's own power
     // literals (see rboOracle)

@@ -314,4 +314,42 @@ object Bpe {
     * per-row map: zero shuffle, corpus-scale parallel. */
   def encode(word: Column, rules: Seq[(String, String)]): Column =
     rules.foldLeft(charSymbols(word)) { case (s, (l, r)) => applyMerge(s, l, r) }
+
+  /** Tokenizer-fertility report per slice: encode the corpus with an
+    * ORDERED rule list and report, per slice, `tokens_per_word` (fertility
+    * — the standard multilingual tokenizer-equity metric: a slice the
+    * tokenizer serves badly fragments into more pieces per word) and
+    * `chars_per_token` (compression). All counts are exact integers; each
+    * ratio is ONE double division, so results are bit-reproducible.
+    *
+    * Scale shape: one corpus tokenize pass collapses occurrences to
+    * `(slice, word)` counts (vocabulary×slices sized); the expensive
+    * rule-fold ENCODE runs once per DISTINCT word (vocabulary sized, not
+    * corpus sized) and joins back by word — at 100 TB the encode cost is
+    * the vocabulary's, and the rule list rides the plan as literals
+    * (zero shuffle beyond the two vocab-sized aggregations). */
+  def fertility(df: DataFrame, textCol: String, sliceCols: Seq[String],
+                rules: Seq[(String, String)]): DataFrame = {
+    require(sliceCols.nonEmpty, "sliceCols must name at least one column")
+    val reserved = Seq("_w", "_c", "_ntok", "_nchr")
+    require(!sliceCols.exists(reserved.contains) && !reserved.contains(textCol),
+      s"reserved columns ${reserved.mkString(", ")} must not appear in inputs")
+    val slices = sliceCols.map(col)
+    val occ = df.select(slices :+ explode(split(trim(col(textCol)), "\\s+")).as("_w"): _*)
+      .filter(col("_w") =!= "")
+      .groupBy(col("_w") +: slices: _*).agg(count(lit(1)).as("_c"))
+    val vocab = occ.select(col("_w")).distinct()
+      .select(col("_w"), size(encode(col("_w"), rules)).as("_ntok"),
+        length(col("_w")).as("_nchr"))
+    occ.join(vocab, "_w")
+      .groupBy(slices: _*)
+      .agg(sum(col("_c")).as("n_words"),
+        sum(col("_c") * col("_ntok")).as("n_tokens"),
+        sum(col("_c") * col("_nchr").cast("long")).as("n_chars"))
+      .select(slices ++ Seq(col("n_words"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token")): _*)
+  }
 }

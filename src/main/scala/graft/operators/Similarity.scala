@@ -262,4 +262,38 @@ object Similarity {
         round(coalesce(col("n_hit"), lit(0L)).cast("double")
           / col("n_true").cast("double"), 6).as("recall"))
   }
+
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-cosine-similar corpus rows whose label DIFFERS from the query's
+    * — the near-boundary negatives that dominate the contrastive gradient
+    * (the ANN negative mining of DPR, Karpukhin et al., EMNLP 2020; a
+    * random negative is trivially separable, a same-label neighbor is a
+    * positive, so the valuable rows are exactly "similar but differently
+    * labeled"). `queries` carries `(query_id, query_vec, query_label)`.
+    *
+    * Output: `(query_id, rank, neighbor_id, neighbor_label, score)`,
+    * rank 1..k by score desc, ties on neighbor id.
+    *
+    * Scale shape = [[bruteForceTopK]]: queries broadcast, the corpus side
+    * scores partition-parallel with the label inequality applied in the
+    * same map stage (before any shuffle — a mismatched-label row never
+    * leaves its partition), then one per-query top-k window. For corpora
+    * past brute force, shortlist with [[lshTopK]] / [[graft.operators.IvfIndex]]
+    * and apply the same label filter to the shortlist. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"), col(vecCol).as("c_vec"),
+      l2Norm(col(vecCol)).as("c_norm"))
+    val q = queries.select(col("query_id"), col("query_vec"),
+      col("query_label"), l2Norm(col("query_vec")).as("q_norm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        (dot(col("c_vec"), col("query_vec")) / (col("c_norm") * col("q_norm"))).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "neighbor_label", "score")
+  }
 }

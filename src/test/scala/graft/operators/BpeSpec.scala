@@ -160,4 +160,40 @@ class BpeSpec extends SparkFunSuite {
     val got = rulesOf(Bpe.trainMergesBatched(words, "word", "weight", 4, 32))
     assert(got == seq && got.map(_._4) == Seq("ab", "cd", "ef", "gh"))
   }
+
+  test("fertility: hand-computed slice masses under one merge rule") {
+    // rule (a,a): "aa" → 1 token, "ab" → [a, b] 2 tokens, "b" → 1 token
+    val docs = Seq(("en", "web", "aa ab"), ("fr", "web", "b"))
+      .toDF("lang", "source", "text")
+    val out = Bpe.fertility(docs, "text", Seq("lang", "source"),
+        Seq(("a", "a"))).orderBy("lang").collect()
+    val en = out(0)
+    assert(en.getString(0) == "en" && en.getAs[Long]("n_words") == 2L &&
+      en.getAs[Long]("n_tokens") == 3L && en.getAs[Long]("n_chars") == 4L &&
+      en.getAs[Double]("tokens_per_word") == 1.5 &&
+      en.getAs[Double]("chars_per_token") == 4.0 / 3.0)
+    val fr = out(1)
+    assert(fr.getAs[Long]("n_words") == 1L && fr.getAs[Long]("n_tokens") == 1L &&
+      fr.getAs[Double]("tokens_per_word") == 1.0)
+  }
+
+  test("fertility: duplicate words collapse — encode runs per distinct word, counts stay exact") {
+    // same word mass split across slices; empty/whitespace splits drop
+    val docs = Seq(("en", "web", "  aa aa  "), ("en", "book", "aa"))
+      .toDF("lang", "source", "text")
+    val out = Bpe.fertility(docs, "text", Seq("lang", "source"), Seq(("a", "a")))
+      .orderBy("source").collect()
+    assert(out.map(r => (r.getString(1), r.getAs[Long]("n_words"),
+      r.getAs[Long]("n_tokens"))).toSeq == Seq(("book", 1L, 1L), ("web", 2L, 2L)))
+  }
+
+  test("fertility rejects reserved columns and empty slices") {
+    val docs = Seq(("en", "aa")).toDF("_w", "text")
+    intercept[IllegalArgumentException] {
+      Bpe.fertility(docs, "text", Nil, Seq(("a", "a")))
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.fertility(docs, "text", Seq("_w"), Seq(("a", "a")))
+    }
+  }
 }

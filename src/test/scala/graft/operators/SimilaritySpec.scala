@@ -33,6 +33,40 @@ class SimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("hardNegatives: same-label rows never surface, ranking and k respected") {
+    // 2-D fixture: query (1,0) label 0; same-label near-twin (would be
+    // rank 1 if labels were ignored), plus three label-1 rows at known
+    // cosines 1 > 0.8944 > 0 and one label-2 row between them
+    val corpus = Seq(
+      (10L, Array(0.99f, 0.01f), 0),  // same label — must be excluded
+      (11L, Array(2.0f, 0.0f), 1),    // cos = 1.0
+      (12L, Array(1.0f, 0.5f), 1),    // cos ≈ 0.8944
+      (13L, Array(0.0f, 1.0f), 1),    // cos = 0.0
+      (14L, Array(1.0f, 0.2f), 2)     // cos ≈ 0.9806
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((1L, Array(1.0f, 0.0f), 0)).toDF("query_id", "query_vec", "query_label")
+    val out = Similarity.hardNegatives(corpus, "vec_id", "embedding", "label", q, 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(11L, 14L, 12L))
+    assert(out.forall(_.getAs[Int]("neighbor_label") != 0),
+      "a same-label neighbor is a positive, not a negative")
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    assert(out.head.getAs[Double]("score") == 1.0)
+  }
+
+  test("hardNegatives plan: queries broadcast; label filter sits below the top-k shuffle") {
+    val corpus = Seq((10L, Array(1.0f, 0.0f), 0), (11L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((1L, Array(1.0f, 0.0f), 0)).toDF("query_id", "query_vec", "query_label")
+    val plan = Similarity.hardNegatives(corpus, "vec_id", "embedding", "label", q, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$plan")
+    // the label inequality must appear as a join condition / filter, and
+    // only ONE exchange (the window's) may sit above the scoring join
+    assert(plan.contains("NOT (neighbor_label"), s"label filter missing:\n$plan")
+  }
+
   test("LSH top-k: self lands in its own bucket; results subset of brute-force ordering") {
     val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
     val q = t.embeddings.filter($"vec_id" < 5)
