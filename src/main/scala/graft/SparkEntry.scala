@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retrieval, Sampling, Scrub, Sessionize, SetSketch, Similarity, Snapshot, TextAnalysis}
+import graft.operators.{AsOf, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1187,6 +1187,21 @@ object SparkEntry {
         .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
       Bpe.fertility(t.documentsSpread, "text", Seq("lang", "source"), rules)
         .orderBy("lang", "source")
+    }),
+    // Pre-join skew audit: power-of-two depth histogram + Σdepth² self-join
+    // cost mass per bucket over the (user_id, event_type) key — the "look
+    // before you shuffle" profiler.
+    "q159_key_skew_profile" -> ((s, dir) => {
+      SkewJoin.keyDepthProfile(Tables(s, dir).events,
+          Seq("user_id", "event_type"))
+        .orderBy("depth_bucket")
+    }),
+    // Cohort retention on the event stream: 7-day epoch-grid periods,
+    // first-active cohorts, per-(cohort, offset) active fractions.
+    "q160_retention_cohorts" -> ((s, dir) => {
+      Retention.cohortRetention(Tables(s, dir).events, "user_id", "ts",
+          periodDays = 7)
+        .orderBy("cohort_period", "period_offset")
     }),
     // Line-level boilerplate scrub (CCNet's line dedup, slice-scoped):
     // synthesize multi-line pages — a promo header on every doc (100% of
@@ -3850,6 +3865,36 @@ object SparkEntry {
     // sequential 8-iteration unroll
     "q155_bpe_batched" -> bpeOracle(8),
     "q158_bpe_fertility" -> bpeFertilityOracle(8),
+    // q159: same unit/record-separator composite key, same binary-string
+    // depth buckets (never floating log2), Σdepth² in HUGEINT → DOUBLE
+    "q159_key_skew_profile" ->
+      """WITH d AS (SELECT concat_ws(chr(31),
+        |    coalesce(CAST(user_id AS VARCHAR), chr(30)),
+        |    coalesce(CAST(event_type AS VARCHAR), chr(30))) AS k
+        |  FROM events),
+        |c AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY k)
+        |SELECT CAST(length(bin(c)) - 1 AS INTEGER) AS depth_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS selfjoin_rows,
+        |  min(k) AS example_key
+        |FROM c GROUP BY 1 ORDER BY depth_bucket""".stripMargin,
+    // q160: identical epoch-grid double division, distinct (user, period),
+    // min-period cohorts, offset-0 sizes joined back
+    "q160_retention_cohorts" ->
+      """WITH p AS (SELECT DISTINCT user_id AS u,
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 604800000000.0) AS BIGINT) AS p
+        |  FROM events),
+        |f AS (SELECT u, min(p) AS cp FROM p GROUP BY u),
+        |cells AS (SELECT cp AS cohort_period, p.p - f.cp AS period_offset,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM p JOIN f USING (u) GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_period, n_active AS cohort_size
+        |  FROM cells WHERE period_offset = 0)
+        |SELECT c.cohort_period, c.period_offset, c.n_active, s.cohort_size,
+        |  CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+        |FROM cells c JOIN sizes s USING (cohort_period)
+        |ORDER BY cohort_period, period_offset""".stripMargin,
     "q137_distinct_n" -> diversityOracle(3),
     // q146: both cosine chains + the RBO fold with the plan's own power
     // literals (see rboOracle)

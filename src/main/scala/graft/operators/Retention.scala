@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cohort retention — the classic product-analytics curve: users are
+  * assigned to the cohort of their first-active period, and cell
+  * `(cohort_period, period_offset)` reports what fraction of that cohort
+  * was active `offset` periods later.
+  */
+object Retention {
+
+  /** Periods are `periodDays`-wide integer buckets of epoch time
+    * (`floor(epoch_us / (periodDays · 86400e6))` — calendar-free, so the
+    * arithmetic is a pure function both engines replay identically; the
+    * division runs in doubles where every operand is < 2⁵³, exact).
+    *
+    * Output: `(cohort_period, period_offset, n_active, cohort_size,
+    * retention)`, one row per non-empty cell; `period_offset = 0` rows
+    * have `n_active = cohort_size` by construction, and `retention` is
+    * the one double division.
+    *
+    * Scale shape: the corpus collapses to distinct (user, period) in one
+    * map-side-combined shuffle on user; the first-period aggregate GROUPS
+    * ON THE SAME KEY, so Catalyst reuses the exchange and the user-keyed
+    * join that follows is co-partitioned (no third corpus-wide shuffle).
+    * Cells aggregate to cohort×offset (calendar-sized); cohort sizes come
+    * back via a broadcast join. Nothing here is ever corpus-quadratic and
+    * no state exceeds (users × active-periods). */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+                      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1 && periodDays <= 366,
+      s"periodDays ($periodDays) must be in [1, 366]")
+    val reserved = Seq("_u", "_p", "_cp")
+    require(!reserved.exists(df.columns.contains),
+      s"inputs must not contain the reserved columns ${reserved.mkString(", ")}")
+    val periodUs = 86400e6 * periodDays
+    val per = floor(unix_micros(col(tsCol)).cast("double") / lit(periodUs))
+      .cast("long")
+    val pers = df.select(col(userCol).as("_u"), per.as("_p")).distinct()
+    val first = pers.groupBy("_u").agg(min("_p").as("_cp"))
+    val cells = pers.join(first, "_u")
+      .groupBy(col("_cp").as("cohort_period"),
+        (col("_p") - col("_cp")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("period_offset") === 0)
+      .select(col("cohort_period"), col("n_active").as("cohort_size"))
+    cells.join(broadcast(sizes), Seq("cohort_period"))
+      .select(col("cohort_period"), col("period_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkFunSuite
+
+class RetentionSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  // base sits inside period 2818 of the 7-day grid
+  // (2024-01-10T00:00Z = 1704844800 s; 1704844800 / 604800 = 2818.85);
+  // +7d moves the period index by exactly 1 regardless of the base's
+  // offset within its period
+  private val base = 1704844800L
+  private def tsDf(rows: Seq[(String, Long)]) =
+    rows.toDF("u", "sec").select(col("u"),
+      timestamp_seconds(col("sec")).as("ts"))
+
+  test("cohortRetention: hand-computed cohorts, offsets and fractions") {
+    val d = 86400L
+    val df = tsDf(Seq(
+      ("u1", base), ("u1", base + 7 * d), ("u1", base + 21 * d),
+      ("u2", base + 3600L), // same period as base
+      ("u3", base + 7 * d), ("u3", base + 14 * d)))
+    val got = Retention.cohortRetention(df, "u", "ts", periodDays = 7)
+      .orderBy("cohort_period", "period_offset").collect()
+      .map(r => (r.getLong(0) - 2818L, r.getLong(1), r.getAs[Long]("n_active"),
+        r.getAs[Long]("cohort_size"), r.getAs[Double]("retention")))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L, 2L, 1.0), (0L, 1L, 1L, 2L, 0.5), (0L, 3L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0), (1L, 1L, 1L, 1L, 1.0)))
+  }
+
+  test("cohortRetention: multiple events in one period count a user once") {
+    val df = tsDf(Seq(("u1", base), ("u1", base + 60L), ("u1", base + 120L)))
+    val got = Retention.cohortRetention(df, "u", "ts").collect()
+    assert(got.length == 1 && got.head.getAs[Long]("n_active") == 1L &&
+      got.head.getAs[Long]("cohort_size") == 1L)
+  }
+
+  test("cohortRetention: period width changes the grid; args validated") {
+    val d = 86400L
+    val df = tsDf(Seq(("u1", base), ("u1", base + 2 * d)))
+    // 1-day grid: +2d is offset 2; 7-day grid: base sits at 2818.85 so
+    // +2d crosses one weekly boundary — offset 1, not 2
+    val daily = Retention.cohortRetention(df, "u", "ts", periodDays = 1)
+      .orderBy("period_offset").collect()
+    assert(daily.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+    val weekly = Retention.cohortRetention(df, "u", "ts", periodDays = 7)
+      .orderBy("period_offset").collect()
+    assert(weekly.map(_.getLong(1)).toSeq == Seq(0L, 1L))
+    intercept[IllegalArgumentException] {
+      Retention.cohortRetention(df, "u", "ts", periodDays = 0)
+    }
+  }
+
+  test("cohortRetention plan: sizes join back via broadcast, no corpus-wide third shuffle") {
+    val df = tsDf(Seq(("u1", base)))
+    val plan = Retention.cohortRetention(df, "u", "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"cohort sizes must broadcast:\n$plan")
+  }
+}
