@@ -641,8 +641,11 @@ object Dedup {
       .filter(col("_la") < col("_lb") ||
         (col("_la") === col("_lb") && col("_ta") < col("_tb")))
       .select(col("_ta"), col("_tb")).distinct()
-      .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
-      .filter(col("dist") <= maxDist)
+      // thresholded levenshtein runs the banded O(maxDist·len) algorithm
+      // and returns −1 past the band — same surviving pairs and distances
+      // as the full O(len²) form, at ~len/maxDist of the verify cost
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb"), maxDist))
+      .filter(col("dist") >= 0)
     val members = docs.select(col("_t"), col("_id"))
     val cross = keyPairs
       .join(members.select(col("_t").as("_ta"), col("_id").as("_ia")), "_ta")

@@ -37,7 +37,12 @@ object Retention {
     val periodUs = 86400e6 * periodDays
     val per = floor(unix_micros(col(tsCol)).cast("double") / lit(periodUs))
       .cast("long")
-    val pers = df.select(col(userCol).as("_u"), per.as("_p")).distinct()
+    // null user ids / timestamps carry no activity signal: a null period
+    // would otherwise surface as a null offset cell (min() skips nulls, so
+    // it could never BE a cohort anchor, only a dangling offset), and a
+    // null user would become a phantom single-"user" cohort
+    val pers = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), per.as("_p")).distinct()
     val first = pers.groupBy("_u").agg(min("_p").as("_cp"))
     val cells = pers.join(first, "_u")
       .groupBy(col("_cp").as("cohort_period"),

@@ -38,6 +38,16 @@ class RetentionSpec extends SparkFunSuite {
       got.head.getAs[Long]("cohort_size") == 1L)
   }
 
+  test("cohortRetention: null users and null timestamps are excluded, never phantom cells") {
+    val df = tsDf(Seq(("u1", base)))
+      .unionByName(Seq(("u1", None: Option[Long]), (null, Some(base)))
+        .toDF("u", "sec").select(col("u"),
+          timestamp_seconds(col("sec")).as("ts")))
+    val got = Retention.cohortRetention(df, "u", "ts").collect()
+    assert(got.length == 1 && got.head.getAs[Long]("cohort_size") == 1L &&
+      !got.exists(r => r.isNullAt(1)))
+  }
+
   test("cohortRetention: period width changes the grid; args validated") {
     val d = 86400L
     val df = tsDf(Seq(("u1", base), ("u1", base + 2 * d)))
