@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1202,6 +1202,29 @@ object SparkEntry {
       Retention.cohortRetention(Tables(s, dir).events, "user_id", "ts",
           periodDays = 7)
         .orderBy("cohort_period", "period_offset")
+    }),
+    // Referential-integrity audit across three FK contracts: one natural
+    // (no orphans) and two with deterministically-shrunk parents so the
+    // orphan tallies are non-trivial at every SF.
+    "q161_referential_audit" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      def labeled(label: String, df: DataFrame) = df.withColumn("fk", lit(label))
+      labeled("lineitem.l_orderkey->orders",
+          Audit.referentialOrphans(t.lineitem, "l_orderkey", t.orders, "o_orderkey"))
+        .unionByName(labeled("orders.o_custkey->customer_mod10",
+          Audit.referentialOrphans(t.orders, "o_custkey",
+            t.customer.filter(col("c_custkey") % 10 =!= 0), "c_custkey")))
+        .unionByName(labeled("events.user_id->customer_lt100",
+          Audit.referentialOrphans(t.events, "user_id",
+            t.customer.filter(col("c_custkey") < 100), "c_custkey")))
+        .orderBy("fk")
+    }),
+    // First-order event transition matrix (Markov pathing view): counts +
+    // row-normalized probabilities per (state, next_state).
+    "q162_event_transitions" -> ((s, dir) => {
+      Sessionize.transitionMatrix(Tables(s, dir).events, "user_id", "ts",
+          "event_type", tieBreak = Seq("event_id"))
+        .orderBy("state", "next_state")
     }),
     // Line-level boilerplate scrub (CCNet's line dedup, slice-scoped):
     // synthesize multi-line pages — a promo header on every doc (100% of
@@ -3879,6 +3902,47 @@ object SparkEntry {
         |  CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS selfjoin_rows,
         |  min(k) AS example_key
         |FROM c GROUP BY 1 ORDER BY depth_bucket""".stripMargin,
+    // q161: each audit = totals × orphan-anti-join (NOT EXISTS) × null
+    // tally, one row per FK contract; same shrunk parents
+    "q161_referential_audit" -> Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "SELECT o_orderkey FROM orders", "o_orderkey"),
+      ("orders.o_custkey->customer_mod10", "orders", "o_custkey",
+        "SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0", "c_custkey"),
+      ("events.user_id->customer_lt100", "events", "user_id",
+        "SELECT c_custkey FROM customer WHERE c_custkey < 100", "c_custkey")
+    ).map { case (label, child, ck, parentSql, pk) =>
+      s"""SELECT '$label' AS fk, t.n_rows, t.n_keys, o.n_orphan_rows,
+         |  o.n_orphan_keys, z.n_null_rows,
+         |  CASE WHEN t.n_rows = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(o.n_orphan_rows AS DOUBLE) / CAST(t.n_rows AS DOUBLE)
+         |  END AS orphan_frac
+         |FROM
+         | (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+         |     CAST(count(*) AS BIGINT) AS n_keys FROM
+         |   (SELECT $ck AS k, count(*) AS c FROM $child
+         |    WHERE $ck IS NOT NULL GROUP BY 1)) t,
+         | (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_orphan_rows,
+         |     CAST(count(*) AS BIGINT) AS n_orphan_keys FROM
+         |   (SELECT $ck AS k, count(*) AS c FROM $child
+         |    WHERE $ck IS NOT NULL GROUP BY 1) kk
+         |   WHERE NOT EXISTS (SELECT 1 FROM ($parentSql) p WHERE p.$pk = kk.k)) o,
+         | (SELECT CAST(count(*) AS BIGINT) AS n_null_rows FROM $child
+         |  WHERE $ck IS NULL) z""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY fk"),
+    // q162: identical lead() window (ts, event_id order), state-row
+    // normalizer as a window over the matrix
+    "q162_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_state
+        |  FROM events),
+        |m AS (SELECT state, next_state, CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM s WHERE next_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT state, next_state, n_trans,
+        |  CAST(n_trans AS DOUBLE)
+        |    / CAST(sum(n_trans) OVER (PARTITION BY state) AS DOUBLE) AS p
+        |FROM m ORDER BY state, next_state""".stripMargin,
     // q160: identical epoch-grid double division, distinct (user, period),
     // min-period cohorts, offset-0 sizes joined back
     "q160_retention_cohorts" ->

@@ -190,4 +190,39 @@ object Sessionize {
           Some(acc.fold(when(cond, i))(_.when(cond, i)))
       }.get.otherwise(0).cast("int")), lit(0))
   }
+
+  /** First-order behavioral transition matrix: per `(state, next_state)`
+    * adjacent-event pair within a user's time-ordered stream, the count and
+    * the row-normalized probability `p = n / Σ_next n` — the Markov-chain
+    * view of an event stream (what follows what), the pathing complement of
+    * [[funnelStages]]'s fixed-order view.
+    *
+    * Each user's LAST event has no successor and contributes no pair;
+    * `tieBreak` columns make the per-user order total when timestamps
+    * collide (cross-engine determinism, [[assignSessions]]'s convention).
+    *
+    * Scale shape: one shuffle partitions by user for the lead() window
+    * (streaming, spillable); pairs then aggregate to the state×state
+    * matrix (state-vocabulary sized, tiny) with map-side partial counts,
+    * and the row normalizer is a window over that matrix — no second
+    * corpus-wide exchange. A firehose user concentrates one window task;
+    * for that regime sessionize-bucket the stream first and scope states
+    * per bucket, accepting lost cross-bucket pairs, or accept the task —
+    * the window holds O(1) state. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       stateCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(!events.columns.contains("_next"),
+      "inputs must not contain the reserved column _next")
+    val w = Window.partitionBy(userCol).orderBy((tsCol +: tieBreak).map(col): _*)
+    val pairs = events
+      .select(Seq(col(userCol), col(tsCol), col(stateCol).as("state")) ++
+        tieBreak.map(col): _*)
+      .withColumn("_next", lead(col("state"), 1).over(w))
+      .filter(col("_next").isNotNull)
+    val matrix = pairs.groupBy(col("state"), col("_next").as("next_state"))
+      .agg(count(lit(1)).as("n_trans"))
+    val rowW = Window.partitionBy("state")
+    matrix.withColumn("p",
+      col("n_trans").cast("double") / sum(col("n_trans")).over(rowW).cast("double"))
+  }
 }

@@ -134,4 +134,30 @@ class SessionizeSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(got == Seq((1L, 0), (2L, 1), (3L, 1)))
   }
+
+  test("transitionMatrix: hand-computed counts and row-normalized probabilities") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "x", 1L),
+      (1L, Timestamp.valueOf("2024-01-01 00:01:00"), "y", 2L),
+      (1L, Timestamp.valueOf("2024-01-01 00:02:00"), "x", 3L),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), "x", 4L),
+      (2L, Timestamp.valueOf("2024-01-01 00:05:00"), "x", 5L),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:00"), "z", 6L) // no successor
+    ).toDF("user_id", "ts", "etype", "event_id")
+    val got = Sessionize.transitionMatrix(df, "user_id", "ts", "etype",
+        tieBreak = Seq("event_id"))
+      .orderBy("state", "next_state").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_trans"),
+        r.getAs[Double]("p"))).toSeq
+    assert(got == Seq(("x", "x", 1L, 0.5), ("x", "y", 1L, 0.5),
+      ("y", "x", 1L, 1.0)))
+  }
+
+  test("transitionMatrix: timestamp ties resolve on the tieBreak column") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq((1L, t, "a", 2L), (1L, t, "b", 1L)).toDF("user_id", "ts", "e", "id")
+    val got = Sessionize.transitionMatrix(df, "user_id", "ts", "e", Seq("id"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("b", "a")))
+  }
 }
