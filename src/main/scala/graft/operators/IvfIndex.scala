@@ -189,14 +189,59 @@ object IvfIndex {
   }
 
   /** ANN top-k: probe the `nProbe` nearest cells per query, exact cosine
-    * re-rank within them. Output schema matches the other top-k operators. */
+    * re-rank within them. Output schema matches the other top-k operators.
+    * For a query-many-times corpus, build once with [[buildIndex]] /
+    * [[saveIndex]] and serve with [[topKFromIndex]] — this one-shot form
+    * is build + serve fused. */
   def topK(corpus: DataFrame, idCol: String, vecCol: String,
            queries: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
            iters: Int = 2): DataFrame = {
+    val (cents, indexed) = buildIndex(corpus, idCol, vecCol, nCells, iters)
+    topKFromIndex(cents, indexed, queries, k, nProbe)
+  }
+
+  /** Build the two IVF index tables: `(centroids, postings)` —
+    * `centroids(cell_id, centroid)` and
+    * `postings(neighbor_id, c_vec, c_norm, cell_id)`, the cell-keyed
+    * inverted file. Both are plain DataFrames: persist them with
+    * [[saveIndex]] (postings partitioned BY CELL, so serving reads only
+    * the probed cells' files) and serve with [[topKFromIndex]]. */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 nCells: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     val cents = centroids(corpus, idCol, vecCol, nCells, iters)
     val indexed = assignCells(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         l2Norm(col(vecCol)).as("c_norm")), cents, "c_vec")
+    (cents, indexed)
+  }
+
+  /** Persist an index built by [[buildIndex]]: centroids at
+    * `<path>/centroids`, postings at `<path>/postings` partitioned by
+    * `cell_id` — a query's `nProbe` cells then prune to `nProbe`
+    * directories at read time (partition pruning does the inverted-file
+    * seek). Doubles round-trip parquet bit-exactly, so a reloaded index
+    * serves IDENTICAL results ([[IvfIndexSpec]] pins it). */
+  def saveIndex(cents: DataFrame, indexed: DataFrame, path: String): Unit = {
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    indexed.write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$path/postings")
+  }
+
+  /** Reload a [[saveIndex]] index as `(centroids, postings)`. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): (DataFrame, DataFrame) = {
+    (spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/postings")
+        .withColumn("cell_id", col("cell_id").cast("int")))
+  }
+
+  /** Serve ANN top-k from prebuilt index tables (the output — schema,
+    * scores, tie-breaks — is exactly [[topK]]'s). Queries broadcast
+    * against the centroid array to pick their `nProbe` cells; the
+    * postings join is cell-keyed, so a partitioned on-disk index scans
+    * only the probed cells. */
+  def topKFromIndex(cents: DataFrame, indexed: DataFrame,
+                    queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     val probes = queries
       .select(col("query_id"), col("query_vec"), l2Norm(col("query_vec")).as("q_norm"))
       .crossJoin(broadcast(cellsAsArray(cents)))

@@ -166,4 +166,38 @@ class IvfIndexSpec extends SparkFunSuite {
       s"a sort-merge join in the quantized chain means a corpus-sized " +
         s"exchange for a shortlist-sized table:\n$plan")
   }
+
+  test("saved+reloaded index serves results identical to the fused one-shot path") {
+    val q = t.embeddings.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val direct = IvfIndex.topK(t.embeddings, "vec_id", "embedding", q,
+        k = 5, nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val (cents, indexed) = IvfIndex.buildIndex(t.embeddings, "vec_id", "embedding", nCells = 8)
+    val dir = tmpDir("ivf-index")
+    IvfIndex.saveIndex(cents, indexed, dir)
+    val (rc, ri) = IvfIndex.loadIndex(spark, dir)
+    val served = IvfIndex.topKFromIndex(rc, ri, q, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // bit-exact: doubles round-trip parquet, so scores AND ranks agree
+    assert(served.sortBy(x => (x._1, x._2)).toSeq ==
+      direct.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
+  test("served reads prune to the probed cells' partitions") {
+    val q = t.embeddings.filter($"vec_id" < 1)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val (cents, indexed) = IvfIndex.buildIndex(t.embeddings, "vec_id", "embedding", nCells = 8)
+    val dir = tmpDir("ivf-prune")
+    IvfIndex.saveIndex(cents, indexed, dir)
+    val (rc, ri) = IvfIndex.loadIndex(spark, dir)
+    // the postings table is Hive-partitioned by cell_id on disk
+    val parts = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).sorted
+    assert(parts.length == 8, s"expected 8 cell partitions, got ${parts.toSeq}")
+    // a cell_id filter reaches the scan as partition pruning
+    val plan = ri.filter($"cell_id" === 3).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cell_id"),
+      s"cell filter must prune partitions:\n$plan")
+  }
 }
