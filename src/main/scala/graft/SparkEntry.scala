@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis, Trend}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1225,6 +1225,53 @@ object SparkEntry {
       Sessionize.transitionMatrix(Tables(s, dir).events, "user_id", "ts",
           "event_type", tieBreak = Seq("event_id"))
         .orderBy("state", "next_state")
+    }),
+    // Per-type OLS value-vs-day trend: exact sufficient statistics
+    // (decimal products), fixed-order double combine — bit-reproducible
+    // slope/intercept/r² with no rounding.
+    "q163_trend_fit" -> ((s, dir) => {
+      val d = Tables(s, dir).events
+        .withColumn("_day",
+          floor(unix_micros(col("ts")).cast("double") / lit(86400.0e6))
+            .cast("long"))
+      Trend.trendFit(d, Seq("event_type"), "_day", "value")
+        .orderBy("event_type")
+    }),
+    // Market-basket association over 30-minute sessions: distinct types
+    // per session are the basket; support/confidence/lift from exact
+    // integer counts (basket-size-squared pair fanout, type-vocabulary
+    // sized results).
+    "q164_basket_lift" -> ((s, dir) => {
+      val items = Sessionize.assignSessions(Tables(s, dir).events,
+          "user_id", "ts", 30, Seq("event_id"))
+        .select(col("user_id"), col("session_id"), col("event_type"))
+        .distinct()
+        .localCheckpoint(false)
+      val nB = items.select("user_id", "session_id").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val tc = items.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val pairs = items.select(col("user_id"), col("session_id"),
+          col("event_type").as("item_a"))
+        .join(items.select(col("user_id"), col("session_id"),
+          col("event_type").as("item_b")), Seq("user_id", "session_id"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(tc.select(col("event_type").as("item_a"),
+          col("n_t").as("n_a"))), Seq("item_a"))
+        .join(broadcast(tc.select(col("event_type").as("item_b"),
+          col("n_t").as("n_b"))), Seq("item_b"))
+        .crossJoin(broadcast(nB))
+        .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+          col("n_b"), col("n_baskets"),
+          (col("n_ab").cast("double") / col("n_baskets").cast("double"))
+            .as("support"),
+          (col("n_ab").cast("double") / col("n_a").cast("double"))
+            .as("confidence"),
+          (col("n_ab").cast("double") * col("n_baskets").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double")))
+            .as("lift"))
+        .orderBy("item_a", "item_b")
     }),
     // Line-level boilerplate scrub (CCNet's line dedup, slice-scoped):
     // synthesize multi-line pages — a promo header on every doc (100% of
@@ -3943,6 +3990,68 @@ object SparkEntry {
         |  CAST(n_trans AS DOUBLE)
         |    / CAST(sum(n_trans) OVER (PARTITION BY state) AS DOUBLE) AS p
         |FROM m ORDER BY state, next_state""".stripMargin,
+    // q163: identical exact sufficient statistics (HUGEINT/DECIMAL sums),
+    // identical double combine order; degenerate-group nulls mirrored
+    "q163_trend_fit" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS x,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yi
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS n_d,
+        |    CAST(sum(x) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+        |    CAST(sum(yi) AS DOUBLE) / 1e6 AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * yi) AS DOUBLE) / 1e6 AS sxy,
+        |    CAST(sum(yi * yi) AS DOUBLE) / 1e12 AS syy
+        |  FROM d GROUP BY event_type),
+        |k AS (SELECT event_type, n, n_d, sx, sy,
+        |    n_d * sxy - sx * sy AS num,
+        |    n_d * sxx - sx * sx AS denx,
+        |    n_d * syy - sy * sy AS deny
+        |  FROM s)
+        |SELECT event_type, n,
+        |  CASE WHEN denx = 0 THEN NULL ELSE num / denx END AS slope,
+        |  CASE WHEN denx = 0 THEN NULL
+        |       ELSE (sy - (num / denx) * sx) / n_d END AS intercept,
+        |  CASE WHEN denx = 0 OR deny = 0 THEN NULL
+        |       ELSE num * num / (denx * deny) END AS r2
+        |FROM k ORDER BY event_type""".stripMargin,
+    // q164: q16's sessionize CTE feeds distinct per-session types; exact
+    // integer counts, the same three double divisions
+    "q164_basket_lift" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR CAST(floor(epoch(ts)) AS BIGINT)
+        |            - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |items AS (SELECT DISTINCT user_id, event_type,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM
+        |  (SELECT DISTINCT user_id, session_id FROM items)),
+        |tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |  FROM items GROUP BY event_type),
+        |pairs AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.user_id = b.user_id AND a.session_id = b.session_id
+        |  WHERE a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.item_a, p.item_b, p.n_ab,
+        |  ta.n_t AS n_a, tb.n_t AS n_b, nb.n_baskets,
+        |  CAST(p.n_ab AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) AS support,
+        |  CAST(p.n_ab AS DOUBLE) / CAST(ta.n_t AS DOUBLE) AS confidence,
+        |  CAST(p.n_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+        |    / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)) AS lift
+        |FROM pairs p
+        |JOIN tc ta ON ta.event_type = p.item_a
+        |JOIN tc tb ON tb.event_type = p.item_b, nb
+        |ORDER BY item_a, item_b""".stripMargin,
     // q160: identical epoch-grid double division, distinct (user, period),
     // min-period cohorts, offset-0 sizes joined back
     "q160_retention_cohorts" ->

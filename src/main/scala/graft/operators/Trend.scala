@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group ordinary-least-squares trend fitting — "is this metric
+  * drifting, and how fast, per slice" as one aggregation pass.
+  */
+object Trend {
+
+  /** OLS fit of `yCol` against `xCol` per group: `(groupCols…, n, slope,
+    * intercept, r2)`.
+    *
+    * Determinism contract (the engine-portability recipe of the quantile/
+    * profile family): `xCol` must be integer-valued (cast to long) and
+    * `yCol` must carry at most 6 decimal places — the five sufficient
+    * statistics (Σx, Σx², Σy, Σxy, Σy²) then accumulate EXACTLY
+    * (longs/decimals; Σx² and Σxy products run in decimal(38) so a
+    * 100 TB group cannot wrap), and the closed-form slope/intercept/r²
+    * combine those exact sums in doubles with a fixed operand order —
+    * bit-identical on any engine and any partitioning, no rounding
+    * needed. A degenerate group (single distinct x) yields null slope/
+    * intercept/r²; a constant-y group fits slope 0 with null r²
+    * (zero variance explained of zero variance).
+    *
+    * Scale shape: ONE map-side-combined aggregation to five sums per
+    * group; nothing is ever sorted or windowed. */
+  def trendFit(df: DataFrame, groupCols: Seq[String], xCol: String,
+               yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    val x = col(xCol).cast("long")
+    val d19 = "decimal(19,0)"
+    // y in exact integer MICRO-units: every sum below is then a pure
+    // integer, whose decimal→double cast is correctly rounded the same
+    // way on every engine. Summing fractional decimals instead (scale 12
+    // for Σy²) hits engine-specific decimal→double conversion: DuckDB
+    // divides two doubles (value, 10^scale) — two roundings — where the
+    // JVM rounds the exact rational once, a measured 1-ulp r² divergence.
+    val yi = (col(yCol).cast("decimal(18,6)") * lit(1000000L)).cast(d19)
+    val sums = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("_sx"),
+        sum(x.cast(d19) * x.cast(d19)).as("_sxx"),
+        sum(yi).as("_syi"),
+        sum(x.cast(d19) * yi).as("_sxyi"),
+        sum(yi * yi).as("_syyi"))
+    def dbl(c: String): Column = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val sy = dbl("_syi") / lit(1.0e6)
+    val sxy = dbl("_sxyi") / lit(1.0e6)
+    val syy = dbl("_syyi") / lit(1.0e12)
+    val denX = nD * dbl("_sxx") - dbl("_sx") * dbl("_sx")
+    val denY = nD * syy - sy * sy
+    val num = nD * sxy - dbl("_sx") * sy
+    val slope = when(denX === 0.0, lit(null)).otherwise(num / denX)
+    sums.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      slope.as("slope"),
+      when(denX === 0.0, lit(null))
+        .otherwise((sy - (num / denX) * dbl("_sx")) / nD).as("intercept"),
+      when(denX === 0.0 || denY === 0.0, lit(null))
+        .otherwise(num * num / (denX * denY)).as("r2")): _*)
+  }
+}
