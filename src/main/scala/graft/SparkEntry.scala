@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis, Trend}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis, Trend}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1236,6 +1236,40 @@ object SparkEntry {
             .cast("long"))
       Trend.trendFit(d, Seq("event_type"), "_day", "value")
         .orderBy("event_type")
+    }),
+    // Last-touch attribution: purchases credited to the latest preceding
+    // view/click/signup in the user's stream; orphan conversions surface
+    // as "(none)"; revenue summed in exact decimals.
+    "q166_last_touch" -> ((s, dir) => {
+      Sessionize.lastTouchAttribution(Tables(s, dir).events, "user_id", "ts",
+          "event_type", "value", "purchase", Seq("view", "click", "signup"),
+          tieBreak = Seq("event_id"))
+        .orderBy("touch_type")
+    }),
+    // SCD2 dimension history: customer snapshot at eff 0, a segment-change
+    // batch at eff 10 (plus a no-op re-assert batch that must compress
+    // away), a balance-change batch at eff 20 carrying forward the
+    // segment state — intervals and currency flags rebuilt by the
+    // operator, replayed move-for-move by the oracle.
+    "q165_scd2_history" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      val hist = c.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("balance"),
+        lit(0L).as("eff"))
+      val u1 = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"), lit("SEGMENT_X").as("segment"),
+          col("c_acctbal").as("balance"), lit(10L).as("eff"))
+      val u1b = c.filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"),
+          col("c_acctbal").as("balance"), lit(10L).as("eff"))
+      val u2 = c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 3 === 0, lit("SEGMENT_X"))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          (col("c_acctbal") + lit(100.0)).as("balance"), lit(20L).as("eff"))
+      Scd.scd2Apply(hist, u1.unionByName(u1b).unionByName(u2),
+          Seq("k"), Seq("segment", "balance"), "eff")
+        .orderBy("k", "eff")
     }),
     // Market-basket association over 30-minute sessions: distinct types
     // per session are the basket; support/confidence/lift from exact
@@ -4017,6 +4051,51 @@ object SparkEntry {
         |  CASE WHEN denx = 0 OR deny = 0 THEN NULL
         |       ELSE num * num / (denx * deny) END AS r2
         |FROM k ORDER BY event_type""".stripMargin,
+    // q166: same strictly-preceding IGNORE NULLS carry-forward window,
+    // same decimal revenue sums
+    "q166_last_touch" ->
+      """WITH a AS (SELECT event_type, value,
+        |    last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, '(none)') AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin,
+    // q165: same union → same-ts pick (updates win) → lag run-compression
+    // (IS DISTINCT FROM = the null-safe compare) → lead intervals
+    "q165_scd2_history" ->
+      """WITH all_v AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS segment, c_acctbal AS balance,
+        |    CAST(0 AS BIGINT) AS eff, 0 AS src FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'SEGMENT_X', c_acctbal, 10, 1 FROM customer
+        |  WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal, 10, 1 FROM customer
+        |  WHERE c_custkey % 7 = 0 AND c_custkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'SEGMENT_X' ELSE c_mktsegment END,
+        |    c_acctbal + 100, 20, 1 FROM customer WHERE c_custkey % 5 = 0),
+        |pick AS (SELECT k, segment, balance, eff FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k, eff ORDER BY src DESC) AS rn
+        |    FROM all_v) WHERE rn = 1),
+        |comp AS (SELECT k, segment, balance, eff FROM (
+        |    SELECT k, segment, balance, eff,
+        |      lag(segment) OVER w AS ps, lag(balance) OVER w AS pb,
+        |      row_number() OVER w AS rn2
+        |    FROM pick WINDOW w AS (PARTITION BY k ORDER BY eff))
+        |  WHERE rn2 = 1 OR segment IS DISTINCT FROM ps
+        |     OR balance IS DISTINCT FROM pb)
+        |SELECT k, segment, balance, eff,
+        |  lead(eff) OVER w2 AS valid_to,
+        |  lead(eff) OVER w2 IS NULL AS is_current
+        |FROM comp WINDOW w2 AS (PARTITION BY k ORDER BY eff)
+        |ORDER BY k, eff""".stripMargin,
     // q164: q16's sessionize CTE feeds distinct per-session types; exact
     // integer counts, the same three double divisions
     "q164_basket_lift" ->

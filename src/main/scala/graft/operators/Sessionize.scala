@@ -225,4 +225,35 @@ object Sessionize {
     matrix.withColumn("p",
       col("n_trans").cast("double") / sum(col("n_trans")).over(rowW).cast("double"))
   }
+
+  /** Last-touch conversion attribution: each `conversionType` event is
+    * credited to the most recent STRICTLY-PRECEDING event of one of the
+    * `touchTypes` in the same user's stream (`(none)` when no touch ever
+    * preceded — never silently dropped). Output per touch type:
+    * `n_conversions` and `revenue` (the conversion events' `valueCol`
+    * mass; summed as decimal(18,6) so parallel aggregation order can't
+    * move the double).
+    *
+    * Scale shape: one user-partitioned window (the carry-forward `last`
+    * over touches runs streaming, O(1) state per row), then a
+    * touch-vocabulary-sized aggregation. */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, valueCol: String,
+                           conversionType: String, touchTypes: Seq[String],
+                           tieBreak: Seq[String] = Nil): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      s"conversionType ($conversionType) cannot also be a touch type — a " +
+        "conversion would attribute to the previous conversion")
+    val w = Window.partitionBy(userCol)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes.map(x => x: Any): _*), col(typeCol))
+    events
+      .withColumn("_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .groupBy(coalesce(col("_touch"), lit("(none)")).as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("revenue"))
+  }
 }

@@ -153,6 +153,29 @@ class SessionizeSpec extends SparkFunSuite {
       ("y", "x", 1L, 1.0)))
   }
 
+  test("lastTouchAttribution: credits the latest preceding touch; orphans go to (none)") {
+    def t(m: Int) = Timestamp.valueOf(s"2024-01-01 00:0$m:00")
+    val df = Seq(
+      (1L, t(0), "view", 1L, 0.0), (1L, t(1), "click", 2L, 0.0),
+      (1L, t(2), "purchase", 3L, 10.0),  // → click (latest touch)
+      (1L, t(3), "error", 4L, 0.0),
+      (1L, t(4), "purchase", 5L, 5.0),   // error not a touch → still click
+      (2L, t(0), "purchase", 6L, 7.0),   // nothing preceding → (none)
+      (3L, t(0), "view", 7L, 0.0),
+      (3L, t(1), "purchase", 8L, 2.0)    // → view
+    ).toDF("user_id", "ts", "etype", "event_id", "value")
+    val got = Sessionize.lastTouchAttribution(df, "user_id", "ts", "etype",
+        "value", "purchase", Seq("view", "click", "signup"), Seq("event_id"))
+      .orderBy("touch_type").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_conversions"),
+        r.getAs[Double]("revenue"))).toSeq
+    assert(got == Seq(("(none)", 1L, 7.0), ("click", 2L, 15.0), ("view", 1L, 2.0)))
+    intercept[IllegalArgumentException] {
+      Sessionize.lastTouchAttribution(df, "user_id", "ts", "etype", "value",
+        "purchase", Seq("purchase", "view"))
+    }
+  }
+
   test("transitionMatrix: timestamp ties resolve on the tieBreak column") {
     val t = Timestamp.valueOf("2024-01-01 00:00:00")
     val df = Seq((1L, t, "a", 2L), (1L, t, "b", 1L)).toDF("user_id", "ts", "e", "id")
