@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis, Trend}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis, Trend}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1236,6 +1236,30 @@ object SparkEntry {
             .cast("long"))
       Trend.trendFit(d, Seq("event_type"), "_day", "value")
         .orderBy("event_type")
+    }),
+    // Record linkage: md5-synthesized person records (phone/first/last)
+    // plus a perturbed copy of each differing in EXACTLY one field — the
+    // union of three blocking keys still pairs every copy with its
+    // original through the two agreeing fields; weighted field-agreement
+    // scores, match threshold 0.5.
+    "q167_record_linkage" -> ((s, dir) => {
+      val ck = Tables(s, dir).customer.select(col("c_custkey").as("k"))
+      def h(tag: String, n: Int) =
+        substring(md5(concat(col("k").cast("string"), lit(s":$tag"))), 1, n)
+      val base = ck.select(col("k").as("id"), h("p", 10).as("phone"),
+        h("f", 8).as("first"), h("l", 8).as("last"))
+      val pert = ck.select((col("k") + 1000000L).as("id"),
+        when(col("k") % 3 === 0, h("p2", 10)).otherwise(h("p", 10)).as("phone"),
+        when(col("k") % 3 === 1, concat(h("f", 8), lit("x")))
+          .otherwise(h("f", 8)).as("first"),
+        when(col("k") % 3 === 2, h("l2", 8)).otherwise(h("l", 8)).as("last"))
+      val records = base.unionByName(pert).localCheckpoint(false)
+      val pairs = Linkage.blockedPairs(records, "id",
+        Seq("phone", "first", "last"), maxBucket = 64)
+      Linkage.scoreFieldAgreement(pairs, records, "id",
+          Seq(("phone", 0.5), ("first", 0.3), ("last", 0.2)))
+        .filter(col("score") >= 0.5)
+        .orderBy("id_a", "id_b")
     }),
     // Last-touch attribution: purchases credited to the latest preceding
     // view/click/signup in the user's stream; orphan conversions surface
@@ -4051,6 +4075,46 @@ object SparkEntry {
         |  CASE WHEN denx = 0 OR deny = 0 THEN NULL
         |       ELSE num * num / (denx * deny) END AS r2
         |FROM k ORDER BY event_type""".stripMargin,
+    // q167: same md5 synthesis, same capped blocks (HAVING BETWEEN 2 AND
+    // 64), same left-folded weights via null-safe agreement
+    "q167_record_linkage" -> {
+      val blockSqls = Seq("phone", "fi", "la").map { c =>
+        s"""SELECT a.id AS id_a, b.id AS id_b
+           |  FROM recs a JOIN recs b ON a.$c = b.$c AND a.id < b.id
+           |  WHERE a.$c IN (SELECT $c FROM recs WHERE $c IS NOT NULL
+           |                 GROUP BY $c HAVING count(*) BETWEEN 2 AND 64)""".stripMargin
+      }
+      s"""WITH ck AS (SELECT c_custkey AS k FROM customer),
+         |recs AS (
+         |  SELECT k AS id,
+         |    substr(md5(CAST(k AS VARCHAR) || ':p'), 1, 10) AS phone,
+         |    substr(md5(CAST(k AS VARCHAR) || ':f'), 1, 8) AS fi,
+         |    substr(md5(CAST(k AS VARCHAR) || ':l'), 1, 8) AS la
+         |  FROM ck
+         |  UNION ALL
+         |  SELECT k + 1000000,
+         |    CASE WHEN k % 3 = 0 THEN substr(md5(CAST(k AS VARCHAR) || ':p2'), 1, 10)
+         |         ELSE substr(md5(CAST(k AS VARCHAR) || ':p'), 1, 10) END,
+         |    CASE WHEN k % 3 = 1 THEN substr(md5(CAST(k AS VARCHAR) || ':f'), 1, 8) || 'x'
+         |         ELSE substr(md5(CAST(k AS VARCHAR) || ':f'), 1, 8) END,
+         |    CASE WHEN k % 3 = 2 THEN substr(md5(CAST(k AS VARCHAR) || ':l2'), 1, 8)
+         |         ELSE substr(md5(CAST(k AS VARCHAR) || ':l'), 1, 8) END
+         |  FROM ck),
+         |cand AS (SELECT DISTINCT id_a, id_b FROM (
+         |${blockSqls.mkString("\nUNION ALL\n")}))
+         |SELECT c.id_a, c.id_b,
+         |  CASE WHEN ra.phone IS NOT DISTINCT FROM rb.phone THEN 0.5 ELSE 0.0 END
+         |  + CASE WHEN ra.fi IS NOT DISTINCT FROM rb.fi THEN 0.3 ELSE 0.0 END
+         |  + CASE WHEN ra.la IS NOT DISTINCT FROM rb.la THEN 0.2 ELSE 0.0 END
+         |    AS score
+         |FROM cand c
+         |JOIN recs ra ON ra.id = c.id_a
+         |JOIN recs rb ON rb.id = c.id_b
+         |WHERE CASE WHEN ra.phone IS NOT DISTINCT FROM rb.phone THEN 0.5 ELSE 0.0 END
+         |  + CASE WHEN ra.fi IS NOT DISTINCT FROM rb.fi THEN 0.3 ELSE 0.0 END
+         |  + CASE WHEN ra.la IS NOT DISTINCT FROM rb.la THEN 0.2 ELSE 0.0 END >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     // q166: same strictly-preceding IGNORE NULLS carry-forward window,
     // same decimal revenue sums
     "q166_last_touch" ->

@@ -279,7 +279,12 @@ object Similarity {
     * same map stage (before any shuffle — a mismatched-label row never
     * leaves its partition), then one per-query top-k window. For corpora
     * past brute force, shortlist with [[lshTopK]] / [[graft.operators.IvfIndex]]
-    * and apply the same label filter to the shortlist. */
+    * and apply the same label filter to the shortlist.
+    *
+    * Null-label contract (SQL `<>` semantics): a null-label corpus row is
+    * never a negative for anyone, and a null-label query gets NO negatives
+    * — label your rows, or coalesce nulls to a sentinel label upstream if
+    * "unlabeled" should count as "different". */
   def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),

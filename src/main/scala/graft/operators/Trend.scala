@@ -13,7 +13,9 @@ object Trend {
     *
     * Determinism contract (the engine-portability recipe of the quantile/
     * profile family): `xCol` must be integer-valued (cast to long) and
-    * `yCol` must carry at most 6 decimal places — the five sufficient
+    * `yCol` must carry at most 6 decimal places with |y| < 10¹² (the
+    * micro-unit cast below is decimal(18,6); ANSI mode rejects overflow
+    * loudly rather than fitting garbage) — the five sufficient
     * statistics (Σx, Σx², Σy, Σxy, Σy²) then accumulate EXACTLY
     * (longs/decimals; Σx² and Σxy products run in decimal(38) so a
     * 100 TB group cannot wrap), and the closed-form slope/intercept/r²
