@@ -1237,6 +1237,21 @@ object SparkEntry {
       Trend.trendFit(d, Seq("event_type"), "_day", "value")
         .orderBy("event_type")
     }),
+    // Gaps-and-islands: per-user longest consecutive-day activity streak
+    // (island key = day − row_number, O(1) window state; deterministic
+    // latest-streak tie pick).
+    "q168_activity_streaks" -> ((s, dir) => {
+      Retention.activityStreaks(Tables(s, dir).events, "user_id", "ts",
+          periodDays = 1)
+        .orderBy("user_id")
+    }),
+    // Pareto/ABC: users classified by cumulative share of event value
+    // mass — exact integer boundary tests (cum·5 ≤ tot·4), doubles only
+    // in the reported mass/share.
+    "q169_pareto_abc" -> ((s, dir) => {
+      Profile.paretoClasses(Tables(s, dir).events, "user_id", "value")
+        .orderBy("abc_class")
+    }),
     // Record linkage: md5-synthesized person records (phone/first/last)
     // plus a perturbed copy of each differing in EXACTLY one field — the
     // union of three blocking keys still pairs every copy with its
@@ -4075,6 +4090,45 @@ object SparkEntry {
         |  CASE WHEN denx = 0 OR deny = 0 THEN NULL
         |       ELSE num * num / (denx * deny) END AS r2
         |FROM k ORDER BY event_type""".stripMargin,
+    // q168: identical epoch-day grid, island key, and (len desc, s desc,
+    // e desc) longest pick
+    "q168_activity_streaks" ->
+      """WITH p AS (SELECT DISTINCT user_id AS u,
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |isl AS (SELECT u, p,
+        |    p - row_number() OVER (PARTITION BY u ORDER BY p) AS i FROM p),
+        |runs AS (SELECT u, i, CAST(count(*) AS BIGINT) AS len,
+        |    min(p) AS s, max(p) AS e FROM isl GROUP BY u, i),
+        |best AS (SELECT u, len, s, e,
+        |    row_number() OVER (PARTITION BY u ORDER BY len DESC, s DESC, e DESC) AS rn
+        |  FROM runs),
+        |tot AS (SELECT u, CAST(sum(len) AS BIGINT) AS n_active_periods,
+        |    CAST(count(*) AS BIGINT) AS n_streaks FROM runs GROUP BY u)
+        |SELECT t.u AS user_id, t.n_active_periods, t.n_streaks,
+        |  b.len AS longest_streak, b.s AS streak_start, b.e AS streak_end
+        |FROM tot t JOIN best b ON b.u = t.u AND b.rn = 1
+        |ORDER BY user_id""".stripMargin,
+    // q169: same micro-unit masses, same exact integer boundary tests,
+    // same two final double divisions
+    "q169_pareto_abc" ->
+      """WITH t AS (SELECT user_id AS k,
+        |    sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT)) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id),
+        |c AS (SELECT k, v,
+        |    sum(v) OVER (ORDER BY v DESC, k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(v) OVER () AS tot,
+        |    row_number() OVER (ORDER BY v DESC, k) AS rn
+        |  FROM t),
+        |cl AS (SELECT CASE WHEN rn = 1 OR cum * 5 <= tot * 4 THEN 'A'
+        |              WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS abc_class,
+        |    v, tot FROM c)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(v) AS DOUBLE) / 1e6 AS total_value,
+        |  CAST(sum(v) AS DOUBLE) / CAST(max(tot) AS DOUBLE) AS share
+        |FROM cl GROUP BY abc_class ORDER BY abc_class""".stripMargin,
     // q167: same md5 synthesis, same capped blocks (HAVING BETWEEN 2 AND
     // 64), same left-folded weights via null-safe agreement
     "q167_record_linkage" -> {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TopK
@@ -483,5 +484,43 @@ object Profile {
         when(nD * sxx - sx * sx =!= lit(0.0),
           graft.functions.ExactRound.roundFloor(
             (sy - slopeRaw * sx) / nD, 6)).as("intercept"))
+  }
+
+  /** Pareto / ABC concentration classes: keys ranked by value mass, the
+    * running cumulative share cut at the classic 80% (A) and 95% (B)
+    * boundaries, C the tail. "How many sources carry 80% of the corpus"
+    * as one table: per class, the key count, value mass and exact share.
+    *
+    * Class boundaries compare EXACT INTEGERS — values accumulate in
+    * micro-units and `cum/total <= 4/5` is tested as `cum·5 <= total·4`
+    * (decimal products), so no double ever decides a boundary; the only
+    * doubles are the reported mass/share. The first-ranked key belongs to
+    * class A even when it alone exceeds 80% (inclusive-cumulative rule,
+    * stated so the boundary case is defined, not accidental).
+    *
+    * Scale shape: per-key totals in one map-side-combined shuffle; the
+    * rank/cumulative windows run over KEYS (vocabulary-sized), and the
+    * output is three rows. */
+  def paretoClasses(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val vi = (col(valueCol).cast("decimal(18,6)") * lit(1000000L))
+      .cast("decimal(19,0)")
+    val totals = df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("_k")).agg(sum(vi).as("_v"))
+    val w = Window.orderBy(col("_v").desc, col("_k"))
+    val all = Window.partitionBy()
+    val classed = totals
+      .withColumn("_cum", sum(col("_v")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_tot", sum(col("_v")).over(all))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("abc_class",
+        when(col("_rn") === 1 || col("_cum") * 5 <= col("_tot") * 4, "A")
+          .when(col("_cum") * 20 <= col("_tot") * 19, "B")
+          .otherwise("C"))
+    classed.groupBy("abc_class")
+      .agg(count(lit(1)).as("n_keys"),
+        (sum(col("_v")).cast("double") / lit(1.0e6)).as("total_value"),
+        (sum(col("_v")).cast("double") / max(col("_tot")).cast("double"))
+          .as("share"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cohort retention — the classic product-analytics curve: users are
@@ -55,5 +56,44 @@ object Retention {
         col("cohort_size"),
         (col("n_active").cast("double") / col("cohort_size").cast("double"))
           .as("retention"))
+  }
+
+  /** Longest-streak analysis (the gaps-and-islands pattern): per user, the
+    * count of active periods, the number of maximal CONSECUTIVE runs, and
+    * the longest run with its bounds. Island key = `period − row_number()`
+    * — constant exactly within a consecutive run, the classic O(1)-state
+    * trick; no self-join, no recursion.
+    *
+    * The longest run picks deterministically: lexicographic max of
+    * `(length, start, end)` — the LATEST of equal-length streaks.
+    *
+    * Scale shape: distinct (user, period) in one map-side-combined
+    * shuffle; the island window and both aggregates reuse the same user
+    * partitioning (per-user state = active periods, never raw rows).
+    * Null users/timestamps excluded as in [[cohortRetention]]. */
+  def activityStreaks(df: DataFrame, userCol: String, tsCol: String,
+                      periodDays: Int = 1): DataFrame = {
+    require(periodDays >= 1 && periodDays <= 366,
+      s"periodDays ($periodDays) must be in [1, 366]")
+    val reserved = Seq("_u", "_p", "_i", "_b")
+    require(!reserved.exists(df.columns.contains),
+      s"inputs must not contain the reserved columns ${reserved.mkString(", ")}")
+    val periodUs = 86400e6 * periodDays
+    val per = floor(unix_micros(col(tsCol)).cast("double") / lit(periodUs))
+      .cast("long")
+    val days = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), per.as("_p")).distinct()
+    val w = Window.partitionBy("_u").orderBy(col("_p"))
+    val islands = days
+      .withColumn("_i", col("_p") - row_number().over(w))
+      .groupBy(col("_u"), col("_i"))
+      .agg(count(lit(1)).as("len"), min("_p").as("s"), max("_p").as("e"))
+    islands.groupBy(col("_u").as(userCol))
+      .agg(sum("len").as("n_active_periods"),
+        count(lit(1)).as("n_streaks"),
+        max(struct(col("len"), col("s"), col("e"))).as("_b"))
+      .select(col(userCol), col("n_active_periods"), col("n_streaks"),
+        col("_b.len").as("longest_streak"),
+        col("_b.s").as("streak_start"), col("_b.e").as("streak_end"))
   }
 }

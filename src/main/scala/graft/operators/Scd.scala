@@ -44,9 +44,13 @@ object Scd {
     val all = history.select(proj: _*).withColumn("_src", lit(0))
       .unionByName(updates.select(proj: _*).withColumn("_src", lit(1)))
     val keys = keyCols.map(col)
-    // same (key, from): the update replaces the stored version
+    // same (key, from): the update replaces the stored version; two
+    // UPDATES colliding on (key, from) pick the smallest tracked tuple —
+    // an arbitrary-but-DETERMINISTIC winner (row_number over a tie would
+    // otherwise pick by partition arrival order and flap across runs)
+    val trackedOrd = struct(trackedCols.map(col): _*)
     val pickW = Window.partitionBy(keys :+ col(fromCol): _*)
-      .orderBy(col("_src").desc)
+      .orderBy(col("_src").desc, trackedOrd.asc)
     val ordW = Window.partitionBy(keys: _*).orderBy(col(fromCol))
     val tracked = struct(trackedCols.map(col): _*)
     val compressed = all

@@ -256,4 +256,23 @@ class ProfileSpec extends SparkFunSuite {
         "source", "text")
     }
   }
+
+  test("paretoClasses: exact integer boundaries, inclusive-A rule, tail classes") {
+    val df = Seq(("a", 80.0), ("b", 15.0), ("c", 4.0), ("d", 1.0))
+      .toDF("src", "v")
+    val got = Profile.paretoClasses(df, "src", "v").orderBy("abc_class").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_keys"),
+        r.getAs[Double]("total_value"), r.getAs[Double]("share"))).toSeq
+    // cum 80 -> A (exactly 4/5, inclusive), cum 95 -> B (exactly 19/20),
+    // c and d -> C
+    assert(got == Seq(("A", 1L, 80.0, 0.8), ("B", 1L, 15.0, 0.15),
+      ("C", 2L, 5.0, 0.05)))
+  }
+
+  test("paretoClasses: a dominant first key is A even past 80%") {
+    val df = Seq(("a", 99.0), ("b", 1.0)).toDF("src", "v")
+    val got = Profile.paretoClasses(df, "src", "v").orderBy("abc_class").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_keys"))).toSeq
+    assert(got.head == ("A", 1L))
+  }
 }

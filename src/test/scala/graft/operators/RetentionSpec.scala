@@ -71,4 +71,25 @@ class RetentionSpec extends SparkFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"cohort sizes must broadcast:\n$plan")
   }
+
+  test("activityStreaks: hand islands, counts and deterministic longest pick") {
+    val d = 86400L
+    val df = tsDf(Seq(
+      // user 1: days 0,1,2 then 5,6 (relative to an epoch-day base)
+      ("u1", 0 * d), ("u1", 1 * d), ("u1", 2 * d), ("u1", 5 * d), ("u1", 6 * d),
+      ("u1", 1 * d + 3600L), // same day twice: distinct collapses
+      // user 2: two equal-length streaks -> the LATER one wins the tie
+      ("u2", 10 * d), ("u2", 11 * d), ("u2", 20 * d), ("u2", 21 * d)))
+    val got = Retention.activityStreaks(df, "u", "ts", periodDays = 1)
+      .orderBy("u").collect()
+    val u1 = got(0)
+    assert(u1.getAs[Long]("n_active_periods") == 5L &&
+      u1.getAs[Long]("n_streaks") == 2L &&
+      u1.getAs[Long]("longest_streak") == 3L &&
+      u1.getAs[Long]("streak_start") == 0L && u1.getAs[Long]("streak_end") == 2L)
+    val u2 = got(1)
+    assert(u2.getAs[Long]("longest_streak") == 2L &&
+      u2.getAs[Long]("streak_start") == 20L,
+      "equal lengths must pick the later streak, deterministically")
+  }
 }

@@ -59,6 +59,14 @@ class ScdSpec extends SparkFunSuite {
     assert(got.toSeq == Seq(10L, 30L), "null == null must compress")
   }
 
+  test("scd2Apply: two updates colliding on (key, eff) pick deterministically") {
+    val upd = Seq((1L, "zzz", 20L), (1L, "aaa", 20L)).toDF("k", "tier", "eff")
+    val got = Scd.scd2Apply(hist, upd, Seq("k"), Seq("tier"), "eff")
+      .filter($"k" === 1L && $"eff" === 20L).collect()
+    assert(got.length == 1 && got.head.getString(1) == "aaa",
+      "smallest tracked tuple wins — stable across runs and partitionings")
+  }
+
   test("scd2Apply rejects reserved/empty column sets") {
     val df = Seq((1L, "a", 1L)).toDF("k", "valid_to", "eff")
     intercept[IllegalArgumentException] {
