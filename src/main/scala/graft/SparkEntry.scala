@@ -1237,6 +1237,22 @@ object SparkEntry {
       Trend.trendFit(d, Seq("event_type"), "_day", "value")
         .orderBy("event_type")
     }),
+    // Funnel latency: per converting user, whole seconds from first view
+    // to first purchase (exact integer micro diff, floor-to-seconds);
+    // users whose first purchase precedes any view are non-converters.
+    "q170_time_to_convert" -> ((s, dir) => {
+      Tables(s, dir).events
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("_fv"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("_fp"))
+        .filter(col("_fv").isNotNull && col("_fp").isNotNull &&
+          col("_fp") >= col("_fv"))
+        .select(col("user_id"),
+          ((unix_micros(col("_fp")) - unix_micros(col("_fv"))) / lit(1000000L))
+            .cast("long").as("secs_to_convert"))
+        .orderBy("user_id")
+    }),
     // Gaps-and-islands: per-user longest consecutive-day activity streak
     // (island key = day − row_number, O(1) window state; deterministic
     // latest-streak tie pick).
@@ -4090,6 +4106,19 @@ object SparkEntry {
         |  CASE WHEN denx = 0 OR deny = 0 THEN NULL
         |       ELSE num * num / (denx * deny) END AS r2
         |FROM k ORDER BY event_type""".stripMargin,
+    // q170: identical first-view/first-purchase mins and integer
+    // micro-diff floored to seconds
+    "q170_time_to_convert" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST((epoch_us(fp) - epoch_us(fv)) // 1000000 AS BIGINT)
+        |    AS secs_to_convert
+        |FROM f WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+        |ORDER BY user_id""".stripMargin,
     // q168: identical epoch-day grid, island key, and (len desc, s desc,
     // e desc) longest pick
     "q168_activity_streaks" ->
