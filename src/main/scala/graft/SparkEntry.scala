@@ -1155,9 +1155,16 @@ object SparkEntry {
       val emb = t.embeddings.select(col("vec_id"), col("embedding"))
       val q = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      // planted ids start past max(vec_id) instead of at a fixed stride —
+      // a fixture ever reaching vec_id ≥ 100001 would collide planted and
+      // real ids and silently invalidate the closed-form recall=1.0 oracle
+      // (unlike q29/q71/q75, whose oracles bake the stride into the
+      // EXPECTED ids, so a collision there fails loudly). 1-row bounded
+      // collect, the q43 pattern.
+      val base = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
       val copies = q
-        .withColumn("j", explode(sequence(lit(1L), lit(10L))))
-        .select((col("query_id") + col("j") * 100000L).as("vec_id"),
+        .withColumn("j", explode(sequence(lit(0L), lit(9L))))
+        .select((lit(base) + col("query_id") * 16L + col("j")).as("vec_id"),
           col("query_vec").as("embedding"))
       val corpus = emb.unionByName(copies)
       val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
@@ -1252,6 +1259,48 @@ object SparkEntry {
           ((unix_micros(col("_fp")) - unix_micros(col("_fv"))) / lit(1000000L))
             .cast("long").as("secs_to_convert"))
         .orderBy("user_id")
+    }),
+    // IVF persistence round-trip at the driver gate: buildIndex →
+    // saveIndex (postings Hive-partitioned BY cell_id, so probes prune to
+    // directories) → loadIndex → topKFromIndex, full probe, against q41's
+    // brute-force oracle — the partition-pruned SERVING path end-to-end,
+    // not just IvfIndexSpec's bit-identity pin. Scratch lives under
+    // target/ (repo-owned), suffixed by the sf dir so SFs never collide.
+    "q171_ann_ivf_persisted" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val (cents, indexed) = IvfIndex.buildIndex(t.embeddings, "vec_id",
+        "embedding", nCells = 16, iters = 2)
+      val path = s"target/qtmp/ivf_q171_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.saveIndex(cents, indexed, path)
+      val (lc, li) = IvfIndex.loadIndex(s, path)
+      IvfIndex.topKFromIndex(lc, li, q, k = 10, nProbe = 16)
+        .orderBy("query_id", "rank")
+    }),
+    // REAL WAV codec at the driver gate (q126 gates only the stub byte
+    // decode): deterministic PCM16 samples per doc
+    // (s_j = ((doc_id·31 + j·7) mod 65536) − 32768, j < 256), containered
+    // through WavCodec.encodePcm16 WITH an odd-sized LIST junk chunk (the
+    // word-alignment pad exercised on every row), decoded back through the
+    // strict RIFF walker, frame-sliced (4 × 64 samples at offsets i·64),
+    // RMS + zero-crossings in true 16-bit sample space. The oracle replays
+    // the identical integer samples relationally — a mis-parsed header,
+    // wrong endianness, swapped byte order, or mis-sliced frame each
+    // surface as a hash mismatch.
+    "q172_wav_codec_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+        .map { d =>
+          val samples = Array.tabulate[Short](256) { j =>
+            (((d * 31L + j * 7L) % 65536L) - 32768L).toShort
+          }
+          Multimodal.MediaRecord(d, "audio",
+            Multimodal.WavCodec.encodePcm16(8000, 1, samples, junkChunk = true))
+        }.toDF()
+      Multimodal.audioFrameFeaturesPcm(media, Multimodal.WavCodec,
+          nFrames = 4, frameSamples = 64)
+        .toDF().orderBy("doc_id", "frame_idx")
     }),
     // Gaps-and-islands: per-user longest consecutive-day activity streak
     // (island key = day − row_number, O(1) window state; deterministic
@@ -2965,6 +3014,22 @@ object SparkEntry {
         |SELECT col_name, n, n_null, n_distinct, min_v, max_v, sum_v,
         |       CASE WHEN n > n_null THEN sum_v / (n - n_null) END AS mean_v
         |FROM s ORDER BY col_name""".stripMargin,
+    // q171: save→load→serve must reproduce q41's full-probe ≡ brute-force
+    // equivalence THROUGH the partitioned on-disk index — same oracle SQL
+    "q171_ann_ivf_persisted" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_inner_product(e.v, q.qv)
+        |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))
+        |      AS score
+        |  FROM e CROSS JOIN q),
+        |ranked AS (SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // full-probe IVF == exact brute force (same SQL as q27's oracle)
     "q41_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3959,6 +4024,32 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, n_samples,
         |  sqrt(CAST(ss AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms,
+        |  zero_crossings
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
+    // q172: the engine's samples are whatever WavCodec recovers from the
+    // encoded container; the oracle regenerates them from the closed-form
+    // plant ((doc_id·31 + j·7) mod 65536 − 32768) — equality gates the
+    // whole encode→RIFF-walk→decode→frame-slice path. Exact integer
+    // sum-of-squares, one double division, one correctly-rounded sqrt.
+    "q172_wav_codec_features" ->
+      """WITH f AS (SELECT doc_id, i AS frame_idx
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g),
+        |s AS (SELECT doc_id, frame_idx,
+        |    list_transform(generate_series(CAST(frame_idx * 64 AS BIGINT),
+        |                                   CAST(frame_idx * 64 + 63 AS BIGINT)),
+        |      j -> CAST(((doc_id * 31 + j * 7) % 65536) - 32768 AS BIGINT)) AS xs
+        |  FROM f),
+        |m AS (SELECT doc_id, frame_idx,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(xs, x -> x * x)), (a, b) -> a + b) AS ss,
+        |    CAST(len(list_filter(generate_series(2, 64),
+        |      i -> (xs[CAST(i - 1 AS INTEGER)] < 0 AND xs[CAST(i AS INTEGER)] >= 0)
+        |        OR (xs[CAST(i - 1 AS INTEGER)] >= 0 AND xs[CAST(i AS INTEGER)] < 0)))
+        |      AS BIGINT) AS zero_crossings
+        |  FROM s)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(64 AS INTEGER) AS n_samples,
+        |  sqrt(CAST(ss AS DOUBLE) / CAST(64 AS DOUBLE)) AS rms,
         |  zero_crossings
         |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
     // q18's quality arithmetic + q44's split threshold + q26's norm,

@@ -381,6 +381,51 @@ object Multimodal {
       while (i < n) { out(i) = bb.getShort(dataOff + 2 * i); i += 1 }
       (sampleRate, channels, out)
     }
+
+    /** Write-side counterpart of [[decodePcm]]: a canonical little-endian
+      * RIFF/WAVE PCM16 container around the given interleaved samples.
+      * `junkChunk = true` inserts an odd-sized `LIST` chunk between
+      * `fmt ` and `data` — exporters do this (metadata blocks), and the
+      * odd size forces the pad byte the RIFF word-alignment rule demands,
+      * so round-tripping through encode(junk)→decode exercises the chunk
+      * walker, not just the textbook 44-byte layout. Deterministic: same
+      * inputs, same bytes. */
+    def encodePcm16(sampleRate: Int, channels: Int, samples: Array[Short],
+                    junkChunk: Boolean = false): Array[Byte] = {
+      require(sampleRate >= 1, s"bad sample rate $sampleRate")
+      require(channels >= 1, s"zero channels")
+      val junk: Array[Byte] = if (junkChunk) {
+        // 5-byte INFO payload → odd chunk size → 1 pad byte
+        val payload = "INFOx".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val b = java.nio.ByteBuffer.allocate(8 + payload.length + 1)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("LIST".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        b.putInt(payload.length)
+        b.put(payload)
+        b.put(0.toByte) // word-alignment pad, NOT counted in the chunk size
+        b.array()
+      } else Array.emptyByteArray
+      val dataLen = samples.length * 2
+      val riffLen = 4 + (8 + 16) + junk.length + (8 + dataLen)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt(riffLen)
+      bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt(16)
+      bb.putShort(1) // PCM
+      bb.putShort(channels.toShort)
+      bb.putInt(sampleRate)
+      bb.putInt(sampleRate * channels * 2) // byte rate
+      bb.putShort((channels * 2).toShort)  // block align
+      bb.putShort(16)                      // bits per sample
+      bb.put(junk)
+      bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
   }
 
   /** [[audioFrameFeatures]] over REAL decoded PCM: decode each payload

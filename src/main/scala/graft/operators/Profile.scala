@@ -494,7 +494,11 @@ object Profile {
     * Class boundaries compare EXACT INTEGERS — values accumulate in
     * micro-units and `cum/total <= 4/5` is tested as `cum·5 <= total·4`
     * (decimal products), so no double ever decides a boundary; the only
-    * doubles are the reported mass/share. The first-ranked key belongs to
+    * doubles are the reported mass/share. The micro-unit cast is
+    * decimal(18,6): the contract requires at most 6 decimal places and
+    * |value| < 10¹² (the [[graft.operators.Trend.trendFit]] y-contract) —
+    * ANSI mode rejects a wider value loudly; non-ANSI nulls it, dropping
+    * its mass from every class. The first-ranked key belongs to
     * class A even when it alone exceeds 80% (inclusive-cumulative rule,
     * stated so the boundary case is defined, not accidental).
     *

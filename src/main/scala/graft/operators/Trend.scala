@@ -18,7 +18,13 @@ object Trend {
     * loudly rather than fitting garbage) — the five sufficient
     * statistics (Σx, Σx², Σy, Σxy, Σy²) then accumulate EXACTLY
     * (longs/decimals; Σx² and Σxy products run in decimal(38) so a
-    * 100 TB group cannot wrap), and the closed-form slope/intercept/r²
+    * 100 TB group cannot wrap on the x side — the y side is tighter:
+    * Σy² sums micro-unit squares (y²·10¹²) in decimal(38,0), so the r²
+    * contract additionally requires Σ y² < 10²⁶ per group. |y| ≤ 10⁹
+    * supports ~10⁸ rows/group; at the full |y| < 10¹² bound only ~100
+    * rows fit before the sum wraps — past it, ANSI mode throws and
+    * non-ANSI silently nulls r², never slope/intercept, which don't
+    * touch Σy²), and the closed-form slope/intercept/r²
     * combine those exact sums in doubles with a fixed operand order —
     * bit-identical on any engine and any partitioning, no rounding
     * needed. A degenerate group (single distinct x) yields null slope/

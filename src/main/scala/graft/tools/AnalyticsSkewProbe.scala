@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Linkage, Sessionize}
+
+/** Skew-stress harness for the round-11 analytics family (VERDICT r11
+  * "Next round" #4): `Linkage.blockedPairs` under Zipf-skewed blocking
+  * values and `Sessionize.transitionMatrix` under a firehose user.
+  *
+  * Linkage: blocking values are the first/second tokens of the
+  * tools/gen_skew.py documents (5000-token vocabulary, Zipf a=1.3 mild /
+  * a=2.0 heavy — the heavy head token draws ~60% of rows, so an uncapped
+  * head block would emit depth²/2 candidate pairs). Reports the analytic
+  * candidate count WITH and WITHOUT the maxBucket cap (computed off block
+  * depths, no join), then times the real operator at two cap levels.
+  *
+  * Transition matrix: synthesized event streams (deterministic id
+  * arithmetic, no fixtures needed) at two shapes — uniform (10k users,
+  * balanced) and firehose (ONE user carries 50% of all events, the
+  * bot-traffic shape). The firehose user's lead() window is a single
+  * task by construction; this measures what that task costs.
+  *
+  * Diagnostic main, not part of the battery. */
+object AnalyticsSkewProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val c = f
+      println(f"[probe] $name%-44s ${(System.nanoTime() - t0) / 1e9}%.1f s  rows=$c")
+    }
+
+    for (level <- Seq("skew_mild", "skew_heavy")) {
+      val recs = spark.read.parquet(s"testdata/$level/documents.parquet")
+        .select(col("doc_id"),
+          split(col("text"), " ").getItem(0).as("phone"),
+          split(col("text"), " ").getItem(1).as("city"))
+        .repartition(64).localCheckpoint(true)
+      // analytic candidate mass per blocking field: sum over blocks of
+      // d(d-1)/2, total vs cap-surviving — what the cap refuses to emit
+      for (f <- Seq("phone", "city")) {
+        val d = recs.groupBy(f).agg(count(lit(1)).as("d"))
+        val row = d.agg(
+          sum(col("d") * (col("d") - 1) / 2).as("uncapped"),
+          sum(when(col("d").between(2, 256),
+            col("d") * (col("d") - 1) / 2).otherwise(0)).as("capped256"),
+          max(col("d")).as("maxDepth"),
+          count(lit(1)).as("blocks")).collect().head
+        println(s"[probe] $level $f: blocks=${row.get(3)} maxDepth=${row.get(2)} " +
+          s"uncappedPairs=${row.get(0)} cap256Pairs=${row.get(1)}")
+      }
+      timed(s"$level blockedPairs(phone,city) cap=256")(
+        Linkage.blockedPairs(recs, "doc_id", Seq("phone", "city"), maxBucket = 256).count())
+      timed(s"$level blockedPairs(phone,city) cap=1024")(
+        Linkage.blockedPairs(recs, "doc_id", Seq("phone", "city"), maxBucket = 1024).count())
+    }
+
+    // transition matrix: 2M events, 6 states; ts = id (strict total order)
+    val n = 2000000L
+    def states(c: org.apache.spark.sql.Column) =
+      pmod(hash(c), lit(6)).cast("string")
+    val uniform = spark.range(n).select(
+        (col("id") % 10000L).as("user_id"), col("id").as("ts"),
+        states(col("id")).as("state"))
+      .repartition(64).localCheckpoint(true)
+    val firehose = spark.range(n).select(
+        when(col("id") % 2 === 0, lit(0L))
+          .otherwise(col("id") % 9999L + 1L).as("user_id"),
+        col("id").as("ts"), states(col("id")).as("state"))
+      .repartition(64).localCheckpoint(true)
+    timed("transitionMatrix uniform 10k users")(
+      Sessionize.transitionMatrix(uniform, "user_id", "ts", "state").count())
+    timed("transitionMatrix firehose (1 user = 50%)")(
+      Sessionize.transitionMatrix(firehose, "user_id", "ts", "state").count())
+    spark.stop()
+  }
+}

@@ -430,6 +430,34 @@ class MultimodalSpec extends SparkFunSuite {
     assert(rows.last.rms == 1000.0, "last frame sits in the constant-1000 half")
   }
 
+  test("encodePcm16 round-trips through decodePcm, junk chunk and all") {
+    val s = Array[Short](1000, -1000, 32767, -32768, 0, 17)
+    // canonical layout is byte-identical to this spec's INDEPENDENT
+    // synthesizer — two implementations, one container format
+    assert(Multimodal.WavCodec.encodePcm16(44100, 2, s).toSeq ==
+      wavBytes(s.toSeq, sampleRate = 44100, channels = 2).toSeq)
+    val (rate, ch, got) = Multimodal.WavCodec.decodePcm(
+      Multimodal.WavCodec.encodePcm16(44100, 2, s))
+    assert(rate == 44100 && ch == 2 && got.toSeq == s.toSeq)
+    // junk-chunk variant: odd LIST size forces the word-alignment pad,
+    // and the decoder's chunk walk must step over it
+    val withJunk = Multimodal.WavCodec.encodePcm16(8000, 1, s, junkChunk = true)
+    // encoder layout: RIFF(12) + fmt(8+16) puts LIST at offset 36
+    assert(new String(withJunk, 36, 4, "US-ASCII") == "LIST")
+    val (r2, c2, g2) = Multimodal.WavCodec.decodePcm(withJunk)
+    assert(r2 == 8000 && c2 == 1 && g2.toSeq == s.toSeq)
+    // empty data chunk is a legal container
+    val (_, _, g3) = Multimodal.WavCodec.decodePcm(
+      Multimodal.WavCodec.encodePcm16(8000, 1, Array.emptyShortArray))
+    assert(g3.isEmpty)
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.encodePcm16(0, 1, s)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.encodePcm16(8000, 0, s)
+    }
+  }
+
   test("tryAudioFrameFeaturesPcm quarantines corrupt blobs, features the rest") {
     val media = Seq(
       (1L, "audio", wavBytes(Seq[Short](500, 500))),
