@@ -1302,6 +1302,16 @@ object SparkEntry {
           nFrames = 4, frameSamples = 64)
         .toDF().orderBy("doc_id", "frame_idx")
     }),
+    // Skew-proof transition matrix (q162's semantics through the bucketed
+    // adjacent-pair split): within-bucket lead() windows partitioned on
+    // (user, 6h bucket) + boundary pairs off per-bucket summary rows — a
+    // firehose user spreads over buckets instead of one sort task. Oracle
+    // is q162's single-window SQL verbatim: the split must be invisible.
+    "q173_event_transitions_bucketed" -> ((s, dir) => {
+      Sessionize.transitionMatrixBucketed(Tables(s, dir).events, "user_id",
+          "ts", "event_type", tieBreak = Seq("event_id"), bucketHours = 6)
+        .orderBy("state", "next_state")
+    }),
     // Gaps-and-islands: per-user longest consecutive-day activity streak
     // (island key = day − row_number, O(1) window state; deterministic
     // latest-streak tie pick).
@@ -4160,6 +4170,19 @@ object SparkEntry {
     // q162: identical lead() window (ts, event_id order), state-row
     // normalizer as a window over the matrix
     "q162_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_state
+        |  FROM events),
+        |m AS (SELECT state, next_state, CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM s WHERE next_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT state, next_state, n_trans,
+        |  CAST(n_trans AS DOUBLE)
+        |    / CAST(sum(n_trans) OVER (PARTITION BY state) AS DOUBLE) AS p
+        |FROM m ORDER BY state, next_state""".stripMargin,
+    // q173: q162's oracle verbatim — the bucketed split must reproduce the
+    // single-window matrix exactly
+    "q173_event_transitions_bucketed" ->
       """WITH s AS (SELECT user_id, event_type AS state,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |      AS next_state

@@ -205,10 +205,10 @@ object Sessionize {
     * (streaming, spillable); pairs then aggregate to the state×state
     * matrix (state-vocabulary sized, tiny) with map-side partial counts,
     * and the row normalizer is a window over that matrix — no second
-    * corpus-wide exchange. A firehose user concentrates one window task;
-    * for that regime sessionize-bucket the stream first and scope states
-    * per bucket, accepting lost cross-bucket pairs, or accept the task —
-    * the window holds O(1) state. */
+    * corpus-wide exchange. A firehose user concentrates one window task
+    * (the window holds O(1) state, but the task sorts that user's whole
+    * stream); for that regime use [[transitionMatrixBucketed]] — identical
+    * output, per-task work bounded by one (user, time bucket). */
   def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
                        stateCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
     require(!events.columns.contains("_next"),
@@ -221,6 +221,73 @@ object Sessionize {
       .filter(col("_next").isNotNull)
     val matrix = pairs.groupBy(col("state"), col("_next").as("next_state"))
       .agg(count(lit(1)).as("n_trans"))
+    normalizeRows(matrix)
+  }
+
+  /** Skew-proof [[transitionMatrix]]: identical output, but no single task
+    * ever sorts more than one (user, coarse time bucket) of events — the
+    * [[assignSessionsBucketed]] pattern applied to adjacent-pair extraction.
+    *
+    * Adjacent pairs split exactly two ways: WITHIN a bucket (a lead()
+    * window partitioned on (user, bucket), so a firehose user spreads over
+    * `buckets` tasks) and ACROSS consecutive non-empty buckets (the last
+    * event of bucket b precedes the first event of the user's next
+    * non-empty bucket — no intervening events by construction). Boundary
+    * pairs come off per-(user, bucket) SUMMARY rows — first/last state as
+    * exact min/max of the (order key, state) struct, a lag() over rows
+    * orders-of-magnitude fewer than events; the degenerate per-user task
+    * is `buckets per user` rows, so pick `bucketHours` to keep that small
+    * (default: one summary row per user-day).
+    *
+    * `tsCol` may be a timestamp (bucketed on whole seconds, the
+    * [[assignSessionsBucketed]] convention) or any integral column
+    * (bucketed on its value / 3600·bucketHours) — bucket id is monotone
+    * in the order key either way, which is what the split relies on. */
+  def transitionMatrixBucketed(events: DataFrame, userCol: String,
+                               tsCol: String, stateCol: String,
+                               tieBreak: Seq[String] = Nil,
+                               bucketHours: Int = 24): DataFrame = {
+    val reserved = Seq("_bk", "_st", "_next", "_first", "_last", "_pl")
+    require(!events.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    require(bucketHours >= 1, s"bucketHours ($bucketHours) must be >= 1")
+    val bucketSec = bucketHours * 3600L
+    val ordLong = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_timestamp(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
+    val base = events
+      .select(Seq(col(userCol), col(tsCol), col(stateCol).as("_st")) ++
+        tieBreak.map(col): _*)
+      .withColumn("_bk", floor(ordLong / bucketSec))
+    val wLocal = Window.partitionBy(col(userCol), col("_bk"))
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val within = base
+      .withColumn("_next", lead(col("_st"), 1).over(wLocal))
+      .filter(col("_next").isNotNull)
+      .select(col("_st").as("state"), col("_next").as("next_state"))
+    // first/last event state per bucket via struct min/max over the SAME
+    // total order the window uses (ts, tieBreak...; state last for
+    // struct-shape completeness — the order is already total per the
+    // operator's determinism contract)
+    val ordKey = struct((tsCol +: tieBreak).map(c =>
+      col(c).as("k_" + c)) :+ col("_st").as("s"): _*)
+    val wU = Window.partitionBy(col(userCol)).orderBy(col("_bk"))
+    val boundary = base
+      .groupBy(col(userCol), col("_bk"))
+      .agg(min(ordKey).as("_first"), max(ordKey).as("_last"))
+      .withColumn("_pl", lag(col("_last"), 1).over(wU))
+      .filter(col("_pl").isNotNull)
+      .select(col("_pl.s").as("state"), col("_first.s").as("next_state"))
+    val matrix = within.unionByName(boundary)
+      .groupBy(col("state"), col("next_state"))
+      .agg(count(lit(1)).as("n_trans"))
+    normalizeRows(matrix)
+  }
+
+  /** Row-normalize a (state, next_state, n_trans) matrix: `p = n / Σ_next
+    * n`, a window over the state-vocabulary-sized matrix, never the data. */
+  private def normalizeRows(matrix: DataFrame): DataFrame = {
     val rowW = Window.partitionBy("state")
     matrix.withColumn("p",
       col("n_trans").cast("double") / sum(col("n_trans")).over(rowW).cast("double"))

@@ -77,6 +77,23 @@ object AnalyticsSkewProbe {
       Sessionize.transitionMatrix(uniform, "user_id", "ts", "state").count())
     timed("transitionMatrix firehose (1 user = 50%)")(
       Sessionize.transitionMatrix(firehose, "user_id", "ts", "state").count())
+    // bucketed variant: ts is a plain long tick, so bucketHours=1 buckets
+    // on tick/3600 — the 1M-event firehose user spreads over ~556 buckets
+    timed("transitionMatrixBucketed firehose (1h)")(
+      Sessionize.transitionMatrixBucketed(firehose, "user_id", "ts", "state",
+        bucketHours = 1).count())
+    // a single-task-dominant shape: 8M events, ONE user is 75% of them
+    val n2 = 8000000L
+    val fire2 = spark.range(n2).select(
+        when(col("id") % 4 =!= 3L, lit(0L))
+          .otherwise(col("id") % 9999L + 1L).as("user_id"),
+        col("id").as("ts"), states(col("id")).as("state"))
+      .repartition(64).localCheckpoint(true)
+    timed("transitionMatrix firehose8M (1 user = 75%)")(
+      Sessionize.transitionMatrix(fire2, "user_id", "ts", "state").count())
+    timed("transitionMatrixBucketed firehose8M (1h)")(
+      Sessionize.transitionMatrixBucketed(fire2, "user_id", "ts", "state",
+        bucketHours = 1).count())
     spark.stop()
   }
 }

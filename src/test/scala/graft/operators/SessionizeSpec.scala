@@ -183,4 +183,43 @@ class SessionizeSpec extends SparkFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(got == Seq(("b", "a")))
   }
+
+  test("transitionMatrixBucketed ≡ transitionMatrix: boundaries, gaps, ties, firehose") {
+    // pseudo-random multi-day streams: user 0 is a firehose spanning many
+    // 1-hour buckets (including cross-boundary adjacencies), user 1 has
+    // EMPTY buckets between events (boundary pair must skip them), user 2
+    // is single-bucket, user 3 has a timestamp tie resolved by event_id
+    val rows = (0 until 400).map { i =>
+      val user = if (i < 300) 0L else (i % 3) + 1L
+      val sec = if (user == 0L) i * 97L % 250000L
+                else if (user == 1L) (i % 7) * 40000L // hours apart
+                else (i % 5) * 60L
+      (user, Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + sec)),
+        "s" + (i * 31 % 5), i.toLong)
+    } :+ (3L, Timestamp.from(java.time.Instant.ofEpochSecond(1700000060L)), "tie", 1000L)
+    val df = rows.toDF("user_id", "ts", "etype", "event_id")
+    val plain = Sessionize.transitionMatrix(df, "user_id", "ts", "etype",
+      Seq("event_id")).orderBy("state", "next_state").collect().toSeq
+    for (hours <- Seq(1, 24)) {
+      val bucketed = Sessionize.transitionMatrixBucketed(df, "user_id", "ts",
+          "etype", Seq("event_id"), bucketHours = hours)
+        .orderBy("state", "next_state").collect().toSeq
+      assert(bucketed == plain, s"bucketHours=$hours must match the plain window")
+    }
+  }
+
+  test("transitionMatrixBucketed: integral order column and reserved-column guard") {
+    val df = Seq((1L, 10L, "a", 1L), (1L, 90000L, "b", 2L), (1L, 90001L, "a", 3L))
+      .toDF("user_id", "tick", "e", "id")
+    val plain = Sessionize.transitionMatrix(df, "user_id", "tick", "e", Seq("id"))
+      .orderBy("state", "next_state").collect().toSeq
+    val bucketed = Sessionize.transitionMatrixBucketed(df, "user_id", "tick",
+        "e", Seq("id"), bucketHours = 1) // tick/3600 buckets: 10 and 90000 split
+      .orderBy("state", "next_state").collect().toSeq
+    assert(bucketed == plain)
+    intercept[IllegalArgumentException] {
+      Sessionize.transitionMatrixBucketed(
+        df.withColumnRenamed("e", "_bk"), "user_id", "tick", "_bk")
+    }
+  }
 }
