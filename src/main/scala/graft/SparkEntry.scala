@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis, Trend}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Graph, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis, Trend}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1311,6 +1311,50 @@ object SparkEntry {
       Sessionize.transitionMatrixBucketed(Tables(s, dir).events, "user_id",
           "ts", "event_type", tieBreak = Seq("event_id"), bucketHours = 6)
         .orderBy("state", "next_state")
+    }),
+    // Golden-record survivorship over the FULL linkage pipeline: q167's
+    // synthesized person records → blocked candidates → weighted
+    // agreement ≥ 0.5 → connected components → per-(entity, field)
+    // majority vote with lexicographic ties. The oracle replays every
+    // stage including the components (recursive min-reachable-id CTE),
+    // so the CC labels themselves are cross-engine gated here, not just
+    // the votes.
+    "q174_golden_records" -> ((s, dir) => {
+      val ck = Tables(s, dir).customer.select(col("c_custkey").as("k"))
+      def h(tag: String, n: Int) =
+        substring(md5(concat(col("k").cast("string"), lit(s":$tag"))), 1, n)
+      val base = ck.select(col("k").as("id"), h("p", 10).as("phone"),
+        h("f", 8).as("first"), h("l", 8).as("last"))
+      val pert = ck.select((col("k") + 1000000L).as("id"),
+        when(col("k") % 3 === 0, h("p2", 10)).otherwise(h("p", 10)).as("phone"),
+        when(col("k") % 3 === 1, concat(h("f", 8), lit("x")))
+          .otherwise(h("f", 8)).as("first"),
+        when(col("k") % 3 === 2, h("l2", 8)).otherwise(h("l", 8)).as("last"))
+      val records = base.unionByName(pert).localCheckpoint(false)
+      val pairs = Linkage.blockedPairs(records, "id",
+        Seq("phone", "first", "last"), maxBucket = 64)
+      val matched = Linkage.scoreFieldAgreement(pairs, records, "id",
+          Seq(("phone", 0.5), ("first", 0.3), ("last", 0.2)))
+        .filter(col("score") >= 0.5)
+      Linkage.goldenRecords(records, "id", DupClusters.components(matched),
+          Seq("phone", "first", "last"))
+        .orderBy("entity_id", "field")
+    }),
+    // Degree-ordered triangle counting on the co-supplier graph
+    // (suppliers sharing an order are linked; a deterministic 1-in-20
+    // order sample keeps the graph at oracle-joinable density). The
+    // orientation means a hub supplier contributes O(√m) wedges, not
+    // degree² — the plan shape that survives a celebrity node.
+    "q175_triangle_counts" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("a"))
+        .join(li.select(col("ok"), col("sk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+      Graph.triangleCounts(edges, "a", "b").orderBy("node")
     }),
     // Gaps-and-islands: per-user longest consecutive-day activity streak
     // (island key = day − row_number, O(1) window state; deterministic
@@ -4193,6 +4237,81 @@ object SparkEntry {
         |  CAST(n_trans AS DOUBLE)
         |    / CAST(sum(n_trans) OVER (PARTITION BY state) AS DOUBLE) AS p
         |FROM m ORDER BY state, next_state""".stripMargin,
+    // q174: q167's record/candidate/score replay + recursive
+    // min-reachable-id components (the same min-label semantics as
+    // large-star/small-star at the fixpoint) + mode-per-field with the
+    // (votes desc, value asc) deterministic tie
+    "q174_golden_records" -> {
+      val blockSqls = Seq("phone", "fi", "la").map { c =>
+        s"""SELECT a.id AS id_a, b.id AS id_b
+           |  FROM recs a JOIN recs b ON a.$c = b.$c AND a.id < b.id
+           |  WHERE a.$c IN (SELECT $c FROM recs WHERE $c IS NOT NULL
+           |                 GROUP BY $c HAVING count(*) BETWEEN 2 AND 64)""".stripMargin
+      }
+      s"""WITH RECURSIVE ck AS (SELECT c_custkey AS k FROM customer),
+         |recs AS (
+         |  SELECT k AS id,
+         |    substr(md5(CAST(k AS VARCHAR) || ':p'), 1, 10) AS phone,
+         |    substr(md5(CAST(k AS VARCHAR) || ':f'), 1, 8) AS fi,
+         |    substr(md5(CAST(k AS VARCHAR) || ':l'), 1, 8) AS la
+         |  FROM ck
+         |  UNION ALL
+         |  SELECT k + 1000000,
+         |    CASE WHEN k % 3 = 0 THEN substr(md5(CAST(k AS VARCHAR) || ':p2'), 1, 10)
+         |         ELSE substr(md5(CAST(k AS VARCHAR) || ':p'), 1, 10) END,
+         |    CASE WHEN k % 3 = 1 THEN substr(md5(CAST(k AS VARCHAR) || ':f'), 1, 8) || 'x'
+         |         ELSE substr(md5(CAST(k AS VARCHAR) || ':f'), 1, 8) END,
+         |    CASE WHEN k % 3 = 2 THEN substr(md5(CAST(k AS VARCHAR) || ':l2'), 1, 8)
+         |         ELSE substr(md5(CAST(k AS VARCHAR) || ':l'), 1, 8) END
+         |  FROM ck),
+         |cand AS (SELECT DISTINCT id_a, id_b FROM (
+         |${blockSqls.mkString("\nUNION ALL\n")})),
+         |matched AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN recs ra ON ra.id = c.id_a
+         |  JOIN recs rb ON rb.id = c.id_b
+         |  WHERE CASE WHEN ra.phone IS NOT DISTINCT FROM rb.phone THEN 0.5 ELSE 0.0 END
+         |    + CASE WHEN ra.fi IS NOT DISTINCT FROM rb.fi THEN 0.3 ELSE 0.0 END
+         |    + CASE WHEN ra.la IS NOT DISTINCT FROM rb.la THEN 0.2 ELSE 0.0 END >= 0.5),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM matched
+         |          UNION SELECT id_b, id_a FROM matched),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM recs
+         |  UNION
+         |  SELECT e.u, t.r FROM edges e JOIN reach t ON t.id = e.v),
+         |lbl AS (SELECT id, min(r) AS entity FROM reach GROUP BY id),
+         |melt AS (
+         |  SELECT l.entity, 'phone' AS field, r.phone AS value
+         |    FROM recs r JOIN lbl l ON l.id = r.id
+         |  UNION ALL
+         |  SELECT l.entity, 'first', r.fi FROM recs r JOIN lbl l ON l.id = r.id
+         |  UNION ALL
+         |  SELECT l.entity, 'last', r.la FROM recs r JOIN lbl l ON l.id = r.id),
+         |votes AS (SELECT entity, field, value, CAST(count(*) AS BIGINT) AS n_votes
+         |  FROM melt WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+         |ranked AS (SELECT entity, field, value, n_votes,
+         |    CAST(sum(n_votes) OVER (PARTITION BY entity, field) AS BIGINT) AS n_total,
+         |    row_number() OVER (PARTITION BY entity, field
+         |                       ORDER BY n_votes DESC, value) AS rk
+         |  FROM votes)
+         |SELECT entity AS entity_id, field, value, n_votes, n_total
+         |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
+    },
+    // q175: canonical u<v edges, one triangle row per u<v<w closed
+    // 3-join, node participation via unnest — the textbook relational
+    // triangle formulation (the engine's orientation must be invisible)
+    "q175_triangle_counts" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (SELECT unnest([a, b, c]) AS node FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM n GROUP BY node ORDER BY node""".stripMargin,
     // q163: identical exact sufficient statistics (HUGEINT/DECIMAL sums),
     // identical double combine order; degenerate-group nulls mirrored
     "q163_trend_fit" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Record linkage: find pairs of records that describe the same entity
@@ -67,5 +68,59 @@ object Linkage {
         weights.map { case (f, w) =>
           when(col(s"_a_$f") <=> col(s"_b_$f"), lit(w)).otherwise(lit(0.0))
         }.reduce(_ + _).as("score"))
+  }
+
+  /** Golden-record survivorship: collapse each matched-entity cluster to
+    * one canonical value per field by MAJORITY VOTE — per (entity, field)
+    * the most-voted non-null value, ties broken by the lexicographically
+    * smallest value (stated so the pick is deterministic, never
+    * layout-dependent). The final step of the linkage pipeline:
+    * [[blockedPairs]] → [[scoreFieldAgreement]] → threshold →
+    * [[graft.operators.DupClusters.components]] → here.
+    *
+    * `clusters` carries `(idCol, cluster_id)` (components' output, id
+    * renamed); records absent from it are singleton entities keyed by
+    * their own id (`cluster_id` and `idCol` must share a type for that
+    * coalesce). NULLs don't vote — a field every member left null gets
+    * NO row for that entity (survivorship selects known values; emitting
+    * a null winner would let one stray non-null lose to absence).
+    *
+    * Output LONG-FORM, one row per (entity, field): `entity_id, field,
+    * value (string), n_votes, n_total` — `n_total` counts that field's
+    * non-null votes in the entity, so `n_votes / n_total` is the
+    * canonical value's support. Values vote as strings (the melt needs
+    * one type); cast back at the caller where field types matter.
+    *
+    * Scale shape: the melt is a |fields|× map-side fanout (no shuffle);
+    * votes aggregate with map-side combine on (entity, field, value);
+    * both windows run over that AGGREGATED table, partitioned by
+    * (entity, field) — per-task depth is distinct values per field per
+    * entity, bounded by cluster size, never corpus-sized. */
+  def goldenRecords(records: DataFrame, idCol: String, clusters: DataFrame,
+                    fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    val reserved = Seq("_entity", "_fv", "_f", "_v", "_rk", "n_votes", "n_total")
+    require(!records.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    require(clusters.columns.contains(idCol) &&
+      clusters.columns.contains("cluster_id"),
+      s"clusters must carry ($idCol, cluster_id)")
+    val assigned = records
+      .join(clusters.select(col(idCol), col("cluster_id")), Seq(idCol), "left")
+      .withColumn("_entity", coalesce(col("cluster_id"), col(idCol)))
+    val melted = assigned
+      .select(col("_entity"), explode(array(fields.map(f =>
+        struct(lit(f).as("_f"), col(f).cast("string").as("_v"))): _*)).as("_fv"))
+      .select(col("_entity"), col("_fv._f").as("_f"), col("_fv._v").as("_v"))
+      .filter(col("_v").isNotNull)
+    val wEF = Window.partitionBy("_entity", "_f")
+    melted
+      .groupBy("_entity", "_f", "_v").agg(count(lit(1)).as("n_votes"))
+      .withColumn("n_total", sum(col("n_votes")).over(wEF))
+      .withColumn("_rk", row_number()
+        .over(wEF.orderBy(col("n_votes").desc, col("_v"))))
+      .filter(col("_rk") === 1)
+      .select(col("_entity").as("entity_id"), col("_f").as("field"),
+        col("_v").as("value"), col("n_votes"), col("n_total"))
   }
 }

@@ -49,4 +49,37 @@ class LinkageSpec extends SparkFunSuite {
       nulls, "id", Seq(("phone", 1.0))).collect().head.getDouble(2)
     assert(s2 == 1.0, "null <=> null agrees by contract")
   }
+
+  test("goldenRecords: majority vote, lexicographic tie, nulls don't vote, singletons survive") {
+    val records = Seq(
+      // entity {1,2,3}: phone majority a, first 2-2... no: b vs b vs null
+      (1L, Some("a"), Some("ann")),
+      (2L, Some("a"), Some("anne")),
+      (3L, Some("b"), None: Option[String]),
+      // unassigned singleton keeps its own values under its own id
+      (9L, Some("z"), Some("zoe")),
+      // entity {4,5}: 1-1 phone tie → lexicographically smaller wins
+      (4L, Some("q"), None: Option[String]),
+      (5L, Some("p"), None: Option[String])
+    ).toDF("id", "phone", "first")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "cluster_id")
+    val got = Linkage.goldenRecords(records, "id", clusters, Seq("phone", "first"))
+      .orderBy("entity_id", "field").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("n_votes"), r.getAs[Long]("n_total"))).toSeq
+    assert(got == Seq(
+      (1L, "first", "ann", 1L, 2L),  // 1-1 tie ann/anne → lexicographic
+      (1L, "phone", "a", 2L, 3L),    // majority 2 of 3
+      (4L, "phone", "p", 1L, 2L),    // tie p/q → p; no `first` row (all null)
+      (9L, "first", "zoe", 1L, 1L),  // singleton under its own id
+      (9L, "phone", "z", 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      Linkage.goldenRecords(records, "id", clusters, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Linkage.goldenRecords(records.withColumnRenamed("first", "_v"),
+        "id", clusters, Seq("phone"))
+    }
+  }
 }
