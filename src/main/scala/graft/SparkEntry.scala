@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Graph, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis, Trend}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Experiment, Graph, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis, Trend}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1355,6 +1355,20 @@ object SparkEntry {
         .filter(col("a") < col("b"))
         .select("a", "b")
       Graph.triangleCounts(edges, "a", "b").orderBy("node")
+    }),
+    // A/B experiment readout: deterministic md5 arm split (the splitTag
+    // hex-threshold convention — first hex char < '8' is control),
+    // conversion = any purchase event, user-level dedup, Wilson bounds +
+    // pooled two-proportion z vs control. Counts are exact integers; all
+    // doubles are fixed-order chains with planted z/z² literals.
+    "q176_ab_experiment" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.select(
+        when(substring(md5(concat(col("user_id").cast("string"), lit(":ab"))),
+          1, 1) < "8", lit("control")).otherwise(lit("treatment")).as("arm"),
+        col("user_id"),
+        (col("event_type") === "purchase").as("converted"))
+      Experiment.abReport(ev, "arm", "user_id", "converted", "control")
+        .orderBy("arm")
     }),
     // Gaps-and-islands: per-user longest consecutive-day activity streak
     // (island key = day − row_number, O(1) window state; deterministic
@@ -4296,6 +4310,43 @@ object SparkEntry {
          |  FROM votes)
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
+    },
+    // q176: identical md5 arm split, identical user-level max-flag dedup,
+    // identical Wilson/pooled-z expression chains with the SAME z/z²
+    // doubles interpolated from one Scala constant
+    "q176_ab_experiment" -> {
+      val z = 1.96
+      val z2 = z * z
+      s"""WITH u AS (
+         |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1) < '8'
+         |              THEN 'control' ELSE 'treatment' END AS arm,
+         |    user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+         |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(c) AS BIGINT) AS n_converted FROM u GROUP BY 1),
+         |ctrl AS (SELECT n_users AS cn, n_converted AS cc FROM a WHERE arm = 'control'),
+         |j AS (SELECT a.*, ctrl.cn, ctrl.cc,
+         |    CAST(n_users AS DOUBLE) AS nd,
+         |    CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+         |    CAST(cc AS DOUBLE) / CAST(cn AS DOUBLE) AS cp,
+         |    CAST(n_converted + cc AS DOUBLE) / CAST(n_users + cn AS DOUBLE) AS pooled
+         |  FROM a CROSS JOIN ctrl),
+         |k AS (SELECT *,
+         |    1.0 + $z2 / nd AS denom,
+         |    sqrt(pooled * (1.0 - pooled) * (1.0 / nd + 1.0 / CAST(cn AS DOUBLE))) AS se
+         |  FROM j)
+         |SELECT arm, n_users, n_converted, p AS rate,
+         |  greatest(0.0, (p + $z2 / (2.0 * nd)) / denom
+         |    - ($z / denom) * sqrt(p * (1.0 - p) / nd + $z2 / (4.0 * nd * nd)))
+         |    AS wilson_lo,
+         |  least(1.0, (p + $z2 / (2.0 * nd)) / denom
+         |    + ($z / denom) * sqrt(p * (1.0 - p) / nd + $z2 / (4.0 * nd * nd)))
+         |    AS wilson_hi,
+         |  CASE WHEN arm = 'control' THEN NULL ELSE p - cp END AS lift_vs_control,
+         |  CASE WHEN arm = 'control' OR se = 0.0 THEN NULL
+         |       ELSE (p - cp) / se END AS z_stat
+         |FROM k ORDER BY arm""".stripMargin
     },
     // q175: canonical u<v edges, one triangle row per u<v<w closed
     // 3-join, node participation via unnest — the textbook relational
