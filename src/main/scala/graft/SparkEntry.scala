@@ -1370,6 +1370,28 @@ object SparkEntry {
       Experiment.abReport(ev, "arm", "user_id", "converted", "control")
         .orderBy("arm")
     }),
+    // Crawl-URL canonicalization: six deterministic messy-URL shapes per
+    // doc (case soup, www, default ports, duplicate slashes, tracking
+    // params, fragments, non-URLs) through Scrub.canonicalUrl; the oracle
+    // re-synthesizes the URLs and replays the SAME two regex constants —
+    // any divergence in a rule surfaces as a value mismatch.
+    "q177_url_canonicalize" -> ((s, dir) => {
+      val h8 = substring(md5(col("doc_id").cast("string")), 1, 8)
+      val url = when(col("doc_id") % 6 === 0,
+          concat(lit("https://WWW.Shop-"), h8, lit(".COM:443//products//"),
+            h8, lit("/?utm_source=news&b=2&a=1#top")))
+        .when(col("doc_id") % 6 === 1,
+          concat(lit("http://Blog."), h8, lit(".org:80/posts/"), h8, lit("/")))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("HTTP://"), h8, lit(".net/a/b?gclid=x")))
+        .when(col("doc_id") % 6 === 3, concat(lit("not a url "), h8))
+        .when(col("doc_id") % 6 === 4, concat(lit("https://"), h8, lit(".com")))
+        .otherwise(concat(lit("ftp://Files."), h8, lit(".com:21/data")))
+      Tables(s, dir).documents
+        .select(col("doc_id"), url.as("url"),
+          Scrub.canonicalUrl(url).as("canonical_url"))
+        .orderBy("doc_id")
+    }),
     // Gaps-and-islands: per-user longest consecutive-day activity streak
     // (island key = day − row_number, O(1) window state; deterministic
     // latest-streak tie pick).
@@ -4310,6 +4332,48 @@ object SparkEntry {
          |  FROM votes)
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
+    },
+    // q177: same URL synthesis, same split/tracking regex constants
+    // interpolated verbatim, rule-for-rule normalization replay
+    "q177_url_canonicalize" -> {
+      val sp = graft.operators.Scrub.UrlSplitRe
+      val tr = graft.operators.Scrub.UrlTrackingRe
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 6
+         |      WHEN 0 THEN 'https://WWW.Shop-' || h8 || '.COM:443//products//'
+         |        || h8 || '/?utm_source=news&b=2&a=1#top'
+         |      WHEN 1 THEN 'http://Blog.' || h8 || '.org:80/posts/' || h8 || '/'
+         |      WHEN 2 THEN 'HTTP://' || h8 || '.net/a/b?gclid=x'
+         |      WHEN 3 THEN 'not a url ' || h8
+         |      WHEN 4 THEN 'https://' || h8 || '.com'
+         |      ELSE 'ftp://Files.' || h8 || '.com:21/data' END AS url
+         |  FROM (SELECT doc_id,
+         |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+         |        FROM documents)),
+         |s AS (SELECT doc_id, url,
+         |    lower(regexp_extract(url, '$sp', 1)) AS scheme,
+         |    regexp_replace(lower(regexp_extract(url, '$sp', 2)),
+         |      '^www\\.', '') AS nw,
+         |    regexp_replace(regexp_extract(url, '$sp', 3), '/{2,}', '/', 'g') AS sq,
+         |    regexp_replace(regexp_extract(url, '$sp', 4), '^\\?', '') AS qbody,
+         |    regexp_matches(url, '$sp') AS m
+         |  FROM raw),
+         |t AS (SELECT *,
+         |    CASE WHEN scheme = 'http' THEN regexp_replace(nw, ':80$$', '')
+         |         WHEN scheme = 'https' THEN regexp_replace(nw, ':443$$', '')
+         |         ELSE nw END AS host,
+         |    CASE WHEN sq IN ('', '/') THEN '/'
+         |         ELSE regexp_replace(sq, '/$$', '') END AS path,
+         |    list_sort(list_filter(string_split(qbody, '&'),
+         |      x -> x <> '' AND NOT regexp_matches(x, '$tr'))) AS params
+         |  FROM s)
+         |SELECT doc_id, url,
+         |  CASE WHEN m AND host <> '' THEN scheme || '://' || host || path ||
+         |    CASE WHEN len(params) > 0
+         |         THEN '?' || array_to_string(params, '&') ELSE '' END
+         |  END AS canonical_url
+         |FROM t ORDER BY doc_id""".stripMargin
     },
     // q176: identical md5 arm split, identical user-level max-flag dedup,
     // identical Wilson/pooled-z expression chains with the SAME z/z²

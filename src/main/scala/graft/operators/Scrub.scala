@@ -172,6 +172,56 @@ object Scrub {
     trim(regexp_replace(amp, "\\s+", " "))
   }
 
+  /** RFC-3986-shaped URL splitter: `scheme://authority path ?query
+    * #fragment` as capture groups 1/2/3/4 — shared verbatim with the
+    * q177 oracle so both engines run the SAME regex. */
+  private[graft] val UrlSplitRe =
+    "^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$"
+
+  /** Tracking query parameters [[canonicalUrl]] drops (the CommonCrawl
+    * dedup folklore set: UTM campaign tags + click ids + ref). */
+  private[graft] val UrlTrackingRe = "^(utm_[a-zA-Z0-9_]*|gclid|fbclid|ref)="
+
+  /** Canonical URL for crawl-scale dedup: the same page reached through
+    * `HTTPS://WWW.Site.com:443//a//b/?utm_source=x&b=2&a=1#frag` and
+    * `https://site.com/a/b?a=1&b=2` must hash identically, or URL-keyed
+    * dedup silently keeps both copies. Rules, in order:
+    *  1. drop the fragment;
+    *  2. lowercase scheme and authority; strip a leading `www.`;
+    *  3. strip the scheme's DEFAULT port only (`:80` http / `:443`
+    *     https — other schemes keep theirs: `ftp://h:21` stays);
+    *  4. collapse duplicate slashes in the path, strip one trailing
+    *     slash, empty path → `/`;
+    *  5. drop tracking params ([[UrlTrackingRe]]), sort the survivors
+    *     bytewise, rejoin; an emptied query loses its `?`.
+    * Non-URLs (no `scheme://`, or an empty host) canonicalize to NULL —
+    * strict contract, callers quarantine. Documented NON-goals: userinfo,
+    * percent-encoding normalization, IDN — those need a parser, not
+    * expressions, and the rules above already merge the big equivalence
+    * classes crawls actually contain.
+    *
+    * Pure per-row regex + array expressions — zero shuffle, codegen'd,
+    * replayable in any RE2-class engine (the q177 oracle interpolates
+    * the same two constants). */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, UrlSplitRe, 1))
+    val auth = lower(regexp_extract(url, UrlSplitRe, 2))
+    val noWww = regexp_replace(auth, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val squashed = regexp_replace(regexp_extract(url, UrlSplitRe, 3), "/{2,}", "/")
+    val path = when(squashed === "" || squashed === "/", lit("/"))
+      .otherwise(regexp_replace(squashed, "/$", ""))
+    val qbody = regexp_replace(regexp_extract(url, UrlSplitRe, 4), "^\\?", "")
+    val params = array_sort(filter(split(qbody, "&"),
+      x => x =!= "" && not(x.rlike(UrlTrackingRe))))
+    val qpart = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    when(url.isNotNull && url.rlike(UrlSplitRe) && host =!= "",
+      concat(scheme, lit("://"), host, path, qpart))
+  }
+
   /** Fraction of whitespace tokens that are repeats of an earlier token:
     * `1 - distinct/total`, in DOUBLE with a fixed op order (bit-identical on
     * any IEEE engine — no rounding). High values flag looping/boilerplate

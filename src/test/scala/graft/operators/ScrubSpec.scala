@@ -432,4 +432,30 @@ class ScrubSpec extends SparkFunSuite {
       Scrub.piiIncidence(clean, Seq("src"), "text", z = 0.0)
     }
   }
+
+  test("canonicalUrl: case, www, default ports, slashes, tracking params, fragments") {
+    val cases = Seq(
+      // the kitchen sink: every rule at once
+      "HTTPS://WWW.Shop.COM:443//products//x/?utm_source=n&b=2&a=1#top" ->
+        Some("https://shop.com/products/x?a=1&b=2"),
+      // http default port; trailing slash; param order already canonical
+      "http://Blog.org:80/posts/p1/?a=1" -> Some("http://blog.org/posts/p1?a=1"),
+      // non-default scheme keeps its port; no query
+      "ftp://Files.example.com:21/data" -> Some("ftp://files.example.com:21/data"),
+      // tracking-only query loses the '?'
+      "http://a.net/x?gclid=abc" -> Some("http://a.net/x"),
+      // bare host → root path
+      "https://a.com" -> Some("https://a.com/"),
+      // ref is a tracking param; empty params between &s vanish
+      "https://a.com/p?ref=rss&&z=9" -> Some("https://a.com/p?z=9"),
+      // non-URLs and empty hosts are NULL, not garbage
+      "not a url" -> None,
+      "http://" -> None
+    )
+    val got = Scrub.canonicalUrl(org.apache.spark.sql.functions.col("u"))
+    val rows = cases.map(_._1).toDF("u").select(got.as("c")).collect()
+      .map(r => Option(r.getString(0)))
+    assert(rows.toSeq == cases.map(_._2),
+      rows.toSeq.zip(cases).filter(p => p._1 != p._2._2).mkString("; "))
+  }
 }
