@@ -1392,6 +1392,26 @@ object SparkEntry {
           Scrub.canonicalUrl(url).as("canonical_url"))
         .orderBy("doc_id")
     }),
+    // CUPED variance reduction on the q176 experiment: unit = user, arm =
+    // the same md5 split, covariate x = pre-period (before Jan 15) event
+    // count, metric y = post-period value sum (exact decimal — never a
+    // double-order-dependent sum). One pooled theta, per-arm adjusted
+    // means; every double derives from exact integer micro-unit sums.
+    "q178_cuped_adjust" -> ((s, dir) => {
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val arm = when(substring(md5(concat(col("user_id").cast("string"),
+        lit(":ab"))), 1, 1) < "8", lit("control")).otherwise(lit("treatment"))
+      val units = Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= cut,
+            coalesce(col("value").cast("decimal(18,6)"),
+              lit(0L).cast("decimal(18,6)")))
+            .otherwise(lit(0L).cast("decimal(18,6)"))).as("y"))
+        .withColumn("arm", arm)
+      Experiment.cupedAdjust(units, "arm", "y", "x").orderBy("arm")
+    }),
     // Gaps-and-islands: per-user longest consecutive-day activity streak
     // (island key = day − row_number, O(1) window state; deterministic
     // latest-streak tie pick).
@@ -4333,6 +4353,48 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q178: identical unit derivation, identical micro-unit HUGEINT
+    // sufficient statistics (the q163 pattern), pooled theta from the
+    // arm-sum roll-up, identical fixed-order double combine
+    "q178_cuped_adjust" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1) < '8'
+        |              THEN 'control' ELSE 'treatment' END AS arm,
+        |    user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |             THEN coalesce(CAST(value AS DECIMAL(18,6)),
+        |                           CAST(0 AS DECIMAL(18,6)))
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT arm,
+        |    CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS xi,
+        |    CAST(CAST(y AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yi
+        |  FROM u),
+        |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+        |    sum(xi) AS sx, sum(yi) AS sy,
+        |    sum(xi * xi) AS sxx, sum(xi * yi) AS sxy
+        |  FROM m GROUP BY arm),
+        |g AS (SELECT CAST(sum(n_units) AS DOUBLE) AS gn,
+        |    CAST(sum(sx) AS DOUBLE) / 1e6 AS gsx,
+        |    CAST(sum(sy) AS DOUBLE) / 1e6 AS gsy,
+        |    CAST(sum(sxx) AS DOUBLE) / 1e12 AS gsxx,
+        |    CAST(sum(sxy) AS DOUBLE) / 1e12 AS gsxy
+        |  FROM a),
+        |k AS (SELECT a.arm, a.n_units,
+        |    (CAST(a.sy AS DOUBLE) / 1e6) / CAST(a.n_units AS DOUBLE) AS mean_metric,
+        |    (CAST(a.sx AS DOUBLE) / 1e6) / CAST(a.n_units AS DOUBLE) AS mean_covariate,
+        |    g.gn * g.gsxx - g.gsx * g.gsx AS denom,
+        |    g.gn * g.gsxy - g.gsx * g.gsy AS num,
+        |    g.gsx / g.gn AS gmx
+        |  FROM a CROSS JOIN g)
+        |SELECT arm, n_units, mean_metric, mean_covariate,
+        |  CASE WHEN denom = 0 THEN NULL ELSE num / denom END AS theta,
+        |  CASE WHEN denom = 0 THEN mean_metric
+        |       ELSE mean_metric - (num / denom) * (mean_covariate - gmx)
+        |  END AS adjusted_mean
+        |FROM k ORDER BY arm""".stripMargin,
     // q177: same URL synthesis, same split/tracking regex constants
     // interpolated verbatim, rule-for-rule normalization replay
     "q177_url_canonicalize" -> {

@@ -81,4 +81,61 @@ object Experiment {
         notControl(when(se === 0.0, lit(null)).otherwise((p - cp) / se))
           .as("z_stat"))
   }
+
+  /** CUPED variance reduction (Deng et al. WSDM 2013): adjust each arm's
+    * metric mean by its pre-experiment covariate imbalance —
+    * `adjusted = mean(y) − θ·(mean(x) − mean_global(x))` with
+    * `θ = cov(x, y) / var(x)` POOLED over all arms (the standard choice:
+    * one θ, so the adjustment cancels across arms and the estimator
+    * stays unbiased under randomization). Input is UNIT-LEVEL — one row
+    * per user with metric `y` and pre-period covariate `x` (aggregate
+    * events upstream; this operator must not guess the unit).
+    *
+    * Determinism is [[Trend.trendFit]]'s contract verbatim: x and y in
+    * exact integer micro-units (decimal(18,6) → ×10⁶; |value| < 10¹²,
+    * ≤ 6 decimal places; Σ products in decimal(38,0), so |value| ≤ 10⁹
+    * supports ~10⁸ units/arm before wrap), θ and the means combine the
+    * exact sums in fixed-order doubles. Zero covariate variance → null
+    * `theta` and `adjusted_mean = mean_metric` (no adjustment, not
+    * garbage). Null x or y rows are excluded.
+    *
+    * Scale shape: one map-side-combined aggregation to five exact sums
+    * per arm; the global sums REUSE the arm table (arm-vocabulary sized,
+    * decimal addition is order-free) and broadcast back — the unit table
+    * is read once. */
+  def cupedAdjust(df: DataFrame, armCol: String, metricCol: String,
+                  covariateCol: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val yi = (col(metricCol).cast("decimal(18,6)") * lit(1000000L)).cast(d19)
+    val xi = (col(covariateCol).cast("decimal(18,6)") * lit(1000000L)).cast(d19)
+    val arms = df
+      .filter(col(metricCol).isNotNull && col(covariateCol).isNotNull)
+      .groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(xi).as("_sx"), sum(yi).as("_sy"),
+        sum(xi * xi).as("_sxx"), sum(xi * yi).as("_sxy"))
+      .localCheckpoint(false) // read twice: per-arm rows + global roll-up
+    val g = arms.agg(sum(col("n_units")).as("_gn"), sum(col("_sx")).as("_gsx"),
+      sum(col("_sy")).as("_gsy"), sum(col("_sxx")).as("_gsxx"),
+      sum(col("_sxy")).as("_gsxy"))
+    def dbl(c: String): Column = col(c).cast("double")
+    val gn = dbl("_gn")
+    val gsx = dbl("_gsx") / lit(1.0e6)
+    val gsy = dbl("_gsy") / lit(1.0e6)
+    val gsxx = dbl("_gsxx") / lit(1.0e12)
+    val gsxy = dbl("_gsxy") / lit(1.0e12)
+    val denom = gn * gsxx - gsx * gsx
+    val theta = when(denom === 0.0, lit(null))
+      .otherwise((gn * gsxy - gsx * gsy) / denom)
+    val nD = col("n_units").cast("double")
+    val meanY = (dbl("_sy") / lit(1.0e6)) / nD
+    val meanX = (dbl("_sx") / lit(1.0e6)) / nD
+    arms.crossJoin(broadcast(g))
+      .select(col("arm"), col("n_units"),
+        meanY.as("mean_metric"), meanX.as("mean_covariate"),
+        theta.as("theta"),
+        when(denom === 0.0, meanY)
+          .otherwise(meanY - ((gn * gsxy - gsx * gsy) / denom) *
+            (meanX - gsx / gn)).as("adjusted_mean"))
+  }
 }

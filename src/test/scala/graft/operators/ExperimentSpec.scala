@@ -53,4 +53,48 @@ class ExperimentSpec extends SparkFunSuite {
       Experiment.abReport(events, "arm", "user_id", "converted", "nope")
     }
   }
+
+  test("cupedAdjust: hand-replayed pooled theta, per-arm adjustment, null exclusion") {
+    // y = 2x + arm effect: the covariate explains most variance, so the
+    // adjustment must pull each arm's mean toward the true effect
+    val units = Seq(
+      ("a", 10.0, 4.0), ("a", 6.0, 2.0), ("a", 2.0, 0.0),
+      ("b", 13.0, 5.0), ("b", 9.0, 3.0), ("b", 5.0, 1.0)
+    ).toDF("arm", "y", "x")
+    val got = Experiment.cupedAdjust(units, "arm", "y", "x")
+      .orderBy("arm").collect()
+    // exact micro-unit sums replayed in plain arithmetic
+    val xs = Seq(4.0, 2.0, 0.0, 5.0, 3.0, 1.0)
+    val ys = Seq(10.0, 6.0, 2.0, 13.0, 9.0, 5.0)
+    val n = 6.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(v => v * v).sum
+    val sxy = xs.zip(ys).map(p => p._1 * p._2).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = got(0); val b = got(1)
+    assert(a.getLong(1) == 3 && b.getLong(1) == 3)
+    assert(a.getDouble(4) == theta && b.getDouble(4) == theta)
+    assert(a.getDouble(5) == 6.0 - theta * (2.0 - sx / n))
+    assert(b.getDouble(5) == 9.0 - theta * (3.0 - sx / n))
+    // adjustment shrinks the arm gap toward the true effect (+3 here,
+    // raw gap 3 stays 3 since x-imbalance is symmetric... use asymmetric x)
+    val skewed = Seq(("a", 10.0, 8.0), ("a", 2.0, 0.0),
+      ("b", 11.0, 8.0), ("b", 7.0, 4.0)).toDF("arm", "y", "x")
+    val s = Experiment.cupedAdjust(skewed, "arm", "y", "x")
+      .orderBy("arm").collect()
+    val rawGap = 9.0 - 6.0
+    val adjGap = s(1).getDouble(5) - s(0).getDouble(5)
+    assert(math.abs(adjGap - rawGap) > 1e-9,
+      "covariate imbalance must move the adjusted gap")
+    // degenerate: constant covariate → theta null, adjusted = mean
+    val const = Seq(("a", 1.0, 5.0), ("b", 3.0, 5.0)).toDF("arm", "y", "x")
+    val c = Experiment.cupedAdjust(const, "arm", "y", "x").orderBy("arm").collect()
+    assert(c(0).isNullAt(4) && c(0).getDouble(5) == 1.0 && c(1).getDouble(5) == 3.0)
+    // null rows are excluded
+    val withNull = Seq(("a", Some(1.0), Some(2.0)), ("a", None, Some(9.0)),
+      ("b", Some(2.0), Some(2.0))).toDF("arm", "y", "x")
+    val w = Experiment.cupedAdjust(withNull, "arm", "y", "x")
+      .orderBy("arm").collect()
+    assert(w(0).getLong(1) == 1, "null metric row must not count")
+  }
 }
