@@ -1412,6 +1412,30 @@ object SparkEntry {
         .withColumn("arm", arm)
       Experiment.cupedAdjust(units, "arm", "y", "x").orderBy("arm")
     }),
+    // nDCG@10: the exact cosine top-10 ranking evaluated against graded
+    // judgments derived from the DOT-product top-15 (rel = 16 − rank) —
+    // a real metric-agreement eval with non-trivial values. Discount
+    // literals 1/log₂(i+1) are planted once in plan and oracle; both
+    // folds run in sorted fixed order.
+    "q179_ndcg_eval" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val ranked = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      val scored = emb.crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.VectorFunctions.dot(col("embedding"),
+            col("query_vec")).as("_s"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("_s").desc, col("neighbor_id"))
+      val rels = scored.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= 15)
+        .select(col("query_id"), col("neighbor_id"),
+          (lit(16) - col("_r")).cast("double").as("rel"))
+      Retrieval.ndcgAtK(ranked, "query_id", "neighbor_id", "rank",
+          rels, "rel", 10)
+        .orderBy("query_id")
+    }),
     // Gaps-and-islands: per-user longest consecutive-day activity streak
     // (island key = day − row_number, O(1) window state; deterministic
     // latest-streak tie pick).
@@ -4352,6 +4376,50 @@ object SparkEntry {
          |  FROM votes)
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
+    },
+    // q179: same cosine/dot arithmetic as q27/q41's oracles, the SAME
+    // ten discount doubles interpolated from Retrieval.ndcgLiterals,
+    // rank-ordered list_reduce folds mirroring the plan's sorted folds
+    "q179_ndcg_eval" -> {
+      val discs = graft.operators.Retrieval.ndcgLiterals(10).mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |cos AS (SELECT q.query_id, e.vec_id AS nid,
+         |    list_inner_product(e.v, q.qv)
+         |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))
+         |      AS score
+         |  FROM e CROSS JOIN q),
+         |r10 AS (SELECT query_id, nid, rk FROM (
+         |    SELECT query_id, nid,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nid) AS rk
+         |    FROM cos) WHERE rk <= 10),
+         |dots AS (SELECT q.query_id, e.vec_id AS nid,
+         |    list_inner_product(e.v, q.qv) AS s
+         |  FROM e CROSS JOIN q),
+         |rels AS (SELECT query_id, nid, CAST(16 - rn AS DOUBLE) AS rel FROM (
+         |    SELECT query_id, nid,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, nid) AS rn
+         |    FROM dots) WHERE rn <= 15),
+         |dterm AS (SELECT r.query_id, r.rk,
+         |    l.rel * ([$discs])[CAST(r.rk AS INTEGER)] AS t
+         |  FROM r10 r JOIN rels l ON l.query_id = r.query_id AND l.nid = r.nid),
+         |dcg AS (SELECT query_id,
+         |    list_reduce(list_prepend(0.0, list(t ORDER BY rk)),
+         |      (a, b) -> a + b) AS dcg
+         |  FROM dterm GROUP BY query_id),
+         |iterm AS (SELECT query_id, rn2,
+         |    rel * ([$discs])[CAST(rn2 AS INTEGER)] AS t FROM (
+         |    SELECT query_id, nid, rel,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, nid) AS rn2
+         |    FROM rels WHERE rel > 0) WHERE rn2 <= 10),
+         |idcg AS (SELECT query_id,
+         |    list_reduce(list_prepend(0.0, list(t ORDER BY rn2)),
+         |      (a, b) -> a + b) AS idcg
+         |  FROM iterm GROUP BY query_id)
+         |SELECT i.query_id, coalesce(d.dcg, 0.0) AS dcg, i.idcg,
+         |  coalesce(d.dcg, 0.0) / i.idcg AS ndcg
+         |FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+         |ORDER BY i.query_id""".stripMargin
     },
     // q178: identical unit derivation, identical micro-unit HUGEINT
     // sufficient statistics (the q163 pattern), pooled theta from the

@@ -239,4 +239,62 @@ object Retrieval {
     * (the q131 shared-constants convention). */
   private[graft] def rboLiterals(k: Int, p: Double): (Seq[Double], Double) =
     ((1 to k).scanLeft(1.0)((acc, _) => acc * p).tail, (1.0 - p) / p)
+
+  /** nDCG@k ranking-quality evaluation (Järvelin & Kekäläinen TOIS'02,
+    * linear gain): per query, `DCG = Σ_{i≤k} rel(doc@i) / log₂(i+1)`
+    * against `rels`' graded judgments, normalized by the ideal DCG of
+    * that query's top-k grades. One row per judged query:
+    * `(qCol, dcg, idcg, ndcg)`; queries with no positive judgment are
+    * absent (nothing to normalize by), ranked docs without a judgment
+    * gain 0, judged docs outside the top-k contribute only to the ideal.
+    *
+    * Determinism: the k discount doubles `1/log₂(i+1)` are computed ONCE
+    * at plan build and planted as literals in plan and oracle
+    * ([[rboAtK]]'s convention — engine `log` need not be correctly
+    * rounded, so it never runs per-row); each query's DCG and IDCG fold
+    * their ≤ k terms in a SORTED fixed order. Grade ties in the ideal
+    * ordering cannot change IDCG (equal grades swap equal terms), so no
+    * cross-engine tie contract is needed there.
+    *
+    * Scale shape: the DCG join is rank-filtered to k rows per query
+    * before it shuffles; the ideal side is the O(k)-state [[TopK]] heap
+    * (never a per-query sort of the full judgment set); both folds run
+    * over ≤ k-element arrays. */
+  def ndcgAtK(ranked: DataFrame, qCol: String, idCol: String,
+              rankCol: String, rels: DataFrame, relCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val discs = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val discArr = array(discs.map(lit): _*)
+    val r = ranked.select(col(qCol).as("_q"), col(idCol).as("_id"),
+        col(rankCol).cast("long").as("_rk"))
+      .filter(col("_rk") >= 1L && col("_rk") <= k)
+    val rl = rels.select(col(qCol).as("_q"), col(idCol).as("_id"),
+        col(relCol).cast("double").as("_rel"))
+      .filter(col("_rel").isNotNull && col("_rel") > 0.0)
+    val dcg = r.join(rl, Seq("_q", "_id"))
+      .select(col("_q"), struct(col("_rk"),
+        (col("_rel") * element_at(discArr, col("_rk").cast("int"))).as("_t"))
+        .as("_s"))
+      .groupBy("_q")
+      .agg(aggregate(sort_array(collect_list(col("_s"))), lit(0.0),
+        (acc, s) => acc + s("_t")).as("dcg"))
+    val ideal = rl
+      .groupBy("_q")
+      .agg(TopK.topK(k, col("_rel"), xxhash64(col("_id").cast("string")),
+        col("_rel")).as("_t"))
+      .select(col("_q"), aggregate(
+        zip_with(col("_t"), slice(discArr, lit(1), size(col("_t"))),
+          (s, d) => s("payload") * d),
+        lit(0.0), (acc, t) => acc + t).as("idcg"))
+    ideal.join(dcg, Seq("_q"), "left")
+      .select(col("_q").as(qCol), coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        col("idcg"),
+        (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+  }
+
+  /** The discount literals of [[ndcgAtK]], exposed so the q179 oracle
+    * text carries the SAME doubles the plan plants. */
+  private[graft] def ndcgLiterals(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
 }

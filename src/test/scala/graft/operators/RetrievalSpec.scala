@@ -225,4 +225,34 @@ class RetrievalSpec extends SparkFunSuite {
       Retrieval.rboAtK(a, b, "qid", "doc_id", "rank", k = 5, p = 1.0)
     }
   }
+
+  test("ndcgAtK: hand-computed DCG/IDCG, unjudged gain 0, perfect ranking = 1") {
+    def disc(i: Int) = 1.0 / (math.log(i + 1.0) / math.log(2.0))
+    val ranked = Seq(
+      // q1: judged docs at ranks 1 and 3; rank 2 unjudged (gain 0)
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      // q2: the ideal order itself
+      (2L, 20L, 1), (2L, 21L, 2)
+    ).toDF("qid", "doc_id", "rank")
+    val rels = Seq(
+      (1L, 10L, 1.0), (1L, 11L, 3.0), (1L, 12L, 2.0), // 12 never retrieved
+      (2L, 20L, 2.0), (2L, 21L, 1.0),
+      (3L, 30L, 0.0) // zero-only judgments → query absent
+    ).toDF("qid", "doc_id", "rel")
+    val got = Retrieval.ndcgAtK(ranked, "qid", "doc_id", "rank", rels, "rel", 3)
+      .orderBy("qid").collect()
+    assert(got.length == 2, "q3 has nothing to normalize by")
+    val dcg1 = 1.0 * disc(1) + 3.0 * disc(3)
+    val idcg1 = 3.0 * disc(1) + 2.0 * disc(2) + 1.0 * disc(3)
+    assert(got(0).getDouble(1) == dcg1 && got(0).getDouble(2) == idcg1)
+    assert(got(0).getDouble(3) == dcg1 / idcg1)
+    assert(got(1).getDouble(3) == 1.0, "retrieving the ideal order is nDCG 1")
+    // a query judged but never retrieved scores 0
+    val empty = Retrieval.ndcgAtK(ranked.filter($"qid" === 2L), "qid",
+      "doc_id", "rank", rels, "rel", 3).orderBy("qid").collect()
+    assert(empty(0).getDouble(1) == 0.0 && empty(0).getDouble(3) == 0.0)
+    intercept[IllegalArgumentException] {
+      Retrieval.ndcgAtK(ranked, "qid", "doc_id", "rank", rels, "rel", 0)
+    }
+  }
 }
