@@ -1436,6 +1436,21 @@ object SparkEntry {
           rels, "rel", 10)
         .orderBy("query_id")
     }),
+    // Reliability-diagram calibration: md5-derived 6-decimal scores with
+    // labels planted at P(label) ≈ score (second independent hash under
+    // the score), binned by exact integer floor-division — a roughly
+    // calibrated fixture whose per-bin gaps are real, small, and
+    // bit-reproducible.
+    "q180_calibration_bins" -> ((s, dir) => {
+      def h6(tag: String) =
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(s":$tag"))), 1, 5), 16, 10).cast("long") % 1000000L
+      val scored = Tables(s, dir).documents.select(
+        (h6("cal").cast("double") / lit(1.0e6)).as("score"),
+        (h6("lbl") < h6("cal")).as("label"))
+      Classifier.calibrationBins(scored, "score", "label", nBins = 10)
+        .orderBy("bin")
+    }),
     // Gaps-and-islands: per-user longest consecutive-day activity streak
     // (island key = day − row_number, O(1) window state; deterministic
     // latest-streak tie pick).
@@ -4377,6 +4392,30 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q180: identical md5 hex-window scores (CAST('0x'… the established
+    // hex idiom), identical exact-integer bin rule and micro-unit mean
+    "q180_calibration_bins" ->
+      """WITH d AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cal'), 1, 5))
+        |      AS BIGINT) % 1000000 AS s6,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lbl'), 1, 5))
+        |      AS BIGINT) % 1000000 AS u6
+        |  FROM documents),
+        |r AS (SELECT s6,
+        |    CASE WHEN u6 < s6 THEN 1 ELSE 0 END AS y,
+        |    least((s6 * 10) // 1000000, 9) AS bin
+        |  FROM d),
+        |a AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(s6) AS BIGINT) AS ssum
+        |  FROM r GROUP BY bin)
+        |SELECT CAST(bin AS INTEGER) AS bin,
+        |  CAST(bin AS DOUBLE) / 10.0 AS bin_lo, n, n_pos,
+        |  (CAST(ssum AS DOUBLE) / 1e6) / CAST(n AS DOUBLE) AS mean_score,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(ssum AS DOUBLE) / 1e6) / CAST(n AS DOUBLE) AS gap
+        |FROM a ORDER BY bin""".stripMargin,
     // q179: same cosine/dot arithmetic as q27/q41's oracles, the SAME
     // ten discount doubles interpolated from Retrieval.ndcgLiterals,
     // rank-ordered list_reduce folds mirroring the plan's sorted folds

@@ -243,4 +243,47 @@ object Classifier {
             / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
           .as("auc")): _*)
   }
+
+  /** Reliability-diagram calibration bins (the [[rankAuc]] companion:
+    * AUC says the scores RANK well, this says whether they MEAN what
+    * they claim): equal-width probability bins over [0, 1], per bin the
+    * mean predicted score vs the empirical positive rate and their gap —
+    * the per-bin summands of expected calibration error.
+    *
+    * Determinism: scores ride the repo's decimal(18,6) micro-unit
+    * contract (probabilities — ≤ 6 decimal places; out-of-[0,1] rows
+    * are EXCLUDED, a probability they are not), so the bin index is an
+    * exact integer floor-division `(si·nBins) div 10⁶` (score 1.0 clamps
+    * into the last bin) — no double ever decides a bin boundary — and
+    * `mean_score` divides an exact micro-unit sum. Null scores/labels
+    * are excluded.
+    *
+    * Output per non-empty bin: `(bin, bin_lo, n, n_pos, mean_score,
+    * pos_rate, gap = pos_rate − mean_score)`.
+    *
+    * Scale shape: one map-side-combined aggregation to nBins rows;
+    * nothing windowed, nothing sorted. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100000, s"nBins ($nBins) out of range")
+    val si = (col(scoreCol).cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    val rows = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(si.as("_si"), when(col(labelCol), 1L).otherwise(0L).as("_y"))
+      .filter(col("_si") >= 0L && col("_si") <= 1000000L)
+      .select(least(expr(s"(_si * $nBins) div 1000000"), lit(nBins - 1L))
+        .cast("int").as("bin"), col("_si"), col("_y"))
+    rows.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+        sum(col("_si")).as("_ssum"))
+      .select(col("bin"),
+        (col("bin").cast("double") / lit(nBins.toDouble)).as("bin_lo"),
+        col("n"), col("n_pos"),
+        ((col("_ssum").cast("double") / lit(1.0e6)) / col("n").cast("double"))
+          .as("mean_score"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+        (col("n_pos").cast("double") / col("n").cast("double")
+          - (col("_ssum").cast("double") / lit(1.0e6)) / col("n").cast("double"))
+          .as("gap"))
+  }
 }

@@ -185,4 +185,27 @@ class ClassifierSpec extends SparkFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"classification must be a narrow map stage over the corpus:\n$plan")
   }
+
+  test("calibrationBins: exact-integer bins, clamp at 1.0, range/null exclusion") {
+    val rows = Seq(
+      (Some(0.05), Some(false)),            // bin 0
+      (Some(0.15), Some(true)), (Some(0.19), Some(false)), // bin 1
+      (Some(0.2), Some(true)),              // exact boundary → bin 2
+      (Some(1.0), Some(true)),              // clamps into bin 9
+      (Some(-0.1), Some(true)), (Some(1.5), Some(true)), // excluded: not probabilities
+      (None, Some(true)), (Some(0.5), None) // excluded: nulls
+    ).toDF("score", "label")
+    val got = Classifier.calibrationBins(rows, "score", "label", nBins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (0, 0.0, 1L, 0L, 0.05, 0.0),
+      (1, 0.1, 2L, 1L, 340000.0 / 1.0e6 / 2.0, 0.5), // exact-integer mean: 0.17, not (0.15+0.19)/2's 0.169..98
+      (2, 0.2, 1L, 1L, 0.2, 1.0),
+      (9, 0.9, 1L, 1L, 1.0, 1.0)))
+    intercept[IllegalArgumentException] {
+      Classifier.calibrationBins(rows, "score", "label", nBins = 1)
+    }
+  }
 }
