@@ -176,6 +176,74 @@ object StreamingOps {
       }
   }
 
+  /** Watermarked STREAM-STREAM interval join (the ad-attribution shape:
+    * each right-side event pairs with every left-side event sharing its
+    * key that happened at most `maxDelaySec` BEFORE it). Both sides carry
+    * event-time watermarks and the join condition time-bounds both
+    * directions, so Spark can prove when buffered left rows can never
+    * match again and EVICT them — the state-bounding contract
+    * stream-stream joins require (an unbounded-delay condition would
+    * accumulate the whole left stream in the state store).
+    *
+    * Inner join, append mode. Output: `(keyCol, left_ts, right_ts,
+    * delay_sec)`. Rows later than their side's watermark are dropped by
+    * Spark's join-state eviction — the standard trade for bounded state.
+    *
+    * Scale shape: state per key is only the left rows younger than
+    * watermark + maxDelay; the join is key-partitioned (both sides
+    * shuffle on the key once). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         tsCol: String, maxDelaySec: Long,
+                         watermark: String = "10 minutes"): DataFrame = {
+    require(maxDelaySec > 0, s"maxDelaySec ($maxDelaySec) must be positive")
+    val l = left.select(col(keyCol).as("_lk"), col(tsCol).as("left_ts"))
+      .withWatermark("left_ts", watermark)
+    val r = right.select(col(keyCol).as("_rk"), col(tsCol).as("right_ts"))
+      .withWatermark("right_ts", watermark)
+    l.join(r, col("_lk") === col("_rk") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $maxDelaySec SECONDS"))
+      .select(col("_lk").as(keyCol), col("left_ts"), col("right_ts"),
+        (unix_timestamp(col("right_ts")) - unix_timestamp(col("left_ts")))
+          .as("delay_sec"))
+  }
+
+  final case class TransitionEvent(user_id: Long, ts_ms: Long, state: String)
+  final case class TransitionPair(user_id: Long, from_state: String, to_state: String)
+
+  /** Streaming adjacent-pair extraction — the incremental feeder of
+    * [[graft.operators.Sessionize.transitionMatrix]]: per user, every
+    * consecutive (state → next state) pair, emitted as soon as the next
+    * event arrives. State per user is ONE (ts, state) — the last event
+    * seen — so an unbounded stream holds O(active users) state, and the
+    * downstream matrix is a plain streaming aggregation over the pairs.
+    *
+    * Within a micro-batch events sort by (ts_ms, state) before pairing
+    * (Spark does not order rows inside a group); ACROSS micro-batches
+    * pairing follows arrival — an event arriving after a LATER event was
+    * already folded pairs out of true order (the honest caveat every
+    * last-state operator carries; feed from a source that preserves
+    * per-key order, or re-derive exact matrices in batch with
+    * [[graft.operators.Sessionize.transitionMatrixBucketed]]). */
+  def transitionStream(events: Dataset[TransitionEvent])
+                      (implicit spark: SparkSession): Dataset[TransitionPair] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, String), TransitionPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, it, state: GroupState[(Long, String)]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_ms, e.state))
+          val out = Seq.newBuilder[TransitionPair]
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach(p => out += TransitionPair(user, p._2, e.state))
+            last = Some((e.ts_ms, e.state))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   // --------------------------------------------------- lake upsert sink
 
   /** Streaming CDC upsert into a partitioned Parquet table: every

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkFunSuite
+
+/** Stream-stream interval join: clicks attribute to impressions within the
+  * delay bound, with watermarked (bounded) join state — the §2.7 surface a
+  * stream-static join can't cover. */
+class StreamIntervalJoinSpec extends SparkFunSuite {
+
+  private def t(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("clicks join impressions within maxDelay; outside the bound they don't") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingOps.intervalJoinStream(
+      imps.toDS().toDF("ad_id", "ts"), clicks.toDS().toDF("ad_id", "ts"),
+      "ad_id", "ts", maxDelaySec = 60, watermark = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    try {
+      imps.addData((1L, t(0)), (2L, t(0)))
+      clicks.addData(
+        (1L, t(30)),   // in window → joins
+        (1L, t(120)),  // 120s > 60s delay → no match
+        (2L, t(0)),    // same instant counts (>= left_ts)
+        (3L, t(10)))   // no impression for ad 3
+      q.processAllAvailable()
+      val got = spark.table("ij_out")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+      assert(got == Seq((1L, 30L), (2L, 0L)))
+      // a click BEFORE its impression never matches (delay is one-sided)
+      imps.addData((4L, t(400)))
+      clicks.addData((4L, t(395)))
+      q.processAllAvailable()
+      assert(spark.table("ij_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("maxDelaySec must be positive") {
+    import spark.implicits._
+    val df = Seq((1L, t(0))).toDF("ad_id", "ts")
+    intercept[IllegalArgumentException] {
+      StreamingOps.intervalJoinStream(df, df, "ad_id", "ts", maxDelaySec = 0)
+    }
+  }
+}
