@@ -1451,6 +1451,13 @@ object SparkEntry {
       Classifier.calibrationBins(scored, "score", "label", nBins = 10)
         .orderBy("bin")
     }),
+    // Benford first-digit audit on real money values (l_extendedprice —
+    // the classic fabricated-figures screen): exact micro-unit leading
+    // digits, planted log10 literals, digit-ordered chi-square fold.
+    "q181_benford_audit" -> ((s, dir) => {
+      Audit.benfordDigits(Tables(s, dir).lineitem, "l_extendedprice")
+        .orderBy("digit")
+    }),
     // Gaps-and-islands: per-user longest consecutive-day activity streak
     // (island key = day − row_number, O(1) window state; deterministic
     // latest-streak tie pick).
@@ -4391,6 +4398,40 @@ object SparkEntry {
          |  FROM votes)
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
+    },
+    // q181: identical micro-unit leading-digit extraction, the SAME nine
+    // Benford doubles, digit-ordered list_reduce chi-square fold
+    "q181_benford_audit" -> {
+      // "e0" suffix forces DOUBLE literals: DuckDB parses bare decimal
+      // literals as DECIMAL, whose two-step decimal→double conversion
+      // flips the last ulp on log10(4/3)
+      val lits = graft.operators.Audit.benfordLiterals
+        .map(d => s"${d}e0").mkString(", ")
+      s"""WITH v AS (SELECT
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vi
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |o AS (SELECT CAST(substr(CAST(vi AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         |    CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM v WHERE vi > 0 GROUP BY 1),
+         |spine AS (SELECT unnest(generate_series(1, 9)) AS digit),
+         |j AS (SELECT s.digit, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+         |    ([$lits])[CAST(s.digit AS INTEGER)] AS frac_expected
+         |  FROM spine s LEFT JOIN o ON o.digit = s.digit),
+         |t AS (SELECT *, CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM j),
+         |terms AS (SELECT digit, n_obs, frac_expected, n,
+         |    (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * frac_expected)
+         |      * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * frac_expected)
+         |      / (CAST(n AS DOUBLE) * frac_expected) AS term
+         |  FROM t),
+         |c AS (SELECT n, CASE WHEN n = 0 THEN 0.0 ELSE
+         |    list_reduce(list_prepend(0.0, list(term ORDER BY digit)),
+         |      (a, b) -> a + b) END AS chi2_total
+         |  FROM terms GROUP BY n)
+         |SELECT CAST(tm.digit AS INTEGER) AS digit, tm.n_obs,
+         |  CASE WHEN tm.n = 0 THEN 0.0
+         |       ELSE CAST(tm.n_obs AS DOUBLE) / CAST(tm.n AS DOUBLE) END AS frac_obs,
+         |  tm.frac_expected, c.chi2_total
+         |FROM terms tm CROSS JOIN c ORDER BY digit""".stripMargin
     },
     // q180: identical md5 hex-window scores (CAST('0x'… the established
     // hex idiom), identical exact-integer bin rule and micro-unit mean

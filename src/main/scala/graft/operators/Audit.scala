@@ -45,4 +45,73 @@ object Audit {
           .otherwise(col("n_orphan_rows").cast("double")
             / col("n_rows").cast("double")))
   }
+
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938; the
+    * fabricated-figures screen auditors run on financial columns): the
+    * observed distribution of leading significant digits 1–9 vs the
+    * Benford expectation `log₁₀(1 + 1/d)`, per digit, plus the χ²
+    * statistic `Σ (obs − n·exp)² / (n·exp)`. Nulls and values ≤ 0 are
+    * excluded (Benford applies to positive magnitudes).
+    *
+    * The leading digit is exact integer work, not formatting: values
+    * ride the repo's decimal(18,6) micro-unit contract (≤ 6 decimal
+    * places, < 10¹²), and ×10⁶ preserves the leading SIGNIFICANT digit —
+    * so it is the first character of the micro-unit long's decimal
+    * rendering, which every engine prints identically (no scientific
+    * notation, no rounding, no grouping separators).
+    *
+    * Determinism: counts are exact integers; the nine Benford doubles
+    * are computed once at plan build and planted as literals in plan AND
+    * oracle ([[graft.operators.Retrieval.ndcgAtK]]'s discount
+    * convention); χ² folds its nine terms in digit order via the sorted
+    * 9-element fold.
+    *
+    * Output: one row per digit 1–9 (zero-observation digits included —
+    * their expected mass still enters χ²): `(digit, n_obs, frac_obs,
+    * frac_expected, chi2_total)` — the scalar verdict repeated per row
+    * so it survives a per-digit projection.
+    *
+    * Scale shape: per-row digit extraction (codegen'd cast + substring)
+    * → one 9-row map-side-combined aggregation; everything after is
+    * constant-sized. */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val expected = benfordLiterals
+    val vi = (col(valueCol).cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    val obs = df
+      .filter(col(valueCol).isNotNull)
+      .select(vi.as("_vi")).filter(col("_vi") > 0L)
+      .select(substring(col("_vi").cast("string"), 1, 1).as("_d"))
+      .groupBy("_d").agg(count(lit(1)).as("n_obs"))
+    import df.sparkSession.implicits._
+    val spineDf = (1 to 9).map(d => (d.toString, expected(d - 1)))
+      .toDF("_d", "frac_expected")
+    val joined = spineDf.join(obs, Seq("_d"), "left")
+      .select(col("_d"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("frac_expected"))
+      .localCheckpoint(false) // 9 rows; per-digit output + χ² both read it
+    // scalar (n, chi2) via the digit-ordered fold — never an unordered
+    // double sum
+    val totals = joined
+      .agg(sum(col("n_obs")).as("_n"),
+        sort_array(collect_list(struct(col("_d"), col("n_obs"),
+          col("frac_expected")))).as("_terms"))
+      .select(col("_n"),
+        when(col("_n") === 0L, lit(0.0)).otherwise(
+          aggregate(col("_terms"), lit(0.0), (acc, t) => {
+            val e = col("_n").cast("double") * t("frac_expected")
+            acc + (t("n_obs").cast("double") - e) *
+              (t("n_obs").cast("double") - e) / e
+          })).as("chi2_total"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("_d").cast("int").as("digit"), col("n_obs"),
+        when(col("_n") === 0L, lit(0.0))
+          .otherwise(col("n_obs").cast("double") / col("_n").cast("double"))
+          .as("frac_obs"),
+        col("frac_expected"), col("chi2_total"))
+  }
+
+  /** The nine Benford doubles of [[benfordDigits]], exposed so the q181
+    * oracle carries the SAME literals the plan plants. */
+  private[graft] def benfordLiterals: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
 }

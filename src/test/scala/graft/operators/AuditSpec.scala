@@ -33,4 +33,32 @@ class AuditSpec extends SparkFunSuite {
       r.getAs[Long]("n_orphan_rows") == 1L &&
       r.getAs[Long]("n_orphan_keys") == 1L)
   }
+
+  test("benfordDigits: exact leading digits, zero-digit rows kept, hand-replayed chi2") {
+    val vals = Seq(Some(1.5), Some(23.0), Some(0.0045), Some(999.999999),
+      Some(1.0), Some(12345.6), Some(0.0), Some(-5.0), None)
+      .toDF("v")
+    val got = Audit.benfordDigits(vals, "v").orderBy("digit").collect()
+    assert(got.length == 9, "all nine digits present, observed or not")
+    val counts = got.map(r => (r.getInt(0), r.getLong(1))).toMap
+    // digits: 1.5→1, 23→2, 0.0045→4, 999.999999→9, 1.0→1, 12345.6→1
+    assert(counts == Map(1 -> 3L, 2 -> 1L, 3 -> 0L, 4 -> 1L, 5 -> 0L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 1L))
+    val exp = Audit.benfordLiterals
+    assert(got.map(_.getDouble(3)).toSeq == exp)
+    // chi2 replay: digit-ascending fold, n = 6
+    var chi2 = 0.0
+    (1 to 9).foreach { d =>
+      val e = 6.0 * exp(d - 1)
+      val o = counts(d).toDouble
+      chi2 = chi2 + (o - e) * (o - e) / e
+    }
+    assert(got.head.getDouble(4) == chi2)
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-12,
+      "observed fractions sum to 1 (up to double addition)")
+    // empty input: zero counts, chi2 0 by contract (not NaN)
+    val empty = Audit.benfordDigits(vals.filter($"v" > 1e9), "v")
+      .orderBy("digit").collect()
+    assert(empty.forall(r => r.getLong(1) == 0L && r.getDouble(4) == 0.0))
+  }
 }
