@@ -1458,6 +1458,26 @@ object SparkEntry {
       Audit.benfordDigits(Tables(s, dir).lineitem, "l_extendedprice")
         .orderBy("digit")
     }),
+    // REAL image codec at the driver gate (the q172 pattern for PNG):
+    // closed-form 16×16 grayscale pixels per doc
+    // (p(x,y) = (doc_id·31 + x·7 + y·13) mod 256) encoded through the
+    // JDK PNG writer, decoded back through ImageIOCodec, aggregated as
+    // exact integer pixel stats. The oracle regenerates the pixel grid
+    // relationally — a wrong decode, sample order, or color transform
+    // anywhere in the container round-trip shows up as a hash mismatch.
+    "q182_png_codec_stats" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+        .map { d =>
+          val px = Array.tabulate(256) { i =>
+            val x = i % 16; val y = i / 16
+            ((d * 31L + x * 7L + y * 13L) % 256L).toInt
+          }
+          Multimodal.MediaRecord(d, "image", Multimodal.encodeGrayPng(16, 16, px))
+        }.toDF()
+      Multimodal.grayStats(media, Multimodal.ImageIOCodec, 16, 16)
+        .toDF().orderBy("doc_id")
+    }),
     // Gaps-and-islands: per-user longest consecutive-day activity streak
     // (island key = day − row_number, O(1) window state; deterministic
     // latest-streak tie pick).
@@ -4399,6 +4419,22 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q182: the engine's pixels are whatever ImageIOCodec recovers from
+    // the PNG container; the oracle regenerates them from the closed-form
+    // plant — equality gates encode→decode→sample-order end-to-end
+    "q182_png_codec_stats" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 15)) AS v),
+        |px AS (SELECT d.doc_id,
+        |    ((d.doc_id * 31 + gx.v * 7 + gy.v * 13) % 256) AS p
+        |  FROM documents d CROSS JOIN g gx CROSS JOIN g gy),
+        |a AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS gray_sum,
+        |    CAST(sum(CASE WHEN p > 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id, CAST(16 AS INTEGER) AS width,
+        |  CAST(16 AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels,
+        |  gray_sum, n_bright,
+        |  CAST(gray_sum AS DOUBLE) / 256.0 AS mean_gray
+        |FROM a ORDER BY doc_id""".stripMargin,
     // q181: identical micro-unit leading-digit extraction, the SAME nine
     // Benford doubles, digit-ordered list_reduce chi-square fold
     "q181_benford_audit" -> {

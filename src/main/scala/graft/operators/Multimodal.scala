@@ -134,6 +134,56 @@ object Multimodal {
     }
   }
 
+  /** Write-side counterpart of [[ImageIOCodec]] for grayscale rasters: a
+    * row-major `w`×`h` 0–255 pixel grid encoded as a PNG via the JDK
+    * writer. PNG is lossless and TYPE_BYTE_GRAY round-trips its samples
+    * exactly, so `ImageIOCodec.grayPixels(encodeGrayPng(w, h, px), _, w,
+    * h)` returns `px` bit-for-bit — the property q182 gates. (The PNG
+    * BYTE STREAM is not pinned across JDK vendors; the pixel round-trip
+    * is.) */
+  def encodeGrayPng(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"bad dimensions ${w}x$h")
+    require(pixels.length == w * h,
+      s"expected ${w * h} pixels, got ${pixels.length}")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSamples(0, 0, w, h, 0, pixels)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "png", bos)
+    require(ok, "JDK PNG writer unavailable")
+    bos.toByteArray
+  }
+
+  /** Per-image grayscale statistics over REAL decoded pixels — the image
+    * face of [[audioFrameFeaturesPcm]]: decode each payload through the
+    * codec, sample its `w`×`h` grayscale grid, and report exact integer
+    * pixel aggregates (`gray_sum`, `n_bright` = pixels > 127) plus the
+    * container's true `(width, height, channels)` and `mean_gray` as one
+    * exact-integer division. mapPartitions batch shape: one codec per
+    * partition, iterator-streamed, no shuffle — scales as a map stage. */
+  final case class GrayStats(doc_id: Long, width: Int, height: Int,
+                             channels: Int, gray_sum: Long, n_bright: Long,
+                             mean_gray: Double)
+  def grayStats(media: DataFrame, codec: Codec, w: Int, h: Int): Dataset[GrayStats] = {
+    require(w >= 1 && h >= 1, s"bad grid ${w}x$h")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("modality"), col("payload")).as[MediaRecord]
+      .mapPartitions { it =>
+        val c = codec
+        it.map { r =>
+          val (dw, dh, ch) = c.decode(r.payload, r.modality)
+          val px = c.grayPixels(r.payload, r.modality, w, h)
+          var s = 0L; var bright = 0L; var i = 0
+          while (i < px.length) {
+            s += px(i); if (px(i) > 127) bright += 1; i += 1
+          }
+          GrayStats(r.doc_id, dw, dh, ch, s, bright,
+            s.toDouble / (w.toLong * h).toDouble)
+        }
+      }
+  }
+
   /** Deterministic fake decode: "dimensions" derived from payload length and
     * the first character, "channels" from length mod 3 — all reproducible
     * in the oracle's SQL, which is the point (the battery corpus is

@@ -458,6 +458,35 @@ class MultimodalSpec extends SparkFunSuite {
     }
   }
 
+  test("encodeGrayPng round-trips pixels bit-for-bit through ImageIOCodec") {
+    val w = 5; val h = 3
+    val px = Array.tabulate(w * h)(i => (i * 37 + 11) % 256)
+    val png = Multimodal.encodeGrayPng(w, h, px)
+    assert(new String(png, 1, 3, "US-ASCII") == "PNG", "a real PNG container")
+    assert(Multimodal.ImageIOCodec.decode(png, "image") == ((w, h, 1)))
+    assert(Multimodal.ImageIOCodec.grayPixels(png, "image", w, h).toSeq == px.toSeq,
+      "PNG TYPE_BYTE_GRAY is lossless — samples must survive exactly")
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeGrayPng(0, 3, px)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeGrayPng(4, 3, px) // 12 != 15 pixels
+    }
+  }
+
+  test("grayStats: hand-computed sums over real decoded pixels") {
+    val px1 = Array(0, 100, 128, 255) // sum 483, bright 2 (128 and 255)
+    val px2 = Array(10, 20, 30, 40)   // sum 100, bright 0
+    val media = Seq(
+      (1L, "image", Multimodal.encodeGrayPng(2, 2, px1)),
+      (2L, "image", Multimodal.encodeGrayPng(2, 2, px2))
+    ).toDF("doc_id", "modality", "payload")
+    val got = Multimodal.grayStats(media, Multimodal.ImageIOCodec, 2, 2)
+      .orderBy("doc_id").collect()
+    assert(got(0) == Multimodal.GrayStats(1L, 2, 2, 1, 483L, 2L, 483.0 / 4.0))
+    assert(got(1) == Multimodal.GrayStats(2L, 2, 2, 1, 100L, 0L, 25.0))
+  }
+
   test("tryAudioFrameFeaturesPcm quarantines corrupt blobs, features the rest") {
     val media = Seq(
       (1L, "audio", wavBytes(Seq[Short](500, 500))),
