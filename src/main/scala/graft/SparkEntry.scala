@@ -1478,6 +1478,13 @@ object SparkEntry {
       Multimodal.grayStats(media, Multimodal.ImageIOCodec, 16, 16)
         .toDF().orderBy("doc_id")
     }),
+    // Common user journeys: corpus-wide counts of every 3-step event
+    // path (one user window drives all lead() steps — one Exchange).
+    "q183_path_trigrams" -> ((s, dir) => {
+      Sessionize.pathNgrams(Tables(s, dir).events, "user_id", "ts",
+          "event_type", 3, tieBreak = Seq("event_id"))
+        .orderBy("path")
+    }),
     // Gaps-and-islands: per-user longest consecutive-day activity streak
     // (island key = day − row_number, O(1) window state; deterministic
     // latest-streak tie pick).
@@ -4419,6 +4426,17 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q183: identical lead-chain windows, identical separator
+    "q183_path_trigrams" ->
+      """WITH s AS (SELECT event_type AS s0,
+        |    lead(event_type, 1) OVER w AS s1,
+        |    lead(event_type, 2) OVER w AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path,
+        |  CAST(count(*) AS BIGINT) AS n_paths
+        |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        |GROUP BY 1 ORDER BY path""".stripMargin,
     // q182: the engine's pixels are whatever ImageIOCodec recovers from
     // the PNG container; the oracle regenerates them from the closed-form
     // plant — equality gates encode→decode→sample-order end-to-end

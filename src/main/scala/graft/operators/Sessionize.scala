@@ -285,6 +285,41 @@ object Sessionize {
     normalizeRows(matrix)
   }
 
+  /** Event-path n-gram mining — the length-n generalization of
+    * [[transitionMatrix]]'s pairs: every sliding window of `n`
+    * consecutive states in a user's time-ordered stream, counted
+    * corpus-wide as a path string (`a > b > c`). The "what are the
+    * common journeys" pathing report; feed the result to a TopK if only
+    * the head matters.
+    *
+    * One user-partitioned window produces all `n−1` lead() steps (one
+    * shuffle + sort, every lead reuses it — check `.explain`: one
+    * Exchange); windows that would cross the stream's end (any null
+    * lead) are dropped, so a user with fewer than `n` events contributes
+    * nothing. `tieBreak` totalizes the order as everywhere else. The
+    * firehose-user caveat of [[transitionMatrix]] applies — one user's
+    * stream is one window task ([[transitionMatrixBucketed]]'s split
+    * generalizes to n-grams via n−1 boundary rows, built when needed).
+    *
+    * Output: `(path, n_paths)`, exact integer counts, at most
+    * |states|ⁿ rows. */
+  def pathNgrams(events: DataFrame, userCol: String, tsCol: String,
+                 stateCol: String, n: Int,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    require(n >= 2 && n <= 8, s"n ($n) must be in [2, 8]")
+    val reserved = (0 until n).map(i => s"_s$i")
+    require(!events.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    val w = Window.partitionBy(userCol).orderBy((tsCol +: tieBreak).map(col): _*)
+    val steps = col(stateCol).as("_s0") +:
+      (1 until n).map(i => lead(col(stateCol), i).over(w).as(s"_s$i"))
+    events
+      .select(steps: _*)
+      .filter(reserved.map(col(_).isNotNull).reduce(_ && _))
+      .select(concat_ws(" > ", reserved.map(col): _*).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_paths"))
+  }
+
   /** Row-normalize a (state, next_state, n_trans) matrix: `p = n / Σ_next
     * n`, a window over the state-vocabulary-sized matrix, never the data. */
   private def normalizeRows(matrix: DataFrame): DataFrame = {

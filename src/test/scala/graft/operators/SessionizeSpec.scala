@@ -208,6 +208,26 @@ class SessionizeSpec extends SparkFunSuite {
     }
   }
 
+  test("pathNgrams: hand-counted trigrams, short users drop, ties on tieBreak") {
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = Timestamp.valueOf(s"2024-01-01 00:0$m:00")
+    val df = Seq(
+      (1L, t(0), "a", 1L), (1L, t(1), "b", 2L), (1L, t(2), "a", 3L),
+      (1L, t(3), "b", 4L),                    // user 1: a>b>a, b>a>b
+      (2L, t(0), "a", 5L), (2L, t(1), "b", 6L), (2L, t(2), "a", 7L),
+      (3L, t(0), "x", 8L), (3L, t(1), "y", 9L), // only 2 events → no trigram
+      (4L, t0, "q", 11L), (4L, t0, "p", 10L), (4L, t(1), "r", 12L)
+    ).toDF("user_id", "ts", "etype", "event_id")
+    val got = Sessionize.pathNgrams(df, "user_id", "ts", "etype", 3, Seq("event_id"))
+      .orderBy("path").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a > b > a", 2L), ("b > a > b", 1L),
+      ("p > q > r", 1L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      Sessionize.pathNgrams(df, "user_id", "ts", "etype", 1)
+    }
+  }
+
   test("transitionMatrixBucketed: integral order column and reserved-column guard") {
     val df = Seq((1L, 10L, "a", 1L), (1L, 90000L, "b", 2L), (1L, 90001L, "a", 3L))
       .toDF("user_id", "tick", "e", "id")
