@@ -1485,6 +1485,14 @@ object SparkEntry {
           "event_type", 3, tieBreak = Seq("event_id"))
         .orderBy("path")
     }),
+    // Seasonal baseline: per (event_type, hour-of-day) exact mean and
+    // population stddev of value — the "what is normal at 9am" table.
+    "q184_seasonal_profile" -> ((s, dir) => {
+      val d = Tables(s, dir).events.withColumn("_hour", hour(col("ts")))
+      Trend.seasonalProfile(d, Seq("event_type"), "_hour", "value")
+        .withColumnRenamed("_hour", "hour_of_day")
+        .orderBy("event_type", "hour_of_day")
+    }),
     // Gaps-and-islands: per-user longest consecutive-day activity streak
     // (island key = day − row_number, O(1) window state; deterministic
     // latest-streak tie pick).
@@ -4426,6 +4434,24 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q184: identical micro-unit HUGEINT sums, identical fixed-order
+    // mean/stddev combine with the max(0, ·) guard
+    "q184_seasonal_profile" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yi
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |s AS (SELECT event_type, hour_of_day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(yi) AS DOUBLE) / 1e6 AS sy,
+        |    CAST(sum(yi * yi) AS DOUBLE) / 1e12 AS syy
+        |  FROM d GROUP BY 1, 2)
+        |SELECT event_type, hour_of_day, n,
+        |  sy / CAST(n AS DOUBLE) AS mean_value,
+        |  sqrt(greatest(0.0e0, syy / CAST(n AS DOUBLE)
+        |    - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))))
+        |    AS stddev_value
+        |FROM s ORDER BY event_type, hour_of_day""".stripMargin,
     // q183: identical lead-chain windows, identical separator
     "q183_path_trigrams" ->
       """WITH s AS (SELECT event_type AS s0,

@@ -71,4 +71,38 @@ object Trend {
       when(denX === 0.0 || denY === 0.0, lit(null))
         .otherwise(num * num / (denX * denY)).as("r2")): _*)
   }
+
+  /** Seasonal baseline profile: per (group, season) the exact mean and
+    * population standard deviation of `valueCol` — the "what is normal
+    * for Tuesdays at 9am" table that seasonal anomaly detection and
+    * capacity reports diff against. `seasonCol` is the caller's season
+    * key (hour-of-day, day-of-week, month — any expression).
+    *
+    * Determinism is [[trendFit]]'s y-contract verbatim: values in exact
+    * integer micro-units (decimal(18,6), |y| < 10¹²; Σy² in
+    * decimal(38,0), so |y| ≤ 10⁹ supports ~10⁸ rows per cell), and
+    * mean/stddev combine the exact sums in fixed-order doubles —
+    * `stddev = √max(0, Σy²/n − mean²)`, the max guarding the tiny
+    * negative a constant cell's rounding can produce. Null seasons or
+    * values are excluded.
+    *
+    * Scale shape: ONE map-side-combined aggregation to three sums per
+    * (group, season) cell; output is cell-vocabulary sized. */
+  def seasonalProfile(df: DataFrame, groupCols: Seq[String],
+                      seasonCol: String, valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    val d19 = "decimal(19,0)"
+    val yi = (col(valueCol).cast("decimal(18,6)") * lit(1000000L)).cast(d19)
+    val keys = groupCols.map(col) :+ col(seasonCol)
+    val sums = df
+      .filter(col(seasonCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(yi).as("_syi"),
+        sum(yi * yi).as("_syyi"))
+    val nD = col("n").cast("double")
+    val mean = (col("_syi").cast("double") / lit(1.0e6)) / nD
+    val ex2 = (col("_syyi").cast("double") / lit(1.0e12)) / nD
+    sums.select(keys ++ Seq(col("n"), mean.as("mean_value"),
+      sqrt(greatest(lit(0.0), ex2 - mean * mean)).as("stddev_value")): _*)
+  }
 }

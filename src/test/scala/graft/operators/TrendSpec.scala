@@ -44,4 +44,21 @@ class TrendSpec extends SparkFunSuite {
     assert(rows(0).getAs[Long]("n") == 2L && rows(0).getAs[Double]("slope") == 1.0)
     assert(rows(1).getAs[Double]("slope") == -1.0)
   }
+
+  test("seasonalProfile: exact cell means/stddevs, constant cell = 0, nulls drop") {
+    val df = Seq(
+      ("a", Some(9), Some(2.0)), ("a", Some(9), Some(4.0)),
+      ("a", Some(10), Some(5.0)), ("a", Some(10), Some(5.0)),
+      ("a", None, Some(99.0)), ("a", Some(9), None)
+    ).toDF("g", "hour", "v")
+    val got = Trend.seasonalProfile(df, Seq("g"), "hour", "v")
+      .orderBy("hour").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+    // hour 9: mean 3, population var = (4+16)/2 - 9 = 1 → stddev 1
+    // hour 10: constant → stddev exactly 0 (the max-guard keeps it clean)
+    assert(got == Seq((9, 2L, 3.0, 1.0), (10, 2L, 5.0, 0.0)))
+    intercept[IllegalArgumentException] {
+      Trend.seasonalProfile(df, Seq.empty, "hour", "v")
+    }
+  }
 }
