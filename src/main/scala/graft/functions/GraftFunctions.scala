@@ -47,6 +47,7 @@ object GraftFunctions {
     columnFn("dup_token_ratio", 1)(cs => Scrub.duplicateTokenRatio(cs(0))),
     columnFn("winnow_fp", 1)(cs => TextAnalysis.winnowingFingerprints(cs(0))),
     columnFn("poly_hash", 1)(cs => TextAnalysis.polyHash(cs(0))),
+    columnFn("canonical_url", 1)(cs => Scrub.canonicalUrl(cs(0))),
     // aggregate: k must be a foldable literal (it sizes the aggregation
     // buffer, which exists before any row is seen)
     "top_k" -> { exprs =>

@@ -50,6 +50,7 @@ class GraftFunctionsSpec extends SparkFunSuite {
         "quantize_int8", "dequant_int8", "token_count", "subword_count",
         "quality_score", "lang_guess", "doc_fingerprint", "char_jaccard",
         "simhash64", "redact_pii", "dup_token_ratio", "winnow_fp", "poly_hash",
+        "canonical_url",
         "top_k", "hll_sketch", "hll_merge", "hll_estimate", "freq_items",
         "cm_sketch", "cm_merge", "cm_query", "qs_sketch", "qs_merge",
         "qs_query", "funnel_stage", "token_windows", "content_chunks",
@@ -111,6 +112,14 @@ class GraftFunctionsSpec extends SparkFunSuite {
     // "ab" -> (0*257 + 97)*257 + 98 = 25027 (mod 1e9+7 inert this small)
     assert(spark.sql("SELECT poly_hash('ab') AS h").head.getLong(0) == 25027L)
     assert(spark.sql("SELECT poly_hash('') AS h").head.getLong(0) == 0L)
+  }
+
+  test("canonical_url is callable from SQL and matches the Column rules") {
+    GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT canonical_url('HTTPS://WWW.A.com:443//x/?utm_source=n&b=2&a=1#f') AS u")
+      .head.getString(0) == "https://a.com/x?a=1&b=2")
+    assert(spark.sql("SELECT canonical_url('junk') AS u").head.isNullAt(0))
   }
 
   test("funnel_stage and token_windows are callable from SQL and match the operators") {
