@@ -1485,6 +1485,28 @@ object SparkEntry {
           "event_type", 3, tieBreak = Seq("event_id"))
         .orderBy("path")
     }),
+    // k-core decomposition with a CLOSED-FORM planted truth: per even
+    // customer key a K6 clique with a pendant 2-chain (the chain peels
+    // layer by layer — the cascade, not one pass), per odd key a 5-leaf
+    // star (dissolves entirely at k=3). The oracle states the surviving
+    // core directly: exactly the clique members, each at in-core
+    // degree 5 — any under- or over-peeling breaks the match.
+    "q185_kcore" -> ((s, dir) => {
+      val ck = Tables(s, dir).customer.select(col("c_custkey").as("b"))
+      val cliquePairs = (for {
+        i <- 0 until 6; j <- (i + 1) until 6
+      } yield (i, j)) ++ Seq((0, 6), (6, 7))
+      val even = ck.filter(col("b") % 2 === 0)
+        .select(col("b"), explode(array(cliquePairs.map { case (i, j) =>
+          struct(lit(i).as("i"), lit(j).as("j"))
+        }: _*)).as("p"))
+        .select((col("b") * 100 + col("p.i")).as("ea"),
+          (col("b") * 100 + col("p.j")).as("eb"))
+      val odd = ck.filter(col("b") % 2 === 1)
+        .select(col("b"), explode(array((1 to 5).map(lit(_)): _*)).as("j"))
+        .select((col("b") * 100).as("ea"), (col("b") * 100 + col("j")).as("eb"))
+      Graph.kCore(even.unionByName(odd), "ea", "eb", k = 3).orderBy("node")
+    }),
     // Seasonal baseline: per (event_type, hour-of-day) exact mean and
     // population stddev of value — the "what is normal at 9am" table.
     "q184_seasonal_profile" -> ((s, dir) => {
@@ -4434,6 +4456,13 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q185: the planted truth in closed form — the 3-core of
+    // (K6 + pendant chain | star) is exactly the clique at degree 5
+    "q185_kcore" ->
+      """WITH b AS (SELECT c_custkey AS b FROM customer WHERE c_custkey % 2 = 0),
+        |n AS (SELECT b * 100 + j AS node
+        |  FROM b CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS j) g)
+        |SELECT node, CAST(5 AS BIGINT) AS degree FROM n ORDER BY node""".stripMargin,
     // q184: identical micro-unit HUGEINT sums, identical fixed-order
     // mean/stddev combine with the max(0, ·) guard
     "q184_seasonal_profile" ->

@@ -75,4 +75,56 @@ object Graph {
       .select(explode(array(col("_src"), col("_w1"), col("_w2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * distributed formulation of Montresor et al.): repeatedly drop every
+    * node whose CURRENT degree is below `k` (and its edges) until the
+    * survivors all have degree ≥ k — the maximal subgraph where everyone
+    * keeps k neighbors, the standard "dense engaged core vs peripheral
+    * tendrils" cut. Output: surviving `(node, degree)` with degree
+    * measured INSIDE the core.
+    *
+    * Each round is one degree aggregation + two anti-joins, with a
+    * lazy localCheckpoint per round so lineage stays flat
+    * ([[graft.operators.DupClusters.componentsWithRounds]]'s loop
+    * discipline) and a cheap emptiness probe for convergence. Rounds are
+    * bounded by how deep the peeling cascades — small on real
+    * heavy-tailed graphs, but a k-long path peels one layer per round,
+    * so `maxIters` throws rather than looping silently. Cleaning
+    * (canonicalize, self-loop drop, dedup) matches [[triangleCounts]].
+    *
+    * Scale shape: every step is key-partitioned (degree counts map-side
+    * combined; anti-joins on node ids); nothing driver-side but the
+    * 1-row convergence probes. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxIters: Int = 50): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val reserved = Seq("_u", "_v", "node", "degree")
+    require(!edges.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    var cur = edges
+      .select(least(col(aCol), col(bCol)).as("_u"),
+        greatest(col(aCol), col(bCol)).as("_v"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .distinct().localCheckpoint(true)
+    def degrees = cur
+      .select(explode(array(col("_u"), col("_v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIters) {
+      val bad = degrees.filter(col("degree") < k)
+        .select(col("node")).localCheckpoint(false)
+      if (bad.isEmpty) converged = true
+      else cur = cur
+        .join(bad.withColumnRenamed("node", "_u"), Seq("_u"), "left_anti")
+        .join(bad.withColumnRenamed("node", "_v"), Seq("_v"), "left_anti")
+        .localCheckpoint(false)
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxIters rounds — raise maxIters")
+    degrees
+  }
 }

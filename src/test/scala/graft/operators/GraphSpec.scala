@@ -28,6 +28,28 @@ class GraphSpec extends SparkFunSuite {
       "dup/reversed edges are one edge; self-loops never close a wedge")
   }
 
+  test("kCore: cascading peel — clique survives, tendrils and stars dissolve") {
+    // K5 on 1-5 with a pendant chain 5-10-11-12, plus a 6-leaf star at 20
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val edges = (k5 ++ Seq((5L, 10L), (10L, 11L), (11L, 12L)) ++
+      (21L to 26L).map(l => (20L, l))).toDF("a", "b")
+    val core3 = Graph.kCore(edges, "a", "b", 3).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the chain peels layer by layer (12, then 11, then 10) — the
+    // cascade, not just the first pass; the star dies entirely
+    assert(core3 == (1L to 5L).map(_ -> 4L))
+    // k=1 keeps everything (after dedup/self-loop cleaning)
+    assert(Graph.kCore(edges, "a", "b", 1).count() == 15)
+    // k above the max degree empties the graph
+    assert(Graph.kCore(edges, "a", "b", 7).count() == 0)
+    intercept[IllegalStateException] {
+      Graph.kCore(edges, "a", "b", 3, maxIters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.kCore(edges, "a", "b", 0)
+    }
+  }
+
   test("triangleCounts: a hub with no closing edges yields nothing") {
     // worst-case shape for unoriented wedge counting: 100-leaf star
     val edges = (1L to 100L).map(l => (0L, l)).toDF("a", "b")
