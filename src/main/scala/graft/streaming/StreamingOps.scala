@@ -176,6 +176,31 @@ object StreamingOps {
       }
   }
 
+  /** NATIVE session windows: Spark's built-in `session_window` (dynamic
+    * gap-merged event-time windows) as a streaming aggregation — the
+    * declarative face of [[sessionizeStream]]'s explicit state fold.
+    * Prefer THIS form when the per-session result is expressible as
+    * aggregates (counts/sums/min/max): the state store holds merged
+    * window state per (user, open session), late events merge windows
+    * for free, and the watermark finalizes + evicts closed sessions —
+    * all machinery [[sessionizeStream]] hand-rolls. Drop to the explicit
+    * fold only for non-aggregable per-session logic.
+    *
+    * Append mode: a session row emits once its window falls behind the
+    * watermark (finalized — no partial double-counting downstream).
+    * Output: `(user_id, session_start, session_end, n_events,
+    * value_sum)` over an input carrying `(user_id, ts, value)`. */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+                         watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_sum"))
+
   /** Watermarked STREAM-STREAM interval join (the ad-attribution shape:
     * each right-side event pairs with every left-side event sharing its
     * key that happened at most `maxDelaySec` BEFORE it). Both sides carry
