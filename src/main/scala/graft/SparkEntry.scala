@@ -4339,7 +4339,7 @@ object SparkEntry {
         |SELECT CAST(length(bin(c)) - 1 AS INTEGER) AS depth_bucket,
         |  CAST(count(*) AS BIGINT) AS n_keys,
         |  CAST(sum(c) AS BIGINT) AS n_rows,
-        |  CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS selfjoin_rows,
+        |  CAST(CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS selfjoin_rows,
         |  min(k) AS example_key
         |FROM c GROUP BY 1 ORDER BY depth_bucket""".stripMargin,
     // q161: each audit = totals × orphan-anti-join (NOT EXISTS) × null
@@ -4472,8 +4472,8 @@ object SparkEntry {
         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
         |s AS (SELECT event_type, hour_of_day,
         |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(yi) AS DOUBLE) / 1e6 AS sy,
-        |    CAST(sum(yi * yi) AS DOUBLE) / 1e12 AS syy
+        |    CAST(CAST(sum(yi) AS VARCHAR) AS DOUBLE) / 1e6 AS sy,
+        |    CAST(CAST(sum(yi * yi) AS VARCHAR) AS DOUBLE) / 1e12 AS syy
         |  FROM d GROUP BY 1, 2)
         |SELECT event_type, hour_of_day, n,
         |  sy / CAST(n AS DOUBLE) AS mean_value,
@@ -4634,10 +4634,10 @@ object SparkEntry {
         |    sum(xi * xi) AS sxx, sum(xi * yi) AS sxy
         |  FROM m GROUP BY arm),
         |g AS (SELECT CAST(sum(n_units) AS DOUBLE) AS gn,
-        |    CAST(sum(sx) AS DOUBLE) / 1e6 AS gsx,
-        |    CAST(sum(sy) AS DOUBLE) / 1e6 AS gsy,
-        |    CAST(sum(sxx) AS DOUBLE) / 1e12 AS gsxx,
-        |    CAST(sum(sxy) AS DOUBLE) / 1e12 AS gsxy
+        |    CAST(CAST(sum(sx) AS VARCHAR) AS DOUBLE) / 1e6 AS gsx,
+        |    CAST(CAST(sum(sy) AS VARCHAR) AS DOUBLE) / 1e6 AS gsy,
+        |    CAST(CAST(sum(sxx) AS VARCHAR) AS DOUBLE) / 1e12 AS gsxx,
+        |    CAST(CAST(sum(sxy) AS VARCHAR) AS DOUBLE) / 1e12 AS gsxy
         |  FROM a),
         |k AS (SELECT a.arm, a.n_units,
         |    (CAST(a.sy AS DOUBLE) / 1e6) / CAST(a.n_units AS DOUBLE) AS mean_metric,
@@ -4755,11 +4755,11 @@ object SparkEntry {
         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
         |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS n_d,
-        |    CAST(sum(x) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
-        |    CAST(sum(yi) AS DOUBLE) / 1e6 AS sy,
-        |    CAST(sum(CAST(x AS HUGEINT) * yi) AS DOUBLE) / 1e6 AS sxy,
-        |    CAST(sum(yi * yi) AS DOUBLE) / 1e12 AS syy
+        |    CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(yi) AS VARCHAR) AS DOUBLE) / 1e6 AS sy,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT) * yi) AS VARCHAR) AS DOUBLE) / 1e6 AS sxy,
+        |    CAST(CAST(sum(yi * yi) AS VARCHAR) AS DOUBLE) / 1e12 AS syy
         |  FROM d GROUP BY event_type),
         |k AS (SELECT event_type, n, n_d, sx, sy,
         |    n_d * sxy - sx * sy AS num,
@@ -4822,8 +4822,9 @@ object SparkEntry {
         |              WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS abc_class,
         |    v, tot FROM c)
         |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_keys,
-        |  CAST(sum(v) AS DOUBLE) / 1e6 AS total_value,
-        |  CAST(sum(v) AS DOUBLE) / CAST(max(tot) AS DOUBLE) AS share
+        |  CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) / 1e6 AS total_value,
+        |  CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(max(tot) AS VARCHAR) AS DOUBLE) AS share
         |FROM cl GROUP BY abc_class ORDER BY abc_class""".stripMargin,
     // q167: same md5 synthesis, same capped blocks (HAVING BETWEEN 2 AND
     // 64), same left-folded weights via null-safe agreement
@@ -5183,8 +5184,8 @@ object SparkEntry {
         |    CAST(sum(x) AS BIGINT) AS tot FROM r)
         |SELECT a.n AS n_groups, a.tot AS total_weight,
         |  CASE WHEN a.tot > 0 THEN
-        |    CAST(sum(CAST(2 * i - a.n - 1 AS HUGEINT) * x) AS DOUBLE)
-        |      / CAST(CAST(a.n AS HUGEINT) * a.tot AS DOUBLE)
+        |    CAST(CAST(sum(CAST(2 * i - a.n - 1 AS HUGEINT) * x) AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(CAST(a.n AS HUGEINT) * a.tot AS VARCHAR) AS DOUBLE)
         |  ELSE CAST(0.0 AS DOUBLE) END AS gini
         |FROM r CROSS JOIN a GROUP BY a.n, a.tot""".stripMargin,
     // q144: identical per-source doc rank, token-first-occurrence min,
