@@ -1485,6 +1485,22 @@ object SparkEntry {
           "event_type", 3, tieBreak = Seq("event_id"))
         .orderBy("path")
     }),
+    // Kaplan-Meier churn curves per event type: subject = (type, user),
+    // duration = last-activity day, churned iff the last day precedes the
+    // observation edge (Jan 26) — later users are CENSORED, feeding the
+    // at-risk counts but never the event counts, which is the entire
+    // point of KM over naive churn rates.
+    "q186_kaplan_meier" -> ((s, dir) => {
+      val d = Tables(s, dir).events.filter(col("user_id").isNotNull)
+        .withColumn("_day",
+          floor(unix_micros(col("ts")).cast("double") / lit(86400.0e6))
+            .cast("long"))
+      val subjects = d.groupBy(col("event_type"), col("user_id"))
+        .agg(max(col("_day")).as("dur"))
+        .withColumn("churned", col("dur") < 19748L) // day of 2024-01-26
+      Retention.kaplanMeier(subjects, Seq("event_type"), "dur", "churned")
+        .orderBy("event_type", "t")
+    }),
     // k-core decomposition with a CLOSED-FORM planted truth: per even
     // customer key a K6 clique with a pendant 2-chain (the chain peels
     // layer by layer — the cascade, not one pass), per odd key a 5-leaf
@@ -4456,6 +4472,35 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q186: identical subject derivation and exact d/n counts; each
+    // survival is the SAME ascending left fold via list_prepend(1.0, …)
+    "q186_kaplan_meier" ->
+      """WITH d AS (SELECT event_type, user_id,
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |subj AS (SELECT event_type, user_id, max(day) AS dur
+        |  FROM d GROUP BY 1, 2),
+        |pt AS (SELECT event_type, dur AS t, CAST(count(*) AS BIGINT) AS ends,
+        |    CAST(sum(CASE WHEN dur < 19748 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (SELECT event_type, t, n_events,
+        |    CAST(sum(ends) OVER (PARTITION BY event_type ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_risk
+        |  FROM pt),
+        |e AS (SELECT * FROM r WHERE n_events > 0),
+        |terms AS (SELECT event_type,
+        |    list(struct_pack(t := t, ne := n_events, nr := n_risk)
+        |      ORDER BY t) AS a
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_type, e.t, e.n_risk, e.n_events,
+        |  list_reduce(list_prepend(1.0,
+        |    list_transform(list_filter(t2.a, s -> s.t <= e.t),
+        |      s -> 1.0 - CAST(s.ne AS DOUBLE) / CAST(s.nr AS DOUBLE))),
+        |    (x, y) -> x * y) AS survival
+        |FROM e JOIN terms t2 ON t2.event_type = e.event_type
+        |ORDER BY e.event_type, e.t""".stripMargin,
     // q185: the planted truth in closed form — the 3-core of
     // (K6 + pendant chain | star) is exactly the clique at degree 5
     "q185_kcore" ->

@@ -96,4 +96,66 @@ object Retention {
         col("_b.len").as("longest_streak"),
         col("_b.s").as("streak_start"), col("_b.e").as("streak_end"))
   }
+
+  /** Kaplan–Meier survival curves (Kaplan & Meier JASA 1958) — the
+    * censoring-correct churn/retention estimator: per group, at each
+    * time where ≥ 1 event (churn) occurred,
+    * `S(t) = Π_{s ≤ t} (1 − d_s / n_s)` with `d_s` = events at `s` and
+    * `n_s` = subjects still at risk (duration ≥ s, churned OR censored —
+    * the point of KM: a user still active at the observation edge is not
+    * a churn, but is evidence of survival).
+    *
+    * Input is SUBJECT-LEVEL: one row per subject with `durationCol`
+    * (integer-ish time-to-end) and boolean `eventCol` (true = the end
+    * was an event, false = censored). Null durations are excluded.
+    *
+    * Determinism: `d`/`n` are exact integers; each `S(t)` is a
+    * time-ascending left fold `((1·f₁)·f₂)…` of `1 − d/n` doubles —
+    * fixed order, replayed by the oracle's `list_prepend(1.0, …)` fold.
+    *
+    * Scale shape: subjects collapse to per-(group, t) counts in one
+    * map-side-combined shuffle; the at-risk counts are a DESC running
+    * sum over that (group × distinct-times)-sized table; the survival
+    * fold runs over each group's EVENT-time array — so distinct event
+    * times per group must be modest (bucket durations to days/weeks
+    * upstream; curves with millions of distinct times are plots nobody
+    * reads). Output: `(groupCols…, t, n_risk, n_events, survival)`. */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String], durationCol: String,
+                  eventCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    val reserved = Seq("_t", "_ends", "_a", "_x", "t", "n_risk", "n_events",
+      "survival")
+    require(!df.columns.exists(c => reserved.contains(c) &&
+      !groupCols.contains(c) && c != durationCol && c != eventCol),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    val gcols = groupCols.map(col)
+    val perT = df
+      .filter(col(durationCol).isNotNull)
+      .groupBy(gcols :+ col(durationCol).cast("long").as("_t"): _*)
+      .agg(count(lit(1)).as("_ends"),
+        sum(when(col(eventCol), 1L).otherwise(0L)).as("n_events"))
+    val wDesc = Window.partitionBy(gcols: _*).orderBy(col("_t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = perT
+      .withColumn("n_risk", sum(col("_ends")).over(wDesc))
+      .filter(col("n_events") > 0L)
+    val folded = ev
+      .groupBy(gcols: _*)
+      .agg(sort_array(collect_list(struct(col("_t"), col("n_events"),
+        col("n_risk")))).as("_a"))
+      .select(gcols :+ explode(aggregate(col("_a"),
+        array().cast(
+          "array<struct<t:bigint,n_events:bigint,n_risk:bigint,survival:double>>"),
+        (acc, x) => concat(acc, array(struct(
+          x("_t").as("t"), x("n_events").as("n_events"),
+          x("n_risk").as("n_risk"),
+          (when(size(acc) === 0, lit(1.0))
+            .otherwise(element_at(acc, size(acc))("survival")) *
+            (lit(1.0) - x("n_events").cast("double")
+              / x("n_risk").cast("double"))).as("survival"))))))
+        .as("_x"): _*)
+    folded.select(gcols ++ Seq(col("_x.t").as("t"),
+      col("_x.n_risk").as("n_risk"), col("_x.n_events").as("n_events"),
+      col("_x.survival").as("survival")): _*)
+  }
 }

@@ -92,4 +92,30 @@ class RetentionSpec extends SparkFunSuite {
       u2.getAs[Long]("streak_start") == 20L,
       "equal lengths must pick the later streak, deterministically")
   }
+
+  test("kaplanMeier: textbook small cohort — censoring feeds n_risk, not d") {
+    // the classic worked example: durations (event?) =
+    // 1(+), 2(+), 3(censored), 4(+), 5(censored), 5(+)
+    val df = Seq(
+      ("g", 1L, true), ("g", 2L, true), ("g", 3L, false),
+      ("g", 4L, true), ("g", 5L, false), ("g", 5L, true),
+      // a second group to pin group isolation
+      ("h", 1L, true), ("h", 2L, false)
+    ).toDF("grp", "dur", "ev")
+    val got = Retention.kaplanMeier(df, Seq("grp"), "dur", "ev")
+      .orderBy("grp", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val s1 = 1.0 * (1.0 - 1.0 / 6.0)
+    val s2 = s1 * (1.0 - 1.0 / 5.0)
+    val s4 = s2 * (1.0 - 1.0 / 3.0)  // t=3 censored: no row, but n_risk drops
+    val s5 = s4 * (1.0 - 1.0 / 2.0)  // d=1 of 2 at risk (censored 5 counts)
+    assert(got == Seq(
+      ("g", 1L, 6L, 1L, s1), ("g", 2L, 5L, 1L, s2),
+      ("g", 4L, 3L, 1L, s4), ("g", 5L, 2L, 1L, s5),
+      ("h", 1L, 2L, 1L, 0.5)))
+    intercept[IllegalArgumentException] {
+      Retention.kaplanMeier(df, Seq.empty, "dur", "ev")
+    }
+  }
 }
