@@ -1485,6 +1485,20 @@ object SparkEntry {
           "event_type", 3, tieBreak = Seq("event_id"))
         .orderBy("path")
     }),
+    // Mann-Whitney U on the q176 experiment's per-user revenue (exact
+    // DECIMAL metric so both engines rank identical value groups):
+    // midranks on doubled integers, full tie correction, one result row.
+    "q187_mann_whitney" -> ((s, dir) => {
+      val arm = when(substring(md5(concat(col("user_id").cast("string"),
+        lit(":ab"))), 1, 1) < "8", lit("control")).otherwise(lit("treatment"))
+      val units = Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(col("value").cast("decimal(18,6)"),
+          lit(0L).cast("decimal(18,6)"))).as("y"))
+        .withColumn("arm", arm)
+      Experiment.mannWhitney(units, "arm", "y", "control", "treatment")
+    }),
     // Kaplan-Meier churn curves per event type: subject = (type, user),
     // duration = last-activity day, churned iff the last day precedes the
     // observation edge (Jan 26) — later users are CENSORED, feeding the
@@ -4472,6 +4486,44 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q187: identical md5 arms and exact decimal metric, the SAME
+    // doubled-midrank integers, tie term, and fixed-order z chain
+    // (big sums through the VARCHAR route)
+    "q187_mann_whitney" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1) < '8'
+        |              THEN 'control' ELSE 'treatment' END AS arm,
+        |    user_id,
+        |    sum(coalesce(CAST(value AS DECIMAL(18,6)),
+        |                 CAST(0 AS DECIMAL(18,6)))) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM u GROUP BY 1),
+        |r AS (SELECT v, c, b,
+        |    CAST(coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      AS BIGINT) AS rmin
+        |  FROM c),
+        |t AS (SELECT
+        |    CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(b) AS VARCHAR) AS DOUBLE) AS nb,
+        |    CAST(CAST(sum(CAST(b AS HUGEINT)
+        |      * CAST(2 * rmin + c - 1 AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS r2b,
+        |    CAST(CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+        |        * CAST(c AS HUGEINT) - CAST(c AS HUGEINT)) AS VARCHAR)
+        |      AS DOUBLE) AS ties
+        |  FROM r),
+        |k AS (SELECT n, nb, n - nb AS na,
+        |    (r2b - nb * (nb + 1.0)) / 2.0 AS u_b, ties FROM t),
+        |z AS (SELECT *,
+        |    ((n - nb) * nb / 12.0) * ((n + 1.0) - ties / (n * (n - 1.0))) AS variance
+        |  FROM k)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  u_b, u_b / (na * nb) AS auc_b,
+        |  CASE WHEN variance <= 0.0 OR na = 0.0 OR nb = 0.0 THEN NULL
+        |       ELSE (u_b - na * nb / 2.0) / sqrt(variance) END AS z
+        |FROM z""".stripMargin,
     // q186: identical subject derivation and exact d/n counts; each
     // survival is the SAME ascending left fold via list_prepend(1.0, …)
     "q186_kaplan_meier" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** A/B experiment readout: per-arm conversion with defensible intervals
@@ -137,5 +138,62 @@ object Experiment {
         when(denom === 0.0, meanY)
           .otherwise(meanY - ((gn * gsxy - gsx * gsy) / denom) *
             (meanX - gsx / gn)).as("adjusted_mean"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
+    * nonparametric companion to [[cupedAdjust]]'s mean-based readout:
+    * does arm B's metric STOCHASTICALLY dominate arm A's, robust to the
+    * heavy-tailed revenue distributions where t-tests lie. Exact
+    * midrank arithmetic on DOUBLED ranks (ties stay integers, the
+    * [[Classifier.rankAuc]] device), `U_B = R_B − n_B(n_B+1)/2`, the
+    * common-language effect size `auc_b = U_B / (n_A·n_B)` (P(B > A) +
+    * ½P(tie)), and the normal-approximation z with the full tie
+    * correction `σ² = n_A n_B/12 · (N+1 − Σ(t³−t)/(N(N−1)))`. All
+    * counts/rank sums accumulate in decimal(38,0); the z chain is
+    * fixed-order doubles. Zero variance (every value tied) nulls `z`.
+    *
+    * `valueCol` must be an EXACTLY-comparable type for cross-engine
+    * runs (integers/decimals — the rank groups by value); unit-level
+    * input as in [[cupedAdjust]].
+    *
+    * Scale shape: units collapse to per-distinct-value counts in one
+    * map-side-combined shuffle; the rank window runs over the DISTINCT
+    * VALUE table (metric-cardinality sized, the [[Classifier.rankAuc]]
+    * shape), and everything after is a single-row aggregate. */
+  def mannWhitney(df: DataFrame, armCol: String, valueCol: String,
+                  armA: String, armB: String): DataFrame = {
+    require(armA != armB, "the two arms must differ")
+    val d38 = "decimal(38,0)"
+    val cnt = df
+      .filter(col(armCol).isin(armA, armB) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"),
+        sum(when(col(armCol) === armB, 1L).otherwise(0L)).as("_b"))
+    val w = Window.orderBy(col("_v"))
+    // doubled midrank of a tie-run starting at rmin with c members:
+    // 2·mid = 2·rmin + (c − 1) — an exact integer
+    val ranked = cnt.withColumn("_rmin",
+      coalesce(sum(col("_c")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)) + 1L)
+    val tot = ranked.agg(
+      sum(col("_c")).cast(d38).as("_n"),
+      sum(col("_b")).cast(d38).as("_nb"),
+      sum(col("_b").cast(d38) *
+        (lit(2L) * col("_rmin") + col("_c") - 1L).cast(d38)).as("_2rb"),
+      sum(col("_c").cast(d38) * col("_c").cast(d38) * col("_c").cast(d38)
+        - col("_c").cast(d38)).as("_ties"))
+    def dbl(c: Column): Column = c.cast("double")
+    val n = dbl(col("_n")); val nb = dbl(col("_nb"))
+    val na = n - nb
+    // U_B = R_B − n_B(n_B+1)/2, from the doubled rank sum
+    val u = (dbl(col("_2rb")) - nb * (nb + lit(1.0))) / lit(2.0)
+    val variance = (na * nb / lit(12.0)) *
+      ((n + lit(1.0)) - dbl(col("_ties")) / (n * (n - lit(1.0))))
+    tot.select(
+      na.cast("long").as("n_a"), nb.cast("long").as("n_b"),
+      u.as("u_b"),
+      (u / (na * nb)).as("auc_b"),
+      when(variance <= 0.0 || na === 0.0 || nb === 0.0, lit(null))
+        .otherwise((u - na * nb / lit(2.0)) / sqrt(variance)).as("z"))
   }
 }

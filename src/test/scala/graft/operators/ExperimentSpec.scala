@@ -97,4 +97,28 @@ class ExperimentSpec extends SparkFunSuite {
       .orderBy("arm").collect()
     assert(w(0).getLong(1) == 1, "null metric row must not count")
   }
+
+  test("mannWhitney: hand-replayed midranks, tie correction, degenerate null z") {
+    // a: {1, 2, 3}; b: {3, 4, 5} — one tie at 3
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 3L), ("b", 4L), ("b", 5L), ("c", 99L)).toDF("arm", "v")
+    val r = Experiment.mannWhitney(df, "arm", "v", "a", "b").collect().head
+    // midranks: 1→1, 2→2, {3,3}→3.5, 4→5, 5→6; R_b = 3.5+5+6 = 14.5
+    val u = 14.5 - 3.0 * 4.0 / 2.0 // = 8.5
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == u)
+    assert(r.getDouble(3) == u / 9.0)
+    val n = 6.0
+    val ties = 2.0 * 2.0 * 2.0 - 2.0 // one run of 2
+    val variance = (3.0 * 3.0 / 12.0) * ((n + 1.0) - ties / (n * (n - 1.0)))
+    assert(r.getDouble(4) == (u - 4.5) / math.sqrt(variance))
+    // arm "c" is ignored entirely; all-tied values null the z
+    val allTied = Seq(("a", 7L), ("a", 7L), ("b", 7L)).toDF("arm", "v")
+    val t = Experiment.mannWhitney(allTied, "arm", "v", "a", "b").collect().head
+    assert(t.getDouble(3) == 0.5 && t.isNullAt(4),
+      "complete ties: AUC ½ by midrank, no variance for a z")
+    intercept[IllegalArgumentException] {
+      Experiment.mannWhitney(df, "arm", "v", "a", "a")
+    }
+  }
 }
