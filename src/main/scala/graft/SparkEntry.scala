@@ -1485,6 +1485,17 @@ object SparkEntry {
           "event_type", 3, tieBreak = Seq("event_id"))
         .orderBy("path")
     }),
+    // Sample-ratio-mismatch health check on the q176 experiment: the md5
+    // split declares exactly 50/50 (8 of 16 first-hex values), the
+    // chi-square verdict says whether observed arm sizes are consistent.
+    "q188_srm_check" -> ((s, dir) => {
+      val arm = when(substring(md5(concat(col("user_id").cast("string"),
+        lit(":ab"))), 1, 1) < "8", lit("control")).otherwise(lit("treatment"))
+      Experiment.srmCheck(
+          Tables(s, dir).events.select(col("user_id"), arm.as("arm")),
+          "arm", "user_id", Seq("control" -> 0.5, "treatment" -> 0.5))
+        .orderBy("arm")
+    }),
     // Mann-Whitney U on the q176 experiment's per-user revenue (exact
     // DECIMAL metric so both engines rank identical value groups):
     // midranks on doubled integers, full tie correction, one result row.
@@ -4486,6 +4497,34 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q188: identical md5 arms, distinct-user counts, arm-ordered
+    // chi-square fold with the declared 0.5 literals
+    "q188_srm_check" ->
+      """WITH u AS (SELECT DISTINCT
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1) < '8'
+        |         THEN 'control' ELSE 'treatment' END AS arm, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |o AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users FROM u GROUP BY 1),
+        |s AS (SELECT arm, frac_expected FROM (VALUES
+        |    ('control', 0.5e0), ('treatment', 0.5e0)) v(arm, frac_expected)),
+        |j AS (SELECT s.arm, CAST(coalesce(o.n_users, 0) AS BIGINT) AS n_users,
+        |    s.frac_expected
+        |  FROM s LEFT JOIN o ON o.arm = s.arm),
+        |t AS (SELECT *, CAST(sum(n_users) OVER () AS BIGINT) AS n FROM j),
+        |terms AS (SELECT arm, n_users, frac_expected, n,
+        |    (CAST(n_users AS DOUBLE) - CAST(n AS DOUBLE) * frac_expected)
+        |      * (CAST(n_users AS DOUBLE) - CAST(n AS DOUBLE) * frac_expected)
+        |      / (CAST(n AS DOUBLE) * frac_expected) AS term
+        |  FROM t),
+        |c AS (SELECT n, CASE WHEN n = 0 THEN 0.0 ELSE
+        |    list_reduce(list_prepend(0.0, list(term ORDER BY arm)),
+        |      (a, b) -> a + b) END AS chi2_total
+        |  FROM terms GROUP BY n)
+        |SELECT tm.arm, tm.n_users,
+        |  CASE WHEN tm.n = 0 THEN 0.0
+        |       ELSE CAST(tm.n_users AS DOUBLE) / CAST(tm.n AS DOUBLE) END AS frac_obs,
+        |  tm.frac_expected, c.chi2_total
+        |FROM terms tm CROSS JOIN c ORDER BY tm.arm""".stripMargin,
     // q187: identical md5 arms and exact decimal metric, the SAME
     // doubled-midrank integers, tie term, and fixed-order z chain
     // (big sums through the VARCHAR route)

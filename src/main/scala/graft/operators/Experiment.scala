@@ -140,6 +140,68 @@ object Experiment {
             (meanX - gsx / gn)).as("adjusted_mean"))
   }
 
+  /** Sample-ratio-mismatch (SRM) check — the first thing to run on ANY
+    * experiment readout: do the observed arm sizes match the DECLARED
+    * assignment ratios? A significant mismatch means the assignment or
+    * logging pipeline is broken and every downstream metric is suspect
+    * (the standard pre-analysis gate, e.g. Fabijan et al. KDD'19).
+    * χ² = Σ (obs − n·exp)² / (n·exp) over the declared arms, on
+    * distinct-user counts.
+    *
+    * `expected` declares (arm, fraction); fractions must sum to 1 within
+    * 1e-9 and every OBSERVED arm must be declared (an undeclared arm in
+    * the data is itself an assignment bug — fail loudly, 1-row bounded
+    * check). Determinism: counts are exact integers, the declared
+    * fractions are plan literals, and χ² folds its terms in arm-name
+    * order ([[Audit.benfordDigits]]'s shape).
+    *
+    * Output per declared arm: `(arm, n_users, frac_obs, frac_expected,
+    * chi2_total)` — the scalar verdict repeated per row. Degrees of
+    * freedom = arms − 1 (the caller's lookup; for 2 arms χ² > 3.84 is
+    * p < 0.05). */
+  def srmCheck(df: DataFrame, armCol: String, userCol: String,
+               expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.size >= 2, "declare at least two arms")
+    require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      s"expected fractions must sum to 1, got ${expected.map(_._2).sum}")
+    require(expected.forall(_._2 > 0.0), "every declared fraction must be > 0")
+    val obs = df
+      .filter(col(userCol).isNotNull)
+      .groupBy(col(armCol).as("arm"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+      .localCheckpoint(false)
+    val declared = expected.map(_._1).toSet
+    val undeclared = obs.filter(!col("arm").isin(expected.map(_._1): _*))
+      .limit(1).collect()
+    require(undeclared.isEmpty,
+      s"observed arm '${undeclared.headOption.map(_.getString(0)).getOrElse("")}' " +
+        s"is not declared in ${declared.mkString("{", ", ", "}")} — " +
+        "assignment is emitting arms the design does not know")
+    import df.sparkSession.implicits._
+    val spine = expected.toDF("arm", "frac_expected")
+    val joined = spine.join(obs, Seq("arm"), "left")
+      .select(col("arm"), coalesce(col("n_users"), lit(0L)).as("n_users"),
+        col("frac_expected"))
+      .localCheckpoint(false)
+    val totals = joined
+      .agg(sum(col("n_users")).as("_n"),
+        sort_array(collect_list(struct(col("arm"), col("n_users"),
+          col("frac_expected")))).as("_terms"))
+      .select(col("_n"),
+        when(col("_n") === 0L, lit(0.0)).otherwise(
+          aggregate(col("_terms"), lit(0.0), (acc, t) => {
+            val e = col("_n").cast("double") * t("frac_expected")
+            acc + (t("n_users").cast("double") - e) *
+              (t("n_users").cast("double") - e) / e
+          })).as("chi2_total"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("arm"), col("n_users"),
+        when(col("_n") === 0L, lit(0.0))
+          .otherwise(col("n_users").cast("double") / col("_n").cast("double"))
+          .as("frac_obs"),
+        col("frac_expected"), col("chi2_total"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
     * nonparametric companion to [[cupedAdjust]]'s mean-based readout:
     * does arm B's metric STOCHASTICALLY dominate arm A's, robust to the

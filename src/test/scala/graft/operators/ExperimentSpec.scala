@@ -121,4 +121,28 @@ class ExperimentSpec extends SparkFunSuite {
       Experiment.mannWhitney(df, "arm", "v", "a", "a")
     }
   }
+
+  test("srmCheck: hand chi2, zero-user declared arm kept, undeclared arm throws") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 3L)).toDF("arm", "u")
+    val got = Experiment.srmCheck(df, "arm", "u",
+        Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .orderBy("arm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(4))).toSeq
+    // distinct users: a=2, b=1, c=0; n=3; exp = 1.5, 0.75, 0.75
+    var chi2 = 0.0
+    for ((o, e) <- Seq((2.0, 1.5), (1.0, 0.75), (0.0, 0.75)))
+      chi2 = chi2 + (o - e) * (o - e) / e
+    assert(got == Seq(("a", 2L, 2.0 / 3.0, chi2), ("b", 1L, 1.0 / 3.0, chi2),
+      ("c", 0L, 0.0, chi2)))
+    intercept[IllegalArgumentException] {
+      Experiment.srmCheck(df, "arm", "u", Seq("a" -> 1.0)) // one arm
+    }
+    intercept[IllegalArgumentException] {
+      Experiment.srmCheck(df, "arm", "u", Seq("a" -> 0.5, "x" -> 0.5)) // b undeclared
+    }
+    intercept[IllegalArgumentException] {
+      Experiment.srmCheck(df, "arm", "u", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }
