@@ -1485,6 +1485,28 @@ object SparkEntry {
           "event_type", 3, tieBreak = Seq("event_id"))
         .orderBy("path")
     }),
+    // Composition: experiment readout on an ORDERED funnel conversion —
+    // a user converts iff some purchase strictly follows their first
+    // view (q170's conditional-min shape), the arm is the q176 md5
+    // split, and the verdict is abReport's Wilson/pooled-z machinery.
+    // The "did the treatment move funnel completion" question end-to-end.
+    "q189_funnel_experiment" -> ((s, dir) => {
+      val arm = when(substring(md5(concat(col("user_id").cast("string"),
+        lit(":ab"))), 1, 1) < "8", lit("control")).otherwise(lit("treatment"))
+      val units = Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view",
+            unix_micros(col("ts")))).as("_v"),
+          max(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("_p"))
+        .select(col("user_id"), arm.as("arm"),
+          (col("_v").isNotNull && col("_p").isNotNull &&
+            col("_p") > col("_v")).as("converted"))
+      Experiment.abReport(units, "arm", "user_id", "converted", "control")
+        .orderBy("arm")
+    }),
     // Sample-ratio-mismatch health check on the q176 experiment: the md5
     // split declares exactly 50/50 (8 of 16 first-hex values), the
     // chi-square verdict says whether observed arm sizes are consistent.
@@ -4496,6 +4518,46 @@ object SparkEntry {
          |  FROM votes)
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
+    },
+    // q189: the q170 conditional-min conversion + the q176 Wilson/z
+    // chain verbatim (same z/z² doubles)
+    "q189_funnel_experiment" -> {
+      val z = 1.96
+      val z2 = z * z
+      s"""WITH per AS (SELECT user_id,
+         |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+         |    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |u AS (SELECT
+         |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1) < '8'
+         |         THEN 'control' ELSE 'treatment' END AS arm, user_id,
+         |    CASE WHEN v IS NOT NULL AND p IS NOT NULL AND p > v
+         |         THEN 1 ELSE 0 END AS c
+         |  FROM per),
+         |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(c) AS BIGINT) AS n_converted FROM u GROUP BY 1),
+         |ctrl AS (SELECT n_users AS cn, n_converted AS cc FROM a WHERE arm = 'control'),
+         |j AS (SELECT a.*, ctrl.cn, ctrl.cc,
+         |    CAST(n_users AS DOUBLE) AS nd,
+         |    CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+         |    CAST(cc AS DOUBLE) / CAST(cn AS DOUBLE) AS cp,
+         |    CAST(n_converted + cc AS DOUBLE) / CAST(n_users + cn AS DOUBLE) AS pooled
+         |  FROM a CROSS JOIN ctrl),
+         |k AS (SELECT *,
+         |    1.0 + $z2 / nd AS denom,
+         |    sqrt(pooled * (1.0 - pooled) * (1.0 / nd + 1.0 / CAST(cn AS DOUBLE))) AS se
+         |  FROM j)
+         |SELECT arm, n_users, n_converted, p AS rate,
+         |  greatest(0.0, (p + $z2 / (2.0 * nd)) / denom
+         |    - ($z / denom) * sqrt(p * (1.0 - p) / nd + $z2 / (4.0 * nd * nd)))
+         |    AS wilson_lo,
+         |  least(1.0, (p + $z2 / (2.0 * nd)) / denom
+         |    + ($z / denom) * sqrt(p * (1.0 - p) / nd + $z2 / (4.0 * nd * nd)))
+         |    AS wilson_hi,
+         |  CASE WHEN arm = 'control' THEN NULL ELSE p - cp END AS lift_vs_control,
+         |  CASE WHEN arm = 'control' OR se = 0.0 THEN NULL
+         |       ELSE (p - cp) / se END AS z_stat
+         |FROM k ORDER BY arm""".stripMargin
     },
     // q188: identical md5 arms, distinct-user counts, arm-ordered
     // chi-square fold with the declared 0.5 literals
