@@ -1507,6 +1507,22 @@ object SparkEntry {
       Experiment.abReport(units, "arm", "user_id", "converted", "control")
         .orderBy("arm")
     }),
+    // PageRank over the q175 co-supplier graph (both orientations —
+    // undirected PageRank), 3 rounds of EXACT integer fixed-point
+    // (rank units of 1e-12, floor divisions everywhere): supplier
+    // importance by shared-order connectivity, replayed integer-for-
+    // integer by the oracle's unrolled rounds.
+    "q190_pagerank" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("src"))
+        .join(li.select(col("ok"), col("sk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      Graph.pageRank(edges, "src", "dst", iters = 3).orderBy("node")
+    }),
     // Sample-ratio-mismatch health check on the q176 experiment: the md5
     // split declares exactly 50/50 (8 of 16 first-hex values), the
     // chi-square verdict says whether observed arm sizes are consistent.
@@ -4518,6 +4534,39 @@ object SparkEntry {
          |  FROM votes)
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
+    },
+    // q190: identical graph build, then the SAME integer fixed-point
+    // rounds unrolled as CTEs — every division a non-negative floor
+    // divide (`div` ≡ `//`), so the replay is integer-for-integer
+    "q190_pagerank" -> {
+      val S = graft.operators.Graph.RankScale
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""i$i AS (SELECT e.d AS node, CAST(sum(r._r // o.od) AS BIGINT) AS infl
+           |  FROM e JOIN $prev r ON r.node = e.s JOIN od o ON o.s = e.s
+           |  GROUP BY e.d),
+           |g$i AS (SELECT CAST(coalesce(sum(r._r), 0) AS BIGINT) AS dmass
+           |  FROM $prev r LEFT JOIN od o ON o.s = r.node WHERE o.s IS NULL),
+           |r$i AS (SELECT nd.node,
+           |    CAST((15 * $S) // (100 * nn.n)
+           |      + (85 * (coalesce(i.infl, 0) + g.dmass // nn.n)) // 100
+           |      AS BIGINT) AS _r
+           |  FROM nodes nd CROSS JOIN nn CROSS JOIN g$i g
+           |  LEFT JOIN i$i i ON i.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem WHERE l_orderkey % 20 = 0),
+         |e AS (SELECT DISTINCT a.sk AS s, b.sk AS d
+         |  FROM li a JOIN li b ON a.ok = b.ok WHERE a.sk <> b.sk),
+         |nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |od AS (SELECT s, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY s),
+         |r0 AS (SELECT node, CAST($S // nn.n AS BIGINT) AS _r
+         |  FROM nodes CROSS JOIN nn),
+         |$rounds
+         |SELECT node, r._r AS rank_e12,
+         |  CAST(r._r AS DOUBLE) / 1e12 AS pagerank
+         |FROM r3 r ORDER BY node""".stripMargin
     },
     // q189: the q170 conditional-min conversion + the q176 Wilson/z
     // chain verbatim (same z/z² doubles)

@@ -127,4 +127,96 @@ object Graph {
         s"kCore did not converge in $maxIters rounds — raise maxIters")
     degrees
   }
+
+  /** Fixed-point rank scale of [[pageRank]]: ranks are carried as exact
+    * integers in units of 10⁻¹², so a rank of 1.0 (all the mass on one
+    * node) is `1e12`. */
+  val RankScale: Long = 1000000000000L
+
+  /** PageRank (Brin & Page 1998) over a DIRECTED edge list, computed in
+    * EXACT integer fixed-point so two engines replaying the same rounds
+    * agree bit-for-bit — no float accumulation order anywhere.
+    *
+    * Arithmetic contract (every step is integer, every division an
+    * integral floor-divide of non-negative operands, so truncation ==
+    * floor and both Spark's `div` and DuckDB's `//` implement it):
+    *   - ranks live in micro⁻²-units of [[RankScale]] (10⁻¹²);
+    *     `r₀ = RankScale div n` for every node;
+    *   - a node of out-degree d sends `r div d` along each out-edge
+    *     (the ≤ d floor remainder is retired, deterministically);
+    *   - dangling mass D (ranks of nodes with no out-edges) is
+    *     redistributed uniformly as `D div n` per node;
+    *   - update: `r' = (1−α)·RankScale div n  +  α·(inflow + D div n)`
+    *     with α = `dampNum/dampDen` applied as
+    *     `(dampNum · x) div dampDen` — default 85/100.
+    * Floor retirement means total mass shrinks by ≤ (m + 2n) units of
+    * 10⁻¹² per round — invisible at double precision, and identical on
+    * every replay. Runs a FIXED `iters` rounds (no convergence probe):
+    * bounded, deterministic, oracle-replayable.
+    *
+    * Cleaning: null endpoints and self-loops dropped, parallel edges
+    * collapsed (simple-graph PageRank). Undirected graphs: pass both
+    * orientations.
+    *
+    * Output: `(node, rank_e12, pagerank)` for EVERY node — `rank_e12`
+    * the exact integer, `pagerank` its double rendering (one exact
+    * cast + one division; rank_e12 < 2⁵³ so the cast is exact).
+    *
+    * Scale shape: per round, ONE shuffle join of ranks against the edge
+    * list on the source key + one map-side-combined inflow sum on the
+    * destination key + a 1-row dangling-mass aggregate (the only
+    * driver-side value, the bounded-collect convention of
+    * [[graft.operators.Coreset]]); ranks are localCheckpoint'd per
+    * round so lineage stays flat. A hub destination is just a heavy
+    * reduce key — partial aggregation absorbs it map-side. The edge
+    * table is checkpointed once and reused by all rounds. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, dampNum: Long = 85L,
+               dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
+    val reserved = Seq("_s", "_d", "_od", "_r", "_in", "node")
+    require(!edges.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    val e = edges
+      .select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull &&
+        col("_s") =!= col("_d"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("_s").as("node"))
+      .union(e.select(col("_d").as("node")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0L)
+      return nodes.select(col("node"), lit(0L).as("rank_e12"),
+        lit(0.0).as("pagerank"))
+    val outdeg = e.groupBy(col("_s")).agg(count(lit(1)).as("_od"))
+      .localCheckpoint(true)
+    val tele = ((dampDen - dampNum) * RankScale) / (dampDen * n)
+    var r = nodes.select(col("node"), lit(RankScale / n).as("_r"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      // dangling mass: 1-row bounded aggregate (empty sum → 0)
+      val dang = r.join(outdeg.withColumnRenamed("_s", "node"),
+          Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("_r")), lit(0L)))
+        .collect()(0).getLong(0)
+      val dangShare = dang / n
+      val inflow = e
+        .join(r.withColumnRenamed("node", "_s"), Seq("_s"))
+        .join(outdeg, Seq("_s"))
+        .select(col("_d"), expr("_r div _od").as("_share"))
+        .groupBy(col("_d")).agg(sum(col("_share")).as("_in"))
+      r = nodes
+        .join(inflow.withColumnRenamed("_d", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(tele) +
+            expr(s"($dampNum * (coalesce(_in, 0L) + $dangShare)) div $dampDen")
+          ).as("_r"))
+        .localCheckpoint(false)
+    }
+    r.select(col("node"), col("_r").as("rank_e12"),
+      (col("_r").cast("double") / lit(RankScale.toDouble)).as("pagerank"))
+  }
 }

@@ -58,4 +58,65 @@ class GraphSpec extends SparkFunSuite {
       Graph.triangleCounts(edges.withColumnRenamed("a", "_u"), "_u", "b")
     }
   }
+
+  test("pageRank: 3-cycle is an exact integer fixed point") {
+    // a→b→c→a: r0 = 1e12 div 3 = 333333333333; each round computes
+    // tele + 85·r div 100 = 50000000000 + 283333333333 = r0 again —
+    // the floor arithmetic lands exactly on the stationary point
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val got = Graph.pageRank(edges, "s", "d", iters = 4)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 333333333333L, 0.333333333333),
+      (2L, 333333333333L, 0.333333333333),
+      (3L, 333333333333L, 0.333333333333)))
+  }
+
+  test("pageRank: dangling mass redistributes — hand-replayed round") {
+    // a→b, a→c with b, c dangling (n = 3). Hand replay of round 1:
+    //   r0 = 333333333333 each; dangling D = r(b)+r(c) = 666666666666,
+    //   D div 3 = 222222222222; a sends r0 div 2 = 166666666666 to each;
+    //   tele = (15·1e12) div 300 = 50000000000
+    //   r1(a) = tele + 85·(0 + 222222222222) div 100 = 238888888888
+    //   r1(b) = r1(c) = tele + 85·(166666666666 + 222222222222) div 100
+    //         = 380555555554
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("s", "d")
+    val got = Graph.pageRank(edges, "s", "d", iters = 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 238888888888L, 2L -> 380555555554L,
+      3L -> 380555555554L))
+    // floor retirement: total mass stays within (m + 2n) units of 1e12
+    val total = got.map(_._2).sum
+    assert(total <= 1000000000000L && total >= 1000000000000L - 8L)
+  }
+
+  test("pageRank: cleaning, guards, and mass conservation over rounds") {
+    // self-loops dropped, parallel edges collapsed, nulls dropped
+    val raw = Seq((Some(1L), Some(2L)), (Some(1L), Some(2L)),
+      (Some(2L), Some(2L)), (None, Some(9L)), (Some(2L), Some(1L)))
+      .toDF("s", "d")
+    val got = Graph.pageRank(raw, "s", "d", iters = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the cleaned graph is the symmetric pair 1↔2: exact fixed point at
+    // 1e12 div 2 each (tele = 75000000000; 75e9 + 85·5e11 div 100 = 5e11)
+    assert(got == Seq(1L -> 500000000000L, 2L -> 500000000000L))
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(raw, "s", "d", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(raw, "s", "d", iters = 1, dampNum = 101L)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(raw.withColumnRenamed("s", "_s"), "_s", "d")
+    }
+    // a bigger asymmetric graph: mass conserved to within (m + 2n)
+    // floor-retired units per round
+    val big = (1L to 30L).flatMap(i => Seq((i, i % 30 + 1), (i, (i * 7) % 30 + 1)))
+      .toDF("s", "d")
+    val ranks = Graph.pageRank(big, "s", "d", iters = 3)
+      .collect().map(_.getLong(1))
+    val tot = ranks.sum
+    assert(tot <= 1000000000000L && tot > 1000000000000L - 3L * (60L + 60L),
+      s"mass $tot drifted more than floor retirement allows")
+  }
 }
