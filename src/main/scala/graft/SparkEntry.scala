@@ -1523,6 +1523,16 @@ object SparkEntry {
         .select("src", "dst")
       Graph.pageRank(edges, "src", "dst", iters = 3).orderBy("node")
     }),
+    // Are order priority and order status associated? Pearson χ² of
+    // independence over the full 5×3 grid (zero cells still contribute
+    // their expected mass) + Cramér's V effect size; exact integer
+    // marginals, one decimal(38,0)→double conversion per cell, (a,b)-
+    // ordered fold.
+    "q191_chi2_independence" -> ((s, dir) => {
+      Profile.chiSquareIndependence(Tables(s, dir).orders,
+          "o_orderpriority", "o_orderstatus")
+        .orderBy("val_a", "val_b")
+    }),
     // Sample-ratio-mismatch health check on the q176 experiment: the md5
     // split declares exactly 50/50 (8 of 16 first-hex values), the
     // chi-square verdict says whether observed arm sizes are consistent.
@@ -4535,6 +4545,37 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q191: identical grid/marginals, HUGEINT product through the
+    // VARCHAR→DOUBLE lane, identical (a,b)-ordered list_reduce fold
+    "q191_chi2_independence" ->
+      """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+        |nd AS (SELECT (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) FROM cells) AS n,
+        |    (SELECT count(*) FROM rt) AS r, (SELECT count(*) FROM ct) AS c),
+        |grid AS (SELECT rt.a, ct.b, CAST(coalesce(cells.o, 0) AS BIGINT) AS n_obs,
+        |    CAST(CAST(CAST(rt.ra AS HUGEINT) * ct.cb AS VARCHAR) AS DOUBLE)
+        |      / CAST(nd.n AS DOUBLE) AS expected
+        |  FROM rt CROSS JOIN ct CROSS JOIN nd
+        |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+        |terms AS (SELECT *,
+        |    (CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected)
+        |      / expected AS term
+        |  FROM grid),
+        |v AS (SELECT list_reduce(list_prepend(0.0,
+        |      list(term ORDER BY a, b)), (x, y) -> x + y) AS chi2_total
+        |  FROM terms)
+        |SELECT g.a AS val_a, g.b AS val_b, g.n_obs, g.expected,
+        |  v.chi2_total, CAST((nd.r - 1) * (nd.c - 1) AS BIGINT) AS dof,
+        |  CASE WHEN (nd.r - 1) * (nd.c - 1) = 0 THEN 0.0
+        |       ELSE sqrt(v.chi2_total / (CAST(nd.n AS DOUBLE)
+        |         * CAST(least(nd.r - 1, nd.c - 1) AS DOUBLE))) END AS cramers_v
+        |FROM grid g CROSS JOIN v CROSS JOIN nd
+        |ORDER BY val_a, val_b""".stripMargin,
     // q190: identical graph build, then the SAME integer fixed-point
     // rounds unrolled as CTEs — every division a non-negative floor
     // divide (`div` ≡ `//`), so the replay is integer-for-integer

@@ -527,4 +527,73 @@ object Profile {
         (sum(col("_v")).cast("double") / max(col("_tot")).cast("double"))
           .as("share"))
   }
+
+  /** Pearson χ² test of independence between two LOW-CARDINALITY
+    * categorical columns, plus Cramér's V effect size — the "are these
+    * two dimensions associated" screen of exploratory profiling (the
+    * general-contingency sibling of
+    * [[graft.operators.Experiment.srmCheck]]'s goodness-of-fit χ²).
+    *
+    * Every zero-observation cell of the FULL |A|×|B| grid still
+    * contributes its expected mass to χ² (term = E there) — dropping
+    * empty cells is the classic wrong implementation. NULL category
+    * values are excluded (a null is "absent", not a level). Expected
+    * counts `E = R·C/N` come from the exact integer marginals via ONE
+    * correctly-rounded decimal(38,0)→double conversion (valid for
+    * N < 10⁹ rows per test — beyond that R·C² products leave the exact
+    * range), and χ² folds its |A|·|B| per-cell doubles in (a, b) sorted
+    * order — the [[graft.operators.Audit.benfordDigits]] fixed-order
+    * fold, so replays are bit-identical. `cramers_v =
+    * √(χ²/(N·min(r−1, c−1)))`, 0.0 for a degenerate 1×c / r×1 table.
+    *
+    * Output: one row per grid cell `(val_a, val_b, n_obs, expected)`
+    * with the scalar verdict `(chi2_total, dof, cramers_v)` repeated
+    * per row (the per-digit convention of [[Audit.benfordDigits]]).
+    *
+    * Scale shape: the table collapses to |A|·|B| cell counts in ONE
+    * map-side-combined aggregation; marginals, the grid spine
+    * (key-sized cross join), and the sorted fold are all
+    * vocabulary-sized — a 100 TB fact tests at the cost of one scan. */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+      .localCheckpoint(false) // cell-count sized; marginals + grid read it
+    val rowT = cells.groupBy("_a").agg(sum(col("_o")).as("_ra"))
+    val colT = cells.groupBy("_b").agg(sum(col("_o")).as("_cb"))
+    val nDims = rowT.agg(sum(col("_ra")).as("_n"), count(lit(1)).as("_r"))
+      .crossJoin(broadcast(colT.agg(count(lit(1)).as("_c"))))
+    val grid = rowT.crossJoin(colT)
+      .join(cells, Seq("_a", "_b"), "left")
+      .crossJoin(broadcast(nDims))
+      .select(col("_a"), col("_b"),
+        coalesce(col("_o"), lit(0L)).as("n_obs"),
+        ((col("_ra").cast("decimal(19,0)") * col("_cb").cast("decimal(19,0)"))
+          .cast("double") / col("_n").cast("double")).as("expected"),
+        col("_n"), col("_r"), col("_c"))
+      .localCheckpoint(false) // grid-sized; per-cell output + fold read it
+    val verdict = grid
+      .agg(first(col("_n")).as("_n"), first(col("_r")).as("_r"),
+        first(col("_c")).as("_c"),
+        sort_array(collect_list(struct(col("_a"), col("_b"), col("n_obs"),
+          col("expected")))).as("_cells"))
+      .select(col("_n"), col("_r"), col("_c"),
+        aggregate(col("_cells"), lit(0.0), (acc, t) =>
+          acc + (t("n_obs").cast("double") - t("expected")) *
+            (t("n_obs").cast("double") - t("expected")) / t("expected"))
+          .as("chi2_total"))
+      .select(col("_n"), col("chi2_total"),
+        ((col("_r") - 1) * (col("_c") - 1)).as("dof"),
+        least(col("_r") - 1, col("_c") - 1).as("_mindim"))
+      .select(col("chi2_total"), col("dof"),
+        when(col("dof") === 0L, lit(0.0))
+          .otherwise(sqrt(col("chi2_total") /
+            (col("_n").cast("double") * col("_mindim").cast("double"))))
+          .as("cramers_v"))
+    grid.select(col("_a").as("val_a"), col("_b").as("val_b"),
+        col("n_obs"), col("expected"))
+      .crossJoin(broadcast(verdict))
+  }
 }

@@ -275,4 +275,55 @@ class ProfileSpec extends SparkFunSuite {
       .map(r => (r.getString(0), r.getAs[Long]("n_keys"))).toSeq
     assert(got.head == ("A", 1L))
   }
+
+  test("chiSquareIndependence: textbook 2x2 table, zero cells count") {
+    // classic 2x2: O = [[10, 20], [30, 40]], N = 100
+    // E = [[12, 18], [28, 42]]; chi2 = 4/12 + 4/18 + 4/28 + 4/42
+    //    = 0.7936507936507937; dof = 1; V = sqrt(chi2/100)
+    val rows = Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(30)(("y", "u")) ++ Seq.fill(40)(("y", "v"))
+    val got = Profile.chiSquareIndependence(rows.toDF("a", "b"), "a", "b")
+      .orderBy("val_a", "val_b").collect()
+    assert(got.length == 4)
+    val chi2 = got.head.getAs[Double]("chi2_total")
+    val expected = 4.0 / 12 + 4.0 / 18 + 4.0 / 28 + 4.0 / 42
+    assert(chi2 == expected)
+    assert(got.head.getAs[Long]("dof") == 1L)
+    assert(got.head.getAs[Double]("cramers_v") == math.sqrt(expected / 100.0))
+    assert(got.map(r => (r.getString(0), r.getString(1),
+      r.getAs[Long]("n_obs"), r.getAs[Double]("expected"))).toSeq ==
+      Seq(("x", "u", 10L, 12.0), ("x", "v", 20L, 18.0),
+        ("y", "u", 30L, 28.0), ("y", "v", 40L, 42.0)))
+    // a grid cell with NO observations still contributes E to chi2:
+    // drop (y, u) entirely -> cell (y,u) has n_obs 0 but expected > 0
+    val sparse = rows.filterNot(t => t == ("y", "u"))
+    val g2 = Profile.chiSquareIndependence(sparse.toDF("a", "b"), "a", "b")
+      .orderBy("val_a", "val_b").collect()
+    val zc = g2.find(r => r.getString(0) == "y" && r.getString(1) == "u").get
+    assert(zc.getAs[Long]("n_obs") == 0L && zc.getAs[Double]("expected") > 0.0)
+    // perfectly independent table -> chi2 exactly 0
+    val ind = Seq.fill(6)(("x", "u")) ++ Seq.fill(6)(("x", "v")) ++
+      Seq.fill(6)(("y", "u")) ++ Seq.fill(6)(("y", "v"))
+    val g3 = Profile.chiSquareIndependence(ind.toDF("a", "b"), "a", "b")
+      .collect()
+    assert(g3.head.getAs[Double]("chi2_total") == 0.0)
+  }
+
+  test("chiSquareIndependence: degenerate 1-level column, nulls excluded") {
+    val df = Seq(Some("x") -> Some("u"), Some("x") -> Some("v"),
+      Some("x") -> Some("u"), None -> Some("u"), Some("x") -> None)
+      .map { case (a, b) => (a.orNull, b.orNull) }.toDF("a", "b")
+    val got = Profile.chiSquareIndependence(df, "a", "b")
+      .orderBy("val_a", "val_b").collect()
+    // one row level: dof = 0, V defined as 0.0 (not NaN), 2 cells
+    assert(got.length == 2)
+    assert(got.head.getAs[Long]("dof") == 0L)
+    assert(got.head.getAs[Double]("cramers_v") == 0.0)
+    // null-keyed rows were excluded: N = 3
+    assert(got.map(_.getAs[Long]("n_obs")).sum == 3L)
+    // empty input -> empty output, no NaN row
+    val empty = Profile.chiSquareIndependence(
+      df.filter($"a" === "never"), "a", "b")
+    assert(empty.count() == 0L)
+  }
 }
