@@ -1533,6 +1533,17 @@ object SparkEntry {
           "o_orderpriority", "o_orderstatus")
         .orderBy("val_a", "val_b")
     }),
+    // Current smoothed event rate per type: hourly counts folded through
+    // the exact integer EWMA (alpha = 1/4, micro-unit floor steps) — the
+    // control-chart level a monitor compares fresh hours against.
+    "q192_ewma_level" -> ((s, dir) => {
+      val hourly = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_events"))
+      Trend.ewmaLevel(hourly, Seq("event_type"), "bucket", "n_events")
+        .orderBy("event_type")
+    }),
     // Sample-ratio-mismatch health check on the q176 experiment: the md5
     // split declares exactly 50/50 (8 of 16 first-hex values), the
     // chi-square verdict says whether observed arm sizes are consistent.
@@ -4545,6 +4556,19 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q192: identical hourly grain, identical integer fold — DuckDB's
+    // list_reduce seeds with the first element exactly as the Spark
+    // side's element_at(…, 1) seed; (x + 3s) // 4 is the same floor
+    "q192_ewma_level" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS v6
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_periods,
+        |  CAST(list_reduce(list(v6 ORDER BY bucket),
+        |    (s, x) -> (1 * x + 3 * s) // 4) AS BIGINT) AS ewma_e6,
+        |  CAST(list_reduce(list(v6 ORDER BY bucket),
+        |    (s, x) -> (1 * x + 3 * s) // 4) AS DOUBLE) / 1e6 AS ewma
+        |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q191: identical grid/marginals, HUGEINT product through the
     // VARCHAR→DOUBLE lane, identical (a,b)-ordered list_reduce fold
     "q191_chi2_independence" ->

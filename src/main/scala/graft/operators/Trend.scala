@@ -105,4 +105,59 @@ object Trend {
     sums.select(keys ++ Seq(col("n"), mean.as("mean_value"),
       sqrt(greatest(lit(0.0), ex2 - mean * mean)).as("stddev_value")): _*)
   }
+
+  /** Exponentially-weighted moving-average LEVEL per group — the
+    * "current smoothed rate" a monitoring pipeline tracks per slice
+    * (Hunter 1986, the EWMA control-chart statistic): fold the series
+    * in `orderCol` order through `s ← (αNum·x + (αDen−αNum)·s) div
+    * αDen`, seeded at the first observation, in EXACT integer
+    * micro-units — every step one multiply-add and one integral floor
+    * divide, so replays are integer-for-integer and there is no float
+    * accumulation anywhere.
+    *
+    * Contract: `valueCol` must be NON-NEGATIVE integers (counts, the
+    * chart's native unit — then truncating `div` ≡ floor `//` across
+    * engines; negative values are rejected loudly, not silently
+    * floored differently per engine). `orderCol` must be unique within
+    * a group (a bucketed series is, by construction). Values are
+    * scaled ×10⁶ before folding so the floor retains 6 fractional
+    * digits of the level; counts must stay < ~9·10⁸ so `αDen·s` fits a
+    * long.
+    *
+    * The fold runs over a per-group sorted array — sized by the
+    * series' BUCKET domain (hours, days), not the data: aggregate your
+    * 100 TB to the (group, bucket) grain first (one map-side-combined
+    * shuffle), then this is vocabulary-sized work.
+    *
+    * Output per group: `(…group, n_periods, ewma_e6, ewma)`. */
+  def ewmaLevel(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                valueCol: String, alphaNum: Long = 1L,
+                alphaDen: Long = 4L): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    require(alphaNum > 0 && alphaNum <= alphaDen,
+      s"alpha $alphaNum/$alphaDen must be a fraction in (0, 1]")
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def idiv(a: Column, b: Column): Column = GraftColumnBridge.column(
+      IntegralDivide(GraftColumnBridge.expression(a),
+        GraftColumnBridge.expression(b)))
+    val v6 = (col(valueCol).cast("long") * lit(1000000L)).as("_v")
+    val filtered = df.filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+    val step = (s: Column, x: Column) =>
+      idiv(lit(alphaNum) * x + lit(alphaDen - alphaNum) * s, lit(alphaDen))
+    filtered
+      .select(groupCols.map(col) ++ Seq(col(orderCol).as("_o"),
+        assert_true(col(valueCol) >= 0,
+          lit(s"ewmaLevel: negative $valueCol")).as("_guard"), v6): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_periods"),
+        sort_array(collect_list(struct(col("_o"), col("_v")))).as("_arr"),
+        first(col("_guard")).as("_g"))
+      .select(groupCols.map(col) ++ Seq(col("n_periods"),
+        aggregate(
+          slice(col("_arr"), lit(2), greatest(size(col("_arr")) - 1, lit(0))),
+          element_at(col("_arr"), 1)("_v"),
+          (s, t) => step(s, t("_v"))).as("ewma_e6")): _*)
+      .withColumn("ewma", col("ewma_e6").cast("double") / lit(1.0e6))
+  }
 }

@@ -61,4 +61,41 @@ class TrendSpec extends SparkFunSuite {
       Trend.seasonalProfile(df, Seq.empty, "hour", "v")
     }
   }
+
+  test("ewmaLevel: hand-replayed integer fold, seed, floor steps") {
+    // alpha = 1/4: s' = (x + 3s) div 4 in micro-units, seeded at x0
+    //   s0 = 4e6; s1 = (8e6 + 12e6)/4 = 5e6; s2 = 15e6/4 = 3750000;
+    //   s3 = (16e6 + 11250000)/4 = 6812500  → ewma 6.8125
+    val df = Seq(("a", 1L, 4L), ("a", 2L, 8L), ("a", 3L, 0L),
+      ("a", 4L, 16L), ("b", 1L, 7L)).toDF("g", "t", "v")
+    val got = Trend.ewmaLevel(df, Seq("g"), "t", "v")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(("a", 4L, 6812500L, 6.8125),
+      ("b", 1L, 7000000L, 7.0)))
+    // out-of-order input folds in orderCol order, not arrival order
+    val shuffled = Trend.ewmaLevel(
+      df.orderBy($"v".desc).repartition(3), Seq("g"), "t", "v")
+      .orderBy("g").collect().map(_.getLong(2)).toSeq
+    assert(shuffled == Seq(6812500L, 7000000L))
+    // floor is exact: 1 then 0 → (0 + 3e6) div 4 = 750000
+    val tiny = Trend.ewmaLevel(Seq(("a", 1L, 1L), ("a", 2L, 0L))
+      .toDF("g", "t", "v"), Seq("g"), "t", "v")
+    assert(tiny.head.getAs[Long]("ewma_e6") == 750000L)
+  }
+
+  test("ewmaLevel: negative values rejected loudly, bad alpha rejected") {
+    val df = Seq(("a", 1L, -3L)).toDF("g", "t", "v")
+    val e = intercept[Exception] {
+      Trend.ewmaLevel(df, Seq("g"), "t", "v").collect()
+    }
+    assert(e.getMessage != null)
+    intercept[IllegalArgumentException] {
+      Trend.ewmaLevel(df, Seq("g"), "t", "v", alphaNum = 5L, alphaDen = 4L)
+    }
+    intercept[IllegalArgumentException] {
+      Trend.ewmaLevel(df, Seq.empty, "t", "v")
+    }
+  }
 }
