@@ -1544,6 +1544,21 @@ object SparkEntry {
       Trend.ewmaLevel(hourly, Seq("event_type"), "bucket", "n_events")
         .orderBy("event_type")
     }),
+    // Correlogram of daily event volume per type: Pearson ACF at lags
+    // 1..7 over index-aligned day pairs (a calendar gap DROPS straddling
+    // pairs — never correlates across it), exact micro-unit sufficient
+    // sums, trendFit's fixed-order double closed form.
+    "q193_autocorrelation" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")).cast("double") / 86400000000.0)
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      Trend.autocorrelation(daily, Seq("event_type"), "day", "n_events",
+          maxLag = 7)
+        .orderBy("event_type", "lag")
+    }),
     // Sample-ratio-mismatch health check on the q176 experiment: the md5
     // split declares exactly 50/50 (8 of 16 first-hex values), the
     // chi-square verdict says whether observed arm sizes are consistent.
@@ -4556,6 +4571,35 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q193: identical day grain (q163's epoch-day floor), identical
+    // index-aligned lag join and HUGEINT sufficient sums through the
+    // VARCHAR→DOUBLE lane, same fixed-order closed form
+    "q193_autocorrelation" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS vi
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT l.event_type, lg.lag, l.vi AS x, r.vi AS y
+        |  FROM d l
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) lg
+        |  JOIN d r ON r.event_type = l.event_type AND r.day = l.day + lg.lag),
+        |s AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(count(*) AS DOUBLE) AS n_d,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) / 1e6 AS sx,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) / 1e12 AS sxx,
+        |    CAST(CAST(sum(CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) / 1e6 AS sy,
+        |    CAST(CAST(sum(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) / 1e12 AS syy,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) / 1e12 AS sxy
+        |  FROM p GROUP BY 1, 2),
+        |k AS (SELECT event_type, lag, n_pairs,
+        |    n_d * sxy - sx * sy AS num,
+        |    n_d * sxx - sx * sx AS denx,
+        |    n_d * syy - sy * sy AS deny
+        |  FROM s)
+        |SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
+        |  CASE WHEN denx = 0 OR deny = 0 THEN NULL
+        |       ELSE num / (sqrt(denx) * sqrt(deny)) END AS acf
+        |FROM k ORDER BY event_type, lag""".stripMargin,
     // q192: identical hourly grain, identical integer fold — DuckDB's
     // list_reduce seeds with the first element exactly as the Spark
     // side's element_at(…, 1) seed; (x + 3s) // 4 is the same floor

@@ -160,4 +160,68 @@ object Trend {
           (s, t) => step(s, t("_v"))).as("ewma_e6")): _*)
       .withColumn("ewma", col("ewma_e6").cast("double") / lit(1.0e6))
   }
+
+  /** Sample autocorrelation of a bucketed series at lags 1..`maxLag`
+    * (Box & Jenkins' correlogram — the seasonality/memory screen run
+    * before fitting any forecast): per (group, lag), the PEARSON
+    * correlation of the aligned pairs `(v[t], v[t+lag])` over every t
+    * where BOTH buckets exist. Alignment is by the integer index
+    * `idxCol` (day number, hour number), not by row adjacency — a gap
+    * in the series drops the pairs that straddle it instead of
+    * silently correlating across it (the lead()-window shortcut gets
+    * this wrong).
+    *
+    * Determinism is [[trendFit]]'s contract verbatim: values ride the
+    * exact decimal(18,6) micro-unit lane, the six sufficient sums per
+    * (group, lag) accumulate exactly in decimal(38,0), and the closed
+    * form combines them in fixed-order doubles — `r = (n·Σxy − Σx·Σy)
+    * / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))`, null when either side
+    * is constant (zero variance ⇒ correlation undefined, not NaN).
+    * Same bounds as trendFit: |v| ≤ 10⁹ supports ~10⁸ pairs per cell.
+    *
+    * Scale shape: aggregate to the (group, idx) grain FIRST (the
+    * caller's one map-side-combined shuffle over the raw table); this
+    * operator then explodes each series row into `maxLag` probes and
+    * self-joins on (group, idx+lag) — one shuffle join sized
+    * maxLag·|series|, then ONE aggregation to six sums per (group,
+    * lag). Never a window, never driver-side. */
+  def autocorrelation(df: DataFrame, groupCols: Seq[String], idxCol: String,
+                      valueCol: String, maxLag: Int = 7): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    require(maxLag >= 1, s"maxLag ($maxLag) must be >= 1")
+    val d19 = "decimal(19,0)"
+    val vi = (col(valueCol).cast("decimal(18,6)") * lit(1000000L)).cast(d19)
+    val base = df.filter(col(idxCol).isNotNull && col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++
+        Seq(col(idxCol).cast("long").as("_i"), vi.as("_vi")): _*)
+      .localCheckpoint(false) // both sides of the lag self-join read it
+    val probes = base
+      .withColumn("lag", explode(array((1 to maxLag).map(lit(_)): _*)))
+      .withColumn("_j", col("_i") + col("lag"))
+    val pairs = probes.alias("l")
+      .join(base.alias("r"),
+        groupCols.map(c => col(s"l.$c") === col(s"r.$c"))
+          .reduce(_ && _) && col("l._j") === col("r._i"))
+      .select(groupCols.map(c => col(s"l.$c")) ++ Seq(col("l.lag"),
+        col("l._vi").as("_x"), col("r._vi").as("_y")): _*)
+    val sums = pairs
+      .groupBy(groupCols.map(col) :+ col("lag"): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_x")).as("_sxi"), sum(col("_x") * col("_x")).as("_sxxi"),
+        sum(col("_y")).as("_syi"), sum(col("_y") * col("_y")).as("_syyi"),
+        sum(col("_x") * col("_y")).as("_sxyi"))
+    def dbl(c: String): Column = col(c).cast("double")
+    val nD = col("n_pairs").cast("double")
+    val sx = dbl("_sxi") / lit(1.0e6)
+    val sy = dbl("_syi") / lit(1.0e6)
+    val sxx = dbl("_sxxi") / lit(1.0e12)
+    val syy = dbl("_syyi") / lit(1.0e12)
+    val sxy = dbl("_sxyi") / lit(1.0e12)
+    val num = nD * sxy - sx * sy
+    val denX = nD * sxx - sx * sx
+    val denY = nD * syy - sy * sy
+    sums.select(groupCols.map(col) ++ Seq(col("lag"), col("n_pairs"),
+      when(col("n_pairs") === 0L || denX === 0.0 || denY === 0.0, lit(null))
+        .otherwise(num / (sqrt(denX) * sqrt(denY))).as("acf")): _*)
+  }
 }

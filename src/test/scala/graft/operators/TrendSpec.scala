@@ -85,6 +85,48 @@ class TrendSpec extends SparkFunSuite {
     assert(tiny.head.getAs[Long]("ewma_e6") == 750000L)
   }
 
+  test("autocorrelation: hand-computed lag-1 r on a linear series") {
+    // series 1,2,3,4 at days 1-4: lag-1 pairs x=[1,2,3], y=[2,3,4]
+    // num = 3·20−6·9 = 6; denX = 3·14−36 = 6; denY = 3·29−81 = 6
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 3.0),
+      ("g", 4L, 4.0)).toDF("g", "day", "v")
+    val got = Trend.autocorrelation(df, Seq("g"), "day", "v", maxLag = 2)
+      .orderBy("lag").collect()
+    assert(got.map(r => (r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1, 3L), (2, 2L)))
+    val want1 = 6.0 / (math.sqrt(6.0) * math.sqrt(6.0))
+    assert(got(0).getAs[Double]("acf") == want1)
+    // lag 2: x=[1,2], y=[3,4]: num = 2·11−3·7 = 1; den = 2·5−9 = 1 each
+    assert(got(1).getAs[Double]("acf") == 1.0)
+    // alternating series has negative lag-1 autocorrelation
+    val alt = Seq(("g", 1L, 1.0), ("g", 2L, 5.0), ("g", 3L, 1.0),
+      ("g", 4L, 5.0)).toDF("g", "day", "v")
+    val a1 = Trend.autocorrelation(alt, Seq("g"), "day", "v", maxLag = 1)
+      .head.getAs[Double]("acf")
+    assert(a1 < 0.0, s"alternating series must anticorrelate: $a1")
+  }
+
+  test("autocorrelation: gaps drop straddling pairs; constant series null") {
+    // days 1, 2, 4: lag-1 pairs only (d1,d2) — day 3 is missing, so
+    // (d2,·) and (·,d4) must NOT pair across the gap
+    val df = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 4L, 9.0))
+      .toDF("g", "day", "v")
+    val got = Trend.autocorrelation(df, Seq("g"), "day", "v", maxLag = 3)
+      .orderBy("lag").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.isNullAt(3))).toSeq
+    // lag1: 1 pair (degenerate → null acf); lag2: (d2,d4) 1 pair;
+    // lag3: (d1,d4) 1 pair; single-pair cells are constant → null
+    assert(got == Seq((1, 1L, true), (2, 1L, true), (3, 1L, true)))
+    val const = Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 5.0))
+      .toDF("g", "day", "v")
+    val c = Trend.autocorrelation(const, Seq("g"), "day", "v", maxLag = 1)
+      .head
+    assert(c.isNullAt(3), "zero variance ⇒ null, never NaN")
+    intercept[IllegalArgumentException] {
+      Trend.autocorrelation(df, Seq("g"), "day", "v", maxLag = 0)
+    }
+  }
+
   test("ewmaLevel: negative values rejected loudly, bad alpha rejected") {
     val df = Seq(("a", 1L, -3L)).toDF("g", "t", "v")
     val e = intercept[Exception] {
