@@ -1559,6 +1559,26 @@ object SparkEntry {
           maxLag = 7)
         .orderBy("event_type", "lag")
     }),
+    // Hop distance to the nearest landmark supplier (every 10th key)
+    // over the co-supplier graph — bounded BFS, min-hop by first-seen
+    // construction; the oracle recomputes levels via a deduplicating
+    // recursive CTE.
+    "q194_bfs_hops" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("src"))
+        .join(li.select(col("ok"), col("sk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      val landmarks = Tables(s, dir).supplier
+        .filter(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey"))
+      Graph.bfsHops(edges, "src", "dst", landmarks, "s_suppkey",
+          maxHops = 4)
+        .orderBy("node")
+    }),
     // Sample-ratio-mismatch health check on the q176 experiment: the md5
     // split declares exactly 50/50 (8 of 16 first-hex values), the
     // chi-square verdict says whether observed arm sizes are consistent.
@@ -4571,6 +4591,22 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q194: identical graph + landmarks; levels via a DEDUPLICATING
+    // recursive CTE (UNION, not UNION ALL — (node, hops) states are
+    // finite; path enumeration would explode on cycles), min per node
+    "q194_bfs_hops" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT DISTINCT a.sk AS s, b.sk AS d
+        |  FROM li a JOIN li b ON a.ok = b.ok WHERE a.sk <> b.sk),
+        |src AS (SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 10 = 0),
+        |walk(node, hops) AS (
+        |  SELECT node, 0 FROM src
+        |  UNION
+        |  SELECT e.d, w.hops + 1 FROM walk w JOIN e ON e.s = w.node
+        |  WHERE w.hops < 4)
+        |SELECT node, CAST(min(hops) AS INTEGER) AS hops
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
     // q193: identical day grain (q163's epoch-day floor), identical
     // index-aligned lag join and HUGEINT sufficient sums through the
     // VARCHAR→DOUBLE lane, same fixed-order closed form

@@ -219,4 +219,57 @@ object Graph {
     r.select(col("node"), col("_r").as("rank_e12"),
       (col("_r").cast("double") / lit(RankScale.toDouble)).as("pagerank"))
   }
+
+  /** Breadth-first hop distance from a LANDMARK set over a directed
+    * edge list, bounded at `maxHops` — the graph-feature primitive
+    * ("distance to nearest seed/spam node/hub") and the building block
+    * of landmark-based shortest-path estimation (Potamias et al.,
+    * CIKM'09). Returns `(node, hops)` for every node reachable within
+    * `maxHops`: sources at 0 (emitted even if isolated — a landmark is
+    * at distance 0 from itself by definition), and otherwise the
+    * MINIMUM hop count, guaranteed by construction: a node joins the
+    * frontier the first round it is seen and is anti-joined away from
+    * all later rounds.
+    *
+    * Per round: frontier ⋈ edges on the source key (shuffle join),
+    * distinct, anti-join against the visited set, union — all
+    * node-keyed, map-side combinable, lazily checkpointed so lineage
+    * stays flat ([[kCore]]'s loop discipline). Rounds are bounded by
+    * `maxHops` with an early exit on an empty frontier (1-row probe).
+    * The visited set grows to at most |V| rows — node-sized, never
+    * edge-sized. Null endpoints are dropped; parallel edges collapse;
+    * self-loops are harmless (a visited node never re-enters). */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              sources: DataFrame, sourceCol: String,
+              maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 0, s"maxHops ($maxHops) must be >= 0")
+    val e = edges
+      .select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull)
+      .distinct().localCheckpoint(true)
+    var visited = sources
+      .select(col(sourceCol).as("node")).filter(col("node").isNotNull)
+      .distinct()
+      .select(col("node"), lit(0).as("hops"))
+      .localCheckpoint(false)
+    var frontier = visited
+    var h = 0
+    var done = maxHops == 0
+    while (!done) {
+      h += 1
+      val next = frontier
+        .join(e.withColumnRenamed("_s", "node"), Seq("node"))
+        .select(col("_d").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("hops"))
+        .localCheckpoint(false)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint(false)
+        frontier = next
+        if (h >= maxHops) done = true
+      }
+    }
+    visited
+  }
 }

@@ -59,6 +59,36 @@ class GraphSpec extends SparkFunSuite {
     }
   }
 
+  test("bfsHops: levels, min-hop on a diamond, bound, isolated landmark") {
+    // path 1→2→3→4→5 plus diamond 1→6, 1→7, 6→8, 7→8; landmark 9 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (1L, 6L), (1L, 7L), (6L, 8L), (7L, 8L)).toDF("s", "d")
+    val src = Seq(1L, 9L).toDF("n")
+    val got = Graph.bfsHops(edges, "s", "d", src, "n", maxHops = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // node 8 reachable two ways, recorded ONCE at its min level 2;
+    // node 4 is at hops 3 — beyond the bound, absent
+    assert(got == Seq(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 1, 7L -> 1,
+      8L -> 2, 9L -> 0))
+    // maxHops 0: landmarks only
+    assert(Graph.bfsHops(edges, "s", "d", src, "n", maxHops = 0)
+      .count() == 2)
+    // direction matters: 2→1 only does not make 2 reachable FROM 1
+    val rev = Seq((2L, 1L)).toDF("s", "d")
+    val g2 = Graph.bfsHops(rev, "s", "d", Seq(1L).toDF("n"), "n", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(g2 == Seq(1L -> 0))
+    // a cycle terminates early (frontier empties once all visited)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val g3 = Graph.bfsHops(cyc, "s", "d", Seq(1L).toDF("n"), "n", 50)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(g3 == Seq(1L -> 0, 2L -> 1, 3L -> 2))
+    intercept[IllegalArgumentException] {
+      Graph.bfsHops(cyc, "s", "d", src, "n", maxHops = -1)
+    }
+  }
+
   test("pageRank: 3-cycle is an exact integer fixed point") {
     // a→b→c→a: r0 = 1e12 div 3 = 333333333333; each round computes
     // tele + 85·r div 100 = 50000000000 + 283333333333 = r0 again —
