@@ -1579,6 +1579,20 @@ object SparkEntry {
           maxHops = 4)
         .orderBy("node")
     }),
+    // Do well-connected suppliers share orders with other
+    // well-connected suppliers? Newman degree assortativity of the
+    // co-supplier graph — exact integer degree sums, one-row verdict.
+    "q195_assortativity" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("a"))
+        .join(li.select(col("ok"), col("sk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+      Graph.degreeAssortativity(edges, "a", "b")
+    }),
     // Sample-ratio-mismatch health check on the q176 experiment: the md5
     // split declares exactly 50/50 (8 of 16 first-hex values), the
     // chi-square verdict says whether observed arm sizes are consistent.
@@ -4591,6 +4605,31 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q195: identical symmetric edge convention, HUGEINT sums through
+    // the VARCHAR→DOUBLE lane, same M·Σxy − (Σx)² closed form
+    "q195_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT DISTINCT least(a.sk, b.sk) AS u, greatest(a.sk, b.sk) AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok WHERE a.sk < b.sk),
+        |both_dir AS (SELECT u AS s, v AS d FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT s AS n, CAST(count(*) AS BIGINT) AS dg
+        |  FROM both_dir GROUP BY s),
+        |pairs AS (SELECT dx.dg AS x, dy.dg AS y
+        |  FROM both_dir b JOIN deg dx ON dx.n = b.s JOIN deg dy ON dy.n = b.d),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |    CAST(count(*) AS DOUBLE) AS m_d,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM pairs),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT nn.n_nodes, CAST(s.m2 // 2 AS BIGINT) AS m_edges,
+        |  CASE WHEN s.m2 = 0 OR m_d * sxx - sx * sx = 0 THEN NULL
+        |       ELSE (m_d * sxy - sx * sx) / (m_d * sxx - sx * sx)
+        |  END AS assortativity
+        |FROM s CROSS JOIN nn""".stripMargin,
     // q194: identical graph + landmarks; levels via a DEDUPLICATING
     // recursive CTE (UNION, not UNION ALL — (node, hops) states are
     // finite; path enumeration would explode on cycles), min per node

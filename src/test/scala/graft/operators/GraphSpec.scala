@@ -89,6 +89,25 @@ class GraphSpec extends SparkFunSuite {
     }
   }
 
+  test("degreeAssortativity: hand-computed values, regular-graph null") {
+    // star K1,3 is perfectly disassortative: r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val s = Graph.degreeAssortativity(star, "a", "b").head
+    assert((s.getLong(0), s.getLong(1), s.getDouble(2)) == ((4L, 3L, -1.0)))
+    // triangle + pendant: M=8, Σx=18, Σxx=44, Σxy=38 → r = -20/28
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    val t = Graph.degreeAssortativity(tri, "a", "b").head
+    assert(t.getDouble(2) == -20.0 / 28.0)
+    // a cycle is regular — zero degree variance, null (not NaN)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    assert(Graph.degreeAssortativity(cyc, "a", "b").head.isNullAt(2))
+    // cleaning: dup/reversed edges collapse, self-loops drop
+    val messy = Seq((0L, 1L), (1L, 0L), (0L, 1L), (0L, 0L), (0L, 2L),
+      (0L, 3L)).toDF("a", "b")
+    val m = Graph.degreeAssortativity(messy, "a", "b").head
+    assert((m.getLong(1), m.getDouble(2)) == ((3L, -1.0)))
+  }
+
   test("pageRank: 3-cycle is an exact integer fixed point") {
     // a→b→c→a: r0 = 1e12 div 3 = 333333333333; each round computes
     // tele + 85·r div 100 = 50000000000 + 283333333333 = r0 again —
