@@ -1593,6 +1593,21 @@ object SparkEntry {
         .select("a", "b")
       Graph.degreeAssortativity(edges, "a", "b")
     }),
+    // Sorted-neighborhood candidate generation (the merge/purge window)
+    // composed with the Fellegi–Sunter field-agreement scorer: records
+    // adjacent in text order pair up within a 4-wide rank window —
+    // equality blocking's complement for near-miss keys, (w−1)·n
+    // candidates by construction.
+    "q196_sorted_neighborhood" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val pairs = Linkage.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 4)
+      val scored = Linkage.scoreFieldAgreement(
+        pairs.select("id_a", "id_b"), docs, "doc_id",
+        Seq("lang" -> 0.6, "source" -> 0.4))
+      pairs.join(scored, Seq("id_a", "id_b"))
+        .orderBy("id_a", "id_b")
+    }),
     // Sample-ratio-mismatch health check on the q176 experiment: the md5
     // split declares exactly 50/50 (8 of 16 first-hex values), the
     // chi-square verdict says whether observed arm sizes are consistent.
@@ -4605,6 +4620,24 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q196: identical (text, id) total order via row_number, identical
+    // gap join and null-safe agreement weights in fold order
+    "q196_sorted_neighborhood" ->
+      """WITH r AS (SELECT doc_id AS id, text AS k FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |rk AS (SELECT id, row_number() OVER (ORDER BY k, id) AS rnk FROM r),
+        |g AS (SELECT unnest(generate_series(1, 3)) AS rank_gap),
+        |p AS (SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+        |    g.rank_gap
+        |  FROM rk a CROSS JOIN g JOIN rk b ON b.rnk = a.rnk + g.rank_gap)
+        |SELECT p.id_a, p.id_b, CAST(p.rank_gap AS INTEGER) AS rank_gap,
+        |  (CASE WHEN da.lang IS NOT DISTINCT FROM db.lang
+        |        THEN 0.6 ELSE 0.0 END
+        |   + CASE WHEN da.source IS NOT DISTINCT FROM db.source
+        |          THEN 0.4 ELSE 0.0 END) AS score
+        |FROM p JOIN documents da ON da.doc_id = p.id_a
+        |JOIN documents db ON db.doc_id = p.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
     // q195: identical symmetric edge convention, HUGEINT sums through
     // the VARCHAR→DOUBLE lane, same M·Σxy − (Σx)² closed form
     "q195_assortativity" ->

@@ -82,4 +82,39 @@ class LinkageSpec extends SparkFunSuite {
         "id", clusters, Seq("phone"))
     }
   }
+
+  test("sortedNeighborhoodPairs: window pairs in key order, gaps, near-miss") {
+    // key order: ann(3) < bob(1) < smith(2) < smyth(4) < zoe(5)
+    val df = Seq((1L, "bob"), (2L, "smith"), (3L, "ann"), (4L, "smyth"),
+      (5L, "zoe")).toDF("id", "name")
+    val got = Linkage.sortedNeighborhoodPairs(df, "id", "name", window = 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // rank order 3,1,2,4,5: gap-1 pairs (3,1)(1,2)(2,4)(4,5);
+    // gap-2 pairs (3,2)(1,4)(2,5) — smith/smyth meet (equality
+    // blocking on the name would never pair them)
+    assert(got == Seq((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 2), (2L, 3L, 2),
+      (2L, 4L, 1), (2L, 5L, 2), (4L, 5L, 1)))
+    // window 2 on n rows = exactly n-1 consecutive pairs, all gap 1
+    val many = (1L to 100L).map(i => (i, f"k${(i * 37) % 100}%03d"))
+      .toDF("id", "name")
+    val w2 = Linkage.sortedNeighborhoodPairs(many, "id", "name", window = 2)
+      .collect()
+    assert(w2.length == 99 && w2.forall(_.getInt(2) == 1))
+    // tie keys fall back to id order deterministically
+    val ties = Seq((7L, "x"), (3L, "x"), (5L, "x")).toDF("id", "name")
+    val tg = Linkage.sortedNeighborhoodPairs(ties, "id", "name", window = 2)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tg == Seq((3L, 5L), (5L, 7L)))
+    // null keys/ids excluded; window guard
+    val withNull = Seq((Some(1L), Some("a")), (Some(2L), None),
+      (None, Some("b"))).map { case (i, k) => (i.map(long2Long).orNull, k.orNull) }
+      .toDF("id", "name")
+    assert(Linkage.sortedNeighborhoodPairs(withNull, "id", "name", 2)
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      Linkage.sortedNeighborhoodPairs(df, "id", "name", window = 1)
+    }
+  }
 }
