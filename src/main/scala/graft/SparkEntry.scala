@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Experiment, Graph, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis, Trend}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis, Trend}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1607,6 +1607,15 @@ object SparkEntry {
         Seq("lang" -> 0.6, "source" -> 0.4))
       pairs.join(scored, Seq("id_a", "id_b"))
         .orderBy("id_a", "id_b")
+    }),
+    // Leakage-aware categorical encoder: each order's priority becomes
+    // the mean total price of the OTHER orders sharing it (leave-one-
+    // out — plain mean encoding leaks the row's own label); exact
+    // decimal sums, vocabulary-sized broadcast back onto the fact rows.
+    "q197_target_encode_loo" -> ((s, dir) => {
+      Features.targetEncodeLoo(Tables(s, dir).orders, "o_orderkey",
+          "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
     }),
     // Sample-ratio-mismatch health check on the q176 experiment: the md5
     // split declares exactly 50/50 (8 of 16 first-hex values), the
@@ -4620,6 +4629,21 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q197: identical micro-unit target, exact HUGEINT leave-one-out
+    // numerator through the VARCHAR→DOUBLE lane, same division order
+    "q197_target_encode_loo" ->
+      """WITH d AS (SELECT o_orderkey AS id, o_orderpriority AS c,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yi
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |g AS (SELECT c, CAST(sum(yi) AS HUGEINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY c)
+        |SELECT d.id AS o_orderkey, d.c AS category,
+        |  CASE WHEN g.n <= 1 THEN NULL
+        |       ELSE CAST(CAST(g.s - d.yi AS VARCHAR) AS DOUBLE) / 1e6
+        |         / CAST(g.n - 1 AS DOUBLE) END AS loo_mean
+        |FROM d JOIN g ON g.c = d.c ORDER BY o_orderkey""".stripMargin,
     // q196: identical (text, id) total order via row_number, identical
     // gap join and null-safe agreement weights in fold order
     "q196_sorted_neighborhood" ->
