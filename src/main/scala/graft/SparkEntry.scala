@@ -1617,6 +1617,14 @@ object SparkEntry {
           "o_orderpriority", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    // Collinearity screen over lineitem's numeric columns: all six
+    // Pearson pairs from ONE aggregation over ONE scan — exact
+    // micro-unit sufficient sums, pairwise deletion, null on constants.
+    "q198_correlation_matrix" -> ((s, dir) => {
+      Profile.correlationMatrix(Tables(s, dir).lineitem,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
+    }),
     // Sample-ratio-mismatch health check on the q176 experiment: the md5
     // split declares exactly 50/50 (8 of 16 first-hex values), the
     // chi-square verdict says whether observed arm sizes are consistent.
@@ -4628,6 +4636,35 @@ object SparkEntry {
          |  FROM votes)
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
+    },
+    // q198: per-pair subqueries over the same micro-unit sums, HUGEINT
+    // through the VARCHAR→DOUBLE lane, same fixed-order closed form
+    "q198_correlation_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val subs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield {
+        val (a, b) = (cols(i), cols(j))
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n AS n_pairs,
+           |  CASE WHEN n = 0 OR n_d * sxx - sx * sx = 0
+           |         OR n_d * syy - sy * sy = 0 THEN NULL
+           |       ELSE (n_d * sxy - sx * sy)
+           |         / (sqrt(n_d * sxx - sx * sx) * sqrt(n_d * syy - sy * sy))
+           |  END AS corr
+           |FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(*) AS DOUBLE) AS n_d,
+           |    CAST(CAST(sum(xi) AS VARCHAR) AS DOUBLE) / 1e6 AS sx,
+           |    CAST(CAST(sum(yi) AS VARCHAR) AS DOUBLE) / 1e6 AS sy,
+           |    CAST(CAST(sum(xi * xi) AS VARCHAR) AS DOUBLE) / 1e12 AS sxx,
+           |    CAST(CAST(sum(yi * yi) AS VARCHAR) AS DOUBLE) / 1e12 AS syy,
+           |    CAST(CAST(sum(xi * yi) AS VARCHAR) AS DOUBLE) / 1e12 AS sxy
+           |  FROM (SELECT
+           |      CAST(CAST($a AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS xi,
+           |      CAST(CAST($b AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yi
+           |    FROM lineitem
+           |    WHERE $a IS NOT NULL AND $b IS NOT NULL))""".stripMargin
+      }
+      subs.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
     },
     // q197: identical micro-unit target, exact HUGEINT leave-one-out
     // numerator through the VARCHAR→DOUBLE lane, same division order

@@ -596,4 +596,59 @@ object Profile {
         col("n_obs"), col("expected"))
       .crossJoin(broadcast(verdict))
   }
+
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * collinearity screen run before feature selection. One row per
+    * unordered column pair `(col_a, col_b, n_pairs, corr)`, where
+    * `n_pairs` counts rows with BOTH values present (pairwise
+    * deletion — each pair uses its own complete rows, the standard
+    * matrix convention).
+    *
+    * Determinism is [[Trend.trendFit]]'s contract: values ride the
+    * exact decimal(18,6) micro-unit lane (≤ 6 decimal places,
+    * |v| < 10¹²; Σv² bounds as documented there), the five sufficient
+    * sums per pair accumulate exactly in decimal(38,0), and the closed
+    * form combines correctly-rounded doubles in fixed order — null
+    * (never NaN) when either column is constant on the pair's rows.
+    *
+    * Scale shape: ALL k·(k−1)/2 pairs' sums compute in ONE aggregation
+    * over ONE scan ([[numericProfile]]'s one-pass discipline — k²
+    * separate jobs would read a 100 TB table k² times); the result is
+    * a single wide row exploded to pair rows, constant-sized. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def mi(c: String): Column =
+      (col(c).cast("decimal(18,6)") * lit(1000000L)).cast("decimal(38,0)")
+    val aggExprs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      val x = when(both, mi(a))
+      val y = when(both, mi(b))
+      Seq(count(when(both, lit(1))).as(s"_n$i"),
+        sum(x).as(s"_sx$i"), sum(y).as(s"_sy$i"),
+        sum(x * x).as(s"_sxx$i"), sum(y * y).as(s"_syy$i"),
+        sum(x * y).as(s"_sxy$i"))
+    }
+    val wide = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      def dbl(p: String): Column = col(s"$p$i").cast("double")
+      val nD = dbl("_n")
+      val sx = dbl("_sx") / lit(1.0e6)
+      val sy = dbl("_sy") / lit(1.0e6)
+      val sxx = dbl("_sxx") / lit(1.0e12)
+      val syy = dbl("_syy") / lit(1.0e12)
+      val sxy = dbl("_sxy") / lit(1.0e12)
+      val num = nD * sxy - sx * sy
+      val denX = nD * sxx - sx * sx
+      val denY = nD * syy - sy * sy
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"_n$i").as("n_pairs"),
+        when(col(s"_n$i") === 0L || denX === 0.0 || denY === 0.0, lit(null))
+          .otherwise(num / (sqrt(denX) * sqrt(denY))).as("corr"))
+    }
+    wide.select(explode(array(rows: _*)).as("_p")).select(col("_p.*"))
+  }
 }

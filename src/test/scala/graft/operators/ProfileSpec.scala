@@ -309,6 +309,51 @@ class ProfileSpec extends SparkFunSuite {
     assert(g3.head.getAs[Double]("chi2_total") == 0.0)
   }
 
+  test("correlationMatrix: hand values, pairwise deletion, constant null") {
+    // a vs b: perfect line (r = 1 via the fixed-order form);
+    // a vs c: perfect inverse; b vs c likewise; one scan, 3 pairs
+    val df = Seq(
+      (Some(1.0), Some(2.0), Some(3.0)),
+      (Some(2.0), Some(4.0), Some(2.0)),
+      (Some(3.0), Some(6.0), Some(1.0)),
+      (Some(4.0), None, Some(0.0)),
+      (None, Some(9.0), Some(9.0))).map { case (a, b, c) =>
+      (a.map(double2Double).orNull, b.map(double2Double).orNull,
+        c.map(double2Double).orNull)
+    }.toDF("a", "b", "c")
+    val got = Profile.correlationMatrix(df, Seq("a", "b", "c"))
+      .orderBy("col_a", "col_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    // a-b uses only the 3 complete rows (pairwise deletion): x=[1,2,3],
+    // y=[2,4,6]: num = 3·28−6·12 = 12, denx = 3·14−36 = 6,
+    // deny = 3·56−144 = 24 → 12/(√6·√24)
+    val ab = 12.0 / (math.sqrt(6.0) * math.sqrt(24.0))
+    // a-c: x=[1,2,3,4], y=[3,2,1,0]: num = 4·10−10·6 = −20,
+    // denx = 4·30−100 = 20, deny = 4·14−36 = 20
+    val ac = -20.0 / (math.sqrt(20.0) * math.sqrt(20.0))
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      Seq(("a", "b", 3L), ("a", "c", 4L), ("b", "c", 4L)))
+    assert(got(0)._4 == ab && got(1)._4 == ac)
+    // a constant column correlates null (not NaN) with everything
+    val const = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "k")
+    val c2 = Profile.correlationMatrix(const, Seq("x", "k")).head
+    assert(c2.isNullAt(3))
+    // exactly one scan feeds all pairs
+    val plan = Profile.correlationMatrix(
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one scan, found $scans")
+    intercept[IllegalArgumentException] {
+      Profile.correlationMatrix(df, Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.correlationMatrix(df, Seq("a", "a"))
+    }
+  }
+
   test("chiSquareIndependence: degenerate 1-level column, nulls excluded") {
     val df = Seq(Some("x") -> Some("u"), Some("x") -> Some("v"),
       Some("x") -> Some("u"), None -> Some("u"), Some("x") -> None)
