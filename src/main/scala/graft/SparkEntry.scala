@@ -1625,6 +1625,12 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // How much does a document's source tell you about its language?
+    // Mutual information + marginal entropies + NMI — exact cell
+    // counts, sorted folds, ExactRound over the ln terms.
+    "q199_mutual_information" -> ((s, dir) => {
+      Profile.mutualInformation(Tables(s, dir).documents, "lang", "source")
+    }),
     // Sample-ratio-mismatch health check on the q176 experiment: the md5
     // split declares exactly 50/50 (8 of 16 first-hex values), the
     // chi-square verdict says whether observed arm sizes are consistent.
@@ -4637,6 +4643,40 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q199: identical cells/marginals, (a,b)-ordered list_reduce folds,
+    // the SAME floor(x·1e6 + 0.5)/1e6 pure-IEEE rounding seam
+    "q199_mutual_information" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+        |nn AS (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS n,
+        |    CAST(CAST(coalesce(sum(o), 0) AS BIGINT) AS DOUBLE) AS n_d
+        |  FROM cells),
+        |j AS (SELECT cells.a, cells.b, o, ra, cb, nn.n, nn.n_d
+        |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nn),
+        |mi AS (SELECT any_value(n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+        |    greatest(floor(list_reduce(list_prepend(0.0, list(
+        |        (CAST(o AS DOUBLE) / n_d)
+        |          * ln((CAST(o AS DOUBLE) / n_d)
+        |            / ((CAST(ra AS DOUBLE) / n_d) * (CAST(cb AS DOUBLE) / n_d)))
+        |        ORDER BY a, b)), (x, y) -> x + y) * 1e6 + 0.5) / 1e6,
+        |      0.0) AS mi
+        |  FROM j),
+        |ha AS (SELECT floor(-list_reduce(list_prepend(0.0, list(
+        |      (CAST(ra AS DOUBLE) / nn.n_d) * ln(CAST(ra AS DOUBLE) / nn.n_d)
+        |      ORDER BY a)), (x, y) -> x + y) * 1e6 + 0.5) / 1e6 AS h_a
+        |  FROM rt CROSS JOIN nn GROUP BY nn.n_d),
+        |hb AS (SELECT floor(-list_reduce(list_prepend(0.0, list(
+        |      (CAST(cb AS DOUBLE) / nn.n_d) * ln(CAST(cb AS DOUBLE) / nn.n_d)
+        |      ORDER BY b)), (x, y) -> x + y) * 1e6 + 0.5) / 1e6 AS h_b
+        |  FROM ct CROSS JOIN nn GROUP BY nn.n_d)
+        |SELECT mi.n, mi.n_cells, mi.mi, ha.h_a, hb.h_b,
+        |  CASE WHEN ha.h_a = 0.0 OR hb.h_b = 0.0 THEN NULL
+        |       ELSE mi.mi / sqrt(ha.h_a * hb.h_b) END AS nmi
+        |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
     // q198: per-pair subqueries over the same micro-unit sums, HUGEINT
     // through the VARCHAR→DOUBLE lane, same fixed-order closed form
     "q198_correlation_matrix" -> {

@@ -651,4 +651,70 @@ object Profile {
     }
     wide.select(explode(array(rows: _*)).as("_p")).select(col("_p.*"))
   }
+
+  /** Mutual information between two LOW-CARDINALITY categorical columns
+    * plus marginal entropies and the normalized MI — the information-
+    * theoretic association screen (feature selection's model-free
+    * cousin of [[chiSquareIndependence]]; Cover & Thomas ch. 2):
+    * `MI = Σ_ab p(a,b)·ln(p(a,b)/(p(a)p(b)))`, `H = −Σ p·ln p`,
+    * `NMI = MI/√(H(A)·H(B))` (null when either marginal is
+    * deterministic — zero entropy admits no normalization). Natural
+    * log; zero-count cells contribute exactly 0 and are skipped (the
+    * 0·ln 0 limit — unlike χ², where empty cells still carry expected
+    * mass). NULL category values are excluded.
+    *
+    * Determinism: counts are exact integers; each term's `ln` runs on
+    * correctly-rounded doubles and the three folds run in sorted
+    * (a, b) / a / b order; MI and the entropies are rounded at 6
+    * decimals via [[graft.functions.ExactRound.roundFloor]] (the
+    * engine-portable pure-IEEE seam over libm) before NMI combines
+    * them. MI is clamped at ≥ 0 after
+    * rounding (the true value is; accumulated ulps may dip below).
+    *
+    * Scale shape: ONE map-side-combined aggregation to |A|·|B| cell
+    * counts; marginals and all three folds are vocabulary-sized.
+    * Output is one row: `(n, n_cells, mi, h_a, h_b, nmi)`. */
+  def mutualInformation(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+      .localCheckpoint(false) // joint fold + both marginals read it
+    val rowT = cells.groupBy("_a").agg(sum(col("_o")).as("_ra"))
+    val colT = cells.groupBy("_b").agg(sum(col("_o")).as("_cb"))
+    val n = cells.agg(coalesce(sum(col("_o")), lit(0L)).as("_n"))
+    val jointArr = cells
+      .join(rowT, Seq("_a")).join(colT, Seq("_b"))
+      .agg(count(lit(1)).as("n_cells"),
+        sort_array(collect_list(struct(col("_a"), col("_b"), col("_o"),
+          col("_ra"), col("_cb")))).as("_cells"))
+    val haArr = rowT
+      .agg(sort_array(collect_list(struct(col("_a"), col("_ra")))).as("_ma"))
+    val hbArr = colT
+      .agg(sort_array(collect_list(struct(col("_b"), col("_cb")))).as("_mb"))
+    val nD = col("_n").cast("double")
+    val miRaw = aggregate(col("_cells"), lit(0.0), (acc, s) => {
+      val pab = s("_o").cast("double") / nD
+      val pa = s("_ra").cast("double") / nD
+      val pb = s("_cb").cast("double") / nD
+      acc + pab * log(pab / (pa * pb))
+    })
+    def entropy(arr: Column, cnt: String): Column =
+      graft.functions.ExactRound.roundFloor(-aggregate(arr, lit(0.0),
+        (acc, s) => {
+          val p = s(cnt).cast("double") / nD
+          acc + p * log(p)
+        }), 6)
+    n.crossJoin(broadcast(jointArr))
+      .crossJoin(broadcast(haArr)).crossJoin(broadcast(hbArr))
+      .select(col("_n").as("n"), col("n_cells"),
+        greatest(graft.functions.ExactRound.roundFloor(miRaw, 6),
+          lit(0.0)).as("mi"),
+        entropy(col("_ma"), "_ra").as("h_a"),
+        entropy(col("_mb"), "_cb").as("h_b"))
+      .withColumn("nmi",
+        when(col("h_a") === 0.0 || col("h_b") === 0.0, lit(null))
+          .otherwise(col("mi") / sqrt(col("h_a") * col("h_b"))))
+  }
 }

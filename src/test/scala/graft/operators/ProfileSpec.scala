@@ -354,6 +354,36 @@ class ProfileSpec extends SparkFunSuite {
     }
   }
 
+  test("mutualInformation: independence is 0, determinism is H, NMI bounds") {
+    // perfectly independent 2x2 -> MI exactly 0 (each term ln(1) = 0)
+    val ind = Seq.fill(6)(("x", "u")) ++ Seq.fill(6)(("x", "v")) ++
+      Seq.fill(6)(("y", "u")) ++ Seq.fill(6)(("y", "v"))
+    val gi = Profile.mutualInformation(ind.toDF("a", "b"), "a", "b").head
+    assert(gi.getAs[Double]("mi") == 0.0)
+    assert(gi.getAs[Long]("n") == 24L && gi.getAs[Long]("n_cells") == 4L)
+    assert(gi.getAs[Double]("nmi") == 0.0)
+    // b fully determined by a (bijection, uniform): MI = H(A) = H(B) =
+    // ln 2, NMI = 1 (all at the 6dp rounding grain)
+    val det = Seq.fill(5)(("x", "u")) ++ Seq.fill(5)(("y", "v"))
+    val gd = Profile.mutualInformation(det.toDF("a", "b"), "a", "b").head
+    val ln2r = math.floor(math.log(2.0) * 1e6 + 0.5) / 1e6
+    assert(gd.getAs[Double]("mi") == ln2r)
+    assert(gd.getAs[Double]("h_a") == ln2r && gd.getAs[Double]("h_b") == ln2r)
+    assert(math.abs(gd.getAs[Double]("nmi") - 1.0) < 1e-9)
+    // one-level column: zero entropy -> null NMI, MI 0
+    val one = Seq(("x", "u"), ("x", "v"), ("x", "u")).toDF("a", "b")
+    val go = Profile.mutualInformation(one, "a", "b").head
+    assert(go.getAs[Double]("mi") == 0.0 && go.getAs[Double]("h_a") == 0.0)
+    assert(go.isNullAt(go.fieldIndex("nmi")))
+    // hand-computed skewed 2x2: O = [[2,1],[1,2]], N = 6
+    val sk = Seq.fill(2)(("x", "u")) ++ Seq(("x", "v"), ("y", "u")) ++
+      Seq.fill(2)(("y", "v"))
+    val gs = Profile.mutualInformation(sk.toDF("a", "b"), "a", "b").head
+    def t(o: Double) = (o / 6.0) * math.log((o / 6.0) / (0.5 * 0.5))
+    val want = math.floor((t(2) + t(1) + t(1) + t(2)) * 1e6 + 0.5) / 1e6
+    assert(gs.getAs[Double]("mi") == want)
+  }
+
   test("chiSquareIndependence: degenerate 1-level column, nulls excluded") {
     val df = Seq(Some("x") -> Some("u"), Some("x") -> Some("v"),
       Some("x") -> Some("u"), None -> Some("u"), Some("x") -> None)
