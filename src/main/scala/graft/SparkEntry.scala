@@ -1625,6 +1625,28 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // Graded string similarity for linkage scoring: native codegen'd
+    // Jaro/Jaro-Winkler over md5-derived pairs sharing a 4-char prefix
+    // (every fifth identical) — a DIFFERENTIAL gate: DuckDB's builtin
+    // replays every pair, so the window walk, integer transposition
+    // rule, 0.7 boost threshold, and double op order are all pinned
+    // bit-for-bit across tens of thousands of strings.
+    "q200_jaro_winkler" -> ((s, dir) => {
+      val pfx = substring(md5(concat(col("doc_id").cast("string"),
+        lit(":jwp"))), 1, 4)
+      val sa = concat(pfx, substring(md5(concat(col("doc_id").cast("string"),
+        lit(":jwa"))), 1, 8))
+      val sb = when(col("doc_id") % 5 === 0, sa)
+        .otherwise(concat(pfx, substring(md5(concat(
+          col("doc_id").cast("string"), lit(":jwb"))), 1, 8)))
+      Tables(s, dir).documents
+        .select(col("doc_id"), sa.as("_a"), sb.as("_b"))
+        .select(col("doc_id"),
+          graft.functions.JaroWinkler.jaro(col("_a"), col("_b")).as("jaro"),
+          graft.functions.JaroWinkler.similarity(col("_a"), col("_b"))
+            .as("jw"))
+        .orderBy("doc_id")
+    }),
     // How much does a document's source tell you about its language?
     // Mutual information + marginal entropies + NMI — exact cell
     // counts, sorted folds, ExactRound over the ln terms.
@@ -4643,6 +4665,21 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q200: the same md5 pair construction, scored by DuckDB's OWN
+    // jaro_similarity / jaro_winkler_similarity builtins — the
+    // differential oracle for the native expression
+    "q200_jaro_winkler" ->
+      """WITH d AS (SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':jwp'), 1, 4) AS pfx,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':jwa'), 1, 8) AS ta,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':jwb'), 1, 8) AS tb
+        |  FROM documents),
+        |p AS (SELECT doc_id, pfx || ta AS a,
+        |    CASE WHEN doc_id % 5 = 0 THEN pfx || ta ELSE pfx || tb END AS b
+        |  FROM d)
+        |SELECT doc_id, jaro_similarity(a, b) AS jaro,
+        |  jaro_winkler_similarity(a, b) AS jw
+        |FROM p ORDER BY doc_id""".stripMargin,
     // q199: identical cells/marginals, (a,b)-ordered list_reduce folds,
     // the SAME floor(x·1e6 + 0.5)/1e6 pure-IEEE rounding seam
     "q199_mutual_information" ->

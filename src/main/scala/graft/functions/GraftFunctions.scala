@@ -48,6 +48,8 @@ object GraftFunctions {
     columnFn("winnow_fp", 1)(cs => TextAnalysis.winnowingFingerprints(cs(0))),
     columnFn("poly_hash", 1)(cs => TextAnalysis.polyHash(cs(0))),
     columnFn("canonical_url", 1)(cs => Scrub.canonicalUrl(cs(0))),
+    columnFn("jaro_winkler", 2)(cs => JaroWinkler.similarity(cs(0), cs(1))),
+    columnFn("jaro_sim", 2)(cs => JaroWinkler.jaro(cs(0), cs(1))),
     // aggregate: k must be a foldable literal (it sizes the aggregation
     // buffer, which exists before any row is seen)
     "top_k" -> { exprs =>
