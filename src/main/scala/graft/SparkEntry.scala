@@ -1625,6 +1625,27 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // AP@10 of the exact cosine ranking against binary relevance from
+    // the dot-product top-15 (the q179 fixture, binary-collapsed):
+    // TP_i/rank_i folded in rank order, min(R, k) normalizer.
+    "q201_average_precision" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val ranked = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      val scored = emb.crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.VectorFunctions.dot(col("embedding"),
+            col("query_vec")).as("_s"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("_s").desc, col("neighbor_id"))
+      val rels = scored.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= 15)
+        .select(col("query_id"), col("neighbor_id"), lit(1.0).as("rel"))
+      Retrieval.averagePrecisionAtK(ranked, "query_id", "neighbor_id",
+          "rank", rels, "rel", 10)
+        .orderBy("query_id")
+    }),
     // Graded string similarity for linkage scoring: native codegen'd
     // Jaro/Jaro-Winkler over md5-derived pairs sharing a 4-char prefix
     // (every fifth identical) — a DIFFERENTIAL gate: DuckDB's builtin
@@ -4665,6 +4686,42 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q201: q179's cosine/dot rankings verbatim, binary relevance,
+    // row_number TP counter + rank-ordered list_reduce fold
+    "q201_average_precision" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |cos AS (SELECT q.query_id, e.vec_id AS nid,
+        |    list_inner_product(e.v, q.qv)
+        |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))
+        |      AS score
+        |  FROM e CROSS JOIN q),
+        |r10 AS (SELECT query_id, nid, rk FROM (
+        |    SELECT query_id, nid,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nid) AS rk
+        |    FROM cos) WHERE rk <= 10),
+        |dots AS (SELECT q.query_id, e.vec_id AS nid,
+        |    list_inner_product(e.v, q.qv) AS s
+        |  FROM e CROSS JOIN q),
+        |rels AS (SELECT query_id, nid FROM (
+        |    SELECT query_id, nid,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, nid) AS rn
+        |    FROM dots) WHERE rn <= 15),
+        |hits AS (SELECT r.query_id, r.rk,
+        |    row_number() OVER (PARTITION BY r.query_id ORDER BY r.rk) AS j
+        |  FROM r10 r JOIN rels l ON l.query_id = r.query_id AND l.nid = r.nid),
+        |s AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |    list_reduce(list_prepend(0.0,
+        |      list(CAST(j AS DOUBLE) / CAST(rk AS DOUBLE) ORDER BY rk)),
+        |      (a, b) -> a + b) AS apsum
+        |  FROM hits GROUP BY query_id),
+        |rr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |  FROM rels GROUP BY query_id)
+        |SELECT rr.query_id, rr.n_rel,
+        |  CAST(coalesce(s.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(s.apsum, 0.0) / CAST(least(rr.n_rel, 10) AS DOUBLE) AS ap
+        |FROM rr LEFT JOIN s ON s.query_id = rr.query_id
+        |ORDER BY rr.query_id""".stripMargin,
     // q200: the same md5 pair construction, scored by DuckDB's OWN
     // jaro_similarity / jaro_winkler_similarity builtins — the
     // differential oracle for the native expression

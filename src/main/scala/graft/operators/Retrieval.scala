@@ -297,4 +297,51 @@ object Retrieval {
     * text carries the SAME doubles the plan plants. */
   private[graft] def ndcgLiterals(k: Int): Seq[Double] =
     (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** Average precision at `k` per query (the MAP building block —
+    * TREC's binary-relevance ranking metric; nDCG's graded cousin is
+    * [[ndcgAtK]]): `AP@k = (Σ_{hits} TP_i / rank_i) / min(R, k)`,
+    * where the sum runs over relevant retrieved results in rank order,
+    * `TP_i` counts relevant results at or above rank i, and R is the
+    * query's total relevant count. Relevance is binary: any
+    * `relCol > 0` judgment counts (graded inputs collapse — use nDCG
+    * when grades matter). Queries with judgments but no hits score
+    * 0.0; queries with no judgments are absent (AP undefined).
+    *
+    * Determinism: `TP_i` is the hit's 1-based position in the
+    * rank-sorted hit list — exact integers; each `TP_i/rank_i` is one
+    * double division, folded in rank order (never an unordered sum);
+    * the normalizer `min(R, k)` is exact. Engine-replayable via
+    * `row_number` + ordered `list_reduce`.
+    *
+    * Scale shape: the ranked list is pre-cut to k per query, so the
+    * judgment join and the per-query fold are k-bounded; R aggregates
+    * the judgment table once, map-side combined. Output:
+    * `(qCol, n_rel, n_hits, ap)`. */
+  def averagePrecisionAtK(ranked: DataFrame, qCol: String, idCol: String,
+                          rankCol: String, rels: DataFrame, relCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val r = ranked.select(col(qCol).as("_q"), col(idCol).as("_id"),
+        col(rankCol).cast("long").as("_rk"))
+      .filter(col("_rk") >= 1L && col("_rk") <= k)
+    val rl = rels.select(col(qCol).as("_q"), col(idCol).as("_id"))
+      .where(col(relCol).cast("double") > 0.0)
+      .distinct()
+    val hits = r.join(rl, Seq("_q", "_id"))
+      .groupBy("_q")
+      .agg(count(lit(1)).as("n_hits"),
+        sort_array(collect_list(col("_rk"))).as("_rks"))
+      .select(col("_q"), col("n_hits"),
+        aggregate(
+          zip_with(sequence(lit(1), size(col("_rks"))), col("_rks"),
+            (i, rk) => i.cast("double") / rk.cast("double")),
+          lit(0.0), (acc, t) => acc + t).as("_apsum"))
+    val nRel = rl.groupBy("_q").agg(count(lit(1)).as("n_rel"))
+    nRel.join(hits, Seq("_q"), "left")
+      .select(col("_q").as(qCol), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("_apsum"), lit(0.0)) /
+          least(col("n_rel"), lit(k.toLong)).cast("double")).as("ap"))
+  }
 }

@@ -255,4 +255,39 @@ class RetrievalSpec extends SparkFunSuite {
       Retrieval.ndcgAtK(ranked, "qid", "doc_id", "rank", rels, "rel", 0)
     }
   }
+
+  test("averagePrecisionAtK: hand-computed AP, zero hits, cutoff, grades") {
+    // q1 ranked docs 11..15 at ranks 1..5; relevant {11, 13, 15, 99}
+    // (99 unretrieved): hits at ranks 1,3,5 → TP/rank = 1/1, 2/3, 3/5
+    // folded in rank order; AP@5 = (1 + 2/3 + 3/5)/min(4,5)
+    val ranked = Seq((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3),
+      (1L, 14L, 4), (1L, 15L, 5),
+      (2L, 21L, 1), (2L, 22L, 2)).toDF("qid", "doc_id", "rank")
+    val rels = Seq((1L, 11L, 1.0), (1L, 13L, 0.5), (1L, 15L, 2.0),
+      (1L, 99L, 1.0), (2L, 77L, 1.0), (3L, 5L, 0.0))
+      .toDF("qid", "doc_id", "rel")
+    val got = Retrieval.averagePrecisionAtK(ranked, "qid", "doc_id",
+        "rank", rels, "rel", 5)
+      .orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val want1 = ((0.0 + 1.0 / 1.0) + 2.0 / 3.0 + 3.0 / 5.0) / 4.0
+    // q2 has judgments but no hits → 0.0; q3's only judgment is rel 0
+    // (not relevant) → absent entirely
+    assert(got == Seq((1L, 4L, 3L, want1), (2L, 1L, 0L, 0.0)))
+    // cutoff: at k = 2 only the rank-1 hit counts, normalizer min(4,2)
+    val g2 = Retrieval.averagePrecisionAtK(ranked, "qid", "doc_id",
+      "rank", rels, "rel", 2).orderBy("qid").collect()
+    assert(g2(0).getDouble(3) == (1.0 / 1.0) / 2.0)
+    // perfect ranking: all top-k relevant → AP exactly 1
+    val perfect = Retrieval.averagePrecisionAtK(ranked.filter($"qid" === 1L),
+      "qid", "doc_id", "rank",
+      Seq((1L, 11L, 1.0), (1L, 12L, 1.0)).toDF("qid", "doc_id", "rel"),
+      "rel", 2).head
+    assert(perfect.getDouble(3) == 1.0)
+    intercept[IllegalArgumentException] {
+      Retrieval.averagePrecisionAtK(ranked, "qid", "doc_id", "rank",
+        rels, "rel", 0)
+    }
+  }
 }
