@@ -1625,6 +1625,20 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // How clique-ish is each supplier's co-supplier neighborhood?
+    // Watts-Strogatz local clustering coefficient: 2T/(d(d-1)), every
+    // node reported, degree-1 nodes at the stated 0.0 convention.
+    "q202_clustering_coeff" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("a"))
+        .join(li.select(col("ok"), col("sk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+      Graph.clusteringCoefficient(edges, "a", "b").orderBy("node")
+    }),
     // AP@10 of the exact cosine ranking against binary relevance from
     // the dot-product top-15 (the q179 fixture, binary-collapsed):
     // TP_i/rank_i folded in rank order, min(R, k) normalizer.
@@ -4686,6 +4700,29 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q202: q175's canonical 3-join triangle replay + an unnest degree
+    // count, the same 2T/(d(d−1)) single division
+    "q202_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS t
+        |  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT unnest([u, v]) AS node FROM e) GROUP BY node)
+        |SELECT d.node, d.degree,
+        |  CAST(coalesce(tn.t, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN d.degree < 2 THEN 0.0
+        |       ELSE CAST(coalesce(tn.t, 0) * 2 AS DOUBLE)
+        |         / CAST(d.degree * (d.degree - 1) AS DOUBLE) END
+        |    AS clustering_coeff
+        |FROM deg d LEFT JOIN tn ON tn.node = d.node
+        |ORDER BY d.node""".stripMargin,
     // q201: q179's cosine/dot rankings verbatim, binary relevance,
     // row_number TP counter + rank-ordered list_reduce fold
     "q201_average_precision" ->

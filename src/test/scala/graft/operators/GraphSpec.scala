@@ -89,6 +89,30 @@ class GraphSpec extends SparkFunSuite {
     }
   }
 
+  test("clusteringCoefficient: K4 is 1, star is 0, hand mixed values") {
+    // K4: every node C = 1 (3 triangles, degree 3: 6/6); pendant 5 on
+    // node 1 raises 1's degree to 4 → C(1) = 2·3/12 = 0.5; C(5) = 0.0
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((1L, 5L))).toDF("a", "b")
+    val got = Graph.clusteringCoefficient(edges, "a", "b")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq((1L, 4L, 3L, 0.5), (2L, 3L, 3L, 1.0),
+      (3L, 3L, 3L, 1.0), (4L, 3L, 3L, 1.0), (5L, 1L, 0L, 0.0)))
+    // a star has zero triangles everywhere; center degree n, C = 0
+    val star = (1L to 5L).map(l => (0L, l)).toDF("a", "b")
+    val s = Graph.clusteringCoefficient(star, "a", "b")
+      .orderBy("node").collect()
+    assert(s.forall(_.getDouble(3) == 0.0) && s.length == 6)
+    // triangle + pendant: open wedge at node 3: C(3) = 2·1/(3·2) = 1/3
+    val tp = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    val t = Graph.clusteringCoefficient(tp, "a", "b")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(t.toSeq == Seq(1L -> 1.0, 2L -> 1.0, 3L -> (2.0 / 6.0),
+      4L -> 0.0))
+  }
+
   test("degreeAssortativity: hand-computed values, regular-graph null") {
     // star K1,3 is perfectly disassortative: r = -1
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
