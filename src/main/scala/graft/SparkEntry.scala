@@ -1625,6 +1625,18 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // Has the event-value distribution shifted since mid-January? PSI
+    // per event type between the pre/post-cutoff samples (the q178
+    // period split): 10 equal-width micro-unit bins over [-1000, 1000),
+    // Laplace-smoothed, bin-ordered fold, ExactRound at 6.
+    "q203_psi_drift" -> ((s, dir) => {
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val d = Tables(s, dir).events
+        .filter(col("ts").isNotNull)
+        .withColumn("_is_ref", col("ts") < cut)
+      Profile.psiDrift(d, Seq("event_type"), "_is_ref", "value")
+        .orderBy("event_type")
+    }),
     // How clique-ish is each supplier's co-supplier neighborhood?
     // Watts-Strogatz local clustering coefficient: 2T/(d(d-1)), every
     // node reported, degree-1 nodes at the stated 0.0 convention.
@@ -4700,6 +4712,39 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q203: identical micro-unit clamped bins, +1/-smoothed p's,
+    // bin-ordered list_reduce, the same floor(x·1e6+0.5)/1e6 seam
+    "q203_psi_drift" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(ts < TIMESTAMP '2024-01-15 00:00:00' AS BOOLEAN) AS is_ref,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |b AS (SELECT event_type, is_ref,
+        |    least((greatest(v6 + 1000000000, 0) * 10) // 2000000000, 9) AS bin
+        |  FROM d),
+        |c AS (SELECT event_type, bin,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+        |  FROM b GROUP BY 1, 2),
+        |spine AS (SELECT DISTINCT event_type FROM c),
+        |g AS (SELECT s.event_type, gs.bin,
+        |    CAST(coalesce(c.cr, 0) AS BIGINT) AS cr,
+        |    CAST(coalesce(c.cc, 0) AS BIGINT) AS cc
+        |  FROM spine s
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) gs
+        |  LEFT JOIN c ON c.event_type = s.event_type AND c.bin = gs.bin),
+        |t AS (SELECT event_type,
+        |    CAST(sum(cr) AS BIGINT) AS n_ref, CAST(sum(cc) AS BIGINT) AS n_cur,
+        |    list(struct_pack(b := bin, cr := cr, cc := cc) ORDER BY bin) AS arr
+        |  FROM g GROUP BY 1)
+        |SELECT event_type, n_ref, n_cur,
+        |  floor(list_reduce(list_prepend(0.0, list_transform(arr, s ->
+        |      (CAST(s.cc + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE)
+        |        - CAST(s.cr + 1 AS DOUBLE) / CAST(n_ref + 10 AS DOUBLE))
+        |      * ln((CAST(s.cc + 1 AS DOUBLE) / CAST(n_cur + 10 AS DOUBLE))
+        |          / (CAST(s.cr + 1 AS DOUBLE) / CAST(n_ref + 10 AS DOUBLE))))),
+        |    (x, y) -> x + y) * 1e6 + 0.5) / 1e6 AS psi
+        |FROM t ORDER BY event_type""".stripMargin,
     // q202: q175's canonical 3-join triangle replay + an unnest degree
     // count, the same 2T/(d(d−1)) single division
     "q202_clustering_coeff" ->

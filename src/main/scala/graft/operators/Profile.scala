@@ -717,4 +717,70 @@ object Profile {
         when(col("h_a") === 0.0 || col("h_b") === 0.0, lit(null))
           .otherwise(col("mi") / sqrt(col("h_a") * col("h_b"))))
   }
+
+  /** Population Stability Index per group — the scorecard-monitoring
+    * drift metric (credit-risk folklore; the symmetrized KL over binned
+    * distributions): `PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref)`
+    * between a reference and a current sample of `valueCol`. The
+    * conventional reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * shifted. Completes the drift family: KS (q147) is the worst single
+    * CDF gap, W₁ (q153) the area between CDFs, JSD (q120) the bounded
+    * token-distribution divergence — PSI is the binned industry
+    * scorecard standard.
+    *
+    * Binning is `nBins` equal-width bins over `[loMicro, hiMicro)` in
+    * exact integer micro-units (decimal(18,6) lane; |value| ≤ 10⁹ keeps
+    * `offset·nBins` inside a long for nBins ≤ 1000); out-of-range
+    * values clamp into the edge bins, so the bins partition the whole
+    * line. Empty bins are Laplace-smoothed — each bin count +1, each
+    * total +nBins (stated; the alternative ε conventions change the
+    * value, silently skipping empty bins changes the METRIC). `refCol`
+    * is a boolean: true rows are the reference sample.
+    *
+    * Determinism: counts exact; each p is one double division of exact
+    * integers; terms fold in bin order; the sum rounds through
+    * [[graft.functions.ExactRound.roundFloor]] at 6.
+    *
+    * Scale shape: ONE map-side-combined aggregation to (group, bin)
+    * ref/cur counts; the spine join and fold are nBins-sized. Output:
+    * one row per group `(…, n_ref, n_cur, psi)`. */
+  def psiDrift(df: DataFrame, groupCols: Seq[String], refCol: String,
+               valueCol: String, nBins: Int = 10,
+               loMicro: Long = -1000000000L,
+               hiMicro: Long = 1000000000L): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    require(nBins >= 2 && nBins <= 1000, s"nBins ($nBins) must be in [2, 1000]")
+    require(hiMicro > loMicro, s"range [$loMicro, $hiMicro) is empty")
+    val v6 = (col(valueCol).cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    val off = greatest(v6 - lit(loMicro), lit(0L))
+    val bin = least(expr(s"(${"_off"} * $nBins) div ${hiMicro - loMicro}"),
+      lit(nBins - 1L))
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(refCol).isNotNull)
+      .select(groupCols.map(col) :+ off.as("_off") :+ col(refCol).as("_ref"): _*)
+      .select(groupCols.map(col) :+ bin.as("_b") :+ col("_ref"): _*)
+      .groupBy(groupCols.map(col) :+ col("_b"): _*)
+      .agg(sum(when(col("_ref"), 1L).otherwise(0L)).as("_cr"),
+        sum(when(!col("_ref"), 1L).otherwise(0L)).as("_cc"))
+      .localCheckpoint(false) // totals + spine both read it
+    val spine = counts.select(groupCols.map(col): _*).distinct()
+      .withColumn("_b", explode(array((0 until nBins).map(i => lit(i.toLong)): _*)))
+    val grid = spine.join(counts, groupCols :+ "_b", "left")
+      .select(groupCols.map(col) ++ Seq(col("_b"),
+        coalesce(col("_cr"), lit(0L)).as("_cr"),
+        coalesce(col("_cc"), lit(0L)).as("_cc")): _*)
+    val folded = grid.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_cr")).as("n_ref"), sum(col("_cc")).as("n_cur"),
+        sort_array(collect_list(struct(col("_b"), col("_cr"), col("_cc"))))
+          .as("_bins"))
+    val nRefS = (col("n_ref") + lit(nBins.toLong)).cast("double")
+    val nCurS = (col("n_cur") + lit(nBins.toLong)).cast("double")
+    folded.select(groupCols.map(col) ++ Seq(col("n_ref"), col("n_cur"),
+      graft.functions.ExactRound.roundFloor(
+        aggregate(col("_bins"), lit(0.0), (acc, s) => {
+          val pr = (s("_cr") + 1L).cast("double") / nRefS
+          val pc = (s("_cc") + 1L).cast("double") / nCurS
+          acc + (pc - pr) * log(pc / pr)
+        }), 6).as("psi")): _*)
+  }
 }

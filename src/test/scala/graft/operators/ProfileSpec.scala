@@ -384,6 +384,47 @@ class ProfileSpec extends SparkFunSuite {
     assert(gs.getAs[Double]("mi") == want)
   }
 
+  test("psiDrift: identical samples 0, shift positive, clamping, smoothing") {
+    // identical ref/cur multisets → every p_cur == p_ref → PSI exactly 0
+    val same = (1 to 50).flatMap(i =>
+      Seq(("g", true, i.toDouble % 10), ("g", false, i.toDouble % 10)))
+      .toDF("g", "is_ref", "v")
+    val s0 = Profile.psiDrift(same, Seq("g"), "is_ref", "v",
+      nBins = 10, loMicro = 0L, hiMicro = 10000000L).head
+    assert(s0.getAs[Double]("psi") == 0.0)
+    assert(s0.getAs[Long]("n_ref") == 50L && s0.getAs[Long]("n_cur") == 50L)
+    // a clear shift scores positive and beyond the 0.25 folklore line
+    val shifted = ((1 to 50).map(_ => ("g", true, 1.0)) ++
+      (1 to 50).map(_ => ("g", false, 8.0))).toDF("g", "is_ref", "v")
+    val s1 = Profile.psiDrift(shifted, Seq("g"), "is_ref", "v",
+      nBins = 10, loMicro = 0L, hiMicro = 10000000L).head
+    assert(s1.getAs[Double]("psi") > 0.25, s1.toString)
+    // out-of-range values clamp into edge bins (the bins partition the
+    // line): -99 and +99 land in bins 0 and 9, both samples identical
+    val clamp = Seq(("g", true, -99.0), ("g", false, -99.0),
+      ("g", true, 99.0), ("g", false, 99.0)).toDF("g", "is_ref", "v")
+    val s2 = Profile.psiDrift(clamp, Seq("g"), "is_ref", "v",
+      nBins = 10, loMicro = 0L, hiMicro = 10000000L).head
+    assert(s2.getAs[Double]("psi") == 0.0)
+    // hand-computed smoothed 2-bin case: ref = [3 in bin0], cur = [3 in
+    // bin1]; smoothed p_ref = (4/5, 1/5), p_cur = (1/5, 4/5)
+    val tiny = (Seq.fill(3)(("g", true, 0.0)) ++ Seq.fill(3)(("g", false, 6.0)))
+      .toDF("g", "is_ref", "v")
+    val s3 = Profile.psiDrift(tiny, Seq("g"), "is_ref", "v",
+      nBins = 2, loMicro = 0L, hiMicro = 10000000L).head
+    val t0 = (1.0 / 5 - 4.0 / 5) * math.log((1.0 / 5) / (4.0 / 5))
+    val t1 = (4.0 / 5 - 1.0 / 5) * math.log((4.0 / 5) / (1.0 / 5))
+    val want = math.floor(((0.0 + t0) + t1) * 1e6 + 0.5) / 1e6
+    assert(s3.getAs[Double]("psi") == want)
+    intercept[IllegalArgumentException] {
+      Profile.psiDrift(same, Seq("g"), "is_ref", "v", nBins = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.psiDrift(same, Seq("g"), "is_ref", "v",
+        loMicro = 5L, hiMicro = 5L)
+    }
+  }
+
   test("chiSquareIndependence: degenerate 1-level column, nulls excluded") {
     val df = Seq(Some("x") -> Some("u"), Some("x") -> Some("v"),
       Some("x") -> Some("u"), None -> Some("u"), Some("x") -> None)
