@@ -1625,6 +1625,17 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // How often is 9am not like 9am? Seasonal anomaly counts per
+    // (event_type, hour-of-day): q184's exact cell baseline composed
+    // back onto the rows, |v − mean| > 3σ verdicts on bit-identical
+    // doubles, map-side-combined counts.
+    "q204_seasonal_anomalies" -> ((s, dir) => {
+      val d = Tables(s, dir).events.withColumn("_hour", hour(col("ts")))
+        .filter(col("ts").isNotNull)
+      Trend.seasonalAnomalies(d, Seq("event_type"), "_hour", "value")
+        .withColumnRenamed("_hour", "hour_of_day")
+        .orderBy("event_type", "hour_of_day")
+    }),
     // Has the event-value distribution shifted since mid-January? PSI
     // per event type between the pre/post-cutoff samples (the q178
     // period split): 10 equal-width micro-unit bins over [-1000, 1000),
@@ -4712,6 +4723,37 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q204: q184's exact cell statistics verbatim, the same 3σ verdict
+    // on the same doubles, counted
+    "q204_seasonal_anomalies" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+        |    value,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yi
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |s AS (SELECT event_type, hour_of_day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(CAST(sum(yi) AS VARCHAR) AS DOUBLE) / 1e6 AS sy,
+        |    CAST(CAST(sum(yi * yi) AS VARCHAR) AS DOUBLE) / 1e12 AS syy
+        |  FROM d GROUP BY 1, 2),
+        |p AS (SELECT event_type, hour_of_day, n,
+        |    sy / CAST(n AS DOUBLE) AS mean_value,
+        |    sqrt(greatest(0.0e0, syy / CAST(n AS DOUBLE)
+        |      - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))))
+        |      AS stddev_value
+        |  FROM s)
+        |SELECT d.event_type, d.hour_of_day, p.n,
+        |  CAST(sum(CASE WHEN abs(CAST(d.value AS DOUBLE) - p.mean_value)
+        |                     > 3.0 * p.stddev_value
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  CAST(sum(CASE WHEN abs(CAST(d.value AS DOUBLE) - p.mean_value)
+        |                     > 3.0 * p.stddev_value
+        |                THEN 1 ELSE 0 END) AS DOUBLE) / CAST(p.n AS DOUBLE)
+        |    AS anomaly_frac
+        |FROM d JOIN p ON p.event_type = d.event_type
+        |  AND p.hour_of_day = d.hour_of_day
+        |GROUP BY d.event_type, d.hour_of_day, p.n
+        |ORDER BY d.event_type, d.hour_of_day""".stripMargin,
     // q203: identical micro-unit clamped bins, +1/-smoothed p's,
     // bin-ordered list_reduce, the same floor(x·1e6+0.5)/1e6 seam
     "q203_psi_drift" ->

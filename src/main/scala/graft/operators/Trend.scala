@@ -224,4 +224,41 @@ object Trend {
       when(col("n_pairs") === 0L || denX === 0.0 || denY === 0.0, lit(null))
         .otherwise(num / (sqrt(denX) * sqrt(denY))).as("acf")): _*)
   }
+
+  /** Seasonal anomaly counts: how many observations in each
+    * (group, season) cell fall outside `z` population standard
+    * deviations of THAT cell's own mean — [[seasonalProfile]] composed
+    * back onto the rows, the "how often is 9am not like 9am" monitor
+    * (the residual screen of an STL-style decomposition, with the
+    * seasonal term as the baseline).
+    *
+    * The cell statistics are [[seasonalProfile]]'s exactly (same
+    * micro-unit decimal sums, same fixed-order double combine), so the
+    * per-row verdict `|v − mean| > z·stddev` compares bit-identical
+    * doubles on every engine — the COUNT of anomalies is therefore
+    * engine-exact even though the boundary is a float comparison.
+    * Constant cells (stddev 0) flag any deviation, per the formula.
+    *
+    * Scale shape: one [[seasonalProfile]] aggregation (cell-sized
+    * output) broadcast back onto the rows — the 100 TB side is scanned
+    * once more but never shuffled — and one map-side-combined count
+    * per cell. Output: `(…group, season, n, n_anomalies,
+    * anomaly_frac)`. */
+  def seasonalAnomalies(df: DataFrame, groupCols: Seq[String],
+                        seasonCol: String, valueCol: String,
+                        z: Double = 3.0): DataFrame = {
+    require(z > 0.0, s"z ($z) must be positive")
+    val keys = groupCols :+ seasonCol
+    val profile = seasonalProfile(df, groupCols, seasonCol, valueCol)
+    val rows = df.filter(col(seasonCol).isNotNull && col(valueCol).isNotNull)
+    rows.join(broadcast(profile), keys)
+      .select(keys.map(col) :+
+        (abs(col(valueCol).cast("double") - col("mean_value")) >
+          lit(z) * col("stddev_value")).as("_an"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_an"), 1L).otherwise(0L)).as("n_anomalies"))
+      .withColumn("anomaly_frac",
+        col("n_anomalies").cast("double") / col("n").cast("double"))
+  }
 }

@@ -85,6 +85,34 @@ class TrendSpec extends SparkFunSuite {
     assert(tiny.head.getAs[Long]("ewma_e6") == 750000L)
   }
 
+  test("seasonalAnomalies: hand counts, constant cells, strict boundary") {
+    // cell (g, 9): values 0,0,0,0,100 → mean 20, popvar = 1600·4/5? no:
+    // E[x²] = 2000, mean² = 400 → var 1600, σ = 40; |100−20| = 80 ≤ 120
+    // at z=3 (no anomaly), but > 40 at z=1
+    val df = Seq(("g", 9, 0.0), ("g", 9, 0.0), ("g", 9, 0.0),
+      ("g", 9, 0.0), ("g", 9, 100.0),
+      ("g", 10, 5.0), ("g", 10, 5.0)).toDF("g", "hour", "v")
+    val z3 = Trend.seasonalAnomalies(df, Seq("g"), "hour", "v", z = 3.0)
+      .orderBy("hour").collect()
+      .map(r => (r.getInt(1), r.getAs[Long]("n"),
+        r.getAs[Long]("n_anomalies"))).toSeq
+    assert(z3 == Seq((9, 5L, 0L), (10, 2L, 0L)))
+    val z1 = Trend.seasonalAnomalies(df, Seq("g"), "hour", "v", z = 1.0)
+      .orderBy("hour").collect()
+      .map(r => (r.getInt(1), r.getAs[Long]("n_anomalies"))).toSeq
+    // z=1: |100-20|=80 > 40 flags; the four zeros: |0-20|=20 ≤ 40 don't;
+    // the constant hour-10 cell has σ=0 and no deviations
+    assert(z1 == Seq((9, 1L), (10, 0L)))
+    // constant cell with one deviator: σ>0 case covered above; a truly
+    // constant cell never flags (|v-mean| = 0 is not > 0)
+    val const = Seq(("g", 1, 7.0), ("g", 1, 7.0)).toDF("g", "hour", "v")
+    assert(Trend.seasonalAnomalies(const, Seq("g"), "hour", "v")
+      .head.getAs[Long]("n_anomalies") == 0L)
+    intercept[IllegalArgumentException] {
+      Trend.seasonalAnomalies(df, Seq("g"), "hour", "v", z = 0.0)
+    }
+  }
+
   test("autocorrelation: hand-computed lag-1 r on a linear series") {
     // series 1,2,3,4 at days 1-4: lag-1 pairs x=[1,2,3], y=[2,3,4]
     // num = 3·20−6·9 = 6; denX = 3·14−36 = 6; denY = 3·29−81 = 6
