@@ -1625,6 +1625,22 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // Monotone probability calibration: PAV's isotonic fit over the
+    // q180 reliability bins via the closed-form minimax (max over
+    // i≤b of min over j≥b of pooled rate) — relational, loop-free,
+    // non-decreasing by construction.
+    "q205_isotonic_fit" -> ((s, dir) => {
+      def h6(tag: String) =
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(s":$tag"))), 1, 5), 16, 10).cast("long") % 1000000L
+      val scored = Tables(s, dir).documents.select(
+        (h6("cal").cast("double") / lit(1.0e6)).as("score"),
+        (h6("lbl") < h6("cal")).as("label"))
+      val bins = Classifier.calibrationBins(scored, "score", "label",
+        nBins = 10)
+      Classifier.isotonicCalibrate(bins, "bin", "n", "n_pos")
+        .orderBy("bin")
+    }),
     // How often is 9am not like 9am? Seasonal anomaly counts per
     // (event_type, hour-of-day): q184's exact cell baseline composed
     // back onto the rows, |v − mean| > 3σ verdicts on bit-identical
@@ -4723,6 +4739,38 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q205: q180's hex bins verbatim, then the SAME minimax lattice —
+    // exact windowed prefixes, one division per interval, min/max over
+    // identical doubles
+    "q205_isotonic_fit" ->
+      """WITH d AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cal'), 1, 5))
+        |      AS BIGINT) % 1000000 AS s6,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lbl'), 1, 5))
+        |      AS BIGINT) % 1000000 AS u6
+        |  FROM documents),
+        |r AS (SELECT least((s6 * 10) // 1000000, 9) AS bin,
+        |    CASE WHEN u6 < s6 THEN 1 ELSE 0 END AS y
+        |  FROM d),
+        |a AS (SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s
+        |  FROM r GROUP BY 1),
+        |base AS (SELECT * FROM a WHERE n > 0),
+        |cum AS (SELECT bin, n, s,
+        |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |    CAST(sum(s) OVER (ORDER BY bin) AS BIGINT) AS cs
+        |  FROM base),
+        |iv AS (SELECT l.bin AS i, h.bin AS j,
+        |    CAST(h.cs - (l.cs - l.s) AS DOUBLE)
+        |      / CAST(h.cn - (l.cn - l.n) AS DOUBLE) AS avgv
+        |  FROM cum l JOIN cum h ON l.bin <= h.bin),
+        |m AS (SELECT b.bin, iv.i, min(iv.avgv) AS mn
+        |  FROM iv JOIN base b ON iv.i <= b.bin AND b.bin <= iv.j
+        |  GROUP BY 1, 2),
+        |f AS (SELECT bin, max(mn) AS rate_iso FROM m GROUP BY bin)
+        |SELECT b.bin, b.n, b.s AS n_pos,
+        |  CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS rate_raw, f.rate_iso
+        |FROM base b JOIN f ON f.bin = b.bin ORDER BY b.bin""".stripMargin,
     // q204: q184's exact cell statistics verbatim, the same 3σ verdict
     // on the same doubles, counted
     "q204_seasonal_anomalies" ->

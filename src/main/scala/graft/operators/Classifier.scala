@@ -286,4 +286,58 @@ object Classifier {
           - (col("_ssum").cast("double") / lit(1.0e6)) / col("n").cast("double"))
           .as("gap"))
   }
+
+  /** Isotonic calibration over pre-binned counts — PAV's fit computed
+    * by its MINIMAX characterization (Ayer et al. 1955; Robertson,
+    * Wright & Dykstra ch. 1): `ĝ(b) = max_{i≤b} min_{j≥b}
+    * (Σ_{i..j} pos) / (Σ_{i..j} n)` — a closed relational form, no
+    * sequential pool-merging loop, no driver-side state. The result is
+    * the least-squares monotone fit of the per-bin positive rates
+    * (non-decreasing in bin order), the standard probability-
+    * calibration step after [[calibrationBins]].
+    *
+    * Contract: the bin domain must be BOUNDED (≤ ~200 bins — the
+    * interval lattice is B², the membership join B³/2; calibration
+    * bins are 10–100). Empty bins (n = 0) are excluded — they carry no
+    * evidence and PAV is defined on weighted points.
+    *
+    * Determinism: interval sums are exact integers off exact windowed
+    * prefixes; each interval average is ONE double division; min/max
+    * run over identical double sets on every engine, and the output is
+    * the VALUE (ties in the argmin collapse — no tie-break needed).
+    *
+    * Output: `(bin, n, n_pos, rate_raw, rate_iso)`, rate_iso
+    * non-decreasing. */
+  def isotonicCalibrate(binned: DataFrame, binCol: String, nCol: String,
+                        posCol: String): DataFrame = {
+    val base = binned
+      .select(col(binCol).cast("long").as("_b"),
+        col(nCol).cast("long").as("_n"), col(posCol).cast("long").as("_s"))
+      .filter(col("_n") > 0L)
+      .localCheckpoint(false) // cum window + membership join + output
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = base
+      .withColumn("_cn", sum(col("_n")).over(w))
+      .withColumn("_cs", sum(col("_s")).over(w))
+      .localCheckpoint(false) // bounded-bin contract: B rows
+    val lo = cum.select(col("_b").as("_i"),
+      (col("_cn") - col("_n")).as("_pn"), (col("_cs") - col("_s")).as("_ps"))
+    val hi = cum.select(col("_b").as("_j"),
+      col("_cn").as("_cnj"), col("_cs").as("_csj"))
+    val intervals = lo.join(hi, col("_i") <= col("_j"))
+      .select(col("_i"), col("_j"),
+        ((col("_csj") - col("_ps")).cast("double") /
+          (col("_cnj") - col("_pn")).cast("double")).as("_avg"))
+    val fit = intervals
+      .join(base.select(col("_b")),
+        col("_i") <= col("_b") && col("_b") <= col("_j"))
+      .groupBy(col("_b"), col("_i")).agg(min(col("_avg")).as("_m"))
+      .groupBy(col("_b")).agg(max(col("_m")).as("rate_iso"))
+    base.join(fit, Seq("_b"))
+      .select(col("_b").as(binCol), col("_n").as(nCol),
+        col("_s").as(posCol),
+        (col("_s").cast("double") / col("_n").cast("double")).as("rate_raw"),
+        col("rate_iso"))
+  }
 }

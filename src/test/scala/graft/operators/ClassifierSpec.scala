@@ -208,4 +208,40 @@ class ClassifierSpec extends SparkFunSuite {
       Classifier.calibrationBins(rows, "score", "label", nBins = 1)
     }
   }
+
+  test("isotonicCalibrate: textbook pooling, monotone passthrough, weights") {
+    import spark.implicits._
+    // raw rates .2 .6 .4 .8 → PAV pools the 2nd/3rd: .2 .5 .5 .8
+    val bins = Seq((0L, 10L, 2L), (1L, 10L, 6L), (2L, 10L, 4L),
+      (3L, 10L, 8L)).toDF("bin", "n", "n_pos")
+    val got = Classifier.isotonicCalibrate(bins, "bin", "n", "n_pos")
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq((0L, 0.2, 0.2), (1L, 0.6, 0.5), (2L, 0.4, 0.5),
+      (3L, 0.8, 0.8)))
+    // already-monotone input is returned unchanged
+    val mono = Seq((0L, 5L, 1L), (1L, 5L, 2L), (2L, 5L, 4L))
+      .toDF("bin", "n", "n_pos")
+    val gm = Classifier.isotonicCalibrate(mono, "bin", "n", "n_pos")
+      .orderBy("bin").collect()
+    gm.foreach(r => assert(r.getDouble(3) == r.getDouble(4)))
+    // fully decreasing pools to the global mean everywhere
+    val dec = Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 2L, 0L))
+      .toDF("bin", "n", "n_pos")
+    val gd = Classifier.isotonicCalibrate(dec, "bin", "n", "n_pos")
+      .collect().map(_.getDouble(4)).toSeq
+    assert(gd.forall(_ == 0.5))
+    // weighted pooling: (n=1, rate 1) then (n=3, rate 0) → 1/4 both
+    val wt = Seq((0L, 1L, 1L), (1L, 3L, 0L)).toDF("bin", "n", "n_pos")
+    val gw = Classifier.isotonicCalibrate(wt, "bin", "n", "n_pos")
+      .orderBy("bin").collect().map(_.getDouble(4)).toSeq
+    assert(gw == Seq(0.25, 0.25))
+    // empty bins drop; the fit over the remainder is still monotone
+    val holes = Seq((0L, 2L, 2L), (3L, 0L, 0L), (7L, 2L, 0L))
+      .toDF("bin", "n", "n_pos")
+    val gh = Classifier.isotonicCalibrate(holes, "bin", "n", "n_pos")
+      .orderBy("bin").collect()
+    assert(gh.map(_.getLong(0)).toSeq == Seq(0L, 7L))
+    assert(gh.map(_.getDouble(4)).toSeq == Seq(0.5, 0.5))
+  }
 }
