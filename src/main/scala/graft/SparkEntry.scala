@@ -1625,6 +1625,16 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // Data-driven channel attribution: first-order Markov chain over
+    // pre-purchase journeys, absorbing conv/null, removal effect per
+    // channel via exact integer fixed-point (the q190 arithmetic),
+    // shares from the channel-ordered fold.
+    "q206_markov_attribution" -> ((s, dir) => {
+      Sessionize.markovRemovalEffects(Tables(s, dir).events, "user_id",
+          "ts", "event_type", "purchase", tieBreak = Seq("event_id"),
+          iters = 8)
+        .orderBy("channel")
+    }),
     // Monotone probability calibration: PAV's isotonic fit over the
     // q180 reliability bins via the closed-form minimax (max over
     // i≤b of min over j≥b of pooled rate) — relational, loop-free,
@@ -4738,6 +4748,73 @@ object SparkEntry {
          |  FROM votes)
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
+    },
+    // q206: identical journey construction, identical variant
+    // expansion, the SAME integer fixed-point unrolled 8 rounds
+    // (HUGEINT products, floor divides), channel-ordered share fold
+    "q206_markov_attribution" -> {
+      val S = 1000000000000L
+      val rounds = (1 to 8).map { i =>
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        s"""v$i AS (SELECT vc.variant, vc.src AS state,
+           |  CAST(sum(CAST(vc.n AS HUGEINT) *
+           |    (CASE WHEN vc.dst = '~conv' THEN $S
+           |          WHEN vc.dst = '~null' THEN 0
+           |          ELSE coalesce(vp._v, 0) END)) // t._tot AS BIGINT) AS _v
+           |  FROM vc JOIN tot t ON t.variant = vc.variant AND t.src = vc.src
+           |  LEFT JOIN $prev vp ON vp.variant = vc.variant AND vp.state = vc.dst
+           |  GROUP BY vc.variant, vc.src, t._tot)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (SELECT user_id, ts, event_id, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         |fc AS (SELECT user_id, min(ts) AS fc FROM base
+         |  WHERE event_type = 'purchase' GROUP BY 1),
+         |j AS (SELECT b.user_id, b.ts, b.event_id, b.event_type AS c,
+         |    (fc.fc IS NOT NULL) AS cv
+         |  FROM base b LEFT JOIN fc ON fc.user_id = b.user_id
+         |  WHERE b.event_type <> 'purchase'
+         |    AND (fc.fc IS NULL OR b.ts < fc.fc)),
+         |mk AS (SELECT user_id, c, cv,
+         |    lead(c) OVER w AS nxt, row_number() OVER w AS rn
+         |  FROM j WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |tr AS (
+         |  SELECT c AS src, nxt AS dst FROM mk WHERE nxt IS NOT NULL
+         |  UNION ALL SELECT '~start', c FROM mk WHERE rn = 1
+         |  UNION ALL SELECT c, CASE WHEN cv THEN '~conv' ELSE '~null' END
+         |    FROM mk WHERE nxt IS NULL
+         |  UNION ALL SELECT '~start', '~conv' FROM fc
+         |    WHERE user_id NOT IN (SELECT DISTINCT user_id FROM j)),
+         |cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+         |  FROM tr GROUP BY 1, 2),
+         |ch AS (SELECT DISTINCT src AS c FROM cnt WHERE src NOT LIKE '~%'),
+         |vr AS (SELECT ch.c AS variant, cnt.src,
+         |    CASE WHEN cnt.dst = ch.c THEN '~null' ELSE cnt.dst END AS dst,
+         |    cnt.n
+         |  FROM cnt CROSS JOIN ch WHERE cnt.src <> ch.c
+         |  UNION ALL SELECT '', src, dst, n FROM cnt),
+         |vc AS (SELECT variant, src, dst, CAST(sum(n) AS BIGINT) AS n
+         |  FROM vr GROUP BY 1, 2, 3),
+         |tot AS (SELECT variant, src, CAST(sum(n) AS BIGINT) AS _tot
+         |  FROM vc GROUP BY 1, 2),
+         |v0 AS (SELECT variant, src AS state, CAST(0 AS BIGINT) AS _v
+         |  FROM tot),
+         |$rounds,
+         |pb AS (SELECT _v AS pb FROM v8 WHERE variant = '' AND state = '~start'),
+         |pc AS (SELECT variant AS channel, _v AS pr FROM v8
+         |  WHERE variant <> '' AND state = '~start'),
+         |re AS (SELECT channel, pb.pb AS p_base_e12, pr AS p_removed_e12,
+         |    CASE WHEN pb.pb = 0 THEN NULL
+         |         ELSE 1.0 - CAST(pr AS DOUBLE) / CAST(pb.pb AS DOUBLE) END
+         |      AS removal_effect
+         |  FROM pc CROSS JOIN pb),
+         |dn AS (SELECT list_reduce(list_prepend(0.0,
+         |    list(coalesce(removal_effect, 0.0) ORDER BY channel)),
+         |    (x, y) -> x + y) AS s FROM re)
+         |SELECT re.channel, re.p_base_e12, re.p_removed_e12,
+         |  re.removal_effect,
+         |  CASE WHEN dn.s = 0.0 OR re.removal_effect IS NULL THEN NULL
+         |       ELSE re.removal_effect / dn.s END AS attribution
+         |FROM re CROSS JOIN dn ORDER BY re.channel""".stripMargin
     },
     // q205: q180's hex bins verbatim, then the SAME minimax lattice —
     // exact windowed prefixes, one division per interval, min/max over

@@ -358,4 +358,142 @@ object Sessionize {
       .agg(count(lit(1)).as("n_conversions"),
         sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("revenue"))
   }
+
+  /** Markov removal-effect attribution (Anderl et al., "Mapping the
+    * customer journey", 2014 — the data-driven alternative to
+    * [[lastTouchAttribution]]'s heuristic): model journeys as a
+    * first-order chain over channels with absorbing `~conv`/`~null`
+    * states, compute the chain's conversion probability from `~start`,
+    * then for each channel recompute it on the chain WITH THAT CHANNEL
+    * REMOVED (its outgoing transitions deleted, its incoming mass
+    * redirected to `~null`). `removal_effect(c) = 1 − p_removed/p_base`
+    * — how much of conversion the channel carries; `attribution`
+    * normalizes the effects to shares.
+    *
+    * Journey construction: per user, `stateCol` events STRICTLY before
+    * the user's first `convState` event (order `(tsCol, tieBreak…)`),
+    * `~start` → first touch, touch→touch adjacents, last touch →
+    * `~conv`/`~null` by whether the user ever converts; users who
+    * convert with NO prior touch contribute `~start → ~conv` (never
+    * silently dropped). Self-transitions are kept (stated; dropping
+    * them is a different model). NULL users are excluded.
+    *
+    * Determinism: absorption probabilities are computed by `iters`
+    * rounds of EXACT integer fixed-point in 10⁻¹² units
+    * ([[graft.operators.Graph.pageRank]]'s arithmetic contract:
+    * `v'(s) = (Σ_d n(s→d)·v(d)) div total(s)`, absorbers pinned at
+    * 10¹²/0) — every replay is integer-for-integer; `iters` bounds the
+    * walk length captured (mass on longer journeys is truncated toward
+    * 0, identically on every engine). The final effects/shares are
+    * fixed-order doubles; the share denominator folds in channel
+    * order.
+    *
+    * Scale shape: ONE user-partitioned window pass over the events
+    * (the only data-scale step); everything after — the (src, dst)
+    * counts, the channel-variant expansion (|channels|+1 copies of a
+    * vocabulary² table), and the fixed-point rounds — is channel-
+    * vocabulary sized. Output per channel: `(channel, p_base_e12,
+    * p_removed_e12, removal_effect, attribution)`. */
+  def markovRemovalEffects(events: DataFrame, userCol: String,
+                           tsCol: String, stateCol: String,
+                           convState: String, tieBreak: Seq[String] = Nil,
+                           iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    val Scale = 1000000000000L
+    val spark = events.sparkSession
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def idiv(a: Column, b: Column): Column = GraftColumnBridge.column(
+      IntegralDivide(GraftColumnBridge.expression(a),
+        GraftColumnBridge.expression(b)))
+    val base = events.filter(col(userCol).isNotNull &&
+      col(stateCol).isNotNull)
+    val fc = base.filter(col(stateCol) === convState)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_fc"))
+    val j = base.filter(col(stateCol) =!= convState)
+      .join(fc, Seq(userCol), "left")
+      .filter(col("_fc").isNull || col(tsCol) < col("_fc"))
+      .select(Seq(col(userCol), col(tsCol),
+        col(stateCol).as("_c"), col("_fc").isNotNull.as("_cv")) ++
+        tieBreak.map(col): _*)
+      .localCheckpoint(false) // window pass + empty-journey anti-join
+    val w = Window.partitionBy(userCol)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val marked = j
+      .withColumn("_next", lead(col("_c"), 1).over(w))
+      .withColumn("_rn", row_number().over(w))
+    val mid = marked.filter(col("_next").isNotNull)
+      .select(col("_c").as("src"), col("_next").as("dst"))
+    val starts = marked.filter(col("_rn") === 1)
+      .select(lit("~start").as("src"), col("_c").as("dst"))
+    val ends = marked.filter(col("_next").isNull)
+      .select(col("_c").as("src"),
+        when(col("_cv"), lit("~conv")).otherwise(lit("~null")).as("dst"))
+    val emptyConv = fc.join(j.select(col(userCol)).distinct(),
+        Seq(userCol), "left_anti")
+      .select(lit("~start").as("src"), lit("~conv").as("dst"))
+    val cnt = mid.unionByName(starts).unionByName(ends)
+      .unionByName(emptyConv)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // vocabulary²-sized; variants re-read it
+    val channels = cnt.select(col("src").as("_ch"))
+      .filter(!col("_ch").startsWith("~")).distinct()
+    val variants = cnt.crossJoin(channels)
+      .filter(col("src") =!= col("_ch"))
+      .select(col("_ch").as("variant"), col("src"),
+        when(col("dst") === col("_ch"), lit("~null")).otherwise(col("dst"))
+          .as("dst"), col("n"))
+      .unionByName(cnt.select(lit("").as("variant"), col("src"),
+        col("dst"), col("n")))
+      .groupBy("variant", "src", "dst").agg(sum(col("n")).as("n"))
+      .localCheckpoint(true)
+    val tot = variants.groupBy("variant", "src")
+      .agg(sum(col("n")).as("_tot")).localCheckpoint(true)
+    var v = tot.select(col("variant"), col("src").as("state"),
+      lit(0L).as("_v")).localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val joined = variants
+        .join(v.select(col("variant"), col("state").as("dst"),
+          col("_v").as("_vd")), Seq("variant", "dst"), "left")
+        .select(col("variant"), col("src"),
+          (col("n").cast("decimal(19,0)") *
+            when(col("dst") === "~conv", lit(Scale))
+              .when(col("dst") === "~null", lit(0L))
+              .otherwise(coalesce(col("_vd"), lit(0L))).cast("decimal(19,0)"))
+            .as("_p"))
+      v = joined.groupBy("variant", "src")
+        .agg(sum(col("_p")).as("_sp"))
+        .join(tot, Seq("variant", "src"))
+        .select(col("variant"), col("src").as("state"),
+          idiv(col("_sp"), col("_tot").cast("decimal(38,0)"))
+            .cast("long").as("_v"))
+        .localCheckpoint(false)
+    }
+    val pStart = v.filter(col("state") === "~start")
+      .select(col("variant"), col("_v"))
+    val pBase = pStart.filter(col("variant") === "")
+      .select(col("_v").as("_pb"))
+    val perChannel = pStart.filter(col("variant") =!= "")
+      .crossJoin(broadcast(pBase))
+      .select(col("variant").as("channel"), col("_pb").as("p_base_e12"),
+        col("_v").as("p_removed_e12"),
+        when(col("_pb") === 0L, lit(null))
+          .otherwise(lit(1.0) -
+            col("_v").cast("double") / col("_pb").cast("double"))
+          .as("removal_effect"))
+      .localCheckpoint(false) // share fold re-reads it
+    val denom = perChannel
+      .agg(sort_array(collect_list(struct(col("channel"),
+        col("removal_effect")))).as("_cs"))
+      .select(aggregate(col("_cs"), lit(0.0),
+        (acc, s) => acc + coalesce(s("removal_effect"), lit(0.0)))
+        .as("_re_sum"))
+    perChannel.crossJoin(broadcast(denom))
+      .select(col("channel"), col("p_base_e12"), col("p_removed_e12"),
+        col("removal_effect"),
+        when(col("_re_sum") === 0.0 || col("removal_effect").isNull,
+          lit(null))
+          .otherwise(col("removal_effect") / col("_re_sum"))
+          .as("attribution"))
+  }
 }

@@ -242,4 +242,41 @@ class SessionizeSpec extends SparkFunSuite {
         df.withColumnRenamed("e", "_bk"), "user_id", "tick", "_bk")
     }
   }
+
+  test("markovRemovalEffects: hand-replayed chain, empty journeys, shares") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    // u1: A → conv; u2: A → (null); u3: B → conv; u4: conv with no touch
+    // counts: start→A:2, start→B:1, start→conv:1, A→conv:1, A→null:1,
+    // B→conv:1; totals start:4, A:2, B:1
+    // fixed point: v(A) = 5e11, v(B) = 1e12, v(start) = 7.5e11
+    // remove A: start's A-mass → null ⇒ v(start) = 5e11; same for B
+    val df = Seq(
+      (1L, t(1), "A"), (1L, t(2), "purchase"),
+      (2L, t(1), "A"),
+      (3L, t(1), "B"), (3L, t(2), "purchase"),
+      (4L, t(5), "purchase")).toDF("user_id", "ts", "etype")
+    val got = Sessionize.markovRemovalEffects(df, "user_id", "ts", "etype",
+        "purchase", iters = 4)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val re = 1.0 - 500000000000.0 / 750000000000.0
+    assert(got == Seq(
+      ("A", 750000000000L, 500000000000L, re, 0.5),
+      ("B", 750000000000L, 500000000000L, re, 0.5)))
+    // self-transitions are kept: A,A,conv keeps an A→A loop (the chain
+    // still absorbs — iterate enough and start's value approaches 1e12)
+    val selfLoop = Seq((1L, t(1), "A"), (1L, t(2), "A"),
+      (1L, t(3), "purchase")).toDF("user_id", "ts", "etype")
+    val s = Sessionize.markovRemovalEffects(selfLoop, "user_id", "ts",
+      "etype", "purchase", iters = 8).head
+    // counts: start→A:1, A→A:1, A→conv:1; v(A) solves v = (v+1e12)/2
+    // → truncated geometric: after 8 rounds v(A) < 1e12 but > 0.99e12
+    assert(s.getLong(1) > 990000000000L && s.getLong(1) <= 1000000000000L)
+    intercept[IllegalArgumentException] {
+      Sessionize.markovRemovalEffects(df, "user_id", "ts", "etype",
+        "purchase", iters = 0)
+    }
+  }
 }
