@@ -1625,6 +1625,17 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // Non-parametric trend test on the daily event-volume series: exact
+    // integer S over within-group day pairs, tie-corrected variance,
+    // continuity-corrected z, Kendall tau_b.
+    "q207_mann_kendall" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      Trend.mannKendall(daily, Seq("event_type"), "day", "n_events")
+        .orderBy("event_type")
+    }),
     // Data-driven channel attribution: first-order Markov chain over
     // pre-purchase journeys, absorbing conv/null, removal effect per
     // channel via exact integer fixed-point (the q190 arithmetic),
@@ -4749,6 +4760,45 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q207: the same pairwise S over (event_type, day) pairs, HUGEINT
+    // tie terms, VARCHAR-routed int128->double casts, identical
+    // fixed-order z / tau_b formulas
+    "q207_mann_kendall" ->
+      """WITH s AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+        |      AS s_stat
+        |  FROM s a JOIN s b ON b.event_type = a.event_type
+        |    AND a.day < b.day
+        |  GROUP BY 1),
+        |t AS (SELECT event_type, CAST(sum(tt) AS BIGINT) AS n,
+        |    sum(tt * (tt - 1) * (2 * tt + 5)) AS tie3,
+        |    sum(tt * (tt - 1)) AS tie2
+        |  FROM (SELECT event_type, y, CAST(count(*) AS HUGEINT) AS tt
+        |    FROM s GROUP BY 1, 2) GROUP BY 1),
+        |c AS (SELECT t.event_type, t.n, coalesce(p.s_stat, 0) AS s_stat,
+        |    CAST(t.n AS HUGEINT) * (t.n - 1) * (2 * t.n + 5) - t.tie3
+        |      AS vn,
+        |    CAST(t.n AS HUGEINT) * (t.n - 1) // 2 AS d,
+        |    t.tie2 // 2 AS u
+        |  FROM t LEFT JOIN p ON p.event_type = t.event_type)
+        |SELECT event_type, n, s_stat,
+        |  CAST(CAST(vn AS VARCHAR) AS DOUBLE) AS var_num,
+        |  CASE WHEN vn <= 0 THEN NULL
+        |       WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) /
+        |         sqrt(CAST(CAST(vn AS VARCHAR) AS DOUBLE) / 18.0)
+        |       WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) /
+        |         sqrt(CAST(CAST(vn AS VARCHAR) AS DOUBLE) / 18.0)
+        |       ELSE 0.0 END AS z,
+        |  CASE WHEN vn <= 0 THEN NULL
+        |       ELSE CAST(s_stat AS DOUBLE) /
+        |         sqrt(CAST(CAST(d AS VARCHAR) AS DOUBLE) *
+        |           CAST(CAST(d - u AS VARCHAR) AS DOUBLE)) END AS tau_b
+        |FROM c ORDER BY event_type""".stripMargin,
     // q206: identical journey construction, identical variant
     // expansion, the SAME integer fixed-point unrolled 8 rounds
     // (HUGEINT products, floor divides), channel-ordered share fold

@@ -261,4 +261,84 @@ object Trend {
       .withColumn("anomaly_frac",
         col("n_anomalies").cast("double") / col("n").cast("double"))
   }
+
+  /** Mann–Kendall trend test per group (Mann 1945, Kendall 1975 — the
+    * standard non-parametric trend test for climate/weather series,
+    * where [[trendFit]]'s OLS assumptions don't hold): over a series
+    * ordered by `orderCol`, `S = Σ_{i<j} sign(y_j − y_i)`, the
+    * tie-corrected variance `Var(S) = [n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5)] / 18` (t = per-value tie-group sizes), the
+    * continuity-corrected normal score `z = (S∓1)/√Var(S)`, and
+    * Kendall's `τ_b = S / √(D(D−U))` with `D = n(n−1)/2`,
+    * `U = Σ_t t(t−1)/2`.
+    *
+    * Determinism contract: `yCol` is compared in exact integer
+    * micro-units (decimal(18,6)·10⁶ → long: ≤6 decimal places,
+    * |y| < 10¹²; ANSI throws past the bound, non-ANSI nulls the row
+    * out loudly via the null filter), so S and every tie count are
+    * exact integers on any engine and any partitioning. `orderCol`
+    * may be any orderable type (only `<` is used, never arithmetic);
+    * pairs with EQUAL order values are excluded from S, the standard
+    * treatment of tied times. var_num = 18·Var(S) is returned exactly
+    * (cast to double through the JVM's correctly-rounded decimal
+    * route); z and τ_b combine exact integers in doubles with a fixed
+    * operand order — bit-identical cross-engine. n < 2 or an all-tied
+    * group → var_num 0 → null z/τ_b; S = 0 with positive variance →
+    * z = 0 (the correction applies only to nonzero S). Rows with a
+    * null group/order/y are excluded.
+    *
+    * Scale shape: S needs the pairwise order relation, so the series
+    * self-joins WITHIN each group — O(n²/2) pairs per group, shuffled
+    * once on the group key with groups in parallel. The contract is
+    * per-group series length, not table size: MK runs on
+    * aggregated series (daily/monthly rollups, n ≤ ~10⁴ ⇒ ≤5·10⁷
+    * sign evaluations per group, no materialization — the pairs
+    * stream straight into a map-side-combined sum). The n/tie pass is
+    * one small aggregation. Output: `(…group, n, s_stat, var_num,
+    * z, tau_b)`. */
+  def mannKendall(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                  yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    val d38 = "decimal(38,0)"
+    val base = df
+      .filter(groupCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(orderCol).isNotNull && col(yCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(col(orderCol).as("_o"),
+        (col(yCol).cast("decimal(18,6)") * lit(1000000L)).cast("long")
+          .as("_y")): _*)
+      .localCheckpoint(false) // read by the pair join (twice) + two aggs
+    val rhs = base.select(groupCols.map(c => col(c).as(s"_g_$c")) ++
+      Seq(col("_o").as("_o2"), col("_y").as("_y2")): _*)
+    val sPer = base.join(rhs,
+        groupCols.map(c => col(c) === col(s"_g_$c")).reduce(_ && _) &&
+          col("_o") < col("_o2"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(when(col("_y2") > col("_y"), 1L)
+        .when(col("_y2") < col("_y"), -1L).otherwise(0L)).as("s_stat"))
+    val tc = col("_t").cast(d38)
+    val ties = base.groupBy(groupCols.map(col) :+ col("_y"): _*)
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_t")).cast("long").as("n"),
+        sum(tc * (tc - lit(1)) * (tc * lit(2) + lit(5))).as("_tie3"),
+        sum(tc * (tc - lit(1))).as("_tie2"))
+    val nc = col("n").cast(d38)
+    val joined = ties.join(sPer, groupCols, "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("_vn",
+        nc * (nc - lit(1)) * (nc * lit(2) + lit(5)) - col("_tie3"))
+      .withColumn("_d", nc * (nc - lit(1)) / lit(2)) // exact: n(n−1) even
+    val sD = col("s_stat").cast("double")
+    val vnD = col("_vn").cast("double")
+    val dD = col("_d").cast("double")
+    val duD = (col("_d") - col("_tie2") / lit(2)).cast("double")
+    joined.select(groupCols.map(col) ++ Seq(col("n"), col("s_stat"),
+      vnD.as("var_num"),
+      when(col("_vn") <= 0, lit(null).cast("double"))
+        .when(col("s_stat") > 0, (sD - lit(1.0)) / sqrt(vnD / lit(18.0)))
+        .when(col("s_stat") < 0, (sD + lit(1.0)) / sqrt(vnD / lit(18.0)))
+        .otherwise(lit(0.0)).as("z"),
+      when(col("_vn") <= 0, lit(null).cast("double"))
+        .otherwise(sD / sqrt(dD * duD)).as("tau_b")): _*)
+  }
 }

@@ -168,4 +168,44 @@ class TrendSpec extends SparkFunSuite {
       Trend.ewmaLevel(df, Seq.empty, "t", "v")
     }
   }
+
+  test("mannKendall: hand-computed S, ties, degenerate groups, tied times") {
+    val df = Seq(
+      // a: strictly increasing [1,2,3] -> S=3, vn=66, tau=1
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      // b: [1,1,2] -> S=2, tie t=2: vn=66-18=48, d=3, u=1
+      ("b", 1L, 1.0), ("b", 2L, 1.0), ("b", 3L, 2.0),
+      // c: constant [5,5] -> vn=0 -> null z/tau
+      ("c", 1L, 5.0), ("c", 2L, 5.0),
+      // d: single row -> vn=0
+      ("d", 1L, 9.0),
+      // e: tied ORDER values: days [1,1,2], y [1,2,3] -> the equal-day
+      // pair is excluded: S=2, no y-ties -> vn=66
+      ("e", 1L, 1.0), ("e", 1L, 2.0), ("e", 2L, 3.0),
+      // f: decreasing pair [3,1] -> S=-1, vn=18, z=(S+1)/. = 0
+      ("f", 1L, 3.0), ("f", 2L, 1.0)).toDF("g", "t", "y")
+    val got = Trend.mannKendall(df, Seq("g"), "t", "y").orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))
+    val za = 2.0 / math.sqrt(66.0 / 18.0)
+    val zb = 1.0 / math.sqrt(48.0 / 18.0)
+    val ze = 1.0 / math.sqrt(66.0 / 18.0)
+    assert(got.toSeq == Seq(
+      ("a", 3L, 3L, 66.0, Some(za), Some(1.0)),
+      ("b", 3L, 2L, 48.0, Some(zb), Some(2.0 / math.sqrt(3.0 * 2.0))),
+      ("c", 2L, 0L, 0.0, None, None),
+      ("d", 1L, 0L, 0.0, None, None),
+      ("e", 3L, 2L, 66.0, Some(ze), Some(2.0 / 3.0)),
+      ("f", 2L, -1L, 18.0, Some(0.0), Some(-1.0))))
+    // null rows drop; empty groupCols rejected
+    val withNulls = Seq(("a", Option(1L), Option(1.0)),
+      ("a", None, Option(2.0)), ("a", Option(2L), None))
+      .toDF("g", "t", "y")
+    assert(Trend.mannKendall(withNulls, Seq("g"), "t", "y")
+      .collect().head.getAs[Long]("n") == 1L)
+    intercept[IllegalArgumentException] {
+      Trend.mannKendall(df, Seq.empty, "t", "y")
+    }
+  }
 }
