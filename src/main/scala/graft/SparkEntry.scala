@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis, Trend}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis, Trend}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1624,6 +1624,18 @@ object SparkEntry {
       Profile.correlationMatrix(Tables(s, dir).lineitem,
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
+    }),
+    // Covered-time union per user: event spans (1s..3600s from the id)
+    // merged by the gaps-and-islands sweep — overlaps counted once,
+    // exact epoch-microsecond arithmetic.
+    "q208_interval_union" -> ((s, dir) => {
+      val iv = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            (col("event_id") % 3600L + lit(1L)) * lit(1000000L)).as("e_us"))
+      Intervals.unionLength(iv, Seq("user_id"), "s_us", "e_us")
+        .orderBy("user_id")
     }),
     // Non-parametric trend test on the daily event-volume series: exact
     // integer S over within-group day pairs, tie-corrected variance,
@@ -4760,6 +4772,29 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q208: the same sweep — running-max-before window, island prefix
+    // sums, exact BIGINT microsecond lengths
+    "q208_interval_union" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (event_id % 3600 + 1) * 1000000 AS e
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |g AS (SELECT user_id, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island
+        |  FROM m),
+        |i AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS k,
+        |    min(s) AS ms, max(e) AS me
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(k) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(me - ms) AS BIGINT) AS covered
+        |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin,
     // q207: the same pairwise S over (event_type, day) pairs, HUGEINT
     // tie terms, VARCHAR-routed int128->double casts, identical
     // fixed-order z / tau_b formulas
