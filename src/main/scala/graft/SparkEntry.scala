@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, TextAnalysis, Trend}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1624,6 +1624,29 @@ object SparkEntry {
       Profile.correlationMatrix(Tables(s, dir).lineitem,
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
+    }),
+    // Geo radius join WITHOUT the cross product: md5-derived planar
+    // micro-degree coordinates, cell-size-R grid buckets (right side
+    // replicated 3x3), exact integer distance filter; the brute-force
+    // oracle proves the bucketing loses nothing.
+    "q209_radius_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      def coord(key: Column, tag: String) =
+        conv(substring(md5(concat(key.cast("string"), lit(tag))), 1, 6),
+          16, 10).cast("long") % 10000000L
+      val cust = t.customer.filter(col("c_nationkey") === 3)
+        .select(col("c_custkey"),
+          coord(col("c_custkey"), ":cx").as("x"),
+          coord(col("c_custkey"), ":cy").as("y"))
+      val supp = t.supplier
+        .select(col("s_suppkey"),
+          coord(col("s_suppkey"), ":sx").as("x"),
+          coord(col("s_suppkey"), ":sy").as("y"))
+      Spatial.radiusJoin(
+          cust.withColumnRenamed("c_custkey", "pid"),
+          supp.withColumnRenamed("s_suppkey", "pid"),
+          "pid", "x", "y", radius = 1000000L)
+        .orderBy("l_id", "r_id")
     }),
     // Covered-time union per user: event spans (1s..3600s from the id)
     // merged by the gaps-and-islands sweep — overlaps counted once,
@@ -4772,6 +4795,29 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q209: BRUTE-FORCE replay — the oracle is deliberately the cross
+    // join + distance filter, so a pass proves the grid join finds
+    // every qualifying pair exactly once
+    "q209_radius_join" ->
+      """WITH c AS (SELECT c_custkey AS lid,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+        |      || ':cx'), 1, 6)) AS BIGINT) % 10000000 AS x,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+        |      || ':cy'), 1, 6)) AS BIGINT) % 10000000 AS y
+        |  FROM customer WHERE c_nationkey = 3),
+        |s AS (SELECT s_suppkey AS rid,
+        |    CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)
+        |      || ':sx'), 1, 6)) AS BIGINT) % 10000000 AS x,
+        |    CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)
+        |      || ':sy'), 1, 6)) AS BIGINT) % 10000000 AS y
+        |  FROM supplier)
+        |SELECT c.lid AS l_id, s.rid AS r_id,
+        |  CAST((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+        |    AS BIGINT) AS dist_sq
+        |FROM c, s
+        |WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+        |  <= 1000000000000
+        |ORDER BY l_id, r_id""".stripMargin,
     // q208: the same sweep — running-max-before window, island prefix
     // sums, exact BIGINT microsecond lengths
     "q208_interval_union" ->

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkFunSuite
+
+class SpatialSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("radiusJoin: hand-placed points, boundary inclusive, no dups") {
+    val l = Seq((1L, 0L, 0L), (2L, 100L, 100L)).toDF("pid", "x", "y")
+    val r = Seq(
+      (10L, 3L, 4L),       // d²=25 from p1
+      (11L, 10L, 0L),      // d²=100 from p1: ON the boundary, included
+      (12L, 11L, 0L),      // d²=121: out
+      (13L, 100L, 105L),   // d²=25 from p2 (far cell from p1)
+      (14L, -7L, -7L)      // d²=98 from p1: negative coords, in
+    ).toDF("pid", "x", "y")
+    val got = Spatial.radiusJoin(l, r, "pid", "x", "y", radius = 10L)
+      .orderBy("l_id", "r_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got == Seq((1L, 10L, 25L), (1L, 11L, 100L), (1L, 14L, 98L),
+      (2L, 13L, 25L)))
+  }
+
+  test("radiusJoin ≡ brute force on a seeded cloud straddling the origin") {
+    // deterministic LCG points in [-500, 500)²; radius 37 exercises
+    // many cells and the negative-coordinate floor division
+    def lcg(s: Long): Long = (s * 6364136223846793005L + 1442695040888963407L)
+    val pts = (1 to 300).map { i =>
+      val a = lcg(i.toLong); val b = lcg(a)
+      (i.toLong, math.floorMod(a, 1000L) - 500L, math.floorMod(b, 1000L) - 500L)
+    }
+    val l = pts.take(150).toDF("pid", "x", "y")
+    val r = pts.drop(150).toDF("pid", "x", "y")
+    val got = Spatial.radiusJoin(l, r, "pid", "x", "y", radius = 37L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val brute = (for {
+      (li, lx, ly) <- pts.take(150)
+      (ri, rx, ry) <- pts.drop(150)
+      d = (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry)
+      if d <= 37L * 37L
+    } yield (li, ri, d)).toSet
+    assert(brute.nonEmpty && got == brute)
+    intercept[IllegalArgumentException] {
+      Spatial.radiusJoin(l, r, "pid", "x", "y", radius = 0L)
+    }
+  }
+}
