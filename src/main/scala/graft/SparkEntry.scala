@@ -1625,6 +1625,18 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // MAU growth accounting over epoch-week buckets: every active user
+    // is new/retained/resurrected exactly once per period, churn lands
+    // in the period the user went silent, quick ratio from exact counts.
+    "q210_growth_accounting" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .filter(col("ts").isNotNull)
+        .withColumn("week",
+          floor(unix_micros(col("ts")).cast("double") / lit(86400e6 * 7))
+            .cast("long"))
+      Retention.growthAccounting(ev, "user_id", "week")
+        .orderBy("period")
+    }),
     // Geo radius join WITHOUT the cross product: md5-derived planar
     // micro-degree coordinates, cell-size-R grid buckets (right side
     // replicated 3x3), exact integer distance filter; the brute-force
@@ -4795,6 +4807,39 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q210: same distinct (user, week) lattice, lag/lead status rules,
+    // churn shifted one period forward and capped at the horizon
+    "q210_growth_accounting" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |    CAST(floor(epoch_us(ts) / (86400000000.0 * 7)) AS BIGINT) AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT u, p,
+        |    lag(p) OVER (PARTITION BY u ORDER BY p) AS prv,
+        |    lead(p) OVER (PARTITION BY u ORDER BY p) AS nxt
+        |  FROM a),
+        |st AS (SELECT p, CASE WHEN prv IS NULL THEN 'new'
+        |      WHEN prv = p - 1 THEN 'retained'
+        |      ELSE 'resurrected' END AS s
+        |  FROM m
+        |  UNION ALL
+        |  SELECT p + 1, 'churned' FROM m
+        |  WHERE (nxt IS NULL OR nxt > p + 1)
+        |    AND p + 1 <= (SELECT max(p) FROM a)),
+        |c AS (SELECT p AS period,
+        |    CAST(sum(CASE WHEN s = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN s = 'retained' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN s = 'resurrected' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected,
+        |    CAST(sum(CASE WHEN s = 'churned' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_churned
+        |  FROM st GROUP BY 1)
+        |SELECT period, n_new, n_retained, n_resurrected, n_churned,
+        |  CASE WHEN n_churned = 0 THEN NULL
+        |       ELSE CAST(n_new + n_resurrected AS DOUBLE) /
+        |         CAST(n_churned AS DOUBLE) END AS quick_ratio
+        |FROM c ORDER BY period""".stripMargin,
     // q209: BRUTE-FORCE replay — the oracle is deliberately the cross
     // join + distance filter, so a pass proves the grid join finds
     // every qualifying pair exactly once

@@ -158,4 +158,66 @@ object Retention {
       col("_x.n_risk").as("n_risk"), col("_x.n_events").as("n_events"),
       col("_x.survival").as("survival")): _*)
   }
+
+  /** Growth accounting (the Social-Capital "accounting for growth"
+    * decomposition): per integer period, how many active users are
+    * `new` (first-ever period), `retained` (also active in period−1),
+    * or `resurrected` (active before, but not in period−1) — plus
+    * `churned`, users active in period−1 and silent in this one,
+    * attributed TO the period they went silent in. `quick_ratio =
+    * (new + resurrected) / churned`, the standard health read (null
+    * when nobody churned).
+    *
+    * `periodCol` must be integer-valued (cast to long) and
+    * consecutive-meaningful: period p's "previous" is literally
+    * p − 1 (epoch-day / epoch-week buckets, year·12+month). Nobody
+    * churns past the horizon: users last active in the globally
+    * latest period are still "current", so no churn row is emitted at
+    * maxPeriod + 1. Null user/period rows are excluded. Exactness:
+    * counts are integers; the one division is two exact longs in
+    * doubles.
+    *
+    * Scale shape: the corpus collapses to distinct (user, period)
+    * once (map-side combine); the status window and the churn
+    * projection reuse that user-keyed exchange; the global max period
+    * is a 1-row broadcast. Final counts aggregate to calendar size.
+    * Output: `(period, n_new, n_retained, n_resurrected, n_churned,
+    * quick_ratio)`. */
+  def growthAccounting(df: DataFrame, userCol: String,
+                       periodCol: String): DataFrame = {
+    val active = df
+      .filter(col(userCol).isNotNull && col(periodCol).isNotNull)
+      .select(col(userCol).as("_u"), col(periodCol).cast("long").as("_p"))
+      .distinct()
+      .localCheckpoint(false) // statuses + churn + max all re-read it
+    val w = Window.partitionBy(col("_u")).orderBy(col("_p"))
+    val marked = active
+      .withColumn("_prev", lag(col("_p"), 1).over(w))
+      .withColumn("_next", lead(col("_p"), 1).over(w))
+      .localCheckpoint(false)
+    val statuses = marked.select(col("_p"),
+      when(col("_prev").isNull, lit("new"))
+        .when(col("_prev") === col("_p") - 1, lit("retained"))
+        .otherwise(lit("resurrected")).as("_st"))
+    val maxP = active.agg(max(col("_p")).as("_maxp"))
+    val churn = marked
+      .filter(col("_next").isNull || col("_next") > col("_p") + 1)
+      .crossJoin(broadcast(maxP))
+      .filter(col("_p") + 1 <= col("_maxp"))
+      .select((col("_p") + 1).as("_p"), lit("churned").as("_st"))
+    statuses.unionByName(churn)
+      .groupBy(col("_p").as("period"))
+      .agg(
+        sum(when(col("_st") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("_st") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("_st") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("_st") === "churned", 1L).otherwise(0L))
+          .as("n_churned"))
+      .withColumn("quick_ratio",
+        when(col("n_churned") === 0L, lit(null).cast("double"))
+          .otherwise((col("n_new") + col("n_resurrected")).cast("double") /
+            col("n_churned").cast("double")))
+  }
 }

@@ -118,4 +118,28 @@ class RetentionSpec extends SparkFunSuite {
       Retention.kaplanMeier(df, Seq.empty, "dur", "ev")
     }
   }
+
+  test("growthAccounting: hand-traced statuses, churn shift, horizon cap") {
+    // u1: p1,p2,p4  -> new@1, retained@2, churn@3, resurrected@4
+    // u2: p1        -> new@1, churn@2
+    // u3: p2,p3,p4  -> new@2, retained@3, retained@4
+    // u4: p4        -> new@4; last period: NO churn@5 (horizon)
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 4L), (1L, 1L), // dup row collapses
+      (2L, 1L), (3L, 2L), (3L, 3L), (3L, 4L), (4L, 4L))
+      .toDF("u", "p")
+    val got = Retention.growthAccounting(df, "u", "p").orderBy("period")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, 0L, 0L, None),
+      (2L, 1L, 1L, 0L, 1L, Some(1.0)),
+      (3L, 0L, 1L, 0L, 1L, Some(0.0)),
+      (4L, 1L, 1L, 1L, 0L, None)))
+    // identity: active(p) = new + retained + resurrected = distinct users
+    val nulls = Seq((Option(1L), Option(1L)), (None, Option(2L)),
+      (Option(2L), None)).toDF("u", "p")
+    val r = Retention.growthAccounting(nulls, "u", "p").collect()
+    assert(r.length == 1 && r.head.getLong(1) == 1L)
+  }
 }
