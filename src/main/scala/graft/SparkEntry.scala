@@ -1625,6 +1625,19 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // Decile gains/lift for the q205 scored corpus: rank-cut buckets
+    // (distributed two-pass ranks, doc_id tiebreak), capture and lift
+    // from exact counts.
+    "q211_gains_table" -> ((s, dir) => {
+      def h6(tag: String) =
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(s":$tag"))), 1, 5), 16, 10).cast("long") % 1000000L
+      val scored = Tables(s, dir).documents.select(col("doc_id"),
+        (h6("cal").cast("double") / lit(1.0e6)).as("score"),
+        (h6("lbl") < h6("cal")).as("label"))
+      Classifier.gainsTable(scored, "score", "label", "doc_id")
+        .orderBy("bucket")
+    }),
     // MAU growth accounting over epoch-week buckets: every active user
     // is new/retained/resurrected exactly once per period, churn lands
     // in the period the user went silent, quick ratio from exact counts.
@@ -4807,6 +4820,46 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q211: identical rank cut (row_number over score DESC, doc_id),
+    // integer floor-division buckets, the same fixed-order quotients
+    "q211_gains_table" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cal'),
+        |      1, 5)) AS BIGINT) % 1000000 AS cal,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lbl'),
+        |      1, 5)) AS BIGINT) % 1000000 AS lbl
+        |  FROM documents),
+        |s AS (SELECT doc_id, CAST(cal AS DOUBLE) / 1e6 AS score,
+        |    (lbl < cal) AS y FROM d),
+        |r AS (SELECT y, row_number() OVER (ORDER BY score DESC, doc_id)
+        |    - 1 AS rnk FROM s),
+        |b AS (SELECT CAST((rnk * 10) // (SELECT count(*) FROM r)
+        |      AS INTEGER) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT bucket, n_rows, n_pos,
+        |    sum(n_rows) OVER wc AS crows, sum(n_pos) OVER wc AS cpos,
+        |    sum(n_rows) OVER () AS trows, sum(n_pos) OVER () AS tpos
+        |  FROM b WINDOW wc AS (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bucket, n_rows, n_pos,
+        |  CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE) AS pos_rate,
+        |  CASE WHEN tpos = 0 THEN NULL
+        |       ELSE CAST(n_pos AS DOUBLE) / CAST(tpos AS DOUBLE) END
+        |    AS capture,
+        |  CASE WHEN tpos = 0 THEN NULL
+        |       ELSE CAST(cpos AS DOUBLE) / CAST(tpos AS DOUBLE) END
+        |    AS cum_capture,
+        |  CASE WHEN tpos = 0 THEN NULL
+        |       ELSE (CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE)) /
+        |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
+        |    AS lift,
+        |  CASE WHEN tpos = 0 THEN NULL
+        |       ELSE (CAST(cpos AS DOUBLE) / CAST(crows AS DOUBLE)) /
+        |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
+        |    AS cum_lift
+        |FROM c ORDER BY bucket""".stripMargin,
     // q210: same distinct (user, week) lattice, lag/lead status rules,
     // churn shifted one period forward and capped at the horizon
     "q210_growth_accounting" ->

@@ -340,4 +340,82 @@ object Classifier {
         (col("_s").cast("double") / col("_n").cast("double")).as("rate_raw"),
         col("rate_iso"))
   }
+
+  /** Decile gains/lift table — "if I act on the top k% by score, what
+    * fraction of the positives do I capture": rows are ranked by
+    * `(score DESC, id)` and cut into `nBuckets` equal-count buckets by
+    * RANK (bucket = rank·nBuckets div n — never a score-value
+    * boundary, so ties split deterministically by id and every engine
+    * cuts identically; `idCol` must be unique and non-null). Per
+    * bucket: counts, positive rate, capture (share of all positives),
+    * cumulative capture, lift vs the base rate, cumulative lift.
+    *
+    * Ranks are computed DISTRIBUTED (the [[Linkage
+    * .sortedNeighborhoodPairs]] recipe): range-repartition on the sort
+    * key + in-partition sort + the two-pass zipWithIndex offset rank —
+    * never a single-task global window. Determinism: bucket indices
+    * are exact integer floor divisions; every output double divides
+    * exact longs in a fixed operand order (lifts divide two such
+    * quotients), bit-identical cross-engine. Null score/id/label rows
+    * are excluded; capture/lift are null when there are no positives.
+    *
+    * Scale shape: one range shuffle + two linear passes for ranks, one
+    * map-side-combined aggregation to nBuckets rows; the cumulative
+    * window runs on nBuckets rows (bucket-count-sized, the q169
+    * regime). */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+                 idCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 10000,
+      s"nBuckets ($nBuckets) out of range")
+    val spark = df.sparkSession
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(scoreCol).as("_s"), col(idCol).as("_id"),
+        when(col(labelCol), 1L).otherwise(0L).as("_y"))
+    val nPart = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val parted = base
+      .repartitionByRange(nPart, col("_s").desc, col("_id"))
+      .sortWithinPartitions(col("_s").desc, col("_id"))
+      .localCheckpoint(true) // pin partitioning for both zipWithIndex passes
+    val n = parted.count()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rankedRdd = parted.rdd.zipWithIndex.map { case (row, idx) =>
+      Row(row.get(2), idx)
+    }
+    val ranked = spark.createDataFrame(rankedRdd,
+      StructType(Seq(StructField("_y", LongType, nullable = false),
+        StructField("_rnk", LongType, nullable = false))))
+    val perBucket = ranked
+      .select(expr(s"(_rnk * $nBuckets) div $n").cast("int").as("bucket"),
+        col("_y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("_y")).as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val cum = perBucket
+      .withColumn("_crows", sum(col("n_rows")).over(w))
+      .withColumn("_cpos", sum(col("n_pos")).over(w))
+      .withColumn("_trows", sum(col("n_rows")).over(wAll))
+      .withColumn("_tpos", sum(col("n_pos")).over(wAll))
+    val rate = col("n_pos").cast("double") / col("n_rows").cast("double")
+    val overall = col("_tpos").cast("double") / col("_trows").cast("double")
+    cum.select(col("bucket"), col("n_rows"), col("n_pos"),
+      rate.as("pos_rate"),
+      when(col("_tpos") === 0L, lit(null).cast("double"))
+        .otherwise(col("n_pos").cast("double") / col("_tpos").cast("double"))
+        .as("capture"),
+      when(col("_tpos") === 0L, lit(null).cast("double"))
+        .otherwise(col("_cpos").cast("double") / col("_tpos").cast("double"))
+        .as("cum_capture"),
+      when(col("_tpos") === 0L, lit(null).cast("double"))
+        .otherwise(rate / overall).as("lift"),
+      when(col("_tpos") === 0L, lit(null).cast("double"))
+        .otherwise((col("_cpos").cast("double") / col("_crows").cast("double"))
+          / overall).as("cum_lift"))
+  }
 }

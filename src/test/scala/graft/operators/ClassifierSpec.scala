@@ -244,4 +244,35 @@ class ClassifierSpec extends SparkFunSuite {
     assert(gh.map(_.getLong(0)).toSeq == Seq(0L, 7L))
     assert(gh.map(_.getDouble(4)).toSeq == Seq(0.5, 0.5))
   }
+
+  test("gainsTable: hand-cut buckets, tie split by id, no-positive null") {
+    // 10 rows, 5 buckets of 2. Scores 10..1 except ids 4,5 TIE at 7.0:
+    // rank order = 1,2,3,4,5(id tiebreak),6..10. Positives: ids 1,2,4.
+    val df = Seq(
+      (1L, 10.0, true), (2L, 9.0, true), (3L, 8.0, false),
+      (4L, 7.0, true), (5L, 7.0, false), (6L, 5.0, false),
+      (7L, 4.0, false), (8L, 3.0, false), (9L, 2.0, false),
+      (10L, 1.0, false)).toDF("id", "score", "y")
+    val got = Classifier.gainsTable(df, "score", "y", "id", nBuckets = 5)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    // buckets: [1,2]=2pos, [3,4]=1pos, [5,6]=0, [7,8]=0, [9,10]=0
+    val base = 3.0 / 10.0
+    assert(got.toSeq == Seq(
+      (0, 2L, 2L, 1.0, 2.0 / 3.0, 2.0 / 3.0, 1.0 / base, 1.0 / base),
+      (1, 2L, 1L, 0.5, 1.0 / 3.0, 1.0, 0.5 / base, (3.0 / 4.0) / base),
+      (2, 2L, 0L, 0.0, 0.0, 1.0, 0.0, (3.0 / 6.0) / base),
+      (3, 2L, 0L, 0.0, 0.0, 1.0, 0.0, (3.0 / 8.0) / base),
+      (4, 2L, 0L, 0.0, 0.0, 1.0, 0.0, (3.0 / 10.0) / base)))
+    // all-negative input: capture/lift columns null, counts still exact
+    val neg = Seq((1L, 2.0, false), (2L, 1.0, false)).toDF("id", "score", "y")
+    val gn = Classifier.gainsTable(neg, "score", "y", "id", nBuckets = 2)
+      .orderBy("bucket").collect()
+    assert(gn.map(_.getLong(2)).toSeq == Seq(0L, 0L) &&
+      gn.forall(r => r.isNullAt(4) && r.isNullAt(6)))
+    intercept[IllegalArgumentException] {
+      Classifier.gainsTable(df, "score", "y", "id", nBuckets = 1)
+    }
+  }
 }
