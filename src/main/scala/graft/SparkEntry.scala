@@ -1625,6 +1625,18 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // Holt level+trend forecast of daily revenue per event type: exact
+    // integer micro-unit state, trunc-div steps both engines share,
+    // one-step-ahead forecast.
+    "q212_holt_linear" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("v"))
+      Trend.holtLinear(daily, Seq("event_type"), "day", "v")
+        .orderBy("event_type")
+    }),
     // Decile gains/lift for the q205 scored corpus: rank-cut buckets
     // (distributed two-pass ranks, doc_id tiebreak), capture and lift
     // from exact counts.
@@ -4820,6 +4832,44 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q212: the same integer Holt fold as a RECURSIVE CTE — the new
+    // level computed once in a derived table, then used in both state
+    // slots. (A list_reduce struct lambda would be the natural replay,
+    // but DuckDB 1.0.0 mis-evaluates struct lambdas whose fields share
+    // a repeated subexpression — probed: (s,x)->{l: s.l+x.l,
+    // t: (s.l+x.l)-s.t} over 3 elements returns t=8 where the fold
+    // gives 4 — so the oracle recurses row-by-row instead.)
+    "q212_holt_linear" ->
+      """WITH RECURSIVE d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      AS v6
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ser AS (SELECT event_type, v6, row_number()
+        |    OVER (PARTITION BY event_type ORDER BY day) AS rn FROM d),
+        |rec AS (
+        |  SELECT s1.event_type, CAST(1 AS BIGINT) AS rn,
+        |      s1.v6 AS l, CAST(coalesce(s2.v6 - s1.v6, 0) AS BIGINT) AS t
+        |    FROM ser s1 LEFT JOIN ser s2
+        |      ON s2.event_type = s1.event_type AND s2.rn = 2
+        |    WHERE s1.rn = 1
+        |  UNION ALL
+        |  SELECT event_type, rn, lnew, (1 * (lnew - l) + 7 * t) // 8
+        |    FROM (SELECT r.event_type, r.rn + 1 AS rn, r.l, r.t,
+        |        (1 * s.v6 + 3 * (r.l + r.t)) // 4 AS lnew
+        |      FROM rec r JOIN ser s ON s.event_type = r.event_type
+        |        AND s.rn = r.rn + 1)),
+        |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_periods
+        |  FROM ser GROUP BY 1)
+        |SELECT r.event_type, nn.n_periods,
+        |  r.l AS level_e6, r.t AS trend_e6,
+        |  CAST(r.l AS DOUBLE) / 1e6 AS level,
+        |  CAST(r.t AS DOUBLE) / 1e6 AS trend,
+        |  CAST(r.l + r.t AS DOUBLE) / 1e6 AS forecast_1
+        |FROM rec r JOIN nn ON nn.event_type = r.event_type
+        |  AND r.rn = nn.n_periods
+        |ORDER BY r.event_type""".stripMargin,
     // q211: identical rank cut (row_number over score DESC, doc_id),
     // integer floor-division buckets, the same fixed-order quotients
     "q211_gains_table" ->

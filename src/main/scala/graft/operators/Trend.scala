@@ -161,6 +161,82 @@ object Trend {
       .withColumn("ewma", col("ewma_e6").cast("double") / lit(1.0e6))
   }
 
+  /** Holt's linear method (double exponential smoothing — Holt 1957):
+    * level + trend state folded over the bucket-ordered series with
+    * rational smoothing constants α = alphaNum/alphaDen,
+    * β = betaNum/betaDen:
+    * {{{
+    *   l_t = (αn·x_t + (αd−αn)·(l+b))  div αd
+    *   b_t = (βn·(l_t − l) + (βd−βn)·b) div βd
+    * }}}
+    * initialized `l₁ = x₁, b₁ = x₂ − x₁` (Hyndman's convention; the
+    * fold then runs from t = 2). A single-row series has `b = 0`.
+    *
+    * Determinism: the state is exact integer micro-units (values
+    * ×10⁶) and every step is integer mul/add plus ONE integral
+    * division — which truncates toward zero in BOTH Spark
+    * (IntegralDivide) and DuckDB (`//`), so negative values and
+    * negative trends replay integer-for-integer (unlike [[ewmaLevel]],
+    * no sign restriction is needed: trunc-div is what both engines
+    * do). `orderCol` must be unique per group; |value| must stay
+    * < ~9·10¹² so `αd·state` fits a long.
+    *
+    * Scale shape: [[ewmaLevel]]'s — aggregate the corpus to the
+    * (group, bucket) grain first; the fold is a per-group sorted-array
+    * aggregate sized by the bucket domain, one shuffle. Output:
+    * `(…group, n_periods, level_e6, trend_e6, level, trend,
+    * forecast_1)` with `forecast_1 = (level_e6 + trend_e6)/10⁶`, the
+    * one-step-ahead read. */
+  def holtLinear(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                 valueCol: String, alphaNum: Long = 1L, alphaDen: Long = 4L,
+                 betaNum: Long = 1L, betaDen: Long = 8L): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    require(alphaNum > 0 && alphaNum <= alphaDen,
+      s"alpha $alphaNum/$alphaDen must be a fraction in (0, 1]")
+    require(betaNum > 0 && betaNum <= betaDen,
+      s"beta $betaNum/$betaDen must be a fraction in (0, 1]")
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def idiv(a: Column, b: Column): Column = GraftColumnBridge.column(
+      IntegralDivide(GraftColumnBridge.expression(a),
+        GraftColumnBridge.expression(b)))
+    val v6 = (col(valueCol).cast("decimal(18,6)") * lit(1000000L))
+      .cast("long").as("_v")
+    val arr = col("_arr")
+    // the new level is needed twice (its own slot + the trend delta);
+    // inlining the expression keeps the fold a pure column tree — both
+    // engines evaluate the identical integer formula twice
+    def newLevel(s: Column, x: Column): Column =
+      idiv(lit(alphaNum) * x +
+        lit(alphaDen - alphaNum) * (s("l") + s("t")), lit(alphaDen))
+    val folded = df
+      .filter(groupCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(col(orderCol).as("_o"), v6): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_periods"),
+        sort_array(collect_list(struct(col("_o"), col("_v")))).as("_arr"))
+      .select(groupCols.map(col) ++ Seq(col("n_periods"),
+        aggregate(
+          slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+          struct(element_at(arr, 1)("_v").as("l"),
+            when(size(arr) >= 2,
+              element_at(arr, 2)("_v") - element_at(arr, 1)("_v"))
+              .otherwise(lit(0L)).as("t")),
+          (s, e) => {
+            val x = e("_v")
+            struct(newLevel(s, x).as("l"),
+              idiv(lit(betaNum) * (newLevel(s, x) - s("l")) +
+                lit(betaDen - betaNum) * s("t"), lit(betaDen)).as("t"))
+          }).as("_st")): _*)
+    folded.select(groupCols.map(col) ++ Seq(col("n_periods"),
+      col("_st")("l").as("level_e6"), col("_st")("t").as("trend_e6"),
+      (col("_st")("l").cast("double") / lit(1.0e6)).as("level"),
+      (col("_st")("t").cast("double") / lit(1.0e6)).as("trend"),
+      ((col("_st")("l") + col("_st")("t")).cast("double") / lit(1.0e6))
+        .as("forecast_1")): _*)
+  }
+
   /** Sample autocorrelation of a bucketed series at lags 1..`maxLag`
     * (Box & Jenkins' correlogram — the seasonality/memory screen run
     * before fitting any forecast): per (group, lag), the PEARSON

@@ -208,4 +208,32 @@ class TrendSpec extends SparkFunSuite {
       Trend.mannKendall(df, Seq.empty, "t", "y")
     }
   }
+
+  test("holtLinear: hand-replayed fold, seed, single row, trunc on negatives") {
+    // alpha=1/4, beta=1/8, x=[8,12,20]: seed (8e6, 4e6); t=2 identity
+    // step (12e6, 4e6); t=3: l=(20e6+3*16e6)/4=17e6,
+    // b=(5e6+28e6)//8=4125000
+    val df = Seq(("a", 1L, 8.0), ("a", 2L, 12.0), ("a", 3L, 20.0),
+      ("s", 1L, 7.5)).toDF("g", "t", "v")
+    val got = Trend.holtLinear(df, Seq("g"), "t", "v").orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(6))).toSeq
+    assert(got == Seq(("a", 3L, 17000000L, 4125000L, 21.125),
+      ("s", 1L, 7500000L, 0L, 7.5)))
+    // alpha=1/3, beta=1/2, x=[0,-1,-1]: l3 = -5e6 // 3 = -1666666
+    // (TRUNCATION toward zero — floor would give -1666667); then
+    // b3 = (-666666 + -1000000) // 2 = -833333
+    val neg = Seq(("n", 1L, 0.0), ("n", 2L, -1.0), ("n", 3L, -1.0))
+      .toDF("g", "t", "v")
+    val gn = Trend.holtLinear(neg, Seq("g"), "t", "v",
+      alphaNum = 1L, alphaDen = 3L, betaNum = 1L, betaDen = 2L)
+      .collect().head
+    assert((gn.getLong(2), gn.getLong(3)) == ((-1666666L, -833333L)))
+    intercept[IllegalArgumentException] {
+      Trend.holtLinear(df, Seq("g"), "t", "v", alphaNum = 5L, alphaDen = 4L)
+    }
+    intercept[IllegalArgumentException] {
+      Trend.holtLinear(df, Seq("g"), "t", "v", betaNum = 0L)
+    }
+  }
 }
