@@ -1625,6 +1625,19 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // Robust daily-volume trend: Theil-Sen median-of-pairwise-slopes
+    // (explicit sorted-array median, never an interpolating quantile),
+    // median-residual intercept.
+    "q213_theil_sen" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")).cast("double") / lit(86400.0e6))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      Trend.theilSen(daily, Seq("event_type"), "day", "n_events")
+        .orderBy("event_type")
+    }),
     // Holt level+trend forecast of daily revenue per event type: exact
     // integer micro-unit state, trunc-div steps both engines share,
     // one-step-ahead forecast.
@@ -4832,6 +4845,45 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q213: identical pairwise slopes (x < x2 join), identical sorted-
+    // array medians with the (lo+hi)/2 even rule
+    "q213_theil_sen" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+        |      AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS y6
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    (CAST(b.y6 - a.y6 AS DOUBLE) / 1e6) /
+        |      CAST(b.x - a.x AS DOUBLE) AS sl
+        |  FROM d a JOIN d b ON b.event_type = a.event_type
+        |    AND a.x < b.x),
+        |sm AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    list(sl ORDER BY sl) AS arr FROM p GROUP BY 1),
+        |sl AS (SELECT event_type, n_pairs,
+        |    CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+        |         ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1])
+        |           / 2.0 END AS slope
+        |  FROM sm),
+        |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1),
+        |res AS (SELECT d.event_type,
+        |    CAST(d.y6 AS DOUBLE) / 1e6 - sl.slope * CAST(d.x AS DOUBLE)
+        |      AS r
+        |  FROM d JOIN sl ON sl.event_type = d.event_type),
+        |ri AS (SELECT event_type, list(r ORDER BY r) AS arr
+        |  FROM res GROUP BY 1),
+        |ic AS (SELECT event_type,
+        |    CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+        |         ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1])
+        |           / 2.0 END AS intercept
+        |  FROM ri)
+        |SELECT nn.event_type, nn.n,
+        |  coalesce(sl.n_pairs, 0) AS n_pairs, sl.slope, ic.intercept
+        |FROM nn LEFT JOIN sl ON sl.event_type = nn.event_type
+        |LEFT JOIN ic ON ic.event_type = nn.event_type
+        |ORDER BY nn.event_type""".stripMargin,
     // q212: the same integer Holt fold as a RECURSIVE CTE — the new
     // level computed once in a derived table, then used in both state
     // slots. (A list_reduce struct lambda would be the natural replay,

@@ -338,6 +338,76 @@ object Trend {
         col("n_anomalies").cast("double") / col("n").cast("double"))
   }
 
+  /** Theil–Sen estimator per group (Theil 1950, Sen 1968 — the robust
+    * companion to [[mannKendall]]: the slope a 29%-outlier-contaminated
+    * series still reports correctly, where [[trendFit]]'s OLS folds):
+    * `slope = median{ (y_j − y_i)/(x_j − x_i) : x_i < x_j }`,
+    * `intercept = median{ y_i − slope·x_i }`.
+    *
+    * Determinism: y rides the exact micro-unit lane (decimal(18,6)·10⁶
+    * → long), x casts to long; each pairwise slope is ONE fixed-order
+    * double expression over exact integers
+    * (`(Δy6/1e6) / Δx`), and the median is taken explicitly over the
+    * sorted array — odd count: the middle element; even count:
+    * `(lo + hi)/2.0` — never an engine's interpolating quantile
+    * (DuckDB's quantile_cont computes the midpoint differently in
+    * floating point). Pairs with EQUAL x are excluded (vertical —
+    * no slope); a group with no valid pair reports null slope/
+    * intercept. Null group/x/y rows are excluded.
+    *
+    * Scale shape: [[mannKendall]]'s pairwise contract — the self-join
+    * shuffles once on the group key, O(n²/2) slopes per group, and
+    * the median arrays live per group: run it on AGGREGATED series
+    * (n ≤ ~2000/group keeps the slope array ≤ 2·10⁶ doubles).
+    * Output: `(…group, n, n_pairs, slope, intercept)`. */
+  def theilSen(df: DataFrame, groupCols: Seq[String], xCol: String,
+               yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    val base = df
+      .filter(groupCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(col(xCol).cast("long").as("_x"),
+        (col(yCol).cast("decimal(18,6)") * lit(1000000L)).cast("long")
+          .as("_y6")): _*)
+      .localCheckpoint(false) // pair join (twice) + n agg + residuals
+    val rhs = base.select(groupCols.map(c => col(c).as(s"_g_$c")) ++
+      Seq(col("_x").as("_x2"), col("_y6").as("_y62")): _*)
+    def arrayMedian(arr: Column): Column = {
+      val m = size(arr)
+      // index arithmetic must stay integral: Column `/` is a double
+      // divide, exact here (m ≤ ~2·10⁶ ≪ 2⁵³) and floored by the cast
+      val mid = ((m + lit(1)) / lit(2)).cast("int")
+      val lo = (m / lit(2)).cast("int")
+      when(m === 0, lit(null).cast("double"))
+        .when(m % 2 === 1, element_at(arr, mid))
+        .otherwise((element_at(arr, lo) +
+          element_at(arr, lo + lit(1))) / lit(2.0))
+    }
+    val slopes = base.join(rhs,
+        groupCols.map(c => col(c) === col(s"_g_$c")).reduce(_ && _) &&
+          col("_x") < col("_x2"))
+      .select(groupCols.map(col) :+
+        (((col("_y62") - col("_y6")).cast("double") / lit(1.0e6)) /
+          (col("_x2") - col("_x")).cast("double")).as("_sl"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        arrayMedian(sort_array(collect_list(col("_sl")))).as("slope"))
+    val nPer = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val withSlope = base.join(slopes, groupCols)
+      .select(groupCols.map(col) :+
+        (col("_y6").cast("double") / lit(1.0e6) -
+          col("slope") * col("_x").cast("double")).as("_res"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(arrayMedian(sort_array(collect_list(col("_res"))))
+        .as("intercept"))
+    nPer.join(slopes, groupCols, "left")
+      .join(withSlope, groupCols, "left")
+      .select(groupCols.map(col) ++ Seq(col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("slope"), col("intercept")): _*)
+  }
+
   /** Mann–Kendall trend test per group (Mann 1945, Kendall 1975 — the
     * standard non-parametric trend test for climate/weather series,
     * where [[trendFit]]'s OLS assumptions don't hold): over a series

@@ -236,4 +236,30 @@ class TrendSpec extends SparkFunSuite {
       Trend.holtLinear(df, Seq("g"), "t", "v", betaNum = 0L)
     }
   }
+
+  test("theilSen: hand medians, even rule, equal-x excluded, degenerate") {
+    val df = Seq(
+      // a: (0,1),(1,2),(2,10): slopes [1, 4.5, 8] -> 4.5;
+      //    residuals [1, -2.5, 1] -> 1.0
+      ("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 10.0),
+      // b: one pair, even residual rule: slope 1, intercept (0+0)/2
+      ("b", 0L, 0.0), ("b", 1L, 1.0),
+      // c: duplicate x=0 rows pair only against x=1: slopes [-2, 2]
+      //    -> 0.0; residuals [1, 5, 3] -> 3.0
+      ("c", 0L, 1.0), ("c", 0L, 5.0), ("c", 1L, 3.0),
+      // d: single point: no pair, nulls
+      ("d", 7L, 9.0)).toDF("g", "t", "y")
+    val got = Trend.theilSen(df, Seq("g"), "t", "y").orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == Seq(
+      ("a", 3L, 3L, Some(4.5), Some(1.0)),
+      ("b", 2L, 1L, Some(1.0), Some(0.0)),
+      ("c", 3L, 2L, Some(0.0), Some(3.0)),
+      ("d", 1L, 0L, None, None)))
+    intercept[IllegalArgumentException] {
+      Trend.theilSen(df, Seq.empty, "t", "y")
+    }
+  }
 }
