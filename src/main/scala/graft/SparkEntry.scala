@@ -1625,6 +1625,14 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // Dunning G2 collocations: 2x2 bigram-event contingency per pair,
+    // evidence-weighted (unlike q102's PMI), exact cells, fixed-order
+    // ln terms, ExactRound at 6, polyHash-tiebroken ranks.
+    "q214_llr_collocations" -> ((s, dir) => {
+      Phrases.llrCollocations(Tables(s, dir).documents, "text", k = 50,
+          minCount = 5L)
+        .orderBy("rank")
+    }),
     // Robust daily-volume trend: Theil-Sen median-of-pairwise-slopes
     // (explicit sorted-array median, never an interpolating quantile),
     // median-residual intercept.
@@ -4845,6 +4853,53 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q214: q102's tokenizer verbatim, bigram-positional marginals,
+    // the same four G2 cells in fixed operand order, floor-round replay
+    "q214_llr_collocations" ->
+      """WITH tks AS (SELECT list_filter(string_split(trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |bi AS (SELECT tk[i] AS a, tk[i+1] AS b,
+        |    CAST(count(*) AS BIGINT) AS cb
+        |  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        |        FROM tks WHERE len(tk) >= 2) GROUP BY 1, 2),
+        |fa AS (SELECT a, CAST(sum(cb) AS BIGINT) AS ra FROM bi GROUP BY 1),
+        |sb AS (SELECT b, CAST(sum(cb) AS BIGINT) AS cbt FROM bi GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cb) AS BIGINT) AS n2 FROM bi),
+        |p AS (SELECT bi.a || ' ' || bi.b AS gram, bi.cb,
+        |    floor(2.0 * (
+        |      (CASE WHEN bi.cb > 0 THEN CAST(bi.cb AS DOUBLE) *
+        |        ln((CAST(bi.cb AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+        |           (CAST(ra AS DOUBLE) * CAST(cbt AS DOUBLE)))
+        |        ELSE 0.0 END) +
+        |      (CASE WHEN ra - bi.cb > 0 THEN CAST(ra - bi.cb AS DOUBLE) *
+        |        ln((CAST(ra - bi.cb AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+        |           (CAST(ra AS DOUBLE) * CAST(n2 - cbt AS DOUBLE)))
+        |        ELSE 0.0 END) +
+        |      (CASE WHEN cbt - bi.cb > 0 THEN CAST(cbt - bi.cb AS DOUBLE) *
+        |        ln((CAST(cbt - bi.cb AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+        |           (CAST(n2 - ra AS DOUBLE) * CAST(cbt AS DOUBLE)))
+        |        ELSE 0.0 END) +
+        |      (CASE WHEN n2 - ra - cbt + bi.cb > 0
+        |        THEN CAST(n2 - ra - cbt + bi.cb AS DOUBLE) *
+        |        ln((CAST(n2 - ra - cbt + bi.cb AS DOUBLE) *
+        |            CAST(n2 AS DOUBLE)) /
+        |           (CAST(n2 - ra AS DOUBLE) * CAST(n2 - cbt AS DOUBLE)))
+        |        ELSE 0.0 END)
+        |    ) * 1000000 + 0.5) / 1000000 AS llr
+        |  FROM bi JOIN fa ON fa.a = bi.a JOIN sb ON sb.b = bi.b
+        |  CROSS JOIN tot WHERE bi.cb >= 5),
+        |h AS (SELECT gram, cb, llr,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, len(gram)),
+        |        j -> CAST(unicode(gram[j]) AS BIGINT))),
+        |      (x, y) -> (x * 257 + y) % 1000000007) AS th
+        |  FROM p),
+        |r AS (SELECT gram, cb, llr,
+        |    row_number() OVER (ORDER BY llr DESC, th, gram) AS rank FROM h)
+        |SELECT CAST(rank AS INTEGER) AS rank, gram, cb AS pair_count, llr
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
     // q213: identical pairwise slopes (x < x2 join), identical sorted-
     // array medians with the (lo+hi)/2 even rule
     "q213_theil_sen" ->

@@ -100,4 +100,81 @@ object Phrases {
         col("col.payload.cb").as("pair_count"),
         col("col.payload.pmi").as("pmi"))
   }
+
+  /** Top-`k` collocations by Dunning's log-likelihood ratio (Dunning,
+    * "Accurate Methods for the Statistics of Surprise and Coincidence",
+    * Computational Linguistics 1993) — the G² test PMI's low-frequency
+    * bias motivated: over the N adjacent-bigram events, each pair (a,b)
+    * gets the 2×2 contingency table (first-word = a?, second-word = b?)
+    * and `G² = 2·Σ_cells k·ln(k·N / (row·col))` (empty cells contribute
+    * 0). Unlike [[pmiCollocations]], G² GROWS with evidence — "of the"
+    * outranks a twice-seen hapax pair — which is why Dunning's is the
+    * collocation default in corpus toolkits.
+    *
+    * Marginals are BIGRAM-positional (count of a as first word, b as
+    * second — rows/columns of the same N-event table), not corpus
+    * unigram counts: the four cells then sum exactly to N and G² is a
+    * true likelihood-ratio statistic.
+    *
+    * Scale shape mirrors pmiCollocations: one corpus tokenize pass into
+    * type-bounded pair counts, marginals as two vocab-sized aggregates
+    * of the PAIR table (no second corpus pass), gated broadcasts, TopK
+    * heap selection — never a global sort.
+    *
+    * Determinism: counts and cell values are exact longs cast once;
+    * each term is `k·ln((k·N)/(R·C))` in fixed operand order; the four
+    * terms fold left-associated; the result rounds through
+    * [[graft.functions.ExactRound.roundFloor]] at 6 (engine round()
+    * disagrees at representable ties). Rank by `(llr DESC,
+    * polyHash(gram))` — replayable ordering, same as PMI. Output:
+    * `(rank, gram, pair_count, llr)`. */
+  def llrCollocations(docs: DataFrame, textCol: String, k: Int,
+                      minCount: Long = 5L,
+                      maxBroadcastRows: Long = 50000000L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(minCount >= 1L, s"minCount ($minCount) must be >= 1")
+    val toks = docs
+      .select(filter(split(TextAnalysis.normalized(col(textCol)), " "),
+        c => c =!= "").as("_tk"))
+    val bi = toks.filter(size(col("_tk")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("_tk")) - 1),
+        i => struct(element_at(col("_tk"), i).as("a"),
+          element_at(col("_tk"), i + 1).as("b")))).as("_p"))
+      .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+      .agg(count(lit(1)).as("cb"))
+      .localCheckpoint(false) // marginals ×2 + total + scoring stream
+    val faGate = Gates.countedBroadcast(
+      bi.groupBy("a").agg(sum("cb").as("ra")), maxBroadcastRows)
+    val sbGate = Gates.countedBroadcast(
+      bi.groupBy("b").agg(sum("cb").as("cbt")), maxBroadcastRows)
+    val totals = bi.agg(sum("cb").as("n2"))
+    val nD = col("n2").cast("double")
+    def term(kk: Column, r: Column, c: Column): Column =
+      when(kk > lit(0.0), kk * log((kk * nD) / (r * c)))
+        .otherwise(lit(0.0))
+    val k11 = col("cb").cast("double")
+    val k12 = (col("ra") - col("cb")).cast("double")
+    val k21 = (col("cbt") - col("cb")).cast("double")
+    val k22 = (col("n2") - col("ra") - col("cbt") + col("cb")).cast("double")
+    val r1 = col("ra").cast("double")
+    val r2 = (col("n2") - col("ra")).cast("double")
+    val c1 = col("cbt").cast("double")
+    val c2 = (col("n2") - col("cbt")).cast("double")
+    val scored = bi.filter(col("cb") >= lit(minCount))
+      .join(faGate.of(faGate.pinned), Seq("a"))
+      .join(sbGate.of(sbGate.pinned), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(concat(col("a"), lit(" "), col("b")).as("gram"), col("cb"),
+        graft.functions.ExactRound.roundFloor(
+          lit(2.0) * (term(k11, r1, c1) + term(k12, r1, c2) +
+            term(k21, r2, c1) + term(k22, r2, c2)), 6).as("llr"))
+    scored.agg(TopK.topK(k, col("llr"),
+        TextAnalysis.polyHash(col("gram")),
+        struct(col("gram"), col("cb"), col("llr"))).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.payload.gram").as("gram"),
+        col("col.payload.cb").as("pair_count"),
+        col("col.payload.llr").as("llr"))
+  }
 }

@@ -100,4 +100,27 @@ class PhrasesSpec extends SparkFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       "the scored pair stream must not sort-merge against the vocab table")
   }
+
+  test("llrCollocations: hand-computed G2 on a tiny corpus") {
+    // one doc "a b a b c d": bigrams (a,b)x2, (b,a), (b,c), (c,d); N=5
+    // (a,b): k11=2 R1=2 C1=2 k12=0 k21=0 k22=3 R2=3 C2=3
+    //   G2 = 2*(2*ln(10/4) + 3*ln(15/9))
+    val df = Seq("a b a b c d").toDF("text")
+    val got = Phrases.llrCollocations(df, "text", k = 10, minCount = 1L)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    def rf(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val ab = rf(2.0 * (2.0 * math.log(2.0 * 5.0 / (2.0 * 2.0)) +
+      3.0 * math.log(3.0 * 5.0 / (3.0 * 3.0))))
+    assert(got.head == (("a b", 2L, ab)))
+    assert(got.length == 4 && got.map(_._1).toSet ==
+      Set("a b", "b a", "b c", "c d"))
+    // minCount floor drops singletons before scoring
+    val floored = Phrases.llrCollocations(df, "text", k = 10, minCount = 2L)
+      .collect()
+    assert(floored.map(_.getString(1)).toSeq == Seq("a b"))
+    intercept[IllegalArgumentException] {
+      Phrases.llrCollocations(df, "text", k = 0)
+    }
+  }
 }
