@@ -1625,6 +1625,26 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // Weighted shortest paths over the co-supplier graph: 4 exact
+    // Bellman-Ford relaxation rounds from the q194 landmark set,
+    // integer edge weights, min-path within 4 edges.
+    "q215_shortest_paths" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("src"))
+        .join(li.select(col("ok"), col("sk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          (lit(1L) + (col("src") + col("dst")) % 9L).as("w"))
+      val landmarks = Tables(s, dir).supplier
+        .filter(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey"))
+      Graph.shortestPaths(edges, "src", "dst", "w", landmarks,
+          "s_suppkey", rounds = 4)
+        .orderBy("node")
+    }),
     // Dunning G2 collocations: 2x2 bigram-event contingency per pair,
     // evidence-weighted (unlike q102's PMI), exact cells, fixed-order
     // ln terms, ExactRound at 6, polyHash-tiebroken ranks.
@@ -4852,6 +4872,30 @@ object SparkEntry {
          |  FROM votes)
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
+    },
+    // q215: the same 4 relaxation rounds unrolled as CTEs (the q206
+    // fixed-point pattern), identical min-per-node collapse
+    "q215_shortest_paths" -> {
+      val rounds = (1 to 4).map { i =>
+        val prev = s"d${i - 1}"
+        s"""d$i AS (SELECT node, min(d) AS d FROM (
+           |  SELECT node, d FROM $prev
+           |  UNION ALL
+           |  SELECT e.dst AS node, $prev.d + e.w AS d
+           |  FROM $prev JOIN e ON e.src = $prev.node) GROUP BY node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem WHERE l_orderkey % 20 = 0),
+         |raw AS (SELECT a.sk AS src, b.sk AS dst
+         |  FROM li a JOIN li b ON b.ok = a.ok AND a.sk <> b.sk),
+         |e AS (SELECT src, dst,
+         |    CAST(min(1 + (src + dst) % 9) AS BIGINT) AS w
+         |  FROM raw GROUP BY 1, 2),
+         |d0 AS (SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS d
+         |  FROM supplier WHERE s_suppkey % 10 = 0),
+         |$rounds
+         |SELECT node, d AS dist FROM d4 ORDER BY node""".stripMargin
     },
     // q214: q102's tokenizer verbatim, bigram-positional marginals,
     // the same four G2 cells in fixed operand order, floor-round replay

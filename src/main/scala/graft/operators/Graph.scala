@@ -312,6 +312,55 @@ object Graph {
     * one degree aggregation + one node-keyed left join — nothing new
     * shuffles beyond those. Output: `(node, degree, n_triangles,
     * clustering_coeff)`. */
+  /** Multi-source weighted shortest paths by `rounds` Bellman–Ford
+    * relaxations (Bellman 1958, Ford 1956): every node reachable from
+    * the source set within `rounds` EDGES reports the exact minimum
+    * path weight among paths of at most `rounds` edges — the bounded
+    * semantics stated, truncation identical on every engine (the
+    * [[pageRank]] fixed-rounds discipline; a true unbounded SSSP needs
+    * rounds ≥ longest shortest path's edge count, ≤ |V|−1).
+    *
+    * Weights: `wCol` cast to long, must be ≥ 0 (negative weights make
+    * "shortest within k edges" non-monotone in k — rejected loudly via
+    * a planted assert). Parallel edges collapse to their MIN weight;
+    * self-loops drop (never improve a distance). Distances are exact
+    * long sums — no floating point anywhere.
+    *
+    * Per round: dist ⋈ edges on the source key (shuffle join), union
+    * with the standing distances, min per node — node-keyed, map-side
+    * combinable, lazily checkpointed ([[kCore]]'s loop discipline).
+    * The dist set is node-sized; total work is O(rounds·m) relax
+    * candidates. Output: `(node, dist)` for reached nodes. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    wCol: String, sources: DataFrame, sourceCol: String,
+                    rounds: Int = 4): DataFrame = {
+    require(rounds >= 0, s"rounds ($rounds) must be >= 0")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(wCol).isNotNull && col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("_s"), col(dstCol).as("_d"),
+        assert_true(col(wCol) >= 0,
+          lit(s"shortestPaths: negative $wCol")).as("_guard"),
+        col(wCol).cast("long").as("_w"))
+      .groupBy("_s", "_d").agg(min(col("_w")).as("_w"),
+        first(col("_guard")).as("_g"))
+      .localCheckpoint(true)
+    var dist = sources
+      .select(col(sourceCol).as("node")).filter(col("node").isNotNull)
+      .distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      dist = dist
+        .unionByName(dist
+          .join(e.withColumnRenamed("_s", "node"), Seq("node"))
+          .select(col("_d").as("node"), (col("dist") + col("_w")).as("dist")))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+    }
+    dist
+  }
+
   def clusteringCoefficient(edges: DataFrame, aCol: String,
                             bCol: String): DataFrame = {
     val cleaned = edges

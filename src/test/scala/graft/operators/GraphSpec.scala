@@ -192,4 +192,26 @@ class GraphSpec extends SparkFunSuite {
     assert(tot <= 1000000000000L && tot > 1000000000000L - 3L * (60L + 60L),
       s"mass $tot drifted more than floor retirement allows")
   }
+
+  test("shortestPaths: exact mins, bounded rounds, parallel-edge collapse") {
+    // 1->2 (5, and a parallel 9 that must collapse), 2->3 (1),
+    // 1->3 (10), 3->4 (1), 4->4 self-loop (drops)
+    val e = Seq((1L, 2L, 5L), (1L, 2L, 9L), (2L, 3L, 1L), (1L, 3L, 10L),
+      (3L, 4L, 1L), (4L, 4L, 3L)).toDF("src", "dst", "w")
+    val src = Seq(Tuple1(1L)).toDF("node")
+    val got = Graph.shortestPaths(e, "src", "dst", "w", src, "node",
+        rounds = 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 0L), (2L, 5L), (3L, 6L), (4L, 7L)))
+    // rounds=1 truncation: node 3 sees only the direct 10-edge, 4 unseen
+    val one = Graph.shortestPaths(e, "src", "dst", "w", src, "node",
+        rounds = 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.toSeq == Seq((1L, 0L), (2L, 5L), (3L, 10L)))
+    // negative weights rejected loudly
+    val neg = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    intercept[Exception] {
+      Graph.shortestPaths(neg, "src", "dst", "w", src, "node").collect()
+    }
+  }
 }
