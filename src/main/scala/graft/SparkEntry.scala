@@ -1625,6 +1625,21 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // PAN detection with the Luhn pre-filter: planted valid/invalid
+    // card numbers (spaced and plain), candidate digit runs stripped,
+    // length-gated, checksummed — per-source precision, exact counts.
+    "q216_luhn_pii" -> ((s, dir) => {
+      val planted = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit(" card 4111 1111 1111 1111")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit(" num 4111111111111112")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit(" amex 378282246310005")).otherwise(lit(""))).as("text"))
+      Scrub.luhnCardIncidence(planted, Seq("source"), "text")
+        .orderBy("source")
+    }),
     // Weighted shortest paths over the co-supplier graph: 4 exact
     // Bellman-Ford relaxation rounds from the q194 landmark set,
     // integer edge weights, min-path within 4 edges.
@@ -4873,6 +4888,48 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q216: same plantings, same regex, same left-indexed Luhn fold
+    // over generate_series, exact counts and divisions
+    "q216_luhn_pii" ->
+      """WITH planted AS (SELECT doc_id, source,
+        |    text ||
+        |    (CASE WHEN doc_id % 5 = 0
+        |      THEN ' card 4111 1111 1111 1111' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |      THEN ' num 4111111111111112' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 17 = 0
+        |      THEN ' amex 378282246310005' ELSE '' END) AS text
+        |  FROM documents),
+        |per AS (SELECT source,
+        |    len(regexp_extract_all(text, '[0-9][0-9 -]{11,21}[0-9]'))
+        |      AS nc,
+        |    len(list_filter(
+        |      list_transform(
+        |        regexp_extract_all(text, '[0-9][0-9 -]{11,21}[0-9]'),
+        |        c -> regexp_replace(c, '[^0-9]', '', 'g')),
+        |      d -> len(d) BETWEEN 13 AND 19 AND
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(generate_series(1, len(d)),
+        |            i -> CAST(CASE WHEN (len(d) + i) % 2 = 1
+        |              THEN CASE WHEN 2 * CAST(d[i] AS INT) > 9
+        |                   THEN 2 * CAST(d[i] AS INT) - 9
+        |                   ELSE 2 * CAST(d[i] AS INT) END
+        |              ELSE CAST(d[i] AS INT) END AS BIGINT))),
+        |          (a, b) -> a + b) % 10 = 0)) AS nv
+        |  FROM planted WHERE source IS NOT NULL AND text IS NOT NULL),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_docs_with_pan,
+        |    CAST(sum(nc) AS BIGINT) AS n_candidates,
+        |    CAST(sum(nv) AS BIGINT) AS n_valid
+        |  FROM per GROUP BY 1)
+        |SELECT source, n_docs, n_docs_with_pan, n_candidates, n_valid,
+        |  CAST(n_docs_with_pan AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    AS pan_doc_rate,
+        |  CASE WHEN n_candidates = 0 THEN NULL
+        |       ELSE CAST(n_valid AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+        |       END AS valid_rate
+        |FROM agg ORDER BY source""".stripMargin,
     // q215: the same 4 relaxation rounds unrolled as CTEs (the q206
     // fixed-point pattern), identical min-per-node collapse
     "q215_shortest_paths" -> {

@@ -458,4 +458,30 @@ class ScrubSpec extends SparkFunSuite {
     assert(rows.toSeq == cases.map(_._2),
       rows.toSeq.zip(cases).filter(p => p._1 != p._2._2).mkString("; "))
   }
+
+  test("luhnCardIncidence: known valid/invalid PANs, lengths, formats") {
+    val docs = Seq(
+      // visa test PAN, spaced: valid
+      ("a", "pay with 4111 1111 1111 1111 today"),
+      // same digits +1: checksum fails
+      ("a", "num 4111111111111112 here"),
+      // amex 15-digit: valid; the 12-digit run is under the regex's
+      // 13-char minimum (1+{11,21}+1) and never becomes a candidate
+      ("a", "amex 378282246310005 and id 123456789012"),
+      // dashed mastercard test PAN: valid
+      ("b", "5555-5555-5555-4444"),
+      // 20-digit run: candidate regex grabs it, length gate rejects
+      ("b", "serial 41111111111111111111"),
+      ("b", "no digits at all")).toDF("src", "text")
+    val got = Scrub.luhnCardIncidence(docs, Seq("src"), "text")
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("a", 3L, 2L, 3L, 2L, 2.0 / 3.0),
+      ("b", 3L, 1L, 2L, 1L, 1.0 / 3.0)))
+    intercept[IllegalArgumentException] {
+      Scrub.luhnCardIncidence(docs, Seq.empty, "text")
+    }
+  }
 }
