@@ -1625,6 +1625,20 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // Item-item collaborative filtering over customer-part baskets:
+    // co-occurrence Jaccard, firehose baskets dropped whole, top-5
+    // neighbors per part with id-broken ties.
+    "q217_item_neighbors" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val inter = t.orders.filter(col("o_custkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey")), Seq("o_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      Similarity.itemNeighbors(inter, "o_custkey", "l_partkey",
+          k = 5, minCo = 2L)
+        .orderBy("item", "rank")
+    }),
     // PAN detection with the Luhn pre-filter: planted valid/invalid
     // card numbers (spaced and plain), candidate digit runs stripped,
     // length-gated, checksummed — per-source precision, exact counts.
@@ -4888,6 +4902,35 @@ object SparkEntry {
          |SELECT entity AS entity_id, field, value, n_votes, n_total
          |FROM ranked WHERE rk = 1 ORDER BY entity_id, field""".stripMargin
     },
+    // q217: same distinct interactions, basket cap, pair counts with
+    // the minCo HAVING, identical jaccard division and tie order
+    "q217_item_neighbors" ->
+      """WITH inter AS (SELECT DISTINCT o.o_custkey AS u,
+        |    l.l_partkey AS i
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey % 10 = 0),
+        |kept AS (SELECT u FROM (SELECT u, count(*) AS bs FROM inter
+        |  GROUP BY 1) WHERE bs <= 1000),
+        |capped AS (SELECT inter.u, inter.i FROM inter
+        |  JOIN kept ON kept.u = inter.u),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM capped
+        |  GROUP BY 1),
+        |p AS (SELECT a.i AS item, b.i AS neighbor,
+        |    CAST(count(*) AS BIGINT) AS co
+        |  FROM capped a JOIN capped b ON b.u = a.u AND a.i <> b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s AS (SELECT p.item, p.neighbor, p.co,
+        |    CAST(p.co AS DOUBLE) / CAST(ca.ci + cb.ci - p.co AS DOUBLE)
+        |      AS jaccard
+        |  FROM p JOIN ic ca ON ca.i = p.item
+        |  JOIN ic cb ON cb.i = p.neighbor),
+        |r AS (SELECT item, neighbor, co, jaccard, row_number()
+        |    OVER (PARTITION BY item ORDER BY jaccard DESC, neighbor)
+        |      AS rank
+        |  FROM s)
+        |SELECT item, CAST(rank AS INTEGER) AS rank, neighbor, co,
+        |  jaccard
+        |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
     // q216: same plantings, same regex, same left-indexed Luhn fold
     // over generate_series, exact counts and divisions
     "q216_luhn_pii" ->

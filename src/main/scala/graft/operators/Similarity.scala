@@ -301,4 +301,69 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "neighbor_label", "score")
   }
+
+  /** Item-item collaborative-filtering neighbors (Sarwar et al.,
+    * "Item-based collaborative filtering recommendation algorithms",
+    * WWW 2001 — the Amazon-style recommender primitive): from
+    * (user, item) interactions, each ordered item pair sharing a user
+    * gets `co = |U_a ∩ U_b|` and `jaccard = co / (|U_a| + |U_b| − co)`;
+    * per item, the top-`k` neighbors by `(jaccard DESC, neighbor ASC)`.
+    *
+    * Skew guard: users with more than `maxBasket` distinct items are
+    * DROPPED WHOLE before pairing (the [[Linkage.blockedPairs]]
+    * junk-block discipline — a 10⁶-item crawler account contributes
+    * 10¹² pairs and no signal); item set sizes are counted AFTER the
+    * cap so the Jaccard is exact within the kept universe. Pairs below
+    * `minCo` co-occurrences are cut before the scoring joins.
+    *
+    * Determinism: all counts exact longs off distinct (user, item);
+    * jaccard is one double division of exact longs; ranking ties break
+    * on the neighbor id. Null user/item rows are excluded.
+    *
+    * Scale shape: distinct + basket sizes + the pair self-join all key
+    * on USER (one exchange, reused); pair counts and the two
+    * item-count attachments key on items (gated broadcast when the
+    * item vocabulary fits); the rank window partitions per item —
+    * never global. Pair fan-out is Σ_u basket(u)², bounded by
+    * maxBasket·|interactions|. Output: `(item, rank, neighbor, co,
+    * jaccard)`. */
+  def itemNeighbors(df: DataFrame, userCol: String, itemCol: String,
+                    k: Int = 5, minCo: Long = 2L, maxBasket: Int = 1000,
+                    maxBroadcastRows: Long = 50000000L): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(minCo >= 1L, s"minCo ($minCo) must be >= 1")
+    require(maxBasket >= 2, s"maxBasket ($maxBasket) must be >= 2")
+    val inter = df
+      .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(userCol).as("_u"), col(itemCol).as("_i"))
+      .distinct()
+      .localCheckpoint(false) // sizes + capped re-read
+    val kept = inter.groupBy("_u").agg(count(lit(1)).as("_bs"))
+      .filter(col("_bs") <= maxBasket)
+      .select("_u")
+    val capped = inter.join(kept, Seq("_u"))
+      .localCheckpoint(false) // item counts + both pair sides
+    val itemGate = Gates.countedBroadcast(
+      capped.groupBy(col("_i")).agg(count(lit(1)).as("_ci")),
+      maxBroadcastRows)
+    val pairs = capped
+      .join(capped.select(col("_u"), col("_i").as("_j")), Seq("_u"))
+      .filter(col("_i") =!= col("_j"))
+      .groupBy("_i", "_j").agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    val scored = pairs
+      .join(itemGate.of(itemGate.pinned), Seq("_i"))
+      .join(itemGate.of(itemGate.pinned
+        .select(col("_i").as("_j"), col("_ci").as("_cj"))), Seq("_j"))
+      .select(col("_i").as("item"), col("_j").as("neighbor"), col("co"),
+        (col("co").cast("double") /
+          (col("_ci") + col("_cj") - col("co")).cast("double"))
+          .as("jaccard"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("jaccard").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("rank").cast("int").as("rank"),
+        col("neighbor"), col("co"), col("jaccard"))
+  }
 }

@@ -271,4 +271,32 @@ class SimilaritySpec extends SparkFunSuite {
     assert(got.length == 4 && got.forall(r =>
       r.getLong(1) == 5L && r.getLong(2) == 5L && r.getDouble(3) == 1.0))
   }
+
+  test("itemNeighbors: hand jaccards, basket cap, minCo floor, tie order") {
+    val df = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (2L, "B"), // dup interaction collapses
+      (3L, "B"), (3L, "C"),
+      // firehose basket of 4 > maxBasket=3: dropped whole
+      (4L, "A"), (4L, "B"), (4L, "C"), (4L, "D"))
+      .toDF("u", "i")
+    // capped sets: A={1,2} B={1,2,3} C={1,3}; co: AB=2, BC=2, AC=1(cut)
+    // jaccard: AB = 2/(2+3-2) = 2/3; BC = 2/(3+2-2) = 2/3
+    // B's neighbors tie at 2/3 -> A before C by id
+    val got = Similarity.itemNeighbors(df, "u", "i", k = 2, minCo = 2L,
+        maxBasket = 3)
+      .orderBy("item", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("A", 1, "B", 2L, 2.0 / 3.0),
+      ("B", 1, "A", 2L, 2.0 / 3.0), ("B", 2, "C", 2L, 2.0 / 3.0),
+      ("C", 1, "B", 2L, 2.0 / 3.0)))
+    intercept[IllegalArgumentException] {
+      Similarity.itemNeighbors(df, "u", "i", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.itemNeighbors(df, "u", "i", maxBasket = 1)
+    }
+  }
 }
