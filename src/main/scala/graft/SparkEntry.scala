@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Sketches, TopK, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend}
+import graft.functions.{Sketches, TopK, VecDot, VectorFunctions}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1625,6 +1625,19 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
     }),
+    // MMR diverse retrieval over the embedding corpus: relevance = dot
+    // with the min-id query vector, greedy lambda-tradeoff picks, the
+    // q136 driver-side selection discipline.
+    "q218_mmr_select" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+      val q = e.orderBy("id").limit(1).select(col("v").as("qv"))
+      val scored = e.crossJoin(broadcast(q))
+        .select(col("id"), col("v"),
+          VecDot.dot(col("v"), col("qv")).as("rel"))
+      Coreset.mmrSelect(scored, "id", "v", "rel", k = 8, lambda = 0.7)
+        .orderBy("step")
+    }),
     // Item-item collaborative filtering over customer-part baskets:
     // co-occurrence Jaccard, firehose baskets dropped whole, top-5
     // neighbors per part with id-broken ties.
@@ -3097,6 +3110,50 @@ object SparkEntry {
     for (t <- 1 until k)
       sb.append(s"""
         |UNION ALL SELECT CAST($t AS INTEGER), id, mind2 FROM p$t""".stripMargin)
+    sb.append("\nORDER BY step")
+    sb.toString
+  }
+
+  /** q218's oracle: [[graft.operators.Coreset.mmrSelect]] unrolled as
+    * chained CTE picks, the q136 pattern with the k-center distance
+    * swapped for `λ·rel − (1−λ)·maxsim`. λ and 1−λ are printed from the
+    * SAME Scala doubles the engine plants (`1.0 − 0.7` is NOT the
+    * literal 0.3 — it round-trips as 0.30000000000000004), each CAST to
+    * DOUBLE so DuckDB's decimal literal parser can't widen them. */
+  private def mmrOracle(k: Int, lambda: Double): String = {
+    val mu = 1.0 - lambda
+    val lam = s"CAST($lambda AS DOUBLE)"
+    val muS = s"CAST($mu AS DOUBLE)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e ORDER BY id LIMIT 1),
+         |en AS (SELECT e.id, e.v,
+         |    list_inner_product(e.v, q.qv) AS rel FROM e, q),
+         |p0 AS (SELECT id, v, rel FROM en ORDER BY rel DESC, id LIMIT 1),
+         |m1 AS (SELECT en.id, en.v, en.rel,
+         |    list_inner_product(en.v, p.v) AS maxsim
+         |  FROM en, p0 p WHERE en.id <> p.id),
+         |p1 AS (SELECT id, v, rel, maxsim,
+         |    $lam * rel - $muS * maxsim AS score
+         |  FROM m1 ORDER BY score DESC, id LIMIT 1)""".stripMargin)
+    for (t <- 2 until k) {
+      sb.append(s""",
+         |m$t AS (SELECT m.id, m.v, m.rel,
+         |    greatest(m.maxsim, list_inner_product(m.v, p.v)) AS maxsim
+         |  FROM m${t - 1} m, p${t - 1} p WHERE m.id <> p.id),
+         |p$t AS (SELECT id, v, rel, maxsim,
+         |    $lam * rel - $muS * maxsim AS score
+         |  FROM m$t ORDER BY score DESC, id LIMIT 1)""".stripMargin)
+    }
+    sb.append("""
+         |SELECT CAST(0 AS INTEGER) AS step, id AS vec_id,
+         |  CAST(NULL AS DOUBLE) AS score FROM p0""".stripMargin)
+    for (t <- 1 until k)
+      sb.append(s"""
+         |UNION ALL SELECT CAST($t AS INTEGER), id, score FROM p$t"""
+        .stripMargin)
     sb.append("\nORDER BY step")
     sb.toString
   }
@@ -6834,6 +6891,9 @@ object SparkEntry {
     // q136: eight unrolled farthest-point picks — identical distance
     // expression, least-fold, and (mind2 DESC, id ASC) argmax
     "q136_kcenter_coreset" -> kcenterOracle(8),
+    // q218: eight unrolled MMR picks — identical rel/maxsim dots,
+    // identical lambda literals, id-broken ties
+    "q218_mmr_select" -> mmrOracle(8, 0.7),
     // q135: Stupid Backoff replayed — the identical BOS-padded trigram
     // stream, counts aggregated from the one src0 trigram table, the same
     // left-associated backoff CASE (0.4 as an explicit DOUBLE), the same

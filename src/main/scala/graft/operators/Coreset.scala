@@ -99,4 +99,85 @@ object Coreset {
         StructField("vec_id", LongType, nullable = false),
         StructField("d2", DoubleType, nullable = true))))
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * "The use of MMR, diversity-based reranking…", SIGIR 1998): start
+    * from the most relevant point, then repeatedly add
+    * `argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — the
+    * relevance/diversity trade-off behind diverse retrieval and
+    * diverse training-subset selection. `sim` is the raw inner product
+    * (IP-MMR; normalize the vectors first for cosine semantics).
+    *
+    * Determinism mirrors [[kCenterGreedy]]: the seed is the
+    * `(rel DESC, id ASC)` argmax; every dot is [[VecDot]]'s fixed
+    * ascending fold; `λ` and `1−λ` are planted as the SAME two double
+    * literals the oracle text carries (1−λ is computed ONCE in Scala —
+    * `1.0 − 0.7` is not the double `0.3`); max over the selected set
+    * is a comparison, order-invariant; per-step ties break on the
+    * smaller id. Throws if the corpus has fewer than `k` rows.
+    *
+    * Scale shape is [[kCenterGreedy]]'s verbatim: the selected set
+    * rides the driver (k×dims doubles) and broadcasts; each step is
+    * one narrow map-reduce over the checkpointed projection — no
+    * shuffle, no window. Output: `(step INT, vec_id BIGINT,
+    * score DOUBLE)` in pick order, seed score NULL. */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                relCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"lambda ($lambda) must be in (0, 1]")
+    val mu = 1.0 - lambda
+    val spark = corpus.sparkSession
+    val base = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        col(relCol).cast("double").as("rel"))
+      .filter(col("id").isNotNull && col("rel").isNotNull)
+      .localCheckpoint(true)
+    val n = base.count()
+    require(n >= k, s"mmr: corpus has $n rows but k = $k")
+
+    def vecOf(r: Row, i: Int): Seq[Double] =
+      r.getSeq[Any](i).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }
+    val seed = base
+      .select(max(struct(col("rel"), (-col("id")).as("negid"),
+        col("v").as("v"))).as("w"))
+      .select(col("w.rel"), col("w.negid"), col("w.v"))
+      .collect().head
+    var selected = Vector((-seed.getLong(1), vecOf(seed, 2)))
+    val picks = Vector.newBuilder[(Int, Long, Option[Double])]
+    picks += ((0, -seed.getLong(1), None))
+
+    for (step <- 1 until k) {
+      import spark.implicits._
+      val selDf = selected.toDF("sid", "sv")
+        .agg(collect_list(col("sv")).as("_sel"))
+      val ids = selected.map(_._1)
+      val win = base
+        .filter(!col("id").isInCollection(ids))
+        .crossJoin(broadcast(selDf))
+        .select(max(struct(
+          (lit(lambda) * col("rel") - lit(mu) *
+            array_max(transform(col("_sel"),
+              sv => VecDot.dot(col("v"), sv)))).as("score"),
+          (-col("id")).as("negid"),
+          col("v").as("v"))).as("w"))
+        .select(col("w.score"), col("w.negid"), col("w.v"))
+        .collect().head
+      val id = -win.getLong(1)
+      selected = selected :+ ((id, vecOf(win, 2)))
+      picks += ((step, id, Some(win.getDouble(0))))
+    }
+
+    val rows = picks.result().map { case (s, id, sc) =>
+      Row(s, id, sc.map(java.lang.Double.valueOf).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("step", IntegerType, nullable = false),
+        StructField("vec_id", LongType, nullable = false),
+        StructField("score", DoubleType, nullable = true))))
+  }
 }

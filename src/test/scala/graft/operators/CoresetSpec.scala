@@ -80,4 +80,34 @@ class CoresetSpec extends SparkFunSuite {
       .orderBy("step").collect().toSeq
     assert(a === b)
   }
+
+  test("mmrSelect: hand-replayed picks, diversity beats relevance, ties") {
+    import org.apache.spark.sql.functions.col
+    // rel: 1:1.0 2:0.9 3:0.8 4:0.7; v1=v2=(1,0), v3=(0,1), v4=(.6,.8)
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 1.0), (2L, Seq(1.0f, 0.0f), 0.9),
+      (3L, Seq(0.0f, 1.0f), 0.8), (4L, Seq(0.6f, 0.8f), 0.7))
+      .toDF("id", "v", "rel")
+    val got = Coreset.mmrSelect(df, "id", "v", "rel", k = 3, lambda = 0.5)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq
+    // step1: id2 .5*.9-.5*1 = -.05; id3 .5*.8-0 = .4; id4 ~.05 -> id3.
+    // step2 vs {1,3}: id2 ~-.05; id4 ~-.050000006 (the float-promoted
+    // 0.8f sim) -> id2 by value
+    val s3 = 0.5 * 0.8 - 0.5 * 0.0
+    val s2 = 0.5 * 0.9 - 0.5 * 1.0
+    assert(got == Seq((0, 1L, None), (1, 3L, Some(s3)), (2, 2L, Some(s2))))
+    // the diversity term matters: pure relevance would pick id2 second
+    intercept[IllegalArgumentException] {
+      Coreset.mmrSelect(df, "id", "v", "rel", k = 0, lambda = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Coreset.mmrSelect(df, "id", "v", "rel", k = 2, lambda = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Coreset.mmrSelect(df.filter(col("id") < 3), "id", "v", "rel",
+        k = 3, lambda = 0.5)
+    }
+  }
 }
