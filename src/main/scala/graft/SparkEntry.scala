@@ -1733,6 +1733,17 @@ object SparkEntry {
       Classifier.gainsTable(scored, "score", "label", "doc_id")
         .orderBy("bucket")
     }),
+    // DAU/WAU stickiness: exact trailing-7-day distinct actives via the
+    // fan-out equi-join (never a sliding DISTINCT window), spine-clipped.
+    "q219_stickiness" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .filter(col("ts").isNotNull)
+        .withColumn("day",
+          floor(unix_micros(col("ts")).cast("double") / lit(86400.0e6))
+            .cast("long"))
+      Retention.stickiness(ev, "user_id", "day", windowDays = 7)
+        .orderBy("day")
+    }),
     // MAU growth accounting over epoch-week buckets: every active user
     // is new/retained/resurrected exactly once per period, churn lands
     // in the period the user went silent, quick ratio from exact counts.
@@ -5218,6 +5229,25 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q219: the same fan-out (generate_series over 7 target days),
+    // re-distinct, spine semi-join, exact counts
+    "q219_stickiness" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+        |      AS BIGINT) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |spine AS (SELECT DISTINCT d FROM a),
+        |dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM a GROUP BY 1),
+        |f AS (SELECT DISTINCT u, unnest(generate_series(d, d + 6))
+        |    AS day FROM a),
+        |wau AS (SELECT f.day, CAST(count(*) AS BIGINT) AS wau
+        |  FROM f WHERE f.day IN (SELECT d FROM spine) GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+        |    AS stickiness
+        |FROM dau JOIN wau ON wau.day = dau.day
+        |ORDER BY dau.day""".stripMargin,
     // q210: same distinct (user, week) lattice, lag/lead status rules,
     // churn shifted one period forward and capped at the horizon
     "q210_growth_accounting" ->

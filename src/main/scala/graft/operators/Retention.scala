@@ -159,6 +159,50 @@ object Retention {
       col("_x.survival").as("survival")): _*)
   }
 
+  /** DAU/WAU stickiness: per day, the exact count of distinct active
+    * users that day (DAU) and over the trailing `windowDays` window
+    * (WAU), plus their ratio — the engagement-depth read next to
+    * [[growthAccounting]]'s composition one.
+    *
+    * The trailing-window distinct is computed EXACTLY by turning the
+    * range condition into an equi-join: each distinct (user, day)
+    * row fans out to the `windowDays` window days it supports
+    * (day + 0 … day + w−1), re-distincts (a user active twice inside
+    * one window must count once), and aggregates per target day —
+    * never a sliding DISTINCT window (not expressible) and never an
+    * approximate sketch. Target days beyond the observed spine are
+    * clipped by a semi-join, so every output day really occurred.
+    * `dayCol` must be integer-valued (epoch-day buckets).
+    *
+    * Scale shape: one distinct (user, day) collapse; the fan-out is
+    * windowDays× that (bounded, uniform — no key can skew it); two
+    * map-side-combined counts; the spine semi-join is calendar-sized.
+    * Null user/day rows are excluded. Output: `(day, dau, wau,
+    * stickiness = dau/wau)`. */
+  def stickiness(df: DataFrame, userCol: String, dayCol: String,
+                 windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays ($windowDays) must be in [1, 366]")
+    val active = df
+      .filter(col(userCol).isNotNull && col(dayCol).isNotNull)
+      .select(col(userCol).as("_u"), col(dayCol).cast("long").as("_d"))
+      .distinct()
+      .localCheckpoint(false) // dau + fanout + spine all read it
+    val spine = active.select(col("_d")).distinct()
+    val dau = active.groupBy(col("_d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = active
+      .select(col("_u"), explode(sequence(col("_d"),
+        col("_d") + lit(windowDays - 1))).as("day"))
+      .distinct()
+      .join(spine.select(col("_d").as("day")), Seq("day"), "left_semi")
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+  }
+
   /** Growth accounting (the Social-Capital "accounting for growth"
     * decomposition): per integer period, how many active users are
     * `new` (first-ever period), `retained` (also active in period−1),

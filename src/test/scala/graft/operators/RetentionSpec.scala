@@ -142,4 +142,23 @@ class RetentionSpec extends SparkFunSuite {
     val r = Retention.growthAccounting(nulls, "u", "p").collect()
     assert(r.length == 1 && r.head.getLong(1) == 1L)
   }
+
+  test("stickiness: hand-counted trailing window, dedup inside window") {
+    // u1 active d1,d2; u2 active d1; u3 active d3. windowDays=2.
+    // d1: dau 2, wau(0..1 back) = users active in {d0,d1} = {1,2} -> 2
+    // d2: dau 1, wau {d1,d2} = {1,2} -> 2 (u1 active both days: once)
+    // d3: dau 1, wau {d2,d3} = {1,3} -> 2
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 3L), (1L, 1L))
+      .toDF("u", "d")
+    val got = Retention.stickiness(df, "u", "d", windowDays = 2)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 1.0), (2L, 1L, 2L, 0.5),
+      (3L, 1L, 2L, 0.5)))
+    // no phantom day 4 row (spine clip) even though d3 supports it
+    assert(!got.map(_._1).contains(4L))
+    intercept[IllegalArgumentException] {
+      Retention.stickiness(df, "u", "d", windowDays = 0)
+    }
+  }
 }
