@@ -1733,6 +1733,17 @@ object SparkEntry {
       Classifier.gainsTable(scored, "score", "label", "doc_id")
         .orderBy("bucket")
     }),
+    // Functional-dependency audit over lineitem: which "X determines Y"
+    // rules actually hold — exact per-key distinct-value counts, null
+    // dependents counted as values.
+    "q220_fd_violations" -> ((s, dir) => {
+      Audit.fdViolations(Tables(s, dir).lineitem,
+          Seq("l_orderkey" -> "l_returnflag",
+            "l_orderkey" -> "l_linestatus",
+            "l_partkey" -> "l_suppkey",
+            "l_suppkey" -> "l_returnflag"))
+        .orderBy("determinant", "dependent")
+    }),
     // DAU/WAU stickiness: exact trailing-7-day distinct actives via the
     // fan-out equi-join (never a sliding DISTINCT window), spine-clipped.
     "q219_stickiness" -> ((s, dir) => {
@@ -5229,6 +5240,30 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q220: per-rule distinct counts with the same null-as-value flag,
+    // unioned — replayed as one CTE per rule
+    "q220_fd_violations" -> {
+      def rule(det: String, dep: String): String =
+        s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CASE WHEN count(*) = 0 THEN NULL
+           |       ELSE CAST(sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END)
+           |           AS DOUBLE) / CAST(count(*) AS DOUBLE) END
+           |    AS violation_rate,
+           |  CAST(max(vals) AS BIGINT) AS max_values_per_key
+           |FROM (SELECT $det,
+           |    count(DISTINCT $dep) +
+           |      max(CASE WHEN $dep IS NULL THEN 1 ELSE 0 END) AS vals
+           |  FROM lineitem WHERE $det IS NOT NULL GROUP BY $det)"""
+          .stripMargin
+      Seq("l_orderkey" -> "l_returnflag", "l_orderkey" -> "l_linestatus",
+        "l_partkey" -> "l_suppkey", "l_suppkey" -> "l_returnflag")
+        .map { case (a, b) => rule(a, b) }
+        .mkString("", "\nUNION ALL\n",
+          "\nORDER BY determinant, dependent")
+    },
     // q219: the same fan-out (generate_series over 7 target days),
     // re-distinct, spine semi-join, exact counts
     "q219_stickiness" ->

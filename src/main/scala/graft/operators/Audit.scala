@@ -114,4 +114,42 @@ object Audit {
     * oracle carries the SAME literals the plan plants. */
   private[graft] def benfordLiterals: Seq[Double] =
     (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Functional-dependency audit: for each candidate rule
+    * `determinant → dependent`, how many determinant keys map to MORE
+    * than one distinct dependent value — the data-quality check behind
+    * "is this column really keyed by that one" (normalization audits,
+    * dimension conformance, schema inference). Per rule:
+    * `(determinant, dependent, n_keys, n_violating, violation_rate,
+    * max_values_per_key)`; a rule HOLDS iff n_violating = 0.
+    *
+    * Rows with a null determinant are excluded (no key to audit);
+    * a null dependent COUNTS as one distinct value (a key mapping to
+    * both 'x' and NULL is a real violation — count_distinct skips
+    * nulls, so null presence is re-added via a max-flag).
+    *
+    * Scale shape: per rule, ONE map-side-combined aggregation to key
+    * cardinality, then ONE collapse to a single row; rules union at
+    * the end (rule-count-sized). Exact integer counts; one double
+    * division. */
+  def fdViolations(df: DataFrame,
+                   rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "at least one (determinant, dependent) rule")
+    rules.map { case (det, dep) =>
+      val perKey = df.filter(col(det).isNotNull)
+        .groupBy(col(det).as("_k"))
+        .agg(countDistinct(col(dep)).as("_nv"),
+          max(when(col(dep).isNull, 1L).otherwise(0L)).as("_hasNull"))
+        .select(col("_k"), (col("_nv") + col("_hasNull")).as("_vals"))
+      perKey.agg(count(lit(1)).as("n_keys"),
+          sum(when(col("_vals") > 1L, 1L).otherwise(0L)).as("n_violating"),
+          max(col("_vals")).as("max_values_per_key"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_keys"), col("n_violating"),
+          when(col("n_keys") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_violating").cast("double") /
+              col("n_keys").cast("double")).as("violation_rate"),
+          col("max_values_per_key"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -61,4 +61,25 @@ class AuditSpec extends SparkFunSuite {
       .orderBy("digit").collect()
     assert(empty.forall(r => r.getLong(1) == 0L && r.getDouble(4) == 0.0))
   }
+
+  test("fdViolations: holding and broken rules, null-as-value, null keys") {
+    val df = Seq(
+      (Option(1L), Option("a"), Option("x")),
+      (Option(1L), Option("a"), Option("y")),   // k->v2 violated by 1
+      (Option(2L), Option("b"), Option("x")),
+      (Option(2L), Option("b"), None),          // null value: violation
+      (Option(3L), Option("c"), Option("z")),
+      (None, Option("d"), Option("z")))         // null key: excluded
+      .toDF("k", "v1", "v2")
+    val got = Audit.fdViolations(df, Seq("k" -> "v1", "k" -> "v2"))
+      .orderBy("determinant", "dependent").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("v1", 3L, 0L, 0.0, 1L),            // k -> v1 holds
+      ("v2", 3L, 2L, 2.0 / 3.0, 2L)))     // keys 1 and 2 violate
+    intercept[IllegalArgumentException] {
+      Audit.fdViolations(df, Seq.empty)
+    }
+  }
 }
