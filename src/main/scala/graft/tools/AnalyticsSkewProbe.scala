@@ -35,6 +35,31 @@ object AnalyticsSkewProbe {
       println(f"[probe] $name%-44s ${(System.nanoTime() - t0) / 1e9}%.1f s  rows=$c")
     }
 
+    // --- round-12 third session: itemNeighbors under a firehose basket
+    // (`runMain … items` runs only this section). 200k interactions of
+    // 20k normal users × 10 items, plus ONE crawler account holding
+    // `fh` distinct items: uncapped it contributes fh² pair instances
+    // (25M at fh=5000) that carry no signal; the basket cap drops the
+    // account whole.
+    if (args.contains("items")) {
+      import graft.operators.Similarity
+      for (fh <- Seq(0L, 2000L, 5000L)) {
+        val normal = spark.range(200000L).select(
+          (col("id") % 20000L).as("u"), (col("id") % 997L).as("i"))
+        val inter = if (fh == 0L) normal else normal.unionByName(
+          spark.range(fh).select(lit(999999L).as("u"),
+            (col("id") + 10000L).as("i")))
+        val pinned = inter.repartition(64).localCheckpoint(true)
+        timed(s"itemNeighbors fh=$fh cap=1000 (drops it)")(
+          Similarity.itemNeighbors(pinned, "u", "i", k = 5, minCo = 2L,
+            maxBasket = 1000).count())
+        timed(s"itemNeighbors fh=$fh cap=100000 (keeps it)")(
+          Similarity.itemNeighbors(pinned, "u", "i", k = 5, minCo = 2L,
+            maxBasket = 100000).count())
+      }
+      spark.stop(); return
+    }
+
     for (level <- Seq("skew_mild", "skew_heavy")) {
       val recs = spark.read.parquet(s"testdata/$level/documents.parquet")
         .select(col("doc_id"),
