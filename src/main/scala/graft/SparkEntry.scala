@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VecDot, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Rfm, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1732,6 +1732,14 @@ object SparkEntry {
         (h6("lbl") < h6("cal")).as("label"))
       Classifier.gainsTable(scored, "score", "label", "doc_id")
         .orderBy("bucket")
+    }),
+    // RFM customer-value grid: recency/frequency/monetary quintiles by
+    // deterministic rank cuts (user-id tiebreaks), exact metrics,
+    // segment-sized output.
+    "q221_rfm_segments" -> ((s, dir) => {
+      Rfm.rfmSegments(Tables(s, dir).events, "user_id", "ts", "value",
+          nBuckets = 5)
+        .orderBy("r_score", "f_score", "m_score")
     }),
     // Functional-dependency audit over lineitem: which "X determines Y"
     // rules actually hold — exact per-key distinct-value counts, null
@@ -5240,6 +5248,37 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q221: same per-user metrics, same rank cuts (row_number with the
+    // user tiebreak), VARCHAR-routed monetary sums
+    "q221_rfm_segments" ->
+      """WITH pu AS (SELECT user_id AS u,
+        |    max(CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+        |      AS BIGINT)) AS lastday,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(coalesce(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT), 0)) AS BIGINT) AS mon6
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |mx AS (SELECT max(lastday) AS maxd FROM pu),
+        |mt AS (SELECT u, mx.maxd - lastday AS rec, freq, mon6
+        |  FROM pu CROSS JOIN mx),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mt),
+        |r AS (SELECT u, CAST((row_number() OVER (ORDER BY rec DESC, u)
+        |    - 1) * 5 // (SELECT n FROM nn) + 1 AS INTEGER) AS r_score
+        |  FROM mt),
+        |f AS (SELECT u, CAST((row_number() OVER (ORDER BY freq, u)
+        |    - 1) * 5 // (SELECT n FROM nn) + 1 AS INTEGER) AS f_score
+        |  FROM mt),
+        |m AS (SELECT u, CAST((row_number() OVER (ORDER BY mon6, u)
+        |    - 1) * 5 // (SELECT n FROM nn) + 1 AS INTEGER) AS m_score
+        |  FROM mt)
+        |SELECT r.r_score, f.f_score, m.m_score,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(CAST(sum(mt.mon6) AS VARCHAR) AS DOUBLE) / 1e6
+        |    AS monetary
+        |FROM mt JOIN r ON r.u = mt.u JOIN f ON f.u = mt.u
+        |JOIN m ON m.u = mt.u
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // q220: per-rule distinct counts with the same null-as-value flag,
     // unioned — replayed as one CTE per rule
     "q220_fd_violations" -> {
