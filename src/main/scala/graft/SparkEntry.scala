@@ -1733,6 +1733,14 @@ object SparkEntry {
       Classifier.gainsTable(scored, "score", "label", "doc_id")
         .orderBy("bucket")
     }),
+    // Time-decay multi-touch attribution: exact dyadic half-life
+    // weights (scaled 2^(62-k) integers, decimal(38,0) sums) — no
+    // window, no ordering, one channel aggregation.
+    "q222_time_decay" -> ((s, dir) => {
+      Sessionize.timeDecayAttribution(Tables(s, dir).events, "user_id",
+          "ts", "event_type", "purchase", halfLifeDays = 7)
+        .orderBy("channel")
+    }),
     // RFM customer-value grid: recency/frequency/monetary quintiles by
     // deterministic rank cuts (user-id tiebreaks), exact metrics,
     // segment-sized output.
@@ -5248,6 +5256,32 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q222: same first-conversion join, same shifted-integer weights
+    // (BIGINT << on the same k), VARCHAR-routed decimal sums
+    "q222_time_decay" -> {
+      val hl = 7L * 86400000000L
+      s"""WITH base AS (SELECT user_id, ts, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         |fc AS (SELECT user_id, min(ts) AS fc FROM base
+         |  WHERE event_type = 'purchase' GROUP BY 1),
+         |w AS (SELECT b.event_type AS channel,
+         |    CASE WHEN (epoch_us(fc.fc) - epoch_us(b.ts)) // $hl <= 62
+         |      THEN (CAST(1 AS BIGINT) << CAST(62 -
+         |        (epoch_us(fc.fc) - epoch_us(b.ts)) // $hl AS INTEGER))
+         |      ELSE CAST(0 AS BIGINT) END AS wgt
+         |  FROM base b JOIN fc ON fc.user_id = b.user_id
+         |  WHERE b.event_type <> 'purchase' AND b.ts < fc.fc),
+         |per AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+         |    sum(CAST(wgt AS HUGEINT)) AS ws FROM w GROUP BY 1),
+         |tot AS (SELECT sum(ws) AS wt FROM per)
+         |SELECT channel, n_touches,
+         |  CAST(CAST(ws AS VARCHAR) AS DOUBLE) /
+         |    CAST(4611686018427387904 AS DOUBLE) AS weight,
+         |  CASE WHEN wt = 0 THEN NULL
+         |       ELSE CAST(CAST(ws AS VARCHAR) AS DOUBLE) /
+         |         CAST(CAST(wt AS VARCHAR) AS DOUBLE) END AS share
+         |FROM per CROSS JOIN tot ORDER BY channel""".stripMargin
+    },
     // q221: same per-user metrics, same rank cuts (row_number with the
     // user tiebreak), VARCHAR-routed monetary sums
     "q221_rfm_segments" ->

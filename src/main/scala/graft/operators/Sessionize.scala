@@ -359,6 +359,61 @@ object Sessionize {
         sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("revenue"))
   }
 
+  /** Time-decay attribution — the third lane of the attribution family
+    * ([[lastTouchAttribution]]'s heuristic, [[markovRemovalEffects]]'s
+    * data-driven chain, and this: recency-weighted multi-touch): every
+    * touch STRICTLY before its user's first `convState` event earns
+    * weight `2^−k` with `k = floor(Δt / halfLife)` — an EXACT dyadic
+    * rational, carried as the scaled integer `2^(62−k)` over the
+    * common denominator 2⁶², summed in decimal(38,0) (10⁶ touches of
+    * full weight ≈ 4.6·10²⁴ ≪ 10³⁸). Touches older than 62 half-lives
+    * weigh exactly 0 (stated cutoff — their true weight is below any
+    * double anyway). No ordering anywhere: weights depend only on the
+    * time gap, so there is NO window and ties need no break.
+    *
+    * Share = channel's scaled sum / total scaled sum, one double
+    * division of exact decimals; `weight` is the scaled sum over the
+    * exact double 2⁶². Non-converting users contribute nothing; null
+    * user/state rows are excluded.
+    *
+    * Scale shape: one user-keyed first-conversion aggregate, one
+    * user-keyed join (converting users only), ONE map-side-combined
+    * channel aggregation, a 1-row total broadcast. Output:
+    * `(channel, n_touches, weight, share)`. */
+  def timeDecayAttribution(events: DataFrame, userCol: String,
+                           tsCol: String, stateCol: String,
+                           convState: String,
+                           halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1 && halfLifeDays <= 3650,
+      s"halfLifeDays ($halfLifeDays) out of range")
+    val hlUs = halfLifeDays * 86400000000L
+    val base = events.filter(col(userCol).isNotNull &&
+      col(stateCol).isNotNull)
+    val fc = base.filter(col(stateCol) === convState)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_fc"))
+    val weighted = base.filter(col(stateCol) =!= convState)
+      .join(fc, Seq(userCol))
+      .filter(col(tsCol) < col("_fc"))
+      .select(col(stateCol).as("channel"),
+        (unix_micros(col("_fc")) - unix_micros(col(tsCol))).as("_d"))
+      .select(col("channel"),
+        expr(s"CASE WHEN _d div $hlUs <= 62 THEN " +
+          s"shiftleft(1L, cast(62 - _d div $hlUs AS int)) " +
+          "ELSE 0L END").as("_w"))
+    val per = weighted.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("_w").cast("decimal(38,0)")).as("_ws"))
+      .localCheckpoint(false) // total + output read it
+    val tot = per.agg(sum(col("_ws")).as("_wt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_touches"),
+        (col("_ws").cast("double") /
+          lit(4611686018427387904L).cast("double")).as("weight"),
+        when(col("_wt") === 0, lit(null).cast("double"))
+          .otherwise(col("_ws").cast("double") / col("_wt").cast("double"))
+          .as("share"))
+  }
+
   /** Markov removal-effect attribution (Anderl et al., "Mapping the
     * customer journey", 2014 — the data-driven alternative to
     * [[lastTouchAttribution]]'s heuristic): model journeys as a

@@ -279,4 +279,27 @@ class SessionizeSpec extends SparkFunSuite {
         "purchase", iters = 0)
     }
   }
+
+  test("timeDecayAttribution: dyadic weights, cutoff, non-converters") {
+    def ts(hour: Long) = new java.sql.Timestamp(hour * 3600000L)
+    // halfLife 1 day. u1 converts at hour 240 (day 10):
+    //   A at hour 228 (0.5d ago, k=0, w=1), B at hour 192 (2d, k=2,
+    //   w=1/4), A at hour 240-70*24 (70d, k=70 > 62 -> w=0)
+    // u2 never converts: its C touch contributes nothing
+    val df = Seq(
+      (1L, ts(240), "purchase"), (1L, ts(228), "A"), (1L, ts(192), "B"),
+      (1L, ts(240 - 70 * 24), "A"),
+      (2L, ts(100), "C")).toDF("user_id", "ts", "etype")
+    val got = Sessionize.timeDecayAttribution(df, "user_id", "ts",
+        "etype", "purchase", halfLifeDays = 1)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    // tot = 2^62 + 2^60 = 5*2^60: shares 4/5 and 1/5
+    assert(got == Seq(("A", 2L, 1.0, 0.8), ("B", 1L, 0.25, 0.2)))
+    intercept[IllegalArgumentException] {
+      Sessionize.timeDecayAttribution(df, "user_id", "ts", "etype",
+        "purchase", halfLifeDays = 0)
+    }
+  }
 }
