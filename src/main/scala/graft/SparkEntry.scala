@@ -1733,6 +1733,19 @@ object SparkEntry {
       Classifier.gainsTable(scored, "score", "label", "doc_id")
         .orderBy("bucket")
     }),
+    // Rare-transition anomaly screen: a planted ~1% state makes some
+    // transitions genuinely rare; flags decided on exact integers
+    // (n*k < total), never a double.
+    "q223_rare_transitions" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_id") % 97 === 0, lit("rare_evt"))
+            .otherwise(col("event_type")).as("state"))
+      Sessionize.rareTransitions(ev, "user_id", "ts", "state", k = 50L,
+          tieBreak = Seq("event_id"))
+        .orderBy("user")
+    }),
     // Time-decay multi-touch attribution: exact dyadic half-life
     // weights (scaled 2^(62-k) integers, decimal(38,0) sums) — no
     // window, no ordering, one channel aggregation.
@@ -5256,6 +5269,31 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q223: same lead() adjacency, same integer rarity rule, same
+    // fixed min_prob division
+    "q223_rare_transitions" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_id % 97 = 0 THEN 'rare_evt'
+        |         ELSE event_type END AS state
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |p AS (SELECT user_id AS u, state AS s,
+        |    lead(state) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS d
+        |  FROM ev),
+        |pairs AS (SELECT u, s, d FROM p WHERE d IS NOT NULL),
+        |m AS (SELECT s, d, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs GROUP BY 1, 2),
+        |t AS (SELECT s, CAST(sum(n) AS BIGINT) AS tot FROM m GROUP BY 1),
+        |c AS (SELECT m.s, m.d, m.n, t.tot FROM m JOIN t ON t.s = m.s),
+        |agg AS (SELECT pairs.u AS "user",
+        |    CAST(count(*) AS BIGINT) AS n_transitions,
+        |    CAST(sum(CASE WHEN c.n * 50 < c.tot THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rare,
+        |    min(CAST(c.n AS DOUBLE) / CAST(c.tot AS DOUBLE)) AS min_prob
+        |  FROM pairs JOIN c ON c.s = pairs.s AND c.d = pairs.d
+        |  GROUP BY 1)
+        |SELECT * FROM agg WHERE n_rare >= 1 ORDER BY "user"""".stripMargin,
     // q222: same first-conversion join, same shifted-integer weights
     // (BIGINT << on the same k), VARCHAR-routed decimal sums
     "q222_time_decay" -> {

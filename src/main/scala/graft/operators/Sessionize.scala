@@ -359,6 +359,52 @@ object Sessionize {
         sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("revenue"))
   }
 
+  /** Rare-transition anomaly flags: users whose event stream contains
+    * a state transition the corpus almost never makes — the classic
+    * bot/fraud screen over a Markov matrix (flag sessions walking
+    * improbable paths). Rarity is decided EXACTLY on integers:
+    * transition (s→d) is rare iff `n(s→d) · k < total(s)` (probability
+    * strictly under 1/k) — no double ever decides a flag. `min_prob`
+    * (the user's most improbable step) is reported as one fixed
+    * double division per transition, min'd by comparison
+    * (order-invariant).
+    *
+    * Output: only FLAGGED users — `(user, n_transitions, n_rare,
+    * min_prob)` with `n_rare ≥ 1`. Adjacency comes from one
+    * user-partitioned `(tsCol, tieBreak…)` window (the
+    * [[transitionMatrixBucketed]] caveat applies under a firehose
+    * user); the (src, dst) matrix is state-vocabulary-sized and
+    * broadcast back onto the pairs. Null users/states are excluded.
+    *
+    * Scale shape: ONE user-keyed window pass, one vocab²-sized count
+    * aggregation, one broadcast join, one per-user collapse. */
+  def rareTransitions(events: DataFrame, userCol: String, tsCol: String,
+                      stateCol: String, k: Long = 100L,
+                      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(k >= 2L, s"k ($k) must be >= 2")
+    val base = events.filter(col(userCol).isNotNull &&
+      col(stateCol).isNotNull)
+    val w = Window.partitionBy(userCol)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val pairs = base
+      .withColumn("_next", lead(col(stateCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .select(col(userCol).as("_u"), col(stateCol).as("_s"),
+        col("_next").as("_d"))
+      .localCheckpoint(false) // matrix + the flag join read it
+    val matrix = pairs.groupBy("_s", "_d").agg(count(lit(1)).as("_n"))
+    val totals = matrix.groupBy("_s").agg(sum(col("_n")).as("_tot"))
+    val cells = matrix.join(totals, Seq("_s"))
+    pairs.join(broadcast(cells), Seq("_s", "_d"))
+      .groupBy(col("_u").as("user"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(when(col("_n") * lit(k) < col("_tot"), 1L).otherwise(0L))
+          .as("n_rare"),
+        min(col("_n").cast("double") / col("_tot").cast("double"))
+          .as("min_prob"))
+      .filter(col("n_rare") >= 1L)
+  }
+
   /** Time-decay attribution — the third lane of the attribution family
     * ([[lastTouchAttribution]]'s heuristic, [[markovRemovalEffects]]'s
     * data-driven chain, and this: recency-weighted multi-touch): every

@@ -302,4 +302,26 @@ class SessionizeSpec extends SparkFunSuite {
         "purchase", halfLifeDays = 0)
     }
   }
+
+  test("rareTransitions: integer rarity rule, strict boundary, flags only") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    // u1: A,B,A,B,A,C; u2: A,B,A,B
+    // matrix: A->B 4, B->A 3, A->C 1; totals A=5, B=3
+    val df = Seq(
+      (1L, 1, "A"), (1L, 2, "B"), (1L, 3, "A"), (1L, 4, "B"),
+      (1L, 5, "A"), (1L, 6, "C"),
+      (2L, 1, "A"), (2L, 2, "B"), (2L, 3, "A"), (2L, 4, "B"))
+      .map { case (u, m, s) => (u, ts(m), s) }.toDF("u", "t", "s")
+    // k=4: A->C rare (1*4 < 5); only u1 flagged, min_prob = 1/5
+    val got = Sessionize.rareTransitions(df, "u", "t", "s", k = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 5L, 1L, 0.2)))
+    // k=5: prob exactly 1/5 is NOT rare (strict <) -> nobody flagged
+    assert(Sessionize.rareTransitions(df, "u", "t", "s", k = 5L)
+      .collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      Sessionize.rareTransitions(df, "u", "t", "s", k = 1L)
+    }
+  }
 }
