@@ -1733,6 +1733,22 @@ object SparkEntry {
       Classifier.gainsTable(scored, "score", "label", "doc_id")
         .orderBy("bucket")
     }),
+    // Bot-regularity screen: planted clockwork users (60s grid via
+    // per-user row_number) must flag; the CV threshold is decided on
+    // exact integers, never a double.
+    "q224_bot_regularity" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val planted = ev.withColumn("_rn", row_number().over(w))
+        .select(col("user_id"), col("event_id"),
+          when(col("user_id") % 37 === 0,
+            timestamp_micros(col("_rn") * lit(60000000L)))
+            .otherwise(col("ts")).as("ts2"))
+      Sessionize.botRegularity(planted, "user_id", "ts2",
+          minGaps = 5L, cvPct = 10L, tieBreak = Seq("event_id"))
+        .orderBy("user")
+    }),
     // Rare-transition anomaly screen: a planted ~1% state makes some
     // transitions genuinely rare; flags decided on exact integers
     // (n*k < total), never a double.
@@ -5269,6 +5285,35 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q224: same planted grid, same lag() gaps, same HUGEINT flag
+    // inequality, VARCHAR-routed sqrt operand
+    "q224_bot_regularity" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, row_number()
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |pl AS (SELECT user_id, event_id,
+        |    CASE WHEN user_id % 37 = 0
+        |      THEN make_timestamp(rn * 60000000) ELSE ts END AS ts2
+        |  FROM ev),
+        |g AS (SELECT user_id AS u, epoch_us(ts2) - lag(epoch_us(ts2))
+        |    OVER (PARTITION BY user_id ORDER BY ts2, event_id) AS gp
+        |  FROM pl),
+        |sums AS (SELECT u, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gp) AS BIGINT) AS sg,
+        |    sum(CAST(gp AS HUGEINT) * CAST(gp AS HUGEINT)) AS sgg
+        |  FROM g WHERE gp IS NOT NULL GROUP BY 1),
+        |fl AS (SELECT u, n_gaps, sg,
+        |    CAST(n_gaps AS HUGEINT) * sgg -
+        |      CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT) AS num
+        |  FROM sums)
+        |SELECT u AS "user", n_gaps,
+        |  CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+        |  sqrt(CAST(CAST(num AS VARCHAR) AS DOUBLE)) /
+        |    CAST(sg AS DOUBLE) AS cv
+        |FROM fl
+        |WHERE n_gaps >= 5 AND sg > 0
+        |  AND num * 10000 < 100 * CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)
+        |ORDER BY "user"""".stripMargin,
     // q223: same lead() adjacency, same integer rarity rule, same
     // fixed min_prob division
     "q223_rare_transitions" ->

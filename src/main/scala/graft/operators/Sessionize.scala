@@ -359,6 +359,53 @@ object Sessionize {
         sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("revenue"))
   }
 
+  /** Bot-regularity screen: users whose inter-event gaps are too
+    * CLOCKWORK to be human — the complement of [[rareTransitions]]'
+    * path screen. Per user, the population coefficient of variation of
+    * consecutive gaps `cv = √(n·Σg² − (Σg)²) / Σg`; a user is flagged
+    * iff they have ≥ `minGaps` gaps and `cv < cvPct/100`, decided
+    * EXACTLY on integers: `10000·(n·Σg² − (Σg)²) < cvPct²·(Σg)²` in
+    * decimal(38,0) (gaps are exact epoch-microsecond longs off one
+    * lag() window; Σg² sums μs² — |gap| ≤ 10⁶ s keeps a 10⁶-event user
+    * inside decimal(38)). No double ever decides a flag; the reported
+    * `mean_gap_us`/`cv` are fixed-order doubles off the same exact
+    * sums. Users whose gaps total 0 (all events at one instant) have
+    * undefined cv and are NOT flagged (stated). Null user/ts rows are
+    * excluded; the [[transitionMatrixBucketed]] firehose caveat
+    * applies to the window.
+    *
+    * Scale shape: ONE user-keyed window pass + one map-side-combined
+    * per-user aggregation; output is flagged-user-sized. Output:
+    * `(user, n_gaps, mean_gap_us, cv)`. */
+  def botRegularity(events: DataFrame, userCol: String, tsCol: String,
+                    minGaps: Long = 5L, cvPct: Long = 10L,
+                    tieBreak: Seq[String] = Nil): DataFrame = {
+    require(minGaps >= 2L, s"minGaps ($minGaps) must be >= 2")
+    require(cvPct >= 1L && cvPct <= 100L, s"cvPct ($cvPct) out of range")
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(userCol)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val gaps = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("_prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select(col(userCol).as("user"),
+        (unix_micros(col(tsCol)) - col("_prev")).as("_g"))
+    val g38 = col("_g").cast(d38)
+    val sums = gaps.groupBy("user")
+      .agg(count(lit(1)).as("n_gaps"), sum(col("_g")).as("_sg"),
+        sum(g38 * g38).as("_sgg"))
+    val num = col("n_gaps").cast(d38) * col("_sgg") -
+      col("_sg").cast(d38) * col("_sg").cast(d38)
+    sums
+      .filter(col("n_gaps") >= minGaps && col("_sg") > 0L &&
+        num * lit(10000L) < lit(cvPct * cvPct) *
+          col("_sg").cast(d38) * col("_sg").cast(d38))
+      .select(col("user"), col("n_gaps"),
+        (col("_sg").cast("double") / col("n_gaps").cast("double"))
+          .as("mean_gap_us"),
+        (sqrt(num.cast("double")) / col("_sg").cast("double")).as("cv"))
+  }
+
   /** Rare-transition anomaly flags: users whose event stream contains
     * a state transition the corpus almost never makes — the classic
     * bot/fraud screen over a Markov matrix (flag sessions walking

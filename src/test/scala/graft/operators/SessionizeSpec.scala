@@ -324,4 +324,27 @@ class SessionizeSpec extends SparkFunSuite {
       Sessionize.rareTransitions(df, "u", "t", "s", k = 1L)
     }
   }
+
+  test("botRegularity: clockwork flags, jittered human passes, zero-gap") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val bot = (1 to 7).map(i => (1L, ts(i * 60L)))          // exact 60s
+    val human = Seq(10L, 70L, 400L, 420L, 900L, 2000L, 2100L)
+      .map(s => (2L, ts(s)))                                 // wild gaps
+    val sameInstant = (1 to 7).map(_ => (3L, ts(5L)))        // sg = 0
+    val df = (bot ++ human ++ sameInstant).toDF("u", "t")
+    val got = Sessionize.botRegularity(df, "u", "t", minGaps = 5L,
+      cvPct = 10L).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = got.head
+    assert(r.getLong(1) == 6L && r.getDouble(2) == 60000000.0 &&
+      r.getDouble(3) == 0.0)
+    // below minGaps: a 3-event clockwork user is not flagged
+    val tiny = Seq((9L, ts(60)), (9L, ts(120)), (9L, ts(180)))
+      .toDF("u", "t")
+    assert(Sessionize.botRegularity(tiny, "u", "t", minGaps = 5L)
+      .collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      Sessionize.botRegularity(df, "u", "t", cvPct = 0L)
+    }
+  }
 }
