@@ -1733,6 +1733,17 @@ object SparkEntry {
       Classifier.gainsTable(scored, "score", "label", "doc_id")
         .orderBy("bucket")
     }),
+    // Cohort LTV curves over epoch-week cohorts: exact micro-unit
+    // revenue cells, cohort-partitioned cumulative, per-user LTV.
+    "q225_ltv_curve" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .filter(col("ts").isNotNull)
+        .withColumn("week",
+          floor(unix_micros(col("ts")).cast("double") / lit(86400e6 * 7))
+            .cast("long"))
+      Retention.ltvCurve(ev, "user_id", "week", "value")
+        .orderBy("cohort", "age")
+    }),
     // Bot-regularity screen: planted clockwork users (60s grid via
     // per-user row_number) must flag; the CV threshold is decided on
     // exact integers, never a double.
@@ -5285,6 +5296,33 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q225: same first-week cohorts, same micro-unit cells, identical
+    // cumulative window and divisions
+    "q225_ltv_curve" ->
+      """WITH b AS (SELECT user_id AS u,
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) /
+        |      (86400000000.0 * 7)) AS BIGINT) AS p,
+        |    coalesce(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT), 0) AS v6
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |co AS (SELECT u, min(p) AS cohort FROM b GROUP BY 1),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM co GROUP BY 1),
+        |cells AS (SELECT co.cohort, b.p - co.cohort AS age,
+        |    CAST(sum(b.v6) AS BIGINT) AS r6
+        |  FROM b JOIN co ON co.u = b.u GROUP BY 1, 2),
+        |cum AS (SELECT cohort, age, r6,
+        |    CAST(sum(r6) OVER (PARTITION BY cohort ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS c6
+        |  FROM cells)
+        |SELECT cum.cohort, cum.age, sz.cohort_size,
+        |  CAST(r6 AS DOUBLE) / 1e6 AS revenue,
+        |  CAST(c6 AS DOUBLE) / 1e6 AS cum_revenue,
+        |  (CAST(c6 AS DOUBLE) / 1e6) / CAST(sz.cohort_size AS DOUBLE)
+        |    AS ltv
+        |FROM cum JOIN sz ON sz.cohort = cum.cohort
+        |ORDER BY cum.cohort, cum.age""".stripMargin,
     // q224: same planted grid, same lag() gaps, same HUGEINT flag
     // inequality, VARCHAR-routed sqrt operand
     "q224_bot_regularity" ->

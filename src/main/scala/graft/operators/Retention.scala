@@ -159,6 +159,50 @@ object Retention {
       col("_x.survival").as("survival")): _*)
   }
 
+  /** Cohort LTV curve: users cohort by their FIRST active period;
+    * cell `(cohort, age)` reports the cohort's revenue in its
+    * age-th period, the running cumulative, and cumulative LTV per
+    * cohort user — the monetary companion to [[cohortRetention]]'s
+    * activity curve.
+    *
+    * Exactness: periods are integer buckets (caller-computed,
+    * [[growthAccounting]]'s contract); revenue rides the decimal(18,6)
+    * micro-unit lane and sums as exact longs; `ltv` is one double
+    * division of exact integers per cell. Null-user/period rows are
+    * excluded; null values count 0 revenue. Cells with activity but
+    * no revenue still appear (revenue 0).
+    *
+    * Scale shape: one user-keyed first-period aggregate, one
+    * user-keyed join reusing that exchange, ONE collapse to
+    * (cohort, age) cells, a cohort-partitioned cumulative window over
+    * calendar-sized cells, cohort sizes broadcast back. Output:
+    * `(cohort, age, cohort_size, revenue, cum_revenue, ltv)`. */
+  def ltvCurve(df: DataFrame, userCol: String, periodCol: String,
+               valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(userCol).isNotNull && col(periodCol).isNotNull)
+      .select(col(userCol).as("_u"), col(periodCol).cast("long").as("_p"),
+        coalesce((col(valueCol).cast("decimal(18,6)") * lit(1000000L))
+          .cast("long"), lit(0L)).as("_v6"))
+      .localCheckpoint(false) // cohort agg + the cell join read it
+    val cohorts = base.groupBy("_u").agg(min(col("_p")).as("_cohort"))
+      .localCheckpoint(false) // sizes + the cell join read it
+    val sizes = cohorts.groupBy("_cohort")
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = base.join(cohorts, Seq("_u"))
+      .groupBy(col("_cohort"), (col("_p") - col("_cohort")).as("age"))
+      .agg(sum(col("_v6")).as("_r6"))
+    val w = Window.partitionBy("_cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("_c6", sum(col("_r6")).over(w))
+      .join(broadcast(sizes), Seq("_cohort"))
+      .select(col("_cohort").as("cohort"), col("age"), col("cohort_size"),
+        (col("_r6").cast("double") / lit(1.0e6)).as("revenue"),
+        (col("_c6").cast("double") / lit(1.0e6)).as("cum_revenue"),
+        ((col("_c6").cast("double") / lit(1.0e6)) /
+          col("cohort_size").cast("double")).as("ltv"))
+  }
+
   /** DAU/WAU stickiness: per day, the exact count of distinct active
     * users that day (DAU) and over the trailing `windowDays` window
     * (WAU), plus their ratio — the engagement-depth read next to

@@ -161,4 +161,22 @@ class RetentionSpec extends SparkFunSuite {
       Retention.stickiness(df, "u", "d", windowDays = 0)
     }
   }
+
+  test("ltvCurve: hand cells, cumulative, zero-revenue age, null value") {
+    // cohort 1: u1 (p1: 2.5, p2: 1.5), u2 (p1: null->0, p3: 4.0)
+    // cohort 2: u3 (p2: 10.0)
+    val df = Seq(
+      (1L, 1L, Option(2.5)), (1L, 2L, Option(1.5)),
+      (2L, 1L, None), (2L, 3L, Option(4.0)),
+      (3L, 2L, Option(10.0))).toDF("u", "p", "v")
+    val got = Retention.ltvCurve(df, "u", "p", "v")
+      .orderBy("cohort", "age").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 2L, 2.5, 2.5, 1.25),
+      (1L, 1L, 2L, 1.5, 4.0, 2.0),
+      (1L, 2L, 2L, 4.0, 8.0, 4.0),
+      (2L, 0L, 1L, 10.0, 10.0, 10.0)))
+  }
 }
