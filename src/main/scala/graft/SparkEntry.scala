@@ -1733,6 +1733,17 @@ object SparkEntry {
       Classifier.gainsTable(scored, "score", "label", "doc_id")
         .orderBy("bucket")
     }),
+    // k-anonymity/l-diversity release audit on customer quasi-ids
+    // (nation, segment, account-balance hundreds): exact class sizes,
+    // null-as-value diversity.
+    "q226_k_anonymity" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+        .withColumn("bal_bucket",
+          floor(col("c_acctbal").cast("double") / lit(100.0))
+            .cast("long"))
+      Scrub.kAnonymity(c, Seq("c_nationkey", "c_mktsegment", "bal_bucket"),
+        "c_custkey", k = 5L, l = 2L)
+    }),
     // Cohort LTV curves over epoch-week cohorts: exact micro-unit
     // revenue cells, cohort-partitioned cumulative, per-user LTV.
     "q225_ltv_curve" -> ((s, dir) => {
@@ -5296,6 +5307,29 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q226: same classes, same null-as-value diversity rule, exact
+    // below-k/low-diversity row masses
+    "q226_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(CAST(c_acctbal AS DOUBLE) / 100.0) AS BIGINT)
+        |      AS bb,
+        |    CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT c_custkey) +
+        |      max(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dv
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(sz) AS BIGINT) AS min_class_size,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_rows_below_k,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(sz) AS DOUBLE) AS share_below_k,
+        |  CAST(sum(CASE WHEN dv < 2 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_rows_low_diversity,
+        |  CAST(sum(CASE WHEN dv < 2 THEN sz ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(sz) AS DOUBLE) AS share_low_diversity
+        |FROM cls""".stripMargin,
     // q225: same first-week cohorts, same micro-unit cells, identical
     // cumulative window and divisions
     "q225_ltv_curve" ->

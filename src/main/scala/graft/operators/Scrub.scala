@@ -199,6 +199,53 @@ object Scrub {
             col("n_candidates").cast("double")))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    * al. 2007): group rows into quasi-identifier equivalence classes
+    * and report how much of the table is re-identifiable — rows in
+    * classes smaller than `k` — and how much is attribute-disclosable —
+    * rows in classes whose `sensitiveCol` shows fewer than `l`
+    * distinct values. The release-gate read before publishing any
+    * user-keyed slice of a 100 TB corpus.
+    *
+    * Exactness: class sizes and distinct counts are exact integers
+    * (null sensitive values count as one value, the [[Audit
+    * .fdViolations]] max-flag rule); the two shares are single double
+    * divisions. Rows with a null in ANY quasi column form their own
+    * legitimate classes (null is a visible value in a release). One
+    * summary row: `(n_rows, n_classes, min_class_size,
+    * n_rows_below_k, share_below_k, n_rows_low_diversity,
+    * share_low_diversity)`.
+    *
+    * Scale shape: ONE map-side-combined aggregation to class
+    * cardinality, ONE collapse to a single row. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, k: Long = 5L,
+                 l: Long = 2L): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 2L, s"k ($k) must be >= 2")
+    require(l >= 1L, s"l ($l) must be >= 1")
+    val classes = df
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_sz"),
+        (countDistinct(col(sensitiveCol)) +
+          max(when(col(sensitiveCol).isNull, 1L).otherwise(0L)))
+          .as("_div"))
+    classes.agg(sum(col("_sz")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("_sz")).as("min_class_size"),
+        sum(when(col("_sz") < k, col("_sz")).otherwise(0L))
+          .as("n_rows_below_k"),
+        sum(when(col("_div") < l, col("_sz")).otherwise(0L))
+          .as("n_rows_low_diversity"))
+      .select(col("n_rows"), col("n_classes"), col("min_class_size"),
+        col("n_rows_below_k"),
+        (col("n_rows_below_k").cast("double") /
+          col("n_rows").cast("double")).as("share_below_k"),
+        col("n_rows_low_diversity"),
+        (col("n_rows_low_diversity").cast("double") /
+          col("n_rows").cast("double")).as("share_low_diversity"))
+  }
+
   /** Markup stripping for web-crawl text (the extraction-hygiene step a
     * CCNet/RefinedWeb-style pipeline runs before any quality analysis):
     * drops `<script>`/`<style>`/comment blocks WITH their payload, strips

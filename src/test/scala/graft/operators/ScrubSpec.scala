@@ -484,4 +484,26 @@ class ScrubSpec extends SparkFunSuite {
       Scrub.luhnCardIncidence(docs, Seq.empty, "text")
     }
   }
+
+  test("kAnonymity: class sizes, below-k mass, diversity, null quasi") {
+    // classes by (region, age): (E,1): 3 rows sens {a,a,b} -> div 2
+    //   (E,2): 1 row {a} -> below k=3, div 1
+    //   (W,1): 2 rows {a, null} -> below k, div 2 (null counts)
+    //   (null,1): 2 rows {a,a} -> below k, div 1
+    val df = Seq(
+      (Option("E"), 1, Option("a")), (Option("E"), 1, Option("a")),
+      (Option("E"), 1, Option("b")),
+      (Option("E"), 2, Option("a")),
+      (Option("W"), 1, Option("a")), (Option("W"), 1, None),
+      (None, 1, Option("a")), (None, 1, Option("a")))
+      .toDF("region", "age", "sens")
+    val r = Scrub.kAnonymity(df, Seq("region", "age"), "sens",
+      k = 3L, l = 2L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getLong(5), r.getDouble(6)) ==
+      ((8L, 4L, 1L, 5L, 5.0 / 8.0, 3L, 3.0 / 8.0)))
+    intercept[IllegalArgumentException] {
+      Scrub.kAnonymity(df, Seq.empty, "sens")
+    }
+  }
 }
