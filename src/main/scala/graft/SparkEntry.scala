@@ -1733,6 +1733,14 @@ object SparkEntry {
       Classifier.gainsTable(scored, "score", "label", "doc_id")
         .orderBy("bucket")
     }),
+    // GloVe-style co-occurrence matrix head: harmonic 1/d window
+    // weights as exact lcm-scaled integers (12/6/4/3), canonical
+    // unordered pairs, TopK heap selection.
+    "q227_glove_cooc" -> ((s, dir) => {
+      Phrases.gloveCooc(Tables(s, dir).documents, "text", window = 4,
+          k = 100)
+        .orderBy("rank")
+    }),
     // k-anonymity/l-diversity release audit on customer quasi-ids
     // (nation, segment, account-balance hundreds): exact class sizes,
     // null-as-value diversity.
@@ -5307,6 +5315,37 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q227: q102's tokenizer, the same lcm-scaled harmonic weights via
+    // a CASE lookup, same canonicalization and rank order
+    "q227_glove_cooc" ->
+      """WITH tks AS (SELECT list_filter(string_split(trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |pos AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        |  FROM tks WHERE len(tk) >= 2),
+        |pr AS (SELECT least(tk[i], tk[i + d.d]) AS a,
+        |    greatest(tk[i], tk[i + d.d]) AS b,
+        |    CAST(CASE d.d WHEN 1 THEN 12 WHEN 2 THEN 6 WHEN 3 THEN 4
+        |      ELSE 3 END AS BIGINT) AS w
+        |  FROM pos CROSS JOIN (SELECT unnest(generate_series(1, 4))
+        |    AS d) d
+        |  WHERE i + d.d <= len(tk)),
+        |m AS (SELECT a || ' ' || b AS gram,
+        |    CAST(sum(w) AS BIGINT) AS cooc_scaled
+        |  FROM pr GROUP BY a, b HAVING sum(w) >= 24),
+        |h AS (SELECT gram, cooc_scaled,
+        |    CAST(cooc_scaled AS DOUBLE) / 12.0 AS cooc,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, len(gram)),
+        |        j -> CAST(unicode(gram[j]) AS BIGINT))),
+        |      (x, y) -> (x * 257 + y) % 1000000007) AS th
+        |  FROM m),
+        |r AS (SELECT gram, cooc_scaled, cooc,
+        |    row_number() OVER (ORDER BY cooc_scaled DESC, th, gram)
+        |      AS rank FROM h)
+        |SELECT CAST(rank AS INTEGER) AS rank, gram, cooc_scaled, cooc
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
     // q226: same classes, same null-as-value diversity rule, exact
     // below-k/low-diversity row masses
     "q226_k_anonymity" ->

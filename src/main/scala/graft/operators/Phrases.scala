@@ -177,4 +177,62 @@ object Phrases {
         col("col.payload.cb").as("pair_count"),
         col("col.payload.llr").as("llr"))
   }
+
+  /** GloVe-style distance-weighted co-occurrence (Pennington, Socher &
+    * Manning, "GloVe: Global Vectors for Word Representation", EMNLP
+    * 2014 §3: "words d apart contribute 1/d to the count") — the
+    * co-occurrence matrix an embedding-training pipeline builds before
+    * any optimization. Harmonic weights are EXACT integers: scaled by
+    * `lcm(1..window)` (window 4 → 12, 6, 4, 3), so the matrix sums as
+    * longs and every replay is integer-for-integer; the reported
+    * `cooc` divides the exact scaled sum by the one scale literal.
+    * Pairs are canonical unordered `(least, greatest)` — GloVe's X is
+    * symmetric — and same-word pairs (the diagonal) are kept.
+    *
+    * Selection: pairs below `minScaled` are cut, then the O(k)-state
+    * [[TopK]] heap ranks by `(scaled DESC, polyHash(gram))` — the
+    * [[pmiCollocations]] convention, never a global sort.
+    *
+    * Scale shape: one corpus tokenize pass fanning out ≤ window
+    * struct rows per token position (flattened inline, no join), ONE
+    * map-side-combined aggregation to the type-bounded pair table,
+    * heap selection. Output: `(rank, gram, cooc_scaled, cooc)`. */
+  def gloveCooc(docs: DataFrame, textCol: String, window: Int = 4,
+                k: Int = 100, minScaled: Long = -1L): DataFrame = {
+    require(window >= 1 && window <= 8, s"window ($window) out of range")
+    require(k > 0, s"k must be positive: $k")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val scale = (1 to window).map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val floor0 = if (minScaled < 0L) 2L * scale else minScaled
+    val weights = array((1 to window).map(d => lit(scale / d)): _*)
+    val toks = docs
+      .select(filter(split(TextAnalysis.normalized(col(textCol)), " "),
+        c => c =!= "").as("_tk"))
+    val pairs = toks.filter(size(col("_tk")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("_tk")) - 1),
+        i => transform(
+          sequence(lit(1), least(lit(window), size(col("_tk")) - i)),
+          d => struct(
+            least(element_at(col("_tk"), i),
+              element_at(col("_tk"), i + d)).as("a"),
+            greatest(element_at(col("_tk"), i),
+              element_at(col("_tk"), i + d)).as("b"),
+            element_at(weights, d).as("w")))))).as("_p"))
+      .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+      .agg(sum(col("_p.w")).as("cooc_scaled"))
+      .filter(col("cooc_scaled") >= floor0)
+      .select(concat(col("a"), lit(" "), col("b")).as("gram"),
+        col("cooc_scaled"),
+        (col("cooc_scaled").cast("double") / lit(scale.toDouble))
+          .as("cooc"))
+    pairs.agg(TopK.topK(k, col("cooc_scaled"),
+        TextAnalysis.polyHash(col("gram")),
+        struct(col("gram"), col("cooc_scaled"), col("cooc"))).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("col.payload.gram").as("gram"),
+        col("col.payload.cooc_scaled").as("cooc_scaled"),
+        col("col.payload.cooc").as("cooc"))
+  }
 }

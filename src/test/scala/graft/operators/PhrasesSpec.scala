@@ -123,4 +123,27 @@ class PhrasesSpec extends SparkFunSuite {
       Phrases.llrCollocations(df, "text", k = 0)
     }
   }
+
+  test("gloveCooc: hand-summed harmonic weights, canonical pairs, floor") {
+    // "a b c a": window 4, scale 12. pairs by (i, d):
+    //   (a,b,d1)=12, (a,c,d2)=6, (a,a,d3)=4,
+    //   (b,c,d1)=12, (a,b,d2)=6, (a,c,d1)=12
+    // canonical sums: a b=18, a c=18, b c=12, a a=4
+    val df = Seq("a b c a").toDF("text")
+    val got = Phrases.gloveCooc(df, "text", window = 4, k = 10,
+        minScaled = 1L)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    // rank ties at 18 break on polyHash — both orders carry identical
+    // payloads, so just compare as a set plus the exact values
+    assert(got.toSet == Set(("a b", 18L, 1.5), ("a c", 18L, 1.5),
+      ("b c", 12L, 1.0), ("a a", 4L, 4.0 / 12.0)))
+    assert(got.take(2).map(_._2).forall(_ == 18L) && got(2)._2 == 12L)
+    // default floor (2*scale = 24) cuts everything in this tiny corpus
+    assert(Phrases.gloveCooc(df, "text", window = 4, k = 10)
+      .collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      Phrases.gloveCooc(df, "text", window = 0)
+    }
+  }
 }
