@@ -1733,6 +1733,18 @@ object SparkEntry {
       Classifier.gainsTable(scored, "score", "label", "doc_id")
         .orderBy("bucket")
     }),
+    // Change-point by binary segmentation on the daily volume series:
+    // exact prefix sums, fixed-order SSE costs, earliest-split ties.
+    "q228_change_point" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")).cast("double") / lit(86400.0e6))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      Trend.changePoint(daily, Seq("event_type"), "day", "n_events")
+        .orderBy("event_type")
+    }),
     // GloVe-style co-occurrence matrix head: harmonic 1/d window
     // weights as exact lcm-scaled integers (12/6/4/3), canonical
     // unordered pairs, TopK heap selection.
@@ -5315,6 +5327,43 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q228: same prefix-sum windows, same fixed-order SSE doubles,
+    // (cost, idx) argmin via ORDER BY + row_number
+    "q228_change_point" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+        |      AS BIGINT) AS i,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT event_type, i,
+        |    count(*) OVER wc AS cn, sum(y) OVER wc AS sy,
+        |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) OVER wc AS syy,
+        |    count(*) OVER wa AS n, sum(y) OVER wa AS ty,
+        |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) OVER wa AS tyy
+        |  FROM d WINDOW
+        |    wc AS (PARTITION BY event_type ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wa AS (PARTITION BY event_type
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |c AS (SELECT event_type, i, n,
+        |    (CAST(CAST(syy AS VARCHAR) AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) /
+        |        CAST(cn AS DOUBLE)) +
+        |    (CAST(CAST(tyy - syy AS VARCHAR) AS DOUBLE) -
+        |      CAST(ty - sy AS DOUBLE) * CAST(ty - sy AS DOUBLE) /
+        |        CAST(n - cn AS DOUBLE)) AS cost,
+        |    CAST(CAST(tyy AS VARCHAR) AS DOUBLE) -
+        |      CAST(ty AS DOUBLE) * CAST(ty AS DOUBLE) /
+        |        CAST(n AS DOUBLE) AS sse_total
+        |  FROM p WHERE cn < n),
+        |r AS (SELECT event_type, CAST(n AS BIGINT) AS n, i, cost,
+        |    sse_total, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cost, i) AS rk
+        |  FROM c)
+        |SELECT event_type, n, i AS split_idx, sse_total,
+        |  cost AS sse_split, sse_total - cost AS gain
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
     // q227: q102's tokenizer, the same lcm-scaled harmonic weights via
     // a CASE lookup, same canonicalization and rank order
     "q227_glove_cooc" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-group ordinary-least-squares trend fitting — "is this metric
@@ -336,6 +337,69 @@ object Trend {
         sum(when(col("_an"), 1L).otherwise(0L)).as("n_anomalies"))
       .withColumn("anomaly_frac",
         col("n_anomalies").cast("double") / col("n").cast("double"))
+  }
+
+  /** Single change-point by binary segmentation (Scott & Knott 1974;
+    * the first split of binary segmentation — the q152 CUSUM's cousin
+    * with an explicit variance objective): per group, the split of the
+    * `idxCol`-ordered series that minimizes total within-segment SSE.
+    * `SSE = Σy² − (Σy)²/n` per segment, from EXACT prefix sums (y in
+    * decimal(18,6) micro-units, Σy² in decimal(38,0) — trendFit's Σy²
+    * contract applies); each candidate cost is a fixed-order double
+    * expression over those exact sums, and the argmin breaks ties on
+    * the earlier split (min over `(cost, idx)` structs — comparison,
+    * order-invariant). Groups need ≥ 2 rows (no split exists
+    * otherwise — no row is emitted); `idxCol` must be unique per
+    * group.
+    *
+    * Output: `(…group, n, split_idx, sse_total, sse_split, gain)` —
+    * `split_idx` is the LAST index of the left segment; `gain =
+    * sse_total − sse_split` is the variance the break explains (the
+    * binary-segmentation test statistic).
+    *
+    * Scale shape: ONE group-keyed window pass for prefix sums (the
+    * series should be pre-aggregated to its bucket grain), one
+    * group-keyed argmin aggregation reusing the exchange. */
+  def changePoint(df: DataFrame, groupCols: Seq[String], idxCol: String,
+                  yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    val d38 = "decimal(38,0)"
+    val y6 = (col(yCol).cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    val base = df
+      .filter(groupCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(idxCol).isNotNull && col(yCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(col(idxCol).cast("long").as("_i"),
+        y6.as("_y")): _*)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val g38 = (c: Column) => c.cast(d38)
+    val pre = base
+      .withColumn("_cn", count(lit(1)).over(w))
+      .withColumn("_sy", sum(col("_y")).over(w))
+      .withColumn("_syy", sum(g38(col("_y")) * g38(col("_y"))).over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_ty", sum(col("_y")).over(wAll))
+      .withColumn("_tyy", sum(g38(col("_y")) * g38(col("_y"))).over(wAll))
+    def sse(syy: Column, sy: Column, n: Column): Column =
+      syy.cast("double") -
+        sy.cast("double") * sy.cast("double") / n.cast("double")
+    val cost = sse(col("_syy"), col("_sy"), col("_cn")) +
+      sse(col("_tyy") - col("_syy"), col("_ty") - col("_sy"),
+        col("_n") - col("_cn"))
+    val sseTotal = sse(col("_tyy"), col("_ty"), col("_n"))
+    pre.filter(col("_cn") < col("_n")) // splits only: left is proper
+      .select(groupCols.map(col) ++ Seq(col("_n").as("n"),
+        struct(cost.as("c"), col("_i").as("i")).as("_cand"),
+        sseTotal.as("_st")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(first(col("n")).as("n"), min(col("_cand")).as("_best"),
+        first(col("_st")).as("sse_total"))
+      .select(groupCols.map(col) ++ Seq(col("n"),
+        col("_best.i").as("split_idx"), col("sse_total"),
+        col("_best.c").as("sse_split"),
+        (col("sse_total") - col("_best.c")).as("gain")): _*)
   }
 
   /** Theil–Sen estimator per group (Theil 1950, Sen 1968 — the robust

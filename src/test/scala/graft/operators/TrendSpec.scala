@@ -262,4 +262,24 @@ class TrendSpec extends SparkFunSuite {
       Trend.theilSen(df, Seq.empty, "t", "y")
     }
   }
+
+  test("changePoint: clean break found, tie earliest, single row drops") {
+    val df = Seq(
+      // a: [0,0,10,10] -> split after idx 2 explains everything
+      ("a", 1L, 0.0), ("a", 2L, 0.0), ("a", 3L, 10.0), ("a", 4L, 10.0),
+      // b: constant -> every split costs 0, earliest (idx 1) wins
+      ("b", 1L, 5.0), ("b", 2L, 5.0), ("b", 3L, 5.0),
+      // d: single row -> no split, no output row
+      ("d", 1L, 9.0)).toDF("g", "i", "y")
+    val got = Trend.changePoint(df, Seq("g"), "i", "y").orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // micro-units: sse_total(a) = 2e14 - (2e7)^2/4 = 1e14
+    assert(got == Seq(
+      ("a", 4L, 2L, 1.0e14, 0.0, 1.0e14),
+      ("b", 3L, 1L, 0.0, 0.0, 0.0)))
+    intercept[IllegalArgumentException] {
+      Trend.changePoint(df, Seq.empty, "i", "y")
+    }
+  }
 }
