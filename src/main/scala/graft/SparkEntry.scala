@@ -1733,6 +1733,34 @@ object SparkEntry {
       Classifier.gainsTable(scored, "score", "label", "doc_id")
         .orderBy("bucket")
     }),
+    // Seasonal-naive forecast skill (MASE ratio) on daily volumes:
+    // lag-7 vs lag-1 absolute errors, gap-aligned, exact sums.
+    "q229_seasonal_skill" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")).cast("double") / lit(86400.0e6))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      Trend.seasonalNaiveSkill(daily, Seq("event_type"), "day",
+          "n_events", period = 7)
+        .orderBy("event_type")
+    }),
+    // Lead-lag screen: cross-correlation of daily views vs purchases
+    // at lags -7..7 — exact sufficient sums per lag, gaps drop pairs.
+    "q230_cross_correlation" -> ((s, dir) => {
+      val piv = Tables(s, dir).events
+        .filter(col("ts").isNotNull)
+        .groupBy(floor(unix_micros(col("ts")).cast("double") /
+          lit(86400.0e6)).cast("long").as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast("double").as("views"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("double").as("purchases"))
+      Trend.crossCorrelation(piv, "day", "views", "purchases",
+          maxLag = 7)
+        .orderBy("lag")
+    }),
     // Change-point by binary segmentation on the daily volume series:
     // exact prefix sums, fixed-order SSE costs, earliest-split ties.
     "q228_change_point" -> ((s, dir) => {
@@ -5327,6 +5355,78 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q229: the same two lag self-joins, exact absolute errors, the
+    // same fixed-order MAE quotients
+    "q229_seasonal_skill" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+        |      AS BIGINT) AS i,
+        |    CAST(count(*) AS BIGINT) * 1000000 AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |e1 AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_naive,
+        |    CAST(sum(abs(a.y - b.y)) AS BIGINT) AS se1
+        |  FROM d a JOIN d b ON b.event_type = a.event_type
+        |    AND b.i + 1 = a.i GROUP BY 1),
+        |e7 AS (SELECT a.event_type,
+        |    CAST(count(*) AS BIGINT) AS n_seasonal,
+        |    CAST(sum(abs(a.y - b.y)) AS BIGINT) AS se7
+        |  FROM d a JOIN d b ON b.event_type = a.event_type
+        |    AND b.i + 7 = a.i GROUP BY 1),
+        |al AS (SELECT DISTINCT event_type FROM d)
+        |SELECT al.event_type,
+        |  coalesce(n_naive, 0) AS n_naive,
+        |  coalesce(n_seasonal, 0) AS n_seasonal,
+        |  (CAST(se1 AS DOUBLE) / 1e6) / CAST(n_naive AS DOUBLE)
+        |    AS mae_naive,
+        |  (CAST(se7 AS DOUBLE) / 1e6) / CAST(n_seasonal AS DOUBLE)
+        |    AS mae_seasonal,
+        |  CASE WHEN n_naive IS NULL OR n_seasonal IS NULL OR se1 = 0
+        |    THEN NULL
+        |    ELSE ((CAST(se7 AS DOUBLE) / 1e6) /
+        |        CAST(n_seasonal AS DOUBLE)) /
+        |      ((CAST(se1 AS DOUBLE) / 1e6) / CAST(n_naive AS DOUBLE))
+        |      END AS mase
+        |FROM al LEFT JOIN e1 ON e1.event_type = al.event_type
+        |LEFT JOIN e7 ON e7.event_type = al.event_type
+        |ORDER BY al.event_type""".stripMargin,
+    // q230: same probe fan-out over generate_series lags, HUGEINT
+    // sufficient sums with VARCHAR-routed casts, identical r formula
+    "q230_cross_correlation" ->
+      """WITH p AS (SELECT
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+        |      AS BIGINT) AS i,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) * 1000000 AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) * 1000000 AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |pr AS (SELECT p.x, l.lag, p.i + l.lag AS i2
+        |  FROM p CROSS JOIN (SELECT unnest(generate_series(-7, 7))
+        |    AS lag) l),
+        |pairs AS (SELECT pr.lag, pr.x, b.y FROM pr
+        |  JOIN p b ON b.i = pr.i2),
+        |s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+        |      AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+        |      AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+        |      AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM pairs GROUP BY 1),
+        |k AS (SELECT lag, n,
+        |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) *
+        |      CAST(sy AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) *
+        |      CAST(sx AS DOUBLE) AS denx,
+        |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) *
+        |      CAST(sy AS DOUBLE) AS deny
+        |  FROM s)
+        |SELECT CAST(lag AS INTEGER) AS lag, n,
+        |  CASE WHEN denx = 0 OR deny = 0 THEN NULL
+        |       ELSE num / (sqrt(denx) * sqrt(deny)) END AS r
+        |FROM k ORDER BY lag""".stripMargin,
     // q228: same prefix-sum windows, same fixed-order SSE doubles,
     // (cost, idx) argmin via ORDER BY + row_number
     "q228_change_point" ->

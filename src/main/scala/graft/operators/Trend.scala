@@ -162,6 +162,111 @@ object Trend {
       .withColumn("ewma", col("ewma_e6").cast("double") / lit(1.0e6))
   }
 
+  /** Seasonal-naive forecast skill (the MASE ratio — Hyndman &
+    * Koehler, "Another look at measures of forecast accuracy", IJF
+    * 2006): per group, the MAE of the seasonal-naive forecast
+    * `ŷ(t) = y(t − period)` over the MAE of the plain naive
+    * `ŷ(t) = y(t − 1)` — under 1, the season carries real signal and a
+    * seasonal model is worth fitting. Alignment is by the integer
+    * `idxCol` ([[autocorrelation]]'s gap discipline): an error term
+    * exists only where BOTH buckets exist; gaps drop terms instead of
+    * silently comparing across them.
+    *
+    * Exactness: values ride the decimal(18,6) micro-unit lane;
+    * absolute errors are exact longs, the two MAEs and their ratio are
+    * fixed-order double divisions. Groups missing either error set
+    * report null for that MAE and a null ratio. Null group/idx/value
+    * rows are excluded; `idxCol` must be unique per group.
+    *
+    * Scale shape: the series self-joins twice on (group, idx ± lag) —
+    * two shuffle joins sized by the series, then ONE collapse per
+    * group. Pre-aggregate the corpus to the bucket grain first.
+    * Output: `(…group, n_naive, n_seasonal, mae_naive, mae_seasonal,
+    * mase)`. */
+  def seasonalNaiveSkill(df: DataFrame, groupCols: Seq[String],
+                         idxCol: String, valueCol: String,
+                         period: Int = 7): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    require(period >= 2, s"period ($period) must be >= 2")
+    val y6 = (col(valueCol).cast("decimal(18,6)") * lit(1000000L))
+      .cast("long")
+    val base = df
+      .filter(groupCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(idxCol).isNotNull && col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(col(idxCol).cast("long").as("_i"),
+        y6.as("_y")): _*)
+      .localCheckpoint(false) // both lag joins + both probe sides
+    def errs(lag: Int, tag: String): DataFrame = base
+      .join(base.select(groupCols.map(c => col(c).as(s"_g_$c")) ++
+          Seq((col("_i") + lag).as("_i2"), col("_y").as("_py")): _*),
+        groupCols.map(c => col(c) === col(s"_g_$c")).reduce(_ && _) &&
+          col("_i") === col("_i2"))
+      .select(groupCols.map(col) :+ abs(col("_y") - col("_py")).as("_e"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(s"n_$tag"), sum(col("_e")).as(s"_se_$tag"))
+    val n1 = errs(1, "naive")
+    val np = errs(period, "seasonal")
+    val all = base.select(groupCols.map(col): _*).distinct()
+    def mae(tag: String): Column =
+      (col(s"_se_$tag").cast("double") / lit(1.0e6)) /
+        col(s"n_$tag").cast("double")
+    all.join(n1, groupCols, "left").join(np, groupCols, "left")
+      .select(groupCols.map(col) ++ Seq(
+        coalesce(col("n_naive"), lit(0L)).as("n_naive"),
+        coalesce(col("n_seasonal"), lit(0L)).as("n_seasonal"),
+        mae("naive").as("mae_naive"),
+        mae("seasonal").as("mae_seasonal"),
+        when(col("n_naive").isNull || col("n_seasonal").isNull ||
+          col("_se_naive") === 0L, lit(null).cast("double"))
+          .otherwise(mae("seasonal") / mae("naive")).as("mase")): _*)
+  }
+
+  /** Cross-correlation function between two aligned series (Box &
+    * Jenkins' CCF — the lead–lag screen: at which shift does x best
+    * predict y): per lag ℓ in −maxLag..maxLag, the Pearson correlation
+    * of `(x(t), y(t + ℓ))` over every t where BOTH buckets exist — a
+    * positive peak lag means x LEADS y by ℓ. [[trendFit]]'s exact
+    * sufficient-statistic discipline per lag; gaps drop pairs
+    * ([[autocorrelation]]'s rule); null on a constant side.
+    *
+    * Scale shape: each series row explodes into 2·maxLag+1 probes and
+    * joins back on the shifted index — one shuffle join sized
+    * (2·maxLag+1)·|series|, then ONE collapse to six sums per lag.
+    * Input is ONE frame carrying both series at the same grain. Output:
+    * `(lag, n, r)`. */
+  def crossCorrelation(df: DataFrame, idxCol: String, xCol: String,
+                       yCol: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"maxLag ($maxLag) out of range")
+    val d38 = "decimal(38,0)"
+    def m6(c: String) =
+      (col(c).cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    val base = df
+      .filter(col(idxCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(idxCol).cast("long").as("_i"), m6(xCol).as("_x"),
+        m6(yCol).as("_y"))
+      .localCheckpoint(false) // probe fan-out + the aligned side
+    val probes = base.select(col("_x"),
+      explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"),
+      (col("_i") + col("lag")).as("_i"))
+    val pairs = probes.join(base.select(col("_i"), col("_y")), Seq("_i"))
+    val g = (c: Column) => c.cast(d38)
+    val sums = pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(g(col("_x")) * g(col("_x"))).as("_sxx"),
+        sum(g(col("_y")) * g(col("_y"))).as("_syy"),
+        sum(g(col("_x")) * g(col("_y"))).as("_sxy"))
+    val nD = col("n").cast("double")
+    def dbl(c: String): Column = col(c).cast("double")
+    val num = nD * dbl("_sxy") - dbl("_sx") * dbl("_sy")
+    val denx = nD * dbl("_sxx") - dbl("_sx") * dbl("_sx")
+    val deny = nD * dbl("_syy") - dbl("_sy") * dbl("_sy")
+    sums.select(col("lag").cast("int").as("lag"), col("n"),
+      when(denx === 0.0 || deny === 0.0, lit(null).cast("double"))
+        .otherwise(num / (sqrt(denx) * sqrt(deny))).as("r"))
+  }
+
   /** Holt's linear method (double exponential smoothing — Holt 1957):
     * level + trend state folded over the bucket-ordered series with
     * rational smoothing constants α = alphaNum/alphaDen,

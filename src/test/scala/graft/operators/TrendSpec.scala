@@ -282,4 +282,52 @@ class TrendSpec extends SparkFunSuite {
       Trend.changePoint(df, Seq.empty, "i", "y")
     }
   }
+
+  test("seasonalNaiveSkill: hand MAEs, gaps drop terms, missing lags") {
+    val df = Seq(
+      // g: [1,2,4,8,16] at 1..5, period 2:
+      //   naive errs 1,2,4,8 (mae 3.75); seasonal 3,6,12 (mae 7)
+      ("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 4.0), ("g", 4L, 8.0),
+      ("g", 5L, 16.0),
+      // h: idx 1,2,4 — naive only (2,1); seasonal only (4 vs 2)
+      ("h", 1L, 10.0), ("h", 2L, 13.0), ("h", 4L, 20.0),
+      // z: single point: zero error terms, null maes/mase
+      ("z", 1L, 5.0)).toDF("g", "i", "y")
+    val got = Trend.seasonalNaiveSkill(df, Seq("g"), "i", "y", period = 2)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == Seq(
+      ("g", 4L, 3L, Some(3.75), Some(7.0), Some(7.0 / 3.75)),
+      ("h", 1L, 1L, Some(3.0), Some(7.0), Some(7.0 / 3.0)),
+      ("z", 0L, 0L, None, None, None)))
+    intercept[IllegalArgumentException] {
+      Trend.seasonalNaiveSkill(df, Seq("g"), "i", "y", period = 1)
+    }
+  }
+
+  test("crossCorrelation: perfect lead at +1, empty lags absent") {
+    // y(t) = x(t-1): pairs (x(t), y(t+1)) are identical -> r = 1 at +1
+    val df = Seq((1L, 1.0, 5.0), (2L, 2.0, 1.0), (3L, 4.0, 2.0),
+      (4L, 8.0, 4.0)).toDF("i", "x", "y")
+    val got = Trend.crossCorrelation(df, "i", "x", "y", maxLag = 3)
+      .orderBy("lag").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // identical micro pairs (1,1),(2,2),(4,4): num = denx = deny =
+    // 14e12, r = num / (sqrt(num) * sqrt(num)) — the engine's exact
+    // float path, 1 ulp under 1.0
+    val e = 14.0e12 / (math.sqrt(14.0e12) * math.sqrt(14.0e12))
+    assert(got(1) == ((3L, Some(e))))
+    // all 7 lags have >= 1 pair here; a 10-lag request on 4 points
+    // drops the empty ones
+    val wide = Trend.crossCorrelation(df, "i", "x", "y", maxLag = 10)
+      .collect().map(_.getInt(0))
+    assert(wide.forall(l => l >= -3 && l <= 3))
+    intercept[IllegalArgumentException] {
+      Trend.crossCorrelation(df, "i", "x", "y", maxLag = 0)
+    }
+  }
 }
