@@ -1733,6 +1733,19 @@ object SparkEntry {
       Classifier.gainsTable(scored, "score", "label", "doc_id")
         .orderBy("bucket")
     }),
+    // Inter-rater agreement: Cohen's kappa between the gold lang label
+    // and a deterministic ~20%-noisy second annotator — exact counts,
+    // decimal marginal products.
+    "q231_cohens_kappa" -> ((s, dir) => {
+      val noisy = Tables(s, dir).documents
+        .filter(col("lang").isNotNull)
+        .select(col("lang").as("rater_a"),
+          when(conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":rate"))), 1, 5), 16, 10).cast("long") % 1000000L
+              < 200000L, concat(lit("x_"), col("lang")))
+            .otherwise(col("lang")).as("rater_b"))
+      Classifier.cohensKappa(noisy, "rater_a", "rater_b")
+    }),
     // Seasonal-naive forecast skill (MASE ratio) on daily volumes:
     // lag-7 vs lag-1 absolute errors, gap-aligned, exact sums.
     "q229_seasonal_skill" -> ((s, dir) => {
@@ -5355,6 +5368,37 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q231: same md5 noise rule, same marginal-product pe, identical
+    // kappa arithmetic
+    "q231_cohens_kappa" ->
+      """WITH r AS (SELECT lang AS a,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |        || ':rate'), 1, 5)) AS BIGINT) % 1000000 < 200000
+        |      THEN 'x_' || lang ELSE lang END AS b
+        |  FROM documents WHERE lang IS NOT NULL),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM r),
+        |ra AS (SELECT a AS l, CAST(count(*) AS BIGINT) AS ra
+        |  FROM r GROUP BY 1),
+        |cb AS (SELECT b AS l, CAST(count(*) AS BIGINT) AS cb
+        |  FROM r GROUP BY 1),
+        |pe AS (SELECT coalesce(sum(CAST(ra.ra AS HUGEINT) *
+        |    CAST(cb.cb AS HUGEINT)), 0) AS pe_num
+        |  FROM ra JOIN cb ON cb.l = ra.l)
+        |SELECT n, n_agree,
+        |  CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |  CAST(CAST(pe_num AS VARCHAR) AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+        |  CASE WHEN CAST(CAST(pe_num AS VARCHAR) AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0 THEN NULL
+        |    ELSE (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) -
+        |        CAST(CAST(pe_num AS VARCHAR) AS DOUBLE) /
+        |          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+        |      (1.0 - CAST(CAST(pe_num AS VARCHAR) AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END AS kappa
+        |FROM tot CROSS JOIN pe""".stripMargin,
     // q229: the same two lag self-joins, exact absolute errors, the
     // same fixed-order MAE quotients
     "q229_seasonal_skill" ->

@@ -341,6 +341,42 @@ object Classifier {
         col("rate_iso"))
   }
 
+  /** Cohen's kappa (Cohen 1960) between two label columns — the
+    * chance-corrected agreement behind annotator-quality checks and
+    * model-vs-model consistency reads: `κ = (p_o − p_e)/(1 − p_e)`
+    * with observed agreement `p_o = agree/n` and chance agreement
+    * `p_e = Σ_k row_k·col_k / n²` over the label marginals.
+    *
+    * Exactness: all counts are longs; the marginal product sum runs in
+    * decimal(38,0) (joined label-by-label, label-vocabulary-sized);
+    * p_o/p_e/κ are fixed-order double divisions. Rows with a null on
+    * EITHER side are excluded (no judgment to compare). κ is null when
+    * p_e = 1 (both raters constant — 0/0). Output one row:
+    * `(n, n_agree, po, pe, kappa)`.
+    *
+    * Scale shape: ONE corpus aggregation (n, agree) + two vocab-sized
+    * marginal aggregations joined label-on-label; nothing windowed. */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .localCheckpoint(false) // totals + two marginals read it
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(when(col("_a") === col("_b"), 1L).otherwise(0L)).as("n_agree"))
+    val ra = base.groupBy(col("_a").as("_l")).agg(count(lit(1)).as("_ra"))
+    val cb = base.groupBy(col("_b").as("_l")).agg(count(lit(1)).as("_cb"))
+    val peNum = ra.join(cb, Seq("_l"))
+      .agg(coalesce(sum(col("_ra").cast(d38) * col("_cb").cast(d38)),
+        lit(0).cast(d38)).as("_pe_num"))
+    val nD = col("n").cast("double")
+    val po = col("n_agree").cast("double") / nD
+    val pe = col("_pe_num").cast("double") / (nD * nD)
+    tot.crossJoin(broadcast(peNum))
+      .select(col("n"), col("n_agree"), po.as("po"), pe.as("pe"),
+        when(pe === lit(1.0), lit(null).cast("double"))
+          .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
   /** Decile gains/lift table — "if I act on the top k% by score, what
     * fraction of the positives do I capture": rows are ranked by
     * `(score DESC, id)` and cut into `nBuckets` equal-count buckets by

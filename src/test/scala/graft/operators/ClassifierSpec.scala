@@ -275,4 +275,22 @@ class ClassifierSpec extends SparkFunSuite {
       Classifier.gainsTable(df, "score", "y", "id", nBuckets = 1)
     }
   }
+
+  test("cohensKappa: textbook 2x2 table, degenerate constant raters") {
+    // classic fixture: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no
+    // po = 35/50; row yes=25, no=25; col yes=30, no=20
+    // pe = (25*30 + 25*20)/2500 = 0.5; kappa = (0.7-0.5)/0.5
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val df = rows.toDF("a", "b")
+    val r = Classifier.cohensKappa(df, "a", "b").collect().head
+    val po = 35.0 / 50.0
+    val pe = (25.0 * 30.0 + 25.0 * 20.0) / (50.0 * 50.0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4)) == ((50L, 35L, po, pe, (po - pe) / (1.0 - pe))))
+    // both raters constant and equal: pe = 1 -> kappa null
+    val const = Seq.fill(4)(("y", "y")).toDF("a", "b")
+    assert(Classifier.cohensKappa(const, "a", "b").collect().head
+      .isNullAt(4))
+  }
 }
