@@ -1733,6 +1733,21 @@ object SparkEntry {
       Classifier.gainsTable(scored, "score", "label", "doc_id")
         .orderBy("bucket")
     }),
+    // Lognormal length fit per source: log-scale method of moments
+    // over exact (length, count) cells, length-ordered folds.
+    "q233_lognormal_fit" -> ((s, dir) => {
+      TextAnalysis.lognormalFit(Tables(s, dir).documents, Seq("source"),
+          "n_chars")
+        .orderBy("source")
+    }),
+    // Per-state next-step entropy of the event stream: exact cells,
+    // destination-ordered folds, ExactRound at 6.
+    "q232_transition_entropy" -> ((s, dir) => {
+      Sessionize.transitionEntropy(
+          Tables(s, dir).events.filter(col("ts").isNotNull),
+          "user_id", "ts", "event_type", tieBreak = Seq("event_id"))
+        .orderBy("state")
+    }),
     // Inter-rater agreement: Cohen's kappa between the gold lang label
     // and a deterministic ~20%-noisy second annotator — exact counts,
     // decimal marginal products.
@@ -5368,6 +5383,60 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q233: same (length, count) cells, length-ordered list folds of
+    // the identical ln terms, same floor-rounds
+    "q233_lognormal_fit" ->
+      """WITH cells AS (SELECT source, CAST(n_chars AS BIGINT) AS l,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE source IS NOT NULL
+        |    AND n_chars IS NOT NULL AND n_chars > 0
+        |  GROUP BY 1, 2),
+        |f AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list(struct_pack(l := l, c := c)
+        |          ORDER BY l),
+        |        s -> CAST(s.c AS DOUBLE) * ln(CAST(s.l AS DOUBLE)))),
+        |      (a, b) -> a + b) AS s1,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list(struct_pack(l := l, c := c)
+        |          ORDER BY l),
+        |        s -> CAST(s.c AS DOUBLE) * (ln(CAST(s.l AS DOUBLE)) *
+        |          ln(CAST(s.l AS DOUBLE))))),
+        |      (a, b) -> a + b) AS s2
+        |  FROM cells GROUP BY 1)
+        |SELECT source, n, n_distinct,
+        |  floor(s1 / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |    AS mu,
+        |  floor((s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) *
+        |    (s1 / CAST(n AS DOUBLE))) * 1000000 + 0.5) / 1000000
+        |    AS sigma2,
+        |  floor(exp(s1 / CAST(n AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |    AS median_fit
+        |FROM f ORDER BY source""".stripMargin,
+    // q232: same lead() matrix, destination-ordered list fold of the
+    // identical ln terms, same floor-round and clamp
+    "q232_transition_entropy" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |p AS (SELECT event_type AS s, lead(event_type)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+        |  FROM ev),
+        |m AS (SELECT s, d, CAST(count(*) AS BIGINT) AS n FROM p
+        |  WHERE d IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT s AS state, CAST(sum(n) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_dest,
+        |    list(n ORDER BY d) AS arr
+        |  FROM m GROUP BY 1)
+        |SELECT state, total, n_dest,
+        |  greatest(floor(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(arr, x ->
+        |      CAST(x AS DOUBLE) / CAST(total AS DOUBLE) *
+        |        ln(CAST(x AS DOUBLE) / CAST(total AS DOUBLE)))),
+        |    (a, b) -> a + b) * 1000000 + 0.5) / 1000000, 0.0)
+        |    AS h_nats
+        |FROM f ORDER BY state""".stripMargin,
     // q231: same md5 noise rule, same marginal-product pe, identical
     // kappa arithmetic
     "q231_cohens_kappa" ->

@@ -359,6 +359,49 @@ object Sessionize {
         sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("revenue"))
   }
 
+  /** Per-state transition entropy: how PREDICTABLE the next state is
+    * given the current one — `H(next | cur = s) = −Σ_d p(d|s)·ln
+    * p(d|s)` over the observed transition matrix. Low-entropy states
+    * are funnels (one dominant next step); high-entropy states are
+    * hubs. The information-theoretic read next to
+    * [[transitionMatrix]]'s probabilities and [[rareTransitions]]'
+    * flags.
+    *
+    * Determinism is the q199 mutual-information recipe: exact integer
+    * cell counts, each ln term one fixed double expression of exact
+    * integers, the per-state sum folded in DESTINATION order over a
+    * sorted array (parallel double summation is order-dependent), the
+    * result through [[graft.functions.ExactRound.roundFloor]] at 6 and
+    * clamped at 0. Adjacency comes from one user-partitioned
+    * `(tsCol, tieBreak…)` window; null users/states are excluded.
+    *
+    * Scale shape: ONE user-keyed window pass, one vocab²-sized count
+    * aggregation; the folds are per-state vocabulary-sized arrays.
+    * Output: `(state, total, n_dest, h_nats)`. */
+  def transitionEntropy(events: DataFrame, userCol: String, tsCol: String,
+                        stateCol: String,
+                        tieBreak: Seq[String] = Nil): DataFrame = {
+    val base = events.filter(col(userCol).isNotNull &&
+      col(stateCol).isNotNull)
+    val w = Window.partitionBy(userCol)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val matrix = base
+      .withColumn("_next", lead(col(stateCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(stateCol).as("state"), col("_next").as("_d"))
+      .agg(count(lit(1)).as("_n"))
+    val folded = matrix.groupBy("state")
+      .agg(sum(col("_n")).as("total"), count(lit(1)).as("n_dest"),
+        sort_array(collect_list(struct(col("_d"), col("_n")))).as("_arr"))
+    val totD = col("total").cast("double")
+    folded.select(col("state"), col("total"), col("n_dest"),
+      greatest(graft.functions.ExactRound.roundFloor(
+        -aggregate(col("_arr"), lit(0.0), (acc, s) => {
+          val p = s("_n").cast("double") / totD
+          acc + p * log(p)
+        }), 6), lit(0.0)).as("h_nats"))
+  }
+
   /** Bot-regularity screen: users whose inter-event gaps are too
     * CLOCKWORK to be human — the complement of [[rareTransitions]]'
     * path screen. Per user, the population coefficient of variation of

@@ -258,4 +258,48 @@ object TextAnalysis {
           (col("_na") + col("_nb") - col("shared_ngrams")).cast("double"))
           .as("jaccard"))
   }
+
+  /** Lognormal fit of a positive-integer length distribution per group
+    * (document/sentence lengths are the canonical lognormal —
+    * Mitzenmacher, "A brief history of generative models for power law
+    * and lognormal distributions", 2004): method-of-moments on the log
+    * scale, `μ̂ = Σ c·ln(len)/n`, `σ̂² = Σ c·ln(len)²/n − μ̂²`, plus the
+    * fitted median `e^μ̂` — the "is this corpus slice length-shaped
+    * like natural text" screen.
+    *
+    * Determinism is the q199 recipe: lengths collapse to EXACT
+    * (length, count) cells first, the two log sums fold in LENGTH
+    * order over a sorted array (parallel double summation is
+    * order-dependent; each term is one fixed double expression of
+    * exact integers), and the three outputs round through
+    * [[graft.functions.ExactRound.roundFloor]] at 6. Lengths ≤ 0 or
+    * null are excluded (ln undefined). Output: `(…group, n,
+    * n_distinct, mu, sigma2, median_fit)`.
+    *
+    * Scale shape: ONE map-side-combined collapse to (group, length)
+    * cells — length-vocabulary-sized, never corpus-sized — then
+    * per-group sorted folds. */
+  def lognormalFit(df: DataFrame, groupCols: Seq[String],
+                   lenCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    val cells = df
+      .filter(groupCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(lenCol).isNotNull && col(lenCol) > 0)
+      .groupBy(groupCols.map(col) :+ col(lenCol).cast("long").as("_l"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val folded = cells.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_c")).as("n"), count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(struct(col("_l"), col("_c")))).as("_arr"))
+    val nD = col("n").cast("double")
+    def fold(term: Column => Column): Column =
+      aggregate(col("_arr"), lit(0.0),
+        (acc, s) => acc + s("_c").cast("double") * term(s("_l")))
+    val s1 = fold(l => log(l.cast("double")))
+    val s2 = fold(l => log(l.cast("double")) * log(l.cast("double")))
+    val rf = graft.functions.ExactRound.roundFloor(_: Column, 6)
+    folded.select(groupCols.map(col) ++ Seq(col("n"), col("n_distinct"),
+      rf(s1 / nD).as("mu"),
+      rf(s2 / nD - (s1 / nD) * (s1 / nD)).as("sigma2"),
+      rf(exp(s1 / nD)).as("median_fit")): _*)
+  }
 }

@@ -347,4 +347,18 @@ class SessionizeSpec extends SparkFunSuite {
       Sessionize.botRegularity(df, "u", "t", cvPct = 0L)
     }
   }
+
+  test("transitionEntropy: hand 50/50 split, deterministic funnel state") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    // u1: A,B,A,C -> A->{B,C} (H = ln 2), B->{A} (H = 0)
+    val df = Seq((1L, ts(1), "A"), (1L, ts(2), "B"), (1L, ts(3), "A"),
+      (1L, ts(4), "C")).toDF("u", "t", "s")
+    val got = Sessionize.transitionEntropy(df, "u", "t", "s")
+      .orderBy("state").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val ln2r = math.floor(
+      -(0.5 * math.log(0.5) + 0.5 * math.log(0.5)) * 1e6 + 0.5) / 1e6
+    assert(got == Seq(("A", 2L, 2L, ln2r), ("B", 1L, 1L, 0.0)))
+  }
 }

@@ -154,4 +154,23 @@ class TextAnalysisSpec extends SparkFunSuite {
       .head
     assert(got.getLong(2) == 3L && got.getDouble(3) == 1.0)
   }
+
+  test("lognormalFit: hand moments in fold order, nonpositive excluded") {
+    val df = Seq(("g", 2L), ("g", 2L), ("g", 8L),
+      ("g", 0L), ("g", -3L)).toDF("src", "len")
+    val r = TextAnalysis.lognormalFit(df, Seq("src"), "len")
+      .collect().head
+    def rf(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // fold in length order: (2, c=2) then (8, c=1)
+    val s1 = (0.0 + 2.0 * math.log(2.0)) + 1.0 * math.log(8.0)
+    val s2 = (0.0 + 2.0 * (math.log(2.0) * math.log(2.0))) +
+      1.0 * (math.log(8.0) * math.log(8.0))
+    assert((r.getLong(1), r.getLong(2)) == ((3L, 2L)))
+    assert(r.getDouble(3) == rf(s1 / 3.0))
+    assert(r.getDouble(4) == rf(s2 / 3.0 - (s1 / 3.0) * (s1 / 3.0)))
+    assert(r.getDouble(5) == rf(math.exp(s1 / 3.0)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lognormalFit(df, Seq.empty, "len")
+    }
+  }
 }
