@@ -1733,6 +1733,12 @@ object SparkEntry {
       Classifier.gainsTable(scored, "score", "label", "doc_id")
         .orderBy("bucket")
     }),
+    // Good-Turing count-of-counts smoothing over the corpus unigrams:
+    // exact N_r table, r* = (r+1)N_{r+1}/N_r, unseen mass N_1/N.
+    "q234_good_turing" -> ((s, dir) => {
+      LanguageModel.goodTuring(Tables(s, dir).documents, "text")
+        .orderBy("r")
+    }),
     // Lognormal length fit per source: log-scale method of moments
     // over exact (length, count) cells, length-ordered folds.
     "q233_lognormal_fit" -> ((s, dir) => {
@@ -5383,6 +5389,30 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q234: q102's tokenizer, same count-of-counts, same r+1 self-join
+    // and fixed divisions
+    "q234_good_turing" ->
+      """WITH tks AS (SELECT list_filter(string_split(trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS r
+        |  FROM (SELECT unnest(tk) AS w FROM tks) GROUP BY 1),
+        |coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+        |  FROM cnt GROUP BY 1),
+        |tot AS (SELECT sum(CAST(r AS HUGEINT) * CAST(n_r AS HUGEINT))
+        |    AS n,
+        |    CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT)
+        |      AS n1
+        |  FROM coc)
+        |SELECT a.r, a.n_r,
+        |  CASE WHEN b.n_r IS NULL THEN NULL
+        |       ELSE CAST(a.r + 1 AS DOUBLE) * CAST(b.n_r AS DOUBLE) /
+        |         CAST(a.n_r AS DOUBLE) END AS r_star,
+        |  CAST(tot.n1 AS DOUBLE) / CAST(CAST(tot.n AS VARCHAR)
+        |    AS DOUBLE) AS p0_unseen
+        |FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
+        |CROSS JOIN tot ORDER BY a.r""".stripMargin,
     // q233: same (length, count) cells, length-ordered list folds of
     // the identical ln terms, same floor-rounds
     "q233_lognormal_fit" ->

@@ -219,4 +219,45 @@ object LanguageModel {
             (acc, s) => acc + s.getField("nll")) /
           col("n_tokens").cast("double"), 4).as("avg_nll"))
   }
+
+  /** Good–Turing frequency smoothing (Good 1953; the Gale & Sampson
+    * 1995 presentation): from the corpus unigram counts, the
+    * count-of-counts table `N_r` and the smoothed count
+    * `r* = (r+1)·N_{r+1}/N_r` — the LM-smoothing primitive under
+    * Katz backoff, and the estimator behind "how much probability mass
+    * belongs to unseen words" (`p0 = N_1/N`, repeated on every row).
+    * `r*` is null where `N_{r+1} = 0` (the raw estimator is undefined
+    * there — Gale–Sampson smooth the tail; that extension is a curve
+    * fit, out of scope and stated).
+    *
+    * Exactness: token counts, `N_r`, `N = Σ r·N_r` (decimal(38,0))
+    * are exact; `r*` and `p0` are fixed-order double divisions of
+    * exact integers.
+    *
+    * Scale shape: one corpus tokenize into a vocab-sized count table,
+    * one collapse to count-of-counts (≤ distinct-count-values rows —
+    * hundreds), a self-join on r+1 at that size, a 1-row total
+    * broadcast. Output: `(r, n_r, r_star, p0_unseen)` ordered by r. */
+  def goodTuring(docs: DataFrame, textCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_r"))
+    val coc = counts.groupBy(col("_r").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+      .localCheckpoint(false) // self-join + totals read it
+    val tot = coc.agg(
+      sum(col("r").cast(d38) * col("n_r").cast(d38)).as("_n"),
+      sum(when(col("r") === 1L, col("n_r")).otherwise(0L)).as("_n1"))
+    coc.join(coc.select((col("r") - 1).as("r"), col("n_r").as("_nr1")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        when(col("_nr1").isNull, lit(null).cast("double"))
+          .otherwise((col("r") + lit(1L)).cast("double") *
+            col("_nr1").cast("double") / col("n_r").cast("double"))
+          .as("r_star"),
+        (col("_n1").cast("double") / col("_n").cast("double"))
+          .as("p0_unseen"))
+  }
 }

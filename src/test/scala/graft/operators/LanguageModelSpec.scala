@@ -213,4 +213,17 @@ class LanguageModelSpec extends SparkFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(bc === sj)
   }
+
+  test("goodTuring: textbook count-of-counts, tail null, unseen mass") {
+    // "a a a b b c": counts a=3 b=2 c=1; N_r = {1:1, 2:1, 3:1}; N=6
+    val df = Seq("a a a b b c").toDF("text")
+    val got = LanguageModel.goodTuring(df, "text").orderBy("r")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, Some(2.0), 1.0 / 6.0),
+      (2L, 1L, Some(3.0), 1.0 / 6.0),
+      (3L, 1L, None, 1.0 / 6.0)))
+  }
 }
