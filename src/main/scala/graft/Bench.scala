@@ -45,7 +45,12 @@ object Bench {
     // loadavg until it drops under cpus/4, give up after 5 minutes and
     // proceed with an explicit "contended": true so a dirty run can
     // never masquerade as a clean one.
-    val quietThreshold = cpus.toDouble / 4.0
+    // Threshold history: cpus/4 (= 8 at local[32]) passed the round-12
+    // driver run at loadavg 5.15 as "clean" while its totals were ~1.8x
+    // the clean anchor — ~5 co-tenant cores is material contamination on
+    // a 32-cpu host. max(2.0, cpus/16) keeps small-cpu runs workable and
+    // flags anything beyond ~2 busy cores on the big host.
+    val quietThreshold = math.max(2.0, cpus.toDouble / 16.0)
     val waitDeadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
     var waitedSec = 0.0
     while (loadavg >= quietThreshold && System.nanoTime() < waitDeadline) {
@@ -131,6 +136,15 @@ object Bench {
       val m = chunk.mkString("{", ",", "}")
       println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","part":${i + 1},"of":${compactParts.size},"sf":"$sfDir","queries":$m}""")
     }
+    // Per-query contamination localization IN the summary line: compact
+    // "qNN" prefixes of queries whose start-of-query loadavg exceeded the
+    // quiet threshold. Capped at 40 names (+ suspect_n carrying the true
+    // count) so the summary stays fixed-size-bounded even if the whole
+    // battery ran dirty; the full per-query loadavgs are in the
+    // bench_query_load part lines above.
+    val suspectAll = results.filter(_._5 >= quietThreshold)
+      .map(r => "\"" + r._1.takeWhile(_ != '_') + "\"")
+    val suspect = suspectAll.take(40).mkString("[", ",", "]")
     val wallSec = (System.nanoTime() - wallStart) / 1e9
     val cpuSec = processCpuSec - cpuBefore
     // ratio is per-core occupancy of THIS jvm: ≈0 means the battery waited
@@ -141,7 +155,7 @@ object Bench {
     // stdout tail always captures it whole no matter how many queries
     // future rounds add. Per-query numbers live in the bench_part /
     // chunked total lines above.
-    println(s"""{"metric":"bench_summary","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg)},"cpus":$cpus,"wall_sec":${fmt(wallSec)},"jvm_cpu_sec":${fmt(cpuSec)},"jvm_cpu_per_sec":${fmt(ratio)},"contended":$contended,"waited_for_quiet_sec":${fmt(waitedSec)}}""")
+    println(s"""{"metric":"bench_summary","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg)},"cpus":$cpus,"wall_sec":${fmt(wallSec)},"jvm_cpu_sec":${fmt(cpuSec)},"jvm_cpu_per_sec":${fmt(ratio)},"contended":$contended,"waited_for_quiet_sec":${fmt(waitedSec)},"quiet_threshold":${fmt(quietThreshold)},"suspect_n":${suspectAll.size},"suspect":$suspect}""")
     spark.stop()
   }
 }
