@@ -320,6 +320,87 @@ object Sessionize {
       .groupBy("path").agg(count(lit(1)).as("n_paths"))
   }
 
+  /** Skew-proof [[pathNgrams]]: identical output, no task ever sorts more
+    * than one (user, coarse time bucket) — [[transitionMatrixBucketed]]'s
+    * boundary-row recipe generalized from 1 to n−1 boundary rows.
+    *
+    * Grams split exactly two ways. WITHIN a bucket: the same lead()-chain,
+    * but partitioned on (user, bucket), so a firehose user spreads over
+    * `buckets` tasks. CROSSING a bucket boundary: such a gram takes a
+    * suffix of ≤ n−1 events from its earliest bucket, a prefix of ≤ n−1
+    * from its latest, and whole middle buckets of ≤ n−2 events — so every
+    * crossing gram lives entirely inside the REDUCED stream of each
+    * bucket's first n−1 and last n−1 events. A per-user window over that
+    * reduced stream (≤ 2(n−1) rows per non-empty bucket — the degenerate
+    * per-user task is `2(n−1)·buckets` rows, orders of magnitude fewer
+    * than events) re-runs the lead chain; each candidate is kept only if
+    * every adjacent pair is provably consecutive in the ORIGINAL stream —
+    * same bucket with per-bucket rank r+1, or a bucket hop from the true
+    * bucket-last (rank = bucket size) to the next bucket's true first
+    * (rank 1; no non-empty bucket can intervene, since its first event
+    * would sit between them in the reduced stream) — and if it crosses
+    * (first/last bucket differ, so within-bucket grams aren't re-counted).
+    *
+    * `tsCol` follows [[transitionMatrixBucketed]]'s convention: timestamp
+    * (bucketed on whole seconds) or any integral column. */
+  def pathNgramsBucketed(events: DataFrame, userCol: String, tsCol: String,
+                         stateCol: String, n: Int,
+                         tieBreak: Seq[String] = Nil,
+                         bucketHours: Int = 24): DataFrame = {
+    require(n >= 2 && n <= 8, s"n ($n) must be in [2, 8]")
+    require(bucketHours >= 1, s"bucketHours ($bucketHours) must be >= 1")
+    val reserved = Seq("_bk", "_st", "_rk", "_sz") ++
+      (0 until n).flatMap(i => Seq(s"_s$i", s"_b$i", s"_r$i", s"_z$i"))
+    require(!events.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    val bucketSec = bucketHours * 3600L
+    val ordLong = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_timestamp(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
+    val base = events
+      .select(Seq(col(userCol), col(tsCol), col(stateCol).as("_st")) ++
+        tieBreak.map(col): _*)
+      .withColumn("_bk", floor(ordLong / bucketSec))
+    val wLocal = Window.partitionBy(col(userCol), col("_bk"))
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val sCols = (0 until n).map(i => col(s"_s$i"))
+    val allPresent = sCols.map(_.isNotNull).reduce(_ && _)
+    val within = base
+      .select(col("_st").as("_s0") +:
+        (1 until n).map(i => lead(col("_st"), i).over(wLocal).as(s"_s$i")): _*)
+      .filter(allPresent)
+      .select(concat_ws(" > ", sCols: _*).as("path"))
+    // reduced boundary stream; _rk/_sz are per-(user, bucket), cheap
+    val ranked = base
+      .withColumn("_rk", row_number().over(wLocal))
+      .withColumn("_sz",
+        count(lit(1)).over(Window.partitionBy(col(userCol), col("_bk"))))
+      .filter(col("_rk") <= n - 1 || col("_rk") > col("_sz") - (n - 1))
+    val wU = Window.partitionBy(col(userCol))
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val crossCols = (0 until n).flatMap { i =>
+      if (i == 0) Seq(col("_st").as("_s0"), col("_bk").as("_b0"),
+        col("_rk").as("_r0"), col("_sz").as("_z0"))
+      else Seq(lead(col("_st"), i).over(wU).as(s"_s$i"),
+        lead(col("_bk"), i).over(wU).as(s"_b$i"),
+        lead(col("_rk"), i).over(wU).as(s"_r$i"),
+        lead(col("_sz"), i).over(wU).as(s"_z$i"))
+    }
+    val consecutive = (1 until n).map { i =>
+      (col(s"_b$i") === col(s"_b${i - 1}") &&
+        col(s"_r$i") === col(s"_r${i - 1}") + 1) ||
+      (col(s"_b$i") > col(s"_b${i - 1}") &&
+        col(s"_r${i - 1}") === col(s"_z${i - 1}") && col(s"_r$i") === 1)
+    }.reduce(_ && _)
+    val crossing = ranked
+      .select(crossCols: _*)
+      .filter(allPresent && consecutive && col(s"_b${n - 1}") =!= col("_b0"))
+      .select(concat_ws(" > ", sCols: _*).as("path"))
+    within.unionByName(crossing)
+      .groupBy("path").agg(count(lit(1)).as("n_paths"))
+  }
+
   /** Row-normalize a (state, next_state, n_trans) matrix: `p = n / Σ_next
     * n`, a window over the state-vocabulary-sized matrix, never the data. */
   private def normalizeRows(matrix: DataFrame): DataFrame = {
@@ -580,7 +661,14 @@ object Sessionize {
     * order.
     *
     * Scale shape: ONE user-partitioned window pass over the events
-    * (the only data-scale step); everything after — the (src, dst)
+    * (the only data-scale step). A CONVERTING firehose user
+    * self-truncates (only pre-first-conversion events survive), but a
+    * never-converting firehose keeps its whole stream in one window
+    * task — for that regime pass `journeyBucketHours = Some(h)`:
+    * identical output through [[transitionMatrixBucketed]]'s
+    * within-bucket + boundary-summary split (measured at 8M events with
+    * one 75% non-converter: 34.6 s plain → bounded per-(user, bucket)
+    * tasks bucketed). Everything after — the (src, dst)
     * counts, the channel-variant expansion (|channels|+1 copies of a
     * vocabulary² table), and the fixed-point rounds — is channel-
     * vocabulary sized. Output per channel: `(channel, p_base_e12,
@@ -588,8 +676,11 @@ object Sessionize {
   def markovRemovalEffects(events: DataFrame, userCol: String,
                            tsCol: String, stateCol: String,
                            convState: String, tieBreak: Seq[String] = Nil,
-                           iters: Int = 8): DataFrame = {
+                           iters: Int = 8,
+                           journeyBucketHours: Option[Int] = None): DataFrame = {
     require(iters >= 1, s"iters ($iters) must be >= 1")
+    require(journeyBucketHours.forall(_ >= 1),
+      s"journeyBucketHours ($journeyBucketHours) must be >= 1")
     val Scale = 1000000000000L
     val spark = events.sparkSession
     import org.apache.spark.sql.GraftColumnBridge
@@ -608,22 +699,64 @@ object Sessionize {
         col(stateCol).as("_c"), col("_fc").isNotNull.as("_cv")) ++
         tieBreak.map(col): _*)
       .localCheckpoint(false) // window pass + empty-journey anti-join
-    val w = Window.partitionBy(userCol)
-      .orderBy((tsCol +: tieBreak).map(col): _*)
-    val marked = j
-      .withColumn("_next", lead(col("_c"), 1).over(w))
-      .withColumn("_rn", row_number().over(w))
-    val mid = marked.filter(col("_next").isNotNull)
-      .select(col("_c").as("src"), col("_next").as("dst"))
-    val starts = marked.filter(col("_rn") === 1)
-      .select(lit("~start").as("src"), col("_c").as("dst"))
-    val ends = marked.filter(col("_next").isNull)
-      .select(col("_c").as("src"),
-        when(col("_cv"), lit("~conv")).otherwise(lit("~null")).as("dst"))
+    // journey edges: per-user adjacent pairs + ~start→first + last→end.
+    // Plain path: ONE per-user window (lead + row_number). Bucketed path
+    // (journeyBucketHours = Some(h)): [[transitionMatrixBucketed]]'s
+    // split — a never-converting firehose user otherwise sorts its whole
+    // stream in one task (measured: 8M events / one 75% non-converter =
+    // 34.6 s plain); within-bucket lead pairs partitioned on (user, h-hour
+    // bucket), boundary pairs / first / last off per-bucket summary rows.
+    val edges = journeyBucketHours match {
+      case None =>
+        val w = Window.partitionBy(userCol)
+          .orderBy((tsCol +: tieBreak).map(col): _*)
+        val marked = j
+          .withColumn("_next", lead(col("_c"), 1).over(w))
+          .withColumn("_rn", row_number().over(w))
+        val mid = marked.filter(col("_next").isNotNull)
+          .select(col("_c").as("src"), col("_next").as("dst"))
+        val starts = marked.filter(col("_rn") === 1)
+          .select(lit("~start").as("src"), col("_c").as("dst"))
+        val ends = marked.filter(col("_next").isNull)
+          .select(col("_c").as("src"),
+            when(col("_cv"), lit("~conv")).otherwise(lit("~null")).as("dst"))
+        mid.unionByName(starts).unionByName(ends)
+      case Some(h) =>
+        val bucketSec = h * 3600L
+        val ordLong = j.schema(tsCol).dataType match {
+          case org.apache.spark.sql.types.TimestampType =>
+            unix_timestamp(col(tsCol))
+          case _ => col(tsCol).cast("long")
+        }
+        val b = j.withColumn("_bk", floor(ordLong / bucketSec))
+        val wLocal = Window.partitionBy(col(userCol), col("_bk"))
+          .orderBy((tsCol +: tieBreak).map(col): _*)
+        val within = b
+          .withColumn("_next", lead(col("_c"), 1).over(wLocal))
+          .filter(col("_next").isNotNull)
+          .select(col("_c").as("src"), col("_next").as("dst"))
+        val ordKey = struct((tsCol +: tieBreak).map(c =>
+          col(c).as("k_" + c)) :+ col("_c").as("s"): _*)
+        val wU = Window.partitionBy(col(userCol)).orderBy(col("_bk"))
+        val sums = b.groupBy(col(userCol), col("_bk"))
+          .agg(min(ordKey).as("_first"), max(ordKey).as("_last"),
+            first(col("_cv")).as("_cvb")) // _cv is constant per user
+          .withColumn("_pl", lag(col("_last"), 1).over(wU))
+          .withColumn("_rn", row_number().over(wU))
+          .withColumn("_nb", lead(col("_bk"), 1).over(wU))
+        val boundary = sums.filter(col("_pl").isNotNull)
+          .select(col("_pl.s").as("src"), col("_first.s").as("dst"))
+        val starts = sums.filter(col("_rn") === 1)
+          .select(lit("~start").as("src"), col("_first.s").as("dst"))
+        val ends = sums.filter(col("_nb").isNull)
+          .select(col("_last.s").as("src"),
+            when(col("_cvb"), lit("~conv")).otherwise(lit("~null")).as("dst"))
+        within.unionByName(boundary).unionByName(starts).unionByName(ends)
+    }
     val emptyConv = fc.join(j.select(col(userCol)).distinct(),
         Seq(userCol), "left_anti")
       .select(lit("~start").as("src"), lit("~conv").as("dst"))
-    val cnt = mid.unionByName(starts).unionByName(ends)
+    val cnt = edges
       .unionByName(emptyConv)
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))
       .localCheckpoint(true) // vocabulary²-sized; variants re-read it

@@ -60,6 +60,59 @@ object AnalyticsSkewProbe {
       spark.stop(); return
     }
 
+    // --- round-13: pathNgrams and markovRemovalEffects under the 8M/75%
+    // firehose (`runMain … paths` runs only this section). Same event
+    // shapes as the transition-matrix section below; measures whether the
+    // single-user window task degenerates and what the bucketed split buys.
+    if (args.contains("paths")) {
+      def states(c: org.apache.spark.sql.Column) =
+        pmod(hash(c), lit(6)).cast("string")
+      val n2 = 8000000L
+      val uniform = spark.range(n2).select(
+          (col("id") % 10000L).as("user_id"), col("id").as("ts"),
+          states(col("id")).as("state"))
+        .repartition(64).localCheckpoint(true)
+      val fire2 = spark.range(n2).select(
+          when(col("id") % 4 =!= 3L, lit(0L))
+            .otherwise(col("id") % 9999L + 1L).as("user_id"),
+          col("id").as("ts"), states(col("id")).as("state"))
+        .repartition(64).localCheckpoint(true)
+      timed("pathNgrams(3) uniform8M 10k users")(
+        Sessionize.pathNgrams(uniform, "user_id", "ts", "state", 3).count())
+      timed("pathNgrams(3) firehose8M (1 user = 75%)")(
+        Sessionize.pathNgrams(fire2, "user_id", "ts", "state", 3).count())
+      timed("pathNgramsBucketed(3) firehose8M (1h)")(
+        Sessionize.pathNgramsBucketed(fire2, "user_id", "ts", "state", 3,
+          bucketHours = 1).count())
+      // markov journey window: conv state "5" (~1/6 of events); the
+      // data-scale step is one per-user lead+row_number window
+      timed("markovRemovalEffects uniform8M")(
+        Sessionize.markovRemovalEffects(uniform, "user_id", "ts", "state",
+          convState = "5").count())
+      timed("markovRemovalEffects firehose8M (1 user = 75%)")(
+        Sessionize.markovRemovalEffects(fire2, "user_id", "ts", "state",
+          convState = "5").count())
+      // the converting firehose self-truncates (journeys stop at the
+      // user's FIRST conv event); the adversarial shape is a firehose
+      // that NEVER converts — its whole 6M-event stream survives the
+      // journey filter and lands in one window task
+      val fire3 = spark.range(n2).select(
+          when(col("id") % 4 =!= 3L, lit(0L))
+            .otherwise(col("id") % 9999L + 1L).as("user_id"),
+          col("id").as("ts"),
+          when(col("id") % 4 =!= 3L, pmod(hash(col("id")), lit(5)))
+            .otherwise(pmod(hash(col("id")), lit(6)))
+            .cast("string").as("state"))
+        .repartition(64).localCheckpoint(true)
+      timed("markovRemovalEffects neverConvFirehose8M")(
+        Sessionize.markovRemovalEffects(fire3, "user_id", "ts", "state",
+          convState = "5").count())
+      timed("markovRemovalEffects neverConvFirehose8M bucketed(1h)")(
+        Sessionize.markovRemovalEffects(fire3, "user_id", "ts", "state",
+          convState = "5", journeyBucketHours = Some(1)).count())
+      spark.stop(); return
+    }
+
     for (level <- Seq("skew_mild", "skew_heavy")) {
       val recs = spark.read.parquet(s"testdata/$level/documents.parquet")
         .select(col("doc_id"),

@@ -228,6 +228,67 @@ class SessionizeSpec extends SparkFunSuite {
     }
   }
 
+  test("pathNgramsBucketed ≡ pathNgrams: boundaries, empty buckets, ties, firehose") {
+    // same adversarial fixture as the transitionMatrixBucketed test: a
+    // firehose user over many buckets, a user whose every event sits in
+    // its own 1-hour bucket (n-grams there span n buckets and exist ONLY
+    // as crossing grams over boundary rows), a single-bucket user, and a
+    // timestamp tie resolved by event_id
+    val rows = (0 until 400).map { i =>
+      val user = if (i < 300) 0L else (i % 3) + 1L
+      val sec = if (user == 0L) i * 97L % 250000L
+                else if (user == 1L) (i % 7) * 40000L
+                else (i % 5) * 60L
+      (user, Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + sec)),
+        "s" + (i * 31 % 5), i.toLong)
+    } :+ (3L, Timestamp.from(java.time.Instant.ofEpochSecond(1700000060L)), "tie", 1000L)
+    val df = rows.toDF("user_id", "ts", "etype", "event_id")
+    for (n <- Seq(2, 3, 4)) {
+      val plain = Sessionize.pathNgrams(df, "user_id", "ts", "etype", n,
+        Seq("event_id")).orderBy("path").collect().toSeq
+      for (hours <- Seq(1, 24)) {
+        val bucketed = Sessionize.pathNgramsBucketed(df, "user_id", "ts",
+            "etype", n, Seq("event_id"), bucketHours = hours)
+          .orderBy("path").collect().toSeq
+        assert(bucketed == plain, s"n=$n bucketHours=$hours must match plain")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Sessionize.pathNgramsBucketed(
+        df.withColumnRenamed("etype", "_b2"), "user_id", "ts", "_b2", 3)
+    }
+  }
+
+  test("markovRemovalEffects: bucketed journey split ≡ plain on a firehose mix") {
+    // user 0: never-converting firehose over many 1-hour buckets (the
+    // regime the split exists for); user 1: converts mid-stream (journey
+    // truncates at first purchase); user 2: converts with no prior touch
+    // (~start → ~conv); user 3: hour-apart events (every adjacency is a
+    // boundary pair at bucketHours=1)
+    val rows = (0 until 300).map { i =>
+      (0L, Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i * 97L)),
+        "c" + (i * 31 % 4), i.toLong)
+    } ++ Seq(
+      (1L, Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L)), "c0", 500L),
+      (1L, Timestamp.from(java.time.Instant.ofEpochSecond(1700003600L)), "purchase", 501L),
+      (1L, Timestamp.from(java.time.Instant.ofEpochSecond(1700007200L)), "c1", 502L),
+      (2L, Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L)), "purchase", 503L)
+    ) ++ (0 until 5).map { i =>
+      (3L, Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i * 4000L)),
+        "c" + (i % 3), 600L + i)
+    }
+    val df = rows.toDF("user_id", "ts", "etype", "event_id")
+    val plain = Sessionize.markovRemovalEffects(df, "user_id", "ts", "etype",
+      "purchase", Seq("event_id")).orderBy("channel").collect().toSeq
+    for (hours <- Seq(1, 24)) {
+      val bucketed = Sessionize.markovRemovalEffects(df, "user_id", "ts",
+          "etype", "purchase", Seq("event_id"),
+          journeyBucketHours = Some(hours))
+        .orderBy("channel").collect().toSeq
+      assert(bucketed == plain, s"journeyBucketHours=$hours must match plain")
+    }
+  }
+
   test("transitionMatrixBucketed: integral order column and reserved-column guard") {
     val df = Seq((1L, 10L, "a", 1L), (1L, 90000L, "b", 2L), (1L, 90001L, "a", 3L))
       .toDF("user_id", "tick", "e", "id")
