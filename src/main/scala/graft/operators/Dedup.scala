@@ -719,6 +719,72 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** Exact duplicated-span REMOVALS — the classic LLM-curation operator
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499) re-expressed relationally: the
+    * suffix-array dedup's bucket sort at depth k IS a sorted k-gram
+    * equality join. Every corpus position whose k-token gram occurs
+    * `minCount`+ times anywhere — by EXACT token-sequence equality, not
+    * a hash (contrast [[repeatedPassages]], which marks md5'd windows
+    * and keeps every occurrence) — is a duplicate hit; per duplicated
+    * gram the lexicographically-first (doc, position) occurrence is the
+    * canonical copy that survives, every OTHER occurrence is marked for
+    * removal, and marked positions merge into per-document spans
+    * ([[repeatedPassages]]' gaps-and-islands; gap > k breaks).
+    *
+    * Output `(idCol, span_start, span_end, n_grams)`: 1-based token
+    * positions, `span_end` inclusive ([[repeatedPassages]]' convention)
+    * — the tokens to delete from each listed doc. Every duplicated
+    * gram's canonical START position is never itself marked (removal is
+    * all-but-one at the gram level; as in the paper, a removed span may
+    * still clip the tail of an overlapping retained window).
+    *
+    * Scale shape: the gram stream is one slim (gram, id, pos) row per
+    * token position, materialized once behind a lazy localCheckpoint
+    * (it feeds both the canonical aggregate and the mark join — the
+    * [[repeatedPassages]] barrier lesson). The canonical occurrence is
+    * `groupBy(gram).agg(min(struct(id, pos)))` — map-side combinable,
+    * NEVER a row_number window over the gram (a viral boilerplate gram
+    * would serialize one task); the mark join keys on the same gram so
+    * AQE reuses the exchange layout and skew-splits a hot gram's join
+    * side. The island merge shuffles only marked positions by document,
+    * bounded by doc length. */
+  def exactSubstringRemovals(df: DataFrame, idCol: String, textCol: String,
+                             k: Int = 25, minCount: Long = 2L): DataFrame = {
+    require(k >= 2, s"gram length k ($k) must be >= 2")
+    require(minCount >= 2, s"minCount ($minCount) must be >= 2 — every " +
+      "gram occurs once trivially")
+    val toks = filter(split(TextAnalysis.normalized(col(textCol)), " "),
+      t => t =!= "")
+    val base = df.select(col(idCol).as("_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= k)
+    val wins = base
+      .select(col("_id"), posexplode(
+        transform(sequence(lit(1), size(col("_t")) - lit(k - 1)),
+          i => concat_ws(" ", slice(col("_t"), i, lit(k))))))
+      .select(col("_id"), (col("pos") + 1).cast("long").as("_p"),
+        col("col").as("_g"))
+      .localCheckpoint(false)
+    val canon = wins.groupBy("_g")
+      .agg(count(lit(1)).as("_c"), min(struct(col("_id"), col("_p"))).as("_m"))
+      .filter(col("_c") >= minCount)
+      .select(col("_g"), col("_m._id").as("_cid"), col("_m._p").as("_cp"))
+    val marked = wins.join(canon, "_g")
+      .filter(!(col("_id") === col("_cid") && col("_p") === col("_cp")))
+      .select("_id", "_p")
+    val byDoc = Window.partitionBy("_id").orderBy("_p")
+    marked
+      .withColumn("_brk", when(col("_p") - lag("_p", 1).over(byDoc) <= k, 0)
+        .otherwise(1))
+      .withColumn("_grp", sum("_brk").over(byDoc))
+      .groupBy(col("_id"), col("_grp"))
+      .agg(min("_p").as("span_start"),
+        (max(col("_p")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("_id").as(idCol), col("span_start"), col("span_end"),
+        col("n_grams"))
+  }
+
   /** Two-table fuzzy string join: rows from `left` and `right` whose
     * character-set Jaccard meets `threshold`, candidate space blocked by
     * (lang, length-bucket) exactly like [[blockedJaccardPairs]]. The

@@ -295,6 +295,47 @@ class DedupSpec extends SparkFunSuite {
     assert(got == Set((1L, 11L, 16L, 4L), (2L, 5L, 10L, 4L)))
   }
 
+  test("exactSubstringRemovals keeps the first occurrence, removes the rest") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens
+    val a = tok(1 to 10).mkString(" ") + " " + shared + " " + tok(11 to 20).mkString(" ")
+    val b = tok(21 to 24).mkString(" ") + " " + shared + " " + tok(25 to 30).mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringRemovals(df, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // every shared gram's canonical copy is in doc 1 (lexicographically
+    // first) — doc 1 emits NOTHING; doc 2's positions 5..8 merge to one
+    // removal span covering tokens 5..10
+    assert(got == Set((2L, 5L, 10L, 4L)))
+  }
+
+  test("exactSubstringRemovals: within-doc boilerplate removes the later copy") {
+    val text = tok(1 to 5).mkString(" ") + " x y z " +
+      tok(6 to 10).mkString(" ") + " x y z " + tok(11 to 15).mkString(" ")
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringRemovals(df, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // "x y z" at positions 6 and 14: position 6 is canonical, 14 removed
+    assert(got == Set((7L, 14L, 16L, 1L)))
+  }
+
+  test("exactSubstringRemovals: lexicographic canonical across 3 occurrences, split spans") {
+    val df = Seq(
+      (5L, "a b c " + tok(41 to 45).mkString(" ") + " a b c"),
+      (3L, tok(31 to 33).mkString(" ") + " a b c " + tok(34 to 34).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstringRemovals(df, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // canonical is doc 3 pos 4 (min doc_id); doc 5's two occurrences at
+    // positions 1 and 9 are 8 apart (> k) -> two separate removal spans
+    assert(got == Set((5L, 1L, 3L, 1L), (5L, 9L, 11L, 1L)))
+    intercept[IllegalArgumentException] {
+      Dedup.exactSubstringRemovals(df, "doc_id", "text", k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.exactSubstringRemovals(df, "doc_id", "text", k = 3, minCount = 1L)
+    }
+  }
+
   test("repeatedPassages counts within-document repetition (boilerplate)") {
     val text = (tok(1 to 5).mkString(" ")) + " x y z " +
       (tok(6 to 10).mkString(" ")) + " x y z " + tok(11 to 15).mkString(" ")
