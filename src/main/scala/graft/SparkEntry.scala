@@ -30,8 +30,13 @@ object SparkEntry {
     * `md5(CAST(doc_id AS VARCHAR) || ':osample') < '04'` — the subset
     * harness for scoring queries whose DuckDB oracle is
     * interpreter-bound at large scale (q100s/q101s/q103s/q105s). */
-  private def oracleSample(id: Column): Column =
-    md5(concat(id.cast("string"), lit(":osample"))) < "04"
+  private def oracleSample(id: Column): Column = oracleSampleAt(id, "04")
+
+  /** The q100s sample predicate at an arbitrary hex threshold — the
+    * sf1.0 heavy-tail variants (q182s/q217s/q227s) need denser samples
+    * than the 1.6% scoring harness so the smallest SFs stay non-empty. */
+  private def oracleSampleAt(id: Column, hexLt: String): Column =
+    md5(concat(id.cast("string"), lit(":osample"))) < hexLt
 
   // No rounding: quantities are whole numbers (sum is exact in double, so
   // avg is order-independent) and max/min/count are exact — both engines
@@ -1739,6 +1744,84 @@ object SparkEntry {
       LanguageModel.goodTuring(Tables(s, dir).documents, "text")
         .orderBy("r")
     }),
+    // Skew-proof path trigrams (q183's semantics through the bucketed
+    // n-gram split): within-bucket lead chains partitioned on (user, 6h
+    // bucket) + crossing grams reconstructed from each bucket's first/last
+    // n−1 boundary rows with per-bucket rank adjacency proofs — a firehose
+    // user spreads over buckets instead of one sort task. Oracle is q183's
+    // single-window SQL verbatim: the split must be invisible.
+    "q235_path_trigrams_bucketed" -> ((s, dir) => {
+      Sessionize.pathNgramsBucketed(Tables(s, dir).events, "user_id", "ts",
+          "event_type", 3, tieBreak = Seq("event_id"), bucketHours = 6)
+        .orderBy("path")
+    }),
+    // STREAMING path at the driver gate (§2.7's first CORRECTNESS row):
+    // the events table re-materialized as one parquet file → a real file-
+    // source readStream → transitionStream (flatMapGroupsWithState, ONE
+    // (ts, state) per user) → foreachBatch append into a parquet sink →
+    // batch aggregation of the sunk pairs into q162's matrix shape. The
+    // oracle replays the stream's within-batch (ts, state) sort order; a
+    // wrong pair emitted anywhere in the stateful path is a hash mismatch.
+    "q238_transition_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft_q238_in").toString
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_q238_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q238_ckpt").toString
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id").cast("long").as("user_id"),
+          // full µs precision as the long ordering key — ms would
+          // collapse distinct event times and reorder pairs
+          unix_micros(col("ts")).as("ts_ms"),
+          col("event_type").as("state"))
+      // ONE file -> the AvailableNow trigger sees exactly one micro-batch,
+      // so the within-batch (ts_ms, state) sort defines the global order
+      ev.coalesce(1).write.mode("overwrite").parquet(staging)
+      val stream = s.readStream.schema(ev.schema).parquet(staging)
+        .as[StreamingOps.TransitionEvent]
+      val pairs = StreamingOps.transitionStream(stream)(s)
+      pairs.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.TransitionPair], _: Long) =>
+          df.write.mode("append").parquet(sink): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(sink)
+        .groupBy(col("from_state").as("state"),
+          col("to_state").as("next_state"))
+        .agg(count(lit(1)).as("n_trans"))
+        .withColumn("p", col("n_trans").cast("double") /
+          sum(col("n_trans")).over(Window.partitionBy("state")).cast("double"))
+        .orderBy("state", "next_state")
+    }),
+    // Exact duplicated-span removals (Lee et al. 2022): positions whose
+    // EXACT 25-token gram repeats anywhere, all-but-the-first occurrence
+    // marked, marks merged to per-doc spans — the classic exact-substring
+    // training-data dedup, relational (sorted k-gram join, no suffix
+    // array materialized).
+    "q237_exact_substring_removals" -> ((s, dir) => {
+      Dedup.exactSubstringRemovals(Tables(s, dir).documents, "doc_id",
+          "text", k = 25)
+        .orderBy("doc_id", "span_start")
+    }),
+    // Skew-proof Markov attribution (q206's semantics with journey
+    // extraction through the bucketed split): a never-converting firehose
+    // user otherwise sorts its whole stream in one window task. Oracle is
+    // q206's SQL verbatim: the split must be invisible.
+    "q236_markov_attribution_bucketed" -> ((s, dir) => {
+      Sessionize.markovRemovalEffects(Tables(s, dir).events, "user_id",
+          "ts", "event_type", "purchase", tieBreak = Seq("event_id"),
+          iters = 8, journeyBucketHours = Some(6))
+        .orderBy("channel")
+    }),
     // Lognormal length fit per source: log-scale method of moments
     // over exact (length, count) cells, length-ordered folds.
     "q233_lognormal_fit" -> ((s, dir) => {
@@ -3047,6 +3130,43 @@ object SparkEntry {
           d.filter(col("source") === "src0"), "doc_id", "text", n = 3)
         .orderBy("doc_id")
     }),
+    // sf1.0 heavy-tail s-variants (the q100s pattern): q182/q217/q227
+    // are linear-in-input/priced but together would dominate an sf1.0
+    // bench — sampled twins keep the per-query cost bounded while the
+    // full-input originals stay gated at sf≤0.1.
+    "q182s_png_codec_sampled" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .filter(oracleSampleAt(col("doc_id"), "20"))
+        .select(col("doc_id")).as[Long]
+        .map { d =>
+          val px = Array.tabulate(256) { i =>
+            val x = i % 16; val y = i / 16
+            ((d * 31L + x * 7L + y * 13L) % 256L).toInt
+          }
+          Multimodal.MediaRecord(d, "image", Multimodal.encodeGrayPng(16, 16, px))
+        }.toDF()
+      Multimodal.grayStats(media, Multimodal.ImageIOCodec, 16, 16)
+        .toDF().orderBy("doc_id")
+    }),
+    "q217s_item_neighbors_sampled" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val inter = t.orders.filter(col("o_custkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey")), Seq("o_orderkey"))
+        .filter(oracleSampleAt(col("l_partkey"), "40"))
+        .select(col("o_custkey"), col("l_partkey"))
+      Similarity.itemNeighbors(inter, "o_custkey", "l_partkey",
+          k = 5, minCo = 2L)
+        .orderBy("item", "rank")
+    }),
+    "q227s_glove_cooc_sampled" -> ((s, dir) => {
+      Phrases.gloveCooc(
+          Tables(s, dir).documents.filter(oracleSampleAt(col("doc_id"), "20")),
+          "text", window = 4, k = 100)
+        .orderBy("rank")
+    }),
     "q105s_chunks_sampled" -> ((s, dir) => {
       val d = Tables(s, dir).documents
       Chunk.contentChunks(d.filter(oracleSample(col("doc_id"))),
@@ -3473,7 +3593,15 @@ object SparkEntry {
        |FROM sel ORDER BY doc_id""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // q236: q206's oracle VERBATIM (shared by reference, not copy) — the
+    // bucketed journey split must reproduce the plain-window attribution
+    // integer-for-integer
+    "q236_markov_attribution_bucketed" ->
+      oracleSqlBase("q206_markov_attribution")
+  )
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_silver_transform" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
         |l_extendedprice * (1 - l_discount) AS net_price, l_returnflag
@@ -6602,6 +6730,138 @@ object SparkEntry {
         |FROM s ORDER BY event_type, hour_of_day""".stripMargin,
     // q183: identical lead-chain windows, identical separator
     "q183_path_trigrams" ->
+      """WITH s AS (SELECT event_type AS s0,
+        |    lead(event_type, 1) OVER w AS s1,
+        |    lead(event_type, 2) OVER w AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path,
+        |  CAST(count(*) AS BIGINT) AS n_paths
+        |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        |GROUP BY 1 ORDER BY path""".stripMargin,
+    // q238: q162's matrix over the stream's order contract — the
+    // within-batch sort is (ts, state), so the oracle's lead() orders by
+    // (ts, event_type); ties beyond that are identical rows and cannot
+    // reorder pairs
+    "q238_transition_stream" ->
+      """WITH e AS (SELECT user_id, ts, event_type AS state FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |s AS (SELECT user_id, state,
+        |    lead(state) OVER (PARTITION BY user_id ORDER BY ts, state)
+        |      AS next_state
+        |  FROM e),
+        |m AS (SELECT state, next_state, CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM s WHERE next_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT state, next_state, n_trans,
+        |  CAST(n_trans AS DOUBLE)
+        |    / CAST(sum(n_trans) OVER (PARTITION BY state) AS DOUBLE) AS p
+        |FROM m ORDER BY state, next_state""".stripMargin,
+    // q182s/q217s/q227s: the full-input oracles with the shared
+    // ':osample' md5 predicate applied to the SAME column the engine
+    // samples (doc_id / l_partkey / doc_id)
+    "q182s_png_codec_sampled" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 15)) AS v),
+        |px AS (SELECT d.doc_id,
+        |    ((d.doc_id * 31 + gx.v * 7 + gy.v * 13) % 256) AS p
+        |  FROM documents d CROSS JOIN g gx CROSS JOIN g gy
+        |  WHERE md5(CAST(d.doc_id AS VARCHAR) || ':osample') < '20'),
+        |a AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS gray_sum,
+        |    CAST(sum(CASE WHEN p > 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id, CAST(16 AS INTEGER) AS width,
+        |  CAST(16 AS INTEGER) AS height, CAST(1 AS INTEGER) AS channels,
+        |  gray_sum, n_bright,
+        |  CAST(gray_sum AS DOUBLE) / 256.0 AS mean_gray
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q217s_item_neighbors_sampled" ->
+      """WITH inter AS (SELECT DISTINCT o.o_custkey AS u,
+        |    l.l_partkey AS i
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey % 10 = 0
+        |    AND md5(CAST(l.l_partkey AS VARCHAR) || ':osample') < '40'),
+        |kept AS (SELECT u FROM (SELECT u, count(*) AS bs FROM inter
+        |  GROUP BY 1) WHERE bs <= 1000),
+        |capped AS (SELECT inter.u, inter.i FROM inter
+        |  JOIN kept ON kept.u = inter.u),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM capped
+        |  GROUP BY 1),
+        |p AS (SELECT a.i AS item, b.i AS neighbor,
+        |    CAST(count(*) AS BIGINT) AS co
+        |  FROM capped a JOIN capped b ON b.u = a.u AND a.i <> b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s AS (SELECT p.item, p.neighbor, p.co,
+        |    CAST(p.co AS DOUBLE) / CAST(ca.ci + cb.ci - p.co AS DOUBLE)
+        |      AS jaccard
+        |  FROM p JOIN ic ca ON ca.i = p.item
+        |  JOIN ic cb ON cb.i = p.neighbor),
+        |r AS (SELECT item, neighbor, co, jaccard, row_number()
+        |    OVER (PARTITION BY item ORDER BY jaccard DESC, neighbor)
+        |      AS rank
+        |  FROM s)
+        |SELECT item, CAST(rank AS INTEGER) AS rank, neighbor, co,
+        |  jaccard
+        |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
+    "q227s_glove_cooc_sampled" ->
+      """WITH tks AS (SELECT list_filter(string_split(trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents
+        |  WHERE md5(CAST(doc_id AS VARCHAR) || ':osample') < '20'),
+        |pos AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        |  FROM tks WHERE len(tk) >= 2),
+        |pr AS (SELECT least(tk[i], tk[i + d.d]) AS a,
+        |    greatest(tk[i], tk[i + d.d]) AS b,
+        |    CAST(CASE d.d WHEN 1 THEN 12 WHEN 2 THEN 6 WHEN 3 THEN 4
+        |      ELSE 3 END AS BIGINT) AS w
+        |  FROM pos CROSS JOIN (SELECT unnest(generate_series(1, 4))
+        |    AS d) d
+        |  WHERE i + d.d <= len(tk)),
+        |m AS (SELECT a || ' ' || b AS gram,
+        |    CAST(sum(w) AS BIGINT) AS cooc_scaled
+        |  FROM pr GROUP BY a, b HAVING sum(w) >= 24),
+        |h AS (SELECT gram, cooc_scaled,
+        |    CAST(cooc_scaled AS DOUBLE) / 12.0 AS cooc,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, len(gram)),
+        |        j -> CAST(unicode(gram[j]) AS BIGINT))),
+        |      (x, y) -> (x * 257 + y) % 1000000007) AS th
+        |  FROM m),
+        |r AS (SELECT gram, cooc_scaled, cooc,
+        |    row_number() OVER (ORDER BY cooc_scaled DESC, th, gram)
+        |      AS rank FROM h)
+        |SELECT CAST(rank AS INTEGER) AS rank, gram, cooc_scaled, cooc
+        |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // q237: the same exact-gram stream (q102's tokenizer), the canonical
+    // occurrence as rn=1 over (doc_id, p) — min(struct) in the engine,
+    // row_number in the oracle, same lexicographic pick — and the same
+    // gap>k island break
+    "q237_exact_substring_removals" ->
+      """WITH tks AS (SELECT doc_id, list_filter(string_split(trim(
+        |      regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+        |      ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |pos0 AS (SELECT doc_id, tk,
+        |    unnest(generate_series(1, len(tk) - 24)) AS p
+        |  FROM tks WHERE len(tk) >= 25),
+        |pos AS (SELECT doc_id, p,
+        |    array_to_string(list_slice(tk, p, p + 24), ' ') AS gram
+        |  FROM pos0),
+        |hits AS (SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn,
+        |    count(*) OVER (PARTITION BY gram) AS c FROM pos),
+        |rem AS (SELECT doc_id, p FROM hits WHERE c >= 2 AND rn > 1),
+        |isl AS (SELECT doc_id, p, CASE WHEN p - lag(p)
+        |      OVER (PARTITION BY doc_id ORDER BY p) <= 25 THEN 0 ELSE 1
+        |    END AS brk FROM rem),
+        |grp AS (SELECT doc_id, p,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 24 AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+    // q235: q183's oracle verbatim — the bucketed n-gram split must
+    // reproduce the single-window path counts exactly
+    "q235_path_trigrams_bucketed" ->
       """WITH s AS (SELECT event_type AS s0,
         |    lead(event_type, 1) OVER w AS s1,
         |    lead(event_type, 2) OVER w AS s2
