@@ -65,17 +65,42 @@ object Bench {
     // optional args: query names to bench (default all) — iteration aid
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
+    // The mid-battery loadavg includes THIS JVM's own work, so a raw
+    // loadavg threshold flags most of any busy battery as suspect
+    // (observed: a clean run self-flags 10/12). Estimate our own
+    // contribution — the JVM's cpu-seconds over the trailing 60 s
+    // (loadavg's horizon), linearly interpolated from per-query samples —
+    // and subtract it: ext ≈ loadavg − ownCpu(last 60 s)/60. An EMA vs
+    // sliding-window mismatch remains, but self-load no longer condemns
+    // clean runs while ~2 external cores still trip the threshold.
+    val cpuSamples = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    cpuSamples += ((0.0, cpuBefore))
+    def ownOccupancy(nowOff: Double, cpuNow: Double): Double = {
+      val horizon = math.max(nowOff - 60.0, 0.0)
+      val past = cpuSamples.takeWhile(_._1 <= horizon).lastOption
+        .getOrElse(cpuSamples.head)
+      val next = cpuSamples.find(_._1 > horizon).getOrElse((nowOff, cpuNow))
+      val cpuAtHorizon =
+        if (next._1 <= past._1) past._2
+        else past._2 + (next._2 - past._2) *
+          ((horizon - past._1) / (next._1 - past._1))
+      val span = math.max(nowOff - horizon, 1.0)
+      math.max(cpuNow - cpuAtHorizon, 0.0) / span
+    }
     val results = wanted.map { case (name, fn) =>
       var ok = true
       val startOffset = (System.nanoTime() - wallStart) / 1e9
       val loadAtStart = loadavg
+      val cpuAtStart = processCpuSec
+      val extLoad = math.max(loadAtStart - ownOccupancy(startOffset, cpuAtStart), 0.0)
+      cpuSamples += ((startOffset, cpuAtStart))
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => ok = false }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, times.min, ok, startOffset, loadAtStart)
+      (name, times.min, ok, startOffset, loadAtStart, extLoad)
     }
     // Output protocol (round 8): the driver captures only the LAST ~3 KB of
     // the run's stdout, and a single full-battery JSON line (~3.8 KB at 108
@@ -94,10 +119,12 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // per-query start offset (sec into the battery) + 1-min loadavg at
-    // start: partial contamination is localizable to the queries whose
-    // loadavg spiked, instead of condemning the whole artifact
-    val loadEntries = results.map { case (k, _, _, off, la) =>
-      "\"" + k.takeWhile(_ != '_') + "\":[" + fmt(off) + "," + fmt(la) + "]"
+    // start + estimated EXTERNAL load (loadavg minus own-JVM occupancy):
+    // partial contamination is localizable to the queries whose external
+    // load spiked, instead of condemning the whole artifact
+    val loadEntries = results.map { case (k, _, _, off, la, ext) =>
+      "\"" + k.takeWhile(_ != '_') + "\":[" + fmt(off) + "," + fmt(la) +
+        "," + fmt(ext) + "]"
     }
     val loadParts = loadEntries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
       if (acc.last.map(_.length + 1).sum + e.length > 2000) acc :+ Vector(e)
@@ -107,7 +134,7 @@ object Bench {
       val m = chunk.mkString("{", ",", "}")
       println(s"""{"metric":"bench_query_load","part":${i + 1},"of":${loadParts.size},"epoch0":$epoch0,"start_loadavg":$m}""")
     }
-    val entries = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
+    val entries = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
     // greedy chunking keeps every part line < ~2.2 KB regardless of how
     // many queries future rounds add
     val parts = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
@@ -125,7 +152,7 @@ object Bench {
     // driver artifacts (r9-r11) recorded parsed:null because the summary
     // and this map shared one line. Chunk it like the full-name parts so
     // every line stays under the window.
-    val compactEntries = results.map { case (k, v, _, _, _) =>
+    val compactEntries = results.map { case (k, v, _, _, _, _) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }
     val compactParts = compactEntries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
@@ -142,7 +169,7 @@ object Bench {
     // count) so the summary stays fixed-size-bounded even if the whole
     // battery ran dirty; the full per-query loadavgs are in the
     // bench_query_load part lines above.
-    val suspectAll = results.filter(_._5 >= quietThreshold)
+    val suspectAll = results.filter(_._6 >= quietThreshold)
       .map(r => "\"" + r._1.takeWhile(_ != '_') + "\"")
     val suspect = suspectAll.take(40).mkString("[", ",", "]")
     val wallSec = (System.nanoTime() - wallStart) / 1e9

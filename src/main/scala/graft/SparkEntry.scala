@@ -3167,6 +3167,12 @@ object SparkEntry {
           "text", window = 4, k = 100)
         .orderBy("rank")
     }),
+    "q237s_substring_removals_sampled" -> ((s, dir) => {
+      Dedup.exactSubstringRemovals(
+          Tables(s, dir).documents.filter(oracleSampleAt(col("doc_id"), "40")),
+          "doc_id", "text", k = 25)
+        .orderBy("doc_id", "span_start")
+    }),
     "q105s_chunks_sampled" -> ((s, dir) => {
       val d = Tables(s, dir).documents
       Chunk.contentChunks(d.filter(oracleSample(col("doc_id"))),
@@ -6832,6 +6838,32 @@ object SparkEntry {
         |      AS rank FROM h)
         |SELECT CAST(rank AS INTEGER) AS rank, gram, cooc_scaled, cooc
         |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // q237s: q237 over the 25% doc sample (dups are then sample-internal
+    // by definition — same contract both engines)
+    "q237s_substring_removals_sampled" ->
+      """WITH tks AS (SELECT doc_id, list_filter(string_split(trim(
+        |      regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+        |      ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents
+        |  WHERE md5(CAST(doc_id AS VARCHAR) || ':osample') < '40'),
+        |pos0 AS (SELECT doc_id, tk,
+        |    unnest(generate_series(1, len(tk) - 24)) AS p
+        |  FROM tks WHERE len(tk) >= 25),
+        |pos AS (SELECT doc_id, p,
+        |    array_to_string(list_slice(tk, p, p + 24), ' ') AS gram
+        |  FROM pos0),
+        |hits AS (SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn,
+        |    count(*) OVER (PARTITION BY gram) AS c FROM pos),
+        |rem AS (SELECT doc_id, p FROM hits WHERE c >= 2 AND rn > 1),
+        |isl AS (SELECT doc_id, p, CASE WHEN p - lag(p)
+        |      OVER (PARTITION BY doc_id ORDER BY p) <= 25 THEN 0 ELSE 1
+        |    END AS brk FROM rem),
+        |grp AS (SELECT doc_id, p,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM isl)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 24 AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
     // q237: the same exact-gram stream (q102's tokenizer), the canonical
     // occurrence as rn=1 over (doc_id, p) — min(struct) in the engine,
     // row_number in the oracle, same lexicographic pick — and the same
