@@ -1517,6 +1517,25 @@ object SparkEntry {
     // (rank units of 1e-12, floor divisions everywhere): supplier
     // importance by shared-order connectivity, replayed integer-for-
     // integer by the oracle's unrolled rounds.
+    // Personalized PageRank on the q190 co-supplier graph, seeds =
+    // suppliers with suppkey % 10 = 0 (some isolated — solo-supplier
+    // orders — exercising the seed-union path): q190's integer
+    // fixed-point with seed-only teleport and seed-restart dangling.
+    "q242_personalized_pagerank" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("src"))
+        .join(li.select(col("ok"), col("sk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      val seeds = li.select(col("sk")).distinct()
+        .filter(col("sk") % 10 === 0)
+      Graph.personalizedPageRank(edges, "src", "dst", seeds, "sk",
+          iters = 3)
+        .orderBy("node")
+    }),
     "q190_pagerank" -> ((s, dir) => {
       val li = Tables(s, dir).lineitem
         .filter(col("l_orderkey") % 20 === 0)
@@ -1744,6 +1763,13 @@ object SparkEntry {
       LanguageModel.goodTuring(Tables(s, dir).documents, "text")
         .orderBy("r")
     }),
+    // Interpolated Kneser-Ney bigram smoothing: exact counts from one
+    // pair aggregation, continuation/history marginals, fixed IEEE shape
+    // for p_kn — the fourth smoothing family, full model table gated.
+    "q241_kneser_ney" -> ((s, dir) => {
+      LanguageModel.kneserNey(Tables(s, dir).documents, "text")
+        .orderBy("prev", "cur")
+    }),
     // Skew-proof path trigrams (q183's semantics through the bucketed
     // n-gram split): within-bucket lead chains partitioned on (user, 6h
     // bucket) + crossing grams reconstructed from each bucket's first/last
@@ -1801,6 +1827,46 @@ object SparkEntry {
         .withColumn("p", col("n_trans").cast("double") /
           sum(col("n_trans")).over(Window.partitionBy("state")).cast("double"))
         .orderBy("state", "next_state")
+    }),
+    // STREAMING gate #2 (the q238 recipe on the stateful sessionizer):
+    // file-source stream → sessionizeStream (per-user open-session state,
+    // NoTimeout so nothing closes on wall-clock) → foreachBatch parquet →
+    // read-back. The stream emits a session only when a LATER event
+    // closes it, so the oracle drops each user's trailing session — the
+    // contract itself is what's being gated. ts_ms carries µs; the gap is
+    // 1800 s in µs; value_sum is the stream's sequential (ts, value)-
+    // ordered fold, replayed exactly by an ordered list_reduce.
+    "q239_sessionize_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft_q239_in").toString
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_q239_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q239_ckpt").toString
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("ts_ms"),
+          col("value").cast("double").as("value"))
+      ev.coalesce(1).write.mode("overwrite").parquet(staging)
+      val stream = s.readStream.schema(ev.schema).parquet(staging)
+        .as[StreamingOps.SessionEvent]
+      val sessions = StreamingOps.sessionizeStream(stream,
+        gapMs = 1800000000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(s)
+      sessions.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.ClosedSession], _: Long) =>
+          df.write.mode("append").parquet(sink): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(sink).orderBy("user_id", "session_start")
     }),
     // Exact duplicated-span removals (Lee et al. 2022): positions whose
     // EXACT 25-token gram repeats anywhere, all-but-the-first occurrence
@@ -2126,6 +2192,27 @@ object SparkEntry {
         .filter(col("_r") <= 15)
         .select(col("query_id"), col("neighbor_id"), lit(1.0).as("rel"))
       Retrieval.averagePrecisionAtK(ranked, "query_id", "neighbor_id",
+          "rank", rels, "rel", 10)
+        .orderBy("query_id")
+    }),
+    // Reciprocal rank @10 (the MRR building block) on the q201 fixture:
+    // exact integer first-hit rank, one double division, judged-but-
+    // missed queries at 0.0.
+    "q240_reciprocal_rank" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val ranked = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      val scored = emb.crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.VectorFunctions.dot(col("embedding"),
+            col("query_vec")).as("_s"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("_s").desc, col("neighbor_id"))
+      val rels = scored.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= 15)
+        .select(col("query_id"), col("neighbor_id"), lit(1.0).as("rel"))
+      Retrieval.reciprocalRankAtK(ranked, "query_id", "neighbor_id",
           "rank", rels, "rel", 10)
         .orderBy("query_id")
     }),
@@ -5523,6 +5610,36 @@ object SparkEntry {
         |         (CAST(tpos AS DOUBLE) / CAST(trows AS DOUBLE)) END
         |    AS cum_lift
         |FROM c ORDER BY bucket""".stripMargin,
+    // q241: q100's BOS-padded bigram stream verbatim, the same exact
+    // marginals, the identical (max/div + (mul/div)*(div)) IEEE shape
+    "q241_kneser_ney" ->
+      """WITH tks AS (SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |bg AS (SELECT doc_id, i,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS prev, tk[i] AS cur
+        |  FROM (SELECT doc_id, tk,
+        |        unnest(generate_series(1, len(tk))) AS i
+        |        FROM tks WHERE len(tk) >= 1)),
+        |cnt AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT prev, CAST(sum(c) AS BIGINT) AS c_prev,
+        |    CAST(count(*) AS BIGINT) AS n_cont_prev FROM cnt GROUP BY 1),
+        |hist AS (SELECT cur, CAST(count(*) AS BIGINT) AS n_hist_cur
+        |  FROM cnt GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM cnt)
+        |SELECT cnt.prev, cnt.cur, c AS c_bigram, c_prev, n_cont_prev,
+        |  n_hist_cur, n_bigram_types,
+        |  greatest(CAST(c AS DOUBLE) - 0.75e0, 0.0e0)
+        |      / CAST(c_prev AS DOUBLE)
+        |    + ((0.75e0 * CAST(n_cont_prev AS DOUBLE))
+        |        / CAST(c_prev AS DOUBLE))
+        |      * (CAST(n_hist_cur AS DOUBLE)
+        |        / CAST(n_bigram_types AS DOUBLE)) AS p_kn
+        |FROM cnt JOIN ctx USING (prev) JOIN hist USING (cur)
+        |CROSS JOIN tt ORDER BY prev, cur""".stripMargin,
     // q234: q102's tokenizer, same count-of-counts, same r+1 self-join
     // and fixed divisions
     "q234_good_turing" ->
@@ -6316,6 +6433,37 @@ object SparkEntry {
         |  coalesce(s.apsum, 0.0) / CAST(least(rr.n_rel, 10) AS DOUBLE) AS ap
         |FROM rr LEFT JOIN s ON s.query_id = rr.query_id
         |ORDER BY rr.query_id""".stripMargin,
+    // q240: q201's ranking/relevance CTEs verbatim, first-hit min rank,
+    // one division
+    "q240_reciprocal_rank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |cos AS (SELECT q.query_id, e.vec_id AS nid,
+        |    list_inner_product(e.v, q.qv)
+        |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))
+        |      AS score
+        |  FROM e CROSS JOIN q),
+        |r10 AS (SELECT query_id, nid, rk FROM (
+        |    SELECT query_id, nid,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nid) AS rk
+        |    FROM cos) WHERE rk <= 10),
+        |dots AS (SELECT q.query_id, e.vec_id AS nid,
+        |    list_inner_product(e.v, q.qv) AS s
+        |  FROM e CROSS JOIN q),
+        |rels AS (SELECT query_id, nid FROM (
+        |    SELECT query_id, nid,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, nid) AS rn
+        |    FROM dots) WHERE rn <= 15),
+        |h AS (SELECT r.query_id, CAST(min(r.rk) AS BIGINT) AS first_rank
+        |  FROM r10 r JOIN rels l ON l.query_id = r.query_id AND l.nid = r.nid
+        |  GROUP BY r.query_id),
+        |n AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |  FROM rels GROUP BY query_id)
+        |SELECT n.query_id, n.n_rel, h.first_rank,
+        |  CASE WHEN h.first_rank IS NOT NULL
+        |    THEN 1.0e0 / CAST(h.first_rank AS DOUBLE) ELSE 0.0e0 END AS rr
+        |FROM n LEFT JOIN h ON h.query_id = n.query_id
+        |ORDER BY n.query_id""".stripMargin,
     // q200: the same md5 pair construction, scored by DuckDB's OWN
     // jaro_similarity / jaro_winkler_similarity builtins — the
     // differential oracle for the native expression
@@ -6544,6 +6692,47 @@ object SparkEntry {
     // q190: identical graph build, then the SAME integer fixed-point
     // rounds unrolled as CTEs — every division a non-negative floor
     // divide (`div` ≡ `//`), so the replay is integer-for-integer
+    // q242: q190's unrolled integer rounds with the teleport and the
+    // dangling restart gated on the seed flag, seed-count divisors
+    "q242_personalized_pagerank" -> {
+      val S = graft.operators.Graph.RankScale
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""i$i AS (SELECT e.d AS node, CAST(sum(r._r // o.od) AS BIGINT) AS infl
+           |  FROM e JOIN $prev r ON r.node = e.s JOIN od o ON o.s = e.s
+           |  GROUP BY e.d),
+           |g$i AS (SELECT CAST(coalesce(sum(r._r), 0) AS BIGINT) AS dmass
+           |  FROM $prev r LEFT JOIN od o ON o.s = r.node WHERE o.s IS NULL),
+           |r$i AS (SELECT nd.node,
+           |    CAST((CASE WHEN nd.isseed THEN (15 * $S) // (100 * sn.sc)
+           |        ELSE 0 END)
+           |      + (85 * (coalesce(i.infl, 0)
+           |        + CASE WHEN nd.isseed THEN g.dmass // sn.sc
+           |          ELSE 0 END)) // 100
+           |      AS BIGINT) AS _r
+           |  FROM nodes nd CROSS JOIN sn CROSS JOIN g$i g
+           |  LEFT JOIN i$i i ON i.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem WHERE l_orderkey % 20 = 0),
+         |e AS (SELECT DISTINCT a.sk AS s, b.sk AS d
+         |  FROM li a JOIN li b ON a.ok = b.ok WHERE a.sk <> b.sk),
+         |sd AS (SELECT DISTINCT sk AS node FROM li WHERE sk % 10 = 0),
+         |nodes AS (SELECT n.node,
+         |    (sd.node IS NOT NULL) AS isseed
+         |  FROM (SELECT s AS node FROM e UNION SELECT d FROM e
+         |    UNION SELECT node FROM sd) n
+         |  LEFT JOIN sd ON sd.node = n.node),
+         |sn AS (SELECT CAST(count(*) AS BIGINT) AS sc FROM sd),
+         |od AS (SELECT s, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY s),
+         |r0 AS (SELECT node, CAST(CASE WHEN isseed THEN $S // sn.sc
+         |    ELSE 0 END AS BIGINT) AS _r
+         |  FROM nodes CROSS JOIN sn),
+         |$rounds
+         |SELECT node, r._r AS rank_e12,
+         |  CAST(r._r AS DOUBLE) / 1e12 AS ppr
+         |FROM r3 r ORDER BY node""".stripMargin
+    },
     "q190_pagerank" -> {
       val S = graft.operators.Graph.RankScale
       val rounds = (1 to 3).map { i =>
@@ -6745,6 +6934,35 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_paths
         |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
         |GROUP BY 1 ORDER BY path""".stripMargin,
+    // q239: gaps-and-islands sessionization in µs over the stream's
+    // (ts, value) order contract, each user's trailing (still-open)
+    // session excluded, value_sum folded in the stream's order
+    "q239_sessionize_stream" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |flagged AS (SELECT user_id, tu, value,
+        |    CASE WHEN lag(tu) OVER w IS NULL
+        |      OR tu - lag(tu) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, value)),
+        |sess AS (SELECT user_id, tu, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tu, value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |agg AS (SELECT user_id, sid,
+        |    CAST(min(tu) AS BIGINT) AS session_start,
+        |    CAST(max(tu) AS BIGINT) AS session_end,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(value ORDER BY tu, value)), (a, b) -> a + b)
+        |      AS value_sum
+        |  FROM sess GROUP BY 1, 2),
+        |lastc AS (SELECT user_id, max(sid) AS maxsid FROM agg GROUP BY 1)
+        |SELECT a.user_id, a.session_start, a.session_end, a.n_events,
+        |  a.value_sum
+        |FROM agg a JOIN lastc l ON l.user_id = a.user_id
+        |  AND a.sid < l.maxsid
+        |ORDER BY a.user_id, a.session_start""".stripMargin,
     // q238: q162's matrix over the stream's order contract — the
     // within-batch sort is (ts, state), so the oracle's lead() orders by
     // (ts, event_type); ties beyond that are identical rows and cannot

@@ -220,6 +220,85 @@ object Graph {
       (col("_r").cast("double") / lit(RankScale.toDouble)).as("pagerank"))
   }
 
+  /** Personalized PageRank (Page et al. 1999's biased-teleport variant;
+    * the relatedness/recommendation primitive — "rank every node by
+    * random walks that restart at MY seed set"): [[pageRank]]'s exact
+    * integer fixed-point with the teleport vector concentrated
+    * uniformly on `seeds` instead of all nodes.
+    *
+    * Arithmetic contract (identical to [[pageRank]] except where the
+    * mass lands, S = |distinct seeds|):
+    *   - `r₀ = RankScale div S` on seeds, 0 elsewhere;
+    *   - teleport `(1−α)·RankScale div S` is added to SEEDS only;
+    *   - dangling mass D redistributes as `D div S` to SEEDS only
+    *     (the standard PPR convention — a walk that falls off the
+    *     graph restarts at a seed);
+    *   - non-seed update is pure inflow: `α·inflow`.
+    * Seeds not present in the edge list are kept as isolated nodes
+    * (they hold teleport mass that leaks only through damping — the
+    * correct semantics for a seed with no out-edges yet). Null seeds
+    * are dropped; an empty seed set fails loudly.
+    *
+    * Output `(node, rank_e12, ppr)`; scale shape identical to
+    * [[pageRank]] (one rank⋈edges shuffle + one inflow sum + a 1-row
+    * dangling aggregate per round). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int = 3, dampNum: Long = 85L,
+                           dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
+    val reserved = Seq("_s", "_d", "_od", "_r", "_in", "node", "_seed")
+    require(!edges.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    val e = edges
+      .select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull &&
+        col("_s") =!= col("_d"))
+      .distinct().localCheckpoint(true)
+    val sd = seeds.select(col(seedCol).as("node"))
+      .filter(col("node").isNotNull)
+      .distinct().localCheckpoint(true)
+    val sCount = sd.count()
+    require(sCount > 0, "personalizedPageRank: the seed set is empty")
+    val nodes = e.select(col("_s").as("node"))
+      .union(e.select(col("_d").as("node")))
+      .union(sd.select(col("node")))
+      .distinct()
+      .join(sd.select(col("node"), lit(true).as("_seed")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("_s")).agg(count(lit(1)).as("_od"))
+      .localCheckpoint(true)
+    val tele = ((dampDen - dampNum) * RankScale) / (dampDen * sCount)
+    var r = nodes.select(col("node"), col("_seed"),
+        when(col("_seed"), lit(RankScale / sCount)).otherwise(lit(0L)).as("_r"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val dang = r.join(outdeg.withColumnRenamed("_s", "node"),
+          Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("_r")), lit(0L)))
+        .collect()(0).getLong(0)
+      val dangShare = dang / sCount
+      val inflow = e
+        .join(r.select(col("node").as("_s"), col("_r")), Seq("_s"))
+        .join(outdeg, Seq("_s"))
+        .select(col("_d"), expr("_r div _od").as("_share"))
+        .groupBy(col("_d")).agg(sum(col("_share")).as("_in"))
+      r = nodes
+        .join(inflow.withColumnRenamed("_d", "node"), Seq("node"), "left")
+        .select(col("node"), col("_seed"),
+          (when(col("_seed"), lit(tele)).otherwise(lit(0L)) +
+            expr(s"($dampNum * (coalesce(_in, 0L) + " +
+              s"IF(_seed, ${dangShare}L, 0L))) div $dampDen")
+          ).as("_r"))
+        .localCheckpoint(false)
+    }
+    r.select(col("node"), col("_r").as("rank_e12"),
+      (col("_r").cast("double") / lit(RankScale.toDouble)).as("ppr"))
+  }
+
   /** Breadth-first hop distance from a LANDMARK set over a directed
     * edge list, bounded at `maxHops` — the graph-feature primitive
     * ("distance to nearest seed/spam node/hub") and the building block

@@ -82,6 +82,55 @@ object LanguageModel {
     bigrams(train.select(lit(0L).as("_lm_id"), col(textCol)), "_lm_id", textCol)
       .groupBy("prev", "cur").agg(count(lit(1)).as("c"))
 
+  /** Interpolated Kneser–Ney bigram smoothing (Kneser & Ney 1995, in
+    * Chen & Goodman 1999's interpolated one-discount form — the
+    * fourth smoothing family next to add-one ([[trainBigram]] +
+    * perplexity), Stupid Backoff ([[stupidBackoffScore]]) and
+    * Good–Turing ([[goodTuring]])):
+    *
+    *   P(w|v) = max(c(vw)−D, 0)/c(v·)
+    *          + D·N1+(v·)/c(v·) · N1+(·w)/N1+(··)
+    *
+    * where c(v·) = Σ_w c(vw) (context mass), N1+(v·) = distinct
+    * continuations of v, N1+(·w) = distinct histories of w, N1+(··) =
+    * total bigram types — the continuation-probability idea that makes
+    * KN the default n-gram smoother. BOS contexts ride the
+    * [[trainBigram]] stream unchanged.
+    *
+    * Determinism: every count is an exact integer from one pair
+    * aggregation; `p_kn` is a fixed per-row IEEE shape (two divisions,
+    * two products, one sum, one max) — bit-identical cross-engine. D
+    * defaults to 0.75 (the Chen–Goodman constant), exactly
+    * representable as 3/4.
+    *
+    * Scale shape: ONE corpus tokenize+count pass; everything after is
+    * bigram-TYPE-bounded (the ctx/hist marginals and the 1-row type
+    * total join back on their keys; the total is a broadcast).
+    * Output: `(prev, cur, c_bigram, c_prev, n_cont_prev, n_hist_cur,
+    * n_bigram_types, p_kn)`. */
+  def kneserNey(train: DataFrame, textCol: String,
+                discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount ($discount) must be in (0, 1)")
+    val pair = trainBigram(train, textCol).localCheckpoint(false)
+    val ctx = pair.groupBy("prev")
+      .agg(sum(col("c")).as("c_prev"), count(lit(1)).as("n_cont_prev"))
+    val hist = pair.groupBy("cur").agg(count(lit(1)).as("n_hist_cur"))
+    val types = pair.agg(count(lit(1)).as("n_bigram_types"))
+    val d = lit(discount)
+    pair.join(ctx, Seq("prev")).join(hist, Seq("cur"))
+      .crossJoin(broadcast(types))
+      .select(col("prev"), col("cur"), col("c").as("c_bigram"),
+        col("c_prev"), col("n_cont_prev"), col("n_hist_cur"),
+        col("n_bigram_types"),
+        (greatest(col("c").cast("double") - d, lit(0.0)) /
+            col("c_prev").cast("double") +
+          ((d * col("n_cont_prev").cast("double")) /
+            col("c_prev").cast("double")) *
+          (col("n_hist_cur").cast("double") /
+            col("n_bigram_types").cast("double"))).as("p_kn"))
+  }
+
   /** Per-document LM score `(idCol, n_tokens, avg_nll)` of `docs` under a
     * [[trainBigram]] model — `avg_nll` rounded to 4 decimals, lower =
     * more like the training slice. Documents with no tokens are dropped

@@ -318,6 +318,39 @@ object Retrieval {
     * judgment join and the per-query fold are k-bounded; R aggregates
     * the judgment table once, map-side combined. Output:
     * `(qCol, n_rel, n_hits, ap)`. */
+  /** Reciprocal rank at `k` per query (the MRR building block — the
+    * navigational-search metric; [[averagePrecisionAtK]] weighs EVERY
+    * hit, RR only the first): `rr = 1 / rank of the first relevant
+    * retrieved result`, 0.0 when a judged query retrieves no relevant
+    * result in the top k; queries with no judgments are absent (RR
+    * undefined). Relevance is binary (`relCol > 0`), the
+    * [[averagePrecisionAtK]] convention.
+    *
+    * Determinism: `first_rank` is an exact integer min; `rr` is ONE
+    * double division. Scale shape: the ranked list is pre-cut to k per
+    * query so the judgment join is k-bounded; both aggregations are
+    * map-side combinable. Output: `(qCol, n_rel, first_rank, rr)` —
+    * `first_rank` NULL on miss, `rr` 0.0 (never silently dropped). */
+  def reciprocalRankAtK(ranked: DataFrame, qCol: String, idCol: String,
+                        rankCol: String, rels: DataFrame, relCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val r = ranked.select(col(qCol).as("_q"), col(idCol).as("_id"),
+        col(rankCol).cast("long").as("_rk"))
+      .filter(col("_rk") >= 1L && col("_rk") <= k)
+    val rl = rels.select(col(qCol).as("_q"), col(idCol).as("_id"))
+      .where(col(relCol).cast("double") > 0.0)
+      .distinct()
+    val hits = r.join(rl, Seq("_q", "_id"))
+      .groupBy("_q").agg(min(col("_rk")).as("first_rank"))
+    val nRel = rl.groupBy("_q").agg(count(lit(1)).as("n_rel"))
+    nRel.join(hits, Seq("_q"), "left")
+      .select(col("_q").as(qCol), col("n_rel"), col("first_rank"),
+        when(col("first_rank").isNotNull,
+          lit(1.0) / col("first_rank").cast("double"))
+          .otherwise(lit(0.0)).as("rr"))
+  }
+
   def averagePrecisionAtK(ranked: DataFrame, qCol: String, idCol: String,
                           rankCol: String, rels: DataFrame, relCol: String,
                           k: Int): DataFrame = {

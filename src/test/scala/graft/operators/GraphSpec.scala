@@ -145,6 +145,28 @@ class GraphSpec extends SparkFunSuite {
       (3L, 333333333333L, 0.333333333333)))
   }
 
+  test("personalizedPageRank: hand-replayed 3 rounds, isolated seed, seed restart") {
+    // cycle 1→2→3→1, seeds {1, 9} (9 isolated — kept via the seed
+    // union, all its mass is dangling). S = 2, tele = 15e12/200 = 75e9,
+    // r0 = 5e11 on seeds. Hand replay:
+    //   round 1: dang = 5e11, share 2.5e11; r = (287.5e9, 425e9, 0, 287.5e9)
+    //   round 2: dang = 287.5e9, share 143.75e9;
+    //     r = (197.1875e9, 244.375e9, 361.25e9, 197.1875e9)
+    //   round 3: dang = 197.1875e9, share 98.59375e9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val seeds = Seq(1L, 9L, 9L).toDF("sk") // dup seed must not double-count
+    val got = Graph.personalizedPageRank(edges, "s", "d", seeds, "sk",
+        iters = 3)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 465867187500L), (2L, 167609375000L),
+      (3L, 207718750000L), (9L, 158804687500L)))
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, "s", "d",
+        Seq.empty[Long].toDF("sk"), "sk")
+    }
+  }
+
   test("pageRank: dangling mass redistributes — hand-replayed round") {
     // a→b, a→c with b, c dangling (n = 3). Hand replay of round 1:
     //   r0 = 333333333333 each; dangling D = r(b)+r(c) = 666666666666,

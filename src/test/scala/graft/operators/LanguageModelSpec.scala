@@ -214,6 +214,29 @@ class LanguageModelSpec extends SparkFunSuite {
     assert(bc === sj)
   }
 
+  test("kneserNey: hand-computed interpolated probabilities, BOS contexts") {
+    // docs "a b a b" and "b c": bigrams (<s>,a):1 (a,b):2 (b,a):1
+    // (<s>,b):1 (b,c):1; every context has mass 2; 5 bigram types;
+    // histories: a<-{<s>,b}=2, b<-{a,<s>}=2, c<-{b}=1
+    val df = Seq("a b a b", "b c").toDF("text")
+    val got = LanguageModel.kneserNey(df, "text").orderBy("prev", "cur")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7))).toSeq
+    def kn(c: Long, cp: Long, nc: Long, nh: Long): Double =
+      math.max(c - 0.75, 0.0) / cp + ((0.75 * nc) / cp) * (nh / 5.0)
+    assert(got == Seq(
+      ("<s>", "a", 1L, 2L, 2L, 2L, 5L, kn(1, 2, 2, 2)),
+      ("<s>", "b", 1L, 2L, 2L, 2L, 5L, kn(1, 2, 2, 2)),
+      ("a", "b", 2L, 2L, 1L, 2L, 5L, kn(2, 2, 1, 2)),
+      ("b", "a", 1L, 2L, 2L, 2L, 5L, kn(1, 2, 2, 2)),
+      ("b", "c", 1L, 2L, 2L, 1L, 5L, kn(1, 2, 2, 1))))
+    assert(got.find(t => t._1 == "a" && t._2 == "b").get._8 == 0.775)
+    intercept[IllegalArgumentException] {
+      LanguageModel.kneserNey(df, "text", discount = 1.0)
+    }
+  }
+
   test("goodTuring: textbook count-of-counts, tail null, unseen mass") {
     // "a a a b b c": counts a=3 b=2 c=1; N_r = {1:1, 2:1, 3:1}; N=6
     val df = Seq("a a a b b c").toDF("text")

@@ -256,6 +256,30 @@ class RetrievalSpec extends SparkFunSuite {
     }
   }
 
+  test("reciprocalRankAtK: first-hit rank, judged miss at 0.0, cutoff") {
+    val ranked = Seq((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3),
+      (2L, 21L, 1), (2L, 22L, 2)).toDF("qid", "doc_id", "rank")
+    val rels = Seq((1L, 13L, 1.0), (1L, 12L, 0.5), (1L, 99L, 1.0),
+      (2L, 77L, 1.0), (3L, 5L, 0.0)).toDF("qid", "doc_id", "rel")
+    val got = Retrieval.reciprocalRankAtK(ranked, "qid", "doc_id",
+        "rank", rels, "rel", 3)
+      .orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3))).toSeq
+    // q1: first relevant retrieved is doc 12 at rank 2 (rel 0.5 counts —
+    // binary collapse); q2 judged but missed -> NULL rank, rr 0.0;
+    // q3's only judgment is rel 0 -> absent
+    assert(got == Seq((1L, 3L, Some(2L), 0.5), (2L, 1L, None, 0.0)))
+    // cutoff k=1 drops q1's rank-2 hit -> miss
+    val g1 = Retrieval.reciprocalRankAtK(ranked, "qid", "doc_id",
+      "rank", rels, "rel", 1).orderBy("qid").collect()
+    assert(g1(0).isNullAt(2) && g1(0).getDouble(3) == 0.0)
+    intercept[IllegalArgumentException] {
+      Retrieval.reciprocalRankAtK(ranked, "qid", "doc_id", "rank",
+        rels, "rel", 0)
+    }
+  }
+
   test("averagePrecisionAtK: hand-computed AP, zero hits, cutoff, grades") {
     // q1 ranked docs 11..15 at ranks 1..5; relevant {11, 13, 15, 99}
     // (99 unretrieved): hits at ranks 1,3,5 → TP/rank = 1/1, 2/3, 3/5
