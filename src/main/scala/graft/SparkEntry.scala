@@ -2069,6 +2069,29 @@ object SparkEntry {
     // micro-degree coordinates, cell-size-R grid buckets (right side
     // replicated 3x3), exact integer distance filter; the brute-force
     // oracle proves the bucketing loses nothing.
+    // k=3 nearest suppliers within R per customer (bounded spatial kNN):
+    // the q209 grid candidates ranked by exact integer (dist_sq, r_id).
+    // The oracle is again the brute-force cross — the grid AND the cut
+    // must lose nothing.
+    "q244_knn_within_radius" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      def coord(key: Column, tag: String) =
+        conv(substring(md5(concat(key.cast("string"), lit(tag))), 1, 6),
+          16, 10).cast("long") % 10000000L
+      val cust = t.customer.filter(col("c_nationkey") === 3)
+        .select(col("c_custkey"),
+          coord(col("c_custkey"), ":cx").as("x"),
+          coord(col("c_custkey"), ":cy").as("y"))
+      val supp = t.supplier
+        .select(col("s_suppkey"),
+          coord(col("s_suppkey"), ":sx").as("x"),
+          coord(col("s_suppkey"), ":sy").as("y"))
+      Spatial.knnWithinRadius(
+          cust.withColumnRenamed("c_custkey", "pid"),
+          supp.withColumnRenamed("s_suppkey", "pid"),
+          "pid", "x", "y", radius = 1000000L, k = 3)
+        .orderBy("l_id", "rank")
+    }),
     "q209_radius_join" -> ((s, dir) => {
       val t = Tables(s, dir)
       def coord(key: Column, tag: String) =
@@ -3142,6 +3165,17 @@ object SparkEntry {
       val model = LanguageModel.trainBigram(
         d.filter(col("source") === "src0"), "text")
       LanguageModel.perplexityScore(d, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+    // Min-K% Prob membership/contamination score (Shi et al. 2023): mean
+    // NLL of each doc's 20% most surprising positions under the q100
+    // model — a memorized doc has no surprising tail. Total (nll, pos)
+    // order pins the slice and the fold cross-engine.
+    "q243_min_k_prob" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val model = LanguageModel.trainBigram(
+        d.filter(col("source") === "src0"), "text")
+      LanguageModel.minKProbScore(d, "doc_id", "text", model, kPct = 20)
         .orderBy("doc_id")
     }),
     // DSIR importance resampling: hashed-bigram likelihood ratios
@@ -6129,6 +6163,31 @@ object SparkEntry {
     // q209: BRUTE-FORCE replay — the oracle is deliberately the cross
     // join + distance filter, so a pass proves the grid join finds
     // every qualifying pair exactly once
+    // q244: brute force + row_number over the same (dist_sq, r_id) order
+    "q244_knn_within_radius" ->
+      """WITH c AS (SELECT c_custkey AS lid,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+        |      || ':cx'), 1, 6)) AS BIGINT) % 10000000 AS x,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+        |      || ':cy'), 1, 6)) AS BIGINT) % 10000000 AS y
+        |  FROM customer WHERE c_nationkey = 3),
+        |s AS (SELECT s_suppkey AS rid,
+        |    CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)
+        |      || ':sx'), 1, 6)) AS BIGINT) % 10000000 AS x,
+        |    CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)
+        |      || ':sy'), 1, 6)) AS BIGINT) % 10000000 AS y
+        |  FROM supplier),
+        |cand AS (SELECT c.lid AS l_id, s.rid AS r_id,
+        |    CAST((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+        |      AS BIGINT) AS dist_sq
+        |  FROM c, s
+        |  WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+        |    <= 1000000000000),
+        |r AS (SELECT l_id, r_id, dist_sq, row_number()
+        |    OVER (PARTITION BY l_id ORDER BY dist_sq, r_id) AS rank
+        |  FROM cand)
+        |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
+        |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
     "q209_radius_join" ->
       """WITH c AS (SELECT c_custkey AS lid,
         |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
@@ -8350,6 +8409,40 @@ object SparkEntry {
     // bigram counts with a '<s>' BOS context, identical
     // ln((c+1)/(cc+V+1)) per position, identical position-ordered fold
     // (list_reduce with a prepended 0.0 seed == Spark's aggregate seed)
+    // q243: q100's NLL chain verbatim, then per-doc (nll DESC, i DESC)
+    // total order — identical slice boundary and fold order both engines
+    "q243_min_k_prob" ->
+      """WITH tks AS (SELECT doc_id, source,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |bg AS (SELECT doc_id, source, i,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS prev, tk[i] AS cur
+        |  FROM (SELECT doc_id, source, tk,
+        |        unnest(generate_series(1, len(tk))) AS i
+        |        FROM tks WHERE len(tk) >= 1)),
+        |cnt AS (SELECT prev, cur, count(*) AS c FROM bg
+        |  WHERE source = 'src0' GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(c) AS cc FROM cnt GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT cur) AS v FROM cnt),
+        |sc AS (SELECT bg.doc_id, i,
+        |    -ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
+        |        CAST(coalesce(cc, 0) + v + 1 AS DOUBLE)) AS nll
+        |  FROM bg LEFT JOIN cnt USING (prev, cur)
+        |    LEFT JOIN ctx USING (prev), vv),
+        |f AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    list(nll ORDER BY nll DESC, i DESC) AS l
+        |  FROM sc GROUP BY 1),
+        |g AS (SELECT doc_id, n_tokens,
+        |    greatest(CAST(1 AS BIGINT), (n_tokens * 20) // 100)
+        |      AS n_scored, l
+        |  FROM f)
+        |SELECT doc_id, n_tokens, n_scored,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_slice(l, 1, n_scored)), (a, b) -> a + b)
+        |    / CAST(n_scored AS DOUBLE), 4) AS min_k_avg_nll
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q100_lm_perplexity" ->
       """WITH tks AS (SELECT doc_id, source,
         |    list_filter(string_split(trim(regexp_replace(regexp_replace(

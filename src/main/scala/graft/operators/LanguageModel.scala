@@ -140,28 +140,7 @@ object LanguageModel {
   def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
                       model: DataFrame,
                       maxBroadcastRows: Long = 50000000L): DataFrame = {
-    // Pin the model: it feeds four consumers (count gate, pair join,
-    // context totals, vocabulary size) — without a barrier the training
-    // aggregation re-runs per consumer. An EMPTY model would score every
-    // document -ln(1) = 0 ("perfect") with no signal anything was wrong,
-    // so it fails loudly instead.
-    val gate = Gates.countedBroadcast(model, maxBroadcastRows)
-    require(gate.rows > 0,
-      "perplexityScore: the bigram model is empty (was the training " +
-        "slice empty or token-less?) — every score would be a vacuous 0")
-    val m = gate.pinned
-    val mSide = gate.side
-    val ctxSide = gate.of(m.groupBy("prev").agg(sum("c").as("cc")))
-    val stats = m.agg(countDistinct(col("cur")).as("v"))
-
-    val nll = bigrams(docs, idCol, textCol)
-      .join(mSide, Seq("prev", "cur"), "left")
-      .join(ctxSide, Seq("prev"), "left")
-      .crossJoin(broadcast(stats))
-      .select(col(idCol), col("pos"),
-        (-log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
-          (coalesce(col("cc"), lit(0L)) + col("v") + lit(1L)).cast("double")))
-          .as("nll"))
+    val nll = positionNll(docs, idCol, textCol, model, maxBroadcastRows)
     // Fixed-order left fold over (pos asc) — never a parallel double sum.
     nll.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
@@ -170,6 +149,71 @@ object LanguageModel {
         round(aggregate(sort_array(col("cl")), lit(0.0),
             (a, s) => a + s.getField("nll")) /
           col("n_tokens").cast("double"), 4).as("avg_nll"))
+  }
+
+  /** Per-position add-one bigram NLL `(idCol, pos, nll)` — the shared
+    * core of [[perplexityScore]] (mean over all positions) and
+    * [[minKProbScore]] (mean over the k% most surprising). */
+  private def positionNll(docs: DataFrame, idCol: String, textCol: String,
+                          model: DataFrame,
+                          maxBroadcastRows: Long): DataFrame = {
+    // Pin the model: it feeds four consumers (count gate, pair join,
+    // context totals, vocabulary size) — without a barrier the training
+    // aggregation re-runs per consumer. An EMPTY model would score every
+    // document -ln(1) = 0 ("perfect") with no signal anything was wrong,
+    // so it fails loudly instead.
+    val gate = Gates.countedBroadcast(model, maxBroadcastRows)
+    require(gate.rows > 0,
+      "the bigram model is empty (was the training slice empty or " +
+        "token-less?) — every score would be a vacuous 0")
+    val m = gate.pinned
+    val mSide = gate.side
+    val ctxSide = gate.of(m.groupBy("prev").agg(sum("c").as("cc")))
+    val stats = m.agg(countDistinct(col("cur")).as("v"))
+    bigrams(docs, idCol, textCol)
+      .join(mSide, Seq("prev", "cur"), "left")
+      .join(ctxSide, Seq("prev"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("pos"),
+        (-log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("cc"), lit(0L)) + col("v") + lit(1L)).cast("double")))
+          .as("nll"))
+  }
+
+  /** Min-K% Prob membership/contamination score (Shi et al. 2023,
+    * "Detecting Pretraining Data from Large Language Models",
+    * arXiv:2310.16789): the mean NLL of the `kPct`% MOST SURPRISING
+    * token positions under the model — a document the model has
+    * memorized has no surprising tail, so a LOW score flags a likely
+    * training member / benchmark leak. The outlier-focused complement
+    * of [[perplexityScore]]'s all-position mean.
+    *
+    * `n_scored = max(1, n_tokens·kPct div 100)` exact-integer
+    * positions, selected and folded in (nll desc, pos desc) order —
+    * the slice boundary and the sum order are total, so both engines
+    * pick the identical set and add in the identical order. Rounded to
+    * 4 decimals ([[perplexityScore]]'s convention).
+    *
+    * Scale shape: one bigram join against the broadcast(able) model,
+    * one per-doc aggregation; the sort is per-document, bounded by doc
+    * length. Output: `(idCol, n_tokens, n_scored, min_k_avg_nll)`. */
+  def minKProbScore(docs: DataFrame, idCol: String, textCol: String,
+                    model: DataFrame, kPct: Int = 20,
+                    maxBroadcastRows: Long = 50000000L): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, s"kPct ($kPct) must be in [1, 100]")
+    positionNll(docs, idCol, textCol, model, maxBroadcastRows)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        collect_list(struct(col("nll"), col("pos"))).as("cl"))
+      .select(col(idCol), col("n_tokens"),
+        greatest(lit(1L),
+          expr(s"(n_tokens * $kPct) div 100")).as("n_scored"),
+        col("cl"))
+      .select(col(idCol), col("n_tokens"), col("n_scored"),
+        round(aggregate(
+            slice(sort_array(col("cl"), asc = false), lit(1), col("n_scored")),
+            lit(0.0), (a, s) => a + s.getField("nll")) /
+          col("n_scored").cast("double"), 4).as("min_k_avg_nll"))
   }
 
   /** `(id, pos, p2, p1, cur)` trigram stream with a double-[[Bos]] pad —

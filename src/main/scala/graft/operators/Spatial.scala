@@ -75,4 +75,31 @@ object Spatial {
       .filter(col("dist_sq") <= lit(radius) * lit(radius))
       .select("l_id", "r_id", "dist_sq")
   }
+
+  /** k nearest neighbors WITHIN `radius` per left point — the bounded
+    * form of the spatial kNN join ("closest k stations within R"):
+    * [[radiusJoin]]'s exactly-once grid candidates ranked per left
+    * point by exact integer `(dist_sq, r_id)` (total order — ties
+    * break on the neighbor id) and cut at `k`.
+    *
+    * Bounded by construction: a left point with more than k neighbors
+    * inside R keeps the k nearest; one with fewer keeps them all (no
+    * ring expansion — an UNBOUNDED kNN search is a different operator
+    * with data-dependent work per point; at scale you pick R from the
+    * answer density you need). The per-left window is bounded by the
+    * in-radius candidate count, and Spark's WindowGroupLimit prunes to
+    * k per partition before the full sort.
+    *
+    * Output: `(l_id, rank, r_id, dist_sq)`, rank 1-based. */
+  def knnWithinRadius(left: DataFrame, right: DataFrame, idCol: String,
+                      xCol: String, yCol: String, radius: Long,
+                      k: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_id").orderBy(col("dist_sq"), col("r_id"))
+    radiusJoin(left, right, idCol, xCol, yCol, radius)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("l_id"), col("rank"), col("r_id"), col("dist_sq"))
+  }
 }

@@ -237,6 +237,29 @@ class LanguageModelSpec extends SparkFunSuite {
     }
   }
 
+  test("minKProbScore: hand NLL tail, slice boundary, kPct guard") {
+    // model on "a b": (<s>,a):1 (a,b):1, V=2; scoring "a b c" gives
+    // NLLs ln2 (pos1), ln2 (pos2), ln3 (pos3 — unseen bigram, unseen
+    // context: 1/(0+2+1))
+    val model = LanguageModel.trainBigram(Seq("a b").toDF("text"), "text")
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val top1 = LanguageModel.minKProbScore(docs, "doc_id", "text", model,
+      kPct = 34).head // 3*34 div 100 = 1 scored position
+    assert((top1.getLong(1), top1.getLong(2)) == (3L, 1L))
+    assert(top1.getDouble(3) == 1.0986) // round(ln 3, 4)
+    val top2 = LanguageModel.minKProbScore(docs, "doc_id", "text", model,
+      kPct = 67).head // 2 scored positions: (ln3 + ln2)/2
+    assert(top2.getLong(2) == 2L && top2.getDouble(3) == 0.8959)
+    // kPct=100 must equal perplexityScore's all-position mean
+    val all = LanguageModel.minKProbScore(docs, "doc_id", "text", model,
+      kPct = 100).head
+    val ppl = LanguageModel.perplexityScore(docs, "doc_id", "text", model).head
+    assert(all.getDouble(3) == ppl.getDouble(2))
+    intercept[IllegalArgumentException] {
+      LanguageModel.minKProbScore(docs, "doc_id", "text", model, kPct = 0)
+    }
+  }
+
   test("goodTuring: textbook count-of-counts, tail null, unseen mass") {
     // "a a a b b c": counts a=3 b=2 c=1; N_r = {1:1, 2:1, 3:1}; N=6
     val df = Seq("a a a b b c").toDF("text")

@@ -44,4 +44,38 @@ class SpatialSpec extends SparkFunSuite {
       Spatial.radiusJoin(l, r, "pid", "x", "y", radius = 0L)
     }
   }
+
+  test("knnWithinRadius ≡ brute-force top-k on the seeded cloud, tie on r_id") {
+    def lcg(s: Long): Long = (s * 6364136223846793005L + 1442695040888963407L)
+    val pts = (1 to 300).map { i =>
+      val a = lcg(i.toLong); val b = lcg(a)
+      (i.toLong, math.floorMod(a, 1000L) - 500L, math.floorMod(b, 1000L) - 500L)
+    }
+    val l = pts.take(150).toDF("pid", "x", "y")
+    val r = pts.drop(150).toDF("pid", "x", "y")
+    val got = Spatial.knnWithinRadius(l, r, "pid", "x", "y",
+        radius = 200L, k = 3)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2),
+        x.getLong(3))).toSet
+    val brute = pts.take(150).flatMap { case (li, lx, ly) =>
+      pts.drop(150)
+        .map { case (ri, rx, ry) =>
+          (ri, (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry)) }
+        .filter(_._2 <= 200L * 200L)
+        .sortBy { case (ri, d) => (d, ri) }
+        .take(3).zipWithIndex
+        .map { case ((ri, d), j) => (li, j + 1, ri, d) }
+    }.toSet
+    assert(brute.nonEmpty && got == brute)
+    // a left point with fewer than k in-radius neighbors keeps them all
+    val lone = Spatial.knnWithinRadius(
+      Seq((1L, 0L, 0L)).toDF("pid", "x", "y"),
+      Seq((10L, 3L, 4L)).toDF("pid", "x", "y"), "pid", "x", "y",
+      radius = 10L, k = 3).collect()
+    assert(lone.map(x => (x.getLong(0), x.getInt(1), x.getLong(2),
+      x.getLong(3))).toSeq == Seq((1L, 1, 10L, 25L)))
+    intercept[IllegalArgumentException] {
+      Spatial.knnWithinRadius(l, r, "pid", "x", "y", radius = 10L, k = 0)
+    }
+  }
 }
