@@ -2092,6 +2092,43 @@ object SparkEntry {
           "pid", "x", "y", radius = 1000000L, k = 3)
         .orderBy("l_id", "rank")
     }),
+    // Difference-in-differences on the q176 arm split: unit = (user,
+    // period), period cut at Jan 15, metric = exact decimal value sum.
+    // The 2x2 cell means, the Card-Krueger estimator, and the unpooled
+    // SE all derive from exact micro-unit sums in one fixed double chain.
+    "q245_diff_in_diff" -> ((s, dir) => {
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val units = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"), (col("ts") >= cut).as("is_post"))
+        .agg(sum(coalesce(col("value").cast("decimal(18,6)"),
+          lit(0L).cast("decimal(18,6)"))).as("y"))
+        .withColumn("is_treated",
+          substring(md5(concat(col("user_id").cast("string"), lit(":ab"))),
+            1, 1) >= "8")
+      Experiment.diffInDiff(units, "is_treated", "is_post", "y")
+        .orderBy("is_treated", "is_post")
+    }),
+    // Flesch readability: three exact integer counts (sentences off the
+    // raw text, words/syllables off the engine's canonical tokens) and
+    // the two classic scores as one fixed double chain over them.
+    "q246_readability" -> ((s, dir) => {
+      TextAnalysis.readability(Tables(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // Market-basket association rules over bucketed SKUs: per ordered
+    // pair support/confidence/lift from exact counts, q217's whole-
+    // basket skew cap, quoted denominators for auditability.
+    "q247_association_rules" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val inter = t.orders.filter(col("o_custkey") % 7 === 1)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+          (col("l_partkey") % 50).as("sku")), Seq("o_orderkey"))
+        .select(col("o_custkey"), col("sku"))
+      Similarity.associationRules(inter, "o_custkey", "sku", minCo = 3L)
+        .orderBy("antecedent", "consequent")
+    }),
     "q209_radius_join" -> ((s, dir) => {
       val t = Tables(s, dir)
       def coord(key: Column, tag: String) =
@@ -6188,6 +6225,113 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q245: identical exact micro-unit cell sums (HUGEINT, VARCHAR-routed
+    // to double), identical fixed-order mean/variance/DiD chain; the 2x2
+    // pivot pins the variance-sum fold order in both engines
+    "q245_diff_in_diff" ->
+      """WITH u AS (SELECT user_id,
+        |    substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1) >= '8'
+        |      AS is_treated,
+        |    ts >= TIMESTAMP '2024-01-15 00:00:00' AS is_post,
+        |    coalesce(CAST(value AS DECIMAL(18,6)),
+        |             CAST(0 AS DECIMAL(18,6))) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |uu AS (SELECT user_id, is_treated, is_post,
+        |    CAST(CAST(sum(v) AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yi
+        |  FROM u GROUP BY 1, 2, 3),
+        |c AS (SELECT is_treated, is_post,
+        |    CAST(count(*) AS BIGINT) AS n_units,
+        |    sum(yi) AS sy, sum(yi * yi) AS syy
+        |  FROM uu GROUP BY 1, 2),
+        |m AS (SELECT is_treated, is_post, n_units,
+        |    (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 1e6)
+        |      / CAST(n_units AS DOUBLE) AS mean_metric,
+        |    ((CAST(CAST(syy AS VARCHAR) AS DOUBLE) / 1e12
+        |      - (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 1e6)
+        |        * (CAST(CAST(sy AS VARCHAR) AS DOUBLE) / 1e6)
+        |        / CAST(n_units AS DOUBLE))
+        |     / (CAST(n_units AS DOUBLE) - 1.0))
+        |      / CAST(n_units AS DOUBLE) AS vn
+        |  FROM c),
+        |p AS (SELECT
+        |    max(CASE WHEN is_treated AND is_post THEN mean_metric END) AS mtp,
+        |    max(CASE WHEN is_treated AND NOT is_post THEN mean_metric END) AS mt0,
+        |    max(CASE WHEN NOT is_treated AND is_post THEN mean_metric END) AS mcp,
+        |    max(CASE WHEN NOT is_treated AND NOT is_post THEN mean_metric END) AS mc0,
+        |    max(CASE WHEN is_treated AND is_post THEN vn END) AS vtp,
+        |    max(CASE WHEN is_treated AND NOT is_post THEN vn END) AS vt0,
+        |    max(CASE WHEN NOT is_treated AND is_post THEN vn END) AS vcp,
+        |    max(CASE WHEN NOT is_treated AND NOT is_post THEN vn END) AS vc0,
+        |    min(n_units) AS minn
+        |  FROM m),
+        |v AS (SELECT
+        |    (mtp - mt0) - (mcp - mc0) AS did_estimate,
+        |    CASE WHEN minn < 2 OR vtp + vt0 + vcp + vc0 <= 0 THEN NULL
+        |         ELSE sqrt(vtp + vt0 + vcp + vc0) END AS se,
+        |    CASE WHEN minn < 2 OR vtp + vt0 + vcp + vc0 <= 0 THEN NULL
+        |         ELSE ((mtp - mt0) - (mcp - mc0))
+        |              / sqrt(vtp + vt0 + vcp + vc0) END AS t_stat
+        |  FROM p)
+        |SELECT is_treated, is_post, n_units, mean_metric,
+        |  did_estimate, se, t_stat
+        |FROM m CROSS JOIN v ORDER BY is_treated, is_post""".stripMargin,
+    // q246: same normalized-token chain as q100/q243, same three regex
+    // constants, same fixed-order double formula over exact integers
+    "q246_readability" ->
+      """WITH tks AS (SELECT doc_id, text,
+        |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(list_reduce(list_prepend(0, list_transform(tk,
+        |        w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+        |      (a, b) -> a + b) AS BIGINT) AS n_syllables
+        |  FROM tks),
+        |r AS (SELECT doc_id, n_sentences, n_words, n_syllables,
+        |    CAST(n_words AS DOUBLE)
+        |      / CAST(greatest(CAST(1 AS BIGINT), n_sentences) AS DOUBLE) AS wps,
+        |    CAST(n_syllables AS DOUBLE)
+        |      / CAST(greatest(CAST(1 AS BIGINT), n_words) AS DOUBLE) AS spw
+        |  FROM c)
+        |SELECT doc_id, n_sentences, n_words, n_syllables,
+        |  CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * wps
+        |    - CAST(84.6 AS DOUBLE) * spw AS flesch_ease,
+        |  CAST(0.39 AS DOUBLE) * wps + CAST(11.8 AS DOUBLE) * spw
+        |    - CAST(15.59 AS DOUBLE) AS fk_grade
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // q247: q217's capped-basket CTE chain, then support/confidence/lift
+    // as the same fixed-order divisions of exact counts
+    "q247_association_rules" ->
+      """WITH inter AS (SELECT DISTINCT o.o_custkey AS u,
+        |    l.l_partkey % 50 AS i
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey % 7 = 1),
+        |kept AS (SELECT u FROM (SELECT u, count(*) AS bs FROM inter
+        |  GROUP BY 1) WHERE bs <= 1000),
+        |capped AS (SELECT inter.u, inter.i FROM inter
+        |  JOIN kept ON kept.u = inter.u),
+        |nb AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_baskets
+        |  FROM capped),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM capped
+        |  GROUP BY 1),
+        |p AS (SELECT a.i AS antecedent, b.i AS consequent,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM capped a JOIN capped b ON b.u = a.u AND a.i <> b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p.antecedent, p.consequent, p.n_ab,
+        |  ca.ci AS n_a, cb.ci AS n_b, nb.n_baskets,
+        |  CAST(p.n_ab AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE) AS support,
+        |  CAST(p.n_ab AS DOUBLE) / CAST(ca.ci AS DOUBLE) AS confidence,
+        |  CAST(p.n_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+        |    / (CAST(ca.ci AS DOUBLE) * CAST(cb.ci AS DOUBLE)) AS lift
+        |FROM p JOIN ic ca ON ca.i = p.antecedent
+        |  JOIN ic cb ON cb.i = p.consequent
+        |  CROSS JOIN nb
+        |ORDER BY antecedent, consequent""".stripMargin,
     "q209_radius_join" ->
       """WITH c AS (SELECT c_custkey AS lid,
         |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)

@@ -202,6 +202,83 @@ object Experiment {
         col("frac_expected"), col("chi2_total"))
   }
 
+  /** Difference-in-differences (2×2): the quasi-experimental companion to
+    * [[abReport]] for launches WITHOUT randomization — did the treated
+    * group's metric move more pre→post than the control group's?
+    * `did = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)` (Card & Krueger
+    * 1994's canonical estimator), with the unpooled standard error
+    * `se = √(Σ_cells s²/n)` and `t = did / se`.
+    *
+    * Input is UNIT-PERIOD level — one row per (unit, period) with the
+    * metric and two BOOLEAN columns `treatedCol` / `postCol` (derive the
+    * 2×2 upstream; this operator must not guess the design). All four
+    * cells must be non-empty — a missing cell means the assignment or
+    * period derivation is broken and the estimate would be garbage
+    * (loud 1-row-bounded failure, [[srmCheck]]'s convention). A cell with
+    * fewer than 2 units (or zero variance everywhere) nulls `se`/`t_stat`
+    * but keeps the point estimate.
+    *
+    * Determinism is [[cupedAdjust]]'s contract: metric in exact integer
+    * micro-units (decimal(18,6) → ×10⁶, |y| < 10¹², Σy² in decimal(38,0)
+    * supports ~10⁸ units/cell at |y| ≤ 10⁹), every double derived from
+    * the exact sums through one fixed-order IEEE chain (cells pivoted
+    * into a single row, so the Σ s²/n fold order is pinned by the
+    * expression, not row order).
+    *
+    * Output: one row per cell `(is_treated, is_post, n_units,
+    * mean_metric)` plus the scalar verdict repeated per row
+    * (`did_estimate`, `se`, `t_stat`).
+    *
+    * Scale shape: ONE map-side-combined aggregation to three exact sums
+    * per cell (4 rows), a 4-row pivot, and a 1-row broadcast back —
+    * nothing unit-sized past the first shuffle. */
+  def diffInDiff(df: DataFrame, treatedCol: String, postCol: String,
+                 metricCol: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val yi = (col(metricCol).cast("decimal(18,6)") * lit(1000000L)).cast(d19)
+    val cells = df
+      .filter(col(treatedCol).isNotNull && col(postCol).isNotNull &&
+        col(metricCol).isNotNull)
+      .groupBy(col(treatedCol).as("is_treated"), col(postCol).as("is_post"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(yi).as("_sy"), sum(yi * yi).as("_syy"))
+      .localCheckpoint(false) // read thrice: cell rows, pivot, cell count
+    val nCells = cells.limit(5).count()
+    require(nCells == 4L,
+      s"expected all 4 (treated × post) cells, found $nCells — " +
+        "the design derivation upstream is not producing a 2×2")
+    def dbl(c: Column): Column = c.cast("double")
+    val nD = dbl(col("n_units"))
+    val mean = (dbl(col("_sy")) / lit(1.0e6)) / nD
+    // s² = (Σy² − (Σy)²/n) / (n−1) on the exact micro-unit sums; a
+    // singleton cell has no variance (null here, caught by the minn<2
+    // guard below — and the null must not reach the ANSI division)
+    val s2 = when(col("n_units") > 1L,
+      (dbl(col("_syy")) / lit(1.0e12) -
+        (dbl(col("_sy")) / lit(1.0e6)) * (dbl(col("_sy")) / lit(1.0e6)) / nD) /
+        (nD - lit(1.0))).otherwise(lit(null))
+    def cell(t: Boolean, p: Boolean, c: Column): Column =
+      max(when(col("is_treated") === t && col("is_post") === p, c))
+    val piv = cells.agg(
+      cell(true, true, mean).as("_mtp"), cell(true, false, mean).as("_mt0"),
+      cell(false, true, mean).as("_mcp"), cell(false, false, mean).as("_mc0"),
+      cell(true, true, s2 / nD).as("_vtp"), cell(true, false, s2 / nD).as("_vt0"),
+      cell(false, true, s2 / nD).as("_vcp"), cell(false, false, s2 / nD).as("_vc0"),
+      min(col("n_units")).as("_minn"))
+    val varSum = col("_vtp") + col("_vt0") + col("_vcp") + col("_vc0")
+    val verdict = piv.select(
+      ((col("_mtp") - col("_mt0")) - (col("_mcp") - col("_mc0")))
+        .as("did_estimate"),
+      when(col("_minn") < 2L || varSum <= 0.0, lit(null))
+        .otherwise(sqrt(varSum)).as("se"),
+      when(col("_minn") < 2L || varSum <= 0.0, lit(null))
+        .otherwise(((col("_mtp") - col("_mt0")) - (col("_mcp") - col("_mc0")))
+          / sqrt(varSum)).as("t_stat"))
+    cells.crossJoin(broadcast(verdict))
+      .select(col("is_treated"), col("is_post"), col("n_units"),
+        mean.as("mean_metric"), col("did_estimate"), col("se"), col("t_stat"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
     * nonparametric companion to [[cupedAdjust]]'s mean-based readout:
     * does arm B's metric STOCHASTICALLY dominate arm A's, robust to the

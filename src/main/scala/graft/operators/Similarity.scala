@@ -333,16 +333,7 @@ object Similarity {
     require(k >= 1, s"k ($k) must be >= 1")
     require(minCo >= 1L, s"minCo ($minCo) must be >= 1")
     require(maxBasket >= 2, s"maxBasket ($maxBasket) must be >= 2")
-    val inter = df
-      .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(userCol).as("_u"), col(itemCol).as("_i"))
-      .distinct()
-      .localCheckpoint(false) // sizes + capped re-read
-    val kept = inter.groupBy("_u").agg(count(lit(1)).as("_bs"))
-      .filter(col("_bs") <= maxBasket)
-      .select("_u")
-    val capped = inter.join(kept, Seq("_u"))
-      .localCheckpoint(false) // item counts + both pair sides
+    val capped = cappedBaskets(df, userCol, itemCol, maxBasket)
     val itemGate = Gates.countedBroadcast(
       capped.groupBy(col("_i")).agg(count(lit(1)).as("_ci")),
       maxBroadcastRows)
@@ -365,5 +356,77 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("item"), col("rank").cast("int").as("rank"),
         col("neighbor"), col("co"), col("jaccard"))
+  }
+
+  /** Distinct (user, item) interactions with over-sized baskets DROPPED
+    * WHOLE — the shared skew guard of [[itemNeighbors]] and
+    * [[associationRules]] (a crawler basket of n items fans out n² pairs
+    * and no signal). Checkpointed once: every consumer reads the capped
+    * table for sizes AND both self-join sides. */
+  private def cappedBaskets(df: DataFrame, userCol: String, itemCol: String,
+                            maxBasket: Int): DataFrame = {
+    val inter = df
+      .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(userCol).as("_u"), col(itemCol).as("_i"))
+      .distinct()
+      .localCheckpoint(false) // sizes + capped re-read
+    val kept = inter.groupBy("_u").agg(count(lit(1)).as("_bs"))
+      .filter(col("_bs") <= maxBasket)
+      .select("_u")
+    inter.join(kept, Seq("_u"))
+      .localCheckpoint(false) // item counts + both pair sides
+  }
+
+  /** Market-basket association rules (Agrawal & Srikant, "Fast algorithms
+    * for mining association rules", VLDB 1994 — the support/confidence
+    * framework; lift per Brin et al. SIGMOD 1997): for each ordered item
+    * pair (a → b) co-occurring in ≥ `minCo` baskets,
+    * `support = n_ab / N`, `confidence = n_ab / n_a`, and
+    * `lift = (n_ab · N) / (n_a · n_b)` — lift > 1 means b is
+    * over-represented in a's baskets vs its base rate.
+    *
+    * Baskets are distinct items per `userCol` key; the [[itemNeighbors]]
+    * skew guard applies verbatim (baskets over `maxBasket` dropped whole,
+    * all counts exact within the kept universe — the quoted counts
+    * `n_a`/`n_b`/`n_baskets` make the denominators auditable).
+    *
+    * Determinism: every count is an exact long; the three ratios are
+    * fixed-order double arithmetic over them — bit-identical
+    * cross-engine.
+    *
+    * Scale shape: identical to [[itemNeighbors]] — the pair fan-out is
+    * Σ_u basket(u)² bounded by maxBasket·|interactions|, the item-count
+    * attachments are gated broadcasts, and the scalar basket count rides
+    * a 1-row broadcast. Output: `(antecedent, consequent, n_ab, n_a,
+    * n_b, n_baskets, support, confidence, lift)`. */
+  def associationRules(df: DataFrame, userCol: String, itemCol: String,
+                       minCo: Long = 2L, maxBasket: Int = 1000,
+                       maxBroadcastRows: Long = 50000000L): DataFrame = {
+    require(minCo >= 1L, s"minCo ($minCo) must be >= 1")
+    require(maxBasket >= 2, s"maxBasket ($maxBasket) must be >= 2")
+    val capped = cappedBaskets(df, userCol, itemCol, maxBasket)
+    val nBaskets = capped.select("_u").distinct()
+      .agg(count(lit(1)).as("_nb"))
+    val itemGate = Gates.countedBroadcast(
+      capped.groupBy(col("_i")).agg(count(lit(1)).as("_ci")),
+      maxBroadcastRows)
+    val pairs = capped
+      .join(capped.select(col("_u"), col("_i").as("_j")), Seq("_u"))
+      .filter(col("_i") =!= col("_j"))
+      .groupBy("_i", "_j").agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    def dbl(c: Column): Column = c.cast("double")
+    pairs
+      .join(itemGate.of(itemGate.pinned), Seq("_i"))
+      .join(itemGate.of(itemGate.pinned
+        .select(col("_i").as("_j"), col("_ci").as("_cj"))), Seq("_j"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("_i").as("antecedent"), col("_j").as("consequent"),
+        col("co").as("n_ab"), col("_ci").as("n_a"), col("_cj").as("n_b"),
+        col("_nb").as("n_baskets"),
+        (dbl(col("co")) / dbl(col("_nb"))).as("support"),
+        (dbl(col("co")) / dbl(col("_ci"))).as("confidence"),
+        (dbl(col("co")) * dbl(col("_nb")) / (dbl(col("_ci")) * dbl(col("_cj"))))
+          .as("lift"))
   }
 }

@@ -79,6 +79,45 @@ object TextAnalysis {
   def normalized(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Flesch readability scoring (Flesch 1948; Kincaid et al. 1975): per
+    * document `n_sentences` ([.!?]+ runs in the RAW text, min 1),
+    * `n_words` ([[normalized]] whitespace tokens), `n_syllables` (per
+    * word, vowel-group `[aeiouy]+` runs, min 1 — the standard
+    * dictionary-free heuristic), and the two classic scores
+    * `flesch_ease = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)` and
+    * `fk_grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59`.
+    *
+    * Determinism: the three counts are exact integers from shared regex
+    * constants (any engine replaying them matches integer-for-integer);
+    * the scores are one fixed-order double chain over those integers —
+    * bit-identical cross-engine. Empty documents score with W and S
+    * floored at 1 (never a NaN).
+    *
+    * Scale shape: pure per-row column arithmetic — zero shuffles, fuses
+    * into the scan, whole-stage codegen. At 100 TB this is a map stage
+    * that pipelines with the parquet read. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = filter(split(normalized(col(textCol)), " "), w => w =!= "")
+    val nWords = size(words).cast("long")
+    val nSyll = aggregate(words, lit(0L), (acc, w) =>
+      acc + greatest(lit(1),
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))).cast("long"))
+    val nSent = greatest(lit(1),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))).cast("long")
+    df.select(col(idCol), nSent.as("n_sentences"), nWords.as("n_words"),
+        nSyll.as("n_syllables"))
+      .withColumn("_wps", col("n_words").cast("double") /
+        greatest(lit(1L), col("n_sentences")).cast("double"))
+      .withColumn("_spw", col("n_syllables").cast("double") /
+        greatest(lit(1L), col("n_words")).cast("double"))
+      .select(col(idCol), col("n_sentences"), col("n_words"),
+        col("n_syllables"),
+        (lit(206.835) - lit(1.015) * col("_wps") - lit(84.6) * col("_spw"))
+          .as("flesch_ease"),
+        (lit(0.39) * col("_wps") + lit(11.8) * col("_spw") - lit(15.59))
+          .as("fk_grade"))
+  }
+
   /** THE shared term-frequency intermediate: `(idCol, carryCols…, term,
     * tf)` from one tokenize + aggregation pass over the corpus, pinned
     * with a lazy localCheckpoint so the first consumer materializes it

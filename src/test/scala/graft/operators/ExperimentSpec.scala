@@ -145,4 +145,52 @@ class ExperimentSpec extends SparkFunSuite {
       Experiment.srmCheck(df, "arm", "u", Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("diffInDiff: hand-replayed 2x2 estimator, SE, cell means") {
+    // treated-post {5,7}, treated-pre {1,1,4}, control-post {2,4},
+    // control-pre {1,3}; a null metric row is excluded
+    val units = Seq(
+      (true, true, Some(5.0)), (true, true, Some(7.0)),
+      (true, false, Some(1.0)), (true, false, Some(1.0)),
+      (true, false, Some(4.0)),
+      (false, true, Some(2.0)), (false, true, Some(4.0)),
+      (false, false, Some(1.0)), (false, false, Some(3.0)),
+      (false, false, Option.empty[Double])
+    ).toDF("t", "p", "y")
+    val got = Experiment.diffInDiff(units, "t", "p", "y")
+      .orderBy("is_treated", "is_post").collect()
+    // means: c-pre 2, c-post 3, t-pre 2, t-post 6
+    assert(got.map(r => (r.getBoolean(0), r.getBoolean(1), r.getLong(2),
+      r.getDouble(3))).toSeq == Seq(
+      (false, false, 2L, 2.0), (false, true, 2L, 3.0),
+      (true, false, 3L, 2.0), (true, true, 2L, 6.0)))
+    // did = (6-2) - (3-2) = 3; s2/n: t-post 2/2, t-pre 3/3, c-post 2/2,
+    // c-pre 2/2 -> varSum 4, se 2, t 1.5 (exact doubles, replayed)
+    val r0 = got(0)
+    assert(r0.getDouble(4) == 3.0 && r0.getDouble(5) == 2.0 &&
+      r0.getDouble(6) == 1.5)
+    assert(got.forall(r => r.getDouble(4) == 3.0 && r.getDouble(5) == 2.0),
+      "scalar verdict repeats on every cell row")
+  }
+
+  test("diffInDiff: singleton cell keeps the estimate but nulls se/t") {
+    val units = Seq(
+      (true, true, 6.0),
+      (true, false, 1.0), (true, false, 3.0),
+      (false, true, 2.0), (false, true, 4.0),
+      (false, false, 1.0), (false, false, 3.0)
+    ).toDF("t", "p", "y")
+    val got = Experiment.diffInDiff(units, "t", "p", "y")
+      .orderBy("is_treated", "is_post").collect()
+    assert(got(0).getDouble(4) == (6.0 - 2.0) - (3.0 - 2.0))
+    assert(got(0).isNullAt(5) && got(0).isNullAt(6))
+  }
+
+  test("diffInDiff: a missing cell fails loudly") {
+    val units = Seq((true, true, 1.0), (true, false, 2.0),
+      (false, true, 3.0)).toDF("t", "p", "y")
+    intercept[IllegalArgumentException] {
+      Experiment.diffInDiff(units, "t", "p", "y")
+    }
+  }
 }

@@ -299,4 +299,31 @@ class SimilaritySpec extends SparkFunSuite {
       Similarity.itemNeighbors(df, "u", "i", maxBasket = 1)
     }
   }
+
+  test("associationRules: hand support/confidence/lift, cap, minCo") {
+    val df = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (2L, "B"), // dup interaction collapses
+      (3L, "A"), (3L, "B"),
+      (4L, "C"), (4L, "D"),
+      // firehose basket of 5 > maxBasket=4: dropped whole
+      (5L, "A"), (5L, "B"), (5L, "C"), (5L, "D"), (5L, "E"))
+      .toDF("u", "i")
+    // kept baskets: 1{A,B,C} 2{A,B} 3{A,B} 4{C,D}; N=4
+    // counts: A=3 B=3 C=2 D=1; co(A,B)=3, co(A,C)=1, co(B,C)=1, co(C,D)=1
+    // minCo=2 keeps only the two A/B directions
+    val got = Similarity.associationRules(df, "u", "i", minCo = 2L,
+        maxBasket = 4)
+      .orderBy("antecedent", "consequent").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8))).toSeq
+    val lift = 3.0 * 4.0 / (3.0 * 3.0)
+    assert(got == Seq(
+      ("A", "B", 3L, 3L, 3L, 4L, 3.0 / 4.0, 1.0, lift),
+      ("B", "A", 3L, 3L, 3L, 4L, 3.0 / 4.0, 1.0, lift)))
+    intercept[IllegalArgumentException] {
+      Similarity.associationRules(df, "u", "i", minCo = 0L)
+    }
+  }
 }

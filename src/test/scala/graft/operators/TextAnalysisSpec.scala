@@ -173,4 +173,27 @@ class TextAnalysisSpec extends SparkFunSuite {
       TextAnalysis.lognormalFit(df, Seq.empty, "len")
     }
   }
+
+  test("readability: hand-counted sentences/words/syllables and exact scores") {
+    val docs = Seq(
+      (1L, "Hello world. This is a test!"),
+      (2L, ""),                  // floors: S=1, W=1 in the ratios
+      (3L, "tv hmm")             // vowel-free words still count 1 syllable
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: sentences [.!?]+ runs = 2; words = 6;
+    // syllables: hello 2, world 1, this 1, is 1, a 1, test 1 = 7
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 6L &&
+      got(0).getLong(3) == 7L)
+    val wps = 6.0 / 2.0; val spw = 7.0 / 6.0
+    assert(got(0).getDouble(4) == 206.835 - 1.015 * wps - 84.6 * spw)
+    assert(got(0).getDouble(5) == 0.39 * wps + 11.8 * spw - 15.59)
+    // empty doc: zero words/syllables, floored denominators, no NaN
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 0L &&
+      got(1).getLong(3) == 0L)
+    assert(got(1).getDouble(4) == 206.835 && got(1).getDouble(5) == -15.59)
+    // vowel-free words: y counts as a vowel, pure consonants floor at 1
+    assert(got(2).getLong(2) == 2L && got(2).getLong(3) == 2L)
+  }
 }
