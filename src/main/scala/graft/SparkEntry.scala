@@ -2092,6 +2092,32 @@ object SparkEntry {
           "pid", "x", "y", radius = 1000000L, k = 3)
         .orderBy("l_id", "rank")
     }),
+    // HITS hubs/authorities over the bipartite buyer->supplier graph
+    // (supplier ids offset by 1e9 so the two key spaces cannot collide).
+    // Exact integer fixed-point with L1 renormalization; 2 rounds.
+    "q248_hits" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.filter(col("o_custkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+          (col("l_suppkey") + 1000000000L).as("supp")), Seq("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("supp").as("dst"))
+      Graph.hits(edges, "src", "dst", iters = 2).orderBy("node")
+    }),
+    // Deterministic synchronous label propagation on the co-supplier
+    // graph: own-id init, most-frequent-neighbor-label updates with
+    // min-label ties, 3 fixed rounds — replayed round-for-round.
+    "q249_label_propagation" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("a"))
+        .join(li.select(col("ok"), col("sk").as("b")), "ok")
+        .filter(col("a") =!= col("b"))
+        .select("a", "b")
+      Graph.labelPropagation(edges, "a", "b", iters = 3).orderBy("node")
+    }),
     // Difference-in-differences on the q176 arm split: unit = (user,
     // period), period cut at Jan 15, metric = exact decimal value sum.
     // The 2x2 cell means, the Card-Krueger estimator, and the unpooled
@@ -6225,6 +6251,66 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q248: q190's integer-for-integer replay discipline — HUGEINT
+    // inflow sums, the same (raw * scale) // total renormalization,
+    // both rounds unrolled
+    "q248_hits" -> {
+      val S = graft.operators.Graph.RankScale
+      val rounds = (1 to 2).map { i =>
+        val prevH = if (i == 1) "h0" else s"h${i - 1}"
+        s"""ar$i AS (SELECT e.d AS node, sum(CAST(h.h AS HUGEINT)) AS ar
+           |  FROM e JOIN $prevH h ON h.node = e.s GROUP BY 1),
+           |at$i AS (SELECT sum(ar) AS at FROM ar$i),
+           |a$i AS (SELECT nd.node,
+           |    CAST(CASE WHEN ar.ar IS NULL THEN 0
+           |         ELSE (ar.ar * $S) // t.at END AS BIGINT) AS a
+           |  FROM nodes nd CROSS JOIN at$i t
+           |  LEFT JOIN ar$i ar ON ar.node = nd.node),
+           |hr$i AS (SELECT e.s AS node, sum(CAST(a.a AS HUGEINT)) AS hr
+           |  FROM e JOIN a$i a ON a.node = e.d GROUP BY 1),
+           |ht$i AS (SELECT sum(hr) AS ht FROM hr$i),
+           |h$i AS (SELECT nd.node,
+           |    CAST(CASE WHEN hr.hr IS NULL THEN 0
+           |         ELSE (hr.hr * $S) // t.ht END AS BIGINT) AS h
+           |  FROM nodes nd CROSS JOIN ht$i t
+           |  LEFT JOIN hr$i hr ON hr.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT o.o_custkey AS s,
+         |    l.l_suppkey + 1000000000 AS d
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |  WHERE o.o_custkey % 5 = 0),
+         |nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |h0 AS (SELECT node, CAST($S // nn.n AS BIGINT) AS h
+         |  FROM nodes CROSS JOIN nn),
+         |$rounds
+         |SELECT a.node, a.a AS authority_e12, h.h AS hub_e12,
+         |  CAST(a.a AS DOUBLE) / 1e12 AS authority,
+         |  CAST(h.h AS DOUBLE) / 1e12 AS hub
+         |FROM a2 a JOIN h2 h ON h.node = a.node ORDER BY a.node""".stripMargin
+    },
+    // q249: three unrolled most-frequent-neighbor-label rounds, ties to
+    // the smallest label via the window order
+    "q249_label_propagation" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""c$i AS (SELECT e.u AS node, l.label AS lbl,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM e JOIN $prev l ON l.node = e.v GROUP BY 1, 2),
+           |l$i AS (SELECT node, lbl AS label FROM (
+           |    SELECT node, lbl, row_number()
+           |      OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+           |    FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem WHERE l_orderkey % 20 = 0),
+         |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok WHERE a.sk <> b.sk),
+         |nodes AS (SELECT DISTINCT u AS node FROM e),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$rounds
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+    },
     // q245: identical exact micro-unit cell sums (HUGEINT, VARCHAR-routed
     // to double), identical fixed-order mean/variance/DiD chain; the 2x2
     // pivot pins the variance-sum fold order in both engines

@@ -492,4 +492,145 @@ object Graph {
         when(col("_m2") === 0L || den === 0.0, lit(null))
           .otherwise(num / den).as("assortativity"))
   }
+
+  /** HITS hubs and authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999) over a DIRECTED edge list, in
+    * [[pageRank]]'s exact integer fixed-point — the classic bipartite
+    * use (buyers → products) ranks hubs and authorities jointly where
+    * PageRank's single score cannot separate the two roles.
+    *
+    * Arithmetic contract (all integer; divisions are floor-divides of
+    * non-negative operands, so Spark `div` ≡ DuckDB `//`):
+    *   - `h₀ = RankScale div n` for every node;
+    *   - authority inflow `a_raw(v) = Σ_{u→v} h(u)` accumulated in
+    *     decimal(38,0) (a hub destination is a heavy reduce key, never
+    *     an overflow);
+    *   - L1 renormalization `a = (a_raw · RankScale) div Σ a_raw` —
+    *     exact 38-digit multiply-then-divide, so Σa returns to
+    *     RankScale minus ≤ n floor-retired units;
+    *   - hub outflow `h_raw(u) = Σ_{u→v} a(v)`, renormalized the same
+    *     way. (The classical L2 norm needs a square root and would
+    *     break integer exactness; with a fixed iteration count the L1
+    *     scaling ranks identically.)
+    * Runs a FIXED `iters` rounds — bounded, deterministic,
+    * oracle-replayable. Cleaning as [[pageRank]] (nulls, self-loops,
+    * parallel edges). Requires n < 10¹³ so the renormalization multiply
+    * stays inside 38 digits (ANSI overflow fails loudly, not silently).
+    *
+    * Output `(node, authority_e12, hub_e12, authority, hub)` for every
+    * node — sinks carry hub 0, sources authority 0.
+    *
+    * Scale shape: per round, two rank⋈edges shuffle joins (one per
+    * direction) with map-side-combined sums, and two 1-row totals that
+    * ride broadcast crossJoins — nothing node-sized on the driver. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    val reserved = Seq("_s", "_d", "_h", "_a", "_ar", "_hr", "_at", "_ht", "node")
+    require(!edges.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    val e = edges
+      .select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull &&
+        col("_s") =!= col("_d"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("_s").as("node"))
+      .union(e.select(col("_d").as("node")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0L)
+      return nodes.select(col("node"), lit(0L).as("authority_e12"),
+        lit(0L).as("hub_e12"), lit(0.0).as("authority"), lit(0.0).as("hub"))
+    val d38 = "decimal(38,0)"
+    def renorm(raw: String, tot: String): Column =
+      expr(s"(CAST($raw AS DECIMAL(38,0)) * " +
+        s"CAST($RankScale AS DECIMAL(38,0))) div $tot")
+    var h = nodes.select(col("node"), lit(RankScale / n).as("_h"))
+      .localCheckpoint(false)
+    var a = nodes.select(col("node"), lit(0L).as("_a"))
+    for (_ <- 1 to iters) {
+      val araw = e.join(h.withColumnRenamed("node", "_s"), Seq("_s"))
+        .groupBy(col("_d")).agg(sum(col("_h").cast(d38)).as("_ar"))
+        .localCheckpoint(false) // total + renormalized read
+      val atot = araw.agg(sum(col("_ar")).as("_at"))
+      a = nodes
+        .join(araw.withColumnRenamed("_d", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(atot))
+        .select(col("node"),
+          when(col("_ar").isNull, lit(0L))
+            .otherwise(renorm("_ar", "_at")).as("_a"))
+        .localCheckpoint(false)
+      val hraw = e.join(a.withColumnRenamed("node", "_d"), Seq("_d"))
+        .groupBy(col("_s")).agg(sum(col("_a").cast(d38)).as("_hr"))
+        .localCheckpoint(false)
+      val htot = hraw.agg(sum(col("_hr")).as("_ht"))
+      h = nodes
+        .join(hraw.withColumnRenamed("_s", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(htot))
+        .select(col("node"),
+          when(col("_hr").isNull, lit(0L))
+            .otherwise(renorm("_hr", "_ht")).as("_h"))
+        .localCheckpoint(false)
+    }
+    a.join(h, Seq("node"))
+      .select(col("node"), col("_a").as("authority_e12"),
+        col("_h").as("hub_e12"),
+        (col("_a").cast("double") / lit(RankScale.toDouble)).as("authority"),
+        (col("_h").cast("double") / lit(RankScale.toDouble)).as("hub"))
+  }
+
+  /** Synchronous label propagation community detection (Raghavan et al.,
+    * "Near linear time algorithm to detect community structures in
+    * large-scale networks", Phys. Rev. E 2007), made DETERMINISTIC: every
+    * node starts with its own id as label; each round every node adopts
+    * the most frequent label among its neighbors, ties broken by the
+    * SMALLEST label (the original's random tie-break is replaced so two
+    * engines replaying the rounds agree exactly), all nodes updating
+    * simultaneously from the previous round's labels. Runs a FIXED
+    * `iters` rounds — the async/convergence variant is
+    * non-deterministic by construction and cannot be oracle-gated.
+    *
+    * Input is undirected: edges are symmetrized, nulls/self-loops
+    * dropped, parallel edges collapsed. Labels inherit the node id type
+    * (any orderable key).
+    *
+    * Output: `(node, label)` — nodes sharing a label after the fixed
+    * rounds are one detected community.
+    *
+    * Scale shape: per round, ONE labels⋈edges shuffle join on the
+    * neighbor key + a map-side-combined (node, label) count + a
+    * per-node argmax as `min(struct(−count, label))` — an aggregate,
+    * NEVER a per-node sort window; a celebrity node is a heavy reduce
+    * key with partial aggregation, not a single-task sort. Labels are
+    * localCheckpoint'd per round so lineage stays flat. */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    val reserved = Seq("_a", "_b", "_l", "_c", "_m", "node", "label")
+    require(!edges.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    val half = edges
+      .select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+    val sym = half
+      .union(half.select(col("_b").as("_a"), col("_a").as("_b")))
+      .distinct().localCheckpoint(true)
+    val nodes = sym.select(col("_a").as("node"))
+      .distinct().localCheckpoint(true)
+    var lbl = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val counts = sym
+        .join(lbl.select(col("node").as("_b"), col("label").as("_l")),
+          Seq("_b"))
+        .groupBy(col("_a"), col("_l")).agg(count(lit(1)).as("_c"))
+      lbl = counts
+        .groupBy(col("_a"))
+        .agg(min(struct((-col("_c")).as("nc"), col("_l").as("l"))).as("_m"))
+        .select(col("_a").as("node"), col("_m.l").as("label"))
+        .localCheckpoint(false)
+    }
+    lbl
+  }
 }

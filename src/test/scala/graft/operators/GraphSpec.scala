@@ -236,4 +236,39 @@ class GraphSpec extends SparkFunSuite {
       Graph.shortestPaths(neg, "src", "dst", "w", src, "node").collect()
     }
   }
+
+  test("hits: hand-replayed integer fixed-point on a bipartite graph") {
+    // hubs 1,2,3 -> authorities 10,11; node 2 links both; a parallel
+    // edge and a self-loop drop in cleaning
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 10L), (2L, 11L), (3L, 11L),
+      (7L, 7L)).toDF("s", "d")
+    val got = Graph.hits(e, "s", "d", iters = 2).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // S=1e12, n=5, h0=2e11 each; round 1: ar(10)=ar(11)=4e11, at=8e11
+    // -> a=5e11 each; hr=(5e11,1e12,5e11), ht=2e12 -> h=(2.5e11,5e11,
+    // 2.5e11); round 2 reproduces the same normalized values
+    assert(got == Seq(
+      (1L, 0L, 250000000000L), (2L, 0L, 500000000000L),
+      (3L, 0L, 250000000000L),
+      (10L, 500000000000L, 0L), (11L, 500000000000L, 0L)))
+    val doubles = Graph.hits(e, "s", "d", iters = 2)
+      .filter(org.apache.spark.sql.functions.col("node") === 2L).collect()(0)
+    assert(doubles.getDouble(3) == 0.0 && doubles.getDouble(4) == 0.5)
+    intercept[IllegalArgumentException] { Graph.hits(e, "s", "d", iters = 0) }
+  }
+
+  test("labelPropagation: hand-replayed sync rounds, min-label ties") {
+    // path 1-2-3-4-5: three sync rounds land on [2,1,2,1,2]
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.labelPropagation(path, "a", "b", iters = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L), (3L, 2L), (4L, 1L), (5L, 2L)))
+    // two disjoint triangles each converge to their min label
+    val tris = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (7L, 8L), (8L, 9L), (7L, 9L)).toDF("a", "b")
+    val comm = Graph.labelPropagation(tris, "a", "b", iters = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(comm == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (7L, 7L), (8L, 7L), (9L, 7L)))
+  }
 }
