@@ -2092,6 +2092,31 @@ object SparkEntry {
           "pid", "x", "y", radius = 1000000L, k = 3)
         .orderBy("l_id", "rank")
     }),
+    // Embedding drift matrix: pairwise cosine between per-label
+    // centroids — q64's quantized means, folded in position order (a
+    // parallel double sum would be order-dependent; the sorted fold
+    // is not).
+    "q250_centroid_drift" -> ((s, dir) => {
+      Similarity.centroidCosineMatrix(Tables(s, dir).embeddings,
+          "label", "embedding")
+        .orderBy("key_a", "key_b")
+    }),
+    // Grid-bucketed DBSCAN on the hashed customer cloud: exact integer
+    // neighborhoods, large-star/small-star components over core-core
+    // pairs, min-pinned border assignment. The oracle is the brute-force
+    // cross + a recursive-CTE reachability closure — a pass proves the
+    // grid AND the CC lose nothing.
+    "q251_dbscan" -> ((s, dir) => {
+      def coord(key: Column, tag: String) =
+        conv(substring(md5(concat(key.cast("string"), lit(tag))), 1, 6),
+          16, 10).cast("long") % 10000000L
+      val pts = Tables(s, dir).customer.filter(col("c_nationkey") === 3)
+        .select(col("c_custkey").as("pid"),
+          coord(col("c_custkey"), ":cx").as("x"),
+          coord(col("c_custkey"), ":cy").as("y"))
+      Spatial.dbscan(pts, "pid", "x", "y", eps = 500000L, minPts = 5)
+        .orderBy("id")
+    }),
     // HITS hubs/authorities over the bipartite buyer->supplier graph
     // (supplier ids offset by 1e9 so the two key spaces cannot collide).
     // Exact integer fixed-point with L1 renormalization; 2 rounds.
@@ -6251,6 +6276,82 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q250: q64's centroid chain verbatim, pair join on pos, and the
+    // three folds replayed INDEX-ORDERED over pos-sorted lists (no
+    // struct lambdas — the DuckDB 1.0 list_reduce struct bug is routed
+    // around exactly as in q212)
+    "q250_centroid_drift" ->
+      """WITH t AS (SELECT label, embedding AS emb FROM embeddings),
+        |e AS (SELECT label, unnest(generate_series(1, len(emb))) AS p,
+        |    emb FROM t),
+        |e2 AS (SELECT label, CAST(p - 1 AS BIGINT) AS pos,
+        |    CAST(floor(CAST(emb[p] AS DOUBLE) * CAST(1e10 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q FROM e),
+        |c AS (SELECT label, pos,
+        |    CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      / CAST(1e10 AS DOUBLE) AS c,
+        |    CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM e2 GROUP BY 1, 2),
+        |p2 AS (SELECT a.label AS key_a, b.label AS key_b,
+        |    a.n_vecs AS n_a, b.n_vecs AS n_b, a.pos,
+        |    a.c AS ca, b.c AS cb
+        |  FROM c a JOIN c b ON b.pos = a.pos AND a.label < b.label),
+        |f AS (SELECT key_a, key_b, max(n_a) AS n_a, max(n_b) AS n_b,
+        |    list(ca ORDER BY pos) AS la, list(cb ORDER BY pos) AS lb
+        |  FROM p2 GROUP BY 1, 2),
+        |g AS (SELECT key_a, key_b, n_a, n_b,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(la)),
+        |        i -> la[i] * lb[i])), (x, y) -> x + y) AS dot,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(la)),
+        |        i -> la[i] * la[i])), (x, y) -> x + y) AS qa,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(lb)),
+        |        i -> lb[i] * lb[i])), (x, y) -> x + y) AS qb
+        |  FROM f)
+        |SELECT key_a, key_b, n_a, n_b,
+        |  CASE WHEN qa = 0 OR qb = 0 THEN NULL
+        |       ELSE dot / (sqrt(qa) * sqrt(qb)) END AS cosine
+        |FROM g ORDER BY key_a, key_b""".stripMargin,
+    // q251: BRUTE-FORCE replay — cross-join neighborhoods, core flags,
+    // recursive-CTE reachability closure for the components (min label
+    // per node), min-pinned border assignment
+    "q251_dbscan" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey AS id,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+        |      || ':cx'), 1, 6)) AS BIGINT) % 10000000 AS x,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+        |      || ':cy'), 1, 6)) AS BIGINT) % 10000000 AS y
+        |  FROM customer WHERE c_nationkey = 3),
+        |p AS (SELECT a.id AS l, b.id AS r FROM c a JOIN c b
+        |  ON a.id <> b.id
+        |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    <= 250000000000),
+        |n AS (SELECT c.id, CAST(coalesce(q.cnt, 0) + 1 AS BIGINT) AS n_nbrs
+        |  FROM c LEFT JOIN (SELECT l, count(*) AS cnt FROM p GROUP BY 1) q
+        |    ON q.l = c.id),
+        |f AS (SELECT id, n_nbrs, n_nbrs >= 5 AS is_core FROM n),
+        |ce AS (SELECT p.l AS a, p.r AS b FROM p
+        |  JOIN f fa ON fa.id = p.l JOIN f fb ON fb.id = p.r
+        |  WHERE fa.is_core AND fb.is_core),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM ce)
+        |  UNION
+        |  SELECT ce.b, reach.lbl FROM reach JOIN ce ON ce.a = reach.node),
+        |comp AS (SELECT node AS id, min(lbl) AS cl FROM reach GROUP BY 1),
+        |corecl AS (SELECT f.id, coalesce(comp.cl, f.id) AS cl
+        |  FROM f LEFT JOIN comp ON comp.id = f.id WHERE f.is_core),
+        |bm AS (SELECT p.l AS id, min(k.cl) AS bc FROM p
+        |  JOIN corecl k ON k.id = p.r GROUP BY 1)
+        |SELECT f.id, f.n_nbrs,
+        |  CASE WHEN f.is_core THEN 'core'
+        |       WHEN bm.bc IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  CASE WHEN f.is_core THEN corecl.cl ELSE bm.bc END AS cluster
+        |FROM f LEFT JOIN corecl ON corecl.id = f.id
+        |  LEFT JOIN bm ON bm.id = f.id
+        |ORDER BY f.id""".stripMargin,
     // q248: q190's integer-for-integer replay discipline — HUGEINT
     // inflow sums, the same (raw * scale) // total renormalization,
     // both rounds unrolled

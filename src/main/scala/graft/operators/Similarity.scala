@@ -194,6 +194,50 @@ object Similarity {
           count(lit(1)).cast("double") / lit(quantScale)).as("c"),
         count(lit(1)).as("n_vecs"))
 
+  /** Pairwise cosine similarity between per-group [[centroids]] — the
+    * embedding-space DRIFT matrix ("how far has source B's embedding
+    * distribution rotated from source A's?"), the semantic companion to
+    * [[graft.operators.Profile.psiDrift]]'s per-feature view. One row
+    * per unordered group pair `(key_a < key_b)` with both group sizes
+    * quoted.
+    *
+    * Determinism: centroid elements are [[centroids]]' bit-identical
+    * quantized means; the dot product and the two norms fold the
+    * (groups × dims)-sized centroid table in POSITION order via one
+    * sorted collect per pair — parallel double sums would be
+    * order-dependent, a pos-ordered fold is not. `sqrt` is IEEE-exact;
+    * degenerate all-zero centroids yield null cosine rather than NaN.
+    *
+    * Scale shape: [[centroids]]' one corpus-sized shuffle, then
+    * everything downstream is (groups × dims)-sized — the pair join,
+    * the sorted collects, the folds. At 100 TB the matrix costs one
+    * pass over the vectors plus vocabulary-sized work. */
+  def centroidCosineMatrix(df: DataFrame, keyCol: String, vecCol: String,
+                           quantScale: Double = 1.0e10): DataFrame = {
+    val c = centroids(df, keyCol, vecCol, quantScale)
+      .select(col(keyCol).as("_k"), col("pos"), col("c"), col("n_vecs"))
+      .localCheckpoint(false) // both sides of the pair join
+    val pairs = c.select(col("_k").as("key_a"), col("pos"),
+        col("c").as("_ca"), col("n_vecs").as("n_a"))
+      .join(c.select(col("_k").as("key_b"), col("pos"),
+        col("c").as("_cb"), col("n_vecs").as("n_b")), Seq("pos"))
+      .filter(col("key_a") < col("key_b"))
+    def fold(t: Column, f: (Column, Column) => Column): Column =
+      aggregate(t, lit(0.0), (acc, e) => acc + f(e("_ca"), e("_cb")))
+    pairs.groupBy("key_a", "key_b")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sort_array(collect_list(struct(col("pos"), col("_ca"),
+          col("_cb")))).as("_t"))
+      .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
+        fold(col("_t"), (a, b) => a * b).as("_dot"),
+        fold(col("_t"), (a, _) => a * a).as("_qa"),
+        fold(col("_t"), (_, b) => b * b).as("_qb"))
+      .select(col("key_a"), col("key_b"), col("n_a"), col("n_b"),
+        when(col("_qa") === 0.0 || col("_qb") === 0.0, lit(null))
+          .otherwise(col("_dot") / (sqrt(col("_qa")) * sqrt(col("_qb"))))
+          .as("cosine"))
+  }
+
   /** Per-DIMENSION standardization (z-score) of an embedding column — the
     * preprocessing step before distance-based ANN/clustering when feature
     * scales differ. Output is exploded `(idCol, pos, v, z)` (reassemble

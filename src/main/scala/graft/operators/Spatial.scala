@@ -102,4 +102,74 @@ object Spatial {
       .filter(col("rank") <= k)
       .select(col("l_id"), col("rank"), col("r_id"), col("dist_sq"))
   }
+
+  /** DBSCAN density clustering (Ester, Kriegel, Sander & Xu, KDD 1996)
+    * over integer planar points, relational and grid-bucketed — no
+    * cartesian product, no driver-side graph:
+    *   - ε-neighborhood sizes from ONE self [[radiusJoin]] (the
+    *     neighborhood includes the point itself, the paper's |N_ε(p)|);
+    *   - `core` ⇔ n_nbrs ≥ `minPts`;
+    *   - clusters = connected components over core–core ε-pairs via
+    *     [[DupClusters.components]] (large-star/small-star, ≤ 2·log₂n
+    *     rounds) — cluster id = the component's minimum point id;
+    *   - `border` = non-core within ε of ≥ 1 core, assigned the MINIMUM
+    *     cluster id among its core neighbors (the paper leaves border
+    *     assignment order-dependent; the min pins it so two engines
+    *     agree);
+    *   - everything else is `noise` (null cluster).
+    *
+    * Determinism: every quantity is an exact integer or a min over
+    * integers — no floats anywhere. Coordinate/radius bounds are
+    * [[radiusJoin]]'s.
+    *
+    * Scale shape: the ε-pair table is built once (grid equi-join,
+    * checkpointed) and reused for counts, core–core edges, and border
+    * assignment; neighbor counts and border mins are map-side-combined
+    * aggregations; components is the repo's scale-proof CC. Density
+    * skew (a dense blob in one cell) degrades to that cell's local
+    * product — DBSCAN's inherent output bound — while all other cells
+    * proceed in parallel.
+    *
+    * Output: `(id, n_nbrs, role ∈ {core,border,noise}, cluster)`. */
+  def dbscan(points: DataFrame, idCol: String, xCol: String, yCol: String,
+             eps: Long, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts ($minPts) must be >= 1")
+    val pts = points
+      .filter(col(idCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(idCol).as("id"), col(xCol).as("_x"), col(yCol).as("_y"))
+      .localCheckpoint(true) // radius join sides + the full-point spine
+    val pairs = radiusJoin(pts, pts, "id", "_x", "_y", eps)
+      .filter(col("l_id") =!= col("r_id"))
+      .select("l_id", "r_id")
+      .localCheckpoint(true) // counts + core edges + border assignment
+    val flags = pts.select(col("id"))
+      .join(pairs.groupBy(col("l_id").as("id"))
+        .agg(count(lit(1)).as("_c")), Seq("id"), "left")
+      .select(col("id"), (coalesce(col("_c"), lit(0L)) + 1L).as("n_nbrs"))
+      .withColumn("is_core", col("n_nbrs") >= minPts)
+      .localCheckpoint(true)
+    val cores = flags.filter(col("is_core")).select("id")
+    val coreEdges = pairs
+      .join(cores.withColumnRenamed("id", "l_id"), Seq("l_id"))
+      .join(cores.withColumnRenamed("id", "r_id"), Seq("r_id"))
+      .select(col("l_id").as("id_a"), col("r_id").as("id_b"))
+    // isolated cores (no core neighbor) are their own singleton cluster
+    val coreClusters = cores
+      .join(DupClusters.components(coreEdges), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("_cl"))
+      .localCheckpoint(true) // read by output join + border assignment
+    val borderMin = pairs
+      .join(coreClusters.select(col("id").as("r_id"), col("_cl").as("_rc")),
+        Seq("r_id"))
+      .groupBy(col("l_id").as("id")).agg(min(col("_rc")).as("_bc"))
+    flags
+      .join(coreClusters, Seq("id"), "left")
+      .join(borderMin, Seq("id"), "left")
+      .select(col("id"), col("n_nbrs"),
+        when(col("is_core"), lit("core"))
+          .when(col("_bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("is_core"), col("_cl")).otherwise(col("_bc")).as("cluster"))
+  }
 }

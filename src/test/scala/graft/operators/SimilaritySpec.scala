@@ -326,4 +326,25 @@ class SimilaritySpec extends SparkFunSuite {
       Similarity.associationRules(df, "u", "i", minCo = 0L)
     }
   }
+
+  test("centroidCosineMatrix: hand cosines, sizes, zero-centroid null") {
+    // centroids: label 0 -> [1,0] (2 vecs), 1 -> [0,2], 2 -> [3,4],
+    // 3 -> [0,0] (degenerate)
+    val emb = Seq(
+      (0, Array(1f, 0f)), (0, Array(1f, 0f)),
+      (1, Array(0f, 2f)), (2, Array(3f, 4f)), (3, Array(0f, 0f))
+    ).toDF("label", "embedding")
+    val got = Similarity.centroidCosineMatrix(emb, "label", "embedding")
+      .orderBy("key_a", "key_b").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) == Seq(
+      (0, 1, 2L, 1L), (0, 2, 2L, 1L), (0, 3, 2L, 1L),
+      (1, 2, 1L, 1L), (1, 3, 1L, 1L), (2, 3, 1L, 1L)))
+    assert(got(0)._5 == 0.0)             // [1,0] vs [0,2]
+    assert(got(1)._5 == 3.0 / 5.0)       // [1,0] vs [3,4]
+    assert(got(3)._5 == 8.0 / 10.0)      // [0,2] vs [3,4]
+    assert(got(2)._5.isNaN && got(4)._5.isNaN && got(5)._5.isNaN,
+      "zero centroid yields null cosine, never NaN arithmetic")
+  }
 }

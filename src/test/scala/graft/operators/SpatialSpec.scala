@@ -78,4 +78,26 @@ class SpatialSpec extends SparkFunSuite {
       Spatial.knnWithinRadius(l, r, "pid", "x", "y", radius = 10L, k = 0)
     }
   }
+
+  test("dbscan: hand-replayed cores, border, noise, two clusters") {
+    // line cluster {1,2,3} + border 4 hanging off core 3, isolated
+    // noise 5, second cluster {6,7,8}; eps=100, minPts=3
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 50L, 0L), (3L, 100L, 0L), (4L, 190L, 0L),
+      (5L, 500L, 500L),
+      (6L, 1000L, 1000L), (7L, 1050L, 1000L), (8L, 1100L, 1000L)
+    ).toDF("id", "x", "y")
+    val got = Spatial.dbscan(pts, "id", "x", "y", eps = 100L, minPts = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 3L, "core", 1L), (2L, 3L, "core", 1L), (3L, 4L, "core", 1L),
+      (4L, 2L, "border", 1L), (5L, 1L, "noise", -1L),
+      (6L, 3L, "core", 6L), (7L, 3L, "core", 6L), (8L, 3L, "core", 6L)))
+    // an isolated core (minPts=1 makes every point core) clusters alone
+    val solo = Spatial.dbscan(pts, "id", "x", "y", eps = 100L, minPts = 1)
+      .filter(org.apache.spark.sql.functions.col("id") === 5L).collect()(0)
+    assert(solo.getString(2) == "core" && solo.getLong(3) == 5L)
+  }
 }
