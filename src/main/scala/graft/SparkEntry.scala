@@ -2092,6 +2092,14 @@ object SparkEntry {
           "pid", "x", "y", radius = 1000000L, k = 3)
         .orderBy("l_id", "rank")
     }),
+    // Dominant principal direction of the embedding corpus: 3 power-
+    // iteration rounds on XtX in exact integer fixed-point (quantized
+    // elements, decimal matvecs, sign-split max-norm renormalization).
+    "q252_power_iteration" -> ((s, dir) => {
+      Similarity.powerIterationTop(Tables(s, dir).embeddings,
+          "vec_id", "embedding", iters = 3)
+        .orderBy("pos")
+    }),
     // Embedding drift matrix: pairwise cosine between per-label
     // centroids — q64's quantized means, folded in position order (a
     // parallel double sum would be order-dependent; the sorted fold
@@ -6276,6 +6284,34 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q252: the three rounds unrolled HUGEINT-for-HUGEINT; the sign
+    // split keeps every // on non-negative operands (Spark div
+    // truncates toward 0, DuckDB // floors — equal only there)
+    "q252_power_iteration" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        s"""w$i AS (SELECT e.i, sum(e.q * v.v) AS w
+           |  FROM e JOIN $prev v ON v.pos = e.pos GROUP BY 1),
+           |u$i AS (SELECT e.pos, sum(w.w * e.q) AS u
+           |  FROM e JOIN w$i w ON w.i = e.i GROUP BY 1),
+           |m$i AS (SELECT max(abs(u)) AS m FROM u$i),
+           |v$i AS (SELECT pos, CASE WHEN m.m = 0 THEN CAST(0 AS HUGEINT)
+           |    ELSE (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+           |         * ((abs(u) * 1000000) // m.m) END AS v
+           |  FROM u$i CROSS JOIN m$i m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT vec_id, embedding AS emb FROM embeddings),
+         |x AS (SELECT vec_id AS i,
+         |    unnest(generate_series(1, len(emb))) AS p, emb FROM t),
+         |e AS (SELECT i, CAST(p - 1 AS BIGINT) AS pos,
+         |    CAST(floor(CAST(emb[p] AS DOUBLE) * CAST(1e6 AS DOUBLE)
+         |      + CAST(0.5 AS DOUBLE)) AS HUGEINT) AS q FROM x),
+         |v0 AS (SELECT DISTINCT pos, CAST(1000000 AS HUGEINT) AS v FROM e),
+         |$rounds
+         |SELECT pos, CAST(v AS BIGINT) AS component_e6,
+         |  CAST(v AS DOUBLE) / 1e6 AS component
+         |FROM v3 ORDER BY pos""".stripMargin
+    },
     // q250: q64's centroid chain verbatim, pair join on pos, and the
     // three folds replayed INDEX-ORDERED over pos-sorted lists (no
     // struct lambdas — the DuckDB 1.0 list_reduce struct bug is routed

@@ -238,6 +238,72 @@ object Similarity {
           .as("cosine"))
   }
 
+  /** Dominant principal direction of an embedding corpus by POWER
+    * ITERATION on the (uncentered) Gram matrix XᵀX (Mises &
+    * Pollaczek-Geiringer 1929; the PCA workhorse — never materialize
+    * XᵀX, only the two matvecs X(Xᵀv)), in EXACT integer fixed-point so
+    * two engines replaying the rounds agree bit-for-bit:
+    *   - elements quantize once: `q = floor(x·quantScale + 0.5)` (pure
+    *     IEEE double ops, bit-identical everywhere);
+    *   - `v₀ = vScale` on every dimension;
+    *   - per round: `w_i = Σ_p q_ip·v_p` then `u_p = Σ_i w_i·q_ip`,
+    *     both in decimal(38,0) — exact, order-free;
+    *   - renormalize by the max component: `v′ = sign(u)·((|u|·vScale)
+    *     div max|u|)` — the division runs on NON-NEGATIVE operands and
+    *     the sign is reapplied, because Spark `div` truncates toward 0
+    *     while DuckDB `//` floors (they differ exactly on negatives).
+    * A FIXED `iters` rounds (no convergence probe) keeps it bounded and
+    * oracle-replayable; the max-norm scaling makes the largest |v| =
+    * vScale each round, so magnitudes never drift. Degenerate all-zero
+    * input yields the zero vector, not a division error.
+    *
+    * Overflow bound: |u|·vScale must stay inside 38 digits —
+    * rows · dims · (|x|·quantScale)² · vScale² < 10³⁸, ~10¹³ rows at
+    * the defaults with |x| ≤ 1 — and fails LOUDLY under ANSI, never
+    * silently.
+    *
+    * Output: `(pos, component_e6, component)` — the direction up to the
+    * iteration count's convergence (sign fixed by the uniform init).
+    *
+    * Scale shape: the quantized triple table is checkpointed ONCE; per
+    * round, the dims-sized v broadcasts into a map-side product, the
+    * w-aggregation shuffles on the vector id, the u-aggregation on pos
+    * (dims-sized result), and the renorm is a 1-row broadcast back.
+    * Nothing dims×dims, nothing driver-side. */
+  def powerIterationTop(df: DataFrame, idCol: String, vecCol: String,
+                        iters: Int = 3, quantScale: Double = 1.0e6,
+                        vScale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    require(quantScale > 0 && vScale >= 1, "scales must be positive")
+    val d38 = "decimal(38,0)"
+    val e = df
+      .select(col(idCol).as("_i"), posexplode(col(vecCol)).as(Seq("pos", "_vf")))
+      .select(col("_i"), col("pos"),
+        floor(col("_vf").cast("double") * lit(quantScale) + lit(0.5))
+          .cast("long").as("_q"))
+      .localCheckpoint(true) // re-read twice per round
+    var v = e.select("pos").distinct()
+      .select(col("pos"), lit(vScale).as("_v"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val w = e.join(broadcast(v), Seq("pos"))
+        .groupBy("_i")
+        .agg(sum(col("_q").cast(d38) * col("_v")).as("_w"))
+      val u = e.join(w, Seq("_i"))
+        .groupBy("pos").agg(sum(col("_w") * col("_q")).as("_u"))
+      val m = u.agg(max(abs(col("_u"))).as("_m"))
+      v = u.crossJoin(broadcast(m))
+        .select(col("pos"),
+          when(col("_m") === 0, lit(0L)).otherwise(
+            when(col("_u") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr(s"(abs(_u) * CAST($vScale AS DECIMAL(38,0))) div _m"))
+            .as("_v"))
+        .localCheckpoint(false)
+    }
+    v.select(col("pos"), col("_v").as("component_e6"),
+      (col("_v").cast("double") / lit(vScale.toDouble)).as("component"))
+  }
+
   /** Per-DIMENSION standardization (z-score) of an embedding column — the
     * preprocessing step before distance-based ANN/clustering when feature
     * scales differ. Output is exploded `(idCol, pos, v, z)` (reassemble

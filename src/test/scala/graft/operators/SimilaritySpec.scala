@@ -327,6 +327,31 @@ class SimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("powerIterationTop: hand-replayed integer rounds converge to e1") {
+    // XtX = [[8,0],[0,1]]: dominant direction is e1; the minor
+    // component decays by the eigenvalue ratio 1/8 each round
+    val emb = Seq((1L, Array(2f, 0f)), (2L, Array(2f, 0f)),
+      (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.powerIterationTop(emb, "vec_id", "embedding",
+        iters = 3)
+      .orderBy("pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // v0=[1e6,1e6] -> [1e6,125000] -> [1e6,15625] -> [1e6,1953]
+    assert(got == Seq((0, 1000000L), (1, 1953L)))
+  }
+
+  test("powerIterationTop: negative components take the sign-split path") {
+    // every vector points into the (+,-) quadrant: u0 < 0 after one
+    // round, exercising sign(u)*((|u|*scale) div m)
+    val emb = Seq((1L, Array(1f, -2f)), (2L, Array(1f, -2f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.powerIterationTop(emb, "vec_id", "embedding",
+        iters = 1)
+      .orderBy("pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0, -500000L, -0.5), (1, 1000000L, 1.0)))
+  }
+
   test("centroidCosineMatrix: hand cosines, sizes, zero-centroid null") {
     // centroids: label 0 -> [1,0] (2 vecs), 1 -> [0,2], 2 -> [3,4],
     // 3 -> [0,0] (degenerate)
