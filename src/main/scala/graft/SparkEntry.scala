@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VecDot, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Resample, Retention, Retrieval, Rfm, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Ranks, Resample, Retention, Retrieval, Rfm, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1836,6 +1836,46 @@ object SparkEntry {
     // contract itself is what's being gated. ts_ms carries µs; the gap is
     // 1800 s in µs; value_sum is the stream's sequential (ts, value)-
     // ordered fold, replayed exactly by an ordered list_reduce.
+    // Third streaming ORACLE row: events through a real file-source
+    // readStream -> funnelStream (flatMapGroupsWithState, ONE monotone
+    // int per user) -> update-mode parquet sink; final stage per user =
+    // max over the emitted updates. The oracle replays the stream's
+    // within-batch (ts_us, event_type) order as an ordered-subsequence
+    // LIKE chain; stage-0 users emit nothing by contract.
+    "q253_funnel_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingOps
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft_q253_in").toString
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_q253_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q253_ckpt").toString
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"))
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("ts_ms"),
+          col("event_type").cast("string").as("event_type"))
+      ev.coalesce(1).write.mode("overwrite").parquet(staging)
+      val stream = s.readStream.schema(ev.schema).parquet(staging)
+        .as[StreamingOps.FunnelEvent]
+      val prog = StreamingOps.funnelStream(stream,
+        Seq("view", "click", "purchase"))(s)
+      prog.writeStream
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.FunnelProgress], _: Long) =>
+          df.write.mode("append").parquet(sink): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(sink)
+        .groupBy("user_id")
+        .agg(max(col("stage_reached")).cast("int").as("stage_reached"))
+        .orderBy("user_id")
+    }),
     "q239_sessionize_stream" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.StreamingOps
@@ -2091,6 +2131,21 @@ object SparkEntry {
           supp.withColumnRenamed("s_suppkey", "pid"),
           "pid", "x", "y", radius = 1000000L, k = 3)
         .orderBy("l_id", "rank")
+    }),
+    // 2-D skyline ("cheapest and earliest" Pareto front of orders):
+    // exact integer cents and epoch days, bucketed strict-prefix-min
+    // sweep — never one global sort window. Oracle is the brute-force
+    // NOT EXISTS dominance check, so a pass proves the sweep exact.
+    "q254_skyline" -> ((s, dir) => {
+      val pts = Tables(s, dir).orders
+        .filter(col("o_custkey") % 29 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("price_cents"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+            .as("order_day"))
+      Ranks.skyline2d(pts, "o_orderkey", "price_cents", "order_day")
+        .orderBy("o_orderkey")
     }),
     // Dominant principal direction of the embedding corpus: 3 power-
     // iteration rounds on XtX in exact integer fixed-point (quantized
@@ -4667,6 +4722,24 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
     // identical ordered concatenation (double delimiters so adjacent
     // events expose a boundary to the next pattern), identical LIKEs
+    // q253: q96's ordered-subsequence LIKE chain, but ordered by the
+    // STREAM's within-batch (ts_us, event_type) contract and restricted
+    // to users that reach stage >= 1 (stage-0 users never emit)
+    "q253_funnel_stream" ->
+      """WITH seqs AS (SELECT user_id,
+        |    '|' || string_agg(event_type, '||'
+        |      ORDER BY epoch_us(ts), event_type) || '|' AS seq
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND ts < TIMESTAMP '2024-01-02 00:00:00'
+        |  GROUP BY user_id),
+        |st AS (SELECT user_id, CAST(CASE
+        |    WHEN seq LIKE '%|view|%|click|%|purchase|%' THEN 3
+        |    WHEN seq LIKE '%|view|%|click|%' THEN 2
+        |    WHEN seq LIKE '%|view|%' THEN 1 ELSE 0 END AS INTEGER)
+        |    AS stage_reached FROM seqs)
+        |SELECT user_id, stage_reached FROM st WHERE stage_reached >= 1
+        |ORDER BY user_id""".stripMargin,
     "q96_funnel" ->
       """WITH seqs AS (SELECT user_id,
         |    '|' || string_agg(event_type, '||' ORDER BY ts, event_id) || '|' AS seq
@@ -6284,6 +6357,23 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q254: BRUTE-FORCE dominance replay — NOT EXISTS a componentwise-
+    // <= point with one strict <; the engine's bucketed sweep must
+    // reproduce it exactly, duplicates included
+    "q254_skyline" ->
+      """WITH p AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_cents,
+        |    epoch_us(o_orderdate) // 86400000000 AS order_day
+        |  FROM orders WHERE o_custkey % 29 = 0)
+        |SELECT a.o_orderkey, a.price_cents, a.order_day
+        |FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents
+        |    AND b.order_day <= a.order_day
+        |    AND (b.price_cents < a.price_cents
+        |         OR b.order_day < a.order_day))
+        |ORDER BY a.o_orderkey""".stripMargin,
     // q252: the three rounds unrolled HUGEINT-for-HUGEINT; the sign
     // split keeps every // on non-negative operands (Spark div
     // truncates toward 0, DuckDB // floors — equal only there)

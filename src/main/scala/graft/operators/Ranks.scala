@@ -35,4 +35,65 @@ object Ranks {
         StructField("_rnk", LongType, nullable = false))))
       .localCheckpoint(false)
   }
+
+  /** 2-D skyline / Pareto front (Börzsönyi, Kossmann & Stocker, "The
+    * skyline operator", ICDE 2001), both dimensions MINIMIZED: the
+    * points no other point dominates (q ⪯ p componentwise with at
+    * least one strict). All copies of a non-dominated point survive
+    * (equal points do not dominate each other); flip a dimension's
+    * sign upstream to maximize it.
+    *
+    * The sweep identity: p = (x, y) is on the skyline ⟺
+    * `y = minY(x)` AND `prefixMinY(<x) > y` — duplicates-at-x collapse
+    * to the per-x minimum first, and the strictly-before prefix
+    * minimum decides dominance from the left.
+    *
+    * Scale shape — the prefix minimum is the global-window trap, and
+    * is built the repo's bucketed way instead: the per-distinct-x min
+    * table is RANGE-repartitioned on x (equal keys never split across
+    * partitions), each bucket's running strict-prefix min runs as a
+    * per-bucket `rangeBetween(-∞, −1)` window (parallel across
+    * buckets, ties at x correctly excluded), and the cross-bucket
+    * carry is a bucket-count-sized window broadcast back — never one
+    * task sorting all x. Everything is exact comparisons on the native
+    * column types; null ids/coords are excluded.
+    *
+    * Output: the surviving input rows `(idCol, xCol, yCol)`. */
+  def skyline2d(df: DataFrame, idCol: String, xCol: String,
+                yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val pts = df
+      .filter(col(idCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(idCol), col(xCol), col(yCol))
+      .localCheckpoint(true) // survivors join back against it
+    val m = pts.groupBy(col(xCol).as("_x"))
+      .agg(min(col(yCol)).as("_my"))
+    // range partitions are x-ordered and never split equal keys, so
+    // spark_partition_id is a legitimate ordered bucket key
+    val bucketed = m.repartitionByRange(nPart, col("_x"))
+      .withColumn("_b", spark_partition_id())
+      .localCheckpoint(true) // bucket mins + the windowed sweep
+    val carry = bucketed.groupBy(col("_b")).agg(min(col("_my")).as("_bm"))
+      .withColumn("_carry", min(col("_bm")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("_b"))
+          .rowsBetween(Long.MinValue, -1)))
+      .select(col("_b"), col("_carry")) // bucket-count-sized
+    val inBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(col("_x"))
+      .rangeBetween(Long.MinValue, -1)
+    val prefixed = bucketed
+      .withColumn("_wmin", min(col("_my")).over(inBucket))
+      .join(broadcast(carry), Seq("_b"))
+      .select(col("_x"), col("_my"),
+        least(coalesce(col("_wmin"), col("_carry")),
+          coalesce(col("_carry"), col("_wmin"))).as("_pre"))
+    val surviving = prefixed
+      .filter(col("_pre").isNull || col("_pre") > col("_my"))
+      .select(col("_x"), col("_my"))
+    pts.join(surviving,
+      pts(xCol) === col("_x") && pts(yCol) === col("_my"))
+      .select(col(idCol), col(xCol), col(yCol))
+  }
 }
