@@ -2132,6 +2132,55 @@ object SparkEntry {
           "pid", "x", "y", radius = 1000000L, k = 3)
         .orderBy("l_id", "rank")
     }),
+    // Rendezvous-hash sharding + the rebalance audit: 8 -> 9 shards
+    // moves only keys the new shard wins (~1/9), never between
+    // survivors — the guarantee emitted row-by-row for the oracle.
+    "q258_rendezvous_shards" -> ((s, dir) => {
+      val before = (0 until 8).map(i => s"s$i" -> 1.0)
+      Sampling.rendezvousRebalance(Tables(s, dir).documents, "doc_id",
+          before, before :+ ("s8" -> 1.0))
+        .orderBy("doc_id")
+    }),
+    // Brier score + Murphy decomposition on q180's scored corpus:
+    // exact micro-unit squared errors, bin-ordered REL/RES folds.
+    "q257_brier_decomposition" -> ((s, dir) => {
+      def h6(tag: String) =
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(s":$tag"))), 1, 5), 16, 10).cast("long") % 1000000L
+      val scored = Tables(s, dir).documents.select(
+        (h6("cal").cast("double") / lit(1.0e6)).as("score"),
+        (h6("lbl") < h6("cal")).as("label"))
+      Classifier.brierDecomposition(scored, "score", "label", nBins = 10)
+    }),
+    // Count-min sketch: 4x64 table over bucketed user keys, point
+    // estimates (min over depths) side-by-side with exact counts —
+    // the one-sided bound is visible AND replayed integer-for-integer.
+    "q256_count_min" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.filter(col("user_id").isNotNull)
+        .select((col("user_id") % 1000).as("key_id"))
+      val cms = SetSketch.cmsTable(ev, "key_id", depth = 4, width = 64)
+      val small = ev.filter(col("key_id") < 20)
+      val est = SetSketch.cmsEstimate(cms, small, "key_id", 4, 64)
+      small.groupBy("key_id").agg(count(lit(1)).as("exact_cnt"))
+        .join(est, Seq("key_id"))
+        .orderBy("key_id")
+    }),
+    // Harmonic centrality for a 4-landmark set over the co-supplier
+    // graph: bounded per-landmark BFS, score folds cnt/h in ascending
+    // hop order (order-pinned double chain).
+    "q255_harmonic_centrality" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("src"))
+        .join(li.select(col("ok"), col("sk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      Graph.harmonicCentrality(edges, "src", "dst", Seq(2L, 3L, 5L, 8L),
+          maxHops = 4)
+        .orderBy("landmark")
+    }),
     // 2-D skyline ("cheapest and earliest" Pareto front of orders):
     // exact integer cents and epoch days, bucketed strict-prefix-min
     // sweep — never one global sort window. Oracle is the brute-force
@@ -6357,6 +6406,142 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q258: q149's u derivation and -w/ln(u) scores verbatim for BOTH
+    // node lists; the (score DESC, node) pick replays the fold, and the
+    // moved flag is a plain inequality of the two picks
+    "q258_rendezvous_shards" ->
+      """WITH b(node) AS (VALUES ('s0'), ('s1'), ('s2'), ('s3'),
+        |  ('s4'), ('s5'), ('s6'), ('s7')),
+        |a(node) AS (VALUES ('s0'), ('s1'), ('s2'), ('s3'),
+        |  ('s4'), ('s5'), ('s6'), ('s7'), ('s8')),
+        |hb AS (SELECT d.doc_id, n.node,
+        |    -CAST(1.0 AS DOUBLE) / ln((CAST(('0x' || substring(md5(
+        |      CAST(d.doc_id AS VARCHAR) || ':' || n.node || ':hrw'),
+        |      1, 13)) AS BIGINT) + 1)
+        |      / CAST(4503599627370497.0 AS DOUBLE)) AS score
+        |  FROM documents d CROSS JOIN b n),
+        |ha AS (SELECT d.doc_id, n.node,
+        |    -CAST(1.0 AS DOUBLE) / ln((CAST(('0x' || substring(md5(
+        |      CAST(d.doc_id AS VARCHAR) || ':' || n.node || ':hrw'),
+        |      1, 13)) AS BIGINT) + 1)
+        |      / CAST(4503599627370497.0 AS DOUBLE)) AS score
+        |  FROM documents d CROSS JOIN a n),
+        |pb AS (SELECT doc_id, node AS node_before FROM (
+        |    SELECT doc_id, node, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, node) AS rn FROM hb) WHERE rn = 1),
+        |pa AS (SELECT doc_id, node AS node_after FROM (
+        |    SELECT doc_id, node, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, node) AS rn FROM ha) WHERE rn = 1)
+        |SELECT pb.doc_id, pb.node_before, pa.node_after,
+        |  pb.node_before <> pa.node_after AS moved
+        |FROM pb JOIN pa ON pa.doc_id = pb.doc_id
+        |ORDER BY pb.doc_id""".stripMargin,
+    // q257: q180's 0x-hex score/label plantings, exact HUGEINT squared
+    // errors via the VARCHAR lane, REL/RES folds replayed index-ordered
+    // over bin-sorted lists with the identical paren chain
+    "q257_brier_decomposition" ->
+      """WITH d AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cal'), 1, 5))
+        |      AS BIGINT) % 1000000 AS s6,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':lbl'), 1, 5))
+        |      AS BIGINT) % 1000000 AS u6
+        |  FROM documents),
+        |r AS (SELECT s6,
+        |    CASE WHEN u6 < s6 THEN 1 ELSE 0 END AS y,
+        |    least((s6 * 10) // 1000000, 9) AS bin
+        |  FROM d),
+        |a AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS ny,
+        |    CAST(sum(s6) AS BIGINT) AS ssum,
+        |    sum(CAST((s6 - y * 1000000) * (s6 - y * 1000000) AS HUGEINT))
+        |      AS sq
+        |  FROM r GROUP BY bin),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n, sum(ny) AS sy,
+        |    sum(sq) AS sqt, list(n ORDER BY bin) AS ln,
+        |    list(ny ORDER BY bin) AS ly, list(ssum ORDER BY bin) AS ls
+        |  FROM a)
+        |SELECT n,
+        |  (CAST(CAST(sqt AS VARCHAR) AS DOUBLE) / 1e12)
+        |    / CAST(n AS DOUBLE) AS brier,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(ln)), i ->
+        |      CAST(ln[i] AS DOUBLE) *
+        |        (((CAST(ls[i] AS DOUBLE) / 1e6) / CAST(ln[i] AS DOUBLE)
+        |           - CAST(ly[i] AS DOUBLE) / CAST(ln[i] AS DOUBLE))
+        |         * ((CAST(ls[i] AS DOUBLE) / 1e6) / CAST(ln[i] AS DOUBLE)
+        |           - CAST(ly[i] AS DOUBLE) / CAST(ln[i] AS DOUBLE))))),
+        |    (x, y) -> x + y) / CAST(n AS DOUBLE) AS reliability,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(ln)), i ->
+        |      CAST(ln[i] AS DOUBLE) *
+        |        ((CAST(ly[i] AS DOUBLE) / CAST(ln[i] AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * (CAST(ly[i] AS DOUBLE) / CAST(ln[i] AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))),
+        |    (x, y) -> x + y) / CAST(n AS DOUBLE) AS resolution,
+        |  (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(1 AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS uncertainty
+        |FROM t""".stripMargin,
+    // q256: identical depth-salted md5 buckets (the 0x-hex lane),
+    // identical collision-bucket sums and min-over-depths
+    "q256_count_min" ->
+      """WITH k AS (SELECT user_id % 1000 AS key_id FROM events
+        |  WHERE user_id IS NOT NULL),
+        |d AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+        |cms AS (SELECT depth,
+        |    CAST(('0x' || substr(md5(CAST(key_id AS VARCHAR) || ':cms:'
+        |      || CAST(depth AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM k CROSS JOIN d GROUP BY 1, 2),
+        |q AS (SELECT DISTINCT key_id FROM k WHERE key_id < 20),
+        |qh AS (SELECT key_id, depth,
+        |    CAST(('0x' || substr(md5(CAST(key_id AS VARCHAR) || ':cms:'
+        |      || CAST(depth AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS bucket
+        |  FROM q CROSS JOIN d),
+        |est AS (SELECT key_id, min(coalesce(cms.cnt, 0)) AS estimate
+        |  FROM qh LEFT JOIN cms ON cms.depth = qh.depth
+        |    AND cms.bucket = qh.bucket
+        |  GROUP BY 1),
+        |ex AS (SELECT key_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM k WHERE key_id < 20 GROUP BY 1)
+        |SELECT ex.key_id, ex.exact_cnt, est.estimate
+        |FROM ex JOIN est ON est.key_id = ex.key_id
+        |ORDER BY ex.key_id""".stripMargin,
+    // q255: one deduplicating recursive walk PER landmark (q194's BFS
+    // oracle), then the cnt/h fold replayed index-ordered over
+    // hop-sorted lists
+    "q255_harmonic_centrality" -> {
+      val lms = Seq(2, 3, 5, 8)
+      val walks = lms.map { l =>
+        s"""w$l(node, hops) AS (
+           |  SELECT CAST($l AS BIGINT), 0
+           |  UNION
+           |  SELECT e.d, w.hops + 1 FROM w$l w JOIN e ON e.s = w.node
+           |  WHERE w.hops < 4),
+           |h$l AS (SELECT hops, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT node, min(hops) AS hops FROM w$l GROUP BY 1)
+           |  WHERE hops > 0 GROUP BY 1),
+           |g$l AS (SELECT list(hops ORDER BY hops) AS lh,
+           |    list(c ORDER BY hops) AS lc, sum(c) AS n FROM h$l),
+           |a$l AS (SELECT CAST($l AS BIGINT) AS landmark,
+           |    CAST(coalesce(n, 0) AS BIGINT) AS n_reached,
+           |    CASE WHEN n IS NULL THEN CAST(0 AS DOUBLE)
+           |      ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |        list_transform(generate_series(1, len(lh)),
+           |          i -> CAST(lc[i] AS DOUBLE) / CAST(lh[i] AS DOUBLE))),
+           |        (x, y) -> x + y) END AS harmonic
+           |  FROM g$l)""".stripMargin
+      }.mkString(",\n")
+      val union = lms.map(l => s"SELECT * FROM a$l").mkString(" UNION ALL ")
+      s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok,
+         |    l_suppkey AS sk
+         |  FROM lineitem WHERE l_orderkey % 20 = 0),
+         |e AS (SELECT DISTINCT a.sk AS s, b.sk AS d
+         |  FROM li a JOIN li b ON a.ok = b.ok WHERE a.sk <> b.sk),
+         |$walks
+         |SELECT * FROM ($union) ORDER BY landmark""".stripMargin
+    },
     // q254: BRUTE-FORCE dominance replay — NOT EXISTS a componentwise-
     // <= point with one strict <; the engine's bucketed sweep must
     // reproduce it exactly, duplicates included

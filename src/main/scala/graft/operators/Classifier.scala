@@ -287,6 +287,71 @@ object Classifier {
           .as("gap"))
   }
 
+  /** Brier score with the Murphy (1973) reliability–resolution–
+    * uncertainty decomposition over [[calibrationBins]]' binning:
+    * `brier = (1/N)·Σ(p_i − y_i)²` exactly (unbinned), and the binned
+    * terms `REL = (1/N)·Σ_b n_b(p̄_b − ō_b)²`,
+    * `RES = (1/N)·Σ_b n_b(ō_b − ō)²`, `UNC = ō(1 − ō)` — the standard
+    * forecast-quality split (REL = calibration error to drive down,
+    * RES = discrimination to keep; brier = REL − RES + UNC up to the
+    * within-bin score variance, which the exact brier makes visible).
+    *
+    * Determinism ([[calibrationBins]]' contract): scores live on the
+    * exact micro-unit grid, per-row (si − y·10⁶)² is an exact long
+    * summed in decimal(38,0), bin indices are integer floor-divisions,
+    * and both Σ_b folds run in BIN ORDER over a sorted collect
+    * (≤ nBins terms) — one fixed double chain end to end.
+    *
+    * Output: ONE row `(n, brier, reliability, resolution,
+    * uncertainty)`; an empty input returns n = 0 with null scores.
+    *
+    * Scale shape: one map-side-combined aggregation to ≤ nBins rows,
+    * then a 1-row fold — nothing windowed, nothing data-sized after
+    * the first shuffle. */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+                         nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100000, s"nBins ($nBins) out of range")
+    val si = (col(scoreCol).cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    val rows = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(si.as("_si"), when(col(labelCol), 1L).otherwise(0L).as("_y"))
+      .filter(col("_si") >= 0L && col("_si") <= 1000000L)
+      .select(least(expr(s"(_si * $nBins) div 1000000"), lit(nBins - 1L))
+        .cast("int").as("bin"), col("_si"), col("_y"))
+    val d38 = "decimal(38,0)"
+    val bins = rows.groupBy("bin")
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_ny"),
+        sum(col("_si")).as("_ssum"),
+        sum(((col("_si") - col("_y") * 1000000L) *
+          (col("_si") - col("_y") * 1000000L)).cast(d38)).as("_sq"))
+    val tot = bins.agg(
+      coalesce(sum(col("_n")), lit(0L)).as("n"),
+      sum(col("_ny")).as("_sy"), sum(col("_sq")).as("_sqt"),
+      sort_array(collect_list(struct(col("bin"), col("_n"), col("_ny"),
+        col("_ssum")))).as("_t"))
+    def dbl(c: Column): Column = c.cast("double")
+    val nD = dbl(col("n"))
+    val base = dbl(col("_sy")) / nD
+    def fold(term: (Column, Column, Column) => Column): Column =
+      aggregate(col("_t"), lit(0.0), (acc, t) =>
+        acc + term(dbl(t("_n")), dbl(t("_ny")), dbl(t("_ssum")))) / nD
+    tot.select(col("n"),
+      when(col("n") === 0L, lit(null))
+        .otherwise((dbl(col("_sqt")) / lit(1.0e12)) / nD).as("brier"),
+      when(col("n") === 0L, lit(null))
+        .otherwise(fold((nb, ny, ss) => {
+          val d = (ss / lit(1.0e6)) / nb - ny / nb
+          nb * (d * d)
+        })).as("reliability"),
+      when(col("n") === 0L, lit(null))
+        .otherwise(fold((nb, ny, _) => {
+          val d = ny / nb - base
+          nb * (d * d)
+        })).as("resolution"),
+      when(col("n") === 0L, lit(null))
+        .otherwise(base * (lit(1.0) - base)).as("uncertainty"))
+  }
+
   /** Isotonic calibration over pre-binned counts — PAV's fit computed
     * by its MINIMAX characterization (Ayer et al. 1955; Robertson,
     * Wright & Dykstra ch. 1): `ĝ(b) = max_{i≤b} min_{j≥b}

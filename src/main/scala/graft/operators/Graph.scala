@@ -579,6 +579,46 @@ object Graph {
         (col("_h").cast("double") / lit(RankScale.toDouble)).as("hub"))
   }
 
+  /** Harmonic centrality (Boldi & Vigna, "Axioms for centrality",
+    * Internet Mathematics 2014 — the closeness variant that handles
+    * disconnected graphs: unreachable nodes contribute 0, not ∞) for a
+    * bounded LANDMARK set: `H(l) = Σ_{v ≠ l, d(v) ≤ maxHops} 1/d(v)`
+    * with d from [[bfsHops]]' level-synchronous frontier.
+    *
+    * Exact-H at 100 TB needs all-pairs distances; the landmark form is
+    * the standard practical cut (k seeds × bounded BFS) and the k here
+    * is an explicit Scala argument — the caller owns the driver-side
+    * loop bound, the frontier never leaves the cluster.
+    *
+    * Determinism: per-hop counts are exact integers; the score folds
+    * `cnt_h / h` in ASCENDING hop order over a sorted collect (hop
+    * count ≤ maxHops terms), so the double chain is order-pinned
+    * cross-engine.
+    *
+    * Output: `(landmark, n_reached, harmonic)` — one row per landmark,
+    * zero row values for landmarks absent from the graph. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         landmarks: Seq[Long],
+                         maxHops: Int = 4): DataFrame = {
+    require(landmarks.nonEmpty, "at least one landmark is required")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val perLandmark = landmarks.distinct.sorted.map { l =>
+      val src = Seq(l).toDF("node")
+      bfsHops(edges, srcCol, dstCol, src, "node", maxHops)
+        .filter(col("hops") > 0)
+        .groupBy(col("hops")).agg(count(lit(1)).as("_c"))
+        .agg(coalesce(sum(col("_c")), lit(0L)).as("n_reached"),
+          coalesce(aggregate(
+            sort_array(collect_list(struct(col("hops"), col("_c")))),
+            lit(0.0),
+            (acc, t) => acc + t("_c").cast("double") / t("hops").cast("double")),
+            lit(0.0)).as("harmonic"))
+        .select(lit(l).as("landmark"), col("n_reached"), col("harmonic"))
+    }
+    perLandmark.reduce(_.unionByName(_))
+  }
+
   /** Synchronous label propagation community detection (Raghavan et al.,
     * "Near linear time algorithm to detect community structures in
     * large-scale networks", Phys. Rev. E 2007), made DETERMINISTIC: every

@@ -554,12 +554,19 @@ object Sampling {
   def rendezvousAssign(df: DataFrame, keyCol: String,
                        nodes: Seq[(String, Double)],
                        domain: String = "hrw"): DataFrame = {
+    require(!df.columns.contains("node"),
+      "input must not contain the reserved column node")
+    df.withColumn("node", rendezvousBest(keyCol, nodes, domain))
+  }
+
+  /** The winning node of the weighted rendezvous fold — the shared
+    * kernel of [[rendezvousAssign]] and [[rendezvousRebalance]]. */
+  private def rendezvousBest(keyCol: String, nodes: Seq[(String, Double)],
+                             domain: String): Column = {
     require(nodes.nonEmpty, "at least one node is required")
     require(nodes.forall(_._2 > 0.0), s"node weights must be positive: $nodes")
     require(nodes.map(_._1).distinct.size == nodes.size,
       s"duplicate node names: $nodes")
-    require(!df.columns.contains("node"),
-      "input must not contain the reserved column node")
     def score(node: String, w: Double): Column = {
       val h = hex52(md5(concat(col(keyCol).cast("string"),
         lit(":" + node + ":" + domain))), 1)
@@ -567,13 +574,32 @@ object Sampling {
       -lit(w) / log(u)
     }
     val ordered = nodes.sortBy(_._1)
-    val best = ordered.tail.foldLeft(
+    ordered.tail.foldLeft(
       struct(score(ordered.head._1, ordered.head._2).as("s"),
         lit(ordered.head._1).as("n"))) { case (acc, (name, w)) =>
       val s = score(name, w)
       when(s > acc("s"), struct(s.as("s"), lit(name).as("n"))).otherwise(acc)
-    }
-    df.withColumn("node", best("n"))
+    }.getField("n")
+  }
+
+  /** Topology-change audit for [[rendezvousAssign]]: the assignment
+    * under the `before` and `after` node lists side by side with a
+    * `moved` flag — the HRW minimal-disruption guarantee in auditable
+    * form. Adding a node moves ONLY keys the new node wins (expected
+    * share ∝ its weight) and never shuffles keys between surviving
+    * nodes (a key's old winner still out-scores every other old node);
+    * reweighting moves only boundary keys. Map-only like the
+    * assignment itself. Output: `(keyCol, node_before, node_after,
+    * moved)`. */
+  def rendezvousRebalance(df: DataFrame, keyCol: String,
+                          before: Seq[(String, Double)],
+                          after: Seq[(String, Double)],
+                          domain: String = "hrw"): DataFrame = {
+    val b = rendezvousBest(keyCol, before, domain)
+    val a = rendezvousBest(keyCol, after, domain)
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), b.as("node_before"), a.as("node_after"),
+        (b =!= a).as("moved"))
   }
 
   /** UniMax budget allocation (Chung et al., ICLR'23): per-group token
@@ -640,4 +666,5 @@ object Sampling {
             (col("_n") - col("_p")).cast("double")).as("quota"))
       .withColumn("epochs", col("quota") / col("size").cast("double"))
   }
+
 }

@@ -120,4 +120,63 @@ object SetSketch {
         round(col("_rho") * kmvDistinct(col("mk"), k), 4)
           .as("est_intersect"))
   }
+
+  /** Shared row hash of the count-min pair: depth-salted md5 → 32-bit
+    * integer → bucket. */
+  private def cmsBucket(key: Column, depthCol: Column, width: Int,
+                        domain: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(s":$domain:"),
+      depthCol.cast("string"))), 1, 8), 16, 10).cast("long") % width
+
+  /** Count-min sketch TABLE (Cormode & Muthukrishnan, "An improved data
+    * stream summary: the count-min sketch and its applications",
+    * J. Algorithms 2005) built relationally: one row per (depth, bucket)
+    * with the exact collision-bucket count — `depth × width` rows total,
+    * a few KB summarizing any key cardinality. Mergeable by construction
+    * (same-(depth,bucket) rows ADD — build per partition/day and sum),
+    * the frequency companion to the KMV/HLL distinct sketches.
+    *
+    * Determinism: buckets come from depth-salted md5 (the repo's grid
+    * idiom), counts are exact longs — an engine replaying the same
+    * hashes reproduces the table integer-for-integer.
+    *
+    * Scale shape: a map-only depth-explode (×depth rows) into ONE
+    * map-side-combined aggregation of bounded (depth × width)
+    * cardinality — heavy keys are heavy reduce keys, absorbed by
+    * partial aggregation; output size is independent of input size. */
+  def cmsTable(df: DataFrame, keyCol: String, depth: Int = 4,
+               width: Int = 64, domain: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth ($depth) out of range")
+    require(width >= 2, s"width ($width) must be >= 2")
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).as("_k"),
+        explode(array((0 until depth).map(lit): _*)).as("depth"))
+      .select(col("depth"),
+        cmsBucket(col("_k"), col("depth"), width, domain).as("bucket"))
+      .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[cmsTable]]: for each query key,
+    * `estimate = min over depths of its bucket count` — the classic
+    * one-sided bound (estimate ≥ true count, over-estimation bounded by
+    * the collision mass e·N/width with probability 1 − e^−depth). The
+    * (depth, width, domain) triple MUST match the build. Keys hashing
+    * to empty buckets estimate 0.
+    *
+    * Scale shape: the query-key side explodes ×depth and joins the
+    * bounded sketch table (broadcast-sized by construction); the min is
+    * a per-key aggregate. */
+  def cmsEstimate(cms: DataFrame, keys: DataFrame, keyCol: String,
+                  depth: Int, width: Int,
+                  domain: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth ($depth) out of range")
+    keys.filter(col(keyCol).isNotNull).select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(array((0 until depth).map(lit): _*)).as("depth"))
+      .select(col(keyCol), col("depth"),
+        cmsBucket(col(keyCol), col("depth"), width, domain).as("bucket"))
+      .join(broadcast(cms), Seq("depth", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("estimate"))
+  }
 }

@@ -293,4 +293,27 @@ class ClassifierSpec extends SparkFunSuite {
     assert(Classifier.cohensKappa(const, "a", "b").collect().head
       .isNullAt(4))
   }
+
+  test("brierDecomposition: hand-replayed Murphy terms and the identity") {
+    // two perfectly-within-bin forecasts: 0.2 (y=0), 0.8 (y=1)
+    val df = Seq((0.2, false), (0.8, true)).toDF("score", "label")
+    val r = Classifier.brierDecomposition(df, "score", "label", nBins = 2)
+      .collect().head
+    val brier = (8.0e10 / 1.0e12) / 2.0
+    val rel = (1.0 * (0.2 * 0.2) + 1.0 * ((0.8 - 1.0) * (0.8 - 1.0))) / 2.0
+    val res = (1.0 * ((0.0 - 0.5) * (0.0 - 0.5))
+      + 1.0 * ((1.0 - 0.5) * (1.0 - 0.5))) / 2.0
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == brier && r.getDouble(2) == rel &&
+      r.getDouble(3) == res && r.getDouble(4) == 0.25)
+    // zero within-bin score variance -> the identity holds (to double
+    // rounding; REL and brier take different-order paths to the value)
+    assert(math.abs(r.getDouble(1) -
+      (r.getDouble(2) - r.getDouble(3) + r.getDouble(4))) < 1e-15)
+    // empty input: n = 0 with null terms, never a division error
+    val empty = Classifier.brierDecomposition(
+      Seq.empty[(Double, Boolean)].toDF("score", "label"), "score", "label")
+      .collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(4))
+  }
 }

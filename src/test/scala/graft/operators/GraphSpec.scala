@@ -257,6 +257,18 @@ class GraphSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] { Graph.hits(e, "s", "d", iters = 0) }
   }
 
+  test("harmonicCentrality: hand-folded 1/d sums, absent landmark zeroes") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val got = Graph.harmonicCentrality(e, "s", "d", Seq(3L, 1L, 9L))
+      .orderBy("landmark").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // from 1: hops 1,2,3 -> ((0 + 1/1) + 1/2) + 1/3, ascending hop order
+    assert(got(0) == ((1L, 3L,
+      ((0.0 + 1.0 / 1.0) + 1.0 / 2.0) + 1.0 / 3.0)))
+    assert(got(1) == ((3L, 1L, 1.0)))
+    assert(got(2) == ((9L, 0L, 0.0)))
+  }
+
   test("labelPropagation: hand-replayed sync rounds, min-label ties") {
     // path 1-2-3-4-5: three sync rounds land on [2,1,2,1,2]
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")

@@ -667,4 +667,29 @@ class SamplingSpec extends SparkFunSuite {
       Sampling.unimaxQuotas(df, "g", "w", 100L, 0.0)
     }
   }
+
+  test("rendezvousRebalance: only the new node gains keys; survivors stable") {
+    val ids = (1L to 300L).toDF("id")
+    val before = Seq("a" -> 1.0, "b" -> 1.0, "c" -> 2.0)
+    val got = Sampling.rendezvousRebalance(ids, "id", before,
+        before :+ ("d" -> 1.0))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getBoolean(3)))
+    // THE HRW guarantee: a topology grow moves keys ONLY onto the new
+    // node — no key ever hops between surviving nodes
+    got.foreach { case (b, a, moved) =>
+      if (moved) assert(a == "d", s"moved key landed on survivor $a")
+      else assert(a == b)
+    }
+    val movedFrac = got.count(_._3).toDouble / got.length
+    assert(movedFrac > 0.05 && movedFrac < 0.45,
+      s"new equal-weight node should win roughly w/Σw = 1/5: $movedFrac")
+    // rebalance agrees with the assignment operator on both topologies
+    val direct = Sampling.rendezvousAssign(ids, "id", before)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Sampling.rendezvousRebalance(ids, "id", before, before).collect()
+      .foreach { r =>
+        assert(r.getString(1) == direct(r.getLong(0)) && !r.getBoolean(3))
+      }
+  }
 }

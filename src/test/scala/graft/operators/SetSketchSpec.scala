@@ -93,4 +93,34 @@ class SetSketchSpec extends SparkFunSuite {
     assert(merged === direct,
       "merging per-slice sketches must reproduce the union sketch exactly")
   }
+
+  test("cms: one-sided bound, bounded table, additive merge") {
+    val rows = (1 to 400).map(i => i.toLong % 37)
+    val df = rows.toDF("k")
+    val cms = SetSketch.cmsTable(df, "k", depth = 4, width = 16)
+      .localCheckpoint(false)
+    // table cardinality bounded by depth x width, counts sum to N x depth
+    val t = cms.collect()
+    assert(t.length <= 4 * 16)
+    assert(t.map(_.getLong(2)).sum == 400L * 4)
+    // estimate >= exact for EVERY key (the one-sided CMS guarantee)
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val est = SetSketch.cmsEstimate(cms, df, "k", depth = 4, width = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"key $k: estimate ${est(k)} < exact $c") }
+    // unseen key estimates only collision mass (>= 0, well-defined)
+    val unseen = SetSketch.cmsEstimate(cms, Seq(999L).toDF("k"), "k", 4, 16)
+      .head.getLong(1)
+    assert(unseen >= 0L)
+    // mergeable: summing two halves' tables == the union's table
+    val (a, b) = rows.splitAt(150)
+    val mergedTab = SetSketch.cmsTable(a.toDF("k"), "k", 4, 16)
+      .unionByName(SetSketch.cmsTable(b.toDF("k"), "k", 4, 16))
+      .groupBy("depth", "bucket")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val unionTab = t.map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(mergedTab == unionTab)
+  }
 }
