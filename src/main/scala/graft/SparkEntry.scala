@@ -2132,6 +2132,53 @@ object SparkEntry {
           "pid", "x", "y", radius = 1000000L, k = 3)
         .orderBy("l_id", "rank")
     }),
+    // Matryoshka truncation eval (Kusupati et al. 2022): recall@10 of
+    // the 16-dim prefix ranking against the full-dim exact ranking —
+    // both sides the q27 cosine chain, so the oracle replays everything.
+    "q259_matryoshka_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val full = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      val te = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val tq = q.select(col("query_id"),
+        slice(col("query_vec"), 1, 16).as("query_vec"))
+      val trunc = Similarity.bruteForceTopK(te, "vec_id", "embedding", tq, 10)
+      Similarity.recallAtK(trunc, full).orderBy("query_id")
+    }),
+    // Int8 symmetric quantization eval: per-dim max-abs scales (exact
+    // order-free max), deterministic rounding, EXACT integer dot-product
+    // ranking (no float accumulation at all), recall@10 vs the full
+    // float cosine ranking.
+    "q260_int8_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val full = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      val scales = emb
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("pos").agg(max(abs(col("v").cast("double"))).as("m"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("sc"))
+      def quant(vec: String) = expr(
+        s"""transform($vec, (x, i) -> CASE WHEN sc[i] = 0.0D THEN 0L
+           |  ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0D / sc[i] + 0.5D)
+           |    AS BIGINT) END)""".stripMargin)
+      val qc = emb.crossJoin(broadcast(scales))
+        .select(col("vec_id").as("neighbor_id"), quant("embedding").as("qv"))
+      val qq = q.crossJoin(broadcast(scales))
+        .select(col("query_id"), quant("query_vec").as("qq"))
+      val scored = qc.crossJoin(broadcast(qq))
+        .select(col("query_id"), col("neighbor_id"),
+          aggregate(zip_with(col("qv"), col("qq"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("idot"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("idot").desc, col("neighbor_id"))
+      val int8Top = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      Similarity.recallAtK(int8Top, full).orderBy("query_id")
+    }),
     // Rendezvous-hash sharding + the rebalance audit: 8 -> 9 shards
     // moves only keys the new shard wins (~1/9), never between
     // survivors — the guarantee emitted row-by-row for the oracle.
@@ -6406,6 +6453,97 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q260: per-dim max scales replayed, identical floor-rounding, the
+    // integer dot ranking is EXACT in both engines (pure BIGINT), the
+    // full-precision side is q27's chain
+    "q260_int8_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |fs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_inner_product(e.v, q.qv)
+        |      / (sqrt(list_inner_product(e.v, e.v))
+        |         * sqrt(list_inner_product(q.qv, q.qv))) AS score
+        |  FROM e CROSS JOIN q),
+        |fr AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |    FROM fs) WHERE rank <= 10),
+        |ex AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS p, v
+        |  FROM e),
+        |sc0 AS (SELECT p, max(abs(v[p])) AS m FROM ex GROUP BY p),
+        |sc AS (SELECT list(m ORDER BY p) AS sc FROM sc0),
+        |qe AS (SELECT e.vec_id AS neighbor_id,
+        |    list_transform(generate_series(1, len(e.v)), i ->
+        |      CASE WHEN sc.sc[i] = 0 THEN 0
+        |        ELSE CAST(floor(CAST(e.v[i] AS DOUBLE) * 127.0 / sc.sc[i]
+        |          + 0.5) AS BIGINT) END) AS qv
+        |  FROM e CROSS JOIN sc),
+        |qq AS (SELECT q.query_id,
+        |    list_transform(generate_series(1, len(q.qv)), i ->
+        |      CASE WHEN sc.sc[i] = 0 THEN 0
+        |        ELSE CAST(floor(CAST(q.qv[i] AS DOUBLE) * 127.0 / sc.sc[i]
+        |          + 0.5) AS BIGINT) END) AS qq
+        |  FROM q CROSS JOIN sc),
+        |is0 AS (SELECT qq.query_id, qe.neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, len(qe.qv)),
+        |        i -> qe.qv[i] * qq.qq[i])), (x, y) -> x + y) AS idot
+        |  FROM qe CROSS JOIN qq),
+        |ir AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY idot DESC, neighbor_id) AS rank
+        |    FROM is0) WHERE rank <= 10),
+        |hits AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM ir t JOIN fr f ON f.query_id = t.query_id
+        |    AND f.neighbor_id = t.neighbor_id
+        |  GROUP BY 1),
+        |truth AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM fr GROUP BY 1)
+        |SELECT truth.query_id, coalesce(hits.n_hit, 0) AS n_hit,
+        |  truth.n_true,
+        |  round(CAST(coalesce(hits.n_hit, 0) AS DOUBLE)
+        |    / CAST(truth.n_true AS DOUBLE), 6) AS recall
+        |FROM truth LEFT JOIN hits ON hits.query_id = truth.query_id
+        |ORDER BY truth.query_id""".stripMargin,
+    // q259: the q27 cosine chain for BOTH dim sets (full and v[1:16]
+    // prefix), identical rank windows, left-semi hit counts
+    "q259_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |fs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_inner_product(e.v, q.qv)
+        |      / (sqrt(list_inner_product(e.v, e.v))
+        |         * sqrt(list_inner_product(q.qv, q.qv))) AS score
+        |  FROM e CROSS JOIN q),
+        |fr AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |    FROM fs) WHERE rank <= 10),
+        |te AS (SELECT vec_id, v[1:16] AS v FROM e),
+        |tq AS (SELECT query_id, qv[1:16] AS qv FROM q),
+        |ts AS (SELECT tq.query_id, te.vec_id AS neighbor_id,
+        |    list_inner_product(te.v, tq.qv)
+        |      / (sqrt(list_inner_product(te.v, te.v))
+        |         * sqrt(list_inner_product(tq.qv, tq.qv))) AS score
+        |  FROM te CROSS JOIN tq),
+        |tr AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |    FROM ts) WHERE rank <= 10),
+        |hits AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM tr t JOIN fr f ON f.query_id = t.query_id
+        |    AND f.neighbor_id = t.neighbor_id
+        |  GROUP BY 1),
+        |truth AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM fr GROUP BY 1)
+        |SELECT truth.query_id, coalesce(hits.n_hit, 0) AS n_hit,
+        |  truth.n_true,
+        |  round(CAST(coalesce(hits.n_hit, 0) AS DOUBLE)
+        |    / CAST(truth.n_true AS DOUBLE), 6) AS recall
+        |FROM truth LEFT JOIN hits ON hits.query_id = truth.query_id
+        |ORDER BY truth.query_id""".stripMargin,
     // q258: q149's u derivation and -w/ln(u) scores verbatim for BOTH
     // node lists; the (score DESC, node) pick replays the fold, and the
     // moved flag is a plain inequality of the two picks

@@ -719,4 +719,5 @@ object Scrub {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("_ntot") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
+
 }
