@@ -2147,6 +2147,25 @@ object SparkEntry {
       val trunc = Similarity.bruteForceTopK(te, "vec_id", "embedding", tq, 10)
       Similarity.recallAtK(trunc, full).orderBy("query_id")
     }),
+    // TextRank keywords (Mihalcea & Tarau, EMNLP 2004) as a pure
+    // composition: adjacency co-occurrence edges (symmetrized) from the
+    // canonical tokens -> q190's exact integer PageRank -> top 20 by
+    // the exact (rank_e12, word) order.
+    "q261_textrank_keywords" -> ((s, dir) => {
+      val toks = Tables(s, dir).documents.filter(col("doc_id") % 5 === 0)
+        .select(filter(split(TextAnalysis.normalized(col("text")), " "),
+          c => c =!= "").as("tk"))
+      val pairs = toks.filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1)," +
+            " i -> struct(tk[i-1] AS a, tk[i] AS b))")).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iters = 2)
+        .orderBy(col("rank_e12").desc, col("node")).limit(20)
+    }),
     // Int8 symmetric quantization eval: per-dim max-abs scales (exact
     // order-free max), deterministic rounding, EXACT integer dot-product
     // ranking (no float accumulation at all), recall@10 vs the full
@@ -6453,6 +6472,43 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q261: q190's integer PageRank template on the word-adjacency
+    // graph, two rounds, the same dangling/teleport floor divisions
+    "q261_textrank_keywords" -> {
+      val S = graft.operators.Graph.RankScale
+      val rounds = (1 to 2).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""i$i AS (SELECT e.d AS node, CAST(sum(r._r // o.od) AS BIGINT) AS infl
+           |  FROM e JOIN $prev r ON r.node = e.s JOIN od o ON o.s = e.s
+           |  GROUP BY e.d),
+           |g$i AS (SELECT CAST(coalesce(sum(r._r), 0) AS BIGINT) AS dmass
+           |  FROM $prev r LEFT JOIN od o ON o.s = r.node WHERE o.s IS NULL),
+           |r$i AS (SELECT nd.node,
+           |    CAST((15 * $S) // (100 * nn.n)
+           |      + (85 * (coalesce(i.infl, 0) + g.dmass // nn.n)) // 100
+           |      AS BIGINT) AS _r
+           |  FROM nodes nd CROSS JOIN nn CROSS JOIN g$i g
+           |  LEFT JOIN i$i i ON i.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tks AS (SELECT list_filter(string_split(trim(regexp_replace(
+         |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |    ' +', ' ', 'g')), ' '), x -> x <> '') AS tk
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |p AS (SELECT tk[i] AS a, tk[i+1] AS b FROM (
+         |    SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+         |    FROM tks WHERE len(tk) >= 2)),
+         |e AS (SELECT a AS s, b AS d FROM p WHERE a <> b
+         |  UNION SELECT b, a FROM p WHERE a <> b),
+         |nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |od AS (SELECT s, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY s),
+         |r0 AS (SELECT node, CAST($S // nn.n AS BIGINT) AS _r
+         |  FROM nodes CROSS JOIN nn),
+         |$rounds
+         |SELECT node, r._r AS rank_e12,
+         |  CAST(r._r AS DOUBLE) / 1e12 AS pagerank
+         |FROM r2 r ORDER BY rank_e12 DESC, node LIMIT 20""".stripMargin
+    },
     // q260: per-dim max scales replayed, identical floor-rounding, the
     // integer dot ranking is EXACT in both engines (pure BIGINT), the
     // full-precision side is q27's chain
