@@ -2147,6 +2147,14 @@ object SparkEntry {
       val trunc = Similarity.bruteForceTopK(te, "vec_id", "embedding", tq, 10)
       Similarity.recallAtK(trunc, full).orderBy("query_id")
     }),
+    // Efraimidis-Spirakis weighted k-sample per source (weight =
+    // n_chars): top-k by ln(u)/w with hash-derived u — a deterministic
+    // weighted WITHOUT-replacement draw, O(k) aggregation state.
+    "q262_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSampleK(Tables(s, dir).documents, Seq("source"),
+          "doc_id", "n_chars", k = 5)
+        .orderBy("source", "rank")
+    }),
     // TextRank keywords (Mihalcea & Tarau, EMNLP 2004) as a pure
     // composition: adjacency co-occurrence edges (symmetrized) from the
     // canonical tokens -> q190's exact integer PageRank -> top 20 by
@@ -6472,6 +6480,22 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q262: identical u derivation (q149's 2^52+1 lane), identical
+    // ln(u)/w doubles, (score DESC, second-hash-window) rank replay
+    "q262_weighted_sample" ->
+      """WITH s AS (SELECT source, doc_id,
+        |    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |        || ':wsk'), 1, 13)) AS BIGINT) + 1)
+        |      / CAST(4503599627370497.0 AS DOUBLE))
+        |      / CAST(n_chars AS DOUBLE) AS score,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |        || ':wsk'), 14, 13)) AS BIGINT) AS tie
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY score DESC, tie) AS rank
+        |  FROM s)
+        |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     // q261: q190's integer PageRank template on the word-adjacency
     // graph, two rounds, the same dangling/teleport floor divisions
     "q261_textrank_keywords" -> {

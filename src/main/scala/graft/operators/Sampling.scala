@@ -529,6 +529,48 @@ object Sampling {
       .select(df.columns.map(col) ++ Seq(col("pos_in_group"), col("progress")): _*)
   }
 
+  /** Weighted sampling WITHOUT replacement, k per stratum (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
+    * each row draws `u` from its key's hash and keeps key
+    * `ln(u) / w` — the top-k by that key is EXACTLY a weighted
+    * without-replacement sample (the paper's u^(1/w) order,
+    * log-transformed so the arithmetic stays in safe double range).
+    * The deterministic-hash u makes the sample stable across runs,
+    * engines and layouts, and independent of other hash decisions via
+    * the domain salt ([[sampleByHash]]'s contract).
+    *
+    * vs [[ppsSample]]: PPS selects each slot proportional-to-weight WITH
+    * the possibility of repeats across slots; this draws k DISTINCT rows
+    * where heavier rows enter earlier — the "pick k exemplar documents,
+    * longer ones more likely, no duplicates" primitive.
+    *
+    * Determinism: u = (hex52 + 1)/(2⁵² + 1) ∈ (0, 1) exactly as
+    * [[rendezvousAssign]]; `ln` evaluates on identical doubles in both
+    * engines; ties (a 104-bit md5 prefix collision) break on the second
+    * hash window. Null or non-positive weights are excluded.
+    *
+    * Scale shape: ONE bounded-state [[graft.functions.TopK]] aggregation
+    * per stratum — O(k) state, map-side partials, never a per-stratum
+    * sort. Output: `(strataCols…, rank, keyCol)`. */
+  def weightedSampleK(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                      weightCol: String, k: Int,
+                      domain: String = "wsk"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(!df.columns.contains("_t"),
+      "input must not contain the reserved column _t")
+    val w = col(weightCol).cast("double")
+    val hex = md5(concat(col(keyCol).cast("string"), lit(":" + domain)))
+    val u = (hex52(hex, 1) + lit(1L)).cast("double") / lit(4503599627370497.0)
+    df.filter(w.isNotNull && w > 0.0)
+      .groupBy(strataCols.map(col): _*)
+      .agg(graft.functions.TopK.topK(k, log(u) / w, hex52(hex, 14),
+        col(keyCol)).as("_t"))
+      .select(strataCols.map(col) :+ posexplode(col("_t")): _*)
+      .select(strataCols.map(col) ++ Seq(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.payload").as(keyCol)): _*)
+  }
+
   /** Weighted rendezvous (highest-random-weight) assignment: route every
     * row to one of `nodes` with probability proportional to the node's
     * weight, such that adding/removing/reweighting a node only moves the

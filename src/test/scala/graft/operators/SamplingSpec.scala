@@ -668,6 +668,34 @@ class SamplingSpec extends SparkFunSuite {
     }
   }
 
+  test("weightedSampleK: window differential, heavy row wins, weight gates") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 50).map(i => ("g", i.toLong, (i % 7 + 1).toLong))
+      .toDF("g", "id", "w")
+    val got = Sampling.weightedSampleK(df, Seq("g"), "id", "w", k = 8)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    // naive single-window replay of the same ES keys
+    val hex = md5(concat(col("id").cast("string"), lit(":wsk")))
+    val u = (conv(substring(hex, 1, 13), 16, 10).cast("long") + lit(1L))
+      .cast("double") / lit(4503599627370497.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy((log(u) / col("w").cast("double")).desc,
+        conv(substring(hex, 14, 13), 16, 10).cast("long"))
+    val naive = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 8).orderBy("rank")
+      .collect().map(r => (r.getInt(3), r.getLong(1))).toSeq
+    assert(got == naive)
+    // an overwhelming weight pins rank 1 (ln(u)/w -> 0^-, beats all)
+    val heavy = df.union(Seq(("g", 999L, 1000000000000000L)).toDF("g", "id", "w"))
+    assert(Sampling.weightedSampleK(heavy, Seq("g"), "id", "w", k = 3)
+      .filter(col("rank") === 1).head.getLong(2) == 999L)
+    // null / non-positive weights are excluded, never sampled
+    val gated = Seq(("g", 1L, Some(0L)), ("g", 2L, Option.empty[Long]),
+      ("g", 3L, Some(5L))).toDF("g", "id", "w")
+    assert(Sampling.weightedSampleK(gated, Seq("g"), "id", "w", k = 3)
+      .collect().map(_.getLong(2)).toSeq == Seq(3L))
+  }
+
   test("rendezvousRebalance: only the new node gains keys; survivors stable") {
     val ids = (1L to 300L).toDF("id")
     val before = Seq("a" -> 1.0, "b" -> 1.0, "c" -> 2.0)
