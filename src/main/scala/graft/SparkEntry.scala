@@ -2147,6 +2147,18 @@ object SparkEntry {
       val trunc = Similarity.bruteForceTopK(te, "vec_id", "embedding", tq, 10)
       Similarity.recallAtK(trunc, full).orderBy("query_id")
     }),
+    // Holt-Winters additive seasonal smoothing (period 7) on the q212
+    // daily series: q212's integer fold plus a learned 7-slot seasonal
+    // state, one row per (series, slot).
+    "q263_holt_winters" -> ((s, dir) => {
+      val daily = Tables(s, dir).events
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("v"))
+      Trend.holtWinters(daily, Seq("event_type"), "day", "v", period = 7)
+        .orderBy("event_type", "slot")
+    }),
     // Efraimidis-Spirakis weighted k-sample per source (weight =
     // n_chars): top-k by ln(u)/w with hash-derived u — a deterministic
     // weighted WITHOUT-replacement draw, O(k) aggregation state.
@@ -6480,6 +6492,51 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q263: q212's RECURSIVE replay extended with a LIST seasonal state
+    // (index-built, no struct lambdas), identical truncating divisions
+    "q263_holt_winters" ->
+      """WITH RECURSIVE d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+        |      AS v6
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ser AS (SELECT event_type, v6, row_number()
+        |    OVER (PARTITION BY event_type ORDER BY day) AS rn FROM d),
+        |rec AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS rn, v6 AS l,
+        |      CAST(0 AS BIGINT) AS t,
+        |      list_transform(generate_series(1, 7),
+        |        j -> CAST(0 AS BIGINT)) AS s
+        |    FROM ser WHERE rn = 1
+        |  UNION ALL
+        |  SELECT event_type, rn, lnew,
+        |      CAST((1 * (lnew - l) + 7 * t) // 8 AS BIGINT),
+        |      list_transform(generate_series(1, 7), j ->
+        |        CASE WHEN j = slot
+        |          THEN CAST((1 * (x - lnew) + 3 * sold) // 4 AS BIGINT)
+        |          ELSE s[j] END)
+        |    FROM (SELECT r.event_type, r.rn + 1 AS rn, r.l, r.t, r.s,
+        |        sv.v6 AS x,
+        |        CAST(r.rn % 7 + 1 AS INTEGER) AS slot,
+        |        r.s[CAST(r.rn % 7 + 1 AS INTEGER)] AS sold,
+        |        CAST((1 * (sv.v6 - r.s[CAST(r.rn % 7 + 1 AS INTEGER)])
+        |          + 3 * (r.l + r.t)) // 4 AS BIGINT) AS lnew
+        |      FROM rec r JOIN ser sv ON sv.event_type = r.event_type
+        |        AND sv.rn = r.rn + 1)),
+        |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_periods
+        |  FROM ser GROUP BY 1),
+        |fin AS (SELECT r.event_type, nn.n_periods, r.l, r.t, r.s
+        |  FROM rec r JOIN nn ON nn.event_type = r.event_type
+        |    AND r.rn = nn.n_periods)
+        |SELECT event_type, n_periods,
+        |  CAST(j - 1 AS INTEGER) AS slot,
+        |  l AS level_e6, t AS trend_e6, s[j] AS season_e6,
+        |  CAST(l AS DOUBLE) / 1e6 AS level,
+        |  CAST(t AS DOUBLE) / 1e6 AS trend,
+        |  CAST(s[j] AS DOUBLE) / 1e6 AS season
+        |FROM fin, (SELECT unnest(generate_series(1, 7)) AS j)
+        |ORDER BY event_type, slot""".stripMargin,
     // q262: identical u derivation (q149's 2^52+1 lane), identical
     // ln(u)/w doubles, (score DESC, second-hash-window) rank replay
     "q262_weighted_sample" ->

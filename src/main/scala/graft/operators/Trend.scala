@@ -343,6 +343,92 @@ object Trend {
         .as("forecast_1")): _*)
   }
 
+  /** Holt–Winters ADDITIVE triple exponential smoothing (Winters,
+    * Management Science 1960) — [[holtLinear]] plus a `period`-slot
+    * seasonal state, in the same exact-integer contract:
+    *   - `l′ = (αN·(x − s_slot) + (αD−αN)·(l + t)) div αD`
+    *   - `t′ = (βN·(l′ − l) + (βD−βN)·t) div βD`
+    *   - `s′_slot = (γN·(x − l′) + (γD−γN)·s_slot) div γD`
+    * with slot = (position − 1) mod period, every division the same
+    * truncating IntegralDivide the q212 oracle replays as `//`. Init is
+    * the SIMPLE deterministic variant: `l₀ = x₁`, `t₀ = 0`, seasonals
+    * all 0 — the seasonal profile is LEARNED over the cycles present
+    * (the textbook first-cycle-mean init needs ≥ one full season and
+    * adds nothing at the exactness level this engine gates; callers
+    * with short series should read `n_periods` before trusting the
+    * profile).
+    *
+    * Values ride the decimal(18,6) micro-unit lane; the fold runs over
+    * ONE sorted collect per group in `orderCol` order (groups must fit
+    * a task — the q212 contract; series are per-key daily grains, not
+    * raw events).
+    *
+    * Output: one row per (group, slot 0-based): `(groupCols…,
+    * n_periods, slot, level_e6, trend_e6, season_e6, level, trend,
+    * season)` — level/trend repeat per slot (they are group-level
+    * state). */
+  def holtWinters(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                  valueCol: String, period: Int,
+                  alphaNum: Long = 1L, alphaDen: Long = 4L,
+                  betaNum: Long = 1L, betaDen: Long = 8L,
+                  gammaNum: Long = 1L, gammaDen: Long = 4L): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    require(period >= 2 && period <= 1000, s"period ($period) out of range")
+    require(alphaNum > 0 && alphaNum <= alphaDen &&
+      betaNum > 0 && betaNum <= betaDen &&
+      gammaNum > 0 && gammaNum <= gammaDen,
+      "smoothing fractions must lie in (0, 1]")
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def idiv(a: Column, b: Column): Column = GraftColumnBridge.column(
+      IntegralDivide(GraftColumnBridge.expression(a),
+        GraftColumnBridge.expression(b)))
+    val v6 = (col(valueCol).cast("decimal(18,6)") * lit(1000000L))
+      .cast("long").as("_v")
+    val arr = col("_arr")
+    // slot of the element being consumed: state carries the 1-based
+    // position of the LAST consumed element in "p"
+    def slot1(st: Column): Column = (st("p") % period + 1L).cast("int")
+    def sOld(st: Column): Column = element_at(st("s"), slot1(st))
+    def lNew(st: Column, x: Column): Column =
+      idiv(lit(alphaNum) * (x - sOld(st)) +
+        lit(alphaDen - alphaNum) * (st("l") + st("t")), lit(alphaDen))
+    val folded = df
+      .filter(groupCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(col(orderCol).as("_o"), v6): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_periods"),
+        sort_array(collect_list(struct(col("_o"), col("_v")))).as("_arr"))
+      .select(groupCols.map(col) ++ Seq(col("n_periods"),
+        aggregate(
+          slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+          struct(element_at(arr, 1)("_v").as("l"), lit(0L).as("t"),
+            array_repeat(lit(0L), period).as("s"), lit(1L).as("p")),
+          (st, e) => {
+            val x = e("_v")
+            val sN = idiv(lit(gammaNum) * (x - lNew(st, x)) +
+              lit(gammaDen - gammaNum) * sOld(st), lit(gammaDen))
+            struct(
+              lNew(st, x).as("l"),
+              idiv(lit(betaNum) * (lNew(st, x) - st("l")) +
+                lit(betaDen - betaNum) * st("t"), lit(betaDen)).as("t"),
+              transform(st("s"), (v, i) =>
+                when(i === slot1(st) - 1, sN).otherwise(v)).as("s"),
+              (st("p") + 1L).as("p"))
+          }).as("_st")): _*)
+    folded
+      .select(groupCols.map(col) ++ Seq(col("n_periods"),
+        col("_st")("l").as("level_e6"), col("_st")("t").as("trend_e6"),
+        posexplode(col("_st")("s"))): _*)
+      .select(groupCols.map(col) ++ Seq(col("n_periods"),
+        col("pos").cast("int").as("slot"),
+        col("level_e6"), col("trend_e6"), col("col").as("season_e6"),
+        (col("level_e6").cast("double") / lit(1.0e6)).as("level"),
+        (col("trend_e6").cast("double") / lit(1.0e6)).as("trend"),
+        (col("col").cast("double") / lit(1.0e6)).as("season")): _*)
+  }
+
   /** Sample autocorrelation of a bucketed series at lags 1..`maxLag`
     * (Box & Jenkins' correlogram — the seasonality/memory screen run
     * before fitting any forecast): per (group, lag), the PEARSON

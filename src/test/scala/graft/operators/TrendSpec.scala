@@ -330,4 +330,29 @@ class TrendSpec extends SparkFunSuite {
       Trend.crossCorrelation(df, "i", "x", "y", maxLag = 0)
     }
   }
+
+  test("holtWinters: hand-replayed integer triple-smoothing, period 2") {
+    // series 10, 14, 8, 16 at defaults a=1/4, b=1/8, g=1/4:
+    //   p2: l=11e6, t=125000, s2=750000
+    //   p3: l=10343750, t=27343, s1=-585937 (truncating divisions)
+    //   p4: l=11590819, t=179808, s2=1664795
+    val df = Seq(("g", 1, 10.0), ("g", 2, 14.0), ("g", 3, 8.0),
+      ("g", 4, 16.0)).toDF("g", "o", "v")
+    val got = Trend.holtWinters(df, Seq("g"), "o", "v", period = 2)
+      .orderBy("slot").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got == Seq(
+      (4L, 0, 11590819L, 179808L, -585937L),
+      (4L, 1, 11590819L, 179808L, 1664795L)))
+    // single-element series: init state only, zero seasonals
+    val one = Trend.holtWinters(Seq(("g", 1, 3.5)).toDF("g", "o", "v"),
+        Seq("g"), "o", "v", period = 2)
+      .orderBy("slot").collect()
+    assert(one.map(r => (r.getLong(3), r.getLong(4), r.getLong(5))).toSeq ==
+      Seq((3500000L, 0L, 0L), (3500000L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Trend.holtWinters(df, Seq("g"), "o", "v", period = 1)
+    }
+  }
 }
