@@ -2147,6 +2147,27 @@ object SparkEntry {
       val trunc = Similarity.bruteForceTopK(te, "vec_id", "embedding", tq, 10)
       Similarity.recallAtK(trunc, full).orderBy("query_id")
     }),
+    // Log-rank test between the q176 arms: per-user time-to-first-
+    // purchase (censored at last activity), pooled event-time grid,
+    // hypergeometric variance, t-ordered E/V folds.
+    "q264_log_rank" -> ((s, dir) => {
+      val per = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("purch_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+        .select(
+          when(substring(md5(concat(col("user_id").cast("string"),
+            lit(":ab"))), 1, 1) < "8", lit("control"))
+            .otherwise(lit("treatment")).as("arm"),
+          expr("(coalesce(purch_us, last_us) - first_us) div 86400000000")
+            .as("dur_days"),
+          col("purch_us").isNotNull.as("event"))
+      Retention.logRankTest(per, "arm", "dur_days", "event",
+        "control", "treatment")
+    }),
     // Holt-Winters additive seasonal smoothing (period 7) on the q212
     // daily series: q212's integer fold plus a learned 7-slot seasonal
     // state, one row per (series, slot).
@@ -6492,6 +6513,71 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q264: identical per-user durations, identical pooled grid +
+    // suffix-sum at-risk, E/V folds replayed index-ordered in t order
+    "q264_log_rank" ->
+      """WITH per AS (SELECT user_id,
+        |    min(epoch_us(ts)) AS first_us,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS purch_us,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |u AS (SELECT
+        |    substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1) < '8'
+        |      AS isa,
+        |    (coalesce(purch_us, last_us) - first_us) // 86400000000 AS t,
+        |    CASE WHEN purch_us IS NOT NULL THEN 1 ELSE 0 END AS e
+        |  FROM per),
+        |pt AS (SELECT isa, t, CAST(count(*) AS BIGINT) AS ends,
+        |    CAST(sum(e) AS BIGINT) AS d FROM u GROUP BY 1, 2),
+        |times AS (SELECT DISTINCT t FROM pt),
+        |arms AS (SELECT unnest([TRUE, FALSE]) AS isa),
+        |grid AS (SELECT a.isa, ti.t, coalesce(pt.ends, 0) AS ends,
+        |    coalesce(pt.d, 0) AS d
+        |  FROM times ti CROSS JOIN arms a
+        |  LEFT JOIN pt ON pt.isa = a.isa AND pt.t = ti.t),
+        |ar AS (SELECT isa, t, d, sum(ends) OVER (PARTITION BY isa
+        |    ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS n FROM grid),
+        |bt AS (SELECT t, sum(CASE WHEN isa THEN d END) AS da,
+        |    sum(CASE WHEN isa THEN n END) AS na,
+        |    sum(d) AS dt, sum(n) AS nt
+        |  FROM ar GROUP BY 1 HAVING sum(d) > 0),
+        |tot AS (SELECT
+        |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM u),
+        |f AS (SELECT CAST(coalesce(sum(da), 0) AS BIGINT) AS observed_a,
+        |    list(da ORDER BY t) AS lda, list(na ORDER BY t) AS lna,
+        |    list(dt ORDER BY t) AS ldt, list(nt ORDER BY t) AS lnt
+        |  FROM bt),
+        |g AS (SELECT observed_a,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(ldt)), i ->
+        |        CAST(ldt[i] AS DOUBLE) * CAST(lna[i] AS DOUBLE)
+        |          / CAST(lnt[i] AS DOUBLE))), (x, y) -> x + y) AS e,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(ldt)), i ->
+        |        CASE WHEN lnt[i] <= 1 THEN CAST(0 AS DOUBLE)
+        |          ELSE CAST(ldt[i] AS DOUBLE)
+        |            * (CAST(lna[i] AS DOUBLE) / CAST(lnt[i] AS DOUBLE))
+        |            * (CAST(1 AS DOUBLE)
+        |               - CAST(lna[i] AS DOUBLE) / CAST(lnt[i] AS DOUBLE))
+        |            * (CAST(lnt[i] AS DOUBLE) - CAST(ldt[i] AS DOUBLE))
+        |            / (CAST(lnt[i] AS DOUBLE) - CAST(1 AS DOUBLE))
+        |        END)), (x, y) -> x + y) AS v
+        |  FROM f)
+        |SELECT tot.n_a, tot.n_b, g.observed_a, g.e AS expected_a,
+        |  g.v AS variance,
+        |  CASE WHEN g.v <= 0 THEN NULL
+        |       ELSE (CAST(g.observed_a AS DOUBLE) - g.e) / sqrt(g.v)
+        |  END AS z,
+        |  CASE WHEN g.v <= 0 THEN NULL
+        |       ELSE ((CAST(g.observed_a AS DOUBLE) - g.e) / sqrt(g.v))
+        |          * ((CAST(g.observed_a AS DOUBLE) - g.e) / sqrt(g.v))
+        |  END AS chi2
+        |FROM g CROSS JOIN tot""".stripMargin,
     // q263: q212's RECURSIVE replay extended with a LIST seasonal state
     // (index-built, no struct lambdas), identical truncating divisions
     "q263_holt_winters" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -157,6 +157,86 @@ object Retention {
     folded.select(gcols ++ Seq(col("_x.t").as("t"),
       col("_x.n_risk").as("n_risk"), col("_x.n_events").as("n_events"),
       col("_x.survival").as("survival")): _*)
+  }
+
+  /** Two-sample log-rank test (Mantel, Cancer Chemother. Rep. 1966;
+    * the Mantel–Haenszel form) — does arm B's survival curve differ
+    * from arm A's, the inferential companion to [[kaplanMeier]]'s
+    * descriptive curves. At every pooled event time t:
+    * `O += d_A(t)`, `E += d(t)·n_A(t)/n(t)`,
+    * `V += d(t)·(n_A/n)·(1 − n_A/n)·(n − d)/(n − 1)` (hypergeometric
+    * variance; times with n ≤ 1 contribute 0), then
+    * `z = (O − E)/√V` and `chi2 = z²` (1 df).
+    *
+    * Determinism: every count is an exact integer built from one
+    * pooled time grid (each arm's at-risk is a suffix sum over the
+    * SHARED grid, so both engines see identical n_A(t) even at times
+    * where only the other arm has rows); E and V fold their terms in
+    * ascending-t order over a sorted collect — one fixed double chain.
+    * Zero variance (no events, or every at-risk set degenerate) nulls
+    * `z`/`chi2` rather than dividing by zero.
+    *
+    * Input is unit-level as [[kaplanMeier]]: one row per subject with
+    * `(armCol, durationCol, eventCol)`; rows outside the two named
+    * arms are ignored, null durations excluded.
+    *
+    * Scale shape: one (arm, t) aggregation, a grid join of
+    * event-time-cardinality size, per-arm suffix-sum windows over that
+    * calendar-sized grid (never the subject table), and a 1-row fold.
+    *
+    * Output: ONE row `(n_a, n_b, observed_a, expected_a, variance,
+    * z, chi2)`. */
+  def logRankTest(df: DataFrame, armCol: String, durationCol: String,
+                  eventCol: String, armA: String, armB: String): DataFrame = {
+    require(armA != armB, "the two arms must differ")
+    val rows = df
+      .filter(col(armCol).isin(armA, armB) && col(durationCol).isNotNull)
+      .select((col(armCol) === armA).as("_isA"),
+        col(durationCol).cast("long").as("_t"),
+        when(col(eventCol), 1L).otherwise(0L).as("_e"))
+      .localCheckpoint(false) // arm totals + per-time grid
+    val perT = rows.groupBy(col("_isA"), col("_t"))
+      .agg(count(lit(1)).as("_ends"), sum(col("_e")).as("_d"))
+    val times = perT.select("_t").distinct()
+    val grid = times
+      .crossJoin(broadcast(rows.sparkSession.range(2)
+        .select((col("id") === 0L).as("_isA"))))
+      .join(perT, Seq("_isA", "_t"), "left")
+      .select(col("_isA"), col("_t"),
+        coalesce(col("_ends"), lit(0L)).as("_ends"),
+        coalesce(col("_d"), lit(0L)).as("_d"))
+    val wDesc = Window.partitionBy(col("_isA")).orderBy(col("_t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = grid.withColumn("_n", sum(col("_ends")).over(wDesc))
+    val byT = atRisk.groupBy(col("_t"))
+      .agg(sum(when(col("_isA"), col("_d"))).as("_da"),
+        sum(when(col("_isA"), col("_n"))).as("_na"),
+        sum(col("_d")).as("_dt"), sum(col("_n")).as("_nt"))
+      .filter(col("_dt") > 0L)
+    val totals = rows.agg(
+      sum(when(col("_isA"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_isA"), 0L).otherwise(1L)).as("n_b"))
+    val folded = byT.agg(
+      coalesce(sum(col("_da")), lit(0L)).as("observed_a"),
+      sort_array(collect_list(struct(col("_t"), col("_da"), col("_na"),
+        col("_dt"), col("_nt")))).as("_terms"))
+    def dbl(c: Column): Column = c.cast("double")
+    val e = aggregate(col("_terms"), lit(0.0), (acc, x) =>
+      acc + dbl(x("_dt")) * dbl(x("_na")) / dbl(x("_nt")))
+    val v = aggregate(col("_terms"), lit(0.0), (acc, x) => {
+      val frac = dbl(x("_na")) / dbl(x("_nt"))
+      acc + when(x("_nt") <= 1L, lit(0.0)).otherwise(
+        dbl(x("_dt")) * frac * (lit(1.0) - frac) *
+          (dbl(x("_nt")) - dbl(x("_dt"))) / (dbl(x("_nt")) - lit(1.0)))
+    })
+    folded.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"), col("observed_a"),
+        e.as("expected_a"), v.as("variance"),
+        when(v <= 0.0, lit(null))
+          .otherwise((dbl(col("observed_a")) - e) / sqrt(v)).as("z"),
+        when(v <= 0.0, lit(null))
+          .otherwise((dbl(col("observed_a")) - e) / sqrt(v) *
+            ((dbl(col("observed_a")) - e) / sqrt(v))).as("chi2"))
   }
 
   /** Cohort LTV curve: users cohort by their FIRST active period;

@@ -179,4 +179,31 @@ class RetentionSpec extends SparkFunSuite {
       (1L, 2L, 2L, 4.0, 8.0, 4.0),
       (2L, 0L, 1L, 10.0, 10.0, 10.0)))
   }
+
+  test("logRankTest: hand-replayed O/E/V over the pooled grid") {
+    // A: events at 2, 4, censored 6; B: events at 1, 5, censored 3
+    val df = Seq(("a", 2L, true), ("a", 4L, true), ("a", 6L, false),
+      ("b", 1L, true), ("b", 3L, false), ("b", 5L, true))
+      .toDF("arm", "dur", "ev")
+    val r = Retention.logRankTest(df, "arm", "dur", "ev", "a", "b")
+      .collect().head
+    // event times 1,2,4,5 with (da, na, dt, nt):
+    // (0,3,1,6) (1,3,1,5) (1,2,1,3) (0,1,1,2); folds in t order
+    val terms = Seq((0L, 3.0, 1.0, 6.0), (1L, 3.0, 1.0, 5.0),
+      (1L, 2.0, 1.0, 3.0), (0L, 1.0, 1.0, 2.0))
+    val e = terms.foldLeft(0.0) { case (acc, (_, na, dt, nt)) =>
+      acc + dt * na / nt }
+    val v = terms.foldLeft(0.0) { case (acc, (_, na, dt, nt)) =>
+      val frac = na / nt
+      acc + dt * frac * (1.0 - frac) * (nt - dt) / (nt - 1.0) }
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 2L)))
+    assert(r.getDouble(3) == e && r.getDouble(4) == v)
+    assert(r.getDouble(5) == (2.0 - e) / math.sqrt(v))
+    // identical curves: O == E, z well-defined and ~0 only by data; a
+    // no-event input nulls z instead of dividing by zero
+    val none = Seq(("a", 1L, false), ("b", 2L, false)).toDF("arm", "dur", "ev")
+    val r2 = Retention.logRankTest(none, "arm", "dur", "ev", "a", "b")
+      .collect().head
+    assert(r2.getLong(2) == 0L && r2.isNullAt(5) && r2.isNullAt(6))
+  }
 }
