@@ -616,12 +616,20 @@ object Sampling {
       -lit(w) / log(u)
     }
     val ordered = nodes.sortBy(_._1)
-    ordered.tail.foldLeft(
+    if (ordered.size == 1) return lit(ordered.head._1)
+    // the strict-improvement fold as a higher-order aggregate(): the
+    // accumulator is a LAMBDA VARIABLE, referenced (not inlined) by the
+    // when/otherwise — a Column-level foldLeft would nest the whole
+    // accumulator tree twice per node, a 2^k expression blow-up that
+    // measured 16 s for 9 nodes over 50k rows (vs <1 s linear)
+    aggregate(
+      array(ordered.tail.map { case (name, w) =>
+        struct(score(name, w).as("s"), lit(name).as("n"))
+      }: _*),
       struct(score(ordered.head._1, ordered.head._2).as("s"),
-        lit(ordered.head._1).as("n"))) { case (acc, (name, w)) =>
-      val s = score(name, w)
-      when(s > acc("s"), struct(s.as("s"), lit(name).as("n"))).otherwise(acc)
-    }.getField("n")
+        lit(ordered.head._1).as("n")),
+      (acc, x) => when(x("s") > acc("s"), x).otherwise(acc)
+    ).getField("n")
   }
 
   /** Topology-change audit for [[rendezvousAssign]]: the assignment
