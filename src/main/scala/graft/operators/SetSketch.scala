@@ -136,6 +136,14 @@ object SetSketch {
     * (same-(depth,bucket) rows ADD — build per partition/day and sum),
     * the frequency companion to the KMV/HLL distinct sketches.
     *
+    * Relationship to [[graft.functions.Sketches.countMin]]: that is the
+    * STREAMING form — an O(depth·width) TypedImperativeAggregate over
+    * xxhash64, usable inside watermarked windows but spec-only (xxhash64
+    * has no cross-engine twin). This relational form rides the md5 lane
+    * so a DuckDB oracle replays the table integer-for-integer — it is
+    * what gives the count-min family its CORRECTNESS row (q256), the
+    * same upgrade q238 gave the streaming family.
+    *
     * Determinism: buckets come from depth-salted md5 (the repo's grid
     * idiom), counts are exact longs — an engine replaying the same
     * hashes reproduces the table integer-for-integer.
