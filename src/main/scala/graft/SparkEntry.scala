@@ -2147,6 +2147,16 @@ object SparkEntry {
       val trunc = Similarity.bruteForceTopK(te, "vec_id", "embedding", tq, 10)
       Similarity.recallAtK(trunc, full).orderBy("query_id")
     }),
+    // Empirical-Bayes return-rate shrinkage per SKU bucket: beta-
+    // binomial prior by method of moments across items, posterior-mean
+    // rates — small-n SKUs shrink toward the global rate.
+    "q265_eb_shrinkage" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select((col("l_partkey") % 500).as("sku"),
+          (col("l_returnflag") === "R").as("returned"))
+      Experiment.ebShrinkRates(li, "sku", "returned")
+        .orderBy("sku")
+    }),
     // Log-rank test between the q176 arms: per-user time-to-first-
     // purchase (censored at last activity), pooled event-time grid,
     // hypergeometric variance, t-ordered E/V folds.
@@ -6513,6 +6523,48 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q265: identical exact counts, item-ordered moment folds replayed
+    // index-ordered, identical MoM prior and posterior-mean chain
+    "q265_eb_shrinkage" ->
+      """WITH it AS (SELECT l_partkey % 500 AS sku,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS ni,
+        |    list(n ORDER BY sku) AS ln, list(x ORDER BY sku) AS lx
+        |  FROM it),
+        |m AS (SELECT ni,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(ln)), i ->
+        |        CAST(lx[i] AS DOUBLE) / CAST(ln[i] AS DOUBLE))),
+        |      (a, b) -> a + b) AS sp,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(ln)), i ->
+        |        (CAST(lx[i] AS DOUBLE) / CAST(ln[i] AS DOUBLE))
+        |        * (CAST(lx[i] AS DOUBLE) / CAST(ln[i] AS DOUBLE)))),
+        |      (a, b) -> a + b) AS spp
+        |  FROM f),
+        |pr0 AS (SELECT sp / CAST(ni AS DOUBLE) AS pm,
+        |    spp / CAST(ni AS DOUBLE)
+        |      - (sp / CAST(ni AS DOUBLE)) * (sp / CAST(ni AS DOUBLE)) AS v
+        |  FROM m),
+        |pr AS (SELECT pm AS prior_mean,
+        |    CASE WHEN v > 0 AND pm * (CAST(1 AS DOUBLE) - pm) / v
+        |             - CAST(1 AS DOUBLE) > 0
+        |         THEN pm * (CAST(1 AS DOUBLE) - pm) / v - CAST(1 AS DOUBLE)
+        |         ELSE NULL END AS prior_strength
+        |  FROM pr0)
+        |SELECT it.sku, it.n AS n_trials, it.x AS n_success,
+        |  CAST(it.x AS DOUBLE) / CAST(it.n AS DOUBLE) AS rate_raw,
+        |  CASE WHEN pr.prior_strength IS NULL
+        |       THEN CAST(it.x AS DOUBLE) / CAST(it.n AS DOUBLE)
+        |       ELSE (CAST(it.x AS DOUBLE)
+        |             + pr.prior_mean * pr.prior_strength)
+        |            / (CAST(it.n AS DOUBLE) + pr.prior_strength)
+        |  END AS rate_shrunk,
+        |  pr.prior_mean, pr.prior_strength
+        |FROM it CROSS JOIN pr ORDER BY it.sku""".stripMargin,
     // q264: identical per-user durations, identical pooled grid +
     // suffix-sum at-risk, E/V folds replayed index-ordered in t order
     "q264_log_rank" ->

@@ -279,6 +279,75 @@ object Experiment {
         mean.as("mean_metric"), col("did_estimate"), col("se"), col("t_stat"))
   }
 
+  /** Empirical-Bayes rate shrinkage (beta-binomial, method of moments —
+    * Robbins 1956's program in its standard industrial form, e.g.
+    * Efron & Morris JASA 1975): per-item success rates `x/n` are noisy
+    * for small n; fit a Beta(α, β) prior ACROSS items by moments
+    * (`m = mean(p_i)`, `v = var(p_i)`, strength `K = m(1−m)/v − 1`,
+    * α = mK, β = (1−m)K) and report the posterior mean
+    * `(x + mK)/(n + K)` — small-n items shrink toward the global rate,
+    * large-n items keep their own. The standard fix for "this SKU has
+    * 1/1 = 100% returns" leaderboard artifacts.
+    *
+    * Determinism: per-item (n, x) are exact integers; the prior moments
+    * fold `p_i` and `p_i²` in ITEM ORDER over one sorted collect (the
+    * items table is vocabulary-sized by contract — bucket raw keys
+    * upstream), and every downstream double derives through one fixed
+    * chain. A degenerate prior (zero between-item variance, or
+    * v ≥ m(1−m) which implies non-positive strength) yields null
+    * `prior_strength` and `rate_shrunk = rate_raw` — no fabricated
+    * shrinkage. Items with n = 0 cannot occur (they have no rows).
+    *
+    * Output per item: `(itemCol, n_trials, n_success, rate_raw,
+    * rate_shrunk)` plus the scalar prior `(prior_mean, prior_strength)`
+    * repeated per row.
+    *
+    * Scale shape: ONE map-side-combined aggregation to the item
+    * vocabulary, a 1-row moment fold, and a broadcast back — nothing
+    * item-squared, nothing data-sized past the first shuffle. */
+  def ebShrinkRates(df: DataFrame, itemCol: String,
+                    successCol: String): DataFrame = {
+    val items = df
+      .filter(col(itemCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n_trials"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("n_success"))
+      .localCheckpoint(false) // moment fold + output rows
+    val p = col("n_success").cast("double") / col("n_trials").cast("double")
+    val prior = items
+      .agg(count(lit(1)).as("_ni"),
+        sort_array(collect_list(struct(col(itemCol), col("n_trials"),
+          col("n_success")))).as("_t"))
+      .select(col("_ni"),
+        aggregate(col("_t"), lit(0.0), (acc, t) =>
+          acc + t("n_success").cast("double") / t("n_trials").cast("double"))
+          .as("_sp"),
+        aggregate(col("_t"), lit(0.0), (acc, t) =>
+          acc + (t("n_success").cast("double") / t("n_trials").cast("double"))
+            * (t("n_success").cast("double") / t("n_trials").cast("double")))
+          .as("_spp"))
+      .select(
+        (col("_sp") / col("_ni").cast("double")).as("prior_mean"),
+        (col("_spp") / col("_ni").cast("double")
+          - (col("_sp") / col("_ni").cast("double"))
+          * (col("_sp") / col("_ni").cast("double"))).as("_v"))
+      .select(col("prior_mean"),
+        when(col("_v") > 0.0 &&
+          col("prior_mean") * (lit(1.0) - col("prior_mean")) / col("_v")
+            - lit(1.0) > 0.0,
+          col("prior_mean") * (lit(1.0) - col("prior_mean")) / col("_v")
+            - lit(1.0)).otherwise(lit(null)).as("prior_strength"))
+    items.crossJoin(broadcast(prior))
+      .select(col(itemCol), col("n_trials"), col("n_success"),
+        p.as("rate_raw"),
+        when(col("prior_strength").isNull, p)
+          .otherwise((col("n_success").cast("double")
+            + col("prior_mean") * col("prior_strength"))
+            / (col("n_trials").cast("double") + col("prior_strength")))
+          .as("rate_shrunk"),
+        col("prior_mean"), col("prior_strength"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
     * nonparametric companion to [[cupedAdjust]]'s mean-based readout:
     * does arm B's metric STOCHASTICALLY dominate arm A's, robust to the

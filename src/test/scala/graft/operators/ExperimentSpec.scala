@@ -146,6 +146,40 @@ class ExperimentSpec extends SparkFunSuite {
     }
   }
 
+  test("ebShrinkRates: hand-replayed MoM prior, shrinkage direction, degenerate prior") {
+    // items a: 1/1, b: 1/10, c: 5/10, d: 4/10 (event-level rows)
+    def rows(item: String, x: Int, n: Int) =
+      (0 until n).map(i => (item, i < x))
+    val df = (rows("a", 1, 1) ++ rows("b", 1, 10) ++ rows("c", 5, 10) ++
+      rows("d", 4, 10)).toDF("item", "ok")
+    val got = Experiment.ebShrinkRates(df, "item", "ok")
+      .orderBy("item").collect()
+    // replay the item-ordered folds and the fixed chain
+    val ps = Seq(1.0, 0.1, 0.5, 0.4)
+    val sp = ps.foldLeft(0.0)(_ + _)
+    val spp = ps.foldLeft(0.0)((acc, p) => acc + p * p)
+    val m = sp / 4.0
+    val v = spp / 4.0 - m * m
+    val k = m * (1.0 - m) / v - 1.0
+    val a = got(0)
+    assert(a.getLong(1) == 1L && a.getLong(2) == 1L && a.getDouble(3) == 1.0)
+    assert(a.getDouble(4) == (1.0 + m * k) / (1.0 + k))
+    assert(a.getDouble(5) == m && a.getDouble(6) == k)
+    // shrinkage direction: the 1/1 item moves DOWN toward m, the 1/10
+    // item moves UP toward m, and big-n items move less than small-n
+    assert(a.getDouble(4) < 1.0 && a.getDouble(4) > m)
+    val b = got(1)
+    assert(b.getDouble(4) > 0.1 && b.getDouble(4) < m)
+    assert(math.abs(a.getDouble(4) - a.getDouble(3)) >
+      math.abs(b.getDouble(4) - b.getDouble(3)),
+      "the n=1 item shrinks harder than the n=10 item")
+    // zero between-item variance: null strength, shrunk == raw
+    val same = (rows("a", 1, 2) ++ rows("b", 1, 2)).toDF("item", "ok")
+    val deg = Experiment.ebShrinkRates(same, "item", "ok")
+      .orderBy("item").collect()
+    assert(deg.forall(r => r.isNullAt(6) && r.getDouble(4) == r.getDouble(3)))
+  }
+
   test("diffInDiff: hand-replayed 2x2 estimator, SE, cell means") {
     // treated-post {5,7}, treated-pre {1,1,4}, control-post {2,4},
     // control-pre {1,3}; a null metric row is excluded
