@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VecDot, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Profile, Quantiles, RangeJoin, Ranks, Resample, Retention, Retrieval, Rfm, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Preference, Profile, Quantiles, RangeJoin, Ranks, Resample, Retention, Retrieval, Rfm, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2146,6 +2146,27 @@ object SparkEntry {
         slice(col("query_vec"), 1, 16).as("query_vec"))
       val trunc = Similarity.bruteForceTopK(te, "vec_id", "embedding", tq, 10)
       Similarity.recallAtK(trunc, full).orderBy("query_id")
+    }),
+    // Bradley-Terry strengths over SKU "matches" (adjacent line items
+    // in an order; higher quantity wins, ties to the smaller SKU):
+    // 3 MM rounds, opponent-ordered folds, sum-normalized scale.
+    "q266_bradley_terry" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          (col("l_partkey") % 20).as("p"), col("l_quantity").as("q"))
+      val m = li.select(col("ok"), col("ln"), col("p").as("pa"),
+          col("q").as("qa"))
+        .join(li.select(col("ok"), (col("ln") - 1).as("ln"),
+          col("p").as("pb"), col("q").as("qb")), Seq("ok", "ln"))
+        .select(
+          when(col("qa") > col("qb"), col("pa"))
+            .when(col("qb") > col("qa"), col("pb"))
+            .otherwise(least(col("pa"), col("pb"))).as("winner"),
+          when(col("qa") > col("qb"), col("pb"))
+            .when(col("qb") > col("qa"), col("pa"))
+            .otherwise(greatest(col("pa"), col("pb"))).as("loser"))
+      Preference.bradleyTerry(m, "winner", "loser", iters = 3)
+        .orderBy("item")
     }),
     // Empirical-Bayes return-rate shrinkage per SKU bucket: beta-
     // binomial prior by method of moments across items, posterior-mean
@@ -6523,6 +6544,60 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q266: the three MM rounds unrolled; each item's denominator folds
+    // opponents index-ordered by j, the rescale folds items in item
+    // order — the engine's sorted-collect folds replayed exactly
+    "q266_bradley_terry" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "p0" else s"p${i - 1}"
+        s"""d$i AS (SELECT pc.i AS item, max(a.pi) AS pii,
+           |    list(pc.n ORDER BY pc.j) AS ln,
+           |    list(b.pi ORDER BY pc.j) AS lp
+           |  FROM pairs pc JOIN $prev a ON a.item = pc.i
+           |  JOIN $prev b ON b.item = pc.j
+           |  GROUP BY pc.i),
+           |w$i AS (SELECT d.item,
+           |    CAST(wi.n_wins AS DOUBLE) / list_reduce(
+           |      list_prepend(CAST(0 AS DOUBLE),
+           |        list_transform(generate_series(1, len(d.ln)), k ->
+           |          CAST(d.ln[k] AS DOUBLE) / (d.pii + d.lp[k]))),
+           |      (x, y) -> x + y) AS raw
+           |  FROM d$i d JOIN wins wi ON wi.item = d.item),
+           |t$i AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    (SELECT list(raw ORDER BY item) FROM w$i)),
+           |    (x, y) -> x + y) AS tot),
+           |p$i AS (SELECT w.item,
+           |    w.raw * (SELECT CAST(count(*) AS DOUBLE) FROM items)
+           |      / t.tot AS pi
+           |  FROM w$i w CROSS JOIN t$i t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+         |    l_partkey % 20 AS p, l_quantity AS q FROM lineitem),
+         |m AS (SELECT
+         |    CASE WHEN a.q > b.q THEN a.p WHEN b.q > a.q THEN b.p
+         |         ELSE least(a.p, b.p) END AS w,
+         |    CASE WHEN a.q > b.q THEN b.p WHEN b.q > a.q THEN a.p
+         |         ELSE greatest(a.p, b.p) END AS l
+         |  FROM li a JOIN li b ON b.ok = a.ok AND b.ln = a.ln + 1),
+         |mc AS (SELECT w, l FROM m WHERE w <> l),
+         |wins0 AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS n_wins
+         |  FROM mc GROUP BY 1),
+         |pairs AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT w AS i, l AS j FROM mc
+         |    UNION ALL SELECT l, w FROM mc) GROUP BY 1, 2),
+         |items AS (SELECT DISTINCT i AS item FROM pairs),
+         |wins AS (SELECT items.item, coalesce(wins0.n_wins, 0) AS n_wins
+         |  FROM items LEFT JOIN wins0 ON wins0.item = items.item),
+         |p0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS pi FROM items),
+         |$rounds,
+         |nm AS (SELECT i AS item, CAST(sum(n) AS BIGINT) AS n_matches
+         |  FROM pairs GROUP BY 1)
+         |SELECT w.item, CAST(w.n_wins AS BIGINT) AS n_wins,
+         |  nm.n_matches, p3.pi AS bt_score
+         |FROM wins w JOIN nm ON nm.item = w.item
+         |  JOIN p3 ON p3.item = w.item
+         |ORDER BY w.item""".stripMargin
+    },
     // q265: identical exact counts, item-ordered moment folds replayed
     // index-ordered, identical MoM prior and posterior-mean chain
     "q265_eb_shrinkage" ->
