@@ -2147,6 +2147,25 @@ object SparkEntry {
       val trunc = Similarity.bruteForceTopK(te, "vec_id", "embedding", tq, 10)
       Similarity.recallAtK(trunc, full).orderBy("query_id")
     }),
+    // Annotator consensus (Dawid-Skene-lite): 5 planted annotators with
+    // DIFFERENT md5 noise rates (10%..50%) vote on each doc's lang;
+    // majority, accuracy-vs-majority, accuracy-weighted re-vote.
+    "q267_annotator_consensus" -> ((s, dir) => {
+      val votes = Tables(s, dir).documents
+        .filter(col("lang").isNotNull)
+        .select(col("doc_id"), explode(array((0 until 5).map { k =>
+          struct(lit(s"a$k").as("annotator"),
+            when(conv(substring(md5(concat(col("doc_id").cast("string"),
+                lit(s":an$k"))), 1, 5), 16, 10).cast("long") % 1000000L
+                < (k + 1) * 100000L,
+              concat(lit("x_"), col("lang"))).otherwise(col("lang"))
+              .as("label"))
+        }: _*)).as("v"))
+        .select(col("doc_id"), col("v.annotator").as("annotator"),
+          col("v.label").as("label"))
+      Classifier.annotatorConsensus(votes, "doc_id", "annotator", "label")
+        .orderBy("doc_id")
+    }),
     // Bradley-Terry strengths over SKU "matches" (adjacent line items
     // in an order; higher quantity wins, ties to the smaller SKU):
     // 3 MM rounds, opponent-ordered folds, sum-normalized scale.
@@ -6544,6 +6563,45 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q267: identical plantings (per-annotator 0x-hex noise rates),
+    // identical dedupe/majority/accuracy/weighted chains; argmaxes
+    // replayed as (score DESC, label) windows
+    "q267_annotator_consensus" ->
+      """WITH an(k) AS (VALUES (0), (1), (2), (3), (4)),
+        |raw AS (SELECT d.doc_id, 'a' || CAST(an.k AS VARCHAR) AS annot,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+        |        || ':an' || CAST(an.k AS VARCHAR)), 1, 5)) AS BIGINT)
+        |        % 1000000 < (an.k + 1) * 100000
+        |      THEN 'x_' || d.lang ELSE d.lang END AS label
+        |  FROM documents d CROSS JOIN an WHERE d.lang IS NOT NULL),
+        |votes AS (SELECT doc_id, annot, min(label) AS lb
+        |  FROM raw GROUP BY 1, 2),
+        |cnt AS (SELECT doc_id, lb, CAST(count(*) AS BIGINT) AS c
+        |  FROM votes GROUP BY 1, 2),
+        |mj AS (SELECT doc_id, lb AS majority_label FROM (
+        |    SELECT doc_id, lb, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY c DESC, lb) AS rn FROM cnt) WHERE rn = 1),
+        |nv AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_votes
+        |  FROM cnt GROUP BY 1),
+        |acc AS (SELECT v.annot,
+        |    CAST(sum(CASE WHEN v.lb = m.majority_label THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS a
+        |  FROM votes v JOIN mj m ON m.doc_id = v.doc_id GROUP BY 1),
+        |wsum AS (SELECT doc_id, lb,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      (SELECT list(acc.a ORDER BY v2.annot)
+        |       FROM votes v2 JOIN acc ON acc.annot = v2.annot
+        |       WHERE v2.doc_id = w.doc_id AND v2.lb = w.lb)),
+        |      (x, y) -> x + y) AS wt
+        |  FROM (SELECT DISTINCT doc_id, lb FROM votes) w),
+        |wl AS (SELECT doc_id, lb AS weighted_label, wt FROM (
+        |    SELECT doc_id, lb, wt, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY wt DESC, lb) AS rn FROM wsum) WHERE rn = 1)
+        |SELECT mj.doc_id, nv.n_votes, mj.majority_label,
+        |  wl.weighted_label, wl.wt AS winning_weight
+        |FROM mj JOIN nv ON nv.doc_id = mj.doc_id
+        |  JOIN wl ON wl.doc_id = mj.doc_id
+        |ORDER BY mj.doc_id""".stripMargin,
     // q266: the three MM rounds unrolled; each item's denominator folds
     // opponents index-ordered by j, the rescale folds items in item
     // order — the engine's sorted-collect folds replayed exactly

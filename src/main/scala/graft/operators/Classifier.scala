@@ -287,6 +287,69 @@ object Classifier {
           .as("gap"))
   }
 
+  /** Annotator consensus with ONE accuracy-weighted refinement round —
+    * the Dawid & Skene (JRSS-C 1979) idea cut to its deterministic
+    * one-iteration core, the workhorse shape for labeling-pipeline
+    * aggregation: (1) majority vote per item (ties → smallest label);
+    * (2) each annotator's accuracy = agreement rate with that majority;
+    * (3) re-vote with votes weighted by annotator accuracy (ties →
+    * smallest label again). Full EM iterates (2)–(3); one round already
+    * demotes the random-clicker whose votes a plain majority counts at
+    * par.
+    *
+    * Determinism: duplicate (item, annotator) votes collapse to the
+    * SMALLEST label first (a double-vote is upstream dirt, resolved
+    * reproducibly); counts are exact integers; accuracies are one
+    * division each; the per-(item, label) weight sums fold votes in
+    * ANNOTATOR order over a sorted collect; both argmaxes are
+    * `min(struct(−score, label))` — aggregates, never per-item sort
+    * windows.
+    *
+    * Output per item: `(itemCol, n_votes, majority_label,
+    * weighted_label, winning_weight)`.
+    *
+    * Scale shape: one (item, annotator) dedup shuffle, one
+    * (item, label) count, an annotator-vocabulary-sized accuracy table
+    * broadcast back, and one more (item, label) aggregation — per-item
+    * state is its vote set, never the corpus. */
+  def annotatorConsensus(df: DataFrame, itemCol: String,
+                         annotatorCol: String,
+                         labelCol: String): DataFrame = {
+    val votes = df
+      .filter(col(itemCol).isNotNull && col(annotatorCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("_it"), col(annotatorCol).as("_an"))
+      .agg(min(col(labelCol)).as("_lb"))
+      .localCheckpoint(true) // majority + accuracy + weighted passes
+    val majority = votes.groupBy(col("_it"), col("_lb"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("_it"))
+      .agg(min(struct((-col("_c")).as("nc"), col("_lb").as("l"))).as("_m"),
+        sum(col("_c")).as("n_votes"))
+      .select(col("_it"), col("n_votes"), col("_m.l").as("majority_label"))
+      .localCheckpoint(true) // accuracy join + output join
+    val acc = votes
+      .join(majority.select(col("_it"), col("majority_label")), Seq("_it"))
+      .groupBy(col("_an"))
+      .agg((sum(when(col("_lb") === col("majority_label"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("_acc"))
+    val weighted = votes
+      .join(broadcast(acc), Seq("_an"))
+      .groupBy(col("_it"), col("_lb"))
+      .agg(sort_array(collect_list(struct(col("_an"), col("_acc"))))
+        .as("_t"))
+      .select(col("_it"), col("_lb"),
+        aggregate(col("_t"), lit(0.0), (s, t) => s + t("_acc")).as("_w"))
+      .groupBy(col("_it"))
+      .agg(min(struct((-col("_w")).as("nw"), col("_lb").as("l"))).as("_p"))
+      .select(col("_it"), col("_p.l").as("weighted_label"),
+        (-col("_p.nw")).as("winning_weight"))
+    majority.join(weighted, Seq("_it"))
+      .select(col("_it").as(itemCol), col("n_votes"),
+        col("majority_label"), col("weighted_label"),
+        col("winning_weight"))
+  }
+
   /** Brier score with the Murphy (1973) reliability–resolution–
     * uncertainty decomposition over [[calibrationBins]]' binning:
     * `brier = (1/N)·Σ(p_i − y_i)²` exactly (unbinned), and the binned

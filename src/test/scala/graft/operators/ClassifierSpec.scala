@@ -294,6 +294,38 @@ class ClassifierSpec extends SparkFunSuite {
       .isNullAt(4))
   }
 
+  test("annotatorConsensus: accuracy weighting overturns a raw majority") {
+    // g1/g2 are reliable (agree on items 1-3); b1-b3 are noise (random
+    // labels on 1-3) but GANG UP on item 4 — the raw majority there is
+    // 'f', the accuracy-weighted vote restores 't'; item 5 is a 1-1 tie
+    // resolved to the smallest label
+    val votes = (
+      (1 to 3).flatMap(i => Seq((i.toLong, "g1", "t"), (i.toLong, "g2", "t"),
+        (i.toLong, "b1", s"x$i"), (i.toLong, "b2", s"y$i"),
+        (i.toLong, "b3", s"z$i"))) ++
+      Seq((4L, "g1", "t"), (4L, "g2", "t"), (4L, "b1", "f"),
+        (4L, "b2", "f"), (4L, "b3", "f"),
+        (5L, "g1", "a"), (5L, "g2", "b"))
+    ).toDF("item", "annot", "label")
+    val got = Classifier.annotatorConsensus(votes, "item", "annot", "label")
+      .orderBy("item").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getDouble(4))).toSeq
+    // accuracies vs majority: g1 4/5, g2 3/5, b* 1/4 each; item-4 't'
+    // weight folds g1 then g2 (annotator order): (0 + 4/5) + 3/5
+    val wT = (0.0 + 4.0 / 5.0) + 3.0 / 5.0
+    assert(got(3) == ((4L, 5L, "f", "t", wT)), "weighted vote overturns")
+    assert(got(4) == ((5L, 2L, "a", "a", 0.0 + 4.0 / 5.0)),
+      "1-1 majority tie resolves to the smallest label")
+    assert(got.take(3).forall(r => r._3 == "t" && r._4 == "t" && r._5 == wT))
+    // duplicate (item, annotator) votes collapse to the smallest label
+    val dup = votes.union(Seq((5L, "g1", "zzz")).toDF("item", "annot", "label"))
+    val g5 = Classifier.annotatorConsensus(dup, "item", "annot", "label")
+      .filter(org.apache.spark.sql.functions.col("item") === 5L)
+      .collect().head
+    assert(g5.getString(2) == "a" && g5.getLong(1) == 2L)
+  }
+
   test("brierDecomposition: hand-replayed Murphy terms and the identity") {
     // two perfectly-within-bin forecasts: 0.2 (y=0), 0.8 (y=1)
     val df = Seq((0.2, false), (0.8, true)).toDF("score", "label")
