@@ -2147,6 +2147,14 @@ object SparkEntry {
       val trunc = Similarity.bruteForceTopK(te, "vec_id", "embedding", tq, 10)
       Similarity.recallAtK(trunc, full).orderBy("query_id")
     }),
+    // EXACT Shapley attribution over {view, click, signup} coalitions
+    // (conversion = first purchase): v(S) counts, factorial-weighted
+    // integer credit — phi * 3! is an exact long both engines replay.
+    "q268_shapley_attribution" -> ((s, dir) => {
+      Sessionize.shapleyAttribution(Tables(s, dir).events, "user_id",
+          "ts", "event_type", "purchase", Seq("view", "click", "signup"))
+        .orderBy("channel")
+    }),
     // Annotator consensus (Dawid-Skene-lite): 5 planted annotators with
     // DIFFERENT md5 noise rates (10%..50%) vote on each doc's lang;
     // majority, accuracy-vs-majority, accuracy-weighted re-vote.
@@ -6563,6 +6571,39 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q268: identical per-user bitmasks, the containment-join v(S)
+    // table, and the factorial weights as CASE literals over a manual
+    // popcount — phi * 3! integer-for-integer
+    "q268_shapley_attribution" ->
+      """WITH conv AS (SELECT user_id AS u, min(epoch_us(ts)) AS ct
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type = 'purchase' GROUP BY 1),
+        |m0 AS (SELECT e.user_id AS u,
+        |    max(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+        |    + max(CASE WHEN e.event_type = 'click' THEN 2 ELSE 0 END)
+        |    + max(CASE WHEN e.event_type = 'signup' THEN 4 ELSE 0 END) AS m
+        |  FROM events e JOIN conv ON conv.u = e.user_id
+        |  WHERE e.ts IS NOT NULL AND epoch_us(e.ts) < conv.ct
+        |  GROUP BY 1),
+        |cnt AS (SELECT coalesce(m0.m, 0) AS m, count(*) AS c
+        |  FROM conv LEFT JOIN m0 ON m0.u = conv.u GROUP BY 1),
+        |sp AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |v AS (SELECT sp.s, CAST(coalesce(sum(cnt.c), 0) AS BIGINT) AS v
+        |  FROM sp LEFT JOIN cnt ON (cnt.m & sp.s) = cnt.m GROUP BY 1),
+        |ch(b, name) AS (VALUES (1, 'view'), (2, 'click'), (4, 'signup')),
+        |t AS (SELECT ch.name AS channel,
+        |    CAST(coalesce(sum((CASE (vs.s & 1) + ((vs.s >> 1) & 1)
+        |          + ((vs.s >> 2) & 1)
+        |        WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2 END)
+        |      * (vc.v - vs.v)), 0) AS BIGINT) AS shapley_e
+        |  FROM ch JOIN v vs ON (vs.s & ch.b) = 0
+        |  JOIN v vc ON vc.s = vs.s + ch.b
+        |  GROUP BY 1),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_converters FROM conv)
+        |SELECT t.channel, t.shapley_e,
+        |  CAST(t.shapley_e AS DOUBLE) / CAST(6 AS DOUBLE) AS shapley,
+        |  nc.n_converters
+        |FROM t CROSS JOIN nc ORDER BY channel""".stripMargin,
     // q267: identical plantings (per-annotator 0x-hex noise rates),
     // identical dedupe/majority/accuracy/weighted chains; argmaxes
     // replayed as (score DESC, label) windows

@@ -420,6 +420,94 @@ object Sessionize {
     * Scale shape: one user-partitioned window (the carry-forward `last`
     * over touches runs streaming, O(1) state per row), then a
     * touch-vocabulary-sized aggregation. */
+  /** EXACT Shapley-value attribution (Shapley 1953; the coalition model
+    * of Zhao et al., "Shapley value methods for attribution modeling",
+    * 2018): each converting user's pre-conversion touched-channel SET is
+    * a coalition observation; the characteristic function
+    * `v(S) = #conversions whose touch set ⊆ S`, and channel c's value is
+    * `φ_c = Σ_{S ⊆ C∖{c}} |S|!·(n−1−|S|)!/n! · (v(S∪{c}) − v(S))` —
+    * unlike last-touch/time-decay heuristics this is the unique
+    * efficient-symmetric-null credit split over the observed coalition
+    * behavior, and unlike the Markov removal effects it needs no chain
+    * assumption.
+    *
+    * EXACT INTEGER arithmetic throughout: `v` values are counts, the
+    * factorial weights are plan-literal integers, and the reported
+    * `shapley_e` = φ_c·n! is an exact long (`shapley` = its one double
+    * division by n!). Σ_c φ_c = v(C) − v(∅) exactly (efficiency over
+    * attributable conversions; users converting with NO prior touch sit
+    * in v(∅) and receive no credit, correctly).
+    *
+    * `channels` is the explicit vocabulary (n ≤ 16 — 2ⁿ subset rows;
+    * Shapley over more channels is a different, sampled estimator);
+    * touches are events with `typeCol` ∈ channels STRICTLY BEFORE the
+    * user's first `conversionType` event.
+    *
+    * Scale shape: ONE user-keyed aggregation collapses the corpus to a
+    * per-user bitmask; everything after is 2ⁿ-sized — the mask→subset
+    * containment join, the two v lookups, the weighted sum. Nothing
+    * data-sized past the first shuffle.
+    *
+    * Output per channel: `(channel, shapley_e, shapley, n_converters)`. */
+  def shapleyAttribution(events: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, conversionType: String,
+                         channels: Seq[String]): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 16,
+      s"channels (${channels.size}) must be 1..16")
+    require(channels.distinct.size == channels.size, "duplicate channels")
+    require(!channels.contains(conversionType),
+      "the conversion type cannot also be a channel")
+    val n = channels.size
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), col(tsCol).as("_ts"),
+        col(typeCol).as("_ty"))
+      .localCheckpoint(true) // conversion times + touch scan
+    val conv = base.filter(col("_ty") === conversionType)
+      .groupBy("_u").agg(min(col("_ts")).as("_ct"))
+    val maskExpr = channels.zipWithIndex.map { case (c, i) =>
+      max(when(col("_ty") === c, lit(1L << i)).otherwise(0L))
+    }.reduce(_ + _)
+    val masks = base.join(conv, Seq("_u"))
+      .filter(col("_ts") < col("_ct"))
+      .groupBy("_u").agg(maskExpr.as("_m"))
+    // converters with zero pre-conversion touches land in mask 0 too
+    val cnt = conv.join(masks, Seq("_u"), "left")
+      .select(coalesce(col("_m"), lit(0L)).as("_m"))
+      .groupBy("_m").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // 2^n-bounded; read by the subset join
+    val subsets = spark.range(1L << n).select(col("id").as("_s"))
+    val v = subsets.join(cnt,
+        (col("_m").bitwiseAND(col("_s"))) === col("_m"), "left")
+      .groupBy("_s").agg(coalesce(sum(col("_c")), lit(0L)).as("_v"))
+      .localCheckpoint(true) // two lookups per channel term
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val terms = channels.zipWithIndex.map { case (c, i) =>
+      val bit = 1L << i
+      val without = v.filter((col("_s").bitwiseAND(lit(bit))) === 0L)
+        .select(col("_s"), col("_v").as("_vs"))
+      val pop = expr("bit_count(_s)")
+      val weight = (0 until n).map(s =>
+        when(pop === s, lit(fact(s) * fact(n - 1 - s))).otherwise(lit(0L)))
+        .reduce(_ + _)
+      without
+        .join(v.select((col("_s") - bit).as("_s"), col("_v").as("_vsc")),
+          Seq("_s"))
+        .agg(coalesce(sum(weight * (col("_vsc") - col("_vs"))), lit(0L))
+          .as("shapley_e"))
+        .select(lit(c).as("channel"), col("shapley_e"))
+    }
+    val nConv = conv.agg(count(lit(1)).as("n_converters"))
+    terms.reduce(_.unionByName(_))
+      .crossJoin(broadcast(nConv))
+      .select(col("channel"), col("shapley_e"),
+        (col("shapley_e").cast("double") / lit(fact(n).toDouble))
+          .as("shapley"),
+        col("n_converters"))
+  }
+
   def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
                            typeCol: String, valueCol: String,
                            conversionType: String, touchTypes: Seq[String],

@@ -422,4 +422,29 @@ class SessionizeSpec extends SparkFunSuite {
       -(0.5 * math.log(0.5) + 0.5 * math.log(0.5)) * 1e6 + 0.5) / 1e6
     assert(got == Seq(("A", 2L, 2L, ln2r), ("B", 1L, 1L, 0.0)))
   }
+
+  test("shapleyAttribution: hand v(S) table, exact integer credit, efficiency") {
+    // converters: u1 {view}, u2 {click}, u3 {view,click}, u4 no touch,
+    // u5's view comes AFTER the purchase (not a touch); u6 never converts
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "purchase"),
+      (2L, 1L, "click"), (2L, 2L, "purchase"),
+      (3L, 1L, "view"), (3L, 2L, "click"), (3L, 3L, "purchase"),
+      (4L, 1L, "purchase"),
+      (5L, 1L, "purchase"), (5L, 2L, "view"),
+      (6L, 1L, "view"), (6L, 2L, "view")
+    ).toDF("u", "ts", "ty")
+    val got = Sessionize.shapleyAttribution(ev, "u", "ts", "ty",
+        "purchase", Seq("view", "click"))
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // v: v(0)=2, v(v)=3, v(c)=3, v(vc)=5; both channels earn
+    // phi*2! = 1*(3-2) + 1*(5-3) = 3 -> 1.5 each; efficiency:
+    // 1.5+1.5 = v(C)-v(0) = 3
+    assert(got.toSeq == Seq(("click", 3L, 1.5, 5L), ("view", 3L, 1.5, 5L)))
+    intercept[IllegalArgumentException] {
+      Sessionize.shapleyAttribution(ev, "u", "ts", "ty", "purchase",
+        Seq("view", "purchase"))
+    }
+  }
 }
