@@ -2147,6 +2147,21 @@ object SparkEntry {
       val trunc = Similarity.bruteForceTopK(te, "vec_id", "embedding", tq, 10)
       Similarity.recallAtK(trunc, full).orderBy("query_id")
     }),
+    // Modularity of the q249 label-propagation partition: exact
+    // Q * 4m^2 integer numerator, community-ordered fold — the quality
+    // score that says whether LPA found real structure.
+    "q269_modularity" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("a"))
+        .join(li.select(col("ok"), col("sk").as("b")), "ok")
+        .filter(col("a") =!= col("b"))
+        .select("a", "b")
+      val labels = Graph.labelPropagation(edges, "a", "b", iters = 3)
+      Graph.modularity(edges, "a", "b", labels, "node", "label")
+    }),
     // EXACT Shapley attribution over {view, click, signup} coalitions
     // (conversion = first purchase): v(S) counts, factorial-weighted
     // integer credit — phi * 3! is an exact long both engines replay.
@@ -6571,6 +6586,63 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q269: q249's unrolled LPA rounds feeding the exact Q*4m^2 sum
+    // (HUGEINT terms, community-ordered index fold, one final division)
+    "q269_modularity" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""c$i AS (SELECT e.u AS node, l.label AS lbl,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM e JOIN $prev l ON l.node = e.v GROUP BY 1, 2),
+           |l$i AS (SELECT node, lbl AS label FROM (
+           |    SELECT node, lbl, row_number()
+           |      OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+           |    FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem WHERE l_orderkey % 20 = 0),
+         |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok WHERE a.sk <> b.sk),
+         |nodes AS (SELECT DISTINCT u AS node FROM e),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$rounds,
+         |canon AS (SELECT DISTINCT least(u, v) AS cu, greatest(u, v) AS cv
+         |  FROM e),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT cu AS node FROM canon
+         |    UNION ALL SELECT cv FROM canon) GROUP BY 1),
+         |degc AS (SELECT l.label AS lb, CAST(sum(deg.d) AS BIGINT) AS dc,
+         |    CAST(count(*) AS BIGINT) AS nc
+         |  FROM deg JOIN l3 l ON l.node = deg.node GROUP BY 1),
+         |intra AS (SELECT lu.label AS lb, CAST(count(*) AS BIGINT) AS ec
+         |  FROM canon JOIN l3 lu ON lu.node = canon.cu
+         |  JOIN l3 lv ON lv.node = canon.cv
+         |  WHERE lu.label = lv.label GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM canon),
+         |per AS (SELECT degc.lb, degc.nc, degc.dc,
+         |    coalesce(intra.ec, 0) AS ec
+         |  FROM degc LEFT JOIN intra ON intra.lb = degc.lb),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |    CAST(sum(nc) AS BIGINT) AS n_nodes,
+         |    list(ec ORDER BY lb) AS lec, list(dc ORDER BY lb) AS ldc
+         |  FROM per)
+         |SELECT f.n_nodes, mm.m AS m_edges, f.n_communities,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |    list_transform(generate_series(1, len(f.lec)), i ->
+         |      CAST(4 AS HUGEINT) * mm.m * f.lec[i]
+         |        - CAST(f.ldc[i] AS HUGEINT) * f.ldc[i])),
+         |    (x, y) -> x + y) AS BIGINT) AS q_num_e,
+         |  CASE WHEN mm.m = 0 THEN NULL
+         |    ELSE CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      list_transform(generate_series(1, len(f.lec)), i ->
+         |        CAST(4 AS HUGEINT) * mm.m * f.lec[i]
+         |          - CAST(f.ldc[i] AS HUGEINT) * f.ldc[i])),
+         |      (x, y) -> x + y) AS DOUBLE)
+         |      / (CAST(4 AS DOUBLE) * CAST(mm.m AS DOUBLE)
+         |         * CAST(mm.m AS DOUBLE))
+         |  END AS modularity
+         |FROM f CROSS JOIN mm""".stripMargin
+    },
     // q268: identical per-user bitmasks, the containment-join v(S)
     // table, and the factorial weights as CASE literals over a manual
     // popcount — phi * 3! integer-for-integer

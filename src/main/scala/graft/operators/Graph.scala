@@ -579,6 +579,75 @@ object Graph {
         (col("_h").cast("double") / lit(RankScale.toDouble)).as("hub"))
   }
 
+  /** Newman modularity of a node partition (Newman & Girvan, Phys. Rev.
+    * E 2004): `Q = Σ_c [e_c/m − (deg_c/2m)²]` — how much denser the
+    * communities are than a degree-preserving random rewiring; THE
+    * quality score for [[labelPropagation]]'s output (Q near 0 ⇒ the
+    * partition found nothing).
+    *
+    * EXACT INTEGER form: `Q·4m² = Σ_c [4m·e_c − deg_c²]` — every term
+    * a product of exact counts, accumulated in decimal(38,0) and folded
+    * in COMMUNITY ORDER; `modularity` is the single double division at
+    * the end. Cleaning matches [[triangleCounts]] (canonicalize,
+    * self-loops dropped, dedup); nodes missing from `labels` fail
+    * loudly (a partial partition would silently skew deg_c).
+    *
+    * Output: ONE row `(n_nodes, m_edges, n_communities, q_num_e,
+    * modularity)` with `q_num_e` the exact Q·4m² numerator.
+    *
+    * Scale shape: one degree aggregation, one two-sided label join over
+    * the edge list, one community-sized rollup, a 1-row fold. */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame, nodeCol: String,
+                 labelCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).as("_u"),
+        greatest(col(aCol), col(bCol)).as("_v"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .distinct().localCheckpoint(true) // degrees + the label join
+    val lbl = labels.select(col(nodeCol).as("node"), col(labelCol).as("_l"))
+      .localCheckpoint(true)
+    val nodes = canon.select(explode(array(col("_u"), col("_v"))).as("node"))
+      .distinct()
+    val missing = nodes.join(lbl, Seq("node"), "left_anti").limit(1).collect()
+    require(missing.isEmpty,
+      s"node ${missing.headOption.map(_.get(0)).getOrElse("")} has no label" +
+        " — modularity needs a TOTAL partition")
+    val deg = canon.select(explode(array(col("_u"), col("_v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("_d"))
+    val degC = deg.join(lbl, Seq("node"))
+      .groupBy(col("_l")).agg(sum(col("_d")).as("_degc"),
+        count(lit(1)).as("_nc"))
+    val intra = canon
+      .join(lbl.select(col("node").as("_u"), col("_l").as("_lu")), Seq("_u"))
+      .join(lbl.select(col("node").as("_v"), col("_l").as("_lv")), Seq("_v"))
+      .filter(col("_lu") === col("_lv"))
+      .groupBy(col("_lu").as("_l")).agg(count(lit(1)).as("_ec"))
+    val m = canon.count()
+    val d38 = "decimal(38,0)"
+    val per = degC.join(intra, Seq("_l"), "left")
+      .select(col("_l"), col("_nc"), col("_degc"),
+        coalesce(col("_ec"), lit(0L)).as("_ec"))
+    per
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("_nc")).as("n_nodes"),
+        sort_array(collect_list(struct(col("_l"), col("_ec"),
+          col("_degc")))).as("_t"))
+      .select(col("n_nodes"), lit(m).as("m_edges"), col("n_communities"),
+        aggregate(col("_t"), lit(0L).cast(d38), (acc, t) =>
+          acc + (lit(4L * m).cast(d38) * t("_ec").cast(d38)
+            - t("_degc").cast(d38) * t("_degc").cast(d38))).as("q_num_e"))
+      .select(col("n_nodes"), col("m_edges"), col("n_communities"),
+        // decimal accumulation, long surface: |Q·4m²| ≤ 4m² + Σdeg² ≤ 8m²
+        // fits a long through ~10⁹ edges — plenty; overflow would null
+        // under the cast, never silently wrap
+        col("q_num_e").cast("long").as("q_num_e"),
+        when(lit(m) === 0L, lit(null))
+          .otherwise(col("q_num_e").cast("double") /
+            (lit(4.0) * lit(m.toDouble) * lit(m.toDouble)))
+          .as("modularity"))
+  }
+
   /** Harmonic centrality (Boldi & Vigna, "Axioms for centrality",
     * Internet Mathematics 2014 — the closeness variant that handles
     * disconnected graphs: unreachable nodes contribute 0, not ∞) for a

@@ -257,6 +257,28 @@ class GraphSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] { Graph.hits(e, "s", "d", iters = 0) }
   }
 
+  test("modularity: two triangles score Q = 0.5; partial partitions fail") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (7L, 8L), (8L, 9L), (7L, 9L)).toDF("a", "b")
+    val labels = Graph.labelPropagation(e, "a", "b", iters = 3)
+    val r = Graph.modularity(e, "a", "b", labels, "node", "label")
+      .collect().head
+    // m=6; per triangle: ec=3, deg_c=6 -> Q*4m^2 = 2*(4*6*3 - 36) = 72
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 6L, 2L, 72L)))
+    assert(r.getDouble(4) == 72.0 / (4.0 * 6.0 * 6.0))
+    // one community over everything scores exactly 0
+    val one = labels.select(org.apache.spark.sql.functions.col("node"),
+      org.apache.spark.sql.functions.lit(1L).as("label"))
+    assert(Graph.modularity(e, "a", "b", one, "node", "label")
+      .collect().head.getLong(3) == 0L)
+    // a partition missing a node fails loudly
+    val partial = labels.filter(org.apache.spark.sql.functions.col("node") =!= 9L)
+    intercept[IllegalArgumentException] {
+      Graph.modularity(e, "a", "b", partial, "node", "label")
+    }
+  }
+
   test("harmonicCentrality: hand-folded 1/d sums, absent landmark zeroes") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
     val got = Graph.harmonicCentrality(e, "s", "d", Seq(3L, 1L, 9L))
