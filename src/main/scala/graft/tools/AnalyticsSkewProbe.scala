@@ -60,6 +60,43 @@ object AnalyticsSkewProbe {
       spark.stop(); return
     }
 
+    // --- round-13 second wave: dbscan under a dense blob and
+    // labelPropagation under a celebrity hub (`runMain … spatial` runs
+    // only this section). DBSCAN's grid join degrades to the dense
+    // cell's LOCAL pair product (the operator's inherent output bound);
+    // LPA's hub is a heavy reduce key absorbed by partial aggregation —
+    // these measure what each regime actually costs.
+    if (args.contains("spatial")) {
+      import graft.operators.{Graph, Spatial}
+      def uniPts(n: Long) = spark.range(n).select(col("id").as("pid"),
+        pmod(col("id") * 2654435761L, lit(10000000L)).as("x"),
+        pmod(col("id") * 2246822519L, lit(10000000L)).as("y"))
+      val uni = uniPts(50000L).repartition(64).localCheckpoint(true)
+      timed("dbscan uniform 50k eps=1e5 minPts=8")(
+        Spatial.dbscan(uni, "pid", "x", "y", 100000L, 8).count())
+      // 5k points crammed inside ONE eps-cell (the dense-blob regime:
+      // ~25M local candidate pairs by construction) + 45k uniform
+      val blob = spark.range(5000L).select((col("id") + 1000000L).as("pid"),
+          pmod(col("id") * 131L, lit(100000L)).as("x"),
+          pmod(col("id") * 137L, lit(100000L)).as("y"))
+        .unionByName(uniPts(45000L))
+        .repartition(64).localCheckpoint(true)
+      timed("dbscan dense-blob 5k-in-one-cell + 45k")(
+        Spatial.dbscan(blob, "pid", "x", "y", 100000L, 8).count())
+      val star = spark.range(500000L)
+        .select(lit(0L).as("a"), (col("id") + 1L).as("b"))
+        .repartition(64).localCheckpoint(true)
+      timed("labelPropagation star hub-500k iters=3")(
+        Graph.labelPropagation(star, "a", "b", 3).count())
+      val rnd = spark.range(500000L)
+        .select(pmod(col("id") * 7919L, lit(100000L)).as("a"),
+          pmod(col("id") * 104729L, lit(100000L)).as("b"))
+        .repartition(64).localCheckpoint(true)
+      timed("labelPropagation uniform 500k/100k-node iters=3")(
+        Graph.labelPropagation(rnd, "a", "b", 3).count())
+      spark.stop(); return
+    }
+
     // --- round-13: pathNgrams and markovRemovalEffects under the 8M/75%
     // firehose (`runMain … paths` runs only this section). Same event
     // shapes as the transition-matrix section below; measures whether the
