@@ -168,4 +168,20 @@ class AdversarialInputSpec extends SparkFunSuite {
     assert(mirrored >= expected * 2 - 2,
       s"planted copies must contain each other: $mirrored of ${expected * 2}")
   }
+
+  test("readability survives adversarial unicode with sane invariants") {
+    val got = TextAnalysis.readability(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.length == docs.size, "no row lost to a crash")
+    for ((id, ns, nw, nsy, ease, grade) <- got) {
+      val t = norm(docs(id.toInt - 1)._2)
+      val nWords = if (t.isEmpty) 0 else t.split(" ").length
+      assert(nw == nWords, s"doc $id word count off the shared norm")
+      assert(ns >= 1, s"doc $id sentence floor")
+      assert(nsy >= nw, s"doc $id: every word carries >= 1 syllable")
+      assert(!ease.isNaN && !grade.isNaN && !ease.isInfinite &&
+        !grade.isInfinite, s"doc $id produced non-finite scores")
+    }
+  }
 }
