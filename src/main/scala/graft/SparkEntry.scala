@@ -1836,6 +1836,44 @@ object SparkEntry {
     // contract itself is what's being gated. ts_ms carries µs; the gap is
     // 1800 s in µs; value_sum is the stream's sequential (ts, value)-
     // ordered fold, replayed exactly by an ordered list_reduce.
+    // Fourth streaming ORACLE row: a real STREAM-STREAM interval join
+    // (views joined to purchases within an hour, per user) through two
+    // file-source readStreams -> append sink; with AvailableNow over
+    // complete staged input the match set equals the batch interval
+    // join, which is exactly what the oracle computes.
+    "q270_interval_join_stream" -> ((s, dir) => {
+      import graft.streaming.StreamingOps
+      val stagingL = java.nio.file.Files
+        .createTempDirectory("graft_q270_l").toString
+      val stagingR = java.nio.file.Files
+        .createTempDirectory("graft_q270_r").toString
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_q270_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q270_ckpt").toString
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      ev.filter(col("event_type") === "view").select("user_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(stagingL)
+      ev.filter(col("event_type") === "purchase").select("user_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(stagingR)
+      val sch = ev.select("user_id", "ts").schema
+      val ls = s.readStream.schema(sch).parquet(stagingL)
+      val rs = s.readStream.schema(sch).parquet(stagingR)
+      val joined = StreamingOps.intervalJoinStream(ls, rs, "user_id",
+        "ts", maxDelaySec = 3600L)
+      joined.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(sink).orderBy("user_id", "left_ts", "right_ts")
+    }),
     // Third streaming ORACLE row: events through a real file-source
     // readStream -> funnelStream (flatMapGroupsWithState, ONE monotone
     // int per user) -> update-mode parquet sink; final stage per user =
@@ -4951,6 +4989,22 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
     // identical ordered concatenation (double delimiters so adjacent
     // events expose a boundary to the next pattern), identical LIKEs
+    // q270: the batch interval join IS the oracle — complete staged
+    // input under AvailableNow must reproduce it row-for-row (same
+    // multiplicities), delay in floored whole seconds both engines
+    "q270_interval_join_stream" ->
+      """WITH v AS (SELECT user_id AS u, ts AS lt FROM events
+        |  WHERE event_type = 'view' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |p AS (SELECT user_id AS u, ts AS rt FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL)
+        |SELECT v.u AS user_id, v.lt AS left_ts, p.rt AS right_ts,
+        |  epoch_us(p.rt) // 1000000 - epoch_us(v.lt) // 1000000
+        |    AS delay_sec
+        |FROM v JOIN p ON p.u = v.u AND p.rt >= v.lt
+        |  AND p.rt <= v.lt + INTERVAL 3600 SECOND
+        |ORDER BY 1, 2, 3""".stripMargin,
     // q253: q96's ordered-subsequence LIKE chain, but ordered by the
     // STREAM's within-batch (ts_us, event_type) contract and restricted
     // to users that reach stage >= 1 (stage-0 users never emit)
