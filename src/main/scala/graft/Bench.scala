@@ -10,6 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadavg: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def processCpuSec: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    // absolute time base for the own-load EMA: starts BEFORE the warm-up so
+    // the JVM's warm-up residue in loadavg is attributed to self, not to a
+    // phantom co-tenant
+    val tBase = System.nanoTime()
+    val cpuAtBase = processCpuSec
     // warm up codegen/parquet-reader/shuffle machinery so per-query numbers
     // measure the engine, not JVM class loading (first query otherwise
     // absorbs ~5s of one-time cost)
@@ -31,14 +44,6 @@ object Bench {
     // 1-minute loadavg before/after the battery plus this JVM's cpu-vs-wall
     // ratio: loadavg >> cpus or ratio << 1 on a compute-bound battery says
     // "read these numbers as an upper bound", right in the artifact.
-    def loadavg: Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    def processCpuSec: Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
-        case _ => -1.0
-      }
     // Wait-for-quiet (round 11): three of four driver benches were
     // co-tenant-contaminated — the stamp made that READABLE, this makes
     // the artifact CLEAN when possible. Bounded: poll the 1-minute
@@ -68,38 +73,46 @@ object Bench {
     // The mid-battery loadavg includes THIS JVM's own work, so a raw
     // loadavg threshold flags most of any busy battery as suspect
     // (observed: a clean run self-flags 10/12). Estimate our own
-    // contribution — the JVM's cpu-seconds over the trailing 60 s
-    // (loadavg's horizon), linearly interpolated from per-query samples —
-    // and subtract it: ext ≈ loadavg − ownCpu(last 60 s)/60. An EMA vs
-    // sliding-window mismatch remains, but self-load no longer condemns
-    // clean runs while ~2 external cores still trip the threshold.
-    val cpuSamples = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
-    cpuSamples += ((0.0, cpuBefore))
-    def ownOccupancy(nowOff: Double, cpuNow: Double): Double = {
-      val horizon = math.max(nowOff - 60.0, 0.0)
-      val past = cpuSamples.takeWhile(_._1 <= horizon).lastOption
-        .getOrElse(cpuSamples.head)
-      val next = cpuSamples.find(_._1 > horizon).getOrElse((nowOff, cpuNow))
-      val cpuAtHorizon =
-        if (next._1 <= past._1) past._2
-        else past._2 + (next._2 - past._2) *
-          ((horizon - past._1) / (next._1 - past._1))
-      val span = math.max(nowOff - horizon, 1.0)
-      math.max(cpuNow - cpuAtHorizon, 0.0) / span
+    // contribution and subtract it. Round-13's estimator linearly
+    // interpolated own cpu over a trailing 60 s SLIDING window, but the
+    // kernel's 1-minute loadavg is an EMA (decay e^(-dt/60) per tick), so
+    // the sliding window under-subtracted right after a heavy query and a
+    // judge-verified-clean run still self-flagged 8/20. Fix: simulate the
+    // kernel's own EMA over this JVM's measured occupancy — at each query
+    // boundary fold the interval's (cpuDelta/wallDelta) occupancy in with
+    // the kernel's decay factor — and judge each query on its OWN window:
+    // ext = loadavg(at query end) − ownEma(at query end). Piecewise-
+    // constant occupancy makes the fold exact; a long query converges the
+    // EMA to its true occupancy just as the kernel does.
+    var ownEma = 0.0
+    var emaT = 0.0 // seconds since tBase (warm-up + wait included)
+    var emaCpu = cpuAtBase
+    def foldOwnEma(): Double = {
+      val nowOff = (System.nanoTime() - tBase) / 1e9
+      val cpuNow = processCpuSec
+      val dt = nowOff - emaT
+      if (dt > 0.05) {
+        val occ = math.max(cpuNow - emaCpu, 0.0) / dt
+        val a = math.exp(-dt / 60.0)
+        ownEma = ownEma * a + occ * (1.0 - a)
+        emaT = nowOff; emaCpu = cpuNow
+      }
+      ownEma
     }
+    foldOwnEma() // fold in the warm-up + wait-for-quiet span
     val results = wanted.map { case (name, fn) =>
       var ok = true
       val startOffset = (System.nanoTime() - wallStart) / 1e9
       val loadAtStart = loadavg
-      val cpuAtStart = processCpuSec
-      val extLoad = math.max(loadAtStart - ownOccupancy(startOffset, cpuAtStart), 0.0)
-      cpuSamples += ((startOffset, cpuAtStart))
+      foldOwnEma()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => ok = false }
         (System.nanoTime() - t0) / 1e9
       }
+      val ownAtEnd = foldOwnEma()
+      val extLoad = math.max(loadavg - ownAtEnd, 0.0)
       (name, times.min, ok, startOffset, loadAtStart, extLoad)
     }
     // Output protocol (round 8): the driver captures only the LAST ~3 KB of
@@ -163,15 +176,37 @@ object Bench {
       val m = chunk.mkString("{", ",", "}")
       println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","part":${i + 1},"of":${compactParts.size},"sf":"$sfDir","queries":$m}""")
     }
-    // Per-query contamination localization IN the summary line: compact
-    // "qNN" prefixes of queries whose start-of-query loadavg exceeded the
-    // quiet threshold. Capped at 40 names (+ suspect_n carrying the true
-    // count) so the summary stays fixed-size-bounded even if the whole
-    // battery ran dirty; the full per-query loadavgs are in the
-    // bench_query_load part lines above.
+    // Per-query contamination localization: queries whose estimated
+    // EXTERNAL load (end-of-query loadavg minus own-JVM EMA) exceeded the
+    // quiet threshold. The FULL suspect list is emitted as chunked
+    // bench_suspect part lines (the bench_part pattern — round 13 capped
+    // the summary at 40 names and the driver's stdout tail dropped the
+    // rest); the summary keeps a bounded 40-name preview + the true count.
     val suspectAll = results.filter(_._6 >= quietThreshold)
       .map(r => "\"" + r._1.takeWhile(_ != '_') + "\"")
+    if (suspectAll.nonEmpty) {
+      val sParts = suspectAll.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
+        if (acc.last.map(_.length + 1).sum + e.length > 1500) acc :+ Vector(e)
+        else acc.init :+ (acc.last :+ e)
+      }
+      sParts.zipWithIndex.foreach { case (chunk, i) =>
+        val m = chunk.mkString("[", ",", "]")
+        println(s"""{"metric":"bench_suspect","part":${i + 1},"of":${sParts.size},"suspect":$m}""")
+      }
+    }
     val suspect = suspectAll.take(40).mkString("[", ",", "]")
+    // Headline verdict from the WHOLE run, not just the start (round 13:
+    // a run with 89/278 suspect queries still stamped contended:false):
+    // dirty_mid_run when suspects exceed max(3, 5% of the battery), and
+    // `contended` — the field readers key on — is the OR of both signals.
+    val dirtyMidRun = suspectAll.size > math.max(3, results.size / 20)
+    val contendedAny = contended || dirtyMidRun
+    // stamp the scanned commit so the artifact is verifiable against the
+    // diff it covers (best-effort: blank outside a git checkout)
+    val gitSha =
+      try scala.sys.process.Process(Seq("git", "rev-parse", "HEAD"),
+        new java.io.File(".")).!!.trim.take(40)
+      catch { case _: Throwable => "" }
     val wallSec = (System.nanoTime() - wallStart) / 1e9
     val cpuSec = processCpuSec - cpuBefore
     // ratio is per-core occupancy of THIS jvm: ≈0 means the battery waited
@@ -182,7 +217,7 @@ object Bench {
     // stdout tail always captures it whole no matter how many queries
     // future rounds add. Per-query numbers live in the bench_part /
     // chunked total lines above.
-    println(s"""{"metric":"bench_summary","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg)},"cpus":$cpus,"wall_sec":${fmt(wallSec)},"jvm_cpu_sec":${fmt(cpuSec)},"jvm_cpu_per_sec":${fmt(ratio)},"contended":$contended,"waited_for_quiet_sec":${fmt(waitedSec)},"quiet_threshold":${fmt(quietThreshold)},"suspect_n":${suspectAll.size},"suspect":$suspect}""")
+    println(s"""{"metric":"bench_summary","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg)},"cpus":$cpus,"wall_sec":${fmt(wallSec)},"jvm_cpu_sec":${fmt(cpuSec)},"jvm_cpu_per_sec":${fmt(ratio)},"contended":$contendedAny,"contended_at_start":$contended,"dirty_mid_run":$dirtyMidRun,"waited_for_quiet_sec":${fmt(waitedSec)},"quiet_threshold":${fmt(quietThreshold)},"suspect_n":${suspectAll.size},"suspect":$suspect,"git_sha":"$gitSha"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Temp-dir plumbing for the file-source streaming gates (q238/q239/q253/
+ * q270/...): the gates stage a batch DataFrame as parquet, stream it back
+ * through `readStream`, and sink the result — all under /tmp.
+ *
+ * Two defects this fixes (round-13 verdict item #2):
+ *
+ *  1. '''Staging was inside the timed region.''' A bench iterates each
+ *     query 3× and takes the min; re-writing the staged input every
+ *     iteration made the streaming rows measure input-staging + stream
+ *     instead of the stream. `stagedInput` writes once per (key, sfDir)
+ *     per JVM and returns the cached path on re-invocation, so iterations
+ *     2-3 (the ones the min-of-3 reports) time only the stream.
+ *
+ *  2. '''Temp dirs leaked.''' Each invocation created 3-4
+ *     `Files.createTempDirectory` dirs with no cleanup — a 3-iteration
+ *     bench over 4 streaming gates left ~40 staged-parquet/checkpoint
+ *     dirs under /tmp. Every dir allocated here is registered with one
+ *     JVM shutdown hook that deletes them recursively. Eager (pre-exit)
+ *     deletion is NOT safe for sinks: the gate returns a lazy
+ *     `spark.read.parquet(sink)` that the caller consumes after the gate
+ *     function returns.
+ *
+ * Sink/checkpoint dirs stay FRESH per invocation (`tempDir`) — reusing a
+ * sink across iterations would double rows under `mode("append")` if a
+ * run retries. Only the staged input (immutable once written) is reused.
+ */
+object StreamStage {
+  private val staged = mutable.Map[String, String]()
+  private val cleanup = mutable.ArrayBuffer[Path]()
+  private var hooked = false
+
+  private def register(p: Path): Unit = synchronized {
+    if (!hooked) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        cleanup.synchronized(cleanup.toList).foreach(deleteRecursively)))
+      hooked = true
+    }
+    cleanup += p
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    try {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(c => deleteRecursively(c)) finally s.close()
+      }
+      Files.deleteIfExists(p): Unit
+    } catch { case _: Throwable => () } // best-effort: never fail exit
+  }
+
+  /** Fresh temp dir, deleted at JVM exit. */
+  def tempDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    register(p)
+    p.toString
+  }
+
+  /**
+   * Stage `df` as ONE parquet file (single file -> the AvailableNow
+   * trigger sees exactly one micro-batch, so within-batch order is the
+   * global order), once per (key, token) per JVM; later calls with the
+   * same key+token reuse the staged copy. `token` should identify the
+   * input (the sf dir), so different scale factors never collide.
+   */
+  def stagedInput(key: String, token: String, df: => DataFrame): String =
+    synchronized {
+      staged.getOrElseUpdate(s"$key|$token", {
+        val p = tempDir(s"graft_${key}_in")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+}
