@@ -365,6 +365,13 @@ object Classifier {
     * and both Σ_b folds run in BIN ORDER over a sorted collect
     * (≤ nBins terms) — one fixed double chain end to end.
     *
+    * Row exclusions (also [[calibrationBins]]' contract): null scores/
+    * labels AND scores outside [0, 1] are dropped — a score is a
+    * probability, and out-of-range values are upstream bugs, not
+    * forecasts. The reported `n` counts KEPT rows only; callers that
+    * need to detect out-of-range leakage should compare `n` against
+    * their own `count(score is not null and label is not null)`.
+    *
     * Output: ONE row `(n, brier, reliability, resolution,
     * uncertainty)`; an empty input returns n = 0 with null scores.
     *

@@ -318,6 +318,33 @@ object Retrieval {
     * judgment join and the per-query fold are k-bounded; R aggregates
     * the judgment table once, map-side combined. Output:
     * `(qCol, n_rel, n_hits, ap)`. */
+  def averagePrecisionAtK(ranked: DataFrame, qCol: String, idCol: String,
+                          rankCol: String, rels: DataFrame, relCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val r = ranked.select(col(qCol).as("_q"), col(idCol).as("_id"),
+        col(rankCol).cast("long").as("_rk"))
+      .filter(col("_rk") >= 1L && col("_rk") <= k)
+    val rl = rels.select(col(qCol).as("_q"), col(idCol).as("_id"))
+      .where(col(relCol).cast("double") > 0.0)
+      .distinct()
+    val hits = r.join(rl, Seq("_q", "_id"))
+      .groupBy("_q")
+      .agg(count(lit(1)).as("n_hits"),
+        sort_array(collect_list(col("_rk"))).as("_rks"))
+      .select(col("_q"), col("n_hits"),
+        aggregate(
+          zip_with(sequence(lit(1), size(col("_rks"))), col("_rks"),
+            (i, rk) => i.cast("double") / rk.cast("double")),
+          lit(0.0), (acc, t) => acc + t).as("_apsum"))
+    val nRel = rl.groupBy("_q").agg(count(lit(1)).as("n_rel"))
+    nRel.join(hits, Seq("_q"), "left")
+      .select(col("_q").as(qCol), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("_apsum"), lit(0.0)) /
+          least(col("n_rel"), lit(k.toLong)).cast("double")).as("ap"))
+  }
+
   /** Reciprocal rank at `k` per query (the MRR building block — the
     * navigational-search metric; [[averagePrecisionAtK]] weighs EVERY
     * hit, RR only the first): `rr = 1 / rank of the first relevant
@@ -349,32 +376,5 @@ object Retrieval {
         when(col("first_rank").isNotNull,
           lit(1.0) / col("first_rank").cast("double"))
           .otherwise(lit(0.0)).as("rr"))
-  }
-
-  def averagePrecisionAtK(ranked: DataFrame, qCol: String, idCol: String,
-                          rankCol: String, rels: DataFrame, relCol: String,
-                          k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1: $k")
-    val r = ranked.select(col(qCol).as("_q"), col(idCol).as("_id"),
-        col(rankCol).cast("long").as("_rk"))
-      .filter(col("_rk") >= 1L && col("_rk") <= k)
-    val rl = rels.select(col(qCol).as("_q"), col(idCol).as("_id"))
-      .where(col(relCol).cast("double") > 0.0)
-      .distinct()
-    val hits = r.join(rl, Seq("_q", "_id"))
-      .groupBy("_q")
-      .agg(count(lit(1)).as("n_hits"),
-        sort_array(collect_list(col("_rk"))).as("_rks"))
-      .select(col("_q"), col("n_hits"),
-        aggregate(
-          zip_with(sequence(lit(1), size(col("_rks"))), col("_rks"),
-            (i, rk) => i.cast("double") / rk.cast("double")),
-          lit(0.0), (acc, t) => acc + t).as("_apsum"))
-    val nRel = rl.groupBy("_q").agg(count(lit(1)).as("n_rel"))
-    nRel.join(hits, Seq("_q"), "left")
-      .select(col("_q").as(qCol), col("n_rel"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("_apsum"), lit(0.0)) /
-          least(col("n_rel"), lit(k.toLong)).cast("double")).as("ap"))
   }
 }

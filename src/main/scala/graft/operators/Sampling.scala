@@ -549,6 +549,14 @@ object Sampling {
     * engines; ties (a 104-bit md5 prefix collision) break on the second
     * hash window. Null or non-positive weights are excluded.
     *
+    * CONTRACT: `keyCol` must be UNIQUE within each stratum (a primary
+    * key, e.g. doc_id). Both u and the tie-break derive solely from
+    * `keyCol`, so two rows sharing a key value carry identical
+    * (order, tie) keys and can occupy multiple top-k slots — "k
+    * distinct rows" above means k distinct KEYS only under this
+    * contract. Pre-aggregate duplicate keys (and their weights) before
+    * sampling if the input is not key-unique.
+    *
     * Scale shape: ONE bounded-state [[graft.functions.TopK]] aggregation
     * per stratum — O(k) state, map-side partials, never a per-stratum
     * sort. Output: `(strataCols…, rank, keyCol)`. */

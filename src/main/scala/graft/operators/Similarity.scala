@@ -249,9 +249,12 @@ object Similarity {
     *   - per round: `w_i = Σ_p q_ip·v_p` then `u_p = Σ_i w_i·q_ip`,
     *     both in decimal(38,0) — exact, order-free;
     *   - renormalize by the max component: `v′ = sign(u)·((|u|·vScale)
-    *     div max|u|)` — the division runs on NON-NEGATIVE operands and
-    *     the sign is reapplied, because Spark `div` truncates toward 0
-    *     while DuckDB `//` floors (they differ exactly on negatives).
+    *     div max|u|)` — both engines' integer division truncates toward
+    *     zero (DuckDB `//` included: −7 // 2 = −3, same as Spark `div`;
+    *     the cross-engine contract [[graft.operators.Trend]].holtLinear
+    *     documents), so the sign-split is semantically a no-op; it is
+    *     kept only so the division visibly runs on non-negative
+    *     operands, independent of any engine's rounding convention.
     * A FIXED `iters` rounds (no convergence probe) keeps it bounded and
     * oracle-replayable; the max-norm scaling makes the largest |v| =
     * vScale each round, so magnitudes never drift. Degenerate all-zero
