@@ -2183,6 +2183,40 @@ object SparkEntry {
       val labels = Graph.labelPropagation(edges, "a", "b", iters = 3)
       Graph.modularity(edges, "a", "b", labels, "node", "label")
     }),
+    // Two-level Louvain (Blondel et al. 2008: deterministic synchronous
+    // local moves with exact-integer gains and the Lu et al. 2015
+    // singleton guard, then coarsen and move again on the community
+    // graph) over the parts-bought-together graph — sparse at every SF,
+    // so there is real community structure for the ascent to find
+    // (the q249/q269 co-supplier graph is a 100-node near-clique where
+    // the honest answer is "no structure", Q = 0).
+    "q271_louvain" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      Graph.louvain(edges, "a", "b", levels = 2, rounds = 3)
+        .orderBy("node")
+    }),
+    // Modularity of the q271 Louvain partition — the Q-optimizer
+    // contrast q269 positioned its exact-Q metric to gate (on the
+    // co-supplier graph LPA scores Q = 0: one giant community).
+    "q272_louvain_modularity" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val labels = Graph.louvain(edges, "a", "b", levels = 2, rounds = 3)
+      Graph.modularity(edges, "a", "b", labels, "node", "label")
+    }),
     // EXACT Shapley attribution over {view, click, signup} coalitions
     // (conversion = first purchase): v(S) counts, factorial-weighted
     // integer credit — phi * 3! is an exact long both engines replay.
@@ -4120,6 +4154,83 @@ object SparkEntry {
        |  $pass
        |FROM sel ORDER BY doc_id""".stripMargin
   }
+
+  /** One level of unrolled Louvain move rounds for the q271/q272
+    * oracles: per round the exact HUGEINT gain table, g DESC / min-label
+    * argmax (Spark's min(struct(-g, l))), and the Lu et al. singleton
+    * guard. `lv` prefixes the CTE names; `sym`/`deg` name the level's
+    * graph tables; mm (= 2m, invariant under coarsening) is shared. */
+  private def louvainRoundCtes(lv: String, sym: String, deg: String,
+                               nRounds: Int): String =
+    (1 to nRounds).map { i =>
+      val prev = s"l$lv${i - 1}"
+      s"""tot$lv$i AS MATERIALIZED (SELECT l.label, sum(d.k) AS t,
+         |    CAST(count(*) AS BIGINT) AS s
+         |  FROM $prev l JOIN $deg d ON d.node = l.node GROUP BY 1),
+         |kic$lv$i AS MATERIALIZED (SELECT e.a AS node, l.label AS tl,
+         |    sum(e.w) AS w
+         |  FROM $sym e JOIN $prev l ON l.node = e.b GROUP BY 1, 2),
+         |self$lv$i AS MATERIALIZED (SELECT l.node, l.label, d.k,
+         |    t.t AS town, t.s AS sown, coalesce(k2.w, 0) AS wcur
+         |  FROM $prev l JOIN $deg d ON d.node = l.node
+         |  JOIN tot$lv$i t ON t.label = l.label
+         |  LEFT JOIN kic$lv$i k2 ON k2.node = l.node AND k2.tl = l.label),
+         |cand$lv$i AS (SELECT s.node, k.tl,
+         |    mm.m2 * (k.w - s.wcur) - s.k * (t2.t - (s.town - s.k)) AS g,
+         |    s.sown, t2.s AS sc, s.label
+         |  FROM kic$lv$i k JOIN self$lv$i s ON s.node = k.node
+         |  JOIN tot$lv$i t2 ON t2.label = k.tl
+         |  CROSS JOIN mm
+         |  WHERE k.tl <> s.label),
+         |best$lv$i AS (SELECT node, tl FROM (
+         |    SELECT node, tl, row_number()
+         |      OVER (PARTITION BY node ORDER BY g DESC, tl) AS rn
+         |    FROM cand$lv$i
+         |    WHERE g > 0 AND NOT (sown = 1 AND sc = 1 AND tl > label))
+         |  WHERE rn = 1),
+         |l$lv$i AS MATERIALIZED (SELECT l.node,
+         |    coalesce(b.tl, l.label) AS label
+         |  FROM $prev l LEFT JOIN best$lv$i b ON b.node = l.node)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  /** Shared CTE chain for q271/q272: the parts-bought-together graph +
+    * TWO full Louvain levels (3 move rounds, min-member canonical
+    * relabel, coarsen to the weighted community graph with self-loops,
+    * 3 weighted rounds), ending at `fin` = (node, label) over original
+    * part ids. Replays [[graft.operators.Graph.louvain]] exactly. */
+  private def louvainOracleCtes: String =
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem WHERE l_orderkey % 20 = 0),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok WHERE a.pk < b.pk),
+       |sym1 AS MATERIALIZED (SELECT u AS a, v AS b,
+       |    CAST(1 AS HUGEINT) AS w FROM e0
+       |  UNION ALL SELECT v AS a, u AS b, CAST(1 AS HUGEINT) AS w FROM e0),
+       |deg1 AS MATERIALIZED (SELECT a AS node, sum(w) AS k
+       |  FROM sym1 GROUP BY 1),
+       |mm AS (SELECT coalesce(sum(k), 0) AS m2 FROM deg1),
+       |lA0 AS MATERIALIZED (SELECT node, node AS label FROM deg1),
+       |${louvainRoundCtes("A", "sym1", "deg1", 3)},
+       |cnA AS (SELECT label, min(node) AS c FROM lA3 GROUP BY 1),
+       |m1 AS MATERIALIZED (SELECT l.node, cnA.c AS c1
+       |  FROM lA3 l JOIN cnA ON cnA.label = l.label),
+       |ce AS MATERIALIZED (SELECT least(mu.c1, mv.c1) AS u,
+       |    greatest(mu.c1, mv.c1) AS v, CAST(count(*) AS HUGEINT) AS w
+       |  FROM e0 JOIN m1 mu ON mu.node = e0.u
+       |  JOIN m1 mv ON mv.node = e0.v GROUP BY 1, 2),
+       |sym2 AS MATERIALIZED (SELECT u AS a, v AS b, w FROM ce WHERE u <> v
+       |  UNION ALL SELECT v AS a, u AS b, w FROM ce WHERE u <> v),
+       |deg2 AS MATERIALIZED (SELECT node, sum(w) AS k FROM (
+       |    SELECT a AS node, w FROM sym2
+       |    UNION ALL SELECT u AS node, 2 * w AS w FROM ce WHERE u = v)
+       |  GROUP BY 1),
+       |lB0 AS MATERIALIZED (SELECT node, node AS label FROM deg2),
+       |${louvainRoundCtes("B", "sym2", "deg2", 3)},
+       |cnB AS (SELECT label, min(node) AS c FROM lB3 GROUP BY 1),
+       |fin AS MATERIALIZED (SELECT m1.node, cnB.c AS label
+       |  FROM m1 JOIN lB3 l ON l.node = m1.c1
+       |  JOIN cnB ON cnB.label = l.label)""".stripMargin
 
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     // q236: q206's oracle VERBATIM (shared by reference, not copy) — the
@@ -6625,6 +6736,50 @@ object SparkEntry {
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
     // q269: q249's unrolled LPA rounds feeding the exact Q*4m^2 sum
     // (HUGEINT terms, community-ordered index fold, one final division)
+    // q271: the louvainOracleCtes two-level chain replayed verbatim —
+    // per round the exact HUGEINT gain table, g DESC / min-label argmax
+    // (Spark's min(struct(-g, l))), the singleton guard; coarsen between
+    // levels; final labels = min original member
+    "q271_louvain" ->
+      s"""WITH $louvainOracleCtes
+         |SELECT node, label FROM fin ORDER BY node""".stripMargin,
+    // q272: q269's exact Q*4m^2 fold over the q271 Louvain partition
+    // (fold is order-free in exact integers; deg1/2 = unweighted degree
+    // since level-1 weights are all 1)
+    "q272_louvain_modularity" ->
+      s"""WITH $louvainOracleCtes,
+         |degc AS (SELECT l.label AS lb,
+         |    CAST(CAST(sum(deg1.k) AS HUGEINT) AS BIGINT) AS dc,
+         |    CAST(count(*) AS BIGINT) AS nc
+         |  FROM deg1 JOIN fin l ON l.node = deg1.node GROUP BY 1),
+         |intra AS (SELECT lu.label AS lb, CAST(count(*) AS BIGINT) AS ec
+         |  FROM e0 JOIN fin lu ON lu.node = e0.u
+         |  JOIN fin lv ON lv.node = e0.v
+         |  WHERE lu.label = lv.label GROUP BY 1),
+         |emm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+         |per AS (SELECT degc.lb, degc.nc, degc.dc,
+         |    coalesce(intra.ec, 0) AS ec
+         |  FROM degc LEFT JOIN intra ON intra.lb = degc.lb),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |    CAST(sum(nc) AS BIGINT) AS n_nodes,
+         |    list(ec ORDER BY lb) AS lec, list(dc ORDER BY lb) AS ldc
+         |  FROM per)
+         |SELECT f.n_nodes, emm.m AS m_edges, f.n_communities,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |    list_transform(generate_series(1, len(f.lec)), i ->
+         |      CAST(4 AS HUGEINT) * emm.m * f.lec[i]
+         |        - CAST(f.ldc[i] AS HUGEINT) * f.ldc[i])),
+         |    (x, y) -> x + y) AS BIGINT) AS q_num_e,
+         |  CASE WHEN emm.m = 0 THEN NULL
+         |    ELSE CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      list_transform(generate_series(1, len(f.lec)), i ->
+         |        CAST(4 AS HUGEINT) * emm.m * f.lec[i]
+         |          - CAST(f.ldc[i] AS HUGEINT) * f.ldc[i])),
+         |      (x, y) -> x + y) AS DOUBLE)
+         |      / (CAST(4 AS DOUBLE) * CAST(emm.m AS DOUBLE)
+         |         * CAST(emm.m AS DOUBLE))
+         |  END AS modularity
+         |FROM f CROSS JOIN emm""".stripMargin,
     "q269_modularity" -> {
       val rounds = (1 to 3).map { i =>
         val prev = if (i == 1) "l0" else s"l${i - 1}"

