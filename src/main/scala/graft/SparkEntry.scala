@@ -1283,6 +1283,30 @@ object SparkEntry {
       IvfIndex.topKFromIndex(lc, li, q, k = 10, nProbe = 16)
         .orderBy("query_id", "rank")
     }),
+    // Incremental IVF ingest (q171's persisted index + the MergeByKey
+    // upsert): build on the BASE corpus (vec_id % 4 != 3), save, upsert
+    // one batch — the % 4 == 3 ids are NEW, the % 8 == 0 ids are
+    // RE-INGESTED and must replace their postings, not duplicate them
+    // (a duplicate would shift ranks and hash-mismatch) — touched cells
+    // only, then full-probe serve from the mutated on-disk index. With
+    // every cell probed the serve is exact, so the oracle is q171's
+    // brute force over the WHOLE corpus, verbatim.
+    "q273_ann_ivf_upsert" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.embeddings.filter(col("vec_id") % 4 =!= 3)
+      val batch = t.embeddings.filter(col("vec_id") % 4 === 3 ||
+        col("vec_id") % 8 === 0)
+      val q = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val (cents, indexed) = IvfIndex.buildIndex(base, "vec_id",
+        "embedding", nCells = 16, iters = 2)
+      val path = s"target/qtmp/ivf_q273_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.saveIndex(cents, indexed, path)
+      IvfIndex.upsertIndex(s, path, batch, "vec_id", "embedding")
+      val (lc, li) = IvfIndex.loadIndex(s, path)
+      IvfIndex.topKFromIndex(lc, li, q, k = 10, nProbe = 16)
+        .orderBy("query_id", "rank")
+    }),
     // REAL WAV codec at the driver gate (q126 gates only the stub byte
     // decode): deterministic PCM16 samples per doc
     // (s_j = ((doc_id·31 + j·7) mod 65536) − 32768, j < 256), containered
@@ -4671,6 +4695,23 @@ object SparkEntry {
     // q171: save→load→serve must reproduce q41's full-probe ≡ brute-force
     // equivalence THROUGH the partitioned on-disk index — same oracle SQL
     "q171_ann_ivf_persisted" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_inner_product(e.v, q.qv)
+        |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))
+        |      AS score
+        |  FROM e CROSS JOIN q),
+        |ranked AS (SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q273: the upserted index at full probe must reproduce the same
+    // brute force over the whole corpus — base ∪ batch with re-ingested
+    // ids deduplicated is exactly `embeddings`
+    "q273_ann_ivf_upsert" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
         |scored AS (

@@ -227,6 +227,60 @@ object IvfIndex {
       .parquet(s"$path/postings")
   }
 
+  /** Incrementally upsert `vectors` into a persisted [[saveIndex]] index
+    * — the daily-ingest shape a 100 TB pipeline actually runs, instead
+    * of a full rebuild per batch: assign each new vector to its nearest
+    * EXISTING centroid (the centroid table is broadcast-sized and
+    * unchanged — an IVF index's cells are fixed between re-trainings),
+    * then [[MergeByKey.merge]] the assignments into the cell-partitioned
+    * postings. Only the touched cells' partitions are read and
+    * rewritten; untouched cells are never opened. A re-ingested id
+    * REPLACES its previous posting (last-writer-wins; same-cell
+    * replacement — an id whose new embedding lands in a DIFFERENT cell
+    * would leave a stale twin behind, [[MergeByKey]]'s documented
+    * one-partition-per-key constraint; detect that regime with
+    * [[cellLoad]] + rebuild).
+    *
+    * Serving afterwards needs no special handling: [[loadIndex]] +
+    * [[topKFromIndex]] see one postings row per id, so a full-probe
+    * serve equals a brute-force scan over base ∪ batch exactly.
+    *
+    * @return number of cell partitions rewritten */
+  def upsertIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  vectors: DataFrame, idCol: String,
+                  vecCol: String): Long = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val updates = assignCells(
+      vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        l2Norm(col(vecCol)).as("c_norm")), cents, "c_vec")
+    MergeByKey.merge(spark, s"$path/postings", updates,
+      Seq("neighbor_id"), Seq("cell_id"), versionCol = "")
+  }
+
+  /** Per-cell occupancy audit of a persisted index — the re-train
+    * trigger for [[upsertIndex]]'s ingest loop. The scan is pruned to
+    * the partition column alone — no vector bytes are read.
+    * `rebuild_hint` marks cells holding more than `maxLoadFactor`× the
+    * mean — once ingest drift concentrates that much mass in one cell,
+    * probing it costs ~`maxLoadFactor`× a balanced cell and the
+    * centroids should be re-trained ([[buildIndex]]) on the grown
+    * corpus. Output: `(cell_id, n, share, rebuild_hint)`. */
+  def cellLoad(spark: org.apache.spark.sql.SparkSession, path: String,
+               maxLoadFactor: Double = 4.0): DataFrame = {
+    require(maxLoadFactor > 1.0, s"maxLoadFactor ($maxLoadFactor) must be > 1")
+    val counts = spark.read.parquet(s"$path/postings")
+      .groupBy(col("cell_id").cast("int").as("cell_id"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("_tot"),
+      count(lit(1)).as("_cells"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell_id"), col("n"),
+        (col("n").cast("double") / col("_tot").cast("double")).as("share"),
+        (col("n").cast("double") * col("_cells").cast("double") >
+          lit(maxLoadFactor) * col("_tot").cast("double"))
+          .as("rebuild_hint"))
+  }
+
   /** Reload a [[saveIndex]] index as `(centroids, postings)`. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
                 path: String): (DataFrame, DataFrame) = {

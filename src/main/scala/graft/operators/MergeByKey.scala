@@ -30,7 +30,11 @@ object MergeByKey {
     * @param partitionCols Hive partition columns (must be derivable from
     *                      every updates row)
     * @param versionCol    ordering column — the row with the greatest value
-    *                      per key wins; updates win ties
+    *                      per key wins; updates win ties. Pass "" when the
+    *                      table carries no version column: updates then
+    *                      ALWAYS replace existing rows with the same key
+    *                      (last-writer-wins, the snapshot-upsert shape
+    *                      [[IvfIndex.upsertIndex]] uses)
     * @return number of partitions rewritten */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             keyCols: Seq[String], partitionCols: Seq[String],
@@ -64,8 +68,10 @@ object MergeByKey {
         else if (partitionCols.isEmpty) spark.read.parquet(root) // whole table IS the scope
         else graft.sources.PartitionScope.scopeTo(
           spark.read.parquet(root), touched, literalThreshold = 256)
-      val w = Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(col(versionCol).desc, col("_src").desc)
+      val ord =
+        if (versionCol.isEmpty) Seq(col("_src").desc)
+        else Seq(col(versionCol).desc, col("_src").desc)
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
       val merged = existing.withColumn("_src", lit(0))
         .unionByName(u.withColumn("_src", lit(1)))
         .withColumn("_rn", row_number().over(w))

@@ -184,6 +184,55 @@ class IvfIndexSpec extends SparkFunSuite {
       direct.sortBy(x => (x._1, x._2)).toSeq)
   }
 
+  test("upsertIndex: new ids insert, re-ingested ids replace, serve = brute force") {
+    val base = t.embeddings.filter($"vec_id" % 4 =!= 3)
+    val batch = t.embeddings.filter($"vec_id" % 4 === 3 || $"vec_id" % 8 === 0)
+    val (cents, indexed) = IvfIndex.buildIndex(base, "vec_id", "embedding", nCells = 8)
+    val dir = tmpDir("ivf-upsert")
+    IvfIndex.saveIndex(cents, indexed, dir)
+    val touched = IvfIndex.upsertIndex(spark, dir, batch, "vec_id", "embedding")
+    assert(touched >= 1)
+    val (rc, ri) = IvfIndex.loadIndex(spark, dir)
+    // exactly one posting per id over base ∪ batch — re-ingested ids
+    // replaced, never duplicated
+    val n = t.embeddings.count()
+    assert(ri.count() == n)
+    assert(ri.select("neighbor_id").distinct().count() == n)
+    // full-probe serve from the mutated index == brute force on the union
+    val q = t.embeddings.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val served = IvfIndex.topKFromIndex(rc, ri, q, k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == exact)
+    // idempotency: replaying the same batch rewrites but changes nothing
+    IvfIndex.upsertIndex(spark, dir, batch, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$dir/postings").count() == n)
+  }
+
+  test("cellLoad: shares sum to 1; planted hot cell trips rebuild_hint") {
+    val (cents, indexed) = IvfIndex.buildIndex(t.embeddings, "vec_id", "embedding", nCells = 8)
+    val dir = tmpDir("ivf-load")
+    IvfIndex.saveIndex(cents, indexed, dir)
+    val load = IvfIndex.cellLoad(spark, dir).collect()
+    assert(load.length == 8)
+    assert(math.abs(load.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    // plant a hot cell: pile 9x the corpus into cell 0 by hand
+    val hot = indexed.withColumn("cell_id", lit(0))
+      .withColumn("neighbor_id", col("neighbor_id") + 1000000L)
+    (1 to 9).foreach { i =>
+      hot.withColumn("neighbor_id", col("neighbor_id") + i * 10000000L)
+        .write.mode("append").partitionBy("cell_id").parquet(s"$dir/postings")
+    }
+    val hinted = IvfIndex.cellLoad(spark, dir, maxLoadFactor = 4.0)
+      .filter(col("rebuild_hint")).collect()
+    assert(hinted.map(_.getInt(0)).toSeq == Seq(0))
+    intercept[IllegalArgumentException] {
+      IvfIndex.cellLoad(spark, dir, maxLoadFactor = 1.0)
+    }
+  }
+
   test("served reads prune to the probed cells' partitions") {
     val q = t.embeddings.filter($"vec_id" < 1)
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
