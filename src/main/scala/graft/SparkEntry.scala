@@ -1953,6 +1953,41 @@ object SparkEntry {
         .awaitTermination()
       s.read.parquet(sink).orderBy("user_id", "session_start")
     }),
+    // Fifth streaming ORACLE row — the CDC lake upsert, the last
+    // spec-only streaming family: per-(user, ts) CDC rows staged as TWO
+    // files, readStream with maxFilesPerTrigger=1 (so AvailableNow runs
+    // REAL multi-batch incremental merges, not one bulk load) →
+    // upsertSink → MergeByKey per micro-batch into a Hive-partitioned
+    // table (greatest version per key wins, touched partitions only) →
+    // final table vs DuckDB's greatest-version-per-key. Batch
+    // boundaries are file-arbitrary; the version-based merge makes the
+    // final state invariant to the split, which is exactly the CDC
+    // contract being gated.
+    "q274_cdc_upsert_stream" -> ((s, dir) => {
+      import graft.streaming.{StreamingOps, StreamStage}
+      val root = StreamStage.tempDir("graft_q274") + "/table"
+      val ckpt = StreamStage.tempDir("graft_q274_ckpt")
+      // one CDC row per (user, ts): version = µs timestamp (unique per
+      // key by construction), payload collapsed deterministically
+      val cdc = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("ver"))
+        .agg(max(col("event_type")).as("event_type"),
+          max(col("value").cast("double")).as("value"))
+        .withColumn("part", pmod(col("user_id"), lit(16L)).cast("int"))
+      val staging = StreamStage.stagedInput("q274", dir, cdc, nFiles = 2)
+      val stream = s.readStream.schema(cdc.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+      StreamingOps.upsertSink(stream, root, Seq("user_id"), Seq("part"),
+        "ver", ckpt,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        .awaitTermination()
+      s.read.parquet(root)
+        .select(col("user_id"), col("ver"), col("event_type"),
+          col("value"), col("part").cast("int").as("part"))
+        .orderBy("user_id")
+    }),
     // Exact duplicated-span removals (Lee et al. 2022): positions whose
     // EXACT 25-token gram repeats anywhere, all-but-the-first occurrence
     // marked, marks merged to per-doc spans — the classic exact-substring
@@ -8527,6 +8562,23 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_paths
         |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
         |GROUP BY 1 ORDER BY path""".stripMargin,
+    // q274: greatest-version-per-key over the same per-(user, ts) CDC
+    // collapse — the final lake state the multi-batch merge must land on
+    // regardless of how the file source split the batches
+    "q274_cdc_upsert_stream" ->
+      """WITH c AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    epoch_us(ts) AS ver,
+        |    max(event_type) AS event_type,
+        |    max(CAST(value AS DOUBLE)) AS value
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT user_id, ver, event_type, value,
+        |    CAST(user_id % 16 AS INTEGER) AS part,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ver DESC)
+        |      AS rn
+        |  FROM c)
+        |SELECT user_id, ver, event_type, value, part FROM w
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // q239: gaps-and-islands sessionization in µs over the stream's
     // (ts, value) order contract, each user's trailing (still-open)
     // session excluded, value_sum folded in the stream's order

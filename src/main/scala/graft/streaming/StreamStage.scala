@@ -64,17 +64,25 @@ object StreamStage {
   }
 
   /**
-   * Stage `df` as ONE parquet file (single file -> the AvailableNow
-   * trigger sees exactly one micro-batch, so within-batch order is the
-   * global order), once per (key, token) per JVM; later calls with the
-   * same key+token reuse the staged copy. `token` should identify the
-   * input (the sf dir), so different scale factors never collide.
+   * Stage `df` as parquet, once per (key, token) per JVM; later calls
+   * with the same key+token reuse the staged copy. `token` should
+   * identify the input (the sf dir), so different scale factors never
+   * collide. With the default `nFiles = 1` the file source sees ONE
+   * file -> the AvailableNow trigger sees exactly one micro-batch, so
+   * within-batch order is the global order; gates that exercise
+   * MULTI-batch semantics (e.g. the CDC upsert) stage `nFiles > 1` and
+   * pair it with `maxFilesPerTrigger = 1` — batch boundaries are then
+   * file-arbitrary, so only use it where the final result is invariant
+   * to the batch split (version-based merges are).
    */
-  def stagedInput(key: String, token: String, df: => DataFrame): String =
+  def stagedInput(key: String, token: String, df: => DataFrame,
+                  nFiles: Int = 1): String =
     synchronized {
       staged.getOrElseUpdate(s"$key|$token", {
         val p = tempDir(s"graft_${key}_in")
-        df.coalesce(1).write.mode("overwrite").parquet(p)
+        val d = df
+        val shaped = if (nFiles == 1) d.coalesce(1) else d.repartition(nFiles)
+        shaped.write.mode("overwrite").parquet(p)
         p
       })
     }

@@ -282,15 +282,18 @@ object StreamingOps {
     * restarted query resumes instead of reprocessing the stream. */
   def upsertSink(stream: DataFrame, root: String, keyCols: Seq[String],
                  partitionCols: Seq[String], versionCol: String,
-                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+                 checkpointDir: String,
+                 trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         MergeByKey.merge(batch.sparkSession, root, batch.toDF(),
           keyCols, partitionCols, versionCol)
         (): Unit
       }
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 
   /** One dedup-ingest micro-batch (the [[dedupIngestSink]] core, exposed so
     * replay semantics are directly testable): admit `batch` rows that are
