@@ -2284,6 +2284,24 @@ object SparkEntry {
           "ts", "event_type", "purchase", Seq("view", "click", "signup"))
         .orderBy("channel")
     }),
+    // SAMPLED Shapley (Castro et al. 2009) in the n > 16 regime the
+    // exact 2^n table can't reach: 20 channels (event_type × 5h-of-day
+    // buckets), 64 deterministic md5-lane permutations; every marginal
+    // is an integer so shapley_e is an exact long the oracle replays
+    // permutation-for-permutation.
+    "q275_shapley_sampled" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("chan",
+          when(col("event_type") === "purchase", lit("purchase"))
+            .otherwise(concat(col("event_type"), lit("_"),
+              pmod(hour(col("ts")), lit(5)).cast("string"))))
+      val channels = for (t <- Seq("click", "error", "signup", "view");
+                          b <- 0 until 5) yield s"${t}_$b"
+      Sessionize.shapleySampledAttribution(ev, "user_id", "ts", "chan",
+          "purchase", channels, nSamples = 64)
+        .orderBy("channel")
+    }),
     // Annotator consensus (Dawid-Skene-lite): 5 planted annotators with
     // DIFFERENT md5 noise rates (10%..50%) vote on each doc's lang;
     // majority, accuracy-vs-majority, accuracy-weighted re-vote.
@@ -6910,6 +6928,51 @@ object SparkEntry {
          |         * CAST(mm.m AS DOUBLE))
          |  END AS modularity
          |FROM f CROSS JOIN mm""".stripMargin
+    },
+    // q275: identical per-user bitmasks over the 20 derived channels,
+    // the same md5-lane permutations (row_number over md5(t:i:shap)
+    // ranks = Scala's sortBy on the same hex), prefix coalitions via a
+    // windowed bit sum, and the subset CASE-sum marginals — shapley_e
+    // integer-for-integer across all 64 permutations
+    "q275_shapley_sampled" -> {
+      val chans = for (t <- Seq("click", "error", "signup", "view");
+                       b <- 0 until 5) yield s"${t}_$b"
+      val chanVals = chans.zipWithIndex
+        .map { case (c, i) => s"($i, '$c', ${1L << i})" }.mkString(", ")
+      s"""WITH chans(i, ch, bit) AS (SELECT * FROM (VALUES $chanVals)),
+         |ev AS (SELECT user_id AS u, ts,
+         |    CASE WHEN event_type = 'purchase' THEN 'purchase'
+         |      ELSE event_type || '_' || CAST(hour(ts) % 5 AS VARCHAR)
+         |    END AS ty
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |conv AS (SELECT u, min(ts) AS ct FROM ev WHERE ty = 'purchase'
+         |  GROUP BY 1),
+         |tm AS (SELECT e.u, c.bit FROM ev e
+         |  JOIN conv v ON v.u = e.u AND e.ts < v.ct
+         |  JOIN chans c ON c.ch = e.ty GROUP BY 1, 2),
+         |masks AS (SELECT u, sum(bit) AS m FROM tm GROUP BY 1),
+         |cnt AS (SELECT coalesce(m.m, 0) AS m,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM conv v LEFT JOIN masks m ON m.u = v.u GROUP BY 1),
+         |samples AS (SELECT CAST(range AS INTEGER) AS t FROM range(1, 65)),
+         |perm AS (SELECT s.t, c.ch, c.bit, row_number() OVER (
+         |    PARTITION BY s.t ORDER BY md5(CAST(s.t AS VARCHAR) || ':'
+         |      || CAST(c.i AS VARCHAR) || ':shap'), c.i) AS pos
+         |  FROM samples s CROSS JOIN chans c),
+         |pref AS (SELECT t, ch, bit,
+         |    coalesce(sum(bit) OVER (PARTITION BY t ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s0
+         |  FROM perm),
+         |term AS (SELECT p.ch AS channel,
+         |    CAST(sum(CASE WHEN (c.m & (p.s0 + p.bit)) = c.m
+         |        THEN c.c ELSE 0 END)
+         |      - sum(CASE WHEN (c.m & p.s0) = c.m THEN c.c ELSE 0 END)
+         |      AS BIGINT) AS shapley_e
+         |  FROM pref p CROSS JOIN cnt c GROUP BY 1),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_converters FROM conv)
+         |SELECT t.channel, 64 AS n_samples, t.shapley_e,
+         |  CAST(t.shapley_e AS DOUBLE) / 64.0 AS shapley, nc.n_converters
+         |FROM term t CROSS JOIN nc ORDER BY channel""".stripMargin
     },
     // q268: identical per-user bitmasks, the containment-join v(S)
     // table, and the factorial weights as CASE literals over a manual

@@ -460,24 +460,8 @@ object Sessionize {
     val n = channels.size
     val spark = events.sparkSession
     import spark.implicits._
-    val base = events
-      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(userCol).as("_u"), col(tsCol).as("_ts"),
-        col(typeCol).as("_ty"))
-      .localCheckpoint(true) // conversion times + touch scan
-    val conv = base.filter(col("_ty") === conversionType)
-      .groupBy("_u").agg(min(col("_ts")).as("_ct"))
-    val maskExpr = channels.zipWithIndex.map { case (c, i) =>
-      max(when(col("_ty") === c, lit(1L << i)).otherwise(0L))
-    }.reduce(_ + _)
-    val masks = base.join(conv, Seq("_u"))
-      .filter(col("_ts") < col("_ct"))
-      .groupBy("_u").agg(maskExpr.as("_m"))
-    // converters with zero pre-conversion touches land in mask 0 too
-    val cnt = conv.join(masks, Seq("_u"), "left")
-      .select(coalesce(col("_m"), lit(0L)).as("_m"))
-      .groupBy("_m").agg(count(lit(1)).as("_c"))
-      .localCheckpoint(true) // 2^n-bounded; read by the subset join
+    val (cnt, conv) = touchMaskCounts(events, userCol, tsCol, typeCol,
+      conversionType, channels)
     val subsets = spark.range(1L << n).select(col("id").as("_s"))
     val v = subsets.join(cnt,
         (col("_m").bitwiseAND(col("_s"))) === col("_m"), "left")
@@ -504,6 +488,116 @@ object Sessionize {
       .crossJoin(broadcast(nConv))
       .select(col("channel"), col("shapley_e"),
         (col("shapley_e").cast("double") / lit(fact(n).toDouble))
+          .as("shapley"),
+        col("n_converters"))
+  }
+
+  /** Shared core of the Shapley attributions: per-converter
+    * pre-conversion touch BITMASK over `channels` (bit i set ⇔ the user
+    * touched channel i strictly before their first conversion), rolled
+    * up to `(_m, _c)` mask counts — converters with zero pre-conversion
+    * touches land in mask 0. Returns `(maskCounts, converters)`; the
+    * characteristic function both estimators share is
+    * `v(S) = Σ_{m ⊆ S} count(m)` (converters fully explained by S). */
+  private def touchMaskCounts(events: DataFrame, userCol: String,
+                              tsCol: String, typeCol: String,
+                              conversionType: String,
+                              channels: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), col(tsCol).as("_ts"),
+        col(typeCol).as("_ty"))
+      .localCheckpoint(true) // conversion times + touch scan
+    val conv = base.filter(col("_ty") === conversionType)
+      .groupBy("_u").agg(min(col("_ts")).as("_ct"))
+    val maskExpr = channels.zipWithIndex.map { case (c, i) =>
+      max(when(col("_ty") === c, lit(1L << i)).otherwise(0L))
+    }.reduce(_ + _)
+    val masks = base.join(conv, Seq("_u"))
+      .filter(col("_ts") < col("_ct"))
+      .groupBy("_u").agg(maskExpr.as("_m"))
+    val cnt = conv.join(masks, Seq("_u"), "left")
+      .select(coalesce(col("_m"), lit(0L)).as("_m"))
+      .groupBy("_m").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true) // observed-mask-bounded; read by subset joins
+    (cnt, conv)
+  }
+
+  /** SAMPLED-permutation Shapley attribution (Castro, Gómez & Tejada,
+    * "Polynomial calculation of the Shapley value based on sampling",
+    * Computers & OR 2009) — the n > 16 regime [[shapleyAttribution]]'s
+    * exact 2ⁿ subset table cannot reach: draw `nSamples` DETERMINISTIC
+    * channel permutations (md5 lanes: position of channel i in sample t
+    * is the rank of md5("t:i:domain"), ties by i — replayable by any
+    * engine with md5), and average each channel's marginal contribution
+    * `v(prefix ∪ {i}) − v(prefix)` over its sampled prefixes.
+    *
+    * Exactness of the ESTIMATE (not the estimand): every marginal is an
+    * integer, `shapley_e = Σ_t marginal_t` is an exact long two engines
+    * agree on bit-for-bit, and `shapley = shapley_e / nSamples` is one
+    * double division. The estimator is unbiased with O(1/√nSamples)
+    * error (Castro et al. §3); per permutation the marginals telescope,
+    * so Σ_i shapley_e_i = nSamples·(v(full) − v(∅)) EXACTLY — the
+    * efficiency axiom holds for the estimate, not just in expectation.
+    *
+    * Scale shape: one corpus pass builds the observed-mask counts
+    * (M ≤ min(2ⁿ, converters) rows); the coalition table is
+    * nSamples·(n+1) rows built DRIVER-SIDE (bounded by the two explicit
+    * Scala arguments); v evaluates as one broadcast nested-loop subset
+    * join of M × distinct-coalitions — at n = 24, T = 64 that is
+    * ~1,600 probes per observed mask vs the exact form's 16M subsets.
+    * Output: `(channel, n_samples, shapley_e, shapley, n_converters)`. */
+  def shapleySampledAttribution(events: DataFrame, userCol: String,
+                                tsCol: String, typeCol: String,
+                                conversionType: String,
+                                channels: Seq[String], nSamples: Int = 64,
+                                domain: String = "shap"): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 62,
+      s"channels (${channels.size}) must be 1..62 (long bitmask)")
+    require(channels.distinct.size == channels.size, "duplicate channels")
+    require(!channels.contains(conversionType),
+      "the conversion type cannot also be a channel")
+    require(nSamples >= 1 && nSamples <= 100000,
+      s"nSamples ($nSamples) must be 1..100000")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (cnt, conv) = touchMaskCounts(events, userCol, tsCol, typeCol,
+      conversionType, channels)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // (sample, channel, prefix-without, prefix-with) — driver-side,
+    // nSamples·n rows by construction
+    val coals = (1 to nSamples).flatMap { t =>
+      val perm = channels.zipWithIndex
+        .map { case (c, i) => (md5hex(s"$t:$i:$domain"), i, c) }
+        .sortBy(x => (x._1, x._2))
+      var s = 0L
+      perm.map { case (_, i, c) =>
+        val row = (t, c, s, s | (1L << i))
+        s |= (1L << i)
+        row
+      }
+    }
+    val coalDf = coals.toDF("_t", "channel", "_s0", "_s1")
+    val need = coals.flatMap(x => Seq(x._3, x._4)).distinct.toDF("_s")
+    // v(S) for every needed coalition: subset-containment BNL join with
+    // the TINY coalition side broadcast; left join keeps v(∅) = 0 rows
+    val v = broadcast(need).join(cnt,
+        (col("_m").bitwiseAND(col("_s"))) === col("_m"), "left")
+      .groupBy("_s").agg(coalesce(sum(col("_c")), lit(0L)).as("_v"))
+      .localCheckpoint(true) // two lookups per coalition row
+    val nConv = conv.agg(count(lit(1)).as("n_converters"))
+    coalDf
+      .join(v.select(col("_s").as("_s0"), col("_v").as("_v0")), Seq("_s0"))
+      .join(v.select(col("_s").as("_s1"), col("_v").as("_v1")), Seq("_s1"))
+      .groupBy(col("channel"))
+      .agg(sum(col("_v1") - col("_v0")).as("shapley_e"))
+      .crossJoin(broadcast(nConv))
+      .select(col("channel"), lit(nSamples).as("n_samples"),
+        col("shapley_e"),
+        (col("shapley_e").cast("double") / lit(nSamples.toDouble))
           .as("shapley"),
         col("n_converters"))
   }

@@ -60,6 +60,35 @@ object AnalyticsSkewProbe {
       spark.stop(); return
     }
 
+    // --- round-14: exactSubstringRemovals under a VIRAL boilerplate
+    // gram (`runMain … exact` runs only this section; VERDICT r13 #5).
+    // 1M synthetic 30-token docs; a `frac` fraction carries one shared
+    // 25-token boilerplate prefix, so ONE gram key holds frac·1M rows on
+    // the wins⋈canon join — the q237 scaladoc claims AQE skew-split +
+    // partial aggregation absorb it; this measures the claim. The
+    // remaining 5 (plain: 30) tokens are id-unique, so per-doc window
+    // work is identical across regimes and only the key distribution
+    // changes.
+    if (args.contains("exact")) {
+      import graft.operators.Dedup
+      val boiler = (1 to 25).map(i => s"boiler$i").mkString(" ")
+      for (frac <- Seq(0, 10, 50)) {
+        val uniq = concat_ws(" ",
+          (0 until 30).map(j => concat(lit(s"u${j}x"), col("id"))): _*)
+        val docs = spark.range(1000000L).select(col("id").as("doc_id"),
+          when(col("id") % 100 < frac,
+            concat_ws(" ", lit(boiler),
+              concat_ws(" ", (0 until 5).map(j =>
+                concat(lit(s"u${j}x"), col("id"))): _*)))
+            .otherwise(uniq).as("text"))
+          .repartition(64).localCheckpoint(true)
+        timed(s"exactSubstringRemovals viral=$frac%")(
+          Dedup.exactSubstringRemovals(docs, "doc_id", "text", k = 25)
+            .count())
+      }
+      spark.stop(); return
+    }
+
     // --- round-13 second wave: dbscan under a dense blob and
     // labelPropagation under a celebrity hub (`runMain … spatial` runs
     // only this section). DBSCAN's grid join degrades to the dense

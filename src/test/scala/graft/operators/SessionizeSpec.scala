@@ -447,4 +447,51 @@ class SessionizeSpec extends SparkFunSuite {
         Seq("view", "purchase"))
     }
   }
+
+  test("shapleySampledAttribution: unbiased vs exact, telescoping, determinism") {
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "purchase"),
+      (2L, 1L, "click"), (2L, 2L, "purchase"),
+      (3L, 1L, "view"), (3L, 2L, "click"), (3L, 3L, "purchase"),
+      (4L, 1L, "purchase"),
+      (5L, 1L, "purchase"), (5L, 2L, "view"),
+      (6L, 1L, "view"), (6L, 2L, "view")
+    ).toDF("u", "ts", "ty")
+    val exact = Sessionize.shapleyAttribution(ev, "u", "ts", "ty",
+        "purchase", Seq("view", "click"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val est = Sessionize.shapleySampledAttribution(ev, "u", "ts", "ty",
+        "purchase", Seq("view", "click"), nSamples = 400)
+      .orderBy("channel").collect()
+    val estMap = est.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // n = 2: each permutation's marginal is one of two integer values,
+    // so 400 samples put the estimate well within 0.25 of the exact 1.5
+    assert(estMap.keySet == exact.keySet)
+    estMap.foreach { case (c, v) =>
+      assert(math.abs(v - exact(c)) < 0.25, s"$c: $v vs ${exact(c)}")
+    }
+    // efficiency holds EXACTLY for the estimate, not just in
+    // expectation: per permutation the marginals telescope to
+    // v(full) - v(empty) = 5 - 2 = 3
+    assert(est.map(_.getLong(2)).sum == 400L * 3L)
+    // deterministic md5 lanes: a replay is bit-identical
+    val again = Sessionize.shapleySampledAttribution(ev, "u", "ts", "ty",
+        "purchase", Seq("view", "click"), nSamples = 400)
+      .orderBy("channel").collect()
+    assert(est.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // n_converters rides along; single-channel degenerate case is exact
+    assert(est.head.getLong(4) == 5L)
+    val one = Sessionize.shapleySampledAttribution(ev, "u", "ts", "ty",
+        "purchase", Seq("view"), nSamples = 3)
+      .collect().head
+    // v({view}) - v(empty) = 4 - 3 ... with only {view} as channel:
+    // masks collapse to view-or-nothing: v(0) = converters with no view
+    // touch = 2 (u2, u4, u5... u2's click is not a channel) -> v(0) = 3
+    // (u2, u4, u5), v({view}) = 5; every permutation yields 2
+    assert(one.getLong(2) == 3L * 2L && one.getDouble(3) == 2.0)
+    intercept[IllegalArgumentException] {
+      Sessionize.shapleySampledAttribution(ev, "u", "ts", "ty",
+        "purchase", Seq("view", "click"), nSamples = 0)
+    }
+  }
 }
