@@ -2276,6 +2276,67 @@ object SparkEntry {
       val labels = Graph.louvain(edges, "a", "b", levels = 2, rounds = 3)
       Graph.modularity(edges, "a", "b", labels, "node", "label")
     }),
+    // Benjamini-Hochberg FDR (1995) over 25 per-nation two-proportion
+    // tests (md5 arm split, conversion = customer placed >= 11 orders, ~42% base rate at every SF).
+    // The per-segment p is the TRANSCENDENTAL-FREE Chebyshev bound
+    // min(1, 1/z^2) on the pooled z — a valid conservative p-value that
+    // keeps the whole chain exact-integer + fixed double ops, so the
+    // ranks, q-values and reject decisions replay bit-for-bit.
+    "q276_bh_fdr" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val units = t.orders
+        .join(t.customer.select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey")), Seq("o_custkey"))
+        .groupBy(col("c_nationkey").as("nation"),
+          col("o_custkey").as("cust"),
+          (substring(md5(concat(col("o_custkey").cast("string"),
+            lit(":ab"))), 1, 1) >= lit("8")).as("arm"))
+        .agg((count(lit(1)) >= 11).as("conv"))
+      val cells = units.groupBy("nation", "arm")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("conv"), 1L).otherwise(0L)).as("k"))
+      val seg = cells.groupBy("nation").agg(
+        sum(when(col("arm"), col("n"))).as("n1"),
+        sum(when(col("arm"), col("k"))).as("k1"),
+        sum(when(!col("arm"), col("n"))).as("n0"),
+        sum(when(!col("arm"), col("k"))).as("k0"))
+        .filter(col("n1").isNotNull && col("n0").isNotNull)
+      def dbl(c: Column): Column = c.cast("double")
+      val p1 = dbl(col("k1")) / dbl(col("n1"))
+      val p0 = dbl(col("k0")) / dbl(col("n0"))
+      val pb = (dbl(col("k1")) + dbl(col("k0"))) /
+        (dbl(col("n1")) + dbl(col("n0")))
+      val se = sqrt(pb * (lit(1.0) - pb) *
+        (lit(1.0) / dbl(col("n1")) + lit(1.0) / dbl(col("n0"))))
+      val z = (p1 - p0) / se
+      val withP = seg.select(col("nation"),
+        when(se > 0.0,
+          // z = 0 (identical rates) -> Chebyshev bound 1/0 is +inf,
+          // clamp to p = 1 explicitly (ANSI errors on double div-by-0)
+          when(p1 - p0 === 0.0, lit(1.0))
+            .otherwise(least(lit(1.0), lit(1.0) / (z * z))))
+          .otherwise(lit(null)).as("p"))
+      Experiment.benjaminiHochberg(withP, "nation", "p", alpha = 0.2)
+        .orderBy("rank")
+    }),
+    // Propensity-stratified ATE (Rosenbaum & Rubin 1984): unit = user,
+    // outcome = exact micro-unit value sum, strata = activity buckets
+    // (n_events div 10 capped at 5) — the cell-constant-propensity IPW
+    // estimator with both-arm strata only, dropped mass reported.
+    "q277_stratified_ate" -> ((s, dir) => {
+      val units = Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum(coalesce(col("value").cast("decimal(18,6)"),
+            lit(0L).cast("decimal(18,6)"))).as("y"))
+        .select(
+          (substring(md5(concat(col("user_id").cast("string"),
+            lit(":ab"))), 1, 1) >= lit("8")).as("treated"),
+          col("y"), // exact decimal — the op's micro-unit cast stays exact
+          least(floor(col("n_ev") / 10L), lit(5L)).as("bucket"))
+      Experiment.stratifiedAte(units, "treated", "y", Seq("bucket"))
+    }),
     // EXACT Shapley attribution over {view, click, signup} coalitions
     // (conversion = first purchase): v(S) counts, factorial-weighted
     // integer credit — phi * 3! is an exact long both engines replay.
@@ -6929,6 +6990,102 @@ object SparkEntry {
          |  END AS modularity
          |FROM f CROSS JOIN mm""".stripMargin
     },
+    // q276: identical exact counts -> pooled z -> Chebyshev p -> the
+    // BH step-up as a reverse running min — rank, q and reject replayed
+    // with the same (p*m)/rank double chain
+    "q276_bh_fdr" ->
+      """WITH u AS (SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
+        |    substr(md5(CAST(o.o_custkey AS VARCHAR) || ':ab'), 1, 1) >= '8'
+        |      AS arm,
+        |    count(*) >= 11 AS conv
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2, 3),
+        |cells AS (SELECT nation, arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM u GROUP BY 1, 2),
+        |seg AS (SELECT nation,
+        |    sum(CASE WHEN arm THEN n END) AS n1,
+        |    sum(CASE WHEN arm THEN k END) AS k1,
+        |    sum(CASE WHEN NOT arm THEN n END) AS n0,
+        |    sum(CASE WHEN NOT arm THEN k END) AS k0
+        |  FROM cells GROUP BY 1
+        |  HAVING n1 IS NOT NULL AND n0 IS NOT NULL),
+        |base AS (SELECT nation,
+        |    CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |    CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        |    (CAST(k1 AS DOUBLE) + CAST(k0 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)) AS pb,
+        |    CAST(n1 AS DOUBLE) AS d1, CAST(n0 AS DOUBLE) AS d0
+        |  FROM seg),
+        |zs AS (SELECT nation,
+        |    sqrt(pb * (1.0 - pb) * (1.0 / d1 + 1.0 / d0)) AS se,
+        |    p1 - p0 AS diff FROM base),
+        |ps AS (SELECT nation AS test,
+        |    CASE WHEN se > 0 THEN
+        |      CASE WHEN diff = 0 THEN 1.0
+        |        ELSE least(1.0, 1.0 / ((diff / se) * (diff / se))) END
+        |    END AS p
+        |  FROM zs),
+        |ps2 AS (SELECT test, p FROM ps WHERE p IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ps2),
+        |r AS (SELECT test, p,
+        |    CAST(row_number() OVER (ORDER BY p, test) AS BIGINT) AS rank
+        |  FROM ps2),
+        |qv AS (SELECT test, p, rank,
+        |    least(1.0, min(p * CAST(m.m AS DOUBLE) / CAST(rank AS DOUBLE))
+        |      OVER (ORDER BY rank
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |      AS q_value
+        |  FROM r CROSS JOIN m)
+        |SELECT test, p, rank, q_value, q_value <= 0.2 AS rejected
+        |FROM qv ORDER BY rank""".stripMargin,
+    // q277: identical micro-unit HUGEINT sums per (bucket, arm)
+    // (VARCHAR-routed to double, the q245 trick), identical
+    // stratum-ordered fold of n_s * (mean_t - mean_c), one division
+    "q277_stratified_ate" ->
+      """WITH u AS (SELECT user_id,
+        |    substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 1) >= '8'
+        |      AS treated,
+        |    least(CAST(count(*) AS BIGINT) // 10, 5) AS bucket,
+        |    CAST(CAST(sum(coalesce(CAST(value AS DECIMAL(18,6)),
+        |      CAST(0 AS DECIMAL(18,6)))) AS DECIMAL(18,6)) * 1000000
+        |      AS HUGEINT) AS yi
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |cells AS (SELECT bucket, treated,
+        |    CAST(count(*) AS BIGINT) AS n, sum(yi) AS sy
+        |  FROM u GROUP BY 1, 2),
+        |st AS (SELECT bucket,
+        |    CAST(sum(n) AS BIGINT) AS ns,
+        |    CAST(count(*) AS BIGINT) AS arms,
+        |    sum(CASE WHEN treated THEN n END) AS nt,
+        |    sum(CASE WHEN treated THEN sy END) AS yt,
+        |    sum(CASE WHEN NOT treated THEN n END) AS nc,
+        |    sum(CASE WHEN NOT treated THEN sy END) AS yc
+        |  FROM cells GROUP BY 1),
+        |f AS (SELECT
+        |    CAST(sum(ns) AS BIGINT) AS n_units,
+        |    CAST(coalesce(sum(CASE WHEN arms = 2 THEN ns END), 0)
+        |      AS BIGINT) AS n_used,
+        |    CAST(coalesce(sum(CASE WHEN arms <> 2 THEN ns END), 0)
+        |      AS BIGINT) AS n_dropped,
+        |    CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(coalesce(sum(CASE WHEN arms <> 2 THEN 1 END), 0)
+        |      AS BIGINT) AS n_strata_dropped,
+        |    list(CASE WHEN arms = 2 THEN
+        |        CAST(ns AS DOUBLE) *
+        |          ((CAST(CAST(yt AS VARCHAR) AS DOUBLE) / 1e6)
+        |             / CAST(nt AS DOUBLE)
+        |           - (CAST(CAST(yc AS VARCHAR) AS DOUBLE) / 1e6)
+        |             / CAST(nc AS DOUBLE)) END
+        |      ORDER BY CAST(bucket AS VARCHAR)) AS terms
+        |  FROM st)
+        |SELECT n_units, n_used, n_dropped, n_strata, n_strata_dropped,
+        |  CASE WHEN n_used = 0 THEN NULL ELSE
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_filter(terms, x -> x IS NOT NULL)), (a, b) -> a + b)
+        |      / CAST(n_used AS DOUBLE)
+        |  END AS ate
+        |FROM f""".stripMargin,
     // q275: identical per-user bitmasks over the 20 derived channels,
     // the same md5-lane permutations (row_number over md5(t:i:shap)
     // ranks = Scala's sortBy on the same hex), prefix coalitions via a

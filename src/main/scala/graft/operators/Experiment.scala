@@ -368,6 +368,114 @@ object Experiment {
     * map-side-combined shuffle; the rank window runs over the DISTINCT
     * VALUE table (metric-cardinality sized, the [[Classifier.rankAuc]]
     * shape), and everything after is a single-row aggregate. */
+  /** Benjamini–Hochberg FDR adjustment (Benjamini & Hochberg, JRSS-B
+    * 1995) over one row per hypothesis: rank p ascending (ties by test
+    * id so the rank is total), `q_i = min_{j ≥ i} (p_j · m / j)` via a
+    * reverse running min, clamp at 1; reject where `q ≤ alpha` — the
+    * step-up rule in its adjusted-p form, so the decision column and
+    * the q-values tell one story. Null p rows are excluded (they carry
+    * no evidence either way; silently treating them as p = 1 would
+    * shift every other rank).
+    *
+    * Determinism: p values arrive as doubles the caller made
+    * bit-identical cross-engine (the repo's test stats derive from
+    * exact integer sums — see the q276 gate, where the per-segment p is
+    * the transcendental-free Chebyshev bound min(1, 1/z²)); each raw
+    * adjustment is ONE multiply + divide of (p, m, rank); the running
+    * min and the ≤ alpha comparison are exact on doubles.
+    *
+    * Scale shape: the input is one row per HYPOTHESIS (m rows, caller-
+    * bounded — segments, metrics, arms), so the unpartitioned rank
+    * window is over m rows, never the underlying data. Output:
+    * `(test, p, rank, q_value, rejected)`. */
+  def benjaminiHochberg(df: DataFrame, testCol: String, pCol: String,
+                        alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha ($alpha) must be in (0,1)")
+    val reserved = Seq("_m", "_raw", "test", "p", "rank", "q_value")
+    require(!df.columns.exists(c => reserved.contains(c) &&
+      c != testCol && c != pCol),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    val base = df.filter(col(pCol).isNotNull)
+      .select(col(testCol).as("test"), col(pCol).cast("double").as("p"))
+    val m = base.agg(count(lit(1)).as("_m"))
+    val wRank = Window.orderBy(col("p"), col("test"))
+    val wTail = Window.orderBy(col("rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    base.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("_raw",
+        col("p") * col("_m").cast("double") / col("rank").cast("double"))
+      .withColumn("q_value", least(lit(1.0), min(col("_raw")).over(wTail)))
+      .select(col("test"), col("p"), col("rank"), col("q_value"),
+        (col("q_value") <= alpha).as("rejected"))
+  }
+
+  /** Propensity-stratified average treatment effect (Rosenbaum & Rubin,
+    * "Reducing bias in observational studies using subclassification on
+    * the propensity score", JASA 1984): within each covariate stratum
+    * the treated share IS the estimated propensity (cell-constant), and
+    * the stratified estimator
+    * `ATE = Σ_s (n_s / N_used) · (ȳ_treated,s − ȳ_control,s)`
+    * equals the Hájek-normalized IPW estimator with those cell-constant
+    * weights. Strata missing either arm identify NOTHING and are
+    * excluded — reported in `n_strata_dropped` / `n_dropped`, never
+    * silently (the brierDecomposition lesson: exclusions must leave a
+    * signal).
+    *
+    * Determinism: outcomes ride the decimal(18,6) micro-unit contract
+    * (exact integer sums per (stratum, arm)); each stratum mean is one
+    * double division; the ATE folds `(n_s · diff_s)` in STRATUM ORDER
+    * over a sorted collect (strata-count terms) and divides once —
+    * one fixed double chain cross-engine.
+    *
+    * Scale shape: one map-side-combined aggregation to
+    * (strata × 2 arms) rows, then a strata-bounded fold; nothing
+    * data-sized past the first shuffle. Output: ONE row `(n_units,
+    * n_used, n_dropped, n_strata, n_strata_dropped, ate)`; ate is null
+    * when no stratum has both arms. */
+  def stratifiedAte(df: DataFrame, treatedCol: String, outcomeCol: String,
+                    strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "at least one stratum column")
+    val yi = (col(outcomeCol).cast("decimal(18,6)") * lit(1000000L))
+      .cast("decimal(19,0)") // exact micro-units, the diffInDiff contract
+    val cells = df
+      .filter(col(treatedCol).isNotNull && col(outcomeCol).isNotNull)
+      .groupBy(strataCols.map(col) :+ col(treatedCol).as("_t"): _*)
+      .agg(count(lit(1)).as("_n"), sum(yi).as("_y"))
+    val strata = cells
+      .groupBy(strataCols.map(col): _*)
+      .agg(sum(col("_n")).as("_ns"), count(lit(1)).as("_arms"),
+        sum(when(col("_t"), col("_n"))).as("_nt"),
+        sum(when(col("_t"), col("_y"))).as("_yt"),
+        sum(when(!col("_t"), col("_n"))).as("_nc"),
+        sum(when(!col("_t"), col("_y"))).as("_yc"))
+    def dbl(c: Column): Column = c.cast("double")
+    val key = concat_ws("", strataCols.map(c => col(c).cast("string")): _*)
+    strata
+      .select(col("_ns"), col("_arms"),
+        key.as("_k"), col("_nt"), col("_yt"), col("_nc"), col("_yc"))
+      .agg(
+        coalesce(sum(col("_ns")), lit(0L)).as("n_units"),
+        coalesce(sum(when(col("_arms") === 2, col("_ns"))), lit(0L))
+          .as("n_used"),
+        coalesce(sum(when(col("_arms") =!= 2, col("_ns"))), lit(0L))
+          .as("n_dropped"),
+        count(lit(1)).as("n_strata"),
+        coalesce(sum(when(col("_arms") =!= 2, 1L)), lit(0L))
+          .as("n_strata_dropped"),
+        sort_array(collect_list(when(col("_arms") === 2,
+          struct(col("_k"), col("_ns"), col("_nt"), col("_yt"),
+            col("_nc"), col("_yc"))))).as("_s"))
+      .select(col("n_units"), col("n_used"), col("n_dropped"),
+        col("n_strata"), col("n_strata_dropped"),
+        when(col("n_used") === 0L, lit(null)).otherwise(
+          aggregate(col("_s"), lit(0.0), (acc, t) =>
+            acc + dbl(t("_ns")) *
+              ((dbl(t("_yt")) / lit(1.0e6)) / dbl(t("_nt"))
+                - (dbl(t("_yc")) / lit(1.0e6)) / dbl(t("_nc"))))
+            / dbl(col("n_used"))).as("ate"))
+  }
+
   def mannWhitney(df: DataFrame, armCol: String, valueCol: String,
                   armA: String, armB: String): DataFrame = {
     require(armA != armB, "the two arms must differ")

@@ -227,4 +227,54 @@ class ExperimentSpec extends SparkFunSuite {
       Experiment.diffInDiff(units, "t", "p", "y")
     }
   }
+
+  test("benjaminiHochberg: textbook step-up, null p excluded, clamp at 1") {
+    // the classic example: p = (.01, .02, .03, .2, .8), m = 5 ->
+    // raw = (.05, .05, .05, .25, .8) = q (already monotone), reject 3
+    val tests = Seq(("a", Some(0.01)), ("b", Some(0.02)), ("c", Some(0.03)),
+      ("d", Some(0.2)), ("e", Some(0.8)), ("skip", None))
+      .toDF("id", "pv")
+    val got = Experiment.benjaminiHochberg(tests, "id", "pv", alpha = 0.05)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    // q values written as the same double chains the operator runs:
+    // raw_c = .03·5/3 = 0.049999999999999996 in IEEE, and the REVERSE
+    // running min propagates it back over a and b (raws exactly 0.05);
+    // all three stay ≤ .05 -> rejected
+    val qc = 0.03 * 5.0 / 3.0
+    assert(got.toSeq == Seq(
+      ("a", 1L, qc, true), ("b", 2L, qc, true), ("c", 3L, qc, true),
+      ("d", 4L, 0.2 * 5.0 / 4.0, false), ("e", 5L, 0.8, false)),
+      s"got ${got.toSeq}")
+    // the reverse running min: a large early p is rescued by a small
+    // later ratio (p=(.04, .05): raw=(.08, .05) -> q=(.05, .05))
+    val mono = Experiment.benjaminiHochberg(
+      Seq(("x", 0.04), ("y", 0.05)).toDF("id", "pv"), "id", "pv", 0.05)
+      .orderBy("rank").collect().map(_.getDouble(3))
+    assert(mono.toSeq == Seq(0.05, 0.05))
+    intercept[IllegalArgumentException] {
+      Experiment.benjaminiHochberg(tests, "id", "pv", alpha = 1.0)
+    }
+  }
+
+  test("stratifiedAte: hand-weighted fold, single-arm strata reported not used") {
+    // stratum 0: treated {2,4} mean 3 vs control {1} mean 1 -> diff 2
+    // stratum 1: treated {10} mean 10 vs control {6,8} mean 7 -> diff 3
+    // stratum 2: treated-only {5} -> dropped
+    val units = Seq(
+      (true, 2.0, 0L), (true, 4.0, 0L), (false, 1.0, 0L),
+      (true, 10.0, 1L), (false, 6.0, 1L), (false, 8.0, 1L),
+      (true, 5.0, 2L)
+    ).toDF("t", "y", "b")
+    val r = Experiment.stratifiedAte(units, "t", "y", Seq("b"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((7L, 6L, 1L, 3L, 1L)))
+    assert(r.getDouble(5) == (3.0 * 2.0 + 3.0 * 3.0) / 6.0)
+    // no stratum with both arms -> null ate, everything dropped
+    val oneArm = Experiment.stratifiedAte(
+      Seq((true, 1.0, 0L)).toDF("t", "y", "b"), "t", "y", Seq("b"))
+      .collect().head
+    assert(oneArm.getLong(1) == 0L && oneArm.isNullAt(5))
+  }
 }
