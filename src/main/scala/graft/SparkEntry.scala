@@ -2276,6 +2276,53 @@ object SparkEntry {
       val labels = Graph.louvain(edges, "a", "b", levels = 2, rounds = 3)
       Graph.modularity(edges, "a", "b", labels, "node", "label")
     }),
+    // LSH banding advisor (MMDS §3.4.3): exact token-set Jaccard over a
+    // replayable pair sample (adjacent-in-lang at lead 1/2 = background
+    // mass, self-pairs = the planted jaccard-1 dup regime the plan must
+    // protect), 20-bin histogram, S-curve FP/FN for every (b, r) with
+    // b*r = 16 via UNROLLED multiplication chains (no pow), min-error
+    // plan marked. The measured pre-flight for minhashCandidatePairs.
+    "q279_lsh_parameter_plan" -> ((s, dir) => {
+      val docs = Tables(s, dir).documentsSpread
+        .filter(col("lang").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(split(col("text"), " ")).as("tk"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val adj = Seq(1, 2).map(o => docs
+        .withColumn("tk2", lead(col("tk"), o).over(w))
+        .filter(col("tk2").isNotNull)
+        .select("tk", "tk2")).reduce(_.unionByName(_))
+      val dup = docs.select(col("tk"), col("tk").as("tk2"))
+      val pairs = adj.unionByName(dup)
+        .filter(size(array_union(col("tk"), col("tk2"))) > 0)
+        .select((size(array_intersect(col("tk"), col("tk2"))).cast("double")
+          / size(array_union(col("tk"), col("tk2"))).cast("double"))
+          .as("sim"))
+      Dedup.lshParameterPlan(pairs, "sim", nHashes = 16, threshold = 0.7)
+        .orderBy("b")
+    }),
+    // Split-conformal interval calibration (Papadopoulos 2002 / Lei
+    // 2018): predictor = per-lang mean n_chars on the even-doc_id
+    // calibration half, EXACT in micro-units (integer div, no double
+    // mean); q-hat = the ceil((n+1)*0.9)-th smallest |y - pred| order
+    // statistic (distributed selection, no single-partition window);
+    // empirical coverage measured on the odd half. Finite-sample
+    // coverage >= 0.9 by the conformal guarantee — the abstention-
+    // threshold calibration a production quality filter runs.
+    "q278_conformal_coverage" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+      val pm = docs.filter(col("doc_id") % 2 === 0)
+        .groupBy("lang")
+        .agg(expr("(CAST(sum(n_chars) AS DECIMAL(38,0)) * 1000000)" +
+          " div count(*)").as("_pmic"))
+        .select(col("lang"),
+          (col("_pmic").cast("decimal(25,0)") / lit(1000000L))
+            .cast("decimal(18,6)").as("pred"))
+      val cal = docs.filter(col("doc_id") % 2 === 0).join(pm, "lang")
+      val tst = docs.filter(col("doc_id") % 2 === 1).join(pm, "lang")
+      Classifier.splitConformal(cal, tst, "n_chars", "pred", alpha = 0.1)
+    }),
     // Benjamini-Hochberg FDR (1995) over 25 per-nation two-proportion
     // tests (md5 arm split, conversion = customer placed >= 11 orders, ~42% base rate at every SF).
     // The per-segment p is the TRANSCENDENTAL-FREE Chebyshev bound
@@ -6990,6 +7037,90 @@ object SparkEntry {
          |  END AS modularity
          |FROM f CROSS JOIN mm""".stripMargin
     },
+    // q279: identical exact-jaccard histogram; each (b, r) branch's
+    // S-curve probability is the SAME unrolled multiplication chain
+    // (first multiply by 1.0 is IEEE-exact, so fold and plain chains
+    // agree bitwise); FP/FN folded in bin order; p_at_threshold is one
+    // driver-computed literal planted in both plans
+    "q279_lsh_parameter_plan" -> {
+      def powD(x: Double, k: Int): Double =
+        (1 to k).foldLeft(1.0)((a, _) => a * x)
+      def powSql(x: String, k: Int): String =
+        if (k == 1) x else Seq.fill(k)(x).mkString("(", " * ", ")")
+      val branches = (1 to 16).filter(16 % _ == 0).map { r =>
+        val b = 16 / r
+        val pAtT = 1.0 - powD(1.0 - powD(0.7, r), b)
+        val pExpr = s"1.0 - ${powSql(s"(1.0 - ${powSql("c", r)})", b)}"
+        s"""SELECT $b AS b, $r AS r, CAST('$pAtT' AS DOUBLE)
+           |    AS p_at_threshold,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list(fp ORDER BY bin)), (x, y) -> x + y) AS exp_fp,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    list(fn ORDER BY bin)), (x, y) -> x + y) AS exp_fn
+           |FROM (SELECT bin,
+           |    CASE WHEN c < 0.7 THEN CAST(cnt AS DOUBLE) * ($pExpr)
+           |      ELSE 0.0 END AS fp,
+           |    CASE WHEN c >= 0.7 THEN
+           |      CAST(cnt AS DOUBLE) * (1.0 - ($pExpr)) ELSE 0.0 END AS fn
+           |  FROM cb)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    list_distinct(string_split(text, ' ')) AS tk
+         |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |a1 AS (SELECT tk, lead(tk, 1) OVER
+         |    (PARTITION BY lang ORDER BY doc_id) AS tk2 FROM d),
+         |a2 AS (SELECT tk, lead(tk, 2) OVER
+         |    (PARTITION BY lang ORDER BY doc_id) AS tk2 FROM d),
+         |pr AS (SELECT tk, tk2 FROM a1 WHERE tk2 IS NOT NULL
+         |  UNION ALL SELECT tk, tk2 FROM a2 WHERE tk2 IS NOT NULL
+         |  UNION ALL SELECT tk, tk AS tk2 FROM d),
+         |sims AS (SELECT
+         |    CAST(len(list_intersect(tk, tk2)) AS DOUBLE)
+         |      / CAST(len(list_distinct(tk || tk2)) AS DOUBLE) AS sim
+         |  FROM pr WHERE len(list_distinct(tk || tk2)) > 0),
+         |hist AS (SELECT least(CAST(floor(sim * 20) AS BIGINT), 19)
+         |      AS bin,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM sims GROUP BY 1),
+         |cb AS (SELECT bin, cnt,
+         |    (CAST(bin AS DOUBLE) * 2.0 + 1.0) * 0.025 AS c FROM hist),
+         |br AS ($branches)
+         |SELECT b, r, p_at_threshold, exp_fp, exp_fn,
+         |  exp_fp + exp_fn AS total_err,
+         |  row_number() OVER (ORDER BY exp_fp + exp_fn, b) = 1 AS chosen
+         |FROM br ORDER BY b""".stripMargin
+    },
+    // q278: identical micro-unit scores (HUGEINT, integer-div
+    // predictor), the k-th order statistic via row_number = scalar k,
+    // integer coverage comparison — q_hat/coverage one division each
+    "q278_conformal_coverage" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |pm AS (SELECT lang,
+        |    (CAST(sum(n_chars) AS HUGEINT) * 1000000) // count(*) AS pmic
+        |  FROM d WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cs AS (SELECT abs(CAST(c.n_chars AS HUGEINT) * 1000000 - p.pmic)
+        |    AS s
+        |  FROM d c JOIN pm p USING (lang) WHERE c.doc_id % 2 = 0),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cs),
+        |kk AS (SELECT n, CAST(ceil((n + 1) * 0.9) AS BIGINT) AS k FROM nn),
+        |q AS (SELECT s AS qh FROM (
+        |    SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cs)
+        |  WHERE rn = (SELECT k FROM kk)),
+        |ts AS (SELECT abs(CAST(t.n_chars AS HUGEINT) * 1000000 - p.pmic)
+        |    AS s
+        |  FROM d t JOIN pm p USING (lang) WHERE t.doc_id % 2 = 1),
+        |cov AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(coalesce(sum(CASE WHEN s <= (SELECT qh FROM q)
+        |      THEN 1 END), 0) AS BIGINT) AS n_covered
+        |  FROM ts)
+        |SELECT kk.n AS n_cal, kk.k AS k,
+        |  CAST(q.qh AS DOUBLE) / 1e6 AS q_hat,
+        |  cov.n_test, cov.n_covered,
+        |  CASE WHEN cov.n_test > 0 THEN
+        |    CAST(cov.n_covered AS DOUBLE) / CAST(cov.n_test AS DOUBLE)
+        |  END AS coverage
+        |FROM kk CROSS JOIN q CROSS JOIN cov""".stripMargin,
     // q276: identical exact counts -> pooled z -> Chebyshev p -> the
     // BH step-up as a reverse running min — rank, q and reject replayed
     // with the same (p*m)/rank double chain

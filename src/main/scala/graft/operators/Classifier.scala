@@ -589,4 +589,81 @@ object Classifier {
         .otherwise((col("_cpos").cast("double") / col("_crows").cast("double"))
           / overall).as("cum_lift"))
   }
+
+  /** Split-conformal prediction interval calibration (Papadopoulos et
+    * al. ECML 2002; Lei et al. JASA 2018; the Angelopoulos & Bates 2023
+    * tutorial form): on a CALIBRATION set compute nonconformity scores
+    * `s = |y − ŷ|`, take the k-th smallest with
+    * `k = ⌈(n+1)(1−alpha)⌉` as `q̂`, and the interval `ŷ ± q̂` covers a
+    * fresh point with probability ≥ 1−alpha (finite-sample, no
+    * distributional assumptions — the abstention-threshold calibration
+    * a production quality-filter wants). The TEST set then reports the
+    * empirical coverage `P(|y − ŷ| ≤ q̂)`.
+    *
+    * Determinism: y and ŷ ride the decimal(18,6) micro-unit contract,
+    * so every score is an exact long and the k-th order statistic is an
+    * exact integer both engines select identically (ties share the
+    * VALUE, so tie order is irrelevant); `q_hat` and `coverage` are one
+    * double division each. `k > n` (alpha too small for the calibration
+    * size) means the conformal interval is the whole line: `q_hat` is
+    * null and coverage is 1 by construction — reported, not an error.
+    * Null y/ŷ rows are excluded on both sides.
+    *
+    * Scale shape: the selection is the [[Quantiles.exact]] distributed
+    * pattern — one range sort of the score column, per-partition offsets
+    * broadcast back, a within-partition row_number — no single-partition
+    * window, no driver-side data; the test side is one map-side-combined
+    * count against the broadcast 1-row q̂.
+    *
+    * Output: ONE row `(n_cal, k, q_hat, n_test, n_covered, coverage)`. */
+  def splitConformal(cal: DataFrame, test: DataFrame, yCol: String,
+                     predCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha ($alpha) must be in (0,1)")
+    val spark = cal.sparkSession
+    def micro(c: Column): Column =
+      (c.cast("decimal(18,6)") * lit(1000000L)).cast("long")
+    def scores(df: DataFrame): DataFrame = df
+      .filter(col(yCol).isNotNull && col(predCol).isNotNull)
+      .select(abs(micro(col(yCol)) - micro(col(predCol))).as("_s"))
+    val cs = scores(cal)
+    val ts = scores(test)
+    val n = cs.count()
+    val k = math.ceil((n + 1) * (1.0 - alpha)).toLong
+    if (n == 0L || k > n) {
+      return ts.agg(count(lit(1)).as("n_test"))
+        .select(lit(n).as("n_cal"), lit(k).as("k"),
+          lit(null).cast("double").as("q_hat"),
+          col("n_test"), col("n_test").as("n_covered"),
+          when(col("n_test") > 0L, lit(1.0)).otherwise(lit(null))
+            .as("coverage"))
+    }
+    // distributed k-th order statistic: the Quantiles.exact shape (range
+    // sort pinned by a lazy localCheckpoint; offsets broadcast back)
+    val sorted = cs.orderBy("_s").withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
+    val offsets = sorted.groupBy("_pid").count()
+      .withColumn("_off", coalesce(
+        sum("count").over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy("_pid")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .drop("count")
+    val inPart = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy("_s")
+    val qhat = sorted.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("_i", col("_off") + row_number().over(inPart))
+      .filter(col("_i") === k)
+      .select(col("_s").as("_q"))
+    ts.crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        coalesce(sum(when(col("_s") <= col("_q"), 1L).otherwise(0L)),
+          lit(0L)).as("n_covered"))
+      .crossJoin(broadcast(qhat))
+      .select(lit(n).as("n_cal"), lit(k).as("k"),
+        (col("_q").cast("double") / lit(1.0e6)).as("q_hat"),
+        col("n_test"), col("n_covered"),
+        when(col("n_test") > 0L,
+          col("n_covered").cast("double") / col("n_test").cast("double"))
+          .otherwise(lit(null)).as("coverage"))
+  }
 }

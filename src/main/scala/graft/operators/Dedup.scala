@@ -843,4 +843,77 @@ object Dedup {
   }
   private def maskJaccard: Column = maskJaccardFor("a", "b")
   private def maskJaccardLR: Column = maskJaccardFor("l", "r")
+
+  /** LSH banding parameter plan (Leskovec, Rajaraman & Ullman, "Mining
+    * of Massive Datasets" §3.4.3 — the S-curve analysis): given an
+    * OBSERVED pair-similarity sample and a target threshold, evaluate
+    * every (bands b, rows r) factorization of `nHashes` by its expected
+    * false-positive / false-negative candidate mass
+    *   `P(collide | s) = 1 − (1 − sʳ)ᵇ`
+    *   `FP = Σ_{s < t} h(s)·P(s)`, `FN = Σ_{s ≥ t} h(s)·(1 − P(s))`
+    * over an `nBins`-bin histogram of the sample, and mark the
+    * minimum-total-error plan — the index advisor that turns "pick b
+    * and r" from folklore into a measured decision before a corpus-
+    * scale [[minhashCandidatePairs]] run.
+    *
+    * Determinism: bins are exact integer floors; every power is an
+    * UNROLLED multiplication chain (no `pow` — `xʸ = e^{y·ln x}` would
+    * hang cross-engine bit-identity on two libm calls), starting from
+    * 1.0 whose first multiply is exact; the FP/FN sums fold in BIN
+    * order over sorted collects (≤ nBins terms); `p_at_threshold` is
+    * the same chain evaluated driver-side and planted as a literal in
+    * both plans. Tie on total error breaks to the smaller band count.
+    *
+    * Scale shape: ONE histogram aggregation over the pair sample
+    * (map-side combined to ≤ nBins rows, reused by every branch via a
+    * lazy localCheckpoint), then divisor-count bounded 1-row branches.
+    * Output: one row per factorization `(b, r, p_at_threshold, exp_fp,
+    * exp_fn, total_err, chosen)`. */
+  def lshParameterPlan(pairs: DataFrame, simCol: String, nHashes: Int,
+                       threshold: Double, nBins: Int = 20): DataFrame = {
+    require(nHashes >= 1 && nHashes <= 512,
+      s"nHashes ($nHashes) must be in [1, 512]")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold ($threshold) must be in (0,1)")
+    require(nBins >= 2 && nBins <= 100, s"nBins ($nBins) out of range")
+    val hist = pairs.filter(col(simCol).isNotNull)
+      .select(least(floor(col(simCol).cast("double") * nBins).cast("long"),
+        lit(nBins - 1L)).as("_bin"))
+      .groupBy("_bin").agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint(false) // one histogram, divisor-many readers
+    def powD(x: Double, k: Int): Double =
+      (1 to k).foldLeft(1.0)((a, _) => a * x)
+    def powC(x: Column, k: Int): Column =
+      (1 to k).foldLeft(lit(1.0): Column)((a, _) => a * x)
+    val halfw = 0.5 / nBins
+    val grid = (1 to nHashes).filter(nHashes % _ == 0)
+      .map(r => (nHashes / r, r))
+    val branches = grid.map { case (b, r) =>
+      val pAtT = 1.0 - powD(1.0 - powD(threshold, r), b)
+      val center = (col("_bin").cast("double") * lit(2.0) + lit(1.0)) *
+        lit(halfw)
+      val pCol = lit(1.0) - powC(lit(1.0) - powC(center, r), b)
+      hist
+        .select(col("_bin"),
+          when(center < threshold, col("_cnt").cast("double") * pCol)
+            .otherwise(lit(0.0)).as("_fp"),
+          when(center >= threshold,
+            col("_cnt").cast("double") * (lit(1.0) - pCol))
+            .otherwise(lit(0.0)).as("_fn"))
+        .agg(
+          aggregate(sort_array(collect_list(struct(col("_bin"),
+            col("_fp").as("f")))), lit(0.0), (a, t) => a + t("f"))
+            .as("exp_fp"),
+          aggregate(sort_array(collect_list(struct(col("_bin"),
+            col("_fn").as("f")))), lit(0.0), (a, t) => a + t("f"))
+            .as("exp_fn"))
+        .select(lit(b).as("b"), lit(r).as("r"),
+          lit(pAtT).as("p_at_threshold"), col("exp_fp"), col("exp_fn"),
+          (col("exp_fp") + col("exp_fn")).as("total_err"))
+    }
+    val all = branches.reduce(_.unionByName(_))
+    // divisor-count-sized table: the unpartitioned window is bounded
+    val w = Window.orderBy(col("total_err"), col("b"))
+    all.withColumn("chosen", row_number().over(w) === 1)
+  }
 }

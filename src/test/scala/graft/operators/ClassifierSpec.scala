@@ -348,4 +348,26 @@ class ClassifierSpec extends SparkFunSuite {
       .collect().head
     assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(4))
   }
+
+  test("splitConformal: hand order statistic, coverage, k > n degenerate") {
+    import spark.implicits._
+    // calibration scores |y - pred| = 1..10 exactly; alpha = 0.2 ->
+    // k = ceil(11 * 0.8) = 9 -> q_hat = 9
+    val cal = (1 to 10).map(i => (i.toDouble, 0.0)).toDF("y", "pred")
+    val test = Seq((5.0, 0.0), (9.0, 0.0), (10.0, 0.0)).toDF("y", "pred")
+    val r = Classifier.splitConformal(cal, test, "y", "pred", alpha = 0.2)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((10L, 9L, 9.0)))
+    assert((r.getLong(3), r.getLong(4)) == ((3L, 2L)), "10 > q_hat, 5 and 9 covered")
+    assert(r.getDouble(5) == 2.0 / 3.0)
+    // alpha too small for n: k > n -> interval is the whole line
+    val tiny = Seq((1.0, 0.0), (2.0, 0.0), (3.0, 0.0)).toDF("y", "pred")
+    val deg = Classifier.splitConformal(tiny, test, "y", "pred", alpha = 0.1)
+      .collect().head
+    assert(deg.getLong(0) == 3L && deg.getLong(1) == 4L && deg.isNullAt(2))
+    assert(deg.getLong(4) == 3L && deg.getDouble(5) == 1.0)
+    intercept[IllegalArgumentException] {
+      Classifier.splitConformal(cal, test, "y", "pred", alpha = 0.0)
+    }
+  }
 }

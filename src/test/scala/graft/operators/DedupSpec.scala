@@ -510,4 +510,27 @@ class DedupSpec extends SparkFunSuite {
       Dedup.editDistancePairs(df, "id", "text", maxDist = 5)
     }
   }
+
+  test("lshParameterPlan: dyadic hand S-curves, min-b tie-break") {
+    import spark.implicits._
+    // two pairs at sim .25 and .75 (both bins' centers), nHashes = 2,
+    // t = 0.5, 2 bins: every intermediate is a dyadic rational -> exact
+    //   (b=2, r=1): p(.25) = 1-(.75)^2 = .4375, p(.75) = .9375
+    //               fp = .4375, fn = .0625, total = .5
+    //   (b=1, r=2): p(.25) = .0625,  p(.75) = .5625
+    //               fp = .0625, fn = .4375, total = .5
+    // exact tie on total error -> chosen is the SMALLER band count b = 1
+    val pairs = Seq(0.25, 0.75).toDF("sim")
+    val got = Dedup.lshParameterPlan(pairs, "sim", nHashes = 2,
+        threshold = 0.5, nBins = 2)
+      .orderBy("b").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(got.toSeq == Seq(
+      (1, 2, 0.25, 0.0625, 0.4375, 0.5, true),
+      (2, 1, 0.75, 0.4375, 0.0625, 0.5, false)))
+    intercept[IllegalArgumentException] {
+      Dedup.lshParameterPlan(pairs, "sim", nHashes = 0, threshold = 0.5)
+    }
+  }
 }
