@@ -1953,6 +1953,41 @@ object SparkEntry {
         .awaitTermination()
       s.read.parquet(sink).orderBy("user_id", "session_start")
     }),
+    // Sixth streaming ORACLE row — per-key windowed quota admission
+    // (ingest rate limiting): one staged file -> one micro-batch, so the
+    // within-batch (ts, id)-sorted admission IS the contract being
+    // gated: per (event_type, 1h window) only the first 2 events pass,
+    // and windows older than 48 behind each key's max are dropped whole
+    // (the conservative replay-safe horizon — events span ~720 h, so
+    // BOTH the cap and the horizon bite). Oracle: row_number <= 2 over
+    // the horizon-filtered windows.
+    "q280_quota_stream" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.{StreamingOps, StreamStage}
+      val sink = StreamStage.tempDir("graft_q280_out")
+      val ckpt = StreamStage.tempDir("graft_q280_ckpt")
+      val ev = Tables(s, dir).events
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull)
+        .select(col("event_type").as("key"), unix_micros(col("ts")).as("ts_ms"),
+          col("event_id").cast("long").as("id"))
+      val staging = StreamStage.stagedInput("q280", dir, ev)
+      val stream = s.readStream.schema(ev.schema).parquet(staging)
+        .as[StreamingOps.QuotaEvent]
+      implicit val sp: SparkSession = s
+      val adm = StreamingOps.quotaAdmitStream(stream,
+        windowMs = 3600000000L, maxPerWindow = 2, horizonWindows = 48)
+      adm.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.Admitted], _: Long) =>
+          df.write.mode("append").parquet(sink): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(sink).orderBy("key", "window_start", "seq")
+    }),
     // Fifth streaming ORACLE row — the CDC lake upsert, the last
     // spec-only streaming family: per-(user, ts) CDC rows staged as TWO
     // files, readStream with maxFilesPerTrigger=1 (so AvailableNow runs
@@ -8913,6 +8948,28 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_paths
         |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
         |GROUP BY 1 ORDER BY path""".stripMargin,
+    // q280: per-key horizon (48 windows behind the key's max), then the
+    // first-2-per-(key, window) admission in (ts, id) order as a plain
+    // row_number — seq numbers equal the stream's admission counters
+    "q280_quota_stream" ->
+      """WITH e AS (SELECT event_type AS key, epoch_us(ts) AS tu,
+        |    CAST(event_id AS BIGINT) AS id
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |h AS (SELECT key,
+        |    (max(tu) // 3600000000) * 3600000000
+        |      - 48 * CAST(3600000000 AS BIGINT) AS horizon
+        |  FROM e GROUP BY 1),
+        |w AS (SELECT e.key,
+        |    (e.tu // 3600000000) * 3600000000 AS window_start, e.tu, e.id
+        |  FROM e JOIN h ON h.key = e.key
+        |  WHERE (e.tu // 3600000000) * 3600000000 >= h.horizon),
+        |r AS (SELECT key, window_start, id,
+        |    CAST(row_number() OVER (PARTITION BY key, window_start
+        |      ORDER BY tu, id) AS BIGINT) AS seq
+        |  FROM w)
+        |SELECT key, window_start, id, seq FROM r WHERE seq <= 2
+        |ORDER BY key, window_start, seq""".stripMargin,
     // q274: greatest-version-per-key over the same per-(user, ts) CDC
     // collapse — the final lake state the multi-batch merge must land on
     // regardless of how the file source split the batches
