@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VecDot, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Linkage, Multimodal, Novelty, Pack, Phrases, Preference, Profile, Quantiles, RangeJoin, Ranks, Resample, Retention, Retrieval, Rfm, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Layout, Linkage, Multimodal, Novelty, Pack, Phrases, Preference, Profile, Quantiles, RangeJoin, Ranks, Resample, Retention, Retrieval, Rfm, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2310,6 +2310,30 @@ object SparkEntry {
         .select("a", "b").distinct()
       val labels = Graph.louvain(edges, "a", "b", levels = 2, rounds = 3)
       Graph.modularity(edges, "a", "b", labels, "node", "label")
+    }),
+    // Z-order layout audit (Morton interleave, the OPTIMIZE ZORDER
+    // technique): events keyed by (user bucket, hour bucket) in 10-bit
+    // space, 16 closed-form z-ranges — per-range min/max spans of BOTH
+    // dimensions prove the layout clusters both (≈ 1/4 each, vs 1/16
+    // and ~1 for a single-column sort). Pair with writeRangeSorted(z)
+    // for the actual write; the audit is the adopt/don't evidence.
+    "q281_zorder_audit" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(pmod(col("user_id"), lit(1024L)).as("x"),
+          pmod(expr("unix_micros(ts) div 3600000000"), lit(1024L)).as("y"))
+      Layout.zOrderAudit(ev, "x", "y", bits = 10, nFiles = 16)
+        .orderBy("bucket")
+    }),
+    // Temperature-scaled mixing quotas (XLM-R style, T = 2 so the
+    // exponent is one IEEE-exact sqrt): per-lang share ∝ sqrt(chars),
+    // Hamilton largest-remainder rounding so the integer quotas sum to
+    // the budget EXACTLY.
+    "q282_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureQuotas(
+        Tables(s, dir).documents.filter(col("lang").isNotNull),
+        "lang", "n_chars", budget = 1000000L, temperature = 2)
+        .orderBy("lang")
     }),
     // LSH banding advisor (MMDS §3.4.3): exact token-set Jaccard over a
     // replayable pair sample (adjacent-in-lang at lead 1/2 = background
@@ -7072,6 +7096,47 @@ object SparkEntry {
          |  END AS modularity
          |FROM f CROSS JOIN mm""".stripMargin
     },
+    // q281: identical shift/mask Morton interleave (term-for-term), the
+    // same closed-form z // 65536 bucket split, exact min/max spans
+    "q281_zorder_audit" -> {
+      val terms = (0 until 10).map(j =>
+        s"(((x >> $j) & 1) * ${1L << (2 * j)}) + " +
+          s"(((y >> $j) & 1) * ${1L << (2 * j + 1)})").mkString(" + ")
+      s"""WITH e AS (SELECT user_id % 1024 AS x,
+         |    (epoch_us(ts) // 3600000000) % 1024 AS y
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |z AS (SELECT x, y, ($terms) AS zv FROM e),
+         |b AS (SELECT x, y, zv // 65536 AS bucket FROM z)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max,
+         |  CAST(max(x) - min(x) + 1 AS DOUBLE) / 1024.0 AS x_span_frac,
+         |  CAST(max(y) - min(y) + 1 AS DOUBLE) / 1024.0 AS y_span_frac
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+    // q282: identical sqrt weights (IEEE-correctly-rounded both
+    // engines), lang-ordered W fold, (budget*w)/W raw quotas, Hamilton
+    // floors + largest-remainder ranks
+    "q282_temperature_mix" ->
+      """WITH s0 AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS size
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        |  HAVING CAST(sum(n_chars) AS BIGINT) > 0),
+        |w AS (SELECT lang, size, sqrt(CAST(size AS DOUBLE)) AS weight
+        |  FROM s0),
+        |tw AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(weight ORDER BY lang)), (a, b) -> a + b) AS wt FROM w),
+        |r AS (SELECT lang, size, weight, weight / tw.wt AS share,
+        |    1000000.0 * weight / tw.wt AS q FROM w CROSS JOIN tw),
+        |r2 AS (SELECT lang, size, weight, share,
+        |    CAST(floor(q) AS BIGINT) AS base, q - floor(q) AS rem FROM r),
+        |l AS (SELECT 1000000 - sum(base) AS leftover FROM r2),
+        |rk AS (SELECT lang, size, weight, share, base,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, lang) AS BIGINT)
+        |      AS rk
+        |  FROM r2)
+        |SELECT lang, size, weight, share,
+        |  base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS quota
+        |FROM rk CROSS JOIN l ORDER BY lang""".stripMargin,
     // q279: identical exact-jaccard histogram; each (b, r) branch's
     // S-curve probability is the SAME unrolled multiplication chain
     // (first multiply by 1.0 is IEEE-exact, so fold and plain chains

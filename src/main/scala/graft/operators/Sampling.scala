@@ -725,4 +725,64 @@ object Sampling {
       .withColumn("epochs", col("quota") / col("size").cast("double"))
   }
 
+  /** Temperature-scaled corpus mixing quotas — the multilingual
+    * data-balancing schedule (public: Devlin et al. 2019 exponentiated
+    * sampling for mBERT; Conneau et al. 2020 §3 "temperature" for
+    * XLM-R; Chung et al. 2023 UniMax positions itself against it):
+    * group i gets share ∝ nᵢ^(1/T), flattening head groups and lifting
+    * tail groups relative to proportional sampling. Integer token
+    * quotas come from HAMILTON (largest-remainder) rounding, so
+    * Σ quota = budget EXACTLY — floors first, then one extra token to
+    * the largest remainders (ties → group order).
+    *
+    * `temperature` is restricted to {1, 2, 4}: 1/T ∈ {1, ½, ¼} keeps
+    * every weight inside IEEE-exact operations (sqrt is CORRECTLY
+    * ROUNDED by IEEE 754, so nᵢ^(1/2) and nᵢ^(1/4) = sqrt(sqrt(n)) are
+    * bit-identical cross-engine; a general n^(1/T) = e^(ln(n)/T) would
+    * hang determinism on two libm calls). For capped allocation use
+    * [[unimaxQuotas]] — this estimator deliberately allows quota > nᵢ
+    * (multi-epoch tail groups, the published behavior).
+    *
+    * Determinism: sizes are exact integers; W = Σ wᵢ folds in GROUP
+    * order over a sorted collect (group-vocabulary terms); each raw
+    * quota is one multiply + divide; floors/remainder ranks are exact
+    * on the resulting doubles.
+    *
+    * Scale shape: one map-side-combined size aggregation, then
+    * group-vocabulary-sized windows. Output: `(groupCol, size, weight,
+    * share, quota)` with Σ quota = budget. */
+  def temperatureQuotas(df: DataFrame, groupCol: String, weightCol: String,
+                        budget: Long, temperature: Int): DataFrame = {
+    require(budget > 0, s"budget ($budget) must be positive")
+    require(Set(1, 2, 4).contains(temperature),
+      s"temperature ($temperature) must be 1, 2 or 4 — see scaladoc")
+    val sizes = df.groupBy(groupCol)
+      .agg(sum(col(weightCol)).cast("long").as("size"))
+      .filter(col("size") > 0L)
+    val wExpr = temperature match {
+      case 1 => col("size").cast("double")
+      case 2 => sqrt(col("size").cast("double"))
+      case 4 => sqrt(sqrt(col("size").cast("double")))
+    }
+    val withW = sizes.withColumn("weight", wExpr)
+    // W folded in group order: parallel double sums are order-dependent
+    val tot = withW
+      .agg(aggregate(sort_array(collect_list(struct(col(groupCol),
+        col("weight").as("w")))), lit(0.0), (a, t) => a + t("w")).as("_W"))
+    val raw = withW.crossJoin(broadcast(tot))
+      .withColumn("share", col("weight") / col("_W"))
+      .withColumn("_q", lit(budget.toDouble) * col("weight") / col("_W"))
+      .withColumn("_base", floor(col("_q")).cast("long"))
+      .withColumn("_rem", col("_q") - floor(col("_q")))
+    val all = Window.orderBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rankW = Window.orderBy(col("_rem").desc, col(groupCol))
+    raw
+      .withColumn("_left", lit(budget) - sum(col("_base")).over(all))
+      .withColumn("_rk", row_number().over(rankW).cast("long"))
+      .select(col(groupCol), col("size"), col("weight"), col("share"),
+        (col("_base") + when(col("_rk") <= col("_left"), 1L).otherwise(0L))
+          .as("quota"))
+  }
+
 }

@@ -720,4 +720,32 @@ class SamplingSpec extends SparkFunSuite {
         assert(r.getString(1) == direct(r.getLong(0)) && !r.getBoolean(3))
       }
   }
+
+  test("temperatureQuotas: sqrt shares, Hamilton rounding sums to budget") {
+    // sizes 100 / 400 / 2500 -> sqrt weights 10 / 20 / 50, W = 80
+    // budget 1000: raw = 125 / 250 / 625 exactly -> no remainders
+    val rows = Seq.tabulate(100)(i => ("a", 1L)) ++
+      Seq.tabulate(4)(i => ("b", 100L)) ++ Seq(("c", 2500L))
+    val df = rows.toDF("g", "w")
+    val got = Sampling.temperatureQuotas(df, "g", "w",
+        budget = 1000L, temperature = 2)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", 100L, 10.0, 125L), ("b", 400L, 20.0, 250L),
+      ("c", 2500L, 50.0, 625L)))
+    // temperature flattens: T=1 is proportional (a gets 100/3000 of 999);
+    // at T=2 the tail group's share strictly rises
+    val t1 = Sampling.temperatureQuotas(df, "g", "w", 999L, temperature = 1)
+      .filter(col("g") === "a").collect().head.getDouble(3)
+    val t2 = Sampling.temperatureQuotas(df, "g", "w", 999L, temperature = 2)
+      .filter(col("g") === "a").collect().head.getDouble(3)
+    assert(t2 > t1)
+    // Hamilton: quotas sum to the budget EXACTLY even with remainders
+    val odd = Sampling.temperatureQuotas(df, "g", "w", 997L, temperature = 4)
+      .agg(org.apache.spark.sql.functions.sum("quota")).collect().head.getLong(0)
+    assert(odd == 997L)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureQuotas(df, "g", "w", 100L, temperature = 3)
+    }
+  }
 }
