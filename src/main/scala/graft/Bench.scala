@@ -18,11 +18,6 @@ object Bench {
         case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
         case _ => -1.0
       }
-    // absolute time base for the own-load EMA: starts BEFORE the warm-up so
-    // the JVM's warm-up residue in loadavg is attributed to self, not to a
-    // phantom co-tenant
-    val tBase = System.nanoTime()
-    val cpuAtBase = processCpuSec
     // warm up codegen/parquet-reader/shuffle machinery so per-query numbers
     // measure the engine, not JVM class loading (first query otherwise
     // absorbs ~5s of one-time cost)
@@ -70,49 +65,53 @@ object Bench {
     // optional args: query names to bench (default all) — iteration aid
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
-    // The mid-battery loadavg includes THIS JVM's own work, so a raw
-    // loadavg threshold flags most of any busy battery as suspect
-    // (observed: a clean run self-flags 10/12). Estimate our own
-    // contribution and subtract it. Round-13's estimator linearly
-    // interpolated own cpu over a trailing 60 s SLIDING window, but the
-    // kernel's 1-minute loadavg is an EMA (decay e^(-dt/60) per tick), so
-    // the sliding window under-subtracted right after a heavy query and a
-    // judge-verified-clean run still self-flagged 8/20. Fix: simulate the
-    // kernel's own EMA over this JVM's measured occupancy — at each query
-    // boundary fold the interval's (cpuDelta/wallDelta) occupancy in with
-    // the kernel's decay factor — and judge each query on its OWN window:
-    // ext = loadavg(at query end) − ownEma(at query end). Piecewise-
-    // constant occupancy makes the fold exact; a long query converges the
-    // EMA to its true occupancy just as the kernel does.
-    var ownEma = 0.0
-    var emaT = 0.0 // seconds since tBase (warm-up + wait included)
-    var emaCpu = cpuAtBase
-    def foldOwnEma(): Double = {
-      val nowOff = (System.nanoTime() - tBase) / 1e9
-      val cpuNow = processCpuSec
-      val dt = nowOff - emaT
-      if (dt > 0.05) {
-        val occ = math.max(cpuNow - emaCpu, 0.0) / dt
-        val a = math.exp(-dt / 60.0)
-        ownEma = ownEma * a + occ * (1.0 - a)
-        emaT = nowOff; emaCpu = cpuNow
-      }
-      ownEma
-    }
-    foldOwnEma() // fold in the warm-up + wait-for-quiet span
+    // Per-query external-load measurement. History: a raw loadavg
+    // threshold flags most of any busy battery (r12: clean run
+    // self-flags 10/12); subtracting own-JVM cpu via a sliding window
+    // under-subtracts against loadavg's EMA (r13: judge-clean run
+    // self-flags 8/20); simulating the kernel's EMA over own cpu still
+    // false-flags after disk-heavy queries, because loadavg counts
+    // D-state tasks and kworkers that accrue no process cpu (r14
+    // dry-run: a quiet host self-flagged 37 right after the streaming
+    // gates). Fix: stop inferring from loadavg — measure external cpu
+    // DIRECTLY from /proc/stat deltas over each query's own window:
+    // ext ≈ (host USER jiffies − own process cpu) / wall. USER time
+    // only, because sandboxed hosts run filesystem daemons whose
+    // SYSTEM time scales with OUR OWN io (measured here: the streaming
+    // gates drive ~3 cores of out-of-process system time on an
+    // otherwise idle box) — a co-tenant's compute is user time, our
+    // io side-effects are kernel time, and only the former is
+    // contamination to flag. Own process cpu includes our system
+    // time, so the subtraction is conservative (never over-flags).
+    // USER_HZ is 100 on linux (the only platform with /proc/stat).
+    def hostUserSec: Double =
+      try {
+        val parts = {
+          val src = scala.io.Source.fromFile("/proc/stat")
+          try src.getLines().next().trim.split("\\s+").drop(1).map(_.toDouble)
+          finally src.close()
+        }
+        // user nice ...
+        (parts(0) + parts(1)) / 100.0
+      } catch { case _: Throwable => -1.0 }
     val results = wanted.map { case (name, fn) =>
       var ok = true
       val startOffset = (System.nanoTime() - wallStart) / 1e9
       val loadAtStart = loadavg
-      foldOwnEma()
+      val busy0 = hostUserSec
+      val cpu0 = processCpuSec
+      val t0q = System.nanoTime()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => ok = false }
         (System.nanoTime() - t0) / 1e9
       }
-      val ownAtEnd = foldOwnEma()
-      val extLoad = math.max(loadavg - ownAtEnd, 0.0)
+      val wallQ = math.max((System.nanoTime() - t0q) / 1e9, 1e-3)
+      val extLoad =
+        if (busy0 < 0) math.max(loadavg - cpus.toDouble, 0.0) // no /proc
+        else math.max((hostUserSec - busy0) - (processCpuSec - cpu0), 0.0) /
+          wallQ
       (name, times.min, ok, startOffset, loadAtStart, extLoad)
     }
     // Output protocol (round 8): the driver captures only the LAST ~3 KB of
