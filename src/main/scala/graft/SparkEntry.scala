@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VecDot, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Layout, Linkage, Multimodal, Novelty, Pack, Phrases, Preference, Profile, Quantiles, RangeJoin, Ranks, Resample, Retention, Retrieval, Rfm, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Layout, Linkage, Multimodal, Novelty, Pack, Phrases, Pq, Preference, Profile, Quantiles, RangeJoin, Ranks, Resample, Retention, Retrieval, Rfm, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2310,6 +2310,20 @@ object SparkEntry {
         .select("a", "b").distinct()
       val labels = Graph.louvain(edges, "a", "b", levels = 2, rounds = 3)
       Graph.modularity(edges, "a", "b", labels, "node", "label")
+    }),
+    // Product quantization ANN (Jégou et al. 2011): 64-dim floats to
+    // 4 codes of 4 bits (m=4 blocks, 16 cells), ADC lookup-table
+    // scoring, exact cosine re-rank. The gate runs the whole-corpus
+    // shortlist regime, so the result must equal brute force VERBATIM
+    // (q41's oracle) — quantization may only reorder a shortlist that
+    // contains everything; partial-shortlist recall is spec territory.
+    "q283_ann_pq" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Pq.topK(t.embeddings, "vec_id", "embedding", q, k = 10, dim = 64,
+          m = 4, kCells = 16, iters = 2, shortlistFactor = 1000000)
+        .orderBy("query_id", "rank")
     }),
     // Z-order layout audit (Morton interleave, the OPTIMIZE ZORDER
     // technique): events keyed by (user bucket, hour bucket) in 10-bit
@@ -7096,6 +7110,22 @@ object SparkEntry {
          |  END AS modularity
          |FROM f CROSS JOIN mm""".stripMargin
     },
+    // q283: whole-corpus shortlist + exact re-rank == brute force
+    // (q41's oracle verbatim)
+    "q283_ann_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_inner_product(e.v, q.qv)
+        |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))
+        |      AS score
+        |  FROM e CROSS JOIN q),
+        |ranked AS (SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // q281: identical shift/mask Morton interleave (term-for-term), the
     // same closed-form z // 65536 bucket split, exact min/max spans
     "q281_zorder_audit" -> {

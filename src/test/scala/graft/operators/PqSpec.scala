@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val t = Tables(spark, "/root/testdata/sf0.001")
+
+  test("train/encode: m·k codebooks, one code per (vector, block), deterministic") {
+    val books = Pq.train(t.embeddings, "vec_id", "embedding", dim = 64, m = 4, k = 8)
+    val rows = books.collect()
+    assert(rows.length == 32)
+    assert(rows.head.getSeq[Double](2).length == 16, "sub-vector width 64/4")
+    val codes = Pq.encode(t.embeddings, "vec_id", "embedding", 64, 4, books)
+    val n = t.embeddings.count()
+    assert(codes.count() == 4 * n)
+    assert(codes.groupBy("vec_id").count().filter(col("count") =!= 4).count() == 0)
+    // deterministic end to end
+    val books2 = Pq.train(t.embeddings, "vec_id", "embedding", dim = 64, m = 4, k = 8)
+    assert(books.orderBy("block", "cell_id").collect().map(_.toSeq).toSeq ==
+      books2.orderBy("block", "cell_id").collect().map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException] {
+      Pq.train(t.embeddings, "vec_id", "embedding", dim = 64, m = 5)
+    }
+  }
+
+  test("topK: whole-corpus shortlist equals brute force; self at rank 1") {
+    val q = t.embeddings.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val pq = Pq.topK(t.embeddings, "vec_id", "embedding", q, k = 5,
+        dim = 64, m = 4, shortlistFactor = 1000000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pq == exact)
+  }
+
+  test("topK: planted copies surface at rank 1 even with a TIGHT shortlist") {
+    // copies share every code with their original, so their ADC distance
+    // equals the original's — the shortlist cannot miss them
+    val copies = t.embeddings.filter($"vec_id" < 4)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding",
+        lit(0).as("label"))
+    val corpus = t.embeddings.select("vec_id", "embedding", "label")
+      .unionByName(copies)
+    val q = copies.select(($"vec_id" - 1000000L).as("query_id"),
+      $"embedding".as("query_vec"))
+    val got = Pq.topK(corpus, "vec_id", "embedding", q, k = 2,
+        dim = 64, m = 4, shortlistFactor = 2)
+      .filter($"rank" <= 2).collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(2)).toSet }
+    got.foreach { case (qid, ids) =>
+      assert(ids == Set(qid, qid + 1000000L),
+        s"query $qid: expected self + planted copy at the top, got $ids")
+    }
+  }
+
+  test("topK: partial-shortlist recall@10 vs brute force is high") {
+    val q = t.embeddings.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val pq = Pq.topK(t.embeddings, "vec_id", "embedding", q, k = 10,
+        dim = 64, m = 4, shortlistFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ADC recall@10 with 8x shortlist: $recall")
+  }
+}
