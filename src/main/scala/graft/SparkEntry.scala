@@ -1953,6 +1953,38 @@ object SparkEntry {
         .awaitTermination()
       s.read.parquet(sink).orderBy("user_id", "session_start")
     }),
+    // Seventh streaming ORACLE row — watermarked streaming dedup: the
+    // corpus DOUBLED (every event exactly twice), one staged file ->
+    // one micro-batch, dropDuplicatesWithinWatermark on event_id ->
+    // append sink. In-batch the operator must emit each key once; the
+    // oracle is simply the distinct corpus. (Cross-batch dedup +
+    // state eviction stay spec territory: with file-split batches a
+    // LATE second file could watermark-drop ids whose only copies it
+    // holds — the single-batch gate keeps the contract deterministic.)
+    "q284_dedup_stream" -> ((s, dir) => {
+      import graft.streaming.StreamStage
+      val sink = StreamStage.tempDir("graft_q284_out")
+      val ckpt = StreamStage.tempDir("graft_q284_ckpt")
+      val ev = Tables(s, dir).events
+        .filter(col("event_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("event_type"), col("value").cast("double").as("value"))
+      val staging = StreamStage.stagedInput("q284", dir,
+        ev.unionByName(ev))
+      val stream = s.readStream.schema(ev.schema).parquet(staging)
+      stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(sink).orderBy("event_id")
+    }),
     // Sixth streaming ORACLE row — per-key windowed quota admission
     // (ingest rate limiting): one staged file -> one micro-batch, so the
     // within-batch (ts, id)-sorted admission IS the contract being
@@ -9043,6 +9075,14 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_paths
         |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
         |GROUP BY 1 ORDER BY path""".stripMargin,
+    // q284: the doubled corpus deduped = the corpus itself (event_id is
+    // the table's key; planted copies are bit-identical rows, so the
+    // survivor is value-deterministic)
+    "q284_dedup_stream" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id, ts, event_type,
+        |  CAST(value AS DOUBLE) AS value
+        |FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     // q280: per-key horizon (48 windows behind the key's max), then the
     // first-2-per-(key, window) admission in (ts, id) order as a plain
     // row_number — seq numbers equal the stream's admission counters
