@@ -1953,6 +1953,45 @@ object SparkEntry {
         .awaitTermination()
       s.read.parquet(sink).orderBy("user_id", "session_start")
     }),
+    // Eighth streaming ORACLE row — the FIRST streaming family
+    // (watermarked tumbling-window aggregation, StreamingOps.windowedCounts
+    // unchanged) finally gated end-to-end: events staged as TWO files +
+    // maxFilesPerTrigger=1, so AvailableNow runs REAL multi-batch
+    // incremental aggregation — window state carries across batches, and
+    // batch 2 delivers rows far older than batch 1's watermark (the hash
+    // split interleaves the time range), which complete mode must still
+    // aggregate (pinned in StreamingSpec). Values ride the validated
+    // decimal(18,6) seam as exact integer micro-units, so cross-batch sums
+    // are bit-deterministic and round(sum, 4) over a LONG is the identity.
+    // foreachBatch overwrites the sink each commit — the final table is the
+    // full aggregate state. Append-mode watermark EVICTION stays spec
+    // territory: AvailableNow never advances the watermark past the final
+    // windows, so an append gate would structurally under-emit the tail.
+    "q285_windowed_agg_stream" -> ((s, dir) => {
+      import graft.streaming.{StreamingOps, StreamStage}
+      val sink = StreamStage.tempDir("graft_q285_out")
+      val ckpt = StreamStage.tempDir("graft_q285_ckpt")
+      val ev = Tables(s, dir).events
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("ts"), col("event_type"),
+          (coalesce(col("value").cast("decimal(18,6)"),
+            lit(0L).cast("decimal(18,6)")) * 1000000L)
+            .cast("long").as("value"))
+      val staging = StreamStage.stagedInput("q285", dir, ev, nFiles = 2)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+      StreamingOps.windowedCounts(stream)
+        .writeStream
+        .outputMode("complete")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(sink): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(sink).orderBy("window_start", "event_type")
+    }),
     // Seventh streaming ORACLE row — watermarked streaming dedup: the
     // corpus DOUBLED (every event exactly twice), one staged file ->
     // one micro-batch, dropDuplicatesWithinWatermark on event_id ->
@@ -9075,6 +9114,16 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_paths
         |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
         |GROUP BY 1 ORDER BY path""".stripMargin,
+    // q285: 1-hour tumbling windows are epoch-aligned, so window.start ≡
+    // date_trunc('hour', ts); value_sum replays the exact micro-unit seam
+    // (decimal(18,6) cast, then ×1e6 as BIGINT) summed as integers
+    "q285_windowed_agg_stream" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(coalesce(CAST(value AS DECIMAL(18,6)), 0)
+        |      * 1000000 AS BIGINT)) AS BIGINT) AS value_sum
+        |FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // q284: the doubled corpus deduped = the corpus itself (event_id is
     // the table's key; planted copies are bit-identical rows, so the
     // survivor is value-deterministic)
