@@ -2348,6 +2348,23 @@ object SparkEntry {
       val labels = Graph.labelPropagation(edges, "a", "b", iters = 3)
       Graph.modularity(edges, "a", "b", labels, "node", "label")
     }),
+    // Neighborhood-overlap link prediction over the parts-bought-together
+    // graph (sparse at every SF, so predicted links are meaningful):
+    // non-edge pairs scored by common neighbors, integral-DIV Jaccard,
+    // and exact resource allocation — celebrity centers (deg > 256)
+    // dropped whole per the cap discipline.
+    "q286_link_prediction" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+      Graph.linkPrediction(edges, "a", "b", maxCenterDegree = 256,
+        minCommon = 2L).orderBy("u", "w")
+    }),
     // Two-level Louvain (Blondel et al. 2008: deterministic synchronous
     // local moves with exact-integer gains and the Lu et al. 2015
     // singleton guard, then coarsen and move again on the community
@@ -7080,6 +7097,36 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q286: the wedge generation replayed relationally — canonical edges,
+    // full-graph degrees, capped centers, pair rollup with // (floor ≡
+    // Spark DIV on positives), NOT EXISTS against the edge set, HUGEINT
+    // resource-allocation sums
+    "q286_link_prediction" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT DISTINCT least(x.pk, y.pk) AS u, greatest(x.pk, y.pk) AS v
+        |  FROM li x JOIN li y USING (ok) WHERE x.pk <> y.pk),
+        |deg AS (SELECT node, count(*) AS d
+        |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |adj AS (SELECT u AS c, v AS n FROM e UNION ALL SELECT v, u FROM e),
+        |ctr AS (SELECT adj.c, adj.n, deg.d AS dc FROM adj
+        |  JOIN deg ON deg.node = adj.c WHERE deg.d <= 256),
+        |pr AS (SELECT a1.n AS pu, a2.n AS pv, a1.dc
+        |  FROM ctr a1 JOIN ctr a2 ON a1.c = a2.c AND a1.n < a2.n),
+        |sc AS (SELECT pu, pv, count(*) AS cn,
+        |    sum(1000000000000 // dc) AS ra
+        |  FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ne AS (SELECT sc.* FROM sc WHERE NOT EXISTS
+        |  (SELECT 1 FROM e WHERE e.u = sc.pu AND e.v = sc.pv))
+        |SELECT pu AS u, pv AS w, CAST(cn AS BIGINT) AS cn,
+        |  CAST(du.d AS BIGINT) AS deg_u, CAST(dw.d AS BIGINT) AS deg_w,
+        |  CAST(CAST(cn AS HUGEINT) * 1000000000000
+        |    // (du.d + dw.d - cn) AS BIGINT) AS jaccard_e12,
+        |  CAST(ra AS BIGINT) AS ra_e12
+        |FROM ne JOIN deg du ON du.node = ne.pu
+        |  JOIN deg dw ON dw.node = ne.pv
+        |ORDER BY u, w""".stripMargin,
     // q269: q249's unrolled LPA rounds feeding the exact Q*4m^2 sum
     // (HUGEINT terms, community-ordered index fold, one final division)
     // q271: the louvainOracleCtes two-level chain replayed verbatim —

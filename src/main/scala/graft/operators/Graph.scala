@@ -931,6 +931,87 @@ object Graph {
     membership
   }
 
+  /** Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg
+    * CIKM'03; resource allocation: Zhou, Lü & Zhang 2009) — score
+    * NON-edges (u, w) by the neighbors they share:
+    *
+    *   cn          = |Γ(u) ∩ Γ(w)|                 (common neighbors)
+    *   jaccard_e12 = ⌊10¹²·cn / (deg_u + deg_w − cn)⌋
+    *   ra_e12      = Σ_{v ∈ Γ(u)∩Γ(w)} ⌊10¹²/deg_v⌋ (resource allocation)
+    *
+    * Adamic–Adar is RA with ln(deg_v) in the denominator; RA is kept as
+    * the exact-integer member of the family (no transcendental seam) and
+    * empirically the stronger predictor (Zhou et al.).
+    *
+    * Candidate pairs are generated as open wedges through their shared
+    * neighbor, so the output is EXACTLY the non-edge pairs with cn ≥ 1
+    * (filtered to cn ≥ `minCommon`); nothing is ever scored against the
+    * whole vertex set.
+    *
+    * Scale shape: the wedge self-join fans out deg(v)² per center v — a
+    * celebrity hub would dominate the whole job, so centers with deg >
+    * `maxCenterDegree` are dropped WHOLE (the q217 itemNeighbors cap
+    * discipline: a 10⁸-degree hub's wedge set is ~10¹⁶ pairs of mostly
+    * meaningless weak ties; its endpoints still pair through their other,
+    * bounded-degree shared neighbors — but cn/ra then UNDERCOUNT paths
+    * through dropped hubs, which the caller prices via the cap).
+    * ra_e12 sums in decimal(38,0) and lands as a long — exact while
+    * cn < 2·10⁷ (each term ≤ 5·10¹¹), far above any sane cap regime.
+    * Everything else is key-partitioned: one degree aggregation
+    * (map-side combined), the wedge join on the center id
+    * (AQE-splittable), the (u, w) score rollup (map-side combined), one
+    * anti-join against the edge set at pair cardinality, two degree
+    * joins at node cardinality. No windows, no driver state.
+    *
+    * Degrees (and the jaccard denominator) are computed on the FULL
+    * cleaned graph — the cap only limits which wedges generate
+    * candidates, never a node's own degree. ra_e12 is a decimal(38,0)
+    * sum (a pair sharing 2·10⁷ neighbors would overflow a long).
+    * Output: `(u, w, cn, deg_u, deg_w, jaccard_e12, ra_e12)`, u < w. */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+                     maxCenterDegree: Int = 256,
+                     minCommon: Long = 2L): DataFrame = {
+    require(maxCenterDegree >= 2, s"maxCenterDegree ($maxCenterDegree) must be >= 2")
+    require(minCommon >= 1L, s"minCommon ($minCommon) must be >= 1")
+    val canon = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(least(col(aCol), col(bCol)).as("_u"),
+        greatest(col(aCol), col(bCol)).as("_v"))
+      .filter(col("_u") =!= col("_v"))
+      .distinct()
+    val deg = canon
+      .select(explode(array(col("_u"), col("_v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("_deg"))
+    val adj = canon.select(col("_u").as("_c"), col("_v").as("_n"))
+      .unionByName(canon.select(col("_v").as("_c"), col("_u").as("_n")))
+    val centers = adj
+      .join(deg.select(col("node").as("_c"), col("_deg").as("_dc"))
+        .filter(col("_deg") <= maxCenterDegree), "_c")
+    val pairs = centers.select(col("_c"), col("_dc"), col("_n").as("_a"))
+      .join(centers.select(col("_c"), col("_n").as("_b")), "_c")
+      .filter(col("_a") < col("_b"))
+    // integral DIV throughout: `/` on longs is DOUBLE division in Spark,
+    // and a decimal cast would round HALF_UP — both cross-engine seams;
+    // DIV truncates, DuckDB // floors, identical on these positive values
+    val scored = pairs
+      .groupBy(col("_a").as("_pu"), col("_b").as("_pv"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("CAST(1000000000000 DIV _dc AS DECIMAL(38,0))"))
+          .as("ra_e12"))
+      .filter(col("cn") >= minCommon)
+    scored
+      .join(canon.select(col("_u").as("_pu"), col("_v").as("_pv")),
+        Seq("_pu", "_pv"), "left_anti")
+      .join(deg.select(col("node").as("_pu"), col("_deg").as("deg_u")), "_pu")
+      .join(deg.select(col("node").as("_pv"), col("_deg").as("deg_w")), "_pv")
+      .select(col("_pu").as("u"), col("_pv").as("w"), col("cn"),
+        col("deg_u"), col("deg_w"),
+        expr("CAST(CAST(cn AS DECIMAL(38,0)) * 1000000000000" +
+          " DIV CAST(deg_u + deg_w - cn AS DECIMAL(38,0)) AS BIGINT)")
+          .as("jaccard_e12"),
+        col("ra_e12").cast("long").as("ra_e12"))
+  }
+
   def louvainCoarsen(edges: DataFrame, aCol: String, bCol: String,
                      labels: DataFrame, nodeCol: String, labelCol: String,
                      wCol: Option[String] = None): DataFrame = {

@@ -404,4 +404,35 @@ class GraphSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(p == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
+
+  test("linkPrediction: hand-scored wedges; edges excluded; cap drops centers whole") {
+    // square 1-2-3-4 with diagonal 1-3 and pendant 4-5 (duplicate and
+    // reversed edges plus a self-loop must collapse first):
+    //   Γ(1)={2,3,4} Γ(2)={1,3} Γ(3)={1,2,4} Γ(4)={1,3,5} Γ(5)={4}
+    // non-edges with shared neighbors: (2,4) via {1,3}, (1,5) and (3,5)
+    // via {4}; (1,2) etc. are edges and must be anti-joined away
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (4L, 5L),
+      (2L, 1L), (3L, 3L)).toDF("a", "b")
+    val got = Graph.linkPrediction(e, "a", "b", minCommon = 1L)
+      .orderBy("u", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // (2,4): cn=2, ra = 2·⌊1e12/3⌋; jaccard = ⌊2e12/(2+3−2)⌋
+    // (1,5)/(3,5): cn=1 via deg-3 center 4; jaccard = ⌊1e12/(3+1−1)⌋
+    assert(got.toSeq == Seq(
+      (1L, 5L, 1L, 3L, 1L, 333333333333L, 333333333333L),
+      (2L, 4L, 2L, 2L, 3L, 666666666666L, 666666666666L),
+      (3L, 5L, 1L, 3L, 1L, 333333333333L, 333333333333L)))
+    val strict = Graph.linkPrediction(e, "a", "b", minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strict.toSeq == Seq((2L, 4L)))
+    // maxCenterDegree = 2 on the square+diagonal: the only deg-≤2 centers
+    // (2 and 4) close wedges that are EXISTING edges, so nothing survives —
+    // hubs are dropped whole as centers, exactly the q217 cap discipline
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("a", "b")
+    assert(Graph.linkPrediction(sq, "a", "b", maxCenterDegree = 2,
+      minCommon = 1L).count() == 0)
+    assert(Graph.linkPrediction(sq, "a", "b", minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 4L)))
+  }
 }
