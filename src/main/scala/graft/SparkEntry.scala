@@ -3273,6 +3273,19 @@ object SparkEntry {
           Classifier.nbTrain(seed, "text", "y"))
         .orderBy("doc_id")
     }),
+    // Multi-class multinomial NB (McCallum & Nigam 1998) routing docs to
+    // their argmax language: train on doc_id % 4 != 0, score ALL docs —
+    // per-(label, bucket) 6dp log-probs, per-class tf·lp folds in
+    // bucket-id order, unseen buckets at the class's smoothed floor,
+    // ties to the smaller label, margin = best − runner-up.
+    "q287_nb_multiclass" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val seed = d.filter(col("doc_id") % 4 =!= 0)
+        .select(col("lang"), col("text"))
+      Classifier.nbMulticlassScore(d, "doc_id", "text",
+          Classifier.nbMulticlassTrain(seed, "text", "lang"))
+        .orderBy("doc_id")
+    }),
     // Directed containment (excerpt⊂parent): synthesize 20-token-prefix
     // excerpts, detect them inside their parents at containment ≥ 0.9 —
     // the subset relation symmetric Jaccard misses (|B| >> |A| pairs).
@@ -5778,6 +5791,59 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(score, CAST(0.0 AS DOUBLE)) AS score,
         |  coalesce(score, CAST(0.0 AS DOUBLE)) > 0.0 AS predicted
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q287: the full multiclass-NB chain replayed — hashed buckets, train
+    // counts, 6dp floor-rounded log-probs/priors/unseen floors, per-class
+    // tf·lp folds in feature order from a prepended 0.0, argmax via
+    // (-score, label) row_number, margin vs the r=2 row
+    "q287_nb_multiclass" ->
+      """WITH tks AS (SELECT doc_id, lang, list_filter(string_split(trim(
+        |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |feat AS (SELECT doc_id, lang, substr(md5(t || ':nbmc'), 1, 4) AS feature
+        |  FROM (SELECT doc_id, lang, unnest(tk) AS t
+        |        FROM tks WHERE len(tk) >= 1)),
+        |cnt AS (SELECT lang AS label, feature, count(*) AS c
+        |  FROM feat WHERE doc_id % 4 <> 0 GROUP BY 1, 2),
+        |tot AS (SELECT label, sum(c) AS tot_c FROM cnt GROUP BY 1),
+        |pri AS (SELECT lang AS label, count(*) AS label_docs
+        |  FROM tks WHERE doc_id % 4 <> 0 AND len(tk) >= 1 GROUP BY 1),
+        |nd AS (SELECT sum(label_docs) AS n FROM pri),
+        |model AS (SELECT label, feature,
+        |    floor(ln(CAST(c + 1 AS DOUBLE) / CAST(tot_c + 65536 AS DOUBLE))
+        |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      / CAST(1000000 AS DOUBLE) AS lp
+        |  FROM cnt JOIN tot USING (label)),
+        |cls AS (SELECT label, tot_c,
+        |    floor(ln(CAST(label_docs AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      / CAST(1000000 AS DOUBLE) AS prior,
+        |    floor(ln(CAST(1 AS DOUBLE) / CAST(tot_c + 65536 AS DOUBLE))
+        |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      / CAST(1000000 AS DOUBLE) AS lp0
+        |  FROM tot JOIN pri USING (label), nd),
+        |tf AS (SELECT doc_id, feature, count(*) AS tf
+        |  FROM feat GROUP BY 1, 2),
+        |ll AS (SELECT tf.doc_id, cls.label, tf.feature, cls.prior,
+        |    CAST(tf AS DOUBLE) * coalesce(model.lp, cls.lp0) AS ll
+        |  FROM tf CROSS JOIN cls LEFT JOIN model
+        |    ON model.label = cls.label AND model.feature = tf.feature),
+        |sc AS (SELECT doc_id, label,
+        |    max(prior) + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(ll ORDER BY feature)), (a, b) -> a + b) AS score
+        |  FROM ll GROUP BY 1, 2),
+        |rk AS (SELECT doc_id, label, score, row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY -score, label) AS r
+        |  FROM sc)
+        |SELECT b.doc_id, b.label AS label_hat,
+        |  floor(b.score * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |    / CAST(10000 AS DOUBLE) AS score,
+        |  floor(coalesce(b.score - s2.score, CAST(0 AS DOUBLE))
+        |      * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |    / CAST(10000 AS DOUBLE) AS margin
+        |FROM (SELECT * FROM rk WHERE r = 1) b
+        |LEFT JOIN (SELECT doc_id, score FROM rk WHERE r = 2) s2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // replay: identical 3-gram sets, the (df, gram)-ranked containment
     // prefix (rarest ⌊(1−t)n⌋+1 grams), df ≤ 64 index, the |B| ≥ ⌈t·|A|⌉
     // size bound, exact list_intersect sizes, integer/integer division.

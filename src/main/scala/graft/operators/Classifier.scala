@@ -135,6 +135,106 @@ object Classifier {
         (coalesce(col("score"), lit(0.0)) > 0.0).as("predicted"))
   }
 
+  /** Multi-CLASS multinomial Naive Bayes over the same hashed feature
+    * space — the generative companion to [[nbTrain]]'s binary log-odds
+    * (McCallum & Nigam 1998's multinomial event model): one smoothed
+    * log-probability table per (label, bucket) plus a log-prior per
+    * label, so scoring is `argmax_c [ln P(c) + Σ_b tf_b·ln P(b|c)]`.
+    * The curation use is K-way routing (language, domain, register)
+    * where the binary quality filter doesn't fit.
+    *
+    * Returns the model as `(label, feature, c, tot_c, label_docs, lp,
+    * prior)` — ≤ [[NbBuckets]]·|labels| rows: `lp = ln((c+1)/(tot_c+B))`
+    * and `prior = ln(label_docs/n_docs)`, both [[roundFloor]]ed to 6
+    * decimals (the [[nbTrain]] ln-seam contract). Only docs with ≥ 1
+    * token train; a label whose docs are all token-less vanishes from
+    * the model (nothing to score it with) and from the prior normalizer.
+    *
+    * Plan shape: tokenize (map) → ONE (label, bucket) aggregation
+    * (bounded groups, map-side combinable) → label-sized totals/prior
+    * joins + a one-row normalizer cross-join. */
+  def nbMulticlassTrain(labeled: DataFrame, textCol: String,
+                        labelCol: String,
+                        domain: String = "nbmc"): DataFrame = {
+    val docs = labeled.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("label"),
+        filter(tokens(col(textCol)), t => t =!= "").as("_tk"))
+      .filter(size(col("_tk")) >= 1)
+    val counts = docs.select(col("label"), explode(col("_tk")).as("_t"))
+      .groupBy(col("label"), bucket(col("_t"), domain).as("feature"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("label").agg(sum("c").as("tot_c"))
+    val priors = docs.groupBy("label").agg(count(lit(1)).as("label_docs"))
+    val nd = priors.agg(sum("label_docs").as("_nd"))
+    counts.join(totals, Seq("label")).join(priors, Seq("label"))
+      .crossJoin(broadcast(nd))
+      .select(col("label"), col("feature"), col("c"), col("tot_c"),
+        col("label_docs"),
+        roundFloor(log((col("c") + 1L).cast("double") /
+          (col("tot_c") + lit(NbBuckets.toLong)).cast("double")), 6).as("lp"),
+        roundFloor(log(col("label_docs").cast("double") /
+          col("_nd").cast("double")), 6).as("prior"))
+  }
+
+  /** Scores documents against a [[nbMulticlassTrain]] model:
+    * `(idCol, label_hat, score, margin)` — `label_hat` the argmax class
+    * (ties to the smaller label), `score` its log-posterior up to the
+    * shared evidence constant, `margin = score − runner_up_score` (0.0
+    * when the model has one label), both [[roundFloor]]ed to 4 decimals.
+    * Buckets a class never saw contribute its 6dp-rounded
+    * `ln(1/(tot_c+B))`; tokens are tf-aggregated per bucket first, so
+    * each per-class score folds `tf·lp` in bucket-id order from 0.0 —
+    * a total order both engines replay. Documents with no tokens are
+    * absent (no evidence to score; the caller's spine join restores
+    * them as prior-argmax if needed).
+    *
+    * Scale shape: one (doc, bucket) tf aggregation; the |labels|-row
+    * class table broadcast-crosses the tf stream (C× fan-out — C is
+    * single digits by contract); one counted-broadcast model join; one
+    * (doc, label) fold; one doc-keyed argmax aggregation. No windows. */
+  def nbMulticlassScore(docs: DataFrame, idCol: String, textCol: String,
+                        model: DataFrame, domain: String = "nbmc",
+                        maxBroadcastRows: Long = 50000000L): DataFrame = {
+    val need = Seq("label", "feature", "tot_c", "lp", "prior")
+    require(need.forall(model.columns.contains),
+      s"model must have ${need.mkString("/")} columns, got " +
+        model.columns.mkString(","))
+    val gate = Gates.countedBroadcast(model, maxBroadcastRows)
+    require(gate.rows > 0,
+      "the NB model is empty (was the seed set empty or token-less?)")
+    val m = gate.pinned
+    val classes = m.groupBy("label")
+      .agg(max("tot_c").as("_tc"), max("prior").as("_pr"))
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .filter(col("_t") =!= "")
+      .select(col(idCol), bucket(col("_t"), domain).as("feature"))
+      .groupBy(col(idCol), col("feature")).agg(count(lit(1)).as("_tf"))
+    val ll = tf.crossJoin(broadcast(classes))
+      .join(gate.of(m.select(col("label"), col("feature"), col("lp"))),
+        Seq("label", "feature"), "left")
+      .select(col(idCol), col("label"), col("feature"), col("_pr"),
+        (col("_tf").cast("double") * coalesce(col("lp"),
+          roundFloor(log(lit(1.0) /
+            (col("_tc") + lit(NbBuckets.toLong)).cast("double")), 6)))
+          .as("_ll"))
+    val scored = ll.groupBy(col(idCol), col("label"))
+      .agg(max(col("_pr")).as("_pr"),
+        collect_list(struct(col("feature"), col("_ll").as("_x"))).as("_cl"))
+      .select(col(idCol), col("label"),
+        (col("_pr") + aggregate(sort_array(col("_cl")), lit(0.0),
+          (a, s) => a + s("_x"))).as("_score"))
+    scored.groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct((-col("_score")).as("_n"), col("label").as("_l")))).as("_s"))
+      .select(col(idCol),
+        col("_s")(0)("_l").as("label_hat"),
+        roundFloor(-col("_s")(0)("_n"), 4).as("score"),
+        roundFloor(when(size(col("_s")) > 1,
+          col("_s")(1)("_n") - col("_s")(0)("_n")).otherwise(lit(0.0)), 4)
+          .as("margin"))
+  }
+
   /** Nearest-centroid (Rocchio) classification over an embedding column —
     * the IR-textbook centroid classifier (Manning, Raghavan & Schütze,
     * "Introduction to Information Retrieval" §14.2) applied the way

@@ -370,4 +370,44 @@ class ClassifierSpec extends SparkFunSuite {
       Classifier.splitConformal(cal, test, "y", "pred", alpha = 0.0)
     }
   }
+
+  test("nbMulticlass: argmax routing, unseen-bucket smoothing, ties, margins") {
+    def rf(x: Double, d: Int): Double =
+      math.floor(x * math.pow(10, d) + 0.5) / math.pow(10, d)
+    val seed = Seq(
+      ("en", "alpha alpha bravo"), ("en", "alpha charlie"),
+      ("de", "beta beta delta"), ("de", "beta echo")).toDF("lang", "text")
+    val model = Classifier.nbMulticlassTrain(seed, "text", "lang")
+    val rows = model.collect().map(r => (r.getAs[String]("label"),
+      r.getAs[String]("feature"), r.getAs[Long]("c"), r.getAs[Long]("tot_c"),
+      r.getAs[Long]("label_docs"), r.getAs[Double]("lp"),
+      r.getAs[Double]("prior")))
+    // 5 tokens and 2 docs per class; priors equal; lp replays the formula
+    assert(rows.forall(r => r._4 == 5L && r._5 == 2L))
+    assert(rows.forall(r => r._7 == rf(math.log(2.0 / 4.0), 6)))
+    assert(rows.forall(r => r._6 == rf(math.log((r._3 + 1.0) / (5.0 + 65536.0)), 6)))
+
+    val docs = Seq((1L, "alpha alpha"), (2L, "beta"), (3L, "gamma"),
+      (4L, "")).toDF("id", "text")
+    val got = Classifier.nbMulticlassScore(docs, "id", "text", model)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), "token-less doc dropped")
+    assert(got(0)._2 == "en" && got(1)._2 == "de")
+    assert(got.forall(_._4 >= 0.0), "margins are best − runner-up")
+    // doc 1 score replays from the model artifact: prior + 2·lp(alpha|en);
+    // alpha is en's only c=3 feature
+    val lpAlphaEn = rows.find(r => r._1 == "en" && r._3 == 3L).get._6
+    val prior = rf(math.log(0.5), 6)
+    assert(got(0)._3 == rf(prior + 2.0 * lpAlphaEn, 4))
+    // doc 3's only token is unseen by BOTH classes: equal tot_c and priors
+    // mean an exact tie, which breaks to the smaller label
+    assert(got(2)._2 == "de" && got(2)._4 == 0.0)
+    // a one-label model scores margin 0.0 everywhere
+    val one = Classifier.nbMulticlassTrain(
+      Seq(("en", "alpha bravo")).toDF("lang", "text"), "text", "lang")
+    val o = Classifier.nbMulticlassScore(Seq((9L, "alpha")).toDF("id", "text"),
+      "id", "text", one).collect()
+    assert(o.length == 1 && o(0).getString(1) == "en" && o(0).getDouble(3) == 0.0)
+  }
 }
