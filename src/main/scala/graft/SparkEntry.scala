@@ -315,6 +315,19 @@ object SparkEntry {
       Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 10)
         .orderBy("query_id", "rank")
     }),
+    // MMR diversity re-ranking (Carbonell & Goldstein 1998) over the
+    // embedding corpus: exact brute-force relevance shortlist (16 per
+    // query), then 5 greedy all-Spark rounds of λ·rel − (1−λ)·max-sim
+    // against the picked set — k-shot contexts that cover the
+    // neighborhood instead of k near-duplicates of the top hit.
+    "q288_mmr_diversify" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = t.embeddings.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Retrieval.mmrSelect(t.embeddings, "vec_id", "embedding", q,
+          k = 5, shortlistN = 16, lambda = 0.5)
+        .orderBy("query_id", "pick")
+    }),
     // Embedding near-dup pairs through the LSH-BLOCKED path (the 100 TB
     // shape: pairs only ever meet inside a bucket, never an all-pairs
     // shuffle), gated by a construction where blocking is provably
@@ -4553,6 +4566,65 @@ object SparkEntry {
         .stripMargin
     }.mkString(",\n")
 
+  /** Generated CTE chain for q288: the exact relevance shortlist, the
+    * shortlist pairwise-sim table, then k unrolled greedy MMR rounds —
+    * every round the UNIFORM score shape `0.5·rel − 0.5·coalesce(maxsim,
+    * 0.0)` (round 1's empty max coalesces to 0), argmax via (mmr DESC,
+    * id) row_number. MATERIALIZED per round — the Louvain CTE-inlining
+    * lesson. Replays [[graft.operators.Retrieval.mmrSelect]]. */
+  private def mmrOracleCtes(k: Int): String = {
+    val half = "CAST(0.5 AS DOUBLE)"
+    val base =
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+         |scored0 AS (SELECT q.query_id, e.vec_id AS id,
+         |    list_inner_product(e.v, q.qv)
+         |      / (sqrt(list_inner_product(e.v, e.v))
+         |         * sqrt(list_inner_product(q.qv, q.qv))) AS rel
+         |  FROM e CROSS JOIN q),
+         |sl AS MATERIALIZED (SELECT query_id, id, rel FROM (
+         |    SELECT query_id, id, rel, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rel DESC, id) AS rk
+         |    FROM scored0) WHERE rk <= 16),
+         |sv AS MATERIALIZED (SELECT sl.query_id, sl.id, sl.rel, e.v
+         |  FROM sl JOIN e ON e.vec_id = sl.id),
+         |sm AS MATERIALIZED (SELECT x.query_id, x.id AS ia, y.id AS ib,
+         |    list_inner_product(x.v, y.v)
+         |      / (sqrt(list_inner_product(x.v, x.v))
+         |         * sqrt(list_inner_product(y.v, y.v))) AS sim
+         |  FROM sv x JOIN sv y
+         |    ON x.query_id = y.query_id AND x.id <> y.id),
+         |p1 AS MATERIALIZED (SELECT query_id, 1 AS pick, id AS doc_id, rel,
+         |    $half * rel - $half * CAST(0 AS DOUBLE) AS mmr
+         |  FROM (SELECT query_id, id, rel, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY
+         |        $half * rel - $half * CAST(0 AS DOUBLE) DESC, id) AS rk
+         |    FROM sl) WHERE rk = 1),
+         |selall1 AS MATERIALIZED (SELECT * FROM p1)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""cand$r AS (SELECT sl.* FROM sl WHERE NOT EXISTS (
+         |  SELECT 1 FROM selall${r - 1} s
+         |  WHERE s.query_id = sl.query_id AND s.doc_id = sl.id)),
+         |ms$r AS (SELECT sm.query_id, sm.ia AS id, max(sm.sim) AS msim
+         |  FROM sm JOIN selall${r - 1} s
+         |    ON s.query_id = sm.query_id AND s.doc_id = sm.ib
+         |  GROUP BY 1, 2),
+         |sc$r AS (SELECT c.query_id, c.id, c.rel,
+         |    $half * c.rel - $half * coalesce(ms$r.msim,
+         |      CAST(0 AS DOUBLE)) AS mmr
+         |  FROM cand$r c LEFT JOIN ms$r
+         |    ON ms$r.query_id = c.query_id AND ms$r.id = c.id),
+         |p$r AS MATERIALIZED (SELECT query_id, $r AS pick, id AS doc_id,
+         |    rel, mmr
+         |  FROM (SELECT query_id, id, rel, mmr, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY mmr DESC, id) AS rk
+         |    FROM sc$r) WHERE rk = 1),
+         |selall$r AS MATERIALIZED (
+         |  SELECT * FROM selall${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
   /** Shared CTE chain for q271/q272: the parts-bought-together graph +
     * TWO full Louvain levels (3 move rounds, min-member canonical
     * relabel, coarsen to the weighted community graph with self-loops,
@@ -4800,6 +4872,11 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q288: the generated round-for-round MMR replay (see mmrOracleCtes)
+    "q288_mmr_diversify" ->
+      s"""WITH ${mmrOracleCtes(5)}
+         |SELECT query_id, CAST(pick AS INTEGER) AS pick, doc_id, rel, mmr
+         |FROM selall5 ORDER BY query_id, pick""".stripMargin,
     // blocked near-dup on the copy-planted corpus: the only pairs at or
     // above 0.999 are each vector and its planted identical copy, whose
     // score is the self-cosine in closed form (same expression tree as the

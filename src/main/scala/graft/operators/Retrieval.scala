@@ -377,4 +377,91 @@ object Retrieval {
           lit(1.0) / col("first_rank").cast("double"))
           .otherwise(lit(0.0)).as("rr"))
   }
+
+  /** Maximal Marginal Relevance top-k (Carbonell & Goldstein SIGIR'98) —
+    * diversity-aware selection over an embedding corpus: greedily pick
+    *
+    *   argmax_d  λ·rel(d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+    *
+    * so each pick is relevant to the query but NOT redundant with what's
+    * already chosen — the training-data use is assembling a k-shot /
+    * retrieval context that covers the neighborhood instead of returning
+    * k near-duplicates of the same hit.
+    *
+    * Two stages: (1) an exact [[Similarity.bruteForceTopK]] relevance
+    * shortlist of `shortlistN` per query — the corpus-scale pass; (2) the
+    * greedy MMR loop over the shortlist — `queries × shortlistN`-bounded
+    * tables through k all-Spark rounds (anti-join the picked, max-sim
+    * join against the picked, argmax-as-aggregate `min(struct(-mmr,
+    * id))`), each round checkpointed so lineage stays k-bounded. Nothing
+    * is collected; the per-round tables are broadcast-sized by
+    * construction.
+    *
+    * Determinism: rel and sim are VecDot cosines (bit-identical
+    * left-to-right folds, the q27 contract); every round scores with the
+    * SAME IEEE shape `λ·rel − (1−λ)·coalesce(maxsim, 0.0)` (round 1's
+    * empty-set max coalesces to 0.0, and `x − c·0.0 ≡ x` exactly), so an
+    * oracle replays round-for-round; ties break to the smaller id.
+    * `lambda` must be exactly representable (0.5 default) — both engines
+    * then fold the identical literal. A query whose shortlist has fewer
+    * than k rows just stops early (picks 1..n).
+    *
+    * Output: `(query_id, pick, doc_id, rel, mmr)`, pick = 1..k in
+    * selection order. */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, k: Int = 8, shortlistN: Int = 32,
+                lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(shortlistN >= k, s"shortlistN ($shortlistN) must be >= k ($k)")
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"lambda ($lambda) must be in (0, 1]")
+    import graft.functions.VectorFunctions.{dot, l2Norm}
+    val sl = Similarity.bruteForceTopK(corpus, idCol, vecCol, queries,
+        shortlistN)
+      .select(col("query_id"), col("neighbor_id").as("_id"),
+        col("score").as("_rel"))
+      .join(corpus.select(col(idCol).as("_id"), col(vecCol).as("_v")), Seq("_id"))
+      .localCheckpoint(false)
+    val aSide = sl.select(col("query_id"), col("_id").as("_a"),
+      col("_v").as("_va"), l2Norm(col("_v")).as("_na"))
+    val bSide = sl.select(col("query_id"), col("_id").as("_b"),
+      col("_v").as("_vb"), l2Norm(col("_v")).as("_nb"))
+    val simm = aSide.join(bSide, Seq("query_id"))
+      .filter(col("_a") =!= col("_b"))
+      .select(col("query_id"), col("_a"), col("_b"),
+        (dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("_sim"))
+      .localCheckpoint(false)
+    val cands = sl.select(col("query_id"), col("_id"), col("_rel"))
+    val lam = lit(lambda)
+    val oneMinus = lit(1.0 - lambda)
+    def argmax(scored: DataFrame, pick: Int): DataFrame =
+      scored.groupBy("query_id")
+        .agg(min(struct((-col("_mmr")).as("_n"), col("_id").as("_i"),
+          col("_rel").as("_r"))).as("_bst"))
+        .select(col("query_id"), lit(pick).as("pick"),
+          col("_bst._i").as("doc_id"), col("_bst._r").as("rel"),
+          (-col("_bst._n")).as("mmr"))
+    val first = cands
+      .select(col("query_id"), col("_id"), col("_rel"),
+        (lam * col("_rel") - oneMinus * lit(0.0)).as("_mmr"))
+    var selected = argmax(first, 1).localCheckpoint(false)
+    var r = 2
+    while (r <= k) {
+      val remaining = cands.join(selected.select(col("query_id"),
+        col("doc_id").as("_id")), Seq("query_id", "_id"), "left_anti")
+      val ms = simm.join(selected.select(col("query_id"),
+          col("doc_id").as("_b")), Seq("query_id", "_b"))
+        .groupBy(col("query_id"), col("_a"))
+        .agg(max(col("_sim")).as("_ms"))
+        .select(col("query_id"), col("_a").as("_id"), col("_ms"))
+      val scored = remaining.join(ms, Seq("query_id", "_id"), "left")
+        .select(col("query_id"), col("_id"), col("_rel"),
+          (lam * col("_rel") -
+            oneMinus * coalesce(col("_ms"), lit(0.0))).as("_mmr"))
+      selected = selected.unionByName(argmax(scored, r)).localCheckpoint(false)
+      r += 1
+    }
+    selected.select(col("query_id"), col("pick"), col("doc_id"),
+      col("rel"), col("mmr"))
+  }
 }

@@ -314,4 +314,32 @@ class RetrievalSpec extends SparkFunSuite {
         rels, "rel", 0)
     }
   }
+
+  test("mmrSelect: diversity beats a duplicate; ties to smaller id; early stop") {
+    // ids 1 and 2 are IDENTICAL vectors (a near-dup cluster), id 3 is the
+    // diverse neighbor. Pure top-3 by relevance returns 1, 2, 3; MMR must
+    // pick 1 (tie with 2 breaks to the smaller id), then 3 (the duplicate's
+    // sim-to-picked of exactly 1.0 crushes its margin), then 2.
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1.0f, 0.2f))).toDF("query_id", "query_vec")
+    val got = Retrieval.mmrSelect(corpus, "vec_id", "embedding", q,
+        k = 3, shortlistN = 3, lambda = 0.5)
+      .orderBy("pick").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(x => (x._1, x._2)).toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
+    // pick 1's mmr is exactly λ·rel; the duplicate's round-3 mmr replays
+    // λ·rel − (1−λ)·1.0 (its max-sim is the identical vector it lost to)
+    assert(got(0)._4 == 0.5 * got(0)._3)
+    assert(got(2)._4 == 0.5 * got(2)._3 - 0.5 * 1.0)
+    // k beyond the candidate set stops early instead of inventing rows
+    val short = Retrieval.mmrSelect(corpus, "vec_id", "embedding", q,
+      k = 5, shortlistN = 5, lambda = 0.5)
+    assert(short.count() == 3)
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrSelect(corpus, "vec_id", "embedding", q,
+        k = 4, shortlistN = 3)
+    }
+  }
 }
