@@ -1966,6 +1966,44 @@ object SparkEntry {
         .awaitTermination()
       s.read.parquet(sink).orderBy("user_id", "session_start")
     }),
+    // Ninth streaming ORACLE row — stream-static enrichment, the last
+    // spec-only streaming family: the event stream (two staged files +
+    // maxFilesPerTrigger=1, so the static side joins REAL successive
+    // micro-batches) inner-joined per batch to a broadcast customer ×
+    // nation dimension — stateless, so plain append with no watermark.
+    // The oracle is the batch join: stream-static semantics ARE batch
+    // semantics per micro-batch, which is exactly the contract gated.
+    "q289_enrich_stream" -> ((s, dir) => {
+      import graft.streaming.StreamStage
+      val sink = StreamStage.tempDir("graft_q289_out")
+      val ckpt = StreamStage.tempDir("graft_q289_ckpt")
+      val t = Tables(s, dir)
+      val ev = t.events
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("event_type"))
+      val dim = t.customer.select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"), col("c_nationkey"))
+        .join(t.nation.select(col("n_nationkey").as("c_nationkey"),
+          col("n_name").as("nation")), Seq("c_nationkey"))
+        .select("user_id", "segment", "nation")
+      val staging = StreamStage.stagedInput("q289", dir, ev, nFiles = 2)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+      stream.join(broadcast(dim), Seq("user_id"))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(sink)
+        .select("event_id", "user_id", "event_type", "segment", "nation")
+        .orderBy("event_id")
+    }),
     // Eighth streaming ORACLE row — the FIRST streaming family
     // (watermarked tumbling-window aggregation, StreamingOps.windowedCounts
     // unchanged) finally gated end-to-end: events staged as TWO files +
@@ -9304,6 +9342,16 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_paths
         |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
         |GROUP BY 1 ORDER BY path""".stripMargin,
+    // q289: stream-static enrichment ≡ the batch join
+    "q289_enrich_stream" ->
+      """SELECT CAST(e.event_id AS BIGINT) AS event_id,
+        |  CAST(e.user_id AS BIGINT) AS user_id, e.event_type,
+        |  c.c_mktsegment AS segment, n.n_name AS nation
+        |FROM events e
+        |JOIN customer c ON c.c_custkey = e.user_id
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE e.event_id IS NOT NULL AND e.user_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     // q285: 1-hour tumbling windows are epoch-aligned, so window.start ≡
     // date_trunc('hour', ts); value_sum replays the exact micro-unit seam
     // (decimal(18,6) cast, then ×1e6 as BIGINT) summed as integers
