@@ -1966,6 +1966,49 @@ object SparkEntry {
         .awaitTermination()
       s.read.parquet(sink).orderBy("user_id", "session_start")
     }),
+    // Tenth streaming ORACLE row — the BUILT-IN session_window aggregation
+    // in APPEND mode, the first gate to exercise real watermark EVICTION:
+    // three ordered staged files (real events, then two far-future
+    // sentinel batches a century out) + maxFilesPerTrigger=1. Watermarks
+    // advance at batch BOUNDARIES, so sessions emit one batch after the
+    // watermark passes them: batch 2 (sentinel 1) flushes sessions older
+    // than maxReal−10min, batch 3 (sentinel 2) flushes the tail — every
+    // real session reaches the sink, while the sentinels' own sessions
+    // (user −1) stay younger than the final watermark and never emit.
+    // Values ride the micro-unit seam so session sums are exact longs.
+    "q290_session_window_stream" -> ((s, dir) => {
+      import graft.streaming.{StreamingOps, StreamStage}
+      val sink = StreamStage.tempDir("graft_q290_out")
+      val ckpt = StreamStage.tempDir("graft_q290_ckpt")
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          (col("value").cast("decimal(18,6)") * 1000000L)
+            .cast("long").as("value"))
+      def sentinel(ts: String) = s.range(1).select(
+        lit(-1L).as("user_id"), lit(ts).cast("timestamp").as("ts"),
+        lit(0L).as("value"))
+      val staging = StreamStage.stagedInputParts("q290", dir, Seq(
+        () => ev,
+        () => sentinel("2124-01-01 00:00:00"),
+        () => sentinel("2124-02-01 00:00:00")))
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(staging + "/*")
+      StreamingOps.sessionWindowStats(stream)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(sink).filter(col("user_id") >= 0L)
+        .orderBy("user_id", "session_start")
+    }),
     // Ninth streaming ORACLE row — stream-static enrichment, the last
     // spec-only streaming family: the event stream (two staged files +
     // maxFilesPerTrigger=1, so the static side joins REAL successive
@@ -9342,6 +9385,29 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_paths
         |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
         |GROUP BY 1 ORDER BY path""".stripMargin,
+    // q290: the gap rule in exact µs integers — session_window merges
+    // OVERLAPPING [ts, ts+gap) intervals, so a new session starts when
+    // the inter-event diff >= gap (touching windows do NOT merge);
+    // session_end = last event + gap; micro-unit value sums
+    "q290_session_window_stream" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |m AS (SELECT user_id, tu, v,
+        |    CASE WHEN lag(tu) OVER w IS NULL
+        |      OR tu - lag(tu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)),
+        |s AS (SELECT user_id, tu, v, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY tu
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, make_timestamp(min(tu)) AS session_start,
+        |  make_timestamp(max(tu) + 1800000000) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(v) AS BIGINT) AS value_sum
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // q289: stream-static enrichment ≡ the batch join
     "q289_enrich_stream" ->
       """SELECT CAST(e.event_id AS BIGINT) AS event_id,

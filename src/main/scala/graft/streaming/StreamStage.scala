@@ -86,4 +86,28 @@ object StreamStage {
         p
       })
     }
+
+  /**
+   * Stage an ORDERED sequence of inputs, one subdirectory per part,
+   * written sequentially so the file-source's (mtime, path) ordering
+   * replays them as micro-batches in EXACTLY this order under
+   * `maxFilesPerTrigger = 1` (subdir names p0 < p1 < … break any mtime
+   * tie the same way). Use where batch CONTENT must be controlled —
+   * e.g. sentinel batches that advance the watermark past the real
+   * data so append-mode state flushes deterministically. Read with
+   * `readStream.parquet` over the `dir + "/" + "*"` glob plus
+   * pathGlobFilter "*.parquet".
+   * Cached once per (key, token) per JVM like [[stagedInput]].
+   */
+  def stagedInputParts(key: String, token: String,
+                       parts: Seq[() => DataFrame]): String =
+    synchronized {
+      staged.getOrElseUpdate(s"$key|$token", {
+        val p = tempDir(s"graft_${key}_in")
+        parts.zipWithIndex.foreach { case (df, i) =>
+          df().coalesce(1).write.mode("overwrite").parquet(s"$p/p$i")
+        }
+        p
+      })
+    }
 }
