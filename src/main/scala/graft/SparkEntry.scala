@@ -2442,6 +2442,23 @@ object SparkEntry {
       val labels = Graph.labelPropagation(edges, "a", "b", iters = 3)
       Graph.modularity(edges, "a", "b", labels, "node", "label")
     }),
+    // Landmark betweenness (Brandes 2001 accumulation over a Brandes-Pich
+    // 2007 pivot set) on the parts-bought-together graph: exact integer
+    // shortest-path counts forward, node-id-ordered dependency folds
+    // backward, landmark-id-ordered cross-landmark sum — all landmarks in
+    // ONE batched (landmark, node)-keyed pass, hop-bounded at 3.
+    "q291_betweenness" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+      Graph.betweennessFromLandmarks(edges, "a", "b", Seq(2L, 3L, 5L, 8L),
+        maxHops = 3).orderBy("node")
+    }),
     // Neighborhood-overlap link prediction over the parts-bought-together
     // graph (sparse at every SF, so predicted links are meaningful):
     // non-edge pairs scored by common neighbors, integral-DIV Jaccard,
@@ -4646,6 +4663,54 @@ object SparkEntry {
          |  FROM $prev l LEFT JOIN best$lv$i b ON b.node = l.node)"""
         .stripMargin
     }.mkString(",\n")
+
+  /** Generated CTE chain for q291: the parts graph, σ-counting BFS
+    * levels (each anti-joined against every earlier level), then the
+    * backward dependency folds — per level one grouped
+    * `list_reduce(list((σv/σw)·(1+δw) ORDER BY w.node))`, and a final
+    * landmark-ordered fold per node. Replays
+    * [[graft.operators.Graph.betweennessFromLandmarks]]. */
+  private def betweennessOracleCtes(maxHops: Int): String = {
+    val dbl0 = "CAST(0 AS DOUBLE)"
+    val base =
+      s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey % 20 = 0),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS u,
+         |    greatest(x.pk, y.pk) AS v
+         |  FROM li x JOIN li y USING (ok) WHERE x.pk <> y.pk),
+         |sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+         |  UNION ALL SELECT v AS a, u AS b FROM e0),
+         |v0 AS (SELECT CAST(unnest([2, 3, 5, 8]) AS BIGINT) AS lm,
+         |    CAST(unnest([2, 3, 5, 8]) AS BIGINT) AS node,
+         |    CAST(1 AS BIGINT) AS sigma)""".stripMargin
+    val fwd = (1 to maxHops).map { h =>
+      val antis = (0 until h).map(i =>
+        s"NOT EXISTS (SELECT 1 FROM v$i WHERE v$i.lm = x.lm" +
+          s" AND v$i.node = x.node)").mkString("\n|    AND ")
+      s"""v$h AS MATERIALIZED (SELECT x.lm, x.node, x.sigma FROM (
+         |    SELECT p.lm, s.b AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |    FROM v${h - 1} p JOIN sym s ON s.a = p.node GROUP BY 1, 2) x
+         |  WHERE $antis)""".stripMargin
+    }
+    val dDeep =
+      s"d$maxHops AS (SELECT lm, node, sigma, $dbl0 AS delta FROM v$maxHops)"
+    val bwd = ((maxHops - 1) to 1 by -1).map { h =>
+      s"""d$h AS MATERIALIZED (SELECT v.lm, v.node, v.sigma,
+         |    coalesce(f.delta, $dbl0) AS delta
+         |  FROM v$h v LEFT JOIN (
+         |    SELECT v2.lm, v2.node, list_reduce(list_prepend($dbl0,
+         |        list((CAST(v2.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))
+         |          * (CAST(1 AS DOUBLE) + w.delta) ORDER BY w.node)),
+         |      (acc, t) -> acc + t) AS delta
+         |    FROM v$h v2 JOIN sym s ON s.a = v2.node
+         |      JOIN d${h + 1} w ON w.lm = v2.lm AND w.node = s.b
+         |    GROUP BY 1, 2) f ON f.lm = v.lm AND f.node = v.node)""".stripMargin
+    }
+    val all = (1 to maxHops).map(h => s"SELECT lm, node, delta FROM d$h")
+      .mkString("\n|  UNION ALL ")
+    val alld = s"""alld AS ($all)""".stripMargin
+    (((base +: fwd) :+ dDeep) ++ bwd :+ alld).mkString(",\n")
+  }
 
   /** Generated CTE chain for q288: the exact relevance shortlist, the
     * shortlist pairwise-sim table, then k unrolled greedy MMR rounds —
@@ -7321,6 +7386,14 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q291: the generated σ-BFS + dependency-fold replay (see
+    // betweennessOracleCtes)
+    "q291_betweenness" ->
+      s"""WITH ${betweennessOracleCtes(3)}
+         |SELECT node, CAST(count(*) AS BIGINT) AS n_landmarks,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(delta ORDER BY lm)), (acc, t) -> acc + t) AS betweenness
+         |FROM alld GROUP BY node ORDER BY node""".stripMargin,
     // q286: the wedge generation replayed relationally — canonical edges,
     // full-graph degrees, capped centers, pair rollup with // (floor ≡
     // Spark DIV on positives), NOT EXISTS against the edge set, HUGEINT

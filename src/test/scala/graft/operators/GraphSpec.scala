@@ -405,6 +405,35 @@ class GraphSpec extends SparkFunSuite {
     assert(p == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("betweennessFromLandmarks: path and diamond hand-accumulation") {
+    // path 1-2-3-4-5, landmark 1: σ ≡ 1, so δ telescopes 3, 2, 1, 0
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val p = Graph.betweennessFromLandmarks(path, "a", "b", Seq(1L), maxHops = 4)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(p.toSeq == Seq((2L, 1L, 3.0), (3L, 1L, 2.0), (4L, 1L, 1.0),
+      (5L, 1L, 0.0)))
+    // diamond 1-2, 1-3, 2-4, 3-4: from landmark 1, σ(4) = 2 so each middle
+    // node carries δ = (1/2)·(1+0); landmarks 1 AND 4 double it by symmetry
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val d1 = Graph.betweennessFromLandmarks(diamond, "a", "b", Seq(1L))
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(d1.toSeq == Seq((2L, 1L, 0.5), (3L, 1L, 0.5), (4L, 1L, 0.0)))
+    val d2 = Graph.betweennessFromLandmarks(diamond, "a", "b", Seq(1L, 4L))
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(d2.toSeq == Seq((1L, 1L, 0.0), (2L, 2L, 1.0), (3L, 2L, 1.0),
+      (4L, 1L, 0.0)))
+    // an absent landmark reaches nothing; maxHops truncates dependencies
+    assert(Graph.betweennessFromLandmarks(path, "a", "b", Seq(99L))
+      .count() == 0)
+    val trunc = Graph.betweennessFromLandmarks(path, "a", "b", Seq(1L),
+      maxHops = 2).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(trunc.toSeq == Seq((2L, 1.0), (3L, 0.0)))
+  }
+
   test("linkPrediction: hand-scored wedges; edges excluded; cap drops centers whole") {
     // square 1-2-3-4 with diagonal 1-3 and pendant 4-5 (duplicate and
     // reversed edges plus a self-loop must collapse first):
