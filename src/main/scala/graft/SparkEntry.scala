@@ -2442,6 +2442,16 @@ object SparkEntry {
       val labels = Graph.labelPropagation(edges, "a", "b", iters = 3)
       Graph.modularity(edges, "a", "b", labels, "node", "label")
     }),
+    // Poisson bootstrap CI (Chamandy et al. 2012) for the per-event-type
+    // value mean: 64 deterministic md5-weighted replicates (weights =
+    // inverse Poisson(1) CDF over planted 12-hex thresholds), exact
+    // micro-unit replicate sums, pure order-statistics CI — the one
+    // bootstrap that runs in a single pass over sharded data.
+    "q292_poisson_bootstrap" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.filter(col("event_type").isNotNull)
+      Experiment.poissonBootstrapMean(ev, Seq("event_type"), "event_id",
+        "value", reps = 64, loIdx = 2, hiIdx = 63).orderBy("event_type")
+    }),
     // Landmark betweenness (Brandes 2001 accumulation over a Brandes-Pich
     // 2007 pivot set) on the parts-bought-together graph: exact integer
     // shortest-path counts forward, node-id-ordered dependency folds
@@ -4663,6 +4673,45 @@ object SparkEntry {
          |  FROM $prev l LEFT JOIN best$lv$i b ON b.node = l.node)"""
         .stripMargin
     }.mkString(",\n")
+
+  /** q292's oracle: the Poisson-weight CASE is generated from the SAME
+    * [[graft.operators.Experiment.poissonCdfHex]] literals the operator
+    * plants, so both engines classify every (row, replicate) md5 prefix
+    * against identical thresholds. */
+  private def bootstrapOracleSql: String = {
+    val ths = graft.operators.Experiment.poissonCdfHex
+    val cases = ths.zipWithIndex.map { case (t, k) =>
+      s"WHEN substr(md5(id || ':' || b || ':boot'), 1, 12) < '$t' THEN $k"
+    }.mkString("\n|      ")
+    s"""WITH rows0 AS (SELECT event_type, CAST(event_id AS BIGINT) AS id,
+       |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+       |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE)
+       |      / CAST(1000000 AS DOUBLE) AS mean
+       |  FROM rows0 GROUP BY 1),
+       |wts AS (SELECT event_type, v, b,
+       |    CASE $cases
+       |      ELSE ${ths.length} END AS w
+       |  FROM rows0 CROSS JOIN
+       |    (SELECT unnest(generate_series(1, 64)) AS b)),
+       |rep AS (SELECT event_type, b, sum(CAST(w * v AS HUGEINT)) AS ws,
+       |    sum(w) AS wn
+       |  FROM wts GROUP BY 1, 2 HAVING sum(w) > 0),
+       |mn AS (SELECT event_type, b,
+       |    CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE)
+       |      / CAST(1000000 AS DOUBLE) AS m
+       |  FROM rep),
+       |ci AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_reps_used,
+       |    list(m ORDER BY m, b) AS ms
+       |  FROM mn GROUP BY 1)
+       |SELECT pt.event_type, pt.n_rows, pt.mean, ci.n_reps_used,
+       |  CASE WHEN n_reps_used = 64 THEN ms[2] END AS boot_lo,
+       |  CASE WHEN n_reps_used = 64 THEN ms[63] END AS boot_hi
+       |FROM pt JOIN ci USING (event_type) ORDER BY event_type""".stripMargin
+  }
 
   /** Generated CTE chain for q291: the parts graph, σ-counting BFS
     * levels (each anti-joined against every earlier level), then the
@@ -7386,6 +7435,8 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q292: the generated Poisson-weight replay (see bootstrapOracleSql)
+    "q292_poisson_bootstrap" -> bootstrapOracleSql,
     // q291: the generated σ-BFS + dependency-fold replay (see
     // betweennessOracleCtes)
     "q291_betweenness" ->

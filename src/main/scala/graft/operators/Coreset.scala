@@ -107,6 +107,9 @@ object Coreset {
     * relevance/diversity trade-off behind diverse retrieval and
     * diverse training-subset selection. `sim` is the raw inner product
     * (IP-MMR; normalize the vectors first for cosine semantics).
+    * [[Retrieval.mmrSelect]] is the PER-QUERY retrieval form — cosine
+    * relevance to each query vector, many queries batched, the greedy
+    * loop all-Spark over bounded shortlists.
     *
     * Determinism mirrors [[kCenterGreedy]]: the seed is the
     * `(rel DESC, id ASC)` argmax; every dot is [[VecDot]]'s fixed

@@ -476,6 +476,104 @@ object Experiment {
             / dbl(col("n_used"))).as("ate"))
   }
 
+  /** CDF of Poisson(1) at k = 0..7 as 12-hex-digit md5-prefix
+    * thresholds: `hex(⌊CDF(k) · 16¹²⌋)`, zero-padded. A row's replicate
+    * weight is the CASE index of the first threshold its 12-char md5
+    * prefix sorts below (lexicographic hex compare ≡ numeric compare —
+    * the [[Sampling]] splitTag convention), capped at 8 (tail mass
+    * ~1.0e-5, the documented truncation). Computed ONCE here and shared
+    * by the operator and the oracle generator, so both plans carry the
+    * IDENTICAL literals. */
+  private[graft] val poissonCdfHex: Seq[String] = {
+    var term = math.exp(-1.0)
+    var acc = term
+    val buf = Seq.newBuilder[Double]
+    buf += acc
+    for (k <- 1 to 7) { term = term / k; acc += term; buf += acc }
+    buf.result().map(c => f"${math.floor(c * math.pow(16.0, 12)).toLong}%012x")
+  }
+
+  /** Poisson bootstrap (Chamandy, Das, Najmi & Wager, "Estimating
+    * Uncertainty for Massive Data Streams", Google TR 2012; Efron's
+    * bootstrap in its shard-friendly Poisson form): the per-group mean
+    * of `valueCol` with a percentile confidence interval from `reps`
+    * resample replicates — the one bootstrap that runs in ONE pass over
+    * distributed data, because Poisson(1) weights need no global n.
+    *
+    * Replicate weights are DETERMINISTIC: row i, replicate b gets
+    * `w = #{k : md5(id:b:lane)₁₂ ≥ threshold_k}` via [[poissonCdfHex]]
+    * (weights 0..8; the >8 tail, mass ~1e-5, is truncated — a bias far
+    * below bootstrap noise, and the price of an exactly replayable
+    * resample). Replicate b's mean is `Σw·v / Σw` in exact micro-unit
+    * integers divided once; the CI is pure order statistics over the
+    * `reps` means (sorted by (mean, b) — a total order), so the only
+    * doubles are one fixed division chain per replicate.
+    *
+    * A replicate whose total weight is 0 (only possible for near-empty
+    * groups) is dropped and `n_reps_used` says so; lo/hi are NULL
+    * unless all `reps` replicates survived — a visible failure beats a
+    * silently shifted percentile index.
+    *
+    * Scale shape: one `reps`-way posexplode of the row stream feeding a
+    * map-side-combined (group, b) aggregation — shuffle volume is
+    * groups × reps AFTER partial aggregation, not rows × reps; then a
+    * groups-sized order-statistics fold. No windows, no driver state.
+    *
+    * Output: `(groupCols…, n_rows, mean, n_reps_used, boot_lo,
+    * boot_hi)` — `mean` the exact point estimate, bounds the
+    * `loIdx`/`hiIdx`-th order statistics of the replicate means
+    * (defaults ≈ central 95% at reps = 64). */
+  def poissonBootstrapMean(df: DataFrame, groupCols: Seq[String],
+                           idCol: String, valueCol: String,
+                           reps: Int = 64, loIdx: Int = 2, hiIdx: Int = 63,
+                           lane: String = "boot"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    require(reps >= 4, s"reps ($reps) must be >= 4")
+    require(loIdx >= 1 && hiIdx <= reps && loIdx < hiIdx,
+      s"need 1 <= loIdx ($loIdx) < hiIdx ($hiIdx) <= reps ($reps)")
+    val gcols = groupCols.map(col)
+    val rows = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(gcols ++ Seq(col(idCol).cast("string").as("_bid"),
+        (col(valueCol).cast("decimal(18,6)") * 1000000L)
+          .cast("long").as("_v")): _*)
+      .localCheckpoint(false) // feeds the point estimate AND the replicates
+    val point = rows.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("_v").cast("decimal(38,0)")).as("_sv"))
+      .select(gcols ++ Seq(col("n_rows"),
+        (col("_sv").cast("double") / col("n_rows").cast("double") /
+          lit(1.0e6)).as("mean")): _*)
+    val hx = substring(
+      md5(concat(col("_bid"), lit(":"), col("_b").cast("string"),
+        lit(":" + lane))), 1, 12)
+    val w = poissonCdfHex.zipWithIndex
+      .foldRight(lit(poissonCdfHex.length.toLong): Column) {
+        case ((t, k), rest) => when(hx < lit(t), lit(k.toLong)).otherwise(rest)
+      }
+    val byRep = rows
+      .select(gcols ++ Seq(col("_bid"), col("_v"),
+        explode(sequence(lit(1), lit(reps))).as("_b")): _*)
+      .select(gcols ++ Seq(col("_v"), col("_b"), w.as("_w")): _*)
+      .groupBy(gcols :+ col("_b"): _*)
+      .agg(sum((col("_w") * col("_v")).cast("decimal(38,0)")).as("_ws"),
+        sum(col("_w")).as("_wn"))
+      .filter(col("_wn") > 0L)
+      .select(gcols ++ Seq(col("_b"),
+        (col("_ws").cast("double") / col("_wn").cast("double") /
+          lit(1.0e6)).as("_m")): _*)
+    val ci = byRep.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_reps_used"),
+        sort_array(collect_list(struct(col("_m"), col("_b")))).as("_ms"))
+      .select(gcols ++ Seq(col("n_reps_used"),
+        when(col("n_reps_used") === reps,
+          element_at(col("_ms"), loIdx)("_m")).as("boot_lo"),
+        when(col("n_reps_used") === reps,
+          element_at(col("_ms"), hiIdx)("_m")).as("boot_hi")): _*)
+    point.join(ci, groupCols)
+      .select(gcols ++ Seq(col("n_rows"), col("mean"), col("n_reps_used"),
+        col("boot_lo"), col("boot_hi")): _*)
+  }
+
   def mannWhitney(df: DataFrame, armCol: String, valueCol: String,
                   armA: String, armB: String): DataFrame = {
     require(armA != armB, "the two arms must differ")

@@ -388,6 +388,13 @@ object Retrieval {
     * retrieval context that covers the neighborhood instead of returning
     * k near-duplicates of the same hit.
     *
+    * This is the PER-QUERY retrieval form of the family;
+    * [[Coreset.mmrSelect]] is the corpus-subset form (one global pick
+    * sequence, driver-held selected set, inner-product sim). Here
+    * relevance IS the query cosine, many queries batch through one plan,
+    * and the greedy loop stays entirely in Spark over per-query
+    * shortlists.
+    *
     * Two stages: (1) an exact [[Similarity.bruteForceTopK]] relevance
     * shortlist of `shortlistN` per query — the corpus-scale pass; (2) the
     * greedy MMR loop over the shortlist — `queries × shortlistN`-bounded

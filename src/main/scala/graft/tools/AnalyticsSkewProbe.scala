@@ -89,6 +89,32 @@ object AnalyticsSkewProbe {
       spark.stop(); return
     }
 
+    // --- round-14: linkPrediction under a celebrity hub (`runMain …
+    // links` runs only this section). Base graph: 200k edges over 50k
+    // nodes (degree ≈ 8, id arithmetic). The hub regime adds ONE node
+    // adjacent to `hubDeg` others: as a wedge CENTER it would emit
+    // hubDeg²/2 candidate pairs of meaningless weak ties, so
+    // maxCenterDegree = 256 drops it whole (its endpoints still pair
+    // through their bounded-degree shared neighbors); the keeps-it cap
+    // measures what the dropped work would have cost.
+    if (args.contains("links")) {
+      import graft.operators.Graph
+      for (hubDeg <- Seq(0L, 2000L, 10000L)) {
+        val base = spark.range(200000L).select(
+          (col("id") % 50000L).as("a"), ((col("id") * 7L + 1L) % 50000L).as("b"))
+        val edges = if (hubDeg == 0L) base else base.unionByName(
+          spark.range(hubDeg).select(lit(999999L).as("a"), col("id").as("b")))
+        val pinned = edges.repartition(64).localCheckpoint(true)
+        timed(s"linkPrediction hub=$hubDeg cap=256 (drops it)")(
+          Graph.linkPrediction(pinned, "a", "b", maxCenterDegree = 256,
+            minCommon = 2L).count())
+        timed(s"linkPrediction hub=$hubDeg cap=100000 (keeps it)")(
+          Graph.linkPrediction(pinned, "a", "b", maxCenterDegree = 100000,
+            minCommon = 2L).count())
+      }
+      spark.stop(); return
+    }
+
     // --- round-13 second wave: dbscan under a dense blob and
     // labelPropagation under a celebrity hub (`runMain … spatial` runs
     // only this section). DBSCAN's grid join degrades to the dense

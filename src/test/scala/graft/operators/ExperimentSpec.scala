@@ -277,4 +277,36 @@ class ExperimentSpec extends SparkFunSuite {
       .collect().head
     assert(oneArm.getLong(1) == 0L && oneArm.isNullAt(5))
   }
+
+  test("poissonBootstrapMean: exact point mean, CI brackets, zero-weight reps drop") {
+    val rows = (1L to 40L).map(i => ("g", i, i.toDouble)) ++
+      Seq(("tiny", 1000L, 5.0))
+    val df = rows.toDF("grp", "id", "v")
+    val got = Experiment.poissonBootstrapMean(df, Seq("grp"), "id", "v",
+        reps = 64, loIdx = 2, hiIdx = 63)
+      .orderBy("grp").collect()
+    val g = got(0)
+    assert(g.getString(0) == "g" && g.getLong(1) == 40L)
+    assert(g.getDouble(2) == 20.5) // exact micro-unit mean of 1..40
+    assert(g.getLong(3) == 64L, "40-row group keeps every replicate")
+    assert(g.getDouble(4) <= 20.5 && g.getDouble(5) >= 20.5,
+      "central-95 percentile CI brackets the mean on a symmetric sample")
+    assert(g.getDouble(4) < g.getDouble(5))
+    // a 1-row group draws weight 0 with prob 1/e per replicate: some of
+    // the 64 replicates die, so the CI must be NULL, visibly
+    val t = got(1)
+    assert(t.getString(0) == "tiny" && t.getLong(1) == 1L)
+    assert(t.getLong(3) < 64L && t.isNullAt(4) && t.isNullAt(5))
+    // deterministic: a rerun is row-identical
+    val again = Experiment.poissonBootstrapMean(df, Seq("grp"), "id", "v",
+      reps = 64, loIdx = 2, hiIdx = 63).orderBy("grp").collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    intercept[IllegalArgumentException] {
+      Experiment.poissonBootstrapMean(df, Seq.empty, "id", "v")
+    }
+    intercept[IllegalArgumentException] {
+      Experiment.poissonBootstrapMean(df, Seq("grp"), "id", "v",
+        reps = 8, loIdx = 5, hiIdx = 4)
+    }
+  }
 }
