@@ -2442,6 +2442,37 @@ object SparkEntry {
       val labels = Graph.labelPropagation(edges, "a", "b", iters = 3)
       Graph.modularity(edges, "a", "b", labels, "node", "label")
     }),
+    // sf1.0 heavy-tail s-variants (the q182s/q217s/q237s convention):
+    // q286/q287/q292 price at 10.8/14.3/16.6 s on the sf1.0 decade, so
+    // each gets a 25% md5-sampled twin the driver's gate can run instead
+    "q286s_link_prediction_sampled" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0 &&
+          oracleSampleAt(col("l_orderkey"), "40"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+      Graph.linkPrediction(edges, "a", "b", maxCenterDegree = 256,
+        minCommon = 2L).orderBy("u", "w")
+    }),
+    "q287s_nb_multiclass_sampled" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .filter(oracleSampleAt(col("doc_id"), "40"))
+      val seed = d.filter(col("doc_id") % 4 =!= 0)
+        .select(col("lang"), col("text"))
+      Classifier.nbMulticlassScore(d, "doc_id", "text",
+          Classifier.nbMulticlassTrain(seed, "text", "lang"))
+        .orderBy("doc_id")
+    }),
+    "q292s_poisson_bootstrap_sampled" -> ((s, dir) => {
+      val ev = Tables(s, dir).events.filter(col("event_type").isNotNull &&
+        oracleSampleAt(col("event_id"), "40"))
+      Experiment.poissonBootstrapMean(ev, Seq("event_type"), "event_id",
+        "value", reps = 64, loIdx = 2, hiIdx = 63).orderBy("event_type")
+    }),
     // Poisson bootstrap CI (Chamandy et al. 2012) for the per-event-type
     // value mean: 64 deterministic md5-weighted replicates (weights =
     // inverse Poisson(1) CDF over planted 12-hex thresholds), exact
@@ -4674,19 +4705,115 @@ object SparkEntry {
         .stripMargin
     }.mkString(",\n")
 
+  /** q286 / q286s oracle: the wedge generation replayed relationally —
+    * canonical edges, full-graph degrees, capped centers, pair rollup
+    * with // (floor ≡ Spark DIV on positives), NOT EXISTS against the
+    * edge set, HUGEINT resource-allocation sums. `sampled` adds the
+    * q286s 25% md5 order sample. */
+  private def linkPredictionOracleSql(sampled: Boolean): String = {
+    val sample = if (sampled)
+      "\n|    AND md5(CAST(l_orderkey AS VARCHAR) || ':osample') < '40'" else ""
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem WHERE l_orderkey % 20 = 0$sample),
+       |e AS (SELECT DISTINCT least(x.pk, y.pk) AS u, greatest(x.pk, y.pk) AS v
+       |  FROM li x JOIN li y USING (ok) WHERE x.pk <> y.pk),
+       |deg AS (SELECT node, count(*) AS d
+       |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+       |  GROUP BY 1),
+       |adj AS (SELECT u AS c, v AS n FROM e UNION ALL SELECT v, u FROM e),
+       |ctr AS (SELECT adj.c, adj.n, deg.d AS dc FROM adj
+       |  JOIN deg ON deg.node = adj.c WHERE deg.d <= 256),
+       |pr AS (SELECT a1.n AS pu, a2.n AS pv, a1.dc
+       |  FROM ctr a1 JOIN ctr a2 ON a1.c = a2.c AND a1.n < a2.n),
+       |sc AS (SELECT pu, pv, count(*) AS cn,
+       |    sum(1000000000000 // dc) AS ra
+       |  FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
+       |ne AS (SELECT sc.* FROM sc WHERE NOT EXISTS
+       |  (SELECT 1 FROM e WHERE e.u = sc.pu AND e.v = sc.pv))
+       |SELECT pu AS u, pv AS w, CAST(cn AS BIGINT) AS cn,
+       |  CAST(du.d AS BIGINT) AS deg_u, CAST(dw.d AS BIGINT) AS deg_w,
+       |  CAST(CAST(cn AS HUGEINT) * 1000000000000
+       |    // (du.d + dw.d - cn) AS BIGINT) AS jaccard_e12,
+       |  CAST(ra AS BIGINT) AS ra_e12
+       |FROM ne JOIN deg du ON du.node = ne.pu
+       |  JOIN deg dw ON dw.node = ne.pv
+       |ORDER BY u, w""".stripMargin
+  }
+
+  /** q287 / q287s oracle: the full multiclass-NB chain — hashed buckets,
+    * train counts, 6dp floor-rounded log-probs/priors/unseen floors,
+    * per-class tf·lp folds in feature order from a prepended 0.0, argmax
+    * via (-score, label) row_number, margin vs the r=2 row. `sampled`
+    * adds the q287s 25% md5 document sample (the sf1.0 heavy-tail
+    * convention). */
+  private def nbMulticlassOracleSql(sampled: Boolean): String = {
+    val sample = if (sampled)
+      "\n|  WHERE md5(CAST(doc_id AS VARCHAR) || ':osample') < '40'" else ""
+    s"""WITH tks AS (SELECT doc_id, lang, list_filter(string_split(trim(
+       |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |    ' +', ' ', 'g')), ' '), x -> x <> '') AS tk
+       |  FROM documents$sample),
+       |feat AS (SELECT doc_id, lang, substr(md5(t || ':nbmc'), 1, 4) AS feature
+       |  FROM (SELECT doc_id, lang, unnest(tk) AS t
+       |        FROM tks WHERE len(tk) >= 1)),
+       |cnt AS (SELECT lang AS label, feature, count(*) AS c
+       |  FROM feat WHERE doc_id % 4 <> 0 GROUP BY 1, 2),
+       |tot AS (SELECT label, sum(c) AS tot_c FROM cnt GROUP BY 1),
+       |pri AS (SELECT lang AS label, count(*) AS label_docs
+       |  FROM tks WHERE doc_id % 4 <> 0 AND len(tk) >= 1 GROUP BY 1),
+       |nd AS (SELECT sum(label_docs) AS n FROM pri),
+       |model AS (SELECT label, feature,
+       |    floor(ln(CAST(c + 1 AS DOUBLE) / CAST(tot_c + 65536 AS DOUBLE))
+       |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |      / CAST(1000000 AS DOUBLE) AS lp
+       |  FROM cnt JOIN tot USING (label)),
+       |cls AS (SELECT label, tot_c,
+       |    floor(ln(CAST(label_docs AS DOUBLE) / CAST(n AS DOUBLE))
+       |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |      / CAST(1000000 AS DOUBLE) AS prior,
+       |    floor(ln(CAST(1 AS DOUBLE) / CAST(tot_c + 65536 AS DOUBLE))
+       |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |      / CAST(1000000 AS DOUBLE) AS lp0
+       |  FROM tot JOIN pri USING (label), nd),
+       |tf AS (SELECT doc_id, feature, count(*) AS tf
+       |  FROM feat GROUP BY 1, 2),
+       |ll AS (SELECT tf.doc_id, cls.label, tf.feature, cls.prior,
+       |    CAST(tf AS DOUBLE) * coalesce(model.lp, cls.lp0) AS ll
+       |  FROM tf CROSS JOIN cls LEFT JOIN model
+       |    ON model.label = cls.label AND model.feature = tf.feature),
+       |sc AS (SELECT doc_id, label,
+       |    max(prior) + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(ll ORDER BY feature)), (a, b) -> a + b) AS score
+       |  FROM ll GROUP BY 1, 2),
+       |rk AS (SELECT doc_id, label, score, row_number()
+       |    OVER (PARTITION BY doc_id ORDER BY -score, label) AS r
+       |  FROM sc)
+       |SELECT b.doc_id, b.label AS label_hat,
+       |  floor(b.score * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |    / CAST(10000 AS DOUBLE) AS score,
+       |  floor(coalesce(b.score - s2.score, CAST(0 AS DOUBLE))
+       |      * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |    / CAST(10000 AS DOUBLE) AS margin
+       |FROM (SELECT * FROM rk WHERE r = 1) b
+       |LEFT JOIN (SELECT doc_id, score FROM rk WHERE r = 2) s2 USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q292's oracle: the Poisson-weight CASE is generated from the SAME
     * [[graft.operators.Experiment.poissonCdfHex]] literals the operator
     * plants, so both engines classify every (row, replicate) md5 prefix
     * against identical thresholds. */
-  private def bootstrapOracleSql: String = {
+  private def bootstrapOracleSql(sampled: Boolean = false): String = {
     val ths = graft.operators.Experiment.poissonCdfHex
     val cases = ths.zipWithIndex.map { case (t, k) =>
       s"WHEN substr(md5(id || ':' || b || ':boot'), 1, 12) < '$t' THEN $k"
     }.mkString("\n|      ")
+    val sample = if (sampled)
+      "\n|    AND md5(CAST(event_id AS VARCHAR) || ':osample') < '40'" else ""
     s"""WITH rows0 AS (SELECT event_type, CAST(event_id AS BIGINT) AS id,
        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
-       |    AND event_type IS NOT NULL),
+       |    AND event_type IS NOT NULL$sample),
        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
        |    CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE)
        |      / CAST(count(*) AS DOUBLE)
@@ -6067,55 +6194,8 @@ object SparkEntry {
     // counts, 6dp floor-rounded log-probs/priors/unseen floors, per-class
     // tf·lp folds in feature order from a prepended 0.0, argmax via
     // (-score, label) row_number, margin vs the r=2 row
-    "q287_nb_multiclass" ->
-      """WITH tks AS (SELECT doc_id, lang, list_filter(string_split(trim(
-        |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-        |    ' +', ' ', 'g')), ' '), x -> x <> '') AS tk
-        |  FROM documents),
-        |feat AS (SELECT doc_id, lang, substr(md5(t || ':nbmc'), 1, 4) AS feature
-        |  FROM (SELECT doc_id, lang, unnest(tk) AS t
-        |        FROM tks WHERE len(tk) >= 1)),
-        |cnt AS (SELECT lang AS label, feature, count(*) AS c
-        |  FROM feat WHERE doc_id % 4 <> 0 GROUP BY 1, 2),
-        |tot AS (SELECT label, sum(c) AS tot_c FROM cnt GROUP BY 1),
-        |pri AS (SELECT lang AS label, count(*) AS label_docs
-        |  FROM tks WHERE doc_id % 4 <> 0 AND len(tk) >= 1 GROUP BY 1),
-        |nd AS (SELECT sum(label_docs) AS n FROM pri),
-        |model AS (SELECT label, feature,
-        |    floor(ln(CAST(c + 1 AS DOUBLE) / CAST(tot_c + 65536 AS DOUBLE))
-        |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-        |      / CAST(1000000 AS DOUBLE) AS lp
-        |  FROM cnt JOIN tot USING (label)),
-        |cls AS (SELECT label, tot_c,
-        |    floor(ln(CAST(label_docs AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-        |      / CAST(1000000 AS DOUBLE) AS prior,
-        |    floor(ln(CAST(1 AS DOUBLE) / CAST(tot_c + 65536 AS DOUBLE))
-        |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-        |      / CAST(1000000 AS DOUBLE) AS lp0
-        |  FROM tot JOIN pri USING (label), nd),
-        |tf AS (SELECT doc_id, feature, count(*) AS tf
-        |  FROM feat GROUP BY 1, 2),
-        |ll AS (SELECT tf.doc_id, cls.label, tf.feature, cls.prior,
-        |    CAST(tf AS DOUBLE) * coalesce(model.lp, cls.lp0) AS ll
-        |  FROM tf CROSS JOIN cls LEFT JOIN model
-        |    ON model.label = cls.label AND model.feature = tf.feature),
-        |sc AS (SELECT doc_id, label,
-        |    max(prior) + list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list(ll ORDER BY feature)), (a, b) -> a + b) AS score
-        |  FROM ll GROUP BY 1, 2),
-        |rk AS (SELECT doc_id, label, score, row_number()
-        |    OVER (PARTITION BY doc_id ORDER BY -score, label) AS r
-        |  FROM sc)
-        |SELECT b.doc_id, b.label AS label_hat,
-        |  floor(b.score * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-        |    / CAST(10000 AS DOUBLE) AS score,
-        |  floor(coalesce(b.score - s2.score, CAST(0 AS DOUBLE))
-        |      * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-        |    / CAST(10000 AS DOUBLE) AS margin
-        |FROM (SELECT * FROM rk WHERE r = 1) b
-        |LEFT JOIN (SELECT doc_id, score FROM rk WHERE r = 2) s2 USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "q287_nb_multiclass" -> nbMulticlassOracleSql(sampled = false),
+    "q287s_nb_multiclass_sampled" -> nbMulticlassOracleSql(sampled = true),
     // replay: identical 3-gram sets, the (df, gram)-ranked containment
     // prefix (rarest ⌊(1−t)n⌋+1 grams), df ≤ 64 index, the |B| ≥ ⌈t·|A|⌉
     // size bound, exact list_intersect sizes, integer/integer division.
@@ -7436,7 +7516,8 @@ object SparkEntry {
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
     // q292: the generated Poisson-weight replay (see bootstrapOracleSql)
-    "q292_poisson_bootstrap" -> bootstrapOracleSql,
+    "q292_poisson_bootstrap" -> bootstrapOracleSql(),
+    "q292s_poisson_bootstrap_sampled" -> bootstrapOracleSql(sampled = true),
     // q291: the generated σ-BFS + dependency-fold replay (see
     // betweennessOracleCtes)
     "q291_betweenness" ->
@@ -7449,32 +7530,8 @@ object SparkEntry {
     // full-graph degrees, capped centers, pair rollup with // (floor ≡
     // Spark DIV on positives), NOT EXISTS against the edge set, HUGEINT
     // resource-allocation sums
-    "q286_link_prediction" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |  FROM lineitem WHERE l_orderkey % 20 = 0),
-        |e AS (SELECT DISTINCT least(x.pk, y.pk) AS u, greatest(x.pk, y.pk) AS v
-        |  FROM li x JOIN li y USING (ok) WHERE x.pk <> y.pk),
-        |deg AS (SELECT node, count(*) AS d
-        |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
-        |  GROUP BY 1),
-        |adj AS (SELECT u AS c, v AS n FROM e UNION ALL SELECT v, u FROM e),
-        |ctr AS (SELECT adj.c, adj.n, deg.d AS dc FROM adj
-        |  JOIN deg ON deg.node = adj.c WHERE deg.d <= 256),
-        |pr AS (SELECT a1.n AS pu, a2.n AS pv, a1.dc
-        |  FROM ctr a1 JOIN ctr a2 ON a1.c = a2.c AND a1.n < a2.n),
-        |sc AS (SELECT pu, pv, count(*) AS cn,
-        |    sum(1000000000000 // dc) AS ra
-        |  FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
-        |ne AS (SELECT sc.* FROM sc WHERE NOT EXISTS
-        |  (SELECT 1 FROM e WHERE e.u = sc.pu AND e.v = sc.pv))
-        |SELECT pu AS u, pv AS w, CAST(cn AS BIGINT) AS cn,
-        |  CAST(du.d AS BIGINT) AS deg_u, CAST(dw.d AS BIGINT) AS deg_w,
-        |  CAST(CAST(cn AS HUGEINT) * 1000000000000
-        |    // (du.d + dw.d - cn) AS BIGINT) AS jaccard_e12,
-        |  CAST(ra AS BIGINT) AS ra_e12
-        |FROM ne JOIN deg du ON du.node = ne.pu
-        |  JOIN deg dw ON dw.node = ne.pv
-        |ORDER BY u, w""".stripMargin,
+    "q286_link_prediction" -> linkPredictionOracleSql(sampled = false),
+    "q286s_link_prediction_sampled" -> linkPredictionOracleSql(sampled = true),
     // q269: q249's unrolled LPA rounds feeding the exact Q*4m^2 sum
     // (HUGEINT terms, community-ordered index fold, one final division)
     // q271: the louvainOracleCtes two-level chain replayed verbatim —
