@@ -2448,7 +2448,7 @@ object SparkEntry {
     "q286s_link_prediction_sampled" -> ((s, dir) => {
       val li = Tables(s, dir).lineitem
         .filter(col("l_orderkey") % 20 === 0 &&
-          oracleSampleAt(col("l_orderkey"), "40"))
+          oracleSampleAt(col("l_orderkey"), "80"))
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val edges = li.select(col("ok"), col("pk").as("a"))
@@ -4709,10 +4709,13 @@ object SparkEntry {
     * canonical edges, full-graph degrees, capped centers, pair rollup
     * with // (floor ≡ Spark DIV on positives), NOT EXISTS against the
     * edge set, HUGEINT resource-allocation sums. `sampled` adds the
-    * q286s 25% md5 order sample. */
+    * q286s 50% md5 order sample (wedges scale quadratically, so the
+    * half sample quarters the work; a 25% sample left the sf0.001
+    * graph with zero cn ≥ 2 pairs — ContractSpec's fixture-overfit
+    * guard caught it). */
   private def linkPredictionOracleSql(sampled: Boolean): String = {
     val sample = if (sampled)
-      "\n|    AND md5(CAST(l_orderkey AS VARCHAR) || ':osample') < '40'" else ""
+      "\n|    AND md5(CAST(l_orderkey AS VARCHAR) || ':osample') < '80'" else ""
     s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
        |  FROM lineitem WHERE l_orderkey % 20 = 0$sample),
        |e AS (SELECT DISTINCT least(x.pk, y.pk) AS u, greatest(x.pk, y.pk) AS v

@@ -199,6 +199,10 @@ object Classifier {
     require(need.forall(model.columns.contains),
       s"model must have ${need.mkString("/")} columns, got " +
         model.columns.mkString(","))
+    require(!docs.columns.exists(Set("_t", "_tf", "_ll", "_pr", "_tc",
+      "_cl", "_s", "_score", "feature", "label", "lp")),
+      "input must not contain the reserved columns _t/_tf/_ll/_pr/_tc/" +
+        "_cl/_s/_score/feature/label/lp")
     val gate = Gates.countedBroadcast(model, maxBroadcastRows)
     require(gate.rows > 0,
       "the NB model is empty (was the seed set empty or token-less?)")

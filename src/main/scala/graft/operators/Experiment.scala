@@ -531,6 +531,10 @@ object Experiment {
     require(reps >= 4, s"reps ($reps) must be >= 4")
     require(loIdx >= 1 && hiIdx <= reps && loIdx < hiIdx,
       s"need 1 <= loIdx ($loIdx) < hiIdx ($hiIdx) <= reps ($reps)")
+    val reserved = Set("_bid", "_v", "_b", "_w", "_ws", "_wn", "_m", "_ms",
+      "_sv", "n_rows", "n_reps_used")
+    require(!df.columns.exists(c => reserved(c) && !groupCols.contains(c)),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
     val gcols = groupCols.map(col)
     val rows = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
       .select(gcols ++ Seq(col(idCol).cast("string").as("_bid"),

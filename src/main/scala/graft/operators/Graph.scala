@@ -974,6 +974,10 @@ object Graph {
                                maxHops: Int = 4): DataFrame = {
     require(landmarks.nonEmpty, "at least one landmark is required")
     require(maxHops >= 1, s"maxHops ($maxHops) must be >= 1")
+    val reserved = Seq("_cu", "_cv", "_s", "_d", "_lm", "_lmw", "_w", "_sw",
+      "_dw", "node", "sigma")
+    require(!edges.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
     val spark = edges.sparkSession
     import spark.implicits._
     val canon = edges
@@ -1071,6 +1075,10 @@ object Graph {
                      minCommon: Long = 2L): DataFrame = {
     require(maxCenterDegree >= 2, s"maxCenterDegree ($maxCenterDegree) must be >= 2")
     require(minCommon >= 1L, s"minCommon ($minCommon) must be >= 1")
+    val reserved = Seq("_u", "_v", "_c", "_n", "_a", "_b", "_dc", "_pu",
+      "_pv", "node", "cn")
+    require(!edges.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
     val canon = edges
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(least(col(aCol), col(bCol)).as("_u"),

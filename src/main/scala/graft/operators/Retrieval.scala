@@ -422,6 +422,11 @@ object Retrieval {
     require(shortlistN >= k, s"shortlistN ($shortlistN) must be >= k ($k)")
     require(lambda > 0.0 && lambda <= 1.0,
       s"lambda ($lambda) must be in (0, 1]")
+    val reserved = Seq("_id", "_rel", "_v", "_va", "_vb", "_na", "_nb",
+      "_a", "_b", "_sim", "_mmr", "_ms", "_bst")
+    require(!corpus.columns.exists(reserved.contains) &&
+      !queries.columns.exists(reserved.contains),
+      s"inputs must not contain reserved columns ${reserved.mkString("/")}")
     import graft.functions.VectorFunctions.{dot, l2Norm}
     val sl = Similarity.bruteForceTopK(corpus, idCol, vecCol, queries,
         shortlistN)
