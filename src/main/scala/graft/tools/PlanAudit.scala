@@ -1,37 +1,28 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.ExplainMode
 
-/** Plan-shape audit over a set of battery queries: prints, per query,
-  * the join/exchange operators in its formatted plan and flags the
-  * anti-patterns the PLANS audits look for (CartesianProduct anywhere,
-  * BroadcastNestedLoopJoin on a non-1-row side is judged manually from
-  * the printed shapes). Usage:
-  * `runMain graft.tools.PlanAudit <sfDir> <queryName...>` */
+/** Prints the formatted physical plan of named SparkEntry queries — the
+  * "would this plan survive a 100× scale-up" review loop, as a repeatable
+  * diagnostic main (the AnalyticsSkewProbe convention).
+  *
+  * Usage: `runMain graft.tools.PlanAudit q287_nb_multiclass …`
+  * (env `SPARK_GRAFT_SF_DIR` picks the tables; default sf0.01).
+  * Diagnostic main, not part of the battery. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = args.drop(1)
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val wanted = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => names.isEmpty || names.contains(n) }
-    wanted.foreach { case (name, fn) =>
-      try {
-        val plan = fn(spark, sfDir).queryExecution
-          .explainString(ExplainMode.fromString("formatted"))
-        val lines = plan.split("\n").filter(l =>
-          l.contains("Join") || l.contains("Exchange") ||
-            l.contains("CartesianProduct") || l.contains("Window"))
-          .map(_.replaceAll("\\(\\d+\\)", "").trim).distinct
-        val cart = if (plan.contains("CartesianProduct")) " !!CARTESIAN" else ""
-        println(s"== $name$cart")
-        lines.foreach(l => println(s"   $l"))
-      } catch { case e: Throwable =>
-        println(s"== $name EXPLAIN-ERROR ${e.getMessage.take(120)}")
+    val qs = graft.SparkEntry.queries
+    args.foreach { name =>
+      println(s"\n===== $name =====")
+      qs.get(name) match {
+        case Some(q) => println(q(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        case None => println(s"unknown query $name")
       }
     }
     spark.stop()
