@@ -2473,6 +2473,20 @@ object SparkEntry {
       Experiment.poissonBootstrapMean(ev, Seq("event_type"), "event_id",
         "value", reps = 64, loIdx = 2, hiIdx = 63).orderBy("event_type")
     }),
+    // Platt scaling over the q115 NB quality scores: the textbook
+    // raw-margin -> probability chain (Platt 1999), fit by 4 integer
+    // fixed-point Newton steps whose full trajectory is the gated output
+    // (every step verified, not just a fixed point).
+    "q293_platt_scaling" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val seed = d.filter(col("doc_id") % 3 === 0)
+        .select((col("lang") === "en").as("y"), col("text"))
+      val scored = Classifier.nbScore(d, "doc_id", "text",
+          Classifier.nbTrain(seed, "text", "y"))
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("y")),
+          Seq("doc_id"))
+      Classifier.plattScale(scored, "score", "y", iters = 4).orderBy("iter")
+    }),
     // Poisson bootstrap CI (Chamandy et al. 2012) for the per-event-type
     // value mean: 64 deterministic md5-weighted replicates (weights =
     // inverse Poisson(1) CDF over planted 12-hex thresholds), exact
@@ -4800,6 +4814,87 @@ object SparkEntry {
        |FROM (SELECT * FROM rk WHERE r = 1) b
        |LEFT JOIN (SELECT doc_id, score FROM rk WHERE r = 2) s2 USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q293's oracle: the q115 NB-score chain feeding `iters` unrolled
+    * Newton steps — per step the e9-quantized sigmoid (the probed
+    * floor seam), exact HUGEINT gradient/Hessian sums, truncating mean
+    * normalization, and the same det-guarded integer update
+    * [[graft.operators.Classifier.plattScale]] runs in BigInt. */
+  private def plattOracleSql(iters: Int): String = {
+    val d1 = "CAST(1 AS DOUBLE)"
+    val e9d = "CAST(1000000000 AS DOUBLE)"
+    val head =
+      s"""WITH tk AS (SELECT doc_id, lang, unnest(string_split(trim(
+         |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |    ' +', ' ', 'g')), ' ')) AS t FROM documents),
+         |feat AS (SELECT doc_id, lang, substr(md5(t || ':nbf'), 1, 4) AS feature
+         |  FROM tk WHERE t <> ''),
+         |cnt AS (SELECT feature,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
+         |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cn
+         |  FROM feat WHERE doc_id % 3 = 0 GROUP BY 1),
+         |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cnt),
+         |model AS (SELECT feature,
+         |    floor((ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + 65536 AS DOUBLE))
+         |         - ln(CAST(cn + 1 AS DOUBLE) / CAST(tn + 65536 AS DOUBLE)))
+         |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |      / CAST(1000000 AS DOUBLE) AS llr
+         |  FROM cnt, tot),
+         |nbsc AS (SELECT doc_id,
+         |    floor(list_reduce(list(llr ORDER BY feature), (a, b) -> a + b)
+         |        * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |      / CAST(10000 AS DOUBLE) AS score
+         |  FROM feat JOIN model USING (feature) GROUP BY 1),
+         |rows0 AS MATERIALIZED (SELECT
+         |    CAST(CAST(coalesce(nbsc.score, CAST(0.0 AS DOUBLE))
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS su,
+         |    d.lang = 'en' AS y
+         |  FROM documents d LEFT JOIN nbsc USING (doc_id)),
+         |st AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+         |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn,
+         |    count(*) AS n FROM rows0),
+         |yv AS MATERIALIZED (SELECT
+         |    ((np + 1) * 1000000000) // (np + 2) AS ypos,
+         |    1000000000 // (nn + 2) AS yneg, np, nn, n FROM st),
+         |it0 AS MATERIALIZED (SELECT CAST(0 AS HUGEINT) AS a,
+         |    CAST(floor(ln(CAST(nn + 1 AS DOUBLE) / CAST(np + 1 AS DOUBLE))
+         |      * $e9d + CAST(0.5 AS DOUBLE)) AS HUGEINT) AS b
+         |  FROM yv)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS (SELECT su,
+         |    CAST(floor(($d1 / ($d1 + exp(-(
+         |        CAST((it${k - 1}.a * su) // 1000000 + it${k - 1}.b AS DOUBLE)
+         |        / $e9d))))
+         |      * $e9d + CAST(0.5 AS DOUBLE)) AS HUGEINT) AS pe9,
+         |    CASE WHEN y THEN ypos ELSE yneg END AS ye9
+         |  FROM rows0, it${k - 1}, yv),
+         |d$k AS (SELECT su, pe9 - ye9 AS d,
+         |    (pe9 * (1000000000 - pe9)) // 1000000000 AS w FROM p$k),
+         |g$k AS (SELECT sum(CAST(d AS HUGEINT) * su) AS ga,
+         |    sum(CAST(d AS HUGEINT)) AS gb,
+         |    sum(CAST(w AS HUGEINT) * su * su) AS haa,
+         |    sum(CAST(w AS HUGEINT) * su) AS hab,
+         |    sum(CAST(w AS HUGEINT)) AS hbb FROM d$k),
+         |m$k AS (SELECT ga // n AS gam, gb // n AS gbm, haa // n AS haam,
+         |    hab // n AS habm, hbb // n AS hbbm FROM g$k, yv),
+         |dt$k AS (SELECT *, haam * hbbm - habm * habm AS det FROM m$k),
+         |it$k AS MATERIALIZED (SELECT
+         |    CASE WHEN det <= 0 OR det // 1000000000000000 = 0
+         |        OR det // 1000000000 = 0 THEN it${k - 1}.a
+         |      ELSE it${k - 1}.a - (hbbm * gam - habm * gbm)
+         |        // (det // 1000000000000000) END AS a,
+         |    CASE WHEN det <= 0 OR det // 1000000000000000 = 0
+         |        OR det // 1000000000 = 0 THEN it${k - 1}.b
+         |      ELSE it${k - 1}.b - (haam * gbm - habm * gam)
+         |        // (det // 1000000000) END AS b
+         |  FROM dt$k, it${k - 1})""".stripMargin
+    }
+    val sel = (0 to iters).map(k =>
+      s"SELECT $k AS iter, CAST(a AS BIGINT) AS a_e9," +
+        s" CAST(b AS BIGINT) AS b_e9 FROM it$k").mkString("\nUNION ALL ")
+    (head +: steps).mkString(",\n") +
+      s"\n$sel\nORDER BY iter"
   }
 
   /** q292's oracle: the Poisson-weight CASE is generated from the SAME
@@ -7518,6 +7613,8 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q293: the generated Newton-trajectory replay (see plattOracleSql)
+    "q293_platt_scaling" -> plattOracleSql(4),
     // q292: the generated Poisson-weight replay (see bootstrapOracleSql)
     "q292_poisson_bootstrap" -> bootstrapOracleSql(),
     "q292s_poisson_bootstrap_sampled" -> bootstrapOracleSql(sampled = true),

@@ -371,6 +371,43 @@ class ClassifierSpec extends SparkFunSuite {
     }
   }
 
+  test("plattScale: symmetric separation, trajectory shape, guards, det stop") {
+    // perfectly symmetric ±1 separation: B stays ~0 (quantization may
+    // drift a unit), A climbs toward the separator every Newton step
+    val rows = (1 to 10).map(_ => (1.0, true)) ++
+      (1 to 10).map(_ => (-1.0, false))
+    val df = rows.toDF("s", "y")
+    val got = Classifier.plattScale(df, "s", "y", iters = 4)
+      .orderBy("iter").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (0 to 4))
+    assert(got(0)._2 == 0L && got(0)._3 == 0L, "A0 = 0; B0 = ln(11/11) = 0")
+    val as = got.map(_._2)
+    assert(as.sliding(2).forall(p => p(1) > p(0)),
+      "A strictly climbs on separable data")
+    assert(got.forall(g => math.abs(g._3) <= 2L),
+      "B stays at symmetric-noise level")
+    // determinism: rerun identical
+    val again = Classifier.plattScale(df, "s", "y", iters = 4)
+      .orderBy("iter").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+    // constant score -> singular Hessian -> ascent stops, state repeats
+    val const = ((1 to 5).map(_ => (2.0, true)) ++
+      (1 to 5).map(_ => (2.0, false))).toDF("s", "y")
+    val stopped = Classifier.plattScale(const, "s", "y", iters = 3)
+      .orderBy("iter").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(stopped.distinct.length <= 2,
+      "after the degenerate step the state repeats")
+    intercept[IllegalArgumentException] {
+      Classifier.plattScale((1 to 3).map(_ => (1.0, true)).toDF("s", "y"),
+        "s", "y")
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.plattScale(Seq((5000.0, true), (-1.0, false)).toDF("s", "y"),
+        "s", "y")
+    }
+  }
+
   test("nbMulticlass: argmax routing, unseen-bucket smoothing, ties, margins") {
     def rf(x: Double, d: Int): Double =
       math.floor(x * math.pow(10, d) + 0.5) / math.pow(10, d)
