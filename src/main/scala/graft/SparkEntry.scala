@@ -2473,6 +2473,33 @@ object SparkEntry {
       Experiment.poissonBootstrapMean(ev, Seq("event_type"), "event_id",
         "value", reps = 64, loIdx = 2, hiIdx = 63).orderBy("event_type")
     }),
+    // Fellegi-Sunter per-field match weights (1969): u estimated EXACTLY
+    // from the value histogram (sum n_v^2 / N^2, nulls as values), m an
+    // explicit 1e-6-unit prior, both logs 6dp floor-rounded.
+    "q294_fs_weights" -> ((s, dir) => {
+      val c = Tables(s, dir).customer.select(col("c_mktsegment"),
+        col("c_nationkey"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+          " DIV 100000").as("bal_bucket"))
+      Linkage.fellegiSunterWeights(c,
+        Seq("c_mktsegment", "c_nationkey", "bal_bucket")).orderBy("field")
+    }),
+    // The composed probabilistic-linkage chain: sorted-neighborhood
+    // candidates over c_name, scored with the q294 weights — agree adds
+    // ln(m/u), disagree adds ln((1-m)/(1-u)), declared field order,
+    // 4dp floor round.
+    "q295_fs_scored_pairs" -> ((s, dir) => {
+      val c = Tables(s, dir).customer.select(col("c_custkey"),
+        col("c_name"), col("c_mktsegment"), col("c_nationkey"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+          " DIV 100000").as("bal_bucket"))
+      val fields = Seq("c_mktsegment", "c_nationkey", "bal_bucket")
+      val w = Linkage.fellegiSunterWeights(c, fields)
+      val pairs = Linkage.sortedNeighborhoodPairs(c, "c_custkey", "c_name",
+        window = 3)
+      Linkage.fsScorePairs(pairs.select("id_a", "id_b"), c, "c_custkey",
+        fields, w).orderBy("id_a", "id_b")
+    }),
     // Platt scaling over the q115 NB quality scores: the textbook
     // raw-margin -> probability chain (Platt 1999), fit by 4 integer
     // fixed-point Newton steps whose full trajectory is the gated output
@@ -4814,6 +4841,44 @@ object SparkEntry {
        |FROM (SELECT * FROM rk WHERE r = 1) b
        |LEFT JOIN (SELECT doc_id, score FROM rk WHERE r = 2) s2 USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared CTE chain for q294/q295: the bucketed customer table, one
+    * value histogram per field, and the Fellegi–Sunter weight table —
+    * exact Σn_v²/N² chance-agreement, 6dp floor-rounded logs, NULL
+    * `w_dis` on a constant field. Replays
+    * [[graft.operators.Linkage.fellegiSunterWeights]]. */
+  private def fsWeightsCtes: String = {
+    val fields = Seq("c_mktsegment", "c_nationkey", "bal_bucket")
+    val md = "CAST(950000 AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    val hists = fields.map { f =>
+      s"""h_$f AS (SELECT count(*) AS nv FROM cst GROUP BY $f),
+         |u_$f AS (SELECT '$f' AS field, CAST(sum(nv) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_distinct,
+         |    CAST(sum(CAST(nv AS HUGEINT) * nv) AS BIGINT) AS u_num,
+         |    CAST(sum(CAST(nv AS HUGEINT) * nv) AS DOUBLE)
+         |      / CAST(CAST(sum(nv) AS HUGEINT) * sum(nv) AS DOUBLE) AS u
+         |  FROM h_$f)""".stripMargin
+    }
+    val unioned = fields.map(f => s"SELECT * FROM u_$f").mkString(
+      "\n|    UNION ALL ")
+    s"""cst AS MATERIALIZED (SELECT c_custkey, c_name, c_mktsegment,
+       |    c_nationkey,
+       |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |      // 100000 AS bal_bucket
+       |  FROM customer),
+       |${hists.mkString(",\n")},
+       |wts AS MATERIALIZED (SELECT field, n, n_distinct, u_num, u,
+       |    $md AS m,
+       |    floor(ln(($md) / u) * CAST(1000000 AS DOUBLE)
+       |      + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS w_agree,
+       |    CASE WHEN u_num = CAST(CAST(n AS HUGEINT) * n AS BIGINT)
+       |      THEN NULL
+       |      ELSE floor(ln((CAST(1 AS DOUBLE) - ($md))
+       |          / (CAST(1 AS DOUBLE) - u)) * CAST(1000000 AS DOUBLE)
+       |        + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)
+       |    END AS w_dis
+       |  FROM ($unioned))""".stripMargin
   }
 
   /** q293's oracle: the q115 NB-score chain feeding `iters` unrolled
@@ -7613,6 +7678,46 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q294: the shared FS weights chain (see fsWeightsCtes)
+    "q294_fs_weights" ->
+      s"""WITH $fsWeightsCtes
+         |SELECT field, n, n_distinct, u_num, u, m, w_agree, w_dis
+         |FROM wts ORDER BY field""".stripMargin,
+    // q295: q196's neighborhood replay scored with the q294 weights —
+    // per-field IS NOT DISTINCT FROM picks w_agree else w_dis (NULL
+    // w_dis → 0), declared field order, 4dp floor
+    "q295_fs_scored_pairs" ->
+      s"""WITH $fsWeightsCtes,
+         |wp AS (SELECT
+         |    max(CASE WHEN field = 'c_mktsegment' THEN w_agree END) AS wa1,
+         |    coalesce(max(CASE WHEN field = 'c_mktsegment' THEN w_dis END),
+         |      CAST(0 AS DOUBLE)) AS wd1,
+         |    max(CASE WHEN field = 'c_nationkey' THEN w_agree END) AS wa2,
+         |    coalesce(max(CASE WHEN field = 'c_nationkey' THEN w_dis END),
+         |      CAST(0 AS DOUBLE)) AS wd2,
+         |    max(CASE WHEN field = 'bal_bucket' THEN w_agree END) AS wa3,
+         |    coalesce(max(CASE WHEN field = 'bal_bucket' THEN w_dis END),
+         |      CAST(0 AS DOUBLE)) AS wd3
+         |  FROM wts),
+         |r AS (SELECT c_custkey AS id, c_name AS k FROM cst
+         |  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL),
+         |rk AS (SELECT id, row_number() OVER (ORDER BY k, id) AS rnk FROM r),
+         |g AS (SELECT unnest(generate_series(1, 2)) AS rank_gap),
+         |p AS (SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+         |  FROM rk a CROSS JOIN g JOIN rk b ON b.rnk = a.rnk + g.rank_gap)
+         |SELECT p.id_a, p.id_b,
+         |  floor((CASE WHEN ca.c_mktsegment IS NOT DISTINCT FROM
+         |        cb.c_mktsegment THEN wa1 ELSE wd1 END
+         |      + CASE WHEN ca.c_nationkey IS NOT DISTINCT FROM
+         |          cb.c_nationkey THEN wa2 ELSE wd2 END
+         |      + CASE WHEN ca.bal_bucket IS NOT DISTINCT FROM
+         |          cb.bal_bucket THEN wa3 ELSE wd3 END)
+         |      * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |    / CAST(10000 AS DOUBLE) AS fs_score
+         |FROM p JOIN cst ca ON ca.c_custkey = p.id_a
+         |JOIN cst cb ON cb.c_custkey = p.id_b
+         |CROSS JOIN wp
+         |ORDER BY id_a, id_b""".stripMargin,
     // q293: the generated Newton-trajectory replay (see plattOracleSql)
     "q293_platt_scaling" -> plattOracleSql(4),
     // q292: the generated Poisson-weight replay (see bootstrapOracleSql)

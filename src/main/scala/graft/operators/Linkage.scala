@@ -178,4 +178,90 @@ object Linkage {
       .select(least(col("_ida"), col("_idb")).as("id_a"),
         greatest(col("_ida"), col("_idb")).as("id_b"), col("rank_gap"))
   }
+
+  /** Fellegi–Sunter per-field match weights (Fellegi & Sunter, JASA
+    * 1969 §3) — the probabilistic scoring the blocking above feeds:
+    * a field agreeing on a pair contributes `w_agree = ln(m/u)`,
+    * disagreeing contributes `w_dis = ln((1−m)/(1−u))`.
+    *
+    * `u` (chance agreement among NON-matches) is estimated EXACTLY from
+    * the field's value histogram under the random-pairing model:
+    * `u = Σ_v n_v² / N²` — an exact integer ratio, nulls counted as a
+    * value (matching [[scoreFieldAgreement]]'s null-safe `<=>`). `m`
+    * (agreement among true matches) needs labeled pairs or EM to
+    * estimate, so it is an explicit parameter in exact 1e-6 units
+    * (default 0.95, the classic clerical-review prior) — an honest
+    * knob, not a silent fit.
+    *
+    * Determinism: histogram sums are exact integers ≤ N², `u` is one
+    * exact-integer division, both logs are 6dp floor-rounded
+    * ([[Classifier]]'s ln-seam contract). A CONSTANT field (u = 1,
+    * detected exactly as `Σn_v² = N²`) has no disagreement evidence:
+    * `w_dis` is NULL — visible, never −∞.
+    *
+    * Scale shape: one value-keyed aggregation per field (map-side
+    * combined, output = distinct values), one 1-row rollup each —
+    * fields are enumerated, so the union is |fields| rows total.
+    *
+    * Output: `(field, n, n_distinct, u_num, u, m, w_agree, w_dis)`
+    * where `u_num = Σn_v²` (exact; needs N ≤ 3·10⁹ to fit the long).
+    * Feed [[fsScorePairs]] or any caller that wants the weights. */
+  def fellegiSunterWeights(records: DataFrame, fields: Seq[String],
+                           mE6: Long = 950000L): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    require(mE6 > 0L && mE6 < 1000000L,
+      s"mE6 ($mE6) must be inside (0, 1e6) — m is a probability")
+    val m = lit(mE6.toDouble / 1.0e6)
+    def rf6(c: org.apache.spark.sql.Column) =
+      graft.functions.ExactRound.roundFloor(c, 6)
+    val perField = fields.map { f =>
+      records.groupBy(col(f)).agg(count(lit(1)).as("_nv"))
+        .agg(sum(col("_nv").cast("decimal(38,0)") * col("_nv")).as("_unum"),
+          sum(col("_nv")).as("_n"), count(lit(1)).as("n_distinct"))
+        .select(lit(f).as("field"), col("_n").as("n"), col("n_distinct"),
+          col("_unum").cast("long").as("u_num"),
+          (col("_unum").cast("double") /
+            (col("_n").cast("decimal(38,0)") * col("_n")).cast("double"))
+            .as("u"))
+    }
+    perField.reduce(_.unionByName(_))
+      .select(col("field"), col("n"), col("n_distinct"), col("u_num"),
+        col("u"), m.as("m"),
+        rf6(log(m / col("u"))).as("w_agree"),
+        when(col("u_num") === (col("n").cast("decimal(38,0)") * col("n"))
+            .cast("long"), lit(null).cast("double"))
+          .otherwise(rf6(log((lit(1.0) - m) / (lit(1.0) - col("u")))))
+          .as("w_dis"))
+  }
+
+  /** Score candidate pairs with [[fellegiSunterWeights]] output: per
+    * field, `w_agree` on null-safe equality else `w_dis` (a NULL `w_dis`
+    * — constant field — contributes 0.0: no evidence either way), summed
+    * in the DECLARED field order as one literal expression chain, 4dp
+    * floor-rounded. The weights table is |fields| rows, collected
+    * driver-side (the BPE merge-rules precedent) so scoring is a pure
+    * map over the joined pair fields — no per-row weight join.
+    *
+    * Output: `(id_a, id_b, fs_score)`. */
+  def fsScorePairs(pairs: DataFrame, records: DataFrame, idCol: String,
+                   fields: Seq[String], weights: DataFrame): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    val w = weights.select("field", "w_agree", "w_dis").collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2))))
+      .toMap
+    val missing = fields.filterNot(w.contains)
+    require(missing.isEmpty,
+      s"weights table lacks fields ${missing.mkString(", ")}")
+    def side(tag: String) = records.select(
+      col(idCol).as(s"id_$tag") +:
+        fields.map(f => col(f).as(s"_${tag}_$f")): _*)
+    val score = fields.map { f =>
+      val (wa, wd) = w(f)
+      when(col(s"_a_$f") <=> col(s"_b_$f"), lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    pairs.join(side("a"), "id_a").join(side("b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ExactRound.roundFloor(score, 4).as("fs_score"))
+  }
 }

@@ -117,4 +117,48 @@ class LinkageSpec extends SparkFunSuite {
       Linkage.sortedNeighborhoodPairs(df, "id", "name", window = 1)
     }
   }
+
+  test("fellegiSunterWeights: exact u from histograms, nulls as values, constant field") {
+    def rf6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val recs = Seq(
+      (1L, "a", Some("d"), "z"), (2L, "a", Some("d"), "z"),
+      (3L, "b", None, "z"), (4L, "c", None, "z"))
+      .toDF("id", "x", "y", "k")
+    val w = Linkage.fellegiSunterWeights(recs, Seq("x", "y", "k"))
+      .orderBy("field").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // x: hist {a:2, b:1, c:1} → u = 6/16
+    val wx = w("x")
+    assert(wx.getLong(3) == 6L && wx.getDouble(4) == 6.0 / 16.0)
+    assert(wx.getDouble(6) == rf6(math.log(0.95 / (6.0 / 16.0))))
+    assert(wx.getDouble(7) == rf6(math.log(0.05 / (1.0 - 6.0 / 16.0))))
+    // y: nulls count as a value → hist {null:2, d:2} → u = 8/16
+    assert(w("y").getLong(3) == 8L && w("y").getDouble(4) == 0.5)
+    // k constant: u = 1 exactly → w_dis NULL, never −∞
+    assert(w("k").getLong(3) == 16L && w("k").getDouble(4) == 1.0)
+    assert(w("k").isNullAt(7))
+    assert(w("k").getDouble(6) == rf6(math.log(0.95)))
+    intercept[IllegalArgumentException] {
+      Linkage.fellegiSunterWeights(recs, Seq("x"), mE6 = 1000000L)
+    }
+  }
+
+  test("fsScorePairs: agree/disagree routing, NULL w_dis scores 0, field order") {
+    def rf(x: Double, p: Double): Double = math.floor(x * p + 0.5) / p
+    val recs = Seq((1L, "a", "p"), (2L, "a", "q"), (3L, "b", "p"))
+      .toDF("id", "x", "y")
+    val weights = Seq(("x", 1.5, Some(-2.0)), ("y", 0.5, None))
+      .toDF("field", "w_agree", "w_dis")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Linkage.fsScorePairs(pairs, recs, "id", Seq("x", "y"), weights)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // (1,2): x agrees (+1.5), y disagrees with NULL w_dis (+0.0)
+    assert(got((1L, 2L)) == rf(1.5 + 0.0, 1e4))
+    // (1,3): x disagrees (−2.0), y agrees (+0.5)
+    assert(got((1L, 3L)) == rf(-2.0 + 0.5, 1e4))
+    intercept[IllegalArgumentException] {
+      Linkage.fsScorePairs(pairs, recs, "id", Seq("x", "missing"), weights)
+    }
+  }
 }
