@@ -514,7 +514,7 @@ object Experiment {
     * unless all `reps` replicates survived — a visible failure beats a
     * silently shifted percentile index.
     *
-    * Scale shape: one `reps`-way posexplode of the row stream feeding a
+    * Scale shape: one `reps`-way sequence-explode of the row stream feeding a
     * map-side-combined (group, b) aggregation — shuffle volume is
     * groups × reps AFTER partial aggregation, not rows × reps; then a
     * groups-sized order-statistics fold. No windows, no driver state.
