@@ -90,8 +90,10 @@ object AnalyticsSkewProbe {
     }
 
     // --- round-14: linkPrediction under a celebrity hub (`runMain …
-    // links` runs only this section). Base graph: 200k edges over 50k
-    // nodes (degree ≈ 8, id arithmetic). The hub regime adds ONE node
+    // links` runs only this section). Base graph: the functional graph
+    // a → 7a+1 mod 50000 (50k distinct edges after dedup, degree ~2 —
+    // deliberately THIN so the hub term is the whole signal). The hub
+    // regime adds ONE node
     // adjacent to `hubDeg` others: as a wedge CENTER it would emit
     // hubDeg²/2 candidate pairs of meaningless weak ties, so
     // maxCenterDegree = 256 drops it whole (its endpoints still pair
@@ -111,6 +113,29 @@ object AnalyticsSkewProbe {
         timed(s"linkPrediction hub=$hubDeg cap=100000 (keeps it)")(
           Graph.linkPrediction(pinned, "a", "b", maxCenterDegree = 100000,
             minCommon = 2L).count())
+      }
+      spark.stop(); return
+    }
+
+    // --- round-14: betweennessFromLandmarks under a celebrity hub
+    // (`runMain … btw` runs only this section). Same thin functional
+    // base graph as `links`; the hub regime wires node 999999 to
+    // `hubDeg` others (every landmark hub-adjacent) and
+    // puts a landmark ONE hop away, so the hub lands in an early BFS
+    // frontier and its full adjacency fans out in that round's
+    // frontier⋈edges join (σ sums are map-side combined; the claim
+    // under test is that the round is join-bounded, not hub²).
+    if (args.contains("btw")) {
+      import graft.operators.Graph
+      for (hubDeg <- Seq(0L, 10000L, 40000L)) {
+        val base = spark.range(200000L).select(
+          (col("id") % 50000L).as("a"), ((col("id") * 7L + 1L) % 50000L).as("b"))
+        val edges = if (hubDeg == 0L) base else base.unionByName(
+          spark.range(hubDeg).select(lit(999999L).as("a"), col("id").as("b")))
+        val pinned = edges.repartition(64).localCheckpoint(true)
+        timed(s"betweenness hub=$hubDeg, landmark 1 hop from hub")(
+          Graph.betweennessFromLandmarks(pinned, "a", "b",
+            Seq(0L, 101L, 202L, 303L), maxHops = 3).count())
       }
       spark.stop(); return
     }
