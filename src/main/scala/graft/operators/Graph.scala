@@ -1046,9 +1046,10 @@ object Graph {
     * empirically the stronger predictor (Zhou et al.).
     *
     * Candidate pairs are generated as open wedges through their shared
-    * neighbor, so the output is EXACTLY the non-edge pairs with cn ≥ 1
-    * (filtered to cn ≥ `minCommon`); nothing is ever scored against the
-    * whole vertex set.
+    * KEPT centers, so the output is the non-edge pairs witnessed by ≥
+    * `minCommon` centers under the cap (with no cap biting, exactly the
+    * non-edge pairs with cn ≥ minCommon); nothing is ever scored against
+    * the whole vertex set.
     *
     * Scale shape: the wedge self-join fans out deg(v)² per center v — a
     * celebrity hub would dominate the whole job, so centers with deg >

@@ -401,8 +401,8 @@ object Retrieval {
     * tables through k all-Spark rounds (anti-join the picked, max-sim
     * join against the picked, argmax-as-aggregate `min(struct(-mmr,
     * id))`), each round checkpointed so lineage stays k-bounded. Nothing
-    * is collected; the per-round tables are broadcast-sized by
-    * construction.
+    * is collected; every per-round table is `queries × shortlistN` rows
+    * (the query count is the caller's scale knob).
     *
     * Determinism: rel and sim are VecDot cosines (bit-identical
     * left-to-right folds, the q27 contract); every round scores with the
