@@ -2473,6 +2473,18 @@ object SparkEntry {
       Experiment.poissonBootstrapMean(ev, Seq("event_type"), "event_id",
         "value", reps = 64, loIdx = 2, hiIdx = 63).orderBy("event_type")
     }),
+    // American Soundex phonetic keys (census / Knuth rules) over each
+    // document's first token — the classic linkage blocking key, own
+    // integer-state-fold implementation so the oracle replays the exact
+    // specification (Spark's builtin soundex would need its H/W edge
+    // cases reverse-engineered).
+    "q296_soundex_keys" -> ((s, dir) => {
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          TextAnalysis.soundex(
+            element_at(split(col("text"), " "), 1)).as("sx"))
+        .orderBy("doc_id")
+    }),
     // Fellegi-Sunter per-field match weights (1969): u estimated EXACTLY
     // from the value histogram (sum n_v^2 / N^2, nulls as values), m an
     // explicit 1e-6-unit prior, both logs 6dp floor-rounded.
@@ -7678,6 +7690,30 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q296: the integer-state soundex fold replayed literally — the
+    // state is prev·10⁴ + L·10³ + digits, h/w marked 7 in the translate
+    // map, vowels reset prev, repeats collapse
+    "q296_soundex_keys" ->
+      """WITH ft AS (SELECT doc_id, string_split(text, ' ')[1] AS w
+        |  FROM documents),
+        |ls AS (SELECT doc_id, list_filter(string_split(lower(w), ''),
+        |    ch -> ch >= 'a' AND ch <= 'z') AS l FROM ft),
+        |cs AS (SELECT doc_id, l, list_transform(l, ch -> CAST(translate(ch,
+        |    'abcdefghijklmnopqrstuvwxyz',
+        |    '01230127022455012623017202') AS INT)) AS c FROM ls),
+        |f AS (SELECT doc_id, l, CASE WHEN len(l) = 0 THEN NULL ELSE
+        |    list_reduce(list_prepend(c[1] * 10000, c[2:]), (st, cc) -> CASE
+        |      WHEN cc = 7 THEN st
+        |      WHEN cc = 0 THEN st % 10000
+        |      WHEN cc = st // 10000 THEN st
+        |      WHEN (st % 10000) // 1000 = 3 THEN cc * 10000 + st % 10000
+        |      ELSE cc * 10000 + ((st % 10000) // 1000 + 1) * 1000
+        |        + (st % 1000) * 10 + cc END)
+        |  END AS folded FROM cs)
+        |SELECT doc_id, CASE WHEN folded IS NULL THEN NULL ELSE
+        |  upper(l[1]) || rpad(CASE WHEN folded % 10000 < 1000 THEN ''
+        |    ELSE CAST(folded % 1000 AS VARCHAR) END, 3, '0') END AS sx
+        |FROM f ORDER BY doc_id""".stripMargin,
     // q294: the shared FS weights chain (see fsWeightsCtes)
     "q294_fs_weights" ->
       s"""WITH $fsWeightsCtes

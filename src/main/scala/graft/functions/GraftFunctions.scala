@@ -47,6 +47,7 @@ object GraftFunctions {
     columnFn("dup_token_ratio", 1)(cs => Scrub.duplicateTokenRatio(cs(0))),
     columnFn("winnow_fp", 1)(cs => TextAnalysis.winnowingFingerprints(cs(0))),
     columnFn("poly_hash", 1)(cs => TextAnalysis.polyHash(cs(0))),
+    columnFn("soundex_code", 1)(cs => TextAnalysis.soundex(cs(0))),
     columnFn("canonical_url", 1)(cs => Scrub.canonicalUrl(cs(0))),
     columnFn("jaro_winkler", 2)(cs => JaroWinkler.similarity(cs(0), cs(1))),
     columnFn("jaro_sim", 2)(cs => JaroWinkler.jaro(cs(0), cs(1))),

@@ -161,6 +161,58 @@ object TextAnalysis {
   private def letBind(a: Column)(f: Column => Column): Column =
     get(transform(array(a), f), lit(0))
 
+  /** American Soundex (the census / Knuth TAOCP vol. 3 rules) as a pure
+    * Column expression — the classic PHONETIC BLOCKING KEY for record
+    * linkage ("Smith"/"Smyth" → S530 block together before
+    * [[graft.operators.Linkage.fsScorePairs]] scores them). Spark ships a
+    * builtin `soundex`, but its H/W edge-case behavior would have to be
+    * reverse-engineered for an oracle; this implementation IS the
+    * specification, replayable in any engine:
+    *
+    *  - letters only (lower-cased; everything else dropped); NULL/no
+    *    letters → NULL
+    *  - first letter retained upper-cased; the rest fold left with an
+    *    INTEGER state `prev·10⁴ + L·10³ + d` (d = up to 3 appended code
+    *    digits as a number — codes are 1..6 so no leading-zero loss)
+    *  - h/w are invisible (state unchanged ⇒ same codes across them
+    *    collapse); vowels+y reset `prev` (codes across them repeat);
+    *    a code equal to `prev` collapses; otherwise it appends (up to 3)
+    *  - result padded right with 0 to letter + 3 digits
+    *
+    * Every step is exact small-integer arithmetic — bit-identical
+    * anywhere; codes come from one `translate` over a planted 26-char
+    * map (h/w marked 7). */
+  def soundex(name: Column): Column = {
+    val codeMap = "01230127022455012623017202" // a..z; h/w → the 7 marker
+    val letters = filter(split(lower(name), ""),
+      ch => ch >= lit("a") && ch <= lit("z"))
+    letBind(letters) { ls =>
+      val codes = transform(ls,
+        ch => translate(ch, "abcdefghijklmnopqrstuvwxyz", codeMap)
+          .cast("int"))
+      val first = element_at(ls, 1)
+      val init = element_at(codes, 1) * lit(10000)
+      val folded = aggregate(
+        slice(codes, lit(2), greatest(size(codes) - 1, lit(0))), init,
+        (st, c) => {
+          val prev = floor(st / lit(10000)).cast("int")
+          val rest = pmod(st, lit(10000))
+          val l = floor(rest / lit(1000)).cast("int")
+          val d = pmod(st, lit(1000))
+          when(c === 7, st)                       // h/w: invisible
+            .when(c === 0, rest)                  // vowel: prev := 0
+            .when(c === prev, st)                 // repeat: collapse
+            .when(l === 3, c * lit(10000) + rest) // full: track prev only
+            .otherwise(c * lit(10000) + (l + lit(1)) * lit(1000) +
+              d * lit(10) + c)
+        })
+      when(size(ls) === 0, lit(null).cast("string"))
+        .otherwise(concat(upper(first),
+          rpad(when(pmod(folded, lit(10000)) < 1000, lit(""))
+            .otherwise(pmod(folded, lit(1000)).cast("string")), 3, "0")))
+    }
+  }
+
   /** Exact-integer polynomial hash of a WHOLE string: base 257 mod 1e9+7
     * as a seeded left fold, so every intermediate is `< 258 * (1e9+7)` —
     * exact in a `Long` on any engine, and replayable in SQL as a

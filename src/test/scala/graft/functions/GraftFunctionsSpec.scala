@@ -50,7 +50,7 @@ class GraftFunctionsSpec extends SparkFunSuite {
         "quantize_int8", "dequant_int8", "token_count", "subword_count",
         "quality_score", "lang_guess", "doc_fingerprint", "char_jaccard",
         "simhash64", "redact_pii", "dup_token_ratio", "winnow_fp", "poly_hash",
-        "canonical_url",
+        "soundex_code", "canonical_url",
         "top_k", "hll_sketch", "hll_merge", "hll_estimate", "freq_items",
         "cm_sketch", "cm_merge", "cm_query", "qs_sketch", "qs_merge",
         "qs_query", "funnel_stage", "token_windows", "content_chunks",

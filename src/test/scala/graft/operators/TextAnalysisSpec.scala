@@ -196,4 +196,24 @@ class TextAnalysisSpec extends SparkFunSuite {
     // vowel-free words: y counts as a vowel, pure consonants floor at 1
     assert(got(2).getLong(2) == 2L && got(2).getLong(3) == 2L)
   }
+
+  test("soundex: census textbook cases, h/w collapse, resets, padding, nulls") {
+    val cases = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163",   // the classic pair
+      "Ashcraft" -> "A261",                     // c,h,c collapses across h
+      "Ashcroft" -> "A261",
+      "Tymczak" -> "T522",                      // y resets; cz collapses
+      "Pfister" -> "P236",                      // p,f share code 1 with the head
+      "Honeyman" -> "H555",                     // h head; vowel resets repeat n
+      "A" -> "A000", "Lee" -> "L000",           // padding
+      "O'Brien-42" -> "O165",                   // non-letters dropped
+      "123" -> null, "" -> null)                // no letters -> NULL
+    val got = cases.zipWithIndex
+      .map { case ((in, _), i) => (i, in) }.toDF("i", "name")
+      .select(col("i"), TextAnalysis.soundex(col("name")).as("sx"))
+      .orderBy("i").collect().map(r => if (r.isNullAt(1)) null else r.getString(1))
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) == want, s"soundex('$in'): got ${got(i)}, want $want")
+    }
+  }
 }
