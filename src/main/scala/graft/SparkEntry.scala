@@ -2473,6 +2473,24 @@ object SparkEntry {
       Experiment.poissonBootstrapMean(ev, Seq("event_type"), "event_id",
         "value", reps = 64, loIdx = 2, hiIdx = 63).orderBy("event_type")
     }),
+    // Mantel-Haenszel pooled odds ratio over nation strata: unit = user,
+    // treated = the q176 md5 arm, outcome = any event value > 50 (exact
+    // decimal max), stratum = the user's nation — does treatment
+    // associate with the outcome once geography is held fixed?
+    "q297_mantel_haenszel" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val units = t.events
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(max(col("value").cast("decimal(18,6)")).as("_mx"))
+        .select(col("user_id"),
+          (substring(md5(concat(col("user_id").cast("string"), lit(":ab"))),
+            1, 1) >= "8").as("treated"),
+          (col("_mx") > lit(50L).cast("decimal(18,6)")).as("outcome"))
+        .join(t.customer.select(col("c_custkey").as("user_id"),
+          col("c_nationkey")), Seq("user_id"))
+      Experiment.mantelHaenszel(units, "c_nationkey", "treated", "outcome")
+    }),
     // American Soundex phonetic keys (census / Knuth rules) over each
     // document's first token — the classic linkage blocking key, own
     // integer-state-fold implementation so the oracle replays the exact
@@ -7690,6 +7708,82 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q297: exact 2x2 cells per stratum, the six pooled sums as
+    // stratum-ordered list folds, one fixed chain per output, 6dp floor;
+    // z divides the ROUNDED log_or by the ROUNDED se (mirroring the
+    // operator exactly)
+    "q297_mantel_haenszel" ->
+      """WITH u AS (SELECT user_id, max(CAST(value AS DECIMAL(18,6))) AS mx
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1),
+        |units AS (SELECT u.user_id,
+        |    substr(md5(CAST(u.user_id AS VARCHAR) || ':ab'), 1, 1) >= '8'
+        |      AS treated,
+        |    mx > CAST(50 AS DECIMAL(18,6)) AS outcome,
+        |    c.c_nationkey AS st
+        |  FROM u JOIN customer c ON c.c_custkey = u.user_id),
+        |cells AS (SELECT st,
+        |    sum(CASE WHEN treated AND outcome THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN treated AND NOT outcome THEN 1 ELSE 0 END) AS b,
+        |    sum(CASE WHEN NOT treated AND outcome THEN 1 ELSE 0 END) AS c,
+        |    sum(CASE WHEN NOT treated AND NOT outcome THEN 1 ELSE 0 END) AS d
+        |  FROM units GROUP BY 1),
+        |terms AS (SELECT st,
+        |    CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / CAST(a + b + c + d AS DOUBLE) AS r,
+        |    CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |      / CAST(a + b + c + d AS DOUBLE) AS s2,
+        |    (CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE))
+        |      * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |         / CAST(a + b + c + d AS DOUBLE)) AS pr,
+        |    (CAST(b + c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE))
+        |      * (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |         / CAST(a + b + c + d AS DOUBLE)) AS qs,
+        |    (CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE))
+        |      * (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |         / CAST(a + b + c + d AS DOUBLE))
+        |    + (CAST(b + c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE))
+        |      * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        |         / CAST(a + b + c + d AS DOUBLE)) AS mid,
+        |    a + b + c + d AS nu
+        |  FROM cells),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(nu) AS BIGINT) AS n_units,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(r ORDER BY st)), (x, y) -> x + y) AS rs,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(s2 ORDER BY st)), (x, y) -> x + y) AS ss,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(pr ORDER BY st)), (x, y) -> x + y) AS prs,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(qs ORDER BY st)), (x, y) -> x + y) AS qss,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(mid ORDER BY st)), (x, y) -> x + y) AS mids
+        |  FROM terms),
+        |o AS (SELECT n_strata, n_units,
+        |    CASE WHEN rs > CAST(0 AS DOUBLE) AND ss > CAST(0 AS DOUBLE)
+        |      THEN floor((rs / ss) * CAST(1000000 AS DOUBLE)
+        |        + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)
+        |    END AS or_mh,
+        |    CASE WHEN rs > CAST(0 AS DOUBLE) AND ss > CAST(0 AS DOUBLE)
+        |      THEN floor(ln(rs / ss) * CAST(1000000 AS DOUBLE)
+        |        + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)
+        |    END AS log_or,
+        |    CASE WHEN rs > CAST(0 AS DOUBLE) AND ss > CAST(0 AS DOUBLE)
+        |      THEN floor(sqrt(
+        |          prs / (CAST(2 AS DOUBLE) * rs * rs)
+        |          + mids / (CAST(2 AS DOUBLE) * rs * ss)
+        |          + qss / (CAST(2 AS DOUBLE) * ss * ss))
+        |        * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |        / CAST(1000000 AS DOUBLE)
+        |    END AS se_log_or
+        |  FROM f)
+        |SELECT n_strata, n_units, or_mh, log_or, se_log_or,
+        |  CASE WHEN se_log_or > CAST(0 AS DOUBLE)
+        |    THEN floor((log_or / se_log_or) * CAST(1000000 AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)
+        |  END AS z
+        |FROM o""".stripMargin,
     // q296: the integer-state soundex fold replayed literally — the
     // state is prev·10⁴ + L·10³ + digits, h/w marked 7 in the translate
     // map, vowels reset prev, repeats collapse

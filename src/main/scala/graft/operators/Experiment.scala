@@ -578,6 +578,91 @@ object Experiment {
         col("boot_lo"), col("boot_hi")): _*)
   }
 
+  /** Mantel–Haenszel pooled odds ratio (Mantel & Haenszel, JNCI 1959)
+    * with the Robins–Breslow–Greenland SE (Biometrics 1986) — THE
+    * stratified 2×2 readout: does treatment associate with the outcome
+    * once a confounder (the stratum) is held fixed? Completes the
+    * stratified set next to [[stratifiedAte]] (means) and
+    * [[srmCheck]]/[[abReport]] (marginal rates).
+    *
+    *   OR_MH = Σᵢ aᵢdᵢ/nᵢ ÷ Σᵢ bᵢcᵢ/nᵢ  (= R/S)
+    *   var(ln OR) = ΣPR/(2R²) + Σ(PS+QR)/(2RS) + ΣQS/(2S²)
+    *
+    * with per-stratum P = (a+d)/n, Q = (b+c)/n, R = ad/n, S = bc/n.
+    *
+    * Determinism: the four cells are exact integers from ONE
+    * aggregation; every per-stratum term is a fixed IEEE shape of
+    * them; the six pooled sums fold in stratum order over one sorted
+    * collect (strata are a confounder's vocabulary — bounded by
+    * contract); `or_mh`/`log_or`/`se_log_or`/`z` are single fixed
+    * chains over the six sums, 6dp floor-rounded (the ln-seam
+    * convention). Degenerate pooling (R = 0 or S = 0 — some cell empty
+    * in EVERY stratum) nulls the ratio fields rather than emitting
+    * ±∞; zero variance nulls `z`.
+    *
+    * Scale shape: one (stratum, treated, outcome)-keyed count
+    * aggregation (map-side combined, ≤ 4·|strata| rows), one pivot to
+    * 2×2 rows, one 1-row fold. Input is UNIT-LEVEL (dedupe users
+    * upstream — this operator must not guess the unit).
+    *
+    * Output: ONE row `(n_strata, n_units, or_mh, log_or, se_log_or,
+    * z)`. */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+                     treatedCol: String, outcomeCol: String): DataFrame = {
+    val cells = df
+      .filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).as("_st"))
+      .agg(
+        sum(when(col(treatedCol) && col(outcomeCol), 1L)
+          .otherwise(0L)).as("_a"),
+        sum(when(col(treatedCol) && !col(outcomeCol), 1L)
+          .otherwise(0L)).as("_b"),
+        sum(when(!col(treatedCol) && col(outcomeCol), 1L)
+          .otherwise(0L)).as("_c"),
+        sum(when(!col(treatedCol) && !col(outcomeCol), 1L)
+          .otherwise(0L)).as("_d"))
+    def dbl(c: Column): Column = c.cast("double")
+    val folded = cells
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("_a") + col("_b") + col("_c") + col("_d")).as("n_units"),
+        sort_array(collect_list(struct(col("_st"), col("_a"), col("_b"),
+          col("_c"), col("_d")))).as("_cl"))
+    // six pooled sums, each a stratum-ordered left fold from 0.0
+    def fold(term: Column => Column): Column =
+      aggregate(col("_cl"), lit(0.0), (acc, s) => acc + term(s))
+    def n(s: Column): Column = dbl(s("_a") + s("_b") + s("_c") + s("_d"))
+    val rSum = fold(s => dbl(s("_a")) * dbl(s("_d")) / n(s))
+    val sSum = fold(s => dbl(s("_b")) * dbl(s("_c")) / n(s))
+    val prSum = fold(s => (dbl(s("_a") + s("_d")) / n(s)) *
+      (dbl(s("_a")) * dbl(s("_d")) / n(s)))
+    val qsSum = fold(s => (dbl(s("_b") + s("_c")) / n(s)) *
+      (dbl(s("_b")) * dbl(s("_c")) / n(s)))
+    val midSum = fold(s =>
+      (dbl(s("_a") + s("_d")) / n(s)) * (dbl(s("_b")) * dbl(s("_c")) / n(s)) +
+      (dbl(s("_b") + s("_c")) / n(s)) * (dbl(s("_a")) * dbl(s("_d")) / n(s)))
+    def rf6(c: Column): Column = graft.functions.ExactRound.roundFloor(c, 6)
+    folded
+      .select(col("n_strata"), col("n_units"),
+        rSum.as("_r"), sSum.as("_s"), prSum.as("_pr"), qsSum.as("_qs"),
+        midSum.as("_mid"))
+      .select(col("n_strata"), col("n_units"),
+        when(col("_r") > 0.0 && col("_s") > 0.0,
+          rf6(col("_r") / col("_s"))).as("or_mh"),
+        when(col("_r") > 0.0 && col("_s") > 0.0,
+          rf6(log(col("_r") / col("_s")))).as("log_or"),
+        when(col("_r") > 0.0 && col("_s") > 0.0,
+          rf6(sqrt(
+            col("_pr") / (lit(2.0) * col("_r") * col("_r")) +
+            col("_mid") / (lit(2.0) * col("_r") * col("_s")) +
+            col("_qs") / (lit(2.0) * col("_s") * col("_s")))))
+          .as("se_log_or"))
+      .select(col("n_strata"), col("n_units"), col("or_mh"), col("log_or"),
+        col("se_log_or"),
+        when(col("se_log_or") > 0.0,
+          rf6(col("log_or") / col("se_log_or"))).otherwise(lit(null))
+          .as("z"))
+  }
+
   def mannWhitney(df: DataFrame, armCol: String, valueCol: String,
                   armA: String, armB: String): DataFrame = {
     require(armA != armB, "the two arms must differ")

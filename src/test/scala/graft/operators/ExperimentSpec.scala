@@ -278,6 +278,32 @@ class ExperimentSpec extends SparkFunSuite {
     assert(oneArm.getLong(1) == 0L && oneArm.isNullAt(5))
   }
 
+  test("mantelHaenszel: hand-folded two-stratum OR/RBG-SE; degenerate pooling nulls") {
+    def rf6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def stratum(st: Long, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((st, true, true)) ++ Seq.fill(b)((st, true, false)) ++
+        Seq.fill(c)((st, false, true)) ++ Seq.fill(d)((st, false, false))
+    // two strata, each (a,b,c,d) with n = 10: R = 2.4, S = 0.4, OR = 6;
+    // P = .7, Q = .3 per stratum → var = 1.68/11.52 + 1.0/1.92 + .12/.32
+    val rows = stratum(1L, 4, 1, 2, 3) ++ stratum(2L, 3, 2, 1, 4)
+    val got = Experiment.mantelHaenszel(
+      rows.toDF("st", "treated", "outcome"), "st", "treated", "outcome")
+      .collect()(0)
+    assert(got.getLong(0) == 2L && got.getLong(1) == 20L)
+    assert(got.getDouble(2) == 6.0)
+    assert(got.getDouble(3) == rf6(math.log(6.0)))
+    val se = rf6(math.sqrt(1.68 / 11.52 + 1.0 / 1.92 + 0.12 / 0.32))
+    assert(got.getDouble(4) == se)
+    assert(got.getDouble(5) == rf6(rf6(math.log(6.0)) / se))
+    // S = 0 in every stratum (no discordant b·c pairs anywhere): ratio
+    // fields null instead of infinity
+    val degen = stratum(1L, 3, 0, 0, 3) ++ stratum(2L, 2, 0, 0, 2)
+    val g2 = Experiment.mantelHaenszel(
+      degen.toDF("st", "treated", "outcome"), "st", "treated", "outcome")
+      .collect()(0)
+    assert(g2.getLong(0) == 2L && g2.isNullAt(2) && g2.isNullAt(5))
+  }
+
   test("poissonBootstrapMean: exact point mean, CI brackets, zero-weight reps drop") {
     val rows = (1L to 40L).map(i => ("g", i, i.toDouble)) ++
       Seq(("tiny", 1000L, 5.0))
