@@ -2473,6 +2473,20 @@ object SparkEntry {
       Experiment.poissonBootstrapMean(ev, Seq("event_type"), "event_id",
         "value", reps = 64, loIdx = 2, hiIdx = 63).orderBy("event_type")
     }),
+    // Cohen's d / Hedges' g standardized effect size between the q176 md5
+    // arms on per-user exact-decimal value sums — every output one fixed
+    // IEEE chain over six exact sums, no rounding anywhere.
+    "q298_cohens_d" -> ((s, dir) => {
+      val units = Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(coalesce(col("value").cast("decimal(18,6)"),
+          lit(0L).cast("decimal(18,6)"))).as("y"))
+        .select(when(substring(md5(concat(col("user_id").cast("string"),
+          lit(":ab"))), 1, 1) >= "8", "treat").otherwise("ctrl").as("arm"),
+          col("y"))
+      Experiment.cohensD(units, "arm", "y", "treat", "ctrl")
+    }),
     // Mantel-Haenszel pooled odds ratio over nation strata: unit = user,
     // treated = the q176 md5 arm, outcome = any event value > 50 (exact
     // decimal max), stratum = the user's nation — does treatment
@@ -7708,6 +7722,59 @@ object SparkEntry {
         |  FROM cand)
         |SELECT l_id, CAST(rank AS INTEGER) AS rank, r_id, dist_sq
         |FROM r WHERE rank <= 3 ORDER BY l_id, rank""".stripMargin,
+    // q298: six exact sums (n/Σv/Σv² per arm on the micro seam), then the
+    // d/g chains mirrored division-for-division — no rounding
+    "q298_cohens_d" ->
+      """WITH u AS (SELECT user_id,
+        |    sum(CAST(coalesce(CAST(value AS DECIMAL(18,6)), 0)
+        |      AS DECIMAL(18,6))) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |units AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)
+        |      || ':ab'), 1, 1) >= '8' THEN 'treat' ELSE 'ctrl' END AS arm,
+        |    CAST(CAST(y AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS v
+        |  FROM u),
+        |s AS (SELECT arm = 'treat' AS isa, count(*) AS n, sum(v) AS sv,
+        |    sum(v * v) AS ssv
+        |  FROM units GROUP BY 1),
+        |p AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN isa THEN n END), 0) AS BIGINT) AS n_a,
+        |    CAST(coalesce(sum(CASE WHEN NOT isa THEN n END), 0) AS BIGINT)
+        |      AS n_b,
+        |    sum(CASE WHEN isa THEN sv END) AS sa,
+        |    sum(CASE WHEN NOT isa THEN sv END) AS sb,
+        |    sum(CASE WHEN isa THEN ssv END) AS ssa,
+        |    sum(CASE WHEN NOT isa THEN ssv END) AS ssb
+        |  FROM s),
+        |c AS (SELECT n_a, n_b,
+        |    CAST(sa AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |      / CAST(n_a AS DOUBLE) AS mean_a,
+        |    CAST(sb AS DOUBLE) / CAST(1000000 AS DOUBLE)
+        |      / CAST(n_b AS DOUBLE) AS mean_b,
+        |    sqrt((
+        |      (CAST(ssa AS DOUBLE) / CAST(1000000000000 AS DOUBLE)
+        |        - (CAST(sa AS DOUBLE) / CAST(1000000 AS DOUBLE))
+        |          * (CAST(sa AS DOUBLE) / CAST(1000000 AS DOUBLE))
+        |          / CAST(n_a AS DOUBLE))
+        |      + (CAST(ssb AS DOUBLE) / CAST(1000000000000 AS DOUBLE)
+        |        - (CAST(sb AS DOUBLE) / CAST(1000000 AS DOUBLE))
+        |          * (CAST(sb AS DOUBLE) / CAST(1000000 AS DOUBLE))
+        |          / CAST(n_b AS DOUBLE)))
+        |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+        |         - CAST(2 AS DOUBLE))) AS sp
+        |  FROM p)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN mean_a END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN mean_b END AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN sp END AS pooled_sd,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND sp > CAST(0 AS DOUBLE)
+        |    THEN (mean_a - mean_b) / sp END AS cohens_d,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND sp > CAST(0 AS DOUBLE)
+        |    THEN (CAST(1 AS DOUBLE) - CAST(3 AS DOUBLE)
+        |        / (CAST(4 AS DOUBLE) * (CAST(n_a AS DOUBLE)
+        |           + CAST(n_b AS DOUBLE) - CAST(2 AS DOUBLE))
+        |           - CAST(1 AS DOUBLE)))
+        |      * ((mean_a - mean_b) / sp) END AS hedges_g
+        |FROM c""".stripMargin,
     // q297: exact 2x2 cells per stratum, the six pooled sums as
     // stratum-ordered list folds, one fixed chain per output, 6dp floor;
     // z divides the ROUNDED log_or by the ROUNDED se (mirroring the

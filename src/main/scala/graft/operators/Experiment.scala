@@ -578,6 +578,63 @@ object Experiment {
         col("boot_lo"), col("boot_hi")): _*)
   }
 
+  /** Cohen's d standardized effect size (Cohen 1988) with Hedges' g
+    * small-sample correction (Hedges 1981) — the continuous companion
+    * to [[abReport]]'s rate lift: HOW BIG is the arm difference in
+    * pooled-standard-deviation units, comparable across metrics?
+    *
+    *   d = (x̄_A − x̄_B) / s_p,   s_p² = ((n_A−1)s_A² + (n_B−1)s_B²) / df
+    *   g = J·d,  J = 1 − 3/(4·df − 1),  df = n_A + n_B − 2
+    *
+    * Determinism: per-arm n / Σv / Σv² are exact integers on the
+    * micro-unit seam (|value| ≤ 10³ with ≤ 6 decimals keeps Σv² inside
+    * decimal(38,0) for ~10⁶ rows per arm at the extreme); every output
+    * is one fixed IEEE chain over the six sums (division, subtraction,
+    * sqrt — all correctly rounded), so no rounding is applied anywhere.
+    * Arms with n < 2, or a zero pooled SD (both arms constant), null
+    * the effect fields rather than dividing by zero. Input is
+    * UNIT-LEVEL (aggregate events upstream); rows outside the two
+    * named arms or with null values are ignored.
+    *
+    * Scale shape: ONE map-side-combined aggregation to two 3-sum rows;
+    * everything after is a 1-row pivot. Output: ONE row `(n_a, n_b,
+    * mean_a, mean_b, pooled_sd, cohens_d, hedges_g)`. */
+  def cohensD(df: DataFrame, armCol: String, valueCol: String,
+              armA: String, armB: String): DataFrame = {
+    require(armA != armB, "the two arms must differ")
+    val v = (col(valueCol).cast("decimal(18,6)") * 1000000L)
+      .cast("decimal(38,0)")
+    val sums = df
+      .filter(col(armCol).isin(armA, armB) && col(valueCol).isNotNull)
+      .groupBy((col(armCol) === armA).as("_isA"))
+      .agg(count(lit(1)).as("_n"), sum(v).as("_s"), sum(v * v).as("_ss"))
+    val piv = sums.agg(
+      coalesce(sum(when(col("_isA"), col("_n"))), lit(0L)).as("n_a"),
+      coalesce(sum(when(!col("_isA"), col("_n"))), lit(0L)).as("n_b"),
+      sum(when(col("_isA"), col("_s"))).as("_sa"),
+      sum(when(!col("_isA"), col("_s"))).as("_sb"),
+      sum(when(col("_isA"), col("_ss"))).as("_ssa"),
+      sum(when(!col("_isA"), col("_ss"))).as("_ssb"))
+    def dbl(c: Column): Column = c.cast("double")
+    def mean(s: String, n: String): Column =
+      dbl(col(s)) / lit(1.0e6) / dbl(col(n))
+    // sample variance from exact sums: (Σv²/1e12 − (Σv/1e6)²/n)/(n−1)
+    def ss(s: String, ssq: String, n: String): Column =
+      dbl(col(ssq)) / lit(1.0e12) -
+        (dbl(col(s)) / lit(1.0e6)) * (dbl(col(s)) / lit(1.0e6)) / dbl(col(n))
+    val dfree = dbl(col("n_a")) + dbl(col("n_b")) - lit(2.0)
+    val sp = sqrt((ss("_sa", "_ssa", "n_a") + ss("_sb", "_ssb", "n_b")) / dfree)
+    val d = (mean("_sa", "n_a") - mean("_sb", "n_b")) / sp
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * dfree - lit(1.0))
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L && sp > 0.0
+    piv.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0L, mean("_sa", "n_a")).as("mean_a"),
+      when(col("n_b") > 0L, mean("_sb", "n_b")).as("mean_b"),
+      when(col("n_a") >= 2L && col("n_b") >= 2L, sp).as("pooled_sd"),
+      when(ok, d).as("cohens_d"),
+      when(ok, j * d).as("hedges_g"))
+  }
+
   /** Mantel–Haenszel pooled odds ratio (Mantel & Haenszel, JNCI 1959)
     * with the Robins–Breslow–Greenland SE (Biometrics 1986) — THE
     * stratified 2×2 readout: does treatment associate with the outcome

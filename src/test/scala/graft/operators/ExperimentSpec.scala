@@ -278,6 +278,32 @@ class ExperimentSpec extends SparkFunSuite {
     assert(oneArm.getLong(1) == 0L && oneArm.isNullAt(5))
   }
 
+  test("cohensD: hand-computed effect, Hedges correction, degenerate nulls") {
+    // arm A = {1, 2, 3}, arm B = {5, 7}: means 2 and 6; ss_a = 2, ss_b = 2;
+    // sp = sqrt(4/3); d = -4/sp; J = 1 - 3/11
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 7.0),
+      ("other", 99.0)).toDF("arm", "y")
+    val g = Experiment.cohensD(df, "arm", "y", "a", "b").collect()(0)
+    assert(g.getLong(0) == 3L && g.getLong(1) == 2L)
+    assert(g.getDouble(2) == 2.0 && g.getDouble(3) == 6.0)
+    val sp = math.sqrt((2.0 + 2.0) / 3.0)
+    assert(g.getDouble(4) == sp)
+    assert(g.getDouble(5) == (2.0 - 6.0) / sp)
+    assert(g.getDouble(6) == (1.0 - 3.0 / 11.0) * ((2.0 - 6.0) / sp))
+    // both arms constant -> zero pooled sd -> null effects, not Infinity
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 3.0), ("b", 3.0))
+      .toDF("arm", "y")
+    val c = Experiment.cohensD(const, "arm", "y", "a", "b").collect()(0)
+    assert(c.getDouble(4) == 0.0 && c.isNullAt(5) && c.isNullAt(6))
+    // a 1-row arm cannot estimate variance
+    val tiny = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("arm", "y")
+    val t = Experiment.cohensD(tiny, "arm", "y", "a", "b").collect()(0)
+    assert(t.isNullAt(4) && t.isNullAt(5))
+    intercept[IllegalArgumentException] {
+      Experiment.cohensD(df, "arm", "y", "a", "a")
+    }
+  }
+
   test("mantelHaenszel: hand-folded two-stratum OR/RBG-SE; degenerate pooling nulls") {
     def rf6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     def stratum(st: Long, a: Int, b: Int, c: Int, d: Int) =
