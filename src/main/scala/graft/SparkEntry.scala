@@ -2444,7 +2444,10 @@ object SparkEntry {
     }),
     // sf1.0 heavy-tail s-variants (the q182s/q217s/q237s convention):
     // q286/q287/q292 price at 10.8/14.3/16.6 s on the sf1.0 decade, so
-    // each gets a 25% md5-sampled twin the driver's gate can run instead
+    // each gets an md5-sampled twin the driver's gate can run instead —
+    // 25%, except q286s at 50% ("80"): wedges are quadratic in the
+    // sample, and 25% left sf0.001 with zero cn >= 2 pairs (see
+    // linkPredictionOracleSql's note)
     "q286s_link_prediction_sampled" -> ((s, dir) => {
       val li = Tables(s, dir).lineitem
         .filter(col("l_orderkey") % 20 === 0 &&
@@ -8893,8 +8896,10 @@ object SparkEntry {
         |         OR b.order_day < a.order_day))
         |ORDER BY a.o_orderkey""".stripMargin,
     // q252: the three rounds unrolled HUGEINT-for-HUGEINT; the sign
-    // split keeps every // on non-negative operands (Spark div
-    // truncates toward 0, DuckDB // floors — equal only there)
+    // split keeps every // on non-negative operands (belt and braces:
+    // Spark div and DuckDB integer // BOTH truncate toward zero, so
+    // they agree on all signs — the split documents intent, it is not
+    // a semantic need)
     "q252_power_iteration" -> {
       val rounds = (1 to 3).map { i =>
         val prev = if (i == 1) "v0" else s"v${i - 1}"

@@ -540,6 +540,13 @@ object Experiment {
       .select(gcols ++ Seq(col(idCol).cast("string").as("_bid"),
         (col(valueCol).cast("decimal(18,6)") * 1000000L)
           .cast("long").as("_v")): _*)
+      // a value overflowing the decimal(18,6) micro-unit seam would cast
+      // to NULL post-filter and silently drop out of the replicate sums
+      // while count still counted the row — fail LOUDLY instead (the
+      // plattScale |score| guard, in-plan form: no extra job)
+      .filter(assert_true(col("_v").isNotNull,
+        lit(s"poissonBootstrapMean: $valueCol overflows the decimal(18,6)" +
+          " micro-unit seam (needs |value| < 1e12 at 6dp)")).isNull)
       .localCheckpoint(false) // feeds the point estimate AND the replicates
     val point = rows.groupBy(gcols: _*)
       .agg(count(lit(1)).as("n_rows"),
@@ -606,6 +613,13 @@ object Experiment {
       .cast("decimal(38,0)")
     val sums = df
       .filter(col(armCol).isin(armA, armB) && col(valueCol).isNotNull)
+      // enforce the documented |value| bound: an overflowing decimal(18,6)
+      // cast yields NULL post-filter, dropping out of Σv/Σv² while
+      // count(lit(1)) still counts the row — a silently skewed mean/SD
+      // where the DuckDB oracle would raise. Loud in-plan guard instead.
+      .filter(assert_true(v.isNotNull,
+        lit(s"cohensD: $valueCol overflows the decimal(18,6) micro-unit" +
+          " seam (needs |value| < 1e12 at 6dp)")).isNull)
       .groupBy((col(armCol) === armA).as("_isA"))
       .agg(count(lit(1)).as("_n"), sum(v).as("_s"), sum(v * v).as("_ss"))
     val piv = sums.agg(

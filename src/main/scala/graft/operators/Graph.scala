@@ -1099,7 +1099,9 @@ object Graph {
       .filter(col("_a") < col("_b"))
     // integral DIV throughout: `/` on longs is DOUBLE division in Spark,
     // and a decimal cast would round HALF_UP — both cross-engine seams;
-    // DIV truncates, DuckDB // floors, identical on these positive values
+    // Spark DIV and DuckDB integer // both truncate toward zero
+    // (-7 // 2 = -3 in DuckDB too), so they agree on ALL signs — and the
+    // operands here are non-negative anyway
     val scored = pairs
       .groupBy(col("_a").as("_pu"), col("_b").as("_pv"))
       .agg(count(lit(1)).as("cn"),

@@ -289,14 +289,15 @@ object IvfIndex {
         .withColumn("cell_id", col("cell_id").cast("int")))
   }
 
-  /** Serve ANN top-k from prebuilt index tables (the output — schema,
-    * scores, tie-breaks — is exactly [[topK]]'s). Queries broadcast
-    * against the centroid array to pick their `nProbe` cells; the
-    * postings join is cell-keyed, so a partitioned on-disk index scans
-    * only the probed cells. */
-  def topKFromIndex(cents: DataFrame, indexed: DataFrame,
-                    queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
-    val probes = queries
+  /** Each query's `nProbe` nearest cells as `(query_id, query_vec,
+    * q_norm, cell_id)` — the probe-selection half every IVF server
+    * shares ([[topKFromIndex]], [[topKQuantized]], [[Pq.topKFromIvf]]).
+    * Shuffle-free: one broadcast of the packed centroid array, one
+    * narrow argsort per query (ties break on cell_id, the
+    * [[distPairs]] struct order). */
+  private[operators] def probeCells(queries: DataFrame, cents: DataFrame,
+                                    nProbe: Int): DataFrame =
+    queries
       .select(col("query_id"), col("query_vec"), l2Norm(col("query_vec")).as("q_norm"))
       .crossJoin(broadcast(cellsAsArray(cents)))
       .withColumn("_vn2", VecDot.dot(col("query_vec"), col("query_vec")))
@@ -304,6 +305,15 @@ object IvfIndex {
         explode(slice(array_sort(distPairs(col("query_vec"), col("_vn2"))), 1, nProbe)))
       .select(col("query_id"), col("query_vec"), col("q_norm"),
         col("_probe.id").as("cell_id"))
+
+  /** Serve ANN top-k from prebuilt index tables (the output — schema,
+    * scores, tie-breaks — is exactly [[topK]]'s). Queries broadcast
+    * against the centroid array to pick their `nProbe` cells; the
+    * postings join is cell-keyed, so a partitioned on-disk index scans
+    * only the probed cells. */
+  def topKFromIndex(cents: DataFrame, indexed: DataFrame,
+                    queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val probes = probeCells(queries, cents, nProbe)
     val scored = indexed.join(probes, Seq("cell_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("c_vec"), col("query_vec")) / (col("c_norm") * col("q_norm"))).as("score"))
@@ -335,14 +345,7 @@ object IvfIndex {
     val cents = centroids(qz, "neighbor_id", "c_vec", nCells, iters)
     val indexed = assignCells(
       qz.withColumn("c_norm", l2Norm(col("c_vec"))), cents, "c_vec")
-    val probes = queries
-      .select(col("query_id"), col("query_vec"), l2Norm(col("query_vec")).as("q_norm"))
-      .crossJoin(broadcast(cellsAsArray(cents)))
-      .withColumn("_vn2", VecDot.dot(col("query_vec"), col("query_vec")))
-      .withColumn("_probe",
-        explode(slice(array_sort(distPairs(col("query_vec"), col("_vn2"))), 1, nProbe)))
-      .select(col("query_id"), col("query_vec"), col("q_norm"),
-        col("_probe.id").as("cell_id"))
+    val probes = probeCells(queries, cents, nProbe)
     val approx = indexed.join(probes, Seq("cell_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("c_vec"), col("query_vec")) / (col("c_norm") * col("q_norm")))

@@ -247,8 +247,14 @@ object Linkage {
                    fields: Seq[String], weights: DataFrame): DataFrame = {
     require(fields.nonEmpty, "fields must be non-empty")
     val w = weights.select("field", "w_agree", "w_dis").collect()
-      .map(r => r.getString(0) ->
-        ((r.getDouble(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2))))
+      .map { r =>
+        // a NULL w_agree (e.g. weights computed from an empty records
+        // table) must fail loudly and named, not as a bare NPE in getDouble
+        require(!r.isNullAt(1),
+          s"weights row for field ${r.getString(0)} has NULL w_agree")
+        r.getString(0) ->
+          ((r.getDouble(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+      }
       .toMap
     val missing = fields.filterNot(w.contains)
     require(missing.isEmpty,

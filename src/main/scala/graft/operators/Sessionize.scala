@@ -944,7 +944,10 @@ object Sessionize {
       .localCheckpoint(true) // vocabulary²-sized; variants re-read it
     val channels = cnt.select(col("src").as("_ch"))
       .filter(!col("_ch").startsWith("~")).distinct()
-    val variants = cnt.crossJoin(channels)
+    // channels is the channel vocabulary — tiny by contract, and AQE
+    // would broadcast it anyway; hint it so the plan cannot degrade to a
+    // shuffle cross product if the vocabulary contract is ever violated
+    val variants = cnt.crossJoin(broadcast(channels))
       .filter(col("src") =!= col("_ch"))
       .select(col("_ch").as("variant"), col("src"),
         when(col("dst") === col("_ch"), lit("~null")).otherwise(col("dst"))

@@ -91,8 +91,10 @@ object StreamStage {
    * Stage an ORDERED sequence of inputs, one subdirectory per part,
    * written sequentially so the file-source's (mtime, path) ordering
    * replays them as micro-batches in EXACTLY this order under
-   * `maxFilesPerTrigger = 1` (subdir names p0 < p1 < … break any mtime
-   * tie the same way). Use where batch CONTENT must be controlled —
+   * `maxFilesPerTrigger = 1` (subdir names are ZERO-PADDED — p000 <
+   * p001 < … — so the lexicographic mtime tie-break equals numeric
+   * order at any part count; bare p10 would sort before p2). Use where
+   * batch CONTENT must be controlled —
    * e.g. sentinel batches that advance the watermark past the real
    * data so append-mode state flushes deterministically. Read with
    * `readStream.parquet` over the `dir + "/" + "*"` glob plus
@@ -105,7 +107,7 @@ object StreamStage {
       staged.getOrElseUpdate(s"$key|$token", {
         val p = tempDir(s"graft_${key}_in")
         parts.zipWithIndex.foreach { case (df, i) =>
-          df().coalesce(1).write.mode("overwrite").parquet(s"$p/p$i")
+          df().coalesce(1).write.mode("overwrite").parquet(f"$p/p$i%03d")
         }
         p
       })
