@@ -2639,6 +2639,56 @@ object SparkEntry {
       val labels = Graph.louvain(edges, "a", "b", levels = 2, rounds = 3)
       Graph.modularity(edges, "a", "b", labels, "node", "label")
     }),
+    // 25% md5-sampled Louvain twins (the q182s/q217s/q237s s-variant
+    // convention): q271/q272 are the two most expensive battery rows at
+    // sf0.1 (~9-11 s; q272 re-runs the full ascent before scoring Q) and
+    // cost rounds × edges — the quarter-sampled order set bounds what an
+    // sf1.0 bench can be dominated by.
+    "q271s_louvain_sampled" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0 &&
+          oracleSampleAt(col("l_orderkey"), "40"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      Graph.louvain(edges, "a", "b", levels = 2, rounds = 3)
+        .orderBy("node")
+    }),
+    "q272s_louvain_modularity_sampled" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0 &&
+          oracleSampleAt(col("l_orderkey"), "40"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val labels = Graph.louvain(edges, "a", "b", levels = 2, rounds = 3)
+      Graph.modularity(edges, "a", "b", labels, "node", "label")
+    }),
+    // WEIGHTED Louvain over the same co-purchase graph, edges weighted
+    // by how many orders bought the pair together — the wCol regime
+    // q271 leaves unexercised end to end (its level 1 is all-unit
+    // weights; only the coarsened level 2 ran weighted before). Gains
+    // stay exact decimal(38,0) integers; the oracle's e0 carries the
+    // count and coarsens by sum(w).
+    "q300_louvain_weighted" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      Graph.louvain(edges, "a", "b", levels = 2, rounds = 3,
+          wCol = Some("w"))
+        .orderBy("node")
+    }),
     // Product quantization ANN (Jégou et al. 2011): 64-dim floats to
     // 4 codes of 4 bits (m=4 blocks, 16 cells), ADC lookup-table
     // scoring, exact cosine re-rank. The gate runs the whole-corpus
@@ -2651,6 +2701,22 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Pq.topK(t.embeddings, "vec_id", "embedding", q, k = 10, dim = 64,
           m = 4, kCells = 16, iters = 2, shortlistFactor = 1000000)
+        .orderBy("query_id", "rank")
+    }),
+    // IVFADC serving composition (Jégou et al. 2011 §IV): IVF coarse
+    // cells → residual PQ codes → ADC over the PROBED cells' postings
+    // only → exact re-rank — the deployment shape at 10⁹ vectors (q283
+    // alone is the whole-corpus ADC regime). Gated at full probe +
+    // corpus-covering shortlist, where the composition must reproduce
+    // brute force VERBATIM (q41's oracle); the nProbe < nCells recall
+    // trade is PqSpec's recall@10 row.
+    "q299_ann_ivfpq" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Pq.topKFromIvf(t.embeddings, "vec_id", "embedding", q, k = 10,
+          dim = 64, m = 4, kCells = 16, nCells = 16, nProbe = 16,
+          iters = 2, shortlistFactor = 1000000)
         .orderBy("query_id", "rank")
     }),
     // Z-order layout audit (Morton interleave, the OPTIMIZE ZORDER
@@ -5157,19 +5223,39 @@ object SparkEntry {
     (base +: rounds).mkString(",\n")
   }
 
-  /** Shared CTE chain for q271/q272: the parts-bought-together graph +
-    * TWO full Louvain levels (3 move rounds, min-member canonical
+  /** Shared CTE chain for q271/q272 (+ the q271s/q272s 25% md5-sampled
+    * twins and the q300 weighted form): the parts-bought-together graph
+    * + TWO full Louvain levels (3 move rounds, min-member canonical
     * relabel, coarsen to the weighted community graph with self-loops,
     * 3 weighted rounds), ending at `fin` = (node, label) over original
-    * part ids. Replays [[graft.operators.Graph.louvain]] exactly. */
+    * part ids. Replays [[graft.operators.Graph.louvain]] exactly.
+    * `weighted` = e0 carries the co-purchase COUNT as edge weight (the
+    * level-1 wCol regime) instead of DISTINCT w = 1; `sampleHex` = the
+    * `:osample` md5 order filter of the s-variant convention. */
   private def louvainOracleCtes: String =
+    louvainGraphOracleCtes(weighted = false, sampleHex = None)
+
+  private def louvainGraphOracleCtes(weighted: Boolean,
+                                     sampleHex: Option[String]): String = {
+    val sample = sampleHex.map(h =>
+      s"\n|    AND md5(CAST(l_orderkey AS VARCHAR) || ':osample') < '$h'")
+      .getOrElse("")
+    val e0 =
+      if (weighted)
+        """e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v,
+          |    CAST(count(*) AS HUGEINT) AS w
+          |  FROM li a JOIN li b ON a.ok = b.ok WHERE a.pk < b.pk
+          |  GROUP BY 1, 2)""".stripMargin
+      else
+        """e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v,
+          |    CAST(1 AS HUGEINT) AS w
+          |  FROM li a JOIN li b ON a.ok = b.ok WHERE a.pk < b.pk)"""
+          .stripMargin
     s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-       |  FROM lineitem WHERE l_orderkey % 20 = 0),
-       |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
-       |  FROM li a JOIN li b ON a.ok = b.ok WHERE a.pk < b.pk),
-       |sym1 AS MATERIALIZED (SELECT u AS a, v AS b,
-       |    CAST(1 AS HUGEINT) AS w FROM e0
-       |  UNION ALL SELECT v AS a, u AS b, CAST(1 AS HUGEINT) AS w FROM e0),
+       |  FROM lineitem WHERE l_orderkey % 20 = 0$sample),
+       |$e0,
+       |sym1 AS MATERIALIZED (SELECT u AS a, v AS b, w FROM e0
+       |  UNION ALL SELECT v AS a, u AS b, w FROM e0),
        |deg1 AS MATERIALIZED (SELECT a AS node, sum(w) AS k
        |  FROM sym1 GROUP BY 1),
        |mm AS (SELECT coalesce(sum(k), 0) AS m2 FROM deg1),
@@ -5179,7 +5265,7 @@ object SparkEntry {
        |m1 AS MATERIALIZED (SELECT l.node, cnA.c AS c1
        |  FROM lA3 l JOIN cnA ON cnA.label = l.label),
        |ce AS MATERIALIZED (SELECT least(mu.c1, mv.c1) AS u,
-       |    greatest(mu.c1, mv.c1) AS v, CAST(count(*) AS HUGEINT) AS w
+       |    greatest(mu.c1, mv.c1) AS v, CAST(sum(e0.w) AS HUGEINT) AS w
        |  FROM e0 JOIN m1 mu ON mu.node = e0.u
        |  JOIN m1 mv ON mv.node = e0.v GROUP BY 1, 2),
        |sym2 AS MATERIALIZED (SELECT u AS a, v AS b, w FROM ce WHERE u <> v
@@ -5194,13 +5280,54 @@ object SparkEntry {
        |fin AS MATERIALIZED (SELECT m1.node, cnB.c AS label
        |  FROM m1 JOIN lB3 l ON l.node = m1.c1
        |  JOIN cnB ON cnB.label = l.label)""".stripMargin
+  }
+
+  /** q272 tail (shared with q272s): exact Q·4m² fold over `fin`'s
+    * partition on the UNWEIGHTED e0 graph (level-1 weights are all 1 in
+    * those gates, so deg1 is plain degree and intra/m are edge counts). */
+  private def louvainModularityTailSql: String =
+    """degc AS (SELECT l.label AS lb,
+      |    CAST(CAST(sum(deg1.k) AS HUGEINT) AS BIGINT) AS dc,
+      |    CAST(count(*) AS BIGINT) AS nc
+      |  FROM deg1 JOIN fin l ON l.node = deg1.node GROUP BY 1),
+      |intra AS (SELECT lu.label AS lb, CAST(count(*) AS BIGINT) AS ec
+      |  FROM e0 JOIN fin lu ON lu.node = e0.u
+      |  JOIN fin lv ON lv.node = e0.v
+      |  WHERE lu.label = lv.label GROUP BY 1),
+      |emm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+      |per AS (SELECT degc.lb, degc.nc, degc.dc,
+      |    coalesce(intra.ec, 0) AS ec
+      |  FROM degc LEFT JOIN intra ON intra.lb = degc.lb),
+      |f AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+      |    CAST(sum(nc) AS BIGINT) AS n_nodes,
+      |    list(ec ORDER BY lb) AS lec, list(dc ORDER BY lb) AS ldc
+      |  FROM per)
+      |SELECT f.n_nodes, emm.m AS m_edges, f.n_communities,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |    list_transform(generate_series(1, len(f.lec)), i ->
+      |      CAST(4 AS HUGEINT) * emm.m * f.lec[i]
+      |        - CAST(f.ldc[i] AS HUGEINT) * f.ldc[i])),
+      |    (x, y) -> x + y) AS BIGINT) AS q_num_e,
+      |  CASE WHEN emm.m = 0 THEN NULL
+      |    ELSE CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      list_transform(generate_series(1, len(f.lec)), i ->
+      |        CAST(4 AS HUGEINT) * emm.m * f.lec[i]
+      |          - CAST(f.ldc[i] AS HUGEINT) * f.ldc[i])),
+      |      (x, y) -> x + y) AS DOUBLE)
+      |      / (CAST(4 AS DOUBLE) * CAST(emm.m AS DOUBLE)
+      |         * CAST(emm.m AS DOUBLE))
+      |  END AS modularity
+      |FROM f CROSS JOIN emm""".stripMargin
 
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     // q236: q206's oracle VERBATIM (shared by reference, not copy) — the
     // bucketed journey split must reproduce the plain-window attribution
     // integer-for-integer
     "q236_markov_attribution_bucketed" ->
-      oracleSqlBase("q206_markov_attribution")
+      oracleSqlBase("q206_markov_attribution"),
+    // q299: full-probe IVFADC must reproduce q283's brute-force oracle
+    // VERBATIM — same regime, same SQL
+    "q299_ann_ivfpq" -> oracleSqlBase("q283_ann_pq")
   )
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -7951,38 +8078,21 @@ object SparkEntry {
     // since level-1 weights are all 1)
     "q272_louvain_modularity" ->
       s"""WITH $louvainOracleCtes,
-         |degc AS (SELECT l.label AS lb,
-         |    CAST(CAST(sum(deg1.k) AS HUGEINT) AS BIGINT) AS dc,
-         |    CAST(count(*) AS BIGINT) AS nc
-         |  FROM deg1 JOIN fin l ON l.node = deg1.node GROUP BY 1),
-         |intra AS (SELECT lu.label AS lb, CAST(count(*) AS BIGINT) AS ec
-         |  FROM e0 JOIN fin lu ON lu.node = e0.u
-         |  JOIN fin lv ON lv.node = e0.v
-         |  WHERE lu.label = lv.label GROUP BY 1),
-         |emm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
-         |per AS (SELECT degc.lb, degc.nc, degc.dc,
-         |    coalesce(intra.ec, 0) AS ec
-         |  FROM degc LEFT JOIN intra ON intra.lb = degc.lb),
-         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
-         |    CAST(sum(nc) AS BIGINT) AS n_nodes,
-         |    list(ec ORDER BY lb) AS lec, list(dc ORDER BY lb) AS ldc
-         |  FROM per)
-         |SELECT f.n_nodes, emm.m AS m_edges, f.n_communities,
-         |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |    list_transform(generate_series(1, len(f.lec)), i ->
-         |      CAST(4 AS HUGEINT) * emm.m * f.lec[i]
-         |        - CAST(f.ldc[i] AS HUGEINT) * f.ldc[i])),
-         |    (x, y) -> x + y) AS BIGINT) AS q_num_e,
-         |  CASE WHEN emm.m = 0 THEN NULL
-         |    ELSE CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |      list_transform(generate_series(1, len(f.lec)), i ->
-         |        CAST(4 AS HUGEINT) * emm.m * f.lec[i]
-         |          - CAST(f.ldc[i] AS HUGEINT) * f.ldc[i])),
-         |      (x, y) -> x + y) AS DOUBLE)
-         |      / (CAST(4 AS DOUBLE) * CAST(emm.m AS DOUBLE)
-         |         * CAST(emm.m AS DOUBLE))
-         |  END AS modularity
-         |FROM f CROSS JOIN emm""".stripMargin,
+         |$louvainModularityTailSql""".stripMargin,
+    // q271s/q272s: the same two-level chain over the 25% md5 order
+    // sample (the s-variant convention — Louvain cost is rounds × edges,
+    // so the quarter graph bounds the sf1.0 exposure)
+    "q271s_louvain_sampled" ->
+      s"""WITH ${louvainGraphOracleCtes(weighted = false, sampleHex = Some("40"))}
+         |SELECT node, label FROM fin ORDER BY node""".stripMargin,
+    "q272s_louvain_modularity_sampled" ->
+      s"""WITH ${louvainGraphOracleCtes(weighted = false, sampleHex = Some("40"))},
+         |$louvainModularityTailSql""".stripMargin,
+    // q300: the weighted chain — e0 carries the co-purchase count, ce
+    // coarsens by sum(w); labels gate over original part ids
+    "q300_louvain_weighted" ->
+      s"""WITH ${louvainGraphOracleCtes(weighted = true, sampleHex = None)}
+         |SELECT node, label FROM fin ORDER BY node""".stripMargin,
     "q269_modularity" -> {
       val rounds = (1 to 3).map { i =>
         val prev = if (i == 1) "l0" else s"l${i - 1}"

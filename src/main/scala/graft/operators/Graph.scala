@@ -905,13 +905,20 @@ object Graph {
     * edges, usually tiny); all heavy lifting is level 1's edge-sized
     * joins, which [[louvainMoveRounds]] documents. */
   def louvain(edges: DataFrame, aCol: String, bCol: String,
-              levels: Int = 2, rounds: Int = 3): DataFrame = {
+              levels: Int = 2, rounds: Int = 3,
+              wCol: Option[String] = None): DataFrame = {
     require(levels >= 1, s"levels ($levels) must be >= 1")
+    // weighted input (wCol): parallel edges SUM their weights, exactly the
+    // unweighted multiplicity convention with w = 1 — Blondel et al.'s
+    // weighted form is the general case, the level-2 super-graph already
+    // runs it, and gains stay exact decimal(38,0) integers either way
+    val w0 = wCol.map(c => col(c).cast("decimal(38,0)"))
+      .getOrElse(lit(1L).cast("decimal(38,0)"))
     var g = edges
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"),
-        lit(1L).cast("decimal(38,0)").as("weight"))
+        w0.as("weight"))
       .groupBy("a", "b").agg(sum(col("weight")).as("weight"))
     var membership: DataFrame = null
     for (_ <- 1 to levels) {

@@ -109,11 +109,107 @@ object Pq {
       // to the SHORTLIST contract (ties below break on id), and the
       // reported score is the exact re-rank anyway
       .agg(sum(col("_d")).as("_approx"))
-    val aw = Window.partitionBy("query_id")
-      .orderBy(col("_approx").asc, col(idCol))
-    val shortlist = approx.withColumn("_ar", row_number().over(aw))
-      .filter(col("_ar") <= k * shortlistFactor)
-      .select(col("query_id"), col(idCol).as("neighbor_id"))
+    exactRerank(corpus, idCol, vecCol, queries, k,
+      adcShortlist(approx, idCol, k * shortlistFactor))
+  }
+
+  /** IVFADC (Jégou et al. 2011 §IV) — the composition of this repo's two
+    * ANN halves into the deployment shape for 10⁹-vector serving: an IVF
+    * coarse quantizer picks each query's `nProbe` cells, PQ codes built
+    * on the RESIDUALS r = v − centroid(cell(v)) (the paper's key move —
+    * codes only have to span the within-cell spread, not the whole
+    * space) are ADC-scored for the probed cells' postings ONLY, and the
+    * shortlist is exact-re-ranked. Output schema, scores, tie-breaks
+    * match [[topK]]/[[IvfIndex.topK]]: `(query_id, rank, neighbor_id,
+    * score)`, score the EXACT cosine.
+    *
+    * With `nProbe = nCells` and a corpus-covering `shortlistFactor` the
+    * result is exactly brute force (the oracle regime — every posting
+    * reaches the shortlist, so quantization cannot drop a true
+    * neighbor); at `nProbe < nCells` the recall trade is the IVF one
+    * (a true neighbor in an unprobed cell is unreachable) ON TOP of the
+    * PQ shortlist trade — PqSpec measures recall@10 in that regime.
+    *
+    * Scale shape: build is [[IvfIndex.buildIndex]] (broadcast-argmin
+    * assignment) + one broadcast centroid join for residuals + PQ
+    * train/encode over m sub-spaces; serving joins the code table
+    * against a BROADCAST per-(query, probed-cell) LUT — queries ×
+    * nProbe × m × kCells rows, the LUT keys carry `cell_id` so unprobed
+    * cells never match — then one map-side-combinable sum, an O(k)
+    * heap-aggregate shortlist, and a shortlist-sized exact re-rank.
+    * Nothing anywhere touches unprobed postings. */
+  def topKFromIvf(corpus: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, k: Int, dim: Int, m: Int = 4,
+                  kCells: Int = 16, nCells: Int = 16, nProbe: Int = 4,
+                  iters: Int = 2, shortlistFactor: Int = 4): DataFrame = {
+    require(k >= 1 && shortlistFactor >= 1, "k and shortlistFactor >= 1")
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe ($nProbe) must be in [1, nCells ($nCells)]")
+    require(m >= 1 && dim >= m && dim % m == 0,
+      s"dim ($dim) must split into m ($m) equal blocks")
+    val w = dim / m
+    val (cents0, indexed) = IvfIndex.buildIndex(corpus, idCol, vecCol,
+      nCells, iters)
+    val cents = cents0.localCheckpoint(true) // residuals + probes read it
+    // residual per posting: r = v − centroid(cell(v)) — one broadcast join
+    val resid = indexed.join(broadcast(cents), Seq("cell_id"))
+      .select(col("neighbor_id"), col("cell_id"),
+        zip_with(asD(col("c_vec")), col("centroid"), (x, y) => x - y)
+          .as("_res"))
+      .localCheckpoint(true) // feeds train + encode + the cell map
+    val books = train(resid, "neighbor_id", "_res", dim, m, kCells, iters)
+      .localCheckpoint(true)
+    val codes = encode(resid, "neighbor_id", "_res", dim, m, books)
+      .join(resid.select("neighbor_id", "cell_id"), Seq("neighbor_id"))
+    // per-(query, probed cell) LUT: the query's OWN residual against that
+    // cell (q − centroid), exact sub-vector distances to the codebook
+    val qres = IvfIndex.probeCells(queries, cents, nProbe)
+      .join(broadcast(cents), Seq("cell_id"))
+      .select(col("query_id"), col("cell_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          b => slice(zip_with(asD(col("query_vec")), col("centroid"),
+            (x, y) => x - y), b * lit(w) + lit(1), lit(w)))))
+      .select(col("query_id"), col("cell_id"),
+        col("pos").cast("int").as("block"), col("col").as("_qres"))
+    val lut = qres
+      .join(broadcast(books.select(col("block"), col("cell_id").as("code"),
+        col("centroid").as("_bc"))), Seq("block"))
+      .select(col("query_id"), col("cell_id"), col("block"), col("code"),
+        d2(col("_qres"), col("_bc")).as("_d"))
+    // ADC over probed cells only: the join keys carry the IVF cell_id
+    val approx = codes.join(broadcast(lut), Seq("cell_id", "block", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_d")).as("_approx"))
+    exactRerank(corpus, idCol, vecCol, queries, k,
+      adcShortlist(approx, "neighbor_id", k * shortlistFactor))
+  }
+
+  /** The `n` smallest-`_approx` ids per query as `(query_id,
+    * neighbor_id)` — an O(n)-state heap aggregate ([[TopK]] with ord =
+    * −approx), NOT a `row_number` window: the window's per-partition
+    * full sort over (queries × candidates) is avoidable work at
+    * 10⁴ queries × 10⁹ vectors, and a hot query's whole candidate set
+    * would land in one sort task. Tie semantics are the window's
+    * exactly: (approx ASC, id ASC) — negation is IEEE-exact and the
+    * heap breaks ord ties on the id. `idCol` must be integral (the
+    * heap's tie seam — every vector id in this repo is). */
+  private def adcShortlist(approx: DataFrame, idCol: String,
+                           n: Int): DataFrame =
+    approx.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topK(n, -col("_approx"), col(idCol),
+        col(idCol)).as("_top"))
+      .select(col("query_id"), explode(col("_top")).as("_e"))
+      .select(col("query_id"), col("_e.payload").as("neighbor_id"))
+
+  /** Exact-cosine re-rank of a `(query_id, neighbor_id)` shortlist —
+    * the shared tail of every PQ server: scores are computed from the
+    * FULL-precision corpus vectors, so quantization only ever affects
+    * which candidates surface, never their reported values. The final
+    * window runs over shortlist-sized partitions (≤ k·shortlistFactor
+    * rows per query), not the corpus. */
+  private def exactRerank(corpus: DataFrame, idCol: String, vecCol: String,
+                          queries: DataFrame, k: Int,
+                          shortlist: DataFrame): DataFrame = {
     val exact = shortlist
       .join(corpus.select(col(idCol).as("neighbor_id"),
         asD(col(vecCol)).as("_cv")), Seq("neighbor_id"))

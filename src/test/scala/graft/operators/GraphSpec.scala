@@ -405,6 +405,41 @@ class GraphSpec extends SparkFunSuite {
     assert(p == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("louvain: weighted moves follow the HEAVY edge, against label order") {
+    // two heavy pairs (1,2) and (5,6), w = 10 each; probe node 9 tied to
+    // BOTH pairs. With unit weights 9's round-2 gains tie and the
+    // min-label argmax sends it to community 1; weighting the 6-side
+    // edge 5:1 must pull 9 into community 5 INSTEAD — membership driven
+    // by weight, not label order. Hand-replay (2m = 52, k9 = 6):
+    //   round 1: 2→1 (g·2m² = 52·10 − 11·10 = 410), 6→5 (410), and 9→6
+    //     (C6: 52·5 − 6·15 = 170 > 0 vs C2: 52 − 6·11 < 0);
+    //   round 2: 9 (singleton, label 6) vs C5 = {5,6}, Σtot = 25:
+    //     g = 52·5 − 6·25 = 110 > 0; vs C1 = {1,2}, Σtot = 21:
+    //     g = 52·1 − 6·21 < 0 → 9 joins {5,6}.
+    val heavy6 = Seq((1L, 2L, 10L), (5L, 6L, 10L), (9L, 2L, 1L),
+      (9L, 6L, 5L)).toDF("a", "b", "w")
+    val got = Graph.louvain(heavy6, "a", "b", levels = 2, rounds = 2,
+        wCol = Some("w"))
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 5L)))
+    // flipped weights: the same replay mirrors and 9 joins {1,2}
+    val heavy2 = Seq((1L, 2L, 10L), (5L, 6L, 10L), (9L, 2L, 5L),
+      (9L, 6L, 1L)).toDF("a", "b", "w")
+    val flipped = Graph.louvain(heavy2, "a", "b", levels = 2, rounds = 2,
+        wCol = Some("w"))
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(flipped == Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 1L)))
+    // unit weights on the same topology: the tie resolves by label — the
+    // contrast that proves the weighted path is live end to end
+    val unit = Graph.louvain(heavy6.drop("w"), "a", "b", levels = 2,
+        rounds = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(unit == Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 1L)))
+  }
+
   test("betweennessFromLandmarks: path and diamond hand-accumulation") {
     // path 1-2-3-4-5, landmark 1: σ ≡ 1, so δ telescopes 3, 2, 1, 0
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")

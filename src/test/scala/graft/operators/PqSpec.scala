@@ -70,4 +70,52 @@ class PqSpec extends SparkFunSuite {
     val recall = (pq & exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"ADC recall@10 with 8x shortlist: $recall")
   }
+
+  test("topKFromIvf: full probe + corpus-covering shortlist equals brute force") {
+    val q = t.embeddings.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val ivfpq = Pq.topKFromIvf(t.embeddings, "vec_id", "embedding", q, k = 5,
+        dim = 64, m = 4, kCells = 8, nCells = 8, nProbe = 8,
+        shortlistFactor = 1000000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(ivfpq == exact, "nProbe = nCells + corpus shortlist must be brute force")
+  }
+
+  test("topKFromIvf: nProbe < nCells serves from probed cells with useful recall") {
+    val q = t.embeddings.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val got = Pq.topKFromIvf(t.embeddings, "vec_id", "embedding", q, k = 10,
+        dim = 64, m = 4, kCells = 16, nCells = 8, nProbe = 4,
+        shortlistFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVFADC recall@10 at nProbe 4/8: $recall")
+    // self must always surface: the query IS a corpus vector, its own cell
+    // is always the nearest probe, and its residual codes match exactly
+    val self = Pq.topKFromIvf(t.embeddings, "vec_id", "embedding", q, k = 1,
+        dim = 64, m = 4, kCells = 16, nCells = 8, nProbe = 1,
+        shortlistFactor = 8)
+      .filter($"rank" === 1).collect()
+    self.foreach(r => assert(r.getLong(0) == r.getLong(2),
+      s"query ${r.getLong(0)}: self not at rank 1"))
+  }
+
+  test("topKFromIvf: invalid nProbe/dim rejected") {
+    val q = t.embeddings.limit(1)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    intercept[IllegalArgumentException] {
+      Pq.topKFromIvf(t.embeddings, "vec_id", "embedding", q, k = 1,
+        dim = 64, nCells = 8, nProbe = 9)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.topKFromIvf(t.embeddings, "vec_id", "embedding", q, k = 1,
+        dim = 64, m = 5)
+    }
+  }
 }
