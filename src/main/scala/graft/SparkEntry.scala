@@ -38,6 +38,25 @@ object SparkEntry {
   private def oracleSampleAt(id: Column, hexLt: String): Column =
     md5(concat(id.cast("string"), lit(":osample"))) < hexLt
 
+  /** Shared CDC fixture for q274/q301: one row per (user, ts), version =
+    * µs timestamp (unique per key by construction), payload collapsed
+    * deterministically, 16 hash partitions. */
+  private def cdcFixture(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ver"))
+      .agg(max(col("event_type")).as("event_type"),
+        max(col("value").cast("double")).as("value"))
+      .withColumn("part", pmod(col("user_id"), lit(16L)).cast("int"))
+
+  /** Read back a merged CDC lake table in the q274/q301 gate shape. */
+  private def cdcReadBack(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(root)
+      .select(col("user_id"), col("ver"), col("event_type"),
+        col("value"), col("part").cast("int").as("part"))
+      .orderBy("user_id")
+
   // No rounding: quantities are whole numbers (sum is exact in double, so
   // avg is order-independent) and max/min/count are exact — both engines
   // produce bit-identical values.
@@ -2167,15 +2186,7 @@ object SparkEntry {
       import graft.streaming.{StreamingOps, StreamStage}
       val root = StreamStage.tempDir("graft_q274") + "/table"
       val ckpt = StreamStage.tempDir("graft_q274_ckpt")
-      // one CDC row per (user, ts): version = µs timestamp (unique per
-      // key by construction), payload collapsed deterministically
-      val cdc = Tables(s, dir).events
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
-        .groupBy(col("user_id").cast("long").as("user_id"),
-          unix_micros(col("ts")).as("ver"))
-        .agg(max(col("event_type")).as("event_type"),
-          max(col("value").cast("double")).as("value"))
-        .withColumn("part", pmod(col("user_id"), lit(16L)).cast("int"))
+      val cdc = cdcFixture(s, dir)
       val staging = StreamStage.stagedInput("q274", dir, cdc, nFiles = 2)
       val stream = s.readStream.schema(cdc.schema)
         .option("maxFilesPerTrigger", 1).parquet(staging)
@@ -2183,10 +2194,27 @@ object SparkEntry {
         "ver", ckpt,
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
         .awaitTermination()
-      s.read.parquet(root)
-        .select(col("user_id"), col("ver"), col("event_type"),
-          col("value"), col("part").cast("int").as("part"))
-        .orderBy("user_id")
+      cdcReadBack(s, root)
+    }),
+    // Checkpoint-RESTART recovery over the same CDC fixture: the first
+    // query is killed after batch 0's merge lands but BEFORE its offset
+    // commits (the worst crash window), then an identical query restarts
+    // on the same checkpoint — the source replays the uncommitted batch
+    // (idempotent merge: no-op) and drains the rest. The final table
+    // must match the same greatest-version-per-key oracle as q274: a
+    // duplicate row, a lost batch, or a restart-from-zero all
+    // hash-mismatch. The eleventh streaming gate, and the only one that
+    // exercises restart-from-disk (checkpoint offsets + staged input).
+    "q301_cdc_restart_recovery" -> ((s, dir) => {
+      import graft.streaming.{StreamingOps, StreamStage}
+      val root = StreamStage.tempDir("graft_q301") + "/table"
+      val ckpt = StreamStage.tempDir("graft_q301_ckpt")
+      val cdc = cdcFixture(s, dir)
+      // same staged input as q274 (same key: written once per JVM)
+      val staging = StreamStage.stagedInput("q274", dir, cdc, nFiles = 2)
+      StreamingOps.upsertSinkWithRecovery(s, staging, cdc.schema, root,
+        Seq("user_id"), Seq("part"), "ver", ckpt)
+      cdcReadBack(s, root)
     }),
     // Exact duplicated-span removals (Lee et al. 2022): positions whose
     // EXACT 25-token gram repeats anywhere, all-but-the-first occurrence
@@ -5327,7 +5355,11 @@ object SparkEntry {
       oracleSqlBase("q206_markov_attribution"),
     // q299: full-probe IVFADC must reproduce q283's brute-force oracle
     // VERBATIM — same regime, same SQL
-    "q299_ann_ivfpq" -> oracleSqlBase("q283_ann_pq")
+    "q299_ann_ivfpq" -> oracleSqlBase("q283_ann_pq"),
+    // q301: the crash-and-restart run must land on the SAME final lake
+    // state as q274's crash-free run — greatest version per key,
+    // regardless of the batch split or the replayed batch
+    "q301_cdc_restart_recovery" -> oracleSqlBase("q274_cdc_upsert_stream")
   )
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -336,6 +336,58 @@ object StreamingOps {
     admitted.count()
   }
 
+  /** Kill-and-restart recovery drill for the CDC [[upsertSink]] — the
+    * correctness property production users actually hit: a streaming
+    * query dies mid-stream and is restarted from its
+    * `checkpointLocation`; the final table must equal a crash-free
+    * run's (no duplicates, no loss).
+    *
+    * The injected crash targets the WORST window: after the first
+    * micro-batch's merge has fully landed in the lake, but before Spark
+    * writes that batch's commit-log entry (a foreachBatch exception
+    * fails the batch post-work, pre-commit). On restart the source
+    * replays that batch UNDER THE SAME batch id — offsets ahead of the
+    * commit log — so the merge runs twice; [[MergeByKey.merge]]'s
+    * greatest-version idempotence makes the second application a no-op,
+    * and the drained query then processes the remaining batches.
+    * Exactly-once end to end = idempotent sink × replayed source, the
+    * Structured Streaming contract this gate pins cross-engine.
+    *
+    * `file source + maxFilesPerTrigger = 1` (not MemoryStream) so the
+    * restart resumes from DISK state only — checkpoint offsets + staged
+    * input — like a real recovery. */
+  def upsertSinkWithRecovery(spark: SparkSession, stagingPath: String,
+                             schema: org.apache.spark.sql.types.StructType,
+                             root: String, keyCols: Seq[String],
+                             partitionCols: Seq[String], versionCol: String,
+                             checkpointDir: String): Unit = {
+    def run(crashAfterFirstMerge: Boolean) = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stagingPath)
+      stream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          MergeByKey.merge(batch.sparkSession, root, batch.toDF(),
+            keyCols, partitionCols, versionCol)
+          if (crashAfterFirstMerge)
+            throw new RuntimeException(
+              "graft: injected crash (merge applied, offset not committed)")
+          (): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val crashed = run(crashAfterFirstMerge = true)
+    try {
+      crashed.awaitTermination()
+      throw new IllegalStateException(
+        "injected crash did not fire — the recovery gate tested nothing")
+    } catch {
+      case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+    }
+    run(crashAfterFirstMerge = false).awaitTermination()
+  }
+
   /** Streaming dedup ingest: every micro-batch runs [[dedupIngestBatch]] —
     * the continuous-crawl shape (novel documents land in per-batch output
     * directories, `outRoot` reads back as one Hive-partitioned table with
