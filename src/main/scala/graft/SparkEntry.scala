@@ -1339,6 +1339,38 @@ object SparkEntry {
       IvfIndex.topKFromIndex(lc, li, q, k = 10, nProbe = 16)
         .orderBy("query_id", "rank")
     }),
+    // The maintenance step q273's ingest loop was missing: after the
+    // upsert, audit cell occupancy (cellLoad), SPLIT the heaviest cell
+    // 4 ways in place — fresh ids, retired hot id, only that cell's
+    // partition rewritten — and serve full-probe from the mutated
+    // on-disk index. Splitting refines the partition without touching
+    // any posting's content, so the full-probe serve must STILL equal
+    // q171's brute force over the whole corpus, verbatim (a lost or
+    // double-assigned posting, a stale partition dir, or a centroid
+    // table out of sync with the directories all hash-mismatch).
+    "q302_ann_ivf_cell_split" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.embeddings.filter(col("vec_id") % 4 =!= 3)
+      val batch = t.embeddings.filter(col("vec_id") % 4 === 3 ||
+        col("vec_id") % 8 === 0)
+      val q = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val (cents, indexed) = IvfIndex.buildIndex(base, "vec_id",
+        "embedding", nCells = 16, iters = 2)
+      val path = s"target/qtmp/ivf_q302_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.saveIndex(cents, indexed, path)
+      IvfIndex.upsertIndex(s, path, batch, "vec_id", "embedding")
+      // the audit → repair loop: heaviest cell (deterministic tie on id)
+      val hot = IvfIndex.cellLoad(s, path)
+        .orderBy(col("n").desc, col("cell_id")).limit(1)
+        .collect()(0).getInt(0)
+      IvfIndex.splitCell(s, path, hot, kSub = 4, iters = 2)
+      val (lc, li) = IvfIndex.loadIndex(s, path)
+      // nProbe beyond the 19-cell post-split count = full probe (slice
+      // truncates at the array end)
+      IvfIndex.topKFromIndex(lc, li, q, k = 10, nProbe = 64)
+        .orderBy("query_id", "rank")
+    }),
     // REAL WAV codec at the driver gate (q126 gates only the stub byte
     // decode): deterministic PCM16 samples per doc
     // (s_j = ((doc_id·31 + j·7) mod 65536) − 32768, j < 256), containered
@@ -5359,7 +5391,10 @@ object SparkEntry {
     // q301: the crash-and-restart run must land on the SAME final lake
     // state as q274's crash-free run — greatest version per key,
     // regardless of the batch split or the replayed batch
-    "q301_cdc_restart_recovery" -> oracleSqlBase("q274_cdc_upsert_stream")
+    "q301_cdc_restart_recovery" -> oracleSqlBase("q274_cdc_upsert_stream"),
+    // q302: a split refines the partition without touching posting
+    // content — full probe must still be q273's whole-corpus brute force
+    "q302_ann_ivf_cell_split" -> oracleSqlBase("q273_ann_ivf_upsert")
   )
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -42,22 +42,58 @@ object MetadataLedger {
   }
 
   /** PK-replace upsert: `entries` must have columns (layer, city, date);
-    * `processed_at` is stamped here (reference silver.py:59 CURRENT_TIMESTAMP). */
-  def upsert(spark: SparkSession, path: String, entries: DataFrame): Unit = {
-    val stamped = entries
-      .select(col("layer"), col("city"), col("date"))
-      .withColumn("processed_at", current_timestamp())
-    // tiebreak on a marker so the incoming row wins an equal-timestamp race
-    val w = Window.partitionBy("layer", "city", "date")
-      .orderBy(col("processed_at").desc, col("_incoming").desc)
-    val merged = read(spark, path).withColumn("_incoming", lit(0))
-      .unionByName(stamped.withColumn("_incoming", lit(1)))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_incoming")
-    // the union reads the current ledger, so materialize before the swap
-    val snapshot = merged.localCheckpoint(true)
-    ParquetLake.atomicReplace(spark, snapshot, path)
+    * `processed_at` is stamped here (reference silver.py:59 CURRENT_TIMESTAMP).
+    *
+    * SINGLE-WRITER BY CONTRACT, and loud about it: the upsert is
+    * read-snapshot → union → atomic swap, so two writers racing would
+    * both read the old snapshot and the last swap would silently drop
+    * the first writer's rows — the lost-update anomaly a plain-Parquet
+    * ledger invites. A `<path>._lock` lease (atomic create-exclusive,
+    * the HDFS/posix test-and-set) is taken before the read and released
+    * after the swap; a second concurrent upsert FAILS with the holder's
+    * age in the message instead of corrupting state. A lease older than
+    * `staleLockMs` is presumed crashed and broken (one retry). The lock
+    * is a SIBLING of the table root — a lease inside it would vanish
+    * with the directory swap. */
+  def upsert(spark: SparkSession, path: String, entries: DataFrame,
+             staleLockMs: Long = 10 * 60 * 1000L): Unit = {
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(path + "._lock")
+    def tryAcquire(): Boolean =
+      try { hfs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val age = try System.currentTimeMillis() -
+        hfs.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.IOException => 0L } // holder just released
+      if (age > staleLockMs) {
+        hfs.delete(lock, false)
+        require(tryAcquire(),
+          s"ledger $path: lost the lock race after breaking a stale lease")
+      } else throw new IllegalStateException(
+        s"ledger $path is locked by a concurrent upsert (lease age ${age}ms" +
+          s" <= ${staleLockMs}ms): the read-union-swap upsert is" +
+          " single-writer — a second writer would silently drop this one's" +
+          " rows. Retry after the holder finishes, or raise staleLockMs" +
+          " breakage only for crashed holders.")
+    }
+    try {
+      val stamped = entries
+        .select(col("layer"), col("city"), col("date"))
+        .withColumn("processed_at", current_timestamp())
+      // tiebreak on a marker so the incoming row wins an equal-timestamp race
+      val w = Window.partitionBy("layer", "city", "date")
+        .orderBy(col("processed_at").desc, col("_incoming").desc)
+      val merged = read(spark, path).withColumn("_incoming", lit(0))
+        .unionByName(stamped.withColumn("_incoming", lit(1)))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_incoming")
+      // the union reads the current ledger, so materialize before the swap
+      val snapshot = merged.localCheckpoint(true)
+      ParquetLake.atomicReplace(spark, snapshot, path)
+    } finally hfs.delete(lock, false)
   }
 
   /** Partitions already processed for a layer, as a (city, date) DataFrame

@@ -239,7 +239,7 @@ object IvfIndex {
     * replacement — an id whose new embedding lands in a DIFFERENT cell
     * would leave a stale twin behind, [[MergeByKey]]'s documented
     * one-partition-per-key constraint; detect that regime with
-    * [[cellLoad]] + rebuild).
+    * [[cellLoad]] and repair with [[splitCell]]/[[buildIndex]]).
     *
     * Serving afterwards needs no special handling: [[loadIndex]] +
     * [[topKFromIndex]] see one postings row per id, so a full-probe
@@ -262,9 +262,10 @@ object IvfIndex {
     * the partition column alone — no vector bytes are read.
     * `rebuild_hint` marks cells holding more than `maxLoadFactor`× the
     * mean — once ingest drift concentrates that much mass in one cell,
-    * probing it costs ~`maxLoadFactor`× a balanced cell and the
-    * centroids should be re-trained ([[buildIndex]]) on the grown
-    * corpus. Output: `(cell_id, n, share, rebuild_hint)`. */
+    * probing it costs ~`maxLoadFactor`× a balanced cell; split the hot
+    * cell in place ([[splitCell]], touched partition only) or re-train
+    * the whole quantizer ([[buildIndex]]) on the grown corpus.
+    * Output: `(cell_id, n, share, rebuild_hint)`. */
   def cellLoad(spark: org.apache.spark.sql.SparkSession, path: String,
                maxLoadFactor: Double = 4.0): DataFrame = {
     require(maxLoadFactor > 1.0, s"maxLoadFactor ($maxLoadFactor) must be > 1")
@@ -279,6 +280,71 @@ object IvfIndex {
         (col("n").cast("double") * col("_cells").cast("double") >
           lit(maxLoadFactor) * col("_tot").cast("double"))
           .as("rebuild_hint"))
+  }
+
+  /** Act on [[cellLoad]]'s `rebuild_hint` WITHOUT a full re-train: split
+    * one hot cell into `kSub` sub-cells, touching only that cell's
+    * postings partition — the incremental-maintenance step a daily
+    * [[upsertIndex]] ingest loop runs when drift concentrates mass into
+    * a cell (probing a `maxLoadFactor`× cell costs `maxLoadFactor`× a
+    * balanced one; a full [[buildIndex]] re-train re-reads the whole
+    * corpus).
+    *
+    * Mechanics: the hot cell's postings (a partition-pruned read — no
+    * other cell's vector bytes are opened) re-seed `kSub` sub-centroids
+    * through the same deterministic [[centroids]] machinery, postings
+    * re-assign to the nearest sub-centroid, and the sub-cells PUBLISH
+    * under FRESH ids (max existing id + 1…kSub) while the hot id
+    * RETIRES — reusing it would leave a stale partition directory
+    * behind if its sub-cell came back empty. Write order is
+    * crash-considered: new partitions land first (staged swap), the old
+    * directory is deleted second, the centroid table swaps last — until
+    * the final swap, serving still probes the OLD centroid set, so the
+    * one transiently-wrong window is the deleted-dir gap closed by the
+    * atomic centroid publish. Like [[upsertIndex]], this is a
+    * single-writer maintenance op by contract.
+    *
+    * A full-probe serve over the split index equals the pre-split one
+    * exactly (same postings, finer partition); at fixed nProbe the
+    * split cell's region now gets `kSub`-resolution probes — recall can
+    * only improve there (IvfIndexSpec pins both).
+    *
+    * @return the fresh cell ids, ascending */
+  def splitCell(spark: org.apache.spark.sql.SparkSession, path: String,
+                cellId: Int, kSub: Int, iters: Int = 2): Seq[Int] = {
+    require(kSub >= 2, s"kSub ($kSub) must be >= 2 — a 1-way split is a rename")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell_id").cast("int").as("cell_id"), col("centroid"))
+      .localCheckpoint(true) // we atomically replace its directory below
+    require(cents.filter(col("cell_id") === cellId).count() == 1L,
+      s"cell $cellId is not in the centroid table at $path")
+    val maxId = cents.agg(max(col("cell_id"))).collect()(0).getInt(0)
+    // partition-pruned: only the hot cell's files are opened; eager
+    // checkpoint because its directory is deleted before the re-write
+    val hot = spark.read.parquet(s"$path/postings")
+      .filter(col("cell_id").cast("int") === cellId)
+      .select("neighbor_id", "c_vec", "c_norm")
+      .localCheckpoint(true)
+    require(hot.limit(1).count() == 1L,
+      s"cell $cellId has no postings — nothing to split")
+    val newIds = (1 to kSub).map(maxId + _)
+    val sub = centroids(hot, "neighbor_id", "c_vec", kSub, iters)
+      .select((col("cell_id") + lit(maxId + 1)).cast("int").as("cell_id"),
+        col("centroid"))
+      .localCheckpoint(true) // feeds the re-assign AND the centroid swap
+    val reassigned = assignCells(hot, sub, "c_vec")
+      .select(col("neighbor_id"), col("c_vec"), col("c_norm"),
+        col("cell_id"))
+    graft.sources.ParquetLake.overwritePartitionsStaged(spark, reassigned,
+      s"$path/postings", Seq("cell_id"))
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(
+      new org.apache.hadoop.fs.Path(s"$path/postings/cell_id=$cellId"), true)
+    graft.sources.ParquetLake.atomicReplace(spark,
+      cents.filter(col("cell_id") =!= cellId).unionByName(sub),
+      s"$path/centroids")
+    newIds
   }
 
   /** Reload a [[saveIndex]] index as `(centroids, postings)`. */

@@ -47,6 +47,33 @@ class MetadataLedgerSpec extends SparkFunSuite {
       Seq(("Delhi", "2026-02-14"), ("London", "2026-02-13")))
   }
 
+  test("concurrent upsert fails loudly while the lease is held; stale lease breaks") {
+    val p = tmpDir("mllock") + "/meta"
+    MetadataLedger.ensure(spark, p)
+    // simulate a concurrent writer mid-upsert: its lease file exists
+    val lock = new java.io.File(p + "._lock")
+    assert(lock.createNewFile())
+    val e = intercept[IllegalStateException] {
+      MetadataLedger.upsert(spark, p, entries(("silver", "Delhi", "2026-02-13")))
+    }
+    assert(e.getMessage.contains("locked by a concurrent upsert"))
+    assert(MetadataLedger.read(spark, p).count() == 0,
+      "the blocked writer must not have touched the ledger")
+    // a crashed holder's stale lease is broken and the upsert proceeds
+    assert(lock.setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+    MetadataLedger.upsert(spark, p, entries(("silver", "Delhi", "2026-02-13")))
+    assert(MetadataLedger.read(spark, p).count() == 1)
+    assert(!lock.exists(), "lease must be released after the swap")
+    // the lease also releases on failure inside the upsert body
+    intercept[Exception] {
+      MetadataLedger.upsert(spark, p,
+        Seq(1).toDF("not_the_schema")) // analysis error mid-body
+    }
+    assert(!lock.exists(), "lease must be released on upsert failure")
+    MetadataLedger.upsert(spark, p, entries(("gold", "Delhi", "2026-02-13")))
+    assert(MetadataLedger.read(spark, p).count() == 2)
+  }
+
   test("property: upsert result always equals brute-force set-of-keys, one row each") {
     val rnd = new scala.util.Random(42)
     def randomBatch(): Seq[(String, String, String)] =

@@ -233,6 +233,56 @@ class IvfIndexSpec extends SparkFunSuite {
     }
   }
 
+  test("splitCell: hot cell retires into fresh sub-cells; postings preserved; serve unchanged at full probe") {
+    val (cents, indexed) = IvfIndex.buildIndex(t.embeddings, "vec_id", "embedding", nCells = 8)
+    val dir = tmpDir("ivf-split")
+    IvfIndex.saveIndex(cents, indexed, dir)
+    val n = t.embeddings.count()
+    val hot = IvfIndex.cellLoad(spark, dir)
+      .orderBy(col("n").desc, col("cell_id")).limit(1).collect()(0)
+    val hotId = hot.getInt(0)
+    val hotN = hot.getLong(1)
+    // untouched partitions' files must not be rewritten by the split
+    val other = (0 until 8).filter(_ != hotId)
+    val filesBefore = other.map(c => c ->
+      new java.io.File(s"$dir/postings/cell_id=$c").listFiles().toSet).toMap
+    val fresh = IvfIndex.splitCell(spark, dir, hotId, kSub = 4)
+    assert(fresh == Seq(8, 9, 10, 11), s"fresh ids from max+1: $fresh")
+    other.foreach(c => assert(
+      new java.io.File(s"$dir/postings/cell_id=$c").listFiles().toSet ==
+        filesBefore(c), s"split rewrote untouched cell $c"))
+    assert(!new java.io.File(s"$dir/postings/cell_id=$hotId").exists(),
+      "hot cell's directory must retire")
+    // centroid table consistency: hot id gone, fresh ids present, count 11
+    val (rc, ri) = IvfIndex.loadIndex(spark, dir)
+    val ids = rc.select("cell_id").collect().map(_.getInt(0)).toSet
+    assert(ids == ((0 until 8).toSet - hotId ++ fresh.toSet))
+    // every posting preserved exactly once; sub-cells hold the hot rows
+    assert(ri.count() == n)
+    assert(ri.select("neighbor_id").distinct().count() == n)
+    assert(ri.filter(col("cell_id").isin(fresh.map(Integer.valueOf): _*))
+      .count() == hotN)
+    // the directory set matches the centroid table (no stale partitions)
+    val dirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName.drop(8).toInt).toSet
+    assert(dirs == ids, s"directories $dirs out of sync with centroids $ids")
+    // full-probe serve over the refined partition == brute force
+    val q = t.embeddings.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val served = IvfIndex.topKFromIndex(rc, ri, q, k = 5, nProbe = 11)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == exact)
+    // guards: unknown cell, 1-way split
+    intercept[IllegalArgumentException] {
+      IvfIndex.splitCell(spark, dir, hotId, kSub = 4) // already retired
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndex.splitCell(spark, dir, 0, kSub = 1)
+    }
+  }
+
   test("served reads prune to the probed cells' partitions") {
     val q = t.embeddings.filter($"vec_id" < 1)
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
