@@ -1913,6 +1913,70 @@ object SparkEntry {
           sum(col("n_trans")).over(Window.partitionBy("state")).cast("double"))
         .orderBy("state", "next_state")
     }),
+    // STATE-STORE restart recovery (q301 covers sink/offset recovery;
+    // this covers the OTHER recovery surface — flatMapGroupsWithState's
+    // per-user state across a query restart): the daily-increment shape.
+    // Events split at the median µs timestamp; run 1 drains the early
+    // half (one file → one batch), the query TERMINATES, the late half
+    // then arrives, and a NEW query on the SAME checkpoint drains it.
+    // Each user's boundary pair (last early event → first late event)
+    // exists in the sink ONLY if run 2's state store recovered run 1's
+    // last-event-per-user state — missing boundary pairs change n_trans
+    // and hash-mismatch. Time-disjoint halves make arrival order equal
+    // global (ts, state) order, so the oracle is q238's single-batch
+    // matrix verbatim. Arrival is file-COPY from the cached staged
+    // parts (µs-cheap) so the timed region measures the two drains.
+    "q303_transition_stream_restart" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.{StreamingOps, StreamStage}
+      val sink = StreamStage.tempDir("graft_q303_out")
+      val ckpt = StreamStage.tempDir("graft_q303_ckpt")
+      val arrive = StreamStage.tempDir("graft_q303_in")
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_micros(col("ts")).as("ts_ms"),
+          col("event_type").as("state"))
+      val mm = ev.agg(min(col("ts_ms")), max(col("ts_ms"))).collect()(0)
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val parts = StreamStage.stagedInputParts("q303", dir, Seq(
+        () => ev.filter(col("ts_ms") < cut),
+        () => ev.filter(col("ts_ms") >= cut)))
+      def arrivePart(p: String): Unit = {
+        val src = java.nio.file.Paths.get(parts, p)
+        val dst = java.nio.file.Paths.get(arrive, p)
+        java.nio.file.Files.createDirectories(dst)
+        val ls = java.nio.file.Files.list(src)
+        try ls.forEach { f =>
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(f, dst.resolve(f.getFileName)): Unit
+        } finally ls.close()
+      }
+      def drain(): Unit = {
+        val stream = s.readStream.schema(ev.schema)
+          .option("pathGlobFilter", "*.parquet").parquet(arrive + "/*")
+          .as[StreamingOps.TransitionEvent]
+        StreamingOps.transitionStream(stream)(s).writeStream
+          .outputMode("append")
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[StreamingOps.TransitionPair],
+             _: Long) => df.write.mode("append").parquet(sink): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      arrivePart("p000"); drain()
+      arrivePart("p001"); drain() // new query, same checkpoint
+      s.read.parquet(sink)
+        .groupBy(col("from_state").as("state"),
+          col("to_state").as("next_state"))
+        .agg(count(lit(1)).as("n_trans"))
+        .withColumn("p", col("n_trans").cast("double") /
+          sum(col("n_trans")).over(Window.partitionBy("state")).cast("double"))
+        .orderBy("state", "next_state")
+    }),
     // STREAMING gate #2 (the q238 recipe on the stateful sessionizer):
     // file-source stream → sessionizeStream (per-user open-session state,
     // NoTimeout so nothing closes on wall-clock) → foreachBatch parquet →
@@ -2777,6 +2841,23 @@ object SparkEntry {
       Pq.topKFromIvf(t.embeddings, "vec_id", "embedding", q, k = 10,
           dim = 64, m = 4, kCells = 16, nCells = 16, nProbe = 16,
           iters = 2, shortlistFactor = 1000000)
+        .orderBy("query_id", "rank")
+    }),
+    // PERSISTED IVFADC (q299's on-disk serving shape, the q171 recipe
+    // for PQ): centroids + residual codebooks + cell-partitioned code
+    // table on disk, probed cells collected (≤ nCells ids) and pushed
+    // as a static partition filter so the serve opens only the probed
+    // cells' code directories. Doubles round-trip parquet bit-exactly,
+    // so the full-probe serve must STILL equal brute force verbatim.
+    "q304_ann_ivfpq_persisted" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val path = s"target/qtmp/ivfpq_q304_${Integer.toHexString(dir.hashCode)}"
+      Pq.saveIvfPqIndex(path, t.embeddings, "vec_id", "embedding",
+        dim = 64, m = 4, kCells = 16, nCells = 16, iters = 2)
+      Pq.topKFromIvfPqIndex(s, path, t.embeddings, "vec_id", "embedding",
+          q, k = 10, nProbe = 16, shortlistFactor = 1000000)
         .orderBy("query_id", "rank")
     }),
     // Z-order layout audit (Morton interleave, the OPTIMIZE ZORDER
@@ -5394,7 +5475,14 @@ object SparkEntry {
     "q301_cdc_restart_recovery" -> oracleSqlBase("q274_cdc_upsert_stream"),
     // q302: a split refines the partition without touching posting
     // content — full probe must still be q273's whole-corpus brute force
-    "q302_ann_ivf_cell_split" -> oracleSqlBase("q273_ann_ivf_upsert")
+    "q302_ann_ivf_cell_split" -> oracleSqlBase("q273_ann_ivf_upsert"),
+    // q303: time-disjoint halves make the two-run arrival order equal
+    // the global (ts, state) order — q238's matrix verbatim; boundary
+    // pairs exist only if the state store recovered across the restart
+    "q303_transition_stream_restart" -> oracleSqlBase("q238_transition_stream"),
+    // q304: the persisted IVFADC at full probe — q283's brute-force
+    // oracle verbatim (parquet round-trips doubles bit-exactly)
+    "q304_ann_ivfpq_persisted" -> oracleSqlBase("q283_ann_pq")
   )
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -142,12 +142,24 @@ object Pq {
                   queries: DataFrame, k: Int, dim: Int, m: Int = 4,
                   kCells: Int = 16, nCells: Int = 16, nProbe: Int = 4,
                   iters: Int = 2, shortlistFactor: Int = 4): DataFrame = {
-    require(k >= 1 && shortlistFactor >= 1, "k and shortlistFactor >= 1")
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe ($nProbe) must be in [1, nCells ($nCells)]")
+    val (cents, books, codes) = buildIvfPq(corpus, idCol, vecCol, dim, m,
+      kCells, nCells, iters)
+    serveResidualAdc(cents, books, codes, corpus, idCol, vecCol, queries,
+      k, dim, m, nProbe, shortlistFactor)
+  }
+
+  /** The IVFADC index triple `(centroids, books, codes)`:
+    * `centroids(cell_id, centroid)` — the IVF coarse quantizer;
+    * `books(block, cell_id, centroid)` — residual PQ codebooks;
+    * `codes(neighbor_id, block, code, cell_id)` — each posting's m
+    * residual codes plus its IVF cell. */
+  private def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, m: Int, kCells: Int, nCells: Int,
+                         iters: Int): (DataFrame, DataFrame, DataFrame) = {
     require(m >= 1 && dim >= m && dim % m == 0,
       s"dim ($dim) must split into m ($m) equal blocks")
-    val w = dim / m
     val (cents0, indexed) = IvfIndex.buildIndex(corpus, idCol, vecCol,
       nCells, iters)
     val cents = cents0.localCheckpoint(true) // residuals + probes read it
@@ -161,9 +173,77 @@ object Pq {
       .localCheckpoint(true)
     val codes = encode(resid, "neighbor_id", "_res", dim, m, books)
       .join(resid.select("neighbor_id", "cell_id"), Seq("neighbor_id"))
+    (cents, books, codes)
+  }
+
+  /** Persist an IVFADC index: `<path>/centroids`, `<path>/books`,
+    * `<path>/codes` partitioned BY CELL — a query's probed cells then
+    * prune to nProbe directories at read time, the PQ analogue of
+    * [[IvfIndex.saveIndex]]'s inverted-file seek, at m·log₂k bits per
+    * vector instead of the full floats. `<path>/meta` records (dim, m)
+    * so serving cannot silently mis-slice. The exact re-rank reads
+    * full vectors from the CALLER's corpus table (an id-keyed store at
+    * deployment scale), so the index itself never stores them. */
+  def saveIvfPqIndex(path: String, corpus: DataFrame, idCol: String,
+                     vecCol: String, dim: Int, m: Int = 4,
+                     kCells: Int = 16, nCells: Int = 16,
+                     iters: Int = 2): Unit = {
+    val (cents, books, codes) = buildIvfPq(corpus, idCol, vecCol, dim, m,
+      kCells, nCells, iters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    books.write.mode("overwrite").parquet(s"$path/books")
+    codes.write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$path/codes")
+    Seq((dim, m)).toDF("dim", "m").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Serve from a [[saveIvfPqIndex]] index. Doubles round-trip parquet
+    * bit-exactly, so the persisted serve returns IDENTICAL results to
+    * the fused [[topKFromIvf]] at the same parameters (PqSpec pins it).
+    * The probed cells are collected (≤ nCells ids, driver-bounded) and
+    * pushed as a STATIC partition filter on the code table — the scan
+    * opens only the probed cells' directories. */
+  def topKFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, corpus: DataFrame, idCol: String,
+                         vecCol: String, queries: DataFrame, k: Int,
+                         nProbe: Int = 4,
+                         shortlistFactor: Int = 4): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val dim = meta.getInt(0); val m = meta.getInt(1)
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell_id").cast("int").as("cell_id"), col("centroid"))
+    val books = spark.read.parquet(s"$path/books")
+    val codes = spark.read.parquet(s"$path/codes")
+      .withColumn("cell_id", col("cell_id").cast("int"))
+    serveResidualAdc(cents, books, codes, corpus, idCol, vecCol, queries,
+      k, dim, m, nProbe, shortlistFactor, pruneCodeScan = true)
+  }
+
+  /** The shared IVFADC serve: per-(query, probed-cell) residual LUT →
+    * ADC over the probed cells' codes → O(k) shortlist → exact re-rank.
+    * With `pruneCodeScan` the probed cell ids (≤ nCells after distinct)
+    * are collected and applied as a static partition filter before the
+    * LUT join — on a cell-partitioned on-disk code table the scan then
+    * opens only the probed directories. */
+  private def serveResidualAdc(cents: DataFrame, books: DataFrame,
+                               codes: DataFrame, corpus: DataFrame,
+                               idCol: String, vecCol: String,
+                               queries: DataFrame, k: Int, dim: Int, m: Int,
+                               nProbe: Int, shortlistFactor: Int,
+                               pruneCodeScan: Boolean = false): DataFrame = {
+    require(k >= 1 && shortlistFactor >= 1, "k and shortlistFactor >= 1")
+    require(nProbe >= 1, s"nProbe ($nProbe) must be >= 1")
+    require(m >= 1 && dim >= m && dim % m == 0,
+      s"dim ($dim) must split into m ($m) equal blocks")
+    val w = dim / m
+    val probes = IvfIndex.probeCells(queries, cents, nProbe)
+      .localCheckpoint(false) // LUT + the pruning id set both read it
     // per-(query, probed cell) LUT: the query's OWN residual against that
     // cell (q − centroid), exact sub-vector distances to the codebook
-    val qres = IvfIndex.probeCells(queries, cents, nProbe)
+    val qres = probes
       .join(broadcast(cents), Seq("cell_id"))
       .select(col("query_id"), col("cell_id"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
@@ -176,8 +256,16 @@ object Pq {
         col("centroid").as("_bc"))), Seq("block"))
       .select(col("query_id"), col("cell_id"), col("block"), col("code"),
         d2(col("_qres"), col("_bc")).as("_d"))
+    val scanned =
+      if (!pruneCodeScan) codes
+      else {
+        val probed = probes.select("cell_id").distinct()
+          .collect().map(_.getInt(0)).sorted
+        codes.filter(col("cell_id")
+          .isin(probed.map(Integer.valueOf).toSeq: _*))
+      }
     // ADC over probed cells only: the join keys carry the IVF cell_id
-    val approx = codes.join(broadcast(lut), Seq("cell_id", "block", "code"))
+    val approx = scanned.join(broadcast(lut), Seq("cell_id", "block", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("_d")).as("_approx"))
     exactRerank(corpus, idCol, vecCol, queries, k,

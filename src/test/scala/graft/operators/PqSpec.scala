@@ -106,6 +106,36 @@ class PqSpec extends SparkFunSuite {
       s"query ${r.getLong(0)}: self not at rank 1"))
   }
 
+  test("persisted IVFPQ serves identically to the fused path; scan prunes to probed cells") {
+    val dir = tmpDir("ivfpq")
+    Pq.saveIvfPqIndex(dir, t.embeddings, "vec_id", "embedding", dim = 64,
+      m = 4, kCells = 16, nCells = 8, iters = 2)
+    val q = t.embeddings.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    // bit-identical to the fused path at the SAME parameters, partial probe
+    val fused = Pq.topKFromIvf(t.embeddings, "vec_id", "embedding", q,
+        k = 10, dim = 64, m = 4, kCells = 16, nCells = 8, nProbe = 4,
+        shortlistFactor = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val servedDf = Pq.topKFromIvfPqIndex(spark, dir, t.embeddings,
+      "vec_id", "embedding", q, k = 10, nProbe = 4, shortlistFactor = 8)
+    val served = servedDf.orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(served == fused,
+      "persisted serve must be bit-identical to the fused path")
+    // the code table is Hive-partitioned by cell on disk, and the serve's
+    // static probe filter reaches the scan as partition pruning
+    val parts = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).sorted
+    assert(parts.length == 8, s"expected 8 cell partitions, got ${parts.toSeq}")
+    val plan = servedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell_id"),
+      s"probed-cell filter must prune the code scan:\n$plan")
+    // meta round-trips so a mis-parameterized serve cannot mis-slice
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    assert((meta.getInt(0), meta.getInt(1)) == (64, 4))
+  }
+
   test("topKFromIvf: invalid nProbe/dim rejected") {
     val q = t.embeddings.limit(1)
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
