@@ -31,6 +31,7 @@ object GraftFunctions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     columnFn("vec_dot", 2)(cs => VecDot.dot(cs(0), cs(1))),
+    columnFn("vec_sq_dist", 2)(cs => VecSqDist.sqDist(cs(0), cs(1))),
     columnFn("vec_cosine", 2)(cs => VectorFunctions.cosine(cs(0), cs(1))),
     columnFn("vec_l2_norm", 1)(cs => VectorFunctions.l2Norm(cs(0))),
     columnFn("vec_l2_dist", 2)(cs => VectorFunctions.l2Distance(cs(0), cs(1))),

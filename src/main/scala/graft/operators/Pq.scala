@@ -35,11 +35,12 @@ object Pq {
 
   private def asD(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Squared L2 between two equal-length double arrays — one zip_with
-    * fold, the same elementwise shape the k-means assignment uses. */
+  /** Squared L2 between two equal-length double arrays — the codegen'd
+    * [[graft.functions.VecSqDist]] primitive loop (bit-identical IEEE
+    * chain to the zip_with fold it replaced; that higher-order form ran
+    * INTERPRETED n·m·k times on the encode path). */
   private def d2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, t) => acc + t)
+    graft.functions.VecSqDist.sqDist(a, b)
 
   /** Per-block codebooks: `(block, cell_id, centroid)` — m·k rows,
     * broadcast-sized. `dim` must split evenly into `m` blocks. */

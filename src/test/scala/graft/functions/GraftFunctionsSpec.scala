@@ -16,6 +16,46 @@ class GraftFunctionsSpec extends SparkFunSuite {
     assert(got == 11.0)
   }
 
+  test("vec_sq_dist: SQL surface, bit-equality with the zip_with fold, guards") {
+    GraftFunctions.register(spark)
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 5.0f))).toDF("a", "b")
+      .createOrReplaceTempView("sqvecs")
+    assert(spark.sql("SELECT vec_sq_dist(a, b) AS d FROM sqvecs")
+      .head.getDouble(0) == 13.0)
+    // bit-identical to the higher-order formulation it replaced, on
+    // irrational-ish doubles where any reassociation would show
+    val df = spark.range(64).select(
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(
+          org.apache.spark.sql.functions.lit(1),
+          org.apache.spark.sql.functions.lit(37)),
+        j => org.apache.spark.sql.functions.sqrt(j * ($"id" + 2))).as("x"),
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(
+          org.apache.spark.sql.functions.lit(1),
+          org.apache.spark.sql.functions.lit(37)),
+        j => org.apache.spark.sql.functions.sqrt(j * 7 + $"id")).as("y"))
+    val mismatch = df.select(
+      VecSqDist.sqDist($"x", $"y").as("fast"),
+      org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.zip_with($"x", $"y",
+          (p, q) => (p - q) * (p - q)),
+        org.apache.spark.sql.functions.lit(0.0), (acc, t) => acc + t).as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(mismatch == 0L, "VecSqDist must be bit-identical to the fold")
+    // size mismatch throws; null element nulls
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_sq_dist(array(CAST(1.0 AS DOUBLE))," +
+        " array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)))").collect()
+    }
+    assert(e.getMessage.contains("sizes differ") ||
+      e.getCause != null && e.getCause.getMessage.contains("sizes differ"))
+    assert(spark.sql(
+      "SELECT vec_sq_dist(array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE))," +
+        " array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) IS NULL")
+      .head.getBoolean(0))
+  }
+
   test("vec_dot SQL rejects wrong arity") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] { spark.sql("SELECT vec_dot(array(1.0))").collect() }
@@ -46,7 +86,7 @@ class GraftFunctionsSpec extends SparkFunSuite {
 
   test("every registered name resolves (registry round-trip)") {
     GraftFunctions.register(spark)
-    for (name <- Seq("vec_dot", "vec_cosine", "vec_l2_norm", "vec_l2_dist",
+    for (name <- Seq("vec_dot", "vec_sq_dist", "vec_cosine", "vec_l2_norm", "vec_l2_dist",
         "quantize_int8", "dequant_int8", "token_count", "subword_count",
         "quality_score", "lang_guess", "doc_fingerprint", "char_jaccard",
         "simhash64", "redact_pii", "dup_token_ratio", "winnow_fp", "poly_hash",
