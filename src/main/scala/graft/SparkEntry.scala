@@ -2017,6 +2017,52 @@ object SparkEntry {
         .awaitTermination()
       s.read.parquet(sink).orderBy("user_id", "left_ts", "right_ts")
     }),
+    // LEFT-OUTER stream-stream interval join (13th streaming row): the
+    // attribution shape where UNCONVERTED views must also land (NULL
+    // purchase) — the outer row for a left event emits only when the
+    // watermark PROVES no match can still arrive and its join state
+    // evicts, so this gates the eviction-driven NULL-emission machinery
+    // the inner q270 never touches. Far-future sentinel rows staged as
+    // a second file on BOTH sides advance the watermark past all real
+    // data (the q290 recipe); the sentinel pair is filtered from the
+    // readback. Oracle: the batch LEFT JOIN — a missing outer row
+    // (state not flushed), a doubled one (emitted matched AND null), or
+    // a dropped match all hash-mismatch.
+    "q306_interval_join_outer_stream" -> ((s, dir) => {
+      import graft.streaming.{StreamingOps, StreamStage}
+      val sink = StreamStage.tempDir("graft_q306_out")
+      val ckpt = StreamStage.tempDir("graft_q306_ckpt")
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val sch = ev.select("user_id", "ts").schema
+      def sentinel = s.range(1)
+        .select(lit(-1L).cast(sch("user_id").dataType).as("user_id"),
+          lit("2100-01-01 00:00:00").cast("timestamp").as("ts"))
+      val stagingL = StreamStage.stagedInputParts("q306l", dir, Seq(
+        () => ev.filter(col("event_type") === "view").select("user_id", "ts"),
+        () => sentinel))
+      val stagingR = StreamStage.stagedInputParts("q306r", dir, Seq(
+        () => ev.filter(col("event_type") === "purchase").select("user_id", "ts"),
+        () => sentinel))
+      def src(p: String) = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(p + "/*")
+      val joined = StreamingOps.intervalJoinStream(src(stagingL),
+        src(stagingR), "user_id", "ts", maxDelaySec = 3600L,
+        joinType = "left_outer")
+      joined.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(sink).filter(col("user_id") >= 0L)
+        .orderBy("user_id", "left_ts", "right_ts")
+    }),
     // Third streaming ORACLE row: events through a real file-source
     // readStream -> funnelStream (flatMapGroupsWithState, ONE monotone
     // int per user) -> update-mode parquet sink; final stage per user =
@@ -2812,6 +2858,24 @@ object SparkEntry {
       Graph.louvain(edges, "a", "b", levels = 2, rounds = 3,
           wCol = Some("w"))
         .orderBy("node")
+    }),
+    // WEIGHTED modularity of the q300 partition — the weighted-Q metric
+    // that scores what the weighted ascent optimized (q272 scores the
+    // unit-weight form): Q·4W² = Σ_c [4W·w_c − S_c²] in exact integers,
+    // W the summed co-purchase counts, S_c the weighted degrees.
+    "q305_louvain_weighted_modularity" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      val labels = Graph.louvain(edges, "a", "b", levels = 2, rounds = 3,
+        wCol = Some("w"))
+      Graph.modularityWeighted(edges, "a", "b", "w", labels, "node",
+        "label")
     }),
     // Product quantization ANN (Jégou et al. 2011): 64-dim floats to
     // 4 codes of 4 bits (m=4 blocks, 16 cells), ADC lookup-table
@@ -5423,19 +5487,32 @@ object SparkEntry {
        |  JOIN cnB ON cnB.label = l.label)""".stripMargin
   }
 
-  /** q272 tail (shared with q272s): exact Q·4m² fold over `fin`'s
-    * partition on the UNWEIGHTED e0 graph (level-1 weights are all 1 in
-    * those gates, so deg1 is plain degree and intra/m are edge counts). */
+  /** q272 tail (shared with q272s and, weighted, q305): exact Q·4m²
+    * fold over `fin`'s partition. Unweighted: deg1 is plain degree and
+    * intra/m are edge counts (level-1 weights all 1 in those gates).
+    * Weighted: intra/W sum e0's weight column (deg1 is ALREADY the
+    * weighted degree in the weighted CTE chain), and the total surfaces
+    * as `w_total` to match [[graft.operators.Graph.modularityWeighted]]. */
   private def louvainModularityTailSql: String =
-    """degc AS (SELECT l.label AS lb,
+    louvainModularityTailSqlW(weighted = false)
+
+  private def louvainModularityTailSqlW(weighted: Boolean): String = {
+    val intraExpr =
+      if (weighted) "CAST(CAST(sum(e0.w) AS HUGEINT) AS BIGINT)"
+      else "CAST(count(*) AS BIGINT)"
+    val mExpr =
+      if (weighted) "CAST(CAST(coalesce(sum(w), 0) AS HUGEINT) AS BIGINT)"
+      else "CAST(count(*) AS BIGINT)"
+    val mAlias = if (weighted) "w_total" else "m_edges"
+    s"""degc AS (SELECT l.label AS lb,
       |    CAST(CAST(sum(deg1.k) AS HUGEINT) AS BIGINT) AS dc,
       |    CAST(count(*) AS BIGINT) AS nc
       |  FROM deg1 JOIN fin l ON l.node = deg1.node GROUP BY 1),
-      |intra AS (SELECT lu.label AS lb, CAST(count(*) AS BIGINT) AS ec
+      |intra AS (SELECT lu.label AS lb, $intraExpr AS ec
       |  FROM e0 JOIN fin lu ON lu.node = e0.u
       |  JOIN fin lv ON lv.node = e0.v
       |  WHERE lu.label = lv.label GROUP BY 1),
-      |emm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+      |emm AS (SELECT $mExpr AS m FROM e0),
       |per AS (SELECT degc.lb, degc.nc, degc.dc,
       |    coalesce(intra.ec, 0) AS ec
       |  FROM degc LEFT JOIN intra ON intra.lb = degc.lb),
@@ -5443,7 +5520,7 @@ object SparkEntry {
       |    CAST(sum(nc) AS BIGINT) AS n_nodes,
       |    list(ec ORDER BY lb) AS lec, list(dc ORDER BY lb) AS ldc
       |  FROM per)
-      |SELECT f.n_nodes, emm.m AS m_edges, f.n_communities,
+      |SELECT f.n_nodes, emm.m AS $mAlias, f.n_communities,
       |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
       |    list_transform(generate_series(1, len(f.lec)), i ->
       |      CAST(4 AS HUGEINT) * emm.m * f.lec[i]
@@ -5459,6 +5536,7 @@ object SparkEntry {
       |         * CAST(emm.m AS DOUBLE))
       |  END AS modularity
       |FROM f CROSS JOIN emm""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     // q236: q206's oracle VERBATIM (shared by reference, not copy) — the
@@ -5482,7 +5560,27 @@ object SparkEntry {
     "q303_transition_stream_restart" -> oracleSqlBase("q238_transition_stream"),
     // q304: the persisted IVFADC at full probe — q283's brute-force
     // oracle verbatim (parquet round-trips doubles bit-exactly)
-    "q304_ann_ivfpq_persisted" -> oracleSqlBase("q283_ann_pq")
+    "q304_ann_ivfpq_persisted" -> oracleSqlBase("q283_ann_pq"),
+    // q305: the weighted chain + the weighted Q tail (intra/W sum e0.w;
+    // deg1 is already the weighted degree in that chain)
+    "q305_louvain_weighted_modularity" ->
+      s"""WITH ${louvainGraphOracleCtes(weighted = true, sampleHex = None)},
+         |${louvainModularityTailSqlW(weighted = true)}""".stripMargin,
+    // q306: q270's join LEFT OUTER — unmatched views carry NULL right
+    // side; the integer-seconds delay is NULL exactly there
+    "q306_interval_join_outer_stream" ->
+      """WITH v AS (SELECT user_id AS u, ts AS lt FROM events
+        |  WHERE event_type = 'view' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |p AS (SELECT user_id AS u, ts AS rt FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL)
+        |SELECT v.u AS user_id, v.lt AS left_ts, p.rt AS right_ts,
+        |  epoch_us(p.rt) // 1000000 - epoch_us(v.lt) // 1000000
+        |    AS delay_sec
+        |FROM v LEFT JOIN p ON p.u = v.u AND p.rt >= v.lt
+        |  AND p.rt <= v.lt + INTERVAL 3600 SECOND
+        |ORDER BY 1, 2, 3""".stripMargin
   )
 
   private def oracleSqlBase: Map[String, String] = Map(

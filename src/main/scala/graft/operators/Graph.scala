@@ -648,6 +648,81 @@ object Graph {
           .as("modularity"))
   }
 
+  /** WEIGHTED Newman modularity — [[modularity]]'s exact-integer form
+    * generalized to weighted edges (Newman, Phys. Rev. E 2004 §V:
+    * replace edge counts with weight sums):
+    *
+    *   Q·4W² = Σ_c [4W·w_c − S_c²]
+    *
+    * with W = total canonical edge weight (parallel edges SUM — the
+    * [[louvainMoveRounds]] convention), w_c = intra-community weight,
+    * S_c = Σ weighted degree. Exact while weights are non-negative
+    * integers (counts — enforced in-plan); `modularity` is the single
+    * double division at the end. Self-loops are dropped like
+    * [[modularity]]. Output: ONE row `(n_nodes, w_total,
+    * n_communities, q_num_e, modularity)`.
+    *
+    * Scale shape: identical to [[modularity]] — one degree aggregation,
+    * one two-sided label join, a community-sized rollup, a 1-row fold. */
+  def modularityWeighted(edges: DataFrame, aCol: String, bCol: String,
+                         wCol: String, labels: DataFrame, nodeCol: String,
+                         labelCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val canon = edges
+      // guard as a never-dropping filter (the q83 pattern — a filter
+      // cannot be column-pruned away, unlike an unused guard column)
+      .filter(assert_true(col(wCol) >= 0,
+        lit(s"modularityWeighted: negative $wCol")).isNull)
+      .select(least(col(aCol), col(bCol)).as("_u"),
+        greatest(col(aCol), col(bCol)).as("_v"),
+        col(wCol).cast(d38).as("_w"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .groupBy("_u", "_v").agg(sum(col("_w")).as("_w"))
+      .localCheckpoint(true) // degrees + the label join + W
+    val lbl = labels.select(col(nodeCol).as("node"), col(labelCol).as("_l"))
+      .localCheckpoint(true)
+    val nodes = canon.select(explode(array(col("_u"), col("_v"))).as("node"))
+      .distinct()
+    val missing = nodes.join(lbl, Seq("node"), "left_anti").limit(1).collect()
+    require(missing.isEmpty,
+      s"node ${missing.headOption.map(_.get(0)).getOrElse("")} has no label" +
+        " — modularity needs a TOTAL partition")
+    // W: exact decimal surfaced as long (fails loudly past 2⁶³)
+    val w0 = canon.agg(coalesce(sum(col("_w")), lit(0L).cast(d38))
+      .cast("long")).collect()(0).getLong(0)
+    val deg = canon.select(explode(array(
+        struct(col("_u").as("node"), col("_w")),
+        struct(col("_v").as("node"), col("_w")))).as("_e"))
+      .select(col("_e.node").as("node"), col("_e._w").as("_w"))
+      .groupBy("node").agg(sum(col("_w")).as("_d"))
+    val degC = deg.join(lbl, Seq("node"))
+      .groupBy(col("_l")).agg(sum(col("_d")).as("_degc"),
+        count(lit(1)).as("_nc"))
+    val intra = canon
+      .join(lbl.select(col("node").as("_u"), col("_l").as("_lu")), Seq("_u"))
+      .join(lbl.select(col("node").as("_v"), col("_l").as("_lv")), Seq("_v"))
+      .filter(col("_lu") === col("_lv"))
+      .groupBy(col("_lu").as("_l")).agg(sum(col("_w")).as("_wc"))
+    val per = degC.join(intra, Seq("_l"), "left")
+      .select(col("_l"), col("_nc"), col("_degc"),
+        coalesce(col("_wc"), lit(0L).cast(d38)).as("_wc"))
+    per
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("_nc")).as("n_nodes"),
+        sort_array(collect_list(struct(col("_l"), col("_wc"),
+          col("_degc")))).as("_t"))
+      .select(col("n_nodes"), lit(w0).as("w_total"), col("n_communities"),
+        aggregate(col("_t"), lit(0L).cast(d38), (acc, t) =>
+          acc + (lit(4L * w0).cast(d38) * t("_wc").cast(d38)
+            - t("_degc").cast(d38) * t("_degc").cast(d38))).as("q_num_e"))
+      .select(col("n_nodes"), col("w_total"), col("n_communities"),
+        col("q_num_e").cast("long").as("q_num_e"),
+        when(lit(w0) === 0L, lit(null))
+          .otherwise(col("q_num_e").cast("double") /
+            (lit(4.0) * lit(w0.toDouble) * lit(w0.toDouble)))
+          .as("modularity"))
+  }
+
   /** Harmonic centrality (Boldi & Vigna, "Axioms for centrality",
     * Internet Mathematics 2014 — the closeness variant that handles
     * disconnected graphs: unreachable nodes contribute 0, not ∞) for a

@@ -210,24 +210,36 @@ object StreamingOps {
     * stream-stream joins require (an unbounded-delay condition would
     * accumulate the whole left stream in the state store).
     *
-    * Inner join, append mode. Output: `(keyCol, left_ts, right_ts,
-    * delay_sec)`. Rows later than their side's watermark are dropped by
-    * Spark's join-state eviction — the standard trade for bounded state.
+    * Append mode. Output: `(keyCol, left_ts, right_ts, delay_sec)`.
+    * Rows later than their side's watermark are dropped by Spark's
+    * join-state eviction — the standard trade for bounded state.
     *
-    * Scale shape: state per key is only the left rows younger than
+    * `joinType = "left_outer"` additionally emits every UNMATCHED left
+    * row with NULL right side — but only once the watermark PROVES no
+    * match can still arrive (the row's join window falls behind the
+    * watermark and its state evicts). On a bounded replay that means
+    * the final lefts emit only if something later advances the
+    * watermark past them — stage a far-future sentinel batch on BOTH
+    * sides (the q290 recipe) and filter it from the sink.
+    *
+    * Scale shape: state per key is only the rows younger than
     * watermark + maxDelay; the join is key-partitioned (both sides
     * shuffle on the key once). */
   def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
                          tsCol: String, maxDelaySec: Long,
-                         watermark: String = "10 minutes"): DataFrame = {
+                         watermark: String = "10 minutes",
+                         joinType: String = "inner"): DataFrame = {
     require(maxDelaySec > 0, s"maxDelaySec ($maxDelaySec) must be positive")
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"joinType ($joinType) must be inner or left_outer")
     val l = left.select(col(keyCol).as("_lk"), col(tsCol).as("left_ts"))
       .withWatermark("left_ts", watermark)
     val r = right.select(col(keyCol).as("_rk"), col(tsCol).as("right_ts"))
       .withWatermark("right_ts", watermark)
     l.join(r, col("_lk") === col("_rk") &&
         col("right_ts") >= col("left_ts") &&
-        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $maxDelaySec SECONDS"))
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $maxDelaySec SECONDS"),
+        joinType)
       .select(col("_lk").as(keyCol), col("left_ts"), col("right_ts"),
         (unix_timestamp(col("right_ts")) - unix_timestamp(col("left_ts")))
           .as("delay_sec"))

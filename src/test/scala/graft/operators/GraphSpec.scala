@@ -440,6 +440,35 @@ class GraphSpec extends SparkFunSuite {
     assert(unit == Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 1L)))
   }
 
+  test("modularityWeighted: hand-computed Q, parallel edges sum, guards") {
+    // two weight-3 pairs bridged by a weight-1 edge; W = 7, weighted
+    // degrees (3,4,4,3), per community S_c = 7 and w_c = 3:
+    // Q·4W² = 2·(4·7·3 − 7²) = 70, Q = 70/196
+    val e = Seq((1L, 2L, 3L), (3L, 4L, 3L), (2L, 3L, 1L)).toDF("a", "b", "w")
+    val lbl = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("node", "label")
+    val q = Graph.modularityWeighted(e, "a", "b", "w", lbl, "node", "label")
+      .collect().head
+    assert((q.getLong(0), q.getLong(1), q.getLong(2), q.getLong(3)) ==
+      ((4L, 7L, 2L, 70L)))
+    assert(math.abs(q.getDouble(4) - 70.0 / 196.0) < 1e-15)
+    // parallel edges SUM (the louvain convention): splitting the w=3
+    // edges into 1+2 rows must change nothing
+    val split = Seq((1L, 2L, 1L), (2L, 1L, 2L), (3L, 4L, 3L), (2L, 3L, 1L))
+      .toDF("a", "b", "w")
+    val q2 = Graph.modularityWeighted(split, "a", "b", "w", lbl, "node",
+      "label").collect().head
+    assert(q2.getLong(3) == 70L && q2.getLong(1) == 7L)
+    // negative weights fail loudly; partial partitions fail loudly
+    intercept[Exception] {
+      Graph.modularityWeighted(Seq((1L, 2L, -1L)).toDF("a", "b", "w"),
+        "a", "b", "w", lbl, "node", "label").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Graph.modularityWeighted(e, "a", "b", "w",
+        lbl.filter(col("node") =!= 4L), "node", "label").collect()
+    }
+  }
+
   test("betweennessFromLandmarks: path and diamond hand-accumulation") {
     // path 1-2-3-4-5, landmark 1: σ ≡ 1, so δ telescopes 3, 2, 1, 0
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")

@@ -42,11 +42,46 @@ class StreamIntervalJoinSpec extends SparkFunSuite {
     } finally q.stop()
   }
 
-  test("maxDelaySec must be positive") {
+  test("left_outer: unmatched lefts emit NULL rows once the watermark evicts them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingOps.intervalJoinStream(
+      imps.toDS().toDF("ad_id", "ts"), clicks.toDS().toDF("ad_id", "ts"),
+      "ad_id", "ts", maxDelaySec = 60, watermark = "5 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_outer").start()
+    try {
+      imps.addData((1L, t(0)), (2L, t(0)))  // ad 2 never clicks
+      clicks.addData((1L, t(30)))
+      q.processAllAvailable()
+      // matched row emits immediately; the outer row for ad 2 must WAIT
+      // for the watermark to prove no click can still arrive
+      assert(spark.table("ij_outer").count() == 1)
+      // far-future rows on BOTH sides advance the watermark past ad 2's
+      // window; the next batch evicts its state and emits the NULL row
+      imps.addData((99L, t(100000)))
+      clicks.addData((99L, t(100000)))
+      q.processAllAvailable()
+      val got = spark.table("ij_outer").filter($"ad_id" < 99L)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(2)).isDefined)).sorted.toSeq
+      assert(got == Seq((1L, true), (2L, false)),
+        "exactly one matched row and one NULL-right outer row")
+    } finally q.stop()
+  }
+
+  test("maxDelaySec must be positive; bad join type rejected") {
     import spark.implicits._
     val df = Seq((1L, t(0))).toDF("ad_id", "ts")
     intercept[IllegalArgumentException] {
       StreamingOps.intervalJoinStream(df, df, "ad_id", "ts", maxDelaySec = 0)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingOps.intervalJoinStream(df, df, "ad_id", "ts",
+        maxDelaySec = 60, joinType = "full_outer")
     }
   }
 }
