@@ -2063,6 +2063,45 @@ object SparkEntry {
       s.read.parquet(sink).filter(col("user_id") >= 0L)
         .orderBy("user_id", "left_ts", "right_ts")
     }),
+    // 25% md5 user-sampled twin (q306 prices 15.3 s on the sf1.0 decade
+    // — mostly join-state + sink volume, which the sample cuts; the
+    // ~4-batch streaming machinery floor remains)
+    "q306s_interval_join_outer_sampled" -> ((s, dir) => {
+      import graft.streaming.{StreamingOps, StreamStage}
+      val sink = StreamStage.tempDir("graft_q306s_out")
+      val ckpt = StreamStage.tempDir("graft_q306s_ckpt")
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          oracleSampleAt(col("user_id"), "40"))
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val sch = ev.select("user_id", "ts").schema
+      def sentinel = s.range(1)
+        .select(lit(-1L).cast(sch("user_id").dataType).as("user_id"),
+          lit("2100-01-01 00:00:00").cast("timestamp").as("ts"))
+      val stagingL = StreamStage.stagedInputParts("q306sl", dir, Seq(
+        () => ev.filter(col("event_type") === "view").select("user_id", "ts"),
+        () => sentinel))
+      val stagingR = StreamStage.stagedInputParts("q306sr", dir, Seq(
+        () => ev.filter(col("event_type") === "purchase").select("user_id", "ts"),
+        () => sentinel))
+      def src(p: String) = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(p + "/*")
+      val joined = StreamingOps.intervalJoinStream(src(stagingL),
+        src(stagingR), "user_id", "ts", maxDelaySec = 3600L,
+        joinType = "left_outer")
+      joined.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(sink).filter(col("user_id") >= 0L)
+        .orderBy("user_id", "left_ts", "right_ts")
+    }),
     // Third streaming ORACLE row: events through a real file-source
     // readStream -> funnelStream (flatMapGroupsWithState, ONE monotone
     // int per user) -> update-mode parquet sink; final stage per user =
@@ -2858,6 +2897,37 @@ object SparkEntry {
       Graph.louvain(edges, "a", "b", levels = 2, rounds = 3,
           wCol = Some("w"))
         .orderBy("node")
+    }),
+    // 25% md5-sampled twins of the weighted pair (q300 23.3 s / q305
+    // 31.4 s on the sf1.0 decade — the q271s/q272s convention)
+    "q300s_louvain_weighted_sampled" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0 &&
+          oracleSampleAt(col("l_orderkey"), "40"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      Graph.louvain(edges, "a", "b", levels = 2, rounds = 3,
+          wCol = Some("w"))
+        .orderBy("node")
+    }),
+    "q305s_louvain_weighted_modularity_sampled" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0 &&
+          oracleSampleAt(col("l_orderkey"), "40"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("pk").as("a"))
+        .join(li.select(col("ok"), col("pk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      val labels = Graph.louvain(edges, "a", "b", levels = 2, rounds = 3,
+        wCol = Some("w"))
+      Graph.modularityWeighted(edges, "a", "b", "w", labels, "node",
+        "label")
     }),
     // WEIGHTED modularity of the q300 partition — the weighted-Q metric
     // that scores what the weighted ascent optimized (q272 scores the
@@ -5566,22 +5636,33 @@ object SparkEntry {
     "q305_louvain_weighted_modularity" ->
       s"""WITH ${louvainGraphOracleCtes(weighted = true, sampleHex = None)},
          |${louvainModularityTailSqlW(weighted = true)}""".stripMargin,
-    // q306: q270's join LEFT OUTER — unmatched views carry NULL right
-    // side; the integer-seconds delay is NULL exactly there
-    "q306_interval_join_outer_stream" ->
-      """WITH v AS (SELECT user_id AS u, ts AS lt FROM events
-        |  WHERE event_type = 'view' AND user_id IS NOT NULL
-        |    AND ts IS NOT NULL),
-        |p AS (SELECT user_id AS u, ts AS rt FROM events
-        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
-        |    AND ts IS NOT NULL)
-        |SELECT v.u AS user_id, v.lt AS left_ts, p.rt AS right_ts,
-        |  epoch_us(p.rt) // 1000000 - epoch_us(v.lt) // 1000000
-        |    AS delay_sec
-        |FROM v LEFT JOIN p ON p.u = v.u AND p.rt >= v.lt
-        |  AND p.rt <= v.lt + INTERVAL 3600 SECOND
-        |ORDER BY 1, 2, 3""".stripMargin
+    // q306/q306s: q270's join LEFT OUTER — unmatched views carry NULL
+    // right side; the integer-seconds delay is NULL exactly there
+    "q306_interval_join_outer_stream" -> outerIntervalJoinOracle(""),
+    "q306s_interval_join_outer_sampled" -> outerIntervalJoinOracle(
+      "\n    AND md5(CAST(user_id AS VARCHAR) || ':osample') < '40'"),
+    // q300s/q305s: the weighted chain over the 25% order sample
+    "q300s_louvain_weighted_sampled" ->
+      s"""WITH ${louvainGraphOracleCtes(weighted = true, sampleHex = Some("40"))}
+         |SELECT node, label FROM fin ORDER BY node""".stripMargin,
+    "q305s_louvain_weighted_modularity_sampled" ->
+      s"""WITH ${louvainGraphOracleCtes(weighted = true, sampleHex = Some("40"))},
+         |${louvainModularityTailSqlW(weighted = true)}""".stripMargin
   )
+
+  private def outerIntervalJoinOracle(sample: String): String =
+    s"""WITH v AS (SELECT user_id AS u, ts AS lt FROM events
+      |  WHERE event_type = 'view' AND user_id IS NOT NULL
+      |    AND ts IS NOT NULL$sample),
+      |p AS (SELECT user_id AS u, ts AS rt FROM events
+      |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      |    AND ts IS NOT NULL$sample)
+      |SELECT v.u AS user_id, v.lt AS left_ts, p.rt AS right_ts,
+      |  epoch_us(p.rt) // 1000000 - epoch_us(v.lt) // 1000000
+      |    AS delay_sec
+      |FROM v LEFT JOIN p ON p.u = v.u AND p.rt >= v.lt
+      |  AND p.rt <= v.lt + INTERVAL 3600 SECOND
+      |ORDER BY 1, 2, 3""".stripMargin
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q01_silver_transform" ->
