@@ -1635,6 +1635,23 @@ object SparkEntry {
         .select("src", "dst")
       Graph.pageRank(edges, "src", "dst", iters = 3).orderBy("node")
     }),
+    // WEIGHTED PageRank over the same co-supplier graph, each directed
+    // edge weighted by how many orders the pair shared — rank flows
+    // proportionally to collaboration strength instead of uniformly
+    // (q190 is the w ≡ 1 special case). Exact integer: the share is
+    // (r·w) div out-weight, decimal product, HUGEINT-replayed oracle.
+    "q307_pagerank_weighted" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("src"))
+        .join(li.select(col("ok"), col("sk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      Graph.pageRank(edges, "src", "dst", iters = 3, wCol = Some("w"))
+        .orderBy("node")
+    }),
     // Are order priority and order status associated? Pearson χ² of
     // independence over the full 5×3 grid (zero cells still contribute
     // their expected mass) + Cramér's V effect size; exact integer
@@ -5647,7 +5664,43 @@ object SparkEntry {
          |SELECT node, label FROM fin ORDER BY node""".stripMargin,
     "q305s_louvain_weighted_modularity_sampled" ->
       s"""WITH ${louvainGraphOracleCtes(weighted = true, sampleHex = Some("40"))},
-         |${louvainModularityTailSqlW(weighted = true)}""".stripMargin
+         |${louvainModularityTailSqlW(weighted = true)}""".stripMargin,
+    // q307: q190's round chain with weighted shares — e carries the
+    // shared-order count, od = Σ out-weight, share = (r·w) // od in
+    // HUGEINT (operands non-negative, so // ≡ div)
+    "q307_pagerank_weighted" -> {
+      val S = graft.operators.Graph.RankScale
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""i$i AS (SELECT e.d AS node,
+           |    CAST(sum((CAST(r._r AS HUGEINT) * e.w) // o.od) AS BIGINT)
+           |      AS infl
+           |  FROM e JOIN $prev r ON r.node = e.s JOIN od o ON o.s = e.s
+           |  GROUP BY e.d),
+           |g$i AS (SELECT CAST(coalesce(sum(r._r), 0) AS BIGINT) AS dmass
+           |  FROM $prev r LEFT JOIN od o ON o.s = r.node WHERE o.s IS NULL),
+           |r$i AS (SELECT nd.node,
+           |    CAST((15 * $S) // (100 * nn.n)
+           |      + (85 * (coalesce(i.infl, 0) + g.dmass // nn.n)) // 100
+           |      AS BIGINT) AS _r
+           |  FROM nodes nd CROSS JOIN nn CROSS JOIN g$i g
+           |  LEFT JOIN i$i i ON i.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem WHERE l_orderkey % 20 = 0),
+         |e AS (SELECT a.sk AS s, b.sk AS d, CAST(count(*) AS HUGEINT) AS w
+         |  FROM li a JOIN li b ON a.ok = b.ok WHERE a.sk <> b.sk
+         |  GROUP BY 1, 2),
+         |nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |od AS (SELECT s, CAST(sum(w) AS HUGEINT) AS od FROM e GROUP BY s),
+         |r0 AS (SELECT node, CAST($S // nn.n AS BIGINT) AS _r
+         |  FROM nodes CROSS JOIN nn),
+         |$rounds
+         |SELECT node, r._r AS rank_e12,
+         |  CAST(r._r AS DOUBLE) / 1e12 AS pagerank
+         |FROM r3 r ORDER BY node""".stripMargin
+    }
   )
 
   private def outerIntervalJoinOracle(sample: String): String =

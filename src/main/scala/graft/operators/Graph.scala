@@ -172,18 +172,40 @@ object Graph {
     * table is checkpointed once and reused by all rounds. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, dampNum: Long = 85L,
-               dampDen: Long = 100L): DataFrame = {
+               dampDen: Long = 100L,
+               wCol: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters ($iters) must be >= 1")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
-    val reserved = Seq("_s", "_d", "_od", "_r", "_in", "node")
+    val reserved = Seq("_s", "_d", "_od", "_r", "_in", "_w", "node")
     require(!edges.columns.exists(reserved.contains),
       s"input must not contain reserved columns ${reserved.mkString("/")}")
-    val e = edges
-      .select(col(srcCol).as("_s"), col(dstCol).as("_d"))
-      .filter(col("_s").isNotNull && col("_d").isNotNull &&
-        col("_s") =!= col("_d"))
-      .distinct().localCheckpoint(true)
+    // WEIGHTED variant (wCol): a node of out-weight W sends
+    // `(r·w) div W` along an edge of weight w — the rank splits
+    // proportionally to edge weight instead of uniformly, still exact
+    // integer (the product rides decimal(38,0); IntegralDivide lands a
+    // long ≤ r). Parallel edges SUM; weights must be POSITIVE integers
+    // (counts — a zero would make a node's total out-weight divisible
+    // to zero and its division NULL, silently retiring its whole mass,
+    // so the guard rejects w < 1 loudly). Unweighted keeps the original
+    // `r div out-degree` expression verbatim — w ≡ 1 reduces to it.
+    val e = (wCol match {
+      case None =>
+        edges
+          .select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+          .filter(col("_s").isNotNull && col("_d").isNotNull &&
+            col("_s") =!= col("_d"))
+          .distinct()
+      case Some(c) =>
+        edges
+          .filter(assert_true(col(c) >= 1,
+            lit(s"pageRank: $c must be a positive integer weight")).isNull)
+          .select(col(srcCol).as("_s"), col(dstCol).as("_d"),
+            col(c).cast("decimal(38,0)").as("_w"))
+          .filter(col("_s").isNotNull && col("_d").isNotNull &&
+            col("_s") =!= col("_d"))
+          .groupBy("_s", "_d").agg(sum(col("_w")).as("_w"))
+    }).localCheckpoint(true)
     val nodes = e.select(col("_s").as("node"))
       .union(e.select(col("_d").as("node")))
       .distinct().localCheckpoint(true)
@@ -191,8 +213,10 @@ object Graph {
     if (n == 0L)
       return nodes.select(col("node"), lit(0L).as("rank_e12"),
         lit(0.0).as("pagerank"))
-    val outdeg = e.groupBy(col("_s")).agg(count(lit(1)).as("_od"))
-      .localCheckpoint(true)
+    val outdeg = (wCol match {
+      case None => e.groupBy(col("_s")).agg(count(lit(1)).as("_od"))
+      case Some(_) => e.groupBy(col("_s")).agg(sum(col("_w")).as("_od"))
+    }).localCheckpoint(true)
     val tele = ((dampDen - dampNum) * RankScale) / (dampDen * n)
     var r = nodes.select(col("node"), lit(RankScale / n).as("_r"))
       .localCheckpoint(false)
@@ -203,10 +227,13 @@ object Graph {
         .agg(coalesce(sum(col("_r")), lit(0L)))
         .collect()(0).getLong(0)
       val dangShare = dang / n
+      val share =
+        if (wCol.isEmpty) expr("_r div _od")
+        else expr("(CAST(_r AS DECIMAL(38,0)) * _w) div _od")
       val inflow = e
         .join(r.withColumnRenamed("node", "_s"), Seq("_s"))
         .join(outdeg, Seq("_s"))
-        .select(col("_d"), expr("_r div _od").as("_share"))
+        .select(col("_d"), share.as("_share"))
         .groupBy(col("_d")).agg(sum(col("_share")).as("_in"))
       r = nodes
         .join(inflow.withColumnRenamed("_d", "node"), Seq("node"), "left")

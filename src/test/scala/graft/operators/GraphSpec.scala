@@ -440,6 +440,35 @@ class GraphSpec extends SparkFunSuite {
     assert(unit == Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 1L)))
   }
 
+  test("pageRank weighted: hand-replayed round; w = 1 reduces to unweighted") {
+    // star 1→2 (w=3), 1→3 (w=1); n = 3, r0 = 333333333333 each,
+    // out-weight(1) = 4, dangling = 2·r0, tele = 50e9. Round 1:
+    //   share(2) = (r0·3) div 4 = 249999999999
+    //   share(3) =  r0     div 4 =  83333333333
+    //   dangShare = 222222222222
+    //   r1 = tele + 85·(inflow + dangShare) div 100
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRank(e, "src", "dst", iters = 1, wCol = Some("w"))
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 238888888888L), (2L, 451388888887L),
+      (3L, 309722222221L)))
+    // w ≡ 1 must equal the unweighted path value-for-value
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val unw = Graph.pageRank(base.toDF("src", "dst"), "src", "dst", iters = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val unit = Graph.pageRank(base.map { case (a, b) => (a, b, 1L) }
+        .toDF("src", "dst", "w"), "src", "dst", iters = 3, wCol = Some("w"))
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(unw == unit, "w = 1 weighted must reduce to the unweighted ranks")
+    // zero/negative weights fail loudly (a zero would NULL a division
+    // and silently retire the node's whole mass)
+    intercept[Exception] {
+      Graph.pageRank(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"),
+        "src", "dst", iters = 1, wCol = Some("w")).collect()
+    }
+  }
+
   test("modularityWeighted: hand-computed Q, parallel edges sum, guards") {
     // two weight-3 pairs bridged by a weight-1 edge; W = 7, weighted
     // degrees (3,4,4,3), per community S_c = 7 and w_c = 3:
