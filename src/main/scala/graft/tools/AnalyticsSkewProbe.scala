@@ -41,6 +41,44 @@ object AnalyticsSkewProbe {
     // `fh` distinct items: uncapped it contributes fh² pair instances
     // (25M at fh=5000) that carry no signal; the basket cap drops the
     // account whole.
+    // --- round-15: IVFADC serving under a HOT CELL (`runMain … ivfpq`).
+    // 100k 64-dim vectors; hotPct% collapse into one tight blob (the
+    // ingest-drift shape cellLoad's rebuild_hint exists for), queries
+    // target the blob at nProbe = 1 — the worst serve: every probe
+    // lands in the one overloaded cell. The claim under test: ADC cost
+    // scales LINEARLY with probed postings (broadcast LUT join +
+    // map-side-combined sums; a heavy cell_id key splits under AQE),
+    // so a 9× hotter cell costs ~9× one balanced cell and nothing
+    // quadratic appears. Index build (untimed) via saveIvfPqIndex;
+    // the timed region is topKFromIvfPqIndex alone — the serve path.
+    if (args.contains("ivfpq")) {
+      import graft.operators.Pq
+      val dim = 64
+      for (hotPct <- Seq(0, 50, 90)) {
+        val vecs = spark.range(100000L).select(col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(dim)), j =>
+            when(pmod(col("id"), lit(100L)) < hotPct,
+              lit(1000.0) + pmod(xxhash64(col("id") * lit(dim) + j),
+                lit(1000L)).cast("double") / lit(1000.0))
+              .otherwise(pmod(xxhash64(col("id") * lit(dim) + j),
+                lit(20000L)).cast("double"))).as("embedding"))
+          .localCheckpoint(true)
+        val path = s"/tmp/graft_probe_ivfpq_$hotPct"
+        Pq.saveIvfPqIndex(path, vecs, "vec_id", "embedding", dim = dim,
+          m = 4, kCells = 16, nCells = 16, iters = 2)
+        val q = (if (hotPct == 0) vecs
+                 else vecs.filter(pmod(col("vec_id"), lit(100L)) < hotPct))
+          .limit(8)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("query_vec"))
+          .localCheckpoint(true)
+        timed(s"ivfpq serve hotPct=$hotPct nProbe=1")(
+          Pq.topKFromIvfPqIndex(spark, path, vecs, "vec_id", "embedding",
+            q, k = 10, nProbe = 1, shortlistFactor = 4).count())
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("items")) {
       import graft.operators.Similarity
       for (fh <- Seq(0L, 2000L, 5000L)) {
