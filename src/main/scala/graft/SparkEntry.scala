@@ -1624,6 +1624,25 @@ object SparkEntry {
           iters = 3)
         .orderBy("node")
     }),
+    // WEIGHTED personalized PageRank — q242's biased walk with shares
+    // split by collaboration strength (q307's wCol contract): the
+    // relatedness query a recommender actually runs on a weighted
+    // interaction graph.
+    "q308_ppr_weighted" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("src"))
+        .join(li.select(col("ok"), col("sk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val seeds = li.select(col("sk")).distinct()
+        .filter(col("sk") % 10 === 0)
+      Graph.personalizedPageRank(edges, "src", "dst", seeds, "sk",
+          iters = 3, wCol = Some("w"))
+        .orderBy("node")
+    }),
     "q190_pagerank" -> ((s, dir) => {
       val li = Tables(s, dir).lineitem
         .filter(col("l_orderkey") % 20 === 0)
@@ -5665,6 +5684,49 @@ object SparkEntry {
     "q305s_louvain_weighted_modularity_sampled" ->
       s"""WITH ${louvainGraphOracleCtes(weighted = true, sampleHex = Some("40"))},
          |${louvainModularityTailSqlW(weighted = true)}""".stripMargin,
+    // q308: q242's seed-gated rounds with q307's weighted shares
+    "q308_ppr_weighted" -> {
+      val S = graft.operators.Graph.RankScale
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""i$i AS (SELECT e.d AS node,
+           |    CAST(sum((CAST(r._r AS HUGEINT) * e.w) // o.od) AS BIGINT)
+           |      AS infl
+           |  FROM e JOIN $prev r ON r.node = e.s JOIN od o ON o.s = e.s
+           |  GROUP BY e.d),
+           |g$i AS (SELECT CAST(coalesce(sum(r._r), 0) AS BIGINT) AS dmass
+           |  FROM $prev r LEFT JOIN od o ON o.s = r.node WHERE o.s IS NULL),
+           |r$i AS (SELECT nd.node,
+           |    CAST((CASE WHEN nd.isseed THEN (15 * $S) // (100 * sn.sc)
+           |        ELSE 0 END)
+           |      + (85 * (coalesce(i.infl, 0)
+           |        + CASE WHEN nd.isseed THEN g.dmass // sn.sc
+           |          ELSE 0 END)) // 100
+           |      AS BIGINT) AS _r
+           |  FROM nodes nd CROSS JOIN sn CROSS JOIN g$i g
+           |  LEFT JOIN i$i i ON i.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem WHERE l_orderkey % 20 = 0),
+         |e AS (SELECT a.sk AS s, b.sk AS d, CAST(count(*) AS HUGEINT) AS w
+         |  FROM li a JOIN li b ON a.ok = b.ok WHERE a.sk <> b.sk
+         |  GROUP BY 1, 2),
+         |sd AS (SELECT DISTINCT sk AS node FROM li WHERE sk % 10 = 0),
+         |nodes AS (SELECT n.node,
+         |    (sd.node IS NOT NULL) AS isseed
+         |  FROM (SELECT s AS node FROM e UNION SELECT d FROM e
+         |    UNION SELECT node FROM sd) n
+         |  LEFT JOIN sd ON sd.node = n.node),
+         |sn AS (SELECT CAST(count(*) AS BIGINT) AS sc FROM sd),
+         |od AS (SELECT s, CAST(sum(w) AS HUGEINT) AS od FROM e GROUP BY s),
+         |r0 AS (SELECT node, CAST(CASE WHEN isseed THEN $S // sn.sc
+         |    ELSE 0 END AS BIGINT) AS _r
+         |  FROM nodes CROSS JOIN sn),
+         |$rounds
+         |SELECT node, r._r AS rank_e12,
+         |  CAST(r._r AS DOUBLE) / 1e12 AS ppr
+         |FROM r3 r ORDER BY node""".stripMargin
+    },
     // q307: q190's round chain with weighted shares — e carries the
     // shared-order count, od = Σ out-weight, share = (r·w) // od in
     // HUGEINT (operands non-negative, so // ≡ div)

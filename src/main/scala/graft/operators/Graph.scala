@@ -272,18 +272,35 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, seedCol: String,
                            iters: Int = 3, dampNum: Long = 85L,
-                           dampDen: Long = 100L): DataFrame = {
+                           dampDen: Long = 100L,
+                           wCol: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters ($iters) must be >= 1")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
-    val reserved = Seq("_s", "_d", "_od", "_r", "_in", "node", "_seed")
+    val reserved = Seq("_s", "_d", "_od", "_r", "_in", "_w", "node", "_seed")
     require(!edges.columns.exists(reserved.contains),
       s"input must not contain reserved columns ${reserved.mkString("/")}")
-    val e = edges
-      .select(col(srcCol).as("_s"), col(dstCol).as("_d"))
-      .filter(col("_s").isNotNull && col("_d").isNotNull &&
-        col("_s") =!= col("_d"))
-      .distinct().localCheckpoint(true)
+    // weighted walk: identical to [[pageRank]]'s wCol contract — shares
+    // split (r·w) div out-weight, weights are POSITIVE integers, the
+    // unweighted expression is kept verbatim as the w ≡ 1 case
+    val e = (wCol match {
+      case None =>
+        edges
+          .select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+          .filter(col("_s").isNotNull && col("_d").isNotNull &&
+            col("_s") =!= col("_d"))
+          .distinct()
+      case Some(c) =>
+        edges
+          .filter(assert_true(col(c) >= 1,
+            lit(s"personalizedPageRank: $c must be a positive integer" +
+              " weight")).isNull)
+          .select(col(srcCol).as("_s"), col(dstCol).as("_d"),
+            col(c).cast("decimal(38,0)").as("_w"))
+          .filter(col("_s").isNotNull && col("_d").isNotNull &&
+            col("_s") =!= col("_d"))
+          .groupBy("_s", "_d").agg(sum(col("_w")).as("_w"))
+    }).localCheckpoint(true)
     val sd = seeds.select(col(seedCol).as("node"))
       .filter(col("node").isNotNull)
       .distinct().localCheckpoint(true)
@@ -296,8 +313,10 @@ object Graph {
       .join(sd.select(col("node"), lit(true).as("_seed")), Seq("node"), "left")
       .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
       .localCheckpoint(true)
-    val outdeg = e.groupBy(col("_s")).agg(count(lit(1)).as("_od"))
-      .localCheckpoint(true)
+    val outdeg = (wCol match {
+      case None => e.groupBy(col("_s")).agg(count(lit(1)).as("_od"))
+      case Some(_) => e.groupBy(col("_s")).agg(sum(col("_w")).as("_od"))
+    }).localCheckpoint(true)
     val tele = ((dampDen - dampNum) * RankScale) / (dampDen * sCount)
     var r = nodes.select(col("node"), col("_seed"),
         when(col("_seed"), lit(RankScale / sCount)).otherwise(lit(0L)).as("_r"))
@@ -308,10 +327,13 @@ object Graph {
         .agg(coalesce(sum(col("_r")), lit(0L)))
         .collect()(0).getLong(0)
       val dangShare = dang / sCount
+      val share =
+        if (wCol.isEmpty) expr("_r div _od")
+        else expr("(CAST(_r AS DECIMAL(38,0)) * _w) div _od")
       val inflow = e
         .join(r.select(col("node").as("_s"), col("_r")), Seq("_s"))
         .join(outdeg, Seq("_s"))
-        .select(col("_d"), expr("_r div _od").as("_share"))
+        .select(col("_d"), share.as("_share"))
         .groupBy(col("_d")).agg(sum(col("_share")).as("_in"))
       r = nodes
         .join(inflow.withColumnRenamed("_d", "node"), Seq("node"), "left")
