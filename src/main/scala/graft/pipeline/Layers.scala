@@ -40,4 +40,42 @@ object Layers {
       throw new IllegalStateException(s"empty partitions after transform: $desc")
     }
   }
+
+  /** ZERO-EXTRA-SCAN variant of [[requireAllNonEmpty]] for the 100 TB
+    * regime: the post-hoc aggregate above re-scans the processed batch
+    * (fine while it fits the cache; a terabyte batch spills and the
+    * validation re-scan becomes real IO). This attaches a Spark
+    * `Observation`, so the TERMINAL ACTION ITSELF — the partition
+    * write — collects the per-partition presence as it streams rows
+    * through its tasks; `collect_set` over the two partition columns is
+    * bounded by the pending-partition count, the same driver-side size
+    * [[requireAllNonEmpty]] already collects.
+    *
+    * Contract: run the returned `validate` thunk AFTER the terminal
+    * action on the INSTRUMENTED frame (it blocks on the observation and
+    * throws [[requireAllNonEmpty]]'s loud error). The trade, stated:
+    * validation happens after the write where the reference validates
+    * before — pair with DYNAMIC partition overwrite, where rerunning a
+    * failed batch overwrites the same partitions, so the late failure
+    * costs a rerun, never correctness. */
+  def requireAllNonEmptyObserved(processedRows: DataFrame,
+                                 pending: DataFrame): (DataFrame, () => Unit) = {
+    val obs = org.apache.spark.sql.Observation()
+    val instrumented = processedRows.observe(obs,
+      count(lit(1)).as("rows"),
+      collect_set(struct(col("city"), col("date"))).as("parts"))
+    val validate = () => {
+      val parts = obs.get("parts")
+        .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+        .map(r => (r.get(0), r.get(1))).toSet
+      val missing = pending.select("city", "date").collect()
+        .filterNot(r => parts.contains((r.get(0), r.get(1))))
+      if (missing.nonEmpty) {
+        val desc = missing.map(r => s"${r.get(0)}/${r.get(1)}").mkString(", ")
+        throw new IllegalStateException(
+          s"empty partitions after transform: $desc")
+      }
+    }
+    (instrumented, validate)
+  }
 }

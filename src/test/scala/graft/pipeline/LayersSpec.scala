@@ -44,4 +44,28 @@ class LayersSpec extends SparkFunSuite {
     val pending = Seq(("Delhi", Date.valueOf("2026-02-13"))).toDF("city", "date")
     Layers.requireAllNonEmpty(df, pending) // must not throw
   }
+
+  test("requireAllNonEmptyObserved: the WRITE job collects the counts; no re-scan") {
+    val df = bronzeDf(spark, Seq(bronzeRow("Delhi", "2026-02-13"),
+      bronzeRow("London", "2026-02-13")))
+    val pendingOk = Seq(("Delhi", Date.valueOf("2026-02-13")),
+      ("London", Date.valueOf("2026-02-13"))).toDF("city", "date")
+    val out = tmpDir("obs") + "/t"
+    val (inst, validate) = Layers.requireAllNonEmptyObserved(df, pendingOk)
+    // terminal action on the INSTRUMENTED frame, then validate — the
+    // observation was collected by the write's own tasks
+    inst.write.mode("overwrite").partitionBy("city", "date").parquet(out)
+    validate() // must not throw
+    // the written table is the plain frame, bit for bit
+    assert(spark.read.parquet(out).count() == df.count())
+    // a pending partition the transform produced NO rows for throws the
+    // same loud error — after the action, per the documented trade
+    val pendingMiss = pendingOk.unionByName(
+      Seq(("Paris", Date.valueOf("2026-02-13"))).toDF("city", "date"))
+    val (inst2, validate2) = Layers.requireAllNonEmptyObserved(df, pendingMiss)
+    inst2.write.mode("overwrite").partitionBy("city", "date")
+      .parquet(tmpDir("obs2") + "/t")
+    val e = intercept[IllegalStateException](validate2())
+    assert(e.getMessage.contains("Paris"))
+  }
 }
