@@ -60,17 +60,45 @@ object MetadataLedger {
     val hfs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new org.apache.hadoop.fs.Path(path + "._lock")
+    // Owner token written INTO the lease file: every destructive step
+    // (stale break, final release) must prove it is acting on the exact
+    // lease it observed/holds — a blind delete lets two stale-breakers
+    // both proceed, or a timed-out holder delete its usurper's fresh lease.
+    val token = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
-      try { hfs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = hfs.create(lock, false)
+        out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close(); true
+      } catch { case _: java.io.IOException => false }
+    def lockToken(): Option[String] =
+      try {
+        val in = hfs.open(lock)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          Some(new String(buf, 0, math.max(n, 0),
+            java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
     if (!tryAcquire()) {
       val age = try System.currentTimeMillis() -
         hfs.getFileStatus(lock).getModificationTime
       catch { case _: java.io.IOException => 0L } // holder just released
       if (age > staleLockMs) {
-        hfs.delete(lock, false)
-        require(tryAcquire(),
-          s"ledger $path: lost the lock race after breaking a stale lease")
+        // Break by atomic RENAME of the specific stale lease to a
+        // breaker-unique tombstone: rename is test-and-set, so of N
+        // simultaneous breakers exactly one wins; the losers see the
+        // rename fail (lease gone) and must NOT touch the winner's
+        // fresh lease — they fail loudly like any contender.
+        val tombstone = new org.apache.hadoop.fs.Path(
+          path + s"._lock.broken.$token")
+        val won = try hfs.rename(lock, tombstone)
+        catch { case _: java.io.IOException => false }
+        if (won) hfs.delete(tombstone, false)
+        require(won && tryAcquire(),
+          s"ledger $path: another writer broke the stale lease first —" +
+            " it now holds a fresh lease; retry after it finishes")
       } else throw new IllegalStateException(
         s"ledger $path is locked by a concurrent upsert (lease age ${age}ms" +
           s" <= ${staleLockMs}ms): the read-union-swap upsert is" +
@@ -93,7 +121,12 @@ object MetadataLedger {
       // the union reads the current ledger, so materialize before the swap
       val snapshot = merged.localCheckpoint(true)
       ParquetLake.atomicReplace(spark, snapshot, path)
-    } finally hfs.delete(lock, false)
+    } finally {
+      // Release ONLY our own lease: if this upsert outlived staleLockMs a
+      // breaker may have replaced the lock with its fresh lease — deleting
+      // that would re-open the lost-update window for a THIRD writer.
+      if (lockToken().contains(token)) hfs.delete(lock, false)
+    }
   }
 
   /** Partitions already processed for a layer, as a (city, date) DataFrame

@@ -133,6 +133,12 @@ object Graph {
     * node) is `1e12`. */
   val RankScale: Long = 1000000000000L
 
+  /** Largest aggregated per-edge weight the weighted-walk family accepts:
+    * rank (≤ [[RankScale]] = 1e12) × weight must stay under decimal(38,0)'s
+    * 1e38 ceiling, where Spark (ANSI off) turns overflow into silent NULL. */
+  private val WeightCap: java.math.BigDecimal =
+    new java.math.BigDecimal(java.math.BigInteger.TEN.pow(25))
+
   /** PageRank (Brin & Page 1998) over a DIRECTED edge list, computed in
     * EXACT integer fixed-point so two engines replaying the same rounds
     * agree bit-for-bit — no float accumulation order anywhere.
@@ -205,6 +211,15 @@ object Graph {
           .filter(col("_s").isNotNull && col("_d").isNotNull &&
             col("_s") =!= col("_d"))
           .groupBy("_s", "_d").agg(sum(col("_w")).as("_w"))
+          // overflow guard: the share product CAST(_r,38,0)·_w saturates
+          // Spark's decimal precision at 38 and (ANSI off) an overflow is
+          // a silent NULL — the edge's share would just vanish from the
+          // inflow sum. _r ≤ RankScale = 1e12, so capping the aggregated
+          // per-pair weight at 1e25 keeps the product < 1e37, exact.
+          .filter(assert_true(col("_w") <= lit(WeightCap),
+            lit(s"pageRank: aggregated weight of a (_s,_d) pair exceeds" +
+              " 1e25 — the rank*weight product would overflow" +
+              " decimal(38,0) and silently NULL the share")).isNull)
     }).localCheckpoint(true)
     val nodes = e.select(col("_s").as("node"))
       .union(e.select(col("_d").as("node")))
@@ -300,6 +315,11 @@ object Graph {
           .filter(col("_s").isNotNull && col("_d").isNotNull &&
             col("_s") =!= col("_d"))
           .groupBy("_s", "_d").agg(sum(col("_w")).as("_w"))
+          // same decimal(38,0) share-product overflow guard as [[pageRank]]
+          .filter(assert_true(col("_w") <= lit(WeightCap),
+            lit(s"personalizedPageRank: aggregated weight of a (_s,_d)" +
+              " pair exceeds 1e25 — the rank*weight product would" +
+              " overflow decimal(38,0) and silently NULL the share")).isNull)
     }).localCheckpoint(true)
     val sd = seeds.select(col(seedCol).as("node"))
       .filter(col("node").isNotNull)
@@ -1038,7 +1058,16 @@ object Graph {
     // runs it, and gains stay exact decimal(38,0) integers either way
     val w0 = wCol.map(c => col(c).cast("decimal(38,0)"))
       .getOrElse(lit(1L).cast("decimal(38,0)"))
-    var g = edges
+    // same never-dropping w >= 1 contract as the rest of the weighted
+    // family (pageRank/personalizedPageRank/modularityWeighted): a NULL
+    // weight would silently vanish from the sum and a non-positive one
+    // corrupts the gain arithmetic — both fail LOUDLY in-plan instead.
+    val guarded = wCol match {
+      case Some(c) => edges.filter(assert_true(col(c) >= 1,
+        lit(s"louvain: $c must be a positive integer weight")).isNull)
+      case None => edges
+    }
+    var g = guarded
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"),

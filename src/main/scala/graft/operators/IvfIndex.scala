@@ -223,7 +223,15 @@ object IvfIndex {
     * serves IDENTICAL results ([[IvfIndexSpec]] pins it). */
   def saveIndex(cents: DataFrame, indexed: DataFrame, path: String): Unit = {
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    indexed.write.mode("overwrite").partitionBy("cell_id")
+    // STATIC overwrite, explicitly: the session default is dynamic (the
+    // right mode for incremental layers), but an index REBUILD must
+    // truncate the whole postings tree — under dynamic mode a rebuild
+    // with fewer/different cells would leave a prior run's cell_id=N
+    // directories on disk, where they stay probe-reachable (silent wrong
+    // results) and poison cellLoad/splitCell audits.
+    indexed.write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell_id")
       .parquet(s"$path/postings")
   }
 
@@ -325,13 +333,19 @@ object IvfIndex {
       .filter(col("cell_id").cast("int") === cellId)
       .select("neighbor_id", "c_vec", "c_norm")
       .localCheckpoint(true)
-    require(hot.limit(1).count() == 1L,
-      s"cell $cellId has no postings — nothing to split")
-    val newIds = (1 to kSub).map(maxId + _)
+    val hotN = hot.count()
+    require(hotN >= kSub,
+      s"cell $cellId has $hotN postings < kSub=$kSub — a split cannot seed" +
+        " that many sub-cells; lower kSub or leave the cell alone")
     val sub = centroids(hot, "neighbor_id", "c_vec", kSub, iters)
       .select((col("cell_id") + lit(maxId + 1)).cast("int").as("cell_id"),
         col("centroid"))
       .localCheckpoint(true) // feeds the re-assign AND the centroid swap
+    // The ids actually PUBLISHED: centroids() can return fewer than kSub
+    // cells (duplicate vectors collapse seeds; a Lloyd round can empty a
+    // cell) — the contract is ids == the new centroid rows, never an
+    // assumed arithmetic range that could disagree with the table.
+    val newIds = sub.select("cell_id").collect().map(_.getInt(0)).sorted.toSeq
     val reassigned = assignCells(hot, sub, "c_vec")
       .select(col("neighbor_id"), col("c_vec"), col("c_norm"),
         col("cell_id"))

@@ -43,8 +43,25 @@ object Gold {
       throw new IllegalStateException(s"$bad gold partitions produced NULL avg_temp")
   }
 
+  /** Zero-extra-scan twin of [[requireNoNullAggregates]]: the terminal
+    * action counts NULL avg_temp rows as they stream through the write
+    * (same contract as [[Layers.requireAllNonEmptyObserved]] — run the
+    * thunk after the action on the instrumented frame). */
+  def requireNoNullAggregatesObserved(gold: DataFrame): (DataFrame, () => Unit) = {
+    val obs = org.apache.spark.sql.Observation()
+    val instrumented = gold.observe(obs,
+      count(when(col("avg_temp").isNull, 1)).as("null_avg"))
+    val validate = () => {
+      val bad = obs.get("null_avg").asInstanceOf[Long]
+      if (bad > 0)
+        throw new IllegalStateException(s"$bad gold partitions produced NULL avg_temp")
+    }
+    (instrumented, validate)
+  }
+
   def run(spark: SparkSession, silverRoot: String, goldRoot: String,
-          metadataPath: String, fullRefresh: Boolean = false): Long = {
+          metadataPath: String, fullRefresh: Boolean = false,
+          observedValidation: Boolean = true): Long = {
     val silver = ParquetLake.readOrEmpty(spark, silverRoot, Schemas.silver)
     val available = Layers.availablePartitions(silver)
     val pending0 =
@@ -58,9 +75,17 @@ object Gold {
       val batch = transform(Layers.scopeToPending(silver, pending))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        Layers.requireAllNonEmpty(batch, pending)
-        requireNoNullAggregates(batch)
-        ParquetLake.overwritePartitions(batch, goldRoot, Seq("city", "date"))
+        if (observedValidation) {
+          // Both guards ride the write itself — zero validation re-scans.
+          val (inst1, validateParts) = Layers.requireAllNonEmptyObserved(batch, pending)
+          val (inst2, validateNulls) = requireNoNullAggregatesObserved(inst1)
+          ParquetLake.overwritePartitions(inst2, goldRoot, Seq("city", "date"))
+          validateParts(); validateNulls() // throw before the ledger is stamped
+        } else {
+          Layers.requireAllNonEmpty(batch, pending)
+          requireNoNullAggregates(batch)
+          ParquetLake.overwritePartitions(batch, goldRoot, Seq("city", "date"))
+        }
         MetadataLedger.upsert(spark, metadataPath, pending.withColumn("layer", lit(layerName)))
         nPending
       } finally batch.unpersist()

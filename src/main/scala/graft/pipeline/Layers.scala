@@ -62,7 +62,6 @@ object Layers {
                                  pending: DataFrame): (DataFrame, () => Unit) = {
     val obs = org.apache.spark.sql.Observation()
     val instrumented = processedRows.observe(obs,
-      count(lit(1)).as("rows"),
       collect_set(struct(col("city"), col("date"))).as("parts"))
     val validate = () => {
       val parts = obs.get("parts")

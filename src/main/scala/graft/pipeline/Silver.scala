@@ -36,9 +36,18 @@ object Silver {
       )
 
   /** Incremental run: process bronze partitions not yet in the ledger.
-    * Returns the number of partitions processed. */
+    * Returns the number of partitions processed.
+    *
+    * `observedValidation` (default ON — the 100 TB path) validates the
+    * empty-partition guard via [[Layers.requireAllNonEmptyObserved]]: the
+    * partition WRITE itself collects per-partition presence, zero extra
+    * scans. Validation then lands after the write; dynamic partition
+    * overwrite makes the rerun-on-failure overwrite the same partitions, so
+    * the late failure costs a rerun, never correctness (and the ledger is
+    * only stamped after validation passes). Set it false for the
+    * reference's validate-before-write order at the price of a re-scan. */
   def run(spark: SparkSession, bronzeRoot: String, silverRoot: String,
-          metadataPath: String): Long = {
+          metadataPath: String, observedValidation: Boolean = true): Long = {
     val bronze = ParquetLake.read(spark, bronzeRoot) // missing bronze → fatal, like the reference
     val pending = MetadataLedger.pendingPartitions(
       Layers.availablePartitions(bronze),
@@ -50,8 +59,14 @@ object Silver {
       val batch = transform(Layers.scopeToPending(bronze, pending))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        Layers.requireAllNonEmpty(batch, pending)
-        ParquetLake.overwritePartitions(batch, silverRoot, Seq("city", "date"))
+        if (observedValidation) {
+          val (instrumented, validate) = Layers.requireAllNonEmptyObserved(batch, pending)
+          ParquetLake.overwritePartitions(instrumented, silverRoot, Seq("city", "date"))
+          validate() // throws before the ledger is stamped
+        } else {
+          Layers.requireAllNonEmpty(batch, pending)
+          ParquetLake.overwritePartitions(batch, silverRoot, Seq("city", "date"))
+        }
         MetadataLedger.upsert(spark, metadataPath, pending.withColumn("layer", lit(layerName)))
         nPending
       } finally batch.unpersist()

@@ -74,6 +74,41 @@ class MetadataLedgerSpec extends SparkFunSuite {
     assert(MetadataLedger.read(spark, p).count() == 2)
   }
 
+  test("two writers racing to break the same stale lease: no lost update") {
+    // The break is an atomic rename of the observed lease, so of two
+    // simultaneous breakers exactly one wins the rename; the loser fails
+    // loudly instead of deleting the winner's fresh lease. The anomaly this
+    // pins: with a blind delete-then-create break, BOTH writers proceed and
+    // the later swap silently drops the earlier writer's rows.
+    (1 to 3).foreach { round =>
+      val p = tmpDir("mlrace") + "/meta"
+      MetadataLedger.ensure(spark, p)
+      val lock = new java.io.File(p + "._lock")
+      assert(lock.createNewFile())
+      assert(lock.setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val outcomes = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+      val threads = Seq("Delhi", "London").map { city =>
+        new Thread(() => {
+          gate.await()
+          try {
+            MetadataLedger.upsert(spark, p, entries(("silver", city, "2026-02-13")))
+            outcomes.put(city, true)
+          } catch { case _: Exception => outcomes.put(city, false) }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      val winners = Seq("Delhi", "London").filter(outcomes.get(_))
+      assert(winners.nonEmpty, s"round $round: at least one breaker must acquire")
+      val got = MetadataLedger.read(spark, p).select("city").as[String].collect().toSet
+      winners.foreach { c =>
+        assert(got.contains(c),
+          s"round $round: writer $c reported success but its row is missing — lost update")
+      }
+      assert(!lock.exists(), s"round $round: lease must be released")
+    }
+  }
+
   test("property: upsert result always equals brute-force set-of-keys, one row each") {
     val rnd = new scala.util.Random(42)
     def randomBatch(): Seq[(String, String, String)] =

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkFunSuite
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 class GraphSpec extends SparkFunSuite {
   import spark.implicits._
@@ -466,6 +466,22 @@ class GraphSpec extends SparkFunSuite {
     intercept[Exception] {
       Graph.pageRank(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"),
         "src", "dst", iters = 1, wCol = Some("w")).collect()
+    }
+    // aggregated weight above 1e25 fails loudly instead of silently
+    // NULLing the share when rank*weight overflows decimal(38,0)
+    val huge = Seq((1L, 2L)).toDF("src", "dst")
+      .withColumn("w", lit("1" + "0" * 26).cast("decimal(38,0)"))
+    intercept[Exception] {
+      Graph.pageRank(huge, "src", "dst", iters = 1, wCol = Some("w")).collect()
+    }
+    intercept[Exception] {
+      Graph.personalizedPageRank(huge, "src", "dst",
+        Seq(1L).toDF("seed"), "seed", iters = 1, wCol = Some("w")).collect()
+    }
+    // louvain now shares the same never-dropping w >= 1 contract
+    intercept[Exception] {
+      Graph.louvain(Seq((1L, 2L, 0L)).toDF("a", "b", "w"),
+        "a", "b", levels = 1, rounds = 1, wCol = Some("w")).collect()
     }
   }
 

@@ -283,6 +283,34 @@ class IvfIndexSpec extends SparkFunSuite {
     }
   }
 
+  test("saveIndex rebuild truncates a prior run's stale cell partitions") {
+    // dynamic partition overwrite (the session default) would leave a
+    // grown index's cell_id=8.. dirs behind after a rebuild with fewer
+    // cells — probe-reachable stale postings. saveIndex forces STATIC.
+    val dir = tmpDir("ivf-rebuild")
+    val (c1, i1) = IvfIndex.buildIndex(t.embeddings, "vec_id", "embedding", nCells = 8)
+    IvfIndex.saveIndex(c1, i1, dir)
+    val hotId = IvfIndex.cellLoad(spark, dir)
+      .orderBy(col("n").desc, col("cell_id")).limit(1).collect()(0).getInt(0)
+    IvfIndex.splitCell(spark, dir, hotId, kSub = 4) // grows ids to 8..11
+    val (c2, i2) = IvfIndex.buildIndex(t.embeddings, "vec_id", "embedding", nCells = 4)
+    IvfIndex.saveIndex(c2, i2, dir)
+    val dirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName.drop(8).toInt).toSet
+    val ids = spark.read.parquet(s"$dir/centroids")
+      .select("cell_id").collect().map(_.getInt(0)).toSet
+    assert(dirs == ids, s"rebuild left stale partitions: $dirs vs centroids $ids")
+    assert(dirs.forall(_ < 8), s"stale split-era dirs survived the rebuild: $dirs")
+    // a cell with fewer postings than kSub refuses to split (the sub-seed
+    // would publish fewer cells than requested)
+    val small = IvfIndex.cellLoad(spark, dir)
+      .orderBy(col("n").asc, col("cell_id")).limit(1).collect()(0)
+    intercept[IllegalArgumentException] {
+      IvfIndex.splitCell(spark, dir, small.getInt(0),
+        kSub = small.getLong(1).toInt + 1)
+    }
+  }
+
   test("served reads prune to the probed cells' partitions") {
     val q = t.embeddings.filter($"vec_id" < 1)
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
