@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** One benched query's measurement window. `time` is the min of three
+    * timed runs; the window stats localize contamination to the queries
+    * whose window was dirty instead of condemning the whole artifact. */
+  private case class QR(name: String, time: Double, ok: Boolean,
+                        off: Double, la: Double, ext: Double,
+                        sysR: Double, iowR: Double, gcSec: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,6 +26,14 @@ object Bench {
         case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
         case _ => -1.0
       }
+    // own-JVM cumulative GC seconds: a query window spent collecting is SELF
+    // contamination the user-jiffy external-load detector can't see (r15:
+    // the artifact stamped suspect_n:0 while carrying 8x-inflated numbers).
+    def gcTotalSec: Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum / 1000.0
+    }
     // warm up codegen/parquet-reader/shuffle machinery so per-query numbers
     // measure the engine, not JVM class loading (first query otherwise
     // absorbs ~5s of one-time cost)
@@ -65,6 +81,31 @@ object Bench {
     // optional args: query names to bench (default all) — iteration aid
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
+    // SELF-RECHECK ANCHOR (round 16): the per-query external-load detector
+    // below measures co-tenant USER cpu only — page-cache eviction, iowait
+    // and own-GC pressure are invisible to it, and BENCH_r15.json shipped
+    // q73 at 34.51s (clean: 4.3-4.5s) under suspect_n:0. The fix is a
+    // committed CLEAN per-query anchor: any query whose min-of-3 exceeds
+    // ~2x its anchor gets ONE end-of-battery re-measure (after a bounded
+    // quiet wait), and the artifact's final number is the min — so a
+    // transiently dirty window can no longer stamp a phantom regression
+    // into the artifact. Format: {"sf":"sf0.1","queries":{"<name>":sec}}.
+    // The anchor only applies when its sf matches this run's; unknown
+    // queries (new this round) simply have no anchor and never recheck.
+    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "tools/bench_anchor.json")
+    val sfBase = new java.io.File(sfDir).getName
+    val anchor: Map[String, Double] =
+      try {
+        val txt = {
+          val src = scala.io.Source.fromFile(anchorPath)
+          try src.mkString finally src.close()
+        }
+        val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfBase)
+        if (!sfOk) Map.empty
+        else "\"(q[0-9][^\"]*)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     // Per-query external-load measurement. History: a raw loadavg
     // threshold flags most of any busy battery (r12: clean run
     // self-flags 10/12); subtracting own-JVM cpu via a sliding window
@@ -83,36 +124,69 @@ object Bench {
     // io side-effects are kernel time, and only the former is
     // contamination to flag. Own process cpu includes our system
     // time, so the subtraction is conservative (never over-flags).
+    // SYSTEM and IOWAIT jiffies are now RECORDED per window too (r16):
+    // they don't feed the suspect flag (own-IO scales them), but a
+    // reader adjudicating a slow query can see whether its window was
+    // kernel/io-bound — the r15 blind spot, made visible.
     // USER_HZ is 100 on linux (the only platform with /proc/stat).
-    def hostUserSec: Double =
+    def hostStat: (Double, Double, Double) =
       try {
         val parts = {
           val src = scala.io.Source.fromFile("/proc/stat")
           try src.getLines().next().trim.split("\\s+").drop(1).map(_.toDouble)
           finally src.close()
         }
-        // user nice ...
-        (parts(0) + parts(1)) / 100.0
-      } catch { case _: Throwable => -1.0 }
-    val results = wanted.map { case (name, fn) =>
+        // user nice system idle iowait ...
+        ((parts(0) + parts(1)) / 100.0, parts(2) / 100.0, parts(4) / 100.0)
+      } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                runs: Int): QR = {
       var ok = true
       val startOffset = (System.nanoTime() - wallStart) / 1e9
       val loadAtStart = loadavg
-      val busy0 = hostUserSec
+      val (busy0, sys0, iow0) = hostStat
       val cpu0 = processCpuSec
+      val gc0 = gcTotalSec
       val t0q = System.nanoTime()
-      val times = (1 to 3).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => ok = false }
         (System.nanoTime() - t0) / 1e9
       }
       val wallQ = math.max((System.nanoTime() - t0q) / 1e9, 1e-3)
+      val (busy1, sys1, iow1) = hostStat
       val extLoad =
         if (busy0 < 0) math.max(loadavg - cpus.toDouble, 0.0) // no /proc
-        else math.max((hostUserSec - busy0) - (processCpuSec - cpu0), 0.0) /
-          wallQ
-      (name, times.min, ok, startOffset, loadAtStart, extLoad)
+        else math.max((busy1 - busy0) - (processCpuSec - cpu0), 0.0) / wallQ
+      val sysR = if (sys0 < 0) -1.0 else (sys1 - sys0) / wallQ
+      val iowR = if (iow0 < 0) -1.0 else (iow1 - iow0) / wallQ
+      QR(name, times.min, ok, startOffset, loadAtStart, extLoad,
+        sysR, iowR, gcTotalSec - gc0)
+    }
+    val measured = wanted.map { case (name, fn) => measure(name, fn, 3) }
+    // END-OF-BATTERY SELF-RECHECK: re-measure (min-of-2, after a bounded
+    // quiet wait) every anchored query whose min-of-3 exceeded
+    // max(2x anchor, anchor + 0.5s) — the absolute floor keeps sub-second
+    // queries' scheduling jitter from triggering re-runs. The final
+    // artifact number is min(battery, recheck); both readings are emitted
+    // so the correction is auditable, never silent.
+    val flagged = measured.filter { r =>
+      r.ok && anchor.get(r.name).exists(a => r.time > math.max(2 * a, a + 0.5))
+    }.take(40)
+    val recheckWaitDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    if (flagged.nonEmpty)
+      while (loadavg >= quietThreshold && System.nanoTime() < recheckWaitDeadline)
+        Thread.sleep(5000)
+    val fnByName = wanted.toMap
+    val recheckedTimes: Map[String, Double] = flagged.map { r =>
+      r.name -> measure(r.name, fnByName(r.name), 2).time
+    }.toMap
+    val results = measured.map { r =>
+      recheckedTimes.get(r.name) match {
+        case Some(t2) if t2 < r.time => r.copy(time = t2)
+        case _ => r
+      }
     }
     // Output protocol (round 8): the driver captures only the LAST ~3 KB of
     // the run's stdout, and a single full-battery JSON line (~3.8 KB at 108
@@ -125,34 +199,33 @@ object Bench {
     // (q01..q108; q10 vs q100 are distinct prefixes). Even if truncation
     // eats every part line, the final line reconstructs the whole battery.
     def fmt(v: Double): String = f"$v%.2f"
+    def chunked(entries: Seq[String], cap: Int): Vector[Vector[String]] =
+      entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
+        if (acc.last.map(_.length + 1).sum + e.length > cap) acc :+ Vector(e)
+        else acc.init :+ (acc.last :+ e)
+      }
     // failed queries are named explicitly so a fast failure can never
     // masquerade as a fast success
-    val failed = results.filterNot(_._3).map(r => "\"" + r._1 + "\"")
+    val failed = results.filterNot(_.ok).map(r => "\"" + r.name + "\"")
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    // per-query start offset (sec into the battery) + 1-min loadavg at
-    // start + estimated EXTERNAL load (loadavg minus own-JVM occupancy):
-    // partial contamination is localizable to the queries whose external
-    // load spiked, instead of condemning the whole artifact
-    val loadEntries = results.map { case (k, _, _, off, la, ext) =>
-      "\"" + k.takeWhile(_ != '_') + "\":[" + fmt(off) + "," + fmt(la) +
-        "," + fmt(ext) + "]"
+    val total = results.map(_.time).sum
+    // per-query window stats: [start offset sec, 1-min loadavg at start,
+    // EXTERNAL user-cpu load, system jiffies/sec, iowait jiffies/sec,
+    // own-JVM gc sec] — partial contamination is localizable to the
+    // queries whose window was dirty, in any of the three dimensions
+    val loadEntries = results.map { r =>
+      "\"" + r.name.takeWhile(_ != '_') + "\":[" + fmt(r.off) + "," +
+        fmt(r.la) + "," + fmt(r.ext) + "," + fmt(r.sysR) + "," +
+        fmt(r.iowR) + "," + fmt(r.gcSec) + "]"
     }
-    val loadParts = loadEntries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
-      if (acc.last.map(_.length + 1).sum + e.length > 2000) acc :+ Vector(e)
-      else acc.init :+ (acc.last :+ e)
-    }
-    loadParts.zipWithIndex.foreach { case (chunk, i) =>
+    chunked(loadEntries, 2000).zipWithIndex.foreach { case (chunk, i) =>
       val m = chunk.mkString("{", ",", "}")
-      println(s"""{"metric":"bench_query_load","part":${i + 1},"of":${loadParts.size},"epoch0":$epoch0,"start_loadavg":$m}""")
+      println(s"""{"metric":"bench_query_load","part":${i + 1},"of":${chunked(loadEntries, 2000).size},"epoch0":$epoch0,"start_loadavg":$m}""")
     }
-    val entries = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
+    val entries = results.map(r => "\"" + r.name + "\":" + fmt(r.time))
     // greedy chunking keeps every part line < ~2.2 KB regardless of how
     // many queries future rounds add
-    val parts = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
-      if (acc.last.map(_.length + 1).sum + e.length > 2000) acc :+ Vector(e)
-      else acc.init :+ (acc.last :+ e)
-    }
+    val parts = chunked(entries, 2000)
     parts.zipWithIndex.foreach { case (chunk, i) =>
       val m = chunk.mkString("{", ",", "}")
       println(s"""{"metric":"bench_part","part":${i + 1},"of":${parts.size},"queries":$m}""")
@@ -164,16 +237,25 @@ object Bench {
     // driver artifacts (r9-r11) recorded parsed:null because the summary
     // and this map shared one line. Chunk it like the full-name parts so
     // every line stays under the window.
-    val compactEntries = results.map { case (k, v, _, _, _, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    val compactEntries = results.map { r =>
+      "\"" + r.name.takeWhile(_ != '_') + "\":" + fmt(r.time)
     }
-    val compactParts = compactEntries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
-      if (acc.last.map(_.length + 1).sum + e.length > 1500) acc :+ Vector(e)
-      else acc.init :+ (acc.last :+ e)
-    }
+    val compactParts = chunked(compactEntries, 1500)
     compactParts.zipWithIndex.foreach { case (chunk, i) =>
       val m = chunk.mkString("{", ",", "}")
       println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","part":${i + 1},"of":${compactParts.size},"sf":"$sfDir","queries":$m}""")
+    }
+    // the recheck audit trail: battery reading -> recheck reading per
+    // flagged query, chunked like everything else
+    if (flagged.nonEmpty) {
+      val rEntries = flagged.map { r =>
+        "\"" + r.name.takeWhile(_ != '_') + "\":[" + fmt(r.time) + "," +
+          fmt(recheckedTimes(r.name)) + "]"
+      }
+      chunked(rEntries, 1500).zipWithIndex.foreach { case (chunk, i) =>
+        val m = chunk.mkString("{", ",", "}")
+        println(s"""{"metric":"bench_recheck","part":${i + 1},"of":${chunked(rEntries, 1500).size},"battery_then_recheck":$m}""")
+      }
     }
     // Per-query contamination localization: queries whose estimated
     // EXTERNAL load (end-of-query loadavg minus own-JVM EMA) exceeded the
@@ -181,16 +263,12 @@ object Bench {
     // bench_suspect part lines (the bench_part pattern — round 13 capped
     // the summary at 40 names and the driver's stdout tail dropped the
     // rest); the summary keeps a bounded 40-name preview + the true count.
-    val suspectAll = results.filter(_._6 >= quietThreshold)
-      .map(r => "\"" + r._1.takeWhile(_ != '_') + "\"")
+    val suspectAll = results.filter(_.ext >= quietThreshold)
+      .map(r => "\"" + r.name.takeWhile(_ != '_') + "\"")
     if (suspectAll.nonEmpty) {
-      val sParts = suspectAll.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
-        if (acc.last.map(_.length + 1).sum + e.length > 1500) acc :+ Vector(e)
-        else acc.init :+ (acc.last :+ e)
-      }
-      sParts.zipWithIndex.foreach { case (chunk, i) =>
+      chunked(suspectAll, 1500).zipWithIndex.foreach { case (chunk, i) =>
         val m = chunk.mkString("[", ",", "]")
-        println(s"""{"metric":"bench_suspect","part":${i + 1},"of":${sParts.size},"suspect":$m}""")
+        println(s"""{"metric":"bench_suspect","part":${i + 1},"of":${chunked(suspectAll, 1500).size},"suspect":$m}""")
       }
     }
     val suspect = suspectAll.take(40).mkString("[", ",", "]")
@@ -211,12 +289,29 @@ object Bench {
     // ratio is per-core occupancy of THIS jvm: ≈0 means the battery waited
     // on something else (co-tenant), ≈1+ means it actually computed
     val ratio = if (cpuSec >= 0 && wallSec > 0) cpuSec / wallSec else -1.0
+    // Optional anchor refresh: SPARK_GRAFT_ANCHOR_OUT writes this run's
+    // final per-query numbers as the next anchor — REFUSED on a contended
+    // run, so a dirty battery can never become the baseline future runs
+    // recheck against.
+    sys.env.get("SPARK_GRAFT_ANCHOR_OUT").foreach { outPath =>
+      if (contendedAny)
+        System.err.println(s"[bench] NOT writing anchor to $outPath: run was contended")
+      else {
+        val w = new java.io.PrintWriter(outPath, "UTF-8")
+        try {
+          w.println("{\"sf\":\"" + sfBase + "\",\"git_sha\":\"" + gitSha + "\",\"queries\":{")
+          w.println(results.map(r => "  \"" + r.name + "\":" + fmt(r.time))
+            .mkString(",\n"))
+          w.println("}}")
+        } finally w.close()
+      }
+    }
     // The absolutely LAST line is a FIXED-SIZE summary with no per-query
     // map — total/failed/contended/loadavg in ~300 bytes, so the driver's
     // stdout tail always captures it whole no matter how many queries
     // future rounds add. Per-query numbers live in the bench_part /
     // chunked total lines above.
-    println(s"""{"metric":"bench_summary","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg)},"cpus":$cpus,"wall_sec":${fmt(wallSec)},"jvm_cpu_sec":${fmt(cpuSec)},"jvm_cpu_per_sec":${fmt(ratio)},"contended":$contendedAny,"contended_at_start":$contended,"dirty_mid_run":$dirtyMidRun,"waited_for_quiet_sec":${fmt(waitedSec)},"quiet_threshold":${fmt(quietThreshold)},"suspect_n":${suspectAll.size},"suspect":$suspect,"git_sha":"$gitSha"}""")
+    println(s"""{"metric":"bench_summary","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"sf":"$sfDir","loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadavg)},"cpus":$cpus,"wall_sec":${fmt(wallSec)},"jvm_cpu_sec":${fmt(cpuSec)},"jvm_cpu_per_sec":${fmt(ratio)},"contended":$contendedAny,"contended_at_start":$contended,"dirty_mid_run":$dirtyMidRun,"waited_for_quiet_sec":${fmt(waitedSec)},"quiet_threshold":${fmt(quietThreshold)},"suspect_n":${suspectAll.size},"suspect":$suspect,"anchored_n":${anchor.size},"rechecked_n":${flagged.size},"rechecked":${flagged.map(r => "\"" + r.name.takeWhile(_ != '_') + "\"").take(20).mkString("[", ",", "]")},"git_sha":"$gitSha"}""")
     spark.stop()
   }
 }

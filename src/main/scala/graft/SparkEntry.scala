@@ -1371,6 +1371,36 @@ object SparkEntry {
       IvfIndex.topKFromIndex(lc, li, q, k = 10, nProbe = 64)
         .orderBy("query_id", "rank")
     }),
+    // The full maintenance LIFECYCLE q302 stops short of: build →
+    // incremental upsert → hot-cell SPLIT → light-cell MERGE (the shrink
+    // step a long-running ingest loop needs, since every split is
+    // one-way-finer and cold sub-cells accumulate) → full-probe serve
+    // from the compacted on-disk index. Merging re-homes postings
+    // without touching their content, so the serve must STILL equal the
+    // whole-corpus brute force verbatim — a lost/doubled posting, a
+    // stale retired-cell directory, or a centroid table out of sync
+    // with the directories all hash-mismatch.
+    "q310_ann_ivf_cell_merge" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.embeddings.filter(col("vec_id") % 4 =!= 3)
+      val batch = t.embeddings.filter(col("vec_id") % 4 === 3 ||
+        col("vec_id") % 8 === 0)
+      val q = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val (cents, indexed) = IvfIndex.buildIndex(base, "vec_id",
+        "embedding", nCells = 16, iters = 2)
+      val path = s"target/qtmp/ivf_q310_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.saveIndex(cents, indexed, path)
+      IvfIndex.upsertIndex(s, path, batch, "vec_id", "embedding")
+      val hot = IvfIndex.cellLoad(s, path)
+        .orderBy(col("n").desc, col("cell_id")).limit(1)
+        .collect()(0).getInt(0)
+      IvfIndex.splitCell(s, path, hot, kSub = 4)
+      IvfIndex.mergeCells(s, path, minLoadFactor = 0.5)
+      val (lc, li) = IvfIndex.loadIndex(s, path)
+      IvfIndex.topKFromIndex(lc, li, q, k = 10, nProbe = 64)
+        .orderBy("query_id", "rank")
+    }),
     // REAL WAV codec at the driver gate (q126 gates only the stub byte
     // decode): deterministic PCM16 samples per doc
     // (s_j = ((doc_id·31 + j·7) mod 65536) − 32768, j < 256), containered
@@ -2096,6 +2126,80 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
         .awaitTermination()
+      s.read.parquet(sink).filter(col("user_id") >= 0L)
+        .orderBy("user_id", "left_ts", "right_ts")
+    }),
+    // STREAMING recovery gate #3 — stream-stream JOIN state across a
+    // restart (q301 gates sink/offset recovery, q303 gates
+    // flatMapGroupsWithState; the interval join's state store — BOTH
+    // sides' unmatched rows — is the third and last recovery surface).
+    // Run 1 drains ONLY the left (view) side and terminates: no right
+    // rows and no right watermark means nothing matches and nothing
+    // evicts, so every view sits in the join state store. A NEW query
+    // on the SAME checkpoint then drains the purchases and the
+    // far-future sentinels (q306's recipe): every matched pair can only
+    // form against run 1's RECOVERED left state, and every NULL outer
+    // row can only flush when the sentinel watermark evicts recovered
+    // state — a lost or corrupt state store loses matches AND outer
+    // rows, both hash-mismatching the batch LEFT JOIN oracle.
+    "q309_interval_join_restart" -> ((s, dir) => {
+      import graft.streaming.{StreamingOps, StreamStage}
+      val sink = StreamStage.tempDir("graft_q309_out")
+      val ckpt = StreamStage.tempDir("graft_q309_ckpt")
+      val arriveL = StreamStage.tempDir("graft_q309_inl")
+      val arriveR = StreamStage.tempDir("graft_q309_inr")
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val sch = ev.select("user_id", "ts").schema
+      def sentinel = s.range(1)
+        .select(lit(-1L).cast(sch("user_id").dataType).as("user_id"),
+          lit("2100-01-01 00:00:00").cast("timestamp").as("ts"))
+      val partsL = StreamStage.stagedInputParts("q309l", dir, Seq(
+        () => ev.filter(col("event_type") === "view").select("user_id", "ts"),
+        () => sentinel))
+      val partsR = StreamStage.stagedInputParts("q309r", dir, Seq(
+        () => ev.filter(col("event_type") === "purchase").select("user_id", "ts"),
+        () => sentinel))
+      // arrival = file copy from the cached staged parts (µs-cheap, the
+      // q303 recipe) so the timed region measures the two drains
+      def arrivePart(parts: String, arrive: String, p: String): Unit = {
+        val src = java.nio.file.Paths.get(parts, p)
+        val dst = java.nio.file.Paths.get(arrive, p)
+        java.nio.file.Files.createDirectories(dst)
+        val ls = java.nio.file.Files.list(src)
+        try ls.forEach { f =>
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(f, dst.resolve(f.getFileName)): Unit
+        } finally ls.close()
+      }
+      def drain(): Unit = {
+        def src(p: String) = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet").parquet(p + "/*")
+        StreamingOps.intervalJoinStream(src(arriveL), src(arriveR),
+            "user_id", "ts", maxDelaySec = 3600L, joinType = "left_outer")
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(sink): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
+      // run 1: LEFT side only (right side exists but is empty — the glob
+      // needs the directory; zero right rows keeps the watermark parked)
+      arrivePart(partsL, arriveL, "p000")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(arriveR, "p000"))
+      drain()
+      // run 2 (new query, same checkpoint): purchases + both sentinels
+      arrivePart(partsR, arriveR, "p000")
+      arrivePart(partsL, arriveL, "p001")
+      arrivePart(partsR, arriveR, "p001")
+      drain()
       s.read.parquet(sink).filter(col("user_id") >= 0L)
         .orderBy("user_id", "left_ts", "right_ts")
     }),
@@ -5660,6 +5764,9 @@ object SparkEntry {
     // q302: a split refines the partition without touching posting
     // content — full probe must still be q273's whole-corpus brute force
     "q302_ann_ivf_cell_split" -> oracleSqlBase("q273_ann_ivf_upsert"),
+    // q310: merge re-homes postings without touching content — the
+    // full-probe serve is the same whole-corpus brute force
+    "q310_ann_ivf_cell_merge" -> oracleSqlBase("q273_ann_ivf_upsert"),
     // q303: time-disjoint halves make the two-run arrival order equal
     // the global (ts, state) order — q238's matrix verbatim; boundary
     // pairs exist only if the state store recovered across the restart
@@ -5675,6 +5782,9 @@ object SparkEntry {
     // q306/q306s: q270's join LEFT OUTER — unmatched views carry NULL
     // right side; the integer-seconds delay is NULL exactly there
     "q306_interval_join_outer_stream" -> outerIntervalJoinOracle(""),
+    // q309: the restart is orchestration, not semantics — recovered join
+    // state must reproduce the batch LEFT JOIN verbatim
+    "q309_interval_join_restart" -> outerIntervalJoinOracle(""),
     "q306s_interval_join_outer_sampled" -> outerIntervalJoinOracle(
       "\n    AND md5(CAST(user_id AS VARCHAR) || ':osample') < '40'"),
     // q300s/q305s: the weighted chain over the 25% order sample

@@ -361,6 +361,90 @@ object IvfIndex {
     newIds
   }
 
+  /** The SHRINK counterpart of [[splitCell]]: merge every cell holding
+    * less than `minLoadFactor`× the mean posting count into its nearest
+    * SURVIVING centroid. [[splitCell]] is one-way-finer (each split
+    * retires one id and publishes fresh ones), so a long-running
+    * [[upsertIndex]] ingest loop monotonically grows the centroid table
+    * and accumulates cold, tiny cells — every one of which still costs a
+    * probe-selection slot and a partition directory. This is the
+    * periodic compaction that loop runs.
+    *
+    * Scale shape: only the LIGHT cells' postings are read
+    * (partition-pruned), re-assigned via the broadcast survivor-centroid
+    * argmin, and only the RECEIVING cells' partitions are rewritten
+    * (existing ∪ received, staged swap); untouched cells are never
+    * opened. Write order is [[splitCell]]'s crash-considered sequence:
+    * enlarged receiver partitions land first (staged swap), light
+    * directories are deleted second, the SHRUNK centroid table publishes
+    * last — until the final publish, serving still probes the old
+    * centroid set, and the transient light-dir/receiver-dir duplication
+    * window closes with the directory deletes. Single-writer maintenance
+    * op by contract, like the rest of the index-mutation family.
+    *
+    * A full-probe serve over the merged index equals the pre-merge one
+    * exactly (same postings, coarser partition); at fixed nProbe the
+    * merged regions now resolve through their receivers — recall there
+    * follows the receiver geometry (IvfIndexSpec pins the exact full-
+    * probe equality and the untouched-partition byte-stability).
+    *
+    * @return the retired (merged-away) cell ids, ascending */
+  def mergeCells(spark: org.apache.spark.sql.SparkSession, path: String,
+                 minLoadFactor: Double = 0.25): Seq[Int] = {
+    require(minLoadFactor > 0.0 && minLoadFactor < 1.0,
+      s"minLoadFactor ($minLoadFactor) must be in (0, 1) — a fraction of" +
+        " the mean cell load")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell_id").cast("int").as("cell_id"), col("centroid"))
+      .localCheckpoint(true) // we atomically replace its directory below
+    // ≤ nCells rows each, driver-side by design (cellLoad's own contract);
+    // a centroid with NO postings at all (a split sub-cell that won no
+    // rows) is absent from the load table and trivially below any floor
+    val loadRows = cellLoad(spark, path)
+      .select(col("cell_id"), col("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val centIds = cents.select("cell_id").collect().map(_.getInt(0))
+    val mean = loadRows.values.sum.toDouble / math.max(centIds.length, 1)
+    val lightIds = centIds
+      .filter(id => loadRows.getOrElse(id, 0L) < minLoadFactor * mean)
+      .sorted.toSeq
+    if (lightIds.isEmpty) return Seq.empty
+    val survivors = cents.filter(!col("cell_id").isin(lightIds.map(Integer.valueOf): _*))
+      .localCheckpoint(true)
+    require(survivors.limit(1).count() == 1L,
+      s"mergeCells($path, $minLoadFactor): every cell is below the floor —" +
+        " nothing would survive to receive the postings; re-train with" +
+        " buildIndex instead")
+    // partition-pruned: only the light cells' files are opened; eager
+    // checkpoint because their directories are deleted before the publish
+    val lightPostings = spark.read.parquet(s"$path/postings")
+      .filter(col("cell_id").cast("int").isin(lightIds.map(Integer.valueOf): _*))
+      .select("neighbor_id", "c_vec", "c_norm")
+      .localCheckpoint(true)
+    val received = assignCells(lightPostings, survivors, "c_vec")
+      .select(col("neighbor_id"), col("c_vec"), col("c_norm"), col("cell_id"))
+      .localCheckpoint(true)
+    val targetIds = received.select("cell_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // receivers rewrite as existing ∪ received — again partition-pruned
+    val existing = spark.read.parquet(s"$path/postings")
+      .filter(col("cell_id").cast("int").isin(targetIds.map(Integer.valueOf): _*))
+      .select(col("neighbor_id"), col("c_vec"), col("c_norm"),
+        col("cell_id").cast("int").as("cell_id"))
+    graft.sources.ParquetLake.overwritePartitionsStaged(spark,
+      existing.unionByName(received), s"$path/postings", Seq("cell_id"))
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lightIds.foreach { id =>
+      hfs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/postings/cell_id=$id"), true)
+    }
+    graft.sources.ParquetLake.atomicReplace(spark,
+      cents.filter(!col("cell_id").isin(lightIds.map(Integer.valueOf): _*)),
+      s"$path/centroids")
+    lightIds
+  }
+
   /** Reload a [[saveIndex]] index as `(centroids, postings)`. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
                 path: String): (DataFrame, DataFrame) = {

@@ -283,6 +283,65 @@ class IvfIndexSpec extends SparkFunSuite {
     }
   }
 
+  test("mergeCells: light cells retire into nearest survivors; untouched partitions byte-stable; serve unchanged at full probe") {
+    val (cents, indexed) = IvfIndex.buildIndex(t.embeddings, "vec_id", "embedding", nCells = 8)
+    val dir = tmpDir("ivf-merge")
+    IvfIndex.saveIndex(cents, indexed, dir)
+    val n = t.embeddings.count()
+    // split the heaviest cell first so the index carries genuinely tiny
+    // sub-cells — the state a long-running ingest loop accumulates
+    val hotId = IvfIndex.cellLoad(spark, dir)
+      .orderBy(col("n").desc, col("cell_id")).limit(1).collect()(0).getInt(0)
+    IvfIndex.splitCell(spark, dir, hotId, kSub = 4)
+    val loadBefore = IvfIndex.cellLoad(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val meanBefore = loadBefore.values.sum.toDouble / loadBefore.size
+    val expectedLight = loadBefore.filter(_._2 < 0.5 * meanBefore).keys.toSeq.sorted
+    assume(expectedLight.nonEmpty && expectedLight.size < loadBefore.size,
+      "fixture must have light AND surviving cells at floor 0.5")
+    // untouched = neither light nor a receiver; conservatively snapshot all
+    // file lists and verify non-receiver survivors afterwards
+    val allIds = loadBefore.keys.toSeq
+    val filesBefore = allIds.map(c => c ->
+      Option(new java.io.File(s"$dir/postings/cell_id=$c").listFiles())
+        .map(_.map(f => (f.getName, f.length)).toSet).getOrElse(Set.empty)).toMap
+    val retired = IvfIndex.mergeCells(spark, dir, minLoadFactor = 0.5)
+    assert(retired == expectedLight, s"retired $retired != expected $expectedLight")
+    val (rc, ri) = IvfIndex.loadIndex(spark, dir)
+    val ids = rc.select("cell_id").collect().map(_.getInt(0)).toSet
+    assert(ids == allIds.toSet -- retired, "centroid table must drop exactly the retired ids")
+    retired.foreach(c => assert(!new java.io.File(s"$dir/postings/cell_id=$c").exists(),
+      s"retired cell $c's directory must be deleted"))
+    // directory set == centroid table (no stale partitions)
+    val dirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName.drop(8).toInt).toSet
+    assert(dirs == ids, s"directories $dirs out of sync with centroids $ids")
+    // every posting preserved exactly once
+    assert(ri.count() == n)
+    assert(ri.select("neighbor_id").distinct().count() == n)
+    // survivors that received nothing are byte-stable (never rewritten)
+    val receivers = ri.groupBy("cell_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .filter { case (id, cnt) => cnt != loadBefore.getOrElse(id, 0L) }.keySet
+    val untouched = ids -- receivers
+    assert(untouched.nonEmpty, "fixture must leave at least one non-receiver survivor")
+    untouched.foreach(c => assert(
+      Option(new java.io.File(s"$dir/postings/cell_id=$c").listFiles())
+        .map(_.map(f => (f.getName, f.length)).toSet).getOrElse(Set.empty) == filesBefore(c),
+      s"merge rewrote untouched cell $c"))
+    // full-probe serve over the merged index == brute force
+    val q = t.embeddings.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val served = IvfIndex.topKFromIndex(rc, ri, q, k = 5, nProbe = ids.size)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == exact)
+    // guards: bad floor; nothing below the floor is a no-op
+    intercept[IllegalArgumentException] { IvfIndex.mergeCells(spark, dir, 1.5) }
+    assert(IvfIndex.mergeCells(spark, dir, minLoadFactor = 1e-9) == Seq.empty)
+  }
+
   test("saveIndex rebuild truncates a prior run's stale cell partitions") {
     // dynamic partition overwrite (the session default) would leave a
     // grown index's cell_id=8.. dirs behind after a rebuild with fewer
