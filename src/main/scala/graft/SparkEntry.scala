@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VecDot, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Layout, Linkage, Multimodal, Novelty, Pack, Phrases, Pq, Preference, Profile, Quantiles, RangeJoin, Ranks, Resample, Retention, Retrieval, Rfm, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Layout, Linkage, Multimodal, Novelty, Pack, Phrases, Pq, Preference, Profile, Quantiles, RangeJoin, Ranks, Resample, Retention, Retrieval, Rfm, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend, Unigram}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1400,6 +1400,24 @@ object SparkEntry {
       val (lc, li) = IvfIndex.loadIndex(s, path)
       IvfIndex.topKFromIndex(lc, li, q, k = 10, nProbe = 64)
         .orderBy("query_id", "rank")
+    }),
+    // Unigram-LM (SentencePiece-style) tokenizer training (Kudo 2018) —
+    // the OTHER tokenizer next to BPE (q133): frequent-substring seed
+    // vocabulary, ONE hard-EM round (integer-scored Viterbi best
+    // segmentation per distinct word, ties to the longest piece), prune
+    // to budget by use count. The oracle replays the identical integer
+    // arithmetic: same substring mass, same floor(ln·1e6+0.5) scores,
+    // the Viterbi DP unrolled position-by-position (words capped at 12
+    // chars in BOTH engines so the unroll is finite), the same
+    // smallest-predecessor backtrack, the same (n_uses DESC, piece)
+    // prune. A wrong DP cell, tie order, or prune boundary all
+    // hash-mismatch.
+    "q311_unigram_vocab" -> ((s, dir) => {
+      val words = Bpe.wordFrequencies(Tables(s, dir).documents, "text")
+        .filter(length(col("word")) <= 12)
+      Unigram.train(words, "word", "weight", maxLen = 4, seedTopK = 48,
+          keepMulti = 24, emRounds = 1)
+        .orderBy("piece")
     }),
     // REAL WAV codec at the driver gate (q126 gates only the stub byte
     // decode): deterministic PCM16 samples per doc
@@ -5141,6 +5159,76 @@ object SparkEntry {
        |${iters.mkString(",\n")}""".stripMargin
   }
 
+  /** q311's oracle: replay [[graft.operators.Unigram.train]] (one hard-EM
+    * round) in pure SQL. The Viterbi DP over word positions is unrolled —
+    * `dp$j` holds each word's best score at position j, `dpu$j` the
+    * running union — which is why both engines cap words at `maxWordLen`
+    * characters; the backtrack is the same unrolled walk choosing, at
+    * every position, the smallest predecessor index among score-exact
+    * maximizers (= the longest piece, the trainer's tie rule). Scores are
+    * the shared integer recipe `floor(ln(c0/T)·1e6 + 0.5)`, so the DP
+    * compares identical longs in both engines. */
+  private def unigramOracle(maxLen: Int, seedTopK: Int, keepMulti: Int,
+                            maxWordLen: Int): String = {
+    val dps = (1 to maxWordLen).map { j =>
+      s"""dp$j AS MATERIALIZED (SELECT e.word, max(d.best + e.s) AS best
+         |  FROM edges e JOIN dpu${j - 1} d ON d.word = e.word AND d.pos = e.i
+         |  WHERE e.j = $j GROUP BY e.word),
+         |dpu$j AS MATERIALIZED (SELECT word, pos, best FROM dpu${j - 1}
+         |  UNION ALL SELECT word, $j AS pos, best FROM dp$j)""".stripMargin
+    }
+    val paths = (1 to maxWordLen).map { t =>
+      s"""step$t AS MATERIALIZED (SELECT p.word, p.pos, c.pi FROM path${t - 1} p
+         |  JOIN choice c ON c.word = p.word AND c.pos = p.pos WHERE p.pos > 0),
+         |path$t AS MATERIALIZED (SELECT word, pi AS pos FROM step$t)""".stripMargin
+    }
+    val pieceRows = (1 to maxWordLen).map(t =>
+      s"SELECT word, substr(word, pi + 1, pos - pi) AS piece FROM step$t")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS weight FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' AND length(word) <= $maxWordLen GROUP BY word),
+       |cand AS MATERIALIZED (
+       |  SELECT word, weight, i, k FROM (
+       |    SELECT word, weight, unnest(generate_series(1, length(word))) AS i
+       |    FROM words),
+       |    (SELECT unnest(generate_series(1, $maxLen)) AS k)
+       |  WHERE i + k - 1 <= length(word)),
+       |subs AS MATERIALIZED (SELECT substr(word, i, k) AS piece,
+       |    CAST(sum(weight) AS BIGINT) AS c0 FROM cand GROUP BY piece),
+       |chars AS MATERIALIZED (SELECT piece, c0 FROM subs WHERE length(piece) = 1),
+       |multi AS MATERIALIZED (SELECT piece, c0 FROM subs WHERE length(piece) > 1
+       |  ORDER BY c0 DESC, piece LIMIT $seedTopK),
+       |vocab0 AS MATERIALIZED (SELECT piece, c0 FROM chars
+       |  UNION ALL SELECT piece, c0 FROM multi),
+       |tot AS MATERIALIZED (SELECT CAST(sum(c0) AS BIGINT) AS t0 FROM vocab0),
+       |vs AS MATERIALIZED (SELECT piece, CAST(floor(ln(CAST(c0 AS DOUBLE) /
+       |    CAST(t0 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS s
+       |  FROM vocab0, tot),
+       |edges AS MATERIALIZED (SELECT c.word, c.i - 1 AS i, c.i - 1 + c.k AS j, v.s
+       |  FROM cand c JOIN vs v ON v.piece = substr(c.word, c.i, c.k)),
+       |dpu0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS best FROM words),
+       |${dps.mkString(",\n")},
+       |choice AS MATERIALIZED (
+       |  SELECT word, pos, min(i) AS pi FROM (
+       |    SELECT e.word, e.j AS pos, e.i AS i FROM edges e
+       |    JOIN dpu$maxWordLen di ON di.word = e.word AND di.pos = e.i
+       |    JOIN dpu$maxWordLen dj ON dj.word = e.word AND dj.pos = e.j
+       |    WHERE di.best + e.s = dj.best) GROUP BY word, pos),
+       |path0 AS MATERIALIZED (SELECT word, length(word) AS pos FROM words),
+       |${paths.mkString(",\n")},
+       |pieces AS MATERIALIZED (${pieceRows.mkString("\n  UNION ALL\n")}),
+       |c1 AS MATERIALIZED (SELECT piece, CAST(sum(w.weight) AS BIGINT) AS n_uses
+       |  FROM pieces pc JOIN words w ON w.word = pc.word GROUP BY piece),
+       |multi_kept AS MATERIALIZED (SELECT piece, n_uses FROM c1 WHERE length(piece) > 1
+       |  ORDER BY n_uses DESC, piece LIMIT $keepMulti)
+       |SELECT piece, CAST(COALESCE(u.n_uses, 0) AS BIGINT) AS n_uses
+       |FROM chars c LEFT JOIN c1 u USING (piece)
+       |UNION ALL SELECT piece, n_uses FROM multi_kept
+       |ORDER BY piece""".stripMargin
+  }
+
   private def bpeOracle(merges: Int): String = {
     val rows = (1 to merges).map(i =>
       s"""SELECT $i AS step, l AS "left", r AS "right", l || r AS merged, w AS weight FROM m$i""")
@@ -5767,6 +5855,8 @@ object SparkEntry {
     // q310: merge re-homes postings without touching content — the
     // full-probe serve is the same whole-corpus brute force
     "q310_ann_ivf_cell_merge" -> oracleSqlBase("q273_ann_ivf_upsert"),
+    "q311_unigram_vocab" -> unigramOracle(maxLen = 4, seedTopK = 48,
+      keepMulti = 24, maxWordLen = 12),
     // q303: time-disjoint halves make the two-run arrival order equal
     // the global (ts, state) order — q238's matrix verbatim; boundary
     // pairs exist only if the state store recovered across the restart
