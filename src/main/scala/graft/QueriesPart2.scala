@@ -411,6 +411,34 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
       IvfIndex.topKFromIndex(lc, li, q, k = 10, nProbe = 64)
         .orderBy("query_id", "rank")
     }),
+    // The POLICY composition over the repair primitives: a 3-batch
+    // ingest LOOP with a maintain() sweep (split every rebuild_hint
+    // cell, then merge every below-floor cell, one audit snapshot per
+    // sweep) between every upsert — the steady-state daily cadence a
+    // 100 TB embedding store runs. After three drifted batches and
+    // three sweeps the index has split and merged along the way, and
+    // the full-probe serve must STILL equal whole-corpus brute force —
+    // any posting lost/doubled across any sweep, or any id/directory/
+    // centroid-table divergence, hash-mismatches.
+    "q313_ann_ivf_maintain_loop" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.embeddings.filter(col("vec_id") % 4 === 0)
+      val q = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val (cents, indexed) = IvfIndex.buildIndex(base, "vec_id",
+        "embedding", nCells = 12, iters = 2)
+      val path = s"target/qtmp/ivf_q313_${Integer.toHexString(dir.hashCode)}"
+      IvfIndex.saveIndex(cents, indexed, path)
+      (1 to 3).foreach { m =>
+        val batch = t.embeddings.filter(col("vec_id") % 4 === m)
+        IvfIndex.upsertIndex(s, path, batch, "vec_id", "embedding")
+        IvfIndex.maintain(s, path, maxLoadFactor = 2.0,
+          minLoadFactor = 0.5, kSub = 3)
+      }
+      val (lc, li) = IvfIndex.loadIndex(s, path)
+      IvfIndex.topKFromIndex(lc, li, q, k = 10, nProbe = 4096)
+        .orderBy("query_id", "rank")
+    }),
     // Unigram-LM (SentencePiece-style) tokenizer training (Kudo 2018) —
     // the OTHER tokenizer next to BPE (q133): frequent-substring seed
     // vocabulary, ONE hard-EM round (integer-scored Viterbi best
@@ -428,6 +456,24 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
       Unigram.train(words, "word", "weight", maxLen = 4, seedTopK = 48,
           keepMulti = 24, emRounds = 1)
         .orderBy("piece")
+    }),
+    // The unigram SERVING path (q158 is BPE's twin): train q311's
+    // vocabulary, derive +1-smoothed serving scores, Viterbi-ENCODE the
+    // corpus under them (once per distinct word, scores broadcast), and
+    // report per-(lang, source) fertility — tokens_per_word and
+    // chars_per_token as single double divisions of exact integer
+    // masses. The oracle replays train AND the second serving-side DP
+    // unrolled; a drifted score, segmentation, or mass all
+    // hash-mismatch.
+    "q312_unigram_fertility" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val words = Bpe.wordFrequencies(docs, "text")
+        .filter(length(col("word")) <= 12)
+      val vocab = Unigram.train(words, "word", "weight", maxLen = 4,
+        seedTopK = 48, keepMulti = 24, emRounds = 1)
+      Unigram.fertility(docs, "text", Seq("lang", "source"),
+          Unigram.servingScores(vocab), maxLen = 4, maxWordLen = 12)
+        .orderBy("lang", "source")
     }),
     // REAL WAV codec at the driver gate (q126 gates only the stub byte
     // decode): deterministic PCM16 samples per doc

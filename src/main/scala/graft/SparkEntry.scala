@@ -371,32 +371,51 @@ object SparkEntry
        |${iters.mkString(",\n")}""".stripMargin
   }
 
-  /** q311's oracle: replay [[graft.operators.Unigram.train]] (one hard-EM
-    * round) in pure SQL. The Viterbi DP over word positions is unrolled —
-    * `dp$j` holds each word's best score at position j, `dpu$j` the
-    * running union — which is why both engines cap words at `maxWordLen`
-    * characters; the backtrack is the same unrolled walk choosing, at
-    * every position, the smallest predecessor index among score-exact
-    * maximizers (= the longest piece, the trainer's tie rule). Scores are
-    * the shared integer recipe `floor(ln(c0/T)·1e6 + 0.5)`, so the DP
-    * compares identical longs in both engines. */
-  private[graft] def unigramOracle(maxLen: Int, seedTopK: Int, keepMulti: Int,
-                            maxWordLen: Int): String = {
+  /** One unrolled Viterbi DP + backtrack CTE block (the engine of the
+    * q311/q312 oracles): `dp<sfx>$j` holds each word's best score at
+    * position j off the `<edgesCte>` scored-edge table, `choice<sfx>`
+    * picks the smallest predecessor index among score-exact maximizers
+    * (= the longest piece, the trainer's tie rule), and `pieces<sfx>`
+    * is the backtracked segmentation — all MATERIALIZED, because DuckDB
+    * otherwise INLINES the dpu chain (each level referenced twice) into
+    * a 2^maxWordLen-way duplicated scan (measured live as a
+    * too-many-open-files blowup at sf0.001). */
+  private[graft] def unigramDpCtes(sfx: String, edgesCte: String,
+                                   maxWordLen: Int): String = {
     val dps = (1 to maxWordLen).map { j =>
-      s"""dp$j AS MATERIALIZED (SELECT e.word, max(d.best + e.s) AS best
-         |  FROM edges e JOIN dpu${j - 1} d ON d.word = e.word AND d.pos = e.i
+      s"""dp$sfx$j AS MATERIALIZED (SELECT e.word, max(d.best + e.s) AS best
+         |  FROM $edgesCte e JOIN dpu$sfx${j - 1} d ON d.word = e.word AND d.pos = e.i
          |  WHERE e.j = $j GROUP BY e.word),
-         |dpu$j AS MATERIALIZED (SELECT word, pos, best FROM dpu${j - 1}
-         |  UNION ALL SELECT word, $j AS pos, best FROM dp$j)""".stripMargin
+         |dpu$sfx$j AS MATERIALIZED (SELECT word, pos, best FROM dpu$sfx${j - 1}
+         |  UNION ALL SELECT word, $j AS pos, best FROM dp$sfx$j)""".stripMargin
     }
     val paths = (1 to maxWordLen).map { t =>
-      s"""step$t AS MATERIALIZED (SELECT p.word, p.pos, c.pi FROM path${t - 1} p
-         |  JOIN choice c ON c.word = p.word AND c.pos = p.pos WHERE p.pos > 0),
-         |path$t AS MATERIALIZED (SELECT word, pi AS pos FROM step$t)""".stripMargin
+      s"""step$sfx$t AS MATERIALIZED (SELECT p.word, p.pos, c.pi FROM path$sfx${t - 1} p
+         |  JOIN choice$sfx c ON c.word = p.word AND c.pos = p.pos WHERE p.pos > 0),
+         |path$sfx$t AS MATERIALIZED (SELECT word, pi AS pos FROM step$sfx$t)""".stripMargin
     }
     val pieceRows = (1 to maxWordLen).map(t =>
-      s"SELECT word, substr(word, pi + 1, pos - pi) AS piece FROM step$t")
-    s"""WITH words AS MATERIALIZED (
+      s"SELECT word, substr(word, pi + 1, pos - pi) AS piece FROM step$sfx$t")
+    s"""dpu${sfx}0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS best FROM words),
+       |${dps.mkString(",\n")},
+       |choice$sfx AS MATERIALIZED (
+       |  SELECT word, pos, min(i) AS pi FROM (
+       |    SELECT e.word, e.j AS pos, e.i AS i FROM $edgesCte e
+       |    JOIN dpu$sfx$maxWordLen di ON di.word = e.word AND di.pos = e.i
+       |    JOIN dpu$sfx$maxWordLen dj ON dj.word = e.word AND dj.pos = e.j
+       |    WHERE di.best + e.s = dj.best) GROUP BY word, pos),
+       |path${sfx}0 AS MATERIALIZED (SELECT word, length(word) AS pos FROM words),
+       |${paths.mkString(",\n")},
+       |pieces$sfx AS MATERIALIZED (${pieceRows.mkString("\n  UNION ALL\n")})""".stripMargin
+  }
+
+  /** The shared q311/q312 training chain: capped word frequencies →
+    * substring mass → seed vocabulary (chars + top-K multis) → integer
+    * scores floor(ln(c0/T)·1e6 + 0.5) → one hard-EM Viterbi round →
+    * use counts `c1` → pruned `multi_kept`. */
+  private[graft] def unigramTrainCtes(maxLen: Int, seedTopK: Int,
+                                      keepMulti: Int, maxWordLen: Int): String =
+    s"""words AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS weight FROM (
        |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
        |    FROM documents)
@@ -420,26 +439,62 @@ object SparkEntry
        |  FROM vocab0, tot),
        |edges AS MATERIALIZED (SELECT c.word, c.i - 1 AS i, c.i - 1 + c.k AS j, v.s
        |  FROM cand c JOIN vs v ON v.piece = substr(c.word, c.i, c.k)),
-       |dpu0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS best FROM words),
-       |${dps.mkString(",\n")},
-       |choice AS MATERIALIZED (
-       |  SELECT word, pos, min(i) AS pi FROM (
-       |    SELECT e.word, e.j AS pos, e.i AS i FROM edges e
-       |    JOIN dpu$maxWordLen di ON di.word = e.word AND di.pos = e.i
-       |    JOIN dpu$maxWordLen dj ON dj.word = e.word AND dj.pos = e.j
-       |    WHERE di.best + e.s = dj.best) GROUP BY word, pos),
-       |path0 AS MATERIALIZED (SELECT word, length(word) AS pos FROM words),
-       |${paths.mkString(",\n")},
-       |pieces AS MATERIALIZED (${pieceRows.mkString("\n  UNION ALL\n")}),
+       |${unigramDpCtes("", "edges", maxWordLen)},
        |c1 AS MATERIALIZED (SELECT piece, CAST(sum(w.weight) AS BIGINT) AS n_uses
        |  FROM pieces pc JOIN words w ON w.word = pc.word GROUP BY piece),
        |multi_kept AS MATERIALIZED (SELECT piece, n_uses FROM c1 WHERE length(piece) > 1
-       |  ORDER BY n_uses DESC, piece LIMIT $keepMulti)
+       |  ORDER BY n_uses DESC, piece LIMIT $keepMulti)""".stripMargin
+
+  /** q311's oracle: replay [[graft.operators.Unigram.train]] (one hard-EM
+    * round) in pure SQL — see [[unigramTrainCtes]]/[[unigramDpCtes]];
+    * words are capped at `maxWordLen` characters in BOTH engines so the
+    * unrolled DP is finite. */
+  private[graft] def unigramOracle(maxLen: Int, seedTopK: Int, keepMulti: Int,
+                            maxWordLen: Int): String =
+    s"""WITH ${unigramTrainCtes(maxLen, seedTopK, keepMulti, maxWordLen)}
        |SELECT piece, CAST(COALESCE(u.n_uses, 0) AS BIGINT) AS n_uses
        |FROM chars c LEFT JOIN c1 u USING (piece)
        |UNION ALL SELECT piece, n_uses FROM multi_kept
        |ORDER BY piece""".stripMargin
-  }
+
+  /** q312's oracle: [[unigramTrainCtes]] through the pruned vocabulary,
+    * then the SERVING side — +1-smoothed scores over the kept pieces, a
+    * SECOND unrolled Viterbi (suffix `b`) segmenting every capped word
+    * under them, per-(lang, source) occurrence masses, and the same two
+    * single double divisions as [[graft.operators.Unigram.fertility]]. */
+  private[graft] def unigramFertilityOracle(maxLen: Int, seedTopK: Int,
+                                            keepMulti: Int,
+                                            maxWordLen: Int): String =
+    s"""WITH ${unigramTrainCtes(maxLen, seedTopK, keepMulti, maxWordLen)},
+       |kept AS MATERIALIZED (
+       |  SELECT piece, CAST(COALESCE(u.n_uses, 0) AS BIGINT) AS n_uses
+       |  FROM chars c LEFT JOIN c1 u USING (piece)
+       |  UNION ALL SELECT piece, n_uses FROM multi_kept),
+       |tot2 AS MATERIALIZED (SELECT CAST(sum(n_uses + 1) AS BIGINT) AS t1 FROM kept),
+       |vs2 AS MATERIALIZED (SELECT piece, CAST(floor(ln(CAST(n_uses + 1 AS DOUBLE) /
+       |    CAST(t1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS s
+       |  FROM kept, tot2),
+       |edges2 AS MATERIALIZED (SELECT c.word, c.i - 1 AS i, c.i - 1 + c.k AS j, v.s
+       |  FROM cand c JOIN vs2 v ON v.piece = substr(c.word, c.i, c.k)),
+       |${unigramDpCtes("b", "edges2", maxWordLen)},
+       |ntok AS MATERIALIZED (SELECT word, CAST(count(*) AS INTEGER) AS n_tok
+       |  FROM piecesb GROUP BY word),
+       |occ AS MATERIALIZED (SELECT lang, source, word,
+       |    CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT lang, source,
+       |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' AND length(word) <= $maxWordLen
+       |  GROUP BY lang, source, word)
+       |SELECT occ.lang, occ.source,
+       |  CAST(sum(c) AS BIGINT) AS n_words,
+       |  CAST(sum(c * n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(c * length(occ.word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(c * n_tok) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS tokens_per_word,
+       |  CAST(sum(c * length(occ.word)) AS DOUBLE) / CAST(sum(c * n_tok) AS DOUBLE) AS chars_per_token
+       |FROM occ JOIN ntok USING (word)
+       |GROUP BY occ.lang, occ.source
+       |ORDER BY occ.lang, occ.source""".stripMargin
 
   private[graft] def bpeOracle(merges: Int): String = {
     val rows = (1 to merges).map(i =>
@@ -1067,8 +1122,13 @@ object SparkEntry
     // q310: merge re-homes postings without touching content — the
     // full-probe serve is the same whole-corpus brute force
     "q310_ann_ivf_cell_merge" -> oracleSqlBase("q273_ann_ivf_upsert"),
+    // q313: three upsert+maintain sweeps later, the full probe is still
+    // the same whole-corpus brute force (all vec_ids land via base+batches)
+    "q313_ann_ivf_maintain_loop" -> oracleSqlBase("q273_ann_ivf_upsert"),
     "q311_unigram_vocab" -> unigramOracle(maxLen = 4, seedTopK = 48,
       keepMulti = 24, maxWordLen = 12),
+    "q312_unigram_fertility" -> unigramFertilityOracle(maxLen = 4,
+      seedTopK = 48, keepMulti = 24, maxWordLen = 12),
     // q303: time-disjoint halves make the two-run arrival order equal
     // the global (ts, state) order — q238's matrix verbatim; boundary
     // pairs exist only if the state store recovered across the restart

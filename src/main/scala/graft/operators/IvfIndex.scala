@@ -445,6 +445,33 @@ object IvfIndex {
     lightIds
   }
 
+  /** One MAINTENANCE SWEEP of a persisted index — the policy an ingest
+    * loop actually runs between [[upsertIndex]] batches, composing the
+    * two repair primitives off a single [[cellLoad]] audit snapshot:
+    * every cell flagged `rebuild_hint` (> `maxLoadFactor`× the mean)
+    * SPLITS `kSub`-way, heaviest first ([[splitCell]] — each split
+    * touches only its own partition, so acting on a stale snapshot is
+    * safe: other cells' loads are unchanged by it); then every cell
+    * below `minLoadFactor`× the mean MERGES into its nearest survivor
+    * ([[mergeCells]], which re-audits after the splits). Hot cells with
+    * fewer than `kSub` postings are left alone (nothing to split).
+    * Run repeatedly until it returns empty for a fixpoint — one sweep
+    * per ingest batch is the intended cadence.
+    *
+    * @return (split hot ids, merged-away light ids) */
+  def maintain(spark: org.apache.spark.sql.SparkSession, path: String,
+               maxLoadFactor: Double = 4.0, minLoadFactor: Double = 0.25,
+               kSub: Int = 4): (Seq[Int], Seq[Int]) = {
+    val hinted = cellLoad(spark, path, maxLoadFactor)
+      .filter(col("rebuild_hint"))
+      .orderBy(col("n").desc, col("cell_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val splitIds = hinted.filter(_._2 >= kSub).map(_._1).toSeq
+    splitIds.foreach(id => splitCell(spark, path, id, kSub))
+    val merged = mergeCells(spark, path, minLoadFactor)
+    (splitIds, merged)
+  }
+
   /** Reload a [[saveIndex]] index as `(centroids, postings)`. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
                 path: String): (DataFrame, DataFrame) = {

@@ -84,16 +84,21 @@ object Unigram {
         lit(0.5)).cast("long").as("s_e6"))
   }
 
-  /** Viterbi use counts `(piece, n_uses)` of a scored vocabulary over the
-    * word table: each word's best segmentation (score-sum argmax, ties to
-    * the longest piece ending at each position), each chosen piece
-    * weighted by the word's frequency. HOF-only per-row DP — the edge
-    * list per word is `len·maxLen` structs off a broadcast piece join. */
-  def viterbiCounts(words: DataFrame, wordCol: String, weightCol: String,
-                    vocabScores: DataFrame, maxLen: Int): DataFrame = {
+  /** Each word's Viterbi best segmentation as `(_word, _w, _parts)` —
+    * score-sum argmax over the scored vocabulary, ties to the longest
+    * piece ending at each position. HOF-only per-row DP — the edge list
+    * per word is `len·maxLen` structs off a broadcast piece join. */
+  private def segmented(words: DataFrame, wordCol: String, weightCol: String,
+                        vocabScores: DataFrame, maxLen: Int): DataFrame = {
+    // rename FIRST, explode SECOND: putting the explode in the same
+    // select list as the `.as("_word")` alias makes its col(wordCol)
+    // resolve to the same-list LATERAL alias when the caller's column is
+    // already named _word — Spark 4.1 rejects a lateral reference inside
+    // a Generate with an internal error (observed live from fertility)
     val edges = words
-      .select(col(wordCol).as("_word"), col(weightCol).cast("long").as("_w"),
-        explode(candidateEdges(col(wordCol), maxLen)).as("_e"))
+      .select(col(wordCol).as("_word"), col(weightCol).cast("long").as("_w"))
+      .select(col("_word"), col("_w"),
+        explode(candidateEdges(col("_word"), maxLen)).as("_e"))
       .select(col("_word"), col("_w"), col("_e.i").as("i"),
         col("_e.j").as("j"), col("_e.piece").as("piece"))
       .join(broadcast(vocabScores), Seq("piece"))
@@ -127,9 +132,17 @@ object Unigram {
       st => st.getField("parts"))
     edges
       .withColumn("_dp", dp)
-      .select(col("_w"), explode(parts).as("piece"))
-      .groupBy("piece").agg(sum(col("_w")).as("n_uses"))
+      .select(col("_word"), col("_w"), parts.as("_parts"))
   }
+
+  /** Viterbi use counts `(piece, n_uses)` of a scored vocabulary over the
+    * word table: each chosen piece of each word's best segmentation,
+    * weighted by the word's frequency. */
+  def viterbiCounts(words: DataFrame, wordCol: String, weightCol: String,
+                    vocabScores: DataFrame, maxLen: Int): DataFrame =
+    segmented(words, wordCol, weightCol, vocabScores, maxLen)
+      .select(col("_w"), explode(col("_parts")).as("piece"))
+      .groupBy("piece").agg(sum(col("_w")).as("n_uses"))
 
   /** Train a unigram-LM vocabulary: seed → `emRounds` hard-EM rounds →
     * prune. Returns `(piece, n_uses)` — every seed character (0 uses if
@@ -165,5 +178,57 @@ object Unigram {
       .select(col("piece"), coalesce(col("n_uses"), lit(0L)).as("n_uses"))
       .unionByName(counts.filter(length(col("piece")) > 1)
         .orderBy(col("n_uses").desc, col("piece")).limit(keepMulti))
+  }
+
+  /** Serving scores off a TRAINED `(piece, n_uses)` vocabulary: the same
+    * integer recipe with +1 smoothing (a coverage character Viterbi never
+    * chose has 0 uses — ln(0) must stay finite so every word remains
+    * segmentable): `s_e6 = floor(ln((n+1)/T')·10⁶ + 0.5)`,
+    * `T' = Σ(n+1)`. */
+  def servingScores(vocab: DataFrame): DataFrame = {
+    val t = vocab.agg(sum(col("n_uses") + 1L)).collect()(0).getLong(0)
+    require(t > 0L, "unigram: empty trained vocabulary")
+    vocab.select(col("piece"),
+      floor(log((col("n_uses") + 1L).cast("double") / lit(t.toDouble)) *
+        lit(1e6) + lit(0.5)).cast("long").as("s_e6"))
+  }
+
+  /** Tokenizer-fertility report per slice under a SCORED unigram
+    * vocabulary — [[Bpe.fertility]]'s twin for the Viterbi tokenizer:
+    * per slice, `tokens_per_word` and `chars_per_token` as single double
+    * divisions of exact integer masses.
+    *
+    * Scale shape (identical to the BPE one): one corpus tokenize pass
+    * collapses occurrences to `(slice, word)` counts; the Viterbi encode
+    * runs once per DISTINCT word and joins back. `maxWordLen` bounds the
+    * DP the oracle unrolls — words longer than it are SKIPPED in both
+    * engines (the gate's documented contract; production raises it). */
+  def fertility(df: DataFrame, textCol: String, sliceCols: Seq[String],
+                vocabScores: DataFrame, maxLen: Int,
+                maxWordLen: Int = 12): DataFrame = {
+    require(sliceCols.nonEmpty, "sliceCols must name at least one column")
+    val reserved = Seq("_w", "_c", "_ntok", "_nchr", "_word", "_parts")
+    require(!sliceCols.exists(reserved.contains) && !reserved.contains(textCol),
+      s"reserved columns ${reserved.mkString(", ")} must not appear in inputs")
+    val slices = sliceCols.map(col)
+    val occ = df.select(slices :+
+        explode(split(trim(col(textCol)), "\\s+")).as("_word"): _*)
+      .filter(col("_word") =!= "" && length(col("_word")) <= maxWordLen)
+      .groupBy(col("_word") +: slices: _*).agg(count(lit(1)).as("_c"))
+    val vocabWords = occ.select(col("_word")).distinct()
+      .withColumn("_one", lit(1L))
+    val tok = segmented(vocabWords, "_word", "_one", vocabScores, maxLen)
+      .select(col("_word"), size(col("_parts")).as("_ntok"),
+        length(col("_word")).as("_nchr"))
+    occ.join(tok, "_word")
+      .groupBy(slices: _*)
+      .agg(sum(col("_c")).as("n_words"),
+        sum(col("_c") * col("_ntok")).as("n_tokens"),
+        sum(col("_c") * col("_nchr").cast("long")).as("n_chars"))
+      .select(slices ++ Seq(col("n_words"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token")): _*)
   }
 }

@@ -342,6 +342,49 @@ class IvfIndexSpec extends SparkFunSuite {
     assert(IvfIndex.mergeCells(spark, dir, minLoadFactor = 1e-9) == Seq.empty)
   }
 
+  test("maintain: acts on every audit hint, postings conserved, fixpoint reached") {
+    val (cents, indexed) = IvfIndex.buildIndex(t.embeddings, "vec_id", "embedding", nCells = 8)
+    val dir = tmpDir("ivf-maint")
+    IvfIndex.saveIndex(cents, indexed, dir)
+    val n = t.embeddings.count()
+    // manufacture the drifted state a real ingest loop accumulates: a
+    // 4-way split leaves genuinely tiny sub-cells below the 0.6 floor
+    val hotId = IvfIndex.cellLoad(spark, dir)
+      .orderBy(col("n").desc, col("cell_id")).limit(1).collect()(0).getInt(0)
+    IvfIndex.splitCell(spark, dir, hotId, kSub = 4)
+    val (split1, merged1) = IvfIndex.maintain(spark, dir,
+      maxLoadFactor = 1.5, minLoadFactor = 0.6, kSub = 3)
+    assert(split1.nonEmpty || merged1.nonEmpty, "fixture must trigger at least one repair")
+    val (rc, ri) = IvfIndex.loadIndex(spark, dir)
+    assert(ri.count() == n && ri.select("neighbor_id").distinct().count() == n,
+      "every posting must survive the sweep exactly once")
+    val ids = rc.select("cell_id").collect().map(_.getInt(0)).toSet
+    val dirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName.drop(8).toInt).toSet
+    assert(dirs == ids, s"directories $dirs out of sync with centroids $ids")
+    split1.foreach(id => assert(!ids.contains(id), s"split hot id $id must retire"))
+    merged1.foreach(id => assert(!ids.contains(id), s"merged id $id must retire"))
+    // repeated sweeps reach a fixpoint (bounded: each split needs >= kSub
+    // postings and each merge shrinks the table)
+    var rounds = 0
+    var last = (Seq(0), Seq(0)): (Seq[Int], Seq[Int])
+    while (rounds < 8 && (last._1.nonEmpty || last._2.nonEmpty)) {
+      last = IvfIndex.maintain(spark, dir, maxLoadFactor = 1.5,
+        minLoadFactor = 0.6, kSub = 3)
+      rounds += 1
+    }
+    assert(last._1.isEmpty && last._2.isEmpty, s"no fixpoint after $rounds sweeps")
+    // the repaired index still serves exactly at full probe
+    val q = t.embeddings.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val (rc2, ri2) = IvfIndex.loadIndex(spark, dir)
+    val served = IvfIndex.topKFromIndex(rc2, ri2, q, k = 5, nProbe = 4096)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served == exact)
+  }
+
   test("saveIndex rebuild truncates a prior run's stale cell partitions") {
     // dynamic partition overwrite (the session default) would leave a
     // grown index's cell_id=8.. dirs behind after a rebuild with fewer

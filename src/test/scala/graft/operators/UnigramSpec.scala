@@ -152,6 +152,52 @@ class UnigramSpec extends SparkFunSuite {
     }
   }
 
+  test("serving path: scores formula and per-slice fertility match the reference") {
+    val words = toy
+    val vocab = refTrain(words, 3, 4, 2, 1)
+    // servingScores replays floor(ln((n+1)/T')*1e6+0.5), T' = sum(n+1)
+    val t1 = vocab.values.map(_ + 1L).sum
+    val expectScores = vocab.map { case (p, n) =>
+      p -> math.floor(math.log((n + 1).toDouble / t1.toDouble) * 1e6 + 0.5).toLong
+    }
+    val vocabDf = vocab.toSeq.toDF("piece", "n_uses")
+    val gotScores = Unigram.servingScores(vocabDf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotScores == expectScores)
+    // fertility: two slices, words drawn from the toy vocabulary's charset
+    val docs = Seq(
+      ("en", "a", "abab cab bb"),
+      ("en", "b", "aba aba"),
+      ("fr", "a", "cab abab abab"))
+      .toDF("lang", "source", "text")
+    val got = Unigram.fertility(docs, "text", Seq("lang", "source"),
+        vocabDf.sparkSession.createDataFrame(
+          gotScores.toSeq.map(p => (p._1, p._2))).toDF("piece", "s_e6"),
+        maxLen = 3, maxWordLen = 12)
+      .orderBy("lang", "source").collect()
+    // reference: enumerate each word's best segmentation under the scores
+    def nTok(w: String) = refBestSeg(w, expectScores, 3).size
+    val expect = Seq(
+      ("en", "a", Seq("abab", "cab", "bb")),
+      ("en", "b", Seq("aba", "aba")),
+      ("fr", "a", Seq("cab", "abab", "abab")))
+      .map { case (l, s, ws) =>
+        val nw = ws.size.toLong
+        val nt = ws.map(nTok(_).toLong).sum
+        val nc = ws.map(_.length.toLong).sum
+        (l, s, nw, nt, nc, nt.toDouble / nw, nc.toDouble / nt)
+      }
+    val gotT = got.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(gotT == expect, s"got $gotT vs $expect")
+    // words longer than maxWordLen are skipped (the bounded-DP contract)
+    val longDoc = Seq(("xx", "x", "abababababababab ab")).toDF("lang", "source", "text")
+    val g2 = Unigram.fertility(longDoc, "text", Seq("lang", "source"),
+      gotScores.toSeq.toDF("piece", "s_e6"), maxLen = 3, maxWordLen = 12)
+      .collect()
+    assert(g2.length == 1 && g2(0).getLong(2) == 1L, "16-char word must be skipped")
+  }
+
   test("guards") {
     intercept[IllegalArgumentException] {
       Unigram.train(toyDf, "word", "weight", maxLen = 1)
