@@ -1048,5 +1048,61 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
           "source", k = 64)
         .orderBy("ga", "gb")
     }),
+    // STREAMING recovery gate #4 — the WINDOWED-AGGREGATION state store
+    // across a restart (q301 = sink/offsets, q303 = mapGroupsWithState,
+    // q309 = stream-stream join state; this is the StateStoreSave
+    // surface, the last stateful operator without a restart gate).
+    // Events split at the median µs timestamp; run 1 drains the early
+    // half in COMPLETE mode (foreachBatch overwrites the sink with the
+    // full aggregate state each commit), the query TERMINATES, the late
+    // half arrives, a NEW query on the SAME checkpoint drains it. The
+    // final sink equals the whole-corpus hourly aggregate ONLY if run 2
+    // recovered run 1's per-window partial sums — a lost store zeroes
+    // every early-half window and hash-mismatches q285's batch oracle.
+    "q314_windowed_agg_restart" -> ((s, dir) => {
+      import graft.streaming.{StreamingOps, StreamStage}
+      val sink = StreamStage.tempDir("graft_q314_out")
+      val ckpt = StreamStage.tempDir("graft_q314_ckpt")
+      val arrive = StreamStage.tempDir("graft_q314_in")
+      val ev = Tables(s, dir).events
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("ts"), col("event_type"),
+          (coalesce(col("value").cast("decimal(18,6)"),
+            lit(0L).cast("decimal(18,6)")) * 1000000L)
+            .cast("long").as("value"))
+      val mm = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).collect()(0)
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val parts = StreamStage.stagedInputParts("q314", dir, Seq(
+        () => ev.filter(unix_micros(col("ts")) < cut),
+        () => ev.filter(unix_micros(col("ts")) >= cut)))
+      def arrivePart(p: String): Unit = {
+        val src = java.nio.file.Paths.get(parts, p)
+        val dst = java.nio.file.Paths.get(arrive, p)
+        java.nio.file.Files.createDirectories(dst)
+        val ls = java.nio.file.Files.list(src)
+        try ls.forEach { f =>
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(f, dst.resolve(f.getFileName)): Unit
+        } finally ls.close()
+      }
+      def drain(): Unit = {
+        val stream = s.readStream.schema(ev.schema)
+          .option("pathGlobFilter", "*.parquet").parquet(arrive + "/*")
+        StreamingOps.windowedCounts(stream)
+          .writeStream
+          .outputMode("complete")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("overwrite").parquet(sink): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
+      arrivePart("p000"); drain()
+      arrivePart("p001"); drain() // new query, same checkpoint
+      s.read.parquet(sink).orderBy("window_start", "event_type")
+    }),
   )
 }

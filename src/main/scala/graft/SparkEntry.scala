@@ -1125,6 +1125,9 @@ object SparkEntry
     // q313: three upsert+maintain sweeps later, the full probe is still
     // the same whole-corpus brute force (all vec_ids land via base+batches)
     "q313_ann_ivf_maintain_loop" -> oracleSqlBase("q273_ann_ivf_upsert"),
+    // q314: the restart is orchestration — recovered windowed-agg state
+    // must reproduce q285's whole-corpus batch aggregate verbatim
+    "q314_windowed_agg_restart" -> oracleSqlBase("q285_windowed_agg_stream"),
     "q311_unigram_vocab" -> unigramOracle(maxLen = 4, seedTopK = 48,
       keepMulti = 24, maxWordLen = 12),
     "q312_unigram_fertility" -> unigramFertilityOracle(maxLen = 4,
