@@ -1104,5 +1104,20 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
       arrivePart("p001"); drain() // new query, same checkpoint
       s.read.parquet(sink).orderBy("window_start", "event_type")
     }),
+    // Binary-quantized ANN (the BQ serving mode vector stores run as the
+    // first-stage filter): sign-bit codes packed 64/long, full-corpus
+    // Hamming scan via XOR+popcount (1/32nd the bytes of a float scan),
+    // 4k shortlist per query, exact cosine re-rank. The oracle replays
+    // the IDENTICAL semantics — per-dim sign-mismatch count (packing is
+    // a layout choice, not a semantic one), same (h, id) shortlist
+    // order, same re-rank arithmetic as q171's brute force.
+    "q315_ann_binary_quant" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val q = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.hammingTopK(t.embeddings, "vec_id", "embedding", q,
+          k = 10, shortlistFactor = 4)
+        .orderBy("query_id", "rank")
+    }),
   )
 }

@@ -1128,6 +1128,32 @@ object SparkEntry
     // q314: the restart is orchestration — recovered windowed-agg state
     // must reproduce q285's whole-corpus batch aggregate verbatim
     "q314_windowed_agg_restart" -> oracleSqlBase("q285_windowed_agg_stream"),
+    // q315: sign-mismatch count IS the packed-XOR-popcount Hamming (the
+    // packing is layout, not semantics); shortlist 4k=40, re-rank k=10
+    "q315_ann_binary_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |ham AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.v, q.qv,
+        |    CAST(list_sum(list_transform(generate_series(1, len(e.v)),
+        |      i -> CASE WHEN (e.v[i] >= 0) <> (q.qv[i] >= 0) THEN 1 ELSE 0 END))
+        |      AS INTEGER) AS h
+        |  FROM e CROSS JOIN q),
+        |short AS (SELECT query_id, neighbor_id, v, qv FROM (
+        |    SELECT query_id, neighbor_id, v, qv,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS r
+        |    FROM ham) WHERE r <= 40),
+        |scored AS (SELECT query_id, neighbor_id,
+        |    list_inner_product(v, qv)
+        |      / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))
+        |      AS score
+        |  FROM short),
+        |ranked AS (SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     "q311_unigram_vocab" -> unigramOracle(maxLen = 4, seedTopK = 48,
       keepMulti = 24, maxWordLen = 12),
     "q312_unigram_fertility" -> unigramFertilityOracle(maxLen = 4,

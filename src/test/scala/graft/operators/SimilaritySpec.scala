@@ -33,6 +33,35 @@ class SimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("signBits packs sign bits 64-per-long; hammingTopK self-rank-1 and full-shortlist == brute force") {
+    // hand-checked packing: 66 dims -> 2 words; negatives clear the bit,
+    // zero counts as positive (the fixed engine-agnostic rule)
+    val v = Array.tabulate(66)(i => if (i == 1 || i == 65) -1.0f else if (i == 2) 0.0f else 1.0f)
+    val bits = Seq(Tuple1(v)).toDF("v")
+      .select(Similarity.signBits($"v").as("b")).collect()(0).getSeq[Long](0)
+    assert(bits.length == 2)
+    assert(bits(0) == (-1L ^ (1L << 1)), s"word0 ${bits(0)}")
+    assert(bits(1) == 1L, s"word1 ${bits(1)} — bit 65 (-1) clear, bit 64 (+1) set")
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val q = t.embeddings.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val bq = Similarity.hammingTopK(t.embeddings, "vec_id", "embedding", q, k = 5)
+    bq.filter($"rank" === 1).collect().foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id"),
+        "self has Hamming 0 and cosine 1 — must rank first")
+    }
+    // a shortlist covering the whole corpus degrades to exact brute force
+    val n = t.embeddings.count().toInt
+    val all = Similarity.hammingTopK(t.embeddings, "vec_id", "embedding", q,
+      k = 5, shortlistFactor = n)
+    val exact = Similarity.bruteForceTopK(t.embeddings, "vec_id", "embedding", q, 5)
+    assert(all.collect().map(_.toString).sorted.toSeq ==
+      exact.collect().map(_.toString).sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Similarity.hammingTopK(t.embeddings, "vec_id", "embedding", q, 5, 0)
+    }
+  }
+
   test("hardNegatives: same-label rows never surface, ranking and k respected") {
     // 2-D fixture: query (1,0) label 0; same-label near-twin (would be
     // rank 1 if labels were ignored), plus three label-1 rows at known
