@@ -1119,5 +1119,23 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
           k = 10, shortlistFactor = 4)
         .orderBy("query_id", "rank")
     }),
+    // Weighted label propagation (Raghavan §IV) on q307's count-weighted
+    // co-supplier graph — the last member of the weighted graph family
+    // (PR/PPR/Louvain/modularity already have wCol): adopt the label
+    // with the largest incident weight sum, min-label ties, 3 fixed
+    // rounds, exact decimal weights symmetrized by two-direction sum.
+    // The oracle replays the rounds with HUGEINT sums verbatim.
+    "q316_label_propagation_weighted" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("a"))
+        .join(li.select(col("ok"), col("sk").as("b")), "ok")
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      Graph.labelPropagation(edges, "a", "b", iters = 3, wCol = Some("w"))
+        .orderBy("node")
+    }),
   )
 }

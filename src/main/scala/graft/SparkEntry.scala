@@ -1128,6 +1128,32 @@ object SparkEntry
     // q314: the restart is orchestration — recovered windowed-agg state
     // must reproduce q285's whole-corpus batch aggregate verbatim
     "q314_windowed_agg_restart" -> oracleSqlBase("q285_windowed_agg_stream"),
+    // q316: q249's unrolled rounds with HUGEINT weight sums — the
+    // operator's two-direction symmetrization sum replayed verbatim
+    "q316_label_propagation_weighted" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""c$i AS (SELECT e.u AS node, l.label AS lbl,
+           |    CAST(sum(e.w) AS HUGEINT) AS c
+           |  FROM e JOIN $prev l ON l.node = e.v GROUP BY 1, 2),
+           |l$i AS (SELECT node, lbl AS label FROM (
+           |    SELECT node, lbl, row_number()
+           |      OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+           |    FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem WHERE l_orderkey % 20 = 0),
+         |e0 AS (SELECT a.sk AS u, b.sk AS v, CAST(count(*) AS HUGEINT) AS w
+         |  FROM li a JOIN li b ON a.ok = b.ok WHERE a.sk <> b.sk
+         |  GROUP BY 1, 2),
+         |e AS (SELECT u, v, CAST(sum(w) AS HUGEINT) AS w FROM (
+         |    SELECT u, v, w FROM e0
+         |    UNION ALL SELECT v AS u, u AS v, w FROM e0) GROUP BY u, v),
+         |nodes AS (SELECT DISTINCT u AS node FROM e),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$rounds
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+    },
     // q315: sign-mismatch count IS the packed-XOR-popcount Hamming (the
     // packing is layout, not semantics); shortlist 4k=40, re-rank k=10
     "q315_ann_binary_quant" ->

@@ -857,18 +857,41 @@ object Graph {
     * key with partial aggregation, not a single-task sort. Labels are
     * localCheckpoint'd per round so lineage stays flat. */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-                       iters: Int = 3): DataFrame = {
+                       iters: Int = 3,
+                       wCol: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters ($iters) must be >= 1")
-    val reserved = Seq("_a", "_b", "_l", "_c", "_m", "node", "label")
+    val reserved = Seq("_a", "_b", "_l", "_c", "_m", "_w", "node", "label")
     require(!edges.columns.exists(reserved.contains),
       s"input must not contain reserved columns ${reserved.mkString("/")}")
-    val half = edges
-      .select(col(aCol).as("_a"), col(bCol).as("_b"))
-      .filter(col("_a").isNotNull && col("_b").isNotNull &&
-        col("_a") =!= col("_b"))
-    val sym = half
-      .union(half.select(col("_b").as("_a"), col("_a").as("_b")))
-      .distinct().localCheckpoint(true)
+    // WEIGHTED variant (wCol): a node adopts the label with the largest
+    // incident WEIGHT sum instead of the largest neighbor count —
+    // Raghavan et al.'s §IV weighted form. The family contract holds:
+    // weights are positive integers guarded in-plan (a NULL/zero weight
+    // would silently vanish from the sum), parallel edges SUM, and
+    // symmetrization sums both directions; exact decimal(38,0) keeps the
+    // argmax bit-replayable. Unweighted keeps the original count
+    // expressions verbatim — w ≡ 1 over distinct edges reduces to it.
+    val sym = (wCol match {
+      case None =>
+        val half = edges
+          .select(col(aCol).as("_a"), col(bCol).as("_b"))
+          .filter(col("_a").isNotNull && col("_b").isNotNull &&
+            col("_a") =!= col("_b"))
+        half
+          .union(half.select(col("_b").as("_a"), col("_a").as("_b")))
+          .distinct()
+      case Some(c) =>
+        val half = edges
+          .filter(assert_true(col(c) >= 1,
+            lit(s"labelPropagation: $c must be a positive integer weight")).isNull)
+          .select(col(aCol).as("_a"), col(bCol).as("_b"),
+            col(c).cast("decimal(38,0)").as("_w"))
+          .filter(col("_a").isNotNull && col("_b").isNotNull &&
+            col("_a") =!= col("_b"))
+        half
+          .union(half.select(col("_b").as("_a"), col("_a").as("_b"), col("_w")))
+          .groupBy("_a", "_b").agg(sum(col("_w")).as("_w"))
+    }).localCheckpoint(true)
     val nodes = sym.select(col("_a").as("node"))
       .distinct().localCheckpoint(true)
     var lbl = nodes.select(col("node"), col("node").as("label"))
@@ -877,7 +900,11 @@ object Graph {
       val counts = sym
         .join(lbl.select(col("node").as("_b"), col("label").as("_l")),
           Seq("_b"))
-        .groupBy(col("_a"), col("_l")).agg(count(lit(1)).as("_c"))
+        .groupBy(col("_a"), col("_l"))
+        .agg((wCol match {
+          case None => count(lit(1))
+          case Some(_) => sum(col("_w"))
+        }).as("_c"))
       lbl = counts
         .groupBy(col("_a"))
         .agg(min(struct((-col("_c")).as("nc"), col("_l").as("l"))).as("_m"))

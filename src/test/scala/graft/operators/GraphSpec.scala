@@ -307,6 +307,33 @@ class GraphSpec extends SparkFunSuite {
       (7L, 7L), (8L, 7L), (9L, 7L)))
   }
 
+  test("labelPropagation weighted: heavy edge beats count; w = 1 reduces to unweighted") {
+    // node 3's neighbors: 1 and 2 (w=1 each, both labeled 1 after round 1?)
+    // — use one round for a hand case: 3 sees {1 (w=1), 2 (w=1), 4 (w=3)}.
+    // Unweighted: most-frequent tie among labels {1,2,4} → min label 1.
+    // Weighted: label 4 carries weight 3 > 1 → 3 adopts 4.
+    val e = Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 4L, 3L)).toDF("a", "b", "w")
+    val w1 = Graph.labelPropagation(e, "a", "b", iters = 1, wCol = Some("w"))
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(w1.find(_._1 == 3L).get._2 == 4L, s"weighted round: $w1")
+    val u1 = Graph.labelPropagation(e.select("a", "b"), "a", "b", iters = 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(u1.find(_._1 == 3L).get._2 == 1L, s"unweighted round: $u1")
+    // w ≡ 1 must equal the unweighted labels value-for-value
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+    val unw = Graph.labelPropagation(base.toDF("a", "b"), "a", "b", iters = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val unit = Graph.labelPropagation(base.map { case (a, b) => (a, b, 1L) }
+        .toDF("a", "b", "w"), "a", "b", iters = 3, wCol = Some("w"))
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(unw == unit, "w = 1 weighted must reduce to the unweighted labels")
+    // zero/NULL weights fail loudly, the family contract
+    intercept[Exception] {
+      Graph.labelPropagation(Seq((1L, 2L, 0L)).toDF("a", "b", "w"),
+        "a", "b", iters = 1, wCol = Some("w")).collect()
+    }
+  }
+
   test("louvainMoveRounds: hand-replayed round on a path; convergence") {
     // path 1-2-3, 2m = 4, degrees k1 = 1, k2 = 2, k3 = 1. Round 1 from
     // singletons: node 1 blocked (only larger singleton targets, the Lu
