@@ -1137,5 +1137,54 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
       Graph.labelPropagation(edges, "a", "b", iters = 3, wCol = Some("w"))
         .orderBy("node")
     }),
+    // STREAMING recovery gate #5 — the DEDUP state store across a
+    // restart (the StreamingDeduplicate surface; q284 gates only the
+    // in-batch drop). Run 1 drains the corpus ONCE and terminates with
+    // every event_id in dedup state; a NEW query on the SAME checkpoint
+    // then drains an exact second copy. The watermark delay spans the
+    // whole dataset (nothing is ever late, nothing evicts), so every
+    // run-2 row can be dropped ONLY by recovered dedup state — a lost
+    // store re-admits the entire copy and doubles the sink. Oracle:
+    // the distinct corpus, q284's.
+    "q317_dedup_stream_restart" -> ((s, dir) => {
+      import graft.streaming.StreamStage
+      val sink = StreamStage.tempDir("graft_q317_out")
+      val ckpt = StreamStage.tempDir("graft_q317_ckpt")
+      val arrive = StreamStage.tempDir("graft_q317_in")
+      val ev = Tables(s, dir).events
+        .filter(col("event_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("event_type"), col("value").cast("double").as("value"))
+      val parts = StreamStage.stagedInputParts("q317", dir, Seq(
+        () => ev, () => ev)) // the corpus, then its exact duplicate copy
+      def arrivePart(p: String): Unit = {
+        val src = java.nio.file.Paths.get(parts, p)
+        val dst = java.nio.file.Paths.get(arrive, p)
+        java.nio.file.Files.createDirectories(dst)
+        val ls = java.nio.file.Files.list(src)
+        try ls.forEach { f =>
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(f, dst.resolve(f.getFileName)): Unit
+        } finally ls.close()
+      }
+      def drain(): Unit = {
+        val stream = s.readStream.schema(ev.schema)
+          .option("pathGlobFilter", "*.parquet").parquet(arrive + "/*")
+        stream.withWatermark("ts", "36500 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(sink): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
+      arrivePart("p000"); drain()
+      arrivePart("p001"); drain() // new query, same checkpoint
+      s.read.parquet(sink).orderBy("event_id")
+    }),
   )
 }

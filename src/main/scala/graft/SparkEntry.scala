@@ -1128,6 +1128,9 @@ object SparkEntry
     // q314: the restart is orchestration — recovered windowed-agg state
     // must reproduce q285's whole-corpus batch aggregate verbatim
     "q314_windowed_agg_restart" -> oracleSqlBase("q285_windowed_agg_stream"),
+    // q317: the duplicate copy drains in run 2 against recovered dedup
+    // state — the sink is the distinct corpus, q284's oracle verbatim
+    "q317_dedup_stream_restart" -> oracleSqlBase("q284_dedup_stream"),
     // q316: q249's unrolled rounds with HUGEINT weight sums — the
     // operator's two-direction symmetrization sum replayed verbatim
     "q316_label_propagation_weighted" -> {
