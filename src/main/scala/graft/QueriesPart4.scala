@@ -1186,5 +1186,69 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
       arrivePart("p001"); drain() // new query, same checkpoint
       s.read.parquet(sink).orderBy("event_id")
     }),
+    // STREAMING recovery gate #6 — native session_window state across a
+    // restart (the session-merging state store, a DIFFERENT format from
+    // q314's plain windowed agg: restart must reload OPEN sessions and
+    // MERGE run-2 events into them). Events split at the median µs
+    // timestamp; run 1 drains the early half (open sessions parked in
+    // state — the watermark never passes them), the query TERMINATES,
+    // run 2 on the SAME checkpoint drains the late half plus q290's two
+    // far-future sentinels. Every session spanning the cut exists in
+    // the sink ONLY if run 2 merged its run-1 prefix out of recovered
+    // state — a lost store splits it in two and hash-mismatches q290's
+    // whole-corpus exact-gap oracle.
+    "q318_session_window_restart" -> ((s, dir) => {
+      import graft.streaming.{StreamingOps, StreamStage}
+      val sink = StreamStage.tempDir("graft_q318_out")
+      val ckpt = StreamStage.tempDir("graft_q318_ckpt")
+      val arrive = StreamStage.tempDir("graft_q318_in")
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          (col("value").cast("decimal(18,6)") * 1000000L)
+            .cast("long").as("value"))
+      def sentinel(ts: String) = s.range(1).select(
+        lit(-1L).as("user_id"), lit(ts).cast("timestamp").as("ts"),
+        lit(0L).as("value"))
+      val mm = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).collect()(0)
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val parts = StreamStage.stagedInputParts("q318", dir, Seq(
+        () => ev.filter(unix_micros(col("ts")) < cut),
+        () => ev.filter(unix_micros(col("ts")) >= cut),
+        () => sentinel("2124-01-01 00:00:00"),
+        () => sentinel("2124-02-01 00:00:00")))
+      def arrivePart(p: String): Unit = {
+        val src = java.nio.file.Paths.get(parts, p)
+        val dst = java.nio.file.Paths.get(arrive, p)
+        java.nio.file.Files.createDirectories(dst)
+        val ls = java.nio.file.Files.list(src)
+        try ls.forEach { f =>
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(f, dst.resolve(f.getFileName)): Unit
+        } finally ls.close()
+      }
+      def drain(): Unit = {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet").parquet(arrive + "/*")
+        StreamingOps.sessionWindowStats(stream)
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(sink): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
+      arrivePart("p000"); drain()
+      arrivePart("p001"); arrivePart("p002"); arrivePart("p003")
+      drain() // new query, same checkpoint
+      s.read.parquet(sink).filter(col("user_id") >= 0L)
+        .orderBy("user_id", "session_start")
+    }),
   )
 }

@@ -1131,6 +1131,9 @@ object SparkEntry
     // q317: the duplicate copy drains in run 2 against recovered dedup
     // state — the sink is the distinct corpus, q284's oracle verbatim
     "q317_dedup_stream_restart" -> oracleSqlBase("q284_dedup_stream"),
+    // q318: sessions spanning the restart cut merge out of recovered
+    // session state — q290's whole-corpus exact-gap oracle verbatim
+    "q318_session_window_restart" -> oracleSqlBase("q290_session_window_stream"),
     // q316: q249's unrolled rounds with HUGEINT weight sums — the
     // operator's two-direction symmetrization sum replayed verbatim
     "q316_label_propagation_weighted" -> {
