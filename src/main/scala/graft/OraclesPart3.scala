@@ -2568,5 +2568,183 @@ private[graft] trait OraclesPart3 { this: SparkEntry.type =>
         |  round(da, 4) AS est_distinct_a, round(db, 4) AS est_distinct_b,
         |  round(rho, 4) AS est_jaccard, round(rho * dm, 4) AS est_intersect
         |FROM est ORDER BY ga, gb""".stripMargin,
+
+    // q319: eight unrolled WordPiece iterations — symbol + pair counts,
+    // the likelihood-score argmax as a HUGEINT cross-multiplication
+    // anti-join, the same greedy merge fold as the BPE chain
+    "q319_wordpiece_merges" -> wordPieceOracle(8),
+    // q320: the q319 chain plus the maximal-munch serving walk (longest
+    // vocab piece per position, 12 unrolled steps) and fertility masses
+    "q320_wordpiece_fertility" -> wordPieceFertilityOracle(8,
+      maxPieceLen = 12, maxWordLen = 12),
+    // q321: the planted truth in closed form — the s=5 s-core of the
+    // weighted plant is the clique (strength 5 each) plus the heavy
+    // pendant (strength 5) with its anchor at 5+5=10
+    "q321_score_weighted" ->
+      """WITH b AS (SELECT c_custkey AS b FROM customer WHERE c_custkey % 2 = 0),
+        |n AS (SELECT b * 100 + j AS node,
+        |    CASE WHEN j = 1 THEN 10 ELSE 5 END AS st
+        |  FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 7]) AS j) g)
+        |SELECT node, CAST(st AS BIGINT) AS strength FROM n ORDER BY node""".stripMargin,
+    // q322: the xy2d walk unrolled — one CTE per level, division-based
+    // bit tests ((v // s) % 2 — operands stay in [0, 2^bits) because the
+    // reflection uses the full grid's lim−1), the Gray-coded quadrant
+    // order and rotate/reflect as CASE arms, then q281's bucket fold
+    "q322_hilbert_audit" -> {
+      val bits = 10
+      val lim = 1L << bits
+      val levels = (1 to bits).map { i =>
+        val s = 1L << (bits - i)
+        s"""h$i AS (SELECT x, y,
+           |    d + ${s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+           |      WHEN rx = 0 THEN 1 WHEN ry = 1 THEN 2 ELSE 3 END) AS d,
+           |    CASE WHEN ry = 1 THEN hx WHEN rx = 1 THEN ${lim - 1} - hy ELSE hy END AS hx,
+           |    CASE WHEN ry = 1 THEN hy WHEN rx = 1 THEN ${lim - 1} - hx ELSE hx END AS hy
+           |  FROM (SELECT x, y, d, hx, hy,
+           |      (hx // $s) % 2 AS rx, (hy // $s) % 2 AS ry FROM h${i - 1}))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id % 1024 AS x,
+         |    (epoch_us(ts) // 3600000000) % 1024 AS y
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |h0 AS (SELECT x, y, CAST(0 AS BIGINT) AS d, x AS hx, y AS hy FROM e),
+         |$levels,
+         |b AS (SELECT x, y, d // 65536 AS bucket FROM h$bits)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max,
+         |  CAST(max(x) - min(x) + 1 AS DOUBLE) / 1024.0 AS x_span_frac,
+         |  CAST(max(y) - min(y) + 1 AS DOUBLE) / 1024.0 AS y_span_frac
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+    // q323: q117's projection replay verbatim (same md5 sign rule, same
+    // sequential fold, same /√k) lifted to a 16-element list per vector,
+    // both rankings replayed with the q27 cosine chain, exact-top-10
+    // flag by join
+    "q323_jl_serving_eval" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT CAST(vec_id AS BIGINT) AS id,
+        |    list_transform(generate_series(0, 15), k ->
+        |      list_reduce(list_transform(generate_series(1, 64),
+        |        j -> CAST(embedding[j] AS DOUBLE) *
+        |          (CASE WHEN substr(md5(CAST(j - 1 AS VARCHAR) || ':'
+        |              || CAST(k AS VARCHAR) || ':jl'), 1, 1) < '8'
+        |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+        |        (a, b) -> a + b) / sqrt(CAST(16 AS DOUBLE))) AS pv
+        |  FROM embeddings),
+        |q AS (SELECT id AS query_id, pv AS qv FROM p WHERE id < 8),
+        |pr AS (SELECT q.query_id, p.id AS neighbor_id,
+        |    list_inner_product(p.pv, q.qv)
+        |      / (sqrt(list_inner_product(p.pv, p.pv))
+        |         * sqrt(list_inner_product(q.qv, q.qv))) AS score
+        |  FROM p CROSS JOIN q),
+        |pt AS (SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM pr),
+        |eq AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 8),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT eq.query_id, e.id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY eq.query_id ORDER BY
+        |        list_inner_product(e.v, eq.qv)
+        |          / (sqrt(list_inner_product(e.v, e.v))
+        |             * sqrt(list_inner_product(eq.qv, eq.qv))) DESC,
+        |        e.id) AS rk
+        |    FROM e CROSS JOIN eq) WHERE rk <= 10)
+        |SELECT pt.query_id, CAST(pt.rank AS INTEGER) AS rank,
+        |  pt.neighbor_id, pt.score,
+        |  (ex.neighbor_id IS NOT NULL) AS in_exact_top10
+        |FROM pt LEFT JOIN ex ON ex.query_id = pt.query_id
+        |  AND ex.neighbor_id = pt.neighbor_id
+        |WHERE pt.rank <= 10
+        |ORDER BY pt.query_id, pt.rank""".stripMargin,
+    // q324: the canonical 3-join (q175's shape) carrying summed
+    // co-occurrence weights; per-corner masses w_ij + w_ih as exact
+    // integer sums, the Barrat coefficient as one double division
+    "q324_weighted_clustering" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT a.sk AS u, b.sk AS v, CAST(count(*) AS BIGINT) AS w
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk GROUP BY 1, 2),
+        |d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree,
+        |    CAST(sum(w) AS BIGINT) AS strength FROM (
+        |    SELECT unnest([u, v]) AS node, w FROM e) GROUP BY node),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c,
+        |    e1.w AS wab, e3.w AS wac, e2.w AS wbc
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |contrib AS (SELECT a AS node, wab + wac AS m FROM tri
+        |  UNION ALL SELECT b, wab + wbc FROM tri
+        |  UNION ALL SELECT c, wac + wbc FROM tri),
+        |tm AS (SELECT node, CAST(sum(m) AS BIGINT) AS tri_mass
+        |  FROM contrib GROUP BY node)
+        |SELECT d.node, d.degree, d.strength,
+        |  CAST(COALESCE(tm.tri_mass, 0) AS BIGINT) AS tri_mass,
+        |  CASE WHEN d.degree < 2 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE CAST(COALESCE(tm.tri_mass, 0) AS DOUBLE)
+        |      / CAST(d.strength * (d.degree - 1) AS DOUBLE) END
+        |    AS weighted_clustering
+        |FROM d LEFT JOIN tm USING (node) ORDER BY node""".stripMargin,
+    // q325: identical micro-unit values and md5 arm split, the same
+    // integer cross-multiplied ECDF deviation max, the same single
+    // double division and fixed-order λ chain
+    "q325_ks_test" ->
+      """WITH u AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':ks'), 1, 1)
+        |        < '8' THEN 'a' ELSE 'b' END AS arm
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT event_type, v,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM u GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(ca) AS HUGEINT) AS na,
+        |    CAST(sum(cb) AS HUGEINT) AS nb FROM c GROUP BY 1),
+        |cum AS (SELECT event_type, v,
+        |    CAST(sum(ca) OVER w AS HUGEINT) AS cra,
+        |    CAST(sum(cb) OVER w AS HUGEINT) AS crb
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT cum.event_type,
+        |    max(abs(cra * nb - crb * na)) AS dnum
+        |  FROM cum JOIN t USING (event_type) GROUP BY 1)
+        |SELECT t.event_type,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |    ELSE CAST(dnum AS DOUBLE) / CAST(na * nb AS DOUBLE) END AS ks_d,
+        |  CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |    ELSE sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |        / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        |      * (CAST(dnum AS DOUBLE) / CAST(na * nb AS DOUBLE)) END
+        |    AS ks_lambda
+        |FROM t JOIN d USING (event_type) ORDER BY event_type""".stripMargin,
+    // q326: q195's symmetric edge convention with summed weights,
+    // strengths for degrees, w-weighted HUGEINT sums through the
+    // VARCHAR→DOUBLE lane, same W·Σxy − (Σx)² closed form
+    "q326_weighted_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |  FROM lineitem WHERE l_orderkey % 20 = 0),
+        |e AS (SELECT a.sk AS u, b.sk AS v, CAST(count(*) AS BIGINT) AS w
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk GROUP BY 1, 2),
+        |st AS (SELECT node, CAST(sum(w) AS HUGEINT) AS s FROM (
+        |    SELECT unnest([u, v]) AS node, w FROM e) GROUP BY node),
+        |both_dir AS (SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e),
+        |p AS (SELECT CAST(b.w AS HUGEINT) AS w, su.s AS su, sv.s AS sv
+        |  FROM both_dir b JOIN st su ON su.node = b.u
+        |  JOIN st sv ON sv.node = b.v),
+        |t AS (SELECT sum(w) AS w2,
+        |    CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) AS w_d,
+        |    CAST(CAST(sum(w * su) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(w * su * su) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(w * su * sv) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM p),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM st)
+        |SELECT nn.n_nodes, CAST(t.w2 // 2 AS BIGINT) AS w_edges,
+        |  CASE WHEN t.w2 IS NULL OR t.w2 = 0
+        |      OR w_d * sxx - sx * sx = 0 THEN NULL
+        |    ELSE (w_d * sxy - sx * sx) / (w_d * sxx - sx * sx)
+        |  END AS assortativity
+        |FROM t CROSS JOIN nn""".stripMargin,
   )
 }

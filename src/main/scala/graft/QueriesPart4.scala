@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Sketches, TopK, VecDot, VectorFunctions}
-import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Layout, Linkage, Multimodal, Novelty, Pack, Phrases, Pq, Preference, Profile, Quantiles, RangeJoin, Ranks, Resample, Retention, Retrieval, Rfm, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend, Unigram}
+import graft.operators.{AsOf, Audit, BloomJoin, Bpe, Chunk, Classifier, Coreset, Dedup, DupClusters, Experiment, Features, Graph, Importance, IncrementalDedup, Intervals, IvfIndex, Keywords, LanguageModel, Layout, Linkage, Multimodal, Novelty, Pack, Phrases, Pq, Preference, Profile, Quantiles, RangeJoin, Ranks, Resample, Retention, Retrieval, Rfm, Sampling, Scd, Scrub, Sessionize, SetSketch, Similarity, SkewJoin, Snapshot, Spatial, TextAnalysis, Trend, Unigram, WordPiece}
 import graft.sources.Tables
 
 
@@ -1249,6 +1249,167 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
       drain() // new query, same checkpoint
       s.read.parquet(sink).filter(col("user_id") >= 0L)
         .orderBy("user_id", "session_start")
+    }),
+    // WordPiece merge training (Schuster & Nakajima 2012) — the THIRD
+    // tokenizer trainer beside BPE (q133, frequency argmax) and
+    // unigram-LM (q311, EM pruning): same corpus representation and
+    // greedy merge fold as BPE, selection by the likelihood score
+    // count(pair)/(count(left)·count(right)). The argmax is EXACT
+    // rational order via the RationalArgMax custom aggregate (BigInteger
+    // cross-multiplication, O(1) map-combinable state); the oracle
+    // replays it as a HUGEINT cross-multiplication NOT-EXISTS anti-join
+    // over 8 unrolled iterations. A double-rounded score, drifted count,
+    // or wrong tie order all hash-mismatch.
+    "q319_wordpiece_merges" -> ((s, dir) => {
+      WordPiece.train(Tables(s, dir).documents, "text", merges = 8)
+        .orderBy("step")
+    }),
+    // The WordPiece SERVING path (q158/q312's twin): train q319's rules,
+    // derive the piece vocabulary (every seen character + the merged
+    // symbols), then MAXIMAL-MUNCH encode — the published WordPiece
+    // tokenization rule (longest vocab piece at each position, left to
+    // right), which differs from BPE's merge replay — and report
+    // per-(lang, source) fertility. Words capped at 12 chars in both
+    // engines so the oracle's walk unroll is finite; the encode runs
+    // once per DISTINCT word with the vocabulary broadcast.
+    "q320_wordpiece_fertility" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val words = Bpe.wordFrequencies(docs, "text")
+      val rules = WordPiece.trainMerges(words, "word", "weight", merges = 8)
+      val vocab = WordPiece.vocabulary(words, "word", rules)
+      WordPiece.fertility(docs, "text", Seq("lang", "source"), vocab,
+          maxPieceLen = 12, maxWordLen = 12)
+        .orderBy("lang", "source")
+    }),
+    // Weighted s-core (Eidsaa & Almaas 2013) — q185's weighted sibling,
+    // with a planted CLOSED-FORM truth that discriminates strength from
+    // degree: per even key a K6 clique (w=1, strength 5, survives s=5), a
+    // light pendant (w=4 — degree-1 AND strength-4, peels), a HEAVY
+    // pendant split into two parallel edges w=2+w=3 (degree 1 but
+    // strength 5 — SURVIVES where k-core at k=5 would peel it; also pins
+    // parallel-edge summation), and a 2-hop cascade (w=4 then w=1 — the
+    // tail peels first, only then the middle). Per odd key a w=1 star
+    // that dissolves in two rounds. The oracle states the surviving core
+    // directly; any under-/over-peel or a dropped parallel edge breaks it.
+    "q321_score_weighted" -> ((s, dir) => {
+      val ck = Tables(s, dir).customer.select(col("c_custkey").as("b"))
+      val cliquePairs = (for {
+        i <- 0 until 6; j <- (i + 1) until 6
+      } yield (i, j, 1)) ++ Seq((0, 6, 4), (1, 7, 2), (1, 7, 3), (2, 8, 4),
+        (8, 9, 1))
+      val even = ck.filter(col("b") % 2 === 0)
+        .select(col("b"), explode(array(cliquePairs.map { case (i, j, w) =>
+          struct(lit(i).as("i"), lit(j).as("j"), lit(w).as("w"))
+        }: _*)).as("p"))
+        .select((col("b") * 100 + col("p.i")).as("ea"),
+          (col("b") * 100 + col("p.j")).as("eb"), col("p.w").as("w"))
+      val odd = ck.filter(col("b") % 2 === 1)
+        .select(col("b"), explode(array((1 to 5).map(lit(_)): _*)).as("j"))
+        .select((col("b") * 100).as("ea"), (col("b") * 100 + col("j")).as("eb"),
+          lit(1).as("w"))
+      Graph.sCore(even.unionByName(odd), "ea", "eb", "w", s = 5)
+        .orderBy("node")
+    }),
+    // Hilbert-curve layout audit — space-filling curve #2 beside q281's
+    // Z-order (both are documented lakehouse clustering keys): the SAME
+    // (user bucket, hour bucket) 10-bit space and 16 closed-form ranges,
+    // keyed by the xy2d walk (quadrant Gray code + rotate/reflect,
+    // published algorithm) instead of Morton interleave. The oracle
+    // unrolls the 10 levels as CTEs with division-based bit tests; a
+    // wrong quadrant order, reflection, or swap scatters rows across
+    // buckets and hash-mismatches.
+    "q322_hilbert_audit" -> ((s, dir) => {
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(pmod(col("user_id"), lit(1024L)).as("x"),
+          pmod(expr("unix_micros(ts) div 3600000000"), lit(1024L)).as("y"))
+      Layout.hilbertAudit(ev, "x", "y", bits = 10, nFiles = 16)
+        .orderBy("bucket")
+    }),
+    // JL-projected SERVING eval (q259's Matryoshka twin for the q117
+    // projection): project corpus AND queries with the EXISTING
+    // randomProjectSigns (64→16, same md5 sign rule q117 gates
+    // coordinate-for-coordinate), run the identical brute-force cosine
+    // ranking in projected space, flag each row against the exact
+    // top-10 — the downstream evidence that the 4×-fewer-bytes first
+    // stage actually ranks, which coordinates alone can't show.
+    // Projected cosines are bit-identical cross-engine (sequential
+    // folds + one /√k both sides).
+    "q323_jl_serving_eval" -> ((s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      def pv(c: Column) = VectorFunctions.randomProjectSigns(c, 64, 16)
+      val corpus = emb.select(col("vec_id"), pv(col("embedding")).as("pvec"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          pv(col("embedding")).as("query_vec"))
+      val proj = Similarity.bruteForceTopK(corpus, "vec_id", "pvec",
+        queries, k = 10)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec")), k = 10)
+      proj.join(exact.select(col("query_id"), col("neighbor_id"),
+          lit(true).as("in_exact_top10")),
+          Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("score"),
+          coalesce(col("in_exact_top10"), lit(false)).as("in_exact_top10"))
+        .orderBy("query_id", "rank")
+    }),
+    // Barrat weighted clustering coefficient (PNAS 2004) on q175's
+    // co-supplier graph with the NATURAL weights (one w=1 edge per
+    // shared order — the operator's parallel-edge summation builds the
+    // co-occurrence counts itself): per node, the strength share engaged
+    // in triangles, tri_mass/(s·(k−1)). With w ≡ 1 this is exactly the
+    // unweighted 2T/(k(k−1)); here the weights discount nodes whose
+    // heavy co-occurrence edges close no triangles. Exact integer
+    // masses, one double division; degree-ordered orientation keeps hub
+    // wedges O(√m).
+    "q324_weighted_clustering" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("a"))
+        .join(li.select(col("ok"), col("sk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), lit(1L).as("w"))
+      Graph.clusteringCoefficientWeighted(edges, "a", "b", "w")
+        .orderBy("node")
+    }),
+    // Two-sample Kolmogorov-Smirnov per event type (q187's
+    // distribution-shift companion): md5 user split into two arms,
+    // values in exact micro-units, D as an INTEGER max of
+    // cross-multiplied ECDF deviations (no float inside the sup), one
+    // double division + the λ scaling after. The oracle replays the
+    // same integer window fold; a drifted cumulative, tie order, or
+    // degenerate-arm lane all mismatch.
+    "q325_ks_test" -> ((s, dir) => {
+      val arm = when(substring(md5(concat(col("user_id").cast("string"),
+        lit(":ks"))), 1, 1) < "8", lit("a")).otherwise(lit("b"))
+      val units = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,6)") * 1000000L)
+            .cast("long").as("v"), arm.as("arm"))
+      Experiment.ksTest(units, Seq("event_type"), "arm", "v", "a", "b")
+        .orderBy("event_type")
+    }),
+    // Weighted (strength) assortativity (Leung & Chau 2007) — q195's
+    // weighted sibling on the SAME co-supplier graph, weights = summed
+    // shared-order counts (parallel-edge summation again builds them):
+    // do heavy co-suppliers sit next to other heavy co-suppliers?
+    // Exact decimal(38,0) sufficient statistics, the q195 double chain,
+    // one-row verdict.
+    "q326_weighted_assortativity" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("a"))
+        .join(li.select(col("ok"), col("sk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), lit(1L).as("w"))
+      Graph.assortativityWeighted(edges, "a", "b", "w")
     }),
   )
 }

@@ -329,19 +329,7 @@ object SparkEntry
     * each distinct word to its encoded symbol list — the oracle-side
     * equivalent of [[graft.operators.Bpe.encode]] under the learned rules. */
   private[graft] def bpeOracleCtes(merges: Int, carryWord: Boolean): String = {
-    // DuckDB 1.0's list_reduce drops LIST-typed struct fields from the
-    // accumulator (verified live: the out-list stayed empty every step),
-    // so the greedy merge fold encodes its (out, pend) state in ONE flat
-    // VARCHAR: `out-symbols-joined-by-chr(31)` || chr(30) || pend, with
-    // each element mapped to chr(30)||symbol (empty out + that pend) so
-    // the reduce's first-element-is-the-accumulator convention equals the
-    // engine's (out=[], pend='') zero plus one step. Data symbols are
-    // regex-split word tokens — they cannot contain the control chars.
     val cw = if (carryWord) "word, " else ""
-    val out = "string_split(a, chr(30))[1]"
-    val pend = "string_split(a, chr(30))[2]"
-    val joined = s"CASE WHEN $pend = '' THEN $out WHEN $out = '' THEN $pend " +
-      s"ELSE $out || chr(31) || $pend END"
     val iters = (1 to merges).map { i =>
       val prev = s"w${i - 1}"
       s"""p$i AS (SELECT l, r, CAST(sum(weight) AS BIGINT) AS w FROM (
@@ -350,18 +338,7 @@ object SparkEntry
          |      unnest(generate_series(1, greatest(len(syms) - 1, 0))) AS j
          |    FROM $prev)) GROUP BY l, r),
          |m$i AS (SELECT l, r, w FROM p$i ORDER BY w DESC, l ASC, r ASC LIMIT 1),
-         |w$i AS (SELECT ${cw}string_split(
-         |    CASE WHEN string_split(f, chr(30))[2] = '' THEN string_split(f, chr(30))[1]
-         |         WHEN string_split(f, chr(30))[1] = '' THEN string_split(f, chr(30))[2]
-         |         ELSE string_split(f, chr(30))[1] || chr(31) || string_split(f, chr(30))[2] END,
-         |    chr(31)) AS syms, weight FROM (
-         |    SELECT ${cw}weight, list_reduce(
-         |      list_transform(syms, c -> chr(30) || c),
-         |      (a, x) -> CASE WHEN $pend = m$i.l AND substr(x, 2) = m$i.r
-         |        THEN CASE WHEN $out = '' THEN '' ELSE $out || chr(31) END ||
-         |             m$i.l || m$i.r || chr(30)
-         |        ELSE $joined || chr(30) || substr(x, 2) END) AS f
-         |    FROM $prev, m$i))""".stripMargin
+         |${greedyMergeFoldCte(prev, i, cw, kw = "")}""".stripMargin
     }
     s"""words AS (SELECT word, CAST(count(*) AS BIGINT) AS weight FROM (
        |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
@@ -369,6 +346,146 @@ object SparkEntry
        |w0 AS (SELECT ${cw}list_transform(generate_series(1, length(word)),
        |    i -> substr(word, i, 1)) AS syms, weight FROM words),
        |${iters.mkString(",\n")}""".stripMargin
+  }
+
+  /** The greedy left-to-right merge-application CTE `w$i` shared by the
+    * BPE (q133/q155/q158) and WordPiece (q319/q320) oracle chains —
+    * applies iteration i's argmax rule `m$i` to the symbol table `prev`.
+    *
+    * DuckDB 1.0's list_reduce drops LIST-typed struct fields from the
+    * accumulator (verified live: the out-list stayed empty every step),
+    * so the greedy merge fold encodes its (out, pend) state in ONE flat
+    * VARCHAR: `out-symbols-joined-by-chr(31)` || chr(30) || pend, with
+    * each element mapped to chr(30)||symbol (empty out + that pend) so
+    * the reduce's first-element-is-the-accumulator convention equals the
+    * engine's (out=[], pend='') zero plus one step. Data symbols are
+    * regex-split word tokens — they cannot contain the control chars. */
+  private[graft] def greedyMergeFoldCte(prev: String, i: Int, cw: String,
+                                        kw: String): String = {
+    val out = "string_split(a, chr(30))[1]"
+    val pend = "string_split(a, chr(30))[2]"
+    val joined = s"CASE WHEN $pend = '' THEN $out WHEN $out = '' THEN $pend " +
+      s"ELSE $out || chr(31) || $pend END"
+    s"""w$i AS$kw (SELECT ${cw}string_split(
+       |    CASE WHEN string_split(f, chr(30))[2] = '' THEN string_split(f, chr(30))[1]
+       |         WHEN string_split(f, chr(30))[1] = '' THEN string_split(f, chr(30))[2]
+       |         ELSE string_split(f, chr(30))[1] || chr(31) || string_split(f, chr(30))[2] END,
+       |    chr(31)) AS syms, weight FROM (
+       |    SELECT ${cw}weight, list_reduce(
+       |      list_transform(syms, c -> chr(30) || c),
+       |      (a, x) -> CASE WHEN $pend = m$i.l AND substr(x, 2) = m$i.r
+       |        THEN CASE WHEN $out = '' THEN '' ELSE $out || chr(31) END ||
+       |             m$i.l || m$i.r || chr(30)
+       |        ELSE $joined || chr(30) || substr(x, 2) END) AS f
+       |    FROM $prev, m$i))""".stripMargin
+  }
+
+  /** The WordPiece training CTE chain (q319/q320's oracles): identical
+    * corpus representation and merge fold as [[bpeOracleCtes]], with the
+    * SELECTION rule swapped for the WordPiece likelihood score — per
+    * iteration, symbol counts `s$i`, pair counts joined to both symbol
+    * counts `ps$i` (HUGEINT denominator `fl·fr`), and the argmax `m$i` as
+    * a NOT-EXISTS anti-join comparing scores by HUGEINT CROSS-
+    * MULTIPLICATION (`b.w·a.den > a.w·b.den`) — exact rational order, no
+    * division, the oracle twin of [[graft.functions.RationalArgMax]];
+    * exact ties break to the smallest (l, r). Every CTE is MATERIALIZED:
+    * each `w$i` is referenced three times downstream, and DuckDB
+    * otherwise inlines the chain exponentially (the q311 lesson). */
+  private[graft] def wordPieceOracleCtes(merges: Int, carryWord: Boolean): String = {
+    val cw = if (carryWord) "word, " else ""
+    val iters = (1 to merges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""s$i AS MATERIALIZED (SELECT s, CAST(sum(weight) AS BIGINT) AS f FROM (
+         |    SELECT weight, unnest(syms) AS s FROM $prev) GROUP BY s),
+         |p$i AS MATERIALIZED (SELECT l, r, CAST(sum(weight) AS BIGINT) AS w FROM (
+         |  SELECT weight, syms[j] AS l, syms[j + 1] AS r FROM (
+         |    SELECT weight, syms,
+         |      unnest(generate_series(1, greatest(len(syms) - 1, 0))) AS j
+         |    FROM $prev)) GROUP BY l, r),
+         |ps$i AS MATERIALIZED (SELECT p.l, p.r, p.w, sl.f AS fl, sr.f AS fr,
+         |    CAST(sl.f AS HUGEINT) * CAST(sr.f AS HUGEINT) AS den
+         |  FROM p$i p JOIN s$i sl ON sl.s = p.l JOIN s$i sr ON sr.s = p.r),
+         |m$i AS MATERIALIZED (SELECT l, r, w, fl, fr FROM ps$i a
+         |  WHERE NOT EXISTS (SELECT 1 FROM ps$i b
+         |    WHERE CAST(b.w AS HUGEINT) * a.den > CAST(a.w AS HUGEINT) * b.den
+         |       OR (CAST(b.w AS HUGEINT) * a.den = CAST(a.w AS HUGEINT) * b.den
+         |           AND (b.l < a.l OR (b.l = a.l AND b.r < a.r))))),
+         |${greedyMergeFoldCte(prev, i, cw, kw = " MATERIALIZED")}""".stripMargin
+    }
+    s"""words AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS weight FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |    FROM documents) WHERE word <> '' GROUP BY word),
+       |w0 AS MATERIALIZED (SELECT ${cw}list_transform(generate_series(1, length(word)),
+       |    i -> substr(word, i, 1)) AS syms, weight FROM words),
+       |${iters.mkString(",\n")}""".stripMargin
+  }
+
+  /** q319's oracle: the WordPiece rule table — step, pair, merged symbol,
+    * pair count and both standalone symbol counts at merge time. */
+  private[graft] def wordPieceOracle(merges: Int): String = {
+    val rows = (1 to merges).map(i =>
+      s"""SELECT $i AS step, l AS "left", r AS "right", l || r AS merged,
+         |  w AS weight, fl AS left_count, fr AS right_count FROM m$i""".stripMargin)
+    s"""WITH ${wordPieceOracleCtes(merges, carryWord = false)}
+       |SELECT CAST(step AS INTEGER) AS step, "left", "right", merged,
+       |  weight, left_count, right_count
+       |FROM (${rows.mkString("\nUNION ALL\n")})
+       |ORDER BY step""".stripMargin
+  }
+
+  /** q320's oracle: train the same `merges` WordPiece rules, then the
+    * SERVING side — the maximal-munch (longest-match-first) encode that
+    * IS published WordPiece tokenization, replayed as one longest-jump
+    * table (`jumps`: per word position, the longest vocab piece starting
+    * there) plus `maxWordLen` unrolled walk steps; fertility masses and
+    * ratios as in the q158/q312 twins. Words are capped at `maxWordLen`
+    * characters in BOTH engines so the unroll is finite. */
+  private[graft] def wordPieceFertilityOracle(merges: Int, maxPieceLen: Int,
+                                              maxWordLen: Int): String = {
+    val mergedRows = (1 to merges).map(i => s"SELECT l || r AS piece FROM m$i")
+    val walks = (1 to maxWordLen).map { t =>
+      s"""walk$t AS MATERIALIZED (SELECT w.word,
+         |    CASE WHEN w.pos > length(w.word) THEN w.pos ELSE w.pos + j.k END AS pos,
+         |    CASE WHEN w.pos > length(w.word) THEN w.n ELSE w.n + 1 END AS n
+         |  FROM walk${t - 1} w LEFT JOIN jumps j
+         |    ON j.word = w.word AND j.i = w.pos)""".stripMargin
+    }
+    s"""WITH ${wordPieceOracleCtes(merges, carryWord = false)},
+       |vocab AS MATERIALIZED (
+       |  SELECT DISTINCT substr(word, i, 1) AS piece FROM (
+       |    SELECT word, unnest(generate_series(1, length(word))) AS i FROM words)
+       |  UNION
+       |  ${mergedRows.mkString("\n  UNION\n  ")}),
+       |served AS MATERIALIZED (SELECT word FROM words
+       |  WHERE length(word) <= $maxWordLen),
+       |jumps AS MATERIALIZED (SELECT word, i, CAST(max(k) AS INTEGER) AS k FROM (
+       |    SELECT s.word, s.i, s.k FROM (
+       |      SELECT word, i, unnest(generate_series(1,
+       |          least($maxPieceLen, length(word) - i + 1))) AS k FROM (
+       |        SELECT word, unnest(generate_series(1, length(word))) AS i
+       |        FROM served)) s
+       |    JOIN vocab v ON v.piece = substr(s.word, s.i, s.k))
+       |  GROUP BY word, i),
+       |walk0 AS MATERIALIZED (SELECT word, 1 AS pos, 0 AS n FROM served),
+       |${walks.mkString(",\n")},
+       |ntok AS MATERIALIZED (SELECT word, CAST(n AS INTEGER) AS n_tok
+       |  FROM walk$maxWordLen WHERE pos = length(word) + 1),
+       |occ AS MATERIALIZED (SELECT lang, source, word,
+       |    CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT lang, source,
+       |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' AND length(word) <= $maxWordLen
+       |  GROUP BY lang, source, word)
+       |SELECT occ.lang, occ.source,
+       |  CAST(sum(c) AS BIGINT) AS n_words,
+       |  CAST(sum(c * n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(c * length(occ.word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(c * n_tok) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS tokens_per_word,
+       |  CAST(sum(c * length(occ.word)) AS DOUBLE) / CAST(sum(c * n_tok) AS DOUBLE) AS chars_per_token
+       |FROM occ JOIN ntok USING (word)
+       |GROUP BY occ.lang, occ.source
+       |ORDER BY occ.lang, occ.source""".stripMargin
   }
 
   /** One unrolled Viterbi DP + backtrack CTE block (the engine of the

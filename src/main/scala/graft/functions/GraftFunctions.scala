@@ -63,6 +63,15 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), org.apache.spark.sql.types.LongType),
         exprs(2), k).toAggregateExpression()
     },
+    // aggregate: exact rational argmax (BigInteger cross-multiplication)
+    "rational_argmax" -> { exprs =>
+      require(exprs.length == 4,
+        s"rational_argmax expects 4 arguments (num, den, tie_a, tie_b), got ${exprs.length}")
+      RationalArgMaxAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), org.apache.spark.sql.types.DecimalType(38, 0)),
+        exprs(2), exprs(3)).toAggregateExpression()
+    },
     // sketch aggregates: precision/capacity are literals for the same
     // reason as top_k's k (they size the aggregation buffer)
     "hll_sketch" -> { exprs =>

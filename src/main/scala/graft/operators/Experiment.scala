@@ -734,6 +734,65 @@ object Experiment {
           .as("z"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per group (Smirnov 1939;
+    * the standard distribution-shift test between two arms or two data
+    * slices): `D = sup_v |F_A(v) − F_B(v)|`, computed EXACTLY as an
+    * integer maximum — at each distinct value the deviation numerator is
+    * `|cumA·n_B − cumB·n_A|` (cross-multiplied ECDFs, no division inside
+    * the max), so the argmax never suffers float ties; `ks_d` is then
+    * ONE double division and `ks_lambda = √(n_A·n_B/(n_A+n_B))·D` the
+    * usual asymptotic scaling (√ and · are IEEE-exact in fixed order; the
+    * p-value needs the Kolmogorov series' exp terms, which are not
+    * bit-replayable cross-engine — consumers threshold λ directly, e.g.
+    * λ > 1.358 ≈ α 0.05).
+    *
+    * Scale shape (the [[mannWhitney]] contract): units collapse to
+    * per-distinct-value counts in one map-side-combined shuffle; the
+    * cumulative window runs over the DISTINCT-VALUE table per group
+    * (metric-cardinality sized, not data sized); counts and products
+    * accumulate in decimal(38,0). `valueCol` must be exactly comparable
+    * (integers/decimals). Groups missing an arm yield null statistics.
+    * Output: `(groupCols…, n_a, n_b, ks_d, ks_lambda)`. */
+  def ksTest(df: DataFrame, groupCols: Seq[String], armCol: String,
+             valueCol: String, armA: String, armB: String): DataFrame = {
+    require(armA != armB, "the two arms must differ")
+    require(groupCols.nonEmpty, "groupCols must name at least one column")
+    val reserved = Seq("_v", "_ca", "_cb", "_na", "_nb", "_cra", "_crb",
+      "_dev", "_dnum")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    val d38 = "decimal(38,0)"
+    val groups = groupCols.map(col)
+    val cnt = df
+      .filter(col(armCol).isin(armA, armB) && col(valueCol).isNotNull)
+      .groupBy(groups :+ col(valueCol).as("_v"): _*)
+      .agg(sum(when(col(armCol) === armA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col(armCol) === armB, 1L).otherwise(0L)).as("_cb"))
+    val tot = cnt.groupBy(groups: _*)
+      .agg(sum(col("_ca")).cast(d38).as("_na"),
+        sum(col("_cb")).cast(d38).as("_nb"))
+    val w = Window.partitionBy(groups: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dmax = cnt
+      .withColumn("_cra", sum(col("_ca")).over(w).cast(d38))
+      .withColumn("_crb", sum(col("_cb")).over(w).cast(d38))
+      .join(tot, groupCols)
+      .withColumn("_dev",
+        abs(col("_cra") * col("_nb") - col("_crb") * col("_na")))
+      .groupBy(groups: _*).agg(max(col("_dev")).as("_dnum"))
+    def dbl(c: Column): Column = c.cast("double")
+    val degenerate = col("_na") === 0 || col("_nb") === 0
+    val ksd = dbl(col("_dnum")) / dbl(col("_na") * col("_nb"))
+    val lambda = sqrt(dbl(col("_na")) * dbl(col("_nb"))
+      / (dbl(col("_na")) + dbl(col("_nb")))) * ksd
+    dmax.join(tot, groupCols)
+      .select(groups ++ Seq(
+        col("_na").cast("long").as("n_a"),
+        col("_nb").cast("long").as("n_b"),
+        when(degenerate, lit(null)).otherwise(ksd).as("ks_d"),
+        when(degenerate, lit(null)).otherwise(lambda).as("ks_lambda")): _*)
+  }
+
   def mannWhitney(df: DataFrame, armCol: String, valueCol: String,
                   armA: String, armB: String): DataFrame = {
     require(armA != armB, "the two arms must differ")

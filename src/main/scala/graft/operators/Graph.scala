@@ -128,6 +128,63 @@ object Graph {
     degrees
   }
 
+  /** WEIGHTED core decomposition — the s-core (Eidsaa & Almaas 2013,
+    * Phys. Rev. E): iteratively drop every node whose current STRENGTH
+    * (sum of incident edge weights) is below `s` until the survivors all
+    * hold strength ≥ s. With w ≡ 1 this is exactly [[kCore]]; with real
+    * weights it keeps a node that [[kCore]] would peel when its few
+    * edges are heavy (one weight-5 link ≥ five weight-1 links) — the
+    * discrimination the weighted family exists for.
+    *
+    * Weighted-family contract (the [[pageRank]]/[[louvain]] conventions):
+    * integer weights ≥ 1 enforced with an in-plan never-dropping
+    * `assert_true` (NULL/zero/negative weights fail loudly — a silently
+    * vanished weight would under-peel); parallel edges SUM; null
+    * endpoints and self-loops dropped; undirected canonicalization by
+    * (least, greatest). Strengths are exact long sums.
+    *
+    * Same loop discipline as [[kCore]]: one strength aggregation + two
+    * anti-joins per round, lazy per-round localCheckpoints, a cheap
+    * emptiness probe, loud `maxIters`. Output: surviving
+    * `(node, strength)` with strength measured INSIDE the core. */
+  def sCore(edges: DataFrame, aCol: String, bCol: String, wCol: String,
+            s: Long, maxIters: Int = 50): DataFrame = {
+    require(s >= 1L, s"s ($s) must be >= 1")
+    val reserved = Seq("_u", "_v", "_w", "node", "strength")
+    require(!edges.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    var cur = edges
+      .filter(assert_true(col(wCol) >= 1,
+        lit(s"sCore: $wCol must be a positive integer weight")).isNull)
+      .select(least(col(aCol), col(bCol)).as("_u"),
+        greatest(col(aCol), col(bCol)).as("_v"),
+        col(wCol).cast("long").as("_w"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .groupBy("_u", "_v").agg(sum(col("_w")).as("_w"))
+      .localCheckpoint(true)
+    def strengths = cur
+      .select(explode(array(
+        struct(col("_u").as("node"), col("_w")),
+        struct(col("_v").as("node"), col("_w")))).as("e"))
+      .groupBy(col("e.node").as("node")).agg(sum(col("e._w")).as("strength"))
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIters) {
+      val bad = strengths.filter(col("strength") < s)
+        .select(col("node")).localCheckpoint(false)
+      if (bad.isEmpty) converged = true
+      else cur = cur
+        .join(bad.withColumnRenamed("node", "_u"), Seq("_u"), "left_anti")
+        .join(bad.withColumnRenamed("node", "_v"), Seq("_v"), "left_anti")
+        .localCheckpoint(false)
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"sCore did not converge in $maxIters rounds — raise maxIters")
+    strengths
+  }
+
   /** Fixed-point rank scale of [[pageRank]]: ranks are carried as exact
     * integers in units of 10⁻¹², so a rank of 1.0 (all the mass on one
     * node) is `1e12`. */
@@ -530,6 +587,86 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** WEIGHTED clustering coefficient (Barrat, Barthélemy, Pastor-Satorras
+    * & Vespignani 2004, PNAS): per node,
+    * `c_w(i) = (Σ_{triangles ijh} (w_ij + w_ih)) / (s_i · (k_i − 1))` —
+    * the fraction of a node's strength engaged in closed triangles. With
+    * w ≡ 1 it reduces EXACTLY to [[clusteringCoefficient]]'s
+    * `2T/(k(k−1))`; with real weights it discounts a node whose heavy
+    * edges point OUT of its triangles — the weighted-family
+    * discrimination.
+    *
+    * Weighted-family contract: integer weights ≥ 1 (in-plan
+    * never-dropping assert), parallel edges SUM, canonicalization and
+    * self-loop handling as [[triangleCounts]]. All masses are exact
+    * integer sums; the coefficient is ONE double division.
+    *
+    * Scale shape: triangle enumeration reuses the degree-ordered
+    * orientation (a hub contributes O(√m) wedges, not degree²) with the
+    * weight riding each edge; contributions explode 3 rows per triangle
+    * into one map-side-combined rollup. Output: `(node, degree,
+    * strength, tri_mass, weighted_clustering)` for EVERY node (k < 2 →
+    * 0.0). */
+  def clusteringCoefficientWeighted(edges: DataFrame, aCol: String,
+                                    bCol: String, wCol: String): DataFrame = {
+    val reserved = Seq("_u", "_v", "_w", "_deg", "_du", "_dv", "_src", "_dst",
+      "_w1", "_w2", "_ws1", "_ws2", "_w12", "node")
+    require(!edges.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    val canon = edges
+      .filter(assert_true(col(wCol) >= 1,
+        lit(s"clusteringCoefficientWeighted: $wCol must be a positive" +
+          " integer weight")).isNull)
+      .select(least(col(aCol), col(bCol)).as("_u"),
+        greatest(col(aCol), col(bCol)).as("_v"),
+        col(wCol).cast("long").as("_w"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .groupBy("_u", "_v").agg(sum(col("_w")).as("_w"))
+      .localCheckpoint(true)
+    val deg = canon
+      .select(explode(array(
+        struct(col("_u").as("node"), col("_w")),
+        struct(col("_v").as("node"), col("_w")))).as("e"))
+      .groupBy(col("e.node").as("node"))
+      .agg(count(lit(1)).as("degree"), sum(col("e._w")).as("strength"))
+    val withDeg = canon
+      .join(deg.select(col("node").as("_u"), col("degree").as("_du")), "_u")
+      .join(deg.select(col("node").as("_v"), col("degree").as("_dv")), "_v")
+    val oriented = withDeg.select(
+      when(col("_du") < col("_dv") ||
+        (col("_du") === col("_dv") && col("_u") < col("_v")),
+        struct(col("_u").as("_src"), col("_v").as("_dst"), col("_w")))
+        .otherwise(struct(col("_v").as("_src"), col("_u").as("_dst"),
+          col("_w")))
+        .as("_e"))
+      .select(col("_e._src").as("_src"), col("_e._dst").as("_dst"),
+        col("_e._w").as("_w"))
+    val wedges = oriented
+      .select(col("_src"), col("_dst").as("_w1"), col("_w").as("_ws1"))
+      .join(oriented.select(col("_src"), col("_dst").as("_w2"),
+        col("_w").as("_ws2")), "_src")
+      .filter(col("_w1") < col("_w2"))
+    val triangles = wedges.join(
+      canon.select(col("_u"), col("_v"), col("_w").as("_w12")),
+      col("_w1") === col("_u") && col("_w2") === col("_v"))
+      .select(col("_src"), col("_w1"), col("_w2"),
+        col("_ws1"), col("_ws2"), col("_w12"))
+    val triMass = triangles
+      .select(explode(array(
+        struct(col("_src").as("node"), (col("_ws1") + col("_ws2")).as("m")),
+        struct(col("_w1").as("node"), (col("_ws1") + col("_w12")).as("m")),
+        struct(col("_w2").as("node"), (col("_ws2") + col("_w12")).as("m"))))
+        .as("c"))
+      .groupBy(col("c.node").as("node")).agg(sum(col("c.m")).as("_tm"))
+    deg.join(triMass, Seq("node"), "left")
+      .select(col("node"), col("degree"), col("strength"),
+        coalesce(col("_tm"), lit(0L)).as("tri_mass"),
+        when(col("degree") < 2L, lit(0.0))
+          .otherwise(coalesce(col("_tm"), lit(0L)).cast("double") /
+            (col("strength") * (col("degree") - 1L)).cast("double"))
+          .as("weighted_clustering"))
+  }
+
   def degreeAssortativity(edges: DataFrame, aCol: String,
                           bCol: String): DataFrame = {
     val cleaned = edges
@@ -559,6 +696,72 @@ object Graph {
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
       .select(col("n_nodes"), (col("_m2") / 2).cast("long").as("m_edges"),
         when(col("_m2") === 0L || den === 0.0, lit(null))
+          .otherwise(num / den).as("assortativity"))
+  }
+
+  /** WEIGHTED (strength) assortativity (Leung & Chau 2007, Physica A):
+    * the weighted Pearson correlation of connected endpoints' STRENGTHS,
+    * each directed stub weighted by its edge weight —
+    * `r_w = (W·Σw·s_u·s_v − (Σw·s_u)²) / (W·Σw·s_u² − (Σw·s_u)²)` over
+    * both orientations (so the x/y marginals coincide, as in
+    * [[degreeAssortativity]]). With w ≡ 1 strength = degree and this is
+    * exactly [[degreeAssortativity]]; with real weights a heavy edge
+    * between mismatched hubs moves r_w where edge counting cannot.
+    *
+    * Weighted-family contract: integer weights ≥ 1 (in-plan loud
+    * assert), parallel edges SUM, nulls/self-loops dropped. Sufficient
+    * statistics accumulate exactly in decimal(38,0) (w·s·s stays inside
+    * 38 digits up to w, s ≈ 10¹²; ANSI overflow is loud); the final
+    * correlation is the same fixed-order double chain as the unweighted
+    * operator. Output: `(n_nodes, w_edges, assortativity)` — `w_edges`
+    * the total undirected edge weight; null when degenerate.
+    *
+    * Scale shape: one canonicalizing aggregation, one strength
+    * aggregation, two key-partitioned joins, a single-row total. */
+  def assortativityWeighted(edges: DataFrame, aCol: String, bCol: String,
+                            wCol: String): DataFrame = {
+    val reserved = Seq("_u", "_v", "_w", "_n", "_sx", "_sy", "node")
+    require(!edges.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString("/")}")
+    val canon = edges
+      .filter(assert_true(col(wCol) >= 1,
+        lit(s"assortativityWeighted: $wCol must be a positive integer" +
+          " weight")).isNull)
+      .select(least(col(aCol), col(bCol)).as("_u"),
+        greatest(col(aCol), col(bCol)).as("_v"),
+        col(wCol).cast("long").as("_w"))
+      .filter(col("_u") =!= col("_v") && col("_u").isNotNull)
+      .groupBy("_u", "_v").agg(sum(col("_w")).as("_w"))
+      .localCheckpoint(true)
+    val d38 = "decimal(38,0)"
+    val strength = canon
+      .select(explode(array(
+        struct(col("_u").as("node"), col("_w")),
+        struct(col("_v").as("node"), col("_w")))).as("e"))
+      .groupBy(col("e.node").as("node")).agg(sum(col("e._w")).as("_s"))
+      .localCheckpoint(true)
+    val both = canon
+      .unionByName(canon.select(col("_v").as("_u"), col("_u").as("_v"),
+        col("_w")))
+    val pairs = both
+      .join(strength.select(col("node").as("_u"), col("_s").as("_su")), "_u")
+      .join(strength.select(col("node").as("_v"), col("_s").as("_sv")), "_v")
+    val sums = pairs.agg(
+      sum(col("_w").cast(d38)).as("_w2"),
+      sum(col("_w").cast(d38) * col("_su").cast(d38)).as("_sx"),
+      sum(col("_w").cast(d38) * col("_su").cast(d38) * col("_su").cast(d38))
+        .as("_sxx"),
+      sum(col("_w").cast(d38) * col("_su").cast(d38) * col("_sv").cast(d38))
+        .as("_sxy"))
+    def dbl(c: String): Column = col(c).cast("double")
+    val wD = dbl("_w2")
+    val num = wD * dbl("_sxy") - dbl("_sx") * dbl("_sx")
+    val den = wD * dbl("_sxx") - dbl("_sx") * dbl("_sx")
+    sums
+      .crossJoin(broadcast(strength.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_nodes"),
+        (col("_w2") / 2).cast("long").as("w_edges"),
+        when(col("_w2").isNull || col("_w2") === 0 || den === 0.0, lit(null))
           .otherwise(num / den).as("assortativity"))
   }
 

@@ -44,6 +44,57 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** Hilbert-curve value of two dimensions, each already reduced to
+    * [0, 2ᵇⁱᵗˢ) — the OTHER lakehouse clustering key (Iceberg and
+    * Databricks both document Hilbert beside Z-order): unlike Morton
+    * interleaving, consecutive Hilbert indices are always ADJACENT
+    * cells (no quadrant-boundary jumps), so equal-count file splits get
+    * strictly tighter per-file min/max boxes on both dimensions.
+    *
+    * Standard iterative xy2d walk (the public-domain formulation on the
+    * Hilbert-curve Wikipedia page): per level s = 2ᵇⁱᵗˢ⁻¹..1, take the
+    * quadrant bits (rx, ry), add s²·quad to d with the Gray-coded
+    * quadrant order (0,1 | 1,1 | 1,0 flipped), then rotate/reflect the
+    * sub-square. Expressed as ONE runtime `aggregate` fold over the
+    * per-level s values (the accumulator is a lambda variable, so the
+    * expression tree is level-count-independent); all arithmetic is
+    * long shift/mask/add — exact and engine-replayable. Bounds are
+    * loud like [[zValue]]; bits ≤ 31 keeps d in a non-negative long. */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits ($bits) must be in [1, 31]")
+    val lim = 1L << bits
+    def checked(c: Column, name: String): Column =
+      when(c.isNull || c < 0L || c >= lim,
+        raise_error(concat(lit(s"hilbertValue: $name out of [0, $lim): "),
+          c.cast("string"))))
+        .otherwise(c).cast("long")
+    val sLevels = array((0 until bits).map(j => lit(1L << (bits - 1 - j))): _*)
+    aggregate(
+      sLevels,
+      struct(checked(x, "x").as("hx"), checked(y, "y").as("hy"),
+        lit(0L).as("d")),
+      (acc, s) => {
+        val hx = acc.getField("hx")
+        val hy = acc.getField("hy")
+        val rx = when(hx.bitwiseAND(s) > 0L, lit(1L)).otherwise(lit(0L))
+        val ry = when(hy.bitwiseAND(s) > 0L, lit(1L)).otherwise(lit(0L))
+        val quad = when(rx === 0L && ry === 0L, lit(0L))
+          .when(rx === 0L, lit(1L))
+          .when(ry === 1L, lit(2L))
+          .otherwise(lit(3L))
+        // reflect with the FULL grid's lim−1 (the published rot(n, ...)):
+        // values stay in [0, lim) at every level, so the oracle's
+        // division-based bit test never sees a negative operand
+        struct(
+          when(ry === 1L, hx).when(rx === 1L, lit(lim - 1L) - hy).otherwise(hy)
+            .as("hx"),
+          when(ry === 1L, hy).when(rx === 1L, lit(lim - 1L) - hx).otherwise(hx)
+            .as("hy"),
+          (acc.getField("d") + s * s * quad).as("d"))
+      },
+      acc => acc.getField("d"))
+  }
+
   /** Layout audit for a prospective Z-order write: bucket rows into
     * `nFiles` CLOSED-FORM z-ranges (bucket = z div ⌈2²ᵇⁱᵗˢ/nFiles⌉ — a
     * fixed split of z-space, so the audit is engine-replayable without
@@ -71,6 +122,36 @@ object Layout {
       // integer division — Column./ is DOUBLE division, and z can exceed
       // 2^53 where doubles drop low bits
       .select(col("_x"), col("_y"), expr(s"_z div ${width}L").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("_x")).as("x_min"), max(col("_x")).as("x_max"),
+        min(col("_y")).as("y_min"), max(col("_y")).as("y_max"))
+      .select(col("bucket"), col("n"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"),
+        ((col("x_max") - col("x_min") + 1L).cast("double") / lit(dim))
+          .as("x_span_frac"),
+        ((col("y_max") - col("y_min") + 1L).cast("double") / lit(dim))
+          .as("y_span_frac"))
+  }
+
+  /** [[zOrderAudit]] with the Hilbert key: bucket rows into `nFiles`
+    * closed-form d-ranges of [[hilbertValue]] and report per-bucket
+    * min/max spans of both dimensions. Same determinism and scale
+    * contract; the comparison row a layout decision actually wants is
+    * this audit's span fractions against [[zOrderAudit]]'s on the same
+    * data — Hilbert's adjacency (no quadrant jumps) shows up as equal
+    * or tighter boxes at the same file count. */
+  def hilbertAudit(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                   nFiles: Int): DataFrame = {
+    require(nFiles >= 1 && nFiles <= 100000, s"nFiles ($nFiles) out of range")
+    val dSpace = 1L << (2 * bits)
+    val width = (dSpace + nFiles - 1) / nFiles
+    val dim = (1L << bits).toDouble
+    df.select(col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+      .select(col("_x"), col("_y"),
+        hilbertValue(col("_x"), col("_y"), bits).as("_d"))
+      .select(col("_x"), col("_y"), expr(s"_d div ${width}L").as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         min(col("_x")).as("x_min"), max(col("_x")).as("x_max"),

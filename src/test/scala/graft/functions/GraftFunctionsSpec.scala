@@ -16,6 +16,16 @@ class GraftFunctionsSpec extends SparkFunSuite {
     assert(got == 11.0)
   }
 
+  test("rational_argmax is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    Seq((3L, 4L, "x", "y"), (2L, 2L, "a", "b")).toDF("n", "d", "ta", "tb")
+      .createOrReplaceTempView("rarg")
+    val got = spark.sql(
+      "SELECT rational_argmax(n, d, ta, tb).tie_a AS w FROM rarg")
+      .head.getString(0)
+    assert(got == "a") // 2/2 = 1 beats 3/4
+  }
+
   test("vec_sq_dist: SQL surface, bit-equality with the zip_with fold, guards") {
     GraftFunctions.register(spark)
     Seq((Array(1.0f, 2.0f), Array(3.0f, 5.0f))).toDF("a", "b")

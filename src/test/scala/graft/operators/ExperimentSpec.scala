@@ -361,4 +361,40 @@ class ExperimentSpec extends SparkFunSuite {
         reps = 8, loIdx = 5, hiIdx = 4)
     }
   }
+
+  test("ksTest: hand-computed D, brute-force ECDF cross-check, degenerate arm") {
+    // a = [1,2,3], b = [2,3,3,4]: cross-multiplied deviations per distinct
+    // value are 4, 5, 3, 0 → D_num = 5, D = 5/12
+    val df = (Seq(1L, 2L, 3L).map(("g", "a", _)) ++
+      Seq(2L, 3L, 3L, 4L).map(("g", "b", _))).toDF("grp", "arm", "v")
+    val got = Experiment.ksTest(df, Seq("grp"), "arm", "v", "a", "b")
+      .collect().head
+    assert(got.getLong(1) == 3L && got.getLong(2) == 4L)
+    assert(got.getDouble(3) == 5.0 / 12.0)
+    assert(got.getDouble(4) == math.sqrt(12.0 / 7.0) * (5.0 / 12.0))
+    // brute-force ECDF reference on a pseudo-random mixed sample
+    val vals = (1 to 60).map(i => ("g", if (i % 3 == 0) "a" else "b",
+      ((i * 37) % 13).toLong))
+    val ref = {
+      val as = vals.filter(_._2 == "a").map(_._3)
+      val bs = vals.filter(_._2 == "b").map(_._3)
+      (as ++ bs).distinct.map { v =>
+        math.abs(as.count(_ <= v).toLong * bs.size -
+          bs.count(_ <= v).toLong * as.size)
+      }.max.toDouble / (as.size.toLong * bs.size)
+    }
+    val got2 = Experiment.ksTest(vals.toDF("grp", "arm", "v"),
+      Seq("grp"), "arm", "v", "a", "b").collect().head
+    assert(got2.getDouble(3) == ref)
+    // a group missing one arm reports null statistics, not a crash
+    val single = Seq(("g", "a", 1L), ("g", "a", 2L)).toDF("grp", "arm", "v")
+    val got3 = Experiment.ksTest(single, Seq("grp"), "arm", "v", "a", "b")
+      .collect().head
+    assert(got3.isNullAt(3) && got3.isNullAt(4))
+    // identical samples → D = 0 exactly
+    val same = (Seq(1L, 5L, 9L).map(("g", "a", _)) ++
+      Seq(1L, 5L, 9L).map(("g", "b", _))).toDF("grp", "arm", "v")
+    assert(Experiment.ksTest(same, Seq("grp"), "arm", "v", "a", "b")
+      .collect().head.getDouble(3) == 0.0)
+  }
 }

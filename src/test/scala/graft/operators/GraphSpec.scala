@@ -51,6 +51,107 @@ class GraphSpec extends SparkFunSuite {
     }
   }
 
+  test("sCore: strength keeps a heavy pendant that degree would peel; cascade; w=1 ≡ kCore") {
+    // Triangle 1-2-3 with w=3 edges (strength 6 each), heavy pendant
+    // 3-4 split into parallel w=2 + w=4 (degree 1, strength 6 —
+    // survives s=6), light pendant 1-5 w=5 (strength 5 — peels), and a
+    // 2-hop cascade 2-6 (w=5) / 6-7 (w=1): 7 peels first (strength 1),
+    // only then 6 (6 → 5).
+    val tri = Seq((1L, 2L, 3L), (2L, 3L, 3L), (1L, 3L, 3L))
+    val edges = (tri ++ Seq((3L, 4L, 2L), (3L, 4L, 4L), (1L, 5L, 5L),
+      (2L, 6L, 5L), (6L, 7L, 1L))).toDF("a", "b", "w")
+    val got = Graph.sCore(edges, "a", "b", "w", s = 6).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // node 3 holds triangle 6 + pendant 6 = 12; the others hold 6
+    assert(got == Seq((1L, 6L), (2L, 6L), (3L, 12L), (4L, 6L)))
+    // w ≡ 1 reduces to kCore value-for-value (strength == degree)
+    val uw = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 5L))
+    val kc = Graph.kCore(uw.toDF("a", "b"), "a", "b", 2).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sc = Graph.sCore(uw.map { case (a, b) => (a, b, 1L) }.toDF("a", "b", "w"),
+      "a", "b", "w", s = 2).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sc == kc)
+    // zero/negative weights fail loudly; s must be positive
+    intercept[Exception] {
+      Graph.sCore(Seq((1L, 2L, 0L)).toDF("a", "b", "w"), "a", "b", "w", 1)
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      Graph.sCore(edges, "a", "b", "w", 0)
+    }
+    intercept[IllegalStateException] {
+      Graph.sCore(edges, "a", "b", "w", 6, maxIters = 1)
+    }
+  }
+
+  test("clusteringCoefficientWeighted: Barrat hand values; w=1 ≡ unweighted; guards") {
+    // triangle 1-2-3 (w12=1, w13=2, w23=3) + heavy pendant 3-4 (w=10):
+    // node1: mass w12+w13=3, s=3, k=2 → 3/(3·1) = 1.0 (fully closed)
+    // node2: mass 4, s=4, k=2 → 1.0
+    // node3: mass w13+w23=5, s=15, k=3 → 5/(15·2) = 1/6 — the heavy
+    //        edge closes no triangle, so weighted < unweighted (1/3)
+    // node4: k=1 → 0.0
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 3L), (3L, 4L, 10L))
+      .toDF("a", "b", "w")
+    val got = Graph.clusteringCoefficientWeighted(edges, "a", "b", "w")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq((1L, 2L, 3L, 3L, 1.0), (2L, 2L, 4L, 4L, 1.0),
+      (3L, 3L, 15L, 5L, 5.0 / 30.0), (4L, 1L, 10L, 0L, 0.0)))
+    // parallel edges SUM before anything: 1-2 delivered as 1+0... (1,2)
+    // twice with w 1 and 2 equals one edge of w 3
+    val par = Seq((1L, 2L, 1L), (2L, 1L, 2L), (1L, 3L, 2L), (2L, 3L, 3L))
+      .toDF("a", "b", "w")
+    val one = Seq((1L, 2L, 3L), (1L, 3L, 2L), (2L, 3L, 3L)).toDF("a", "b", "w")
+    assert(Graph.clusteringCoefficientWeighted(par, "a", "b", "w")
+      .orderBy("node").collect().toSeq ==
+      Graph.clusteringCoefficientWeighted(one, "a", "b", "w")
+        .orderBy("node").collect().toSeq)
+    // w ≡ 1 reduces to clusteringCoefficient value-for-value
+    val uw = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L))
+    val cw = Graph.clusteringCoefficientWeighted(
+      uw.map { case (a, b) => (a, b, 1L) }.toDF("a", "b", "w"), "a", "b", "w")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(4))).toSeq
+    val cu = Graph.clusteringCoefficient(uw.toDF("a", "b"), "a", "b")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(cw == cu)
+    // zero weight is loud, never dropped
+    intercept[Exception] {
+      Graph.clusteringCoefficientWeighted(
+        Seq((1L, 2L, 0L)).toDF("a", "b", "w"), "a", "b", "w").collect()
+    }
+  }
+
+  test("assortativityWeighted: hand-computed r_w; w=1 ≡ degreeAssortativity; guards") {
+    // path 1-2-3, w12=1, w23=2: strengths (1,3,2); W=6, Σw·s_u=14,
+    // Σw·s_u²=36, Σw·s_u·s_v=30 → r_w = (180−196)/(216−196) = −0.8
+    val g = Seq((1L, 2L, 1L), (2L, 3L, 2L)).toDF("a", "b", "w")
+    val got = Graph.assortativityWeighted(g, "a", "b", "w").collect().head
+    assert(got.getLong(0) == 3L && got.getLong(1) == 3L)
+    assert(got.getDouble(2) == -0.8)
+    // w ≡ 1 reduces to degreeAssortativity value-for-value
+    val uw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+    val rw = Graph.assortativityWeighted(
+      uw.map { case (a, b) => (a, b, 1L) }.toDF("a", "b", "w"), "a", "b", "w")
+      .collect().head
+    val ru = Graph.degreeAssortativity(uw.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(rw.getLong(0) == ru.getLong(0) && rw.getLong(1) == ru.getLong(1))
+    assert(rw.getDouble(2) == ru.getDouble(2))
+    // a regular graph (zero variance) yields null, parallel edges sum
+    val reg = Seq((1L, 2L, 2L), (1L, 2L, 3L)).toDF("a", "b", "w")
+    assert(Graph.assortativityWeighted(reg, "a", "b", "w")
+      .collect().head.isNullAt(2))
+    intercept[Exception] {
+      Graph.assortativityWeighted(Seq((1L, 2L, 0L)).toDF("a", "b", "w"),
+        "a", "b", "w").collect()
+    }
+  }
+
   test("triangleCounts: a hub with no closing edges yields nothing") {
     // worst-case shape for unoriented wedge counting: 100-leaf star
     val edges = (1L to 100L).map(l => (0L, l)).toDF("a", "b")

@@ -49,6 +49,62 @@ class LayoutSpec extends SparkFunSuite {
     xsorted.foreach(r => assert(r.getLong(2) - r.getLong(1) + 1 == 32L))
   }
 
+  test("hilbertValue: base case, bijection, and the adjacency property Z lacks") {
+    // bits = 1 hand walk: (0,0)→0, (0,1)→1, (1,1)→2, (1,0)→3
+    val base = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+      .select(Layout.hilbertValue(col("x"), col("y"), 1).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(base == Seq(0L, 1L, 2L, 3L))
+    // bits = 3: a BIJECTION onto 0..63, and consecutive d values are GRID
+    // NEIGHBORS (|Δx|+|Δy| = 1 at every step) — the defining Hilbert
+    // property, which Morton/Z violates at every quadrant boundary.
+    // Properties independent of any reference implementation.
+    val cells = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), 3).as("d"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq == (0L until 64L))
+    cells.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L)
+    }
+    // and the Z curve indeed breaks adjacency somewhere on the same grid
+    val zcells = (for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y"), 3).as("z"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(zcells.sliding(2).exists { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1L
+    })
+    // quadrant containment: the first quarter of indices fills ONE 4x4
+    // quadrant (here the lower-left, given the base orientation)
+    val firstQ = cells.take(16).map(_._2)
+    assert(firstQ.forall { case (x, y) => x < 4 && y < 4 })
+    // bounds raise, never wrap
+    intercept[Exception] {
+      Seq((8L, 0L)).toDF("x", "y")
+        .select(Layout.hilbertValue(col("x"), col("y"), 3)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Layout.hilbertValue(col("x"), col("y"), 0)
+    }
+  }
+
+  test("hilbertAudit: tighter-or-equal boxes than zOrderAudit on the uniform grid") {
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val h = Layout.hilbertAudit(grid, "x", "y", bits = 5, nFiles = 16)
+      .collect()
+    assert(h.length == 16)
+    // every equal-count Hilbert range is a contiguous 8x8 box too
+    h.foreach { r =>
+      assert(r.getLong(1) == 64L)
+      assert(r.getDouble(6) == 0.25 && r.getDouble(7) == 0.25)
+    }
+  }
+
   test("zOrderAudit: nulls dropped, empty buckets absent") {
     val sparse = Seq((Some(0L), Some(0L)), (Some(1L), Some(1L)),
       (None, Some(2L)), (Some(2L), None)).toDF("x", "y")

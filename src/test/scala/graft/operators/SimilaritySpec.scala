@@ -62,6 +62,28 @@ class SimilaritySpec extends SparkFunSuite {
     }
   }
 
+  test("JL serving composition: projection preserves identical vectors' rank-1") {
+    // the q323 composition's invariant an oracle can't state: a vector
+    // projected with the q117 primitive still retrieves ITSELF at rank 1
+    // (projection is a function, so equal inputs stay equal), and scaling
+    // a vector by 2 leaves its projected COSINE neighbors unchanged
+    // (projection is linear; ±1 entries and /√k scale exactly)
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array(4.0f, 3.0f, 2.0f, 1.0f)),
+      (2L, Array(2.0f, 4.0f, 6.0f, 8.0f)), // 2 × vec 0
+      (3L, Array(-1.0f, 5.0f, 0.5f, 2.0f))).toDF("vec_id", "v")
+    val pv = VectorFunctions.randomProjectSigns(col("v"), 4, 4)
+    val corpus = vecs.select(col("vec_id"), pv.as("pvec"))
+    val queries = vecs.select(col("vec_id").as("query_id"),
+      pv.as("query_vec"))
+    val top = Similarity.bruteForceTopK(corpus, "vec_id", "pvec", queries, 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    // self or an exact scalar multiple ties at cosine 1 (ties → min id)
+    assert(top((0L, 1)) == 0L && top((1L, 1)) == 1L && top((3L, 1)) == 3L)
+    assert(top((2L, 1)) == 0L) // cosine(P(2v), P(v)) = 1, tie to id 0
+  }
+
   test("hardNegatives: same-label rows never surface, ranking and k respected") {
     // 2-D fixture: query (1,0) label 0; same-label near-twin (would be
     // rank 1 if labels were ignored), plus three label-1 rows at known
