@@ -2746,5 +2746,45 @@ private[graft] trait OraclesPart3 { this: SparkEntry.type =>
         |    ELSE (w_d * sxy - sx * sx) / (w_d * sxx - sx * sx)
         |  END AS assortativity
         |FROM t CROSS JOIN nn""".stripMargin,
+    // q327: q215's weighted edges + 4 unrolled relaxations PER LANDMARK,
+    // then q255's fold with hops swapped for exact weighted distance
+    "q327_weighted_harmonic" -> {
+      val lms = Seq(2, 3, 5, 8)
+      val blocks = lms.map { l =>
+        val rounds = (1 to 4).map { i =>
+          val prev = s"d${l}_${i - 1}"
+          s"""d${l}_$i AS (SELECT node, min(d) AS d FROM (
+             |  SELECT node, d FROM $prev
+             |  UNION ALL
+             |  SELECT e.dst AS node, $prev.d + e.w AS d
+             |  FROM $prev JOIN e ON e.src = $prev.node) GROUP BY node)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""d${l}_0 AS (SELECT CAST($l AS BIGINT) AS node, CAST(0 AS BIGINT) AS d),
+           |$rounds,
+           |h$l AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM d${l}_4
+           |  WHERE d > 0 GROUP BY 1),
+           |g$l AS (SELECT list(d ORDER BY d) AS lh,
+           |    list(c ORDER BY d) AS lc, sum(c) AS n FROM h$l),
+           |a$l AS (SELECT CAST($l AS BIGINT) AS landmark,
+           |    CAST(coalesce(n, 0) AS BIGINT) AS n_reached,
+           |    CASE WHEN n IS NULL THEN CAST(0 AS DOUBLE)
+           |      ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |        list_transform(generate_series(1, len(lh)),
+           |          i -> CAST(lc[i] AS DOUBLE) / CAST(lh[i] AS DOUBLE))),
+           |        (x, y) -> x + y) END AS harmonic_w
+           |  FROM g$l)""".stripMargin
+      }.mkString(",\n")
+      val union = lms.map(l => s"SELECT * FROM a$l").mkString(" UNION ALL ")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem WHERE l_orderkey % 20 = 0),
+         |raw AS (SELECT a.sk AS src, b.sk AS dst
+         |  FROM li a JOIN li b ON b.ok = a.ok AND a.sk <> b.sk),
+         |e AS (SELECT src, dst,
+         |    CAST(min(1 + (src + dst) % 9) AS BIGINT) AS w
+         |  FROM raw GROUP BY 1, 2),
+         |$blocks
+         |SELECT * FROM ($union) ORDER BY landmark""".stripMargin
+    },
   )
 }

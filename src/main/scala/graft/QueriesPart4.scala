@@ -1411,5 +1411,26 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
         .select(col("a"), col("b"), lit(1L).as("w"))
       Graph.assortativityWeighted(edges, "a", "b", "w")
     }),
+    // Weighted harmonic centrality from landmarks — the
+    // weighted-DISTANCE centrality the hop-based q255 can't express:
+    // q215's weighted co-supplier graph and bounded Bellman-Ford (exact
+    // integer distances, ≤ 4 edges — the bounded-horizon contract),
+    // then the q255 fold with hops swapped for weighted distance. The
+    // oracle unrolls the relaxations per landmark and replays the
+    // distance-ordered 1/d fold; absent landmarks report (0, 0.0).
+    "q327_weighted_harmonic" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("sk").as("src"))
+        .join(li.select(col("ok"), col("sk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          (lit(1L) + (col("src") + col("dst")) % 9L).as("w"))
+      Graph.harmonicCentralityWeighted(edges, "src", "dst", "w",
+          landmarks = Seq(2L, 3L, 5L, 8L), rounds = 4)
+        .orderBy("landmark")
+    }),
   )
 }

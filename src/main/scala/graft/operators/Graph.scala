@@ -1035,6 +1035,48 @@ object Graph {
     perLandmark.reduce(_.unionByName(_))
   }
 
+  /** WEIGHTED harmonic centrality from a landmark set — the
+    * weighted-distance sibling of [[harmonicCentrality]] (Marchiori &
+    * Latora's harmonic sum over Boldi–Vigna's centrality, with edge
+    * weights as lengths): per landmark,
+    * `H_w(l) = Σ_{v ≠ l reached} 1 / dist_w(l, v)` where `dist_w` is the
+    * EXACT integer shortest-path length from [[shortestPaths]]'s bounded
+    * Bellman–Ford (paths of ≤ `rounds` edges — the same bounded-horizon
+    * contract as q215; a longer-but-lighter path beyond the horizon is
+    * out of scope by construction and the bound is part of the
+    * definition being gated).
+    *
+    * Determinism: distances are exact longs; the 1/d fold runs in
+    * distance order over per-distance counts (the [[harmonicCentrality]]
+    * device), so the double sum is order-pinned cross-engine. An absent
+    * landmark reaches nothing and reports (0, 0.0) rather than vanishing.
+    *
+    * Scale shape: one relaxation join per round per landmark batch over
+    * the collapsed edge table; the fold input is per-DISTINCT-DISTANCE
+    * counts (≤ rounds·maxW rows), never node-sized. */
+  def harmonicCentralityWeighted(edges: DataFrame, srcCol: String,
+                                 dstCol: String, wCol: String,
+                                 landmarks: Seq[Long],
+                                 rounds: Int = 4): DataFrame = {
+    require(landmarks.nonEmpty, "at least one landmark is required")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val perLandmark = landmarks.distinct.sorted.map { l =>
+      val src = Seq(l).toDF("node")
+      shortestPaths(edges, srcCol, dstCol, wCol, src, "node", rounds)
+        .filter(col("dist") > 0)
+        .groupBy(col("dist")).agg(count(lit(1)).as("_c"))
+        .agg(coalesce(sum(col("_c")), lit(0L)).as("n_reached"),
+          coalesce(aggregate(
+            sort_array(collect_list(struct(col("dist"), col("_c")))),
+            lit(0.0),
+            (acc, t) => acc + t("_c").cast("double") / t("dist").cast("double")),
+            lit(0.0)).as("harmonic_w"))
+        .select(lit(l).as("landmark"), col("n_reached"), col("harmonic_w"))
+    }
+    perLandmark.reduce(_.unionByName(_))
+  }
+
   /** Synchronous label propagation community detection (Raghavan et al.,
     * "Near linear time algorithm to detect community structures in
     * large-scale networks", Phys. Rev. E 2007), made DETERMINISTIC: every

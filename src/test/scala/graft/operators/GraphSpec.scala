@@ -126,6 +126,26 @@ class GraphSpec extends SparkFunSuite {
     }
   }
 
+  test("harmonicCentralityWeighted: weighted path beats hop count; horizon; absent landmark") {
+    // 1→2 (w2), 2→3 (w3), 1→3 (w10), symmetrized: the weighted min to 3
+    // is 5 via TWO hops (beats the direct 10) — the case hop-based
+    // harmonic can't express
+    val e = Seq((1L, 2L, 2L), (2L, 3L, 3L), (1L, 3L, 10L))
+    val edges = (e ++ e.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "w")
+    val got = Graph.harmonicCentralityWeighted(edges, "src", "dst", "w",
+      landmarks = Seq(1L, 99L), rounds = 4)
+      .orderBy("landmark").collect()
+    assert(got(0).getLong(1) == 2L)
+    assert(got(0).getDouble(2) == 0.0 + 1.0 / 2.0 + 1.0 / 5.0)
+    // absent landmark reports (0, 0.0) instead of vanishing
+    assert(got(1).getLong(1) == 0L && got(1).getDouble(2) == 0.0)
+    // rounds = 1 horizon: only direct edges — dist(3) = 10, not 5
+    val one = Graph.harmonicCentralityWeighted(edges, "src", "dst", "w",
+      landmarks = Seq(1L), rounds = 1).collect().head
+    assert(one.getDouble(2) == 0.0 + 1.0 / 2.0 + 1.0 / 10.0)
+  }
+
   test("assortativityWeighted: hand-computed r_w; w=1 ≡ degreeAssortativity; guards") {
     // path 1-2-3, w12=1, w23=2: strengths (1,3,2); W=6, Σw·s_u=14,
     // Σw·s_u²=36, Σw·s_u·s_v=30 → r_w = (180−196)/(216−196) = −0.8
