@@ -2786,5 +2786,22 @@ private[graft] trait OraclesPart3 { this: SparkEntry.type =>
          |$blocks
          |SELECT * FROM ($union) ORDER BY landmark""".stripMargin
     },
+    // q328: the q270 batch interval join bucketed by attribution hour —
+    // exact counts and integer-second delay sums
+    "q328_chained_join_window_stream" ->
+      """WITH v AS (SELECT user_id AS u, ts AS lt FROM events
+        |  WHERE event_type = 'view' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |p AS (SELECT user_id AS u, ts AS rt FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |j AS (SELECT p.rt,
+        |    epoch_us(p.rt) // 1000000 - epoch_us(v.lt) // 1000000 AS d
+        |  FROM v JOIN p ON p.u = v.u AND p.rt >= v.lt
+        |    AND p.rt <= v.lt + INTERVAL 3600 SECOND)
+        |SELECT date_trunc('hour', rt) AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(d) AS BIGINT) AS delay_sum
+        |FROM j GROUP BY 1 ORDER BY window_start""".stripMargin,
   )
 }

@@ -1432,5 +1432,56 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
           landmarks = Seq(2L, 3L, 5L, 8L), rounds = 4)
         .orderBy("landmark")
     }),
+    // CHAINED STATEFUL OPERATORS in one streaming query (18th streaming
+    // row; the multiple-stateful-operator support of Spark 3.4+/4.x):
+    // the q270 stream-stream interval join feeds a WINDOWED AGGREGATION
+    // downstream — per attribution hour, pair count + total view→
+    // purchase delay. Two stateful operators, two state stores, one
+    // watermark chain: q306's far-future sentinels advance the
+    // watermark so the real windows finalize in append mode (the
+    // sentinel pair's own 2100 window never finalizes and never emits).
+    // Oracle: the batch interval join + hour bucket. A window emitted
+    // early (partial), never (stuck watermark propagation), or twice
+    // all hash-mismatch.
+    "q328_chained_join_window_stream" -> ((s, dir) => {
+      import graft.streaming.{StreamingOps, StreamStage}
+      val sink = StreamStage.tempDir("graft_q328_out")
+      val ckpt = StreamStage.tempDir("graft_q328_ckpt")
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val sch = ev.select("user_id", "ts").schema
+      def sentinel = s.range(1)
+        .select(lit(-1L).cast(sch("user_id").dataType).as("user_id"),
+          lit("2100-01-01 00:00:00").cast("timestamp").as("ts"))
+      val stagingL = StreamStage.stagedInputParts("q328l", dir, Seq(
+        () => ev.filter(col("event_type") === "view").select("user_id", "ts"),
+        () => sentinel))
+      val stagingR = StreamStage.stagedInputParts("q328r", dir, Seq(
+        () => ev.filter(col("event_type") === "purchase").select("user_id", "ts"),
+        () => sentinel))
+      def src(p: String) = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(p + "/*")
+      val joined = StreamingOps.intervalJoinStream(src(stagingL),
+        src(stagingR), "user_id", "ts", maxDelaySec = 3600L)
+      val agg = joined
+        .groupBy(window(col("right_ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("delay_sec")).as("delay_sum"))
+        .select(col("w.start").as("window_start"), col("n_pairs"),
+          col("delay_sum"))
+      agg.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(sink)
+        .filter(col("window_start") < lit("2099-01-01").cast("timestamp"))
+        .orderBy("window_start")
+    }),
   )
 }

@@ -84,4 +84,40 @@ class StreamIntervalJoinSpec extends SparkFunSuite {
         maxDelaySec = 60, joinType = "full_outer")
     }
   }
+
+  test("chained stateful: join → windowed agg emits finalized windows only, once") {
+    // two stateful operators in ONE query (the q328 surface): the
+    // interval join feeds an hour-window count. Without a watermark
+    // advance the real window must NOT emit; after a far-future batch it
+    // emits exactly once with the exact pair count.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingOps.intervalJoinStream(
+      imps.toDS().toDF("ad_id", "ts"), clicks.toDS().toDF("ad_id", "ts"),
+      "ad_id", "ts", maxDelaySec = 60, watermark = "5 minutes")
+    val agg = joined
+      .groupBy(window(col("right_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("delay_sec")).as("delay_sum"))
+      .select(col("w.start").as("window_start"), col("n_pairs"),
+        col("delay_sum"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("chain_out").start()
+    try {
+      imps.addData((1L, t(0)), (2L, t(0)))
+      clicks.addData((1L, t(30)), (2L, t(10)), (3L, t(10)))
+      q.processAllAvailable()
+      // watermark still below the window end → nothing finalized
+      assert(spark.table("chain_out").count() == 0)
+      // far-future rows on BOTH sides advance the chain's watermark
+      imps.addData((-1L, t(864000))); clicks.addData((-1L, t(864000)))
+      q.processAllAvailable()
+      val got = spark.table("chain_out")
+        .filter(col("window_start") < t(864000))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq((2L, 40L))) // pairs (1,+30s) and (2,+10s), one window
+    } finally q.stop()
+  }
 }
