@@ -2803,5 +2803,14 @@ private[graft] trait OraclesPart3 { this: SparkEntry.type =>
         |  CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(sum(d) AS BIGINT) AS delay_sum
         |FROM j GROUP BY 1 ORDER BY window_start""".stripMargin,
+    // q329: the hour rollup straight off the corpus — equal to the
+    // engine's two-level cascade by associativity of integer sums
+    "q329_chained_window_rollup_stream" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(coalesce(CAST(value AS DECIMAL(18,6)), 0)
+        |      * 1000000 AS BIGINT)) AS BIGINT) AS value_sum
+        |FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
   )
 }

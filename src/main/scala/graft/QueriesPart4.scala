@@ -1483,5 +1483,134 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
         .filter(col("window_start") < lit("2099-01-01").cast("timestamp"))
         .orderBy("window_start")
     }),
+    // CHAINED WINDOW AGGREGATIONS (19th streaming row) — the OTHER
+    // multiple-stateful shape beside q328's join→agg: 5-minute partial
+    // aggregates re-aggregated into 1-hour rollups IN ONE QUERY
+    // (groupBy(window(window_col, ...)) on the upstream window struct —
+    // the streaming downsampling cascade that replaces a two-job
+    // pipeline with one watermark chain). Exact micro-unit sums ride
+    // both levels; one far-future sentinel finalizes the cascade.
+    // Oracle: hour buckets of the same corpus — identical BY
+    // ASSOCIATIVITY of integer sums, so a partial 5-min window emitted
+    // early or dropped between levels hash-mismatches.
+    "q329_chained_window_rollup_stream" -> ((s, dir) => {
+      import graft.streaming.StreamStage
+      val sink = StreamStage.tempDir("graft_q329_out")
+      val ckpt = StreamStage.tempDir("graft_q329_ckpt")
+      val ev = Tables(s, dir).events
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("ts"), col("event_type"),
+          (coalesce(col("value").cast("decimal(18,6)"),
+            lit(0L).cast("decimal(18,6)")) * 1000000L)
+            .cast("long").as("value"))
+      def sentinel = s.range(1)
+        .select(lit("2100-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit("view").as("event_type"), lit(0L).as("value"))
+      val staging = StreamStage.stagedInputParts("q329", dir, Seq(
+        () => ev, () => sentinel))
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet").parquet(staging + "/*")
+      val fine = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes").as("w5"), col("event_type"))
+        .agg(count(lit(1)).as("n5"), sum(col("value")).as("v5"))
+      val coarse = fine
+        .groupBy(window(col("w5"), "1 hour").as("w"), col("event_type"))
+        .agg(sum(col("n5")).as("n_events"), sum(col("v5")).as("value_sum"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("value_sum"))
+      coarse.writeStream
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(sink)
+        .filter(col("window_start") < lit("2099-01-01").cast("timestamp"))
+        .orderBy("window_start", "event_type")
+    }),
+    // CHAINED-QUERY kill-and-restart (20th streaming row): q328's
+    // join→window pipeline stopped mid-stream and resumed on the same
+    // checkpoint — BOTH state stores plus source offsets must recover
+    // coherently. Run 1 drains views + the EARLY purchase half (median
+    // ts cut, the q318 device): early windows finalize and emit,
+    // boundary windows park in the AGG store, unmatched views park in
+    // the JOIN store. Run 2 (new query, same checkpoint) drains the
+    // late half + sentinels: late pairs can only form against RECOVERED
+    // join state, boundary windows complete only out of RECOVERED agg
+    // state, and re-read offsets would double the early windows. Oracle
+    // = q328's batch join + hour bucket over the whole corpus.
+    "q330_chained_stateful_restart" -> ((s, dir) => {
+      import graft.streaming.{StreamingOps, StreamStage}
+      val sink = StreamStage.tempDir("graft_q330_out")
+      val ckpt = StreamStage.tempDir("graft_q330_ckpt")
+      val arriveL = StreamStage.tempDir("graft_q330_inl")
+      val arriveR = StreamStage.tempDir("graft_q330_inr")
+      val ev = Tables(s, dir).events
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val sch = ev.select("user_id", "ts").schema
+      def sentinel = s.range(1)
+        .select(lit(-1L).cast(sch("user_id").dataType).as("user_id"),
+          lit("2100-01-01 00:00:00").cast("timestamp").as("ts"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts")
+      val mm = pur.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).collect()(0)
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val partsL = StreamStage.stagedInputParts("q330l", dir, Seq(
+        () => ev.filter(col("event_type") === "view").select("user_id", "ts"),
+        () => sentinel))
+      val partsR = StreamStage.stagedInputParts("q330r", dir, Seq(
+        () => pur.filter(unix_micros(col("ts")) < cut),
+        () => pur.filter(unix_micros(col("ts")) >= cut),
+        () => sentinel))
+      def arrivePart(parts: String, arrive: String, p: String): Unit = {
+        val src = java.nio.file.Paths.get(parts, p)
+        val dst = java.nio.file.Paths.get(arrive, p)
+        java.nio.file.Files.createDirectories(dst)
+        val ls = java.nio.file.Files.list(src)
+        try ls.forEach { f =>
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(f, dst.resolve(f.getFileName)): Unit
+        } finally ls.close()
+      }
+      def drain(): Unit = {
+        def src(p: String) = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1)
+          .option("pathGlobFilter", "*.parquet").parquet(p + "/*")
+        val joined = StreamingOps.intervalJoinStream(src(arriveL),
+          src(arriveR), "user_id", "ts", maxDelaySec = 3600L)
+        joined
+          .groupBy(window(col("right_ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("delay_sec")).as("delay_sum"))
+          .select(col("w.start").as("window_start"), col("n_pairs"),
+            col("delay_sum"))
+          .writeStream
+          .outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(sink): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
+      arrivePart(partsL, arriveL, "p000")
+      arrivePart(partsR, arriveR, "p000")
+      drain()
+      arrivePart(partsL, arriveL, "p001")
+      arrivePart(partsR, arriveR, "p001")
+      arrivePart(partsR, arriveR, "p002")
+      drain() // new query, same checkpoint
+      s.read.parquet(sink)
+        .filter(col("window_start") < lit("2099-01-01").cast("timestamp"))
+        .orderBy("window_start")
+    }),
   )
 }

@@ -1251,6 +1251,11 @@ object SparkEntry
     // q318: sessions spanning the restart cut merge out of recovered
     // session state — q290's whole-corpus exact-gap oracle verbatim
     "q318_session_window_restart" -> oracleSqlBase("q290_session_window_stream"),
+    // q330: the chained join→window pipeline across a restart — late
+    // pairs form against recovered join state and boundary windows
+    // complete out of recovered agg state; q328's batch oracle verbatim
+    "q330_chained_stateful_restart" ->
+      oracleSqlBase("q328_chained_join_window_stream"),
     // q316: q249's unrolled rounds with HUGEINT weight sums — the
     // operator's two-direction symmetrization sum replayed verbatim
     "q316_label_propagation_weighted" -> {
