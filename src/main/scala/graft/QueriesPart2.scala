@@ -1033,9 +1033,13 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
       // so the within-batch (ts_ms, state) sort defines the global order);
       // bench iterations 2-3 time the stream, not the staging write
       val staging = StreamStage.stagedInput("q238", dir, ev)
-      val stream = s.readStream.schema(ev.schema).parquet(staging)
+      // state/shuffle parallelism derived from the staged bytes, not the
+      // host core count (guide §2: scale-adaptive partitioning; stateful
+      // streaming gets no AQE coalescing, so this is the only lever)
+      val ss = StreamStage.scaledSession(s, Seq(staging))
+      val stream = ss.readStream.schema(ev.schema).parquet(staging)
         .as[StreamingOps.TransitionEvent]
-      val pairs = StreamingOps.transitionStream(stream)(s)
+      val pairs = StreamingOps.transitionStream(stream)(ss)
       pairs.writeStream
         .outputMode("append")
         .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.TransitionPair], _: Long) =>
@@ -1083,6 +1087,7 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
       val parts = StreamStage.stagedInputParts("q303", dir, Seq(
         () => ev.filter(col("ts_ms") < cut),
         () => ev.filter(col("ts_ms") >= cut)))
+      val ss = StreamStage.scaledSession(s, Seq(parts))
       def arrivePart(p: String): Unit = {
         val src = java.nio.file.Paths.get(parts, p)
         val dst = java.nio.file.Paths.get(arrive, p)
@@ -1094,10 +1099,10 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
         } finally ls.close()
       }
       def drain(): Unit = {
-        val stream = s.readStream.schema(ev.schema)
+        val stream = ss.readStream.schema(ev.schema)
           .option("pathGlobFilter", "*.parquet").parquet(arrive + "/*")
           .as[StreamingOps.TransitionEvent]
-        StreamingOps.transitionStream(stream)(s).writeStream
+        StreamingOps.transitionStream(stream)(ss).writeStream
           .outputMode("append")
           .foreachBatch {
             (df: org.apache.spark.sql.Dataset[StreamingOps.TransitionPair],
@@ -1142,8 +1147,9 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
       val stagingR = StreamStage.stagedInput("q270r", dir,
         ev.filter(col("event_type") === "purchase").select("user_id", "ts"))
       val sch = ev.select("user_id", "ts").schema
-      val ls = s.readStream.schema(sch).parquet(stagingL)
-      val rs = s.readStream.schema(sch).parquet(stagingR)
+      val ss = StreamStage.scaledSession(s, Seq(stagingL, stagingR))
+      val ls = ss.readStream.schema(sch).parquet(stagingL)
+      val rs = ss.readStream.schema(sch).parquet(stagingR)
       val joined = StreamingOps.intervalJoinStream(ls, rs, "user_id",
         "ts", maxDelaySec = 3600L)
       joined.writeStream
@@ -1185,7 +1191,8 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
       val stagingR = StreamStage.stagedInputParts("q306r", dir, Seq(
         () => ev.filter(col("event_type") === "purchase").select("user_id", "ts"),
         () => sentinel))
-      def src(p: String) = s.readStream.schema(sch)
+      val ss = StreamStage.scaledSession(s, Seq(stagingL, stagingR))
+      def src(p: String) = ss.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "*.parquet").parquet(p + "/*")
       val joined = StreamingOps.intervalJoinStream(src(stagingL),
@@ -1247,8 +1254,9 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
             java.nio.file.Files.copy(f, dst.resolve(f.getFileName)): Unit
         } finally ls.close()
       }
+      val ss = StreamStage.scaledSession(s, Seq(partsL, partsR))
       def drain(): Unit = {
-        def src(p: String) = s.readStream.schema(sch)
+        def src(p: String) = ss.readStream.schema(sch)
           .option("maxFilesPerTrigger", 1)
           .option("pathGlobFilter", "*.parquet").parquet(p + "/*")
         StreamingOps.intervalJoinStream(src(arriveL), src(arriveR),
@@ -1311,8 +1319,9 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
             java.nio.file.Files.copy(f, dst.resolve(f.getFileName)): Unit
         } finally ls.close()
       }
+      val ss = StreamStage.scaledSession(s, Seq(partsL, partsR))
       def drain(): Unit = {
-        def src(p: String) = s.readStream.schema(sch)
+        def src(p: String) = ss.readStream.schema(sch)
           .option("maxFilesPerTrigger", 1)
           .option("pathGlobFilter", "*.parquet").parquet(p + "/*")
         StreamingOps.intervalJoinStream(src(arriveL), src(arriveR),
@@ -1359,7 +1368,8 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
       val stagingR = StreamStage.stagedInputParts("q306sr", dir, Seq(
         () => ev.filter(col("event_type") === "purchase").select("user_id", "ts"),
         () => sentinel))
-      def src(p: String) = s.readStream.schema(sch)
+      val ss = StreamStage.scaledSession(s, Seq(stagingL, stagingR))
+      def src(p: String) = ss.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "*.parquet").parquet(p + "/*")
       val joined = StreamingOps.intervalJoinStream(src(stagingL),
@@ -1395,10 +1405,11 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
           unix_micros(col("ts")).as("ts_ms"),
           col("event_type").cast("string").as("event_type"))
       val staging = StreamStage.stagedInput("q253", dir, ev)
-      val stream = s.readStream.schema(ev.schema).parquet(staging)
+      val ss = StreamStage.scaledSession(s, Seq(staging))
+      val stream = ss.readStream.schema(ev.schema).parquet(staging)
         .as[StreamingOps.FunnelEvent]
       val prog = StreamingOps.funnelStream(stream,
-        Seq("view", "click", "purchase"))(s)
+        Seq("view", "click", "purchase"))(ss)
       prog.writeStream
         .outputMode("update")
         .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.FunnelProgress], _: Long) =>
@@ -1425,11 +1436,12 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
           unix_micros(col("ts")).as("ts_ms"),
           col("value").cast("double").as("value"))
       val staging = StreamStage.stagedInput("q239", dir, ev)
-      val stream = s.readStream.schema(ev.schema).parquet(staging)
+      val ss = StreamStage.scaledSession(s, Seq(staging))
+      val stream = ss.readStream.schema(ev.schema).parquet(staging)
         .as[StreamingOps.SessionEvent]
       val sessions = StreamingOps.sessionizeStream(stream,
         gapMs = 1800000000L,
-        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(s)
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(ss)
       sessions.writeStream
         .outputMode("append")
         .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.ClosedSession], _: Long) =>
@@ -1468,7 +1480,8 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
         () => ev,
         () => sentinel("2124-01-01 00:00:00"),
         () => sentinel("2124-02-01 00:00:00")))
-      val stream = s.readStream.schema(ev.schema)
+      val ss = StreamStage.scaledSession(s, Seq(staging))
+      val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "*.parquet").parquet(staging + "/*")
       StreamingOps.sessionWindowStats(stream)
@@ -1547,7 +1560,8 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
             lit(0L).cast("decimal(18,6)")) * 1000000L)
             .cast("long").as("value"))
       val staging = StreamStage.stagedInput("q285", dir, ev, nFiles = 2)
-      val stream = s.readStream.schema(ev.schema)
+      val ss = StreamStage.scaledSession(s, Seq(staging))
+      val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(staging)
       StreamingOps.windowedCounts(stream)
         .writeStream
@@ -1579,7 +1593,8 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
           col("event_type"), col("value").cast("double").as("value"))
       val staging = StreamStage.stagedInput("q284", dir,
         ev.unionByName(ev))
-      val stream = s.readStream.schema(ev.schema).parquet(staging)
+      val ss = StreamStage.scaledSession(s, Seq(staging))
+      val stream = ss.readStream.schema(ev.schema).parquet(staging)
       stream.withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
         .writeStream
@@ -1612,9 +1627,10 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
         .select(col("event_type").as("key"), unix_micros(col("ts")).as("ts_ms"),
           col("event_id").cast("long").as("id"))
       val staging = StreamStage.stagedInput("q280", dir, ev)
-      val stream = s.readStream.schema(ev.schema).parquet(staging)
+      val ss = StreamStage.scaledSession(s, Seq(staging))
+      val stream = ss.readStream.schema(ev.schema).parquet(staging)
         .as[StreamingOps.QuotaEvent]
-      implicit val sp: SparkSession = s
+      implicit val sp: SparkSession = ss
       val adm = StreamingOps.quotaAdmitStream(stream,
         windowMs = 3600000000L, maxPerWindow = 2, horizonWindows = 48)
       adm.writeStream
@@ -1644,7 +1660,8 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
       val ckpt = StreamStage.tempDir("graft_q274_ckpt")
       val cdc = cdcFixture(s, dir)
       val staging = StreamStage.stagedInput("q274", dir, cdc, nFiles = 2)
-      val stream = s.readStream.schema(cdc.schema)
+      val ss = StreamStage.scaledSession(s, Seq(staging))
+      val stream = ss.readStream.schema(cdc.schema)
         .option("maxFilesPerTrigger", 1).parquet(staging)
       StreamingOps.upsertSink(stream, root, Seq("user_id"), Seq("part"),
         "ver", ckpt,
@@ -1668,8 +1685,9 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
       val cdc = cdcFixture(s, dir)
       // same staged input as q274 (same key: written once per JVM)
       val staging = StreamStage.stagedInput("q274", dir, cdc, nFiles = 2)
-      StreamingOps.upsertSinkWithRecovery(s, staging, cdc.schema, root,
-        Seq("user_id"), Seq("part"), "ver", ckpt)
+      StreamingOps.upsertSinkWithRecovery(
+        StreamStage.scaledSession(s, Seq(staging)), staging, cdc.schema,
+        root, Seq("user_id"), Seq("part"), "ver", ckpt)
       cdcReadBack(s, root)
     }),
     // Exact duplicated-span removals (Lee et al. 2022): positions whose

@@ -1086,8 +1086,9 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
             java.nio.file.Files.copy(f, dst.resolve(f.getFileName)): Unit
         } finally ls.close()
       }
+      val ss = StreamStage.scaledSession(s, Seq(parts))
       def drain(): Unit = {
-        val stream = s.readStream.schema(ev.schema)
+        val stream = ss.readStream.schema(ev.schema)
           .option("pathGlobFilter", "*.parquet").parquet(arrive + "/*")
         StreamingOps.windowedCounts(stream)
           .writeStream
@@ -1167,8 +1168,9 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
             java.nio.file.Files.copy(f, dst.resolve(f.getFileName)): Unit
         } finally ls.close()
       }
+      val ss = StreamStage.scaledSession(s, Seq(parts))
       def drain(): Unit = {
-        val stream = s.readStream.schema(ev.schema)
+        val stream = ss.readStream.schema(ev.schema)
           .option("pathGlobFilter", "*.parquet").parquet(arrive + "/*")
         stream.withWatermark("ts", "36500 days")
           .dropDuplicatesWithinWatermark("event_id")
@@ -1229,8 +1231,9 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
             java.nio.file.Files.copy(f, dst.resolve(f.getFileName)): Unit
         } finally ls.close()
       }
+      val ss = StreamStage.scaledSession(s, Seq(parts))
       def drain(): Unit = {
-        val stream = s.readStream.schema(ev.schema)
+        val stream = ss.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1)
           .option("pathGlobFilter", "*.parquet").parquet(arrive + "/*")
         StreamingOps.sessionWindowStats(stream)
@@ -1460,7 +1463,8 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
       val stagingR = StreamStage.stagedInputParts("q328r", dir, Seq(
         () => ev.filter(col("event_type") === "purchase").select("user_id", "ts"),
         () => sentinel))
-      def src(p: String) = s.readStream.schema(sch)
+      val ss = StreamStage.scaledSession(s, Seq(stagingL, stagingR))
+      def src(p: String) = ss.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "*.parquet").parquet(p + "/*")
       val joined = StreamingOps.intervalJoinStream(src(stagingL),
@@ -1508,7 +1512,8 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
           lit("view").as("event_type"), lit(0L).as("value"))
       val staging = StreamStage.stagedInputParts("q329", dir, Seq(
         () => ev, () => sentinel))
-      val stream = s.readStream.schema(ev.schema)
+      val ss = StreamStage.scaledSession(s, Seq(staging))
+      val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "*.parquet").parquet(staging + "/*")
       val fine = stream
@@ -1579,8 +1584,9 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
             java.nio.file.Files.copy(f, dst.resolve(f.getFileName)): Unit
         } finally ls.close()
       }
+      val ss = StreamStage.scaledSession(s, Seq(partsL, partsR))
       def drain(): Unit = {
-        def src(p: String) = s.readStream.schema(sch)
+        def src(p: String) = ss.readStream.schema(sch)
           .option("maxFilesPerTrigger", 1)
           .option("pathGlobFilter", "*.parquet").parquet(p + "/*")
         val joined = StreamingOps.intervalJoinStream(src(arriveL),

@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Path}
 import scala.collection.mutable
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
  * Temp-dir plumbing for the file-source streaming gates (q238/q239/q253/
@@ -54,6 +54,43 @@ object StreamStage {
       }
       Files.deleteIfExists(p): Unit
     } catch { case _: Throwable => () } // best-effort: never fail exit
+  }
+
+  /** Session clone whose shuffle/state parallelism derives from the STAGED
+    * INPUT SIZE instead of the host core count (optimization guide §2:
+    * partitioning must be scale-adaptive, not a constant tuned for either
+    * local mode or the cluster). Stateful streaming gets NO AQE coalescing
+    * (Spark disables AQE for stateful workloads), so every micro-batch
+    * schedules one task AND commits one state-store delta file per shuffle
+    * partition per stateful operator — a stream-stream join at the default
+    * 32 partitions commits 4×32 store files per batch even when the staged
+    * fixture is 2 MB. Partitions grow back linearly with input bytes
+    * (`bytes / bytesPerPartition`, floor 2) and CAP at the session default,
+    * so a cluster-sized input keeps the configured parallelism and only the
+    * small-input regime sheds the empty-state overhead.
+    *
+    * `newSession()` (not a conf mutation) keeps this race-free under
+    * Verify's concurrent query threads: the clone shares the SparkContext
+    * but owns its SQLConf. Results are partition-count-invariant (keyed
+    * aggregations/joins; every gate's readback ends in a total ORDER BY). */
+  def scaledSession(s: SparkSession, inputs: Seq[String],
+                    bytesPerPartition: Long = 8L << 20): SparkSession = {
+    val cur = s.sessionState.conf.numShufflePartitions
+    val bytes = inputs.map { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+      } catch { case _: Throwable => 0L }
+    }.sum
+    val derived =
+      math.min(cur.toLong, math.max(2L, bytes / bytesPerPartition + 1)).toInt
+    if (derived >= cur) s
+    else {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", derived.toString)
+      ss
+    }
   }
 
   /** Fresh temp dir, deleted at JVM exit. */
