@@ -404,6 +404,9 @@ private[graft] trait QueriesPart3 { this: SparkEntry.type =>
         .join(li.select(col("ok"), col("pk").as("b")), "ok")
         .filter(col("a") < col("b"))
         .select("a", "b").distinct()
+        // louvain AND modularity both consume the co-purchase self-join:
+        // one materialization instead of two executions
+        .localCheckpoint(false)
       val labels = Graph.louvain(edges, "a", "b", levels = 2, rounds = 3)
       Graph.modularity(edges, "a", "b", labels, "node", "label")
     }),
@@ -435,6 +438,9 @@ private[graft] trait QueriesPart3 { this: SparkEntry.type =>
         .join(li.select(col("ok"), col("pk").as("b")), "ok")
         .filter(col("a") < col("b"))
         .select("a", "b").distinct()
+        // louvain AND modularity both consume the co-purchase self-join:
+        // one materialization instead of two executions
+        .localCheckpoint(false)
       val labels = Graph.louvain(edges, "a", "b", levels = 2, rounds = 3)
       Graph.modularity(edges, "a", "b", labels, "node", "label")
     }),
@@ -483,6 +489,9 @@ private[graft] trait QueriesPart3 { this: SparkEntry.type =>
         .join(li.select(col("ok"), col("pk").as("b")), "ok")
         .filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        // louvain AND modularityWeighted share the weighted self-join:
+        // one materialization instead of two executions
+        .localCheckpoint(false)
       val labels = Graph.louvain(edges, "a", "b", levels = 2, rounds = 3,
         wCol = Some("w"))
       Graph.modularityWeighted(edges, "a", "b", "w", labels, "node",
@@ -501,6 +510,9 @@ private[graft] trait QueriesPart3 { this: SparkEntry.type =>
         .join(li.select(col("ok"), col("pk").as("b")), "ok")
         .filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        // louvain AND modularityWeighted share the weighted self-join:
+        // one materialization instead of two executions
+        .localCheckpoint(false)
       val labels = Graph.louvain(edges, "a", "b", levels = 2, rounds = 3,
         wCol = Some("w"))
       Graph.modularityWeighted(edges, "a", "b", "w", labels, "node",

@@ -40,6 +40,7 @@ object SparkEntry
   private[graft] def oracleSampleAt(id: Column, hexLt: String): Column =
     md5(concat(id.cast("string"), lit(":osample"))) < hexLt
 
+
   /** Shared CDC fixture for q274/q301: one row per (user, ts), version =
     * µs timestamp (unique per key by construction), payload collapsed
     * deterministically, 16 hash partitions. */

@@ -1221,9 +1221,15 @@ object Graph {
       .groupBy("_a", "_b").agg(sum(col("_w")).as("_w"))
       .localCheckpoint(true)
     val nonLoop = canon.filter(col("_a") =!= col("_b"))
+    // pre-partitioned on the JOIN key before the checkpoint (guide §2.4:
+    // two operations keyed the same way share one exchange): every round's
+    // edges⋈labels join then reuses this layout instead of re-shuffling the
+    // EDGE-SIZED table once per round — the one remaining edge-sized
+    // exchange per round is the (node, neighbor-community) aggregation.
     val sym = nonLoop
       .union(nonLoop.select(col("_b").as("_a"), col("_a").as("_b"),
         col("_w")))
+      .repartition(col("_b"))
       .localCheckpoint(true)
     // k_i = Σ incident weight + 2·self-loop weight
     val deg = sym.select(col("_a").as("node"), col("_w"))
@@ -1235,11 +1241,14 @@ object Graph {
     // 2⁶³ — ~4.6e18 total weight, far beyond any real corpus graph)
     val m2 = deg.agg(coalesce(sum(col("_k")), lit(0L).cast(d38))
       .cast("long")).collect()(0).getLong(0)
-    var lbl = deg.select(col("node"), col("node").as("label"))
+    // labels CARRY k_i across rounds: Σtot and the per-node self-view
+    // otherwise each re-join deg every round (two node-sized shuffles a
+    // round, removed outright — guide §2.4)
+    var lbl = deg.select(col("node"), col("node").as("label"), col("_k"))
       .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       // Σtot + size per community, under the previous round's labels
-      val tot = lbl.join(deg, Seq("node"))
+      val tot = lbl
         .groupBy(col("label")).agg(sum(col("_k")).as("_t"),
           count(lit(1)).as("_s"))
       // weight from each node into each neighboring community
@@ -1249,18 +1258,22 @@ object Graph {
         .groupBy(col("_a"), col("_l")).agg(sum(col("_w")).as("_w"))
       // per-node view of its own community: k_i, Σtot_own, size_own,
       // k_{i,own} (0 when i has no intra-community edge)
-      val self = lbl.join(deg, Seq("node"))
+      val self = lbl
         .join(tot, Seq("label"))
         .join(kic.select(col("_a").as("node"), col("_l").as("label"),
           col("_w").as("_wown")), Seq("node", "label"), "left")
         .select(col("node"), col("label"), col("_k"),
           col("_t").as("_town"), col("_s").as("_sown"),
           coalesce(col("_wown"), lit(0L).cast(d38)).as("_wcur"))
+      // join order: candidate-community Σtot first (tot is partitioned on
+      // its grouping key — exchange reused), the node-keyed self-view
+      // second, so the final per-node argmax groups on the join key it
+      // already has — no extra exchange between the join and the argmax
       val best = kic
-        .join(self.withColumnRenamed("node", "_a"), Seq("_a"))
-        .filter(col("_l") =!= col("label"))
         .join(tot.select(col("label").as("_l"), col("_t").as("_tc"),
           col("_s").as("_sc")), Seq("_l"))
+        .join(self.withColumnRenamed("node", "_a"), Seq("_a"))
+        .filter(col("_l") =!= col("label"))
         .select(col("_a"), col("_l"),
           (lit(m2).cast(d38) * (col("_w") - col("_wcur"))
             - col("_k") * (col("_tc") - (col("_town") - col("_k"))))
@@ -1275,7 +1288,8 @@ object Graph {
         .agg(min(struct((-col("_g")).as("ng"), col("_l").as("l"))).as("_m"))
         .select(col("_a").as("node"), col("_m.l").as("_lnew"))
       lbl = lbl.join(best, Seq("node"), "left")
-        .select(col("node"), coalesce(col("_lnew"), col("label")).as("label"))
+        .select(col("node"), coalesce(col("_lnew"), col("label")).as("label"),
+          col("_k"))
         .localCheckpoint(false)
     }
     // canonical relabel: each community named by its minimum member
@@ -1345,9 +1359,16 @@ object Graph {
         greatest(col(aCol), col(bCol)).as("b"),
         w0.as("weight"))
       .groupBy("a", "b").agg(sum(col("weight")).as("weight"))
+      // checkpointed like every later level's coarsened graph: level 1's g
+      // otherwise re-derives the caller's (possibly join-heavy) edge
+      // lineage once for the move rounds AND once for the coarsening
+      .localCheckpoint(false)
     var membership: DataFrame = null
     for (_ <- 1 to levels) {
+      // one materialization feeds the membership compose AND the coarsen
+      // (its total-partition check plus two label joins)
       val lbl = louvainMoveRounds(g, "a", "b", rounds, wCol = Some("weight"))
+        .localCheckpoint(false)
       membership =
         if (membership == null) lbl
         else membership
@@ -1563,6 +1584,9 @@ object Graph {
       .select(least(col(aCol), col(bCol)).as("_u"),
         greatest(col(aCol), col(bCol)).as("_v"), w.as("_w"))
       .groupBy("_u", "_v").agg(sum(col("_w")).as("_w"))
+      // consumed twice (total-partition check + the label joins): one
+      // materialization instead of two executions of the edge lineage
+      .localCheckpoint(false)
     val lbl = labels.select(col(nodeCol).as("_n"), col(labelCol).as("_l"))
     val nodes = canon.select(explode(array(col("_u"), col("_v"))).as("_n"))
       .distinct()
