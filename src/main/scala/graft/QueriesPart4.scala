@@ -1277,7 +1277,9 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
     // once per DISTINCT word with the vocabulary broadcast.
     "q320_wordpiece_fertility" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
-      val words = Bpe.wordFrequencies(docs, "text")
+      // trainMerges AND vocabulary both consume the corpus-scale word
+      // aggregation: one materialization instead of two executions
+      val words = Bpe.wordFrequencies(docs, "text").localCheckpoint(false)
       val rules = WordPiece.trainMerges(words, "word", "weight", merges = 8)
       val vocab = WordPiece.vocabulary(words, "word", rules)
       WordPiece.fertility(docs, "text", Seq("lang", "source"), vocab,

@@ -531,8 +531,8 @@ object Experiment {
     require(reps >= 4, s"reps ($reps) must be >= 4")
     require(loIdx >= 1 && hiIdx <= reps && loIdx < hiIdx,
       s"need 1 <= loIdx ($loIdx) < hiIdx ($hiIdx) <= reps ($reps)")
-    val reserved = Set("_bid", "_v", "_b", "_w", "_ws", "_wn", "_m", "_ms",
-      "_sv", "n_rows", "n_reps_used")
+    val reserved = Set("_bid", "_v", "_b", "_w", "_hx", "_ws", "_wn", "_m",
+      "_ms", "_sv", "n_rows", "n_reps_used")
     require(!df.columns.exists(c => reserved(c) && !groupCols.contains(c)),
       s"input must not contain reserved columns ${reserved.mkString("/")}")
     val gcols = groupCols.map(col)
@@ -557,13 +557,22 @@ object Experiment {
     val hx = substring(
       md5(concat(col("_bid"), lit(":"), col("_b").cast("string"),
         lit(":" + lane))), 1, 12)
+    // the weight ladder references its hash once per THRESHOLD, and nested
+    // CASE WHEN branches are conditionally evaluated — codegen's common-
+    // subexpression elimination does not hoist them, so an inlined `hx`
+    // re-hashed up to |cdf| times per (row, replicate) (the md5 dominated
+    // the whole explode stage). Materializing the hash as its own projected
+    // column pins ONE evaluation; CollapseProject keeps non-cheap
+    // expressions it would have to duplicate, so the projection survives.
     val w = poissonCdfHex.zipWithIndex
       .foldRight(lit(poissonCdfHex.length.toLong): Column) {
-        case ((t, k), rest) => when(hx < lit(t), lit(k.toLong)).otherwise(rest)
+        case ((t, k), rest) =>
+          when(col("_hx") < lit(t), lit(k.toLong)).otherwise(rest)
       }
     val byRep = rows
       .select(gcols ++ Seq(col("_bid"), col("_v"),
         explode(sequence(lit(1), lit(reps))).as("_b")): _*)
+      .select(gcols ++ Seq(col("_v"), col("_b"), hx.as("_hx")): _*)
       .select(gcols ++ Seq(col("_v"), col("_b"), w.as("_w")): _*)
       .groupBy(gcols :+ col("_b"): _*)
       .agg(sum((col("_w") * col("_v")).cast("decimal(38,0)")).as("_ws"),

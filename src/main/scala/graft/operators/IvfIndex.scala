@@ -324,9 +324,12 @@ object IvfIndex {
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cell_id").cast("int").as("cell_id"), col("centroid"))
       .localCheckpoint(true) // we atomically replace its directory below
-    require(cents.filter(col("cell_id") === cellId).count() == 1L,
+    // ONE collect of the ≤ nCells id column serves both the membership
+    // check and maxId (was two scan jobs over the same cached table)
+    val centIds = cents.select("cell_id").collect().map(_.getInt(0))
+    require(centIds.count(_ == cellId) == 1,
       s"cell $cellId is not in the centroid table at $path")
-    val maxId = cents.agg(max(col("cell_id"))).collect()(0).getInt(0)
+    val maxId = centIds.max
     // partition-pruned: only the hot cell's files are opened; eager
     // checkpoint because its directory is deleted before the re-write
     val hot = spark.read.parquet(s"$path/postings")
@@ -409,12 +412,14 @@ object IvfIndex {
       .filter(id => loadRows.getOrElse(id, 0L) < minLoadFactor * mean)
       .sorted.toSeq
     if (lightIds.isEmpty) return Seq.empty
-    val survivors = cents.filter(!col("cell_id").isin(lightIds.map(Integer.valueOf): _*))
-      .localCheckpoint(true)
-    require(survivors.limit(1).count() == 1L,
+    // survivor existence is decidable from the ALREADY-collected id set —
+    // no extra scan job (the centroid table is ≤ nCells rows by contract)
+    require(centIds.exists(id => !lightIds.contains(id)),
       s"mergeCells($path, $minLoadFactor): every cell is below the floor —" +
         " nothing would survive to receive the postings; re-train with" +
         " buildIndex instead")
+    val survivors = cents.filter(!col("cell_id").isin(lightIds.map(Integer.valueOf): _*))
+      .localCheckpoint(true)
     // partition-pruned: only the light cells' files are opened; eager
     // checkpoint because their directories are deleted before the publish
     val lightPostings = spark.read.parquet(s"$path/postings")

@@ -60,10 +60,14 @@ object WordPiece {
     var step = 0
     var exhausted = false
     while (step < merges && !exhausted) {
-      // standalone symbol counts (vocab-sized) ...
+      // standalone symbol counts (vocab-sized) — materialized once per
+      // iteration: it feeds BOTH broadcast sides of the score join AND the
+      // post-argmax (fl, fr) lookup, which otherwise re-ran the corpus
+      // aggregation three more times per merge step
       val symFreq = syms
         .select(col("weight"), explode(col("syms")).as("s"))
         .groupBy("s").agg(sum("weight").as("f"))
+        .localCheckpoint(false)
       // ... adjacent-pair counts (vocab-sized) ...
       val pairs = syms
         .select(col("weight"), col("syms"), posexplode(slice(col("syms"), lit(1),
