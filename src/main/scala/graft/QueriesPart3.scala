@@ -239,7 +239,7 @@ private[graft] trait QueriesPart3 { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
     "q292s_poisson_bootstrap_sampled" -> ((s, dir) => {
-      val ev = Tables(s, dir).events.filter(col("event_type").isNotNull &&
+      val ev = Tables(s, dir).eventsSpread.filter(col("event_type").isNotNull &&
         oracleSampleAt(col("event_id"), "40"))
       Experiment.poissonBootstrapMean(ev, Seq("event_type"), "event_id",
         "value", reps = 64, loIdx = 2, hiIdx = 63).orderBy("event_type")
@@ -335,7 +335,10 @@ private[graft] trait QueriesPart3 { this: SparkEntry.type =>
     // micro-unit replicate sums, pure order-statistics CI — the one
     // bootstrap that runs in a single pass over sharded data.
     "q292_poisson_bootstrap" -> ((s, dir) => {
-      val ev = Tables(s, dir).events.filter(col("event_type").isNotNull)
+      // eventsSpread: the 64-way replicate explode + md5 weights run over a
+      // single-row-group scan (one core) without it; all downstream sums
+      // are exact integers, so the spread is order-invariant
+      val ev = Tables(s, dir).eventsSpread.filter(col("event_type").isNotNull)
       Experiment.poissonBootstrapMean(ev, Seq("event_type"), "event_id",
         "value", reps = 64, loIdx = 2, hiIdx = 63).orderBy("event_type")
     }),

@@ -506,10 +506,20 @@ object Dedup {
       .filter(col("_r") <= col("_n") - ceil(lit(threshold) * col("_n")) + lit(1))
       .select(col("_gram"), col("_id").as("id_a"), col("_n").as("n_a"))
     val index = ranked.select(col("_gram"), col("_id").as("id_b"), col("_n").as("n_b"))
-    val cand = prefix.join(index, Seq("_gram"))
+    val cand0 = prefix.join(index, Seq("_gram"))
       .filter(col("id_a") =!= col("id_b") &&
         col("n_b") >= ceil(lit(threshold) * col("n_a")))
       .select("id_a", "id_b").distinct()
+    // pin the verification parallelism to the cluster's core count: AQE
+    // coalesces the candidate shuffle by BYTES, but each row pays an
+    // array_intersect over two full gram arrays — bytes-right 8-task
+    // layouts serialize the cpu-heavy verify (measured: 5.5 s of q116's
+    // 7.9 s in two under-parallel join stages). defaultParallelism is the
+    // total executor core count, so the pin scales with the cluster, and
+    // the explicit count keeps AQE from re-coalescing a compute-bound
+    // stage by its (small) bytes.
+    val cand = cand0.repartition(
+      df.sparkSession.sparkContext.defaultParallelism, col("id_a"))
     val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("long")
     cand
       .join(docs.select(col("_id").as("id_a"), col("_g").as("g_a"),

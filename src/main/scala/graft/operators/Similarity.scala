@@ -541,7 +541,17 @@ object Similarity {
     val kept = inter.groupBy("_u").agg(count(lit(1)).as("_bs"))
       .filter(col("_bs") <= maxBasket)
       .select("_u")
+    // pin the layout to the cluster's core count before the checkpoint:
+    // AQE coalesces this table by BYTES, but its next consumer is the
+    // basket self-join whose output is quadratic in basket size — a
+    // bytes-right 2-partition layout serializes the n² pair fan-out on two
+    // cores (measured: 1.9 s of q217's 4.4 s in one 2-task stage). The _u
+    // key keeps both self-join sides co-partitioned (no exchange), and
+    // defaultParallelism is the total executor core count, so the pin
+    // scales with the cluster.
     inter.join(kept, Seq("_u"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("_u"))
       .localCheckpoint(false) // item counts + both pair sides
   }
 

@@ -36,6 +36,21 @@ final case class Tables(spark: SparkSession, dir: String) {
       org.apache.spark.sql.functions.col("doc_id"))
   def embeddings: DataFrame = t("embeddings")
 
+  /** [[lineitem]] spread like [[documentsSpread]] — same single-row-group
+    * fixture, same one-scan-task serialization; opt in where a heavy map
+    * stage (wide exact-decimal aggregations) follows the bare scan. */
+  def lineitemSpread: DataFrame =
+    lineitem.repartition(spark.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col("l_orderkey"))
+
+  /** [[events]] spread like [[documentsSpread]] — opt in where a heavy
+    * per-row stage (hash explosions, replicate weights) follows the scan.
+    * Only for ORDER-INVARIANT downstream math (exact integer sums, keyed
+    * windows): sketch-typed aggregates stay on the bare read. */
+  def eventsSpread: DataFrame =
+    events.repartition(spark.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col("event_id"))
+
   /** events.parquet's `ts` physical type has differed across testdata
     * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
     * outright) and TIMESTAMP(µs). Read schema-adaptively and surface the
