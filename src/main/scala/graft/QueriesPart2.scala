@@ -1700,7 +1700,7 @@ private[graft] trait QueriesPart2 { this: SparkEntry.type =>
     // training-data dedup, relational (sorted k-gram join, no suffix
     // array materialized).
     "q237_exact_substring_removals" -> ((s, dir) => {
-      Dedup.exactSubstringRemovals(Tables(s, dir).documents, "doc_id",
+      Dedup.exactSubstringRemovals(Tables(s, dir).documentsSpread, "doc_id",
           "text", k = 25)
         .orderBy("doc_id", "span_start")
     }),

@@ -48,7 +48,7 @@ private[graft] trait QueriesPart3 { this: SparkEntry.type =>
     // weights as exact lcm-scaled integers (12/6/4/3), canonical
     // unordered pairs, TopK heap selection.
     "q227_glove_cooc" -> ((s, dir) => {
-      Phrases.gloveCooc(Tables(s, dir).documents, "text", window = 4,
+      Phrases.gloveCooc(Tables(s, dir).documentsSpread, "text", window = 4,
           k = 100)
         .orderBy("rank")
     }),

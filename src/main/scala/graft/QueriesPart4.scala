@@ -207,7 +207,7 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
     // bucket-id order, unseen buckets at the class's smoothed floor,
     // ties to the smaller label, margin = best − runner-up.
     "q287_nb_multiclass" -> ((s, dir) => {
-      val d = Tables(s, dir).documents
+      val d = Tables(s, dir).documentsSpread
       val seed = d.filter(col("doc_id") % 4 =!= 0)
         .select(col("lang"), col("text"))
       Classifier.nbMulticlassScore(d, "doc_id", "text",
@@ -790,7 +790,7 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
     // and a second copy of the mutated leg (intra-batch dup — min id wins).
     // Everything is md5-fingerprint arithmetic, so the oracle replays it
     "q84_incremental_dedup" -> ((s, dir) => {
-      val d = Tables(s, dir).documents
+      val d = Tables(s, dir).documentsSpread
       val ledger = d.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
       val dup = d.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -883,7 +883,7 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
     // integer-ratio double; the per-doc sum folds in position order and
     // rounds to 4dp — the q93 determinism recipe
     "q100_lm_perplexity" -> ((s, dir) => {
-      val d = Tables(s, dir).documents
+      val d = Tables(s, dir).documentsSpread
       val model = LanguageModel.trainBigram(
         d.filter(col("source") === "src0"), "text")
       LanguageModel.perplexityScore(d, "doc_id", "text", model)
@@ -894,7 +894,7 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
     // model — a memorized doc has no surprising tail. Total (nll, pos)
     // order pins the slice and the fold cross-engine.
     "q243_min_k_prob" -> ((s, dir) => {
-      val d = Tables(s, dir).documents
+      val d = Tables(s, dir).documentsSpread
       val model = LanguageModel.trainBigram(
         d.filter(col("source") === "src0"), "text")
       LanguageModel.minKProbScore(d, "doc_id", "text", model, kPct = 20)
@@ -922,7 +922,7 @@ private[graft] trait QueriesPart4 { this: SparkEntry.type =>
     // n-gram novelty vs the src0 slice: distinct trigrams per doc, absent
     // grams counted via a polyHash join both engines replay exactly
     "q103_ngram_novelty" -> ((s, dir) => {
-      val d = Tables(s, dir).documents
+      val d = Tables(s, dir).documentsSpread
       Novelty.ngramNovelty(d, d.filter(col("source") === "src0"),
           "doc_id", "text", n = 3)
         .orderBy("doc_id")
