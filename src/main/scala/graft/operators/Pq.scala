@@ -49,13 +49,24 @@ object Pq {
     require(m >= 1 && dim >= m && dim % m == 0,
       s"dim ($dim) must split into m ($m) equal blocks")
     val w = dim / m
-    (0 until m).map { b =>
-      IvfIndex.centroids(
-        corpus.select(col(idCol), slice(asD(col(vecCol)), b * w + 1, w)
-          .as("_sub")),
-        idCol, "_sub", nCells = k, iters = iters)
-        .select(lit(b).as("block"), col("cell_id"), col("centroid"))
-    }.reduce(_.unionByName(_))
+    // the m sub-space k-means runs are INDEPENDENT, and each is a chain of
+    // small jobs (Lloyd agg + checkpoint + collect per iteration) whose
+    // cost is job-submission latency, not compute — run them from
+    // concurrent driver threads so one block's jobs back-fill another's
+    // scheduler gaps (optimization guide §2.6). Each block's arithmetic is
+    // untouched, so per-block results are identical to the sequential run.
+    val blocks = (0 until m).map { b =>
+      scala.concurrent.Future {
+        IvfIndex.centroids(
+          corpus.select(col(idCol), slice(asD(col(vecCol)), b * w + 1, w)
+            .as("_sub")),
+          idCol, "_sub", nCells = k, iters = iters)
+          .select(lit(b).as("block"), col("cell_id"), col("centroid"))
+      }(scala.concurrent.ExecutionContext.global)
+    }
+    blocks.map(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf))
+      .reduce(_.unionByName(_))
   }
 
   /** Code table: `(idCol, block, code)` — each vector's nearest cell
